@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 gate: run each oracle SQL in DuckDB over
+the sf parquet tables and compare with the Verify parquet dumps.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def load_spark_result(outdir, name):
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        return None
+    return pq.read_table(files[0])
+
+
+def norm_cell(v):
+    import datetime, decimal
+    if isinstance(v, float):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    return v
+
+
+def table_rows(t):
+    cols = sorted(t.column_names)
+    data = {c: t.column(c).to_pylist() for c in cols}
+    return cols, [tuple(norm_cell(data[c][i]) for c in cols)
+                  for i in range(t.num_rows)]
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sfdir}/{tname}.parquet')")
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    declared = [d for d in sorted(os.listdir(outdir))
+                if os.path.isdir(os.path.join(outdir, d))]
+    n_pass = n_fail = 0
+    for name in declared:
+        got = load_spark_result(outdir, name)
+        if name not in oracles:
+            print(f"[rows-only] {name}: rows={got.num_rows if got else 'MISSING'}")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if got is None:
+            print(f"[FAIL] {name}: spark result missing")
+            n_fail += 1
+            continue
+        gcols, grows = table_rows(got)
+        wcols, wrows = table_rows(want)
+        if gcols != wcols:
+            print(f"[FAIL] {name}: columns {gcols} != {wcols}")
+            n_fail += 1
+            continue
+        if len(grows) != len(wrows):
+            print(f"[FAIL] {name}: rows {len(grows)} != {len(wrows)}")
+            n_fail += 1
+            continue
+        bad = 0
+        maxerr = 0.0
+        first_bad = None
+        for i, (g, w) in enumerate(zip(grows, wrows)):
+            if g != w:
+                # measure float-only mismatch magnitude
+                for a, b in zip(g, w):
+                    if isinstance(a, float) and isinstance(b, float) and a != b:
+                        maxerr = max(maxerr, abs(a - b))
+                bad += 1
+                if first_bad is None:
+                    first_bad = (i, g, w)
+        if bad:
+            print(f"[FAIL] {name}: {bad}/{len(grows)} mismatched rows, "
+                  f"max float err {maxerr:g}; first: {first_bad}")
+            n_fail += 1
+        else:
+            print(f"[PASS] {name}: {len(grows)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(declared) - n_pass - n_fail} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Relational operator inventory (SURVEY.md §2B X1–X18): scans, projections,
+  * filters, every join shape, aggregation, top-k — each as a named DataFrame
+  * query with a DuckDB-oracle twin in [[oracles]].
+  *
+  * Scale notes (100 TB design intent, verified on the sf plans):
+  *  - dimension tables (region/nation/supplier/customer at TPC-H ratios) are
+  *    broadcast — no shuffle of the fact side for q03/q05/q06/q07;
+  *  - aggregations are partial (map-side combine) by construction — integer
+  *    sums are associative, so Catalyst plans HashAggregate(partial→final);
+  *  - top-k is `orderBy().limit(k)` which Spark plans as
+  *    TakeOrderedAndProject — no global sort materialization.
+  */
+object Relational {
+
+  /** X1/X2/X8 — TPC-H Q1-style pricing summary: scan + filter (pushed to
+    * parquet) + multi-aggregate groupBy. Money math in exact integer cents.
+    * Reference analog: the only aggregation the reference has is its stats
+    * loop (RePlayer.java:145-162); this is the general form. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+          .as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax")))) / 1000000.0).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))) / count(lit(1)) / 100.0).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** X2 — projection + conjunctive predicate, pushed down to the parquet
+    * scan (PushedFilters in explain). Raw column passthrough: no arithmetic,
+    * so values are byte-identical to the oracle's. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** X3 — multi-way inner equi-join with broadcast dimensions:
+    * orders ⋈ customer ⋈ nation ⋈ region, revenue per region/nation.
+    * nation/region/customer are tiny at TPC-H ratios → broadcast-hash join,
+    * zero shuffle on the orders fact side at any scale. */
+  def q03(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg((sum(cents(col("o_totalprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** X4 — left outer join preserving customers with zero orders. */
+  def q04(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** X5 — left-semi join (EXISTS): customers having any urgent order. */
+  def q05(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** X5 — left-anti join (NOT EXISTS): customers with no very large order. */
+  def q06(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** X6 — theta/range join: equi on nation + inequality on balance.
+    * Planned as broadcast-hash on the equi key with the range predicate as
+    * a post-join filter — the scalable shape for equi+theta. */
+  def q07(s: SparkSession, d: String): DataFrame = {
+    val su = t(s, d, "supplier")
+    val c = t(s, d, "customer")
+    su.join(c, su("s_nationkey") === c("c_nationkey") &&
+        c("c_acctbal") > su("s_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_richer_customers"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** X14 — sort + limit top-k; plans as TakeOrderedAndProject (per-partition
+    * heap + driver merge), never a full global sort. Tie-broken on the
+    * unique key for determinism. */
+  def q10(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_join_revenue" -> (q03 _),
+    "q04_outer_join" -> (q04 _),
+    "q05_semi_join" -> (q05 _),
+    "q06_anti_join" -> (q06 _),
+    "q07_theta_join" -> (q07 _),
+    "q10_topk" -> (q10 _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS sum_base_price,
+        | sum(CAST(round(l_extendedprice*100,0) AS BIGINT)*(100 - CAST(round(l_discount*100,0) AS BIGINT)))/10000.0 AS sum_disc_price,
+        | sum(CAST(round(l_extendedprice*100,0) AS BIGINT)*(100 - CAST(round(l_discount*100,0) AS BIGINT))*(100 + CAST(round(l_tax*100,0) AS BIGINT)))/1000000.0 AS sum_charge,
+        | sum(l_quantity)/count(*) AS avg_qty,
+        | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/count(*)/100.0 AS avg_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT r_name, n_name,
+        | sum(CAST(round(o_totalprice*100,0) AS BIGINT))/100.0 AS revenue,
+        | count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q04_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_totalprice > 100000.0
+        |) ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_theta_join" ->
+      """SELECT s_suppkey, count(*) AS n_richer_customers
+        |FROM supplier JOIN customer
+        |  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Batch-queryable forms of the reference's replay dataflow operators
+  * (SURVEY.md §2A), expressed on the driver's `events` table so each has a
+  * DuckDB oracle. The live streaming forms live in `graft.replay`.
+  *
+  * Reference semantics reproduced here:
+  *  - r01: the affine event-time → wall-clock schedule
+  *    `ingestion = start + (ts - first_ts)/speedup` (JsonEvent.java:95-97,
+  *    ms precision per JsonEvent.java:96), with start pinned to 0 so the
+  *    result is deterministic.
+  *  - r02: the seek — exact `ts >= target` predicate-pushdown form of the
+  *    reference's sampled skip-scan (JsonEventS3Iterator.java:79-101).
+  *  - r03: the bounded reorder buffer's output order — a total order by
+  *    (ts, event_id) (JsonEventBufferedReader.java:39-47 orders by event
+  *    timestamp; we add the unique key for a deterministic tiebreak).
+  *  - r04: the sink's ≤500-record micro-batching (KinesisProducer.java:25).
+  *  - r05: the 20s-tumbling statistics window generalized to event-time
+  *    (RePlayer.java:145-162) — count, rate, high-water-mark.
+  */
+object ReplayQueries {
+
+  val SpeedupFactor = 6480L // RePlayer.java:23 default
+
+  /** R6/R9 — simulated ingestion schedule at speedup 6480, anchored at 0. */
+  def r01Schedule(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val first = ev.agg(min(col("ts")).as("first_ts"))
+    ev.crossJoin(broadcast(first))
+      .select(
+        col("event_id"),
+        tsMs(col("ts")).as("ts_ms"),
+        floor((tsMs(col("ts")) - tsMs(col("first_ts"))) / lit(SpeedupFactor.toDouble))
+          .as("ingest_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  /** R7 — exact seek: everything at/after the target instant. */
+  def r02Seek(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** R8 — emission order of the reorder stage: rank in (ts, event_id) order.
+    * Global row_number is a correctness probe at test SF; the scalable form
+    * is the plain `orderBy` (range-partitioned sort) that feeds the sink. */
+  def r03Reorder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("ts"))
+      .withColumn("emit_rank", row_number().over(w))
+      .select(col("event_id"), col("emit_rank"))
+      .orderBy(col("event_id"))
+  }
+
+  /** R10 — sink micro-batching: batch id + per-batch size, all ≤500. */
+  def r04Batches(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_id"), col("ts"))
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / lit(500.0)))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_records"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** R12 — monitoring aggregation as an event-time tumbling window:
+    * per-hour event count, summed value (exact cents), high-water mark. */
+  def r05Stats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"),
+        max(tsMs(col("ts"))).as("high_water_ms"))
+      .select(tsMs(col("window_start")).as("window_start_ms"),
+        col("n_events"), col("sum_value"), col("high_water_ms"))
+      .orderBy(col("window_start_ms"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_schedule" -> (r01Schedule _),
+    "r02_seek" -> (r02Seek _),
+    "r03_reorder" -> (r03Reorder _),
+    "r04_batches" -> (r04Batches _),
+    "r05_stats_window" -> (r05Stats _))
+
+  val oracles: Map[String, String] = Map(
+    "r01_schedule" ->
+      """SELECT event_id,
+        | epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        | CAST(floor((epoch_ms(CAST(ts AS TIMESTAMP)) - (SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) FROM events)) / 6480.0) AS BIGINT) AS ingest_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "r02_seek" ->
+      """SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "r03_reorder" ->
+      """SELECT event_id,
+        | CAST(row_number() OVER (ORDER BY ts, event_id) AS INTEGER) AS emit_rank
+        |FROM events ORDER BY event_id""".stripMargin,
+    "r04_batches" ->
+      """SELECT batch_id, count(*) AS n_records FROM (
+        |  SELECT CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1) / 500.0) AS BIGINT) AS batch_id
+        |  FROM events
+        |) GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "r05_stats_window" ->
+      """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+        | count(*) AS n_events,
+        | sum(CAST(round(value*100,0) AS BIGINT))/100.0 AS sum_value,
+        | max(epoch_ms(CAST(ts AS TIMESTAMP))) AS high_water_ms
+        |FROM events GROUP BY 1 ORDER BY window_start_ms""".stripMargin)
+}
