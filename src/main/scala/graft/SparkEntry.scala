@@ -10,7 +10,9 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.defs, Relational.oracles),
-      (ReplayQueries.defs, ReplayQueries.oracles))
+      (ReplayQueries.defs, ReplayQueries.oracles),
+      (Windows.defs, Windows.oracles),
+      (Functions.defs, Functions.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core capability as one plan: scan events, derive the

@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Scalar-function and set-operation inventory (SURVEY.md §2B X8–X10,
+  * X15–X20): distinct/approx aggregation, union/intersect/except (set and
+  * multiset), string/date/math/array/JSON functions — all codegen'd
+  * built-ins, no UDFs in the hot path. */
+object Functions {
+
+  /** X9 — distinct aggregation: per-flag distinct parts/suppliers + distinct
+    * quantity sum (exact: quantities are integral doubles). */
+  def q08Distinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum_distinct(col("l_quantity")).as("sum_dist_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** X10 — HyperLogLog++ approximate distinct. No SQL oracle (estimator
+    * differs per engine) → driver records a rows-only check; the ScalaTest
+    * spec bounds the estimate against the exact count instead. */
+  def q09Approx(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+      .orderBy(col("event_type"))
+
+  /** X15 — set operations with DISTINCT semantics: symmetric difference of
+    * urgent-order customers vs big-order customers. */
+  def q15SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val a = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val b = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    a.union(b).distinct().except(a.intersect(b)).orderBy(col("o_custkey"))
+  }
+
+  /** X15 — multiset (ALL) set operations: intersectAll keeps min
+    * multiplicity, exceptAll subtracts multiplicity. */
+  def q15bSetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val x = li.filter(col("l_quantity") < 5).select(col("l_suppkey"))
+    val y = li.filter(col("l_discount") > 0.05).select(col("l_suppkey"))
+    val inter = x.intersectAll(y).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_inter"))
+    val exc = x.exceptAll(y).groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_except"))
+    inter.join(exc, Seq("l_suppkey"), "full_outer")
+      .select(col("l_suppkey"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  /** X16 — string functions over part. */
+  def q16String(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_brand")).as("lbrand"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowelled"),
+        trim(lit("  pad  ")).as("trimmed"),
+        size(split(col("p_type"), " ")).as("n_type_words"))
+      .orderBy(col("p_partkey"))
+
+  /** X17 — date/time functions over orders. Spark dayofweek is 1=Sunday;
+    * the oracle maps DuckDB's 0=Sunday accordingly. */
+  def q17Date(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("qtr"),
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** X18 — math functions. libm-sensitive fns (ln) rounded to 6 decimals;
+    * sqrt is IEEE correctly-rounded, pow on small ints exact. */
+  def q18Math(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") / 1000.0, 1).as("price_k"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+        round(log(col("l_extendedprice")), 6).as("price_ln"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** X19 — array functions over the embedding vector column. */
+  def q19Array(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 5).as("e1"),
+        round(element_at(col("embedding"), 64).cast("double"), 5).as("e64"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("sum_e"),
+        round(array_max(col("embedding")).cast("double"), 5).as("max_e"),
+        round(array_min(col("embedding")).cast("double"), 5).as("min_e"),
+        size(filter(col("embedding"), x => x > 0.0f)).as("n_pos"))
+      .orderBy(col("vec_id"))
+
+  /** X20 — JSON functions over events.props (schema-on-read projection,
+    * the generalization of the reference's one-attribute extraction,
+    * JsonEvent.java:90). */
+  def q20Json(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_get"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))("k").as("k_map"),
+        json_tuple(col("props"), "k").as("k_tuple_str"))
+      .withColumn("k_tuple", col("k_tuple_str").cast("long"))
+      .drop("k_tuple_str")
+      .orderBy(col("event_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_distinct_agg" -> (q08Distinct _),
+    "q09_approx_distinct" -> (q09Approx _),
+    "q15_setops" -> (q15SetOps _),
+    "q15b_setops_all" -> (q15bSetOpsAll _),
+    "q16_string_fns" -> (q16String _),
+    "q17_date_fns" -> (q17Date _),
+    "q18_math_fns" -> (q18Math _),
+    "q19_array_fns" -> (q19Array _),
+    "q20_json_fns" -> (q20Json _))
+
+  val oracles: Map[String, String] = Map(
+    "q08_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | sum(DISTINCT l_quantity) AS sum_dist_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q15_setops" ->
+      """SELECT o_custkey FROM (
+        | (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        | EXCEPT
+        | (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |) ORDER BY o_custkey""".stripMargin,
+    "q15b_setops_all" ->
+      """WITH x AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 5),
+        | y AS (SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05),
+        | i AS (SELECT l_suppkey, count(*) AS n_inter FROM (
+        |   SELECT * FROM x INTERSECT ALL SELECT * FROM y) GROUP BY 1),
+        | e AS (SELECT l_suppkey, count(*) AS n_except FROM (
+        |   SELECT * FROM x EXCEPT ALL SELECT * FROM y) GROUP BY 1)
+        |SELECT coalesce(i.l_suppkey, e.l_suppkey) AS l_suppkey,
+        | coalesce(n_inter, 0) AS n_inter, coalesce(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.l_suppkey = e.l_suppkey
+        |ORDER BY l_suppkey""".stripMargin,
+    "q16_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        | substring(p_name, 1, 5) AS prefix5,
+        | CAST(length(p_name) AS INTEGER) AS name_len,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | regexp_extract(p_type, '([a-z]+)', 1) AS first_word,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowelled,
+        | trim('  pad  ') AS trimmed,
+        | CAST(length(string_split(p_type, ' ')) AS INTEGER) AS n_type_words
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "q17_date_fns" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS yr,
+        | CAST(month(o_orderdate) AS INTEGER) AS mo,
+        | CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q18_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice/1000.0, 1) AS price_k,
+        | floor(l_extendedprice) AS price_floor,
+        | ceil(l_extendedprice) AS price_ceil,
+        | abs(l_quantity - 25.0) AS qty_dev,
+        | pow(l_quantity, 2) AS qty_sq,
+        | round(sqrt(l_extendedprice), 6) AS price_sqrt,
+        | round(ln(l_extendedprice), 6) AS price_ln
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q19_array_fns" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS INTEGER) AS dim,
+        | round(CAST(embedding[1] AS DOUBLE), 5) AS e1,
+        | round(CAST(embedding[64] AS DOUBLE), 5) AS e64,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_e,
+        | round(CAST(list_max(embedding) AS DOUBLE), 5) AS max_e,
+        | round(CAST(list_min(embedding) AS DOUBLE), 5) AS min_e,
+        | CAST(len(list_filter(embedding, x -> x > 0.0)) AS INTEGER) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q20_json_fns" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_get,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_map,
+        | CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_tuple
+        |FROM events ORDER BY event_id""".stripMargin)
+}

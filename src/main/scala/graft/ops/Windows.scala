@@ -1,0 +1,256 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Window functions, grouping sets, time windows, sessionization,
+  * deterministic dedup, and the as-of join (SURVEY.md §2B X7, X11–X13,
+  * X21–X23).
+  *
+  * Scale notes: every window here is partitioned by a high-cardinality key
+  * (user_id, mktsegment×custkey) — no single-partition global windows in
+  * the scalable path; time-window aggregations are hash aggregations on a
+  * derived bucket column, which Catalyst plans partial→final. */
+object Windows {
+
+  /** X11 — rollup with grouping_id; NULL group keys made explicit. */
+  def q11Rollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("rf"), col("ls"))
+
+  /** X11 — cube over two dimensions. */
+  def q11bCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("revenue"), col("n"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  /** X11 — explicit GROUPING SETS via the SQL surface. */
+  def q11cGroupingSets(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** X12 — ranking window functions per market segment. Order within the
+    * partition is total (acctbal desc, custkey) for determinism. */
+  def q12Rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rn") <= 20)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** X13 — analytic window functions (lag/lead/first/last) + rows frame
+    * running sum (exact cents) + range frame (trailing 1 h count). */
+  def q13Analytic(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("first_value_u", first(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("run_sum", sum(cents(col("value"))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) / 100.0)
+      .withColumn("n_last_hour", count(lit(1)).over(wRange))
+      .select(col("user_id"), col("event_id"), col("prev_value"),
+        col("next_value"), col("first_value_u"), col("run_sum"), col("n_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** X21 — event-time tumbling window (15 min) via the native `window`
+    * function; epoch-aligned buckets, portable to the oracle's arithmetic. */
+  def q21Tumbling(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+
+  /** X21 — sliding window (30 min length, 15 min slide): each event lands
+    * in exactly two windows. */
+  def q21bSliding(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("n"))
+      .orderBy(col("window_start_ms"))
+
+  /** X22 — session windows (30 min inactivity gap) as gaps-and-islands:
+    * the batch-deterministic twin of `session_window` (whose streaming form
+    * lives in graft.streaming). */
+  def q22Session(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("ts_ms"))
+      .withColumn("new_session",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > 1800000L, 1)
+          .otherwise(when(lag(col("ts_ms"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** X23 — deterministic dedup: earliest event per (user_id, event_type).
+    * `dropDuplicates` keeps an arbitrary row; the row_number form pins the
+    * survivor, which the hash-compare gate requires. */
+  def q23Dedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"), tsMs(col("ts")).as("ts_ms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** X7 — as-of join: for each purchase, the latest signup of the same user
+    * at or before it. Implemented as union + last(ignoreNulls) over an
+    * event-time order — one shuffle on user_id, no range explosion; scales
+    * as a single sort-based window regardless of key skew on time. */
+  def q24AsOf(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("l_id"),
+        lit(null).cast("long").as("r_id"), lit(1).as("is_left"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("l_id"),
+        col("event_id").as("r_id"), lit(0).as("is_left"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), coalesce(col("r_id"), col("l_id")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    left.unionByName(right)
+      .withColumn("asof_signup_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("l_id").as("event_id"), col("user_id"), col("asof_signup_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_rollup" -> (q11Rollup _),
+    "q11b_cube" -> (q11bCube _),
+    "q11c_grouping_sets" -> (q11cGroupingSets _),
+    "q12_window_rank" -> (q12Rank _),
+    "q13_window_analytic" -> (q13Analytic _),
+    "q21_window_tumbling" -> (q21Tumbling _),
+    "q21b_window_sliding" -> (q21bSliding _),
+    "q22_sessionize" -> (q22Session _),
+    "q23_dedup_keyed" -> (q23Dedup _),
+    "q24_asof_join" -> (q24AsOf _))
+
+  val oracles: Map[String, String] = Map(
+    "q11_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q11b_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+        | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | sum(CAST(round(o_totalprice*100,0) AS BIGINT))/100.0 AS revenue, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
+    "q11c_grouping_sets" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT * FROM (
+        | SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rn <= 20 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q13_window_analytic" ->
+      """SELECT user_id, event_id,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value_u,
+        | sum(CAST(round(value*100,0) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS run_sum,
+        | count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q21_window_tumbling" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 AS window_start_ms,
+        | event_type, count(*) AS n,
+        | sum(CAST(round(value*100,0) AS BIGINT))/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+    "q21b_window_sliding" ->
+      """SELECT window_start_ms, count(*) AS n FROM (
+        | SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 AS window_start_ms FROM events
+        | UNION ALL
+        | SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000 - 900000 FROM events
+        |) GROUP BY 1 ORDER BY window_start_ms""".stripMargin,
+    "q22_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) > 1800000
+        |   THEN 1
+        |   WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) IS NULL
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |sess AS (
+        | SELECT user_id, event_id, ts_ms,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+        | count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q23_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id, ts_ms FROM (
+        | SELECT user_id, event_type, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        | FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "q24_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS asof_signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
+        |ORDER BY l.event_id""".stripMargin)
+}
