@@ -1,0 +1,42 @@
+package graft.replay
+
+import java.time.Instant
+
+/** Full configuration surface of the replay job — same knobs and defaults
+  * as the reference CLI (SURVEY.md §2A R13; defaults RePlayer.java:20-28).
+  *
+  * `inputPath` generalizes the reference's (bucketName, objectPrefix) pair:
+  * any Hadoop-FS URI works (`s3a://bucket/prefix/`, `file:/...`, local dir).
+  */
+final case class ReplayConfig(
+    inputPath: String = "s3a://aws-bigdata-blog/artifacts/kinesis-analytics-taxi-consumer/taxi-trips.json.lz4/",
+    streamArn: String = "",
+    speedupFactor: Long = 6480L, // RePlayer.java:23
+    timestampAttributeName: String = "dropoff_datetime", // RePlayer.java:25
+    seek: Option[Instant] = None, // RePlayer.java:49-51
+    statisticsFrequencyMillis: Long = 20000L, // RePlayer.java:24
+    readerBufferSize: Int = 100000, // RePlayer.java:26 — streaming watermark horizon analog
+    producerBufferSize: Int = 5000, // RePlayer.java:27
+    senderParallelism: Int = 4, // RePlayer.java:28 — sink partition count
+    objectSuffixToSkip: String = "README.md", // JsonEventS3Iterator.java:71-73
+    ingestionStartMs: Option[Long] = None // pin for deterministic tests; None = wall clock
+)
+
+/** ARN validation + region extraction (R11, KinesisProducer.java:61-72). */
+object StreamArn {
+  private val ArnPattern =
+    "^arn:aws:kinesis:([a-z0-9-]+):(\\d{12}):stream/([a-zA-Z0-9_.-]+)$".r
+
+  def validate(arn: String): Boolean = ArnPattern.matches(arn)
+
+  /** Region is the 4th ':'-separated field (KinesisProducer.java:69-72). */
+  def extractRegion(arn: String): String = arn match {
+    case ArnPattern(region, _, _) => region
+    case _ => throw new IllegalArgumentException(s"invalid Kinesis stream ARN: $arn")
+  }
+
+  def streamName(arn: String): String = arn match {
+    case ArnPattern(_, _, name) => name
+    case _ => throw new IllegalArgumentException(s"invalid Kinesis stream ARN: $arn")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.replay
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The whole replay pipeline, wired like RePlayer.main (SURVEY.md §3.1) but
+  * as one declarative plan + a paced sink:
+  *
+  *   source (R1–R4) → parse (R5–R6) → seek (R7) → order (R8)
+  *     → schedule (R6/R9) → paced batched sink (R9–R11) → stats (R12)
+  *
+  * Ordering contract: total event-time order within each sink partition;
+  * cross-partition order is best-effort — same as the reference, whose 4
+  * sender threads and random partition keys already destroy global order on
+  * the wire (KinesisProducer.java:197-199, SURVEY.md §8.6).
+  *
+  * Termination (R14): a batch job ends at end-of-input — the semantics of
+  * `Trigger.AvailableNow` — with none of the reference's `fill()` hang
+  * (SURVEY.md §8.1): "buffer full or source exhausted" is implicit here.
+  */
+object ReplayJob {
+
+  /** Scheduled events, unordered (ordering is applied by the consumer —
+    * one sort, chosen to match its partitioning). */
+  private[replay] def scheduled(spark: SparkSession, cfg: ReplayConfig): DataFrame = {
+    val lines = Source.jsonLines(spark, cfg)
+    val events = Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
+    val startMs = cfg.ingestionStartMs.getOrElse(System.currentTimeMillis())
+    Schedule.withIngestionTime(events, cfg.speedupFactor, startMs)
+  }
+
+  /** The declarative part: everything up to the sink, as one DataFrame. */
+  def plan(spark: SparkSession, cfg: ReplayConfig): DataFrame =
+    scheduled(spark, cfg)
+      .orderBy(col("timestamp")) // R8: total sort ≥ the reference's bounded reorder
+
+  /** Run the replay: pace each event to its simulated ingestion time and
+    * push through the sender in ≤500-record batches. Sender parallelism =
+    * sink partitions (reference: 4 sender threads, RePlayer.java:28).
+    *
+    * Pacing sleeps inside sink tasks; with senderParallelism ≪ cores this
+    * holds few cores, and at high speedup the sleeps vanish — the
+    * reference has the same behavior on its main thread.
+    * Returns total records sent. */
+  def run(spark: SparkSession, cfg: ReplayConfig, sender: RecordSender,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      sleeper: Long => Unit = Thread.sleep): Long = {
+    val df = scheduled(spark, cfg)
+    val sentAcc = spark.sparkContext.longAccumulator("records_sent")
+    val retryAcc = spark.sparkContext.longAccumulator("send_retries")
+    df.select(col("payload"), col("ingestion_ms"))
+      // range-partition by schedule so each sink task replays a contiguous
+      // slice of simulated time (order preserved within partition)
+      .repartitionByRange(cfg.senderParallelism, col("ingestion_ms"))
+      .sortWithinPartitions(col("ingestion_ms"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val paced = it.map { r =>
+          Pace.paceTo(r.getLong(1), nowMs, sleeper)
+          r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        val (sent, retries) = Sink.sendAll(paced, sender, sleeper)
+        sentAcc.add(sent)
+        retryAcc.add(retries)
+      }
+    sentAcc.value
+  }
+}

@@ -1,0 +1,113 @@
+package graft.replay
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicLong, AtomicInteger}
+
+/** R10–R11 — the micro-batched, retried record sink.
+  *
+  * Reference shape (KinesisProducer.java): a bounded queue feeds sender
+  * threads; each drains ≤500 records (PutRecords API cap,
+  * KinesisProducer.java:25,112), sends, re-queues partial failures with
+  * exponential backoff `min(2000 ms, 2^attempt·100 ms)` up to 100 attempts
+  * (KinesisProducer.java:26-28,139-169,187-195).
+  *
+  * Spark-first: sender threads become sink-stage partitions
+  * (`repartition(senderParallelism)` → N concurrent tasks); the bounded
+  * queue's backpressure becomes trigger limits. The transport is abstracted
+  * behind [[RecordSender]] because the AWS SDK is not on the offline
+  * classpath — a Kinesis implementation is a thin `putRecords` adapter with
+  * exactly this retry contract; tests inject [[CollectingSender]].
+  */
+trait RecordSender extends Serializable {
+  /** Send one batch; return the 0-based indices that failed (to retry). */
+  def send(records: Seq[Array[Byte]]): Seq[Int]
+}
+
+/** Test/local sender collecting into a JVM-wide queue (local[n] = one JVM). */
+class CollectingSender(failFirstNAttempts: Int = 0) extends RecordSender {
+  private val attempts = new AtomicInteger(0)
+  override def send(records: Seq[Array[Byte]]): Seq[Int] = {
+    if (attempts.getAndIncrement() < failFirstNAttempts) records.indices
+    else { records.foreach(CollectingSender.received.add); Nil }
+  }
+}
+object CollectingSender {
+  val received = new ConcurrentLinkedQueue[Array[Byte]]()
+  def clear(): Unit = received.clear()
+  def payloads: Seq[String] = {
+    val it = received.iterator(); val b = Seq.newBuilder[String]
+    while (it.hasNext) b += new String(it.next(), StandardCharsets.UTF_8)
+    b.result()
+  }
+}
+
+object Sink {
+  val MaxEntriesPerRequest = 500 // KinesisProducer.java:25
+  val MaxBackoffMillis = 2000L // KinesisProducer.java:26
+  val MaxRetryCount = 100 // KinesisProducer.java:27
+
+  /** `min(2000, 2^attempt * 100)` ms — 200, 400, 800, 1600, 2000, 2000…
+    * (KinesisProducer.java:143-156). */
+  def backoffMs(attempt: Int): Long =
+    math.min(MaxBackoffMillis, (1L << attempt) * 100L)
+
+  /** Drain an iterator through the sender in ≤500-record batches with the
+    * reference's retry protocol. Returns (records sent, retries performed).
+    * Partial failures re-send only the failed subset, like
+    * KinesisProducer.java:187-195. */
+  def sendAll(records: Iterator[Array[Byte]], sender: RecordSender,
+      sleeper: Long => Unit = Thread.sleep): (Long, Long) = {
+    var sent = 0L
+    var retries = 0L
+    records.grouped(MaxEntriesPerRequest).foreach { batch =>
+      var pending: Seq[Array[Byte]] = batch
+      var attempt = 0
+      while (pending.nonEmpty) {
+        if (attempt > MaxRetryCount)
+          throw new IllegalStateException(
+            s"records failed to send after $MaxRetryCount retries") // KinesisProducer.java:140-142
+        if (attempt > 0) { sleeper(backoffMs(attempt)); retries += 1 }
+        val failed = sender.send(pending)
+        sent += pending.size - failed.size
+        pending = failed.map(pending)
+        attempt += 1
+      }
+    }
+    (sent, retries)
+  }
+}
+
+/** R9 — event-time pacing: sleep until an event's simulated ingestion time
+  * (RePlayer.java:135-140). Injectable clock/sleeper for fast tests. */
+object Pace {
+  /** Returns replay lag in ms (now − due; negative means we slept). */
+  def paceTo(ingestionMs: Long, nowMs: () => Long = () => System.currentTimeMillis(),
+      sleeper: Long => Unit = Thread.sleep): Long = {
+    val gap = nowMs() - ingestionMs
+    if (gap < 0) sleeper(-gap)
+    gap
+  }
+}
+
+/** R12 — running replay statistics (RePlayer.java:114-162): total/windowed
+  * counts, emitted every statisticsFrequencyMillis with rate + replay lag. */
+final class ReplayStats(frequencyMillis: Long, log: String => Unit) extends Serializable {
+  private val total = new AtomicLong(0)
+  private val window = new AtomicLong(0)
+  @volatile private var windowStart = System.currentTimeMillis()
+
+  def record(lagMs: Long, highWaterMs: Long): Unit = {
+    total.incrementAndGet()
+    window.incrementAndGet()
+    val now = System.currentTimeMillis()
+    if (now - windowStart >= frequencyMillis) {
+      val n = window.getAndSet(0)
+      val rate = math.round(1000.0 * n / frequencyMillis) // RePlayer.java:150
+      log(f"replayed ${total.get()} events (rate $rate/s, lag ${lagMs}ms, " +
+        f"high-water ${java.time.Instant.ofEpochMilli(highWaterMs)})")
+      windowStart = now
+    }
+  }
+  def totalCount: Long = total.get()
+}

@@ -1,0 +1,106 @@
+package graft.replay
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** End-to-end replay without AWS (SURVEY.md §5.2): a local JSON-lines
+  * fixture through the full pipeline into the collecting sender. Asserts
+  * ordering, payload byte-equality (incl. forced trailing '\n'),
+  * malformed-row drop, suffix skip, seek, and the pacing schedule. */
+/** JVM-static sleep recorder: Spark serializes task closures even in local
+  * mode, so a captured ArrayBuffer would be mutated on a copy. */
+object SleepRecorder {
+  private val q = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val record: Long => Unit = (ms: Long) => { q.add(ms); () }
+  def clear(): Unit = q.clear()
+  def all: Seq[Long] = {
+    val it = q.iterator(); val b = Seq.newBuilder[Long]
+    while (it.hasNext) b += it.next().longValue()
+    b.result()
+  }
+}
+
+class ReplayE2ESpec extends SparkSpec {
+
+  private def writeFixture(): String = {
+    val dir = Files.createTempDirectory("replay_fixture")
+    // deliberately out of order within a file + across files; one malformed
+    // row; one row missing the attribute; a README.md that must be skipped
+    Files.write(dir.resolve("part-b.jsonl"), Seq(
+      """{"id":4,"dropoff_datetime":"2024-01-01T00:03:00Z","fare":7.5}""",
+      """{"id":3,"dropoff_datetime":"2024-01-01T00:02:00Z"}""",
+      """not json at all""",
+      """{"id":6,"dropoff_datetime":"2024-01-01T00:05:00Z"}""").mkString("\n").getBytes(UTF_8))
+    Files.write(dir.resolve("part-a.jsonl"), Seq(
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""",
+      """{"id":0,"no_ts_here":true}""",
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":5,"dropoff_datetime":"2024-01-01T00:04:00Z"}""").mkString("\n").getBytes(UTF_8))
+    Files.write(dir.resolve("README.md"), "# must be skipped\n".getBytes(UTF_8))
+    dir.toString
+  }
+
+  private def ids(payloads: Seq[String]): Seq[Int] =
+    payloads.map(p => """"id":(\d+)""".r.findFirstMatchIn(p).get.group(1).toInt)
+
+  test("batch replay: order, byte-exact payloads, drops, skip, pacing") {
+    val dir = writeFixture()
+    val cfg = ReplayConfig(inputPath = dir, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    SleepRecorder.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => 0L, sleeper = SleepRecorder.record)
+
+    val payloads = CollectingSender.payloads
+    assert(sent == 6 && payloads.size == 6) // 8 lines - 2 malformed; README skipped
+    assert(ids(payloads) == Seq(1, 2, 3, 4, 5, 6)) // event-time order repaired
+    assert(payloads.forall(_.endsWith("\n"))) // JsonEvent.java:43-49 semantics
+    assert(payloads.head == """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""" + "\n")
+    // schedule: events 1 min apart at speedup 60000 → due at 0,1,2,3,4,5 ms
+    // from a start of 0; with now pinned at 0 the pacer sleeps exactly that
+    assert(SleepRecorder.all == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("seek filters exactly at the boundary (R7, exact not sampled)") {
+    val dir = writeFixture()
+    val cfg = ReplayConfig(inputPath = dir, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1,
+      seek = Some(java.time.Instant.parse("2024-01-01T00:02:00Z")))
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 4)
+    assert(ids(CollectingSender.payloads) == Seq(3, 4, 5, 6))
+  }
+
+  test("streaming replay with AvailableNow drains everything then stops (R14)") {
+    val dir = writeFixture()
+    val cfg = ReplayConfig(inputPath = dir + "/part-*.jsonl", speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val q = StreamingReplay.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    q.awaitTermination(60000)
+    val payloads = CollectingSender.payloads
+    assert(payloads.size == 6)
+    assert(payloads.forall(_.endsWith("\n")))
+  }
+
+  test("CLI parses the reference's option surface (R13)") {
+    val (cfg, dry) = ReplayCli.parseArgs(Array(
+      "-inputPath", "file:/data/x", "-speedup", "3600",
+      "-timestampAttributeName", "ts", "-seek", "2024-01-15T00:00:00Z",
+      "-statisticsFrequency", "5000", "-kinesisSenderThreads", "8",
+      "-streamArn", "arn:aws:kinesis:us-east-1:123456789012:stream/s1",
+      "-dryRun"))
+    assert(cfg.inputPath == "file:/data/x" && cfg.speedupFactor == 3600 &&
+      cfg.timestampAttributeName == "ts" &&
+      cfg.seek.contains(java.time.Instant.parse("2024-01-15T00:00:00Z")) &&
+      cfg.statisticsFrequencyMillis == 5000 && cfg.senderParallelism == 8 &&
+      cfg.streamArn.endsWith("stream/s1") && dry)
+    intercept[IllegalArgumentException](ReplayCli.parseArgs(Array("-streamArn", "bogus")))
+    intercept[IllegalArgumentException](ReplayCli.parseArgs(Array("-wat")))
+  }
+}
