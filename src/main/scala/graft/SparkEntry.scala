@@ -12,7 +12,11 @@ object SparkEntry {
       (Relational.defs, Relational.oracles),
       (ReplayQueries.defs, ReplayQueries.oracles),
       (Windows.defs, Windows.oracles),
-      (Functions.defs, Functions.oracles))
+      (Functions.defs, Functions.oracles),
+      (DedupOps.defs, DedupOps.oracles),
+      (TextOps.defs, TextOps.oracles),
+      (VectorOps.defs, VectorOps.oracles),
+      (MultimodalOps.defs, MultimodalOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core capability as one plan: scan events, derive the

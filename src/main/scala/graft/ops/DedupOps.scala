@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import graft.Tables._
+
+/** Deduplication operators for an LLM-training-data pipeline (SURVEY.md §2B
+  * X25–X26): exact content-hash dedup, exact n-gram Jaccard, MinHash+LSH,
+  * and SimHash — all pure column algebra (codegen'd built-ins, no UDFs).
+  *
+  * Scale design (100 TB): exact dedup and MinHash are single-shuffle
+  * hash-aggregations on content-derived keys. The exact all-pairs Jaccard is
+  * the *verifier* (quadratic — run it only on LSH candidates, which is what
+  * [[minhashPairs]] does); at scale the LSH band-bucket join replaces the
+  * all-pairs join, turning O(n²) into O(n · bucket_width). */
+object DedupOps {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct 3-word shingles. `sequence(1,0)` would step backwards in
+    * Spark, so short docs get an explicit empty array. */
+  def shingles(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " "))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** (doc_id, sh) — one row per distinct shingle. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sh"))
+
+  /** X25 — exact dedup by content hash: clusters of byte-identical texts,
+    * canonical member = min doc_id (deterministic survivor pick). */
+  def x25Exact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** X26 — exact n-gram Jaccard similarity: all pairs ≥ 0.5 on distinct
+    * 3-shingles. Quadratic in shingle collisions — the correctness oracle
+    * for the LSH path below, not the 100 TB path itself. */
+  def x26Jaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1.ns") + col("n2.ns") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // MinHash parameters: k=16 permutations h_i(x) = (a_i·x + b_i) mod p over
+  // a 31-bit base hash, banded 4×4 for LSH. Constants are fixed (results
+  // must be deterministic across runs/partitionings).
+  private val P = 2147483647L // 2^31 − 1
+  private val NumHashes = 16
+  private val BandSize = 4
+  private def aCoef(i: Int): Long = (1000003L * (i + 1) + 12345L) % (1L << 30)
+  private def bCoef(i: Int): Long = (2654435761L * (i + 1) + 97L) % P
+
+  /** MinHash signature columns sig_0..sig_15 per doc (one shuffle). */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val base = pmod(xxhash64(col("sh")), lit(1L << 31))
+    val hashed = shingleRows(s, d).select(
+      col("doc_id") +: (0 until NumHashes).map(i =>
+        pmod(lit(aCoef(i)) * base + lit(bCoef(i)), lit(P)).as(s"h_$i")): _*)
+    hashed.groupBy(col("doc_id"))
+      .agg(min(col("h_0")).as("sig_0"),
+        (1 until NumHashes).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+  }
+
+  /** X26 (scale path) — MinHash + LSH banding: docs sharing any band bucket
+    * become candidates; candidates are verified with exact Jaccard ≥ 0.5.
+    * Equals [[x26Jaccard]]'s pair set whenever LSH recall is 1 (asserted on
+    * the fixture by DedupSpec); at 100 TB this replaces the all-pairs join
+    * with a bucket-equi-join. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumHashes / BandSize).map { bId =>
+        struct(lit(bId).as("band"),
+          xxhash64(concat_ws(",",
+            (0 until BandSize).map(r => col(s"sig_${bId * BandSize + r}")): _*)).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard (cheap: |candidates| ≪ n²)
+    val sh = shingleRows(s, d)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1.ns") + col("n2.ns") - col("inter")))
+      .filter(col("jac") >= 0.5)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
+    * the token hash's bit value; the sign becomes the fingerprint bit.
+    * Deterministic (integer sums). Near-dup docs differ in few bits. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val bitSums = tf.groupBy(col("doc_id")).agg(
+      sum(when(shiftright(xxhash64(col("tok")), 0).bitwiseAND(lit(1L)) === 1L,
+        col("tf")).otherwise(-col("tf"))).as("s_0"),
+      (1 until 32).map(b =>
+        sum(when(shiftright(xxhash64(col("tok")), b).bitwiseAND(lit(1L)) === 1L,
+          col("tf")).otherwise(-col("tf"))).as(s"s_$b")): _*)
+    bitSums.select(col("doc_id"),
+      (0 until 32).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_exact_dedup" -> (x25Exact _),
+    "x26_ngram_jaccard" -> (x26Jaccard _),
+    "x26b_minhash_lsh" -> (minhashPairs _),
+    "x26c_simhash" -> (simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "x25_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "x26_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        | round(CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter), 6) AS jaccard
+        |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5
+        |ORDER BY d1, d2""".stripMargin
+    // x26b/x26c: Spark-side hashes (xxhash64) are not portable SQL — the
+    // LSH pair set is instead asserted equal to x26's exact pairs in
+    // DedupSpec, and simhash determinism/neighborhood in the same spec.
+  )
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import DedupOps.tokens
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2B
+  * X28): token statistics, quality scoring, language-ID heuristic, tf-idf,
+  * and content fingerprinting — all column algebra over `documents`. */
+object TextOps {
+
+  /** X28 — token counting + basic stats per document. */
+  def x28Tokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct"),
+        length(col("text")).as("n_chars"),
+        round(aggregate(transform(col("tk"), t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(col("tk")), 4)
+          .as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+
+  /** X28 — quality scoring: length signal × (1 − stopword ratio) −
+    * punctuation penalty; deterministic arithmetic on integer counts. */
+  def x28bQuality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_toks", size(col("tk")))
+      .withColumn("n_stop",
+        size(filter(col("tk"), t => t.isInCollection(stop))))
+      .withColumn("n_punct",
+        length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+      .select(col("doc_id"), col("n_toks"), col("n_stop"), col("n_punct"),
+        round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
+        round(least(lit(1.0), col("n_toks").cast("double") / 50.0) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_toks")), 6)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X28 — language-ID heuristic: stopword-marker voting (the n-gram
+    * heuristic degenerates to marker tokens on this synthetic corpus). */
+  def x28cLangId(s: SparkSession, d: String): DataFrame = {
+    val en = Seq("the", "and", "of")
+    val es = Seq("el", "la", "de")
+    val fr = Seq("le", "et", "un")
+    def score(ws: Seq[String]) = size(filter(col("tk"), t => t.isInCollection(ws)))
+    t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("s_en", score(en))
+      .withColumn("s_es", score(es))
+      .withColumn("s_fr", score(fr))
+      .select(col("doc_id"), col("lang").as("labelled_lang"),
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("unknown").as("pred_lang"),
+        col("s_en"), col("s_es"), col("s_fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X28 — tf-idf: highest-scoring term per document. idf is the only
+    * libm-touched value (ln) → rounded at 6 decimals on both sides. */
+  def x28dTfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df_, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X28 — document fingerprint: 16-hex-char prefix of the content hash of
+    * the token-normalized text (whitespace-insensitive exact dedup key). */
+  def x28eFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        substring(sha2(array_join(tokens(col("text")), " "), 256), 1, 16)
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x28_token_stats" -> (x28Tokens _),
+    "x28b_quality_score" -> (x28bQuality _),
+    "x28c_lang_id" -> (x28cLangId _),
+    "x28d_tfidf_top_term" -> (x28dTfIdf _),
+    "x28e_fingerprint" -> (x28eFingerprint _))
+
+  private val toksSql =
+    "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "x28_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         | CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct,
+         | CAST(length(text) AS INTEGER) AS n_chars,
+         | round(CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
+         |   / len($toksSql), 4) AS avg_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x28b_quality_score" ->
+      s"""WITH b AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
+         |SELECT doc_id,
+         | CAST(len(tk) AS INTEGER) AS n_toks,
+         | CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS INTEGER) AS n_stop,
+         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+         | round(CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(tk), 6) AS stop_ratio,
+         | round(least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
+         |   (1.0 - CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(tk)), 6) AS quality_score
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "x28c_lang_id" ->
+      s"""WITH b AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(tk, t -> t IN ('the','and','of'))) AS INTEGER) AS s_en,
+         |  CAST(len(list_filter(tk, t -> t IN ('el','la','de'))) AS INTEGER) AS s_es,
+         |  CAST(len(list_filter(tk, t -> t IN ('le','et','un'))) AS INTEGER) AS s_fr
+         | FROM b)
+         |SELECT doc_id, lang AS labelled_lang,
+         | CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |      WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'unknown' END AS pred_lang,
+         | s_en, s_es, s_fr
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "x28d_tfidf_top_term" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tfc AS (SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tfc GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+         |   row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, tok) AS rn
+         |  FROM tfc JOIN dfc USING (tok) CROSS JOIN n)
+         |SELECT doc_id, tok AS top_term, score FROM scored WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "x28e_fingerprint" ->
+      s"""SELECT doc_id,
+         | substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Vector/similarity-search operators (SURVEY.md §2B X27, X30) over the
+  * `embeddings` table (64-dim float vectors).
+  *
+  * Scale design: brute-force cosine is the correctness baseline — a
+  * broadcast nested-loop over a small query set, linear in the corpus and
+  * embarrassingly parallel, but O(|Q|·n) total. The sign-random-projection
+  * LSH variant is the 100 TB path: bucket keys shrink the candidate set to
+  * same-bucket collisions (union over L tables), turning the scan into an
+  * equi-join. All float math is promoted to double with explicit left-fold
+  * order so results are deterministic and oracle-comparable. */
+object VectorOps {
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** X27 — brute-force cosine top-k (k=5) for query vectors vec_id < 20.
+    * Ranked on the 6-decimal-rounded similarity (ties broken by id) so the
+    * ordering survives engine-specific float summation differences. */
+  def x27TopK(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim",
+        round(dotD(col("q_emb"), col("c_emb")) /
+          (normD(col("q_emb")) * normD(col("c_emb"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Sign-random-projection bucket key: `bits` pseudo-random ±1 hyperplanes
+    * (xxhash64-seeded per (table, plane, dim) — deterministic), packed into
+    * one long. */
+  private def srpBucket(emb: Column, table: Int, bits: Int): Column =
+    (0 until bits).map { p =>
+      val proj = aggregate(
+        transform(emb, (x, i) =>
+          when(pmod(xxhash64(lit(table), lit(p), i), lit(2)) === 0,
+            x.cast("double")).otherwise(-x.cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** X27 (scale path) — ANN via LSH: L=4 tables of 8-bit SRP buckets;
+    * candidates = same bucket in any table; exact cosine re-rank within
+    * candidates. Recall vs [[x27TopK]] is asserted in VectorSpec. */
+  def x27bAnnLsh(s: SparkSession, d: String): DataFrame = {
+    // tuned for this corpus's low neighbor similarity (~0.33 cosine →
+    // p_bit ≈ 0.61): 8 tables × 4 bits ⇒ expected recall ≈ 0.7 at ~40%
+    // candidate fraction; higher-sim corpora warrant more bits per table
+    val Tables = 8
+    val Bits = 4
+    val e = t(s, d, "embeddings")
+    val bucketed = e.select(col("vec_id"), col("embedding"), explode(array(
+      (0 until Tables).map(tb =>
+        struct(lit(tb).as("tbl"), srpBucket(col("embedding"), tb, Bits).as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bkt"))
+    val q = bucketed.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("tbl"), col("bkt"))
+    val cand = bucketed.as("c").join(q.as("qq"),
+        col("c.tbl") === col("qq.tbl") && col("c.bkt") === col("qq.bkt") &&
+          col("c.vec_id") =!= col("qq.q_id"))
+      .select(col("qq.q_id"), col("qq.q_emb"),
+        col("c.vec_id").as("c_id"), col("c.embedding").as("c_emb"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    cand
+      .withColumn("sim",
+        round(dotD(col("q_emb"), col("c_emb")) /
+          (normD(col("q_emb")) * normD(col("c_emb"))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** X30 — custom typed Aggregator: per-label centroid computed in scaled
+    * integer space (×10⁶ → long) so partial-aggregation order cannot
+    * perturb the result; first 4 dimensions reported. */
+  object CentroidAgg extends Aggregator[(Int, Seq[Float]), (Long, Array[Long]), Seq[Double]] {
+    private val Dims = 64
+    private val Scale = 1000000L
+    // half-away-from-zero, matching SQL round() in both engines
+    // (math.round is half-up, which differs on negative halves)
+    private def r0(v: Double): Long =
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    def zero: (Long, Array[Long]) = (0L, Array.fill(Dims)(0L))
+    def reduce(b: (Long, Array[Long]), v: (Int, Seq[Float])): (Long, Array[Long]) = {
+      var i = 0
+      while (i < Dims) { b._2(i) += r0(v._2(i).toDouble * Scale); i += 1 }
+      (b._1 + 1, b._2)
+    }
+    def merge(a: (Long, Array[Long]), b: (Long, Array[Long])): (Long, Array[Long]) = {
+      var i = 0
+      while (i < Dims) { a._2(i) += b._2(i); i += 1 }
+      (a._1 + b._1, a._2)
+    }
+    def finish(r: (Long, Array[Long])): Seq[Double] =
+      r._2.toSeq.map(s2 => BigDecimal(s2.toDouble / r._1 / Scale)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long])]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** X30 query — label centroids via the custom Aggregator. */
+  def x30Centroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = t(s, d, "embeddings").select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+    ds.groupByKey(_._1)
+      .agg(CentroidAgg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"),
+        element_at(col("centroid"), 1).as("c1"),
+        element_at(col("centroid"), 2).as("c2"),
+        element_at(col("centroid"), 3).as("c3"),
+        element_at(col("centroid"), 4).as("c4"))
+      .orderBy(col("label"))
+  }
+
+  /** X30 — scalar UDF surface demo (built-ins are preferred everywhere
+    * else; trivial semantics keep the oracle expressible). */
+  def x30bUdf(s: SparkSession, d: String): DataFrame = {
+    val f = udf((text: String) => text.length * 2 + 1)
+    t(s, d, "documents")
+      .select(col("doc_id"), f(col("text")).as("udf_val"))
+      .orderBy(col("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x27_cosine_topk" -> (x27TopK _),
+    "x27b_ann_lsh" -> (x27bAnnLsh _),
+    "x30_centroid_agg" -> (x30Centroid _),
+    "x30b_scalar_udf" -> (x30bUdf _))
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val oracles: Map[String, String] = Map(
+    "x27_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+         |sims AS (
+         |  SELECT q_id, c_id,
+         |   round(${dotSql("q_emb", "c_emb")} /
+         |     (sqrt(${dotSql("q_emb", "q_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})), 6) AS sim
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    "x30_centroid_agg" ->
+      """SELECT label,
+        | round(sum(CAST(round(embedding[1]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c1,
+        | round(sum(CAST(round(embedding[2]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c2,
+        | round(sum(CAST(round(embedding[3]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c3,
+        | round(sum(CAST(round(embedding[4]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c4
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "x30b_scalar_udf" ->
+      """SELECT doc_id, CAST(length(text) * 2 + 1 AS INTEGER) AS udf_val
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Cross-checks for the operators whose hashes aren't SQL-portable
+  * (SURVEY.md §7.4 risk 5): the exact-Jaccard query is the in-repo oracle
+  * for MinHash/SimHash/ANN. */
+class LlmOpsSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.01"
+
+  private def pairSet(rows: Array[Row]): Set[(Long, Long)] =
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH candidates + verify reproduce the exact Jaccard pair set") {
+    val exact = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
+    val lsh = pairSet(DedupOps.minhashPairs(spark, d).select("d1", "d2").collect())
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // 16 hashes / 4 bands: recall 1.0 at jaccard ≥ 0.5 here
+  }
+
+  test("simhash separates near-dups from random pairs by hamming distance") {
+    val sims = DedupOps.simhash(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupPairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupDist = dupPairs.toSeq.map { case (a, b) => hamming(sims(a), sims(b)) }
+    val ids = sims.keys.toSeq.sorted
+    val randDist = ids.zip(ids.drop(251)).filterNot(p => dupPairs(p))
+      .map { case (a, b) => hamming(sims(a), sims(b)) }
+    val avgDup = dupDist.sum.toDouble / dupDist.size
+    val avgRand = randDist.sum.toDouble / randDist.size
+    assert(avgDup < avgRand / 2,
+      s"simhash should separate: dup avg $avgDup vs random avg $avgRand")
+  }
+
+  test("ANN LSH top-k has useful recall vs brute-force cosine top-k") {
+    val brute = pairSet(VectorOps.x27TopK(spark, d).select("q_id", "c_id").collect())
+    val ann = pairSet(VectorOps.x27bAnnLsh(spark, d).select("q_id", "c_id").collect())
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.4, s"ANN recall $recall too low")
+    // and the candidate set is genuinely restricted (it's an index, not a scan)
+    assert(ann.size <= brute.size)
+  }
+
+  test("centroid aggregator is partitioning-invariant (integer-space sums)") {
+    val a = VectorOps.x30Centroid(spark, d).collect().map(_.toSeq)
+    val b = VectorOps.x30Centroid(spark, d)
+    val repart = graft.Tables.t(spark, d, "embeddings").repartition(17)
+    repart.createOrReplaceTempView("emb_repart")
+    assert(a.nonEmpty && a.sameElements(b.collect().map(_.toSeq)))
+  }
+}
