@@ -41,19 +41,29 @@ object DedupOps {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
 
-  /** X26 — exact n-gram Jaccard similarity: all pairs ≥ 0.5 on distinct
-    * 3-shingles. Quadratic in shingle collisions — the correctness oracle
-    * for the LSH path below, not the 100 TB path itself. */
-  def x26Jaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+  /** Co-occurring doc pairs per 64-bit key: narrow (doc_id, key) rows
+    * self-joined on the long key — the shuffle carries 16 bytes/row
+    * instead of shingle strings. Counting shared keys per ordered pair. */
+  private def coocPairs(rows: DataFrame, key: String): DataFrame =
+    rows.as("a").join(rows.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
-      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+
+  /** X26 — exact n-gram Jaccard similarity: all pairs ≥ 0.5 on distinct
+    * 3-shingles. The shingle scan is persisted and reused by both join
+    * sides and the per-doc counts (it is otherwise recomputed 3×), and the
+    * join key is xxhash64(shingle) — an 8-byte shuffle key; a cross-shingle
+    * hash collision (p ≈ n²/2⁶⁴ ≈ 10⁻¹² here) would perturb one count.
+    * The correctness oracle for the LSH path below. */
+  def x26Jaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .persist()
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    coocPairs(sh, "shh")
+      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
+      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
         (col("n1.ns") + col("n2.ns") - col("inter")))
       .filter(col("jac") >= 0.5)
@@ -70,10 +80,11 @@ object DedupOps {
   private def aCoef(i: Int): Long = (1000003L * (i + 1) + 12345L) % (1L << 30)
   private def bCoef(i: Int): Long = (2654435761L * (i + 1) + 97L) % P
 
-  /** MinHash signature columns sig_0..sig_15 per doc (one shuffle). */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val base = pmod(xxhash64(col("sh")), lit(1L << 31))
-    val hashed = shingleRows(s, d).select(
+  /** MinHash signature columns sig_0..sig_15 per doc (one shuffle), from a
+    * pre-hashed (doc_id, shh) shingle relation. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val base = pmod(col("shh"), lit(1L << 31))
+    val hashed = sh.select(
       col("doc_id") +: (0 until NumHashes).map(i =>
         pmod(lit(aCoef(i)) * base + lit(bCoef(i)), lit(P)).as(s"h_$i")): _*)
     hashed.groupBy(col("doc_id"))
@@ -87,7 +98,10 @@ object DedupOps {
     * the fixture by DedupSpec); at 100 TB this replaces the all-pairs join
     * with a bucket-equi-join. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
+    val sh = shingleRows(s, d)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .persist()
+    val sig = signatures(sh)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>
         struct(lit(bId).as("band"),
@@ -95,21 +109,20 @@ object DedupOps {
             (0 until BandSize).map(r => col(s"sig_${bId * BandSize + r}")): _*)).as("bkey"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    val cand = bands
+      .withColumn("bandkey", xxhash64(col("band"), col("bkey")))
+      .select(col("doc_id"), col("bandkey"))
+      .transform(coocPairs(_, "bandkey"))
+      .select(col("d1"), col("d2"))
     // verify candidates with exact Jaccard (cheap: |candidates| ≪ n²)
-    val sh = shingleRows(s, d)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    cand
+    broadcast(cand)
       .join(sh.as("a"), col("d1") === col("a.doc_id"))
-      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.shh") === col("b.shh"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
-      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
+      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
         (col("n1.ns") + col("n2.ns") - col("inter")))
       .filter(col("jac") >= 0.5)

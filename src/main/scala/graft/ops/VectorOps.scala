@@ -23,6 +23,12 @@ object VectorOps {
 
   private def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — bit-equal
+    * to round(dotD/(normD·normD)) by identical fold order (VectorExprSpec),
+    * but a single fused primitive loop inside WholeStageCodegen. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
+
   /** X27 — brute-force cosine top-k (k=5) for query vectors vec_id < 20.
     * Ranked on the 6-decimal-rounded similarity (ties broken by id) so the
     * ordering survives engine-specific float summation differences. */
@@ -34,9 +40,7 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim",
-        round(dotD(col("q_emb"), col("c_emb")) /
-          (normD(col("q_emb")) * normD(col("c_emb"))), 6))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
@@ -81,9 +85,7 @@ object VectorOps {
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cand
-      .withColumn("sim",
-        round(dotD(col("q_emb"), col("c_emb")) /
-          (normD(col("q_emb")) * normD(col("c_emb"))), 6))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))

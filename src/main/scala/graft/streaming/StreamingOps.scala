@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operator surface (SURVEY.md §2B X21–X24): the live
+  * twins of the batch queries q21/q22/q23 — watermarked tumbling/sliding
+  * windows, session windows, watermark-bounded dedup, and arbitrary
+  * stateful processing. The reference's reorder buffer + monitoring loop
+  * (R8/R12) map onto exactly these primitives.
+  *
+  * Scale notes: all state here is keyed (window×type, user) — the state
+  * store shards by key across executors; watermarks bound state size the
+  * way the reference's 100k-event buffer bounds its heap
+  * (JsonEventBufferedReader.java:39-47). */
+object StreamingOps {
+
+  /** FileStreamSource requires a directory; the fixture table is a single
+    * parquet file → expose it through a symlinked temp dir. */
+  private def asStreamDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile) path
+    else {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve(f.getName), f.toPath)
+      tmp.toString
+    }
+  }
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet — same nanosAsLong + µs
+    * truncation as the batch loader (graft.Tables.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .parquet(asStreamDir(s"$dir/events.parquet"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** X21 — watermarked tumbling-window aggregation (15 min windows,
+    * 30 min disorder tolerance). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+
+  /** X22 — native session windows (30 min inactivity gap). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"))
+
+  /** X23 — streaming dedup with bounded state: first event per
+    * (user_id, event_type) inside the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** X24 — arbitrary stateful processing: per-user running event count +
+    * high-water mark via mapGroupsWithState (the general escape hatch the
+    * declarative ops above make mostly unnecessary). */
+  final case class UserAgg(user_id: Long, n_events: Long, high_water_ms: Long)
+  def runningUserState(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, Long.MinValue))
+          var n = prev.n_events
+          var hw = prev.high_water_ms
+          rows.foreach { case (_, ms) => n += 1; if (ms > hw) hw = ms }
+          val next = UserAgg(user, n, hw)
+          state.update(next)
+          next
+      }
+  }
+}

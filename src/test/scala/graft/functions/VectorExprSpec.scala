@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class VectorExprSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def dotD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  test("native CosineSimilarity is bit-equal to the composed built-in form") {
+    val e = Tables.t(spark, d, "embeddings").limit(200)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(5000)
+    val both = pairs.select(
+      VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("native"),
+      (dotD(col("a.embedding"), col("b.embedding")) /
+        (sqrt(dotD(col("a.embedding"), col("a.embedding"))) *
+          sqrt(dotD(col("b.embedding"), col("b.embedding"))))).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("expression works via SQL registration and survives codegen") {
+    VectorFunctions.register(spark)
+    Tables.t(spark, d, "embeddings").limit(10).createOrReplaceTempView("emb_t")
+    val rows = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS s
+        |FROM emb_t a JOIN emb_t b ON a.vec_id <> b.vec_id""".stripMargin).collect()
+    assert(rows.length == 90 && rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+  }
+
+  test("null and zero-vector inputs yield null, not NaN") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS z,
+        |       cosine_sim(CAST(NULL AS ARRAY<FLOAT>), CAST(array(1.0) AS ARRAY<FLOAT>)) AS n""".stripMargin)
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

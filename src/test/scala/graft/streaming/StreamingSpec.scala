@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Streaming ops driven to completion with the memory sink and compared
+  * against their batch twins on the same data (SURVEY.md §5.2 e2e
+  * strategy: a batch of parquet drives the streaming query synchronously). */
+class StreamingSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def batchEvents = Tables.events(spark, dir)
+
+  test("watermarked tumbling window agg equals the batch aggregation") {
+    val q = StreamingOps.windowedCounts(StreamingOps.eventsStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .orderBy("window_start_ms", "event_type").collect()
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_ms", "event_type").collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("session windows produce bounded sessions per user") {
+    val q = StreamingOps.sessionCounts(StreamingOps.eventsStream(spark, dir))
+      .writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_out").collect()
+    assert(sessions.nonEmpty)
+    // total events across sessions == total events
+    assert(sessions.map(_.getLong(2)).sum == batchEvents.count())
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one event per key") {
+    val q = StreamingOps.dedupWithinWatermark(StreamingOps.eventsStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinctKeys = batchEvents.select("user_id", "event_type").distinct().count()
+    assert(n == distinctKeys)
+  }
+
+  test("mapGroupsWithState running per-user counts match batch groupBy") {
+    val q = StreamingOps.runningUserState(spark, StreamingOps.eventsStream(spark, dir))
+      .writeStream.outputMode("update").format("memory").queryName("state_out").start()
+    q.processAllAvailable(); q.stop()
+    // last update per user wins
+    val fin = spark.table("state_out")
+      .groupBy("user_id").agg(max("n_events").as("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fin.sameElements(batch))
+  }
+}
