@@ -78,6 +78,32 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** X4 — full outer join: per-nation customer vs supplier account
+    * balances; nations may lack suppliers (and vice versa on filtered
+    * subsets), so both null sides occur. */
+  def q04bFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_acctbal") > 9000.0)
+      .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_rich_cust"))
+    val su = t(s, d, "supplier").filter(col("s_acctbal") > 5000.0)
+      .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_rich_supp"))
+    c.join(su, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+        coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+      .orderBy(col("nk"))
+  }
+
+  /** X4 — right outer join: all orders kept, customer attrs where present
+    * (right side is the preserved side). */
+  def q04cRightOuter(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders").filter(col("o_totalprice") > 350000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "right_outer")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_name"), lit("<none>")).as("c_name"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** X5 — left-semi join (EXISTS): customers having any urgent order. */
   def q05(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -123,6 +149,8 @@ object Relational {
     "q02_filter_project" -> (q02 _),
     "q03_join_revenue" -> (q03 _),
     "q04_outer_join" -> (q04 _),
+    "q04b_full_outer" -> (q04bFullOuter _),
+    "q04c_right_outer" -> (q04cRightOuter _),
     "q05_semi_join" -> (q05 _),
     "q06_anti_join" -> (q06 _),
     "q07_theta_join" -> (q07 _),
@@ -163,6 +191,22 @@ object Relational {
         |  SELECT * FROM orders WHERE o_totalprice > 100000.0
         |) ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q04b_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk,
+        | coalesce(n_rich_cust, 0) AS n_rich_cust,
+        | coalesce(n_rich_supp, 0) AS n_rich_supp
+        |FROM (SELECT c_nationkey AS nk, count(*) AS n_rich_cust
+        |      FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_rich_supp
+        |      FROM supplier WHERE s_acctbal > 5000.0 GROUP BY 1) s
+        |  ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+    "q04c_right_outer" ->
+      """SELECT o_orderkey, o_custkey, coalesce(c_name, '<none>') AS c_name
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 350000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q05_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -48,9 +48,10 @@ object Sink {
   val MaxRetryCount = 100 // KinesisProducer.java:27
 
   /** `min(2000, 2^attempt * 100)` ms — 200, 400, 800, 1600, 2000, 2000…
-    * (KinesisProducer.java:143-156). */
+    * (KinesisProducer.java:143-156). The shift is clamped first: beyond
+    * attempt 5 the cap has already won, and 1L << 57+ would overflow. */
   def backoffMs(attempt: Int): Long =
-    math.min(MaxBackoffMillis, (1L << attempt) * 100L)
+    math.min(MaxBackoffMillis, (1L << math.min(attempt, 5)) * 100L)
 
   /** Drain an iterator through the sender in ≤500-record batches with the
     * reference's retry protocol. Returns (records sent, retries performed).
