@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram shingle hasher (SURVEY.md §2B X26 hot path).
+  *
+  * Semantics are exactly the composed pipeline
+  * `array_distinct(transform(...array_join(slice(filter(split(lower(text)," "),...)...)))`
+  * followed by `xxhash64(shingle)` — lowercase via UTF8String (same
+  * collation-free lowering as the `lower` function), tokens split on a
+  * single space with empties dropped, `n`-token shingles joined by one
+  * space, hashed with Spark's XXH64 at the default seed 42, distinct.
+  * One pass, no intermediate arrays or interpreted lambdas — the composed
+  * form evaluated 7 higher-order functions per row and dominated the
+  * dedup benchmarks.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
+    val parts = lowered.split(' ')
+    val toks = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) toks.add(parts(i))
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  /** Distinct xxhash64 values of the `n`-token shingles of `text`. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+}

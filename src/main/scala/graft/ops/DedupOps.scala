@@ -28,10 +28,19 @@ object DedupOps {
         i => array_join(slice(toks, i, lit(3)), " "))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** (doc_id, sh) — one row per distinct shingle. */
+  /** (doc_id, sh) — one row per distinct shingle (composed-builtin form,
+    * kept as the semantic reference for [[shingleHashRows]]). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sh"))
+
+  /** (doc_id, shh) — one row per distinct shingle xxhash64, via the native
+    * single-pass expression (graft.functions.ShingleHashes); hash-identical
+    * to `xxhash64(sh)` over [[shingleRows]] (asserted in DedupSpec). */
+  private def shingleHashRows(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col("text"), 3)).as("shh"))
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick). */
@@ -57,9 +66,7 @@ object DedupOps {
     * hash collision (p ≈ n²/2⁶⁴ ≈ 10⁻¹² here) would perturb one count.
     * The correctness oracle for the LSH path below. */
   def x26Jaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      .persist()
+    val sh = shingleHashRows(s, d).persist()
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     coocPairs(sh, "shh")
       .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
@@ -98,9 +105,7 @@ object DedupOps {
     * the fixture by DedupSpec); at 100 TB this replaces the all-pairs join
     * with a bucket-equi-join. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      .persist()
+    val sh = shingleHashRows(s, d).persist()
     val sig = signatures(sh)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>

@@ -68,7 +68,10 @@ object TextOps {
     * libm-touched value (ln) → rounded at 6 decimals on both sides. */
   def x28dTfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // explode-then-WHERE keeps the empty-token filter inside codegen
+    // (an array filter() lambda is interpreted per element)
+    val tf = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))

@@ -70,10 +70,11 @@ object VectorOps {
     val Tables = 8
     val Bits = 4
     val e = t(s, d, "embeddings")
-    val bucketed = e.select(col("vec_id"), col("embedding"), explode(array(
-      (0 until Tables).map(tb =>
-        struct(lit(tb).as("tbl"), srpBucket(col("embedding"), tb, Bits).as("bkt"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.tbl"), col("tb.bkt"))
+    // native one-pass bucketer (bit-equal to srpBucket, see SrpExprSpec)
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+        posexplode(graft.functions.SrpFunctions.srp_buckets(col("embedding"), Tables, Bits)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bkt")
     val q = bucketed.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("tbl"), col("bkt"))
