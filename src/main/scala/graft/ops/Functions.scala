@@ -31,6 +31,55 @@ object Functions {
         approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
       .orderBy(col("event_type"))
 
+  /** X3/X8 — large-⋈-large equi-join (lineitem ⋈ orders). At 100 TB both
+    * sides exceed the broadcast threshold → shuffled sort-merge join (plan
+    * verified with autoBroadcastJoinThreshold=-1); at test SF orders fits
+    * under 10 MB and Catalyst rightly broadcasts it instead — the
+    * size-adaptive pick is the point, not a fixed strategy. */
+  def q03bLargeJoin(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** X8 — exact percentiles (median, p90) on integer cents: sort-based
+    * exact percentile with linear interpolation; interpolation happens on
+    * exact integers so both engines agree (rounded at 4). */
+  def q08bPercentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5)") / 100.0, 4)
+          .as("median_price"),
+        round(expr("percentile(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)") / 100.0, 4)
+          .as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** X8 — correlation from exact integer accumulators: Spark's streaming
+    * corr() is float-order-dependent, so the five sums are taken as exact
+    * longs (at 100 TB: decimal(38) sums, same algebra) and the closed-form
+    * correlation is evaluated once on identical operands in both engines. */
+  def q08cCorrExact(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity").cast("long") // integral by construction
+    val y = round(col("l_extendedprice") / 1000.0, 0).cast("long") // kilodollars
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr_qty_price"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** X15 — set operations with DISTINCT semantics: symmetric difference of
     * urgent-order customers vs big-order customers. */
   def q15SetOps(s: SparkSession, d: String): DataFrame = {
@@ -132,7 +181,10 @@ object Functions {
       .orderBy(col("event_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q03b_large_join" -> (q03bLargeJoin _),
     "q08_distinct_agg" -> (q08Distinct _),
+    "q08b_percentiles" -> (q08bPercentiles _),
+    "q08c_corr_exact" -> (q08cCorrExact _),
     "q09_approx_distinct" -> (q09Approx _),
     "q15_setops" -> (q15SetOps _),
     "q15b_setops_all" -> (q15bSetOpsAll _),
@@ -143,6 +195,32 @@ object Functions {
     "q20_json_fns" -> (q20Json _))
 
   val oracles: Map[String, String] = Map(
+    "q03b_large_join" ->
+      """SELECT o_orderpriority,
+        | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q08b_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5)/100.0, 4) AS median_price,
+        | round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)/100.0, 4) AS p90_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q08c_corr_exact" ->
+      """WITH s AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |  sum(CAST(round(l_extendedprice/1000.0, 0) AS BIGINT)) AS sy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice/1000.0, 0) AS BIGINT)) AS sxy,
+        |  sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |  sum(CAST(round(l_extendedprice/1000.0, 0) AS BIGINT) * CAST(round(l_extendedprice/1000.0, 0) AS BIGINT)) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qty_price,
+        | n
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q08_distinct_agg" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_partkey) AS n_parts,
