@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.{CosineSimilarity, ShingleHashes, SrpBuckets}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions as SQL functions, so any session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) can use them from plain SQL:
+  *
+  * {{{
+  *   SELECT cosine_sim(a.embedding, b.embedding)        -- fused cosine
+  *   SELECT shingle_hashes(text, 3)                      -- n-gram xxhash64s
+  *   SELECT srp_buckets(embedding, 8, 4)                 -- LSH bucket keys
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleHashes(exprs(0), intLit(exprs(1), "shingle size"))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("srp_buckets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SrpBuckets].getName, "srp_buckets"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SrpBuckets(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "bits"))))
+  }
+}

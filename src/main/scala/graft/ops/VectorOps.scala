@@ -93,6 +93,19 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X26 — embedding-cosine near-dup pairs (the vector-space twin of the
+    * n-gram Jaccard dedup): all pairs at cosine ≥ 0.4. Exact quadratic
+    * baseline — the SRP-LSH bucketing in [[x27bAnnLsh]] is the 100 TB
+    * shape for the same predicate. */
+  def x26dEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= 0.4)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
   /** X30 — custom typed Aggregator: per-label centroid computed in scaled
     * integer space (×10⁶ → long) so partial-aggregation order cannot
     * perturb the result; first 4 dimensions reported. */
@@ -149,6 +162,7 @@ object VectorOps {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x27_cosine_topk" -> (x27TopK _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x30_centroid_agg" -> (x30Centroid _),
@@ -158,6 +172,14 @@ object VectorOps {
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    "x26d_embedding_neardup" ->
+      s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
+         | round(${dotSql("a.embedding", "b.embedding")} /
+         |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round(${dotSql("a.embedding", "b.embedding")} /
+         |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.4
+         |ORDER BY v1, v2""".stripMargin,
     "x27_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),

@@ -68,6 +68,31 @@ object StreamingOps {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-static join: enrich the live stream against a batch dimension
+    * (here: per-user historical aggregates). The static side re-plans per
+    * micro-batch; with a small dimension Catalyst broadcasts it. */
+  def enrichAgainstStatic(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left_outer")
+
+  /** Stream-stream interval join: each purchase joined to signups of the
+    * same user within the preceding hour — watermarks on both sides bound
+    * the join state (the streaming analog of the as-of/interval join X7). */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "30 minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+  }
+
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the
     * declarative ops above make mostly unnecessary). */

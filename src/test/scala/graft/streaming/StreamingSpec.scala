@@ -46,6 +46,40 @@ class StreamingSpec extends SparkSpec {
     assert(n == distinctKeys)
   }
 
+  test("stream-static join enriches against a broadcast batch dimension") {
+    val dim = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("hist_n"))
+    val q = StreamingOps.enrichAgainstStatic(
+        StreamingOps.eventsStream(spark, dir), dim)
+      .select("event_id", "user_id", "hist_n")
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out")
+    assert(out.count() == batchEvents.count())
+    assert(out.filter(col("hist_n").isNull).count() == 0)
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val q = StreamingOps.purchaseSignupJoin(StreamingOps.eventsStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_out")
+      .orderBy("purchase_id", "signup_id").collect()
+    val ev = batchEvents
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+    val batch = p.join(sgn,
+        col("user_id") === col("s_user_id") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+      .orderBy("purchase_id", "signup_id").collect()
+    assert(batch.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("mapGroupsWithState running per-user counts match batch groupBy") {
     val q = StreamingOps.runningUserState(spark, StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("update").format("memory").queryName("state_out").start()
