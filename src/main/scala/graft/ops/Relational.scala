@@ -135,6 +135,24 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Skew-resistant two-phase (salted) aggregation: phase 1 aggregates on
+    * (key, salt) spreading a hot key over 16 reducers, phase 2 merges the
+    * partials. Result-identical to the direct groupBy (integer sums are
+    * associative) — the oracle is the plain aggregation. At 100 TB this is
+    * the pattern for heavy-hitter keys; AQE's skew handling covers joins,
+    * but aggregation salting is explicit. */
+  def q25SaltedAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = t(s, d, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(cents(col("l_extendedprice"))).as("part_cents"),
+        count(lit(1)).as("part_n"))
+    salted.groupBy(col("l_returnflag"))
+      .agg((sum(col("part_cents")) / 100.0).as("revenue"),
+        sum(col("part_n")).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** X14 — sort + limit top-k; plans as TakeOrderedAndProject (per-partition
     * heap + driver merge), never a full global sort. Tie-broken on the
     * unique key for determinism. */
@@ -154,7 +172,8 @@ object Relational {
     "q05_semi_join" -> (q05 _),
     "q06_anti_join" -> (q06 _),
     "q07_theta_join" -> (q07 _),
-    "q10_topk" -> (q10 _))
+    "q10_topk" -> (q10 _),
+    "q25_salted_agg" -> (q25SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -224,5 +243,10 @@ object Relational {
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "q10_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q25_salted_agg" ->
+      """SELECT l_returnflag,
+        | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
