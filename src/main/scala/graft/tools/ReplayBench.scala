@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.replay._
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Throughput benchmark for the replay pipeline itself (the reference's
+  * own workload): N JSON-lines events through scan→parse→order→schedule→
+  * batched sink with pacing effectively disabled (max speedup), counting
+  * records at the sender. The reference's envelope is one Jackson-parse
+  * thread feeding 4 senders (SURVEY.md §6); this path distributes parse
+  * and sink across all cores.
+  *
+  * Usage: sbt "runMain graft.tools.ReplayBench [nEvents]"
+  * Prints one JSON line: {"metric":"replay_throughput","value":<events/s>,...}
+  */
+object CountingSender extends RecordSender {
+  val count = new AtomicLong(0)
+  override def send(records: Seq[Array[Byte]]): Seq[Int] = {
+    count.addAndGet(records.size); Nil
+  }
+}
+
+object ReplayBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val dir = Files.createTempDirectory("replay_bench")
+    // deterministic minified JSON fixture, 16 files for parallel scan
+    val files = 16
+    val perFile = n / files
+    val t0gen = System.nanoTime()
+    (0 until files).foreach { f =>
+      val sb = new java.lang.StringBuilder(16 << 20)
+      var i = 0L
+      while (i < perFile) {
+        val id = f * perFile + i
+        val ts = 1704067200000L + id * 25 // 25 ms event spacing from 2024-01-01
+        sb.append(s"""{"id":$id,"dropoff_datetime":"${java.time.Instant.ofEpochMilli(ts)}","fare":${(id % 5000) / 100.0},"vendor":"v${id % 7}"}""")
+        sb.append('\n')
+        i += 1
+      }
+      Files.writeString(dir.resolve(f"part-$f%02d.jsonl"), sb.toString)
+    }
+    val genSec = (System.nanoTime() - t0gen) / 1e9
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-replay-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cfg = ReplayConfig(inputPath = dir.toString,
+      speedupFactor = Long.MaxValue / 4, // pacing never sleeps
+      ingestionStartMs = Some(0L),
+      senderParallelism = 32)
+    // run twice: first includes JVM/codegen warm-up, second is steady state
+    def onePass(): Double = {
+      val t0 = System.nanoTime()
+      ReplayJob.run(spark, cfg, CountingSender, nowMs = () => Long.MaxValue / 2)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val coldSec = onePass()
+    val warmSec = onePass()
+    val rate = math.round(n / warmSec)
+    println(s"""{"metric":"replay_throughput","value":$rate,"unit":"events/sec","events":$n,"warm_seconds":${math.round(warmSec * 100) / 100.0},"cold_seconds":${math.round(coldSec * 100) / 100.0},"gen_seconds":${math.round(genSec * 100) / 100.0}}""")
+    spark.stop()
+    // cleanup
+    Files.list(dir).forEach(p => Files.delete(p))
+    Files.delete(dir)
+  }
+}
