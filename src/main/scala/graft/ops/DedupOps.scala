@@ -36,11 +36,24 @@ object DedupOps {
 
   /** (doc_id, shh) — one row per distinct shingle xxhash64, via the native
     * single-pass expression (graft.functions.ShingleHashes); hash-identical
-    * to `xxhash64(sh)` over [[shingleRows]] (asserted in DedupSpec). */
+    * to `xxhash64(sh)` over [[shingleRows]] (asserted in TextExprSpec). */
   private def shingleHashRows(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingle_hashes(col("text"), 3)).as("shh"))
+
+  // The shingle relation is persisted because each query reuses it on 2-3
+  // plan branches. Only one instance is kept: the next persist evicts the
+  // previous (a session running all Verify queries would otherwise pin one
+  // cache per dedup query for its whole lifetime).
+  @transient private var lastPersisted: Option[DataFrame] = None
+  private def persistShingles(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      lastPersisted.foreach(_.unpersist(blocking = false))
+      val sh = shingleHashRows(s, d).persist()
+      lastPersisted = Some(sh)
+      sh
+    }
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick). */
@@ -66,7 +79,7 @@ object DedupOps {
     * hash collision (p ≈ n²/2⁶⁴ ≈ 10⁻¹² here) would perturb one count.
     * The correctness oracle for the LSH path below. */
   def x26Jaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashRows(s, d).persist()
+    val sh = persistShingles(s, d)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     coocPairs(sh, "shh")
       .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
@@ -105,7 +118,7 @@ object DedupOps {
     * the fixture by DedupSpec); at 100 TB this replaces the all-pairs join
     * with a bucket-equi-join. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashRows(s, d).persist()
+    val sh = persistShingles(s, d)
     val sig = signatures(sh)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>

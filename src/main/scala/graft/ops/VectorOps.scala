@@ -60,9 +60,9 @@ object VectorOps {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** X27 (scale path) — ANN via LSH: L=4 tables of 8-bit SRP buckets;
+  /** X27 (scale path) — ANN via LSH: 8 tables of 4-bit SRP buckets;
     * candidates = same bucket in any table; exact cosine re-rank within
-    * candidates. Recall vs [[x27TopK]] is asserted in VectorSpec. */
+    * candidates. Recall vs [[x27TopK]] is asserted in LlmOpsSpec. */
   def x27bAnnLsh(s: SparkSession, d: String): DataFrame = {
     // tuned for this corpus's low neighbor similarity (~0.33 cosine →
     // p_bit ≈ 0.61): 8 tables × 4 bits ⇒ expected recall ≈ 0.7 at ~40%

@@ -17,7 +17,13 @@ object ReplayCli {
     var cfg = ReplayConfig()
     var dryRun = false
     var i = 0
-    def next(): String = { i += 1; args(i) }
+    def next(): String = {
+      i += 1
+      if (i >= args.length)
+        throw new IllegalArgumentException(
+          s"option ${args(i - 1)} requires a value\n$usage")
+      args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "-inputPath" | "--inputPath" => cfg = cfg.copy(inputPath = next())

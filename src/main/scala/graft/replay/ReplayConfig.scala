@@ -15,8 +15,12 @@ final case class ReplayConfig(
     timestampAttributeName: String = "dropoff_datetime", // RePlayer.java:25
     seek: Option[Instant] = None, // RePlayer.java:49-51
     statisticsFrequencyMillis: Long = 20000L, // RePlayer.java:24
-    readerBufferSize: Int = 100000, // RePlayer.java:26 — streaming watermark horizon analog
-    producerBufferSize: Int = 5000, // RePlayer.java:27
+    // Accepted for CLI parity with the reference (RePlayer.java:26-27) but
+    // intentionally NOT consumed: the reorder buffer's job is done by the
+    // sort/watermark state store and the producer queue's backpressure by
+    // trigger limits — there is no in-process buffer to size.
+    readerBufferSize: Int = 100000,
+    producerBufferSize: Int = 5000,
     senderParallelism: Int = 4, // RePlayer.java:28 — sink partition count
     objectSuffixToSkip: String = "README.md", // JsonEventS3Iterator.java:71-73
     ingestionStartMs: Option[Long] = None // pin for deterministic tests; None = wall clock

@@ -18,12 +18,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingReplay {
 
-  /** Streaming scheduled events; watermark bounds reorder state. */
+  /** Streaming scheduled events; watermark bounds reorder state. The
+    * suffix anti-filter (R4) is applied via input_file_name — readStream
+    * has no file-list form, and pathGlobFilter is positive-only — and
+    * unreadable objects are skipped (R5) like the batch path. */
   def stream(spark: SparkSession, cfg: ReplayConfig,
       disorderTolerance: String = "10 minutes"): DataFrame = {
     val lines = spark.readStream
       .option("maxFilesPerTrigger", "16")
+      .option("ignoreCorruptFiles", "true")
       .text(cfg.inputPath)
+      .filter(!input_file_name().endsWith(cfg.objectSuffixToSkip))
     Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
       .withWatermark("timestamp", disorderTolerance)
   }

@@ -24,11 +24,12 @@ object CountingSender extends RecordSender {
 
 object ReplayBench {
   def main(args: Array[String]): Unit = {
-    val n = if (args.length > 0) args(0).toLong else 2000000L
+    val requested = if (args.length > 0) args(0).toLong else 2000000L
     val dir = Files.createTempDirectory("replay_bench")
     // deterministic minified JSON fixture, 16 files for parallel scan
     val files = 16
-    val perFile = n / files
+    val perFile = requested / files
+    val n = perFile * files // actual generated count (requested rounded down)
     val t0gen = System.nanoTime()
     (0 until files).foreach { f =>
       val sb = new java.lang.StringBuilder(16 << 20)
@@ -60,7 +61,8 @@ object ReplayBench {
     // run twice: first includes JVM/codegen warm-up, second is steady state
     def onePass(): Double = {
       val t0 = System.nanoTime()
-      ReplayJob.run(spark, cfg, CountingSender, nowMs = () => Long.MaxValue / 2)
+      val sent = ReplayJob.run(spark, cfg, CountingSender, nowMs = () => Long.MaxValue / 2)
+      require(sent == n, s"pipeline dropped rows: sent $sent of $n")
       (System.nanoTime() - t0) / 1e9
     }
     val coldSec = onePass()

@@ -44,10 +44,24 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("centroid aggregator is partitioning-invariant (integer-space sums)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val a = VectorOps.x30Centroid(spark, d).collect().map(_.toSeq)
-    val b = VectorOps.x30Centroid(spark, d)
-    val repart = graft.Tables.t(spark, d, "embeddings").repartition(17)
-    repart.createOrReplaceTempView("emb_repart")
-    assert(a.nonEmpty && a.sameElements(b.collect().map(_.toSeq)))
+    // same aggregator over a deliberately different partitioning: partial
+    // aggregation order changes, result must not
+    val repart = graft.Tables.t(spark, d, "embeddings")
+      .repartition(17)
+      .select(col("label"), col("embedding")).as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .agg(VectorOps.CentroidAgg.toColumn.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"),
+        element_at(col("centroid"), 1).as("c1"),
+        element_at(col("centroid"), 2).as("c2"),
+        element_at(col("centroid"), 3).as("c3"),
+        element_at(col("centroid"), 4).as("c4"))
+      .orderBy(col("label"))
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(repart))
   }
 }

@@ -77,7 +77,8 @@ class ReplayE2ESpec extends SparkSpec {
 
   test("streaming replay with AvailableNow drains everything then stops (R14)") {
     val dir = writeFixture()
-    val cfg = ReplayConfig(inputPath = dir + "/part-*.jsonl", speedupFactor = 60000L,
+    // whole directory: the README.md suffix-skip must work in streaming too
+    val cfg = ReplayConfig(inputPath = dir, speedupFactor = 60000L,
       ingestionStartMs = Some(0L), senderParallelism = 1)
     CollectingSender.clear()
     val q = StreamingReplay.run(spark, cfg, new CollectingSender(),
