@@ -86,6 +86,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X28 — BPE-style pre-tokenization: regex token classes (letter runs,
+    * digit runs, single punctuation) rather than whitespace splitting —
+    * the shape of a GPT-2-style pre-tokenizer's first pass. */
+  def x28fBpeTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("tk",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_bpe_tokens"),
+        size(array_distinct(col("tk"))).as("n_distinct_bpe"),
+        element_at(col("tk"), 1).as("first_tok"))
+      .orderBy(col("doc_id"))
+
   /** X28 — document fingerprint: 16-hex-char prefix of the content hash of
     * the token-normalized text (whitespace-insensitive exact dedup key). */
   def x28eFingerprint(s: SparkSession, d: String): DataFrame =
@@ -100,6 +113,7 @@ object TextOps {
     "x28b_quality_score" -> (x28bQuality _),
     "x28c_lang_id" -> (x28cLangId _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
+    "x28f_bpe_tokens" -> (x28fBpeTokens _),
     "x28e_fingerprint" -> (x28eFingerprint _))
 
   private val toksSql =
@@ -151,6 +165,12 @@ object TextOps {
          |  FROM tfc JOIN dfc USING (tok) CROSS JOIN n)
          |SELECT doc_id, tok AS top_term, score FROM scored WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+    "x28f_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+        | CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INTEGER) AS n_distinct_bpe,
+        | regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')[1] AS first_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x28e_fingerprint" ->
       s"""SELECT doc_id,
          | substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fingerprint

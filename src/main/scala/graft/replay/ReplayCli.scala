@@ -73,13 +73,17 @@ object ReplayCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sender: RecordSender =
+    val inner: RecordSender =
       if (dryRun) new CollectingSender()
       else throw new IllegalStateException(
         "no Kinesis SDK on the offline classpath — implement RecordSender " +
           "with software.amazon.awssdk.services.kinesis and pass it to ReplayJob.run")
-    val sent = ReplayJob.run(spark, cfg, sender)
-    println(s"replayed $sent events from ${cfg.inputPath}")
+    val stats = new ReplayStats(cfg.statisticsFrequencyMillis, m => println(s"[stats] $m"))
+    val t0 = System.nanoTime()
+    val sent = ReplayJob.run(spark, cfg, new StatsSender(inner, stats))
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"replayed $sent events from ${cfg.inputPath} in $sec%.1fs " +
+      f"(${if (sec > 0) math.round(sent / sec) else 0}%d events/s)")
     spark.stop()
   }
 }

@@ -91,6 +91,20 @@ object Pace {
   }
 }
 
+/** Sender decorator recording [[ReplayStats]] per record — gives the CLI
+  * the reference's periodic progress lines (RePlayer.java:152-158). Stats
+  * are per-JVM, which on a cluster means per-executor — the same
+  * per-process scope the reference's counters have. */
+final class StatsSender(inner: RecordSender, stats: ReplayStats) extends RecordSender {
+  override def send(records: Seq[Array[Byte]]): Seq[Int] = {
+    val failed = inner.send(records)
+    val sent = records.size - failed.size
+    var i = 0
+    while (i < sent) { stats.record(0L, 0L); i += 1 }
+    failed
+  }
+}
+
 /** R12 — running replay statistics (RePlayer.java:114-162): total/windowed
   * counts, emitted every statisticsFrequencyMillis with rate + replay lag. */
 final class ReplayStats(frequencyMillis: Long, log: String => Unit) extends Serializable {
