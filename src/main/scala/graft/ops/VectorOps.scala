@@ -98,9 +98,15 @@ object VectorOps {
     * baseline — the SRP-LSH bucketing in [[x27bAnnLsh]] is the 100 TB
     * shape for the same predicate. */
   def x26dEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    import graft.functions.VectorFunctions.dot_product
+    // norms precomputed per vector: the all-pairs scan pays one dot per
+    // pair instead of dot+2 norms (bit-equal: identical fold order)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .withColumn("sim", round(
+        dot_product(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("sim") >= 0.4)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
       .orderBy(col("v1"), col("v2"))

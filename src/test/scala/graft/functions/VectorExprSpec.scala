@@ -24,6 +24,20 @@ class VectorExprSpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("dot_product with precomputed norms is bit-equal to cosine_sim") {
+    val e = Tables.t(spark, d, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VectorFunctions.dot_product(col("embedding"), col("embedding"))).as("nrm"))
+    val both = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(3000)
+      .select(
+        (VectorFunctions.dot_product(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("viaDot"),
+        VectorFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("direct"))
+    assert(both.filter(col("viaDot") =!= col("direct")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("expression works via SQL registration and survives codegen") {
     VectorFunctions.register(spark)
     Tables.t(spark, d, "embeddings").limit(10).createOrReplaceTempView("emb_t")

@@ -89,6 +89,23 @@ class ReplayE2ESpec extends SparkSpec {
     assert(payloads.forall(_.endsWith("\n")))
   }
 
+  test("compressed input (gzip) decodes by extension (R2)") {
+    val dir = Files.createTempDirectory("replay_gz")
+    val lines = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""").mkString("\n")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("events.jsonl.gz")))
+    gz.write(lines.getBytes(UTF_8)); gz.close()
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 2)
+    assert(ids(CollectingSender.payloads) == Seq(1, 2))
+  }
+
   test("CLI parses the reference's option surface (R13)") {
     val (cfg, dry) = ReplayCli.parseArgs(Array(
       "-inputPath", "file:/data/x", "-speedup", "3600",
