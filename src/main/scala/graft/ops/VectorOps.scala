@@ -93,6 +93,63 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X27 (scale path #2) — ANN via IVF: a k-means coarse quantizer (k=16,
+    * 3 Lloyd iterations) built with deterministic seeds (first k vectors)
+    * and integer-space centroid updates ([[CentroidAgg]] — so the index is
+    * identical across runs/partitionings); queries probe the nprobe=4
+    * nearest clusters and re-rank exactly. The iteration loop is
+    * driver-coordinated but only the k×dims centroid table ever leaves the
+    * cluster — the classic IVF build shape. Recall vs [[x27TopK]] asserted
+    * in LlmOpsSpec. */
+  def x27cAnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 16
+    val NProbe = 4
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      e.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(col("embedding"), col("cemb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+    }
+
+    var centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+    (1 to 3).foreach { _ =>
+      centroids = assign(centroids)
+        .select(col("cid").cast("int"), col("embedding"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .agg(CentroidAgg.toColumn.name("c"))
+        .toDF("cid", "c")
+        .select(col("cid"), transform(col("c"), x => x.cast("float")).as("cemb"))
+    }
+    val indexed = assign(centroids)
+
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("cemb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    probes.join(indexed, "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id").as("c_id"), col("embedding"))
+      .distinct()
+      .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** X26 — embedding-cosine near-dup pairs (the vector-space twin of the
     * n-gram Jaccard dedup): all pairs at cosine ≥ 0.4. Exact quadratic
     * baseline — the SRP-LSH bucketing in [[x27bAnnLsh]] is the 100 TB
@@ -171,6 +228,7 @@ object VectorOps {
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x27_cosine_topk" -> (x27TopK _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
+    "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x30_centroid_agg" -> (x30Centroid _),
     "x30b_scalar_udf" -> (x30bUdf _))
 

@@ -43,6 +43,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(ann.size <= brute.size)
   }
 
+  test("IVF ANN top-k has useful recall and is deterministic") {
+    val brute = pairSet(VectorOps.x27TopK(spark, d).select("q_id", "c_id").collect())
+    val ivf1 = VectorOps.x27cAnnIvf(spark, d).collect().map(_.toSeq)
+    val ivf2 = VectorOps.x27cAnnIvf(spark, d).collect().map(_.toSeq)
+    assert(ivf1.sameElements(ivf2)) // integer-space k-means → stable index
+    val ivfPairs = ivf1.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long])).toSet
+    val recall = (brute & ivfPairs).size.toDouble / brute.size
+    assert(recall >= 0.25, s"IVF recall $recall too low")
+  }
+
   test("centroid aggregator is partitioning-invariant (integer-space sums)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
