@@ -107,14 +107,15 @@ object VectorOps {
     val NProbe = 4
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    // argmax via max(struct) aggregation: partial→final combine instead of
+    // a per-vector window sort (deterministic — struct order is (sim, cid))
+    def assign(centroids: DataFrame): DataFrame =
       e.crossJoin(broadcast(centroids))
         .withColumn("csim", cosine(col("embedding"), col("cemb")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("csim"), col("cid"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
 
     var centroids = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))

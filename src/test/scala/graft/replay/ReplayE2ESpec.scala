@@ -106,6 +106,39 @@ class ReplayE2ESpec extends SparkSpec {
     assert(ids(CollectingSender.payloads) == Seq(1, 2))
   }
 
+  test("streaming aggregation recovers from a checkpoint without data loss") {
+    // checkpointed windowed counts over the fixture: run, stop mid-way is
+    // not forced (AvailableNow drains), so instead restart AFTER new data
+    // lands and assert the checkpoint carries state across runs
+    val dir = Files.createTempDirectory("ckpt_src")
+    val ckpt = Files.createTempDirectory("ckpt_state").toString
+    def writeBatch(name: String, ids: Range): Unit =
+      Files.write(dir.resolve(name), ids.map(i =>
+        s"""{"id":$i,"dropoff_datetime":"2024-01-01T00:0$i:00Z"}""").mkString("\n").getBytes(UTF_8))
+    writeBatch("a.jsonl", 0 to 4)
+
+    import org.apache.spark.sql.functions._
+    def start() = {
+      val lines = spark.readStream.text(dir.toString)
+      Parse.parsed(lines, "dropoff_datetime")
+        .withWatermark("timestamp", "10 minutes")
+        .groupBy(window(col("timestamp"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").format("memory").queryName("ckpt_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    val q1 = start(); q1.awaitTermination(60000)
+    assert(spark.table("ckpt_out").agg(sum("n")).first().getLong(0) == 5)
+
+    writeBatch("b.jsonl", 5 to 8) // new data after the first run stopped
+    val q2 = start(); q2.awaitTermination(60000)
+    // restart resumed from the checkpoint: old + new rows counted once
+    assert(spark.table("ckpt_out").agg(sum("n")).first().getLong(0) == 9)
+  }
+
   test("CLI parses the reference's option surface (R13)") {
     val (cfg, dry) = ReplayCli.parseArgs(Array(
       "-inputPath", "file:/data/x", "-speedup", "3600",
