@@ -43,17 +43,14 @@ object DedupOps {
         explode(graft.functions.TextFunctions.shingle_hashes(col("text"), 3)).as("shh"))
 
   // The shingle relation is persisted because each query reuses it on 2-3
-  // plan branches. Only one instance is kept: the next persist evicts the
-  // previous (a session running all Verify queries would otherwise pin one
-  // cache per dedup query for its whole lifetime).
-  @transient private var lastPersisted: Option[DataFrame] = None
+  // plan branches, and x26/x26b share it. Cached per SF dir (a handful of
+  // dirs per process, ~100k rows each) — keyed caching avoids the
+  // single-slot hazard of unpersisting a relation a concurrent or
+  // lazily-built query still needs.
+  @transient private val shCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def persistShingles(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      lastPersisted.foreach(_.unpersist(blocking = false))
-      val sh = shingleHashRows(s, d).persist()
-      lastPersisted = Some(sh)
-      sh
-    }
+    shCache.getOrElseUpdate(d, shingleHashRows(s, d).persist())
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick). */

@@ -96,7 +96,9 @@ object TextOps {
       .select(col("doc_id"),
         size(col("tk")).as("n_bpe_tokens"),
         size(array_distinct(col("tk"))).as("n_distinct_bpe"),
-        element_at(col("tk"), 1).as("first_tok"))
+        // try_ variant: empty token array → NULL like the oracle's [1]
+        // (plain element_at throws under Spark 4's default ANSI mode)
+        try_element_at(col("tk"), lit(1)).as("first_tok"))
       .orderBy(col("doc_id"))
 
   /** X28 — document fingerprint: 16-hex-char prefix of the content hash of

@@ -117,16 +117,22 @@ object VectorOps {
           first(col("embedding")).as("embedding"))
         .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
 
-    var centroids = e.filter(col("vec_id") < K)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+    // centroid table is collected each iteration (k×dims scalars — the only
+    // data that ever reaches the driver) so the lineage stays linear: the
+    // next iteration starts from a literal table, not a 3-deep plan
+    def toLiteral(rows: Array[(Int, Seq[Float])]): DataFrame =
+      rows.toSeq.toDF("cid", "cemb")
+    var centroids = toLiteral(e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect())
     (1 to 3).foreach { _ =>
-      centroids = assign(centroids)
+      centroids = toLiteral(assign(centroids)
         .select(col("cid").cast("int"), col("embedding"))
         .as[(Int, Seq[Float])]
         .groupByKey(_._1)
         .agg(CentroidAgg.toColumn.name("c"))
-        .toDF("cid", "c")
-        .select(col("cid"), transform(col("c"), x => x.cast("float")).as("cemb"))
+        .map { case (cid, c) => (cid, c.map(_.toFloat)) }
+        .collect())
     }
     val indexed = assign(centroids)
 
@@ -161,6 +167,10 @@ object VectorOps {
     // pair instead of dot+2 norms (bit-equal: identical fold order)
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+      // zero-norm guard: 0/0 would be NaN, which Spark's ordering treats as
+      // greater than any double and the >= filter would pass (cosine_sim
+      // returns NULL there; the oracle carries the same guard)
+      .filter(col("nrm") > 0)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", round(
         dot_product(col("a.embedding"), col("b.embedding")) /
@@ -242,7 +252,9 @@ object VectorOps {
          | round(${dotSql("a.embedding", "b.embedding")} /
          |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE round(${dotSql("a.embedding", "b.embedding")} /
+         |WHERE ${dotSql("a.embedding", "a.embedding")} > 0
+         |  AND ${dotSql("b.embedding", "b.embedding")} > 0
+         |  AND round(${dotSql("a.embedding", "b.embedding")} /
          |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.4
          |ORDER BY v1, v2""".stripMargin,
     "x27_cosine_topk" ->

@@ -78,9 +78,9 @@ object ReplayCli {
       else throw new IllegalStateException(
         "no Kinesis SDK on the offline classpath — implement RecordSender " +
           "with software.amazon.awssdk.services.kinesis and pass it to ReplayJob.run")
-    val stats = new ReplayStats(cfg.statisticsFrequencyMillis, m => println(s"[stats] $m"))
+    ReplayStats.configureShared(cfg.statisticsFrequencyMillis, m => println(s"[stats] $m"))
     val t0 = System.nanoTime()
-    val sent = ReplayJob.run(spark, cfg, new StatsSender(inner, stats))
+    val sent = ReplayJob.run(spark, cfg, inner)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"replayed $sent events from ${cfg.inputPath} in $sec%.1fs " +
       f"(${if (sec > 0) math.round(sent / sec) else 0}%d events/s)")

@@ -48,14 +48,16 @@ object ReplayJob {
     val df = scheduled(spark, cfg)
     val sentAcc = spark.sparkContext.longAccumulator("records_sent")
     val retryAcc = spark.sparkContext.longAccumulator("send_retries")
-    df.select(col("payload"), col("ingestion_ms"))
+    df.select(col("payload"), col("ingestion_ms"),
+        unix_millis(col("timestamp")).as("ts_ms"))
       // range-partition by schedule so each sink task replays a contiguous
       // slice of simulated time (order preserved within partition)
       .repartitionByRange(cfg.senderParallelism, col("ingestion_ms"))
       .sortWithinPartitions(col("ingestion_ms"))
       .foreachPartition { (it: Iterator[Row]) =>
         val paced = it.map { r =>
-          Pace.paceTo(r.getLong(1), nowMs, sleeper)
+          val lag = Pace.paceTo(r.getLong(1), nowMs, sleeper)
+          ReplayStats.shared.record(lag, r.getLong(2)) // R12: real lag + high-water
           r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }
         val (sent, retries) = Sink.sendAll(paced, sender, sleeper)

@@ -91,26 +91,18 @@ object Pace {
   }
 }
 
-/** Sender decorator recording [[ReplayStats]] per record — gives the CLI
-  * the reference's periodic progress lines (RePlayer.java:152-158). Stats
-  * are per-JVM, which on a cluster means per-executor — the same
-  * per-process scope the reference's counters have. */
-final class StatsSender(inner: RecordSender, stats: ReplayStats) extends RecordSender {
-  override def send(records: Seq[Array[Byte]]): Seq[Int] = {
-    val failed = inner.send(records)
-    val sent = records.size - failed.size
-    var i = 0
-    while (i < sent) { stats.record(0L, 0L); i += 1 }
-    failed
-  }
-}
-
 /** R12 — running replay statistics (RePlayer.java:114-162): total/windowed
-  * counts, emitted every statisticsFrequencyMillis with rate + replay lag. */
-final class ReplayStats(frequencyMillis: Long, log: String => Unit) extends Serializable {
+  * counts, emitted every statisticsFrequencyMillis with rate + replay lag.
+  *
+  * State lives in the JVM-wide [[ReplayStats.shared]] instance so that
+  * task-deserialized closures all accumulate into the same counters —
+  * per-process totals, the same scope as the reference's counters (on a
+  * cluster that means per-executor progress lines in executor logs). */
+final class ReplayStats(@volatile var frequencyMillis: Long,
+    @volatile var log: String => Unit) extends Serializable {
   private val total = new AtomicLong(0)
-  private val window = new AtomicLong(0)
   @volatile private var windowStart = System.currentTimeMillis()
+  private val window = new AtomicLong(0)
 
   def record(lagMs: Long, highWaterMs: Long): Unit = {
     total.incrementAndGet()
@@ -125,4 +117,15 @@ final class ReplayStats(frequencyMillis: Long, log: String => Unit) extends Seri
     }
   }
   def totalCount: Long = total.get()
+  def reset(): Unit = { total.set(0); window.set(0); windowStart = System.currentTimeMillis() }
+}
+
+object ReplayStats {
+  /** Per-JVM shared instance; disabled (silent) until configured. */
+  val shared: ReplayStats = new ReplayStats(Long.MaxValue, _ => ())
+  def configureShared(frequencyMillis: Long, log: String => Unit): Unit = {
+    shared.frequencyMillis = frequencyMillis
+    shared.log = log
+    shared.reset()
+  }
 }

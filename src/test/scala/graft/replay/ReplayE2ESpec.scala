@@ -37,7 +37,10 @@ class ReplayE2ESpec extends SparkSpec {
       """{"id":0,"no_ts_here":true}""",
       """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
       """{"id":5,"dropoff_datetime":"2024-01-01T00:04:00Z"}""").mkString("\n").getBytes(UTF_8))
-    Files.write(dir.resolve("README.md"), "# must be skipped\n".getBytes(UTF_8))
+    // a VALID event row inside the suffix-skipped file: if the R4 filter
+    // ever breaks, this row WOULD parse and change the counts
+    Files.write(dir.resolve("README.md"),
+      """{"id":99,"dropoff_datetime":"2024-01-01T00:06:00Z"}""".getBytes(UTF_8))
     dir.toString
   }
 
