@@ -273,8 +273,8 @@ object Functions {
     "q18_math_fns" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice/1000.0, 1) AS price_k,
-        | floor(l_extendedprice) AS price_floor,
-        | ceil(l_extendedprice) AS price_ceil,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         | abs(l_quantity - 25.0) AS qty_dev,
         | pow(l_quantity, 2) AS qty_sq,
         | round(sqrt(l_extendedprice), 6) AS price_sqrt,

@@ -75,7 +75,7 @@ object MultimodalOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x29b_multimodal_stats" ->
       """SELECT lang, (32 + doc_id % 96) >= 80 AS is_wide, count(*) AS n,
-        | sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
-        | sum(CAST(octet_length(encode(text)) // 64 AS BIGINT)) AS total_frames
+        | CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+        | CAST(sum(CAST(octet_length(encode(text)) // 64 AS BIGINT)) AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1, 2 ORDER BY lang, is_wide""".stripMargin)
 }

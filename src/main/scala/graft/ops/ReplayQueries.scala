@@ -11,9 +11,10 @@ import graft.Tables._
   *
   * Reference semantics reproduced here:
   *  - r01: the affine event-time → wall-clock schedule
-  *    `ingestion = start + (ts - first_ts)/speedup` (JsonEvent.java:95-97,
-  *    ms precision per JsonEvent.java:96), with start pinned to 0 so the
-  *    result is deterministic.
+  *    `ingestion = start + round((ts - first_ts)/speedup)`
+  *    (JsonEvent.java:95-97, Math.round at ms precision per
+  *    JsonEvent.java:96), with start pinned to 0 so the result is
+  *    deterministic.
   *  - r02: the seek — exact `ts >= target` predicate-pushdown form of the
   *    reference's sampled skip-scan (JsonEventS3Iterator.java:79-101).
   *  - r03: the bounded reorder buffer's output order — a total order by
@@ -27,15 +28,19 @@ object ReplayQueries {
 
   val SpeedupFactor = 6480L // RePlayer.java:23 default
 
-  /** R6/R9 — simulated ingestion schedule at speedup 6480, anchored at 0. */
+  /** R6/R9 — simulated ingestion schedule at speedup 6480, anchored at 0.
+    * Round-half-up like the reference's `Math.round` (JsonEvent.java:95),
+    * done in exact integer space — `(2Δ+s) div 2s` — so both engines agree
+    * with no floating point in the loop (delta ≥ 0 ⇒ div == floor). */
   def r01Schedule(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
     val first = ev.agg(min(col("ts")).as("first_ts"))
     ev.crossJoin(broadcast(first))
+      .withColumn("delta", tsMs(col("ts")) - tsMs(col("first_ts")))
       .select(
         col("event_id"),
         tsMs(col("ts")).as("ts_ms"),
-        floor((tsMs(col("ts")) - tsMs(col("first_ts"))) / lit(SpeedupFactor.toDouble))
+        expr(s"(2 * delta + $SpeedupFactor) div ${2 * SpeedupFactor}")
           .as("ingest_ms"))
       .orderBy(col("event_id"))
   }
@@ -94,7 +99,7 @@ object ReplayQueries {
     "r01_schedule" ->
       """SELECT event_id,
         | epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
-        | CAST(floor((epoch_ms(CAST(ts AS TIMESTAMP)) - (SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) FROM events)) / 6480.0) AS BIGINT) AS ingest_ms
+        | (2 * (epoch_ms(CAST(ts AS TIMESTAMP)) - (SELECT min(epoch_ms(CAST(ts AS TIMESTAMP))) FROM events)) + 6480) // 12960 AS ingest_ms
         |FROM events ORDER BY event_id""".stripMargin,
     "r02_seek" ->
       """SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type

@@ -19,9 +19,12 @@ object TextOps {
         size(col("tk")).as("n_tokens"),
         size(array_distinct(col("tk"))).as("n_distinct"),
         length(col("text")).as("n_chars"),
-        round(aggregate(transform(col("tk"), t => length(t)), lit(0),
-          (acc, x) => acc + x).cast("double") / size(col("tk")), 4)
-          .as("avg_tok_len"))
+        // zero-token guard: all-whitespace text → NULL, not ANSI
+        // DIVIDE_BY_ZERO (oracle mirrors via NULLIF)
+        when(size(col("tk")) > 0,
+          round(aggregate(transform(col("tk"), t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / size(col("tk")), 4))
+          .otherwise(lit(null).cast("double")).as("avg_tok_len"))
       .orderBy(col("doc_id"))
 
   /** X28 — quality scoring: length signal × (1 − stopword ratio) −
@@ -36,10 +39,14 @@ object TextOps {
       .withColumn("n_punct",
         length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
       .select(col("doc_id"), col("n_toks"), col("n_stop"), col("n_punct"),
-        round(col("n_stop").cast("double") / col("n_toks"), 6).as("stop_ratio"),
-        round(least(lit(1.0), col("n_toks").cast("double") / 50.0) *
-          (lit(1.0) - col("n_stop").cast("double") / col("n_toks")), 6)
-          .as("quality_score"))
+        // zero-token guard mirrors x28Tokens: NULL ratios on empty docs
+        when(col("n_toks") > 0,
+          round(col("n_stop").cast("double") / col("n_toks"), 6))
+          .otherwise(lit(null).cast("double")).as("stop_ratio"),
+        when(col("n_toks") > 0,
+          round(least(lit(1.0), col("n_toks").cast("double") / 50.0) *
+            (lit(1.0) - col("n_stop").cast("double") / col("n_toks")), 6))
+          .otherwise(lit(null).cast("double")).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -128,7 +135,7 @@ object TextOps {
          | CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_distinct,
          | CAST(length(text) AS INTEGER) AS n_chars,
          | round(CAST(list_sum(list_transform($toksSql, t -> length(t))) AS DOUBLE)
-         |   / len($toksSql), 4) AS avg_tok_len
+         |   / NULLIF(len($toksSql), 0), 4) AS avg_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x28b_quality_score" ->
       s"""WITH b AS (SELECT doc_id, text, $toksSql AS tk FROM documents)
@@ -136,9 +143,9 @@ object TextOps {
          | CAST(len(tk) AS INTEGER) AS n_toks,
          | CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS INTEGER) AS n_stop,
          | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
-         | round(CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(tk), 6) AS stop_ratio,
+         | round(CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / NULLIF(len(tk), 0), 6) AS stop_ratio,
          | round(least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
-         |   (1.0 - CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(tk)), 6) AS quality_score
+         |   (1.0 - CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / NULLIF(len(tk), 0)), 6) AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin,
     "x28c_lang_id" ->
       s"""WITH b AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),

@@ -31,7 +31,7 @@ object ReplayCli {
           val arn = next()
           require(StreamArn.validate(arn), s"invalid stream ARN: $arn") // R11
           cfg = cfg.copy(streamArn = arn)
-        case "-speedup" | "--speedup" => cfg = cfg.copy(speedupFactor = next().toLong)
+        case "-speedup" | "--speedup" => cfg = cfg.copy(speedupFactor = next().toDouble)
         case "-timestampAttributeName" | "--timestampAttributeName" =>
           cfg = cfg.copy(timestampAttributeName = next())
         case "-seek" | "--seek" =>

@@ -11,7 +11,7 @@ import java.time.Instant
 final case class ReplayConfig(
     inputPath: String = "s3a://aws-bigdata-blog/artifacts/kinesis-analytics-taxi-consumer/taxi-trips.json.lz4/",
     streamArn: String = "",
-    speedupFactor: Long = 6480L, // RePlayer.java:23
+    speedupFactor: Double = 6480.0, // RePlayer.java:23 (a float there — fractional speedups are legal)
     timestampAttributeName: String = "dropoff_datetime", // RePlayer.java:25
     seek: Option[Instant] = None, // RePlayer.java:49-51
     statisticsFrequencyMillis: Long = 20000L, // RePlayer.java:24

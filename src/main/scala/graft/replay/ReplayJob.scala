@@ -55,12 +55,17 @@ object ReplayJob {
       .repartitionByRange(cfg.senderParallelism, col("ingestion_ms"))
       .sortWithinPartitions(col("ingestion_ms"))
       .foreachPartition { (it: Iterator[Row]) =>
-        val paced = it.map { r =>
-          val lag = Pace.paceTo(r.getLong(1), nowMs, sleeper)
-          ReplayStats.shared.record(lag, r.getLong(2)) // R12: real lag + high-water
-          r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // high-water of the record the pacer just admitted: the iterator
+        // is pulled (setting lastTsMs) before onPaced fires for it
+        var lastTsMs = 0L
+        val scheduledRecords = it.map { r =>
+          lastTsMs = r.getLong(2)
+          (r.getLong(1),
+            r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-        val (sent, retries) = Sink.sendAll(paced, sender, sleeper)
+        val (sent, retries) = Sink.sendScheduled(scheduledRecords, sender,
+          nowMs, sleeper,
+          onPaced = lag => ReplayStats.shared.record(lag, lastTsMs)) // R12
         sentAcc.add(sent)
         retryAcc.add(retries)
       }

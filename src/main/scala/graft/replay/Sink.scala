@@ -53,28 +53,70 @@ object Sink {
   def backoffMs(attempt: Int): Long =
     math.min(MaxBackoffMillis, (1L << math.min(attempt, 5)) * 100L)
 
-  /** Drain an iterator through the sender in ≤500-record batches with the
-    * reference's retry protocol. Returns (records sent, retries performed).
+  /** One batch through the reference's retry protocol; returns retries.
     * Partial failures re-send only the failed subset, like
     * KinesisProducer.java:187-195. */
+  private def sendWithRetry(batch: Seq[Array[Byte]], sender: RecordSender,
+      sleeper: Long => Unit): Long = {
+    var pending = batch
+    var attempt = 0
+    var retries = 0L
+    while (pending.nonEmpty) {
+      if (attempt > MaxRetryCount)
+        throw new IllegalStateException(
+          s"records failed to send after $MaxRetryCount retries") // KinesisProducer.java:140-142
+      if (attempt > 0) { sleeper(backoffMs(attempt)); retries += 1 }
+      val failed = sender.send(pending)
+      pending = failed.map(pending)
+      attempt += 1
+    }
+    retries
+  }
+
+  /** Drain an iterator through the sender in ≤500-record batches with the
+    * reference's retry protocol. Returns (records sent, retries performed). */
   def sendAll(records: Iterator[Array[Byte]], sender: RecordSender,
       sleeper: Long => Unit = Thread.sleep): (Long, Long) = {
     var sent = 0L
     var retries = 0L
     records.grouped(MaxEntriesPerRequest).foreach { batch =>
-      var pending: Seq[Array[Byte]] = batch
-      var attempt = 0
-      while (pending.nonEmpty) {
-        if (attempt > MaxRetryCount)
-          throw new IllegalStateException(
-            s"records failed to send after $MaxRetryCount retries") // KinesisProducer.java:140-142
-        if (attempt > 0) { sleeper(backoffMs(attempt)); retries += 1 }
-        val failed = sender.send(pending)
-        sent += pending.size - failed.size
-        pending = failed.map(pending)
-        attempt += 1
-      }
+      retries += sendWithRetry(batch, sender, sleeper)
+      sent += batch.size
     }
+    (sent, retries)
+  }
+
+  /** R9+R10 — paced, batched drain: each record is paced to its simulated
+    * due time, and the pending batch is FLUSHED BEFORE any pacing sleep —
+    * already-due records are never held back behind a not-yet-due one, the
+    * way the reference's senders drain partial batches immediately
+    * (KinesisProducer.java:112-120). At high speedup no sleeps occur and
+    * batches fill to the 500 cap; at low speedup this degrades gracefully
+    * to per-record sends instead of holding the head of a batch up to a
+    * 500-record schedule span.
+    *
+    * `onPaced(gapMs)` fires once per record with its replay lag (now − due,
+    * negative = slept), for stats. Returns (records sent, retries). */
+  def sendScheduled(records: Iterator[(Long, Array[Byte])], sender: RecordSender,
+      nowMs: () => Long = () => System.currentTimeMillis(),
+      sleeper: Long => Unit = Thread.sleep,
+      onPaced: Long => Unit = _ => ()): (Long, Long) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sent = 0L
+    var retries = 0L
+    def flush(): Unit = if (buf.nonEmpty) {
+      retries += sendWithRetry(buf.toSeq, sender, sleeper)
+      sent += buf.size
+      buf.clear()
+    }
+    records.foreach { case (dueMs, payload) =>
+      val gap = nowMs() - dueMs
+      if (gap < 0) { flush(); sleeper(-gap) }
+      onPaced(gap)
+      buf += payload
+      if (buf.size >= MaxEntriesPerRequest) flush()
+    }
+    flush()
     (sent, retries)
   }
 }
@@ -101,23 +143,26 @@ object Pace {
 final class ReplayStats(@volatile var frequencyMillis: Long,
     @volatile var log: String => Unit) extends Serializable {
   private val total = new AtomicLong(0)
-  @volatile private var windowStart = System.currentTimeMillis()
+  private val windowStart = new AtomicLong(System.currentTimeMillis())
   private val window = new AtomicLong(0)
 
   def record(lagMs: Long, highWaterMs: Long): Unit = {
     total.incrementAndGet()
     window.incrementAndGet()
     val now = System.currentTimeMillis()
-    if (now - windowStart >= frequencyMillis) {
+    val ws = windowStart.get()
+    // CAS makes the rollover atomic: with concurrent sink partitions only
+    // one task wins the window, so stats lines are never duplicated and
+    // the window counter is reset exactly once per elapsed window.
+    if (now - ws >= frequencyMillis && windowStart.compareAndSet(ws, now)) {
       val n = window.getAndSet(0)
       val rate = math.round(1000.0 * n / frequencyMillis) // RePlayer.java:150
       log(f"replayed ${total.get()} events (rate $rate/s, lag ${lagMs}ms, " +
         f"high-water ${java.time.Instant.ofEpochMilli(highWaterMs)})")
-      windowStart = now
     }
   }
   def totalCount: Long = total.get()
-  def reset(): Unit = { total.set(0); window.set(0); windowStart = System.currentTimeMillis() }
+  def reset(): Unit = { total.set(0); window.set(0); windowStart.set(System.currentTimeMillis()) }
 }
 
 object ReplayStats {

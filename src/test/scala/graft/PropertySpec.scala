@@ -21,7 +21,7 @@ class PropertySpec extends SparkSpec {
     })
   }
 
-  test("affine schedule: monotone, and deltas are event-deltas/speedup (floored)") {
+  test("affine schedule: monotone, and deltas are event-deltas/speedup (half-up)") {
     val gen = for {
       first <- Gen.choose(0L, 1L << 40)
       d1 <- Gen.choose(0L, 1L << 30)

@@ -84,12 +84,47 @@ class ReplayE2ESpec extends SparkSpec {
     val cfg = ReplayConfig(inputPath = dir, speedupFactor = 60000L,
       ingestionStartMs = Some(0L), senderParallelism = 1)
     CollectingSender.clear()
-    val q = StreamingReplay.run(spark, cfg, new CollectingSender(),
+    val sent = StreamingReplay.run(spark, cfg, new CollectingSender(),
       nowMs = () => Long.MaxValue, sleeper = _ => ())
-    q.awaitTermination(60000)
     val payloads = CollectingSender.payloads
-    assert(payloads.size == 6)
+    assert(sent == 6 && payloads.size == 6)
     assert(payloads.forall(_.endsWith("\n")))
+  }
+
+  test("streaming replay repairs cross-micro-batch disorder (R8 watermark reorder)") {
+    // one file per micro-batch (maxFilesPerTrigger=1); the lexically-first
+    // file holds the LATEST timestamps, so per-batch sorting alone would
+    // emit 4,6 before 1,2,3,5 — the reorder buffer must hold them back
+    // until the watermark (or the end-of-input drain) passes them
+    val dir = Files.createTempDirectory("replay_disorder")
+    Files.write(dir.resolve("a-late.jsonl"), Seq(
+      """{"id":4,"dropoff_datetime":"2024-01-01T00:03:00Z"}""",
+      """{"id":6,"dropoff_datetime":"2024-01-01T00:05:00Z"}""").mkString("\n").getBytes(UTF_8))
+    Files.write(dir.resolve("b-early.jsonl"), Seq(
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""",
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":5,"dropoff_datetime":"2024-01-01T00:04:00Z"}""").mkString("\n").getBytes(UTF_8))
+    Files.write(dir.resolve("c-mid.jsonl"), Seq(
+      """{"id":3,"dropoff_datetime":"2024-01-01T00:02:00Z"}""").mkString("\n").getBytes(UTF_8))
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = StreamingReplay.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => (),
+      disorderToleranceMs = 600000L, maxFilesPerTrigger = 1)
+    assert(sent == 6)
+    assert(ids(CollectingSender.payloads) == Seq(1, 2, 3, 4, 5, 6))
+
+    // with a tolerance SMALLER than the actual disorder, events later than
+    // the declared horizon may emit out of order (the watermark contract)
+    // but are still DELIVERED, never dropped — and each release batch is
+    // internally ordered
+    CollectingSender.clear()
+    val sent2 = StreamingReplay.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => (),
+      disorderToleranceMs = 60000L, maxFilesPerTrigger = 1)
+    assert(sent2 == 6)
+    assert(ids(CollectingSender.payloads).sorted == Seq(1, 2, 3, 4, 5, 6))
   }
 
   test("compressed input (gzip) decodes by extension (R2)") {

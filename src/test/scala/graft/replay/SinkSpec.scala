@@ -71,10 +71,15 @@ class SinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StreamArn.extractRegion("nope"))
   }
 
-  test("affine schedule arithmetic (R6): deltas divided by speedup, floored") {
+  test("affine schedule arithmetic (R6): deltas divided by speedup, round-half-up") {
     assert(Schedule.ingestionMs(eventMs = 6480000, firstEventMs = 0,
       ingestionStartMs = 5000, speedupFactor = 6480) == 6000)
     assert(Schedule.ingestionMs(1000, 1000, 99, 6480) == 99)
-    assert(Schedule.ingestionMs(1999, 1000, 0, 1000) == 0) // floor
+    assert(Schedule.ingestionMs(1999, 1000, 0, 1000) == 1) // 0.999 rounds up
+    assert(Schedule.ingestionMs(1500, 1000, 0, 1000) == 1) // half rounds up
+    assert(Schedule.ingestionMs(1499, 1000, 0, 1000) == 0)
+    // fractional speedups are legal (reference takes a float)
+    assert(Schedule.ingestionMs(1001, 1000, 0, 0.5) == 2)
+    assert(Schedule.ingestionMs(1003, 1000, 0, 2.5) == 1)
   }
 }
