@@ -52,28 +52,56 @@ object ReplayQueries {
       .select(col("event_id"), tsMs(col("ts")).as("ts_ms"), col("event_type"))
       .orderBy(col("event_id"))
 
-  /** R8 — emission order of the reorder stage: rank in (ts, event_id) order.
-    * Global row_number is a correctness probe at test SF; the scalable form
-    * is the plain `orderBy` (range-partitioned sort) that feeds the sink. */
-  def r03Reorder(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    t(s, d, "events")
-      .select(col("event_id"), col("ts"))
-      .withColumn("emit_rank", row_number().over(w))
-      .select(col("event_id"), col("emit_rank"))
-      .orderBy(col("event_id"))
+  /** Scalable global dense sequence in (ts, event_id) order — the two-pass
+    * shape: range-partition on the sort key and sort within partitions
+    * (pass 1), then add each partition's cumulative row offset (pass 2).
+    *
+    * The local rank comes from `monotonically_increasing_id` — consecutive
+    * within a physical partition, so on the sorted partitions
+    * `mid − min(mid) + 1` is the dense in-partition rank with no Window at
+    * all. Offsets are a triangular self-join over the ≤numShufflePartitions
+    * per-partition counts (a broadcast of a tiny relation), NOT a global
+    * `Window.orderBy` — no stage ever funnels the events table through a
+    * single task, and the identical range exchange under `sorted`'s three
+    * uses is deduped by ReuseExchange. Deterministic: range boundaries,
+    * parquet splits, and the unique (ts, event_id) sort key all are. */
+  private def withEmitRank(ev: DataFrame): DataFrame = {
+    val parts = ev.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = ev
+      .repartitionByRange(parts, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .select(col("event_id"),
+        spark_partition_id().as("pid"),
+        monotonically_increasing_id().as("mid"))
+    val counts = sorted.groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"), min(col("mid")).as("mid0"))
+    val offsets = counts.as("a")
+      .join(counts.select(col("pid").as("bpid"), col("cnt").as("bcnt")),
+        col("bpid") < col("a.pid"), "left")
+      .groupBy(col("a.pid"), col("a.mid0"))
+      .agg(coalesce(sum(col("bcnt")), lit(0L)).as("offset"))
+      .select(col("pid"), col("mid0"), col("offset"))
+    sorted.join(broadcast(offsets), "pid")
+      .withColumn("emit_rank",
+        (col("offset") + col("mid") - col("mid0") + 1L).cast("int"))
   }
 
-  /** R10 — sink micro-batching: batch id + per-batch size, all ≤500. */
-  def r04Batches(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
-    t(s, d, "events")
-      .select(col("event_id"), col("ts"))
-      .withColumn("batch_id", floor((row_number().over(w) - 1) / lit(500.0)))
+  /** R8 — emission order of the reorder stage: rank in (ts, event_id)
+    * order, via the range-partitioned two-pass sequence (no global-window
+    * single-partition funnel — would not survive a 100× scale-up). */
+  def r03Reorder(s: SparkSession, d: String): DataFrame =
+    withEmitRank(t(s, d, "events").select(col("event_id"), col("ts")))
+      .select(col("event_id"), col("emit_rank"))
+      .orderBy(col("event_id"))
+
+  /** R10 — sink micro-batching: batch id + per-batch size, all ≤500.
+    * Same scalable sequence; batch ids derive from the global rank. */
+  def r04Batches(s: SparkSession, d: String): DataFrame =
+    withEmitRank(t(s, d, "events").select(col("event_id"), col("ts")))
+      .withColumn("batch_id", floor((col("emit_rank") - 1) / lit(500.0)))
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_records"))
       .orderBy(col("batch_id"))
-  }
 
   /** R12 — monitoring aggregation as an event-time tumbling window:
     * per-hour event count, summed value (exact cents), high-water mark. */

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import DedupOps.tokens
 
@@ -72,7 +71,12 @@ object TextOps {
   }
 
   /** X28 — tf-idf: highest-scoring term per document. idf is the only
-    * libm-touched value (ln) → rounded at 6 decimals on both sides. */
+    * libm-touched value (ln) → rounded at 6 decimals on both sides.
+    *
+    * The per-doc argmax is a `min(struct(−score, tok))` aggregation —
+    * (score DESC, tok ASC) order encoded as a struct comparison — which
+    * partial-aggregates map-side instead of sorting each doc's terms in a
+    * window (same trick as the IVF assign, VectorOps.scala). */
   def x28dTfIdf(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     // explode-then-WHERE keeps the empty-token filter inside codegen
@@ -82,14 +86,13 @@ object TextOps {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("tok"))
     tf.join(df_, "tok").crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("tok").as("top_term"), col("score"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("tok").as("tok"))).as("best"))
+      .select(col("doc_id"), col("best.tok").as("top_term"),
+        (-col("best.ns")).as("score"))
       .orderBy(col("doc_id"))
   }
 

@@ -94,7 +94,7 @@ object VectorOps {
   }
 
   /** X27 (scale path #2) — ANN via IVF: a k-means coarse quantizer (k=16,
-    * 3 Lloyd iterations) built with deterministic seeds (first k vectors)
+    * 2 Lloyd iterations) built with deterministic seeds (first k vectors)
     * and integer-space centroid updates ([[CentroidAgg]] — so the index is
     * identical across runs/partitionings); queries probe the nprobe=4
     * nearest clusters and re-rank exactly. The iteration loop is
@@ -105,7 +105,11 @@ object VectorOps {
     import s.implicits._
     val K = 16
     val NProbe = 4
+    // the corpus is scanned once per Lloyd iteration plus twice downstream
+    // (index + probes) — persist so the parquet scan is paid once; the
+    // (id, 64×float) projection is the only thing cached
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // argmax via max(struct) aggregation: partial→final combine instead of
     // a per-vector window sort (deterministic — struct order is (sim, cid))
@@ -125,7 +129,10 @@ object VectorOps {
     var centroids = toLiteral(e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int"), col("embedding"))
       .as[(Int, Seq[Float])].collect())
-    (1 to 3).foreach { _ =>
+    // 2 Lloyd iterations: the 3rd bought no recall on this corpus (floor
+    // asserted in LlmOpsSpec) and each iteration is a full corpus pass plus
+    // a driver collect barrier — the cheapest fix for the barrier cost
+    (1 to 2).foreach { _ =>
       centroids = toLiteral(assign(centroids)
         .select(col("cid").cast("int"), col("embedding"))
         .as[(Int, Seq[Float])]

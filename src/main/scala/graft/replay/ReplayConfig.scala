@@ -24,7 +24,12 @@ final case class ReplayConfig(
     senderParallelism: Int = 4, // RePlayer.java:28 — sink partition count
     objectSuffixToSkip: String = "README.md", // JsonEventS3Iterator.java:71-73
     ingestionStartMs: Option[Long] = None // pin for deterministic tests; None = wall clock
-)
+) {
+  // speedup 0 (or negative) would otherwise round delta/0 = Infinity into a
+  // silently corrupt Long.MaxValue schedule — reject at construction time
+  require(speedupFactor > 0, s"speedupFactor must be > 0, got $speedupFactor")
+  require(senderParallelism > 0, s"senderParallelism must be > 0, got $senderParallelism")
+}
 
 /** ARN validation + region extraction (R11, KinesisProducer.java:61-72). */
 object StreamArn {

@@ -30,6 +30,11 @@ object Schedule {
       Some(s.toLong)
     else None
 
+  /** `2Δ + s` is overflow-safe only while |Δ| stays under this bound; larger
+    * deltas (pathological timestamps) fall back to the double path, which is
+    * exact to well under 1 ms at that magnitude. */
+  private[replay] val MaxExactDeltaMs: Long = Long.MaxValue / 4
+
   /** Adds `ingestion_time` (timestamp) + `ingestion_ms` (epoch millis). */
   def withIngestionTime(events: DataFrame, speedupFactor: Double,
       ingestionStartMs: Long): DataFrame = {
@@ -38,8 +43,13 @@ object Schedule {
       .crossJoin(broadcast(anchor))
       .withColumn("delta_ms", unix_millis(col("timestamp")) - col("first_ms"))
     val scaled = integralSpeedup(speedupFactor) match {
-      // delta_ms ≥ 0 (min-anchor), so `div` truncation == floor here
-      case Some(s) => expr(s"(2 * delta_ms + $s) div ${2 * s}")
+      // delta_ms ≥ 0 (min-anchor), so `div` truncation == floor here; the
+      // abs guard keeps `2*delta_ms` from overflowing (ANSI would throw) on
+      // pathological event-time deltas — those take the double path instead
+      case Some(s) =>
+        when(abs(col("delta_ms")) <= lit(MaxExactDeltaMs),
+          expr(s"(2 * delta_ms + $s) div ${2 * s}"))
+          .otherwise(round(col("delta_ms") / lit(speedupFactor.toDouble), 0).cast("long"))
       case None =>
         round(col("delta_ms") / lit(speedupFactor), 0).cast("long")
     }
@@ -56,8 +66,10 @@ object Schedule {
       speedupFactor: Double): Long = {
     val delta = eventMs - firstEventMs
     integralSpeedup(speedupFactor) match {
-      case Some(s) => ingestionStartMs + Math.floorDiv(2 * delta + s, 2 * s)
-      case None => ingestionStartMs + Math.round(delta / speedupFactor)
+      // explicit two-sided bound (abs(Long.MinValue) is negative)
+      case Some(s) if delta >= -MaxExactDeltaMs && delta <= MaxExactDeltaMs =>
+        ingestionStartMs + Math.floorDiv(2 * delta + s, 2 * s)
+      case _ => ingestionStartMs + Math.round(delta / speedupFactor)
     }
   }
 }

@@ -40,6 +40,51 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("fractional speedup (incl. (0,1)) matches the reference's Math.round(delta/speedup)") {
+    val fractional = Gen.oneOf(
+      Gen.choose(1, 999).map(_ / 1000.0), // slow-down factors in (0,1)
+      Gen.choose(1L, 100000L).map(_ + 0.5),
+      Gen.choose(1L, 100000L).map(_ + 0.25))
+    val gen = for {
+      first <- Gen.choose(0L, 1L << 40)
+      delta <- Gen.choose(0L, 1L << 30)
+      start <- Gen.choose(0L, 1L << 40)
+      speedup <- fractional
+    } yield (first, delta, start, speedup)
+    check(forAll(gen) { case (first, delta, start, speedup) =>
+      Schedule.ingestionMs(first + delta, first, start, speedup) ==
+        start + Math.round(delta / speedup)
+    })
+  }
+
+  test("integral speedup agrees with Math.round(delta/speedup) within 1ms, exactly off half-points") {
+    val gen = for {
+      delta <- Gen.choose(0L, 1L << 40)
+      speedup <- Gen.choose(1L, 100000L)
+    } yield (delta, speedup)
+    check(forAll(gen) { case (delta, speedup) =>
+      val exact = Schedule.ingestionMs(delta, 0, 0, speedup.toDouble)
+      val viaDouble = Math.round(delta / speedup.toDouble)
+      // the exact-integer path only deviates from the double path where the
+      // quotient is unrepresentable near a half — never by more than 1ms,
+      // and never at all when 2*delta is not on a half-point
+      math.abs(exact - viaDouble) <= 1 &&
+        ((2 * delta) % (2 * speedup) == speedup || exact == viaDouble)
+    })
+  }
+
+  test("pathological event-time deltas fall back to the double path instead of overflowing") {
+    val gen = for {
+      delta <- Gen.choose(Long.MaxValue / 4 + 1, Long.MaxValue / 2)
+      speedup <- Gen.choose(1L, 100000L)
+    } yield (delta, speedup)
+    check(forAll(gen) { case (delta, speedup) =>
+      // would previously wrap at 2*delta; now exact-enough double division
+      Schedule.ingestionMs(delta, 0, 0, speedup.toDouble) ==
+        Math.round(delta / speedup.toDouble)
+    })
+  }
+
   test("sendAll delivers every record exactly once under arbitrary partial failures") {
     val gen = for {
       n <- Gen.choose(0, 1300)

@@ -177,6 +177,30 @@ class ReplayE2ESpec extends SparkSpec {
     assert(spark.table("ckpt_out").agg(sum("n")).first().getLong(0) == 9)
   }
 
+  test("fractional speedup 0.5 slows replay to half speed end-to-end") {
+    val dir = writeFixture()
+    // 0.5 = slow-down: 60s event gaps stretch to 120s of simulated time
+    val (cfg0, _) = ReplayCli.parseArgs(Array(
+      "-inputPath", dir, "-speedup", "0.5", "-dryRun"))
+    val cfg = cfg0.copy(ingestionStartMs = Some(0L), senderParallelism = 1)
+    assert(cfg.speedupFactor == 0.5)
+    CollectingSender.clear()
+    SleepRecorder.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => 0L, sleeper = SleepRecorder.record)
+    assert(sent == 6)
+    assert(ids(CollectingSender.payloads) == Seq(1, 2, 3, 4, 5, 6))
+    // events at 0..5 min → due at 0,120000,...,600000 ms from start 0
+    assert(SleepRecorder.all == (1 to 5).map(_ * 120000L))
+  }
+
+  test("non-positive speedup is rejected at construction, not silently corrupted") {
+    intercept[IllegalArgumentException](ReplayConfig(speedupFactor = 0.0))
+    intercept[IllegalArgumentException](ReplayConfig(speedupFactor = -1.5))
+    intercept[IllegalArgumentException](
+      ReplayCli.parseArgs(Array("-speedup", "0")))
+  }
+
   test("CLI parses the reference's option surface (R13)") {
     val (cfg, dry) = ReplayCli.parseArgs(Array(
       "-inputPath", "file:/data/x", "-speedup", "3600",
