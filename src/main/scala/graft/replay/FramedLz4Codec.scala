@@ -1,0 +1,154 @@
+package graft.replay
+
+import java.io.{BufferedInputStream, InputStream, OutputStream}
+
+import org.apache.commons.compress.compressors.{CompressorException, CompressorStreamFactory}
+import org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream
+import org.apache.hadoop.conf.{Configurable, Configuration}
+import org.apache.hadoop.io.compress.{CompressionCodec, CompressionInputStream, CompressionOutputStream, Compressor, Decompressor, DoNotPool, Lz4Codec}
+
+/** R2 — content-based decompression auto-detect for `.lz4` objects.
+  *
+  * The reference opens every object through
+  * `CompressorStreamFactory().createCompressorInputStream(stream)`
+  * (JsonEventS3Iterator.java:162-167): the format is detected from the
+  * stream's MAGIC BYTES, not the file name, and its default dataset
+  * (`taxi-trips.json.lz4`, RePlayer.java:22) is *framed* LZ4 — a format
+  * Hadoop's extension-mapped `Lz4Codec` (block format) cannot read.
+  *
+  * Spark-first mapping: Hadoop codecs are chosen by extension, so this
+  * codec takes over the `.lz4` extension (registered last in
+  * `io.compression.codecs`, so it wins the factory's extension map) and
+  * re-creates the reference's content detection INSIDE the codec:
+  *
+  *   - a recognized compressor magic (LZ4-frame, and for free: gzip,
+  *     bzip2, zstd, xz… on a mislabeled file) → commons-compress stream;
+  *   - no known magic → delegate to Hadoop's block-format [[Lz4Codec]],
+  *     the other format `.lz4` commonly denotes.
+  *
+  * Scale note: like every non-splittable codec, a compressed object is one
+  * task — exactly the reference's per-object sequential read, but across
+  * many objects in parallel. The codec holds no state; executors each
+  * instantiate their own via ReflectionUtils.
+  */
+class FramedLz4Codec extends CompressionCodec with Configurable {
+
+  private var conf: Configuration = new Configuration(false)
+  override def setConf(c: Configuration): Unit = conf = c
+  override def getConf: Configuration = conf
+
+  override def getDefaultExtension: String = ".lz4"
+
+  override def createInputStream(in: InputStream): CompressionInputStream = {
+    // mark/reset-capable stream so the factory can sniff then rewind
+    val buffered = new BufferedInputStream(in, FramedLz4Codec.BufferBytes)
+    try {
+      val detected = new CompressorStreamFactory()
+        .createCompressorInputStream(buffered) // magic-byte detection
+      new FramedLz4Codec.DelegatedInputStream(detected, buffered)
+    } catch {
+      case _: CompressorException =>
+        // no recognizable frame → Hadoop's block-LZ4 wire format
+        val block = new Lz4Codec()
+        block.setConf(conf)
+        block.createInputStream(buffered)
+    }
+  }
+
+  /** Pooled (possibly null) decompressors are inert here — the inner
+    * streams decompress for themselves. */
+  override def createInputStream(in: InputStream, d: Decompressor): CompressionInputStream =
+    createInputStream(in)
+
+  override def createOutputStream(out: OutputStream): CompressionOutputStream =
+    new FramedLz4Codec.DelegatedOutputStream(out)
+
+  override def createOutputStream(out: OutputStream, c: Compressor): CompressionOutputStream =
+    createOutputStream(out)
+
+  override def getCompressorType: Class[_ <: Compressor] =
+    classOf[FramedLz4Codec.InertCompressor]
+  override def createCompressor(): Compressor = new FramedLz4Codec.InertCompressor
+  override def getDecompressorType: Class[_ <: Decompressor] =
+    classOf[FramedLz4Codec.InertDecompressor]
+  override def createDecompressor(): Decompressor = new FramedLz4Codec.InertDecompressor
+}
+
+object FramedLz4Codec {
+
+  private val BufferBytes = 64 * 1024
+
+  /** Hadoop config key listing extra codecs; appending this codec makes it
+    * the `.lz4` handler (extension map is last-write-wins). */
+  val ConfKey = "io.compression.codecs"
+
+  /** Idempotently register this codec on a Hadoop configuration. */
+  def register(conf: Configuration): Unit = {
+    val cls = classOf[FramedLz4Codec].getName
+    val existing = Option(conf.get(ConfKey)).filter(_.nonEmpty)
+    if (!existing.exists(_.contains(cls)))
+      conf.set(ConfKey, existing.fold(cls)(e => s"$e,$cls"))
+  }
+
+  /** CompressionInputStream view over an already-decompressing stream.
+    * `raw` (the underlying file stream) goes to super for position/close;
+    * reads come from `decompressed`. */
+  private final class DelegatedInputStream(decompressed: InputStream, raw: InputStream)
+      extends CompressionInputStream(raw) {
+    override def read(): Int = decompressed.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      decompressed.read(b, off, len)
+    override def resetState(): Unit =
+      throw new UnsupportedOperationException("not a splittable codec")
+    override def close(): Unit =
+      try decompressed.close() finally super.close()
+  }
+
+  /** CompressionOutputStream writing the LZ4 *frame* format — what the
+    * reference's datasets actually contain. */
+  private final class DelegatedOutputStream(raw: OutputStream)
+      extends CompressionOutputStream(raw) {
+    private val lz4 = new FramedLZ4CompressorOutputStream(raw)
+    override def write(b: Int): Unit = lz4.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      lz4.write(b, off, len)
+    override def finish(): Unit = lz4.finish()
+    override def resetState(): Unit =
+      throw new UnsupportedOperationException("not a splittable codec")
+    override def close(): Unit =
+      try lz4.close() finally super.close()
+  }
+
+  /** The codec pool insists on (de)compressor instances even though the
+    * delegated streams do all the work — these satisfy the contract and
+    * must never be asked to actually (de)compress. */
+  @DoNotPool
+  final class InertDecompressor extends Decompressor {
+    override def setInput(b: Array[Byte], off: Int, len: Int): Unit = ()
+    override def needsInput(): Boolean = true
+    override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = ()
+    override def needsDictionary(): Boolean = false
+    override def finished(): Boolean = false
+    override def decompress(b: Array[Byte], off: Int, len: Int): Int =
+      throw new UnsupportedOperationException("stream-delegated codec")
+    override def getRemaining: Int = 0
+    override def reset(): Unit = ()
+    override def end(): Unit = ()
+  }
+
+  @DoNotPool
+  final class InertCompressor extends Compressor {
+    override def setInput(b: Array[Byte], off: Int, len: Int): Unit = ()
+    override def needsInput(): Boolean = true
+    override def setDictionary(b: Array[Byte], off: Int, len: Int): Unit = ()
+    override def getBytesRead: Long = 0L
+    override def getBytesWritten: Long = 0L
+    override def finish(): Unit = ()
+    override def finished(): Boolean = false
+    override def compress(b: Array[Byte], off: Int, len: Int): Int =
+      throw new UnsupportedOperationException("stream-delegated codec")
+    override def reset(): Unit = ()
+    override def end(): Unit = ()
+    override def reinit(c: Configuration): Unit = ()
+  }
+}

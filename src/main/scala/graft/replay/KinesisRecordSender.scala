@@ -1,0 +1,119 @@
+package graft.replay
+
+/** R10/R11 — the real Kinesis `PutRecords` transport, reflection-loaded.
+  *
+  * The AWS SDK is not on this build's (offline) classpath, so the adapter
+  * binds `software.amazon.awssdk` entirely via reflection: it COMPILES
+  * without the SDK and ACTIVATES when the jars are present at runtime
+  * (spark-submit `--jars`). Everything protocol-shaped stays in [[Sink]] —
+  * ≤500-record batches, partial-failure requeue, `min(2000, 2^a·100)`
+  * backoff (KinesisProducer.java:139-169) — this class maps exactly one
+  * batch to one `PutRecords` call and reports the failed indices:
+  *
+  *   - entries: `PutRecordsRequestEntry.builder().data(SdkBytes).
+  *     partitionKey(randomUUID)` (KinesisProducer.java:182-199 — random
+  *     keys spread records across shards, destroying cross-shard order by
+  *     design, SURVEY.md §8.6);
+  *   - request: `PutRecordsRequest.builder().streamARN(arn).records(...)`
+  *     (KinesisProducer.java:174-179);
+  *   - failures: entries whose `errorCode` is non-null
+  *     (KinesisProducer.java:187-195), returned as 0-based indices for
+  *     [[Sink]]'s requeue loop.
+  *
+  * `sdkRoot` redirects the package root so the reflective chain is
+  * contract-tested against stub classes without the real SDK (SinkSpec).
+  * One client per sender instance, like the reference's one client per
+  * sender thread (KinesisProducer.java:100); `lazy` defers construction to
+  * first use on the executor after task deserialization.
+  */
+final class KinesisRecordSender(
+    streamArn: String,
+    sdkRoot: String = KinesisRecordSender.DefaultSdkRoot,
+    clientFactory: Option[() => AnyRef] = None) extends RecordSender {
+  import KinesisRecordSender._
+
+  require(StreamArn.validate(streamArn), s"invalid Kinesis stream ARN: $streamArn")
+
+  @transient private lazy val client: AnyRef =
+    clientFactory.map(_.apply()).getOrElse(defaultClient(sdkRoot, streamArn))
+
+  override def send(records: Seq[Array[Byte]]): Seq[Int] = {
+    val entries = new java.util.ArrayList[AnyRef](records.size)
+    records.foreach { bytes =>
+      val data = callStatic(s"$sdkRoot.core.SdkBytes", "fromByteArray", bytes)
+      val b = callStatic(s"$sdkRoot.services.kinesis.model.PutRecordsRequestEntry", "builder")
+      call(b, "data", data)
+      call(b, "partitionKey", java.util.UUID.randomUUID().toString)
+      entries.add(call(b, "build"))
+    }
+    val rb = callStatic(s"$sdkRoot.services.kinesis.model.PutRecordsRequest", "builder")
+    call(rb, "streamARN", streamArn)
+    call(rb, "records", entries)
+    val response = call(client, "putRecords", call(rb, "build"))
+    failedIndices(response)
+  }
+}
+
+object KinesisRecordSender {
+
+  val DefaultSdkRoot = "software.amazon.awssdk"
+
+  /** True when the Kinesis SDK is loadable — the activation switch. */
+  def sdkPresent(sdkRoot: String = DefaultSdkRoot): Boolean =
+    try { Class.forName(s"$sdkRoot.services.kinesis.KinesisClient"); true }
+    catch { case _: ClassNotFoundException | _: NoClassDefFoundError => false }
+
+  /** `KinesisClient.builder().region(Region.of(<arn region>)).build()` —
+    * the reference's per-sender client (KinesisProducer.java:100). */
+  private def defaultClient(sdkRoot: String, streamArn: String): AnyRef = {
+    val region = callStatic(s"$sdkRoot.regions.Region", "of",
+      StreamArn.extractRegion(streamArn)) // R11
+    val b = callStatic(s"$sdkRoot.services.kinesis.KinesisClient", "builder")
+    call(b, "region", region)
+    call(b, "build")
+  }
+
+  /** 0-based indices of entries with a non-null `errorCode`
+    * (KinesisProducer.java:187-195); fast path when none failed. */
+  private[replay] def failedIndices(response: AnyRef): Seq[Int] = {
+    val n = call(response, "failedRecordCount") match {
+      case null => 0
+      case x: Number => x.intValue()
+    }
+    if (n <= 0) Nil
+    else {
+      val recs = call(response, "records").asInstanceOf[java.util.List[AnyRef]]
+      (0 until recs.size()).filter(i => call(recs.get(i), "errorCode") != null)
+    }
+  }
+
+  /** Duck-typed instance call: first public method matching name/arity
+    * with assignable arguments. The SDK's fluent builders return `this`,
+    * so chained configuration is just repeated `call`s on the builder. */
+  private[replay] def call(target: AnyRef, method: String, args: AnyRef*): AnyRef = {
+    val m = target.getClass.getMethods.find(m =>
+      m.getName == method && m.getParameterCount == args.length &&
+        m.getParameterTypes.zip(args).forall { case (p, a) =>
+          a == null || p.isAssignableFrom(a.getClass) || p.isPrimitive
+        })
+      .getOrElse(throw new NoSuchMethodException(
+        s"${target.getClass.getName}.$method/${args.length}"))
+    m.invoke(target, args: _*)
+  }
+
+  /** Static (or Scala-object) call on a class resolved by name. */
+  private[replay] def callStatic(className: String, method: String, args: AnyRef*): AnyRef = {
+    val cls = Class.forName(className)
+    cls.getMethods.find(m =>
+      m.getName == method && m.getParameterCount == args.length &&
+        java.lang.reflect.Modifier.isStatic(m.getModifiers) &&
+        m.getParameterTypes.zip(args).forall { case (p, a) =>
+          a == null || p.isAssignableFrom(a.getClass) || p.isPrimitive
+        }) match {
+      case Some(m) => m.invoke(null, args: _*)
+      case None => // Scala object without static forwarders
+        val module = Class.forName(className + "$").getField("MODULE$").get(null)
+        call(module, method, args: _*)
+    }
+  }
+}

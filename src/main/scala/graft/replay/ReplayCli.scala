@@ -75,9 +75,13 @@ object ReplayCli {
     spark.sparkContext.setLogLevel("WARN")
     val inner: RecordSender =
       if (dryRun) new CollectingSender()
+      else if (cfg.streamArn.isEmpty)
+        throw new IllegalArgumentException(s"-streamArn is required unless -dryRun\n$usage")
+      else if (KinesisRecordSender.sdkPresent())
+        new KinesisRecordSender(cfg.streamArn) // reflection-bound PutRecords
       else throw new IllegalStateException(
-        "no Kinesis SDK on the offline classpath — implement RecordSender " +
-          "with software.amazon.awssdk.services.kinesis and pass it to ReplayJob.run")
+        "AWS Kinesis SDK not on the classpath — submit with " +
+          "software.amazon.awssdk:kinesis on --jars, or use -dryRun")
     ReplayStats.configureShared(cfg.statisticsFrequencyMillis, m => println(s"[stats] $m"))
     val t0 = System.nanoTime()
     val sent = ReplayJob.run(spark, cfg, inner)

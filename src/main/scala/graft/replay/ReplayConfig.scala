@@ -15,11 +15,13 @@ final case class ReplayConfig(
     timestampAttributeName: String = "dropoff_datetime", // RePlayer.java:25
     seek: Option[Instant] = None, // RePlayer.java:49-51
     statisticsFrequencyMillis: Long = 20000L, // RePlayer.java:24
-    // Accepted for CLI parity with the reference (RePlayer.java:26-27) but
-    // intentionally NOT consumed: the reorder buffer's job is done by the
-    // sort/watermark state store and the producer queue's backpressure by
-    // trigger limits — there is no in-process buffer to size.
+    // Hard capacity of the streaming reorder buffer (RePlayer.java:26, the
+    // reference's 100k bounded queue); the batch path has no in-process
+    // buffer (total sort) so it ignores this.
     readerBufferSize: Int = 100000,
+    // Accepted for CLI parity (RePlayer.java:27) but intentionally NOT
+    // consumed: the producer queue's backpressure is done by trigger
+    // limits + batched sends — there is no producer-side buffer to size.
     producerBufferSize: Int = 5000,
     senderParallelism: Int = 4, // RePlayer.java:28 — sink partition count
     objectSuffixToSkip: String = "README.md", // JsonEventS3Iterator.java:71-73

@@ -55,7 +55,9 @@ object Sink {
 
   /** One batch through the reference's retry protocol; returns retries.
     * Partial failures re-send only the failed subset, like
-    * KinesisProducer.java:187-195. */
+    * KinesisProducer.java:187-195. Request/retry totals flow into the
+    * shared stats (reference: totalRequestCount/totalRetryCount,
+    * RePlayer.java:152-155). */
   private def sendWithRetry(batch: Seq[Array[Byte]], sender: RecordSender,
       sleeper: Long => Unit): Long = {
     var pending = batch
@@ -70,6 +72,7 @@ object Sink {
       pending = failed.map(pending)
       attempt += 1
     }
+    ReplayStats.shared.recordRequests(attempt.toLong, retries)
     retries
   }
 
@@ -134,7 +137,9 @@ object Pace {
 }
 
 /** R12 — running replay statistics (RePlayer.java:114-162): total/windowed
-  * counts, emitted every statisticsFrequencyMillis with rate + replay lag.
+  * counts, emitted every statisticsFrequencyMillis with rate, replay lag,
+  * sink-buffer occupancy, and PutRecords request/retry totals — the full
+  * field set of the reference's debug stats line (RePlayer.java:152-155).
   *
   * State lives in the JVM-wide [[ReplayStats.shared]] instance so that
   * task-deserialized closures all accumulate into the same counters —
@@ -145,6 +150,19 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
   private val total = new AtomicLong(0)
   private val windowStart = new AtomicLong(System.currentTimeMillis())
   private val window = new AtomicLong(0)
+  private val requests = new AtomicLong(0)
+  private val retries = new AtomicLong(0)
+  /** Reorder/sink buffer occupancy (reference: bufferedEventCount); wired
+    * by the streaming path, 0/0 where there is no in-process buffer. */
+  @volatile var queueGauge: () => Int = () => 0
+  @volatile var queueCapacity: Int = 0
+
+  /** One PutRecords-equivalent exchange: `n` send calls, `r` of them
+    * retries (KinesisProducer.java totalRequestCount/totalRetryCount). */
+  def recordRequests(n: Long, r: Long): Unit = {
+    requests.addAndGet(n)
+    retries.addAndGet(r)
+  }
 
   def record(lagMs: Long, highWaterMs: Long): Unit = {
     total.incrementAndGet()
@@ -158,11 +176,19 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
       val n = window.getAndSet(0)
       val rate = math.round(1000.0 * n / frequencyMillis) // RePlayer.java:150
       log(f"replayed ${total.get()} events (rate $rate/s, lag ${lagMs}ms, " +
-        f"high-water ${java.time.Instant.ofEpochMilli(highWaterMs)})")
+        f"high-water ${java.time.Instant.ofEpochMilli(highWaterMs)}, " +
+        f"buffer $queueCapacity/${queueGauge()} capacity/used, " +
+        f"${requests.get()}/${retries.get()} requests/retries)")
     }
   }
   def totalCount: Long = total.get()
-  def reset(): Unit = { total.set(0); window.set(0); windowStart.set(System.currentTimeMillis()) }
+  def requestCount: Long = requests.get()
+  def retryCount: Long = retries.get()
+  def reset(): Unit = {
+    total.set(0); window.set(0); windowStart.set(System.currentTimeMillis())
+    requests.set(0); retries.set(0)
+    queueGauge = () => 0; queueCapacity = 0
+  }
 }
 
 object ReplayStats {

@@ -11,11 +11,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * skips objects by suffix (JsonEventS3Iterator.java:139-143).
   *
   * Spark-first mapping: the `text` file source does listing, codec
-  * resolution (by extension via Hadoop CompressionCodecFactory), and line
-  * splitting inside FileSourceScanExec — distributed over executors instead
-  * of one reader thread. The suffix anti-filter is applied at file-listing
-  * time (a negative filter, which `pathGlobFilter` — positive-only — can't
-  * express), so skipped objects are never opened, matching the reference.
+  * resolution, and line splitting inside FileSourceScanExec — distributed
+  * over executors instead of one reader thread. Codec choice is by
+  * extension (Hadoop CompressionCodecFactory), with the reference's
+  * magic-byte content detection re-created inside [[FramedLz4Codec]] for
+  * the ambiguous `.lz4` extension (framed vs block format). The suffix
+  * anti-filter is applied at file-listing time (a negative filter, which
+  * `pathGlobFilter` — positive-only — can't express), so skipped objects
+  * are never opened, matching the reference.
   */
 object Source {
 
@@ -37,8 +40,11 @@ object Source {
   /** One row per line, column `value: String` — payload kept verbatim
     * (critical for byte-exact replay; `spark.read.json` would re-serialize).
     * Unreadable files are skipped like the reference's object-level skip
-    * (JsonEventS3Iterator.java:151-160) via ignoreCorruptFiles. */
+    * (JsonEventS3Iterator.java:151-160) via ignoreCorruptFiles. The
+    * content-sniffing [[FramedLz4Codec]] handles the reference's framed
+    * `.lz4` datasets (R2); other extensions resolve to stock Hadoop codecs. */
   def jsonLines(spark: SparkSession, cfg: ReplayConfig): DataFrame = {
+    FramedLz4Codec.register(spark.sparkContext.hadoopConfiguration)
     val files = listFiles(spark, cfg.inputPath, cfg.objectSuffixToSkip)
     require(files.nonEmpty, s"no input files under ${cfg.inputPath}")
     spark.read

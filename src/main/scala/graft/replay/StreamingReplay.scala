@@ -5,18 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming form of the replay pipeline (SURVEY.md §2A R8/R14
-  * mapping): `readStream` text source → parse → watermark-driven reorder →
-  * paced sink.
+  * mapping): `readStream` text source → parse → bounded reorder → paced
+  * sink.
   *
   * The reference's 100k-event priority-queue reorder buffer
   * (JsonEventBufferedReader.java:39-47) becomes a [[ReorderBuffer]] fed by
-  * `foreachBatch`: events are held until the event-time watermark
-  * (max seen − disorder tolerance) passes them, then released in event-time
-  * order and paced out — so cross-micro-batch disorder up to the tolerance
-  * is repaired, not just disorder within one batch. At end of input
+  * `foreachBatch`: events are held until the disorder horizon (max event
+  * time seen − tolerance) passes them, then released in event-time order
+  * and paced out — so cross-micro-batch disorder up to the tolerance is
+  * repaired, not just disorder within one batch. The buffer enforces the
+  * reference's HARD capacity too (readerBufferSize, RePlayer.java:26):
+  * when full, the oldest events are force-released — bounded memory wins
+  * over reorder completeness, the same trade the reference's bounded queue
+  * makes by refusing further reads. At end of input
   * (`Trigger.AvailableNow` — the reference's drain-termination protocol,
   * RePlayer.java:132-164, without its fill() hang, SURVEY.md §8.1) the
-  * buffer drains in order, exactly like the reference's final buffer drain.
+  * buffer drains in order, exactly like the reference's final drain.
   *
   * Architecture note (deliberate, documented boundary): this single shared
   * buffer reproduces the reference's single-node architecture — one ordered
@@ -25,17 +29,31 @@ import org.apache.spark.sql.streaming.Trigger
   * cluster — is never the throughput bound. The horizontally-scalable form
   * of replay is the batch path ([[ReplayJob]]): a range-partitioned total
   * sort with per-partition pacing and no driver-side state.
+  *
+  * Durability contract: `run()` is SINGLE-SHOT, like the reference's
+  * in-process queue. Micro-batches commit to the (ephemeral, default)
+  * checkpoint after `foreachBatch` returns, while unreleased events live
+  * only in the driver-side buffer — restarting from a DURABLE checkpoint
+  * would skip committed batches and drop whatever the buffer still held
+  * (at-most-once). Run to completion or re-run from scratch; do not point
+  * `checkpointLocation` at a reused durable path.
   */
 object StreamingReplay {
 
-  /** Watermark-driven bounded reorder buffer — the streaming-side
-    * equivalent of the reference's priority queue
-    * (JsonEventBufferedReader.java:39-47). `release()` pops everything at
-    * or below the watermark (max event time seen − tolerance) in
-    * (event-time, arrival-seq) order; `drain()` pops the rest at end of
-    * input. State is bounded by the events inside the disorder horizon —
-    * the same bound the reference enforces by queue capacity. */
-  final class ReorderBuffer(toleranceMs: Long) {
+  /** Bounded reorder buffer — the streaming-side equivalent of the
+    * reference's capacity-bounded priority queue
+    * (JsonEventBufferedReader.java:39-47, capacity RePlayer.java:26).
+    *
+    * Two release triggers, mirroring the reference's two bounds:
+    *  - the disorder horizon: `release()` pops everything at or below
+    *    (max event time seen − tolerance), in (event-time, arrival-seq)
+    *    order — the time-bound on held state;
+    *  - hard capacity: anything beyond `capacity` force-releases oldest
+    *    first — the size-bound, so a dense or short-spanned input can
+    *    never grow driver memory without limit.
+    * `drain()` pops the rest at end of input. */
+  final class ReorderBuffer(toleranceMs: Long, capacity: Int = 100000) {
+    require(capacity > 0, s"capacity must be > 0, got $capacity")
     private final case class E(ms: Long, seq: Long, payload: String)
     private val pq = new java.util.PriorityQueue[E]((a: E, b: E) =>
       if (a.ms != b.ms) java.lang.Long.compare(a.ms, b.ms)
@@ -47,55 +65,71 @@ object StreamingReplay {
       pq.add(E(ms, seq, payload)); seq += 1
       if (ms > maxMs) maxMs = ms
     }
-    /** Events whose time has been passed by the watermark, in order. */
+    /** Events passed by the horizon, plus capacity overflow — in order.
+      * An over-capacity buffer sheds down to half capacity (hysteresis:
+      * a saturated buffer releases chunks, never one event per add). */
     def release(): Vector[(Long, String)] = synchronized {
-      if (maxMs == Long.MinValue) Vector.empty
-      else popWhile(_.ms <= maxMs - toleranceMs)
-    }
-    /** End-of-input: everything left, in order. */
-    def drain(): Vector[(Long, String)] = synchronized(popWhile(_ => true))
-    def size: Int = synchronized(pq.size)
-
-    private def popWhile(p: E => Boolean): Vector[(Long, String)] = {
       val b = Vector.newBuilder[(Long, String)]
-      while (!pq.isEmpty && p(pq.peek())) {
-        val e = pq.poll(); b += ((e.ms, e.payload))
+      if (maxMs != Long.MinValue) {
+        val horizon = maxMs - toleranceMs
+        val target = if (pq.size > capacity) capacity / 2 else capacity
+        while (!pq.isEmpty && (pq.peek().ms <= horizon || pq.size > target)) {
+          val e = pq.poll(); b += ((e.ms, e.payload))
+        }
       }
       b.result()
     }
+    /** End-of-input: everything left, in order. */
+    def drain(): Vector[(Long, String)] = synchronized {
+      val b = Vector.newBuilder[(Long, String)]
+      while (!pq.isEmpty) { val e = pq.poll(); b += ((e.ms, e.payload)) }
+      b.result()
+    }
+    def size: Int = synchronized(pq.size)
   }
 
-  /** Streaming scheduled events; the watermark declares the disorder
-    * horizon the sink-side [[ReorderBuffer]] enforces. The suffix
+  /** Streaming scheduled events. The disorder horizon is enforced by the
+    * sink-side [[ReorderBuffer]] (no `withWatermark` here: there is no
+    * stateful streaming operator downstream to consume one, the buffer
+    * computes its own horizon from max event time seen). The suffix
     * anti-filter (R4) is applied via input_file_name — readStream has no
     * file-list form, and pathGlobFilter is positive-only — and unreadable
     * objects are skipped (R5) like the batch path. */
   def stream(spark: SparkSession, cfg: ReplayConfig,
-      disorderToleranceMs: Long = 600000L,
       maxFilesPerTrigger: Int = 16): DataFrame = {
+    FramedLz4Codec.register(spark.sparkContext.hadoopConfiguration)
     val lines = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .option("ignoreCorruptFiles", "true")
       .text(cfg.inputPath)
       .filter(!input_file_name().endsWith(cfg.objectSuffixToSkip))
     Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
-      .withWatermark("timestamp", s"$disorderToleranceMs milliseconds")
   }
 
   /** Paced replay to a [[RecordSender]]. Blocks until the input is drained
     * (AvailableNow) and the reorder buffer is flushed; returns records
-    * sent. Events are released from the buffer only once the watermark
-    * passes them, paced against the affine schedule anchored at the first
-    * released (earliest) event, and sent over `senderParallelism` lanes,
-    * each a contiguous time slice (per-lane event-time order, like the
-    * batch path). */
+    * sent. Events are released from the buffer once the disorder horizon
+    * passes them (or capacity forces them), paced against the affine
+    * schedule anchored at the first released (earliest) event, and sent
+    * over `senderParallelism` lanes, each a contiguous time slice
+    * (per-lane event-time order, like the batch path).
+    *
+    * Driver-memory bound: micro-batch rows stream through
+    * `toLocalIterator` (one task's partition at a time, never the whole
+    * batch), and the buffer holds at most `cfg.readerBufferSize` events
+    * before force-releasing — one oversized input file cannot OOM the
+    * driver. See the class scaladoc for the single-shot durability
+    * contract. */
   def run(spark: SparkSession, cfg: ReplayConfig, sender: RecordSender,
       nowMs: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = Thread.sleep,
       disorderToleranceMs: Long = 600000L,
       maxFilesPerTrigger: Int = 16): Long = {
     val startMs = cfg.ingestionStartMs.getOrElse(System.currentTimeMillis())
-    val buffer = new ReorderBuffer(disorderToleranceMs)
+    val buffer = new ReorderBuffer(disorderToleranceMs, cfg.readerBufferSize)
+    // R12 parity: the stats line reports this buffer's capacity/occupancy
+    ReplayStats.shared.queueGauge = () => buffer.size
+    ReplayStats.shared.queueCapacity = cfg.readerBufferSize
     // anchor is stateful across micro-batches, like the reference's parser
     val anchorMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val sentAcc = spark.sparkContext.longAccumulator("streaming_records_sent")
@@ -121,15 +155,21 @@ object StreamingReplay {
         }
     }
 
-    val query = stream(spark, cfg, disorderToleranceMs, maxFilesPerTrigger)
+    val query = stream(spark, cfg, maxFilesPerTrigger)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the micro-batch is small by construction (maxFilesPerTrigger);
-        // it feeds the single reorder buffer, as in the reference
-        batch.select(col("payload"), unix_millis(col("timestamp")).as("ms"))
-          .collect()
-          .foreach(r => buffer.add(r.getLong(1), r.getString(0)))
+        // rows stream driver-side one partition at a time; the buffer's
+        // capacity (not the batch size) bounds held memory, releasing
+        // mid-batch whenever the cap is crossed
+        val rows = batch
+          .select(col("payload"), unix_millis(col("timestamp")).as("ms"))
+          .toLocalIterator()
+        while (rows.hasNext) {
+          val r = rows.next()
+          buffer.add(r.getLong(1), r.getString(0))
+          if (buffer.size > cfg.readerBufferSize) emit(buffer.release())
+        }
         emit(buffer.release())
         ()
       }

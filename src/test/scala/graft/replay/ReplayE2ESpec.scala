@@ -177,6 +177,87 @@ class ReplayE2ESpec extends SparkSpec {
     assert(spark.table("ckpt_out").agg(sum("n")).first().getLong(0) == 9)
   }
 
+  test("streaming replay: one oversized file completes under a hard buffer capacity") {
+    // 500 shuffled events in a SINGLE file — maxFilesPerTrigger can't bound
+    // this; the buffer's hard capacity (readerBufferSize=10) must: rows
+    // stream through toLocalIterator and the buffer force-releases oldest
+    // past the cap, so driver-held state stays ~10 events at any moment
+    val dir = Files.createTempDirectory("replay_fat")
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle((1 to 500).toList).map { i =>
+      f"""{"id":$i,"dropoff_datetime":"2024-01-01T${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d.000Z"}"""
+    }
+    Files.write(dir.resolve("fat.jsonl"), rows.mkString("\n").getBytes(UTF_8))
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 3600000L,
+      ingestionStartMs = Some(0L), senderParallelism = 2,
+      readerBufferSize = 10)
+    CollectingSender.clear()
+    val sent = StreamingReplay.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => (),
+      disorderToleranceMs = Long.MaxValue / 2) // horizon never fires: capacity must
+    assert(sent == 500)
+    // forced releases may reorder beyond the 10-event horizon, but nothing
+    // is ever dropped
+    assert(ids(CollectingSender.payloads).sorted == (1 to 500).toList)
+  }
+
+  test("framed .json.lz4 input (the reference's default dataset format) replays byte-exactly (R2)") {
+    val dir = Files.createTempDirectory("replay_lz4")
+    val lines = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z","fare":3.25}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z","fare":11.0}""",
+      """{"id":3,"dropoff_datetime":"2024-01-01T00:02:00Z"}""")
+    val lz4 = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("taxi-trips.json.lz4")))
+    lz4.write(lines.mkString("\n").getBytes(UTF_8)); lz4.close()
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 3)
+    val payloads = CollectingSender.payloads
+    assert(ids(payloads) == Seq(1, 2, 3))
+    // byte-exact: original line + the forced trailing newline, nothing else
+    assert(payloads == lines.map(_ + "\n"))
+  }
+
+  test("block-format .lz4 (Hadoop Lz4Codec wire format) still decodes via the sniffing fallback") {
+    val dir = Files.createTempDirectory("replay_lz4_block")
+    val lines = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""")
+    val hadoopLz4 = new org.apache.hadoop.io.compress.Lz4Codec()
+    hadoopLz4.setConf(spark.sparkContext.hadoopConfiguration)
+    val out = hadoopLz4.createOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("events.jsonl.lz4")))
+    out.write(lines.mkString("\n").getBytes(UTF_8)); out.close()
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 2)
+    assert(ids(CollectingSender.payloads) == Seq(1, 2))
+  }
+
+  test("streaming source also decodes framed .lz4 (codec registered on the shared conf)") {
+    val dir = Files.createTempDirectory("replay_lz4_stream")
+    val lines = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""")
+    val lz4 = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("events.json.lz4")))
+    lz4.write(lines.mkString("\n").getBytes(UTF_8)); lz4.close()
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = StreamingReplay.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 2)
+    assert(ids(CollectingSender.payloads) == Seq(1, 2))
+  }
+
   test("fractional speedup 0.5 slows replay to half speed end-to-end") {
     val dir = writeFixture()
     // 0.5 = slow-down: 60s event gaps stretch to 120s of simulated time

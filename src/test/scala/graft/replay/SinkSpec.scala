@@ -71,6 +71,78 @@ class SinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](StreamArn.extractRegion("nope"))
   }
 
+  private val TestArn = "arn:aws:kinesis:eu-west-1:123456789012:stream/replay-test"
+
+  test("reflective Kinesis sender: full PutRecords contract against the stub SDK") {
+    import graft.replay.fakesdk.services.kinesis.model.FakeKinesisClient
+    // call 1 (the 500-batch) partially fails records 1 and 3 → Sink must
+    // resend exactly those two; later calls succeed
+    val client = new FakeKinesisClient(Seq(Seq(1, 3)))
+    val sender = new KinesisRecordSender(TestArn,
+      sdkRoot = "graft.replay.fakesdk", clientFactory = Some(() => client))
+    val (sent, retries) = Sink.sendAll(
+      (0 until 700).iterator.map(i => bytes(s"r$i")), sender, _ => ())
+    assert(sent == 700 && retries == 1)
+    // batches: 500 (2 failed) → the 2 retried → 200
+    assert(client.batches.map(_.size).toSeq == Seq(500, 2, 200))
+    assert(client.batches(1) == Seq("r1", "r3")) // failed subset only, in order
+    assert(client.arns.forall(_ == TestArn)) // streamARN on every request
+    // random partition keys, one per record incl. retries, all distinct
+    assert(client.partitionKeys.size == 702)
+    assert(client.partitionKeys.distinct.size == 702)
+  }
+
+  test("reflective sender activation: stub root present, real SDK root absent") {
+    assert(KinesisRecordSender.sdkPresent("graft.replay.fakesdk"))
+    assert(!KinesisRecordSender.sdkPresent()) // offline classpath: no AWS SDK
+    intercept[IllegalArgumentException](new KinesisRecordSender("not-an-arn"))
+  }
+
+  test("failedIndices reads errorCode entries duck-typed") {
+    import graft.replay.fakesdk.services.kinesis.model.PutRecordsResponse
+    assert(KinesisRecordSender.failedIndices(new PutRecordsResponse(Nil, 5)) == Nil)
+    assert(KinesisRecordSender.failedIndices(
+      new PutRecordsResponse(Seq(0, 4), 5)) == Seq(0, 4))
+  }
+
+  test("reorder buffer enforces hard capacity, shedding oldest first with hysteresis") {
+    val buf = new StreamingReplay.ReorderBuffer(toleranceMs = Long.MaxValue / 2, capacity = 4)
+    // tolerance so large the horizon never releases — only capacity can
+    Seq(50L, 10L, 40L, 20L, 30L).foreach(ms => buf.add(ms, s"e$ms"))
+    assert(buf.size == 5)
+    val shed = buf.release()
+    // over capacity → shed to capacity/2 = 2, oldest first, in order
+    assert(shed.map(_._1) == Seq(10L, 20L, 30L))
+    assert(buf.size == 2)
+    assert(buf.release().isEmpty) // back under capacity, horizon still far
+    assert(buf.drain().map(_._1) == Seq(40L, 50L))
+  }
+
+  test("stats line carries buffer occupancy and request/retry totals (R12 parity)") {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    ReplayStats.configureShared(0L, lines += _) // freq 0: log on every record
+    ReplayStats.shared.queueCapacity = 100
+    ReplayStats.shared.queueGauge = () => 7
+    try {
+      // one batch that fails once then succeeds: 2 requests, 1 retry
+      val sender = new CollectingSender(failFirstNAttempts = 1)
+      CollectingSender.clear()
+      val (sent, retries) = Sink.sendScheduled(
+        Iterator((0L, bytes("a")), (0L, bytes("b"))), sender,
+        nowMs = () => Long.MaxValue, sleeper = _ => (),
+        onPaced = lag => ReplayStats.shared.record(lag, 42L))
+      assert(sent == 2 && retries == 1)
+      assert(ReplayStats.shared.requestCount == 2)
+      assert(ReplayStats.shared.retryCount == 1)
+      // per-record lines precede the final flush; one more record reports
+      // the settled request totals
+      ReplayStats.shared.record(0L, 42L)
+      assert(lines.nonEmpty)
+      assert(lines.last.contains("buffer 100/7 capacity/used"))
+      assert(lines.last.contains("2/1 requests/retries"))
+    } finally ReplayStats.configureShared(Long.MaxValue, _ => ())
+  }
+
   test("affine schedule arithmetic (R6): deltas divided by speedup, round-half-up") {
     assert(Schedule.ingestionMs(eventMs = 6480000, firstEventMs = 0,
       ingestionStartMs = 5000, speedupFactor = 6480) == 6000)
