@@ -52,6 +52,26 @@ object DedupOps {
   private def persistShingles(s: SparkSession, d: String): DataFrame =
     shCache.getOrElseUpdate(d, shingleHashRows(s, d).persist())
 
+  // The verified near-dup pair relation feeds both the pair query (x26)
+  // and the cluster query (x26e) — cached like the shingles so the
+  // O(shared-shingle) self-join is paid once per SF dir regardless of
+  // which query runs first.
+  @transient private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def persistPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate(d, {
+      val sh = persistShingles(s, d)
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      coocPairs(sh, "shh")
+        .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
+        .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+        .withColumn("jac", col("inter").cast("double") /
+          (col("n1.ns") + col("n2.ns") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
+        .persist()
+    })
+
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick). */
   def x25Exact(s: SparkSession, d: String): DataFrame =
@@ -74,19 +94,11 @@ object DedupOps {
     * sides and the per-doc counts (it is otherwise recomputed 3×), and the
     * join key is xxhash64(shingle) — an 8-byte shuffle key; a cross-shingle
     * hash collision (p ≈ n²/2⁶⁴ ≈ 10⁻¹² here) would perturb one count.
-    * The correctness oracle for the LSH path below. */
-  def x26Jaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = persistShingles(s, d)
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    coocPairs(sh, "shh")
-      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
-      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
-      .withColumn("jac", col("inter").cast("double") /
-        (col("n1.ns") + col("n2.ns") - col("inter")))
-      .filter(col("jac") >= 0.5)
-      .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
-  }
+    * The correctness oracle for the LSH path below; the unordered pair
+    * relation itself is cached ([[persistPairs]]) and shared with the
+    * cluster query [[x26eDedupClusters]]. */
+  def x26Jaccard(s: SparkSession, d: String): DataFrame =
+    persistPairs(s, d).orderBy(col("d1"), col("d2"))
 
   // MinHash parameters: k=16 permutations h_i(x) = (a_i·x + b_i) mod p over
   // a 31-bit base hash, banded 4×4 for LSH. Constants are fixed (results
@@ -145,6 +157,53 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** X26 — near-dup CLUSTERS: connected components over the exact-Jaccard
+    * pair graph (the step that turns pairwise matches into dedup groups —
+    * keep `min(doc_id)` per component as the canonical survivor).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round
+    * every node takes the minimum label among itself and its neighbors;
+    * convergence needs ≤ diameter rounds (near-dup components are shallow:
+    * chains of transitively-similar docs). This is the standard
+    * shuffle-based connected-components shape on Spark — each round is one
+    * equi-join + hash aggregation, both label relations tiny relative to
+    * the corpus (only docs that appear in some pair), and only the scalar
+    * changed-count crosses to the driver per round. Deterministic: the
+    * fixpoint (component-min labels) does not depend on iteration order. */
+  def x26eDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = persistPairs(s, d).select(col("d1"), col("d2"))
+    // undirected: propagate along both directions of each edge
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist()
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    // labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint — one scalar aggregate per round is the whole convergence
+    // check (no join-and-compare job)
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 50) {
+      val prop = edges.join(labels, col("d2") === col("id"))
+        .select(col("d1").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist()
+      val newSum = labelSum(prop)
+      labels.unpersist()
+      labels = prop
+      converged = newSum == prevSum
+      prevSum = newSum
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
     * the token hash's bit value; the sign becomes the fingerprint bit.
     * Deterministic (integer sums). Near-dup docs differ in few bits. */
@@ -168,7 +227,8 @@ object DedupOps {
     "x25_exact_dedup" -> (x25Exact _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
     "x26b_minhash_lsh" -> (minhashPairs _),
-    "x26c_simhash" -> (simhash _))
+    "x26c_simhash" -> (simhash _),
+    "x26e_dedup_clusters" -> (x26eDedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "x25_exact_dedup" ->
@@ -193,7 +253,36 @@ object DedupOps {
         | round(CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter), 6) AS jaccard
         |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+    // Connected components as a recursive reachability closure: min
+    // reachable id per node == the propagation fixpoint.
+    "x26e_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT d1, d2 FROM inter
+        |  JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(id, m) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, min(m) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     // x26b/x26c: Spark-side hashes (xxhash64) are not portable SQL — the
     // LSH pair set is instead asserted equal to x26's exact pairs in
     // DedupSpec, and simhash determinism/neighborhood in the same spec.

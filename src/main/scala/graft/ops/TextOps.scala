@@ -111,6 +111,49 @@ object TextOps {
         try_element_at(col("tk"), lit(1)).as("first_tok"))
       .orderBy(col("doc_id"))
 
+  /** X28 — PII/pattern scan: per-doc counts of email-, URL-, and
+    * long-digit-run-shaped substrings plus the redacted length — the
+    * filtering/cleaning pass of a training-data pipeline. Patterns stay in
+    * the Java∩RE2 regex dialect intersection so the DuckDB oracle matches
+    * byte-for-byte. */
+  def x28gPiiScan(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9][0-9][0-9][0-9]+"
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(url)).cast("int").as("n_urls"),
+        regexp_count(col("text"), lit(digits)).cast("int").as("n_digit_runs"),
+        length(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>")).as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X28 — corpus-level top-k bigrams (n-gram LM prep): adjacent-token
+    * pairs, counted corpus-wide, deterministic (count DESC, bigram ASC)
+    * top-10 — plans as partial-agg → TakeOrderedAndProject, no global
+    * sort.
+    *
+    * Adjacency via `zip_with(tk, slice(tk, 2, …))` — one linear pass.
+    * (An index lambda `element_at(tk, i)` would re-evaluate the tokenizer
+    * per index: O(n²) interpreted work per doc — measured 7× slower.)
+    * zip_with pads the tail with null; the null-partner filter drops the
+    * dangling last token, which also makes <2-token docs safely empty. */
+  def x28hTopBigrams(s: SparkSession, d: String): DataFrame = {
+    val tk = tokens(col("text"))
+    val adjacent = filter(
+      zip_with(tk, slice(tk, lit(2), size(tk)),
+        (x, y) => struct(x.as("a"), y.as("b"))),
+      p => p.getField("b").isNotNull)
+    t(s, d, "documents")
+      .select(explode(transform(adjacent,
+        p => concat_ws(" ", p.getField("a"), p.getField("b")))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(10)
+  }
+
   /** X28 — document fingerprint: 16-hex-char prefix of the content hash of
     * the token-normalized text (whitespace-insensitive exact dedup key). */
   def x28eFingerprint(s: SparkSession, d: String): DataFrame =
@@ -126,7 +169,9 @@ object TextOps {
     "x28c_lang_id" -> (x28cLangId _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
-    "x28e_fingerprint" -> (x28eFingerprint _))
+    "x28e_fingerprint" -> (x28eFingerprint _),
+    "x28g_pii_scan" -> (x28gPiiScan _),
+    "x28h_top_bigrams" -> (x28hTopBigrams _))
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -186,5 +231,22 @@ object TextOps {
     "x28e_fingerprint" ->
       s"""SELECT doc_id,
          | substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x28g_pii_scan" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+')) AS INTEGER) AS n_digit_runs,
+        | CAST(length(regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |   '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS INTEGER) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x28h_top_bigrams" ->
+      s"""WITH toks AS (SELECT $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+         |  FROM toks WHERE len(tk) >= 2)
+         |SELECT bigram, count(*) AS n FROM bg
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin)
 }

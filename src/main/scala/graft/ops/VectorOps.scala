@@ -233,6 +233,35 @@ object VectorOps {
       .orderBy(col("label"))
   }
 
+  /** X30 — symmetric int8 quantization of embeddings (the memory-scale
+    * path for a 100 TB vector corpus: 4× smaller than float32, dot
+    * products in integer SIMD): per-vector `scale = max|x|/127`,
+    * `q = floor(x/scale + 0.5)` (half-up in exact double arithmetic on
+    * BOTH engines — `round()` differs between them on negative halves),
+    * plus saturation count and reconstruction MSE. All column algebra;
+    * no data leaves the executors. */
+  def x30cQuantize(s: SparkSession, d: String): DataFrame = {
+    def dx(x: Column) = x.cast("double")
+    def q(x: Column) = floor(dx(x) / col("scale") + lit(0.5))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(dx(x)))).as("absmax"))
+      .filter(col("absmax") > 0) // all-zero vectors have no scale
+      .withColumn("scale", col("absmax") / lit(127.0))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        q(element_at(col("embedding"), 1)).cast("int").as("q1"),
+        q(element_at(col("embedding"), 2)).cast("int").as("q2"),
+        q(element_at(col("embedding"), 3)).cast("int").as("q3"),
+        q(element_at(col("embedding"), 4)).cast("int").as("q4"),
+        size(filter(col("embedding"), x => abs(q(x)) >= 127)).as("n_sat"),
+        round(aggregate(transform(col("embedding"),
+            x => (dx(x) - q(x) * col("scale")) * (dx(x) - q(x) * col("scale"))),
+          lit(0.0), (a, x) => a + x) / lit(64.0), 9).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
   /** X30 — scalar UDF surface demo (built-ins are preferred everywhere
     * else; trivial semantics keep the oracle expressible). */
   def x30bUdf(s: SparkSession, d: String): DataFrame = {
@@ -248,7 +277,8 @@ object VectorOps {
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x30_centroid_agg" -> (x30Centroid _),
-    "x30b_scalar_udf" -> (x30bUdf _))
+    "x30b_scalar_udf" -> (x30bUdf _),
+    "x30c_quantize_int8" -> (x30cQuantize _))
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -287,5 +317,26 @@ object VectorOps {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "x30b_scalar_udf" ->
       """SELECT doc_id, CAST(length(text) * 2 + 1 AS INTEGER) AS udf_val
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x30c_quantize_int8" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, embedding, absmax / 127.0 AS scale
+        |  FROM b WHERE absmax > 0)
+        |SELECT vec_id,
+        | round(scale, 6) AS scale_r,
+        | CAST(floor(CAST(embedding[1] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q1,
+        | CAST(floor(CAST(embedding[2] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q2,
+        | CAST(floor(CAST(embedding[3] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q3,
+        | CAST(floor(CAST(embedding[4] AS DOUBLE) / scale + 0.5) AS INTEGER) AS q4,
+        | CAST(len(list_filter(embedding,
+        |   x -> abs(floor(CAST(x AS DOUBLE) / scale + 0.5)) >= 127)) AS INTEGER) AS n_sat,
+        | round(list_sum(list_transform(embedding,
+        |   x -> (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+        |      * (CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+        |   / 64.0, 9) AS mse
+        |FROM sc ORDER BY vec_id""".stripMargin)
 }

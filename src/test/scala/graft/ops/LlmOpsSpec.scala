@@ -53,6 +53,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall too low")
   }
 
+  test("dedup clusters are the connected components of the near-dup pair graph") {
+    val pairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
+    val labels = DedupOps.x26eDedupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc in a pair is labelled; both ends share a label; the label
+    // is the min doc_id of the component (a reachable node)
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)))
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keySet.min == label, s"cluster $label not labelled by its min member")
+    }
+  }
+
+  test("int8 quantization stays in range with per-element error under scale/2") {
+    val rows = VectorOps.x30cQuantize(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      Seq(2, 3, 4, 5).foreach(i => assert(math.abs(r.getInt(i)) <= 127))
+      val mse = r.getDouble(7)
+      // worst case per-element |err| = scale/2 ⇒ mse ≤ (scale/2)²
+      assert(mse <= (scale / 2) * (scale / 2) + 1e-12,
+        s"vec ${r.getLong(0)}: mse $mse vs scale $scale")
+    }
+  }
+
   test("centroid aggregator is partitioning-invariant (integer-space sums)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
