@@ -162,6 +162,37 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** Pivot — long→wide reshape with an EXPLICIT category list (the
+    * two-pass "discover values then pivot" form collects distinct values
+    * to the driver; pinning the list keeps the plan single-pass and the
+    * schema static, which is the only scalable form anyway). Plans as one
+    * partial→final hash aggregation of conditional counts. */
+  def q14Pivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("O", "F", "P"))
+      .select(col("o_custkey"), col("O").as("n_open"),
+        col("F").as("n_filled"), col("P").as("n_partial"))
+      .orderBy(col("o_custkey"))
+
+  /** Unpivot/melt — wide→long reshape via `Dataset.unpivot` (UNPIVOT in
+    * SQL). Value columns unified to long (exact integer cents for money)
+    * so the melted value column has one portable type. */
+  def q14bUnpivot(s: SparkSession, d: String): DataFrame = {
+    val agg = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+    agg.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price_cents"), col("n_rows")),
+      "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
@@ -173,6 +204,8 @@ object Relational {
     "q06_anti_join" -> (q06 _),
     "q07_theta_join" -> (q07 _),
     "q10_topk" -> (q10 _),
+    "q14_pivot" -> (q14Pivot _),
+    "q14b_unpivot" -> (q14bUnpivot _),
     "q25_salted_agg" -> (q25SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +277,23 @@ object Relational {
     "q10_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q14_pivot" ->
+      """SELECT o_custkey,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q14b_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |   sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_price_cents,
+        |   count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM a
+        |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q25_salted_agg" ->
       """SELECT l_returnflag,
         | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
