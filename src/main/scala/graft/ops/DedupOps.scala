@@ -170,17 +170,25 @@ object DedupOps {
     * the corpus (only docs that appear in some pair), and only the scalar
     * changed-count crosses to the driver per round. Deterministic: the
     * fixpoint (component-min labels) does not depend on iteration order. */
-  def x26eDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = persistPairs(s, d).select(col("d1"), col("d2"))
+  def x26eDedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(persistPairs(s, d).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  /** Reusable connected components over an undirected pair list
+    * (`(d1, d2)` long columns): returns `(id, label)` where `label` is the
+    * minimum id of the node's component. Iterative min-label propagation;
+    * each round is one equi-join + hash aggregation, with a single scalar
+    * (Σlabel, strictly decreasing until the fixpoint) crossing to the
+    * driver as the convergence check. Rounds needed = component diameter.
+    * Property-tested against a union-find model (PropertySpec). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     // undirected: propagate along both directions of each edge
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val edges = pairs.toDF("d1", "d2")
+      .union(pairs.toDF("d1", "d2").select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
     var labels = edges.select(col("d1").as("id")).distinct()
       .withColumn("label", col("id")).persist()
-    // labels only ever decrease, so Σlabel strictly decreases until the
-    // fixpoint — one scalar aggregate per round is the whole convergence
-    // check (no join-and-compare job)
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
@@ -200,8 +208,7 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by

@@ -114,6 +114,37 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("connected components matches a union-find model on random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 14) // node universe 0..n
+      edges <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+    } yield edges.filter(e => e._1 != e._2)
+    check(forAll(gen) { edges =>
+      edges.isEmpty || {
+        // model: naive union-find over the same edges
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // model labels: min id per component
+        val expected = nodes.map { v =>
+          val root = find(v)
+          v -> nodes.filter(find(_) == root).min
+        }.toMap
+        val got = graft.ops.DedupOps.connectedComponents(edges.toDF("d1", "d2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }, n = 8)
+  }
+
   test("set-op algebra matches the Seq model (union/intersect/except distinct)") {
     import spark.implicits._
     val gen = for {
