@@ -60,9 +60,25 @@ object MultimodalOps {
       .orderBy(col("lang"), col("is_wide"))
   }
 
+  /** X29 — frame sampling: every 4th frame of each media payload as
+    * (frame index, byte offset, length) — the metadata-driven stride
+    * sample a video pipeline hands to the decoder, computed without
+    * touching the bytes (the decoder seeks the offsets later). The
+    * explode stays proportional to frames KEPT, not frames present. */
+  def x29cFrameSample(s: SparkSession, d: String): DataFrame =
+    x29Multimodal(s, d)
+      .select(col("doc_id"), col("n_frames"))
+      .filter(col("n_frames") > 0) // sequence(0, -1) would step backwards
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))).as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * 64)
+      .withColumn("frame_bytes", lit(64))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x29_multimodal_decode" -> (x29Multimodal _),
-    "x29b_multimodal_stats" -> (x29bShapeStats _))
+    "x29b_multimodal_stats" -> (x29bShapeStats _),
+    "x29c_frame_sample" -> (x29cFrameSample _))
 
   val oracles: Map[String, String] = Map(
     "x29_multimodal_decode" ->
@@ -77,5 +93,15 @@ object MultimodalOps {
       """SELECT lang, (32 + doc_id % 96) >= 80 AS is_wide, count(*) AS n,
         | CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         | CAST(sum(CAST(octet_length(encode(text)) // 64 AS BIGINT)) AS BIGINT) AS total_frames
-        |FROM documents GROUP BY 1, 2 ORDER BY lang, is_wide""".stripMargin)
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, is_wide""".stripMargin,
+    "x29c_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) // 64 > 0)
+        |SELECT doc_id,
+        | CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx,
+        | CAST(unnest(range(0, n_frames, 4)) * 64 AS INTEGER) AS byte_offset,
+        | 64 AS frame_bytes
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin)
 }
