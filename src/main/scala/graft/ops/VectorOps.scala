@@ -76,14 +76,20 @@ object VectorOps {
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bkt")
     val q = bucketed.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("tbl"), col("bkt"))
-    val cand = bucketed.as("c").join(q.as("qq"),
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bkt"))
+    // dedup (multi-table collisions) on the 16-byte id pair, NOT on rows
+    // carrying two 64-float arrays — at scale the distinct's shuffle is
+    // the candidate set, so keep it ids-only and re-attach embeddings after
+    val candIds = bucketed.as("c").join(q.as("qq"),
         col("c.tbl") === col("qq.tbl") && col("c.bkt") === col("qq.bkt") &&
           col("c.vec_id") =!= col("qq.q_id"))
-      .select(col("qq.q_id"), col("qq.q_emb"),
-        col("c.vec_id").as("c_id"), col("c.embedding").as("c_emb"))
+      .select(col("qq.q_id"), col("c.vec_id").as("c_id"))
       .distinct()
+    val qe = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cand = candIds
+      .join(broadcast(qe), "q_id") // query set is small by construction
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cand
       .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
@@ -155,8 +161,9 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     probes.join(indexed, "cid")
       .filter(col("vec_id") =!= col("q_id"))
+      // nprobe clusters are disjoint → (q_id, c_id) pairs are already
+      // unique; no distinct (and no array-carrying shuffle) needed
       .select(col("q_id"), col("q_emb"), col("vec_id").as("c_id"), col("embedding"))
-      .distinct()
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
