@@ -1,0 +1,129 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+/** Parametric, reusable forms of the training-data-pipeline operators —
+  * the library surface a user points at THEIR corpus (any DataFrame with
+  * an id and a text/embedding column), while `SparkEntry.queries` binds
+  * the same implementations to the oracle-checked fixture tables.
+  *
+  * Everything is pure column algebra over the caller's plan: no
+  * collect(), no fixture assumptions, schemas documented per method.
+  * Scale characteristics are inherited from the query forms (see the
+  * scaladoc in graft.ops): single hash-aggregations for exact dedup,
+  * bucket-equi-joins for the LSH paths, partial-aggregating argmaxes.
+  */
+object TrainingData {
+
+  /** Exact dedup groups by content hash →
+    * (content_hash, canonical_id, n_copies); survivor = min(id). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** All near-duplicate pairs by exact 3-shingle Jaccard ≥ `threshold` →
+    * (d1, d2, inter, jaccard), d1 < d2. Quadratic in co-occurring docs —
+    * the verifier; see the MinHash path for the at-scale candidate cut. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh"))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
+      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n1.ns") + col("n2.ns") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
+  }
+
+  /** Connected components over an undirected (src, dst) pair DataFrame →
+    * (id, label); label = min id of the component. Iterative min-label
+    * propagation (rounds = component diameter). */
+  def dedupClusters(pairs: DataFrame): DataFrame =
+    DedupOps.connectedComponents(pairs)
+
+  /** Per-document token statistics →
+    * (id, n_tokens, n_distinct, n_chars, avg_tok_len). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = DedupOps.tokens(col(textCol))
+    docs.select(col(idCol),
+      size(tk).as("n_tokens"),
+      size(array_distinct(tk)).as("n_distinct"),
+      length(col(textCol)).as("n_chars"),
+      when(size(tk) > 0,
+        round(aggregate(transform(tk, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / size(tk), 4))
+        .otherwise(lit(null).cast("double")).as("avg_tok_len"))
+  }
+
+  /** Whitespace-insensitive content fingerprint → (id, fingerprint):
+    * 16-hex prefix of sha256 over the token-normalized text. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      substring(sha2(array_join(DedupOps.tokens(col(textCol)), " "), 256), 1, 16)
+        .as("fingerprint"))
+
+  /** Brute-force cosine top-k: for each query row, the k most similar
+    * corpus rows (excluding itself) → (q_id, c_id, sim, rank). Exact and
+    * embarrassingly parallel (queries broadcast); use the SRP-LSH / IVF
+    * query forms when the query set is large. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /** Symmetric int8 quantization → (id, scale_r, q1..q4, n_sat, mse);
+    * `dims` is the embedding length. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String, embCol: String,
+      dims: Int): DataFrame = {
+    def dx(x: Column) = x.cast("double")
+    def q(x: Column) = floor(dx(x) / col("scale") + lit(0.5))
+    embeddings
+      .select(col(idCol), col(embCol).as("embedding"),
+        aggregate(col(embCol), lit(0.0),
+          (a, x) => greatest(a, abs(dx(x)))).as("absmax"))
+      .filter(col("absmax") > 0)
+      .withColumn("scale", col("absmax") / lit(127.0))
+      .select(col(idCol),
+        round(col("scale"), 6).as("scale_r"),
+        q(element_at(col("embedding"), 1)).cast("int").as("q1"),
+        q(element_at(col("embedding"), 2)).cast("int").as("q2"),
+        q(element_at(col("embedding"), 3)).cast("int").as("q3"),
+        q(element_at(col("embedding"), 4)).cast("int").as("q4"),
+        size(filter(col("embedding"), x => abs(q(x)) >= 127)).as("n_sat"),
+        round(aggregate(transform(col("embedding"),
+            x => (dx(x) - q(x) * col("scale")) * (dx(x) - q(x) * col("scale"))),
+          lit(0.0), (a, x) => a + x) / lit(dims.toDouble), 9).as("mse"))
+  }
+
+  /** Corpus top-k bigrams → (bigram, n), deterministic order. */
+  def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val tk = DedupOps.tokens(col(textCol))
+    val adjacent = filter(
+      zip_with(tk, slice(tk, lit(2), size(tk)),
+        (x, y) => struct(x.as("a"), y.as("b"))),
+      p => p.getField("b").isNotNull)
+    docs.select(explode(transform(adjacent,
+        p => concat_ws(" ", p.getField("a"), p.getField("b")))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+}

@@ -73,11 +73,10 @@ object DedupOps {
     })
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
-    * canonical member = min doc_id (deterministic survivor pick). */
+    * canonical member = min doc_id (deterministic survivor pick).
+    * Fixture binding of [[graft.api.TrainingData.exactDedup]]. */
   def x25Exact(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .groupBy(sha2(col("text"), 256).as("content_hash"))
-      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    graft.api.TrainingData.exactDedup(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("content_hash"))
 
   /** Co-occurring doc pairs per 64-bit key: narrow (doc_id, key) rows

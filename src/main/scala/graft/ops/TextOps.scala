@@ -10,20 +10,12 @@ import DedupOps.tokens
   * and content fingerprinting — all column algebra over `documents`. */
 object TextOps {
 
-  /** X28 — token counting + basic stats per document. */
+  /** X28 — token counting + basic stats per document (zero-token guard:
+    * all-whitespace text → NULL avg, not ANSI DIVIDE_BY_ZERO; oracle
+    * mirrors via NULLIF). Fixture binding of
+    * [[graft.api.TrainingData.tokenStats]]. */
   def x28Tokens(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .withColumn("tk", tokens(col("text")))
-      .select(col("doc_id"),
-        size(col("tk")).as("n_tokens"),
-        size(array_distinct(col("tk"))).as("n_distinct"),
-        length(col("text")).as("n_chars"),
-        // zero-token guard: all-whitespace text → NULL, not ANSI
-        // DIVIDE_BY_ZERO (oracle mirrors via NULLIF)
-        when(size(col("tk")) > 0,
-          round(aggregate(transform(col("tk"), t => length(t)), lit(0),
-            (acc, x) => acc + x).cast("double") / size(col("tk")), 4))
-          .otherwise(lit(null).cast("double")).as("avg_tok_len"))
+    graft.api.TrainingData.tokenStats(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** X28 — quality scoring: length signal × (1 − stopword ratio) −
@@ -130,37 +122,19 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** X28 — corpus-level top-k bigrams (n-gram LM prep): adjacent-token
-    * pairs, counted corpus-wide, deterministic (count DESC, bigram ASC)
-    * top-10 — plans as partial-agg → TakeOrderedAndProject, no global
-    * sort.
-    *
-    * Adjacency via `zip_with(tk, slice(tk, 2, …))` — one linear pass.
-    * (An index lambda `element_at(tk, i)` would re-evaluate the tokenizer
-    * per index: O(n²) interpreted work per doc — measured 7× slower.)
-    * zip_with pads the tail with null; the null-partner filter drops the
-    * dangling last token, which also makes <2-token docs safely empty. */
-  def x28hTopBigrams(s: SparkSession, d: String): DataFrame = {
-    val tk = tokens(col("text"))
-    val adjacent = filter(
-      zip_with(tk, slice(tk, lit(2), size(tk)),
-        (x, y) => struct(x.as("a"), y.as("b"))),
-      p => p.getField("b").isNotNull)
-    t(s, d, "documents")
-      .select(explode(transform(adjacent,
-        p => concat_ws(" ", p.getField("a"), p.getField("b")))).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram"))
-      .limit(10)
-  }
+  /** X28 — corpus-level top-10 bigrams (n-gram LM prep), deterministic
+    * (count DESC, bigram ASC); plans as partial-agg →
+    * TakeOrderedAndProject. Fixture binding of
+    * [[graft.api.TrainingData.topBigrams]] (see there for the linear
+    * zip_with adjacency rationale). */
+  def x28hTopBigrams(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.topBigrams(t(s, d, "documents"), "text", 10)
 
   /** X28 — document fingerprint: 16-hex-char prefix of the content hash of
-    * the token-normalized text (whitespace-insensitive exact dedup key). */
+    * the token-normalized text (whitespace-insensitive exact dedup key).
+    * Fixture binding of [[graft.api.TrainingData.fingerprint]]. */
   def x28eFingerprint(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"),
-        substring(sha2(array_join(tokens(col("text")), " "), 256), 1, 16)
-          .as("fingerprint"))
+    graft.api.TrainingData.fingerprint(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

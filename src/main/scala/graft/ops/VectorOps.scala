@@ -31,19 +31,12 @@ object VectorOps {
 
   /** X27 — brute-force cosine top-k (k=5) for query vectors vec_id < 20.
     * Ranked on the 6-decimal-rounded similarity (ties broken by id) so the
-    * ordering survives engine-specific float summation differences. */
+    * ordering survives engine-specific float summation differences.
+    * Fixture binding of [[graft.api.TrainingData.cosineTopK]]. */
   def x27TopK(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+    graft.api.TrainingData
+      .cosineTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -247,27 +240,10 @@ object VectorOps {
     * BOTH engines — `round()` differs between them on negative halves),
     * plus saturation count and reconstruction MSE. All column algebra;
     * no data leaves the executors. */
-  def x30cQuantize(s: SparkSession, d: String): DataFrame = {
-    def dx(x: Column) = x.cast("double")
-    def q(x: Column) = floor(dx(x) / col("scale") + lit(0.5))
-    t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        aggregate(col("embedding"), lit(0.0),
-          (a, x) => greatest(a, abs(dx(x)))).as("absmax"))
-      .filter(col("absmax") > 0) // all-zero vectors have no scale
-      .withColumn("scale", col("absmax") / lit(127.0))
-      .select(col("vec_id"),
-        round(col("scale"), 6).as("scale_r"),
-        q(element_at(col("embedding"), 1)).cast("int").as("q1"),
-        q(element_at(col("embedding"), 2)).cast("int").as("q2"),
-        q(element_at(col("embedding"), 3)).cast("int").as("q3"),
-        q(element_at(col("embedding"), 4)).cast("int").as("q4"),
-        size(filter(col("embedding"), x => abs(q(x)) >= 127)).as("n_sat"),
-        round(aggregate(transform(col("embedding"),
-            x => (dx(x) - q(x) * col("scale")) * (dx(x) - q(x) * col("scale"))),
-          lit(0.0), (a, x) => a + x) / lit(64.0), 9).as("mse"))
+  def x30cQuantize(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData
+      .quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding", 64)
       .orderBy(col("vec_id"))
-  }
 
   /** X30 — scalar UDF surface demo (built-ins are preferred everywhere
     * else; trivial semantics keep the oracle expressible). */
