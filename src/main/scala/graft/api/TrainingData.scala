@@ -27,16 +27,27 @@ object TrainingData {
     * (d1, d2, inter, jaccard), d1 < d2. Quadratic in co-occurring docs —
     * the verifier; see the MinHash path for the at-scale candidate cut. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh"))
+      threshold: Double): DataFrame =
+    nearDupPairsFromShingles(
+      docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh")),
+      threshold)
+
+  /** [[nearDupPairs]] over a pre-computed (and possibly cached)
+    * `(doc_id, shh)` shingle relation — the reusable core. The per-doc
+    * count relation `n` scales with the corpus, so it is joined WITHOUT a
+    * broadcast hint: AQE broadcasts it when it is actually small and
+    * degrades to a shuffle join when it is not (a forced broadcast of a
+    * corpus-sized relation is a driver OOM at scale). */
+  def nearDupPairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles.toDF("doc_id", "shh")
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     sh.as("a").join(sh.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
-      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
         (col("n1.ns") + col("n2.ns") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -90,7 +101,9 @@ object TrainingData {
   }
 
   /** Symmetric int8 quantization → (id, scale_r, q1..q4, n_sat, mse);
-    * `dims` is the embedding length. */
+    * `dims` is the embedding length. NOTE: all-zero vectors have no scale
+    * and are DROPPED from the output — anti-join against the input ids to
+    * surface them as unquantizable rather than assuming row parity. */
   def quantizeInt8(embeddings: DataFrame, idCol: String, embCol: String,
       dims: Int): DataFrame = {
     def dx(x: Column) = x.cast("double")

@@ -55,22 +55,15 @@ object DedupOps {
   // The verified near-dup pair relation feeds both the pair query (x26)
   // and the cluster query (x26e) — cached like the shingles so the
   // O(shared-shingle) self-join is paid once per SF dir regardless of
-  // which query runs first.
+  // which query runs first. Binds the parametric core
+  // (TrainingData.nearDupPairsFromShingles) to the cached shingle relation.
   @transient private val pairCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def persistPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(d, {
-      val sh = persistShingles(s, d)
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-      coocPairs(sh, "shh")
-        .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
-        .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
-        .withColumn("jac", col("inter").cast("double") /
-          (col("n1.ns") + col("n2.ns") - col("inter")))
-        .filter(col("jac") >= 0.5)
-        .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
-        .persist()
-    })
+    pairCache.getOrElseUpdate(d,
+      graft.api.TrainingData
+        .nearDupPairsFromShingles(persistShingles(s, d), 0.5)
+        .persist())
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick).
@@ -140,15 +133,18 @@ object DedupOps {
       .select(col("doc_id"), col("bandkey"))
       .transform(coocPairs(_, "bandkey"))
       .select(col("d1"), col("d2"))
-    // verify candidates with exact Jaccard (cheap: |candidates| ≪ n²)
+    // verify candidates with exact Jaccard (cheap: |candidates| ≪ n²).
+    // No broadcast hints: cand and the per-doc count relation n both scale
+    // with the corpus — AQE broadcasts them while small and falls back to
+    // shuffle joins at scale (a forced broadcast would OOM the driver)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    broadcast(cand)
+    cand
       .join(sh.as("a"), col("d1") === col("a.doc_id"))
       .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.shh") === col("b.shh"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(n.as("n1")), col("d1") === col("n1.doc_id"))
-      .join(broadcast(n.as("n2")), col("d2") === col("n2.doc_id"))
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
         (col("n1.ns") + col("n2.ns") - col("inter")))
       .filter(col("jac") >= 0.5)
@@ -179,9 +175,11 @@ object DedupOps {
     * minimum id of the node's component. Iterative min-label propagation;
     * each round is one equi-join + hash aggregation, with a single scalar
     * (Σlabel, strictly decreasing until the fixpoint) crossing to the
-    * driver as the convergence check. Rounds needed = component diameter.
-    * Property-tested against a union-find model (PropertySpec). */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * driver as the convergence check. Rounds needed = component diameter;
+    * exceeding `maxRounds` THROWS rather than silently returning
+    * partially-merged clusters (raise it for pathological chain-shaped
+    * graphs). Property-tested against a union-find model (PropertySpec). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // undirected: propagate along both directions of each edge
     val edges = pairs.toDF("d1", "d2")
       .union(pairs.toDF("d1", "d2").select(col("d2").as("d1"), col("d1").as("d2")))
@@ -193,7 +191,7 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < maxRounds) {
       val prop = edges.join(labels, col("d2") === col("id"))
         .select(col("d1").as("id"), col("label"))
         .union(labels)
@@ -207,6 +205,10 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(component diameter exceeds the cap); pass a larger maxRounds")
     labels
   }
 

@@ -53,37 +53,43 @@ object ReplayQueries {
       .orderBy(col("event_id"))
 
   /** Scalable global dense sequence in (ts, event_id) order — the two-pass
-    * shape: range-partition on the sort key and sort within partitions
-    * (pass 1), then add each partition's cumulative row offset (pass 2).
+    * shape: (1) one pass computes approximate ts quantiles ONCE on the
+    * driver and freezes them as literal bucket boundaries; (2) rows are
+    * bucketed by those literals (a pure row function — deterministic
+    * across every recomputation and independent of exchange reuse, which
+    * a `repartitionByRange`-based variant silently depends on, since its
+    * sampled boundaries differ per materialization), ranked inside each
+    * bucket by a PARTITIONED window (no single-task funnel), and offset
+    * by the cumulative bucket counts — a triangular self-join over the
+    * ≤nBuckets-row count relation, not a global window.
     *
-    * The local rank comes from `monotonically_increasing_id` — consecutive
-    * within a physical partition, so on the sorted partitions
-    * `mid − min(mid) + 1` is the dense in-partition rank with no Window at
-    * all. Offsets are a triangular self-join over the ≤numShufflePartitions
-    * per-partition counts (a broadcast of a tiny relation), NOT a global
-    * `Window.orderBy` — no stage ever funnels the events table through a
-    * single task, and the identical range exchange under `sorted`'s three
-    * uses is deduped by ReuseExchange. Deterministic: range boundaries,
-    * parquet splits, and the unique (ts, event_id) sort key all are. */
+    * Global order holds because the bucket id is monotone in ts and ties
+    * on ts share a bucket; in-bucket rank is deterministic on the unique
+    * (ts, event_id) key. Skew bound: a single ts value held by a huge
+    * fraction of rows would collapse into one bucket — for replay data ts
+    * is near-unique; heavier duplication warrants sub-bucket salting. */
   private def withEmitRank(ev: DataFrame): DataFrame = {
-    val parts = ev.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = ev
-      .repartitionByRange(parts, col("ts"), col("event_id"))
-      .sortWithinPartitions(col("ts"), col("event_id"))
-      .select(col("event_id"),
-        spark_partition_id().as("pid"),
-        monotonically_increasing_id().as("mid"))
-    val counts = sorted.groupBy(col("pid"))
-      .agg(count(lit(1)).as("cnt"), min(col("mid")).as("mid0"))
+    val nBuckets = ev.sparkSession.sessionState.conf.numShufflePartitions
+    // pass 1: boundary scan (the only driver-visible data: nBuckets-1 longs)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = ev.select(tsMs(col("ts")).as("v"))
+      .stat.approxQuantile("v", probs, 0.001).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(tsMs(col("ts")) > lit(b), 1).otherwise(0)
+    }
+    // pass 2: per-bucket rank + broadcast cumulative offsets
+    val ranked = ev.withColumn("bkt", bucket)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("ts"), col("event_id"))))
+    val counts = ranked.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
     val offsets = counts.as("a")
-      .join(counts.select(col("pid").as("bpid"), col("cnt").as("bcnt")),
-        col("bpid") < col("a.pid"), "left")
-      .groupBy(col("a.pid"), col("a.mid0"))
-      .agg(coalesce(sum(col("bcnt")), lit(0L)).as("offset"))
-      .select(col("pid"), col("mid0"), col("offset"))
-    sorted.join(broadcast(offsets), "pid")
-      .withColumn("emit_rank",
-        (col("offset") + col("mid") - col("mid0") + 1L).cast("int"))
+      .join(counts.select(col("bkt").as("b_bkt"), col("cnt").as("b_cnt")),
+        col("b_bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt"))
+      .agg(coalesce(sum(col("b_cnt")), lit(0L)).as("offset"))
+      .select(col("bkt"), col("offset"))
+    ranked.join(broadcast(offsets), "bkt")
+      .withColumn("emit_rank", (col("offset") + col("rn")).cast("int"))
   }
 
   /** R8 — emission order of the reorder stage: rank in (ts, event_id)

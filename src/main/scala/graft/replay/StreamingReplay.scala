@@ -54,6 +54,7 @@ object StreamingReplay {
     * `drain()` pops the rest at end of input. */
   final class ReorderBuffer(toleranceMs: Long, capacity: Int = 100000) {
     require(capacity > 0, s"capacity must be > 0, got $capacity")
+    require(toleranceMs >= 0, s"toleranceMs must be >= 0, got $toleranceMs")
     private final case class E(ms: Long, seq: Long, payload: String)
     private val pq = new java.util.PriorityQueue[E]((a: E, b: E) =>
       if (a.ms != b.ms) java.lang.Long.compare(a.ms, b.ms)
@@ -71,7 +72,10 @@ object StreamingReplay {
     def release(): Vector[(Long, String)] = synchronized {
       val b = Vector.newBuilder[(Long, String)]
       if (maxMs != Long.MinValue) {
-        val horizon = maxMs - toleranceMs
+        // saturating subtraction: a huge tolerance against negative-epoch
+        // event times must clamp to "never", not wrap around positive
+        val h = maxMs - toleranceMs
+        val horizon = if (h > maxMs) Long.MinValue else h
         val target = if (pq.size > capacity) capacity / 2 else capacity
         while (!pq.isEmpty && (pq.peek().ms <= horizon || pq.size > target)) {
           val e = pq.poll(); b += ((e.ms, e.payload))
@@ -155,27 +159,34 @@ object StreamingReplay {
         }
     }
 
-    val query = stream(spark, cfg, maxFilesPerTrigger)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // rows stream driver-side one partition at a time; the buffer's
-        // capacity (not the batch size) bounds held memory, releasing
-        // mid-batch whenever the cap is crossed
-        val rows = batch
-          .select(col("payload"), unix_millis(col("timestamp")).as("ms"))
-          .toLocalIterator()
-        while (rows.hasNext) {
-          val r = rows.next()
-          buffer.add(r.getLong(1), r.getString(0))
-          if (buffer.size > cfg.readerBufferSize) emit(buffer.release())
+    try {
+      val query = stream(spark, cfg, maxFilesPerTrigger)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // rows stream driver-side one partition at a time; the buffer's
+          // capacity (not the batch size) bounds held memory, releasing
+          // mid-batch whenever the cap is crossed
+          val rows = batch
+            .select(col("payload"), unix_millis(col("timestamp")).as("ms"))
+            .toLocalIterator()
+          while (rows.hasNext) {
+            val r = rows.next()
+            buffer.add(r.getLong(1), r.getString(0))
+            if (buffer.size > cfg.readerBufferSize) emit(buffer.release())
+          }
+          emit(buffer.release())
+          ()
         }
-        emit(buffer.release())
-        ()
-      }
-      .start()
-    query.awaitTermination()
-    emit(buffer.drain()) // R14: end-of-input buffer drain, in order
-    sentAcc.value
+        .start()
+      query.awaitTermination()
+      emit(buffer.drain()) // R14: end-of-input buffer drain, in order
+      sentAcc.value
+    } finally {
+      // un-install the gauge: later (batch) runs in this JVM must report
+      // 0/0, not this run's dead buffer — and must not retain it
+      ReplayStats.shared.queueGauge = () => 0
+      ReplayStats.shared.queueCapacity = 0
+    }
   }
 }

@@ -118,6 +118,15 @@ class SinkSpec extends AnyFunSuite {
     assert(buf.drain().map(_._1) == Seq(40L, 50L))
   }
 
+  test("reorder buffer horizon saturates: huge tolerance + negative event times never wraps") {
+    val buf = new StreamingReplay.ReorderBuffer(Long.MaxValue, capacity = 100)
+    buf.add(-10L, "a"); buf.add(-5L, "b") // pre-epoch event times
+    assert(buf.release().isEmpty) // an unwrapped horizon would release both
+    assert(buf.drain().map(_._2) == Seq("a", "b"))
+    intercept[IllegalArgumentException](
+      new StreamingReplay.ReorderBuffer(toleranceMs = -1L, capacity = 10))
+  }
+
   test("stats line carries buffer occupancy and request/retry totals (R12 parity)") {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     ReplayStats.configureShared(0L, lines += _) // freq 0: log on every record
