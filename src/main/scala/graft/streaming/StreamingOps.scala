@@ -93,6 +93,70 @@ object StreamingOps {
       .select(col("purchase_id"), col("signup_id"), col("user_id"))
   }
 
+  /** X24 — flatMapGroupsWithState: manual sessionization with 0..n
+    * outputs per group per batch and EVENT-TIME TIMEOUTS — the fully
+    * general custom-state shape (`session_window` above is the
+    * declarative twin; this form is for when session close must run
+    * custom logic). A session CLOSES (emits) when a later event arrives
+    * past the 30-min gap, or when the watermark passes the session's
+    * timeout — so state is bounded by open sessions only, the same bound
+    * the state-store session window enforces. */
+  final case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+  final case class SessState(start: Long, end: Long, n: Long)
+  val SessionGapMs = 1800000L
+
+  def sessionsWithState(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      // the watermarked column itself must flow into the stateful op
+      // (the analyzer rejects event-time timeouts otherwise)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessState]) =>
+          if (state.hasTimedOut) { // watermark passed end + gap: close
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.end, s.n))
+          } else {
+            // events inside one batch can arrive unordered — sort this
+            // group's slice (bounded by the batch, not the stream)
+            val sorted = rows.map(_._2.getTime).toArray.sorted
+            val out = Vector.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { ms =>
+              cur = cur match {
+                case Some(s) if ms - s.end <= SessionGapMs =>
+                  Some(SessState(s.start, ms, s.n + 1))
+                case Some(s) => // gap: close the old session, open a new one
+                  out += SessionOut(user, s.start, s.end, s.n)
+                  Some(SessState(ms, ms, 1))
+                case None => Some(SessState(ms, ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close via timeout once the watermark passes the gap; the
+              // timestamp must sit beyond the current watermark, which
+              // end + gap does whenever the session is still open
+              val due = s.end + SessionGapMs
+              if (due > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(due)
+              else { // already expired relative to the watermark: close now
+                state.remove()
+                out += SessionOut(user, s.start, s.end, s.n)
+              }
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the
     * declarative ops above make mostly unnecessary). */

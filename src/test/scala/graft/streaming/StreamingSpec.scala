@@ -80,6 +80,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState sessions are exactly batch gaps-and-islands sessions") {
+    val q = StreamingOps.sessionsWithState(spark, StreamingOps.eventsStream(spark, dir))
+      .writeStream.outputMode("append").format("memory").queryName("fsess_out").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("fsess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch truth: the q22 gaps-and-islands sessions on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val batchSessions = batchEvents
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("new_s",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > 1800000L, 1)
+          .otherwise(when(lag(col("ts_ms"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_ms")).as("s"), max(col("ts_ms")).as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every emitted session is a true session; open sessions at end of
+    // input may legitimately be unemitted (timeout not yet passed)
+    assert(emitted.nonEmpty)
+    assert(emitted.subsetOf(batchSessions),
+      s"phantom sessions: ${emitted -- batchSessions}")
+    // multi-session users must have had their earlier sessions closed
+    val multi = batchSessions.groupBy(_._1).filter(_._2.size > 1)
+    assert(multi.nonEmpty)
+    multi.foreach { case (user, sess) =>
+      val lastStart = sess.map(_._2).max
+      val earlier = sess.filter(_._2 != lastStart)
+      assert(earlier.subsetOf(emitted),
+        s"user $user: unclosed non-final sessions ${earlier -- emitted}")
+    }
+  }
+
   test("mapGroupsWithState running per-user counts match batch groupBy") {
     val q = StreamingOps.runningUserState(spark, StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("update").format("memory").queryName("state_out").start()
