@@ -42,10 +42,7 @@ object TrainingData {
   def nearDupPairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles.toDF("doc_id", "shh")
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    sh.as("a").join(sh.as("b"),
-        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
+    DedupOps.coocPairs(sh, "shh") // the one co-occurrence join, shared with LSH
       .join(n.as("n1"), col("d1") === col("n1.doc_id"))
       .join(n.as("n2"), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
@@ -56,9 +53,11 @@ object TrainingData {
 
   /** Connected components over an undirected (src, dst) pair DataFrame →
     * (id, label); label = min id of the component. Iterative min-label
-    * propagation (rounds = component diameter). */
-  def dedupClusters(pairs: DataFrame): DataFrame =
-    DedupOps.connectedComponents(pairs)
+    * propagation (rounds = component diameter); throws past `maxRounds`
+    * rather than returning partially-merged clusters — raise it for
+    * chain-shaped graphs. */
+  def dedupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    DedupOps.connectedComponents(pairs, maxRounds)
 
   /** Per-document token statistics →
     * (id, n_tokens, n_distinct, n_chars, avg_tok_len). */
@@ -106,6 +105,9 @@ object TrainingData {
     * surface them as unquantizable rather than assuming row parity. */
   def quantizeInt8(embeddings: DataFrame, idCol: String, embCol: String,
       dims: Int): DataFrame = {
+    // the q1..q4 sample columns index the array directly (ANSI throws on
+    // out-of-range element_at)
+    require(dims >= 4, s"quantizeInt8 requires dims >= 4, got $dims")
     def dx(x: Column) = x.cast("double")
     def q(x: Column) = floor(dx(x) / col("scale") + lit(0.5))
     embeddings

@@ -74,8 +74,9 @@ object DedupOps {
 
   /** Co-occurring doc pairs per 64-bit key: narrow (doc_id, key) rows
     * self-joined on the long key — the shuffle carries 16 bytes/row
-    * instead of shingle strings. Counting shared keys per ordered pair. */
-  private def coocPairs(rows: DataFrame, key: String): DataFrame =
+    * instead of shingle strings. Counting shared keys per ordered pair.
+    * Shared by the exact-Jaccard core (TrainingData) and the LSH band path. */
+  private[graft] def coocPairs(rows: DataFrame, key: String): DataFrame =
     rows.as("a").join(rows.as("b"),
         col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -205,10 +206,12 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist() // don't leak the last round's cached relation
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           "(component diameter exceeds the cap); pass a larger maxRounds")
+    }
     labels
   }
 

@@ -131,9 +131,6 @@ object StreamingReplay {
       maxFilesPerTrigger: Int = 16): Long = {
     val startMs = cfg.ingestionStartMs.getOrElse(System.currentTimeMillis())
     val buffer = new ReorderBuffer(disorderToleranceMs, cfg.readerBufferSize)
-    // R12 parity: the stats line reports this buffer's capacity/occupancy
-    ReplayStats.shared.queueGauge = () => buffer.size
-    ReplayStats.shared.queueCapacity = cfg.readerBufferSize
     // anchor is stateful across micro-batches, like the reference's parser
     val anchorMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val sentAcc = spark.sparkContext.longAccumulator("streaming_records_sent")
@@ -160,6 +157,10 @@ object StreamingReplay {
     }
 
     try {
+      // R12 parity: the stats line reports this buffer's capacity/occupancy
+      // (installed inside the try so the finally always un-installs it)
+      ReplayStats.shared.queueGauge = () => buffer.size
+      ReplayStats.shared.queueCapacity = cfg.readerBufferSize
       val query = stream(spark, cfg, maxFilesPerTrigger)
         .writeStream
         .trigger(Trigger.AvailableNow())

@@ -124,30 +124,40 @@ object StreamingOps {
             state.remove()
             Iterator.single(SessionOut(user, s.start, s.end, s.n))
           } else {
-            // events inside one batch can arrive unordered — sort this
-            // group's slice (bounded by the batch, not the stream)
+            // Gaps-and-islands over this batch's (sorted) events, then the
+            // open session INTERVAL-merges into the island list — a late
+            // event inside the watermark may extend the open session
+            // DOWNWARD (min start), or bridge it to an earlier island; a
+            // bare `end := ms` would let end regress below start.
             val sorted = rows.map(_._2.getTime).toArray.sorted
-            val out = Vector.newBuilder[SessionOut]
-            var cur = state.getOption
+            var islands = Vector.empty[SessState]
             sorted.foreach { ms =>
-              cur = cur match {
+              islands.lastOption match {
                 case Some(s) if ms - s.end <= SessionGapMs =>
-                  Some(SessState(s.start, ms, s.n + 1))
-                case Some(s) => // gap: close the old session, open a new one
-                  out += SessionOut(user, s.start, s.end, s.n)
-                  Some(SessState(ms, ms, 1))
-                case None => Some(SessState(ms, ms, 1))
+                  islands = islands.init :+ SessState(s.start, math.max(s.end, ms), s.n + 1)
+                case _ => islands = islands :+ SessState(ms, ms, 1)
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close via timeout once the watermark passes the gap; the
-              // timestamp must sit beyond the current watermark, which
-              // end + gap does whenever the session is still open
+            state.getOption.foreach { open =>
+              val (near, far) = islands.partition(i =>
+                i.end >= open.start - SessionGapMs && i.start <= open.end + SessionGapMs)
+              val merged = near.foldLeft(open)((a, b) => SessState(
+                math.min(a.start, b.start), math.max(a.end, b.end), a.n + b.n))
+              islands = (far :+ merged).sortBy(_.start)
+            }
+            // all but the newest island close now (an even-later event for
+            // them would arrive past their gap; extreme cross-batch
+            // lateness re-opens a fresh session — the same bounded-state
+            // trade the declarative session_window makes via its
+            // watermark); the newest stays open pending its timeout
+            val out = Vector.newBuilder[SessionOut]
+            islands.dropRight(1).foreach(s => out += SessionOut(user, s.start, s.end, s.n))
+            islands.lastOption.foreach { s =>
               val due = s.end + SessionGapMs
-              if (due > state.getCurrentWatermarkMs())
+              if (due > state.getCurrentWatermarkMs()) {
+                state.update(s)
                 state.setTimeoutTimestamp(due)
-              else { // already expired relative to the watermark: close now
+              } else { // already expired relative to the watermark: close
                 state.remove()
                 out += SessionOut(user, s.start, s.end, s.n)
               }

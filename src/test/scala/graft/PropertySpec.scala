@@ -124,9 +124,13 @@ class PropertySpec extends SparkSpec {
     check(forAll(gen) { case (ms, tol, cap) =>
       val buf = new ReorderBuffer(tol, cap)
       val released = scala.collection.mutable.ArrayBuffer[Vector[(Long, String)]]()
+      var capHeld = true
       ms.zipWithIndex.foreach { case (m, i) =>
         buf.add(m, s"p$i")
-        if (buf.size > cap) released += buf.release()
+        if (buf.size > cap) {
+          released += buf.release()
+          capHeld &&= buf.size <= cap // shedding must actually shed
+        }
       }
       released += buf.release()
       released += buf.drain()
@@ -135,8 +139,8 @@ class PropertySpec extends SparkSpec {
       all.map(_._2).sorted == ms.indices.map(i => s"p$i").sorted &&
         // 2. each release batch is internally event-time ordered
         released.forall(b => b.map(_._1) == b.map(_._1).sorted) &&
-        // 3. the hard cap held after every release opportunity
-        buf.size == 0
+        // 3. the hard cap held after every over-capacity release
+        capHeld && buf.size == 0
     }, n = 50)
   }
 

@@ -116,6 +116,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState merges a late-but-in-watermark event downward") {
+    // batch 1: user 1 @ 12:00 opens [12:00,12:00]; batch 2 delivers 11:35
+    // (inside the 30-min watermark) — the session must extend DOWNWARD to
+    // [11:35,12:00], not regress its end; batches 3-4 advance the
+    // watermark via another user so the timeout closes and emits it
+    val dir = java.nio.file.Files.createTempDirectory("late_sess")
+    def writeF(name: String, mod: Long, rows: String*): Unit = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(mod)
+    }
+    writeF("a.jsonl", 10000L, """{"u":1,"t":"2024-01-01T12:00:00Z"}""")
+    writeF("b.jsonl", 20000L, """{"u":1,"t":"2024-01-01T11:35:00Z"}""")
+    writeF("c.jsonl", 30000L, """{"u":99,"t":"2024-01-01T15:00:00Z"}""")
+    writeF("d.jsonl", 40000L, """{"u":99,"t":"2024-01-01T15:01:00Z"}""")
+    val events = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .select(
+        get_json_object(col("value"), "$.u").cast("long").as("user_id"),
+        try_to_timestamp(get_json_object(col("value"), "$.t")).as("ts"))
+    val q = StreamingOps.sessionsWithState(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName("late_out").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("late_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val t1135 = java.time.Instant.parse("2024-01-01T11:35:00Z").toEpochMilli
+    val t1200 = java.time.Instant.parse("2024-01-01T12:00:00Z").toEpochMilli
+    assert(emitted.contains((1L, t1135, t1200, 2L)),
+      s"late event not merged downward; emitted: $emitted")
+  }
+
   test("mapGroupsWithState running per-user counts match batch groupBy") {
     val q = StreamingOps.runningUserState(spark, StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("update").format("memory").queryName("state_out").start()
