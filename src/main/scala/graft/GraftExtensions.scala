@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, ShingleHashes, SrpBuckets}
+import graft.functions.{CosineSimilarity, ShingleHashes, SrpBuckets, TokenBigrams}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so any session started with
@@ -12,6 +12,7 @@ import graft.functions.{CosineSimilarity, ShingleHashes, SrpBuckets}
   *   SELECT cosine_sim(a.embedding, b.embedding)        -- fused cosine
   *   SELECT shingle_hashes(text, 3)                      -- n-gram xxhash64s
   *   SELECT srp_buckets(embedding, 8, 4)                 -- LSH bucket keys
+  *   SELECT token_bigrams(text)                          -- adjacent pairs
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -42,5 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SrpBuckets].getName, "srp_buckets"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SrpBuckets(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "bits"))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("token_bigrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenBigrams].getName, "token_bigrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TokenBigrams(exprs(0))))
   }
 }

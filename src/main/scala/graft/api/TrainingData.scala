@@ -128,17 +128,14 @@ object TrainingData {
           lit(0.0), (a, x) => a + x) / lit(dims.toDouble), 9).as("mse"))
   }
 
-  /** Corpus top-k bigrams → (bigram, n), deterministic order. */
-  def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val tk = DedupOps.tokens(col(textCol))
-    val adjacent = filter(
-      zip_with(tk, slice(tk, lit(2), size(tk)),
-        (x, y) => struct(x.as("a"), y.as("b"))),
-      p => p.getField("b").isNotNull)
-    docs.select(explode(transform(adjacent,
-        p => concat_ws(" ", p.getField("a"), p.getField("b")))).as("bigram"))
+  /** Corpus top-k bigrams → (bigram, n), deterministic order. The
+    * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
+    * expression (the composed zip_with/filter/transform pipeline runs
+    * interpreted per element; bit-equality asserted in TextExprSpec). */
+  def topBigrams(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(
+        graft.functions.TextFunctions.token_bigrams(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
-  }
 }

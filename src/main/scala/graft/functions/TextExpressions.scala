@@ -63,8 +63,50 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native adjacent-token bigram extractor (X28 n-gram-count hot path).
+  *
+  * Semantics are exactly the composed pipeline over
+  * `filter(split(lower(text), " "), _ != "")`: each adjacent token pair
+  * joined by one space, WITH multiplicity (counts need duplicates, unlike
+  * [[ShingleHashes]]'s distinct set). One pass, no interpreted
+  * zip_with/filter/transform lambdas — bit-equality with the composed
+  * form is asserted in TextExprSpec. */
+case class TokenBigrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
+    val parts = lowered.split(' ')
+    val toks = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) toks.add(parts(i))
+      i += 1
+    }
+    val m = toks.size - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromString(toks.get(i) + " " + toks.get(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Distinct xxhash64 values of the `n`-token shingles of `text`. */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** Adjacent-token bigrams of `text`, with multiplicity. */
+  def token_bigrams(text: Column): Column =
+    GraftBridge.column(TokenBigrams(GraftBridge.expression(text)))
 }

@@ -84,11 +84,13 @@ object ReplayQueries {
     val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
       acc + when(tsMs(col("ts")) > lit(b), 1).otherwise(0)
     }
-    // pass 2: per-bucket rank + broadcast cumulative offsets
-    val ranked = ev.withColumn("bkt", bucket)
+    // pass 2: per-bucket rank + broadcast cumulative offsets (counts come
+    // from the pre-window relation — the count branch never sorts)
+    val bucketed = ev.withColumn("bkt", bucket)
+    val ranked = bucketed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("bkt")).orderBy(col("ts"), col("event_id"))))
-    val counts = ranked.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+    val counts = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
     val offsets = counts.as("a")
       .join(counts.select(col("bkt").as("b_bkt"), col("cnt").as("b_cnt")),
         col("b_bkt") < col("a.bkt"), "left")
