@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, VectorOps}
 
 /** Parametric, reusable forms of the training-data-pipeline operators —
   * the library surface a user points at THEIR corpus (any DataFrame with
@@ -50,6 +50,29 @@ object TrainingData {
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
   }
+
+  /** MinHash+LSH near-duplicate pairs — the AT-SCALE form of
+    * [[nearDupPairs]]: 16 permutations banded 4×4 make same-bucket
+    * candidates (an equi-join, not all-pairs); candidates verify with
+    * exact Jaccard ≥ `threshold`. Recall < 1 for pairs near the
+    * threshold (the banding curve); equals [[nearDupPairs]] when recall
+    * is 1, asserted on the fixtures in LlmOpsSpec. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    DedupOps.minhashPairsFromShingles(
+      docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh")),
+      threshold)
+
+  /** SRP-LSH approximate top-k — the AT-SCALE form of [[cosineTopK]]:
+    * candidates share a sign-random-projection bucket in any of `tables`
+    * hash tables, then re-rank exactly → (q_id, c_id, sim, rank). */
+  def annTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, tables: Int = 8, bits: Int = 4): DataFrame =
+    VectorOps.annLshCore(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      k, tables, bits)
 
   /** Connected components over an undirected (src, dst) pair DataFrame →
     * (id, label); label = min id of the component. Iterative min-label

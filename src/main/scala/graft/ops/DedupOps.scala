@@ -119,8 +119,16 @@ object DedupOps {
     * Equals [[x26Jaccard]]'s pair set whenever LSH recall is 1 (asserted on
     * the fixture by DedupSpec); at 100 TB this replaces the all-pairs join
     * with a bucket-equi-join. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = persistShingles(s, d)
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFromShingles(persistShingles(s, d), 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  /** The MinHash+LSH core over any `(doc_id, shh)` shingle relation —
+    * shared by the fixture query above and the parametric API
+    * (graft.api.TrainingData.minhashNearDupPairs). */
+  private[graft] def minhashPairsFromShingles(shingles: DataFrame,
+      threshold: Double): DataFrame = {
+    val sh = shingles.toDF("doc_id", "shh")
     val sig = signatures(sh)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>
@@ -148,9 +156,8 @@ object DedupOps {
       .join(n.as("n2"), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
         (col("n1.ns") + col("n2.ns") - col("inter")))
-      .filter(col("jac") >= 0.5)
+      .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** X26 — near-dup CLUSTERS: connected components over the exact-Jaccard

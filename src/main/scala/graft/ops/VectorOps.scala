@@ -60,36 +60,44 @@ object VectorOps {
     // tuned for this corpus's low neighbor similarity (~0.33 cosine →
     // p_bit ≈ 0.61): 8 tables × 4 bits ⇒ expected recall ≈ 0.7 at ~40%
     // candidate fraction; higher-sim corpora warrant more bits per table
-    val Tables = 8
-    val Bits = 4
-    val e = t(s, d, "embeddings")
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    annLshCore(e, e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 5, tables = 8, bits = 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** SRP-LSH ANN core over any corpus `(vec_id, embedding)` and query set
+    * `(q_id, q_emb)` — shared by the fixture query above and the
+    * parametric API (graft.api.TrainingData.annTopKLsh). Candidates =
+    * same 4-bit bucket in any of the L tables; exact cosine re-rank. */
+  private[graft] def annLshCore(corpus: DataFrame, queries: DataFrame,
+      k: Int, tables: Int, bits: Int): DataFrame = {
     // native one-pass bucketer (bit-equal to srpBucket, see SrpExprSpec)
-    val bucketed = e.select(col("vec_id"), col("embedding"),
-        posexplode(graft.functions.SrpFunctions.srp_buckets(col("embedding"), Tables, Bits)))
-      .withColumnRenamed("pos", "tbl")
-      .withColumnRenamed("col", "bkt")
-    val q = bucketed.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("tbl"), col("bkt"))
+    def bucketed(df: DataFrame, idCol: String, embCol: String) =
+      df.select(col(idCol),
+          posexplode(graft.functions.SrpFunctions.srp_buckets(col(embCol), tables, bits)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bkt")
+    val c = bucketed(corpus, "vec_id", "embedding")
+    val q = bucketed(queries, "q_id", "q_emb")
     // dedup (multi-table collisions) on the 16-byte id pair, NOT on rows
     // carrying two 64-float arrays — at scale the distinct's shuffle is
     // the candidate set, so keep it ids-only and re-attach embeddings after
-    val candIds = bucketed.as("c").join(q.as("qq"),
+    val candIds = c.as("c").join(q.as("qq"),
         col("c.tbl") === col("qq.tbl") && col("c.bkt") === col("qq.bkt") &&
           col("c.vec_id") =!= col("qq.q_id"))
       .select(col("qq.q_id"), col("c.vec_id").as("c_id"))
       .distinct()
-    val qe = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cand = candIds
-      .join(broadcast(qe), "q_id") // query set is small by construction
-      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      .join(queries, "q_id") // query set assumed broadcastable; AQE decides
+      .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cand
       .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** X27 (scale path #2) — ANN via IVF: a k-means coarse quantizer (k=16,

@@ -34,6 +34,36 @@ class TrainingDataSpec extends SparkSpec {
     assert(!loose.exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("minhashNearDupPairs finds the exact-dup pair with verified jaccard") {
+    val strict = TrainingData.minhashNearDupPairs(corpus, "id", "body", 0.99)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(strict == Set((10L, 11L))) // identical docs always share all bands
+    // every LSH pair is a true pair (candidates are exact-verified)
+    val loose = TrainingData.minhashNearDupPairs(corpus, "id", "body", 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val truth = TrainingData.nearDupPairs(corpus, "id", "body", 0.3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(loose.subsetOf(truth))
+  }
+
+  test("annTopKLsh returns exact-verified similarities for its candidates") {
+    val vecs = (1L to 30L).map(i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11 - 5).toFloat))).toDF("id", "emb")
+    val qs = vecs.filter(col("id") <= 3)
+    val ann = TrainingData.annTopKLsh(vecs, qs, "id", "emb", k = 3, tables = 6, bits = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ann.nonEmpty)
+    // each returned sim must equal the brute-force sim for that pair
+    val brute = TrainingData.cosineTopK(vecs, qs, "id", "emb", k = 29)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ann.foreach { case (pair, sim) =>
+      assert(brute(pair) == sim, s"pair $pair: ann sim $sim vs exact ${brute(pair)}")
+    }
+    // ranks are dense per query, 1..n
+    val byQ = ann.map(_._1).groupBy(_._1)
+    byQ.foreach { case (_, pairs) => assert(pairs.length <= 3) }
+  }
+
   test("dedupClusters turns the pair set into one transitive group") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("d1", "d2")
     val labels = TrainingData.dedupClusters(pairs)
