@@ -74,6 +74,20 @@ object TrainingData {
       queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
       k, tables, bits)
 
+  /** IVF approximate top-k — the clustered at-scale form of
+    * [[cosineTopK]]: a deterministic integer-space k-means coarse
+    * quantizer (seeded by the lowest-id vectors) assigns every corpus
+    * vector to a cluster; queries probe their `nProbe` nearest clusters
+    * and re-rank exactly → (q_id, c_id, sim, rank). Only the
+    * nClusters×dims centroid table ever reaches the driver. */
+  def annTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      dims: Int = 64): DataFrame =
+    VectorOps.annIvfCore(corpus.sparkSession,
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
+      k, nClusters, nProbe, dims)
+
   /** Connected components over an undirected (src, dst) pair DataFrame →
     * (id, label); label = min id of the component. Iterative min-label
     * propagation (rounds = component diameter); throws past `maxRounds`

@@ -109,13 +109,29 @@ object VectorOps {
     * cluster — the classic IVF build shape. Recall vs [[x27TopK]] asserted
     * in LlmOpsSpec. */
   def x27cAnnIvf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val K = 16
-    val NProbe = 4
-    // the corpus is scanned once per Lloyd iteration plus twice downstream
-    // (index + probes) — persist so the parquet scan is paid once; the
-    // (id, 64×float) projection is the only thing cached
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    annIvfCore(s, e,
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 5, nClusters = 16, nProbe = 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF ANN core over any corpus `(vec_id, embedding)` and query set
+    * `(q_id, q_emb)` — shared by the fixture query above and the
+    * parametric API (graft.api.TrainingData.annTopKIvf). Seeds are the
+    * `nClusters` lowest-id vectors (deterministic). */
+  private[graft] def annIvfCore(s: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int, nClusters: Int, nProbe: Int,
+      dims: Int = 64): DataFrame = {
+    import s.implicits._
+    val K = nClusters
+    val NProbe = nProbe
+    val centroidAgg = new CentroidAggregator(dims)
+    // the corpus is scanned once per Lloyd iteration plus twice downstream
+    // (index + probes) — persist so the source scan is paid once; the
+    // (id, dims×float) projection is the only thing cached
+    val e = corpus.toDF("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // argmax via max(struct) aggregation: partial→final combine instead of
@@ -133,9 +149,12 @@ object VectorOps {
     // next iteration starts from a literal table, not a 3-deep plan
     def toLiteral(rows: Array[(Int, Seq[Float])]): DataFrame =
       rows.toSeq.toDF("cid", "cemb")
-    var centroids = toLiteral(e.filter(col("vec_id") < K)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect())
+    // seeds: the K lowest-id vectors (deterministic for any id domain),
+    // re-labelled 0..K-1 driver-side so cluster ids never overflow int
+    var centroids = toLiteral(e.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .zipWithIndex.map { case ((_, emb), i) => (i, emb) })
     // 2 Lloyd iterations: the 3rd bought no recall on this corpus (floor
     // asserted in LlmOpsSpec) and each iteration is a full corpus pass plus
     // a driver collect barrier — the cheapest fix for the barrier cost
@@ -144,15 +163,14 @@ object VectorOps {
         .select(col("cid").cast("int"), col("embedding"))
         .as[(Int, Seq[Float])]
         .groupByKey(_._1)
-        .agg(CentroidAgg.toColumn.name("c"))
+        .agg(centroidAgg.toColumn.name("c"))
         .map { case (cid, c) => (cid, c.map(_.toFloat)) }
         .collect())
     }
     val indexed = assign(centroids)
 
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
-    val probes = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = queries.toDF("q_id", "q_emb")
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_emb"), col("cemb")))
       .withColumn("rn", row_number().over(wProbe))
@@ -167,9 +185,8 @@ object VectorOps {
       .select(col("q_id"), col("q_emb"), col("vec_id").as("c_id"), col("embedding"))
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** X26 — embedding-cosine near-dup pairs (the vector-space twin of the
@@ -197,9 +214,9 @@ object VectorOps {
 
   /** X30 — custom typed Aggregator: per-label centroid computed in scaled
     * integer space (×10⁶ → long) so partial-aggregation order cannot
-    * perturb the result; first 4 dimensions reported. */
-  object CentroidAgg extends Aggregator[(Int, Seq[Float]), (Long, Array[Long]), Seq[Double]] {
-    private val Dims = 64
+    * perturb the result; parametric in dimension count. */
+  sealed class CentroidAggregator(Dims: Int)
+      extends Aggregator[(Int, Seq[Float]), (Long, Array[Long]), Seq[Double]] {
     private val Scale = 1000000L
     // half-away-from-zero, matching SQL round() in both engines
     // (math.round is half-up, which differs on negative halves)
@@ -224,6 +241,9 @@ object VectorOps {
     def outputEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /** The 64-dim instance bound by the fixture queries/specs. */
+  object CentroidAgg extends CentroidAggregator(64)
 
   /** X30 query — label centroids via the custom Aggregator. */
   def x30Centroid(s: SparkSession, d: String): DataFrame = {

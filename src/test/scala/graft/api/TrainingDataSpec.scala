@@ -64,6 +64,22 @@ class TrainingDataSpec extends SparkSpec {
     byQ.foreach { case (_, pairs) => assert(pairs.length <= 3) }
   }
 
+  test("annTopKIvf probes clusters and returns exact-verified similarities") {
+    val vecs = (1L to 40L).map(i =>
+      (i, (0 until 8).map(j => ((i * 13 + j * 5) % 17 - 8).toFloat))).toDF("id", "emb")
+    val qs = vecs.filter(col("id") <= 3)
+    val ivf = TrainingData.annTopKIvf(vecs, qs, "id", "emb",
+      k = 3, nClusters = 4, nProbe = 2, dims = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    val brute = TrainingData.cosineTopK(vecs, qs, "id", "emb", k = 39)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { case (pair, sim) =>
+      assert(brute(pair) == sim, s"pair $pair: ivf sim $sim vs exact ${brute(pair)}")
+    }
+    assert(ivf.map(_._1).groupBy(_._1).forall(_._2.length <= 3))
+  }
+
   test("dedupClusters turns the pair set into one transitive group") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("d1", "d2")
     val labels = TrainingData.dedupClusters(pairs)
