@@ -23,15 +23,22 @@ object TrainingData {
     docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** The `(doc_id, shh)` 3-shingle-hash relation of a corpus — the shared
+    * input of both dedup paths. The exact and MinHash pipelines each
+    * reference it on several plan branches, so for large corpora compute
+    * it once, `.persist()` it, and use the `FromShingles` variants. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh"))
+
   /** All near-duplicate pairs by exact 3-shingle Jaccard ≥ `threshold` →
     * (d1, d2, inter, jaccard), d1 < d2. Quadratic in co-occurring docs —
-    * the verifier; see the MinHash path for the at-scale candidate cut. */
+    * the verifier; see the MinHash path for the at-scale candidate cut.
+    * Builds the shingle relation inline — cache it via [[shingles]] +
+    * [[nearDupPairsFromShingles]] when running more than one dedup op. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame =
-    nearDupPairsFromShingles(
-      docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh")),
-      threshold)
+    nearDupPairsFromShingles(shingles(docs, idCol, textCol), threshold)
 
   /** [[nearDupPairs]] over a pre-computed (and possibly cached)
     * `(doc_id, shh)` shingle relation — the reusable core. The per-doc
@@ -56,13 +63,18 @@ object TrainingData {
     * candidates (an equi-join, not all-pairs); candidates verify with
     * exact Jaccard ≥ `threshold`. Recall < 1 for pairs near the
     * threshold (the banding curve); equals [[nearDupPairs]] when recall
-    * is 1, asserted on the fixtures in LlmOpsSpec. */
+    * is 1, asserted on the fixtures in LlmOpsSpec. Builds the shingle
+    * relation inline — see [[shingles]] to precompute and cache it. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame =
-    DedupOps.minhashPairsFromShingles(
-      docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), 3)).as("shh")),
-      threshold)
+    minhashNearDupPairsFromShingles(shingles(docs, idCol, textCol), threshold)
+
+  /** [[minhashNearDupPairs]] over a pre-computed (ideally persisted)
+    * `(doc_id, shh)` shingle relation — the signature/banding/verify
+    * pipeline references it on four plan branches. */
+  def minhashNearDupPairsFromShingles(shingles: DataFrame,
+      threshold: Double): DataFrame =
+    DedupOps.minhashPairsFromShingles(shingles, threshold)
 
   /** SRP-LSH approximate top-k — the AT-SCALE form of [[cosineTopK]]:
     * candidates share a sign-random-projection bucket in any of `tables`
@@ -76,17 +88,17 @@ object TrainingData {
 
   /** IVF approximate top-k — the clustered at-scale form of
     * [[cosineTopK]]: a deterministic integer-space k-means coarse
-    * quantizer (seeded by the lowest-id vectors) assigns every corpus
-    * vector to a cluster; queries probe their `nProbe` nearest clusters
-    * and re-rank exactly → (q_id, c_id, sim, rank). Only the
-    * nClusters×dims centroid table ever reaches the driver. */
+    * quantizer (seeded by the lowest-id vectors; dimension inferred from
+    * them) assigns every corpus vector to a cluster; queries probe their
+    * `nProbe` nearest clusters and re-rank exactly →
+    * (q_id, c_id, sim, rank). Only the nClusters×dims centroid table ever
+    * reaches the driver. */
   def annTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
-      dims: Int = 64): DataFrame =
+      embCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4): DataFrame =
     VectorOps.annIvfCore(corpus.sparkSession,
       corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
-      k, nClusters, nProbe, dims)
+      k, nClusters, nProbe)
 
   /** Connected components over an undirected (src, dst) pair DataFrame →
     * (id, label); label = min id of the component. Iterative min-label

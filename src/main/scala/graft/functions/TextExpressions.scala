@@ -26,6 +26,16 @@ case class ShingleHashes(child: Expression, n: Int)
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes expects a string column, got $other")
+    }
+
   override def nullSafeEval(v: Any): Any = {
     val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
     val parts = lowered.split(' ')
@@ -76,6 +86,16 @@ case class TokenBigrams(child: Expression)
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_bigrams expects a string column, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString

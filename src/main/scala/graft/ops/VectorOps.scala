@@ -122,15 +122,14 @@ object VectorOps {
     * parametric API (graft.api.TrainingData.annTopKIvf). Seeds are the
     * `nClusters` lowest-id vectors (deterministic). */
   private[graft] def annIvfCore(s: SparkSession, corpus: DataFrame,
-      queries: DataFrame, k: Int, nClusters: Int, nProbe: Int,
-      dims: Int = 64): DataFrame = {
+      queries: DataFrame, k: Int, nClusters: Int, nProbe: Int): DataFrame = {
     import s.implicits._
     val K = nClusters
     val NProbe = nProbe
-    val centroidAgg = new CentroidAggregator(dims)
-    // the corpus is scanned once per Lloyd iteration plus twice downstream
-    // (index + probes) — persist so the source scan is paid once; the
-    // (id, dims×float) projection is the only thing cached
+    // persisted for the driver-coordinated Lloyd collects (one scan
+    // instead of one per iteration), RELEASED once the centroids are
+    // final — the lazy downstream index pays one rescan rather than
+    // leaking a cached relation per call of this public API
     val e = corpus.toDF("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -149,12 +148,15 @@ object VectorOps {
     // next iteration starts from a literal table, not a 3-deep plan
     def toLiteral(rows: Array[(Int, Seq[Float])]): DataFrame =
       rows.toSeq.toDF("cid", "cemb")
-    // seeds: the K lowest-id vectors (deterministic for any id domain),
-    // re-labelled 0..K-1 driver-side so cluster ids never overflow int
-    var centroids = toLiteral(e.orderBy(col("vec_id")).limit(K)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect()
-      .zipWithIndex.map { case ((_, emb), i) => (i, emb) })
+    // seeds: the K lowest-id vectors (deterministic for any orderable id
+    // type — only embeddings are collected), re-labelled 0..K-1
+    // driver-side so cluster ids never overflow int
+    val seeds = e.orderBy(col("vec_id")).limit(K)
+      .select(col("embedding")).as[Seq[Float]].collect()
+    require(seeds.nonEmpty, "IVF index needs a non-empty corpus")
+    val dims = seeds.head.length
+    val centroidAgg = new CentroidAggregator(dims)
+    var centroids = toLiteral(seeds.zipWithIndex.map { case (emb, i) => (i, emb) })
     // 2 Lloyd iterations: the 3rd bought no recall on this corpus (floor
     // asserted in LlmOpsSpec) and each iteration is a full corpus pass plus
     // a driver collect barrier — the cheapest fix for the barrier cost
@@ -167,6 +169,7 @@ object VectorOps {
         .map { case (cid, c) => (cid, c.map(_.toFloat)) }
         .collect())
     }
+    e.unpersist() // Lloyd collects done; downstream recomputes lazily
     val indexed = assign(centroids)
 
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
@@ -224,6 +227,8 @@ object VectorOps {
       (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
     def zero: (Long, Array[Long]) = (0L, Array.fill(Dims)(0L))
     def reduce(b: (Long, Array[Long]), v: (Int, Seq[Float])): (Long, Array[Long]) = {
+      require(v._2.length == Dims,
+        s"expected $Dims-dim embedding, got ${v._2.length}")
       var i = 0
       while (i < Dims) { b._2(i) += r0(v._2(i).toDouble * Scale); i += 1 }
       (b._1 + 1, b._2)

@@ -69,7 +69,7 @@ class TrainingDataSpec extends SparkSpec {
       (i, (0 until 8).map(j => ((i * 13 + j * 5) % 17 - 8).toFloat))).toDF("id", "emb")
     val qs = vecs.filter(col("id") <= 3)
     val ivf = TrainingData.annTopKIvf(vecs, qs, "id", "emb",
-      k = 3, nClusters = 4, nProbe = 2, dims = 8)
+      k = 3, nClusters = 4, nProbe = 2) // 8-dim: dimension inferred from seeds
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(ivf.nonEmpty)
     val brute = TrainingData.cosineTopK(vecs, qs, "id", "emb", k = 39)
