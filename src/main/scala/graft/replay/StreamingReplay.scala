@@ -55,15 +55,17 @@ object StreamingReplay {
   final class ReorderBuffer(toleranceMs: Long, capacity: Int = 100000) {
     require(capacity > 0, s"capacity must be > 0, got $capacity")
     require(toleranceMs >= 0, s"toleranceMs must be >= 0, got $toleranceMs")
-    private final case class E(ms: Long, seq: Long, payload: String)
-    private val pq = new java.util.PriorityQueue[E]((a: E, b: E) =>
-      if (a.ms != b.ms) java.lang.Long.compare(a.ms, b.ms)
-      else java.lang.Long.compare(a.seq, b.seq))
+    // (top-level shape avoids the unchecked-outer-reference pattern-match
+    // warning a nested case class triggers)
+    private val pq = new java.util.PriorityQueue[ReorderBuffer.E](
+      (a: ReorderBuffer.E, b: ReorderBuffer.E) =>
+        if (a.ms != b.ms) java.lang.Long.compare(a.ms, b.ms)
+        else java.lang.Long.compare(a.seq, b.seq))
     private var maxMs = Long.MinValue
     private var seq = 0L
 
     def add(ms: Long, payload: String): Unit = synchronized {
-      pq.add(E(ms, seq, payload)); seq += 1
+      pq.add(ReorderBuffer.E(ms, seq, payload)); seq += 1
       if (ms > maxMs) maxMs = ms
     }
     /** Events passed by the horizon, plus capacity overflow — in order.
@@ -90,6 +92,10 @@ object StreamingReplay {
       b.result()
     }
     def size: Int = synchronized(pq.size)
+  }
+
+  object ReorderBuffer {
+    private final case class E(ms: Long, seq: Long, payload: String)
   }
 
   /** Streaming scheduled events. The disorder horizon is enforced by the

@@ -55,7 +55,7 @@ object ReplayBench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val cfg = ReplayConfig(inputPath = dir.toString,
-      speedupFactor = Long.MaxValue / 4, // pacing never sleeps
+      speedupFactor = (Long.MaxValue / 4).toDouble, // pacing never sleeps
       ingestionStartMs = Some(0L),
       senderParallelism = 32)
     // run twice: first includes JVM/codegen warm-up, second is steady state
