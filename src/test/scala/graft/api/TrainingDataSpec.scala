@@ -80,6 +80,20 @@ class TrainingDataSpec extends SparkSpec {
     assert(ivf.map(_._1).groupBy(_._1).forall(_._2.length <= 3))
   }
 
+  test("shingles relation is shareable: FromShingles variants equal the inline forms") {
+    val sh = TrainingData.shingles(corpus, "id", "body").persist()
+    try {
+      val exactShared = TrainingData.nearDupPairsFromShingles(sh, 0.3)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      val exactInline = TrainingData.nearDupPairs(corpus, "id", "body", 0.3)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(exactShared == exactInline && exactShared.nonEmpty)
+      val lshShared = TrainingData.minhashNearDupPairsFromShingles(sh, 0.99)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(lshShared == Set((10L, 11L)))
+    } finally sh.unpersist()
+  }
+
   test("dedupClusters turns the pair set into one transitive group") {
     val pairs = Seq((10L, 11L), (11L, 12L), (40L, 41L)).toDF("d1", "d2")
     val labels = TrainingData.dedupClusters(pairs)
