@@ -10,12 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JVM/codegen/parquet-reader startup should not be billed to
-    // whichever query happens to run first
-    try {
-      spark.read.parquet(s"$sfDir/region.parquet")
-        .groupBy("r_name").count().count()
-    } catch { case _: Throwable => () }
+    // warm-up: JVM/codegen/parquet-reader startup AND the OS page cache for
+    // EVERY table — otherwise first-touch I/O is billed to whichever query
+    // happens to scan a table first (Map iteration order), making
+    // round-over-round per-query deltas unattributable
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").foreach(_ => ())
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

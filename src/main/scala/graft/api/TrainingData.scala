@@ -140,7 +140,9 @@ object TrainingData {
     val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    c.crossJoin(broadcast(q))
+    // widen the streamed corpus side: a small parquet scan is one
+    // partition = one task doing ALL the O(|Q|·n) similarity math
+    VectorOps.fanOut(c).crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(cosine_sim(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(w))

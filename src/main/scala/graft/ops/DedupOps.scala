@@ -181,22 +181,29 @@ object DedupOps {
   /** Reusable connected components over an undirected pair list
     * (`(d1, d2)` long columns): returns `(id, label)` where `label` is the
     * minimum id of the node's component. Iterative min-label propagation;
-    * each round is one equi-join + hash aggregation, with a single scalar
-    * (Σlabel, strictly decreasing until the fixpoint) crossing to the
-    * driver as the convergence check. Rounds needed = component diameter;
-    * exceeding `maxRounds` THROWS rather than silently returning
-    * partially-merged clusters (raise it for pathological chain-shaped
-    * graphs). Property-tested against a union-find model (PropertySpec). */
+    * each round is one equi-join + hash aggregation. Each round's result is
+    * `localCheckpoint`ed (eager) — `labels` feeds BOTH the join and the
+    * union branch, so without truncation the logical plan doubles every
+    * round (2^rounds nodes: analyzer death long before any data moves);
+    * with it the plan stays O(1) per round and total work O(rounds).
+    * Convergence is a changed-label count (rows where the new label differs
+    * from the old), NOT Σlabel — summing 64-bit ids overflows ANSI
+    * arithmetic for hash- or snowflake-derived ids near 2^62. Rounds needed
+    * = component diameter; exceeding `maxRounds` THROWS rather than
+    * silently returning partially-merged clusters (raise it for
+    * pathological chain-shaped graphs). The returned relation is backed by
+    * a checkpointed RDD that the ContextCleaner frees once the caller drops
+    * the reference — no explicit unpersist needed (same for the per-round
+    * intermediates, dereferenced each iteration). Property-tested against a
+    * union-find model (PropertySpec). */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // undirected: propagate along both directions of each edge
     val edges = pairs.toDF("d1", "d2")
       .union(pairs.toDF("d1", "d2").select(col("d2").as("d1"), col("d1").as("d2")))
       .persist()
     var labels = edges.select(col("d1").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).first().getLong(0)
-    var prevSum = labelSum(labels)
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -204,17 +211,17 @@ object DedupOps {
         .select(col("d1").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
-      val newSum = labelSum(prop)
-      labels.unpersist()
+        .localCheckpoint(true)
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
       labels = prop
-      converged = newSum == prevSum
-      prevSum = newSum
+      converged = changed == 0L
       rounds += 1
     }
     edges.unpersist()
     if (!converged) {
-      labels.unpersist() // don't leak the last round's cached relation
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           "(component diameter exceeds the cap); pass a larger maxRounds")

@@ -183,7 +183,7 @@ object Relational {
   def q14bUnpivot(s: SparkSession, d: String): DataFrame = {
     val agg = t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
         sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
         count(lit(1)).as("n_rows"))
     agg.unpivot(
@@ -286,13 +286,13 @@ object Relational {
     "q14b_unpivot" ->
       """WITH a AS (
         |  SELECT l_returnflag,
-        |   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
         |   sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_price_cents,
         |   count(*) AS n_rows
         |  FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
-        |UNION ALL SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM a
-        |UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM a
+        |SELECT l_returnflag, 'sum_qty' AS metric, CAST(sum_qty AS BIGINT) AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'sum_price_cents', CAST(sum_price_cents AS BIGINT) FROM a
+        |UNION ALL SELECT l_returnflag, 'n_rows', CAST(n_rows AS BIGINT) FROM a
         |ORDER BY l_returnflag, metric""".stripMargin,
     "q25_salted_agg" ->
       """SELECT l_returnflag,

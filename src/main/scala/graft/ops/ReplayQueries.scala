@@ -97,8 +97,10 @@ object ReplayQueries {
       .groupBy(col("a.bkt"))
       .agg(coalesce(sum(col("b_cnt")), lit(0L)).as("offset"))
       .select(col("bkt"), col("offset"))
+    // emit_rank stays LONG: past 2^31 rows an int cast throws under ANSI
+    // (the whole point of this form is surviving that scale)
     ranked.join(broadcast(offsets), "bkt")
-      .withColumn("emit_rank", (col("offset") + col("rn")).cast("int"))
+      .withColumn("emit_rank", col("offset") + col("rn"))
   }
 
   /** R8 — emission order of the reorder stage: rank in (ts, event_id)
@@ -150,7 +152,7 @@ object ReplayQueries {
         |ORDER BY event_id""".stripMargin,
     "r03_reorder" ->
       """SELECT event_id,
-        | CAST(row_number() OVER (ORDER BY ts, event_id) AS INTEGER) AS emit_rank
+        | row_number() OVER (ORDER BY ts, event_id) AS emit_rank
         |FROM events ORDER BY event_id""".stripMargin,
     "r04_batches" ->
       """SELECT batch_id, count(*) AS n_records FROM (

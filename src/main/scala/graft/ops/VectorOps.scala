@@ -17,6 +17,17 @@ import graft.Tables._
   * order so results are deterministic and oracle-comparable. */
 object VectorOps {
 
+  /** Widen a relation to at least `defaultParallelism` partitions. The
+    * quadratic baselines stream one side of a nested-loop join, and that
+    * side inherits the scan's partitioning — a small parquet file is ONE
+    * partition, so the O(n²) work runs as one task while the other cores
+    * idle. Conditional on the current partition count: a corpus that is
+    * already wide (the 100 TB case) passes through shuffle-free. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -206,7 +217,9 @@ object VectorOps {
       // greater than any double and the >= filter would pass (cosine_sim
       // returns NULL there; the oracle carries the same guard)
       .filter(col("nrm") > 0)
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // stream side widened so the all-pairs scan parallelizes (build side
+    // stays as-scanned: equal stats → Spark builds right, streams left)
+    fanOut(e).as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", round(
         dot_product(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6))

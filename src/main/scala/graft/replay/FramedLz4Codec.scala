@@ -48,10 +48,19 @@ class FramedLz4Codec extends CompressionCodec with Configurable {
       new FramedLz4Codec.DelegatedInputStream(detected, buffered)
     } catch {
       case _: CompressorException =>
-        // no recognizable frame → Hadoop's block-LZ4 wire format
-        val block = new Lz4Codec()
-        block.setConf(conf)
-        block.createInputStream(buffered)
+        if (FramedLz4Codec.looksLikeBlockLz4(buffered)) {
+          // plausible Hadoop block-LZ4 wire format (length-prefixed, no
+          // magic — sniffed structurally, see looksLikeBlockLz4)
+          val block = new Lz4Codec()
+          block.setConf(conf)
+          block.createInputStream(buffered)
+        } else {
+          // reference parity: "probably just uncompressed"
+          // (JsonEventS3Iterator.java:164-166) — a plaintext file named
+          // `*.lz4` must replay, not throw at read time and be silently
+          // dropped by ignoreCorruptFiles (data-loss-shaped)
+          new FramedLz4Codec.DelegatedInputStream(buffered, buffered)
+        }
     }
   }
 
@@ -77,6 +86,34 @@ class FramedLz4Codec extends CompressionCodec with Configurable {
 object FramedLz4Codec {
 
   private val BufferBytes = 64 * 1024
+
+  /** Largest plausible original-chunk length in a block-LZ4 header (Hadoop
+    * writes io.compression.codec.lz4.buffersize-sized chunks, 256 KiB by
+    * default — 64 MiB is a generous ceiling). */
+  private val MaxBlockBytes = 64 * 1024 * 1024
+
+  /** Structural sniff for Hadoop's block-LZ4 wire format, which has NO
+    * magic bytes: [origLen:int32 BE][compLen:int32 BE][chunk…]. Both
+    * lengths must be positive, origLen bounded, and compLen ≤ LZ4's
+    * worst-case expansion of origLen. Text fails this: e.g. a JSON line's
+    * first 4 bytes (`{"ty` = 0x7B227479) parse as ~2.07e9 > the ceiling —
+    * so unrecognized content falls through to pass-through, matching the
+    * reference's plain-text branch. */
+  private def looksLikeBlockLz4(in: BufferedInputStream): Boolean = {
+    in.mark(16)
+    val hdr = in.readNBytes(8)
+    in.reset()
+    if (hdr.length < 8) false
+    else {
+      def be(o: Int): Long =
+        ((hdr(o) & 0xffL) << 24) | ((hdr(o + 1) & 0xffL) << 16) |
+          ((hdr(o + 2) & 0xffL) << 8) | (hdr(o + 3) & 0xffL)
+      val orig = be(0)
+      val comp = be(4)
+      orig > 0 && orig <= MaxBlockBytes &&
+        comp > 0 && comp <= orig + orig / 250 + 64 // LZ4 worst-case bound
+    }
+  }
 
   /** Hadoop config key listing extra codecs; appending this codec makes it
     * the `.lz4` handler (extension map is last-write-wins). */

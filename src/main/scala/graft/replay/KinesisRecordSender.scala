@@ -87,29 +87,58 @@ object KinesisRecordSender {
     }
   }
 
-  /** Duck-typed instance call: first public method matching name/arity
-    * with assignable arguments. The SDK's fluent builders return `this`,
-    * so chained configuration is just repeated `call`s on the builder. */
-  private[replay] def call(target: AnyRef, method: String, args: AnyRef*): AnyRef = {
-    val m = target.getClass.getMethods.find(m =>
-      m.getName == method && m.getParameterCount == args.length &&
-        m.getParameterTypes.zip(args).forall { case (p, a) =>
-          a == null || p.isAssignableFrom(a.getClass) || p.isPrimitive
-        })
+  /** Boxed view of a (possibly primitive) parameter type, so primitive
+    * parameters only accept their matching box — `getMethods` order is
+    * unspecified, and "any arg fits a primitive" could bind an overloaded
+    * SDK method to the wrong overload (or IllegalArgumentException at
+    * invoke time). */
+  private def boxed(p: Class[_]): Class[_] = p match {
+    case java.lang.Boolean.TYPE => classOf[java.lang.Boolean]
+    case java.lang.Byte.TYPE => classOf[java.lang.Byte]
+    case java.lang.Short.TYPE => classOf[java.lang.Short]
+    case java.lang.Character.TYPE => classOf[java.lang.Character]
+    case java.lang.Integer.TYPE => classOf[java.lang.Integer]
+    case java.lang.Long.TYPE => classOf[java.lang.Long]
+    case java.lang.Float.TYPE => classOf[java.lang.Float]
+    case java.lang.Double.TYPE => classOf[java.lang.Double]
+    case other => other
+  }
+
+  private def paramFits(exact: Boolean)(p: Class[_], a: AnyRef): Boolean = {
+    val t = boxed(p)
+    if (a == null) !p.isPrimitive // null can never fill a primitive slot
+    else if (exact) t == a.getClass
+    else t.isAssignableFrom(a.getClass)
+  }
+
+  /** Overload resolution shared by [[call]]/[[callStatic]]: an exact-type
+    * pass first (deterministic under overloading), then an
+    * assignable-types pass. */
+  private def resolve(methods: Seq[java.lang.reflect.Method], name: String,
+      args: Seq[AnyRef]): Option[java.lang.reflect.Method] = {
+    val cands = methods.filter(m =>
+      m.getName == name && m.getParameterCount == args.length)
+    def pass(exact: Boolean) = cands.find(
+      _.getParameterTypes.toSeq.zip(args).forall { case (p, a) =>
+        paramFits(exact)(p, a) })
+    pass(exact = true).orElse(pass(exact = false))
+  }
+
+  /** Duck-typed instance call: exact-match overload first, then first
+    * assignable match. The SDK's fluent builders return `this`, so chained
+    * configuration is just repeated `call`s on the builder. */
+  private[replay] def call(target: AnyRef, method: String, args: AnyRef*): AnyRef =
+    resolve(target.getClass.getMethods.toSeq, method, args)
       .getOrElse(throw new NoSuchMethodException(
         s"${target.getClass.getName}.$method/${args.length}"))
-    m.invoke(target, args: _*)
-  }
+      .invoke(target, args: _*)
 
   /** Static (or Scala-object) call on a class resolved by name. */
   private[replay] def callStatic(className: String, method: String, args: AnyRef*): AnyRef = {
     val cls = Class.forName(className)
-    cls.getMethods.find(m =>
-      m.getName == method && m.getParameterCount == args.length &&
-        java.lang.reflect.Modifier.isStatic(m.getModifiers) &&
-        m.getParameterTypes.zip(args).forall { case (p, a) =>
-          a == null || p.isAssignableFrom(a.getClass) || p.isPrimitive
-        }) match {
+    val statics = cls.getMethods.toSeq.filter(m =>
+      java.lang.reflect.Modifier.isStatic(m.getModifiers))
+    resolve(statics, method, args) match {
       case Some(m) => m.invoke(null, args: _*)
       case None => // Scala object without static forwarders
         val module = Class.forName(className + "$").getField("MODULE$").get(null)

@@ -156,6 +156,9 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
     * by the streaming path, 0/0 where there is no in-process buffer. */
   @volatile var queueGauge: () => Int = () => 0
   @volatile var queueCapacity: Int = 0
+  /** Events the reorder buffer force-released before their horizon
+    * (capacity pressure → possible order violations); 0 when unwired. */
+  @volatile var forcedGauge: () => Long = () => 0L
 
   /** One PutRecords-equivalent exchange: `n` send calls, `r` of them
     * retries (KinesisProducer.java totalRequestCount/totalRetryCount). */
@@ -178,6 +181,7 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
       log(f"replayed ${total.get()} events (rate $rate/s, lag ${lagMs}ms, " +
         f"high-water ${java.time.Instant.ofEpochMilli(highWaterMs)}, " +
         f"buffer $queueCapacity/${queueGauge()} capacity/used, " +
+        f"${forcedGauge()} force-released, " +
         f"${requests.get()}/${retries.get()} requests/retries)")
     }
   }
@@ -187,7 +191,7 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
   def reset(): Unit = {
     total.set(0); window.set(0); windowStart.set(System.currentTimeMillis())
     requests.set(0); retries.set(0)
-    queueGauge = () => 0; queueCapacity = 0
+    queueGauge = () => 0; queueCapacity = 0; forcedGauge = () => 0L
   }
 }
 

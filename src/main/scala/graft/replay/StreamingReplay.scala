@@ -63,6 +63,7 @@ object StreamingReplay {
         else java.lang.Long.compare(a.seq, b.seq))
     private var maxMs = Long.MinValue
     private var seq = 0L
+    private var forced = 0L
 
     def add(ms: Long, payload: String): Unit = synchronized {
       pq.add(ReorderBuffer.E(ms, seq, payload)); seq += 1
@@ -80,11 +81,21 @@ object StreamingReplay {
         val horizon = if (h > maxMs) Long.MinValue else h
         val target = if (pq.size > capacity) capacity / 2 else capacity
         while (!pq.isEmpty && (pq.peek().ms <= horizon || pq.size > target)) {
-          val e = pq.poll(); b += ((e.ms, e.payload))
+          val e = pq.poll()
+          // a pop still inside the horizon is capacity pressure: a later,
+          // earlier-timestamped event may now be emitted out of order —
+          // counted so operators can see ordering degraded and size
+          // readerBufferSize accordingly (otherwise the violation is
+          // invisible at runtime)
+          if (e.ms > horizon) forced += 1
+          b += ((e.ms, e.payload))
         }
       }
       b.result()
     }
+    /** Events force-released by capacity pressure BEFORE their disorder
+      * horizon passed (each one a potential event-time order violation). */
+    def forceReleasedCount: Long = synchronized(forced)
     /** End-of-input: everything left, in order. */
     def drain(): Vector[(Long, String)] = synchronized {
       val b = Vector.newBuilder[(Long, String)]
@@ -167,6 +178,7 @@ object StreamingReplay {
       // (installed inside the try so the finally always un-installs it)
       ReplayStats.shared.queueGauge = () => buffer.size
       ReplayStats.shared.queueCapacity = cfg.readerBufferSize
+      ReplayStats.shared.forcedGauge = () => buffer.forceReleasedCount
       val query = stream(spark, cfg, maxFilesPerTrigger)
         .writeStream
         .trigger(Trigger.AvailableNow())
@@ -194,6 +206,7 @@ object StreamingReplay {
       // 0/0, not this run's dead buffer — and must not retain it
       ReplayStats.shared.queueGauge = () => 0
       ReplayStats.shared.queueCapacity = 0
+      ReplayStats.shared.forcedGauge = () => 0L
     }
   }
 }
