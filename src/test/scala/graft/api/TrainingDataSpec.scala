@@ -101,6 +101,87 @@ class TrainingDataSpec extends SparkSpec {
     assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 40L -> 40L, 41L -> 40L))
   }
 
+  test("dedupClusters: a 60-node chain throws at default maxRounds, converges when raised") {
+    // diameter 59 > the default 50-round cap: the cap must THROW (silently
+    // partial clusters are corruption), and a raised cap must converge with
+    // per-round lineage truncation — before the localCheckpoint fix this
+    // plan doubled every round (2^60 nodes: analyzer death, not slowness)
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException](TrainingData.dedupClusters(chain))
+    val labels = TrainingData.dedupClusters(chain, maxRounds = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("dedupClusters handles ids near 2^62 (convergence must not sum labels)") {
+    // hash- or snowflake-derived doc ids: two labels near 2^62 overflow an
+    // ANSI sum(label) — the changed-count convergence check must not
+    val big = Long.MaxValue / 2
+    val pairs = Seq((big, big + 1), (big + 1, big + 2), (7L, big + 3))
+      .toDF("d1", "d2")
+    val labels = TrainingData.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(big -> big, (big + 1) -> big, (big + 2) -> big,
+      7L -> 7L, (big + 3) -> 7L))
+  }
+
+  test("end-to-end dedup clustering at an adversarial shape: chains + star clusters") {
+    // long chains (diameter stress) + large stars (fan-out stress) + noise
+    // pairs, validated against a union-find model — the scale-shape proof
+    // for the dedup family
+    val t0 = System.nanoTime()
+    val chains = (0 until 3).flatMap { c =>
+      val base = 1000L * (c + 1)
+      (0L until 40L).map(i => (base + i, base + i + 1))
+    }
+    val stars = (0 until 2).flatMap { s =>
+      val hub = 5000L * (s + 1)
+      (1L to 200L).map(i => (hub, hub + i))
+    }
+    val noise = Seq((1L, 2L), (2L, 3L), (90L, 91L))
+    val all = chains ++ stars ++ noise
+    // model: union-find over the same edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct
+    val roots = nodes.groupBy(find).map { case (_, vs) => vs.min -> vs.toSet }
+    val expected = roots.flatMap { case (m, vs) => vs.map(_ -> m) }.toMap
+
+    val got = TrainingData.dedupClusters(all.toDF("d1", "d2"), maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"adversarial clustering took $secs%.1f s (bound 30 s)")
+  }
+
+  test("annTopKLsh/annTopKIvf return identical results when broadcasts are disabled") {
+    // large-|Q| contract: with autoBroadcastJoinThreshold=-1 every
+    // candidate join degrades to a shuffle join — results must be
+    // identical, proving correctness never depended on the broadcast path
+    val vecs = (1L to 40L).map(i =>
+      (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11 - 5).toFloat))).toDF("id", "emb")
+    val qs = vecs.filter(col("id") <= 5)
+    def lsh() = TrainingData.annTopKLsh(vecs, qs, "id", "emb", k = 3, tables = 6, bits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def ivf() = TrainingData.annTopKIvf(vecs, qs, "id", "emb", k = 3, nClusters = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val (lshB, ivfB) = (lsh(), ivf())
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      assert(lsh() == lshB && lshB.nonEmpty)
+      assert(ivf() == ivfB && ivfB.nonEmpty)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("tokenStats and fingerprint handle normal and empty docs") {
     val stats = TrainingData.tokenStats(corpus, "id", "body")
       .orderBy("id").collect()

@@ -241,6 +241,28 @@ class ReplayE2ESpec extends SparkSpec {
     assert(ids(CollectingSender.payloads) == Seq(1, 2))
   }
 
+  test("uncompressed file mislabeled .json.lz4 replays byte-exactly (reference's plain-text fallback)") {
+    // the reference's content sniff falls through to "probably just
+    // uncompressed" (JsonEventS3Iterator.java:164-166); a plaintext file
+    // with an .lz4 name must replay, not throw and get dropped by
+    // ignoreCorruptFiles
+    val dir = Files.createTempDirectory("replay_lz4_plain")
+    val lines = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z","fare":2.5}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""")
+    Files.write(dir.resolve("mislabeled.json.lz4"),
+      lines.mkString("\n").getBytes(UTF_8))
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 2)
+    val payloads = CollectingSender.payloads
+    assert(ids(payloads) == Seq(1, 2))
+    assert(payloads == lines.map(_ + "\n")) // byte-exact pass-through
+  }
+
   test("streaming source also decodes framed .lz4 (codec registered on the shared conf)") {
     val dir = Files.createTempDirectory("replay_lz4_stream")
     val lines = Seq(

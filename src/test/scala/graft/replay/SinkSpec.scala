@@ -114,8 +114,20 @@ class SinkSpec extends AnyFunSuite {
     // over capacity → shed to capacity/2 = 2, oldest first, in order
     assert(shed.map(_._1) == Seq(10L, 20L, 30L))
     assert(buf.size == 2)
+    // all 3 were inside the horizon → every one counts as force-released
+    // (the ordering-degradation signal ADVICE asked to surface)
+    assert(buf.forceReleasedCount == 3)
     assert(buf.release().isEmpty) // back under capacity, horizon still far
     assert(buf.drain().map(_._1) == Seq(40L, 50L))
+    assert(buf.forceReleasedCount == 3) // drain is end-of-input, not forced
+  }
+
+  test("horizon-passed releases do not count as force-released") {
+    val buf = new StreamingReplay.ReorderBuffer(toleranceMs = 5L, capacity = 100)
+    Seq(10L, 20L, 100L).foreach(ms => buf.add(ms, s"e$ms"))
+    // horizon = 100 - 5 = 95 → 10 and 20 release normally
+    assert(buf.release().map(_._1) == Seq(10L, 20L))
+    assert(buf.forceReleasedCount == 0)
   }
 
   test("reorder buffer horizon saturates: huge tolerance + negative event times never wraps") {
@@ -149,7 +161,29 @@ class SinkSpec extends AnyFunSuite {
       assert(lines.nonEmpty)
       assert(lines.last.contains("buffer 100/7 capacity/used"))
       assert(lines.last.contains("2/1 requests/retries"))
+      // force-release counter surfaces in the same line once wired
+      ReplayStats.shared.forcedGauge = () => 5L
+      ReplayStats.shared.record(0L, 42L)
+      assert(lines.last.contains("5 force-released"))
     } finally ReplayStats.configureShared(Long.MaxValue, _ => ())
+  }
+
+  test("reflective call resolves overloads exactly, not by getMethods order") {
+    import KinesisRecordSender.call
+    // exact-match pass: a Long argument must bind m(long), not m(Object),
+    // regardless of reflection enumeration order
+    assert(call(new SinkSpec.Overloaded, "m",
+      java.lang.Long.valueOf(7L)) == "long")
+    assert(call(new SinkSpec.Overloaded, "m", "s") == "string")
+    // assignable fallback still works when no exact overload exists
+    assert(call(new SinkSpec.Overloaded, "m",
+      java.lang.Integer.valueOf(3)) == "object")
+    // a primitive parameter no longer accepts an arbitrary argument
+    intercept[NoSuchMethodException](
+      call(new SinkSpec.Overloaded, "onlyLong", "not a long"))
+    // null can never fill a primitive slot
+    intercept[NoSuchMethodException](
+      call(new SinkSpec.Overloaded, "onlyLong", null))
   }
 
   test("affine schedule arithmetic (R6): deltas divided by speedup, round-half-up") {
@@ -162,5 +196,15 @@ class SinkSpec extends AnyFunSuite {
     // fractional speedups are legal (reference takes a float)
     assert(Schedule.ingestionMs(1001, 1000, 0, 0.5) == 2)
     assert(Schedule.ingestionMs(1003, 1000, 0, 2.5) == 1)
+  }
+}
+
+object SinkSpec {
+  /** Overload fixture for the reflective-call resolution test. */
+  final class Overloaded {
+    def m(x: Long): String = "long"
+    def m(x: String): String = "string"
+    def m(x: AnyRef): String = "object"
+    def onlyLong(x: Long): String = "onlyLong"
   }
 }
