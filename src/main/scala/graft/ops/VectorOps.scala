@@ -101,7 +101,10 @@ object VectorOps {
       .select(col("qq.q_id"), col("c.vec_id").as("c_id"))
       .distinct()
     val cand = candIds
-      .join(queries, "q_id") // query set assumed broadcastable; AQE decides
+      // no broadcast hint: AQE broadcasts a small query set and falls back
+      // to a shuffle join for large |Q| — both paths return identical
+      // results (asserted with broadcasts disabled in TrainingDataSpec)
+      .join(queries, "q_id")
       .join(corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cand
