@@ -100,6 +100,18 @@ object TrainingData {
       queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb")),
       k, nClusters, nProbe)
 
+  /** SRP-LSH embedding near-dup pairs — the AT-SCALE form of the exact
+    * all-pairs cosine scan: candidates share a sign-random-projection
+    * bucket in any of `tables` hash tables (an equi-join on the bucket
+    * key), then verify with exact cosine ≥ `threshold` →
+    * (v1, v2, sim), v1 < v2. Every emitted pair is exact-verified; recall
+    * dips below 1 only near the threshold (SRP collision curve). */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, tables: Int = 8, bits: Int = 4): DataFrame =
+    VectorOps.embNearDupLshCore(
+      corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      threshold, tables, bits)
+
   /** Connected components over an undirected (src, dst) pair DataFrame →
     * (id, label); label = min id of the component. Iterative min-label
     * propagation (rounds = component diameter); throws past `maxRounds`

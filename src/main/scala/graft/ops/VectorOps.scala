@@ -231,6 +231,49 @@ object VectorOps {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** X26 (scale path) — embedding near-dup via SRP-LSH bucketing: the
+    * 100 TB form of [[x26dEmbeddingNearDup]]. Candidates share a
+    * sign-random-projection bucket in any of the L tables (an equi-join on
+    * the bucket key, not all-pairs); candidates verify with exact cosine ≥
+    * the threshold, so every emitted pair is a TRUE near-dup pair with the
+    * same sim the exact scan would report. Recall < 1 for pairs near the
+    * threshold (the SRP collision curve: p_table = (1 − θ/π)^bits);
+    * subset + recall-floor asserted against x26d in LlmOpsSpec. */
+  def x26fEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
+    embNearDupLshCore(
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      threshold = 0.4, tables = 8, bits = 4)
+      .orderBy(col("v1"), col("v2"))
+
+  /** SRP-LSH near-dup pair core over any `(vec_id, embedding)` corpus —
+    * shared by the fixture query above and the parametric API
+    * (graft.api.TrainingData.embeddingNearDupPairs). Same bucketing as the
+    * ANN path ([[annLshCore]]); candidate pairs travel as 16-byte id
+    * pairs, embeddings re-attach only for the exact verify. */
+  private[graft] def embNearDupLshCore(corpus: DataFrame, threshold: Double,
+      tables: Int, bits: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = corpus.toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
+      .filter(col("nrm") > 0) // zero vectors have no direction, like x26d
+    val bucketRows = e.select(col("vec_id").as("doc_id"),
+        posexplode(graft.functions.SrpFunctions.srp_buckets(col("embedding"), tables, bits)))
+      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bandkey"))
+    // distinct ordered candidate pairs from any shared bucket (coocPairs
+    // dedups multi-table collisions via its groupBy)
+    val cand = DedupOps.coocPairs(bucketRows, "bandkey")
+      .select(col("d1"), col("d2"))
+    cand
+      .join(e.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), "d1")
+      .join(e.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), "d2")
+      .withColumn("sim", round(
+        dot_product(col("e1"), col("e2")) / (col("n1") * col("n2")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("d1").as("v1"), col("d2").as("v2"), col("sim"))
+  }
+
   /** X30 — custom typed Aggregator: per-label centroid computed in scaled
     * integer space (×10⁶ → long) so partial-aggregation order cannot
     * perturb the result; parametric in dimension count. */
@@ -305,6 +348,7 @@ object VectorOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
+    "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
     "x27_cosine_topk" -> (x27TopK _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),

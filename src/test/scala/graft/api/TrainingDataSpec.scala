@@ -161,6 +161,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(secs < 30.0, f"adversarial clustering took $secs%.1f s (bound 30 s)")
   }
 
+  test("embeddingNearDupPairs finds duplicate vectors with exact-verified sims") {
+    // exact duplicates collide in every SRP table → recall 1 at high sim
+    val base = (0 until 8).map(j => (j * 3 % 7 - 3).toFloat)
+    val other = (0 until 8).map(j => (j * 5 % 11 - 5).toFloat)
+    val vecs = Seq(
+      (1L, base), (2L, base), // exact dup pair
+      (3L, base.map(x => x * 2f)), // same direction → cosine 1 with 1,2
+      (4L, other),
+      (5L, Seq.fill(8)(0f)) // zero vector: no direction, must be dropped
+    ).toDF("id", "emb")
+    val pairs = TrainingData.embeddingNearDupPairs(vecs, "id", "emb", 0.99)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.values.forall(_ >= 0.99))
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("annTopKLsh/annTopKIvf return identical results when broadcasts are disabled") {
     // large-|Q| contract: with autoBroadcastJoinThreshold=-1 every
     // candidate join degrades to a shuffle join — results must be

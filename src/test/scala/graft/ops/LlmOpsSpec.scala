@@ -53,6 +53,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall too low")
   }
 
+  test("embedding LSH near-dup pairs are an exact-verified subset of the quadratic scan") {
+    val exact = VectorOps.x26dEmbeddingNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = VectorOps.x26fEmbeddingNearDupLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    // no false positives, and identical sims (the verify step is exact)
+    lsh.foreach { case (pair, sim) =>
+      assert(exact.contains(pair), s"LSH emitted non-pair $pair")
+      assert(exact(pair) == sim, s"pair $pair: lsh sim $sim vs exact ${exact(pair)}")
+    }
+    // recall floor: 8 tables x 4 bits at cos >= 0.4 collides with
+    // p_table = (1 - arccos(0.4)/pi)^4 ~ 0.16 -> recall ~ 0.75 expected
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.4, s"embedding LSH recall $recall too low")
+  }
+
   test("dedup clusters are the connected components of the near-dup pair graph") {
     val pairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
     val labels = DedupOps.x26eDedupClusters(spark, d).collect()
