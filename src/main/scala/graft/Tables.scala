@@ -37,4 +37,18 @@ object Tables {
 
   /** Milliseconds since epoch (truncating), portable vs DuckDB epoch_ms. */
   def tsMs(c: Column): Column = unix_millis(c)
+
+  /** Widen a relation to at least `defaultParallelism` partitions — for
+    * operators whose per-partition work is SUPER-LINEAR in the partition's
+    * rows (the O(n²) nested-loop baselines): there the repartition shuffle
+    * is trivially repaid. For merely row-heavy scans (tokenize/hash) the
+    * shuffle of raw text costs more than it buys — measured; use finer
+    * scan splits (`spark.sql.files.maxPartitionBytes`) instead, which is
+    * what a many-file 100 TB layout provides naturally. Conditional on the
+    * current partition count: an already-wide corpus passes through
+    * shuffle-free. Results unaffected (order-independent aggregation). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -17,16 +17,10 @@ import graft.Tables._
   * order so results are deterministic and oracle-comparable. */
 object VectorOps {
 
-  /** Widen a relation to at least `defaultParallelism` partitions. The
-    * quadratic baselines stream one side of a nested-loop join, and that
-    * side inherits the scan's partitioning — a small parquet file is ONE
-    * partition, so the O(n²) work runs as one task while the other cores
-    * idle. Conditional on the current partition count: a corpus that is
-    * already wide (the 100 TB case) passes through shuffle-free. */
-  private[graft] def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** See [[graft.Tables.fanOut]] — the quadratic baselines stream one side
+    * of a nested-loop join, which otherwise inherits a small scan's single
+    * partition. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = graft.Tables.fanOut(df)
 
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
