@@ -241,6 +241,27 @@ class ReplayE2ESpec extends SparkSpec {
     assert(ids(CollectingSender.payloads) == Seq(1, 2))
   }
 
+  test("zstd content mislabeled .json.lz4 decodes via the magic-byte sniff (R2 breadth)") {
+    // the reference detects the COMPRESSOR from content, never the name
+    // (CompressorStreamFactory) — so a zstd stream inside a .lz4-named
+    // object must decode; exercises the commons-compress breadth claim
+    // beyond the two LZ4 wire formats
+    val dir = Files.createTempDirectory("replay_zstd")
+    val lines = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""")
+    val z = new com.github.luben.zstd.ZstdOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("events.json.lz4")))
+    z.write(lines.mkString("\n").getBytes(UTF_8)); z.close()
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 2)
+    assert(ids(CollectingSender.payloads) == Seq(1, 2))
+  }
+
   test("uncompressed file mislabeled .json.lz4 replays byte-exactly (reference's plain-text fallback)") {
     // the reference's content sniff falls through to "probably just
     // uncompressed" (JsonEventS3Iterator.java:164-166); a plaintext file
