@@ -14,6 +14,7 @@ object SparkEntry {
       (Windows.defs, Windows.oracles),
       (Functions.defs, Functions.oracles),
       (DedupOps.defs, DedupOps.oracles),
+      (SamplingOps.defs, SamplingOps.oracles),
       (TextOps.defs, TextOps.oracles),
       (VectorOps.defs, VectorOps.oracles),
       (MultimodalOps.defs, MultimodalOps.oracles))

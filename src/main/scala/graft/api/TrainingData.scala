@@ -191,6 +191,46 @@ object TrainingData {
           lit(0.0), (a, x) => a + x) / lit(dims.toDouble), 9).as("mse"))
   }
 
+  /** Content-addressed bucket 0..99 of an id: the first 16 bits of
+    * sha256(id-as-string) parsed via ascii() arithmetic — both engines
+    * emit lowercase hex and agree on ascii(), so the bucket (not just its
+    * distribution) is oracle-checkable. Stable across runs, partitioning,
+    * and engines — the property `randomSplit`/`sample` lack. */
+  private[graft] def hashBucket(id: Column): Column = {
+    val hex = sha2(id.cast("string"), 256)
+    def d(i: Int): Column = {
+      val a = ascii(substring(hex, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48) // 'a'..'f' → 10..15, else 0..9
+    }
+    (((d(1) * 16 + d(2)) * 16 + d(3)) * 16 + d(4)) % 100
+  }
+
+  /** Deterministic split assignment → input columns + (bucket, split).
+    * `weights` are (name, percent) summing to 100; a row's split is the
+    * first range its content bucket falls in. Pure row function: no
+    * shuffle, no state, prunes nothing — compose with [[hashSample]] for
+    * subsetting. */
+  def deterministicSplit(docs: DataFrame, idCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 100,
+      s"split weights must sum to 100: $weights")
+    val cum = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val b = hashBucket(col(idCol))
+    val split = weights.zip(cum).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), hi), other) =>
+      when(b < hi, name).otherwise(other)
+    }
+    docs.withColumn("bucket", b.cast("int")).withColumn("split", split)
+  }
+
+  /** Deterministic `percent`% sample: rows whose content bucket falls
+    * below the cutoff. A filter — composes with any downstream operator
+    * and costs one hash per row. */
+  def hashSample(docs: DataFrame, idCol: String, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100, s"percent out of range: $percent")
+    docs.filter(hashBucket(col(idCol)) < percent)
+  }
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

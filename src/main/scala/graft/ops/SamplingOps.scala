@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Deterministic sampling/splitting for a training-data pipeline
+  * (SURVEY.md §2B X31): train/val/test assignment and corpus sampling as
+  * CONTENT-ADDRESSED bucketing — `bucket = sha256(id) mod 100`.
+  *
+  * Why not `randomSplit`/`sample`: both are partitioning-dependent (the
+  * split a row lands in changes when the file layout or parallelism
+  * changes), which silently leaks val rows into train across re-runs of a
+  * 100 TB pipeline. A content hash is stable across engines, runs,
+  * repartitioning, and incremental re-ingestion — the industry-standard
+  * form — and is embarrassingly parallel (pure row function, no shuffle,
+  * no state).
+  *
+  * The bucket uses the first 4 hex chars of SHA-256 (16 bits) parsed with
+  * locate()-arithmetic that both Spark and DuckDB evaluate identically —
+  * so the assignment itself is oracle-checked, not just row counts. */
+object SamplingOps {
+
+  /** X31 — deterministic 80/10/10 split assignment over documents.
+    * Fixture binding of [[graft.api.TrainingData.deterministicSplit]]. */
+  def x31Split(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.deterministicSplit(
+      t(s, d, "documents").select(col("doc_id")), "doc_id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .orderBy(col("doc_id"))
+
+  /** X31 — deterministic 20% corpus sample (same bucketing; a filter, so
+    * it composes with any downstream op and prunes at the scan). */
+  def x31bSample(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.hashSample(
+      t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id", 20)
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_split" -> (x31Split _),
+    "x31b_sample" -> (x31bSample _))
+
+  // the same 16-bit hex parse, DuckDB spelling (both engines emit
+  // lowercase sha256 hex and agree on ascii())
+  private def bucketSql(idCol: String): String = {
+    val digit = (i: Int) => {
+      val a = s"ascii(substring(sha256(CAST($idCol AS VARCHAR)), $i, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    s"((((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)}) % 100)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "x31_split" ->
+      s"""SELECT doc_id,
+         | CAST(${bucketSql("doc_id")} AS INTEGER) AS bucket,
+         | CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |      WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x31b_sample" ->
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${bucketSql("doc_id")} < 20
+         |ORDER BY doc_id""".stripMargin)
+}

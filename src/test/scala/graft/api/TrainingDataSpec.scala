@@ -233,6 +233,42 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getDouble(7) >= 0.0) // mse defined
   }
 
+  test("deterministicSplit is stable under repartitioning and respects weights") {
+    val docs = (1L to 2000L).toDF("id")
+    val split = TrainingData.deterministicSplit(docs, "id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    val a = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // identical assignment from a different partitioning (randomSplit and
+    // sample both FAIL this property — the point of the content hash)
+    val b = TrainingData.deterministicSplit(docs.repartition(17), "id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    // proportions near the weights (16-bit hash over 2000 ids)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train frac ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.03 && math.abs(frac("test") - 0.1) < 0.03)
+    // every row assigned, buckets in range
+    val buckets = split.collect().map(_.getInt(1))
+    assert(buckets.forall(v => v >= 0 && v < 100))
+    intercept[IllegalArgumentException](
+      TrainingData.deterministicSplit(docs, "id", Seq(("train", 50), ("val", 10))))
+  }
+
+  test("hashSample is the bucket-prefix subset of the split assignment") {
+    val docs = (1L to 500L).toDF("id")
+    val sample = TrainingData.hashSample(docs, "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    val byBucket = TrainingData.deterministicSplit(docs, "id", Seq(("all", 100)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sample == byBucket.filter(_._2 < 20).keySet)
+    assert(sample.nonEmpty && sample.size < 500)
+    // sampling twice gives the same rows (deterministic, not pseudo-random)
+    val again = TrainingData.hashSample(docs, "id", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == sample)
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each
