@@ -231,6 +231,25 @@ object TrainingData {
     docs.filter(hashBucket(col(idCol)) < percent)
   }
 
+  /** Deterministic STRATIFIED sample: per-stratum keep-percentages (the
+    * corpus-rebalancing op — e.g. downsample a dominant language while
+    * keeping rare ones whole). Strata absent from `percents` keep
+    * `defaultPercent`. Same content-addressed bucket as [[hashSample]], so
+    * the kept set is stable across runs/partitioning AND nested: a
+    * stratum's 20% sample is a subset of its 50% sample. Pure row filter —
+    * no shuffle, no per-group state, unlike `sampleBy`'s seeded Bernoulli
+    * draw (which re-rolls per partitioning). */
+  def stratifiedHashSample(docs: DataFrame, idCol: String, strataCol: String,
+      percents: Map[String, Int], defaultPercent: Int = 100): DataFrame = {
+    (percents.values.toSeq :+ defaultPercent).foreach(p =>
+      require(p >= 0 && p <= 100, s"percent out of range: $p"))
+    val cutoff = percents.foldLeft(lit(defaultPercent): Column) {
+      case (other, (stratum, pct)) =>
+        when(col(strataCol) === stratum, pct).otherwise(other)
+    }
+    docs.filter(hashBucket(col(idCol)) < cutoff)
+  }
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

@@ -36,9 +36,19 @@ object SamplingOps {
       t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id", 20)
       .orderBy(col("doc_id"))
 
+  /** X31 — deterministic stratified sample over documents: keep 10% of
+    * 'en', 50% of 'es', 100% of everything else (corpus rebalancing).
+    * Fixture binding of [[graft.api.TrainingData.stratifiedHashSample]]. */
+  def x31cStratified(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.stratifiedHashSample(
+      t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id",
+      "lang", Map("en" -> 10, "es" -> 50))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
-    "x31b_sample" -> (x31bSample _))
+    "x31b_sample" -> (x31bSample _),
+    "x31c_stratified" -> (x31cStratified _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
@@ -62,5 +72,11 @@ object SamplingOps {
       s"""SELECT doc_id, lang
          |FROM documents
          |WHERE ${bucketSql("doc_id")} < 20
+         |ORDER BY doc_id""".stripMargin,
+    "x31c_stratified" ->
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${bucketSql("doc_id")} <
+         |  (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 50 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin)
 }

@@ -269,6 +269,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(again == sample)
   }
 
+  test("stratifiedHashSample keeps per-stratum fractions, nested and deterministic") {
+    val docs = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "fr"))
+      .toDF("id", "lang")
+    val kept = TrainingData.stratifiedHashSample(docs, "id", "lang",
+      Map("en" -> 10, "es" -> 50)).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byLang("en") / 1000.0 - 0.10) < 0.04)
+    assert(math.abs(byLang("es") / 1000.0 - 0.50) < 0.06)
+    assert(byLang("fr") == 1000) // default 100%: rare stratum kept whole
+    // nesting: a stratum's 10% sample ⊂ its 50% sample (bucket prefixes)
+    val en10 = kept.filter(_._2 == "en").map(_._1).toSet
+    val en50 = TrainingData.stratifiedHashSample(docs, "id", "lang",
+      Map("en" -> 50, "es" -> 50)).collect()
+      .filter(_.getString(1) == "en").map(_.getLong(0)).toSet
+    assert(en10.subsetOf(en50))
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each
