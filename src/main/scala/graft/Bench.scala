@@ -18,9 +18,12 @@ object Bench {
     // EVERY table — otherwise first-touch I/O is billed to whichever query
     // happens to scan a table first (Map iteration order), making
     // round-over-round per-query deltas unattributable
+    // Tables.t, not raw spark.read: events.parquet is TIMESTAMP(NANOS),
+    // which a raw read rejects — the catch would hide that and leave the
+    // one replay-query table cold
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { tbl =>
-      try spark.read.parquet(s"$sfDir/$tbl.parquet").foreach(_ => ())
+      try graft.Tables.t(spark, sfDir, tbl).foreach(_ => ())
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

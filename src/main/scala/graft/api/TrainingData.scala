@@ -214,6 +214,9 @@ object TrainingData {
       weights: Seq[(String, Int)]): DataFrame = {
     require(weights.nonEmpty && weights.map(_._2).sum == 100,
       s"split weights must sum to 100: $weights")
+    weights.foreach { case (name, w) =>
+      require(w >= 0 && w <= 100, s"split weight out of range: $name -> $w")
+    }
     val cum = weights.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val b = hashBucket(col(idCol))
     val split = weights.zip(cum).init.foldRight(

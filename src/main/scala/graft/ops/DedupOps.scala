@@ -43,14 +43,16 @@ object DedupOps {
         explode(graft.functions.TextFunctions.shingle_hashes(col("text"), 3)).as("shh"))
 
   // The shingle relation is persisted because each query reuses it on 2-3
-  // plan branches, and x26/x26b share it. Cached per SF dir (a handful of
-  // dirs per process, ~100k rows each) — keyed caching avoids the
+  // plan branches, and x26/x26b share it. Cached per (application, SF dir)
+  // — a handful per process, ~100k rows each; keyed caching avoids the
   // single-slot hazard of unpersisting a relation a concurrent or
-  // lazily-built query still needs.
+  // lazily-built query still needs, and the application-id component keeps
+  // a relation bound to a stopped session from leaking into a new one.
   @transient private val shCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def persistShingles(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate(d, shingleHashRows(s, d).persist())
+    shCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+      shingleHashRows(s, d).persist())
 
   // The verified near-dup pair relation feeds both the pair query (x26)
   // and the cluster query (x26e) — cached like the shingles so the
@@ -58,9 +60,9 @@ object DedupOps {
   // which query runs first. Binds the parametric core
   // (TrainingData.nearDupPairsFromShingles) to the cached shingle relation.
   @transient private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def persistPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate(d,
+    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       graft.api.TrainingData
         .nearDupPairsFromShingles(persistShingles(s, d), 0.5)
         .persist())

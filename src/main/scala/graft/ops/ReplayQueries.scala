@@ -75,11 +75,14 @@ object ReplayQueries {
 
   // r03 and r04 rank the SAME (event_id, ts) relation: persist the ranked
   // result per SF dir so the second query reuses the first's sequence
-  // (same keyed-cache pattern as the dedup shingle/pair relations)
+  // (same keyed-cache pattern as the dedup shingle/pair relations). The
+  // key includes the Spark application id: a cached Dataset is bound to
+  // its session, and a dir-only key would hand a relation from a stopped
+  // session to a new one in the same JVM.
   @transient private val rankCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def persistEmitRank(s: SparkSession, d: String): DataFrame =
-    rankCache.getOrElseUpdate(d,
+    rankCache.getOrElseUpdate((s.sparkContext.applicationId, d),
       withEmitRank(t(s, d, "events").select(col("event_id"), col("ts")), d)
         .select(col("event_id"), col("ts"), col("emit_rank"))
         .persist())

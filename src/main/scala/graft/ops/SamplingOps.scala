@@ -17,7 +17,7 @@ import graft.Tables._
   * no state).
   *
   * The bucket uses the first 4 hex chars of SHA-256 (16 bits) parsed with
-  * locate()-arithmetic that both Spark and DuckDB evaluate identically —
+  * ascii()-arithmetic that both Spark and DuckDB evaluate identically —
   * so the assignment itself is oracle-checked, not just row counts. */
 object SamplingOps {
 

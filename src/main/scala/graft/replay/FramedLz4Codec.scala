@@ -48,7 +48,8 @@ class FramedLz4Codec extends CompressionCodec with Configurable {
       new FramedLz4Codec.DelegatedInputStream(detected, buffered)
     } catch {
       case _: CompressorException =>
-        if (FramedLz4Codec.looksLikeBlockLz4(buffered)) {
+        if (FramedLz4Codec.looksLikeBlockLz4(buffered,
+            FramedLz4Codec.maxBlockBytes(conf))) {
           // plausible Hadoop block-LZ4 wire format (length-prefixed, no
           // magic — sniffed structurally, see looksLikeBlockLz4)
           val block = new Lz4Codec()
@@ -87,10 +88,20 @@ object FramedLz4Codec {
 
   private val BufferBytes = 64 * 1024
 
-  /** Largest plausible original-chunk length in a block-LZ4 header (Hadoop
-    * writes io.compression.codec.lz4.buffersize-sized chunks, 256 KiB by
-    * default — 64 MiB is a generous ceiling). */
-  private val MaxBlockBytes = 64 * 1024 * 1024
+  /** Largest plausible original-chunk length in a block-LZ4 header. Hadoop
+    * writes io.compression.codec.lz4.buffersize-sized chunks (256 KiB by
+    * default); the ceiling follows the CONFIGURED buffer size so a cluster
+    * writing outsized blocks still routes to the block decoder (never
+    * below 64 MiB, never at/above 2^31 where plain-text leading bytes —
+    * e.g. `{"ty` = 0x7B227479 — would start passing as lengths). */
+  private val DefaultMaxBlockBytes = 64 * 1024 * 1024
+  private def maxBlockBytes(conf: Configuration): Long = {
+    val configured =
+      if (conf == null) 0L
+      else conf.getLong("io.compression.codec.lz4.buffersize", 0L)
+    math.min(Int.MaxValue.toLong - 1,
+      math.max(DefaultMaxBlockBytes.toLong, 2L * configured))
+  }
 
   /** Structural sniff for Hadoop's block-LZ4 wire format, which has NO
     * magic bytes: [origLen:int32 BE][compLen:int32 BE][chunk…]. Both
@@ -99,7 +110,7 @@ object FramedLz4Codec {
     * first 4 bytes (`{"ty` = 0x7B227479) parse as ~2.07e9 > the ceiling —
     * so unrecognized content falls through to pass-through, matching the
     * reference's plain-text branch. */
-  private def looksLikeBlockLz4(in: BufferedInputStream): Boolean = {
+  private def looksLikeBlockLz4(in: BufferedInputStream, ceiling: Long): Boolean = {
     in.mark(16)
     val hdr = in.readNBytes(8)
     in.reset()
@@ -110,7 +121,7 @@ object FramedLz4Codec {
           ((hdr(o + 2) & 0xffL) << 8) | (hdr(o + 3) & 0xffL)
       val orig = be(0)
       val comp = be(4)
-      orig > 0 && orig <= MaxBlockBytes &&
+      orig > 0 && orig <= ceiling &&
         comp > 0 && comp <= orig + orig / 250 + 64 // LZ4 worst-case bound
     }
   }

@@ -157,8 +157,11 @@ class TrainingDataSpec extends SparkSpec {
     val got = TrainingData.dedupClusters(all.toDF("d1", "d2"), maxRounds = 60)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected)
+    // generous bound: ~80 small shuffle jobs on the shared local session
+    // are load-sensitive; this guards against pathological blowup (the
+    // pre-fix exponential plan took unboundedly long), not machine noise
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 30.0, f"adversarial clustering took $secs%.1f s (bound 30 s)")
+    assert(secs < 90.0, f"adversarial clustering took $secs%.1f s (bound 90 s)")
   }
 
   test("embeddingNearDupPairs finds duplicate vectors with exact-verified sims") {
