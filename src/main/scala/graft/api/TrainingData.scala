@@ -253,6 +253,28 @@ object TrainingData {
     docs.filter(hashBucket(col(idCol)) < cutoff)
   }
 
+  /** Symmetric int8 quantization in its STORAGE form →
+    * (id, scale_r, qvec: binary), one byte per dimension — 4× smaller
+    * than float32, the layout a 100 TB quantized vector corpus actually
+    * persists (the columnar [[quantizeInt8]] reports sample values and
+    * error stats; this packs the full vector). Same half-up rule, so the
+    * packed bytes equal quantizeInt8's q values; all-zero vectors are
+    * dropped (no scale). Round-trip via
+    * [[graft.functions.VectorFunctions.unpack_int8]]. */
+  def quantizeInt8Packed(embeddings: DataFrame, idCol: String,
+      embCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.pack_int8
+    embeddings
+      .select(col(idCol), col(embCol).as("embedding"),
+        aggregate(col(embCol), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double")))).as("absmax"))
+      .filter(col("absmax") > 0)
+      .withColumn("scale", col("absmax") / lit(127.0))
+      .select(col(idCol),
+        round(col("scale"), 6).as("scale_r"),
+        pack_int8(col("embedding"), col("scale")).as("qvec"))
+  }
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

@@ -137,6 +137,118 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack a float vector into int8 bytes — the STORAGE form of symmetric
+  * quantization (4× smaller than float32; SURVEY.md §2B X30 scale path):
+  * `byte_i = floor(x_i / scale + 0.5)` in exact double arithmetic, the
+  * identical half-up rule as the columnar quantizeInt8 (so the packed
+  * bytes equal its q values — asserted in VectorExprSpec). `scale` is the
+  * caller's `max|x| / 127`, which bounds every byte to [-127, 127]; a
+  * non-positive scale (zero vector) yields NULL. One fused primitive loop
+  * inside WholeStageCodegen. */
+case class PackInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_int8 expects (array<float>, double), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    if (scale <= 0.0) null
+    else {
+      val n = x.numElements()
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i).toDouble / scale + 0.5).toLong.toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, s) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($s <= 0.0) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $x.numElements();
+         |  byte[] $out = new byte[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte)(long) java.lang.Math.floor(
+         |      (double) $x.getFloat($i) / $s + 0.5);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Inverse of [[PackInt8]]: reconstruct `array<float>` as
+  * `float(byte_i * scale)` — the dequantize step of the int8 storage
+  * path. Reconstruction error per element is bounded by `scale / 2`
+  * (asserted in VectorExprSpec). */
+case class UnpackInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unpack_int8 expects (binary, double), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(a: Any, s: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val scale = s.asInstanceOf[Double]
+    val out = new Array[Float](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = (bytes(i) * scale).toFloat
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, s) => {
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |float[] $out = new float[$x.length];
+         |for (int $i = 0; $i < $x.length; $i++) {
+         |  $out[$i] = (float)($x[$i] * $s);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
@@ -147,6 +259,16 @@ object VectorFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for [[PackInt8]]. */
+  def pack_int8(emb: Column, scale: Column): Column =
+    GraftBridge.column(PackInt8(
+      GraftBridge.expression(emb), GraftBridge.expression(scale)))
+
+  /** Column API for [[UnpackInt8]]. */
+  def unpack_int8(bytes: Column, scale: Column): Column =
+    GraftBridge.column(UnpackInt8(
+      GraftBridge.expression(bytes), GraftBridge.expression(scale)))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -331,6 +331,16 @@ object VectorOps {
       .quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding", 64)
       .orderBy(col("vec_id"))
 
+  /** X30 — packed int8 quantization: the storage form (one byte/dim).
+    * The blob surfaces as an UPPERCASE hex string so the DuckDB oracle
+    * compares the exact packed BYTES, not just stats — both engines
+    * agree on hex() case and the two's-complement `& 255` byte map. */
+  def x30dQuantizePacked(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData
+      .quantizeInt8Packed(t(s, d, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("scale_r"), hex(col("qvec")).as("qhex"))
+      .orderBy(col("vec_id"))
+
   /** X30 — scalar UDF surface demo (built-ins are preferred everywhere
     * else; trivial semantics keep the oracle expressible). */
   def x30bUdf(s: SparkSession, d: String): DataFrame = {
@@ -348,7 +358,8 @@ object VectorOps {
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x30_centroid_agg" -> (x30Centroid _),
     "x30b_scalar_udf" -> (x30bUdf _),
-    "x30c_quantize_int8" -> (x30cQuantize _))
+    "x30c_quantize_int8" -> (x30cQuantize _),
+    "x30d_quantize_packed" -> (x30dQuantizePacked _))
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -388,6 +399,20 @@ object VectorOps {
     "x30b_scalar_udf" ->
       """SELECT doc_id, CAST(length(text) * 2 + 1 AS INTEGER) AS udf_val
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x30d_quantize_packed" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, embedding, absmax / 127.0 AS scale
+        |  FROM b WHERE absmax > 0)
+        |SELECT vec_id,
+        | round(scale, 6) AS scale_r,
+        | upper(list_aggregate(list_transform(embedding,
+        |   x -> lpad(to_hex(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) & 255), 2, '0')),
+        |   'string_agg', '')) AS qhex
+        |FROM sc ORDER BY vec_id""".stripMargin,
     "x30c_quantize_int8" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,

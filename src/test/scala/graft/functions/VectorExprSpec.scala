@@ -47,6 +47,46 @@ class VectorExprSpec extends SparkSpec {
     assert(rows.length == 90 && rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
   }
 
+  test("pack_int8 bytes equal the columnar quantizer's values; unpack round-trips") {
+    import VectorFunctions.{pack_int8, unpack_int8}
+    val e = Tables.t(spark, d, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"),
+        (aggregate(col("embedding"), lit(0.0),
+          (a, x) => greatest(a, abs(x.cast("double")))) / 127.0).as("scale"))
+      .filter(col("scale") > 0)
+    val packed = e.select(col("vec_id"), col("embedding"), col("scale"),
+      pack_int8(col("embedding"), col("scale")).as("qvec"))
+    // byte 1 == the columnar form's q1 (same half-up rule), two's complement
+    val cmp = packed.select(
+      // unpack at scale 1.0 surfaces the raw signed byte values
+      element_at(unpack_int8(col("qvec"), lit(1.0)), 1).cast("int").as("b1"),
+      floor(element_at(col("embedding"), 1).cast("double") / col("scale") + lit(0.5))
+        .cast("int").as("q1"))
+    assert(cmp.filter(col("b1") =!= col("q1")).count() == 0)
+    // round-trip: |unpack(pack(x)) - x| <= scale/2 per element
+    val rt = packed
+      .select(col("embedding"), col("scale"),
+        unpack_int8(col("qvec"), col("scale")).as("back"))
+      .select(aggregate(
+        zip_with(col("embedding"), col("back"),
+          (x, y) => abs(x.cast("double") - y.cast("double"))),
+        lit(0.0), (a, x) => greatest(a, x)).as("maxerr"), col("scale"))
+    assert(rt.filter(col("maxerr") > col("scale") / 2 + lit(1e-9)).count() == 0)
+    assert(rt.count() > 0)
+  }
+
+  test("pack_int8 yields null for a zero scale; byte count equals dims") {
+    import VectorFunctions.pack_int8
+    import spark.implicits._
+    val v = Seq((1L, Seq(0.5f, -0.25f, 0.125f), 0.5 / 127.0),
+      (2L, Seq(0f, 0f, 0f), 0.0)).toDF("id", "emb", "scale")
+    val out = v.select(col("id"), pack_int8(col("emb"), col("scale")).as("q"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getAs[Array[Byte]](1).length == 3)
+    assert(out(0).getAs[Array[Byte]](1)(0) == 127.toByte)
+    assert(out(1).isNullAt(1)) // zero vector: no scale, null not garbage
+  }
+
   test("null and zero-vector inputs yield null, not NaN") {
     VectorFunctions.register(spark)
     val r = spark.sql(
