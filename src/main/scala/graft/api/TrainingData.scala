@@ -275,6 +275,17 @@ object TrainingData {
         pack_int8(col("embedding"), col("scale")).as("qvec"))
   }
 
+  /** Brute-force cosine top-k over an int8-PACKED corpus (from
+    * [[quantizeInt8Packed]]): scans 1 byte/dim in integer arithmetic —
+    * the memory-bandwidth-bound form of [[cosineTopK]] for a quantized
+    * 100 TB corpus. Scales cancel in cosine, so only the packed bytes are
+    * needed → (q_id, c_id, sim, rank). */
+  def cosineTopKPacked(packed: DataFrame, queries: DataFrame, idCol: String,
+      qvecCol: String, k: Int): DataFrame =
+    VectorOps.packedCosineTopK(
+      packed.select(col(idCol), col(qvecCol)),
+      queries.select(col(idCol).as("q_id"), col(qvecCol).as("q_qvec")), k)
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

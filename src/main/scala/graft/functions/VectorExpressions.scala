@@ -249,6 +249,57 @@ case class UnpackInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product over two int8-PACKED vectors (binary columns from
+  * [[PackInt8]]) → long — the integer arithmetic a quantized 100 TB
+  * vector corpus scans with (4× less memory bandwidth than float32, and
+  * exact: sums of byte products fit a long for any realistic dims). Note
+  * cosine over packed vectors needs no scales at all — they cancel:
+  * `cos(q_a·s_a, q_b·s_b) = dot8(q_a,q_b) / (√dot8(q_a,q_a)·√dot8(q_b,q_b))`. */
+case class Int8DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_dot expects (binary, binary), got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x(i).toLong * y(i).toLong; i += 1 }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (long) $x[$i] * (long) $y[$i];
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
@@ -269,6 +320,11 @@ object VectorFunctions {
   def unpack_int8(bytes: Column, scale: Column): Column =
     GraftBridge.column(UnpackInt8(
       GraftBridge.expression(bytes), GraftBridge.expression(scale)))
+
+  /** Column API for [[Int8DotProduct]]. */
+  def int8_dot(a: Column, b: Column): Column =
+    GraftBridge.column(Int8DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** SQL registration: `SELECT cosine_sim(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -268,6 +268,47 @@ object VectorOps {
       .select(col("d1").as("v1"), col("d2").as("v2"), col("sim"))
   }
 
+  /** X27 (quantized path) — brute-force cosine top-k over the int8-PACKED
+    * corpus: the search side of the quantization story. The whole scan
+    * reads 1 byte/dim (4× less memory bandwidth than float32) and runs in
+    * integer arithmetic; cosine needs no scales — they cancel. Recall vs
+    * the float scan is bounded only by quantization error (asserted ≥0.8
+    * in LlmOpsSpec; the quantized rank order can differ near ties). */
+  def x27dAnnPacked(s: SparkSession, d: String): DataFrame = {
+    val packed = graft.api.TrainingData
+      .quantizeInt8Packed(t(s, d, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("qvec"))
+    packedCosineTopK(packed,
+      packed.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("qvec").as("q_qvec")),
+      k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Packed-corpus brute-force top-k core — shared by the fixture query
+    * above and the parametric API (TrainingData.cosineTopKPacked). Same
+    * shape as the float baseline (stream side widened, query side
+    * broadcast); ties broken on id for determinism. */
+  private[graft] def packedCosineTopK(packed: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.int8_dot
+    val c = packed.toDF("c_id", "c_qvec")
+      .withColumn("c_nrm", sqrt(int8_dot(col("c_qvec"), col("c_qvec")).cast("double")))
+      .filter(col("c_nrm") > 0)
+    val q = queries.toDF("q_id", "q_qvec")
+      .withColumn("q_nrm", sqrt(int8_dot(col("q_qvec"), col("q_qvec")).cast("double")))
+      .filter(col("q_nrm") > 0)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    fanOut(c).crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(
+        int8_dot(col("q_qvec"), col("c_qvec")).cast("double") /
+          (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
   /** X30 — custom typed Aggregator: per-label centroid computed in scaled
     * integer space (×10⁶ → long) so partial-aggregation order cannot
     * perturb the result; parametric in dimension count. */
@@ -356,6 +397,7 @@ object VectorOps {
     "x27_cosine_topk" -> (x27TopK _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
+    "x27d_ann_packed" -> (x27dAnnPacked _),
     "x30_centroid_agg" -> (x30Centroid _),
     "x30b_scalar_udf" -> (x30bUdf _),
     "x30c_quantize_int8" -> (x30cQuantize _),
@@ -399,6 +441,34 @@ object VectorOps {
     "x30b_scalar_udf" ->
       """SELECT doc_id, CAST(length(text) * 2 + 1 AS INTEGER) AS udf_val
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the packed top-k is exactly expressible: DuckDB quantizes with the
+    // same half-up rule and ranks on the identical integer-ratio cosine
+    "x27d_ann_packed" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+         |  FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id,
+         |   list_transform(embedding,
+         |     x -> CAST(floor(CAST(x AS DOUBLE) / (absmax / 127.0) + 0.5) AS BIGINT)) AS q
+         |  FROM b WHERE absmax > 0),
+         |n AS (
+         |  SELECT vec_id, q,
+         |   sqrt(CAST(list_sum(list_transform(q, v -> v * v)) AS DOUBLE)) AS nrm
+         |  FROM qv),
+         |sims AS (
+         |  SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+         |   round(CAST(list_sum(list_transform(range(1, 65),
+         |       i -> a.q[i] * c.q[i])) AS DOUBLE) / (a.nrm * c.nrm), 6) AS sim
+         |  FROM n a JOIN n c ON a.vec_id < 20 AND a.vec_id <> c.vec_id
+         |  WHERE a.nrm > 0 AND c.nrm > 0),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "x30d_quantize_packed" ->
       """WITH b AS (
         |  SELECT vec_id, embedding,

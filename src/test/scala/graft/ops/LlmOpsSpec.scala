@@ -53,6 +53,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall too low")
   }
 
+  test("packed int8 top-k recalls the float top-k (quantization error only)") {
+    val brute = pairSet(VectorOps.x27TopK(spark, d).select("q_id", "c_id").collect())
+    val packed = pairSet(VectorOps.x27dAnnPacked(spark, d).select("q_id", "c_id").collect())
+    assert(packed.nonEmpty)
+    val recall = (brute & packed).size.toDouble / brute.size
+    assert(recall >= 0.8, s"packed-corpus recall $recall too low for int8 error")
+    // packed sims are true cosines of the quantized vectors: within the
+    // quantization error band of the float sims for overlapping pairs
+    val fsims = VectorOps.x27TopK(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    VectorOps.x27dAnnPacked(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case (pair, _) => fsims.contains(pair) }
+      .foreach { case (pair, s) =>
+        assert(math.abs(s - fsims(pair)) < 0.05, s"pair $pair: $s vs ${fsims(pair)}")
+      }
+  }
+
   test("embedding LSH near-dup pairs are an exact-verified subset of the quadratic scan") {
     val exact = VectorOps.x26dEmbeddingNearDup(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
