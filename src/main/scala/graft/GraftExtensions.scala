@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, ShingleHashes, SrpBuckets, TokenBigrams}
+import graft.functions.{CosineSimilarity, DotProduct, Int8DotProduct, PackInt8, ShingleHashes, SrpBuckets, TokenBigrams, UnpackInt8}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so any session started with
@@ -49,5 +49,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[TokenBigrams].getName, "token_bigrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TokenBigrams(exprs(0))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("pack_int8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PackInt8].getName, "pack_int8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PackInt8(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("unpack_int8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[UnpackInt8].getName, "unpack_int8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnpackInt8(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("int8_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Int8DotProduct].getName, "int8_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Int8DotProduct(exprs(0), exprs(1))))
   }
 }

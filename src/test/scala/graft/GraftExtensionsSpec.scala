@@ -17,6 +17,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2 && r.getInt(2) == 4)
   }
 
+  test("quantization functions round-trip from plain SQL") {
+    val r = spark.sql(
+      """WITH v AS (SELECT CAST(array(1.27, -1.27, 0.635, 0.0) AS ARRAY<FLOAT>) AS emb,
+        |                  CAST(0.01 AS DOUBLE) AS scale)
+        |SELECT hex(pack_int8(emb, scale)) AS qhex,
+        |       unpack_int8(pack_int8(emb, scale), scale) AS back,
+        |       int8_dot(pack_int8(emb, scale), pack_int8(emb, scale)) AS selfdot,
+        |       dot_product(emb, emb) AS fdot
+        |FROM v""".stripMargin).collect()(0)
+    // 127, -127, 63, 0 — float 0.635 is 0.63499997…, so /0.01 + 0.5
+    // floors to 63 (exactly the double arithmetic the oracle runs too)
+    assert(r.getString(0) == "7F813F00")
+    val back = r.getSeq[Float](1)
+    assert(math.abs(back(0) - 1.27f) < 0.005 && math.abs(back(1) + 1.27f) < 0.005)
+    assert(r.getLong(2) == 127L * 127 + 127L * 127 + 63L * 63)
+    assert(math.abs(r.getDouble(3) - (1.27 * 1.27 * 2 + 0.635 * 0.635)) < 1e-6)
+  }
+
   test("non-literal size argument is rejected with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', 1 + 2)").collect()
