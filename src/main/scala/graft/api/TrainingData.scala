@@ -286,6 +286,56 @@ object TrainingData {
       packed.select(col(idCol), col(qvecCol)),
       queries.select(col(idCol).as("q_id"), col(qvecCol).as("q_qvec")), k)
 
+  /** Sequence packing — concatenate-and-chunk bin assignment for
+    * training-batch construction: documents are laid out in `idCol`
+    * order, token counts accumulate, and a document belongs to the bin
+    * where its START offset lands: `bin = start_off div budgetTokens`
+    * → (id, n_tokens, start_off, bin).
+    *
+    * The global running total is the scale-correct two-pass form (the
+    * naive `Window.orderBy(id)` with no partition key funnels the corpus
+    * through ONE task): pass 1 freezes approximate id-quantile boundaries
+    * as literals (driver holds nBuckets-1 doubles, nothing else); pass 2
+    * buckets rows by those literals (pure row function, deterministic
+    * across recomputations), cumulative-sums INSIDE each bucket with a
+    * partitioned window, and offsets buckets by the earlier buckets'
+    * totals via a triangular join over the ≤nBuckets-row count relation.
+    * Correct because the bucket id is monotone in id. Ids are compared in
+    * double space for the quantile sketch — monotone even where doubles
+    * round (ids beyond 2^53), since rounding is itself monotone. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val s = docs.sparkSession
+    val base = docs.select(col(idCol).as("id"),
+      size(graft.ops.DedupOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val nBuckets = s.sessionState.conf.numShufflePartitions
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else base.select(col("id").cast("double").as("v"))
+        .stat.approxQuantile("v", probs, 0.001).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("id").cast("double") > lit(b), 1).otherwise(0)
+    }
+    val bucketed = base.withColumn("bkt", bucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = bucketed.withColumn("cum_in", sum(col("n_tokens")).over(w))
+    val totals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tot"))
+    val offsets = totals.as("a")
+      .join(totals.select(col("bkt").as("b_bkt"), col("tot").as("b_tot")),
+        col("b_bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt"))
+      .agg(coalesce(sum(col("b_tot")), lit(0L)).as("offset"))
+      .select(col("bkt"), col("offset"))
+    ranked.join(broadcast(offsets), "bkt")
+      .withColumn("start_off", col("offset") + col("cum_in") - col("n_tokens"))
+      .withColumn("bin", expr(s"start_off div ${budgetTokens}L"))
+      .select(col("id"), col("n_tokens"), col("start_off"), col("bin"))
+  }
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

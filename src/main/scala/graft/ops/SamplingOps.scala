@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Deterministic sampling/splitting for a training-data pipeline
+/** Deterministic sampling/splitting and batch construction for a
   * (SURVEY.md §2B X31): train/val/test assignment and corpus sampling as
   * CONTENT-ADDRESSED bucketing — `bucket = sha256(id) mod 100`.
   *
@@ -45,10 +45,21 @@ object SamplingOps {
       "lang", Map("en" -> 10, "es" -> 50))
       .orderBy(col("doc_id"))
 
+  /** X32 — sequence packing at a 2048-token budget over documents.
+    * Fixture binding of [[graft.api.TrainingData.packSequences]] (see
+    * there for the two-pass global-cumsum scale design). */
+  def x32SeqPack(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.packSequences(
+      t(s, d, "documents"), "doc_id", "text", 2048L)
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        col("start_off"), col("bin"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
     "x31b_sample" -> (x31bSample _),
-    "x31c_stratified" -> (x31cStratified _))
+    "x31c_stratified" -> (x31cStratified _),
+    "x32_seqpack" -> (x32SeqPack _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
@@ -78,5 +89,18 @@ object SamplingOps {
          |FROM documents
          |WHERE ${bucketSql("doc_id")} <
          |  (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 50 ELSE 100 END)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "x32_seqpack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_off,
+        | CAST(start_off // 2048 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

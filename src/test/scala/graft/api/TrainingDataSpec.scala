@@ -291,6 +291,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(en10.subsetOf(en50))
   }
 
+  test("packSequences matches a driver-side model and is repartition-invariant") {
+    // variable-length docs: "w w w ... w" with i%7+1 tokens
+    val docs = (1L to 400L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("id", "body")
+    val budget = 10L
+    val got = TrainingData.packSequences(docs, "id", "body", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // model: exclusive cumsum in id order
+    var cum = 0L
+    val model = (1L to 400L).map { i =>
+      val n = i % 7 + 1
+      val row = (i, n, cum, cum / budget)
+      cum += n
+      row
+    }
+    assert(got.toSeq == model)
+    val reparted = TrainingData.packSequences(docs.repartition(13), "id", "body", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(reparted.toSeq == model)
+    intercept[IllegalArgumentException](
+      TrainingData.packSequences(docs, "id", "body", 0L))
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each
