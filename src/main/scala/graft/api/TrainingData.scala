@@ -58,6 +58,31 @@ object TrainingData {
       .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
+    * probe document (an eval/benchmark set), training documents whose
+    * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's
+    * shingles → (probe_id, corpus_id, inter, containment), where
+    * `containment = |shingles(probe) ∩ shingles(corpus)| / |shingles(probe)|`.
+    * Containment, not Jaccard: a short benchmark question pasted into a
+    * long training document has low Jaccard but containment ≈ 1 — exactly
+    * the leak being hunted. Bipartite equi-join on 8-byte shingle hashes
+    * (never all-pairs); at 100 TB the probe side is the small one and
+    * AQE broadcasts it. */
+  def contaminationPairs(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol).toDF("corpus_id", "shh")
+    val ps = shingles(probes, idCol, textCol).toDF("probe_id", "shh")
+    val pn = ps.groupBy(col("probe_id")).agg(count(lit(1)).as("ns"))
+    ps.join(cs, "shh")
+      .groupBy(col("probe_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(pn, "probe_id")
+      .withColumn("containment", col("inter").cast("double") / col("ns"))
+      .filter(col("containment") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("inter"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash+LSH near-duplicate pairs — the AT-SCALE form of
     * [[nearDupPairs]]: 16 permutations banded 4×4 make same-bucket
     * candidates (an equi-join, not all-pairs); candidates verify with

@@ -231,6 +231,18 @@ object DedupOps {
     labels
   }
 
+  /** X33 — cross-corpus contamination scan (decontamination): probes =
+    * docs with doc_id < 50 standing in for an eval set, corpus = the
+    * rest; emit corpus docs containing ≥ half of a probe's shingles.
+    * Fixture binding of [[graft.api.TrainingData.contaminationPairs]]. */
+  def x33Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.api.TrainingData.contaminationPairs(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", 0.5)
+      .orderBy(col("probe_id"), col("corpus_id"))
+  }
+
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
     * the token hash's bit value; the sign becomes the fingerprint bit.
     * Deterministic (integer sums). Near-dup docs differ in few bits. */
@@ -255,7 +267,8 @@ object DedupOps {
     "x26_ngram_jaccard" -> (x26Jaccard _),
     "x26b_minhash_lsh" -> (minhashPairs _),
     "x26c_simhash" -> (simhash _),
-    "x26e_dedup_clusters" -> (x26eDedupClusters _))
+    "x26e_dedup_clusters" -> (x26eDedupClusters _),
+    "x33_contamination" -> (x33Contamination _))
 
   val oracles: Map[String, String] = Map(
     "x25_exact_dedup" ->
@@ -309,7 +322,27 @@ object DedupOps {
         |  UNION
         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
         |SELECT id AS doc_id, min(m) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "x33_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |ps AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id < 50),
+        |cs AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id >= 50),
+        |pn AS (SELECT probe_id, count(*) AS ns FROM ps GROUP BY 1),
+        |inter AS (
+        |  SELECT probe_id, corpus_id, count(*) AS inter
+        |  FROM ps JOIN cs USING (sh) GROUP BY 1, 2)
+        |SELECT probe_id, corpus_id, inter,
+        | round(CAST(inter AS DOUBLE) / ns, 6) AS containment
+        |FROM inter JOIN pn USING (probe_id)
+        |WHERE CAST(inter AS DOUBLE) / ns >= 0.5
+        |ORDER BY probe_id, corpus_id""".stripMargin
     // x26b/x26c: Spark-side hashes (xxhash64) are not portable SQL — the
     // LSH pair set is instead asserted equal to x26's exact pairs in
     // DedupSpec, and simhash determinism/neighborhood in the same spec.

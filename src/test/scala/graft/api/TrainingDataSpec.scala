@@ -316,6 +316,28 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.packSequences(docs, "id", "body", 0L))
   }
 
+  test("contaminationPairs flags a probe contained in a longer corpus doc") {
+    // the leak shape: a short probe pasted verbatim inside a long corpus
+    // doc — low Jaccard (corpus doc has many extra shingles), containment 1
+    val probe = "alpha beta gamma delta epsilon"
+    val corpusDoc = s"lots of extra training words before $probe and after " +
+      "it the document keeps going with more filler tokens"
+    val corpus = Seq((100L, corpusDoc),
+      (101L, "totally unrelated content about something else entirely here"))
+      .toDF("id", "body")
+    val probes = Seq((1L, probe)).toDF("id", "body")
+    val hits = TrainingData.contaminationPairs(corpus, probes, "id", "body", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(hits.length == 1)
+    assert(hits(0)._1 == 1L && hits(0)._2 == 100L && hits(0)._3 == 1.0)
+    // and Jaccard on the same pair would be far below the threshold —
+    // containment is the right metric for this shape
+    val jac = TrainingData.nearDupPairs(
+      corpus.union(probes), "id", "body", 0.9)
+      .collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each
