@@ -67,7 +67,9 @@ object TrainingData {
     * long training document has low Jaccard but containment ≈ 1 — exactly
     * the leak being hunted. Bipartite equi-join on 8-byte shingle hashes
     * (never all-pairs); at 100 TB the probe side is the small one and
-    * AQE broadcasts it. */
+    * AQE broadcasts it. NOTE: probes shorter than 3 tokens have no
+    * 3-shingles and are DROPPED from the scan — screen such probes with
+    * exact/substring matching separately rather than assuming coverage. */
   def contaminationPairs(corpus: DataFrame, probes: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     val cs = shingles(corpus, idCol, textCol).toDF("corpus_id", "shh")
@@ -198,12 +200,7 @@ object TrainingData {
     require(dims >= 4, s"quantizeInt8 requires dims >= 4, got $dims")
     def dx(x: Column) = x.cast("double")
     def q(x: Column) = floor(dx(x) / col("scale") + lit(0.5))
-    embeddings
-      .select(col(idCol), col(embCol).as("embedding"),
-        aggregate(col(embCol), lit(0.0),
-          (a, x) => greatest(a, abs(dx(x)))).as("absmax"))
-      .filter(col("absmax") > 0)
-      .withColumn("scale", col("absmax") / lit(127.0))
+    withInt8Scale(embeddings, idCol, embCol)
       .select(col(idCol),
         round(col("scale"), 6).as("scale_r"),
         q(element_at(col("embedding"), 1)).cast("int").as("q1"),
@@ -289,16 +286,24 @@ object TrainingData {
   def quantizeInt8Packed(embeddings: DataFrame, idCol: String,
       embCol: String): DataFrame = {
     import graft.functions.VectorFunctions.pack_int8
+    withInt8Scale(embeddings, idCol, embCol)
+      .select(col(idCol),
+        round(col("scale"), 6).as("scale_r"),
+        pack_int8(col("embedding"), col("scale")).as("qvec"))
+  }
+
+  /** (id, embedding, absmax, scale) for vectors with a positive absmax —
+    * the ONE place the symmetric-quantizer scale rule lives, shared by
+    * the columnar and packed forms (their byte-level agreement is
+    * asserted in VectorExprSpec, so the rule must not fork). */
+  private def withInt8Scale(embeddings: DataFrame, idCol: String,
+      embCol: String): DataFrame =
     embeddings
       .select(col(idCol), col(embCol).as("embedding"),
         aggregate(col(embCol), lit(0.0),
           (a, x) => greatest(a, abs(x.cast("double")))).as("absmax"))
       .filter(col("absmax") > 0)
       .withColumn("scale", col("absmax") / lit(127.0))
-      .select(col(idCol),
-        round(col("scale"), 6).as("scale_r"),
-        pack_int8(col("embedding"), col("scale")).as("qvec"))
-  }
 
   /** Brute-force cosine top-k over an int8-PACKED corpus (from
     * [[quantizeInt8Packed]]): scans 1 byte/dim in integer arithmetic —
@@ -327,14 +332,26 @@ object TrainingData {
     * totals via a triangular join over the ≤nBuckets-row count relation.
     * Correct because the bucket id is monotone in id. Ids are compared in
     * double space for the quantile sketch — monotone even where doubles
-    * round (ids beyond 2^53), since rounding is itself monotone. */
+    * round (ids beyond 2^53), since rounding is itself monotone; the id
+    * column must be NUMERIC (enforced) so the bucket order and the
+    * window's natural order agree, and ids must be UNIQUE (they are
+    * document ids) — duplicate ids would make the cumsum's tie order, and
+    * thus start_off, undefined. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences needs a numeric id column (got " +
+        s"${docs.schema(idCol).dataType.sql}): a string id's lexicographic " +
+        "window order would disagree with the numeric bucket order")
     val s = docs.sparkSession
     val base = docs.select(col(idCol).as("id"),
       size(graft.ops.DedupOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-    val nBuckets = s.sessionState.conf.numShufflePartitions
+    // bucket count bounded: the chained-when bucketizer is O(nBuckets) per
+    // row and builds a depth-nBuckets expression tree — 1024-way is ample
+    // cumsum parallelism for any stage while staying codegen-safe
+    val nBuckets = math.min(1024, s.sessionState.conf.numShufflePartitions)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
@@ -348,7 +365,10 @@ object TrainingData {
       .partitionBy(col("bkt")).orderBy(col("id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val ranked = bucketed.withColumn("cum_in", sum(col("n_tokens")).over(w))
-    val totals = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tot"))
+    // bucket totals from the window output's running max — the totals
+    // branch then shares `ranked`'s shuffle (ReuseExchange) instead of
+    // re-scanning and re-tokenizing the corpus a second time
+    val totals = ranked.groupBy(col("bkt")).agg(max(col("cum_in")).as("tot"))
     val offsets = totals.as("a")
       .join(totals.select(col("bkt").as("b_bkt"), col("tot").as("b_tot")),
         col("b_bkt") < col("a.bkt"), "left")

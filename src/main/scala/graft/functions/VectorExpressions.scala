@@ -143,8 +143,11 @@ case class DotProduct(left: Expression, right: Expression)
   * identical half-up rule as the columnar quantizeInt8 (so the packed
   * bytes equal its q values — asserted in VectorExprSpec). `scale` is the
   * caller's `max|x| / 127`, which bounds every byte to [-127, 127]; a
-  * non-positive scale (zero vector) yields NULL. One fused primitive loop
-  * inside WholeStageCodegen. */
+  * non-positive scale (zero vector) yields NULL, and values beyond the
+  * byte range (an undersized/stale scale) SATURATE to ±127 like every
+  * standard int8 quantizer — never two's-complement wrap-around, which
+  * would silently flip signs. One fused primitive loop inside
+  * WholeStageCodegen. */
 case class PackInt8(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -169,7 +172,8 @@ case class PackInt8(left: Expression, right: Expression)
       val out = new Array[Byte](n)
       var i = 0
       while (i < n) {
-        out(i) = math.floor(x.getFloat(i).toDouble / scale + 0.5).toLong.toByte
+        val q = math.floor(x.getFloat(i).toDouble / scale + 0.5).toLong
+        out(i) = math.max(-127L, math.min(127L, q)).toByte
         i += 1
       }
       out
@@ -187,8 +191,10 @@ case class PackInt8(left: Expression, right: Expression)
          |  int $n = $x.numElements();
          |  byte[] $out = new byte[$n];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $out[$i] = (byte)(long) java.lang.Math.floor(
+         |    long ${i}_q = (long) java.lang.Math.floor(
          |      (double) $x.getFloat($i) / $s + 0.5);
+         |    $out[$i] = (byte) java.lang.Math.max(-127L,
+         |      java.lang.Math.min(127L, ${i}_q));
          |  }
          |  ${ev.value} = $out;
          |}

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Deterministic sampling/splitting and batch construction for a
+/** Deterministic sampling, splitting, and batch construction for a
+  * training-data pipeline
   * (SURVEY.md §2B X31): train/val/test assignment and corpus sampling as
   * CONTENT-ADDRESSED bucketing — `bucket = sha256(id) mod 100`.
   *

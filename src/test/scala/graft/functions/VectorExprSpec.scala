@@ -87,6 +87,17 @@ class VectorExprSpec extends SparkSpec {
     assert(out(1).isNullAt(1)) // zero vector: no scale, null not garbage
   }
 
+  test("pack_int8 saturates an undersized scale instead of wrapping signs") {
+    import VectorFunctions.pack_int8
+    import spark.implicits._
+    // scale far too small for the values: q = 200 would wrap to -56 as a
+    // raw byte cast — must clamp to ±127 like every standard quantizer
+    val v = Seq((1L, Seq(2.0f, -2.0f), 0.01)).toDF("id", "emb", "scale")
+    val b = v.select(pack_int8(col("emb"), col("scale")).as("q"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(b(0) == 127.toByte && b(1) == -127.toByte)
+  }
+
   test("null and zero-vector inputs yield null, not NaN") {
     VectorFunctions.register(spark)
     val r = spark.sql(
