@@ -338,6 +338,51 @@ class TrainingDataSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
   }
 
+  test("end-to-end pipeline: dedup -> decontaminate -> split -> pack composes on the public API") {
+    // a miniature of the real job: raw corpus with duplicates and a
+    // leaked eval doc, through the whole chain, every stage the library's
+    // own operators
+    val evalSet = Seq((9001L, "what is the capital of atlantis tell me now please"))
+      .toDF("id", "body")
+    val raw = (
+      (1L to 40L).map(i => (i, s"unique training document number $i with some extra words " +
+        s"about topic ${i % 7} and further content to shingle")) ++
+      Seq(
+        (41L, "duplicated doc body that appears twice in the corpus verbatim"),
+        (42L, "duplicated doc body that appears twice in the corpus verbatim"),
+        (43L, "prefix words then what is the capital of atlantis tell me now please and suffix"))
+      ).toDF("id", "body")
+
+    // 1. exact dedup: keep canonical survivors
+    val survivors = TrainingData.exactDedup(raw, "id", "body")
+      .select(col("canonical_id").as("id"))
+    val deduped = raw.join(survivors, "id")
+    assert(deduped.count() == 42) // 43 rows, one exact dup dropped
+
+    // 2. decontaminate against the eval set (containment >= 0.8)
+    val leaks = TrainingData.contaminationPairs(deduped, evalSet, "id", "body", 0.8)
+      .select(col("corpus_id").as("id"))
+    val clean = deduped.join(leaks, Seq("id"), "left_anti")
+    assert(clean.count() == 41) // doc 43 contained the eval doc
+    assert(clean.filter(col("id") === 43L).isEmpty)
+
+    // 3. deterministic split, then pack the train split into 64-token bins
+    val train = TrainingData.deterministicSplit(clean, "id",
+      Seq(("train", 90), ("holdout", 10)))
+      .filter(col("split") === "train")
+    val packed = TrainingData.packSequences(train, "id", "body", 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(packed.nonEmpty && packed.length == train.count())
+    // bins are the concatenate-and-chunk layout: start offsets are the
+    // exclusive cumsum in id order and bins are start_off / 64
+    var cum = 0L
+    packed.foreach { case (_, n, off, bin) =>
+      assert(off == cum && bin == off / 64)
+      cum += n
+    }
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each
