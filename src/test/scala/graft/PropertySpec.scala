@@ -202,4 +202,71 @@ class PropertySpec extends SparkSpec {
         once.dropDuplicates("k").count() == once.count()
     }, n = 10)
   }
+
+  test("hash-split bucket matches a JVM sha256 model for random ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // independent model: MessageDigest over the id's decimal string, first
+    // 4 lowercase-hex chars as a 16-bit int, mod 100 — must equal the
+    // engine's column-algebra bucket exactly (the determinism claim)
+    def model(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.toString.getBytes(UTF_8))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+      Integer.parseInt(hex, 16) % 100
+    }
+    check(forAll(Gen.listOfN(40, Gen.choose(Long.MinValue + 1, Long.MaxValue))) { ids0 =>
+      val ids = ids0.distinct
+      val got = graft.api.TrainingData
+        .deterministicSplit(ids.toDF("id"), "id", Seq(("all", 100)))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      ids.forall(i => got(i) == model(i))
+    }, n = 10)
+  }
+
+  test("pack/unpack int8 round-trips within scale/2 for random vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{pack_int8, unpack_int8}
+    val vecGen = Gen.nonEmptyListOf(Gen.choose(-1000, 1000).map(_ / 100.0f))
+    check(forAll(vecGen) { vec =>
+      val absmax = vec.map(v => math.abs(v.toDouble)).max
+      absmax == 0.0 || {
+        val scale = absmax / 127.0
+        val row = Seq((vec, scale)).toDF("emb", "scale")
+          .select(unpack_int8(pack_int8(col("emb"), col("scale")), col("scale")).as("back"))
+          .collect()(0).getSeq[Float](0)
+        row.length == vec.length &&
+          vec.zip(row).forall { case (x, y) =>
+            math.abs(x.toDouble - y.toDouble) <= scale / 2 + 1e-9 }
+      }
+    }, n = 20)
+  }
+
+  test("contamination containment matches a Set-model on random token docs") {
+    import spark.implicits._
+    // docs from a tiny vocabulary so shingle overlap actually occurs
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      corpus <- Gen.listOfN(4, docGen)
+      probe <- docGen
+    } yield (corpus, probe)
+    def shingleSet(s: String): Set[String] =
+      s.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    check(forAll(gen) { case (corpus, probe) =>
+      val cdf = corpus.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("id", "body")
+      val pdf = Seq((1L, probe)).toDF("id", "body")
+      val got = graft.api.TrainingData
+        .contaminationPairs(cdf, pdf, "id", "body", 0.0)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val ps = shingleSet(probe)
+      corpus.zipWithIndex.forall { case (t, i) =>
+        val inter = (shingleSet(t) & ps).size
+        if (inter == 0) !got.contains(100L + i)
+        else got.get(100L + i).contains(inter.toLong)
+      }
+    }, n = 10)
+  }
 }
