@@ -63,14 +63,25 @@ object KinesisRecordSender {
     try { Class.forName(s"$sdkRoot.services.kinesis.KinesisClient"); true }
     catch { case _: ClassNotFoundException | _: NoClassDefFoundError => false }
 
+  // one client per (sdkRoot, region) per JVM: sender instances are
+  // deserialized per task closure, and a fresh HTTP client (connection
+  // pool, threads) per task would leak unbounded on the streaming path —
+  // the JVM-lifetime singleton is the executor-side analog of the
+  // reference's one client per sender thread
+  private val clientCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+
   /** `KinesisClient.builder().region(Region.of(<arn region>)).build()` —
-    * the reference's per-sender client (KinesisProducer.java:100). */
+    * the reference's per-sender client (KinesisProducer.java:100), cached
+    * per JVM and region. */
   private def defaultClient(sdkRoot: String, streamArn: String): AnyRef = {
-    val region = callStatic(s"$sdkRoot.regions.Region", "of",
-      StreamArn.extractRegion(streamArn)) // R11
-    val b = callStatic(s"$sdkRoot.services.kinesis.KinesisClient", "builder")
-    call(b, "region", region)
-    call(b, "build")
+    val regionName = StreamArn.extractRegion(streamArn) // R11
+    clientCache.getOrElseUpdate((sdkRoot, regionName), {
+      val region = callStatic(s"$sdkRoot.regions.Region", "of", regionName)
+      val b = callStatic(s"$sdkRoot.services.kinesis.KinesisClient", "builder")
+      call(b, "region", region)
+      call(b, "build")
+    })
   }
 
   /** 0-based indices of entries with a non-null `errorCode`
@@ -124,13 +135,37 @@ object KinesisRecordSender {
     pass(exact = true).orElse(pass(exact = false))
   }
 
+  /** Re-resolve a method onto a PUBLIC declaring type. The SDK's builders
+    * and clients are package-private impls (`BuilderImpl`,
+    * `DefaultKinesisClient`) of public interfaces: a Method reflected off
+    * the impl class throws IllegalAccessException on invoke even though
+    * the method itself is public — the invocation must go through the
+    * public interface's Method object. */
+  private def accessible(m: java.lang.reflect.Method): java.lang.reflect.Method = {
+    def isPub(c: Class[_]) = java.lang.reflect.Modifier.isPublic(c.getModifiers)
+    if (isPub(m.getDeclaringClass)) m
+    else {
+      def supertypes(c: Class[_]): Iterator[Class[_]] =
+        if (c == null) Iterator.empty
+        else Iterator(c) ++ c.getInterfaces.iterator.flatMap(supertypes) ++
+          supertypes(c.getSuperclass)
+      supertypes(m.getDeclaringClass).filter(isPub)
+        .flatMap(c =>
+          try Iterator(c.getMethod(m.getName, m.getParameterTypes: _*))
+          catch { case _: NoSuchMethodException => Iterator.empty })
+        .nextOption()
+        .getOrElse { m.trySetAccessible(); m }
+    }
+  }
+
   /** Duck-typed instance call: exact-match overload first, then first
-    * assignable match. The SDK's fluent builders return `this`, so chained
+    * assignable match, re-homed onto a public declaring type (see
+    * [[accessible]]). The SDK's fluent builders return `this`, so chained
     * configuration is just repeated `call`s on the builder. */
   private[replay] def call(target: AnyRef, method: String, args: AnyRef*): AnyRef =
-    resolve(target.getClass.getMethods.toSeq, method, args)
+    accessible(resolve(target.getClass.getMethods.toSeq, method, args)
       .getOrElse(throw new NoSuchMethodException(
-        s"${target.getClass.getName}.$method/${args.length}"))
+        s"${target.getClass.getName}.$method/${args.length}")))
       .invoke(target, args: _*)
 
   /** Static (or Scala-object) call on a class resolved by name. */

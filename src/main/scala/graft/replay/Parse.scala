@@ -17,16 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Parse {
 
-  /** lines(value) -> (payload, timestamp), malformed rows dropped. */
-  def parsed(lines: DataFrame, timestampAttributeName: String): DataFrame =
+  /** lines(value) -> (payload, timestamp), malformed rows dropped.
+    * The attribute is addressed with the bracket-quoted JSON path form —
+    * `$.name` would re-interpret a key containing '.' as nesting (the
+    * reference's Jackson `node.get(name)` is a flat lookup), silently
+    * extracting null from every row. */
+  def parsed(lines: DataFrame, timestampAttributeName: String): DataFrame = {
+    val escaped = timestampAttributeName
+      .replace("\\", "\\\\").replace("'", "\\'")
     lines
       .select(
         // text source strips the line terminator, so append exactly one.
         concat(col("value"), lit("\n")).as("payload"),
         try_to_timestamp(
-          get_json_object(col("value"), s"$$.$timestampAttributeName"))
+          get_json_object(col("value"), s"$$['$escaped']"))
           .as("timestamp"))
       .filter(col("timestamp").isNotNull)
+  }
 
   /** R7 — exact seek: replay only events at/after `seekTo`. The reference's
     * version is a sampled skip-scan (10k-line hops,

@@ -45,30 +45,48 @@ object ReplayJob {
   def run(spark: SparkSession, cfg: ReplayConfig, sender: RecordSender,
       nowMs: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = Thread.sleep): Long = {
-    val df = scheduled(spark, cfg)
-    val sentAcc = spark.sparkContext.longAccumulator("records_sent")
-    val retryAcc = spark.sparkContext.longAccumulator("send_retries")
-    df.select(col("payload"), col("ingestion_ms"),
-        unix_millis(col("timestamp")).as("ts_ms"))
-      // range-partition by schedule so each sink task replays a contiguous
-      // slice of simulated time (order preserved within partition)
-      .repartitionByRange(cfg.senderParallelism, col("ingestion_ms"))
-      .sortWithinPartitions(col("ingestion_ms"))
-      .foreachPartition { (it: Iterator[Row]) =>
-        // high-water of the record the pacer just admitted: the iterator
-        // is pulled (setting lastTsMs) before onPaced fires for it
-        var lastTsMs = 0L
-        val scheduledRecords = it.map { r =>
-          lastTsMs = r.getLong(2)
-          (r.getLong(1),
-            r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the schedule anchor (min event time) is its own aggregation over the
+    // same source: without a persist the whole input would be listed,
+    // decompressed, and parsed TWICE — the dominant cost on a multi-GB
+    // non-splittable .lz4 dataset. Cache the parsed relation for the run.
+    val lines = Source.jsonLines(spark, cfg)
+    val events = Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val startMs = cfg.ingestionStartMs.getOrElse(System.currentTimeMillis())
+      val df = Schedule.withIngestionTime(events, cfg.speedupFactor, startMs)
+      val sentAcc = spark.sparkContext.longAccumulator("records_sent")
+      val retryAcc = spark.sparkContext.longAccumulator("send_retries")
+      // executor JVMs never see the driver's configureShared call — ship
+      // the frequency in the closure so per-executor stats lines emit on a
+      // real cluster too (no-op in local mode, where shared is configured)
+      val statsFreq = cfg.statisticsFrequencyMillis
+      df.select(col("payload"), col("ingestion_ms"),
+          unix_millis(col("timestamp")).as("ts_ms"))
+        // range-partition by schedule so each sink task replays a
+        // contiguous slice of simulated time (order preserved within
+        // partition); ts_ms tie-breaks inside one scheduled millisecond —
+        // at speedup 6480 one ingestion_ms covers 6.48 s of event time,
+        // and schedule-only sorting would leave that span unordered
+        .repartitionByRange(cfg.senderParallelism, col("ingestion_ms"))
+        .sortWithinPartitions(col("ingestion_ms"), col("ts_ms"))
+        .foreachPartition { (it: Iterator[Row]) =>
+          ReplayStats.ensureConfigured(statsFreq)
+          // high-water of the record the pacer just admitted: the iterator
+          // is pulled (setting lastTsMs) before onPaced fires for it
+          var lastTsMs = 0L
+          val scheduledRecords = it.map { r =>
+            lastTsMs = r.getLong(2)
+            (r.getLong(1),
+              r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val (sent, retries) = Sink.sendScheduled(scheduledRecords, sender,
+            nowMs, sleeper,
+            onPaced = lag => ReplayStats.shared.record(lag, lastTsMs)) // R12
+          sentAcc.add(sent)
+          retryAcc.add(retries)
         }
-        val (sent, retries) = Sink.sendScheduled(scheduledRecords, sender,
-          nowMs, sleeper,
-          onPaced = lag => ReplayStats.shared.record(lag, lastTsMs)) // R12
-        sentAcc.add(sent)
-        retryAcc.add(retries)
-      }
-    sentAcc.value
+      sentAcc.value
+    } finally events.unpersist()
   }
 }

@@ -203,4 +203,19 @@ object ReplayStats {
     shared.log = log
     shared.reset()
   }
+
+  /** Executor-side adoption: `shared` is a per-JVM object that is never
+    * serialized, so on a real cluster the driver's [[configureShared]]
+    * only configures the driver. Sink closures call this with the
+    * driver's frequency (shipped as a captured Long); the first call in a
+    * still-default executor JVM enables stats with a stdout logger (the
+    * executor-log analog of the reference's stderr stats line). No-op
+    * wherever configureShared already ran — local mode keeps its logger. */
+  def ensureConfigured(frequencyMillis: Long): Unit = {
+    if (shared.frequencyMillis == Long.MaxValue &&
+        frequencyMillis != Long.MaxValue) {
+      shared.frequencyMillis = frequencyMillis
+      shared.log = m => println(s"[replay-stats] $m")
+    }
+  }
 }

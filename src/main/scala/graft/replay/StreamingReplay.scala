@@ -152,6 +152,7 @@ object StreamingReplay {
     val anchorMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val sentAcc = spark.sparkContext.longAccumulator("streaming_records_sent")
 
+    val statsFreq = cfg.statisticsFrequencyMillis
     def emit(slice: Vector[(Long, String)]): Unit = if (slice.nonEmpty) {
       anchorMs.compareAndSet(Long.MinValue, slice.head._1)
       val a = anchorMs.get()
@@ -165,6 +166,7 @@ object StreamingReplay {
       spark.sparkContext
         .parallelize(scheduled, math.min(cfg.senderParallelism, slice.size))
         .foreachPartition { (it: Iterator[(Long, Long, Array[Byte])]) =>
+          ReplayStats.ensureConfigured(statsFreq) // real-cluster executors
           var lastTsMs = 0L // high-water of the record the pacer admitted
           val recs = it.map { case (due, ms, bytes) => lastTsMs = ms; (due, bytes) }
           val (n, _) = Sink.sendScheduled(recs, sender, nowMs, sleeper,

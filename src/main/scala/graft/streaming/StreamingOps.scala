@@ -104,10 +104,30 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, session_start_ms: Long,
       session_end_ms: Long, n_events: Long)
   final case class SessState(start: Long, end: Long, n: Long)
+  /** All of a user's not-yet-expired islands — an island may only close
+    * once the watermark passes `end + gap`, because an admissible late
+    * event (ts ≥ watermark) can still EXTEND it or BRIDGE it to a
+    * neighbor until then. Closing any earlier (e.g. "all but the newest")
+    * emits split sessions that a later in-watermark bridge event proves
+    * wrong. State stays bounded: islands older than watermark − gap are
+    * closed, so at most (watermark delay / gap) + 1 islands per user. */
+  final case class OpenSessions(islands: List[SessState])
   val SessionGapMs = 1800000L
 
   def sessionsWithState(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
+
+    // interval-merge a start-sorted island list: adjacent islands within
+    // the gap collapse (sums n); the fixpoint of the batch/state union
+    def mergeSorted(sorted: List[SessState]): List[SessState] =
+      sorted.foldLeft(List.empty[SessState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start <= h.end + SessionGapMs =>
+            SessState(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
     events
       .withWatermark("ts", "30 minutes")
       // the watermarked column itself must flow into the stateful op
@@ -115,55 +135,42 @@ object StreamingOps {
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, SessionOut](
+      .flatMapGroupsWithState[OpenSessions, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-            state: GroupState[SessState]) =>
-          if (state.hasTimedOut) { // watermark passed end + gap: close
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(user, s.start, s.end, s.n))
-          } else {
-            // Gaps-and-islands over this batch's (sorted) events, then the
-            // open session INTERVAL-merges into the island list — a late
-            // event inside the watermark may extend the open session
-            // DOWNWARD (min start), or bridge it to an earlier island; a
-            // bare `end := ms` would let end regress below start.
-            val sorted = rows.map(_._2.getTime).toArray.sorted
-            var islands = Vector.empty[SessState]
-            sorted.foreach { ms =>
-              islands.lastOption match {
-                case Some(s) if ms - s.end <= SessionGapMs =>
-                  islands = islands.init :+ SessState(s.start, math.max(s.end, ms), s.n + 1)
-                case _ => islands = islands :+ SessState(ms, ms, 1)
-              }
+            state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // frozen = no admissible event can reach the island any more
+          def split(islands: List[SessState]) =
+            islands.partition(s => s.end + SessionGapMs <= wm)
+          val islands =
+            if (state.hasTimedOut) state.get.islands
+            else {
+              // gaps-and-islands over this batch's (sorted) events — a
+              // late-but-admissible event may extend an island DOWNWARD
+              // (min start) or bridge two islands; the sorted interval
+              // merge of (state ∪ batch) handles every case
+              val sorted = rows.map(_._2.getTime).toArray.sorted
+              val batchIslands = sorted.foldLeft(List.empty[SessState]) {
+                (acc, ms) => acc match {
+                  case h :: t if ms - h.end <= SessionGapMs =>
+                    SessState(h.start, math.max(h.end, ms), h.n + 1) :: t
+                  case _ => SessState(ms, ms, 1) :: acc
+                }
+              }.reverse
+              mergeSorted(
+                (state.getOption.map(_.islands).getOrElse(Nil) ++ batchIslands)
+                  .sortBy(_.start))
             }
-            state.getOption.foreach { open =>
-              val (near, far) = islands.partition(i =>
-                i.end >= open.start - SessionGapMs && i.start <= open.end + SessionGapMs)
-              val merged = near.foldLeft(open)((a, b) => SessState(
-                math.min(a.start, b.start), math.max(a.end, b.end), a.n + b.n))
-              islands = (far :+ merged).sortBy(_.start)
-            }
-            // all but the newest island close now (an even-later event for
-            // them would arrive past their gap; extreme cross-batch
-            // lateness re-opens a fresh session — the same bounded-state
-            // trade the declarative session_window makes via its
-            // watermark); the newest stays open pending its timeout
-            val out = Vector.newBuilder[SessionOut]
-            islands.dropRight(1).foreach(s => out += SessionOut(user, s.start, s.end, s.n))
-            islands.lastOption.foreach { s =>
-              val due = s.end + SessionGapMs
-              if (due > state.getCurrentWatermarkMs()) {
-                state.update(s)
-                state.setTimeoutTimestamp(due)
-              } else { // already expired relative to the watermark: close
-                state.remove()
-                out += SessionOut(user, s.start, s.end, s.n)
-              }
-            }
-            out.result().iterator
+          val (closed, open) = split(islands)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            // earliest due first; re-fires as the watermark advances
+            state.setTimeoutTimestamp(open.map(_.end + SessionGapMs).min)
           }
+          closed.sortBy(_.start).iterator
+            .map(s => SessionOut(user, s.start, s.end, s.n))
       }
   }
 

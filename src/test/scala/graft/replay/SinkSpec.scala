@@ -186,6 +186,18 @@ class SinkSpec extends AnyFunSuite {
       call(new SinkSpec.Overloaded, "onlyLong", null))
   }
 
+  test("reflective call invokes through public supertypes of package-private impls") {
+    import KinesisRecordSender.call
+    // Collections.unmodifiableList returns a package-private class; a
+    // Method reflected off it throws IllegalAccessException on invoke
+    // unless re-homed onto the public List interface — the exact shape of
+    // the AWS SDK's BuilderImpl / DefaultKinesisClient classes, so this
+    // guards the production activation path the stub SDK cannot
+    val l = java.util.Collections.unmodifiableList(new java.util.ArrayList[AnyRef]())
+    assert(call(l, "size").asInstanceOf[Integer] == 0)
+    assert(call(l, "isEmpty") == java.lang.Boolean.TRUE)
+  }
+
   test("affine schedule arithmetic (R6): deltas divided by speedup, round-half-up") {
     assert(Schedule.ingestionMs(eventMs = 6480000, firstEventMs = 0,
       ingestionStartMs = 5000, speedupFactor = 6480) == 6000)

@@ -105,15 +105,17 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
     assert(emitted.subsetOf(batchSessions),
       s"phantom sessions: ${emitted -- batchSessions}")
-    // multi-session users must have had their earlier sessions closed
-    val multi = batchSessions.groupBy(_._1).filter(_._2.size > 1)
-    assert(multi.nonEmpty)
-    multi.foreach { case (user, sess) =>
-      val lastStart = sess.map(_._2).max
-      val earlier = sess.filter(_._2 != lastStart)
-      assert(earlier.subsetOf(emitted),
-        s"user $user: unclosed non-final sessions ${earlier -- emitted}")
-    }
+    // exactly the sessions the final watermark froze must have closed: a
+    // session may only emit once no admissible late event could still
+    // extend or bridge it (end + gap <= watermark); anything newer stays
+    // open by design — eager closing emits split sessions that an
+    // in-watermark bridge event later proves wrong
+    val finalWmMs = batchEvents
+      .agg(max(unix_millis(col("ts")))).first().getLong(0) - 1800000L
+    val mustClose = batchSessions.filter(s => s._3 + 1800000L <= finalWmMs)
+    assert(mustClose.nonEmpty)
+    assert(mustClose.subsetOf(emitted),
+      s"unclosed frozen sessions: ${mustClose -- emitted}")
   }
 
   test("flatMapGroupsWithState merges a late-but-in-watermark event downward") {
@@ -146,6 +148,43 @@ class StreamingSpec extends SparkSpec {
     val t1200 = java.time.Instant.parse("2024-01-01T12:00:00Z").toEpochMilli
     assert(emitted.contains((1L, t1135, t1200, 2L)),
       s"late event not merged downward; emitted: $emitted")
+  }
+
+  test("flatMapGroupsWithState: an in-watermark bridge event unifies two islands") {
+    // batch 1: user 1 @ 12:00 and @ 12:31 — 31 min apart, two islands.
+    // batch 2: 12:15 (inside the watermark) BRIDGES them: the correct
+    // result is ONE session [12:00,12:31] n=3; eagerly closing the older
+    // island in batch 1 would instead emit [12:00,12:00] n=1 and later a
+    // phantom [12:15,12:31] n=2. Batches 3-4 advance the watermark so the
+    // merged session times out and emits.
+    val dir = java.nio.file.Files.createTempDirectory("bridge_sess")
+    def writeF(name: String, mod: Long, rows: String*): Unit = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+      p.toFile.setLastModified(mod)
+    }
+    writeF("a.jsonl", 10000L,
+      """{"u":1,"t":"2024-01-01T12:00:00Z"}""",
+      """{"u":1,"t":"2024-01-01T12:31:00Z"}""")
+    writeF("b.jsonl", 20000L, """{"u":1,"t":"2024-01-01T12:15:00Z"}""")
+    writeF("c.jsonl", 30000L, """{"u":99,"t":"2024-01-01T15:00:00Z"}""")
+    writeF("d.jsonl", 40000L, """{"u":99,"t":"2024-01-01T15:01:00Z"}""")
+    val events = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(dir.toString)
+      .select(
+        get_json_object(col("value"), "$.u").cast("long").as("user_id"),
+        try_to_timestamp(get_json_object(col("value"), "$.t")).as("ts"))
+    val q = StreamingOps.sessionsWithState(spark, events)
+      .writeStream.outputMode("append").format("memory").queryName("bridge_out").start()
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("bridge_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val t1200 = java.time.Instant.parse("2024-01-01T12:00:00Z").toEpochMilli
+    val t1231 = java.time.Instant.parse("2024-01-01T12:31:00Z").toEpochMilli
+    val u1 = emitted.filter(_._1 == 1L)
+    assert(u1 == Set((1L, t1200, t1231, 3L)),
+      s"bridge event did not unify the islands; emitted for user 1: $u1")
   }
 
   test("mapGroupsWithState running per-user counts match batch groupBy") {
