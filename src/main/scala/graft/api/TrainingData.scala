@@ -171,7 +171,11 @@ object TrainingData {
   /** Brute-force cosine top-k: for each query row, the k most similar
     * corpus rows (excluding itself) → (q_id, c_id, sim, rank). Exact and
     * embarrassingly parallel (queries broadcast); use the SRP-LSH / IVF
-    * query forms when the query set is large. */
+    * query forms when the query set is large. Self-exclusion is BY ID
+    * (like every search form here): query ids are assumed drawn from the
+    * corpus id space — querying with a foreign id space whose values
+    * collide with corpus ids would wrongly exclude those corpus rows, so
+    * remap ids (e.g. negate) when the spaces are disjoint. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.cosine_sim

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Native sign-random-projection bucketer (SURVEY.md §2B X27 scale path):
   * all `tables` LSH bucket keys of an `array<float>` embedding in one pass.
@@ -24,39 +24,56 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
   require(tables >= 1 && bits >= 1 && bits <= 63)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // signs[t*bits + p][i], grown lazily to the observed dimensionality
-  @transient private var signs: Array[Array[Boolean]] = _
-  @transient private var signDims: Int = -1
-
-  private def ensureSigns(dims: Int): Unit = {
-    if (signDims >= dims) return
-    val s = Array.ofDim[Array[Boolean]](tables * bits)
-    var t = 0
-    while (t < tables) {
-      var p = 0
-      while (p < bits) {
-        val row = new Array[Boolean](dims)
-        var i = 0
-        while (i < dims) {
-          var h = XXH64.hashInt(t, 42L)
-          h = XXH64.hashInt(p, h)
-          h = XXH64.hashInt(i, h)
-          row(i) = h % 2 == 0
-          i += 1
-        }
-        s(t * bits + p) = row
-        p += 1
-      }
-      t += 1
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"srp_buckets expects array<float>, got ${other.sql}")
     }
-    signs = s
-    signDims = dims
+
+  // signs[t*bits + p][i], grown lazily to the observed dimensionality.
+  // Published as ONE volatile write of an immutable (dims, table) pair:
+  // expression instances may be shared across threads, and two separate
+  // non-volatile fields could be observed mid-update (stale array under a
+  // new dims). Racing builds are idempotent (pure function of dims).
+  @transient @volatile
+  private var cached: (Int, Array[Array[Boolean]]) = (-1, null)
+
+  private def signsFor(dims: Int): Array[Array[Boolean]] = {
+    val c = cached
+    if (c._1 >= dims) c._2
+    else {
+      val s = Array.ofDim[Array[Boolean]](tables * bits)
+      var t = 0
+      while (t < tables) {
+        var p = 0
+        while (p < bits) {
+          val row = new Array[Boolean](dims)
+          var i = 0
+          while (i < dims) {
+            var h = XXH64.hashInt(t, 42L)
+            h = XXH64.hashInt(p, h)
+            h = XXH64.hashInt(i, h)
+            row(i) = h % 2 == 0
+            i += 1
+          }
+          s(t * bits + p) = row
+          p += 1
+        }
+        t += 1
+      }
+      cached = (dims, s)
+      s
+    }
   }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val dims = arr.numElements()
-    ensureSigns(dims)
+    val signs = signsFor(dims)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

@@ -50,9 +50,17 @@ object DedupOps {
   // a relation bound to a stopped session from leaking into a new one.
   @transient private val shCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def persistShingles(s: SparkSession, d: String): DataFrame =
-    shCache.getOrElseUpdate((s.sparkContext.applicationId, d),
-      shingleHashRows(s, d).persist())
+  /** Drop cache entries from other (stopped) applications — one live app
+    * per JVM in practice, so anything under a different id is dead weight
+    * that would otherwise accumulate for the process lifetime. */
+  private def evictStale(cache: scala.collection.concurrent.TrieMap[(String, String), DataFrame],
+      appId: String): Unit =
+    cache.keys.filter(_._1 != appId).foreach(cache.remove)
+  private def persistShingles(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    evictStale(shCache, appId)
+    shCache.getOrElseUpdate((appId, d), shingleHashRows(s, d).persist())
+  }
 
   // The verified near-dup pair relation feeds both the pair query (x26)
   // and the cluster query (x26e) — cached like the shingles so the
@@ -61,11 +69,14 @@ object DedupOps {
   // (TrainingData.nearDupPairsFromShingles) to the cached shingle relation.
   @transient private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def persistPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+  private def persistPairs(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    evictStale(pairCache, appId)
+    pairCache.getOrElseUpdate((appId, d),
       graft.api.TrainingData
         .nearDupPairsFromShingles(persistShingles(s, d), 0.5)
         .persist())
+  }
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick).
@@ -250,11 +261,16 @@ object DedupOps {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // hash hoisted into ONE projected column: referencing
+      // xxhash64(tok) inside all 32 per-bit sums would evaluate the hash
+      // 32× per row on the interpreted path (subexpression elimination is
+      // a codegen-only optimization)
+      .withColumn("h", xxhash64(col("tok")))
     val bitSums = tf.groupBy(col("doc_id")).agg(
-      sum(when(shiftright(xxhash64(col("tok")), 0).bitwiseAND(lit(1L)) === 1L,
+      sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L,
         col("tf")).otherwise(-col("tf"))).as("s_0"),
       (1 until 32).map(b =>
-        sum(when(shiftright(xxhash64(col("tok")), b).bitwiseAND(lit(1L)) === 1L,
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L,
           col("tf")).otherwise(-col("tf"))).as(s"s_$b")): _*)
     bitSums.select(col("doc_id"),
       (0 until 32).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))

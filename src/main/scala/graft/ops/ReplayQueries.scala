@@ -81,14 +81,22 @@ object ReplayQueries {
   // session to a new one in the same JVM.
   @transient private val rankCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def persistEmitRank(s: SparkSession, d: String): DataFrame =
-    rankCache.getOrElseUpdate((s.sparkContext.applicationId, d),
+  private def persistEmitRank(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    rankCache.keys.filter(_._1 != appId).foreach(rankCache.remove) // stale apps
+    rankCache.getOrElseUpdate((appId, d),
       withEmitRank(t(s, d, "events").select(col("event_id"), col("ts")), d)
         .select(col("event_id"), col("ts"), col("emit_rank"))
         .persist())
+  }
 
   private def withEmitRank(ev: DataFrame, dir: String): DataFrame = {
-    val nBuckets = ev.sparkSession.sessionState.conf.numShufflePartitions
+    // capped like TrainingData.packSequences: the chained-when bucketizer
+    // is O(nBuckets) per row and depth-nBuckets in the expression tree —
+    // a 100 TB session's shuffle.partitions (thousands) must not become
+    // a codegen/analyzer hazard; 1024-way is ample rank parallelism
+    val nBuckets = math.min(1024,
+      ev.sparkSession.sessionState.conf.numShufflePartitions)
     // pass 1: boundary scan (the only driver-visible data: nBuckets-1 longs)
     val bounds = boundsCache.getOrElseUpdate(dir, {
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray

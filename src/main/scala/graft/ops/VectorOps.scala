@@ -45,19 +45,6 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** Sign-random-projection bucket key: `bits` pseudo-random ±1 hyperplanes
-    * (xxhash64-seeded per (table, plane, dim) — deterministic), packed into
-    * one long. */
-  private def srpBucket(emb: Column, table: Int, bits: Int): Column =
-    (0 until bits).map { p =>
-      val proj = aggregate(
-        transform(emb, (x, i) =>
-          when(pmod(xxhash64(lit(table), lit(p), i), lit(2)) === 0,
-            x.cast("double")).otherwise(-x.cast("double"))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** X27 (scale path) — ANN via LSH: 8 tables of 4-bit SRP buckets;
     * candidates = same bucket in any table; exact cosine re-rank within
     * candidates. Recall vs [[x27TopK]] is asserted in LlmOpsSpec. */
@@ -78,7 +65,8 @@ object VectorOps {
     * same 4-bit bucket in any of the L tables; exact cosine re-rank. */
   private[graft] def annLshCore(corpus: DataFrame, queries: DataFrame,
       k: Int, tables: Int, bits: Int): DataFrame = {
-    // native one-pass bucketer (bit-equal to srpBucket, see SrpExprSpec)
+    // native one-pass bucketer (bit-equal to the composed built-in form,
+    // asserted in SrpExprSpec)
     def bucketed(df: DataFrame, idCol: String, embCol: String) =
       df.select(col(idCol),
           posexplode(graft.functions.SrpFunctions.srp_buckets(col(embCol), tables, bits)))

@@ -38,16 +38,21 @@ object Windows {
         col("gid"), col("revenue"), col("n"))
       .orderBy(col("gid"), col("status"), col("priority"))
 
-  /** X11 — explicit GROUPING SETS via the SQL surface. */
+  /** X11 — explicit GROUPING SETS via the SQL surface. The temp view gets
+    * a per-call unique name and is dropped once the query is analyzed —
+    * a fixed session-global name would let concurrent invocations over
+    * DIFFERENT dirs rebind each other's data mid-analysis. */
   def q11cGroupingSets(s: SparkSession, d: String): DataFrame = {
-    t(s, d, "lineitem").createOrReplaceTempView("li_gs")
-    s.sql(
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |       coalesce(l_linestatus, 'ALL') AS ls,
-        |       sum(l_quantity) AS sum_qty, count(*) AS n
-        |FROM li_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rf, ls""".stripMargin)
+    val view = s"li_gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    t(s, d, "lineitem").createOrReplaceTempView(view)
+    try s.sql( // sql() analyzes eagerly: the plan holds the resolved scan
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+         |       coalesce(l_linestatus, 'ALL') AS ls,
+         |       sum(l_quantity) AS sum_qty, count(*) AS n
+         |FROM $view
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rf, ls""".stripMargin)
+    finally s.catalog.dropTempView(view)
   }
 
   /** X12 — ranking window functions per market segment. Order within the
