@@ -320,6 +320,27 @@ object TrainingData {
       packed.select(col(idCol), col(qvecCol)),
       queries.select(col(idCol).as("q_id"), col(qvecCol).as("q_qvec")), k)
 
+  /** Weighted corpus mixture — the data-mixing step of a training
+    * pipeline: each source keeps `percent`% of its rows (deterministic
+    * content-addressed sampling, see [[hashSample]]) and contributes them
+    * under a `source` provenance column → union of (source, id, text).
+    * Re-running with a higher percent for one source yields a SUPERSET of
+    * that source's previous contribution (nested samples), so mixtures
+    * can be re-weighted incrementally without resampling churn. Column
+    * names are unified by position via the id/text selectors, so sources
+    * with different schemas mix cleanly. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Int)], idCol: String,
+      textCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      s"duplicate source names: ${sources.map(_._1)}")
+    sources.map { case (name, docs, percent) =>
+      hashSample(docs.select(col(idCol), col(textCol)), idCol, percent)
+        .select(lit(name).as("source"), col(idCol).as("id"),
+          col(textCol).as("text"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sequence packing — concatenate-and-chunk bin assignment for
     * training-batch construction: documents are laid out in `idCol`
     * order, token counts accumulate, and a document belongs to the bin

@@ -383,6 +383,24 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("mixCorpora blends sources at their weights with provenance and nesting") {
+    val a = (1L to 1000L).map(i => (i, s"doc a $i")).toDF("id", "body")
+    val b = (1L to 400L).map(i => (i, s"doc b $i")).toDF("id", "body")
+    val mix = TrainingData.mixCorpora(
+      Seq(("web", a, 30), ("books", b, 100)), "id", "body")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySource = mix.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySource("books") == 400) // 100%: kept whole
+    assert(math.abs(bySource("web") / 1000.0 - 0.30) < 0.05)
+    // re-weighting upward is a superset of the old contribution
+    val web50 = TrainingData.mixCorpora(Seq(("web", a, 50)), "id", "body")
+      .collect().map(_.getLong(1)).toSet
+    val web30 = mix.filter(_._1 == "web").map(_._2).toSet
+    assert(web30.subsetOf(web50))
+    intercept[IllegalArgumentException](
+      TrainingData.mixCorpora(Seq(("x", a, 10), ("x", b, 10)), "id", "body"))
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each
