@@ -74,6 +74,13 @@ object TrainingData {
       textCol: String, threshold: Double): DataFrame = {
     val cs = shingles(corpus, idCol, textCol).toDF("corpus_id", "shh")
     val ps = shingles(probes, idCol, textCol).toDF("probe_id", "shh")
+    containmentFromShingles(cs, ps, threshold)
+  }
+
+  /** The containment join+filter shared by the exact and Bloom-prefiltered
+    * contamination scans: `cs` = (corpus_id, shh), `ps` = (probe_id, shh). */
+  private def containmentFromShingles(cs: DataFrame, ps: DataFrame,
+      threshold: Double): DataFrame = {
     val pn = ps.groupBy(col("probe_id")).agg(count(lit(1)).as("ns"))
     ps.join(cs, "shh")
       .groupBy(col("probe_id"), col("corpus_id"))
@@ -83,6 +90,43 @@ object TrainingData {
       .filter(col("containment") >= threshold)
       .select(col("probe_id"), col("corpus_id"), col("inter"),
         round(col("containment"), 6).as("containment"))
+  }
+
+  /** [[contaminationPairs]] with a Bloom-filter prefilter on the corpus
+    * side — the 100 TB shape of decontamination. The probe shingle set is
+    * summarized into an `fpp`-rate Bloom filter (~10 bits/shingle at 1%,
+    * vs 64 bits/hash for an exact set), and the corpus shingle scan is
+    * filtered through Spark's native codegen'd `BloomFilterMightContain`
+    * BEFORE the aggregation shuffle, so only matching shingles (plus the
+    * fpp tail) leave the scan stage instead of the whole corpus's shingle
+    * relation. False positives are then eliminated by the exact equi-join
+    * on `shh`, so the result EQUALS [[contaminationPairs]] — same oracle.
+    *
+    * The probe side is scanned three times (count, Bloom build, join) —
+    * it is the small side by construction (an eval/benchmark set); persist
+    * `probes` first if that matters. */
+  def contaminationPairsBloom(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.classic.GraftBridge
+    import org.apache.spark.sql.types.BinaryType
+    val ps = shingles(probes, idCol, textCol).toDF("probe_id", "shh")
+    val nShingles = math.max(ps.count(), 1L)
+    val bf = ps.stat.bloomFilter("shh", nShingles, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // stat.bloomFilter inserts long columns via putLong, and
+    // BloomFilterMightContain probes via mightContainLong — the same
+    // hash pair, so build and probe agree by construction.
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), GraftBridge.expression(col("shh"))))
+    val cs = shingles(corpus, idCol, textCol).toDF("corpus_id", "shh")
+      .filter(mightContain)
+    containmentFromShingles(cs, ps, threshold)
   }
 
   /** MinHash+LSH near-duplicate pairs — the AT-SCALE form of
@@ -416,4 +460,47 @@ object TrainingData {
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
+
+  /** Non-distinct word n-grams (cf. DedupOps.shingles, which dedups) —
+    * repetition needs the multiplicity. Short docs → explicit empty array
+    * (`sequence(1, 0)` would step backwards). */
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+
+  /** Within-document repetition metrics (Gopher-rule-style quality
+    * signals) → (id, n_2grams, top_2gram_frac, dup_3gram_frac):
+    *  - `top_2gram_frac`: fraction of bigram instances taken by the single
+    *    most frequent bigram — high ⇒ boilerplate/looping text;
+    *  - `dup_3gram_frac`: fraction of trigram instances whose trigram
+    *    occurs more than once in the document.
+    * Docs too short for an n-gram get NULL for that fraction (and 0 for
+    * `n_2grams`). One text scan: both gram sizes are tagged into a single
+    * exploded relation, so the per-(doc, gram) count and the per-doc
+    * rollup are each ONE shuffle regardless of how many gram sizes are
+    * measured. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = DedupOps.tokens(col(textCol))
+    val grams = docs.select(col(idCol), explode(concat(
+        transform(ngrams(toks, 2), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(ngrams(toks, 3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
+      .select(col(idCol), col("ng.n").as("n"), col("ng.g").as("g"))
+    val agg = grams.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(when(col("n") === 2, col("c")).otherwise(0L)).as("n2"),
+        max(when(col("n") === 2, col("c"))).as("mx2"),
+        sum(when(col("n") === 3, col("c")).otherwise(0L)).as("n3"),
+        sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(0L)).as("dup3"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        when(col("n2") > 0,
+          round(col("mx2").cast("double") / col("n2"), 6)).as("top_2gram_frac"),
+        when(col("n3") > 0,
+          round(col("dup3").cast("double") / col("n3"), 6)).as("dup_3gram_frac"))
+  }
 }

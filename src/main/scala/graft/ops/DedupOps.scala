@@ -254,6 +254,18 @@ object DedupOps {
       .orderBy(col("probe_id"), col("corpus_id"))
   }
 
+  /** X33 (scale path) — contamination with the corpus-side Bloom
+    * prefilter. Result equals [[x33Contamination]] (the exact shingle join
+    * drops the Bloom's false positives), so it shares x33's oracle SQL.
+    * Fixture binding of [[graft.api.TrainingData.contaminationPairsBloom]]. */
+  def x33bContaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.api.TrainingData.contaminationPairsBloom(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", 0.5)
+      .orderBy(col("probe_id"), col("corpus_id"))
+  }
+
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
     * the token hash's bit value; the sign becomes the fingerprint bit.
     * Deterministic (integer sums). Near-dup docs differ in few bits. */
@@ -284,7 +296,29 @@ object DedupOps {
     "x26b_minhash_lsh" -> (minhashPairs _),
     "x26c_simhash" -> (simhash _),
     "x26e_dedup_clusters" -> (x26eDedupClusters _),
-    "x33_contamination" -> (x33Contamination _))
+    "x33_contamination" -> (x33Contamination _),
+    "x33b_contamination_bloom" -> (x33bContaminationBloom _))
+
+  private val x33OracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+      |  FROM toks),
+      |ps AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id < 50),
+      |cs AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id >= 50),
+      |pn AS (SELECT probe_id, count(*) AS ns FROM ps GROUP BY 1),
+      |inter AS (
+      |  SELECT probe_id, corpus_id, count(*) AS inter
+      |  FROM ps JOIN cs USING (sh) GROUP BY 1, 2)
+      |SELECT probe_id, corpus_id, inter,
+      | round(CAST(inter AS DOUBLE) / ns, 6) AS containment
+      |FROM inter JOIN pn USING (probe_id)
+      |WHERE CAST(inter AS DOUBLE) / ns >= 0.5
+      |ORDER BY probe_id, corpus_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x25_exact_dedup" ->
@@ -339,26 +373,10 @@ object DedupOps {
         |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
         |SELECT id AS doc_id, min(m) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
-    "x33_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(tk) - 1, 1)),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
-        |  FROM toks),
-        |ps AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id < 50),
-        |cs AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id >= 50),
-        |pn AS (SELECT probe_id, count(*) AS ns FROM ps GROUP BY 1),
-        |inter AS (
-        |  SELECT probe_id, corpus_id, count(*) AS inter
-        |  FROM ps JOIN cs USING (sh) GROUP BY 1, 2)
-        |SELECT probe_id, corpus_id, inter,
-        | round(CAST(inter AS DOUBLE) / ns, 6) AS containment
-        |FROM inter JOIN pn USING (probe_id)
-        |WHERE CAST(inter AS DOUBLE) / ns >= 0.5
-        |ORDER BY probe_id, corpus_id""".stripMargin
+    "x33_contamination" -> x33OracleSql,
+    // x33b's Bloom prefilter is result-invariant (false positives die in
+    // the exact join), so the Bloom path is held to the SAME oracle
+    "x33b_contamination_bloom" -> x33OracleSql
     // x26b/x26c: Spark-side hashes (xxhash64) are not portable SQL — the
     // LSH pair set is instead asserted equal to x26's exact pairs in
     // DedupSpec, and simhash determinism/neighborhood in the same spec.

@@ -137,8 +137,16 @@ object TextOps {
     graft.api.TrainingData.fingerprint(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X28 — within-document repetition (Gopher-rule-style quality signal):
+    * top-bigram share + duplicate-trigram share per document. Fixture
+    * binding of [[graft.api.TrainingData.repetitionStats]]. */
+  def x28iRepetition(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
+    "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28c_lang_id" -> (x28cLangId _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
@@ -222,5 +230,30 @@ object TextOps {
          |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
          |  FROM toks WHERE len(tk) >= 2)
          |SELECT bigram, count(*) AS n FROM bg
-         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin)
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin,
+    // sum(BIGINT) in DuckDB promotes to HUGEINT — every aggregate is cast
+    // back to BIGINT before use (see q14b history)
+    "x28i_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS g
+         |  FROM toks WHERE len(tk) >= 2),
+         |g3 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM toks WHERE len(tk) >= 3),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |         CAST(max(c) AS BIGINT) AS mx2 FROM c2 GROUP BY 1),
+         |a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n3,
+         |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3
+         |       FROM c3 GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(n2, 0) AS BIGINT) AS n_2grams,
+         | CASE WHEN n2 > 0 THEN round(CAST(mx2 AS DOUBLE) / n2, 6) END AS top_2gram_frac,
+         | CASE WHEN n3 > 0 THEN round(CAST(dup3 AS DOUBLE) / n3, 6) END AS dup_3gram_frac
+         |FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
 }

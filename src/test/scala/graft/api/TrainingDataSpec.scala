@@ -338,6 +338,44 @@ class TrainingDataSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
   }
 
+  test("contaminationPairsBloom equals the exact scan (false positives die in the join)") {
+    // corpus big enough that the Bloom prefilter actually rejects rows
+    val corpus = (100L to 300L).map(i =>
+      (i, s"filler doc number $i with words w${i % 7} w${i % 11} w${i % 13} padding end"))
+      .toDF("id", "body")
+    val leaky = Seq((400L, "before the quick brown fox jumps over it after more")).toDF("id", "body")
+    val probes = Seq((1L, "the quick brown fox jumps over"),
+      (2L, "no such text anywhere at all")).toDF("id", "body")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = corpus.union(leaky)
+    val exact = collectPairs(TrainingData.contaminationPairs(full, probes, "id", "body", 0.5))
+    val bloom = collectPairs(TrainingData.contaminationPairsBloom(full, probes, "id", "body", 0.5))
+    assert(bloom == exact)
+    assert(exact.exists(h => h._1 == 1L && h._2 == 400L))
+  }
+
+  test("repetitionStats measures top-bigram share and duplicate-trigram share") {
+    val docs = Seq(
+      (20L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab → mx 3/5; trigrams all dup'd
+      (21L, "x y z w"),     // all grams unique
+      (22L, "q r"),         // one bigram, too short for trigrams
+      (23L, "solo"),        // too short for any gram
+      (24L, "")).toDF("id", "body")
+    val out = TrainingData.repetitionStats(docs, "id", "body")
+      .orderBy("id").collect()
+    def frac(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    assert(out(0).getLong(1) == 5 && frac(out(0), 2) == Some(0.6) &&
+      frac(out(0), 3) == Some(1.0))
+    assert(out(1).getLong(1) == 3 && frac(out(1), 2) == Some(0.333333) &&
+      frac(out(1), 3) == Some(0.0))
+    assert(out(2).getLong(1) == 1 && frac(out(2), 2) == Some(1.0) &&
+      frac(out(2), 3) == None) // no trigrams → NULL, not 0/0
+    assert(out(3).getLong(1) == 0 && frac(out(3), 2) == None && frac(out(3), 3) == None)
+    assert(out(4).getLong(1) == 0 && frac(out(4), 2) == None && frac(out(4), 3) == None)
+  }
+
   test("end-to-end pipeline: dedup -> decontaminate -> split -> pack composes on the public API") {
     // a miniature of the real job: raw corpus with duplicates and a
     // leaked eval doc, through the whole chain, every stage the library's
