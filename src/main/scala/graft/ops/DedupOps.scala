@@ -201,10 +201,12 @@ object DedupOps {
     * with it the plan stays O(1) per round and total work O(rounds).
     * Convergence is a changed-label count (rows where the new label differs
     * from the old), NOT Σlabel — summing 64-bit ids overflows ANSI
-    * arithmetic for hash- or snowflake-derived ids near 2^62. Rounds needed
-    * = component diameter; exceeding `maxRounds` THROWS rather than
-    * silently returning partially-merged clusters (raise it for
-    * pathological chain-shaped graphs). The returned relation is backed by
+    * arithmetic for hash- or snowflake-derived ids near 2^62. Each round
+    * combines one-hop neighbor propagation with pointer jumping
+    * (label := label's label), so rounds needed are O(log diameter) —
+    * any graph a cluster can hold converges well inside the default
+    * `maxRounds`; exceeding it still THROWS rather than silently
+    * returning partially-merged clusters. The returned relation is backed by
     * a checkpointed RDD that the ContextCleaner frees once the caller drops
     * the reference — no explicit unpersist needed (same for the per-round
     * intermediates, dereferenced each iteration). Property-tested against a
@@ -220,7 +222,21 @@ object DedupOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val prop = edges.join(labels, col("d2") === col("id"))
+      // pointer jumping without a self-join: the edge set is augmented
+      // with the current label links (v ↔ label(v); label values are
+      // always node ids, so the join below resolves them), and one hop
+      // over the augmented graph picks up min(neighbor labels,
+      // label's-own-label). The surviving label-path length halves each
+      // round on top of the one-hop propagation → O(log diameter) rounds,
+      // not O(diameter); a 2^50-diameter chain would be needed to exhaust
+      // the default maxRounds. (A literal hop-then-self-join formulation
+      // trips a Catalyst constraint-rewrite bug when the checkpointed
+      // join feeds the next round's union — the augmented-edge form keeps
+      // every round the same join+union+aggregate shape over checkpoint
+      // leaves, which analyzes cleanly.)
+      val labelEdges = labels.select(col("id").as("d1"), col("label").as("d2"))
+        .union(labels.select(col("label").as("d1"), col("id").as("d2")))
+      val prop = edges.union(labelEdges).join(labels, col("d2") === col("id"))
         .select(col("d1").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))

@@ -101,16 +101,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 40L -> 40L, 41L -> 40L))
   }
 
-  test("dedupClusters: a 60-node chain throws at default maxRounds, converges when raised") {
-    // diameter 59 > the default 50-round cap: the cap must THROW (silently
-    // partial clusters are corruption), and a raised cap must converge with
-    // per-round lineage truncation — before the localCheckpoint fix this
-    // plan doubled every round (2^60 nodes: analyzer death, not slowness)
-    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("d1", "d2")
-    intercept[IllegalStateException](TrainingData.dedupClusters(chain))
-    val labels = TrainingData.dedupClusters(chain, maxRounds = 80)
+  test("dedupClusters: a long chain converges in O(log diameter) rounds; the cap still throws") {
+    // diameter 119 ≫ any feasible round count without pointer jumping;
+    // with label := label's-label shortcutting each round, ~⌈log₂ d⌉ + 2
+    // rounds suffice, far inside the default 50-round cap
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = TrainingData.dedupClusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == (1L to 60L).map(_ -> 1L).toMap)
+    assert(labels == (1L to 120L).map(_ -> 1L).toMap)
+    // an unreachable cap must still THROW (silently partial clusters are
+    // corruption), exercised with a cap below the log-round floor
+    intercept[IllegalStateException](
+      TrainingData.dedupClusters(chain, maxRounds = 2))
   }
 
   test("dedupClusters handles ids near 2^62 (convergence must not sum labels)") {
