@@ -471,6 +471,27 @@ object TrainingData {
       .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType)))
 
+  /** Survivor selection over near-duplicate clusters → one kept document
+    * per cluster: the cluster member maximizing `scoreCol` (ties → min
+    * id), which is how a real pipeline retains the BEST copy (longest,
+    * highest quality score, …) rather than an arbitrary one.
+    * `clusterLabels` is `(id, label)` as returned by [[dedupClusters]];
+    * docs absent from it (no near-dup pair) survive as their own
+    * singleton cluster. Output: (cluster_id, survivor_id, n_docs).
+    * The per-cluster argmax is a `min(struct(-score, id))` aggregation —
+    * partial-aggregates map-side, no per-cluster sort or window. */
+  def dedupSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
+      clusterLabels: DataFrame): DataFrame = {
+    val lab = clusterLabels.toDF("id", "label")
+    docs.select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
+      .join(lab, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("id")))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("id").as("id"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"), col("best.id").as("survivor_id"), col("n_docs"))
+  }
+
   /** Within-document repetition metrics (Gopher-rule-style quality
     * signals) → (id, n_2grams, top_2gram_frac, dup_3gram_frac):
     *  - `top_2gram_frac`: fraction of bigram instances taken by the single

@@ -258,6 +258,18 @@ object DedupOps {
     labels
   }
 
+  /** X26 — dedup survivor selection: one kept doc per near-dup cluster,
+    * the member maximizing `n_chars` (ties → min doc_id); unpaired docs
+    * are their own singleton cluster. Fixture binding of
+    * [[graft.api.TrainingData.dedupSurvivors]] over the cached pair
+    * relation (shared with x26/x26e). */
+  def x26gSurvivors(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(persistPairs(s, d).select(col("d1"), col("d2")))
+    graft.api.TrainingData.dedupSurvivors(
+      t(s, d, "documents"), "doc_id", "n_chars", labels)
+      .orderBy(col("cluster_id"))
+  }
+
   /** X33 — cross-corpus contamination scan (decontamination): probes =
     * docs with doc_id < 50 standing in for an eval set, corpus = the
     * rest; emit corpus docs containing ≥ half of a probe's shingles.
@@ -312,8 +324,39 @@ object DedupOps {
     "x26b_minhash_lsh" -> (minhashPairs _),
     "x26c_simhash" -> (simhash _),
     "x26e_dedup_clusters" -> (x26eDedupClusters _),
+    "x26g_survivors" -> (x26gSurvivors _),
     "x33_contamination" -> (x33Contamination _),
     "x33b_contamination_bloom" -> (x33bContaminationBloom _))
+
+  /** Shared recursive-CTE oracle prefix: exact-Jaccard pairs → transitive
+    * closure → `lab(id, cluster_id)` — the DuckDB model of
+    * [[connectedComponents]], reused by x26e and x26g. */
+  private val ccOracleCte =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(tk) - 1, 1)),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+      |  FROM toks),
+      |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, m) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst),
+      |lab AS (SELECT id, min(m) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   private val x33OracleSql =
     """WITH toks AS (
@@ -363,32 +406,22 @@ object DedupOps {
     // Connected components as a recursive reachability closure: min
     // reachable id per node == the propagation fixpoint.
     "x26e_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(tk) - 1, 1)),
-        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
-        |  FROM toks),
-        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT d1, d2 FROM inter
-        |  JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(id, m) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.m FROM edges e JOIN reach r ON r.id = e.dst)
-        |SELECT id AS doc_id, min(m) AS cluster_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      s"""$ccOracleCte
+         |SELECT id AS doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    "x26g_survivors" ->
+      s"""$ccOracleCte,
+         |wl AS (
+         |  SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS score,
+         |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+         |r AS (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+         |  FROM wl)
+         |SELECT cluster_id, doc_id AS survivor_id, n_docs
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "x33_contamination" -> x33OracleSql,
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle

@@ -340,6 +340,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
   }
 
+  test("dedupSurvivors keeps the highest-scoring member per cluster, singletons survive") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: 2 and 3 tie on score → min id 2
+      (7L, 5.0),                          // unpaired → own singleton cluster
+      (8L, 1.0), (9L, 2.0)                // cluster {8,9}: 9 wins on score
+    ).toDF("id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L)).toDF("id", "label")
+    val out = TrainingData.dedupSurvivors(docs, "id", "quality", labels)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (7L, 7L, 1L), (8L, 9L, 2L)))
+  }
+
   test("contaminationPairsBloom equals the exact scan (false positives die in the join)") {
     // corpus big enough that the Bloom prefilter actually rejects rows
     val corpus = (100L to 300L).map(i =>
