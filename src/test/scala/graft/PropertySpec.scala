@@ -269,4 +269,55 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 10)
   }
+
+  test("repetition stats match a Seq model on random token docs") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    def grams(toks: Seq[String], n: Int): Seq[String] =
+      if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    check(forAll(Gen.listOfN(4, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val got = graft.api.TrainingData.repetitionStats(df, "id", "body")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      docs.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        val g2 = grams(toks, 2)
+        val g3 = grams(toks, 3)
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expTop = if (g2.isEmpty) None
+          else Some(r6(g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size))
+        val expDup = if (g3.isEmpty) None
+          else Some(r6(g3.groupBy(identity).values.map(_.size).filter(_ >= 2).sum.toDouble / g3.size))
+        got(i.toLong) == ((g2.size.toLong, expTop, expDup))
+      }
+    }, n = 10)
+  }
+
+  test("dedup survivors: one per cluster, member of it, score-maximal (random clusters)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      labels <- Gen.listOfN(n, Gen.choose(0L, 3L)) // cluster label per doc
+      scores <- Gen.listOfN(n, Gen.choose(0, 50))
+    } yield (labels, scores)
+    check(forAll(gen) { case (labels, scores) =>
+      val ids = labels.indices.map(_.toLong + 100L)
+      val docs = ids.zip(scores.map(_.toDouble)).toDF("id", "sc")
+      // label relation maps each doc to min-id of its label group (as CC would)
+      val byLabel = ids.zip(labels).groupBy(_._2).values.map(_.map(_._1)).toSeq
+      val labDf = byLabel.flatMap(g => g.map(_ -> g.min)).toDF("id", "label")
+      val out = graft.api.TrainingData.dedupSurvivors(docs, "id", "sc", labDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val model = byLabel.map { g =>
+        val sc = ids.zip(scores).toMap
+        val best = g.map(id => (-sc(id), id)).min._2
+        (g.min, best, g.size.toLong)
+      }.toSet
+      out.toSet == model && out.length == byLabel.size
+    }, n = 10)
+  }
 }
