@@ -483,7 +483,12 @@ object TrainingData {
   def dedupSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
       clusterLabels: DataFrame): DataFrame = {
     val lab = clusterLabels.toDF("id", "label")
-    docs.select(col(idCol).as("id"), col(scoreCol).cast("double").as("score"))
+    // NULL score must lose to any scored member (a null field inside the
+    // argmax struct would otherwise sort first), and an all-null cluster
+    // falls back to the min-id tiebreak
+    docs.select(col(idCol).as("id"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("score"))
       .join(lab, Seq("id"), "left")
       .withColumn("cluster_id", coalesce(col("label"), col("id")))
       .groupBy(col("cluster_id"))

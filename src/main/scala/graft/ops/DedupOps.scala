@@ -78,6 +78,19 @@ object DedupOps {
         .persist())
   }
 
+  // Cluster labels derived from the pair relation — shared by the cluster
+  // query (x26e) and the survivor query (x26g); the iterative CC run is
+  // paid once per (application, SF dir). The relation is backed by a
+  // checkpointed RDD (small: one row per paired doc), freed with the app.
+  @transient private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def persistLabels(s: SparkSession, d: String): DataFrame = {
+    val appId = s.sparkContext.applicationId
+    evictStale(labelCache, appId)
+    labelCache.getOrElseUpdate((appId, d),
+      connectedComponents(persistPairs(s, d).select(col("d1"), col("d2"))))
+  }
+
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick).
     * Fixture binding of [[graft.api.TrainingData.exactDedup]]. */
@@ -187,7 +200,7 @@ object DedupOps {
     * changed-count crosses to the driver per round. Deterministic: the
     * fixpoint (component-min labels) does not depend on iteration order. */
   def x26eDedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(persistPairs(s, d).select(col("d1"), col("d2")))
+    persistLabels(s, d)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
 
@@ -263,12 +276,10 @@ object DedupOps {
     * are their own singleton cluster. Fixture binding of
     * [[graft.api.TrainingData.dedupSurvivors]] over the cached pair
     * relation (shared with x26/x26e). */
-  def x26gSurvivors(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(persistPairs(s, d).select(col("d1"), col("d2")))
+  def x26gSurvivors(s: SparkSession, d: String): DataFrame =
     graft.api.TrainingData.dedupSurvivors(
-      t(s, d, "documents"), "doc_id", "n_chars", labels)
+      t(s, d, "documents"), "doc_id", "n_chars", persistLabels(s, d))
       .orderBy(col("cluster_id"))
-  }
 
   /** X33 — cross-corpus contamination scan (decontamination): probes =
     * docs with doc_id < 50 standing in for an eval set, corpus = the

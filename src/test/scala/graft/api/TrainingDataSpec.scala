@@ -351,6 +351,15 @@ class TrainingDataSpec extends SparkSpec {
       .orderBy("cluster_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((1L, 2L, 3L), (7L, 7L, 1L), (8L, 9L, 2L)))
+    // a NULL score loses to any scored member; an all-null cluster falls
+    // back to the min-id tiebreak
+    val withNulls = Seq((1L, Some(0.5)), (2L, None), (5L, None), (6L, None))
+      .toDF("id", "quality")
+    val nl = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "label")
+    val out2 = TrainingData.dedupSurvivors(withNulls, "id", "quality", nl)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == Seq((1L, 1L, 2L), (5L, 5L, 2L)))
   }
 
   test("contaminationPairsBloom equals the exact scan (false positives die in the join)") {
