@@ -46,10 +46,23 @@ object TrainingData {
     * broadcast hint: AQE broadcasts it when it is actually small and
     * degrades to a shuffle join when it is not (a forced broadcast of a
     * corpus-sized relation is a driver OOM at scale). */
-  def nearDupPairsFromShingles(shingles: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairsFromShingles(shingles: DataFrame, threshold: Double,
+      pruneSingletons: Boolean = false): DataFrame = {
     val sh = shingles.toDF("doc_id", "shh")
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    DedupOps.coocPairs(sh, "shh") // the one co-occurrence join, shared with LSH
+    // optional singleton prune: a shingle held by ONE doc cannot produce a
+    // pair, and on a real text corpus most shingles ARE singletons — the
+    // semi-join cuts the quadratic self-join's input to the co-occurring
+    // minority (the per-doc denominators `n` still count ALL shingles).
+    // Off by default: it costs one aggregation over the shingle relation,
+    // which only repays when the singleton fraction is high (measured
+    // 3.0→3.8 s on the synthetic fixture, whose 30-word vocabulary makes
+    // every shingle co-occur — enable it for real corpora).
+    val joinInput = if (!pruneSingletons) sh else sh.join(
+      sh.groupBy(col("shh")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(col("shh")),
+      Seq("shh"), "left_semi")
+    DedupOps.coocPairs(joinInput, "shh") // the one co-occurrence join, shared with LSH
       .join(n.as("n1"), col("d1") === col("n1.doc_id"))
       .join(n.as("n2"), col("d2") === col("n2.doc_id"))
       .withColumn("jac", col("inter").cast("double") /
@@ -495,6 +508,22 @@ object TrainingData {
       .agg(min(struct((-col("score")).as("ns"), col("id").as("id"))).as("best"),
         count(lit(1)).as("n_docs"))
       .select(col("cluster_id"), col("best.id").as("survivor_id"), col("n_docs"))
+  }
+
+  /** One-call near-duplicate dedup returning the KEPT documents (full
+    * rows): exact-Jaccard pairs at `threshold` → clusters → best-`scoreCol`
+    * survivor per cluster → semi-join back. The quadratic pair step is the
+    * verifier form — swap in [[minhashNearDupPairs]] + [[dedupClusters]] +
+    * [[dedupSurvivors]] manually for the LSH candidate cut at 100 TB
+    * corpus sizes. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double, maxRounds: Int = 50): DataFrame = {
+    val labels = dedupClusters(
+      nearDupPairs(docs, idCol, textCol, threshold).select(col("d1"), col("d2")),
+      maxRounds)
+    val keep = dedupSurvivors(docs, idCol, scoreCol, labels)
+      .select(col("survivor_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Within-document repetition metrics (Gopher-rule-style quality

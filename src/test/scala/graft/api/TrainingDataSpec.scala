@@ -34,6 +34,14 @@ class TrainingDataSpec extends SparkSpec {
     assert(!loose.exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("nearDupPairs singleton prune is result-invariant") {
+    val sh = TrainingData.shingles(corpus, "id", "body")
+    def pairs(prune: Boolean) =
+      TrainingData.nearDupPairsFromShingles(sh, 0.3, pruneSingletons = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(pairs(prune = true) == pairs(prune = false))
+  }
+
   test("minhashNearDupPairs finds the exact-dup pair with verified jaccard") {
     val strict = TrainingData.minhashNearDupPairs(corpus, "id", "body", 0.99)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
@@ -360,6 +368,17 @@ class TrainingDataSpec extends SparkSpec {
       .orderBy("cluster_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out2.toSeq == Seq((1L, 1L, 2L), (5L, 5L, 2L)))
+  }
+
+  test("dedupCorpus keeps the best-scoring copy of each near-dup group, full rows") {
+    val docs = Seq(
+      (10L, "the cat sat on the mat", 1.0),
+      (11L, "the cat sat on the mat", 9.0),      // exact dup, higher score → kept
+      (13L, "completely different words entirely here now", 2.0))
+      .toDF("id", "body", "quality")
+    val kept = TrainingData.dedupCorpus(docs, "id", "body", "quality", 0.9)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(kept.toSeq == Seq((11L, 9.0), (13L, 2.0)))
   }
 
   test("contaminationPairsBloom equals the exact scan (false positives die in the join)") {
