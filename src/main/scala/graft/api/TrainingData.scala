@@ -510,6 +510,26 @@ object TrainingData {
       .select(col("cluster_id"), col("best.id").as("survivor_id"), col("n_docs"))
   }
 
+  /** Keep (approximately) the top `fraction` of rows per stratum by
+    * `scoreCol` — "best 30% quality per language" corpus filtering. The
+    * per-stratum threshold is ONE exact-percentile aggregation
+    * (partial-aggregating, no per-stratum global sort) broadcast back as
+    * a filter, so the data relation is scanned, not sorted — the shape
+    * that survives a stratum with billions of rows. Ties AT the threshold
+    * are kept, so the fraction is a floor, not exact. Strata cardinality
+    * is assumed small (languages, sources) — the cutoff relation is
+    * broadcast unconditionally. */
+  def topFractionByStrata(rows: DataFrame, strataCol: String,
+      scoreCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val cut = rows.groupBy(col(strataCol))
+      .agg(expr(s"percentile($scoreCol, ${1.0 - fraction})").as("cutoff"))
+    rows.join(broadcast(cut), Seq(strataCol))
+      .filter(col(scoreCol) >= col("cutoff"))
+      .drop("cutoff")
+  }
+
   /** One-call near-duplicate dedup returning the KEPT documents (full
     * rows): exact-Jaccard pairs at `threshold` → clusters → best-`scoreCol`
     * survivor per cluster → semi-join back. The quadratic pair step is the

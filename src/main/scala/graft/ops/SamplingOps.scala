@@ -46,6 +46,17 @@ object SamplingOps {
       "lang", Map("en" -> 10, "es" -> 50))
       .orderBy(col("doc_id"))
 
+  /** X31 — per-language quality cut: keep the top 30% of documents by
+    * `n_chars` within each lang. Fixture binding of
+    * [[graft.api.TrainingData.topFractionByStrata]] (exact-percentile
+    * threshold + broadcast filter — no per-stratum sort). */
+  def x31dQualityCut(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.topFractionByStrata(
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars", 0.3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** X32 — sequence packing at a 2048-token budget over documents.
     * Fixture binding of [[graft.api.TrainingData.packSequences]] (see
     * there for the two-pass global-cumsum scale design). */
@@ -60,6 +71,7 @@ object SamplingOps {
     "x31_split" -> (x31Split _),
     "x31b_sample" -> (x31bSample _),
     "x31c_stratified" -> (x31cStratified _),
+    "x31d_quality_cut" -> (x31dQualityCut _),
     "x32_seqpack" -> (x32SeqPack _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
@@ -85,6 +97,16 @@ object SamplingOps {
          |FROM documents
          |WHERE ${bucketSql("doc_id")} < 20
          |ORDER BY doc_id""".stripMargin,
+    // Spark percentile == DuckDB quantile_cont on integer inputs (the
+    // q08b-established portable pair)
+    "x31d_quality_cut" ->
+      """WITH cut AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.7) AS cutoff
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars
+        |FROM documents d JOIN cut c ON d.lang = c.lang
+        |WHERE n_chars >= cutoff
+        |ORDER BY doc_id""".stripMargin,
     "x31c_stratified" ->
       s"""SELECT doc_id, lang
          |FROM documents

@@ -370,6 +370,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(out2.toSeq == Seq((1L, 1L, 2L), (5L, 5L, 2L)))
   }
 
+  test("topFractionByStrata keeps the best rows per stratum, ties at the cutoff kept") {
+    val rows = Seq(
+      ("en", 1L, 10), ("en", 2L, 20), ("en", 3L, 30), ("en", 4L, 40),
+      ("es", 5L, 7), ("es", 6L, 7), ("es", 7L, 7) // all tie → all at/above any cutoff
+    ).toDF("lang", "id", "score")
+    val kept = TrainingData.topFractionByStrata(rows, "lang", "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    // en: p50 of (10,20,30,40) = 25 → keep 30,40; es: all tie at 7 → all kept
+    assert(kept == Set(3L, 4L, 5L, 6L, 7L))
+    intercept[IllegalArgumentException](
+      TrainingData.topFractionByStrata(rows, "lang", "score", 0.0))
+  }
+
   test("dedupCorpus keeps the best-scoring copy of each near-dup group, full rows") {
     val docs = Seq(
       (10L, "the cat sat on the mat", 1.0),
