@@ -524,7 +524,7 @@ object TrainingData {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
     val cut = rows.groupBy(col(strataCol))
-      .agg(expr(s"percentile($scoreCol, ${1.0 - fraction})").as("cutoff"))
+      .agg(expr(s"percentile(`$scoreCol`, ${1.0 - fraction})").as("cutoff"))
     rows.join(broadcast(cut), Seq(strataCol))
       .filter(col(scoreCol) >= col("cutoff"))
       .drop("cutoff")
