@@ -187,6 +187,29 @@ class StreamingSpec extends SparkSpec {
       s"bridge event did not unify the islands; emitted for user 1: $u1")
   }
 
+  test("incremental dedup drops known and in-stream-repeated content, keeps novel docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup")
+    java.nio.file.Files.write(dir.resolve("docs.jsonl"),
+      Seq(
+        """{"t":"2024-01-01T00:00:00Z","body":"already ingested text"}""",
+        """{"t":"2024-01-01T00:01:00Z","body":"fresh doc one"}""",
+        """{"t":"2024-01-01T00:02:00Z","body":"fresh doc one"}""",
+        """{"t":"2024-01-01T00:03:00Z","body":"fresh doc two"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val known = Seq("already ingested text").toDF("body")
+      .select(sha2(col("body"), 256).as("h"))
+    val docs = spark.readStream.text(dir.toString)
+      .select(
+        get_json_object(col("value"), "$['t']").cast("timestamp").as("ts"),
+        get_json_object(col("value"), "$['body']").as("body"))
+    val q = StreamingOps.incrementalDedup(docs, "ts", "body", known)
+      .writeStream.outputMode("append").format("memory").queryName("inc_out").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("inc_out").select("body").as[String].collect().sorted
+    assert(kept.toSeq == Seq("fresh doc one", "fresh doc two"))
+  }
+
   test("mapGroupsWithState running per-user counts match batch groupBy") {
     val q = StreamingOps.runningUserState(spark, StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("update").format("memory").queryName("state_out").start()
