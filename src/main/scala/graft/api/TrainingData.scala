@@ -538,9 +538,16 @@ object TrainingData {
     * corpus sizes. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       scoreCol: String, threshold: Double, maxRounds: Int = 50): DataFrame = {
-    val labels = dedupClusters(
-      nearDupPairs(docs, idCol, textCol, threshold).select(col("d1"), col("d2")),
-      maxRounds)
+    // the pair plan references the shingle relation on several branches,
+    // and dedupClusters consumes it EAGERLY (per-round localCheckpoint) —
+    // persisting just for that call turns 3-4 text scans into one, and
+    // nothing lazy references it afterwards (labels are checkpoint-backed)
+    val sh = shingles(docs, idCol, textCol).persist()
+    val labels =
+      try dedupClusters(
+        nearDupPairsFromShingles(sh, threshold).select(col("d1"), col("d2")),
+        maxRounds)
+      finally sh.unpersist()
     val keep = dedupSurvivors(docs, idCol, scoreCol, labels)
       .select(col("survivor_id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
