@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-SHAPE regression guards: the scale claims in SURVEY.md §4 and
+  * README ("dimension joins broadcast", "top-k is TakeOrderedAndProject,
+  * no global sort", "filters reach the parquet scan", "LSH paths are
+  * equi-joins, not cartesian") asserted against the optimized physical
+  * plans, so a rewrite that silently degrades a plan to a worse shape
+  * fails CI rather than only showing up as a bench regression. Plans are
+  * inspected at sf0.001 — plan shape, unlike timing, is stable there. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q03 dimension join broadcasts (no shuffle of the fact side for it)") {
+    val p = plan("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q10 top-k plans as TakeOrderedAndProject, not a global sort+limit") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["))
+    // at least one real pushed predicate, not just the bare IsNotNull list
+    assert(p.contains("GreaterThan") || p.contains("LessThan") ||
+      p.contains("EqualTo") || p.contains("GreaterThanOrEqual"))
+  }
+
+  test("x26b MinHash-LSH candidates come from an equi-join — no cartesian/BNLJ") {
+    val p = plan("x26b_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x33b bloom scan prunes the corpus side before the aggregation exchange") {
+    val p = plan("x33b_contamination_bloom")
+    assert(p.contains("might_contain"), p.linesIterator.take(40).mkString("\n"))
+  }
+
+  // tree occurrences only — formatted mode repeats each node name in the
+  // detail section, so count the "Name (id)" tree form
+  private def treeCount(p: String, node: String): Int =
+    p.linesIterator.count(_.contains(s"$node ("))
+
+  test("x31b hash sample is a pure scan+filter — no shuffle at all") {
+    val p = plan("x31b_sample")
+    // the sample itself adds no Exchange; the fixture's orderBy adds the
+    // single result-ordering exchange and nothing else
+    assert(treeCount(p, "Exchange") <= 1, p)
+  }
+
+  test("x25 exact dedup is one partial->final hash aggregation (single exchange)") {
+    val p = plan("x25_exact_dedup")
+    assert(p.contains("HashAggregate"))
+    assert(treeCount(p, "Exchange") <= 2, p) // agg + result order
+  }
+
+  test("q01 aggregation is whole-stage codegen'd hash aggregation") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    // AQE resolves codegen stages only once executed: run it, then read
+    // the FINAL plan — "*(n)" prefixes mark whole-stage-codegen spans
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("*(") && fin.contains("HashAggregate"),
+      fin.linesIterator.take(15).mkString("\n"))
+  }
+}
