@@ -474,6 +474,21 @@ object TrainingData {
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
 
+  /** Persist a relation bucketed (and in-bucket sorted) on a join key —
+    * the co-location contract for repeated large-large joins: two tables
+    * bucketed on the same key with the same bucket count join WITHOUT any
+    * Exchange (verified in PlanSpec), which at 100 TB turns every
+    * downstream join/aggregation on that key from a full shuffle into a
+    * local merge. Requires a catalog table (bucketing metadata lives in
+    * the catalog, not the parquet files). */
+  def saveBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Non-distinct word n-grams (cf. DedupOps.shingles, which dedups) —
     * repetition needs the multiplicity. Short docs → explicit empty array
     * (`sequence(1, 0)` would step backwards). */

@@ -65,6 +65,33 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Exchange") <= 2, p) // agg + result order
   }
 
+  test("bucketed tables join co-located: zero exchanges in the join plan") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.api.TrainingData.saveBucketed(
+      docs.select($"doc_id", $"lang"), "bkt_docs", "doc_id", 4)
+    graft.api.TrainingData.saveBucketed(
+      docs.select($"doc_id", $"n_chars"), "bkt_stats", "doc_id", 4)
+    // the fixture is tiny, so the planner would broadcast (its own
+    // exchange) — disable auto-broadcast to expose the large-large shape
+    // bucketing exists for: a sort-merge join with NO exchange at all
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_docs").join(spark.table("bkt_stats"), "doc_id")
+      val p = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin") &&
+        !p.linesIterator.exists(l => l.contains("Exchange (")),
+        p.linesIterator.take(20).mkString("\n"))
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_stats")
+    }
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
