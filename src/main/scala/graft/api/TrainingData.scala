@@ -533,7 +533,9 @@ object TrainingData {
     * that survives a stratum with billions of rows. Ties AT the threshold
     * are kept, so the fraction is a floor, not exact. Strata cardinality
     * is assumed small (languages, sources) — the cutoff relation is
-    * broadcast unconditionally. */
+    * broadcast unconditionally. Rows with a NULL stratum are dropped
+    * (equi-join semantics) — bucket them under a sentinel first if they
+    * must participate. */
   def topFractionByStrata(rows: DataFrame, strataCol: String,
       scoreCol: String, fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
