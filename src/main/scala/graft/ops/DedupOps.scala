@@ -236,19 +236,21 @@ object DedupOps {
     var converged = false
     while (!converged && rounds < maxRounds) {
       // pointer jumping without a self-join: the edge set is augmented
-      // with the current label links (v ↔ label(v); label values are
+      // with the current label links (v → label(v); label values are
       // always node ids, so the join below resolves them), and one hop
       // over the augmented graph picks up min(neighbor labels,
       // label's-own-label). The surviving label-path length halves each
       // round on top of the one-hop propagation → O(log diameter) rounds,
       // not O(diameter); a 2^50-diameter chain would be needed to exhaust
-      // the default maxRounds. (A literal hop-then-self-join formulation
-      // trips a Catalyst constraint-rewrite bug when the checkpointed
-      // join feeds the next round's union — the augmented-edge form keeps
-      // every round the same join+union+aggregate shape over checkpoint
-      // leaves, which analyzes cleanly.)
+      // the default maxRounds. Only the forward link carries information —
+      // a reverse link (label(v) → v) would just re-deliver label(v) its
+      // own current label, since both ends resolve against the same labels
+      // snapshot. (A literal hop-then-self-join formulation trips a
+      // Catalyst constraint-rewrite bug when the checkpointed join feeds
+      // the next round's union — the augmented-edge form keeps every
+      // round the same join+union+aggregate shape over checkpoint leaves,
+      // which analyzes cleanly.)
       val labelEdges = labels.select(col("id").as("d1"), col("label").as("d2"))
-        .union(labels.select(col("label").as("d1"), col("id").as("d2")))
       val prop = edges.union(labelEdges).join(labels, col("d2") === col("id"))
         .select(col("d1").as("id"), col("label"))
         .union(labels)
