@@ -430,18 +430,17 @@ object TrainingData {
     val s = docs.sparkSession
     val base = docs.select(col(idCol).as("id"),
       size(graft.ops.DedupOps.tokens(col(textCol))).cast("long").as("n_tokens"))
-    // bucket count bounded: the chained-when bucketizer is O(nBuckets) per
-    // row and builds a depth-nBuckets expression tree — 1024-way is ample
-    // cumsum parallelism for any stage while staying codegen-safe
+    // bucket count bounded to ample cumsum parallelism; the native
+    // binary-search bucketizer keeps per-row cost and plan size
+    // independent of it (the cap is no longer a codegen-depth guard)
     val nBuckets = math.min(1024, s.sessionState.conf.numShufflePartitions)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (probs.isEmpty) Array.empty[Double]
       else base.select(col("id").cast("double").as("v"))
         .stat.approxQuantile("v", probs, 0.001).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("id").cast("double") > lit(b), 1).otherwise(0)
-    }
+    val bucket = graft.functions.RangeFunctions.bucket_index(
+      col("id").cast("double"), bounds.toSeq)
     val bucketed = base.withColumn("bkt", bucket)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bkt")).orderBy(col("id"))

@@ -91,10 +91,9 @@ object ReplayQueries {
   }
 
   private def withEmitRank(ev: DataFrame, dir: String): DataFrame = {
-    // capped like TrainingData.packSequences: the chained-when bucketizer
-    // is O(nBuckets) per row and depth-nBuckets in the expression tree —
-    // a 100 TB session's shuffle.partitions (thousands) must not become
-    // a codegen/analyzer hazard; 1024-way is ample rank parallelism
+    // capped like TrainingData.packSequences: 1024-way is ample rank
+    // parallelism; the native binary-search bucketizer (BucketIndex)
+    // keeps per-row cost and plan size independent of the cap
     val nBuckets = math.min(1024,
       ev.sparkSession.sessionState.conf.numShufflePartitions)
     // pass 1: boundary scan (the only driver-visible data: nBuckets-1 longs)
@@ -103,9 +102,8 @@ object ReplayQueries {
       ev.select(tsMs(col("ts")).as("v"))
         .stat.approxQuantile("v", probs, 0.001).distinct.sorted
     })
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(tsMs(col("ts")) > lit(b), 1).otherwise(0)
-    }
+    val bucket = graft.functions.RangeFunctions.bucket_index(
+      tsMs(col("ts")).cast("double"), bounds.toSeq)
     // pass 2: per-bucket rank + broadcast cumulative offsets (counts come
     // from the pre-window relation — the count branch never sorts)
     val bucketed = ev.withColumn("bkt", bucket)

@@ -238,7 +238,12 @@ class PropertySpec extends SparkSpec {
           .collect()(0).getSeq[Float](0)
         row.length == vec.length &&
           vec.zip(row).forall { case (x, y) =>
-            math.abs(x.toDouble - y.toDouble) <= scale / 2 + 1e-9 }
+            // scale/2 is EXACTLY attained at round-half-up ties (x =
+            // absmax/2 → x/scale = 63.5), and the reconstruction is a
+            // float32 — allow its representation error (ulp ≈ 6e-8·|y|)
+            // on top, or ties flake on FP noise
+            math.abs(x.toDouble - y.toDouble) <=
+              scale / 2 + math.abs(y) * 2e-7 + 1e-9 }
       }
     }, n = 20)
   }
