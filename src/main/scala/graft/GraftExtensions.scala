@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CosineSimilarity, DotProduct, Int8DotProduct, PackInt8, ShingleHashes, SrpBuckets, TokenBigrams, UnpackInt8}
+import graft.functions.{BucketIndex, CosineSimilarity, DotProduct, Int8DotProduct, PackInt8, ShingleHashes, SrpBuckets, TokenBigrams, UnpackInt8}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so any session started with
@@ -73,5 +73,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[Int8DotProduct].getName, "int8_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Int8DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bucket_index"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[BucketIndex].getName, "bucket_index"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // bounds must be a foldable numeric array (e.g. array(10.0, 20.0)
+        // — DECIMAL literals under ANSI SQL, so coerce per element type)
+        import org.apache.spark.sql.types._
+        val b = exprs(1)
+        if (!b.foldable) throw new IllegalArgumentException(
+          s"bucket_index bounds must be a foldable numeric array, got $b")
+        val bounds = (b.dataType, b.eval()) match {
+          case (ArrayType(et, _), a: org.apache.spark.sql.catalyst.util.ArrayData) =>
+            (0 until a.numElements()).map { i =>
+              et match {
+                case DoubleType => a.getDouble(i)
+                case FloatType => a.getFloat(i).toDouble
+                case dt: DecimalType =>
+                  a.getDecimal(i, dt.precision, dt.scale).toDouble
+                case IntegerType => a.getInt(i).toDouble
+                case LongType => a.getLong(i).toDouble
+                case other => throw new IllegalArgumentException(
+                  s"bucket_index bounds must be numeric, got element type $other")
+              }
+            }
+          case other => throw new IllegalArgumentException(
+            s"bucket_index bounds must be a numeric array, got $other")
+        }
+        BucketIndex(exprs(0), bounds)
+      }))
   }
 }

@@ -35,6 +35,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - (1.27 * 1.27 * 2 + 0.635 * 0.635)) < 1e-6)
   }
 
+  test("bucket_index resolves from SQL with a foldable bounds array") {
+    val r = spark.sql(
+      """SELECT bucket_index(CAST(25.0 AS DOUBLE), array(10.0, 20.0, 30.0)) AS b,
+        |       bucket_index(CAST(5.0 AS DOUBLE), array(10.0, 20.0, 30.0)) AS lo,
+        |       bucket_index(CAST(99.0 AS DOUBLE), array(10.0, 20.0, 30.0)) AS hi
+        |""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 0 && r.getInt(2) == 3)
+    val e = intercept[Exception] {
+      spark.sql("SELECT bucket_index(CAST(1.0 AS DOUBLE), array(rand()))").collect()
+    }
+    assert(e.getMessage.contains("bucket_index"))
+  }
+
   test("non-literal size argument is rejected with a named error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes('a b c', 1 + 2)").collect()
