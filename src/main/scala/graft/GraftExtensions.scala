@@ -87,6 +87,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val bounds = (b.dataType, b.eval()) match {
           case (ArrayType(et, _), a: org.apache.spark.sql.catalyst.util.ArrayData) =>
             (0 until a.numElements()).map { i =>
+              if (a.isNullAt(i)) throw new IllegalArgumentException(
+                s"bucket_index bounds must not contain NULL (element $i)")
               et match {
                 case DoubleType => a.getDouble(i)
                 case FloatType => a.getFloat(i).toDouble

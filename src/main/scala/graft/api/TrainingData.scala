@@ -524,23 +524,33 @@ object TrainingData {
       .select(col("cluster_id"), col("best.id").as("survivor_id"), col("n_docs"))
   }
 
-  /** Keep (approximately) the top `fraction` of rows per stratum by
+  /** Keep approximately the top `fraction` of rows per stratum by
     * `scoreCol` — "best 30% quality per language" corpus filtering. The
-    * per-stratum threshold is ONE exact-percentile aggregation
-    * (partial-aggregating, no per-stratum global sort) broadcast back as
-    * a filter, so the data relation is scanned, not sorted — the shape
-    * that survives a stratum with billions of rows. Ties AT the threshold
-    * are kept, so the fraction is a floor, not exact. Strata cardinality
-    * is assumed small (languages, sources) — the cutoff relation is
-    * broadcast unconditionally. Rows with a NULL stratum are dropped
-    * (equi-join semantics) — bucket them under a sentinel first if they
-    * must participate. */
+    * per-stratum threshold is ONE percentile aggregation broadcast back
+    * as a filter, so the data relation is scanned, not sorted. The kept
+    * count is approximate in both directions: ties AT the threshold are
+    * kept (more rows), and the interpolated threshold can land above the
+    * exact fraction boundary (fewer rows) — do not audit row counts
+    * against an exact floor. Rows with a NULL stratum or NULL score are
+    * dropped (join/filter semantics) — bucket or coalesce them first if
+    * they must participate. Strata cardinality is assumed small
+    * (languages, sources) — the cutoff relation is broadcast
+    * unconditionally.
+    *
+    * `exact = true` uses `percentile`, whose aggregation buffer holds a
+    * stratum's distinct score values — fine up to millions of distinct
+    * scores, and required for a DuckDB-reproducible threshold (the
+    * fixture oracle). For a stratum with billions of continuous scores
+    * pass `exact = false`: `approx_percentile` (a bounded-memory
+    * quantile sketch) is the shape that actually survives that scale,
+    * at the cost of a slightly perturbed threshold. */
   def topFractionByStrata(rows: DataFrame, strataCol: String,
-      scoreCol: String, fraction: Double): DataFrame = {
+      scoreCol: String, fraction: Double, exact: Boolean = true): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
+    val fn = if (exact) "percentile" else "approx_percentile"
     val cut = rows.groupBy(col(strataCol))
-      .agg(expr(s"percentile(`$scoreCol`, ${1.0 - fraction})").as("cutoff"))
+      .agg(expr(s"$fn(`$scoreCol`, ${1.0 - fraction})").as("cutoff"))
     rows.join(broadcast(cut), Seq(strataCol))
       .filter(col(scoreCol) >= col("cutoff"))
       .drop("cutoff")

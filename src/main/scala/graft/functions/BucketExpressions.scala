@@ -33,7 +33,16 @@ case class BucketIndex(child: Expression, bounds: Seq[Double])
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case DoubleType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        // binary search requires non-decreasing bounds (duplicates are
+        // fine — lower-bound counts strictly-smaller entries either way);
+        // an unsorted array would silently return wrong indices
+        val sorted = bounds.isEmpty ||
+          bounds.sliding(2).forall(p => p.length < 2 || p(0) <= p(1))
+        if (sorted)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "bucket_index bounds must be sorted ascending")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"bucket_index expects a double column, got ${other.sql}")

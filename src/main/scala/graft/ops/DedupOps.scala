@@ -42,54 +42,44 @@ object DedupOps {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingle_hashes(col("text"), 3)).as("shh"))
 
-  // The shingle relation is persisted because each query reuses it on 2-3
-  // plan branches, and x26/x26b share it. Cached per (application, SF dir)
-  // — a handful per process, ~100k rows each; keyed caching avoids the
-  // single-slot hazard of unpersisting a relation a concurrent or
-  // lazily-built query still needs, and the application-id component keeps
-  // a relation bound to a stopped session from leaking into a new one.
-  @transient private val shCache =
+  // Shared relations cached per (application, SF dir): keyed caching
+  // avoids the single-slot hazard of unpersisting a relation a concurrent
+  // or lazily-built query still needs, and the application-id component
+  // keeps a relation bound to a stopped session from leaking into a new
+  // one (entries under other — i.e. stopped — app ids are evicted on each
+  // access; one live app per JVM in practice).
+  private type RelCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]
+  private def newCache: RelCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  /** Drop cache entries from other (stopped) applications — one live app
-    * per JVM in practice, so anything under a different id is dead weight
-    * that would otherwise accumulate for the process lifetime. */
-  private def evictStale(cache: scala.collection.concurrent.TrieMap[(String, String), DataFrame],
-      appId: String): Unit =
-    cache.keys.filter(_._1 != appId).foreach(cache.remove)
-  private def persistShingles(s: SparkSession, d: String): DataFrame = {
+  private def cachedPerApp(cache: RelCache, s: SparkSession, d: String)(
+      build: => DataFrame): DataFrame = {
     val appId = s.sparkContext.applicationId
-    evictStale(shCache, appId)
-    shCache.getOrElseUpdate((appId, d), shingleHashRows(s, d).persist())
+    cache.keys.filter(_._1 != appId).foreach(cache.remove)
+    cache.getOrElseUpdate((appId, d), build)
   }
 
-  // The verified near-dup pair relation feeds both the pair query (x26)
-  // and the cluster query (x26e) — cached like the shingles so the
-  // O(shared-shingle) self-join is paid once per SF dir regardless of
-  // which query runs first. Binds the parametric core
-  // (TrainingData.nearDupPairsFromShingles) to the cached shingle relation.
-  @transient private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def persistPairs(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    evictStale(pairCache, appId)
-    pairCache.getOrElseUpdate((appId, d),
+  // the (doc_id, shh) shingle relation: each query reuses it on 2-3 plan
+  // branches, and x26/x26b share it (~100k rows each at fixture SF)
+  @transient private val shCache = newCache
+  private def persistShingles(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(shCache, s, d)(shingleHashRows(s, d).persist())
+
+  // the verified near-dup pair relation: feeds the pair query (x26) and
+  // the cluster build, so the O(shared-shingle) self-join is paid once
+  @transient private val pairCache = newCache
+  private def persistPairs(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(pairCache, s, d)(
       graft.api.TrainingData
         .nearDupPairsFromShingles(persistShingles(s, d), 0.5)
         .persist())
-  }
 
-  // Cluster labels derived from the pair relation — shared by the cluster
-  // query (x26e) and the survivor query (x26g); the iterative CC run is
-  // paid once per (application, SF dir). The relation is backed by a
-  // checkpointed RDD (small: one row per paired doc), freed with the app.
-  @transient private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def persistLabels(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    evictStale(labelCache, appId)
-    labelCache.getOrElseUpdate((appId, d),
+  // cluster labels over the pairs: shared by x26e and x26g; the iterative
+  // CC run is paid once, its result backed by a checkpointed RDD
+  @transient private val labelCache = newCache
+  private def persistLabels(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(labelCache, s, d)(
       connectedComponents(persistPairs(s, d).select(col("d1"), col("d2"))))
-  }
 
   /** X25 — exact dedup by content hash: clusters of byte-identical texts,
     * canonical member = min doc_id (deterministic survivor pick).

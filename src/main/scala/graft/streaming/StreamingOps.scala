@@ -76,19 +76,22 @@ object StreamingOps {
 
   /** X25 (streaming twin) — incremental exact dedup of a document stream
     * against an already-ingested corpus: a doc is dropped if its content
-    * hash was already seen in-stream within the watermark horizon
-    * (bounded state) OR exists in the static `knownHashes` relation
-    * (one `content_hash` column; stream-static left-anti join, re-planned
-    * per micro-batch). No broadcast hint: a 100 TB corpus's hash set is
-    * not broadcastable — front it with a Bloom prefilter (the
-    * contaminationPairsBloom pattern) if the static side dominates. */
+    * hash exists in the static `knownHashes` relation (one `content_hash`
+    * column; stream-static left-anti join, re-planned per micro-batch)
+    * OR was already seen in-stream within the watermark horizon (bounded
+    * state). The anti-join runs FIRST: it is stateless, so hashes the
+    * corpus already holds never enter the dedup state store — on a
+    * re-ingestion stream that is most of the input. No broadcast hint: a
+    * 100 TB corpus's hash set is not broadcastable — front it with a
+    * Bloom prefilter (the contaminationPairsBloom pattern) if the static
+    * side dominates. */
   def incrementalDedup(docs: DataFrame, tsCol: String, textCol: String,
       knownHashes: DataFrame): DataFrame =
     docs
       .withColumn("content_hash", sha2(col(textCol), 256))
+      .join(knownHashes.toDF("content_hash"), Seq("content_hash"), "left_anti")
       .withWatermark(tsCol, "30 minutes")
       .dropDuplicatesWithinWatermark("content_hash")
-      .join(knownHashes.toDF("content_hash"), Seq("content_hash"), "left_anti")
 
   /** Stream-stream interval join: each purchase joined to signups of the
     * same user within the preceding hour — watermarks on both sides bound

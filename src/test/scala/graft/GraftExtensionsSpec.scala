@@ -46,6 +46,13 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT bucket_index(CAST(1.0 AS DOUBLE), array(rand()))").collect()
     }
     assert(e.getMessage.contains("bucket_index"))
+    // NULL bounds elements would silently read as 0.0 — must be rejected
+    val n = intercept[Exception] {
+      spark.sql(
+        "SELECT bucket_index(CAST(1.0 AS DOUBLE), array(10.0, CAST(NULL AS DOUBLE)))"
+      ).collect()
+    }
+    assert(n.getMessage.contains("NULL"))
   }
 
   test("non-literal size argument is rejected with a named error") {

@@ -50,6 +50,15 @@ class BucketExprSpec extends SparkSpec {
     assert(got.last.getInt(0) == 4096 && got.last.getLong(1) == 10000 - 4097)
   }
 
+  test("rejects unsorted bounds at analysis (binary search precondition)") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.0).toDF("v")
+        .select(RangeFunctions.bucket_index(col("v"), Seq(30.0, 10.0, 20.0)))
+        .collect()
+    }
+    assert(err.getMessage.contains("sorted"))
+  }
+
   test("rejects a non-double input column at analysis") {
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(1L).toDF("v")
