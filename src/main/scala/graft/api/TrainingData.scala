@@ -383,15 +383,26 @@ object TrainingData {
     * under a `source` provenance column → union of (source, id, text).
     * Re-running with a higher percent for one source yields a SUPERSET of
     * that source's previous contribution (nested samples), so mixtures
-    * can be re-weighted incrementally without resampling churn. Column
-    * names are unified by position via the id/text selectors, so sources
-    * with different schemas mix cleanly. */
+    * can be re-weighted incrementally without resampling churn. Every
+    * source must expose the id/text columns under the SAME `idCol` /
+    * `textCol` names; for sources whose columns are named differently,
+    * use the per-source-selector overload. */
   def mixCorpora(sources: Seq[(String, DataFrame, Int)], idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    mixCorporaBy(sources.map { case (name, docs, percent) =>
+      (name, docs, percent, idCol, textCol)
+    })
+
+  /** As [[mixCorpora]], but each source carries its own (idCol, textCol)
+    * selectors — (name, docs, percent, idCol, textCol) — so corpora with
+    * different schemas mix without a rename pass. Output columns are
+    * always (source, id, text). (Separate name, not an overload: both
+    * signatures erase to `mixCorpora(Seq)`.) */
+  def mixCorporaBy(sources: Seq[(String, DataFrame, Int, String, String)]): DataFrame = {
     require(sources.nonEmpty, "mixCorpora needs at least one source")
     require(sources.map(_._1).distinct.size == sources.size,
       s"duplicate source names: ${sources.map(_._1)}")
-    sources.map { case (name, docs, percent) =>
+    sources.map { case (name, docs, percent, idCol, textCol) =>
       hashSample(docs.select(col(idCol), col(textCol)), idCol, percent)
         .select(lit(name).as("source"), col(idCol).as("id"),
           col(textCol).as("text"))

@@ -279,22 +279,30 @@ case class Int8DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    // a packed-dimension mismatch is always a caller bug (vectors quantized
+    // from different models/dims); truncating to the shorter vector would
+    // return a plausible but wrong similarity — fail loudly instead
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"int8_dot: packed vector dimensions differ (${x.length} vs ${y.length})")
     var dot = 0L
     var i = 0
-    while (i < n) { dot += x(i).toLong * y(i).toLong; i += 1 }
+    while (i < x.length) { dot += x(i).toLong * y(i).toLong; i += 1 }
     java.lang.Long.valueOf(dot)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.length, $y.length);
+         |if ($x.length != $y.length) {
+         |  throw new IllegalArgumentException(
+         |    "int8_dot: packed vector dimensions differ (" + $x.length +
+         |    " vs " + $y.length + ")");
+         |}
          |long $dot = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $x.length; $i++) {
          |  $dot += (long) $x[$i] * (long) $y[$i];
          |}
          |${ev.value} = $dot;

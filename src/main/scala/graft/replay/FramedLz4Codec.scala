@@ -60,6 +60,16 @@ class FramedLz4Codec extends CompressionCodec with Configurable {
           // (JsonEventS3Iterator.java:164-166) — a plaintext file named
           // `*.lz4` must replay, not throw at read time and be silently
           // dropped by ignoreCorruptFiles (data-loss-shaped)
+          //
+          // One misroute hides here: a block-LZ4 file written by a cluster
+          // with io.compression.codec.lz4.buffersize above this reader's
+          // ceiling fails the structural sniff and lands in pass-through,
+          // where its binary rows are then dropped as malformed JSON. Make
+          // that observable: if the leading 8 bytes parse as internally
+          // consistent lengths whose only defect is exceeding the ceiling,
+          // warn with the remedy before passing through.
+          FramedLz4Codec.warnIfPlausibleOverCeiling(buffered,
+            FramedLz4Codec.maxBlockBytes(conf))
           new FramedLz4Codec.DelegatedInputStream(buffered, buffered)
         }
     }
@@ -123,6 +133,46 @@ object FramedLz4Codec {
       val comp = be(4)
       orig > 0 && orig <= ceiling &&
         comp > 0 && comp <= orig + orig / 250 + 64 // LZ4 worst-case bound
+    }
+  }
+
+  /** The pass-through branch's observability hook: true (and logged) when
+    * the head of the stream is length-consistent block-LZ4 whose original
+    * length merely exceeds `ceiling` — i.e. the one case where pass-through
+    * is plausibly a misroute rather than genuine plain text. */
+  private[replay] def warnIfPlausibleOverCeiling(
+      in: BufferedInputStream, ceiling: Long): Boolean = {
+    in.mark(16)
+    val hdr = in.readNBytes(8)
+    in.reset()
+    if (hdr.length < 8) false
+    else {
+      def be(o: Int): Long =
+        ((hdr(o) & 0xffL) << 24) | ((hdr(o + 1) & 0xffL) << 16) |
+          ((hdr(o + 2) & 0xffL) << 8) | (hdr(o + 3) & 0xffL)
+      val orig = be(0)
+      val comp = be(4)
+      // consistent as block-LZ4 except for the ceiling — but only within a
+      // bounded band above it (a writer buffersize within 8× of the
+      // reader's expectation is the plausible misconfiguration). The band
+      // cap matters for precision: printable-ASCII text decodes both words
+      // to ~0.5–2.1e9 and would otherwise trip the length test ~half the
+      // time, while real block-LZ4 headers in the band keep their leading
+      // byte non-printable (512 MiB = 0x20000000 is exactly where ASCII
+      // begins)
+      val suspicious = orig > ceiling &&
+        orig <= math.min(8L * ceiling, Int.MaxValue.toLong - 1) &&
+        comp > 0 && comp <= orig + orig / 250 + 64
+      if (suspicious)
+        org.slf4j.LoggerFactory.getLogger(classOf[FramedLz4Codec]).warn(
+          s"no compressor magic matched; passing stream through as plain " +
+            s"text, but its first 8 bytes parse as a block-LZ4 header with " +
+            s"original length $orig above the configured ceiling $ceiling " +
+            s"— if this file was written by a cluster with a larger " +
+            s"io.compression.codec.lz4.buffersize, set that key on the " +
+            s"reader to at least half its value or its rows will be " +
+            s"dropped as malformed")
+      suspicious
     }
   }
 

@@ -21,10 +21,19 @@ object Parse {
     * The attribute is addressed with the bracket-quoted JSON path form —
     * `$.name` would re-interpret a key containing '.' as nesting (the
     * reference's Jackson `node.get(name)` is a flat lookup), silently
-    * extracting null from every row. */
+    * extracting null from every row.
+    *
+    * Spark's JsonPathParser disallows quote characters inside $['...']
+    * entirely (a backslash is not an escape there either), so a name
+    * containing one cannot be expressed as a JSON path at all — emitting it
+    * anyway would make get_json_object return NULL for every row and the
+    * malformed-row filter would then silently drop the whole input. Fail
+    * loudly at plan-build time instead. */
   def parsed(lines: DataFrame, timestampAttributeName: String): DataFrame = {
+    require(!timestampAttributeName.exists(c => c == '\'' || c == '"' || c == '\\'),
+      "timestamp attribute name contains a quote or backslash, which Spark's " +
+        s"JSON path syntax cannot address: $timestampAttributeName")
     val escaped = timestampAttributeName
-      .replace("\\", "\\\\").replace("'", "\\'")
     lines
       .select(
         // text source strips the line terminator, so append exactly one.

@@ -20,14 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object ReplayJob {
 
-  /** Scheduled events, unordered (ordering is applied by the consumer —
-    * one sort, chosen to match its partitioning). */
-  private[replay] def scheduled(spark: SparkSession, cfg: ReplayConfig): DataFrame = {
+  /** source → parse → seek: the events relation both entry points build on
+    * (one definition, so plan() and run() cannot drift apart). */
+  private[replay] def parsedEvents(spark: SparkSession, cfg: ReplayConfig): DataFrame = {
     val lines = Source.jsonLines(spark, cfg)
-    val events = Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
+    Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
+  }
+
+  /** Scheduled events, unordered (ordering is applied by the consumer —
+    * one sort, chosen to match its partitioning). `events` lets run() pass
+    * the same relation persisted. */
+  private[replay] def scheduled(cfg: ReplayConfig, events: DataFrame): DataFrame = {
     val startMs = cfg.ingestionStartMs.getOrElse(System.currentTimeMillis())
     Schedule.withIngestionTime(events, cfg.speedupFactor, startMs)
   }
+
+  private[replay] def scheduled(spark: SparkSession, cfg: ReplayConfig): DataFrame =
+    scheduled(cfg, parsedEvents(spark, cfg))
 
   /** The declarative part: everything up to the sink, as one DataFrame. */
   def plan(spark: SparkSession, cfg: ReplayConfig): DataFrame =
@@ -49,12 +58,10 @@ object ReplayJob {
     // same source: without a persist the whole input would be listed,
     // decompressed, and parsed TWICE — the dominant cost on a multi-GB
     // non-splittable .lz4 dataset. Cache the parsed relation for the run.
-    val lines = Source.jsonLines(spark, cfg)
-    val events = Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
+    val events = parsedEvents(spark, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val startMs = cfg.ingestionStartMs.getOrElse(System.currentTimeMillis())
-      val df = Schedule.withIngestionTime(events, cfg.speedupFactor, startMs)
+      val df = scheduled(cfg, events)
       val sentAcc = spark.sparkContext.longAccumulator("records_sent")
       val retryAcc = spark.sparkContext.longAccumulator("send_retries")
       // executor JVMs never see the driver's configureShared call — ship

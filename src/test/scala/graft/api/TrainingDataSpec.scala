@@ -495,6 +495,25 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.mixCorpora(Seq(("x", a, 10), ("x", b, 10)), "id", "body"))
   }
 
+  test("mixCorporaBy unifies sources whose id/text columns are named differently") {
+    val a = (1L to 100L).map(i => (i, s"doc a $i")).toDF("id", "body")
+    val b = (1L to 100L).map(i => (i, s"doc b $i")).toDF("doc_key", "content")
+    val mix = TrainingData.mixCorporaBy(
+      Seq(("web", a, 100, "id", "body"), ("books", b, 100, "doc_key", "content")))
+    assert(mix.columns.toSeq == Seq("source", "id", "text"))
+    val bySource = mix.collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(bySource == Map("web" -> 100, "books" -> 100))
+    // same name+id+percent sample regardless of the source column names:
+    // the selector must not leak into the hash
+    val viaRename = TrainingData.mixCorpora(Seq(
+      ("books", b.withColumnRenamed("doc_key", "id")
+        .withColumnRenamed("content", "text"), 37)), "id", "text")
+      .collect().map(_.getLong(1)).toSet
+    val direct = TrainingData.mixCorporaBy(Seq(("books", b, 37, "doc_key", "content")))
+      .collect().map(_.getLong(1)).toSet
+    assert(direct == viaRename)
+  }
+
   test("topBigrams counts adjacent pairs across the corpus") {
     val top = TrainingData.topBigrams(corpus, "body", 4).collect()
     // docs 10, 11, 12 share "the cat", "cat sat", "sat on", "on the" → 3 each

@@ -98,6 +98,24 @@ class VectorExprSpec extends SparkSpec {
     assert(b(0) == 127.toByte && b(1) == -127.toByte)
   }
 
+  test("int8_dot rejects mismatched packed dimensions instead of truncating") {
+    import VectorFunctions.int8_dot
+    import spark.implicits._
+    val v = Seq((Array[Byte](1, 2, 3), Array[Byte](1, 2)))
+      .toDF("a", "b")
+    val ex = intercept[Exception] {
+      v.select(int8_dot(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("dimensions differ")))
+    // equal dims still work
+    val ok = Seq((Array[Byte](1, 2, 3), Array[Byte](4, 5, 6))).toDF("a", "b")
+      .select(int8_dot(col("a"), col("b"))).collect()(0).getLong(0)
+    assert(ok == 1 * 4 + 2 * 5 + 3 * 6)
+  }
+
   test("null and zero-vector inputs yield null, not NaN") {
     VectorFunctions.register(spark)
     val r = spark.sql(

@@ -144,6 +144,38 @@ class ReplayE2ESpec extends SparkSpec {
     assert(ids(CollectingSender.payloads) == Seq(1, 2))
   }
 
+  test("pass-through of an over-ceiling block-LZ4 header is flagged; plain text is not") {
+    def buf(bytes: Array[Byte]) =
+      new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes))
+    def be(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val ceiling = 64L * 1024 * 1024
+    // internally consistent block-LZ4 lengths, orig just above the ceiling
+    val overCeiling = be(ceiling + 1) ++ be(ceiling / 2)
+    val b1 = buf(overCeiling)
+    assert(FramedLz4Codec.warnIfPlausibleOverCeiling(b1, ceiling))
+    // the sniff must not consume the stream (pass-through still replays it)
+    assert(b1.readNBytes(8).toSeq == overCeiling.toSeq)
+    // plain JSON text: both words decode ~2e9, comp >> orig's bound → quiet
+    assert(!FramedLz4Codec.warnIfPlausibleOverCeiling(
+      buf("""{"type":"trip"}""".getBytes(UTF_8)), ceiling))
+  }
+
+  test("a timestamp attribute name containing a quote fails loudly, not silently") {
+    // Spark's JSON path syntax cannot address such a key at all; emitting
+    // the path anyway would NULL every extraction and the malformed-row
+    // filter would drop the whole input without a trace
+    import spark.implicits._
+    val lines = Seq("""{"it's":"2024-01-01T00:00:00Z"}""").toDF("value")
+    for (bad <- Seq("it's", "a\"b", "a\\b")) {
+      val ex = intercept[IllegalArgumentException](Parse.parsed(lines, bad))
+      assert(ex.getMessage.contains("quote or backslash"))
+    }
+    // ordinary names (including dots, which bracket form keeps flat) still parse
+    assert(Parse.parsed(Seq("""{"a.b":"2024-01-01T00:00:00Z"}""").toDF("value"),
+      "a.b").count() == 1)
+  }
+
   test("streaming aggregation recovers from a checkpoint without data loss") {
     // checkpointed windowed counts over the fixture: run, stop mid-way is
     // not forced (AvailableNow drains), so instead restart AFTER new data
