@@ -130,14 +130,50 @@ object DedupOps {
         (1 until NumHashes).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
   }
 
+  /** 32-bit content hash both engines can compute identically: the first 8
+    * hex chars of SHA-256 parsed as an integer (Spark `conv`; DuckDB spells
+    * the same parse with ascii() arithmetic — [[hex32Sql]]). The portable
+    * twin of `xxhash64` for fixture queries whose WHOLE algorithm is
+    * oracle-checked; the parametric API keeps xxhash64 (one hash
+    * instruction vs a crypto digest) since library callers don't replay
+    * results in a second engine. */
+  private def sha32(c: Column): Column =
+    conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
+
+  /** The DuckDB spelling of [[sha32]] over SQL expression `expr`. */
+  private def hex32Sql(expr: String): String = {
+    def digit(i: Int) = {
+      val a = s"ascii(substring(sha256($expr), $i, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    (2 to 8).foldLeft(s"CAST(${digit(1)} AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${digit(i)})")
+  }
+
   /** X26 (scale path) — MinHash + LSH banding: docs sharing any band bucket
     * become candidates; candidates are verified with exact Jaccard ≥ 0.5.
     * Equals [[x26Jaccard]]'s pair set whenever LSH recall is 1 (asserted on
-    * the fixture by DedupSpec); at 100 TB this replaces the all-pairs join
-    * with a bucket-equi-join. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairsFromShingles(persistShingles(s, d), 0.5)
+    * the fixture by LlmOpsSpec); at 100 TB this replaces the all-pairs join
+    * with a bucket-equi-join.
+    *
+    * The fixture binding runs the same signature→band→verify pipeline on
+    * the PORTABLE base hash ([[sha32]]) and string band keys, so the whole
+    * MinHash algorithm — not just the verified result — is replayed by the
+    * DuckDB oracle. The parametric API path
+    * ([[minhashPairsFromShingles]]) keeps xxhash64 bases and 8-byte band
+    * keys: at scale the band shuffle should carry longs, not strings. */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val base = shingleRows(s, d).select(col("doc_id"), sha32(col("sh")).as("shh"))
+    val sig = signatures(base)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until NumHashes / BandSize).map { bId =>
+        concat_ws(",", lit(bId) +:
+          (0 until BandSize).map(r => col(s"sig_${bId * BandSize + r}")): _*)
+      }: _*)).as("bandkey"))
+    val cand = coocPairs(bands, "bandkey").select(col("d1"), col("d2"))
+    verifiedJaccardPairs(cand, persistShingles(s, d), 0.5)
       .orderBy(col("d1"), col("d2"))
+  }
 
   /** The MinHash+LSH core over any `(doc_id, shh)` shingle relation —
     * shared by the fixture query above and the parametric API
@@ -158,10 +194,17 @@ object DedupOps {
       .select(col("doc_id"), col("bandkey"))
       .transform(coocPairs(_, "bandkey"))
       .select(col("d1"), col("d2"))
-    // verify candidates with exact Jaccard (cheap: |candidates| ≪ n²).
-    // No broadcast hints: cand and the per-doc count relation n both scale
-    // with the corpus — AQE broadcasts them while small and falls back to
-    // shuffle joins at scale (a forced broadcast would OOM the driver)
+    verifiedJaccardPairs(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair list against a
+    * `(doc_id, shh)` shingle relation → (d1, d2, jaccard) at/above the
+    * threshold. No broadcast hints: cand and the per-doc count relation n
+    * both scale with the corpus — AQE broadcasts them while small and
+    * falls back to shuffle joins at scale (a forced broadcast would OOM
+    * the driver). */
+  private def verifiedJaccardPairs(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     cand
       .join(sh.as("a"), col("d1") === col("a.doc_id"))
@@ -299,16 +342,18 @@ object DedupOps {
 
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
     * the token hash's bit value; the sign becomes the fingerprint bit.
-    * Deterministic (integer sums). Near-dup docs differ in few bits. */
+    * Deterministic (integer sums). Near-dup docs differ in few bits.
+    * Token bits come from the portable [[sha32]] hash, so the fingerprint
+    * values themselves are replayed bit-for-bit by the DuckDB oracle. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       // hash hoisted into ONE projected column: referencing
-      // xxhash64(tok) inside all 32 per-bit sums would evaluate the hash
+      // sha32(tok) inside all 32 per-bit sums would evaluate the hash
       // 32× per row on the interpreted path (subexpression elimination is
       // a codegen-only optimization)
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", sha32(col("tok")))
     val bitSums = tf.groupBy(col("doc_id")).agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L,
         col("tf")).otherwise(-col("tf"))).as("s_0"),
@@ -428,9 +473,71 @@ object DedupOps {
     "x33_contamination" -> x33OracleSql,
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
-    "x33b_contamination_bloom" -> x33OracleSql
-    // x26b/x26c: Spark-side hashes (xxhash64) are not portable SQL — the
-    // LSH pair set is instead asserted equal to x26's exact pairs in
-    // DedupSpec, and simhash determinism/neighborhood in the same spec.
-  )
+    "x33b_contamination_bloom" -> x33OracleSql,
+    // Full MinHash+LSH replayed in SQL on the portable base hash:
+    // signatures → 4×4 banding → candidate equi-join → exact-Jaccard
+    // verification — the algorithm is oracle-checked, not just its result
+    "x26b_minhash_lsh" -> {
+      val hCols = (0 until NumHashes).map(i =>
+        s"((${aCoef(i)} * v + ${bCoef(i)}) % $P) AS h_$i").mkString(",\n    ")
+      val sCols = (0 until NumHashes).map(i => s"min(h_$i) AS s_$i").mkString(", ")
+      val bandSelects = (0 until NumHashes / BandSize).map { b =>
+        val parts = (0 until BandSize)
+          .map(r => s"CAST(s_${b * BandSize + r} AS VARCHAR)").mkString(", ")
+        s"SELECT doc_id, concat_ws(',', '$b', $parts) AS bandkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+         |  FROM toks),
+         |base AS (SELECT doc_id, ${hex32Sql("sh")} % 2147483648 AS v FROM sh),
+         |hs AS (SELECT doc_id,
+         |    $hCols
+         |  FROM base),
+         |sig AS (SELECT doc_id, $sCols FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b
+         |    ON a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT d1, d2, count(*) AS inter
+         |  FROM cand JOIN sh sa ON sa.doc_id = d1
+         |            JOIN sh sb ON sb.doc_id = d2 AND sa.sh = sb.sh
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         | round(CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter), 6) AS jaccard
+         |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5
+         |ORDER BY d1, d2""".stripMargin
+    },
+    // SimHash fingerprints bit-for-bit: portable token hash, per-bit
+    // signed tf sums, sign → bit
+    "x26c_simhash" -> {
+      val sumCols = (0 until 32).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS s_$b")
+        .mkString(",\n    ")
+      val bitTerms = (0 until 32).map(b =>
+        s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" +\n ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id,
+         |          unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |hh AS (SELECT doc_id, tf, ${hex32Sql("tok")} AS h FROM tf),
+         |s AS (SELECT doc_id,
+         |    $sumCols
+         |  FROM hh GROUP BY doc_id)
+         |SELECT doc_id,
+         | $bitTerms AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
 }
