@@ -71,6 +71,85 @@ object TrainingData {
       .select(col("d1"), col("d2"), col("inter"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Sparse TF-IDF cosine near-dup pairs → (d1, d2, cos_sim), d1 < d2 —
+    * the INVERTED-INDEX document-similarity path: docs are sparse
+    * tf·idf vectors over their tokens, and pair dots come from an
+    * equi-join on the token (posting lists), never an all-pairs scan.
+    * Two scale levers built in: tokens with document frequency above
+    * `maxDfFraction`·N are dropped from the vectors (their idf ≈ 0 and
+    * their posting lists are the quadratic hot spots — the standard
+    * stopword cut), and the remaining join is a plain shuffle equi-join.
+    *
+    * Determinism design (the reason this is oracle-checkable while most
+    * float similarity is not): idf is QUANTIZED to integer milli-units
+    * once per token (`round(ln(N/df)·1000)` — a single libm call + round,
+    * the x28d-established portable pair), so every cross-row sum — pair
+    * dots and per-doc norms — is exact integer arithmetic, order- and
+    * partitioning-invariant; the only remaining float ops are two
+    * correctly-rounded sqrts and one division per emitted pair. Weights
+    * are w = tf·idf_milli ≤ ~3e8 even at 10^12 docs, so Σw² stays well
+    * inside a BIGINT for any real document. */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxDfFraction: Double = 0.5): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfRel, "tok").crossJoin(broadcast(n))
+      .filter(col("df") <= col("n_docs") * lit(maxDfFraction))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * round(log(col("n_docs").cast("double") / col("df")) * 1000)
+          .cast("long")).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("norm2"))
+    w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dotq"))
+      .join(norms.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(norms.as("n2"), col("d2") === col("n2.doc_id"))
+      .withColumn("cs", col("dotq").cast("double") /
+        (sqrt(col("n1.norm2").cast("double")) * sqrt(col("n2.norm2").cast("double"))))
+      .filter(col("cs") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cs"), 6).as("cos_sim"))
+  }
+
+  /** Per-document unigram language-model score →
+    * (doc_id, n_tokens, avg_nll):
+    * the mean negative log-probability of the document's tokens under the
+    * corpus's own unigram distribution — the cheap perplexity-style
+    * quality signal (gibberish and boilerplate sit at the two extremes).
+    * Same integer-quantization determinism design as
+    * [[tfidfCosinePairs]]: per-token surprisal is quantized to micro-nats
+    * (`round(ln(total/count)·1e6)`, one libm call per DISTINCT token), the
+    * per-doc sum is exact integer arithmetic, and one division at the end
+    * turns it back into nats. Documents with zero tokens are absent from
+    * the output (they have no distribution to score). */
+  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val q = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("total").cast("double") / col("c")) * 1e6)
+          .cast("long").as("nllq"))
+    tf.join(q, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("nllq")).as("s"))
+      .select(col("doc_id"),
+        col("n_tokens"),
+        round(col("s").cast("double") /
+          (col("n_tokens").cast("double") * 1e6), 6).as("avg_nll"))
+  }
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's
@@ -498,6 +577,23 @@ object TrainingData {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(tableName)
+
+  /** Hive-style partitioned parquet layout — the PRUNING counterpart of
+    * [[saveBucketed]]'s co-location: directories are keyed by the
+    * partition columns, so an equality/IN filter on them never opens the
+    * other partitions' files at all (partition pruning happens at
+    * planning, before any I/O). Use for the low-cardinality columns every
+    * query filters on (language, source, date); high-cardinality keys
+    * belong in buckets, not directories (a 100 TB corpus with a
+    * million-value partition key is a small-file catastrophe). Asserted
+    * against the physical scan in PlanSpec. */
+  def savePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "savePartitioned needs partition columns")
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
 
   /** Non-distinct word n-grams (cf. DedupOps.shingles, which dedups) —
     * repetition needs the multiplicity. Short docs → explicit empty array

@@ -316,6 +316,16 @@ object DedupOps {
       t(s, d, "documents"), "doc_id", "n_chars", persistLabels(s, d))
       .orderBy(col("cluster_id"))
 
+  /** X26 — sparse TF-IDF cosine near-dup pairs via an inverted-index
+    * equi-join (posting lists), the third near-dup representation next to
+    * shingle-Jaccard and embedding cosine. Fixture binding of
+    * [[graft.api.TrainingData.tfidfCosinePairs]] (see there for the
+    * integer-quantized determinism design and the df stopword cut). */
+  def x26hTfidfNearDup(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.tfidfCosinePairs(
+      t(s, d, "documents"), "doc_id", "text", 0.8, 0.5)
+      .orderBy(col("d1"), col("d2"))
+
   /** X33 — cross-corpus contamination scan (decontamination): probes =
     * docs with doc_id < 50 standing in for an eval set, corpus = the
     * rest; emit corpus docs containing ≥ half of a probe's shingles.
@@ -373,6 +383,7 @@ object DedupOps {
     "x26c_simhash" -> (simhash _),
     "x26e_dedup_clusters" -> (x26eDedupClusters _),
     "x26g_survivors" -> (x26gSurvivors _),
+    "x26h_tfidf_neardup" -> (x26hTfidfNearDup _),
     "x33_contamination" -> (x33Contamination _),
     "x33b_contamination_bloom" -> (x33bContaminationBloom _))
 
@@ -517,6 +528,35 @@ object DedupOps {
          |WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin
     },
+    // Inverted-index tf-idf cosine, replayed exactly: milli-quantized idf
+    // makes every sum integer; sqrt/division are correctly-rounded IEEE
+    "x26h_tfidf_neardup" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, tok,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) AS w
+        |  FROM tf JOIN dfr USING (tok) CROSS JOIN n
+        |  WHERE df <= n_docs * 0.5),
+        |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+        |          FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.w * b.w) AS BIGINT) AS dotq
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        | round(CAST(dotq AS DOUBLE) /
+        |   (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))), 6) AS cos_sim
+        |FROM dots JOIN norms n1 ON d1 = n1.doc_id JOIN norms n2 ON d2 = n2.doc_id
+        |WHERE CAST(dotq AS DOUBLE) /
+        |   (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     // SimHash fingerprints bit-for-bit: portable token hash, per-bit
     // signed tf sums, sign → bit
     "x26c_simhash" -> {

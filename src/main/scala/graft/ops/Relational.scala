@@ -193,8 +193,46 @@ object Relational {
       .orderBy(col("l_returnflag"), col("metric"))
   }
 
+  /** MERGE/upsert core — the incremental-maintenance operator (SCD-style):
+    * apply a changes relation to a base relation by key →
+    * base ⟗ changes (one shuffle join; zero-shuffle sort-merge when both
+    * sides are bucketed on the key via TrainingData.saveBucketed), with a
+    * `merge_action` provenance column: a keyed change overwrites the base
+    * row ('updated'), an unmatched change appends ('inserted'), an
+    * untouched base row passes through ('kept'). Both inputs must have
+    * identical schemas; deletes are a filter, not a merge concern. */
+  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val cols = base.columns
+    require(changes.columns.sameElements(cols),
+      s"upsert needs identical schemas: ${cols.toSeq} vs ${changes.columns.toSeq}")
+    val b = base.as("b")
+    val c = changes.as("c")
+    b.join(c, col(s"b.$key") === col(s"c.$key"), "full_outer")
+      .select(cols.map(n =>
+        coalesce(col(s"c.$n"), col(s"b.$n")).as(n)) :+
+        when(col(s"c.$key").isNotNull && col(s"b.$key").isNotNull, "updated")
+          .when(col(s"c.$key").isNotNull, "inserted")
+          .otherwise("kept").as("merge_action"): _*)
+  }
+
+  /** X34 — MERGE/upsert fixture: a deterministic change set against
+    * `orders` (every 10th key repriced, every 7th≡3 key re-keyed negative
+    * as an insert) applied via [[upsert]]. */
+  def q26MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+    val inserts = base.filter(col("o_orderkey") % 7 === 3)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+    upsert(base, updates.unionByName(inserts), "o_orderkey")
+      .orderBy(col("o_orderkey"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
+    "q26_merge_upsert" -> (q26MergeUpsert _),
     "q02_filter_project" -> (q02 _),
     "q03_join_revenue" -> (q03 _),
     "q04_outer_join" -> (q04 _),
@@ -209,6 +247,26 @@ object Relational {
     "q25_salted_agg" -> (q25SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q26_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 3)
+        |SELECT
+        | coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        | coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        | coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        | coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+        | CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'updated'
+        |      WHEN c.o_orderkey IS NOT NULL THEN 'inserted'
+        |      ELSE 'kept' END AS merge_action
+        |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,

@@ -144,8 +144,18 @@ object TextOps {
     graft.api.TrainingData.repetitionStats(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X28 — unigram language-model scoring: mean token surprisal under the
+    * corpus's own unigram distribution (the cheap perplexity-style
+    * quality filter). Fixture binding of
+    * [[graft.api.TrainingData.unigramLmScores]] (see there for the
+    * micro-nat integer quantization that makes the sums portable). */
+  def x28jUnigramLm(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.unigramLmScores(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
+    "x28j_unigram_lm" -> (x28jUnigramLm _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28c_lang_id" -> (x28cLangId _),
@@ -231,6 +241,25 @@ object TextOps {
          |  FROM toks WHERE len(tk) >= 2)
          |SELECT bigram, count(*) AS n FROM bg
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin,
+    // Micro-nat-quantized surprisal: the per-doc sum is integer-exact on
+    // both engines; ln appears once per distinct token, rounded (x28d rule)
+    "x28j_unigram_lm" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |c AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+         |q AS (
+         |  SELECT tok,
+         |    CAST(round(ln(CAST(total AS DOUBLE) / c) * 1000000) AS BIGINT) AS nllq
+         |  FROM c CROSS JOIN tot)
+         |SELECT doc_id,
+         | CAST(sum(tf) AS BIGINT) AS n_tokens,
+         | round(CAST(CAST(sum(tf * nllq) AS BIGINT) AS DOUBLE) /
+         |   (CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) * 1000000), 6) AS avg_nll
+         |FROM tf JOIN q USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sum(BIGINT) in DuckDB promotes to HUGEINT — every aggregate is cast
     // back to BIGINT before use (see q14b history)
     "x28i_repetition" ->

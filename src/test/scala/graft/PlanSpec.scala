@@ -92,6 +92,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("part_docs").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    graft.api.TrainingData.savePartitioned(
+      docs.select($"doc_id", $"n_chars", $"lang"), out, Seq("lang"))
+    val langs = docs.select($"lang").distinct().count()
+    assert(langs > 1) // pruning must have something to prune
+    val one = spark.read.parquet(out).filter($"lang" === "en")
+    val p = one.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the filter lands in PartitionFilters (directory-level skip), and the
+    // scan opens only the one partition's directory
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("lang")), p)
+    val scanned = one.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1), s"partitions: $scanned")
+    assert(one.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("x26h tf-idf near-dup pairs come from the token equi-join — no cartesian") {
+    val p = plan("x26h_tfidf_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the 1-row scalar n_docs attaches
+    // (Cross BuildRight); the PAIR join itself must be a hash/merge
+    // equi-join — an Inner BNLJ would mean the posting-list join degraded
+    // to all-pairs
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

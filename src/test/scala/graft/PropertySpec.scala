@@ -193,6 +193,25 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("upsert matches a Map model: changes win, inserts append, rest kept") {
+    import spark.implicits._
+    val gen = for {
+      base <- Gen.listOfN(20, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 99)))
+      chg <- Gen.listOfN(8, Gen.zip(Gen.choose(5L, 20L), Gen.choose(100, 199)))
+    } yield (base.distinctBy(_._1), chg.distinctBy(_._1))
+    check(forAll(gen) { case (base, chg) =>
+      val out = graft.ops.Relational
+        .upsert(base.toDF("k", "v"), chg.toDF("k", "v"), "k")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      val baseM = base.toMap
+      val model = (baseM ++ chg).map { case (k, v) =>
+        k -> (v, if (!chg.toMap.contains(k)) "kept"
+                 else if (baseM.contains(k)) "updated" else "inserted")
+      }
+      out == model
+    }, n = 10)
+  }
+
   test("dedup is idempotent and keeps one row per key") {
     import spark.implicits._
     check(forAll(Gen.listOfN(50, Gen.choose(0, 10))) { xs =>

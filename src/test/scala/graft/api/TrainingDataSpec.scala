@@ -54,6 +54,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(loose.subsetOf(truth))
   }
 
+  test("tfidfCosinePairs: identical docs at cos 1, disjoint docs absent, df cut applied") {
+    // shared tokens have df 3/5 = 0.6, so the cut is set at 0.7 here (the
+    // default 0.5 would empty docs 10/11's vectors entirely);
+    // docs 10/11 are identical → cos exactly 1 on the surviving terms
+    val pairs = TrainingData.tfidfCosinePairs(corpus, "id", "body", 0.05, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((10L, 11L)) == 1.0)
+    assert(pairs.contains((10L, 12L)) && pairs((10L, 12L)) < 1.0)
+    assert(!pairs.keys.exists(p => p._1 == 13L || p._2 == 13L)) // no shared terms
+    // threshold filters: at 0.99 only the identical pair survives
+    val strict = TrainingData.tfidfCosinePairs(corpus, "id", "body", 0.99, 0.7)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(strict == Set((10L, 11L)))
+    // a stopword-only doc pair vanishes when the cut removes all its terms
+    val stopOnly = Seq((1L, "the the"), (2L, "the the"), (3L, "the x"),
+      (4L, "y z")).toDF("id", "body")
+    assert(TrainingData.tfidfCosinePairs(stopOnly, "id", "body", 0.01, 0.5)
+      .filter($"d1" === 1L && $"d2" === 2L).count() == 0)
+  }
+
+  test("unigramLmScores: rare-token docs score higher nll; model-checked") {
+    val docs = Seq(
+      (1L, "a a a a"), // common tokens only
+      (2L, "a rare"), // one rare token
+      (3L, "")).toDF("id", "body")
+    val out = TrainingData.unigramLmScores(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L)) // no tokens, no score
+    assert(out(1L)._1 == 4 && out(2L)._1 == 2)
+    // hand model: total=6, c(a)=5, c(rare)=1; nllq quantized to micro-nats
+    def nllq(c: Long) = math.round(math.log(6.0 / c) * 1e6)
+    val want1 = BigDecimal(4 * nllq(5) / (4 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want2 = BigDecimal((nllq(5) + nllq(1)) / (2 * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == want1 && out(2L)._2 == want2)
+    assert(out(2L)._2 > out(1L)._2) // surprise orders the docs
+  }
+
   test("annTopKLsh returns exact-verified similarities for its candidates") {
     val vecs = (1L to 30L).map(i =>
       (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11 - 5).toFloat))).toDF("id", "emb")
