@@ -686,6 +686,113 @@ object TrainingData {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** C4-style span-level dedup ACROSS the corpus →
+    * (id, clean_text, n_spans, n_kept): each document is cut into
+    * consecutive `spanTokens`-token spans, every span occurrence after the
+    * corpus-wide first (ordered by (id, position)) is removed, and the
+    * survivors are reassembled in document order — the "remove duplicated
+    * boilerplate lines, keep one copy" cleaning pass of C4/RefinedWeb-type
+    * pipelines (those dedup three-sentence spans; the token-span form is
+    * the same algebra without a sentence splitter). Documents whose every
+    * span is a duplicate survive with empty text; empty documents pass
+    * through with 0 spans.
+    *
+    * Scale shape: one projection cuts spans (no shuffle), one
+    * hash-aggregation finds each span's first occurrence, one equi-join on
+    * the span marks keep/remove, one aggregation reassembles. The span
+    * string itself is the shuffle key — wide but exact; at 100 TB the
+    * aggregation/join key could be xxhash64(span) (8 bytes), traded
+    * against a ~n²/2^64 false-merge rate, but then the result is no
+    * longer engine-reproducible, so the exact form is the default. The
+    * per-doc reassembly buffer is bounded by the document length (same
+    * bound the text itself already imposes on any row). */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 3): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val k = spanTokens
+    val toks = DedupOps.tokens(col(textCol))
+    // empty docs → null span array → explode() emits no rows (they rejoin
+    // at the end); non-empty docs → ceil(n/k) spans, the last one short
+    val spans = docs.select(col(idCol).as("id"),
+        explode(when(size(toks) > 0,
+          transform(sequence(lit(0L), floor((size(toks) - 1) / lit(k.toDouble))),
+            i => struct(i.as("span_idx"),
+              array_join(slice(toks, (i * k + 1).cast("int"), lit(k)), " ")
+                .as("span"))))).as("sp"))
+      .select(col("id"), col("sp.span_idx").as("span_idx"), col("sp.span").as("span"))
+    // corpus-wide first occurrence per span: partial-aggregating argmin on
+    // (id, position) — no window, no per-span sort
+    val first = spans.groupBy(col("span"))
+      .agg(min(struct(col("id").as("id"), col("span_idx").as("span_idx"))).as("keep"))
+    val marked = spans.join(first, Seq("span"))
+      .select(col("id"), col("span_idx"), col("span"),
+        (col("id") === col("keep.id") &&
+          col("span_idx") === col("keep.span_idx")).as("kept"))
+    val perDoc = marked.groupBy(col("id")).agg(
+      count(lit(1)).as("n_spans"),
+      count(when(col("kept"), true)).as("n_kept"),
+      // collect_list skips the nulls (removed spans); array_sort on the
+      // struct orders by span_idx, restoring document order
+      array_join(transform(
+        array_sort(collect_list(when(col("kept"),
+          struct(col("span_idx"), col("span"))))),
+        s => s.getField("span")), " ").as("clean_text"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Keep at most `n` rows per `keyCol` value, by ascending `orderCol` —
+    * per-domain / per-source caps, the standard anti-monoculture lever of
+    * web-corpus curation (no single site may dominate the mix).
+    * Deterministic: the kept set is the `orderCol`-least n rows, not a
+    * partitioning-dependent arbitrary n. One shuffle on the key; the
+    * per-key sort is bounded by that key's row count, so a pathologically
+    * hot key (one domain = billions of pages) is the skew to watch — cap
+    * such keys in two passes (hash-sample down to ~n·10 with
+    * [[hashSample]], then cap exactly) if one key's rows exceed an
+    * executor's sort spill comfort. */
+  def capPerKey(rows: DataFrame, keyCol: String, orderCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"cap must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    rows.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Whitespace/case normalization → (id, norm_text): runs of whitespace
+    * collapse to one space, leading/trailing whitespace is trimmed, text
+    * is lowercased — the canonicalization applied before hashing/dedup so
+    * that formatting-only variants collide. Pure row-local projection:
+    * no shuffle, composes with any downstream op at the scan. */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      lower(trim(regexp_replace(col(textCol), "\\s+", " "))).as("norm_text"))
+
+  /** PII redaction → (id, redacted_text, n_redactions): email-,
+    * URL-, and long-digit-run-shaped substrings are replaced with
+    * `<EMAIL>`/`<URL>`/`<NUM>` placeholder tokens (the destructive
+    * counterpart of the x28g scan, which only counts). Patterns live in
+    * the Java∩RE2 dialect intersection (same as the scan) so the
+    * behavior is engine-reproducible. Pure row-local projection. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    val url = "https?://[^ ]+"
+    val digits = "[0-9][0-9][0-9][0-9]+"
+    val nRed = regexp_count(col(textCol), lit(email)) +
+      regexp_count(col(textCol), lit(url)) +
+      regexp_count(col(textCol), lit(digits))
+    // URL first: an email inside a URL's query string is the URL's problem;
+    // digit runs last so they can't eat an address or URL fragment
+    docs.select(col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        url, "<URL>"), email, "<EMAIL>"), digits, "<NUM>").as("redacted_text"),
+      nRed.cast("long").as("n_redactions"))
+  }
+
   /** Within-document repetition metrics (Gopher-rule-style quality
     * signals) → (id, n_2grams, top_2gram_frac, dup_3gram_frac):
     *  - `top_2gram_frac`: fraction of bigram instances taken by the single

@@ -326,6 +326,15 @@ object DedupOps {
       t(s, d, "documents"), "doc_id", "text", 0.8, 0.5)
       .orderBy(col("d1"), col("d2"))
 
+  /** X35 — C4-style span-level dedup across the corpus: 3-token spans,
+    * every occurrence after the corpus-wide first removed, documents
+    * reassembled. Fixture binding of
+    * [[graft.api.TrainingData.spanDedup]] (see there for the scale shape:
+    * cut → first-occurrence argmin → mark join → reassemble). */
+  def x35SpanDedup(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.spanDedup(t(s, d, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+
   /** X33 — cross-corpus contamination scan (decontamination): probes =
     * docs with doc_id < 50 standing in for an eval set, corpus = the
     * rest; emit corpus docs containing ≥ half of a probe's shingles.
@@ -384,6 +393,7 @@ object DedupOps {
     "x26e_dedup_clusters" -> (x26eDedupClusters _),
     "x26g_survivors" -> (x26gSurvivors _),
     "x26h_tfidf_neardup" -> (x26hTfidfNearDup _),
+    "x35_span_dedup" -> (x35SpanDedup _),
     "x33_contamination" -> (x33Contamination _),
     "x33b_contamination_bloom" -> (x33bContaminationBloom _))
 
@@ -485,6 +495,39 @@ object DedupOps {
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
     "x33b_contamination_bloom" -> x33OracleSql,
+    // Span dedup replayed exactly: same 3-token cut (last span short),
+    // first-occurrence-by-(id, position) keeper via a window, ordered
+    // reassembly via string_agg(... ORDER BY span_idx)
+    "x35_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(CAST(floor((len(tk) - 1) / 3.0) AS BIGINT) + 1)) AS span_idx
+        |  FROM tk WHERE len(tk) > 0),
+        |spans AS (
+        |  SELECT doc_id, span_idx,
+        |    array_to_string(tk[span_idx * 3 + 1 : span_idx * 3 + 3], ' ') AS span
+        |  FROM idx),
+        |marked AS (
+        |  SELECT doc_id, span_idx, span,
+        |    row_number() OVER (PARTITION BY span
+        |      ORDER BY doc_id, span_idx) = 1 AS kept
+        |  FROM spans),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) AS n_spans,
+        |    count(*) FILTER (WHERE kept) AS n_kept,
+        |    string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE kept) AS clean_text
+        |  FROM marked GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(clean_text, '') AS clean_text,
+        | CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        | CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Full MinHash+LSH replayed in SQL on the portable base hash:
     // signatures → 4×4 banding → candidate equi-join → exact-Jaccard
     // verification — the algorithm is oracle-checked, not just its result

@@ -67,8 +67,19 @@ object SamplingOps {
         col("start_off"), col("bin"))
       .orderBy(col("doc_id"))
 
+  /** X31 — per-source document cap: at most 20 docs per `source`, kept by
+    * ascending `doc_id` — the anti-monoculture curation lever. Fixture
+    * binding of [[graft.api.TrainingData.capPerKey]] (see there for the
+    * hot-key caveat and the two-pass mitigation). */
+  def x31eCapPerKey(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.capPerKey(
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", 20)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
+    "x31e_cap_per_key" -> (x31eCapPerKey _),
     "x31b_sample" -> (x31bSample _),
     "x31c_stratified" -> (x31cStratified _),
     "x31d_quality_cut" -> (x31dQualityCut _),
@@ -85,6 +96,12 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "x31e_cap_per_key" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
     "x31_split" ->
       s"""SELECT doc_id,
          | CAST(${bucketSql("doc_id")} AS INTEGER) AS bucket,

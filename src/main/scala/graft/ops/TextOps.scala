@@ -153,8 +153,42 @@ object TextOps {
     graft.api.TrainingData.unigramLmScores(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X28 — whitespace/case normalization, driven on deterministically
+    * DIRTIED input (the fixture text is already clean, so the query first
+    * uppercases it, triples interior spaces, and pads the ends — then the
+    * op must restore the canonical form). Fixture binding of
+    * [[graft.api.TrainingData.normalizeText]]. */
+  def x28kNormalize(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(lit("  "),
+      regexp_replace(upper(col("text")), " ", "   "), lit("  "))
+    graft.api.TrainingData.normalizeText(
+      t(s, d, "documents").withColumn("dirty", dirty), "doc_id", "dirty")
+      .select(col("doc_id"), col("norm_text"),
+        length(col("norm_text")).as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** X28 — PII redaction on deterministically INJECTED PII (the fixture
+    * text contains none): each doc gains an email, a URL, and a padded
+    * digit run keyed by its id; the op must replace all three with
+    * placeholder tokens. `n_redactions` counts raw pattern hits on the
+    * dirty text (a digit run inside the email/URL counts — the patterns
+    * are independent scans). Fixture binding of
+    * [[graft.api.TrainingData.redactPii]]. */
+  def x28lRedact(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val dirty = concat(col("text"), lit(" contact u"), id,
+      lit("@example.com or https://ex.org/p/"), id, lit(" ref "),
+      lpad(id, 6, "0"))
+    graft.api.TrainingData.redactPii(
+      t(s, d, "documents").withColumn("dirty", dirty), "doc_id", "dirty")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
+    "x28k_normalize" -> (x28kNormalize _),
+    "x28l_redact" -> (x28lRedact _),
     "x28j_unigram_lm" -> (x28jUnigramLm _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
@@ -169,6 +203,34 @@ object TextOps {
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    "x28k_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    '  ' || regexp_replace(upper(text), ' ', '   ', 'g') || '  ' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        | lower(trim(regexp_replace(dirty, '\s+', ' ', 'g'))) AS norm_text,
+        | CAST(length(lower(trim(regexp_replace(dirty, '\s+', ' ', 'g')))) AS INTEGER)
+        |   AS n_chars_norm
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "x28l_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or https://ex.org/p/' || CAST(doc_id AS VARCHAR) ||
+        |    ' ref ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(dirty,
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |   '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted_text,
+        | CAST(len(regexp_extract_all(dirty,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) +
+        |   len(regexp_extract_all(dirty, 'https?://[^ ]+')) +
+        |   len(regexp_extract_all(dirty, '[0-9][0-9][0-9][0-9]+')) AS BIGINT)
+        |   AS n_redactions
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "x28_token_stats" ->
       s"""SELECT doc_id,
          | CAST(len($toksSql) AS INTEGER) AS n_tokens,

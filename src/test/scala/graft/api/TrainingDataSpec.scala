@@ -559,4 +559,62 @@ class TrainingDataSpec extends SparkSpec {
     assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
       ("cat sat", 3L), ("on the", 3L), ("sat on", 3L), ("the cat", 3L)))
   }
+
+  test("spanDedup removes every span occurrence after the corpus-wide first") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),        // "a b c" is a dup of doc 1's → removed
+      (3L, "d e f"),              // whole doc is a dup span → empty
+      (4L, "g h"),                // one short span, unique
+      (5L, "")).toDF("id", "body") // empty doc: 0 spans
+    val out = TrainingData.spanDedup(docs, "id", "body", 3)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, "a b c d e f", 2L, 2L),
+      (2L, "x y z", 2L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "g h", 1L, 1L),
+      (5L, "", 0L, 0L)))
+  }
+
+  test("spanDedup keeps the earliest occurrence also within one document") {
+    val docs = Seq((7L, "p q r p q r s t u")).toDF("id", "body")
+    val out = TrainingData.spanDedup(docs, "id", "body", 3).collect()
+    // spans: "p q r", "p q r", "s t u" → the second "p q r" is removed
+    assert(out.head.getString(1) == "p q r s t u")
+    assert(out.head.getLong(2) == 3L && out.head.getLong(3) == 2L)
+  }
+
+  test("capPerKey keeps the orderCol-least n rows per key") {
+    val rows = Seq(
+      ("s1", 3L), ("s1", 1L), ("s1", 2L), ("s1", 4L),
+      ("s2", 9L),
+      ("s3", 5L), ("s3", 6L)).toDF("src", "id")
+    val out = TrainingData.capPerKey(rows, "src", "id", 2)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("s1", 1L), ("s1", 2L), ("s2", 9L), ("s3", 5L), ("s3", 6L)))
+    assert(TrainingData.capPerKey(rows, "src", "id", 2).columns.toSeq ==
+      Seq("src", "id")) // the helper column does not leak
+  }
+
+  test("normalizeText collapses whitespace, trims, and lowercases") {
+    val docs = Seq((1L, "  The   CAT\t\n sat  "), (2L, "")).toDF("id", "body")
+    val out = TrainingData.normalizeText(docs, "id", "body")
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out === Array((1L, "the cat sat"), (2L, "")))
+  }
+
+  test("redactPii replaces emails, urls, and digit runs with placeholders") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@ex-ample.org today"),
+      (2L, "see https://ex.org/a?b=1 and card 12345678"),
+      (3L, "clean text no pii")).toDF("id", "body")
+    val out = TrainingData.redactPii(docs, "id", "body")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out === Array(
+      (1L, "mail me at <EMAIL> today", 1L),
+      (2L, "see <URL> and card <NUM>", 2L),
+      (3L, "clean text no pii", 0L)))
+  }
 }
