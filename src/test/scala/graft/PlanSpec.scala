@@ -126,6 +126,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("x31e per-key cap pushes the rank limit below the window (WindowGroupLimit)") {
+    val p = plan("x31e_cap_per_key")
+    // Spark's rank-limit pushdown: each map task pre-prunes its partition
+    // to the top-n per key BEFORE the shuffle, so a hot key ships at most
+    // n·tasks rows instead of its whole row set
+    assert(p.contains("WindowGroupLimit"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("x35 span dedup is equi-joins and aggregations only — no cartesian/BNLJ") {
+    val p = plan("x35_span_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q26 upsert is a single full-outer join on the key") {
+    val p = plan("q26_merge_upsert")
+    // tree lines end in "(id)"; the join node carries its type between
+    // name and id ("SortMergeJoin FullOuter (13)"), so match that form
+    val joins = p.linesIterator.filter(_.matches(""".*SortMergeJoin \w+ \(\d+\)$""")).toSeq
+    assert(joins.size == 1 && joins.head.contains("FullOuter"), p)
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
