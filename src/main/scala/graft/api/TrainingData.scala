@@ -595,6 +595,46 @@ object TrainingData {
       .parquet(path)
   }
 
+  /** Morton/Z-order value of two integer columns → one long: the low
+    * `bits` bits of each input interleaved (x on even positions, y on
+    * odd), so that sorting by the result clusters rows that are close in
+    * BOTH dimensions. Pure column algebra (shifts/masks — whole-stage
+    * codegen'd); inputs are masked to `bits` bits, so callers bucket or
+    * clamp wider domains first. The layout counterpart is
+    * [[saveZOrdered]]. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(lit(mask))
+    val ym = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered parquet layout — the MULTI-DIMENSIONAL data-skipping
+    * counterpart of [[savePartitioned]] (directory pruning on one
+    * low-cardinality key) and [[saveBucketed]] (join co-location): rows are
+    * range-partitioned and sorted by [[zValue]] over the two columns, so
+    * each output file (and each parquet row group inside it) covers a
+    * small rectangle of the (x, y) space and its min/max column statistics
+    * prune reads for range predicates on EITHER or both dimensions — the
+    * Delta/Iceberg OPTIMIZE ZORDER technique expressed as plain Spark.
+    * One range-exchange (sampled boundaries) + per-partition sort; no
+    * global sort. Files are z-range-disjoint (asserted in
+    * TrainingDataSpec). */
+  def saveZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 16, numFiles: Int = 0): Unit = {
+    val parts = if (numFiles > 0) numFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Non-distinct word n-grams (cf. DedupOps.shingles, which dedups) —
     * repetition needs the multiplicity. Short docs → explicit empty array
     * (`sequence(1, 0)` would step backwards). */

@@ -77,9 +77,20 @@ object SamplingOps {
       "source", "doc_id", 20)
       .orderBy(col("doc_id"))
 
+  /** X36 — Morton/Z-order values over (doc_id, n_chars): the clustering
+    * key behind [[graft.api.TrainingData.saveZOrdered]]'s
+    * multi-dimensional data-skipping layout, checked bit-for-bit (the
+    * oracle replays the interleave with shift/mask arithmetic). */
+  def x36Zorder(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.api.TrainingData.zValue(col("doc_id"), col("n_chars"), 16).as("z"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
+    "x36_zorder" -> (x36Zorder _),
     "x31b_sample" -> (x31bSample _),
     "x31c_stratified" -> (x31cStratified _),
     "x31d_quality_cut" -> (x31dQualityCut _),
@@ -95,7 +106,21 @@ object SamplingOps {
     s"((((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)}) % 100)"
   }
 
+  // bit-interleave replayed with shift/mask arithmetic (both engines'
+  // >>/<</& agree on BIGINT)
+  private def zSql(xc: String, yc: String, bits: Int): String = {
+    val mask = (1L << bits) - 1
+    (0 until bits).flatMap { i =>
+      Seq(s"(((($xc & $mask) >> $i) & 1) << ${2 * i})",
+        s"(((($yc & $mask) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " | ", ")")
+  }
+
   val oracles: Map[String, String] = Map(
+    "x36_zorder" ->
+      s"""SELECT doc_id,
+         | CAST(${zSql("doc_id", "n_chars", 16)} AS BIGINT) AS z
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x31e_cap_per_key" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -605,6 +605,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(out === Array((1L, "the cat sat"), (2L, "")))
   }
 
+  test("zValue interleaves bits: x on even positions, y on odd") {
+    val out = Seq((5L, 3L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("x", "y")
+      .select(TrainingData.zValue(col("x"), col("y"), 16).as("z"))
+      .as[Long].collect()
+    // x=0b101 → bits 0,4; y=0b011 → bits 1,3 ⇒ 1+16+2+8 = 27
+    assert(out(0) == 27L)
+    assert(out(1) == 0L)
+    // 16 one-bits spread to even positions = 0b0101...01 (32 bits)
+    assert(out(2) == java.lang.Long.parseLong("0101" * 8, 2))
+    assert(out(3) == java.lang.Long.parseLong("1010" * 8, 2))
+  }
+
+  test("saveZOrdered writes z-range-disjoint files (multi-dim clustering)") {
+    val out = java.nio.file.Files.createTempDirectory("zord").toString
+    val rows = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 37).as("x"), (col("id") % 53).as("y"))
+    TrainingData.saveZOrdered(rows, out, "x", "y", bits = 8, numFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    val ranges = back
+      .withColumn("z", TrainingData.zValue(col("x"), col("y"), 8))
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .orderBy(col("lo"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length > 1) // the clustering actually split the data
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file z-ranges overlap: $ranges")
+    }
+  }
+
   test("redactPii replaces emails, urls, and digit runs with placeholders") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org today"),
