@@ -626,6 +626,8 @@ object TrainingData {
     * TrainingDataSpec). */
   def saveZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
       bits: Int = 16, numFiles: Int = 0): Unit = {
+    require(!df.columns.contains("__z"),
+      "saveZOrdered uses a helper column named __z; rename yours first")
     val parts = if (numFiles > 0) numFiles
       else df.sparkSession.sparkContext.defaultParallelism
     df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
@@ -787,8 +789,12 @@ object TrainingData {
   /** Keep at most `n` rows per `keyCol` value, by ascending `orderCol` —
     * per-domain / per-source caps, the standard anti-monoculture lever of
     * web-corpus curation (no single site may dominate the mix).
-    * Deterministic: the kept set is the `orderCol`-least n rows, not a
-    * partitioning-dependent arbitrary n. One shuffle on the key; the
+    * Deterministic WHEN `orderCol` orders a key's rows uniquely (an id):
+    * the kept set is then the `orderCol`-least n rows, not a
+    * partitioning-dependent arbitrary n. With ties at the cap boundary,
+    * `row_number` breaks them by arrival order — pass an id column (or a
+    * composite you pre-concatenate) if reproducibility across runs
+    * matters. One shuffle on the key; the
     * per-key sort is bounded by that key's row count, so a pathologically
     * hot key (one domain = billions of pages) is the skew to watch — cap
     * such keys in two passes (hash-sample down to ~n·10 with
@@ -797,6 +803,8 @@ object TrainingData {
   def capPerKey(rows: DataFrame, keyCol: String, orderCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"cap must be >= 1, got $n")
+    require(!rows.columns.contains("__rn"),
+      "capPerKey uses a helper column named __rn; rename yours first")
     import org.apache.spark.sql.expressions.Window
     rows.withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
@@ -807,10 +815,14 @@ object TrainingData {
     * collapse to one space, leading/trailing whitespace is trimmed, text
     * is lowercased — the canonicalization applied before hashing/dedup so
     * that formatting-only variants collide. Pure row-local projection:
-    * no shuffle, composes with any downstream op at the scan. */
+    * no shuffle, composes with any downstream op at the scan.
+    * The whitespace class is spelled out rather than `\s` because Java's
+    * `\s` includes vertical tab while RE2's does not — the explicit class
+    * is the Java∩RE2 intersection the oracle replays exactly. */
   def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      lower(trim(regexp_replace(col(textCol), "\\s+", " "))).as("norm_text"))
+      lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", " ")))
+        .as("norm_text"))
 
   /** PII redaction → (id, redacted_text, n_redactions): email-,
     * URL-, and long-digit-run-shaped substrings are replaced with

@@ -209,8 +209,8 @@ object TextOps {
         |    '  ' || regexp_replace(upper(text), ' ', '   ', 'g') || '  ' AS dirty
         |  FROM documents)
         |SELECT doc_id,
-        | lower(trim(regexp_replace(dirty, '\s+', ' ', 'g'))) AS norm_text,
-        | CAST(length(lower(trim(regexp_replace(dirty, '\s+', ' ', 'g')))) AS INTEGER)
+        | lower(trim(regexp_replace(dirty, '[ \t\n\r\f]+', ' ', 'g'))) AS norm_text,
+        | CAST(length(lower(trim(regexp_replace(dirty, '[ \t\n\r\f]+', ' ', 'g')))) AS INTEGER)
         |   AS n_chars_norm
         |FROM dirty ORDER BY doc_id""".stripMargin,
     "x28l_redact" ->
