@@ -595,6 +595,42 @@ object TrainingData {
       .parquet(path)
   }
 
+  /** Corpus-level heavy hitters via the `approx_top_k` frequency sketch
+    * (DataSketches frequent-items) → (tok, est_n), re-ranked
+    * deterministically (count DESC, token ASC). The BOUNDED-MEMORY form of
+    * [[topBigrams]]-style exact counting: the sketch tracks at most
+    * `maxItems` candidates per partial aggregate regardless of vocabulary
+    * size, so the shuffle ships one small sketch per partition instead of
+    * the full (token, count) relation — the shape that survives a 100 TB
+    * corpus with a billion-term vocabulary. Estimates are EXACT while
+    * distinct items ≤ `maxItems` (asserted against exact counts in
+    * LlmOpsSpec); beyond that they carry the sketch's documented
+    * overcount bound, and which boundary-tied item enters the top k is
+    * sketch-internal — hence rows-only, no SQL oracle. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int,
+      maxItems: Int = 10000): DataFrame = {
+    require(k >= 1 && maxItems >= k, s"need 1 <= k <= maxItems, got $k/$maxItems")
+    docs.select(explode(DedupOps.tokens(col(textCol))).as("tok"))
+      .agg(expr(s"approx_top_k(tok, $k, $maxItems)").as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item").as("tok"), col("hh.count").as("est_n"))
+      .orderBy(col("est_n").desc, col("tok"))
+  }
+
+  /** Count-min sketch over a corpus's tokens — the mergeable
+    * point-frequency summary: ~`d·w` counters total (independent of corpus
+    * and vocabulary size), built distributed (one sketch per partition,
+    * merged associatively) and probed on the driver in O(d) per query
+    * token. `estimateCount` never undercounts and overcounts by at most
+    * `eps · totalCount` with probability `confidence` — the standard tool
+    * for "roughly how often does THIS token/n-gram occur in 100 TB"
+    * without materializing the exact count relation. */
+  def tokenCountSketch(docs: DataFrame, textCol: String, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42)
+      : org.apache.spark.util.sketch.CountMinSketch =
+    docs.select(explode(DedupOps.tokens(col(textCol))).as("tok"))
+      .stat.countMinSketch("tok", eps, confidence, seed)
+
   /** Morton/Z-order value of two integer columns → one long: the low
     * `bits` bits of each input interleaved (x on even positions, y on
     * odd), so that sorting by the result clusters rows that are close in

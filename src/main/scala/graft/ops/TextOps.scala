@@ -185,10 +185,20 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X28 — corpus heavy hitters via the bounded-memory `approx_top_k`
+    * sketch: the scale twin of the exact [[x28hTopBigrams]] counting.
+    * Rows-only by design (boundary ties are sketch-internal); LlmOpsSpec
+    * asserts sketch-vs-exact equality on this fixture, where the
+    * vocabulary fits the sketch. Fixture binding of
+    * [[graft.api.TrainingData.heavyHitters]]. */
+  def x28mHeavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.heavyHitters(t(s, d, "documents"), "text", 10)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
     "x28k_normalize" -> (x28kNormalize _),
     "x28l_redact" -> (x28lRedact _),
+    "x28m_heavy_hitters" -> (x28mHeavyHitters _),
     "x28j_unigram_lm" -> (x28jUnigramLm _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
