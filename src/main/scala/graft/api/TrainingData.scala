@@ -595,6 +595,49 @@ object TrainingData {
       .parquet(path)
   }
 
+  /** Context-window chunking → (id, chunk_idx, chunk_text, n_tokens): each
+    * document is cut into windows of `chunkTokens` tokens starting every
+    * `strideTokens` (stride < chunk ⇒ overlapping windows — the standard
+    * long-document treatment for a fixed model context; stride == chunk ⇒
+    * the disjoint spans of [[spanDedup]]'s cut). The final window may be
+    * short; windows start while any token remains, so every token lands in
+    * ≥ 1 chunk. Empty documents produce no chunks. Pure row-local
+    * projection — no shuffle; chunk count per doc is ⌈n/stride⌉, so output
+    * size scales by the chunk/stride ratio and nothing else. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"need 1 <= stride <= chunk, got $strideTokens/$chunkTokens")
+    val toks = DedupOps.tokens(col(textCol))
+    docs.select(col(idCol).as("id"),
+        explode(when(size(toks) > 0,
+          transform(
+            sequence(lit(0L), floor((size(toks) - 1) / lit(strideTokens.toDouble))),
+            i => struct(i.as("chunk_idx"),
+              array_join(slice(toks, (i * strideTokens + 1).cast("int"),
+                lit(chunkTokens)), " ").as("chunk_text"),
+              least(lit(chunkTokens.toLong),
+                size(toks) - i * strideTokens).as("n_tokens"))))).as("c"))
+      .select(col("id").as(idCol), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
+  }
+
+  /** Incremental-ingest exact dedup: rows of `increment` whose `textCol`
+    * content does NOT already occur in `corpus` — the batch form of
+    * admitting a new crawl against an existing corpus (the streaming twin
+    * is StreamingOps.incrementalDedup). One anti-join on the 32-byte
+    * content hash: the corpus side reduces to its distinct hash set (a
+    * hash aggregation), so no document text is shuffled, and the join key
+    * is fixed-width regardless of document size. Duplicates WITHIN the
+    * increment are kept (dedup the increment itself with [[exactDedup]]
+    * first if needed) — admission and self-dedup are separate concerns. */
+  def dedupAgainstCorpus(increment: DataFrame, corpus: DataFrame,
+      textCol: String): DataFrame = {
+    val h = corpus.select(sha2(col(textCol), 256).as("__h")).distinct()
+    increment.join(h, sha2(col(textCol), 256) === col("__h"), "left_anti")
+  }
+
   /** Corpus-level heavy hitters via the `approx_top_k` frequency sketch
     * (DataSketches frequent-items) → (tok, est_n), re-ranked
     * deterministically (count DESC, token ASC). The BOUNDED-MEMORY form of

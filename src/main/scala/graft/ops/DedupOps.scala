@@ -326,6 +326,22 @@ object DedupOps {
       t(s, d, "documents"), "doc_id", "text", 0.8, 0.5)
       .orderBy(col("d1"), col("d2"))
 
+  /** X25 — incremental-ingest exact dedup: a simulated re-crawl (every
+    * fifth corpus doc re-keyed as a new id) unioned with genuinely new
+    * docs, admitted against the existing corpus — the re-crawled content
+    * must be dropped, the new docs kept. Fixture binding of
+    * [[graft.api.TrainingData.dedupAgainstCorpus]]. */
+  def x25bDedupIncrement(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val recrawl = corpus.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val increment = docs.filter(col("doc_id") >= 250).unionByName(recrawl)
+    graft.api.TrainingData.dedupAgainstCorpus(increment, corpus, "text")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X35 — C4-style span-level dedup across the corpus: 3-token spans,
     * every occurrence after the corpus-wide first removed, documents
     * reassembled. Fixture binding of
@@ -387,6 +403,7 @@ object DedupOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_exact_dedup" -> (x25Exact _),
+    "x25b_dedup_increment" -> (x25bDedupIncrement _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
     "x26b_minhash_lsh" -> (minhashPairs _),
     "x26c_simhash" -> (simhash _),
@@ -453,6 +470,19 @@ object DedupOps {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
         | count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // the oracle admits on text equality where Spark anti-joins on
+    // sha256(text) — identical results short of a hash collision
+    "x25b_dedup_increment" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 250),
+        |increment AS (
+        |  SELECT * FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+        |  FROM corpus WHERE doc_id % 5 = 0)
+        |SELECT doc_id, n_chars FROM increment i
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c WHERE c.text = i.text)
+        |ORDER BY doc_id""".stripMargin,
     "x26_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk

@@ -87,9 +87,19 @@ object SamplingOps {
         graft.api.TrainingData.zValue(col("doc_id"), col("n_chars"), 16).as("z"))
       .orderBy(col("doc_id"))
 
+  /** X32 — context-window chunking: 20-token windows every 15 tokens
+    * (5-token overlap) — the long-document treatment for a fixed model
+    * context. Fixture binding of
+    * [[graft.api.TrainingData.chunkDocuments]]. */
+  def x32bChunk(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.chunkDocuments(
+      t(s, d, "documents"), "doc_id", "text", 20, 15)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
+    "x32b_chunk" -> (x32bChunk _),
     "x36_zorder" -> (x36Zorder _),
     "x31b_sample" -> (x31bSample _),
     "x31c_stratified" -> (x31cStratified _),
@@ -117,6 +127,21 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same cut replayed: windows start every 15 tokens while any token
+    // remains; the final window may be short
+    "x32b_chunk" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(CAST(floor((len(tk) - 1) / 15.0) AS BIGINT) + 1)) AS chunk_idx
+        |  FROM tk WHERE len(tk) > 0)
+        |SELECT doc_id, chunk_idx,
+        | array_to_string(tk[chunk_idx * 15 + 1 : chunk_idx * 15 + 20], ' ') AS chunk_text,
+        | CAST(least(20, len(tk) - chunk_idx * 15) AS BIGINT) AS n_tokens
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     "x36_zorder" ->
       s"""SELECT doc_id,
          | CAST(${zSql("doc_id", "n_chars", 16)} AS BIGINT) AS z

@@ -605,6 +605,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(out === Array((1L, "the cat sat"), (2L, "")))
   }
 
+  test("chunkDocuments cuts overlapping context windows, final window short") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("id", "body")
+    val out = TrainingData.chunkDocuments(docs, "id", "body", 4, 3)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 0L, "a b c d", 4L), // tokens 1-4
+      (1L, 1L, "d e f g", 4L), // tokens 4-7 (overlap of 1)
+      (1L, 2L, "g", 1L),       // final short window
+      (2L, 0L, "x", 1L)))      // empty doc 3 → no chunks
+  }
+
+  test("dedupAgainstCorpus drops increment rows whose content the corpus has") {
+    val corpus = Seq((1L, "seen before"), (2L, "also seen")).toDF("id", "body")
+    val increment = Seq(
+      (10L, "brand new"), (11L, "seen before"), (12L, "another new"),
+      (13L, "brand new")) // in-increment dup: both kept by design
+      .toDF("id", "body")
+    val out = TrainingData.dedupAgainstCorpus(increment, corpus, "body")
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L, 13L))
+  }
+
   test("zValue interleaves bits: x on even positions, y on odd") {
     val out = Seq((5L, 3L), (0L, 0L), (65535L, 0L), (0L, 65535L))
       .toDF("x", "y")
