@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32 concurrent local tasks share this one heap: 8g caused multi-second
-  // GC spikes on unlucky queries (±4s run-to-run on identical plans);
-  // 24g on the 128 GiB box keeps collections young-gen and bench numbers
-  // attributable
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 32 concurrent local tasks share this one heap. Measured A/B on this
+  // box (replay warm-run throughput / sf0.1 SQL bench total):
+  // 8g ≈ 118k/s / 35.8s, 12g ≈ 170-280k/s / 29.6s, 16g ≈ 122k/s,
+  // 24g ≈ 105-125k/s / 31.4s — 12g wins both workloads; the larger heaps
+  // spend up to ~45% CPU in kernel time (page-fault/THP pressure) on the
+  // allocation-heavy replay path. Override with SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
