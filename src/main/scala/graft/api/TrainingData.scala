@@ -609,8 +609,13 @@ object TrainingData {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(strideTokens >= 1 && strideTokens <= chunkTokens,
       s"need 1 <= stride <= chunk, got $strideTokens/$chunkTokens")
-    val toks = DedupOps.tokens(col(textCol))
-    docs.select(col(idCol).as("id"),
+    // tokens materialized once per row — see the spanDedup note: the
+    // transform body re-evaluates referenced subtrees per element, which
+    // would re-tokenize the document once per chunk
+    val toks = col("__toks")
+    docs
+      .select(col(idCol).as("id"), DedupOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
         explode(when(size(toks) > 0,
           transform(
             sequence(lit(0L), floor((size(toks) - 1) / lit(strideTokens.toDouble))),
@@ -634,8 +639,11 @@ object TrainingData {
     * first if needed) — admission and self-dedup are separate concerns. */
   def dedupAgainstCorpus(increment: DataFrame, corpus: DataFrame,
       textCol: String): DataFrame = {
-    val h = corpus.select(sha2(col(textCol), 256).as("__h")).distinct()
-    increment.join(h, sha2(col(textCol), 256) === col("__h"), "left_anti")
+    // unhex → a true 32-byte binary key (sha2 returns 64-char hex, which
+    // would double the shuffled key width); h("__h") keeps the reference
+    // unambiguous even if the increment has its own __h column
+    val h = corpus.select(unhex(sha2(col(textCol), 256)).as("__h")).distinct()
+    increment.join(h, unhex(sha2(col(textCol), 256)) === h("__h"), "left_anti")
   }
 
   /** Corpus-level heavy hitters via the `approx_top_k` frequency sketch
@@ -653,6 +661,10 @@ object TrainingData {
   def heavyHitters(docs: DataFrame, textCol: String, k: Int,
       maxItems: Int = 10000): DataFrame = {
     require(k >= 1 && maxItems >= k, s"need 1 <= k <= maxItems, got $k/$maxItems")
+    // Spark's ApproxTopK MAX_ITEMS_TRACKED_LIMIT — fail here with a clear
+    // message rather than inside the aggregate at execution time
+    require(maxItems <= 1000000,
+      s"maxItems exceeds Spark's approx_top_k limit of 1000000: $maxItems")
     docs.select(explode(DedupOps.tokens(col(textCol))).as("tok"))
       .agg(expr(s"approx_top_k(tok, $k, $maxItems)").as("top"))
       .select(explode(col("top")).as("hh"))
@@ -831,10 +843,17 @@ object TrainingData {
       spanTokens: Int = 3): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     val k = spanTokens
-    val toks = DedupOps.tokens(col(textCol))
+    // tokens materialized ONCE per row before the lambda: a higher-order
+    // function's body is evaluated per element and sits outside
+    // common-subexpression elimination, so referencing the split/filter
+    // subtree inside transform would re-tokenize the whole document for
+    // every span
+    val toks = col("__toks")
     // empty docs → null span array → explode() emits no rows (they rejoin
     // at the end); non-empty docs → ceil(n/k) spans, the last one short
-    val spans = docs.select(col(idCol).as("id"),
+    val spans = docs
+      .select(col(idCol).as("id"), DedupOps.tokens(col(textCol)).as("__toks"))
+      .select(col("id"),
         explode(when(size(toks) > 0,
           transform(sequence(lit(0L), floor((size(toks) - 1) / lit(k.toDouble))),
             i => struct(i.as("span_idx"),

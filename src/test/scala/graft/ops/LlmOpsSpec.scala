@@ -168,13 +168,14 @@ class LlmOpsSpec extends SparkSpec {
   test("count-min sketch never undercounts and respects its eps bound here") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, d, "documents")
-    val cms = graft.api.TrainingData.tokenCountSketch(docs, "text")
+    val eps = 1e-4 // passed explicitly so the asserted bound tracks the build
+    val cms = graft.api.TrainingData.tokenCountSketch(docs, "text", eps = eps)
     val exact = docs
       .select(explode(DedupOps.tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     assert(exact.nonEmpty)
-    val slack = (1e-4 * cms.totalCount()).ceil.toLong
+    val slack = (eps * cms.totalCount()).ceil.toLong
     exact.foreach { case (tok, n) =>
       val est = cms.estimateCount(tok)
       assert(est >= n, s"$tok undercounted: $est < $n")
