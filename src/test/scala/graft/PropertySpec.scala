@@ -344,4 +344,71 @@ class PropertySpec extends SparkSpec {
       out.toSet == model && out.length == byLabel.size
     }, n = 10)
   }
+
+  test("chunkDocuments matches a sliding-window Seq model on random docs") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = for {
+      docs <- Gen.listOfN(3, docGen)
+      chunk <- Gen.choose(1, 5)
+      stride <- Gen.choose(1, 5)
+    } yield (docs, chunk, math.min(stride, chunk))
+    check(forAll(gen) { case (docs, chunk, stride) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val got = graft.api.TrainingData.chunkDocuments(df, "id", "body", chunk, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val model = docs.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        val starts = toks.indices.filter(_ % stride == 0)
+        starts.map { s =>
+          val w = toks.slice(s, s + chunk)
+          (i.toLong, (s / stride).toLong, w.mkString(" "), w.size.toLong)
+        }
+      }.sortBy(r => (r._1, r._2))
+      got == model
+    }, n = 20)
+  }
+
+  test("spanDedup invariant: kept spans across the corpus = distinct spans") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b") // tiny alphabet forces span collisions
+    val docGen = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    check(forAll(Gen.listOfN(4, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val out = graft.api.TrainingData.spanDedup(df, "id", "body", 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val spansOf = docs.map(_.split(" ").filter(_.nonEmpty).toSeq.grouped(2)
+        .map(_.mkString(" ")).toSeq)
+      val distinctSpans = spansOf.flatten.distinct.size.toLong
+      out.map(_._4).sum == distinctSpans &&
+        out.map(_._3).sum == spansOf.map(_.size.toLong).sum &&
+        // each doc's clean text is a subsequence of its own span list
+        out.forall { case (id, clean, _, _) =>
+          val kept = clean.split(" ").filter(_.nonEmpty).toSeq.grouped(2)
+            .map(_.mkString(" ")).toSeq
+          val orig = spansOf(id.toInt)
+          kept.forall(orig.contains)
+        }
+    }, n = 20)
+  }
+
+  test("zValue is a bijection on the masked grid") {
+    import spark.implicits._
+    val b = 4 // 16x16 grid
+    val grid = spark.range(0, 1L << (2 * b))
+      .select((org.apache.spark.sql.functions.col("id") % (1 << b)).as("x"),
+        (org.apache.spark.sql.functions.col("id") / (1 << b)).as("y"))
+    val distinct = grid
+      .select(graft.api.TrainingData.zValue(
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y"), b).as("z"))
+      .agg(org.apache.spark.sql.functions.countDistinct("z").as("n"),
+        org.apache.spark.sql.functions.max("z").as("mx"),
+        org.apache.spark.sql.functions.min("z").as("mn"))
+      .collect().head
+    assert(distinct.getLong(0) == (1L << (2 * b))) // all distinct ⇒ bijection
+    assert(distinct.getLong(2) == 0L && distinct.getLong(1) == (1L << (2 * b)) - 1)
+  }
 }
