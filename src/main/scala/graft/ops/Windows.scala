@@ -164,7 +164,50 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered funnel analysis over an event stream → per user: how far
+    * through `steps` they progressed, with the time each step was first
+    * reached. Step i counts only strictly AFTER the user reached step
+    * i−1 (the ordered-funnel semantics: a click before any view does not
+    * advance the funnel).
+    *
+    * One shuffle on the user: a single hash aggregation collects each
+    * step's sorted event-time list per user (buffer bounded by the user's
+    * own event count — the same bound sessionization already accepts),
+    * then the fold t_i = min{t ∈ list_i : t > t_{i−1}} is row-local
+    * column algebra. Each t_i is bound as a real column before the next
+    * step's lambda references it, so the filter compares against an
+    * attribute, not a re-evaluated subtree (lambda bodies sit outside
+    * common-subexpression elimination). NULL propagates: once a step is
+    * unreached every later step is NULL, and `reached` counts the prefix. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    val lists = steps.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol)))).as(s"__l$i")
+    }
+    val agged = events.groupBy(col(userCol)).agg(lists.head, lists.tail: _*)
+    var cur = agged.withColumn("__t0", array_min(col("__l0")))
+    steps.indices.drop(1).foreach { i =>
+      cur = cur.withColumn(s"__t$i",
+        array_min(filter(col(s"__l$i"), e => e > col(s"__t${i - 1}"))))
+    }
+    val reached = steps.indices
+      .map(i => when(col(s"__t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cur.select(col(userCol) +: reached.as("reached") +:
+      steps.indices.map(i => tsMs(col(s"__t$i")).as(s"t${i + 1}_ms")): _*)
+  }
+
+  /** X37 — three-step ordered funnel (view → click → purchase) over the
+    * events stream. */
+  def q27Funnel(s: SparkSession, d: String): DataFrame =
+    funnel(t(s, d, "events"), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_funnel" -> (q27Funnel _),
     "q11_rollup" -> (q11Rollup _),
     "q11b_cube" -> (q11bCube _),
     "q11c_grouping_sets" -> (q11cGroupingSets _),
@@ -177,6 +220,26 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // ordered-funnel fold replayed step by step in chained CTEs; list_min
+    // of an emptied list is NULL, and x > NULL filters to empty, so NULL
+    // propagates down the steps exactly like the Spark fold
+    "q27_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS l0,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS l1,
+        |    list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS l2
+        |  FROM e GROUP BY 1),
+        |s0 AS (SELECT *, list_min(l0) AS t0 FROM a),
+        |s1 AS (SELECT *, list_min(list_filter(l1, x -> x > t0)) AS t1 FROM s0),
+        |s2 AS (SELECT *, list_min(list_filter(l2, x -> x > t1)) AS t2 FROM s1)
+        |SELECT user_id,
+        | CAST((t0 IS NOT NULL) AS INTEGER) + CAST((t1 IS NOT NULL) AS INTEGER) +
+        |   CAST((t2 IS NOT NULL) AS INTEGER) AS reached,
+        | epoch_ms(t0) AS t1_ms, epoch_ms(t1) AS t2_ms, epoch_ms(t2) AS t3_ms
+        |FROM s2 ORDER BY user_id""".stripMargin,
     "q11_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
         | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,

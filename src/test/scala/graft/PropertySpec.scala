@@ -394,6 +394,34 @@ class PropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("funnel matches an ordered-fold Seq model on random event streams") {
+    import spark.implicits._
+    val step = Gen.oneOf("A", "B", "C")
+    val evGen = for {
+      user <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 50L)
+      tpe <- step
+    } yield (user, ts, tpe)
+    check(forAll(Gen.listOfN(40, evGen)) { evs =>
+      // distinct (user, ts) keeps the strict-> semantics unambiguous
+      val es = evs.distinctBy(e => (e._1, e._2))
+      val df = es.map { case (u, t, tp) =>
+        (u, new java.sql.Timestamp(t * 1000), tp) }.toDF("u", "ts", "tp")
+      val got = graft.ops.Windows.funnel(df, "u", "ts", "tp", Seq("A", "B", "C"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1),
+          (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))).toMap
+      es.groupBy(_._1).forall { case (u, ues) =>
+        def times(tp: String) = ues.filter(_._3 == tp).map(_._2 * 1000).sorted
+        val t0 = times("A").headOption
+        val t1 = t0.flatMap(p => times("B").find(_ > p))
+        val t2 = t1.flatMap(p => times("C").find(_ > p))
+        val model = (Seq(t0, t1, t2).takeWhile(_.isDefined).size,
+          Seq(t0, t1, t2))
+        got(u) == model
+      }
+    }, n = 20)
+  }
+
   test("zValue is a bijection on the masked grid") {
     import spark.implicits._
     val b = 4 // 16x16 grid
