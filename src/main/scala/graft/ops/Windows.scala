@@ -199,6 +199,41 @@ object Windows {
       steps.indices.map(i => tsMs(col(s"__t$i")).as(s"t${i + 1}_ms")): _*)
   }
 
+  /** Cohort retention over an event stream → (cohort_ms, offset, n_users):
+    * users are cohorted by the period of their FIRST `cohortType` event
+    * (period = `periodMs` buckets of event time), and for each later
+    * period the count of distinct cohort members active (any event type)
+    * is reported as the offset from their cohort period. Users who never
+    * emit the cohort event are excluded; activity before the cohort event
+    * is excluded (offset ≥ 0).
+    *
+    * Scale shape: min-aggregation per user for the cohort, distinct
+    * (user, period) pairs for activity (both partial-aggregating), one
+    * equi-join on the user (AQE broadcasts the cohort side when small),
+    * and a final count-distinct per (cohort, offset) cell — every shuffle
+    * is on a high-cardinality key. */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, cohortType: String, periodMs: Long): DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    val period = (tsMs(col(tsCol)) / periodMs).cast("long") * periodMs
+    val cohort = events.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol))
+      .agg(min(period).as("__cohort_ms"))
+    val activity = events
+      .select(col(userCol), period.as("__act_ms")).distinct()
+    activity.join(cohort, Seq(userCol))
+      .filter(col("__act_ms") >= col("__cohort_ms"))
+      .groupBy(col("__cohort_ms").as("cohort_ms"),
+        ((col("__act_ms") - col("__cohort_ms")) / periodMs).cast("long").as("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** X38 — daily signup-cohort retention over the events stream. */
+  def q28Retention(s: SparkSession, d: String): DataFrame =
+    retention(t(s, d, "events"), "user_id", "ts", "event_type",
+      "signup", 86400000L)
+      .orderBy(col("cohort_ms"), col("offset"))
+
   /** X37 — three-step ordered funnel (view → click → purchase) over the
     * events stream. */
   def q27Funnel(s: SparkSession, d: String): DataFrame =
@@ -208,6 +243,7 @@ object Windows {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_funnel" -> (q27Funnel _),
+    "q28_retention" -> (q28Retention _),
     "q11_rollup" -> (q11Rollup _),
     "q11b_cube" -> (q11bCube _),
     "q11c_grouping_sets" -> (q11cGroupingSets _),
@@ -220,6 +256,24 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // day buckets via integer floor-division on epoch ms (both engines
+    // truncate the µs timestamp the same way — the q21 idiom)
+    "q28_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) * 86400000 AS p,
+        |    event_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(p) AS cohort_ms FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, p FROM e)
+        |SELECT cohort_ms,
+        | (p - cohort_ms) // 86400000 AS offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE p >= cohort_ms
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // ordered-funnel fold replayed step by step in chained CTEs; list_min
     // of an emptied list is NULL, and x > NULL filters to empty, so NULL
     // propagates down the steps exactly like the Spark fold

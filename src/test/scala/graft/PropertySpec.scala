@@ -422,6 +422,30 @@ class PropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("retention matches a cohort Seq model on random event streams") {
+    import spark.implicits._
+    val evGen = for {
+      user <- Gen.choose(0L, 5L)
+      day <- Gen.choose(0L, 6L)
+      tpe <- Gen.oneOf("signup", "click")
+    } yield (user, day, tpe)
+    val dayMs = 86400000L
+    check(forAll(Gen.listOfN(30, evGen)) { evs =>
+      val df = evs.map { case (u, day, tp) =>
+        (u, new java.sql.Timestamp(day * dayMs + 12345), tp) }
+        .toDF("u", "ts", "tp")
+      val got = graft.ops.Windows.retention(df, "u", "ts", "tp", "signup", dayMs)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val cohortOf = evs.filter(_._3 == "signup").groupBy(_._1)
+        .map { case (u, es) => u -> es.map(_._2).min }
+      val model = evs.flatMap { case (u, day, _) =>
+        cohortOf.get(u).filter(_ <= day).map(c => (c * dayMs, day - c, u))
+      }.distinct.groupBy(p => (p._1, p._2))
+        .map { case (k, v) => k -> v.map(_._3).distinct.size.toLong }
+      got == model
+    }, n = 20)
+  }
+
   test("zValue is a bijection on the masked grid") {
     import spark.implicits._
     val b = 4 // 16x16 grid
