@@ -193,6 +193,40 @@ object StreamingOps {
       }
   }
 
+  /** X37 streaming twin — ONLINE ordered funnel via mapGroupsWithState:
+    * per user, a fixed-width state of step-reach times (k longs — bounded
+    * regardless of event volume, unlike keeping event lists). Within a
+    * batch, events are folded in event-time order; across batches the
+    * semantics are the online ones: a step event arriving in a LATER
+    * batch with an EARLIER timestamp than the already-reached previous
+    * step cannot advance the funnel (the batch `Windows.funnel` is the
+    * event-time-exact form — same relationship as the other
+    * batch/streaming twins). Emits the user's current progress each
+    * batch. */
+  final case class FunnelProgress(user_id: Long, reached: Int, t_ms: Seq[Long])
+  def funnelWithState(spark: SparkSession, events: DataFrame,
+      steps: Seq[String]): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[List[Long], FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[List[Long]]) =>
+          // head = time the LATEST-reached step was hit (list reversed)
+          var times = state.getOption.getOrElse(Nil)
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, tpe) =>
+            if (times.length < steps.length && tpe == steps(times.length) &&
+              (times.isEmpty || ms > times.head)) times = ms :: times
+          }
+          state.update(times)
+          FunnelProgress(user, times.length, times.reverse)
+      }
+  }
+
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the
     * declarative ops above make mostly unnecessary). */

@@ -224,4 +224,27 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(fin.sameElements(batch))
   }
+
+  test("streaming online funnel converges to the batch event-time funnel") {
+    val steps = Seq("view", "click", "purchase")
+    val q = StreamingOps.funnelWithState(spark,
+        StreamingOps.eventsStream(spark, dir), steps)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_out").start()
+    q.processAllAvailable(); q.stop()
+    // the last emitted progress per user is the final state; the fixture
+    // stream arrives in event-time order, so online == event-time-exact
+    val fin = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(max(struct(col("reached"), col("t_ms"))).as("s"))
+      .select(col("user_id"), col("s.reached"), col("s.t_ms"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList))
+    val batch = graft.ops.Windows.funnel(batchEvents,
+        "user_id", "ts", "event_type", steps)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        (2 to 4).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList))
+    assert(fin.nonEmpty && fin.sameElements(batch))
+  }
 }
