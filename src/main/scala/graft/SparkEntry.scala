@@ -26,11 +26,23 @@ object SparkEntry {
     ReplayQueries.r01Schedule(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_._1.keys)
+    val dups = all.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    // Map ++ silently keeps the LAST definition — a key registered by two
+    // modules would shadow one implementation and fail only as a
+    // mysterious oracle mismatch, so reject it at the contract boundary
+    require(dups.isEmpty, s"query keys registered twice: ${dups.mkString(", ")}")
     modules.map(_._1).reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    modules.map(_._2).reduce(_ ++ _)
+  def oracleSql: Map[String, String] = {
+    val sql = modules.map(_._2).reduce(_ ++ _)
+    val orphans = sql.keySet -- queries.keySet
+    require(orphans.isEmpty,
+      s"oracles without a registered query: ${orphans.mkString(", ")}")
+    sql
+  }
 }
