@@ -25,20 +25,27 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ReplayQueries.r01Schedule(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val all = modules.flatMap(_._1.keys)
-    val dups = all.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
-    // Map ++ silently keeps the LAST definition — a key registered by two
-    // modules would shadow one implementation and fail only as a
-    // mysterious oracle mismatch, so reject it at the contract boundary
+  private def dupKeys(maps: Seq[Map[String, _]]): Iterable[String] =
+    maps.flatMap(_.keys).groupBy(identity)
+      .collect { case (k, v) if v.size > 1 => k }
+
+  /** One entry per implemented operator from SURVEY.md §2.
+    * Map ++ silently keeps the LAST definition — a key registered by two
+    * modules would shadow one implementation (or one oracle) and fail
+    * only as a mysterious oracle mismatch, so both merges reject
+    * duplicates at the contract boundary. lazy vals: the merge and the
+    * checks run once per JVM, not per access. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = dupKeys(modules.map(_._1))
     require(dups.isEmpty, s"query keys registered twice: ${dups.mkString(", ")}")
     modules.map(_._1).reduce(_ ++ _)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = {
+  lazy val oracleSql: Map[String, String] = {
+    val dups = dupKeys(modules.map(_._2))
+    require(dups.isEmpty, s"oracle keys registered twice: ${dups.mkString(", ")}")
     val sql = modules.map(_._2).reduce(_ ++ _)
     val orphans = sql.keySet -- queries.keySet
     require(orphans.isEmpty,

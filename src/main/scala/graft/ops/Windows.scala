@@ -215,7 +215,11 @@ object Windows {
   def retention(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, cohortType: String, periodMs: Long): DataFrame = {
     require(periodMs > 0, s"periodMs must be positive, got $periodMs")
-    val period = (tsMs(col(tsCol)) / periodMs).cast("long") * periodMs
+    // floor(), not cast("long"): cast truncates toward zero, which
+    // diverges from the oracle's // floor-division for pre-1970
+    // timestamps (the double division itself is exact here — operands are
+    // integers well under 2^53)
+    val period = floor(tsMs(col(tsCol)) / periodMs).cast("long") * periodMs
     val cohort = events.filter(col(typeCol) === cohortType)
       .groupBy(col(userCol))
       .agg(min(period).as("__cohort_ms"))
@@ -224,7 +228,8 @@ object Windows {
     activity.join(cohort, Seq(userCol))
       .filter(col("__act_ms") >= col("__cohort_ms"))
       .groupBy(col("__cohort_ms").as("cohort_ms"),
-        ((col("__act_ms") - col("__cohort_ms")) / periodMs).cast("long").as("offset"))
+        floor((col("__act_ms") - col("__cohort_ms")) / periodMs)
+          .cast("long").as("offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
 

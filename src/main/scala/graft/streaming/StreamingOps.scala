@@ -208,7 +208,13 @@ object StreamingOps {
       steps: Seq[String]): Dataset[FunnelProgress] = {
     import spark.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
-    events.select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+    require(steps.distinct.size == steps.size, s"duplicate steps: $steps")
+    // the fold runs at MICROsecond precision like the batch twin (which
+    // compares raw timestamp columns) — truncating to ms before the
+    // strict > would drop a step that follows its predecessor within the
+    // same millisecond; ms truncation happens only at emission, mirroring
+    // the batch output's tsMs
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"))
       .as[(Long, Long, String)]
       .groupByKey(_._1)
@@ -218,12 +224,13 @@ object StreamingOps {
             state: GroupState[List[Long]]) =>
           // head = time the LATEST-reached step was hit (list reversed)
           var times = state.getOption.getOrElse(Nil)
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, tpe) =>
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, tpe) =>
             if (times.length < steps.length && tpe == steps(times.length) &&
-              (times.isEmpty || ms > times.head)) times = ms :: times
+              (times.isEmpty || us > times.head)) times = us :: times
           }
           state.update(times)
-          FunnelProgress(user, times.length, times.reverse)
+          FunnelProgress(user, times.length,
+            times.reverse.map(Math.floorDiv(_, 1000L)))
       }
   }
 

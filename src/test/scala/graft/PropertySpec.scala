@@ -403,8 +403,10 @@ class PropertySpec extends SparkSpec {
       tpe <- step
     } yield (user, ts, tpe)
     check(forAll(Gen.listOfN(40, evGen)) { evs =>
-      // distinct (user, ts) keeps the strict-> semantics unambiguous
-      val es = evs.distinctBy(e => (e._1, e._2))
+      // ties (same user, same ts, different type) stay in: the strict >
+      // makes both model and implementation deterministic on them, and
+      // the tie boundary is exactly where a >= regression would hide
+      val es = evs
       val df = es.map { case (u, t, tp) =>
         (u, new java.sql.Timestamp(t * 1000), tp) }.toDF("u", "ts", "tp")
       val got = graft.ops.Windows.funnel(df, "u", "ts", "tp", Seq("A", "B", "C"))
