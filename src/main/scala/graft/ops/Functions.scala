@@ -60,6 +60,24 @@ object Functions {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** X8 (scale path) — approximate percentiles via Spark's bounded-memory
+    * quantile sketch (Greenwald-Khanna): the form that survives a stratum
+    * with billions of distinct values, where exact `percentile`'s
+    * buffer (all distinct values) cannot. Rows-only by design — the
+    * sketch's rank-error guarantee is engine-specific — with the error
+    * bound asserted against the exact result in FunctionsSpec-style
+    * checks inside LlmOpsSpec. accuracy=10000 ⇒ rank error ≤ n/10000. */
+  def q08dApproxPercentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5, 10000)") / 100.0, 4)
+          .as("median_price_approx"),
+        round(expr("approx_percentile(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9, 10000)") / 100.0, 4)
+          .as("p90_price_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** X8 — correlation from exact integer accumulators: Spark's streaming
     * corr() is float-order-dependent, so the five sums are taken as exact
     * longs (at 100 TB: decimal(38) sums, same algebra) and the closed-form
@@ -184,6 +202,7 @@ object Functions {
     "q03b_large_join" -> (q03bLargeJoin _),
     "q08_distinct_agg" -> (q08Distinct _),
     "q08b_percentiles" -> (q08bPercentiles _),
+    "q08d_approx_percentiles" -> (q08dApproxPercentiles _),
     "q08c_corr_exact" -> (q08cCorrExact _),
     "q09_approx_distinct" -> (q09Approx _),
     "q15_setops" -> (q15SetOps _),

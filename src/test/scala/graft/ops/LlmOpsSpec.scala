@@ -165,6 +165,29 @@ class LlmOpsSpec extends SparkSpec {
       s"count profile differs: ${sketch.toSeq} vs ${exact.toSeq}")
   }
 
+  test("approx percentiles sit within the sketch's rank-error bound of exact") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.t(spark, d, "lineitem")
+      .select(col("l_returnflag").as("rf"),
+        expr("CAST(round(l_extendedprice*100,0) AS BIGINT)").as("cents"))
+    val approx = Functions.q08dApproxPercentiles(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val groups = li.collect().groupBy(_.getString(0))
+    groups.foreach { case (rf, rows) =>
+      val sorted = rows.map(_.getLong(1)).sorted
+      val n = sorted.length
+      def rankOf(cents: Double): Int = { // rank of the approx value in exact order
+        val v = math.round(cents * 100)
+        sorted.count(_ <= v)
+      }
+      val (med, p90) = approx(rf)
+      // accuracy 10000 ⇒ rank error ≤ ceil(n/10000); allow +1 for rounding
+      val tol = n / 10000 + 2
+      assert(math.abs(rankOf(med) - 0.5 * n) <= tol, s"$rf median rank off")
+      assert(math.abs(rankOf(p90) - 0.9 * n) <= tol, s"$rf p90 rank off")
+    }
+  }
+
   test("count-min sketch never undercounts and respects its eps bound here") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, d, "documents")
