@@ -11,10 +11,12 @@ class GraftExtensionsSpec extends SparkSpec {
         | cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
         |            CAST(array(1.0, 1.0) AS ARRAY<FLOAT>)) AS c,
         | size(shingle_hashes('a b c d', 3)) AS nsh,
-        | size(srp_buckets(CAST(array(1.0, -2.0) AS ARRAY<FLOAT>), 4, 3)) AS nbk
+        | size(srp_buckets(CAST(array(1.0, -2.0) AS ARRAY<FLOAT>), 4, 3)) AS nbk,
+        | token_bigrams('a b c') AS bg
         |""".stripMargin).collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
     assert(r.getInt(1) == 2 && r.getInt(2) == 4)
+    assert(r.getSeq[String](3) == Seq("a b", "b c"))
   }
 
   test("quantization functions round-trip from plain SQL") {
