@@ -52,10 +52,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       // min over SUCCESSFUL runs only — a fast-failing run must not be
-      // reported as a query's steady-state latency
+      // reported as a query's steady-state latency. A query that fails
+      // BOTH runs is published as a NEGATIVE duration: a sentinel visible
+      // where the numbers are read, not just on stderr
       val runs = Seq(once(), once())
       val good = runs.filter(_._2).map(_._1)
-      name -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
+      name -> (if (good.nonEmpty) good.min else -runs.map(_._1).max)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

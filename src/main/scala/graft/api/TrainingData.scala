@@ -609,23 +609,36 @@ object TrainingData {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(strideTokens >= 1 && strideTokens <= chunkTokens,
       s"need 1 <= stride <= chunk, got $strideTokens/$chunkTokens")
-    // tokens materialized once per row — see the spanDedup note: the
-    // transform body re-evaluates referenced subtrees per element, which
-    // would re-tokenize the document once per chunk
+    tokenWindows(docs, idCol, textCol, chunkTokens, strideTokens)
+      .select(col("id").as(idCol), col("idx").as("chunk_idx"),
+        col("win").as("chunk_text"), col("n_tokens"))
+  }
+
+  /** Shared token-window cut of [[spanDedup]] (stride == window) and
+    * [[chunkDocuments]] → (id, idx, win, n_tokens): windows of `window`
+    * tokens starting every `stride` while any token remains (final window
+    * short; empty docs emit nothing — the `when` leaves a null array and
+    * explode drops it). Tokens are materialized ONCE per row before the
+    * lambda: a higher-order function's body is evaluated per element and
+    * sits outside common-subexpression elimination, so referencing the
+    * split/filter subtree inside transform would re-tokenize the whole
+    * document per window. */
+  private def tokenWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
     val toks = col("__toks")
     docs
       .select(col(idCol).as("id"), DedupOps.tokens(col(textCol)).as("__toks"))
       .select(col("id"),
         explode(when(size(toks) > 0,
           transform(
-            sequence(lit(0L), floor((size(toks) - 1) / lit(strideTokens.toDouble))),
-            i => struct(i.as("chunk_idx"),
-              array_join(slice(toks, (i * strideTokens + 1).cast("int"),
-                lit(chunkTokens)), " ").as("chunk_text"),
-              least(lit(chunkTokens.toLong),
-                size(toks) - i * strideTokens).as("n_tokens"))))).as("c"))
-      .select(col("id").as(idCol), col("c.chunk_idx").as("chunk_idx"),
-        col("c.chunk_text").as("chunk_text"), col("c.n_tokens").as("n_tokens"))
+            sequence(lit(0L), floor((size(toks) - 1) / lit(stride.toDouble))),
+            i => struct(i.as("idx"),
+              array_join(slice(toks, (i * stride + 1).cast("int"),
+                lit(window)), " ").as("win"),
+              least(lit(window.toLong),
+                size(toks) - i * stride).as("n_tokens"))))).as("w"))
+      .select(col("id"), col("w.idx").as("idx"), col("w.win").as("win"),
+        col("w.n_tokens").as("n_tokens"))
   }
 
   /** Incremental-ingest exact dedup: rows of `increment` whose `textCol`
@@ -842,24 +855,9 @@ object TrainingData {
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 3): DataFrame = {
     require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
-    val k = spanTokens
-    // tokens materialized ONCE per row before the lambda: a higher-order
-    // function's body is evaluated per element and sits outside
-    // common-subexpression elimination, so referencing the split/filter
-    // subtree inside transform would re-tokenize the whole document for
-    // every span
-    val toks = col("__toks")
-    // empty docs → null span array → explode() emits no rows (they rejoin
-    // at the end); non-empty docs → ceil(n/k) spans, the last one short
-    val spans = docs
-      .select(col(idCol).as("id"), DedupOps.tokens(col(textCol)).as("__toks"))
-      .select(col("id"),
-        explode(when(size(toks) > 0,
-          transform(sequence(lit(0L), floor((size(toks) - 1) / lit(k.toDouble))),
-            i => struct(i.as("span_idx"),
-              array_join(slice(toks, (i * k + 1).cast("int"), lit(k)), " ")
-                .as("span"))))).as("sp"))
-      .select(col("id"), col("sp.span_idx").as("span_idx"), col("sp.span").as("span"))
+    // the disjoint (stride == window) case of the shared token-window cut
+    val spans = tokenWindows(docs, idCol, textCol, spanTokens, spanTokens)
+      .select(col("id"), col("idx").as("span_idx"), col("win").as("span"))
     // corpus-wide first occurrence per span: partial-aggregating argmin on
     // (id, position) — no window, no per-span sort
     val first = spans.groupBy(col("span"))

@@ -406,13 +406,12 @@ class PropertySpec extends SparkSpec {
       // ties (same user, same ts, different type) stay in: the strict >
       // makes both model and implementation deterministic on them, and
       // the tie boundary is exactly where a >= regression would hide
-      val es = evs
-      val df = es.map { case (u, t, tp) =>
+      val df = evs.map { case (u, t, tp) =>
         (u, new java.sql.Timestamp(t * 1000), tp) }.toDF("u", "ts", "tp")
       val got = graft.ops.Windows.funnel(df, "u", "ts", "tp", Seq("A", "B", "C"))
         .collect().map(r => r.getLong(0) -> (r.getInt(1),
           (2 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))).toMap
-      es.groupBy(_._1).forall { case (u, ues) =>
+      evs.groupBy(_._1).forall { case (u, ues) =>
         def times(tp: String) = ues.filter(_._3 == tp).map(_._2 * 1000).sorted
         val t0 = times("A").headOption
         val t1 = t0.flatMap(p => times("B").find(_ > p))

@@ -176,15 +176,20 @@ class LlmOpsSpec extends SparkSpec {
     groups.foreach { case (rf, rows) =>
       val sorted = rows.map(_.getLong(1)).sorted
       val n = sorted.length
-      def rankOf(cents: Double): Int = { // rank of the approx value in exact order
+      // a duplicated value occupies the whole rank interval
+      // [count(<v), count(<=v)] — the sketch answer is in-bound if that
+      // interval OVERLAPS the tolerance band around the target rank
+      def rankRange(cents: Double): (Int, Int) = {
         val v = math.round(cents * 100)
-        sorted.count(_ <= v)
+        (sorted.count(_ < v), sorted.count(_ <= v))
       }
       val (med, p90) = approx(rf)
       // accuracy 10000 ⇒ rank error ≤ ceil(n/10000); allow +1 for rounding
       val tol = n / 10000 + 2
-      assert(math.abs(rankOf(med) - 0.5 * n) <= tol, s"$rf median rank off")
-      assert(math.abs(rankOf(p90) - 0.9 * n) <= tol, s"$rf p90 rank off")
+      def inBound(r: (Int, Int), target: Double) =
+        r._1 <= target + tol && r._2 >= target - tol
+      assert(inBound(rankRange(med), 0.5 * n), s"$rf median rank off")
+      assert(inBound(rankRange(p90), 0.9 * n), s"$rf p90 rank off")
     }
   }
 
