@@ -358,14 +358,23 @@ object TrainingData {
     * emit lowercase hex and agree on ascii(), so the bucket (not just its
     * distribution) is oracle-checkable. Stable across runs, partitioning,
     * and engines — the property `randomSplit`/`sample` lack. */
-  private[graft] def hashBucket(id: Column): Column = {
+  private def hash16(id: Column): Column = {
     val hex = sha2(id.cast("string"), 256)
     def d(i: Int): Column = {
       val a = ascii(substring(hex, i, 1))
       when(a >= 97, a - 87).otherwise(a - 48) // 'a'..'f' → 10..15, else 0..9
     }
-    (((d(1) * 16 + d(2)) * 16 + d(3)) * 16 + d(4)) % 100
+    ((d(1) * 16 + d(2)) * 16 + d(3)) * 16 + d(4)
   }
+
+  private[graft] def hashBucket(id: Column): Column = hash16(id) % 100
+
+  /** Content-addressed unit-interval coordinate u(id) ∈ [0, 1) at 16-bit
+    * resolution — [[hashBucket]]'s finer sibling for per-row keep
+    * probabilities. Exact in both engines: a 16-bit integer divided by
+    * 65536 is a dyadic rational a double represents exactly. */
+  private[graft] def hashUnit(id: Column): Column =
+    hash16(id).cast("double") / 65536.0
 
   /** Deterministic split assignment → input columns + (bucket, split).
     * `weights` are (name, percent) summing to 100; a row's split is the
@@ -395,6 +404,18 @@ object TrainingData {
     require(percent >= 0 && percent <= 100, s"percent out of range: $percent")
     docs.filter(hashBucket(col(idCol)) < percent)
   }
+
+  /** Per-ROW-probability sample: keep a row iff u(id) < its `weightCol`
+    * value — document-granularity reweighting (temperature sampling,
+    * quality-proportional retention, per-domain decay curves) where the
+    * keep probability is a DATA column rather than [[stratifiedHashSample]]'s
+    * per-stratum constant. weight ≤ 0 drops the row, ≥ 1 keeps it, NULL
+    * drops (comparison is null → filter false). Deterministic and nested
+    * like the other content-addressed samplers: raising a row's weight can
+    * only ever ADD it to the kept set. Pure row filter — no shuffle. */
+  def weightedHashSample(docs: DataFrame, idCol: String,
+      weightCol: String): DataFrame =
+    docs.filter(hashUnit(col(idCol)) < col(weightCol))
 
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (the
     * corpus-rebalancing op — e.g. downsample a dominant language while

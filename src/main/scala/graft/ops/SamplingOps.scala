@@ -96,9 +96,23 @@ object SamplingOps {
       t(s, d, "documents"), "doc_id", "text", 20, 15)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** X31 — per-row-probability sample: keep probability proportional to
+    * document length (capped at 1), the doc-granularity reweighting form.
+    * Fixture binding of [[graft.api.TrainingData.weightedHashSample]];
+    * the 16-bit unit coordinate AND the comparison are replayed by the
+    * oracle, so the kept set itself is checked, not just its size. */
+  def x31fWeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.weightedHashSample(
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          least(lit(1.0), col("n_chars") / 400.0).as("weight")),
+      "doc_id", "weight")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
+    "x31f_weighted_sample" -> (x31fWeightedSample _),
     "x32b_chunk" -> (x32bChunk _),
     "x36_zorder" -> (x36Zorder _),
     "x31b_sample" -> (x31bSample _),
@@ -108,13 +122,15 @@ object SamplingOps {
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
-  private def bucketSql(idCol: String): String = {
+  private def hash16Sql(idCol: String): String = {
     val digit = (i: Int) => {
       val a = s"ascii(substring(sha256(CAST($idCol AS VARCHAR)), $i, 1))"
       s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
     }
-    s"((((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)}) % 100)"
+    s"(((${digit(1)} * 16 + ${digit(2)}) * 16 + ${digit(3)}) * 16 + ${digit(4)})"
   }
+
+  private def bucketSql(idCol: String): String = s"(${hash16Sql(idCol)} % 100)"
 
   // bit-interleave replayed with shift/mask arithmetic (both engines'
   // >>/<</& agree on BIGINT)
@@ -127,6 +143,16 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // exact replay of the unit coordinate (16-bit/65536 is a dyadic
+    // rational — both engines' doubles represent it exactly) and the
+    // weight comparison, so the kept SET is checked
+    "x31f_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         | least(1.0, n_chars / 400.0) AS weight
+         |FROM documents
+         |WHERE CAST(${hash16Sql("doc_id")} AS DOUBLE) / 65536.0 <
+         |   least(1.0, n_chars / 400.0)
+         |ORDER BY doc_id""".stripMargin,
     // same cut replayed: windows start every 15 tokens while any token
     // remains; the final window may be short
     "x32b_chunk" ->

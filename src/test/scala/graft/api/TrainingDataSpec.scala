@@ -605,6 +605,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(out === Array((1L, "the cat sat"), (2L, "")))
   }
 
+  test("weightedHashSample keeps by per-row probability: 0 drops, 1 keeps, nested") {
+    val rows = spark.range(0, 400)
+      .select(col("id"), ((col("id") % 5) / lit(4.0)).as("w")) // 0, .25, .5, .75, 1
+    def keptIds(df: org.apache.spark.sql.DataFrame) =
+      TrainingData.weightedHashSample(df, "id", "w")
+        .select("id").as[Long].collect().toSet
+    val kept = keptIds(rows)
+    assert(rows.filter(col("w") === 0.0).select("id").as[Long].collect()
+      .forall(!kept.contains(_))) // weight 0 never kept
+    assert(rows.filter(col("w") === 1.0).select("id").as[Long].collect()
+      .forall(kept.contains)) // weight 1 always kept (u < 1 by construction)
+    // nested: raising every weight only ever ADDS rows
+    val raised = rows.select(col("id"), least(lit(1.0), col("w") + 0.25).as("w"))
+    assert(kept.subsetOf(keptIds(raised)))
+    assert(keptIds(rows) == kept) // deterministic across evaluations
+  }
+
   test("chunkDocuments cuts overlapping context windows, final window short") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("id", "body")
     val out = TrainingData.chunkDocuments(docs, "id", "body", 4, 3)
