@@ -573,6 +573,20 @@ object TrainingData {
       .select(col("id"), col("n_tokens"), col("start_off"), col("bin"))
   }
 
+  /** Bin manifest over a [[packSequences]] assignment →
+    * (bin, n_docs, n_tokens, doc_ids): what each training batch actually
+    * contains, with the member ids in layout order — the materialized
+    * form a dataloader consumes. One hash aggregation over the
+    * assignment; the per-bin id list is bounded by the token budget
+    * (a bin holds at most ~budget/1 one-token docs), so the aggregation
+    * buffer is budget-bounded, not corpus-bounded. */
+  def packedBins(assignment: DataFrame): DataFrame =
+    assignment.groupBy(col("bin")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      transform(array_sort(collect_list(struct(col("start_off"), col("id")))),
+        s => s.getField("id")).as("doc_ids"))
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

@@ -109,8 +109,19 @@ object SamplingOps {
       "doc_id", "weight")
       .orderBy(col("doc_id"))
 
+  /** X32 — bin manifest over the 2048-token packing: the materialized
+    * batch contents a dataloader consumes. Fixture binding of
+    * [[graft.api.TrainingData.packedBins]] over
+    * [[graft.api.TrainingData.packSequences]]. */
+  def x32cPackBins(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.packedBins(
+      graft.api.TrainingData.packSequences(
+        t(s, d, "documents"), "doc_id", "text", 2048L))
+      .orderBy(col("bin"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_split" -> (x31Split _),
+    "x32c_pack_bins" -> (x32cPackBins _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
     "x31f_weighted_sample" -> (x31fWeightedSample _),
     "x32b_chunk" -> (x32bChunk _),
@@ -218,5 +229,22 @@ object SamplingOps {
         |  FROM toks)
         |SELECT doc_id, n_tokens, start_off,
         | CAST(start_off // 2048 AS BIGINT) AS bin
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // same cumsum prefix; the per-bin id list is ordered by layout
+    // position (start_off), matching Spark's array_sort on (start_off, id)
+    "x32c_pack_bins" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM toks)
+        |SELECT CAST(start_off // 2048 AS BIGINT) AS bin,
+        | count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | list(doc_id ORDER BY start_off) AS doc_ids
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)
 }

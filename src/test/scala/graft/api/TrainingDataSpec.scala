@@ -605,6 +605,17 @@ class TrainingDataSpec extends SparkSpec {
     assert(out === Array((1L, "the cat sat"), (2L, "")))
   }
 
+  test("packedBins manifest conserves docs and tokens, ids in layout order") {
+    val asg = TrainingData.packSequences(corpus, "id", "body", 10L)
+    val bins = TrainingData.packedBins(asg).orderBy("bin").collect()
+    assert(bins.map(_.getLong(1)).sum == asg.count())
+    assert(bins.map(_.getLong(2)).sum ==
+      asg.agg(sum("n_tokens")).collect().head.getLong(0))
+    val laidOut = bins.flatMap(_.getSeq[Long](3))
+    val expected = asg.orderBy("start_off").select("id").as[Long].collect()
+    assert(laidOut.sameElements(expected)) // concatenation order preserved
+  }
+
   test("weightedHashSample keeps by per-row probability: 0 drops, 1 keeps, nested") {
     val rows = spark.range(0, 400)
       .select(col("id"), ((col("id") % 5) / lit(4.0)).as("w")) // 0, .25, .5, .75, 1
