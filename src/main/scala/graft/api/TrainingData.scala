@@ -575,11 +575,13 @@ object TrainingData {
 
   /** Bin manifest over a [[packSequences]] assignment →
     * (bin, n_docs, n_tokens, doc_ids): what each training batch actually
-    * contains, with the member ids in layout order — the materialized
-    * form a dataloader consumes. One hash aggregation over the
-    * assignment; the per-bin id list is bounded by the token budget
-    * (a bin holds at most ~budget/1 one-token docs), so the aggregation
-    * buffer is budget-bounded, not corpus-bounded. */
+    * contains, with the member ids in layout order (ties — zero-token
+    * docs share a start_off — broken by id) — the materialized form a
+    * dataloader consumes. One hash aggregation over the assignment; the
+    * per-bin id list is bounded by the token budget for docs with ≥ 1
+    * token, PLUS however many zero-token docs land on the bin boundary —
+    * filter empty docs first (tokenStats/quality cut) if a dirty corpus
+    * could hold millions of them, or one bin's buffer grows with them. */
   def packedBins(assignment: DataFrame): DataFrame =
     assignment.groupBy(col("bin")).agg(
       count(lit(1)).as("n_docs"),

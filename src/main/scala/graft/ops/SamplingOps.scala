@@ -218,33 +218,32 @@ object SamplingOps {
          |  (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 50 ELSE 100 END)
          |ORDER BY doc_id""".stripMargin,
     "x32_seqpack" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
-        |  FROM toks)
-        |SELECT doc_id, n_tokens, start_off,
-        | CAST(start_off // 2048 AS BIGINT) AS bin
-        |FROM c ORDER BY doc_id""".stripMargin,
+      s"""$cumsumCte
+         |SELECT doc_id, n_tokens, start_off,
+         | CAST(start_off // 2048 AS BIGINT) AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
     // same cumsum prefix; the per-bin id list is ordered by layout
-    // position (start_off), matching Spark's array_sort on (start_off, id)
+    // position with the SAME doc_id tie-break Spark's struct sort applies
+    // (zero-token docs tie on start_off, and DuckDB's list() preserves
+    // arbitrary input order on ties)
     "x32c_pack_bins" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
-        |  FROM toks)
-        |SELECT CAST(start_off // 2048 AS BIGINT) AS bin,
-        | count(*) AS n_docs,
-        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        | list(doc_id ORDER BY start_off) AS doc_ids
-        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)
+      s"""$cumsumCte
+         |SELECT CAST(start_off // 2048 AS BIGINT) AS bin,
+         | count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         | list(doc_id ORDER BY start_off, doc_id) AS doc_ids
+         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)
+
+  // shared by x32_seqpack and x32c_pack_bins — one spelling of the token
+  // count + windowed cumsum, so the two oracles cannot desynchronize
+  private lazy val cumsumCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |   CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM toks)""".stripMargin
 }

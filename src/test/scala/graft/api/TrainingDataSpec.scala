@@ -612,7 +612,10 @@ class TrainingDataSpec extends SparkSpec {
     assert(bins.map(_.getLong(2)).sum ==
       asg.agg(sum("n_tokens")).collect().head.getLong(0))
     val laidOut = bins.flatMap(_.getSeq[Long](3))
-    val expected = asg.orderBy("start_off").select("id").as[Long].collect()
+    // id tie-break: zero-token docs tie on start_off and an unordered
+    // sort would make `expected` nondeterministic
+    val expected = asg.orderBy(col("start_off"), col("id"))
+      .select("id").as[Long].collect()
     assert(laidOut.sameElements(expected)) // concatenation order preserved
   }
 
