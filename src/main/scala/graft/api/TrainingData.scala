@@ -778,6 +778,20 @@ object TrainingData {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** JSON-Lines export — the interchange format most training stacks
+    * ingest: one JSON object per line, gzip-compressed shards sized by
+    * `numShards` (0 ⇒ keep the input partitioning; each task writes one
+    * shard, so shard count = write parallelism). Spark's native JSON
+    * writer — distributed, no driver funnel. Timestamps render in UTC
+    * ISO-8601 (session timezone pinned by the callers' builder). */
+  def saveJsonl(df: DataFrame, path: String, numShards: Int = 0): Unit = {
+    require(numShards >= 0, s"numShards must be >= 0, got $numShards")
+    val out = if (numShards > 0) df.repartition(numShards) else df
+    out.write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(path)
+  }
+
   /** Non-distinct word n-grams (cf. DedupOps.shingles, which dedups) —
     * repetition needs the multiplicity. Short docs → explicit empty array
     * (`sequence(1, 0)` would step backwards). */
