@@ -66,6 +66,20 @@ def main():
             print(f"[FAIL] {name}: spark result missing")
             n_fail += 1
             continue
+        # driver-comparator parity: the real gate loads both parquets into
+        # pandas and lexsorts every column — list/struct/map cells are
+        # unhashable numpy arrays there and crash it (CORRECTNESS_r05
+        # x32c err). Emulate that as a hard FAIL instead of silently
+        # tuple-izing like norm_cell used to.
+        import pyarrow as pa
+        nested = [f"{side}:{f.name}" for side, t2 in (("spark", got), ("oracle", want))
+                  for f in t2.schema if pa.types.is_nested(f.type)]
+        if nested:
+            print(f"[FAIL] {name}: nested column(s) {nested} — "
+                  f"the driver's pandas comparator crashes on these; "
+                  f"serialize with array_join/to_json in BOTH engines")
+            n_fail += 1
+            continue
         gcols, grows = table_rows(got)
         wcols, wrows = table_rows(want)
         if gcols != wcols:

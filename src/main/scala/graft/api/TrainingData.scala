@@ -194,16 +194,20 @@ object TrainingData {
     * relation. False positives are then eliminated by the exact equi-join
     * on `shh`, so the result EQUALS [[contaminationPairs]] — same oracle.
     *
-    * The probe side is scanned three times (count, Bloom build, join) —
-    * it is the small side by construction (an eval/benchmark set); persist
-    * `probes` first if that matters. */
+    * The probe shingle relation is referenced three times (count, Bloom
+    * build, verify join), so it is persisted here for the call's
+    * lifetime — tokenize+shingle+hash runs once, not per branch (the r5
+    * bench paid it 3×). It is the small side by construction (an
+    * eval/benchmark set); MEMORY_AND_DISK, evictable, and a caller
+    * cycling many probe sets can reclaim with
+    * `spark.catalog.clearCache()`. */
   def contaminationPairsBloom(corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.classic.GraftBridge
     import org.apache.spark.sql.types.BinaryType
-    val ps = shingles(probes, idCol, textCol).toDF("probe_id", "shh")
+    val ps = shingles(probes, idCol, textCol).toDF("probe_id", "shh").persist()
     val nShingles = math.max(ps.count(), 1L)
     val bf = ps.stat.bloomFilter("shh", nShingles, fpp)
     val bytes = {

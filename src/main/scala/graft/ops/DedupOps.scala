@@ -140,6 +140,18 @@ object DedupOps {
   private def sha32(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
 
+  // The sha32 MinHash signature relation (one row per doc, 16 longs):
+  // sha256-per-shingle is the priciest expression in the x26b pipeline,
+  // and the band self-join references the signature relation on BOTH join
+  // sides — unpersisted, the whole shingle→sha256→16-hash→min aggregation
+  // re-ran per branch (r5: 16.5 s; the digest was paid ~3×). Persisting
+  // the tiny signature relation pays the digest exactly once per app/dir.
+  @transient private val sigCache = newCache
+  private def persistShaSignatures(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(sigCache, s, d)(
+      signatures(shingleRows(s, d)
+        .select(col("doc_id"), sha32(col("sh")).as("shh"))).persist())
+
   /** The DuckDB spelling of [[sha32]] over SQL expression `expr`. */
   private def hex32Sql(expr: String): String = {
     def digit(i: Int) = {
@@ -163,8 +175,7 @@ object DedupOps {
     * ([[minhashPairsFromShingles]]) keeps xxhash64 bases and 8-byte band
     * keys: at scale the band shuffle should carry longs, not strings. */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val base = shingleRows(s, d).select(col("doc_id"), sha32(col("sh")).as("shh"))
-    val sig = signatures(base)
+    val sig = persistShaSignatures(s, d)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>
         concat_ws(",", lit(bId) +:

@@ -117,6 +117,12 @@ object SamplingOps {
     graft.api.TrainingData.packedBins(
       graft.api.TrainingData.packSequences(
         t(s, d, "documents"), "doc_id", "text", 2048L))
+      // registered queries emit scalars only (SparkEntrySpec contract
+      // guard): the driver's comparator lexsorts pandas columns and
+      // crashes on array cells, so the manifest list is serialized to a
+      // canonical comma-joined string here and in the oracle
+      .withColumn("doc_ids",
+        array_join(transform(col("doc_ids"), _.cast("string")), ","))
       .orderBy(col("bin"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -224,14 +230,14 @@ object SamplingOps {
          |FROM c ORDER BY doc_id""".stripMargin,
     // same cumsum prefix; the per-bin id list is ordered by layout
     // position with the SAME doc_id tie-break Spark's struct sort applies
-    // (zero-token docs tie on start_off, and DuckDB's list() preserves
-    // arbitrary input order on ties)
+    // (zero-token docs tie on start_off), serialized to a comma-joined
+    // string — the comparator can't sort/hash array cells
     "x32c_pack_bins" ->
       s"""$cumsumCte
          |SELECT CAST(start_off // 2048 AS BIGINT) AS bin,
          | count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         | list(doc_id ORDER BY start_off, doc_id) AS doc_ids
+         | array_to_string(list(doc_id ORDER BY start_off, doc_id), ',') AS doc_ids
          |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)
 
   // shared by x32_seqpack and x32c_pack_bins — one spelling of the token

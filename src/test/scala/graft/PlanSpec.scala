@@ -147,6 +147,23 @@ class PlanSpec extends SparkSpec {
     assert(joins.size == 1 && joins.head.contains("FullOuter"), p)
   }
 
+  test("oracle-checked queries emit scalar columns only (driver comparator contract)") {
+    // the driver's DuckDB comparator lexsorts every column in pandas;
+    // array/map/struct cells are unhashable there and crash the gate
+    // (CORRECTNESS_r05 x32c err) — so the contract is: any query with an
+    // oracle serializes nested values (array_join/to_json) before return
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"nested columns in oracle queries:\n${offenders.mkString("\n")}")
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
