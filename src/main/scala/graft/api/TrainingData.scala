@@ -416,10 +416,17 @@ object TrainingData {
     * per-stratum constant. weight ≤ 0 drops the row, ≥ 1 keeps it, NULL
     * drops (comparison is null → filter false). Deterministic and nested
     * like the other content-addressed samplers: raising a row's weight can
-    * only ever ADD it to the kept set. Pure row filter — no shuffle. */
+    * only ever ADD it to the kept set. Pure row filter — no shuffle.
+    *
+    * The unit coordinate is SALTED (`id + "#w"`) so it is independent of
+    * [[hashBucket]]'s coordinate: composing this with
+    * [[hashSample]]/[[deterministicSplit]]/[[stratifiedHashSample]] on the
+    * same id column multiplies keep probabilities, instead of the
+    * min/overlap semantics a shared coordinate silently produces. */
   def weightedHashSample(docs: DataFrame, idCol: String,
       weightCol: String): DataFrame =
-    docs.filter(hashUnit(col(idCol)) < col(weightCol))
+    docs.filter(
+      hashUnit(concat(col(idCol).cast("string"), lit("#w"))) < col(weightCol))
 
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (the
     * corpus-rebalancing op — e.g. downsample a dominant language while
@@ -983,7 +990,10 @@ object TrainingData {
     * behavior is engine-reproducible. Pure row-local projection. */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
-    val url = "https?://[^ ]+"
+    // whitespace spelled explicitly (the Java∩RE2 class normalizeText
+    // uses): the old `[^ ]+` matched across tabs/newlines, so a URL at
+    // end-of-line swallowed the newline and the next line's leading text
+    val url = "https?://[^ \\t\\n\\r\\f]+"
     val digits = "[0-9][0-9][0-9][0-9]+"
     val nRed = regexp_count(col(textCol), lit(email)) +
       regexp_count(col(textCol), lit(url)) +

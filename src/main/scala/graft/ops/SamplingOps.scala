@@ -162,12 +162,14 @@ object SamplingOps {
   val oracles: Map[String, String] = Map(
     // exact replay of the unit coordinate (16-bit/65536 is a dyadic
     // rational — both engines' doubles represent it exactly) and the
-    // weight comparison, so the kept SET is checked
+    // weight comparison, so the kept SET is checked; the '#w' salt is
+    // weightedHashSample's — its coordinate is independent of the
+    // bucket-based samplers' so composed stages multiply probabilities
     "x31f_weighted_sample" ->
       s"""SELECT doc_id, n_chars,
          | least(1.0, n_chars / 400.0) AS weight
          |FROM documents
-         |WHERE CAST(${hash16Sql("doc_id")} AS DOUBLE) / 65536.0 <
+         |WHERE CAST(${hash16Sql("(CAST(doc_id AS VARCHAR) || '#w')")} AS DOUBLE) / 65536.0 <
          |   least(1.0, n_chars / 400.0)
          |ORDER BY doc_id""".stripMargin,
     // same cut replayed: windows start every 15 tokens while any token

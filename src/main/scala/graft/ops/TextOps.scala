@@ -110,7 +110,7 @@ object TextOps {
     * byte-for-byte. */
   def x28gPiiScan(s: SparkSession, d: String): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
-    val url = "https?://[^ ]+"
+    val url = "https?://[^ \\t\\n\\r\\f]+"
     val digits = "[0-9][0-9][0-9][0-9]+"
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -232,12 +232,12 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id,
         | regexp_replace(regexp_replace(regexp_replace(dirty,
-        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
         |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
         |   '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted_text,
         | CAST(len(regexp_extract_all(dirty,
         |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) +
-        |   len(regexp_extract_all(dirty, 'https?://[^ ]+')) +
+        |   len(regexp_extract_all(dirty, 'https?://[^ \t\n\r\f]+')) +
         |   len(regexp_extract_all(dirty, '[0-9][0-9][0-9][0-9]+')) AS BIGINT)
         |   AS n_redactions
         |FROM dirty ORDER BY doc_id""".stripMargin,
@@ -299,7 +299,7 @@ object TextOps {
     "x28g_pii_scan" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS INTEGER) AS n_emails,
-        | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\r\f]+')) AS INTEGER) AS n_urls,
         | CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9][0-9]+')) AS INTEGER) AS n_digit_runs,
         | CAST(length(regexp_replace(regexp_replace(text,
         |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),

@@ -394,7 +394,65 @@ object VectorOps {
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  // The SRP hyperplane sign row for (table, plane) at 64 dims, as a
+  // '+'/'-' string. The signs are DATA-INDEPENDENT algorithm constants —
+  // exactly like the MinHash permutation coefficients the x26b oracle
+  // interpolates — so the oracle receives them as literals and replays
+  // everything computed FROM data (projection fold, sign, bucket join,
+  // cosine verify) itself. Must stay bit-identical to SrpBuckets.signsFor
+  // (graft.functions.SrpExpressions): xxhash64 chained t→p→i from seed 42.
+  private def srpSignStr(t: Int, p: Int, dims: Int): String =
+    (0 until dims).map { i =>
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      var h = XXH64.hashInt(t, 42L)
+      h = XXH64.hashInt(p, h)
+      h = XXH64.hashInt(i, h)
+      if (h % 2 == 0) '+' else '-'
+    }.mkString
+
   val oracles: Map[String, String] = Map(
+    // full SRP-LSH replay: hyperplane signs are interpolated constants
+    // (srpSignStr); DuckDB recomputes the per-(vec,table,plane) projection
+    // as the SAME left-to-right double fold Spark's SrpBuckets uses
+    // (list_reduce is sequential; 0.0+x1 == x1 so the seeds agree), packs
+    // sign bits into the per-table bucket key, joins same-bucket pairs,
+    // and verifies with the exact x26d cosine. Spark's bandkey is
+    // xxhash64(table, key) — equal (t,key) always collide, so the
+    // candidate SET matches up to a ~2^-64 cross-key collision (the
+    // accepted x26-class risk).
+    "x26f_embedding_neardup_lsh" -> {
+      val signRows = (for (tb <- 0 until 8; p <- 0 until 4)
+        yield s"($tb, $p, '${srpSignStr(tb, p, 64)}')").mkString(",\n    ")
+      s"""WITH signs(t, p, sgns) AS (VALUES
+         |    $signRows),
+         |nz AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${dotSql("embedding", "embedding")} > 0),
+         |proj AS (
+         |  SELECT e.vec_id, s.t, s.p,
+         |    list_reduce(list_transform(range(1, 65),
+         |      i -> CASE WHEN substring(s.sgns, i, 1) = '+'
+         |           THEN CAST(e.embedding[i] AS DOUBLE)
+         |           ELSE -CAST(e.embedding[i] AS DOUBLE) END),
+         |      (a, b) -> a + b) AS proj
+         |  FROM nz e CROSS JOIN signs s),
+         |buckets AS (
+         |  SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+         |  FROM buckets a JOIN buckets b
+         |    ON a.t = b.t AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+         |SELECT v1, v2,
+         | round(${dotSql("a.embedding", "b.embedding")} /
+         |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
+         |FROM cand JOIN embeddings a ON a.vec_id = v1
+         |          JOIN embeddings b ON b.vec_id = v2
+         |WHERE round(${dotSql("a.embedding", "b.embedding")} /
+         |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.4
+         |ORDER BY v1, v2""".stripMargin
+    },
     "x26d_embedding_neardup" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
          | round(${dotSql("a.embedding", "b.embedding")} /

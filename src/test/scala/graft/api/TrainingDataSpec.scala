@@ -653,6 +653,50 @@ class TrainingDataSpec extends SparkSpec {
     assert(keptIds(rows) == kept) // deterministic across evaluations
   }
 
+  test("topFractionByStrata exact=false stays within the GK sketch's rank-error bound") {
+    // the bounded-memory path (approx_percentile) is the one that
+    // survives billions of distinct scores per stratum; assert its kept
+    // set differs from the exact path only inside the sketch's rank-error
+    // band around the true cutoff (default accuracy 10000 ⇒ rank error
+    // ≤ n/10000 = 2 ranks per 20k-row stratum; scores here are dense
+    // integers, so rank distance == score distance)
+    val rows = spark.range(0, 40000).select(
+      (col("id") % 2).cast("string").as("lang"), col("id").as("score"))
+    def kept(exact: Boolean) =
+      TrainingData.topFractionByStrata(rows, "lang", "score", 0.3, exact)
+        .select("score").as[Long].collect().toSet
+    val e = kept(true)
+    val a = kept(false)
+    val diff = (e diff a) union (a diff e)
+    assert(diff.size <= 8, s"symmetric difference too large: ${diff.size}")
+    val cutoffs = rows.groupBy(col("lang"))
+      .agg(expr("percentile(score, 0.7)").as("c"))
+      .select("c").as[Double].collect()
+    diff.foreach { s =>
+      assert(cutoffs.exists(c => math.abs(s - c) <= 5.0),
+        s"score $s outside the rank-error band of cutoffs ${cutoffs.toSeq}")
+    }
+  }
+
+  test("weightedHashSample composes independently with hashSample (salted coordinate)") {
+    // an UNsalted unit coordinate reuses hashBucket's 16 hash bits, so
+    // weightedHashSample(w=0.2) would keep exactly hashSample(20%)'s rows
+    // (min/overlap semantics); the '#w' salt makes the two stages
+    // near-independent — chaining them keeps ≈ the 4% product
+    val ids = spark.range(0, 2000).toDF("id")
+    val bucket20 = TrainingData.hashSample(ids, "id", 20)
+      .select("id").as[Long].collect().toSet
+    val w02 = TrainingData.weightedHashSample(
+        ids.withColumn("w", lit(0.2)), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(w02 != bucket20)
+    val inter = (w02 & bucket20).size.toDouble
+    // independent 20%×20% of 2000 ids ⇒ ≈80 shared; shared-coordinate
+    // semantics would give inter == |w02| — assert we're far from that
+    assert(inter < 0.5 * math.min(w02.size, bucket20.size),
+      s"inter=$inter w02=${w02.size} bucket20=${bucket20.size}")
+  }
+
   test("chunkDocuments cuts overlapping context windows, final window short") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "")).toDF("id", "body")
     val out = TrainingData.chunkDocuments(docs, "id", "body", 4, 3)
@@ -719,5 +763,18 @@ class TrainingDataSpec extends SparkSpec {
       (1L, "mail me at <EMAIL> today", 1L),
       (2L, "see <URL> and card <NUM>", 2L),
       (3L, "clean text no pii", 0L)))
+  }
+
+  test("redactPii stops URL matches at whitespace, not just space") {
+    // regression: `[^ ]+` swallowed the newline and the next line's
+    // leading text when a URL sat at end-of-line
+    val docs = Seq(
+      (1L, "line one https://ex.org/a\nline two stays"),
+      (2L, "tabbed https://ex.org/b\tafter")).toDF("id", "body")
+    val out = TrainingData.redactPii(docs, "id", "body")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out === Array(
+      (1L, "line one <URL>\nline two stays", 1L),
+      (2L, "tabbed <URL>\tafter", 1L)))
   }
 }
