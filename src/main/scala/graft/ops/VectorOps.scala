@@ -410,6 +410,29 @@ object VectorOps {
       if (h % 2 == 0) '+' else '-'
     }.mkString
 
+  // shared oracle fragments for the 8-table × 4-bit SRP config both LSH
+  // fixtures (x26f, x27b) use: the sign literals, and the CTE chain
+  // projecting `src` (vec_id, embedding) into per-table bucket keys with
+  // the SAME left-to-right double fold SrpBuckets evaluates
+  private lazy val srpSignRows: String =
+    (for (tb <- 0 until 8; p <- 0 until 4)
+      yield s"($tb, $p, '${srpSignStr(tb, p, 64)}')").mkString(",\n    ")
+  private def srpBucketCtes(src: String): String =
+    s"""signs(t, p, sgns) AS (VALUES
+       |    $srpSignRows),
+       |proj AS (
+       |  SELECT e.vec_id, s.t, s.p,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> CASE WHEN substring(s.sgns, i, 1) = '+'
+       |           THEN CAST(e.embedding[i] AS DOUBLE)
+       |           ELSE -CAST(e.embedding[i] AS DOUBLE) END),
+       |      (a, b) -> a + b) AS proj
+       |  FROM $src e CROSS JOIN signs s),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkey
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // full SRP-LSH replay: hyperplane signs are interpolated constants
     // (srpSignStr); DuckDB recomputes the per-(vec,table,plane) projection
@@ -421,25 +444,10 @@ object VectorOps {
     // candidate SET matches up to a ~2^-64 cross-key collision (the
     // accepted x26-class risk).
     "x26f_embedding_neardup_lsh" -> {
-      val signRows = (for (tb <- 0 until 8; p <- 0 until 4)
-        yield s"($tb, $p, '${srpSignStr(tb, p, 64)}')").mkString(",\n    ")
-      s"""WITH signs(t, p, sgns) AS (VALUES
-         |    $signRows),
-         |nz AS (
+      s"""WITH nz AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  WHERE ${dotSql("embedding", "embedding")} > 0),
-         |proj AS (
-         |  SELECT e.vec_id, s.t, s.p,
-         |    list_reduce(list_transform(range(1, 65),
-         |      i -> CASE WHEN substring(s.sgns, i, 1) = '+'
-         |           THEN CAST(e.embedding[i] AS DOUBLE)
-         |           ELSE -CAST(e.embedding[i] AS DOUBLE) END),
-         |      (a, b) -> a + b) AS proj
-         |  FROM nz e CROSS JOIN signs s),
-         |buckets AS (
-         |  SELECT vec_id, t,
-         |    CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkey
-         |  FROM proj GROUP BY 1, 2),
+         |${srpBucketCtes("nz")},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
          |  FROM buckets a JOIN buckets b
@@ -452,6 +460,88 @@ object VectorOps {
          |WHERE round(${dotSql("a.embedding", "b.embedding")} /
          |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.4
          |ORDER BY v1, v2""".stripMargin
+    },
+    // full IVF replay: the index build is deterministic end-to-end —
+    // seeds are the 16 lowest-id vectors, each Lloyd iteration is an
+    // argmax-cosine assignment (ties → HIGHER cid, matching Spark's
+    // max(struct(csim, cid))) plus the CentroidAggregator's integer-space
+    // update (round(x·1e6) per element, integer sums, round(mean, 6) →
+    // REAL — the x30-established portable spelling) — so DuckDB replays
+    // the 2 unrolled iterations, the probe step (top-4 centroids, ties →
+    // LOWER cid), and the exact re-rank
+    "x27c_ann_ivf" -> {
+      def cosSql(a: String, b: String) =
+        s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+      def assignCte(cent: String, name: String) =
+        s"""$name AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid DESC) AS rn
+           |    FROM embeddings e CROSS JOIN $cent c)
+           |  WHERE rn = 1)""".stripMargin
+      def updateCte(asg: String, sums: String, cent: String) =
+        s"""$sums AS (
+           |  SELECT cid, i,
+           |    sum(CAST(round(embedding[i]*1000000, 0) AS BIGINT)) AS s,
+           |    count(*) AS n
+           |  FROM $asg CROSS JOIN range(1, 65) AS r(i)
+           |  GROUP BY cid, i),
+           |$cent AS (
+           |  SELECT cid,
+           |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
+           |  FROM $sums GROUP BY cid)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS cemb
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |${assignCte("c0", "asg1")},
+         |${updateCte("asg1", "s1", "c1")},
+         |${assignCte("c1", "asg2")},
+         |${updateCte("asg2", "s2", "c2")},
+         |${assignCte("c2", "asgf")},
+         |probes AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 20)
+         |  WHERE rn <= 4),
+         |sims AS (
+         |  SELECT p.q_id, a.vec_id AS c_id,
+         |    round(${cosSql("qe.embedding", "a.embedding")}, 6) AS sim
+         |  FROM probes p
+         |  JOIN asgf a ON a.cid = p.cid AND a.vec_id <> p.q_id
+         |  JOIN embeddings qe ON qe.vec_id = p.q_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    // same SRP replay, ANN form: candidates = any shared (table, bucket)
+    // with the query side (vec_id < 20), exact-cosine re-rank to top-5
+    // with the same (sim DESC, c_id) tie-break Spark's row_number uses
+    "x27b_ann_lsh" -> {
+      s"""WITH ${srpBucketCtes("embeddings")},
+         |qb AS (SELECT vec_id, t, bkey FROM buckets WHERE vec_id < 20),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+         |  FROM buckets c JOIN qb q
+         |    ON c.t = q.t AND c.bkey = q.bkey AND c.vec_id <> q.vec_id),
+         |sims AS (
+         |  SELECT q_id, c_id,
+         |   round(${dotSql("a.embedding", "b.embedding")} /
+         |     (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS sim
+         |  FROM cand JOIN embeddings a ON a.vec_id = q_id
+         |            JOIN embeddings b ON b.vec_id = c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
     },
     "x26d_embedding_neardup" ->
       s"""SELECT a.vec_id AS v1, b.vec_id AS v2,
