@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * (32 passes over every vector); this is one fused loop.
   */
 case class SrpBuckets(child: Expression, tables: Int, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(tables >= 1 && bits >= 1 && bits <= 63)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -39,12 +39,14 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
   // expression instances may be shared across threads, and two separate
   // non-volatile fields could be observed mid-update (stale array under a
   // new dims). Racing builds are idempotent (pure function of dims).
+  // null after deserialization on an executor (@transient skips the
+  // initializer), so the read guard must be null-safe
   @transient @volatile
   private var cached: (Int, Array[Array[Boolean]]) = (-1, null)
 
   private def signsFor(dims: Int): Array[Array[Boolean]] = {
     val c = cached
-    if (c._1 >= dims) c._2
+    if (c != null && c._1 >= dims) c._2
     else {
       val s = Array.ofDim[Array[Boolean]](tables * bits)
       var t = 0
@@ -70,8 +72,12 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
     }
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  // public and monomorphic so generated code calls it directly on the
+  // child's ArrayData — no CodegenFallback row materialization in the
+  // bucketing scan (the LSH hot path)
+  def compute(arr: ArrayData): GenericArrayData = {
     val dims = arr.numElements()
     val signs = signsFor(dims)
     val out = new Array[Long](tables)
@@ -95,6 +101,11 @@ case class SrpBuckets(child: Expression, tables: Int, bits: Int)
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpBuckets", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -21,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * dedup benchmarks.
   */
 case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -36,8 +36,14 @@ case class ShingleHashes(child: Expression, n: Int)
           s"shingle_hashes expects a string column, got $other")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  // public and monomorphic so the generated code calls it directly on the
+  // child's UTF8String — no CodegenFallback (which re-evaluates through
+  // the interpreted expression tree and forces input-row materialization
+  // inside an otherwise fully-codegen'd stage)
+  def compute(v: UTF8String): GenericArrayData = {
+    val lowered = v.toLowerCase.toString
     val parts = lowered.split(' ')
     val toks = new java.util.ArrayList[String](parts.length)
     var i = 0
@@ -69,6 +75,11 @@ case class ShingleHashes(child: Expression, n: Int)
     new GenericArrayData(out)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -82,7 +93,7 @@ case class ShingleHashes(child: Expression, n: Int)
   * zip_with/filter/transform lambdas — bit-equality with the composed
   * form is asserted in TextExprSpec. */
 case class TokenBigrams(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -97,8 +108,11 @@ case class TokenBigrams(child: Expression)
           s"token_bigrams expects a string column, got $other")
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val lowered = v.asInstanceOf[UTF8String].toLowerCase.toString
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  // see ShingleHashes.compute — the direct codegen call target
+  def compute(v: UTF8String): GenericArrayData = {
+    val lowered = v.toLowerCase.toString
     val parts = lowered.split(' ')
     val toks = new java.util.ArrayList[String](parts.length)
     var i = 0
@@ -115,6 +129,11 @@ case class TokenBigrams(child: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenBigrams", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
