@@ -90,7 +90,18 @@ object TrainingData {
     * are w = tf·idf_milli ≤ ~3e8 even at 10^12 docs, so Σw² stays well
     * inside a BIGINT for any real document. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDfFraction: Double = 0.5): DataFrame = {
+      threshold: Double, maxDfFraction: Double = 0.5): DataFrame =
+    tfidfCosinePairsFromWeights(
+      tfidfWeights(docs, idCol, textCol, maxDfFraction), threshold)
+
+  /** The `(doc_id, tok, w)` quantized tf·idf weight relation of a corpus
+    * — [[tfidfCosinePairs]]'s build input, split out (like [[shingles]])
+    * because the pair pipeline references it on THREE plan branches (the
+    * per-doc norms and both posting-list join sides): compute it once,
+    * `.persist()` it, and use [[tfidfCosinePairsFromWeights]] when the
+    * corpus is large. */
+  def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double = 0.5): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
@@ -98,11 +109,18 @@ object TrainingData {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(dfRel, "tok").crossJoin(broadcast(n))
+    tf.join(dfRel, "tok").crossJoin(broadcast(n))
       .filter(col("df") <= col("n_docs") * lit(maxDfFraction))
       .select(col("doc_id"), col("tok"),
         (col("tf") * round(log(col("n_docs").cast("double") / col("df")) * 1000)
           .cast("long")).as("w"))
+  }
+
+  /** [[tfidfCosinePairs]] over a pre-computed (ideally persisted)
+    * weight relation from [[tfidfWeights]]. */
+  def tfidfCosinePairsFromWeights(weights: DataFrame,
+      threshold: Double): DataFrame = {
+    val w = weights.toDF("doc_id", "tok", "w")
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     w.as("a").join(w.as("b"),

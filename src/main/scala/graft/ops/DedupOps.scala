@@ -333,9 +333,18 @@ object DedupOps {
     * [[graft.api.TrainingData.tfidfCosinePairs]] (see there for the
     * integer-quantized determinism design and the df stopword cut). */
   def x26hTfidfNearDup(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.tfidfCosinePairs(
-      t(s, d, "documents"), "doc_id", "text", 0.8, 0.5)
+    graft.api.TrainingData.tfidfCosinePairsFromWeights(
+      persistTfidfWeights(s, d), 0.8)
       .orderBy(col("d1"), col("d2"))
+
+  // the quantized tf·idf weight relation: the pair pipeline references it
+  // on three branches (norms + both posting-list join sides), so the
+  // tokenize→tf→df→idf build is paid once per app/dir, not per branch
+  @transient private val tfidfCache = newCache
+  private def persistTfidfWeights(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(tfidfCache, s, d)(
+      graft.api.TrainingData.tfidfWeights(
+        t(s, d, "documents"), "doc_id", "text", 0.5).persist())
 
   /** X25 — incremental-ingest exact dedup: a simulated re-crawl (every
     * fifth corpus doc re-keyed as a new id) unioned with genuinely new
