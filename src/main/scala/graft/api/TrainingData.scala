@@ -446,6 +446,42 @@ object TrainingData {
     docs.filter(
       hashUnit(concat(col(idCol).cast("string"), lit("#w"))) < col(weightCol))
 
+  /** X39 — deterministic corpus MIXTURE by token budget: sample each
+    * source so its expected token contribution is `weight ×
+    * budgetTokens` (capped at the source's full size) — the data-mixing
+    * step that turns per-domain weights ("50% web, 30% code, 20%
+    * papers") into a concrete kept set. Per-source keep probability is
+    * `p_s = min(1, weight_s · budget / tokens_s)` from ONE token
+    * aggregation broadcast back; the keep decision is the
+    * content-addressed unit coordinate (salted `"#mix"`, independent of
+    * the other samplers), so the mixture is stable across runs and
+    * partitioning, NESTED in the budget (a larger budget keeps a
+    * superset), and embarrassingly parallel — one aggregation plus a
+    * pure row filter, no per-source shuffles. Sources absent from
+    * `weights` get weight 0 and are dropped. Output: (id, source,
+    * n_tokens) of the kept documents. */
+  def mixByTokenBudget(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    weights.foreach { case (s, w) =>
+      require(w >= 0 && w <= 1, s"mixture weight out of [0,1]: $s -> $w")
+    }
+    val toks = docs.select(col(sourceCol), col(idCol),
+      size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
+    val w = weights.foldLeft(lit(0.0): Column) { case (other, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(other)
+    }
+    // strata cardinality is small by construction (domains/sources) —
+    // same unconditional broadcast contract as topFractionByStrata
+    toks.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("p", least(lit(1.0), w * lit(budgetTokens.toDouble) / col("tot")))
+      .filter(hashUnit(concat(col(idCol).cast("string"), lit("#mix"))) < col("p"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
+
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (the
     * corpus-rebalancing op — e.g. downsample a dominant language while
     * keeping rare ones whole). Strata absent from `percents` keep

@@ -125,7 +125,19 @@ object SamplingOps {
         array_join(transform(col("doc_ids"), _.cast("string")), ","))
       .orderBy(col("bin"))
 
+  /** X39 — deterministic corpus mixture: 50/30/20 token-weighted blend
+    * of three sources at a 2000-token budget. Fixture binding of
+    * [[graft.api.TrainingData.mixByTokenBudget]]; the per-source keep
+    * probability AND the salted unit coordinate are replayed by the
+    * oracle, so the kept mixture SET is checked, not just its size. */
+  def x39Mix(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mixByTokenBudget(
+      t(s, d, "documents"), "source", "doc_id", "text",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_mix" -> (x39Mix _),
     "x31_split" -> (x31Split _),
     "x32c_pack_bins" -> (x32cPackBins _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
@@ -160,6 +172,25 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // full mixture replay: per-source token totals, the capped keep
+    // probability p = min(1, w·budget/tot) (identical double promotion
+    // chain in both engines), and the '#mix'-salted 16-bit coordinate
+    "x39_mix" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM toks GROUP BY 1),
+         |probs AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens,
+         |    least(1.0, (CASE WHEN t.source = 'src0' THEN 0.5
+         |                     WHEN t.source = 'src1' THEN 0.3
+         |                     WHEN t.source = 'src2' THEN 0.2
+         |                     ELSE 0.0 END * 2000.0) / tot) AS p
+         |  FROM toks t JOIN tot ON t.source = tot.source)
+         |SELECT doc_id, source, n_tokens FROM probs
+         |WHERE CAST(${hash16Sql("(CAST(doc_id AS VARCHAR) || '#mix')")} AS DOUBLE) / 65536.0 < p
+         |ORDER BY doc_id""".stripMargin,
     // exact replay of the unit coordinate (16-bit/65536 is a dyadic
     // rational — both engines' doubles represent it exactly) and the
     // weight comparison, so the kept SET is checked; the '#w' salt is

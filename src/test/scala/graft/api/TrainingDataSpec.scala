@@ -653,6 +653,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(keptIds(rows) == kept) // deterministic across evaluations
   }
 
+  test("mixByTokenBudget hits token targets in expectation, nested in the budget") {
+    // 200 docs in two sources, ~10 tokens each ⇒ source totals ≈ 1000
+    val docs = spark.range(0, 200).select(
+      col("id"),
+      when(col("id") % 2 === 0, "web").otherwise("code").as("src"),
+      lit("a b c d e f g h i j").as("body"))
+    def mix(budget: Long) = TrainingData.mixByTokenBudget(
+      docs, "src", "id", "body", Map("web" -> 0.8, "code" -> 0.2), budget)
+    val kept = mix(500L)
+    // targets: web 400 of ~1000 (p≈0.4), code 100 of ~1000 (p≈0.1);
+    // deterministic, so the loose 3σ-style bounds either always hold or
+    // never do
+    val byShare = kept.groupBy(col("src")).agg(sum(col("n_tokens")).as("tk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byShare.getOrElse("web", 0L) > 150 && byShare("web") < 650, byShare.toString)
+    assert(byShare.getOrElse("code", 0L) > 10 && byShare("code") < 250, byShare.toString)
+    // nested: a larger budget keeps a superset (same coordinate, higher p)
+    val small = kept.select("id").as[Long].collect().toSet
+    val large = mix(1500L).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+    // a source with no weight contributes nothing
+    val only = TrainingData.mixByTokenBudget(
+      docs, "src", "id", "body", Map("web" -> 1.0), 10000L)
+    assert(only.filter(col("src") === "code").count() == 0)
+    // weight 1 × budget ≥ total ⇒ the whole source is kept (p caps at 1)
+    assert(only.filter(col("src") === "web").count() == 100)
+  }
+
   test("topFractionByStrata exact=false stays within the GK sketch's rank-error bound") {
     // the bounded-memory path (approx_percentile) is the one that
     // survives billions of distinct scores per stratum; assert its kept
