@@ -482,6 +482,45 @@ object TrainingData {
       .select(col(idCol), col(sourceCol), col("n_tokens"))
   }
 
+  /** [[mixByTokenBudget]] WITHOUT the p ≤ 1 cap: a source whose token
+    * target exceeds its size is REPLICATED — every document appears
+    * `floor(p)` times and once more when its unit coordinate falls under
+    * `frac(p)`, so the expected contribution is exactly `weight ×
+    * budgetTokens` even above 1 epoch (the "3 epochs of Wikipedia"
+    * mechanism of published data recipes). Output adds an `epoch`
+    * column (0-based copy index) for downstream shuffling/interleaving;
+    * expected copies per doc = p, deterministic in the same salted
+    * coordinate as [[mixByTokenBudget]] (at p ≤ 1 the kept id set is
+    * identical — the cap only changes whether extra epochs exist). The
+    * replication is a row-local `explode(sequence(...))` after the same
+    * single broadcast aggregation — still no per-source shuffle. */
+  def mixByTokenBudgetReplicated(docs: DataFrame, sourceCol: String,
+      idCol: String, textCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    weights.foreach { case (s, w) =>
+      require(w >= 0, s"mixture weight must be >= 0: $s -> $w")
+    }
+    val toks = docs.select(col(sourceCol), col(idCol),
+      size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
+    val w = weights.foldLeft(lit(0.0): Column) { case (other, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(other)
+    }
+    toks.join(broadcast(totals), Seq(sourceCol))
+      .withColumn("p", w * lit(budgetTokens.toDouble) / col("tot"))
+      .withColumn("n_copies",
+        floor(col("p")).cast("long") +
+          when(hashUnit(concat(col(idCol).cast("string"), lit("#mix"))) <
+            col("p") - floor(col("p")), 1L).otherwise(0L))
+      // sequence(0, -1) would default to step -1, so the zero-copy rows
+      // must be gone before the explode
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+  }
+
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (the
     * corpus-rebalancing op — e.g. downsample a dominant language while
     * keeping rare ones whole). Strata absent from `percents` keep

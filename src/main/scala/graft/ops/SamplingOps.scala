@@ -136,8 +136,19 @@ object SamplingOps {
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
       .orderBy(col("doc_id"))
 
+  /** X39 — replicated mixture: src0 at ~2.4 expected epochs, src1 just
+    * above 1 — the upsampling path ("3 epochs of Wikipedia"). Fixture
+    * binding of [[graft.api.TrainingData.mixByTokenBudgetReplicated]];
+    * epoch counts and the fractional-epoch coordinate are replayed. */
+  def x39bMixReplicated(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mixByTokenBudgetReplicated(
+      t(s, d, "documents"), "source", "doc_id", "text",
+      Map("src0" -> 0.7, "src1" -> 0.3), 5000L)
+      .orderBy(col("doc_id"), col("epoch"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_mix" -> (x39Mix _),
+    "x39b_mix_replicated" -> (x39bMixReplicated _),
     "x31_split" -> (x31Split _),
     "x32c_pack_bins" -> (x32cPackBins _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
@@ -191,6 +202,31 @@ object SamplingOps {
          |SELECT doc_id, source, n_tokens FROM probs
          |WHERE CAST(${hash16Sql("(CAST(doc_id AS VARCHAR) || '#mix')")} AS DOUBLE) / 65536.0 < p
          |ORDER BY doc_id""".stripMargin,
+    // the uncapped twin: floor(p) whole epochs per doc plus one more when
+    // the salted coordinate falls under frac(p); p > 0 so floor == trunc
+    // and both engines' floor agree exactly
+    "x39b_mix_replicated" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM toks GROUP BY 1),
+         |probs AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens,
+         |    ((CASE WHEN t.source = 'src0' THEN 0.7
+         |           WHEN t.source = 'src1' THEN 0.3
+         |           ELSE 0.0 END * 5000.0) / tot) AS p
+         |  FROM toks t JOIN tot ON t.source = tot.source),
+         |copies AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(floor(p) AS BIGINT) +
+         |      (CASE WHEN CAST(${hash16Sql("(CAST(doc_id AS VARCHAR) || '#mix')")} AS DOUBLE) / 65536.0
+         |            < p - floor(p) THEN 1 ELSE 0 END) AS n_copies
+         |  FROM probs)
+         |SELECT doc_id, source, n_tokens,
+         | CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+         |FROM copies WHERE n_copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
     // exact replay of the unit coordinate (16-bit/65536 is a dyadic
     // rational — both engines' doubles represent it exactly) and the
     // weight comparison, so the kept SET is checked; the '#w' salt is

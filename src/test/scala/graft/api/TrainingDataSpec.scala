@@ -681,6 +681,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(only.filter(col("src") === "web").count() == 100)
   }
 
+  test("mixByTokenBudgetReplicated upsamples past one epoch, agrees with the capped mix below") {
+    val docs = spark.range(0, 100).select(
+      col("id"),
+      when(col("id") % 2 === 0, "wiki").otherwise("web").as("src"),
+      lit("a b c d e f g h i j").as("body")) // 500 tokens per source
+    // wiki target 1500 of 500 ⇒ p = 3: every doc exactly 3 epochs
+    // web target 250 of 500 ⇒ p = 0.5: downsampled, epoch 0 only
+    val out = TrainingData.mixByTokenBudgetReplicated(
+      docs, "src", "id", "body", Map("wiki" -> 0.75, "web" -> 0.125), 2000L)
+    val wiki = out.filter(col("src") === "wiki")
+    assert(wiki.count() == 150) // 50 docs × exactly 3 copies (frac(p) = 0)
+    assert(wiki.groupBy(col("id")).count().filter(col("count") =!= 3).count() == 0)
+    assert(wiki.agg(max(col("epoch"))).first().getLong(0) == 2)
+    val web = out.filter(col("src") === "web")
+    assert(web.agg(max(col("epoch"))).first().getLong(0) == 0)
+    // below one epoch the replicated form keeps EXACTLY the capped mix's ids
+    val capped = TrainingData.mixByTokenBudget(
+        docs, "src", "id", "body", Map("web" -> 0.125), 2000L)
+      .select("id").as[Long].collect().toSet
+    assert(web.select("id").as[Long].collect().toSet == capped)
+  }
+
   test("topFractionByStrata exact=false stays within the GK sketch's rank-error bound") {
     // the bounded-memory path (approx_percentile) is the one that
     // survives billions of distinct scores per stratum; assert its kept
