@@ -147,6 +147,16 @@ class PlanSpec extends SparkSpec {
     assert(joins.size == 1 && joins.head.contains("FullOuter"), p)
   }
 
+  test("x39 mixture is one aggregation broadcast back — no per-source shuffle of the corpus") {
+    val p = plan("x39_mix")
+    // the totals attach via broadcast, and the only exchanges are the
+    // totals aggregation's own plus the fixture's result ordering — the
+    // corpus row stream itself is never reshuffled by source
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(treeCount(p, "Exchange") <= 3, p)
+  }
+
   test("oracle-checked queries emit scalar columns only (driver comparator contract)") {
     // the driver's DuckDB comparator lexsorts every column in pandas;
     // array/map/struct cells are unhashable there and crash the gate
