@@ -6,6 +6,7 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
 """
 import sys, os, json, glob
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -27,8 +28,6 @@ def norm_cell(v):
         return float(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
     return v
 
 
@@ -71,7 +70,6 @@ def main():
         # unhashable numpy arrays there and crash it (CORRECTNESS_r05
         # x32c err). Emulate that as a hard FAIL instead of silently
         # tuple-izing like norm_cell used to.
-        import pyarrow as pa
         nested = [f"{side}:{f.name}" for side, t2 in (("spark", got), ("oracle", want))
                   for f in t2.schema if pa.types.is_nested(f.type)]
         if nested:

@@ -72,8 +72,13 @@ object Bench {
     println(line)
     // durability: the driver captures a bounded stdout tail, which has
     // truncated a third of the per-query map in past rounds — the same
-    // line on disk keeps every query round-over-round auditable
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    // line on disk keeps every query round-over-round auditable. Best
+    // effort: an unwritable cwd must not flip a fully-green bench to a
+    // nonzero exit after the stdout line already went out
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json not written: ${e.getMessage}") }
     spark.stop()
   }
 }

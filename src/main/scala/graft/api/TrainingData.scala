@@ -213,19 +213,29 @@ object TrainingData {
     * on `shh`, so the result EQUALS [[contaminationPairs]] — same oracle.
     *
     * The probe shingle relation is referenced three times (count, Bloom
-    * build, verify join), so it is persisted here for the call's
-    * lifetime — tokenize+shingle+hash runs once, not per branch (the r5
-    * bench paid it 3×). It is the small side by construction (an
-    * eval/benchmark set); MEMORY_AND_DISK, evictable, and a caller
-    * cycling many probe sets can reclaim with
-    * `spark.catalog.clearCache()`. */
+    * build, verify join) — pass a PERSISTED relation to
+    * [[contaminationPairsBloomFromShingles]] so tokenize+shingle+hash
+    * runs once, not per branch (the r5 bench paid it 3×); this one-shot
+    * form builds the relations inline and leaves caching to the caller
+    * (persisting internally would stack a new cached copy per call). */
   def contaminationPairsBloom(corpus: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, threshold: Double,
+      fpp: Double = 0.01): DataFrame =
+    contaminationPairsBloomFromShingles(
+      shingles(corpus, idCol, textCol),
+      shingles(probes, idCol, textCol), threshold, fpp)
+
+  /** [[contaminationPairsBloom]] over pre-computed `(id, shh)` shingle
+    * relations — the probe side should be persisted (it is scanned for
+    * the count, the Bloom build, and the verify join; it is the small
+    * side by construction — an eval/benchmark set). */
+  def contaminationPairsBloomFromShingles(corpusShingles: DataFrame,
+      probeShingles: DataFrame, threshold: Double,
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.classic.GraftBridge
     import org.apache.spark.sql.types.BinaryType
-    val ps = shingles(probes, idCol, textCol).toDF("probe_id", "shh").persist()
+    val ps = probeShingles.toDF("probe_id", "shh")
     val nShingles = math.max(ps.count(), 1L)
     val bf = ps.stat.bloomFilter("shh", nShingles, fpp)
     val bytes = {
@@ -238,7 +248,7 @@ object TrainingData {
     // hash pair, so build and probe agree by construction.
     val mightContain = GraftBridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType), GraftBridge.expression(col("shh"))))
-    val cs = shingles(corpus, idCol, textCol).toDF("corpus_id", "shh")
+    val cs = corpusShingles.toDF("corpus_id", "shh")
       .filter(mightContain)
     containmentFromShingles(cs, ps, threshold)
   }
