@@ -892,6 +892,31 @@ object TrainingData {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic GLOBAL SHUFFLE layout — the dataloader-order step
+    * between curation and packing: rows are written ordered by a
+    * content-addressed pseudo-random permutation (the 16-bit coordinate
+    * over `id + "#shuf"`, ties broken by id), so source/crawl-order
+    * correlation between neighboring training examples is broken the
+    * same way on every run, engine, and partitioning — unlike
+    * `orderBy(rand())`, which re-rolls per execution. Scale shape is
+    * [[saveZOrdered]]'s: one range partitioning on the shuffle key + a
+    * local sort per shard — no global single-partition sort, and shard
+    * index = position in the global order, so a loader streaming shards
+    * in name order sees the full permutation. */
+  def saveShuffled(df: DataFrame, idCol: String, path: String,
+      numShards: Int = 0): Unit = {
+    require(!df.columns.contains("__shuf"),
+      "saveShuffled uses a helper column named __shuf; rename yours first")
+    val parts = if (numShards > 0) numShards
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.withColumn("__shuf",
+        hash16(concat(col(idCol).cast("string"), lit("#shuf"))))
+      .repartitionByRange(parts, col("__shuf"), col(idCol))
+      .sortWithinPartitions(col("__shuf"), col(idCol))
+      .drop("__shuf")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** JSON-Lines export — the interchange format most training stacks
     * ingest: one JSON object per line, gzip-compressed shards sized by
     * `numShards` (0 ⇒ keep the input partitioning; each task writes one

@@ -802,6 +802,30 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("saveShuffled writes the content-addressed permutation, stable across writes") {
+    // reference coordinate, recomputed independently of the library: the
+    // 16-bit value of sha256(id + "#shuf")'s first 4 hex chars
+    def coord(id: Long): Int =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$id#shuf".getBytes("UTF-8")).take(2)
+        .foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
+    val rows = spark.range(0, 400).select(col("id"), (col("id") * 2).as("v"))
+    val expected = (0L until 400L).sortBy(i => (coord(i), i)).toSeq
+    def writeAndRead(): Seq[Long] = {
+      val out = java.nio.file.Files.createTempDirectory("shuf").toString
+      TrainingData.saveShuffled(rows, "id", out, numShards = 4)
+      // shard index = global position: stream files in name order
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+      files.toSeq.flatMap(f =>
+        spark.read.parquet(f).select("id").as[Long].collect().toSeq)
+    }
+    val got = writeAndRead()
+    assert(got == expected) // full permutation, in coordinate order
+    assert(got != got.sorted) // and it actually shuffles
+    assert(writeAndRead() == got) // byte-stable across runs
+  }
+
   test("redactPii replaces emails, urls, and digit runs with placeholders") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org today"),
