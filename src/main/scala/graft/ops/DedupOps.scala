@@ -42,22 +42,9 @@ object DedupOps {
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingle_hashes(col("text"), 3)).as("shh"))
 
-  // Shared relations cached per (application, SF dir): keyed caching
-  // avoids the single-slot hazard of unpersisting a relation a concurrent
-  // or lazily-built query still needs, and the application-id component
-  // keeps a relation bound to a stopped session from leaking into a new
-  // one (entries under other — i.e. stopped — app ids are evicted on each
-  // access; one live app per JVM in practice).
-  private type RelCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]
-  private def newCache: RelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def cachedPerApp(cache: RelCache, s: SparkSession, d: String)(
-      build: => DataFrame): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    cache.keys.filter(_._1 != appId).foreach(cache.remove)
-    cache.getOrElseUpdate((appId, d), build)
-  }
+  // Shared relations cached per (application, SF dir) — see PerAppCache
+  // for the keying rationale.
+  import PerAppCache.{newCache, cachedPerApp}
 
   // the (doc_id, shh) shingle relation: each query reuses it on 2-3 plan
   // branches, and x26/x26b share it (~100k rows each at fixture SF)

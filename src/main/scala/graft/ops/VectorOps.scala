@@ -192,16 +192,28 @@ object VectorOps {
     * n-gram Jaccard dedup): all pairs at cosine ≥ 0.4. Exact quadratic
     * baseline — the SRP-LSH bucketing in [[x27bAnnLsh]] is the 100 TB
     * shape for the same predicate. */
+  // the normed nonzero embedding relation (vec_id, embedding, nrm):
+  // x26d references it on both all-pairs sides and x26f on three branches
+  // (bucketing + both verify attaches) — one persisted copy per app/dir
+  // serves them all
+  @transient private val normedCache = PerAppCache.newCache
+  private def persistNormedEmb(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(normedCache, s, d) {
+      import graft.functions.VectorFunctions.dot_product
+      // norms precomputed per vector: the all-pairs scan pays one dot per
+      // pair instead of dot+2 norms (bit-equal: identical fold order);
+      // zero-norm guard: 0/0 would be NaN, which Spark's ordering treats
+      // as greater than any double and the >= filter would pass
+      // (cosine_sim returns NULL there; the oracles carry the same guard)
+      t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+          sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0)
+        .persist()
+    }
+
   def x26dEmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    // norms precomputed per vector: the all-pairs scan pays one dot per
-    // pair instead of dot+2 norms (bit-equal: identical fold order)
-    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-      sqrt(dot_product(col("embedding"), col("embedding"))).as("nrm"))
-      // zero-norm guard: 0/0 would be NaN, which Spark's ordering treats as
-      // greater than any double and the >= filter would pass (cosine_sim
-      // returns NULL there; the oracle carries the same guard)
-      .filter(col("nrm") > 0)
+    val e = persistNormedEmb(s, d)
     // stream side widened so the all-pairs scan parallelizes (build side
     // stays as-scanned: equal stats → Spark builds right, streams left)
     fanOut(e).as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -222,8 +234,7 @@ object VectorOps {
     * threshold (the SRP collision curve: p_table = (1 − θ/π)^bits);
     * subset + recall-floor asserted against x26d in LlmOpsSpec. */
   def x26fEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
-    embNearDupLshCore(
-      t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+    embNearDupLshFromNormed(persistNormedEmb(s, d),
       threshold = 0.4, tables = 8, bits = 4)
       .orderBy(col("v1"), col("v2"))
 
@@ -235,9 +246,20 @@ object VectorOps {
   private[graft] def embNearDupLshCore(corpus: DataFrame, threshold: Double,
       tables: Int, bits: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val e = corpus.toDF("vec_id", "embedding")
-      .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
-      .filter(col("nrm") > 0) // zero vectors have no direction, like x26d
+    embNearDupLshFromNormed(
+      corpus.toDF("vec_id", "embedding")
+        .withColumn("nrm", sqrt(dot_product(col("embedding"), col("embedding"))))
+        .filter(col("nrm") > 0), // zero vectors have no direction, like x26d
+      threshold, tables, bits)
+  }
+
+  /** [[embNearDupLshCore]] over a pre-normed (ideally persisted)
+    * `(vec_id, embedding, nrm)` relation — it is referenced on three
+    * plan branches (bucketing + both verify attaches). */
+  private def embNearDupLshFromNormed(normed: DataFrame, threshold: Double,
+      tables: Int, bits: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = normed
     val bucketRows = e.select(col("vec_id").as("doc_id"),
         posexplode(graft.functions.SrpFunctions.srp_buckets(col("embedding"), tables, bits)))
       .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bandkey"))
