@@ -898,23 +898,31 @@ object TrainingData {
     * over `id + "#shuf"`, ties broken by id), so source/crawl-order
     * correlation between neighboring training examples is broken the
     * same way on every run, engine, and partitioning — unlike
-    * `orderBy(rand())`, which re-rolls per execution. Scale shape is
-    * [[saveZOrdered]]'s: one range partitioning on the shuffle key + a
-    * local sort per shard — no global single-partition sort, and shard
-    * index = position in the global order, so a loader streaming shards
-    * in name order sees the full permutation. */
+    * `orderBy(rand())`, which re-rolls per execution.
+    *
+    * Shards are Hive-style `__shard=NNNNN` directories whose membership
+    * is a PURE FUNCTION of the coordinate (`shard = ⌊u·shards/65536⌋` —
+    * equal-width ranges of a uniform hash, so shards balance), NOT
+    * `repartitionByRange`, whose SAMPLED boundaries differ per
+    * materialization once the sampler subsamples — per-shard contents
+    * here are byte-stable run-to-run, not just the concatenated order.
+    * A loader streaming the zero-padded directories in name order sees
+    * the full permutation; no global single-partition sort anywhere. */
   def saveShuffled(df: DataFrame, idCol: String, path: String,
       numShards: Int = 0): Unit = {
-    require(!df.columns.contains("__shuf"),
-      "saveShuffled uses a helper column named __shuf; rename yours first")
+    Seq("__shuf", "__shard").foreach(c => require(!df.columns.contains(c),
+      s"saveShuffled uses a helper column named $c; rename yours first"))
     val parts = if (numShards > 0) numShards
       else df.sparkSession.sparkContext.defaultParallelism
+    require(parts <= 65536, s"shards exceed coordinate resolution: $parts")
     df.withColumn("__shuf",
         hash16(concat(col(idCol).cast("string"), lit("#shuf"))))
-      .repartitionByRange(parts, col("__shuf"), col(idCol))
-      .sortWithinPartitions(col("__shuf"), col(idCol))
+      .withColumn("__shard", format_string("%05d",
+        (col("__shuf").cast("long") * parts / 65536L).cast("int")))
+      .repartition(parts, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__shuf"), col(idCol))
       .drop("__shuf")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
   }
 
   /** JSON-Lines export — the interchange format most training stacks

@@ -74,21 +74,14 @@ object ReplayQueries {
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
 
   // r03 and r04 rank the SAME (event_id, ts) relation: persist the ranked
-  // result per SF dir so the second query reuses the first's sequence
-  // (same keyed-cache pattern as the dedup shingle/pair relations). The
-  // key includes the Spark application id: a cached Dataset is bound to
-  // its session, and a dir-only key would hand a relation from a stopped
-  // session to a new one in the same JVM.
-  @transient private val rankCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-  private def persistEmitRank(s: SparkSession, d: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    rankCache.keys.filter(_._1 != appId).foreach(rankCache.remove) // stale apps
-    rankCache.getOrElseUpdate((appId, d),
+  // result per app/dir so the second query reuses the first's sequence —
+  // the same PerAppCache keying as the dedup shingle/pair relations.
+  @transient private val rankCache = PerAppCache.newCache
+  private def persistEmitRank(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(rankCache, s, d)(
       withEmitRank(t(s, d, "events").select(col("event_id"), col("ts")), d)
         .select(col("event_id"), col("ts"), col("emit_rank"))
         .persist())
-  }
 
   private def withEmitRank(ev: DataFrame, dir: String): DataFrame = {
     // capped like TrainingData.packSequences: 1024-way is ample rank

@@ -811,19 +811,27 @@ class TrainingDataSpec extends SparkSpec {
         .foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
     val rows = spark.range(0, 400).select(col("id"), (col("id") * 2).as("v"))
     val expected = (0L until 400L).sortBy(i => (coord(i), i)).toSeq
-    def writeAndRead(): Seq[Long] = {
+    // per-shard ROW LISTS, shards in directory-name order: membership is
+    // a pure function of the coordinate (not sampled boundaries), so the
+    // whole structure — not just the concatenation — must be run-stable
+    def writeAndRead(): Seq[(String, Seq[Long])] = {
       val out = java.nio.file.Files.createTempDirectory("shuf").toString
       TrainingData.saveShuffled(rows, "id", out, numShards = 4)
-      // shard index = global position: stream files in name order
-      val files = new java.io.File(out).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
-      files.toSeq.flatMap(f =>
-        spark.read.parquet(f).select("id").as[Long].collect().toSeq)
+      val shardDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__shard="))
+        .map(_.toString).sorted
+      shardDirs.toSeq.map(dir => dir.split('=').last ->
+        spark.read.parquet(dir).select("id").as[Long].collect().toSeq)
     }
     val got = writeAndRead()
-    assert(got == expected) // full permutation, in coordinate order
-    assert(got != got.sorted) // and it actually shuffles
-    assert(writeAndRead() == got) // byte-stable across runs
+    // expected shard split: equal-width ranges of the 16-bit coordinate
+    val expectedShards = expected.groupBy(i => coord(i) * 4 / 65536).toSeq
+      .sortBy(_._1).map { case (s, ids) => f"$s%05d" -> ids }
+    assert(got == expectedShards) // membership AND in-shard order, per shard
+    val flat = got.flatMap(_._2)
+    assert(flat == expected) // streaming shards in name order = the permutation
+    assert(flat != flat.sorted) // and it actually shuffles
+    assert(writeAndRead() == got) // the whole shard structure is run-stable
   }
 
   test("redactPii replaces emails, urls, and digit runs with placeholders") {
