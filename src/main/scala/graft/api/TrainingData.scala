@@ -468,8 +468,9 @@ object TrainingData {
     * partitioning, NESTED in the budget (a larger budget keeps a
     * superset), and embarrassingly parallel — one aggregation plus a
     * pure row filter, no per-source shuffles. Sources absent from
-    * `weights` get weight 0 and are dropped. Output: (id, source,
-    * n_tokens) of the kept documents. */
+    * `weights` get weight 0 and are dropped. Output: every input
+    * column plus `n_tokens`, so the kept mixture composes directly
+    * with packing/layout downstream. */
   def mixByTokenBudget(docs: DataFrame, sourceCol: String, idCol: String,
       textCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
@@ -477,9 +478,8 @@ object TrainingData {
     weights.foreach { case (s, w) =>
       require(w >= 0 && w <= 1, s"mixture weight out of [0,1]: $s -> $w")
     }
-    val toks = docs.select(col(sourceCol), col(idCol),
-      size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-        .cast("long").as("n_tokens"))
+    val toks = docs.withColumn("n_tokens",
+      size(filter(split(lower(col(textCol)), " "), t => t =!= "")).cast("long"))
     val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
     val w = weights.foldLeft(lit(0.0): Column) { case (other, (s, wt)) =>
       when(col(sourceCol) === s, lit(wt)).otherwise(other)
@@ -489,7 +489,7 @@ object TrainingData {
     toks.join(broadcast(totals), Seq(sourceCol))
       .withColumn("p", least(lit(1.0), w * lit(budgetTokens.toDouble) / col("tot")))
       .filter(hashUnit(concat(col(idCol).cast("string"), lit("#mix"))) < col("p"))
-      .select(col(idCol), col(sourceCol), col("n_tokens"))
+      .select(docs.columns.map(col) :+ col("n_tokens"): _*)
   }
 
   /** [[mixByTokenBudget]] WITHOUT the p ≤ 1 cap: a source whose token
@@ -497,13 +497,14 @@ object TrainingData {
     * `floor(p)` times and once more when its unit coordinate falls under
     * `frac(p)`, so the expected contribution is exactly `weight ×
     * budgetTokens` even above 1 epoch (the "3 epochs of Wikipedia"
-    * mechanism of published data recipes). Output adds an `epoch`
-    * column (0-based copy index) for downstream shuffling/interleaving;
-    * expected copies per doc = p, deterministic in the same salted
-    * coordinate as [[mixByTokenBudget]] (at p ≤ 1 the kept id set is
-    * identical — the cap only changes whether extra epochs exist). The
-    * replication is a row-local `explode(sequence(...))` after the same
-    * single broadcast aggregation — still no per-source shuffle. */
+    * mechanism of published data recipes). Output: every input column
+    * plus `n_tokens` and an `epoch` (0-based copy index) for downstream
+    * shuffling/interleaving; expected copies per doc = p, deterministic
+    * in the same salted coordinate as [[mixByTokenBudget]] (at p ≤ 1
+    * the kept id set is identical — the cap only changes whether extra
+    * epochs exist). The replication is a row-local
+    * `explode(sequence(...))` after the same single broadcast
+    * aggregation — still no per-source shuffle. */
   def mixByTokenBudgetReplicated(docs: DataFrame, sourceCol: String,
       idCol: String, textCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
@@ -511,9 +512,8 @@ object TrainingData {
     weights.foreach { case (s, w) =>
       require(w >= 0, s"mixture weight must be >= 0: $s -> $w")
     }
-    val toks = docs.select(col(sourceCol), col(idCol),
-      size(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-        .cast("long").as("n_tokens"))
+    val toks = docs.withColumn("n_tokens",
+      size(filter(split(lower(col(textCol)), " "), t => t =!= "")).cast("long"))
     val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
     val w = weights.foldLeft(lit(0.0): Column) { case (other, (s, wt)) =>
       when(col(sourceCol) === s, lit(wt)).otherwise(other)
@@ -527,8 +527,8 @@ object TrainingData {
       // sequence(0, -1) would default to step -1, so the zero-copy rows
       // must be gone before the explode
       .filter(col("n_copies") > 0)
-      .select(col(idCol), col(sourceCol), col("n_tokens"),
-        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      .select(docs.columns.map(col) :+ col("n_tokens") :+
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"): _*)
   }
 
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (the

@@ -134,6 +134,7 @@ object SamplingOps {
     graft.api.TrainingData.mixByTokenBudget(
       t(s, d, "documents"), "source", "doc_id", "text",
       Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
       .orderBy(col("doc_id"))
 
   /** X39 — replicated mixture: src0 at ~2.4 expected epochs, src1 just
@@ -144,6 +145,7 @@ object SamplingOps {
     graft.api.TrainingData.mixByTokenBudgetReplicated(
       t(s, d, "documents"), "source", "doc_id", "text",
       Map("src0" -> 0.7, "src1" -> 0.3), 5000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -26,20 +26,32 @@ class PipelineSpec extends SparkSpec {
     val canon = TrainingData.exactDedup(q, "doc_id", "text")
       .select(col("canonical_id").as("doc_id"))
     val deduped = q.join(canon, Seq("doc_id"), "left_semi")
-    // 3. deterministic 90/10 split
-    val split = TrainingData.deterministicSplit(deduped, "doc_id",
+    // 3. token-weighted source mixture at ~60% of the curated corpus
+    //    (the mixture passes every input column through, so the chain
+    //    continues with `text` intact)
+    import spark.implicits._
+    val srcs = deduped.select("source").distinct().as[String].collect()
+    val curTokens = deduped.select(
+        size(split_part_tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).first().getLong(0)
+    val mixed = TrainingData.mixByTokenBudget(deduped, "source", "doc_id",
+      "text", srcs.map(_ -> 1.0 / srcs.length).toMap, curTokens * 6 / 10)
+    // 4. deterministic 90/10 split
+    val split = TrainingData.deterministicSplit(mixed, "doc_id",
       Seq(("train", 90), ("val", 10)))
-    // 4. pack the train split at a 2048-token budget
+    // 5. pack the train split at a 2048-token budget
     val train = split.filter(col("split") === "train")
     val packed = TrainingData.packSequences(train, "doc_id", "text", 2048L)
 
     // row conservation at every stage
     val nQ = q.count()
     val nDeduped = deduped.count()
+    val nMixed = mixed.count()
     val nTrain = train.count()
     assert(nQ <= nDocs && nQ > 0)
     assert(nDeduped <= nQ && nDeduped > 0)
-    assert(split.count() == nDeduped)
+    assert(nMixed <= nDeduped && nMixed > 0)
+    assert(split.count() == nMixed)
     assert(packed.count() == nTrain)
 
     // token conservation: the packing assigns every train token exactly once
