@@ -41,6 +41,16 @@ object SparkEntry {
     modules.map(_._1).reduce(_ ++ _)
   }
 
+  /** The queries DECLARED to have no DuckDB oracle — each a sketch whose
+    * internal state IS the algorithm (different sketch parameters across
+    * engines make equality meaningless; see ORACLES.md §8). Every entry
+    * carries a spec bounding it against its exact twin (LlmOpsSpec /
+    * FunctionsSpec). Closed list: a new query missing from BOTH this set
+    * and oracleSql fails registration below, so an oracle can't be
+    * forgotten silently. */
+  val rowsOnlyByDesign: Set[String] =
+    Set("q08d_approx_percentiles", "q09_approx_distinct", "x28m_heavy_hitters")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   lazy val oracleSql: Map[String, String] = {
@@ -50,6 +60,12 @@ object SparkEntry {
     val orphans = sql.keySet -- queries.keySet
     require(orphans.isEmpty,
       s"oracles without a registered query: ${orphans.mkString(", ")}")
+    val unoracled = queries.keySet -- sql.keySet -- rowsOnlyByDesign
+    require(unoracled.isEmpty,
+      s"queries with neither an oracle nor a rows-only declaration: ${unoracled.mkString(", ")}")
+    val shadowed = rowsOnlyByDesign intersect sql.keySet
+    require(shadowed.isEmpty,
+      s"declared rows-only but an oracle exists: ${shadowed.mkString(", ")}")
     sql
   }
 }
