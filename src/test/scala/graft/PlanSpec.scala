@@ -157,6 +157,15 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Exchange") <= 3, p)
   }
 
+  test("x39b replication is a row-local explode — no extra shuffle beyond x39's") {
+    val p = plan("x39b_mix_replicated")
+    // epoch fan-out must plan as Generate over the filtered rows, not a
+    // join or a shuffle
+    assert(p.linesIterator.exists(_.contains("Generate")), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(treeCount(p, "Exchange") <= 3, p)
+  }
+
   test("oracle-checked queries emit scalar columns only (driver comparator contract)") {
     // the driver's DuckDB comparator lexsorts every column in pandas;
     // array/map/struct cells are unhashable there and crash the gate
