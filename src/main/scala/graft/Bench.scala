@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +15,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // replay-path throughput (the reference's actual capability) gets the
+    // same per-round regression visibility as the SQL surface: a bounded
+    // 1M-event pass through scan→parse→order→schedule→sink, persisted as
+    // its own artifact. FIRST, on a fresh heap: measured after the
+    // 93-query sweep the same pass reads 23k ev/s vs 155k standalone —
+    // a 12g heap full of sweep tenure throttles the sort, and the replay
+    // figure must track the replay code, not the sweep's litter. (Its
+    // cold pass doubles as the JVM/codegen warm-up the sweep wants.)
+    // Best-effort: a replay hiccup must not kill the query sweep
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val replayLine = graft.tools.ReplayBench.runOn(spark, 1000000L)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("replay_bench.json"), replayLine + "\n")
+      System.err.println(s"[bench] replay: $replayLine")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] replay_bench.json not written: ${e.getMessage}") }
     // warm-up: JVM/codegen/parquet-reader startup AND the OS page cache for
     // EVERY table — otherwise first-touch I/O is billed to whichever query
     // happens to scan a table first (Map iteration order), making
@@ -38,12 +56,31 @@ object Bench {
       n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name")).agg(count(lit(1))).foreach(_ => ())
     } catch { case _: Throwable => () }
-    // two timed executions per query, min reported: this box shows
-    // intermittent hypervisor steal (vmstat st spikes) that lands 1-5 s on
-    // whichever query is running; the min of two runs is the steady-state
-    // latency of the plan, which is the number that is comparable
-    // round-over-round and across scale factors
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // noise canary: one fixed cheap plan (scan + hash agg on lineitem) timed
+    // at the start, middle, and end of the sweep. On a quiet machine the
+    // three times are near-identical; hypervisor steal / memory pressure
+    // during the sweep shows up as a spread between them, making a swing on
+    // unchanged queries classifiable from this artifact alone
+    def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try graft.Tables.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(lit(1))).foreach(_ => ())
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = scala.collection.mutable.ArrayBuffer[Double](canaryOnce())
+
+    // two timed executions per query; BOTH timings are published (steal on
+    // this box lands 1-5 s on whichever query is running — a tight [t1,t2]
+    // pair means the cost is real, a wide pair means environment), and the
+    // min over successful runs remains the steady-state headline number
+    // comparable round-over-round and across scale factors
+    val qseq = SparkEntry.queries.toSeq
+    val mid = qseq.size / 2
+    val results = qseq.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == mid) canary += canaryOnce()
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -58,17 +95,29 @@ object Bench {
       // any tool that sums or diffs the timings
       val runs = Seq(once(), once())
       val good = runs.filter(_._2).map(_._1)
-      name -> good.minOption
+      (name, good.minOption, runs)
     }
-    val timed = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }.toSeq.sorted
-    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
+    canary += canaryOnce()
+
+    def fmt(v: Double): String = (math.round(v * 10000) / 10000.0).toString
+    val timed = results.collect { case (k, Some(v), _) => k -> v }
+    val failed = results.collect { case (k, None, _) => k }.sorted
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // raw per-attempt pairs, success or not (failures also appear under
+    // "errors"); the artifact the round notes attribute swings from
+    val pairs = results.map { case (k, _, runs) =>
+      "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\":\"failed both runs\"")
       .mkString("{", ",", "}")
-    val total = if (timed.nonEmpty) timed.values.sum else 0.0
+    val canaryJson = canary.map(fmt).mkString("[", ",", "]")
+    // "value" sums only the queries that ran — with n_failed published next
+    // to it so a round with failures is never read as a speedup when
+    // diffing totals across differing query sets
+    val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_failed":${failed.size},"queries":$qs,"timings":$pairs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // durability: the driver captures a bounded stdout tail, which has
     // truncated a third of the per-query map in past rounds — the same
@@ -79,6 +128,10 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json not written: ${e.getMessage}") }
+
+    // release the sweep's cached fixture relations before exit (and as a
+    // footprint bound for any embedder that keeps the JVM alive)
+    graft.ops.PerAppCache.evictAll()
     spark.stop()
   }
 }

@@ -49,7 +49,8 @@ object SparkEntry {
     * and oracleSql fails registration below, so an oracle can't be
     * forgotten silently. */
   val rowsOnlyByDesign: Set[String] =
-    Set("q08d_approx_percentiles", "q09_approx_distinct", "x28m_heavy_hitters")
+    Set("q08d_approx_percentiles", "q09_approx_distinct", "x28m_heavy_hitters",
+      "x31g_quality_cut_approx")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -48,7 +48,9 @@ object TrainingData {
     * corpus-sized relation is a driver OOM at scale). */
   def nearDupPairsFromShingles(shingles: DataFrame, threshold: Double,
       pruneSingletons: Boolean = false): DataFrame = {
-    val sh = shingles.toDF("doc_id", "shh")
+    // by name, not positional: a mis-shaped input fails analysis instead
+    // of silently producing wrong pairs
+    val sh = shingles.select(col("doc_id"), col("shh"))
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
     // optional singleton prune: a shingle held by ONE doc cannot produce a
     // pair, and on a real text corpus most shingles ARE singletons — the
@@ -120,7 +122,10 @@ object TrainingData {
     * weight relation from [[tfidfWeights]]. */
   def tfidfCosinePairsFromWeights(weights: DataFrame,
       threshold: Double): DataFrame = {
-    val w = weights.toDF("doc_id", "tok", "w")
+    // select by NAME, not toDF positional rebind: a caller passing the
+    // documented columns in a different order must fail analysis, not get
+    // silently wrong pairs
+    val w = weights.select(col("doc_id"), col("tok"), col("w"))
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     w.as("a").join(w.as("b"),
@@ -225,8 +230,9 @@ object TrainingData {
       shingles(corpus, idCol, textCol),
       shingles(probes, idCol, textCol), threshold, fpp)
 
-  /** [[contaminationPairsBloom]] over pre-computed `(id, shh)` shingle
-    * relations — the probe side should be persisted (it is scanned for
+  /** [[contaminationPairsBloom]] over pre-computed `(doc_id, shh)` shingle
+    * relations (as returned by [[shingles]]; columns are matched by NAME)
+    * — the probe side should be persisted (it is scanned for
     * the count, the Bloom build, and the verify join; it is the small
     * side by construction — an eval/benchmark set). */
   def contaminationPairsBloomFromShingles(corpusShingles: DataFrame,
@@ -235,7 +241,7 @@ object TrainingData {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.classic.GraftBridge
     import org.apache.spark.sql.types.BinaryType
-    val ps = probeShingles.toDF("probe_id", "shh")
+    val ps = probeShingles.select(col("doc_id").as("probe_id"), col("shh"))
     val nShingles = math.max(ps.count(), 1L)
     val bf = ps.stat.bloomFilter("shh", nShingles, fpp)
     val bytes = {
@@ -248,7 +254,7 @@ object TrainingData {
     // hash pair, so build and probe agree by construction.
     val mightContain = GraftBridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType), GraftBridge.expression(col("shh"))))
-    val cs = corpusShingles.toDF("corpus_id", "shh")
+    val cs = corpusShingles.select(col("doc_id").as("corpus_id"), col("shh"))
       .filter(mightContain)
     containmentFromShingles(cs, ps, threshold)
   }
@@ -907,7 +913,14 @@ object TrainingData {
     * materialization once the sampler subsamples — per-shard contents
     * here are byte-stable run-to-run, not just the concatenated order.
     * A loader streaming the zero-padded directories in name order sees
-    * the full permutation; no global single-partition sort anywhere. */
+    * the full permutation; no global single-partition sort anywhere.
+    *
+    * Shard membership is stable for a FIXED shard count: the default
+    * `numShards = 0` uses `defaultParallelism`, which varies across
+    * machines/cluster sizes — pass an explicit `numShards` when the
+    * shard structure itself (not just the concatenated order, which is
+    * environment-independent either way) must reproduce across
+    * environments. */
   def saveShuffled(df: DataFrame, idCol: String, path: String,
       numShards: Int = 0): Unit = {
     Seq("__shuf", "__shard").foreach(c => require(!df.columns.contains(c),
@@ -960,7 +973,7 @@ object TrainingData {
     * partial-aggregates map-side, no per-cluster sort or window. */
   def dedupSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
       clusterLabels: DataFrame): DataFrame = {
-    val lab = clusterLabels.toDF("id", "label")
+    val lab = clusterLabels.select(col("id"), col("label"))
     // NULL score must lose to any scored member (a null field inside the
     // argmax struct would otherwise sort first), and an all-null cluster
     // falls back to the min-id tiebreak

@@ -140,10 +140,122 @@ case class TokenBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** The fixed MinHash permutation family h_i(x) = (a_i·x + b_i) mod P over
+  * a 31-bit base hash — shared by the column-algebra signature build
+  * (DedupOps.signatures), its DuckDB oracle SQL, and the single-pass
+  * native form [[Sha32MinHashSigs]], so the three cannot drift apart. */
+object MinHashParams {
+  val P = 2147483647L // 2^31 − 1
+  def aCoef(i: Int): Long = (1000003L * (i + 1) + 12345L) % (1L << 30)
+  def bCoef(i: Int): Long = (2654435761L * (i + 1) + 97L) % P
+}
+
+/** Native single-pass sha32 MinHash signature (X26 fixture hot path):
+  * per document, the k-permutation MinHash signature over the distinct
+  * `n`-token shingles, with the PORTABLE base hash — the first 8 hex
+  * chars of sha256(shingle) parsed as an integer (what `conv(substring(
+  * sha2(sh,256),1,8),16,10)` computes, i.e. the first 4 digest bytes
+  * big-endian unsigned; DuckDB replays it with ascii() arithmetic).
+  *
+  * Bit-identical to the composed pipeline
+  * `signatures(shingleRows.select(doc_id, sha32(sh)))` (asserted in
+  * TextExprSpec) but with no 260k-row explode, no per-shingle string
+  * allocation churn through 7 higher-order functions, and — decisively —
+  * no groupBy(doc_id) shuffle: the per-doc minimum folds inside the scan
+  * stage, so the whole signature build is one narrow pass. Documents
+  * with fewer than `n` tokens return an EMPTY array (they have no
+  * shingles; the caller filters them out, matching the composed form
+  * where such docs simply have no rows). */
+case class Sha32MinHashSigs(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+  require(k >= 1, "signature size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sha32_minhash_sigs expects a string column, got $other")
+    }
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(MinHashParams.aCoef)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(MinHashParams.bCoef)
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  // see ShingleHashes.compute — the direct codegen call target
+  def compute(v: UTF8String): GenericArrayData = {
+    val lowered = v.toLowerCase.toString
+    val parts = lowered.split(' ')
+    val toks = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) toks.add(parts(i))
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val P = MinHashParams.P
+    val sigs = new Array[Long](k)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    // distinct-ness: duplicate shingles produce identical h_i values, so
+    // folding every occurrence into the min EQUALS folding the distinct
+    // set — no dedup structure needed
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 hex chars of the digest = first 4 bytes, big-endian,
+      // unsigned — exactly conv(substring(sha2(sh,256),1,8),16,10)
+      val shh = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val base = shh & 0x7fffffffL // pmod(shh, 2^31) for non-negative shh
+      j = 0
+      while (j < k) {
+        val h = (as(j) * base + bs(j)) % P
+        if (h < sigs(j)) sigs(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sha32MinHashSigs", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Distinct xxhash64 values of the `n`-token shingles of `text`. */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** k-permutation sha32 MinHash signature of `text`'s `n`-token
+    * shingles; empty array when the text has no shingles. */
+  def sha32_minhash_sigs(text: Column, n: Int, k: Int): Column =
+    GraftBridge.column(Sha32MinHashSigs(GraftBridge.expression(text), n, k))
 
   /** Adjacent-token bigrams of `text`, with multiplicity. */
   def token_bigrams(text: Column): Column =

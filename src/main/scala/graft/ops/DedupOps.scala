@@ -28,15 +28,12 @@ object DedupOps {
         i => array_join(slice(toks, i, lit(3)), " "))))
       .otherwise(array().cast(ArrayType(StringType)))
 
-  /** (doc_id, sh) — one row per distinct shingle (composed-builtin form,
-    * kept as the semantic reference for [[shingleHashRows]]). */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("sh"))
-
   /** (doc_id, shh) — one row per distinct shingle xxhash64, via the native
     * single-pass expression (graft.functions.ShingleHashes); hash-identical
-    * to `xxhash64(sh)` over [[shingleRows]] (asserted in TextExprSpec). */
+    * to `xxhash64(sh)` over the composed form
+    * `select(doc_id, explode(shingles(tokens(text))))` (asserted in
+    * TextExprSpec, which rebuilds the composed pipeline from the public
+    * [[tokens]]/[[shingles]] columns). */
   private def shingleHashRows(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -99,11 +96,9 @@ object DedupOps {
   // MinHash parameters: k=16 permutations h_i(x) = (a_i·x + b_i) mod p over
   // a 31-bit base hash, banded 4×4 for LSH. Constants are fixed (results
   // must be deterministic across runs/partitionings).
-  private val P = 2147483647L // 2^31 − 1
+  import graft.functions.MinHashParams.{P, aCoef, bCoef}
   private val NumHashes = 16
   private val BandSize = 4
-  private def aCoef(i: Int): Long = (1000003L * (i + 1) + 12345L) % (1L << 30)
-  private def bCoef(i: Int): Long = (2654435761L * (i + 1) + 97L) % P
 
   /** MinHash signature columns sig_0..sig_15 per doc (one shuffle), from a
     * pre-hashed (doc_id, shh) shingle relation. */
@@ -128,16 +123,26 @@ object DedupOps {
     conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
 
   // The sha32 MinHash signature relation (one row per doc, 16 longs):
-  // sha256-per-shingle is the priciest expression in the x26b pipeline,
-  // and the band self-join references the signature relation on BOTH join
-  // sides — unpersisted, the whole shingle→sha256→16-hash→min aggregation
-  // re-ran per branch (r5: 16.5 s; the digest was paid ~3×). Persisting
-  // the tiny signature relation pays the digest exactly once per app/dir.
+  // persisted because the band self-join references it on BOTH join sides
+  // (unpersisted, the whole build re-ran per branch — r5: 16.5 s). The
+  // build itself is the single-pass native expression: the composed
+  // shingleRows→sha256→16-hash→groupBy form cost ~6 s cold at sf0.1
+  // (string-shingle generation through 7 higher-order functions plus a
+  // 260k-row×16-col aggregation shuffle); folding the per-doc minimum
+  // inside the scan makes the build one narrow pass (~0.5 s), and the
+  // bit-equality of the two forms is asserted in TextExprSpec — the
+  // DuckDB oracle still replays the full algorithm unchanged.
   @transient private val sigCache = newCache
   private def persistShaSignatures(s: SparkSession, d: String): DataFrame =
     cachedPerApp(sigCache, s, d)(
-      signatures(shingleRows(s, d)
-        .select(col("doc_id"), sha32(col("sh")).as("shh"))).persist())
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions
+            .sha32_minhash_sigs(col("text"), 3, NumHashes).as("sigs"))
+        .filter(size(col("sigs")) > 0)
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(i => col("sigs").getItem(i).as(s"sig_$i")): _*)
+        .persist())
 
   /** The DuckDB spelling of [[sha32]] over SQL expression `expr`. */
   private def hex32Sql(expr: String): String = {
@@ -178,7 +183,7 @@ object DedupOps {
     * (graft.api.TrainingData.minhashNearDupPairs). */
   private[graft] def minhashPairsFromShingles(shingles: DataFrame,
       threshold: Double): DataFrame = {
-    val sh = shingles.toDF("doc_id", "shh")
+    val sh = shingles.select(col("doc_id"), col("shh"))
     val sig = signatures(sh)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>

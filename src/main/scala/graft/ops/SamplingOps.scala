@@ -57,6 +57,21 @@ object SamplingOps {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** X31 — the BOUNDED-MEMORY quality cut: [[x31dQualityCut]] with
+    * `exact = false`, so the per-stratum threshold comes from
+    * `approx_percentile`'s quantile sketch instead of the exact
+    * `percentile` buffer — the form that survives a stratum with billions
+    * of distinct scores. Rows-only by design: the sketch's interpolation
+    * is engine-specific, so DuckDB's quantile lands on a (slightly)
+    * different threshold; LlmOpsSpec bounds the kept set against the
+    * exact twin instead. */
+  def x31gQualityCutApprox(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.topFractionByStrata(
+      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars", 0.3, exact = false)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** X32 — sequence packing at a 2048-token budget over documents.
     * Fixture binding of [[graft.api.TrainingData.packSequences]] (see
     * there for the two-pass global-cumsum scale design). */
@@ -160,6 +175,7 @@ object SamplingOps {
     "x31b_sample" -> (x31bSample _),
     "x31c_stratified" -> (x31cStratified _),
     "x31d_quality_cut" -> (x31dQualityCut _),
+    "x31g_quality_cut_approx" -> (x31gQualityCutApprox _),
     "x32_seqpack" -> (x32SeqPack _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit

@@ -106,12 +106,30 @@ object VectorOps {
     * in LlmOpsSpec. */
   def x27cAnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    annIvfCore(s, e,
+    ivfProbe(
       e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-      k = 5, nClusters = 16, nProbe = 4)
+      persistIvfCentroids(s, d), persistIvfIndexed(s, d), k = 5, nProbe = 4)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  // The IVF index is deterministic (seeded by lowest-id vectors, integer-
+  // space centroid updates), so the fixture caches it per (app, dir):
+  // every CONSTRUCTION of x27c otherwise re-runs the driver-coordinated
+  // Lloyd collects eagerly — even schema-only consumers paid the build.
+  // Centroids are a k×dims literal relation (nothing to persist); the
+  // assigned corpus is persisted because probe joins reference it lazily.
+  @transient private val ivfCentroidCache = PerAppCache.newCache
+  private def persistIvfCentroids(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(ivfCentroidCache, s, d)(
+      ivfCentroids(s,
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        nClusters = 16))
+  @transient private val ivfIndexCache = PerAppCache.newCache
+  private def persistIvfIndexed(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(ivfIndexCache, s, d)(
+      ivfAssign(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        persistIvfCentroids(s, d)).persist())
 
   /** IVF ANN core over any corpus `(vec_id, embedding)` and query set
     * `(q_id, q_emb)` — shared by the fixture query above and the
@@ -119,26 +137,35 @@ object VectorOps {
     * `nClusters` lowest-id vectors (deterministic). */
   private[graft] def annIvfCore(s: SparkSession, corpus: DataFrame,
       queries: DataFrame, k: Int, nClusters: Int, nProbe: Int): DataFrame = {
+    val centroids = ivfCentroids(s, corpus, nClusters)
+    ivfProbe(queries, centroids, ivfAssign(corpus, centroids), k, nProbe)
+  }
+
+  /** Cluster assignment of a `(vec_id, embedding)` corpus against a
+    * centroid table → (vec_id, embedding, cid). Argmax via max(struct)
+    * aggregation: partial→final combine instead of a per-vector window
+    * sort (deterministic — struct order is (sim, cid)). */
+  private[graft] def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.toDF("vec_id", "embedding").crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("embedding"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cid"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
+
+  /** The Lloyd build: deterministic k-means centroids of a
+    * `(vec_id, embedding)` corpus as a LITERAL (cid, cemb) relation —
+    * only k×dims scalars ever reach the driver. */
+  private[graft] def ivfCentroids(s: SparkSession, corpus: DataFrame,
+      nClusters: Int): DataFrame = {
     import s.implicits._
     val K = nClusters
-    val NProbe = nProbe
     // persisted for the driver-coordinated Lloyd collects (one scan
     // instead of one per iteration), RELEASED once the centroids are
     // final — the lazy downstream index pays one rescan rather than
     // leaking a cached relation per call of this public API
     val e = corpus.toDF("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // argmax via max(struct) aggregation: partial→final combine instead of
-    // a per-vector window sort (deterministic — struct order is (sim, cid))
-    def assign(centroids: DataFrame): DataFrame =
-      e.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col("embedding"), col("cemb")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("csim"), col("cid"))).as("best"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
-
     // centroid table is collected each iteration (k×dims scalars — the only
     // data that ever reaches the driver) so the lineage stays linear: the
     // next iteration starts from a literal table, not a 3-deep plan
@@ -157,7 +184,7 @@ object VectorOps {
     // asserted in LlmOpsSpec) and each iteration is a full corpus pass plus
     // a driver collect barrier — the cheapest fix for the barrier cost
     (1 to 2).foreach { _ =>
-      centroids = toLiteral(assign(centroids)
+      centroids = toLiteral(ivfAssign(e, centroids)
         .select(col("cid").cast("int"), col("embedding"))
         .as[(Int, Seq[Float])]
         .groupByKey(_._1)
@@ -166,14 +193,19 @@ object VectorOps {
         .collect())
     }
     e.unpersist() // Lloyd collects done; downstream recomputes lazily
-    val indexed = assign(centroids)
+    centroids
+  }
 
+  /** The probe+re-rank step over a built index: queries probe their
+    * `nProbe` nearest centroids, candidates re-rank by exact cosine. */
+  private[graft] def ivfProbe(queries: DataFrame, centroids: DataFrame,
+      indexed: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
     val probes = queries.toDF("q_id", "q_emb")
       .crossJoin(broadcast(centroids))
       .withColumn("csim", cosine(col("q_emb"), col("cemb")))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("cid"))
 
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))

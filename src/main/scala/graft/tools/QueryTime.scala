@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query timing attribution: run the named SparkEntry queries N times
+  * each in a Bench-identical session and print every attempt — the
+  * isolated-run half of the dual-timing evidence the round notes cite
+  * when a sweep number and a local number disagree.
+  *
+  * Usage: sbt "runMain graft.tools.QueryTime x26b_minhash_lsh [more...]"
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_RUNS (default 3).
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same engine warm-up as Bench so first-query numbers are comparable
+    try {
+      import org.apache.spark.sql.functions._
+      val r = graft.Tables.t(spark, sfDir, "region")
+      val n = graft.Tables.t(spark, sfDir, "nation")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1))).foreach(_ => ())
+    } catch { case _: Throwable => () }
+    val names = if (args.nonEmpty) args.toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      graft.SparkEntry.queries.get(name) match {
+        case None => println(s"$name: not registered")
+        case Some(fn) =>
+          val times = (1 to runs).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(s"$name: " + times.map(t => f"$t%.3f").mkString(" "))
+      }
+    }
+    spark.stop()
+  }
+}

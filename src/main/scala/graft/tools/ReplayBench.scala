@@ -25,6 +25,28 @@ object CountingSender extends RecordSender {
 object ReplayBench {
   def main(args: Array[String]): Unit = {
     val requested = if (args.length > 0) args(0).toLong else 2000000L
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-replay-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val line = runOn(spark, requested)
+    println(line)
+    // same durability contract as Bench: the number survives stdout loss
+    try Files.writeString(Paths.get("replay_bench.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[replay-bench] replay_bench.json not written: ${e.getMessage}") }
+    spark.stop()
+  }
+
+  /** The benchmark body on a caller-owned session (Bench reuses its sweep
+    * session so the per-round artifact costs one warm pass, not a second
+    * JVM): generates the fixture, runs cold+warm, cleans up, returns the
+    * one-line JSON. */
+  def runOn(spark: SparkSession, requested: Long): String = {
     val dir = Files.createTempDirectory("replay_bench")
     // deterministic minified JSON fixture, 16 files for parallel scan
     val files = 16
@@ -45,15 +67,6 @@ object ReplayBench {
     }
     val genSec = (System.nanoTime() - t0gen) / 1e9
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
-      .appName("graft-replay-bench")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
     val cfg = ReplayConfig(inputPath = dir.toString,
       speedupFactor = (Long.MaxValue / 4).toDouble, // pacing never sleeps
       ingestionStartMs = Some(0L),
@@ -68,10 +81,9 @@ object ReplayBench {
     val coldSec = onePass()
     val warmSec = onePass()
     val rate = math.round(n / warmSec)
-    println(s"""{"metric":"replay_throughput","value":$rate,"unit":"events/sec","events":$n,"warm_seconds":${math.round(warmSec * 100) / 100.0},"cold_seconds":${math.round(coldSec * 100) / 100.0},"gen_seconds":${math.round(genSec * 100) / 100.0}}""")
-    spark.stop()
-    // cleanup
+    // cleanup before returning — the fixture is per-call temp state
     Files.list(dir).forEach(p => Files.delete(p))
     Files.delete(dir)
+    s"""{"metric":"replay_throughput","value":$rate,"unit":"events/sec","events":$n,"warm_seconds":${math.round(warmSec * 100) / 100.0},"cold_seconds":${math.round(coldSec * 100) / 100.0},"gen_seconds":${math.round(genSec * 100) / 100.0}}"""
   }
 }

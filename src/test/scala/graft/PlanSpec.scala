@@ -170,7 +170,12 @@ class PlanSpec extends SparkSpec {
     // the driver's DuckDB comparator lexsorts every column in pandas;
     // array/map/struct cells are unhashable there and crash the gate
     // (CORRECTNESS_r05 x32c err) — so the contract is: any query with an
-    // oracle serializes nested values (array_join/to_json) before return
+    // oracle serializes nested values (array_join/to_json) before return.
+    // Known cost, accepted: a few constructions are eager (x27c runs the
+    // Lloyd build's bounded centroid collects, x33b sizes its Bloom
+    // filter), so this sweep executes real work to read schemas — there
+    // is no schema without construction, and the side effect is useful
+    // (it warms the PerAppCache for the suites that follow)
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
       SparkEntry.queries(name)(spark, dir).schema.fields.collect {

@@ -834,6 +834,43 @@ class TrainingDataSpec extends SparkSpec {
     assert(writeAndRead() == got) // the whole shard structure is run-stable
   }
 
+  test("saveShuffled → saveJsonl → re-read reproduces the dataloader order on the fixture corpus") {
+    // the gate-scale loop-closer: the full sf0.01 documents table through
+    // shuffle layout → per-shard JSONL export → re-read, compared against
+    // an INDEPENDENT recomputation of the permutation — if this holds,
+    // a dataloader streaming the exported shards in name order sees
+    // exactly the content-addressed shuffle, byte-for-byte text included
+    def coord(id: Long): Int =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$id#shuf".getBytes("UTF-8")).take(2)
+        .foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val out = java.nio.file.Files.createTempDirectory("shuf_rt").toString
+    TrainingData.saveShuffled(docs, "doc_id", out, numShards = 8)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__shard="))
+      .map(_.toString).sorted
+    assert(shardDirs.nonEmpty)
+    // export each shard to JSONL keeping its internal order (one parquet
+    // file per shard → one task → one .json.gz), then stream them back
+    // in shard-name order; a single gzip member reads as one partition,
+    // so file order IS row order
+    val got = shardDirs.toSeq.flatMap { sd =>
+      val jd = java.nio.file.Files.createTempDirectory("shuf_jsonl").toString
+      TrainingData.saveJsonl(spark.read.parquet(sd), jd)
+      val files = new java.io.File(jd).listFiles()
+        .filter(_.getName.endsWith(".json.gz")).map(_.toString).sorted
+      assert(files.length == 1, s"expected one jsonl shard in $jd")
+      spark.read.json(files.head)
+        .select(col("doc_id"), coalesce(col("text"), lit("")))
+        .as[(Long, String)].collect().toSeq
+    }
+    val expected = docs.as[(Long, String)].collect()
+      .sortBy { case (id, _) => (coord(id), id) }.toSeq
+    assert(got == expected)
+  }
+
   test("redactPii replaces emails, urls, and digit runs with placeholders") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org today"),

@@ -48,6 +48,48 @@ class TextExprSpec extends SparkSpec {
     assert(out == Seq(Seq(), Seq(), Seq("a b", "b a", "a b"), Seq("x y")))
   }
 
+  test("native Sha32MinHashSigs equals the composed sha32 signature pipeline") {
+    val docs = Tables.t(spark, d, "documents")
+    // the composed form persistShaSignatures used through round 6 — the
+    // oracle-green reference the single-pass expression must bit-match
+    val sha32 = conv(substring(sha2(col("sh"), 256), 1, 8), 16, 10).cast("long")
+    val base = pmod(col("shh"), lit(1L << 31))
+    val composed = docs.select(col("doc_id"),
+        explode(DedupOps.shingles(DedupOps.tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), sha32.as("shh"))
+      .select(col("doc_id") +: (0 until 16).map(i =>
+        pmod(lit(MinHashParams.aCoef(i)) * base + lit(MinHashParams.bCoef(i)),
+          lit(MinHashParams.P)).as(s"h_$i")): _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h_0")).as("sig_0"),
+        (1 until 16).map(i => min(col(s"h_$i")).as(s"sig_$i")): _*)
+    val native = docs.select(col("doc_id"),
+        TextFunctions.sha32_minhash_sigs(col("text"), 3, 16).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+      .select(col("doc_id") +:
+        (0 until 16).map(i => col("sigs").getItem(i).as(s"sig_$i")): _*)
+    assert(native.count() == composed.count() && native.count() > 0)
+    assert(native.except(composed).count() == 0)
+    assert(composed.except(native).count() == 0)
+  }
+
+  test("Sha32MinHashSigs edge cases: short, empty, and duplicate-shingle texts") {
+    import spark.implicits._
+    val out = Seq("one two", "", "a b c", "a b c a b c a b c")
+      .toDF("text")
+      .select(TextFunctions.sha32_minhash_sigs(col("text"), 3, 16).as("sigs"))
+      .as[Seq[Long]].collect().toSeq
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).length == 16)
+    // duplicates fold into the same minimum: "a b c" repeated adds
+    // shingles {"a b c","b c a","c a b"} but min over a superset that
+    // includes out(2)'s only shingle stays ≤ — and every slot is a real
+    // hash, not the Long.MaxValue sentinel
+    assert(out(3).length == 16)
+    assert(out(2).zip(out(3)).forall { case (one, rep) => rep <= one })
+    assert(out.forall(_.forall(v => v >= 0 && v < MinHashParams.P)))
+  }
+
   test("short and empty texts yield no shingles; null text yields null-safe empty") {
     import spark.implicits._
     val df = Seq("one two", "", "a b c", "  spaced   out   here  ")

@@ -193,6 +193,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bounded-memory quality cut lands within the sketch's rank error of the exact cut") {
+    import org.apache.spark.sql.functions._
+    // x31g (exact = false): the per-stratum threshold comes from
+    // approx_percentile, a data VALUE at the target rank (±sketch error),
+    // where the exact twin interpolates — so the kept sets can legally
+    // differ by the rows between those two thresholds, and the bound to
+    // assert is on RANKS, mirroring the q08d pattern
+    val docs = graft.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._2)
+    val approx = SamplingOps.x31gQualityCutApprox(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exactKept = SamplingOps.x31dQualityCut(spark, d).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(approx.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val keptA = approx.filter(_._2 == lang)
+      assert(keptA.nonEmpty, s"$lang: approx cut kept nothing")
+      val tA = keptA.map(_._3).min
+      // internal consistency: kept set IS the >= threshold filter
+      assert(keptA.map(_._1).toSet == rows.filter(_._3 >= tA).map(_._1).toSet,
+        s"$lang: approx kept set is not a clean threshold cut")
+      // the effective threshold's rank interval overlaps the 0.7-quantile
+      // target within the sketch tolerance (default accuracy 10000)
+      val vals = rows.map(_._3).sorted
+      val n = vals.length
+      val target = 0.7 * n
+      val tol = n / 10000 + 2
+      assert(vals.count(_ < tA) <= target + tol &&
+        vals.count(_ <= tA) >= target - tol,
+        s"$lang: approx threshold $tA rank outside sketch bound")
+    }
+    // global deviation vs the exact twin: only boundary rows may differ
+    val approxIds = approx.map(_._1).toSet
+    val strata = byLang.size
+    assert((approxIds diff exactKept).size + (exactKept diff approxIds).size
+      <= strata * 3,
+      s"approx vs exact kept sets differ beyond boundary rows")
+  }
+
   test("count-min sketch never undercounts and respects its eps bound here") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, d, "documents")

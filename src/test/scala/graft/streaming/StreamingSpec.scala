@@ -240,9 +240,11 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("s.reached"), col("s.t_ms"))
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList))
-    val batch = graft.ops.Windows.funnel(batchEvents,
-        "user_id", "ts", "event_type", steps)
-      .orderBy("user_id").collect()
+    // bind to the REGISTERED oracle-green query, not a re-invocation of
+    // the batch function with spelled-out params: the assertion chain is
+    // then streaming == q27_funnel == its DuckDB oracle
+    val batch = graft.SparkEntry.queries("q27_funnel")(spark, dir)
+      .collect()
       .map(r => (r.getLong(0), r.getInt(1),
         (2 to 4).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList))
     assert(fin.nonEmpty && fin.sameElements(batch))
