@@ -17,7 +17,8 @@ object SparkEntry {
       (SamplingOps.defs, SamplingOps.oracles),
       (TextOps.defs, TextOps.oracles),
       (VectorOps.defs, VectorOps.oracles),
-      (MultimodalOps.defs, MultimodalOps.oracles))
+      (MultimodalOps.defs, MultimodalOps.oracles),
+      (graft.streaming.StreamingOps.defs, graft.streaming.StreamingOps.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's core capability as one plan: scan events, derive the

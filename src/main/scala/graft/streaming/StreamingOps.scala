@@ -234,6 +234,52 @@ object StreamingOps {
       }
   }
 
+  /** X24 driver-gate binding — the online funnel state machine
+    * ([[funnelWithState]], mapGroupsWithState) driven to COMPLETION over
+    * the fixture events stream (memory sink, all available data), final
+    * state per user formatted exactly like the batch q27_funnel: same
+    * columns, same DuckDB oracle. This gives the arbitrary-stateful-
+    * streaming family a hash-verified CORRECTNESS row instead of
+    * spec-only coverage: the fixture stream folds in event-time order,
+    * so the online result equals the event-time-exact batch funnel.
+    *
+    * Constructing the DataFrame RUNS the streaming query (there is no
+    * lazy handle to a finished stream), so the result is cached per
+    * (app, dir); the memory-sink view name is dir-scoped so two SF dirs
+    * in one session don't collide. The final-state aggregation is a
+    * distributed groupBy over the sink's update log — no driver
+    * collects; at production scale the same state machine writes to a
+    * real sink and this projection is the consumer's. */
+  @transient private val funnelGateCache = graft.ops.PerAppCache.newCache
+  def x24StatefulFunnel(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(funnelGateCache, s, d) {
+      val view = "x24_funnel_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view) // leftover from a stopped app's run
+      val q = funnelWithState(s, eventsStream(s, d),
+          Seq("view", "click", "purchase"))
+        .writeStream.outputMode("update").format("memory")
+        .queryName(view).start()
+      q.processAllAvailable(); q.stop()
+      // last update per user wins: reached only grows, and equal reached
+      // implies identical times (times append only when a step is hit)
+      val fin = s.table(view)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("reached"), col("t_ms"))).as("st"))
+        .select(col("user_id") +: col("st.reached").as("reached") +:
+          (1 to 3).map(i => when(size(col("st.t_ms")) >= i,
+            element_at(col("st.t_ms"), i)).as(s"t${i}_ms")): _*)
+        .persist()
+      fin.count() // materialize while the sink view is current
+      fin
+    }.orderBy(col("user_id"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_stateful_funnel" -> (x24StatefulFunnel _))
+  /** The online funnel's completion state equals the batch event-time
+    * funnel on an in-order stream — so it replays against q27's oracle. */
+  val oracles: Map[String, String] = Map(
+    "x24_stateful_funnel" -> graft.ops.Windows.oracles("q27_funnel"))
+
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the
     * declarative ops above make mostly unnecessary). */
