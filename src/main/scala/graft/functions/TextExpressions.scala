@@ -188,6 +188,12 @@ case class Sha32MinHashSigs(child: Expression, n: Int, k: Int)
   @transient private lazy val bs: Array[Long] =
     Array.tabulate(k)(MinHashParams.bCoef)
 
+  // one digest instance per task thread, not per ROW — getInstance is a
+  // provider lookup + allocation, measurable across a 100 TB scan
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
 
   // see ShingleHashes.compute — the direct codegen call target
@@ -208,7 +214,7 @@ case class Sha32MinHashSigs(child: Expression, n: Int, k: Int)
     // distinct-ness: duplicate shingles produce identical h_i values, so
     // folding every occurrence into the min EQUALS folding the distinct
     // set — no dedup structure needed
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val md = mdLocal.get()
     val sb = new java.lang.StringBuilder(64)
     i = 0
     while (i < m) {
