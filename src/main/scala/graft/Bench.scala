@@ -1,61 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import graft.tools.BenchSession
 
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // default to the machine's core count (the local[32] contract), not a
-    // fixed small number — an unset env var must not quietly serialize the
-    // quadratic baselines onto 4 threads
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = BenchSession.open()
     // replay-path throughput (the reference's actual capability) gets the
     // same per-round regression visibility as the SQL surface: a bounded
     // 1M-event pass through scan→parse→order→schedule→sink, persisted as
     // its own artifact. FIRST, on a fresh heap: measured after the
-    // 93-query sweep the same pass reads 23k ev/s vs 155k standalone —
+    // 93-query sweep the same pass read 23k ev/s vs 155k standalone —
     // a 12g heap full of sweep tenure throttles the sort, and the replay
     // figure must track the replay code, not the sweep's litter. (Its
     // cold pass doubles as the JVM/codegen warm-up the sweep wants.)
-    // Best-effort: a replay hiccup must not kill the query sweep
+    // The UTC session timezone the replay parse needs is restored after:
+    // the sweep has timed under the JVM default since round 1, and a
+    // leaked conf change would move tz-sensitive filters for reasons
+    // unrelated to code. Best-effort: a replay hiccup must not kill the
+    // query sweep
     try {
+      val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-      val replayLine = graft.tools.ReplayBench.runOn(spark, 1000000L)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("replay_bench.json"), replayLine + "\n")
-      System.err.println(s"[bench] replay: $replayLine")
-    } catch { case e: Throwable =>
+      try {
+        val replayLine = graft.tools.ReplayBench.runOn(spark, 1000000L)
+        BenchSession.writeArtifact("replay_bench.json", replayLine)
+        System.err.println(s"[bench] replay: $replayLine")
+      } finally prevTz match {
+        case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+        case None => spark.conf.unset("spark.sql.session.timeZone")
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] replay_bench.json not written: ${e.getMessage}") }
-    // warm-up: JVM/codegen/parquet-reader startup AND the OS page cache for
-    // EVERY table — otherwise first-touch I/O is billed to whichever query
-    // happens to scan a table first (Map iteration order), making
-    // round-over-round per-query deltas unattributable
-    // Tables.t, not raw spark.read: events.parquet is TIMESTAMP(NANOS),
-    // which a raw read rejects — the catch would hide that and leave the
-    // one replay-query table cold
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
-      try graft.Tables.t(spark, sfDir, tbl).foreach(_ => ())
-      catch { case _: Throwable => () }
-    }
-    // engine warm-up beyond the page cache: the first broadcast join and
-    // hash aggregation of a session pay one-time costs (janino compiler
-    // init, broadcast thread pool, exchange machinery) of ~2s that would
-    // otherwise be billed to whichever query Map iteration order puts
-    // first, making per-query deltas unattributable round-over-round
-    try {
-      import org.apache.spark.sql.functions._
-      val r = graft.Tables.t(spark, sfDir, "region")
-      val n = graft.Tables.t(spark, sfDir, "nation")
-      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name")).agg(count(lit(1))).foreach(_ => ())
-    } catch { case _: Throwable => () }
+
+    BenchSession.warmTables(spark, sfDir)
+    BenchSession.warmEngine(spark, sfDir)
 
     // noise canary: one fixed cheap plan (scan + hash agg on lineitem) timed
     // at the start, middle, and end of the sweep. On a quiet machine the
@@ -67,7 +45,7 @@ object Bench {
       val t0 = System.nanoTime()
       try graft.Tables.t(spark, sfDir, "lineitem")
         .groupBy(col("l_returnflag")).agg(count(lit(1))).foreach(_ => ())
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       (System.nanoTime() - t0) / 1e9
     }
     val canary = scala.collection.mutable.ArrayBuffer[Double](canaryOnce())
@@ -121,13 +99,8 @@ object Bench {
     println(line)
     // durability: the driver captures a bounded stdout tail, which has
     // truncated a third of the per-query map in past rounds — the same
-    // line on disk keeps every query round-over-round auditable. Best
-    // effort: an unwritable cwd must not flip a fully-green bench to a
-    // nonzero exit after the stdout line already went out
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out.json not written: ${e.getMessage}") }
+    // line on disk keeps every query round-over-round auditable
+    BenchSession.writeArtifact("bench_out.json", line)
 
     // release the sweep's cached fixture relations before exit (and as a
     // footprint bound for any embedder that keeps the JVM alive)

@@ -37,10 +37,13 @@ private[graft] object PerAppCache {
   }
 
   // best-effort: a relation bound to a stopped SparkContext throws on
-  // unpersist, and blocks already freed with the app — swallow, the
-  // map entry removal is the part that must not fail
+  // unpersist, and blocks already freed with the app — swallow THAT, the
+  // map entry removal is the part that must not fail. NonFatal only:
+  // OOM/interrupt must propagate, not vanish mid-eviction
   private def dropEntry(cache: RelCache, k: (String, String)): Unit =
-    cache.remove(k).foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.remove(k).foreach(df =>
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () })
 
   def cachedPerApp(cache: RelCache, s: SparkSession, d: String)(
       build: => DataFrame): DataFrame = {

@@ -262,14 +262,21 @@ object StreamingOps {
       q.processAllAvailable(); q.stop()
       // last update per user wins: reached only grows, and equal reached
       // implies identical times (times append only when a step is hit)
-      val fin = s.table(view)
+      val agg = s.table(view)
         .groupBy(col("user_id"))
         .agg(max(struct(col("reached"), col("t_ms"))).as("st"))
         .select(col("user_id") +: col("st.reached").as("reached") +:
           (1 to 3).map(i => when(size(col("st.t_ms")) >= i,
             element_at(col("st.t_ms"), i)).as(s"t${i}_ms")): _*)
-        .persist()
-      fin.count() // materialize while the sink view is current
+      // the memory sink's update log (≥ one row per user) lives in driver
+      // memory and is NOT covered by PerAppCache.evictAll — so settle the
+      // final states into a literal relation (bounded by the FIXTURE's
+      // user count; the production path writes a real sink) and drop the
+      // view, releasing the log immediately
+      val rows = agg.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agg.schema)
+      s.catalog.dropTempView(view)
       fin
     }.orderBy(col("user_id"))
 

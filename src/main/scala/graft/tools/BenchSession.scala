@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE recipe for a timing-comparable session — shared by Bench and
+  * QueryTime so the sweep number and its isolated-run arbiter cannot
+  * drift apart (they had: timezone, warm-up scope). */
+private[graft] object BenchSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    Runtime.getRuntime.availableProcessors().toString)
+
+  /** Builder-only: local[cpus], cpus shuffle partitions, no UI. The
+    * session timezone is left at the JVM default on purpose — Bench has
+    * timed the sweep under it since round 1, and changing it would move
+    * tz-sensitive filters/truncations for reasons unrelated to code. */
+  def open(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Page-cache warm-up: touch every table once so first-touch I/O is
+    * not billed to whichever query scans a table first. Tables.t, not
+    * raw spark.read: events.parquet is TIMESTAMP(NANOS), which a raw
+    * read rejects — the catch would hide that and leave the one
+    * replay-query table cold. */
+  def warmTables(s: SparkSession, sfDir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      try graft.Tables.t(s, sfDir, tbl).foreach(_ => ())
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Engine warm-up beyond the page cache: the first broadcast join and
+    * hash aggregation of a session pay one-time costs (janino compiler
+    * init, broadcast thread pool, exchange machinery) of ~2s that would
+    * otherwise be billed to whichever query runs first. */
+  def warmEngine(s: SparkSession, sfDir: String): Unit =
+    try {
+      import org.apache.spark.sql.functions._
+      val r = graft.Tables.t(s, sfDir, "region")
+      val n = graft.Tables.t(s, sfDir, "nation")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1))).foreach(_ => ())
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Best-effort one-line artifact write: an unwritable cwd must not
+    * flip a green run to a nonzero exit after stdout already went out. */
+  def writeArtifact(path: String, line: String): Unit =
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] $path not written: ${e.getMessage}") }
+}

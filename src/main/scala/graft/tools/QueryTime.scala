@@ -1,9 +1,8 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Per-query timing attribution: run the named SparkEntry queries N times
-  * each in a Bench-identical session and print every attempt — the
+  * each in a Bench-identical session (same builder, same table + engine
+  * warm-ups, via [[BenchSession]]) and print every attempt — the
   * isolated-run half of the dual-timing evidence the round notes cite
   * when a sweep number and a local number disagree.
   *
@@ -14,22 +13,9 @@ object QueryTime {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // same engine warm-up as Bench so first-query numbers are comparable
-    try {
-      import org.apache.spark.sql.functions._
-      val r = graft.Tables.t(spark, sfDir, "region")
-      val n = graft.Tables.t(spark, sfDir, "nation")
-      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name")).agg(count(lit(1))).foreach(_ => ())
-    } catch { case _: Throwable => () }
+    val spark = BenchSession.open()
+    BenchSession.warmTables(spark, sfDir)
+    BenchSession.warmEngine(spark, sfDir)
     val names = if (args.nonEmpty) args.toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>

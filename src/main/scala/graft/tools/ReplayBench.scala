@@ -36,9 +36,7 @@ object ReplayBench {
     val line = runOn(spark, requested)
     println(line)
     // same durability contract as Bench: the number survives stdout loss
-    try Files.writeString(Paths.get("replay_bench.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[replay-bench] replay_bench.json not written: ${e.getMessage}") }
+    BenchSession.writeArtifact("replay_bench.json", line)
     spark.stop()
   }
 
@@ -48,6 +46,19 @@ object ReplayBench {
     * one-line JSON. */
   def runOn(spark: SparkSession, requested: Long): String = {
     val dir = Files.createTempDirectory("replay_bench")
+    try runOnFixture(spark, requested, dir)
+    finally {
+      // always delete the ~1M-event fixture — Bench swallows replay
+      // failures by design, and a leaked temp dir per round fills /tmp
+      // with no visible symptom. Files.list is a resource: close it.
+      val st = Files.list(dir)
+      try st.forEach(p => Files.delete(p)) finally st.close()
+      Files.delete(dir)
+    }
+  }
+
+  private def runOnFixture(spark: SparkSession, requested: Long,
+      dir: java.nio.file.Path): String = {
     // deterministic minified JSON fixture, 16 files for parallel scan
     val files = 16
     val perFile = requested / files
@@ -81,9 +92,6 @@ object ReplayBench {
     val coldSec = onePass()
     val warmSec = onePass()
     val rate = math.round(n / warmSec)
-    // cleanup before returning — the fixture is per-call temp state
-    Files.list(dir).forEach(p => Files.delete(p))
-    Files.delete(dir)
     s"""{"metric":"replay_throughput","value":$rate,"unit":"events/sec","events":$n,"warm_seconds":${math.round(warmSec * 100) / 100.0},"cold_seconds":${math.round(coldSec * 100) / 100.0},"gen_seconds":${math.round(genSec * 100) / 100.0}}"""
   }
 }

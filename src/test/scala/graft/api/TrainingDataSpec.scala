@@ -866,7 +866,11 @@ class TrainingDataSpec extends SparkSpec {
         .select(col("doc_id"), coalesce(col("text"), lit("")))
         .as[(Long, String)].collect().toSeq
     }
-    val expected = docs.as[(Long, String)].collect()
+    // same null→"" coalesce on BOTH sides: a NULL text drops to a missing
+    // JSON field (read back null), and the expected side must normalize
+    // identically or a fixture null would fail the comparison spuriously
+    val expected = docs.select(col("doc_id"), coalesce(col("text"), lit("")))
+      .as[(Long, String)].collect()
       .sortBy { case (id, _) => (coord(id), id) }.toSeq
     assert(got == expected)
   }
