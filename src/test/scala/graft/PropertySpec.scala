@@ -175,6 +175,42 @@ class PropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("Sha32MinHashSigs matches a plain-Scala reference on random texts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.MinHashParams
+    // independent model: distinct 3-token shingles -> sha256 first 4
+    // bytes -> 16 affine hashes -> min, written against the SPEC (the
+    // composed column pipeline), not the expression's code
+    def model(text: String): Seq[Long] = {
+      val toks = text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq
+      val shingles = toks.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      if (shingles.isEmpty) Seq.empty
+      else (0 until 16).map { i =>
+        shingles.map { sh =>
+          val dg = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(sh.getBytes(UTF_8))
+          val shh = dg.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+          (MinHashParams.aCoef(i) * (shh & 0x7fffffffL) +
+            MinHashParams.bCoef(i)) % MinHashParams.P
+        }.min
+      }
+    }
+    // texts over a small vocab (forces shared/duplicate shingles) plus
+    // arbitrary unicode tokens (exercises UTF-8 digest + lowering)
+    val word = Gen.oneOf(Gen.oneOf("a", "b", "Cc", "Ðð", "x1"),
+      Gen.alphaNumStr.map(_.take(4)))
+    val gen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    check(forAll(gen) { text =>
+      val got = Seq(text).toDF("t")
+        .select(graft.functions.TextFunctions.sha32_minhash_sigs(col("t"), 3, 16))
+        .as[Seq[Long]].head()
+      got == model(text)
+    }, n = 40)
+  }
+
   test("set-op algebra matches the Seq model (union/intersect/except distinct)") {
     import spark.implicits._
     val gen = for {
