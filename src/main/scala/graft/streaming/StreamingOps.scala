@@ -259,7 +259,7 @@ object StreamingOps {
           Seq("view", "click", "purchase"))
         .writeStream.outputMode("update").format("memory")
         .queryName(view).start()
-      q.processAllAvailable(); q.stop()
+      try q.processAllAvailable() finally q.stop() // never leak a live stream
       // last update per user wins: reached only grows, and equal reached
       // implies identical times (times append only when a step is hit)
       val agg = s.table(view)
