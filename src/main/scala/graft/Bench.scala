@@ -94,13 +94,17 @@ object Bench {
     // to it so a round with failures is never read as a speedup when
     // diffing totals across differing query sets
     val total = if (timed.nonEmpty) timed.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_failed":${failed.size},"queries":$qs,"timings":$pairs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // durability: the driver captures a bounded stdout tail, which has
-    // truncated a third of the per-query map in past rounds — the same
-    // line on disk keeps every query round-over-round auditable
-    BenchSession.writeArtifact("bench_out.json", line)
+    // stdout gets the COMPACT line (the driver captures a bounded stdout
+    // tail — r5 lost a third of the per-query map to truncation, and the
+    // raw timing pairs would nearly double the line); the FULL artifact
+    // with per-attempt pairs lands in bench_out.json, which is where the
+    // round notes read them from. The canary is 3 numbers — it rides on
+    // both so even a truncated capture carries the noise marker.
+    val common =
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_failed":${failed.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
+    println(s"{$common}")
+    BenchSession.writeArtifact("bench_out.json",
+      s"""{$common,"timings":$pairs}""")
 
     // release the sweep's cached fixture relations before exit (and as a
     // footprint bound for any embedder that keeps the JVM alive)
