@@ -48,6 +48,18 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // settle before timing: the start-of-sweep canary has read 1.5-2x the
+    // mid-sweep value on every artifact so far (tiered JIT still
+    // compiling after the one-shot warm-ups), which taxes whichever
+    // queries Map order puts first — iterate the canary until two
+    // consecutive runs are within 20% (max 5) so the sweep starts at
+    // steady state, then record the settled value as the start marker
+    var settlePrev = canaryOnce()
+    var settleCur = canaryOnce()
+    var settleRuns = 2
+    while (settleRuns < 5 && settleCur < settlePrev * 0.8) {
+      settlePrev = settleCur; settleCur = canaryOnce(); settleRuns += 1
+    }
     val canary = scala.collection.mutable.ArrayBuffer[Double](canaryOnce())
 
     // two timed executions per query; BOTH timings are published (steal on
