@@ -20,7 +20,12 @@ object TrainingData {
   /** Exact dedup groups by content hash →
     * (content_hash, canonical_id, n_copies); survivor = min(id). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(sha2(col(textCol), 256).as("content_hash"))
+    // NULL content is excluded, not clustered: sha2(NULL) = NULL would
+    // group every NULL-text doc into one "duplicate" cluster and a
+    // consumer would drop documents that were never byte-identical
+    // (equality is undefined for NULL) — screen NULLs separately
+    docs.filter(col(textCol).isNotNull)
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** The `(doc_id, shh)` 3-shingle-hash relation of a corpus — the shared

@@ -493,7 +493,8 @@ object DedupOps {
     "x25_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
         | count(*) AS n_copies
-        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin,
     // the oracle admits on text equality where Spark anti-joins on
     // sha256(text) — identical results short of a hash collision
     "x25b_dedup_increment" ->

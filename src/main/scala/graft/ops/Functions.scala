@@ -90,9 +90,15 @@ object Functions {
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("l_returnflag"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        // zero-variance guard: a constant series (single-row group, or
+        // all-equal x or y) has correlation NULL like corr() — unguarded,
+        // the 0/0 throws DIVIDE_BY_ZERO under ANSI and the engines would
+        // disagree (Spark error vs DuckDB NaN)
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
           .as("corr_qty_price"),
         col("n"))
       .orderBy(col("l_returnflag"))
@@ -236,8 +242,10 @@ object Functions {
         |  sum(CAST(round(l_extendedprice/1000.0, 0) AS BIGINT) * CAST(round(l_extendedprice/1000.0, 0) AS BIGINT)) AS syy
         | FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        | round(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |   (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_qty_price,
+        | CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |   round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |     (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+        | END AS corr_qty_price,
         | n
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q08_distinct_agg" ->

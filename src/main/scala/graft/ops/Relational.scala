@@ -200,18 +200,31 @@ object Relational {
     * `merge_action` provenance column: a keyed change overwrites the base
     * row ('updated'), an unmatched change appends ('inserted'), an
     * untouched base row passes through ('kept'). Both inputs must have
-    * identical schemas; deletes are a filter, not a merge concern. */
+    * identical schemas; deletes are a filter, not a merge concern.
+    *
+    * Row provenance rides on MARKER columns, not key-nullness: a change
+    * row overwrites every column including an explicit NULL (the
+    * per-column `coalesce` form silently kept the old value there), and
+    * a change with a NULL merge key — which an equi-join can never match
+    * — is correctly labeled 'inserted', not 'kept'. Precondition (same
+    * as SQL MERGE, which raises on multiple matches): `changes` must be
+    * unique per key, or matched base rows fan out one output row per
+    * matching change. */
   def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val cols = base.columns
     require(changes.columns.sameElements(cols),
       s"upsert needs identical schemas: ${cols.toSeq} vs ${changes.columns.toSeq}")
-    val b = base.as("b")
-    val c = changes.as("c")
+    require(!cols.contains("__from_change") && !cols.contains("__from_base"),
+      "upsert uses helper columns __from_base/__from_change; rename yours first")
+    val b = base.withColumn("__from_base", lit(true)).as("b")
+    val c = changes.withColumn("__from_change", lit(true)).as("c")
     b.join(c, col(s"b.$key") === col(s"c.$key"), "full_outer")
       .select(cols.map(n =>
-        coalesce(col(s"c.$n"), col(s"b.$n")).as(n)) :+
-        when(col(s"c.$key").isNotNull && col(s"b.$key").isNotNull, "updated")
-          .when(col(s"c.$key").isNotNull, "inserted")
+        when(col("c.__from_change").isNotNull, col(s"c.$n"))
+          .otherwise(col(s"b.$n")).as(n)) :+
+        when(col("c.__from_change").isNotNull && col("b.__from_base").isNotNull,
+          "updated")
+          .when(col("c.__from_change").isNotNull, "inserted")
           .otherwise("kept").as("merge_action"): _*)
   }
 
@@ -249,21 +262,23 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q26_merge_upsert" ->
       """WITH base AS (
-        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         TRUE AS from_base FROM orders),
         |chg AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
-        |         o_totalprice + 100.0 AS o_totalprice
+        |         o_totalprice + 100.0 AS o_totalprice, TRUE AS from_change
         |  FROM base WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  SELECT -o_orderkey AS o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, TRUE AS from_change
         |  FROM base WHERE o_orderkey % 7 = 3)
         |SELECT
-        | coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
-        | coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
-        | coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
-        | coalesce(c.o_totalprice, b.o_totalprice) AS o_totalprice,
-        | CASE WHEN c.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'updated'
-        |      WHEN c.o_orderkey IS NOT NULL THEN 'inserted'
+        | CASE WHEN c.from_change THEN c.o_orderkey ELSE b.o_orderkey END AS o_orderkey,
+        | CASE WHEN c.from_change THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+        | CASE WHEN c.from_change THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+        | CASE WHEN c.from_change THEN c.o_totalprice ELSE b.o_totalprice END AS o_totalprice,
+        | CASE WHEN c.from_change AND b.from_base THEN 'updated'
+        |      WHEN c.from_change THEN 'inserted'
         |      ELSE 'kept' END AS merge_action
         |FROM base b FULL JOIN chg c ON b.o_orderkey = c.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,

@@ -92,7 +92,11 @@ object ReplayQueries {
     // pass 1: boundary scan (the only driver-visible data: nBuckets-1 longs)
     val bounds = boundsCache.getOrElseUpdate(dir, {
       val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-      ev.select(tsMs(col("ts")).as("v"))
+      // nBuckets == 1 (a 1-partition session) needs no boundaries — skip
+      // the quantile pass rather than scanning the corpus for zero
+      // quantiles (the packSequences twin carries the same guard)
+      if (probs.isEmpty) Array.empty[Double]
+      else ev.select(tsMs(col("ts")).as("v"))
         .stat.approxQuantile("v", probs, 0.001).distinct.sorted
     })
     val bucket = graft.functions.RangeFunctions.bucket_index(

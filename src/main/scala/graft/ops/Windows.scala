@@ -374,10 +374,18 @@ object Windows {
         |    ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS rn
         | FROM events
         |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // correlated top-1, NOT DuckDB's ASOF JOIN: ASOF resolves only the
+    // ts inequality, so among SAME-ts signups it returns an arbitrary
+    // row, while the Spark window's (ts, is_left, event_id) order pins
+    // the max event_id — the explicit ORDER BY replays that tie-break
     "q24_asof_join" ->
-      """SELECT l.event_id, l.user_id, r.event_id AS asof_signup_id
+      """SELECT l.event_id, l.user_id,
+        | (SELECT r.event_id
+        |  FROM events r
+        |  WHERE r.event_type = 'signup' AND r.user_id = l.user_id
+        |    AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+        |  ORDER BY CAST(r.ts AS TIMESTAMP) DESC, r.event_id DESC
+        |  LIMIT 1) AS asof_signup_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
-        |  ON l.user_id = r.user_id AND CAST(l.ts AS TIMESTAMP) >= CAST(r.ts AS TIMESTAMP)
         |ORDER BY l.event_id""".stripMargin)
 }

@@ -248,6 +248,54 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("upsert edge semantics: NULL-value updates write, NULL-key changes insert") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, Option("F")), (2L, Option("O"))).toDF("k", "status")
+    // a change explicitly clearing status to NULL, and a change whose
+    // merge key itself is NULL (unmatched by any equi-join)
+    val chg = Seq((Option(1L), Option.empty[String]),
+      (Option.empty[Long], Option("N"))).toDF("k", "status")
+    val out = graft.ops.Relational.upsert(base.select(col("k").cast("long").as("k"),
+        col("status")), chg.select(col("k").cast("long").as("k"), col("status")), "k")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getString(1)), r.getString(2))).toSet
+    assert(out == Set(
+      (Some(1L), None, "updated"),       // NULL write NOT reverted to 'F'
+      (Some(2L), Some("O"), "kept"),
+      (None, Some("N"), "inserted")))    // NULL-key change is an insert
+  }
+
+  test("exactDedup excludes NULL content instead of clustering it") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("same")), (2L, Option("same")),
+      (3L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "body")
+    val out = graft.api.TrainingData.exactDedup(docs, "id", "body").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 1L && out.head.getLong(2) == 2L)
+  }
+
+  test("exact correlation degrades to NULL on zero-variance groups, like corr()") {
+    // a constant-quantity slice must not throw under ANSI division
+    val d = "/root/testdata/sf0.001"
+    val row = graft.ops.Functions.q08cCorrExact(spark, d)
+      .collect() // fixture has variance: all non-null
+    assert(row.nonEmpty && row.forall(!_.isNullAt(1)))
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic constant group via the same closed form
+    val c = Seq((1L, 5L), (1L, 5L)).toDF("g", "x")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x")).as("sy"),
+        sum(col("x") * col("x")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("x")).as("syy"))
+      .select(when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+          col("n") * col("syy") - col("sy") * col("sy") > 0,
+        lit(1.0)).as("corr"))
+      .collect()
+    assert(c.head.isNullAt(0)) // guard fires: NULL, no DIVIDE_BY_ZERO
+  }
+
   test("dedup is idempotent and keeps one row per key") {
     import spark.implicits._
     check(forAll(Gen.listOfN(50, Gen.choose(0, 10))) { xs =>
