@@ -129,8 +129,14 @@ object TrainingData {
       threshold: Double): DataFrame = {
     // select by NAME, not toDF positional rebind: a caller passing the
     // documented columns in a different order must fail analysis, not get
-    // silently wrong pairs
-    val w = weights.select(col("doc_id"), col("tok"), col("w"))
+    // silently wrong pairs. Widen w BEFORE squaring: w ~ tf·idf_milli can
+    // reach ~6e9 on a pathologically repetitive document, where w² >
+    // Long.MaxValue and a BIGINT sum wraps negative → sqrt(negative) =
+    // NaN → the pair silently vanishes. decimal(19)² accumulates as
+    // decimal(38) — exact, matching the DuckDB oracle's automatic
+    // HUGEINT widening.
+    val w = weights.select(col("doc_id"), col("tok"),
+      col("w").cast("decimal(19,0)").as("w"))
     val norms = w.groupBy(col("doc_id"))
       .agg(sum(col("w") * col("w")).as("norm2"))
     w.as("a").join(w.as("b"),
@@ -367,6 +373,11 @@ object TrainingData {
     VectorOps.fanOut(c).crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", round(cosine_sim(col("q_emb"), col("c_emb")), 6))
+      // a zero vector has no direction: cosine_sim returns NULL there,
+      // and NULL-sim rows must not occupy ranks (sim.desc sorts NULLs
+      // ahead of every real similarity — a zero-vector query would get k
+      // confidently-ranked neighbors with sim = NULL)
+      .filter(col("sim").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
@@ -437,7 +448,11 @@ object TrainingData {
       lit(weights.last._1): Column) { case (((name, _), hi), other) =>
       when(b < hi, name).otherwise(other)
     }
-    docs.withColumn("bucket", b.cast("int")).withColumn("split", split)
+    // NULL ids are dropped, matching hashSample/weightedHashSample: a
+    // NULL bucket would fall through every `when(b < hi)` branch and
+    // silently land every malformed row in the LAST split
+    docs.filter(col(idCol).isNotNull)
+      .withColumn("bucket", b.cast("int")).withColumn("split", split)
   }
 
   /** Deterministic `percent`% sample: rows whose content bucket falls
@@ -489,16 +504,25 @@ object TrainingData {
     weights.foreach { case (s, w) =>
       require(w >= 0 && w <= 1, s"mixture weight out of [0,1]: $s -> $w")
     }
+    Seq("n_tokens", "tot", "p").foreach(c => require(!docs.columns.contains(c),
+      s"mixByTokenBudget uses a helper column named $c; rename yours first"))
     val toks = docs.withColumn("n_tokens",
-      size(filter(split(lower(col(textCol)), " "), t => t =!= "")).cast("long"))
+      coalesce(size(filter(split(lower(col(textCol)), " "), t => t =!= "")), lit(0))
+        .cast("long"))
     val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
     val w = weights.foldLeft(lit(0.0): Column) { case (other, (s, wt)) =>
       when(col(sourceCol) === s, lit(wt)).otherwise(other)
     }
     // strata cardinality is small by construction (domains/sources) —
-    // same unconditional broadcast contract as topFractionByStrata
+    // same unconditional broadcast contract as topFractionByStrata.
+    // tot == 0 guard: a source with no tokens divides to NULL, and
+    // least(1.0, NULL) would skip the NULL and keep EVERY row of the
+    // source (including weight-0 sources the doc promises are dropped) —
+    // a tokenless source contributes nothing, so it drops
     toks.join(broadcast(totals), Seq(sourceCol))
-      .withColumn("p", least(lit(1.0), w * lit(budgetTokens.toDouble) / col("tot")))
+      .withColumn("p", when(col("tot") > 0,
+        least(lit(1.0), w * lit(budgetTokens.toDouble) / col("tot")))
+        .otherwise(lit(0.0)))
       .filter(hashUnit(concat(col(idCol).cast("string"), lit("#mix"))) < col("p"))
       .select(docs.columns.map(col) :+ col("n_tokens"): _*)
   }
@@ -523,14 +547,20 @@ object TrainingData {
     weights.foreach { case (s, w) =>
       require(w >= 0, s"mixture weight must be >= 0: $s -> $w")
     }
+    Seq("n_tokens", "tot", "p", "n_copies", "epoch").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"mixByTokenBudgetReplicated uses a helper column named $c; rename yours first"))
     val toks = docs.withColumn("n_tokens",
-      size(filter(split(lower(col(textCol)), " "), t => t =!= "")).cast("long"))
+      coalesce(size(filter(split(lower(col(textCol)), " "), t => t =!= "")), lit(0))
+        .cast("long"))
     val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
     val w = weights.foldLeft(lit(0.0): Column) { case (other, (s, wt)) =>
       when(col(sourceCol) === s, lit(wt)).otherwise(other)
     }
     toks.join(broadcast(totals), Seq(sourceCol))
-      .withColumn("p", w * lit(budgetTokens.toDouble) / col("tot"))
+      // same tot == 0 guard as the capped form (kept-set parity at p <= 1)
+      .withColumn("p", when(col("tot") > 0,
+        w * lit(budgetTokens.toDouble) / col("tot")).otherwise(lit(0.0)))
       .withColumn("n_copies",
         floor(col("p")).cast("long") +
           when(hashUnit(concat(col(idCol).cast("string"), lit("#mix"))) <
@@ -1118,8 +1148,13 @@ object TrainingData {
     require(!rows.columns.contains("__rn"),
       "capPerKey uses a helper column named __rn; rename yours first")
     import org.apache.spark.sql.expressions.Window
+    // NULLS LAST, not Spark's ascending default of NULLS FIRST: rows with
+    // no order value must not consume the cap ahead of every genuinely
+    // ordered row (and DuckDB's ASC default is NULLS LAST — the oracle
+    // dialect intersection). Ties on orderCol remain partitioning-
+    // dependent — pass a unique orderCol when the exact kept set matters.
     rows.withColumn("__rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc_nulls_last)))
       .filter(col("__rn") <= n).drop("__rn")
   }
 
@@ -1149,14 +1184,19 @@ object TrainingData {
     // end-of-line swallowed the newline and the next line's leading text
     val url = "https?://[^ \\t\\n\\r\\f]+"
     val digits = "[0-9][0-9][0-9][0-9]+"
-    val nRed = regexp_count(col(textCol), lit(email)) +
-      regexp_count(col(textCol), lit(url)) +
-      regexp_count(col(textCol), lit(digits))
     // URL first: an email inside a URL's query string is the URL's problem;
-    // digit runs last so they can't eat an address or URL fragment
+    // digit runs last so they can't eat an address or URL fragment.
+    // Counts run on the SAME intermediate strings as the replacements —
+    // counting all three patterns on the original text double-counts an
+    // email/digit run sitting inside a URL, so n_redactions would exceed
+    // the placeholders actually inserted
+    val afterUrl = regexp_replace(col(textCol), url, "<URL>")
+    val afterEmail = regexp_replace(afterUrl, email, "<EMAIL>")
+    val nRed = regexp_count(col(textCol), lit(url)) +
+      regexp_count(afterUrl, lit(email)) +
+      regexp_count(afterEmail, lit(digits))
     docs.select(col(idCol),
-      regexp_replace(regexp_replace(regexp_replace(col(textCol),
-        url, "<URL>"), email, "<EMAIL>"), digits, "<NUM>").as("redacted_text"),
+      regexp_replace(afterEmail, digits, "<NUM>").as("redacted_text"),
       nRed.cast("long").as("n_redactions"))
   }
 

@@ -37,7 +37,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // same loud-failure contract as int8_dot: truncating a dimension
+    // mismatch (two embedding models, a corrupt row) would rank with a
+    // plausible but wrong similarity
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -65,7 +71,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector dimensions differ (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = (double) $x.getFloat($i);
@@ -107,7 +118,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // loud failure on dimension mismatch, like cosine_sim/int8_dot
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: vector dimensions differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) {
@@ -123,7 +138,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |if ($x.numElements() != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: vector dimensions differ (" + $x.numElements() +
+         |    " vs " + $y.numElements() + ")");
+         |}
+         |int $n = $x.numElements();
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);

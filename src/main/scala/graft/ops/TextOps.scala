@@ -229,18 +229,24 @@ object TextOps {
         |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
         |    '@example.com or https://ex.org/p/' || CAST(doc_id AS VARCHAR) ||
         |    ' ref ' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS dirty
-        |  FROM documents)
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, dirty,
+        |  regexp_replace(dirty, 'https?://[^ \t\n\r\f]+', '<URL>', 'g') AS after_url
+        |  FROM dirty),
+        |r2 AS (SELECT doc_id, dirty, after_url,
+        |  regexp_replace(after_url,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+',
+        |    '<EMAIL>', 'g') AS after_email
+        |  FROM r1)
         |SELECT doc_id,
-        | regexp_replace(regexp_replace(regexp_replace(dirty,
-        |   'https?://[^ \t\n\r\f]+', '<URL>', 'g'),
-        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
-        |   '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted_text,
-        | CAST(len(regexp_extract_all(dirty,
+        | regexp_replace(after_email, '[0-9][0-9][0-9][0-9]+', '<NUM>', 'g')
+        |   AS redacted_text,
+        | CAST(len(regexp_extract_all(dirty, 'https?://[^ \t\n\r\f]+')) +
+        |   len(regexp_extract_all(after_url,
         |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) +
-        |   len(regexp_extract_all(dirty, 'https?://[^ \t\n\r\f]+')) +
-        |   len(regexp_extract_all(dirty, '[0-9][0-9][0-9][0-9]+')) AS BIGINT)
+        |   len(regexp_extract_all(after_email, '[0-9][0-9][0-9][0-9]+')) AS BIGINT)
         |   AS n_redactions
-        |FROM dirty ORDER BY doc_id""".stripMargin,
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     "x28_token_stats" ->
       s"""SELECT doc_id,
          | CAST(len($toksSql) AS INTEGER) AS n_tokens,

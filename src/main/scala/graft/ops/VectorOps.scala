@@ -91,6 +91,7 @@ object VectorOps {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
     cand
       .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .filter(col("sim").isNotNull) // zero vectors rank nowhere (see cosineTopK)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
@@ -215,6 +216,7 @@ object VectorOps {
       // unique; no distinct (and no array-carrying shuffle) needed
       .select(col("q_id"), col("q_emb"), col("vec_id").as("c_id"), col("embedding"))
       .withColumn("sim", round(cosine(col("q_emb"), col("embedding")), 6))
+      .filter(col("sim").isNotNull) // zero vectors rank nowhere (see cosineTopK)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))

@@ -88,6 +88,12 @@ object StreamingOps {
   def incrementalDedup(docs: DataFrame, tsCol: String, textCol: String,
       knownHashes: DataFrame): DataFrame =
     docs
+      // NULL content is excluded, not clustered — the batch twin
+      // (TrainingData.exactDedup) policy: sha2(NULL) = NULL passes the
+      // anti-join (NULL never equi-matches) but the dedup state would
+      // then treat every NULL hash as one key and drop all but the
+      // first NULL-text document
+      .filter(col(textCol).isNotNull)
       .withColumn("content_hash", sha2(col(textCol), 256))
       .join(knownHashes.toDF("content_hash"), Seq("content_hash"), "left_anti")
       .withWatermark(tsCol, "30 minutes")
@@ -159,9 +165,14 @@ object StreamingOps {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
             state: GroupState[OpenSessions]) =>
           val wm = state.getCurrentWatermarkMs()
-          // frozen = no admissible event can reach the island any more
+          // frozen = no admissible event can reach the island any more.
+          // STRICTLY less: an admissible event at ts == wm still merges
+          // when ts - end == gap (the merge rule is <=), so an island
+          // with end + gap == wm is NOT yet closable — `<=` here emitted
+          // it one event too early and a boundary event then started a
+          // spurious second session
           def split(islands: List[SessState]) =
-            islands.partition(s => s.end + SessionGapMs <= wm)
+            islands.partition(s => s.end + SessionGapMs < wm)
           val islands =
             if (state.hasTimedOut) state.get.islands
             else {

@@ -875,6 +875,50 @@ class TrainingDataSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("redactPii counts match the placeholders actually inserted, overlaps included") {
+    val docs = Seq(
+      (1L, "see https://x.com/a@b.com or https://y.com/1234"), // email+digits INSIDE urls
+      (2L, "card 12345678 and mail a@b.co")).toDF("id", "body")
+    val out = TrainingData.redactPii(docs, "id", "body")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out(0)._2 == "see <URL> or <URL>")
+    assert(out(0)._3 == 2L) // NOT 4: the swallowed email/digits don't count
+    assert(out(1)._2 == "card <NUM> and mail <EMAIL>" && out(1)._3 == 2L)
+  }
+
+  test("mixByTokenBudget drops tokenless and weight-0 sources instead of keeping them") {
+    val docs = Seq(
+      (1L, "web", "a b c d"), (2L, "web", "e f g h"),
+      (3L, "empty", ""), (4L, "empty", "   "),
+      (5L, "unlisted", "i j k l")).toDF("id", "src", "body")
+    val kept = TrainingData.mixByTokenBudget(
+        docs, "src", "id", "body", Map("web" -> 1.0, "empty" -> 1.0), 1000L)
+      .select("id").as[Long].collect().toSet
+    // web: p = 1 keeps both; empty: tot = 0 -> dropped (was: NULL division
+    // made least() skip and keep EVERYTHING, unlisted included)
+    assert(kept == Set(1L, 2L))
+    val keptRep = TrainingData.mixByTokenBudgetReplicated(
+        docs, "src", "id", "body", Map("web" -> 1.0, "empty" -> 1.0), 1000L)
+      .select("id").as[Long].collect().toSet
+    assert(keptRep.subsetOf(Set(1L, 2L)) && keptRep.nonEmpty)
+  }
+
+  test("deterministicSplit drops NULL ids instead of assigning them to the last split") {
+    val docs = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("id")
+    val out = TrainingData.deterministicSplit(docs, "id",
+      Seq(("train", 90), ("test", 10)))
+    assert(out.count() == 2 && out.filter(col("id").isNull).count() == 0)
+  }
+
+  test("capPerKey never lets NULL order values consume the cap") {
+    val rows = Seq(("d", Option.empty[Long], 1L), ("d", Option(5L), 2L),
+      ("d", Option(3L), 3L), ("d", Option.empty[Long], 4L))
+      .toDF("k", "ord", "id")
+    val kept = TrainingData.capPerKey(rows, "k", "ord", 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // the two ordered rows, not the NULLs
+  }
+
   test("redactPii replaces emails, urls, and digit runs with placeholders") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@ex-ample.org today"),

@@ -116,6 +116,20 @@ class VectorExprSpec extends SparkSpec {
     assert(ok == 1 * 4 + 2 * 5 + 3 * 6)
   }
 
+  test("cosine_sim and dot_product reject mismatched dimensions instead of truncating") {
+    import spark.implicits._
+    val v = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    Seq(VectorFunctions.cosine_sim _, VectorFunctions.dot_product _).foreach { fn =>
+      val ex = intercept[Exception] {
+        v.select(fn(col("a"), col("b"))).collect()
+      }
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+        c.getMessage.contains("dimensions differ")))
+    }
+  }
+
   test("null and zero-vector inputs yield null, not NaN") {
     VectorFunctions.register(spark)
     val r = spark.sql(
