@@ -43,7 +43,12 @@ class FramedLz4Codec extends CompressionCodec with Configurable {
     // mark/reset-capable stream so the factory can sniff then rewind
     val buffered = new BufferedInputStream(in, FramedLz4Codec.BufferBytes)
     try {
-      val detected = new CompressorStreamFactory()
+      // decompressConcatenated: a multi-frame file (`cat a.lz4 b.lz4`, or
+      // any chunked writer flushing one frame per chunk — standard, and
+      // what `lz4cat` reads) must decode ALL frames; the factory default
+      // stops at the first frame's end-mark and silently truncates the
+      // rest of the object (data-loss-shaped, no error raised)
+      val detected = new CompressorStreamFactory(true)
         .createCompressorInputStream(buffered) // magic-byte detection
       new FramedLz4Codec.DelegatedInputStream(detected, buffered)
     } catch {

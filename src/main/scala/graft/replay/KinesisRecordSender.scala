@@ -49,8 +49,21 @@ final class KinesisRecordSender(
     val rb = callStatic(s"$sdkRoot.services.kinesis.model.PutRecordsRequest", "builder")
     call(rb, "streamARN", streamArn)
     call(rb, "records", entries)
-    val response = call(client, "putRecords", call(rb, "build"))
-    failedIndices(response)
+    // Request-level failures (the call THROWS instead of reporting
+    // per-record errorCodes — whole-request throttle, 5 MiB cap, transient
+    // network/5xx): the reference has no handling at all here (a thrown
+    // putRecords exits its process, KinesisProducer.java:124-126), but in
+    // a Spark task that would re-run the whole partition and duplicate
+    // every already-sent record. Classify by the SDK's own verdict:
+    // SdkException.retryable() → report the whole batch as failed indices
+    // so [[Sink]]'s 2^attempt backoff engages; non-retryable
+    // (ResourceNotFound, AccessDenied, Validation…) → rethrow and fail
+    // fast per the [[RecordSender]] contract.
+    try failedIndices(call(client, "putRecords", call(rb, "build")))
+    catch {
+      case e: Exception if isRetryableSdkException(sdkRoot, e) =>
+        records.indices
+    }
   }
 }
 
@@ -83,6 +96,19 @@ object KinesisRecordSender {
       call(b, "build")
     })
   }
+
+  /** The SDK's own retryability verdict, bound reflectively:
+    * `SdkException.retryable()` is true for throttling, transient 5xx and
+    * IO failures, false for misconfiguration-shaped errors. Absent SDK (or
+    * a non-SDK exception) → not retryable. */
+  private[replay] def isRetryableSdkException(sdkRoot: String, e: Throwable): Boolean =
+    try {
+      val sdkEx = Class.forName(s"$sdkRoot.core.exception.SdkException")
+      sdkEx.isInstance(e) && (call(e.asInstanceOf[AnyRef], "retryable") match {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => false
+      })
+    } catch { case _: ReflectiveOperationException => false }
 
   /** 0-based indices of entries with a non-null `errorCode`
     * (KinesisProducer.java:187-195); fast path when none failed. */
@@ -158,15 +184,29 @@ object KinesisRecordSender {
     }
   }
 
+  /** Method.invoke wraps anything the target throws in
+    * InvocationTargetException; unwrap so callers see the REAL exception
+    * (the actionable `ResourceNotFoundException`, not a reflection
+    * artifact) — instanceof-based handling like [[isRetryableSdkException]]
+    * could never match the wrapper. */
+  private def invokeUnwrapped(m: java.lang.reflect.Method, target: AnyRef,
+      args: Seq[AnyRef]): AnyRef =
+    try m.invoke(target, args: _*)
+    catch {
+      case e: java.lang.reflect.InvocationTargetException if e.getCause != null =>
+        throw e.getCause
+    }
+
   /** Duck-typed instance call: exact-match overload first, then first
     * assignable match, re-homed onto a public declaring type (see
     * [[accessible]]). The SDK's fluent builders return `this`, so chained
     * configuration is just repeated `call`s on the builder. */
   private[replay] def call(target: AnyRef, method: String, args: AnyRef*): AnyRef =
-    accessible(resolve(target.getClass.getMethods.toSeq, method, args)
-      .getOrElse(throw new NoSuchMethodException(
-        s"${target.getClass.getName}.$method/${args.length}")))
-      .invoke(target, args: _*)
+    invokeUnwrapped(
+      accessible(resolve(target.getClass.getMethods.toSeq, method, args)
+        .getOrElse(throw new NoSuchMethodException(
+          s"${target.getClass.getName}.$method/${args.length}"))),
+      target, args)
 
   /** Static (or Scala-object) call on a class resolved by name. */
   private[replay] def callStatic(className: String, method: String, args: AnyRef*): AnyRef = {
@@ -174,7 +214,7 @@ object KinesisRecordSender {
     val statics = cls.getMethods.toSeq.filter(m =>
       java.lang.reflect.Modifier.isStatic(m.getModifiers))
     resolve(statics, method, args) match {
-      case Some(m) => m.invoke(null, args: _*)
+      case Some(m) => invokeUnwrapped(m, null, args)
       case None => // Scala object without static forwarders
         val module = Class.forName(className + "$").getField("MODULE$").get(null)
         call(module, method, args: _*)

@@ -30,9 +30,15 @@ object Parse {
     * malformed-row filter would then silently drop the whole input. Fail
     * loudly at plan-build time instead. */
   def parsed(lines: DataFrame, timestampAttributeName: String): DataFrame = {
-    require(!timestampAttributeName.exists(c => c == '\'' || c == '"' || c == '\\'),
-      "timestamp attribute name contains a quote or backslash, which Spark's " +
-        s"JSON path syntax cannot address: $timestampAttributeName")
+    // Spark's JsonPathParser named-field rule is `[^\'\?]+` — nonempty,
+    // no quotes, no '?' (and a backslash is not an escape) — so any name
+    // outside it is inexpressible and would NULL-out every row
+    require(timestampAttributeName.nonEmpty,
+      "timestamp attribute name must be non-empty")
+    require(!timestampAttributeName.exists(c =>
+        c == '\'' || c == '"' || c == '\\' || c == '?'),
+      "timestamp attribute name contains a quote, backslash or '?', which " +
+        s"Spark's JSON path syntax cannot address: $timestampAttributeName")
     val escaped = timestampAttributeName
     lines
       .select(

@@ -74,7 +74,7 @@ object ReplayCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val inner: RecordSender =
-      if (dryRun) new CollectingSender()
+      if (dryRun) new DiscardingSender() // counts, discards — a collecting sender would OOM on a real dataset
       else if (cfg.streamArn.isEmpty)
         throw new IllegalArgumentException(s"-streamArn is required unless -dryRun\n$usage")
       else if (KinesisRecordSender.sdkPresent())

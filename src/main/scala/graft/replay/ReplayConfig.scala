@@ -31,6 +31,10 @@ final case class ReplayConfig(
   // silently corrupt Long.MaxValue schedule — reject at construction time
   require(speedupFactor > 0, s"speedupFactor must be > 0, got $speedupFactor")
   require(senderParallelism > 0, s"senderParallelism must be > 0, got $senderParallelism")
+  // 0 would make every stats-window check fire (now - start >= 0 always)
+  // with a divide-by-zero rate — a garbage log line per replayed event
+  require(statisticsFrequencyMillis > 0,
+    s"statisticsFrequencyMillis must be > 0, got $statisticsFrequencyMillis")
 }
 
 /** ARN validation + region extraction (R11, KinesisProducer.java:61-72). */

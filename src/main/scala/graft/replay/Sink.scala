@@ -20,8 +20,32 @@ import java.util.concurrent.atomic.{AtomicLong, AtomicInteger}
   * exactly this retry contract; tests inject [[CollectingSender]].
   */
 trait RecordSender extends Serializable {
-  /** Send one batch; return the 0-based indices that failed (to retry). */
+  /** Send one batch; return the 0-based indices that failed (to retry).
+    *
+    * Failure contract: RETRYABLE failures (throttle, transient transport)
+    * must be REPORTED as failed indices — returning `records.indices`
+    * engages [[Sink]]'s exponential backoff for the whole batch. A THROWN
+    * exception means non-retryable (misconfiguration, auth, closed
+    * transport) and fails the task immediately: the reference has no
+    * request-level retry either — a thrown `putRecords` kills its process
+    * outright (KinesisProducer.java:124-126 `System.exit(1)`) — and
+    * blind-retrying a non-retryable error would stall the sink for
+    * `100 · backoff` before surfacing the real cause. */
   def send(records: Seq[Array[Byte]]): Seq[Int]
+}
+
+/** Production dry-run sender: counts and DISCARDS payloads. The collecting
+  * sender below retains every payload byte-array JVM-wide — fine for specs
+  * asserting content, an OOM on a realistic dataset — so `-dryRun` wires
+  * this one. */
+class DiscardingSender extends RecordSender {
+  override def send(records: Seq[Array[Byte]]): Seq[Int] = {
+    DiscardingSender.count.addAndGet(records.size); Nil
+  }
+}
+object DiscardingSender {
+  val count = new AtomicLong(0)
+  def reset(): Unit = count.set(0)
 }
 
 /** Test/local sender collecting into a JVM-wide queue (local[n] = one JVM). */
@@ -113,8 +137,13 @@ object Sink {
       buf.clear()
     }
     records.foreach { case (dueMs, payload) =>
-      val gap = nowMs() - dueMs
-      if (gap < 0) { flush(); sleeper(-gap) }
+      // flush BEFORE any pacing sleep, then pace against a FRESH clock
+      // read: the flush itself can take arbitrarily long (network, retry
+      // backoff), and sleeping a gap computed before it would add the
+      // flush duration on top of the schedule, delivering late and
+      // reporting the stale pre-flush gap as an on-time sleep
+      if (nowMs() < dueMs) flush()
+      val gap = Pace.paceTo(dueMs, nowMs, sleeper)
       onPaced(gap)
       buf += payload
       if (buf.size >= MaxEntriesPerRequest) flush()

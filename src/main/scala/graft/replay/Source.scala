@@ -23,7 +23,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Source {
 
   /** List files under `path` (any Hadoop FS), dropping suffix-skipped ones.
-    * Listing order is lexicographic, like ListObjectsV2. */
+    * Listing order is lexicographic, like ListObjectsV2.
+    *
+    * The suffix matches against the DECODED full path — reference parity
+    * with `key.endsWith(suffix)` (JsonEventS3Iterator.java:139-143), which
+    * operates on the whole object key and so supports suffixes spanning
+    * '/' (e.g. `meta/README.md`); a name-only match would silently skip
+    * nothing for those. An empty suffix skips nothing (endsWith("") is
+    * vacuously true of every path — "skip everything" can never be the
+    * intent of an empty CLI value). The streaming path applies the same
+    * decoded-path semantics (StreamingReplay.stream). */
   def listFiles(spark: SparkSession, path: String, suffixToSkip: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -31,7 +40,8 @@ object Source {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !f.getPath.getName.endsWith(suffixToSkip))
+      if (f.isFile &&
+          !(suffixToSkip.nonEmpty && f.getPath.toUri.getPath.endsWith(suffixToSkip)))
         out += f.getPath.toString
     }
     out.sorted.toSeq

@@ -119,11 +119,21 @@ object StreamingReplay {
   def stream(spark: SparkSession, cfg: ReplayConfig,
       maxFilesPerTrigger: Int = 16): DataFrame = {
     FramedLz4Codec.register(spark.sparkContext.hadoopConfiguration)
-    val lines = spark.readStream
+    // Suffix anti-filter semantics match the batch path (Source.listFiles):
+    // the DECODED full path, like the reference's key.endsWith.
+    // input_file_name() is URI-ENCODED (a space is %20), so match the
+    // decoded form too — the encoded disjunct keeps a literal '+' in a
+    // file name matchable (url_decode is form-decoding: '+' → space).
+    // Empty suffix skips nothing (endsWith("") would match every file).
+    val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .option("ignoreCorruptFiles", "true")
       .text(cfg.inputPath)
-      .filter(!input_file_name().endsWith(cfg.objectSuffixToSkip))
+    val lines =
+      if (cfg.objectSuffixToSkip.isEmpty) raw
+      else raw.filter(
+        !(input_file_name().endsWith(cfg.objectSuffixToSkip) ||
+          url_decode(input_file_name()).endsWith(cfg.objectSuffixToSkip)))
     Parse.seek(Parse.parsed(lines, cfg.timestampAttributeName), cfg.seek)
   }
 

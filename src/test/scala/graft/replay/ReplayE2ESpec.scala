@@ -167,10 +167,13 @@ class ReplayE2ESpec extends SparkSpec {
     // filter would drop the whole input without a trace
     import spark.implicits._
     val lines = Seq("""{"it's":"2024-01-01T00:00:00Z"}""").toDF("value")
-    for (bad <- Seq("it's", "a\"b", "a\\b")) {
+    for (bad <- Seq("it's", "a\"b", "a\\b", "drop?off")) {
       val ex = intercept[IllegalArgumentException](Parse.parsed(lines, bad))
-      assert(ex.getMessage.contains("quote or backslash"))
+      assert(ex.getMessage.contains("cannot address"))
     }
+    // the empty name is rejected too — JsonPathParser's field rule is
+    // `[^\'\?]+` (nonempty), so $[''] never parses and every row would drop
+    intercept[IllegalArgumentException](Parse.parsed(lines, ""))
     // ordinary names (including dots, which bracket form keeps flat) still parse
     assert(Parse.parsed(Seq("""{"a.b":"2024-01-01T00:00:00Z"}""").toDF("value"),
       "a.b").count() == 1)
@@ -252,6 +255,60 @@ class ReplayE2ESpec extends SparkSpec {
     assert(ids(payloads) == Seq(1, 2, 3))
     // byte-exact: original line + the forced trailing newline, nothing else
     assert(payloads == lines.map(_ + "\n"))
+  }
+
+  test("concatenated LZ4 frames decode fully — no silent truncation after frame 1") {
+    // `cat a.lz4 b.lz4 > all.lz4` (and chunked writers flushing one frame
+    // per chunk) is a valid stream `lz4cat` reads end-to-end; the factory's
+    // default stops at the first frame's end-mark and silently drops the
+    // rest — data loss with no error raised
+    val dir = Files.createTempDirectory("replay_lz4_concat")
+    val first = Seq(
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""",
+      """{"id":2,"dropoff_datetime":"2024-01-01T00:01:00Z"}""")
+    val second = Seq(
+      """{"id":3,"dropoff_datetime":"2024-01-01T00:02:00Z"}""",
+      """{"id":4,"dropoff_datetime":"2024-01-01T00:03:00Z"}""")
+    val out = java.nio.file.Files.newOutputStream(dir.resolve("trips.json.lz4"))
+    for (chunk <- Seq(first, second)) {
+      val f = new org.apache.commons.compress.compressors.lz4.FramedLZ4CompressorOutputStream(out)
+      f.write((chunk.mkString("\n") + "\n").getBytes(UTF_8))
+      f.finish() // complete frame; next chunk starts a fresh one
+    }
+    out.close()
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1)
+    CollectingSender.clear()
+    val sent = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sent == 4) // truncation at frame 1 would read 2
+    assert(ids(CollectingSender.payloads) == Seq(1, 2, 3, 4))
+  }
+
+  test("suffix skip matches the full path like the reference's key.endsWith — batch and streaming agree") {
+    // a suffix spanning '/' (an object-key suffix, e.g. `meta/README.md`)
+    // must skip in BOTH paths; a name-only match skips nothing in batch
+    // while streaming skips — silently divergent replay sets
+    val dir = Files.createTempDirectory("replay_suffix")
+    Files.createDirectories(dir.resolve("meta"))
+    Files.write(dir.resolve("part-a.jsonl"),
+      """{"id":1,"dropoff_datetime":"2024-01-01T00:00:00Z"}""".getBytes(UTF_8))
+    Files.write(dir.resolve("meta").resolve("README.md"),
+      """{"id":99,"dropoff_datetime":"2024-01-01T00:06:00Z"}""".getBytes(UTF_8))
+    val cfg = ReplayConfig(inputPath = dir.toString, speedupFactor = 60000L,
+      ingestionStartMs = Some(0L), senderParallelism = 1,
+      objectSuffixToSkip = "meta/README.md")
+    CollectingSender.clear()
+    val sentBatch = ReplayJob.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sentBatch == 1 && ids(CollectingSender.payloads) == Seq(1))
+    CollectingSender.clear()
+    val sentStream = StreamingReplay.run(spark, cfg, new CollectingSender(),
+      nowMs = () => Long.MaxValue, sleeper = _ => ())
+    assert(sentStream == 1 && ids(CollectingSender.payloads) == Seq(1))
+    // an empty suffix skips NOTHING (endsWith("") is true of every path —
+    // it must not mean "skip everything")
+    assert(Source.listFiles(spark, dir.toString, "").size == 2)
   }
 
   test("block-format .lz4 (Hadoop Lz4Codec wire format) still decodes via the sniffing fallback") {

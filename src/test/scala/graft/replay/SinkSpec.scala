@@ -92,6 +92,73 @@ class SinkSpec extends AnyFunSuite {
     assert(client.partitionKeys.distinct.size == 702)
   }
 
+  test("request-level retryable SDK exception engages the backoff loop, not task death") {
+    // the whole putRecords THROWS (request-level throttle/transient) with
+    // the SDK's retryable verdict true: the sender reports the whole batch
+    // as failed indices, Sink backs off and resends, and the records land
+    // exactly once — no exception escapes to the task
+    import graft.replay.fakesdk.services.kinesis.model.FakeKinesisClient
+    import graft.replay.fakesdk.core.exception.SdkException
+    val client = new FakeKinesisClient(Nil,
+      throwPlan = Map(0 -> new SdkException("throttled", true)))
+    val sender = new KinesisRecordSender(TestArn,
+      sdkRoot = "graft.replay.fakesdk", clientFactory = Some(() => client))
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val (sent, retries) = Sink.sendAll(
+      Seq("a", "b").iterator.map(bytes), sender, sleeps += _)
+    assert(sent == 2 && retries == 1)
+    assert(sleeps.toSeq == Seq(200L)) // the documented backoff engaged
+    assert(client.batches.map(_.size).toSeq == Seq(2)) // one successful resend, full batch
+  }
+
+  test("non-retryable SDK exception fails fast as ITSELF, not a reflection wrapper") {
+    // ResourceNotFound-shaped misconfiguration must surface immediately
+    // (not spin 100 backoffs), and as the REAL exception — Method.invoke
+    // wraps causes in InvocationTargetException, which call() must unwrap
+    // or instanceof-based handling and operator logs see reflection noise
+    import graft.replay.fakesdk.services.kinesis.model.FakeKinesisClient
+    import graft.replay.fakesdk.core.exception.SdkException
+    val boom = new SdkException("Stream not found: arn:...", false)
+    val client = new FakeKinesisClient(Nil, throwPlan = Map(0 -> boom))
+    val sender = new KinesisRecordSender(TestArn,
+      sdkRoot = "graft.replay.fakesdk", clientFactory = Some(() => client))
+    val e = intercept[SdkException] {
+      Sink.sendAll(Iterator(bytes("x")), sender, _ => ())
+    }
+    assert(e eq boom) // the actual SDK exception, unwrapped
+  }
+
+  test("a dry run discards payloads instead of retaining them JVM-wide") {
+    DiscardingSender.reset()
+    val sender = new DiscardingSender()
+    val (sent, _) = Sink.sendAll((1 to 1000).iterator.map(i => bytes(i.toString)), sender)
+    assert(sent == 1000 && DiscardingSender.count.get() == 1000)
+  }
+
+  test("pacing gap is recomputed after a slow flush, never slept stale") {
+    // the record due at t=5000 arrives while a batch is pending; the flush
+    // takes 30 s (retry backoff): the stale pre-flush gap must NOT be
+    // slept on top — after the flush the record is already late, so no
+    // sleep at all, and the reported lag reflects the post-flush clock
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val lags = scala.collection.mutable.ArrayBuffer[Long]()
+    val sender = new RecordSender {
+      def send(records: Seq[Array[Byte]]): Seq[Int] = { now += 30000L; Nil }
+    }
+    val recs = Iterator((0L, bytes("a")), (5000L, bytes("b")))
+    val (sent, _) = Sink.sendScheduled(recs, sender, () => now,
+      ms => { sleeps += ms; now += ms }, lags += _)
+    assert(sent == 2)
+    assert(sleeps.isEmpty) // old behavior slept the stale 5000 ms here
+    assert(lags.toSeq == Seq(0L, 25000L)) // true post-flush lag, not -5000
+  }
+
+  test("statisticsFrequency 0 is rejected at construction (div-by-zero log storm)") {
+    intercept[IllegalArgumentException](ReplayConfig(statisticsFrequencyMillis = 0L))
+    intercept[IllegalArgumentException](ReplayConfig(statisticsFrequencyMillis = -5L))
+  }
+
   test("reflective sender activation: stub root present, real SDK root absent") {
     assert(KinesisRecordSender.sdkPresent("graft.replay.fakesdk"))
     assert(!KinesisRecordSender.sdkPresent()) // offline classpath: no AWS SDK

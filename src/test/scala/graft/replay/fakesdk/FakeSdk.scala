@@ -13,6 +13,15 @@ package graft.replay.fakesdk.core {
   }
 }
 
+package graft.replay.fakesdk.core.exception {
+
+  /** Root of the SDK's exception hierarchy, with the retryability verdict
+    * [[graft.replay.KinesisRecordSender.isRetryableSdkException]] binds. */
+  class SdkException(msg: String, retry: Boolean) extends RuntimeException(msg) {
+    def retryable(): Boolean = retry
+  }
+}
+
 package graft.replay.fakesdk.services.kinesis {
 
   /** Only needs to exist: [[graft.replay.KinesisRecordSender.sdkPresent]]
@@ -65,14 +74,18 @@ package graft.replay.fakesdk.services.kinesis.model {
     }
   }
 
-  /** Scripted fake client: fails the given indices per successive call. */
-  final class FakeKinesisClient(failPlan: Seq[Seq[Int]]) {
+  /** Scripted fake client: fails the given indices per successive call;
+    * `throwPlan` makes call N THROW instead (request-level failure — the
+    * whole putRecords raises rather than reporting per-record errorCodes). */
+  final class FakeKinesisClient(failPlan: Seq[Seq[Int]],
+      throwPlan: Map[Int, Throwable] = Map.empty) {
     val batches = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     val partitionKeys = scala.collection.mutable.ArrayBuffer[String]()
     val arns = scala.collection.mutable.ArrayBuffer[String]()
     private var calls = 0
 
     def putRecords(req: PutRecordsRequest): PutRecordsResponse = {
+      throwPlan.get(calls).foreach { t => calls += 1; throw t }
       arns += req.streamARN
       val it = req.records.iterator()
       val b = Seq.newBuilder[String]
