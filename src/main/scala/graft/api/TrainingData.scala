@@ -324,6 +324,34 @@ object TrainingData {
       corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       threshold, tables, bits)
 
+  /** SemDeDup-style semantic dedup, removed set: cluster the corpus with
+    * the deterministic IVF k-means ([[annTopKIvf]]'s coarse quantizer),
+    * then scan for near-duplicates WITHIN clusters only — a vector is
+    * removed when some lower-id vector in its cluster has cosine ≥
+    * `threshold` (keep-lowest-id greedy) → (vec_id, cid, max_sim).
+    *
+    * The clustering is what makes this the 100 TB form of an all-pairs
+    * cosine dedup: the pair scan is an equi-join on the cluster id, so
+    * total work is Σ|cluster|² — bounded by growing `nClusters` with the
+    * corpus (target |cluster| constant) — never n². [SemDeDup: semantic
+    * dedup via k-means + within-cluster cosine, Abbas et al. 2023.] */
+  def semanticDedupRemoved(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nClusters: Int = 16): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    VectorOps.semanticDedupRemovedCore(
+      VectorOps.ivfAssign(e,
+        VectorOps.ivfCentroids(corpus.sparkSession, e, nClusters)), threshold)
+  }
+
+  /** [[semanticDedupRemoved]]'s complement: the KEPT corpus, every input
+    * column preserved — the form a pipeline feeds downstream. */
+  def semanticDedup(corpus: DataFrame, idCol: String, embCol: String,
+      threshold: Double, nClusters: Int = 16): DataFrame =
+    corpus.join(
+      semanticDedupRemoved(corpus, idCol, embCol, threshold, nClusters)
+        .select(col("vec_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Connected components over an undirected (src, dst) pair DataFrame →
     * (id, label); label = min id of the component. Iterative min-label
     * propagation (rounds = component diameter); throws past `maxRounds`

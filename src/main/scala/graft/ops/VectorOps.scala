@@ -132,6 +132,69 @@ object VectorOps {
       ivfAssign(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
         persistIvfCentroids(s, d)).persist())
 
+  /** X40 — semantic dedup, SemDeDup-style (cluster, then dedup WITHIN
+    * clusters): over the shared deterministic IVF index, a vector is
+    * REMOVED when some LOWER-id vector in its cluster has cosine ≥ 0.35
+    * (keep-lowest-id greedy — the deterministic instance of the paper's
+    * keep-one-per-group rule). Output: each removed vector with its
+    * cluster and the max similarity that condemned it.
+    *
+    * Scale shape: this is exactly why the clustering exists — the
+    * quadratic pair scan is confined WITHIN clusters (an equi-join on
+    * cid), and nClusters grows with the corpus so per-cluster work stays
+    * bounded; there is no global all-pairs anywhere. Fixture binding of
+    * [[graft.api.TrainingData.semanticDedupRemoved]] over the cached
+    * per-app index ([[persistIvfIndexed]]). */
+  def x40SemDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupRemovedCore(persistIvfIndexed(s, d), 0.35)
+      .orderBy(col("vec_id"))
+
+  /** X40 — per-cluster profile of the IVF index (the "data map" read of
+    * the same clustering): size, mean cosine-to-centroid in exact integer
+    * MICRO-units (sims quantized to micro-units, integer sum, integer
+    * division — no float ever crosses the comparator, so no round-at-
+    * midpoint hazard; a round-6 double mean hit exactly .5·10⁻⁶ on this
+    * fixture and the engines' round() split), and the lowest member id. */
+  def x40bClusterProfile(s: SparkSession, d: String): DataFrame =
+    persistIvfIndexed(s, d)
+      .join(broadcast(persistIvfCentroids(s, d)), "cid")
+      .withColumn("sim", round(cosine(col("embedding"), col("cemb")), 6))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("sim") * 1e6).cast("long")).as("qsum"),
+        min(col("vec_id")).as("min_vec_id"))
+      .select(col("cid"), col("n_vecs"),
+        expr("qsum div n_vecs").as("avg_sim_micro"),
+        col("min_vec_id"))
+      .orderBy(col("cid"))
+
+  /** Within-cluster qualifying pairs over an assigned `(vec_id,
+    * embedding, cid)` index → (cid, v1, v2, sim), v1 < v2, sim ≥
+    * threshold (round-6 cosine). The pair scan shuffles on cid only. */
+  private[graft] def withinClusterPairs(indexed: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = indexed.select(col("cid"), col("vec_id").as("v1"),
+      col("embedding").as("e1"))
+    val b = indexed.select(col("cid"), col("vec_id").as("v2"),
+      col("embedding").as("e2"))
+    a.join(b, Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("sim", round(cosine(col("e1"), col("e2")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("cid"), col("v1"), col("v2"), col("sim"))
+  }
+
+  /** The removed set of the keep-lowest-id greedy: every vector that has
+    * at least one qualifying lower-id neighbor in its own cluster →
+    * (vec_id, cid, max_sim). Shared by the fixture above and the
+    * parametric API. */
+  private[graft] def semanticDedupRemovedCore(indexed: DataFrame,
+      threshold: Double): DataFrame =
+    withinClusterPairs(indexed, threshold)
+      .groupBy(col("v2"), col("cid"))
+      .agg(max(col("sim")).as("max_sim"))
+      .select(col("v2").as("vec_id"), col("cid"), col("max_sim"))
+
   /** IVF ANN core over any corpus `(vec_id, embedding)` and query set
     * `(q_id, q_emb)` — shared by the fixture query above and the
     * parametric API (graft.api.TrainingData.annTopKIvf). Seeds are the
@@ -442,6 +505,8 @@ object VectorOps {
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x27d_ann_packed" -> (x27dAnnPacked _),
+    "x40_semdedup" -> (x40SemDedup _),
+    "x40b_cluster_profile" -> (x40bClusterProfile _),
     "x30_centroid_agg" -> (x30Centroid _),
     "x30b_scalar_udf" -> (x30bUdf _),
     "x30c_quantize_int8" -> (x30cQuantize _),
@@ -489,7 +554,75 @@ object VectorOps {
        |    CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkey
        |  FROM proj GROUP BY 1, 2)""".stripMargin
 
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // The deterministic IVF index build as one reusable CTE chain — seeds
+  // (16 lowest-id vectors) → 2 unrolled Lloyd iterations (assignment
+  // ties → HIGHER cid like Spark's max(struct); integer-space centroid
+  // update, the x30 portable-mean spelling) → final assignment `asgf`
+  // and final centroids `c2`. Shared verbatim by every oracle that
+  // consumes the index (x27c probe, x40 within-cluster dedup, x40b
+  // profile) so the replayed build can never drift between them.
+  private def assignCte(cent: String, name: String) =
+    s"""$name AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid DESC) AS rn
+       |    FROM embeddings e CROSS JOIN $cent c)
+       |  WHERE rn = 1)""".stripMargin
+  private def updateCte(asg: String, sums: String, cent: String) =
+    s"""$sums AS (
+       |  SELECT cid, i,
+       |    sum(CAST(round(embedding[i]*1000000, 0) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM $asg CROSS JOIN range(1, 65) AS r(i)
+       |  GROUP BY cid, i),
+       |$cent AS (
+       |  SELECT cid,
+       |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
+       |  FROM $sums GROUP BY cid)""".stripMargin
+  private lazy val ivfBuildCtes: String =
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |    embedding AS cemb
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |${assignCte("c0", "asg1")},
+       |${updateCte("asg1", "s1", "c1")},
+       |${assignCte("c1", "asg2")},
+       |${updateCte("asg2", "s2", "c2")},
+       |${assignCte("c2", "asgf")}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // SemDeDup replay: the same build chain as x27c, then the
+    // within-cluster pair scan (an equi-join on cid — mirroring that the
+    // Spark side never goes all-pairs) and the keep-lowest-id removed set
+    "x40_semdedup" ->
+      s"""WITH $ivfBuildCtes,
+         |pairs AS (
+         |  SELECT a.cid, a.vec_id AS v1, b.vec_id AS v2,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35)
+         |SELECT v2 AS vec_id, cid, max(sim) AS max_sim
+         |FROM pairs GROUP BY v2, cid
+         |ORDER BY vec_id""".stripMargin,
+    // cluster profile replay: final assignment vs final centroids, mean
+    // cosine in exact integer micro-units (order-invariant integer sum,
+    // truncating integer division — positive operands, so DuckDB's floor
+    // `//` and Spark's `div` agree)
+    "x40b_cluster_profile" ->
+      s"""WITH $ivfBuildCtes,
+         |prof AS (
+         |  SELECT a.cid, a.vec_id,
+         |    round(${cosSql("a.embedding", "c.cemb")}, 6) AS sim
+         |  FROM asgf a JOIN c2 c ON a.cid = c.cid)
+         |SELECT cid, count(*) AS n_vecs,
+         |  sum(CAST(round(sim * 1000000, 0) AS BIGINT)) // count(*) AS avg_sim_micro,
+         |  min(vec_id) AS min_vec_id
+         |FROM prof GROUP BY cid
+         |ORDER BY cid""".stripMargin,
     // full SRP-LSH replay: hyperplane signs are interpolated constants
     // (srpSignStr); DuckDB recomputes the per-(vec,table,plane) projection
     // as the SAME left-to-right double fold Spark's SrpBuckets uses
@@ -526,36 +659,7 @@ object VectorOps {
     // the 2 unrolled iterations, the probe step (top-4 centroids, ties →
     // LOWER cid), and the exact re-rank
     "x27c_ann_ivf" -> {
-      def cosSql(a: String, b: String) =
-        s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
-      def assignCte(cent: String, name: String) =
-        s"""$name AS (
-           |  SELECT vec_id, embedding, cid FROM (
-           |    SELECT e.vec_id, e.embedding, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid DESC) AS rn
-           |    FROM embeddings e CROSS JOIN $cent c)
-           |  WHERE rn = 1)""".stripMargin
-      def updateCte(asg: String, sums: String, cent: String) =
-        s"""$sums AS (
-           |  SELECT cid, i,
-           |    sum(CAST(round(embedding[i]*1000000, 0) AS BIGINT)) AS s,
-           |    count(*) AS n
-           |  FROM $asg CROSS JOIN range(1, 65) AS r(i)
-           |  GROUP BY cid, i),
-           |$cent AS (
-           |  SELECT cid,
-           |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
-           |  FROM $sums GROUP BY cid)""".stripMargin
-      s"""WITH c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         |    embedding AS cemb
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-         |${assignCte("c0", "asg1")},
-         |${updateCte("asg1", "s1", "c1")},
-         |${assignCte("c1", "asg2")},
-         |${updateCte("asg2", "s2", "c2")},
-         |${assignCte("c2", "asgf")},
+      s"""WITH $ivfBuildCtes,
          |probes AS (
          |  SELECT q_id, cid FROM (
          |    SELECT q.vec_id AS q_id, c.cid,

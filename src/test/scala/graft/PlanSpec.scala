@@ -42,6 +42,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x40 semdedup pair scan is an equi-join on the cluster id — no cartesian") {
+    val p = plan("x40_semdedup")
+    // the cached index build contains the accepted Cross BNLJ anchor
+    // (corpus × broadcast 16-row centroid literal); the PAIR scan itself
+    // must be a real equi-join — an Inner BNLJ would mean it degraded to
+    // all-pairs
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x40b cluster profile joins the centroid literal by broadcast") {
+    val p = plan("x40b_cluster_profile")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x33b bloom scan prunes the corpus side before the aggregation exchange") {
     val p = plan("x33b_contamination_bloom")
     assert(p.contains("might_contain"), p.linesIterator.take(40).mkString("\n"))

@@ -234,6 +234,90 @@ class LlmOpsSpec extends SparkSpec {
       s"approx vs exact kept sets differ beyond boundary rows")
   }
 
+  test("x40 semantic dedup + cluster profile match a plain-Scala SemDeDup model") {
+    // independent reimplementation of the WHOLE pipeline (seeds → 2
+    // integer-space Lloyd iterations → within-cluster pairs → keep-lowest
+    // -id removed set) in driver-side Scala, mirroring each float
+    // operation's fold order — the same role the plain-Scala MinHash model
+    // plays for the native signature expression
+    val rows = graft.Tables.t(spark, d, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(v: Double): Long =
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    // seeds: the 16 lowest-id vectors, relabelled 0..15
+    var cents: Map[Int, Array[Float]] =
+      rows.take(16).zipWithIndex.map { case ((_, e), i) => i -> e }.toMap
+    // argmax cosine on the RAW double, ties → higher cid (max(struct))
+    def assign(e: Array[Float]): Int =
+      cents.toSeq.sortBy(_._1).foldLeft((-1, Double.NegativeInfinity)) {
+        case ((bc, bs), (c, ce)) =>
+          val s = cos(e, ce); if (s >= bs) (c, s) else (bc, bs)
+      }._1
+    (1 to 2).foreach { _ =>
+      val sums = scala.collection.mutable.Map[Int, Array[Long]]()
+      val cnt = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      rows.foreach { case (_, e) =>
+        val c = assign(e)
+        val acc = sums.getOrElseUpdate(c, Array.fill(64)(0L))
+        var i = 0
+        while (i < 64) { acc(i) += r0(e(i).toDouble * 1000000L); i += 1 }
+        cnt(c) += 1
+      }
+      // empty clusters drop out of the centroid table, like groupByKey
+      cents = sums.map { case (c, acc) =>
+        c -> acc.map(s => round6(s.toDouble / cnt(c) / 1000000L).toFloat)
+      }.toMap
+    }
+    val cid = rows.map { case (id, e) => id -> assign(e) }.toMap
+    val byCluster = rows.groupBy { case (id, _) => cid(id) }
+    val expectRemoved = byCluster.values.flatMap { members =>
+      members.flatMap { case (v2, e2) =>
+        val sims = members.collect {
+          case (v1, e1) if v1 < v2 => round6(cos(e1, e2))
+        }.filter(_ >= 0.35)
+        if (sims.isEmpty) None else Some(v2 -> (cid(v2), sims.max))
+      }
+    }.toMap
+    val got = VectorOps.x40SemDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.nonEmpty)
+    assert(got == expectRemoved)
+    // profile: sizes partition the corpus, micro-mean and min id replay
+    val expectProf = byCluster.map { case (c, members) =>
+      val qs = members.map { case (_, e) => r0(round6(cos(e, cents(c))) * 1e6) }.sum
+      c -> (members.size.toLong, qs / members.size, members.map(_._1).min)
+    }
+    val prof = VectorOps.x40bClusterProfile(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof == expectProf)
+    assert(prof.values.map(_._1).sum == rows.length)
+  }
+
+  test("parametric semanticDedup partitions the corpus into kept + removed") {
+    val e = graft.Tables.t(spark, d, "embeddings")
+    val removed = graft.api.TrainingData
+      .semanticDedupRemoved(e, "vec_id", "embedding", 0.35).collect()
+      .map(_.getLong(0)).toSet
+    val kept = graft.api.TrainingData
+      .semanticDedup(e, "vec_id", "embedding", 0.35)
+    assert(kept.columns.sameElements(e.columns)) // input schema preserved
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty && (keptIds & removed).isEmpty)
+    assert(keptIds.size + removed.size == e.count())
+    // fixture binding agrees with the parametric build (same params)
+    assert(removed == VectorOps.x40SemDedup(spark, d)
+      .collect().map(_.getLong(0)).toSet)
+  }
+
   test("count-min sketch never undercounts and respects its eps bound here") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, d, "documents")
