@@ -184,6 +184,51 @@ object TrainingData {
           (col("n_tokens").cast("double") * 1e6), 6).as("avg_nll"))
   }
 
+  /** Bigram language-model scoring with Laplace (add-one) smoothing —
+    * the stronger perplexity-style quality filter next to
+    * [[unigramLmScores]] (shuffled or keyword-stuffed text can look
+    * natural to a unigram model but scores high bigram surprisal):
+    * mean −ln P(v|u) over a document's bigram positions, with
+    * P(v|u) = (c(u,v)+1) / (c(u)+V) under the corpus's own counts,
+    * c(u) = Σ_v c(u,v) (occurrences of u in non-final position) and
+    * V = corpus vocabulary size. → (doc_id, n_bigrams, avg_nll).
+    * Documents with fewer than 2 tokens have no bigrams and drop —
+    * screen them separately, like [[contaminationPairs]]'s short probes.
+    *
+    * Portability follows x28j: surprisal is quantized to integer
+    * micro-nats once per distinct BIGRAM (ln paid per type, not per
+    * occurrence), summed exactly, one division at the end. Scale shape:
+    * count relations are hash aggregations on token keys, the per-bigram
+    * surprisal attaches by equi-join, only the 1-row vocabulary total is
+    * broadcast — nothing collects. */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.token_bigrams(col(textCol)))
+          .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("bf"))
+    val cuv = bg.groupBy(col("bigram")).agg(sum(col("bf")).as("c_uv"))
+    val cu = cuv.groupBy(substring_index(col("bigram"), " ", 1).as("u"))
+      .agg(sum(col("c_uv")).as("c_u"))
+    val vocab = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(count_distinct(col("tok")).as("v"))
+    val q = cuv.withColumn("u", substring_index(col("bigram"), " ", 1))
+      .join(cu, "u")
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"),
+        round(log((col("c_u") + col("v")).cast("double") / (col("c_uv") + 1))
+          * 1e6).cast("long").as("nllq"))
+    bg.join(q, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf") * col("nllq")).as("s"))
+      .select(col("doc_id"),
+        col("n_bigrams"),
+        round(col("s").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6), 6).as("avg_nll"))
+  }
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's
@@ -595,6 +640,68 @@ object TrainingData {
             col("p") - floor(col("p")), 1L).otherwise(0L))
       // sequence(0, -1) would default to step -1, so the zero-copy rows
       // must be gone before the explode
+      .filter(col("n_copies") > 0)
+      .select(docs.columns.map(col) :+ col("n_tokens") :+
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"): _*)
+  }
+
+  /** Temperature-weighted corpus mixture ("α-sampling", the multilingual
+    * training staple): source s samples with weight ∝ tot_s^α, so
+    * p_doc = budget · tot^α / (Σ_s tot^α · tot). At α = 1 every document
+    * keeps with the same probability (the natural distribution); at α = 0
+    * every SOURCE gets an equal token share regardless of size; between,
+    * low-resource sources are upsampled. Unlike
+    * [[mixByTokenBudgetReplicated]] the weights are derived FROM the data
+    * — no explicit weight map. Replication semantics and output shape
+    * (input columns + n_tokens + 0-based `epoch`) follow
+    * mixByTokenBudgetReplicated, under an independent content-addressed
+    * coordinate (salt '#temp', so composing with the '#mix' operators
+    * multiplies probabilities). A tokenless source has no temperature
+    * weight and contributes nothing.
+    *
+    * Determinism: the Σ_s tot^α accumulates via an ordered fold
+    * (collect → sort by source → left fold) so the float sum has ONE
+    * defined value, not a partitioning-dependent one. α = 0.5 computes
+    * tot^α with sqrt, which IEEE 754 requires correctly rounded — the
+    * derived weights are then bit-identical in ANY engine (what lets the
+    * x39c fixture hash-verify the whole derivation); other α go through
+    * pow (deterministic per engine, but libm pow is not guaranteed
+    * bit-equal across engines). */
+  def mixByTemperature(docs: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    Seq("n_tokens", "tot", "rt", "ssum", "p", "n_copies", "epoch").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"mixByTemperature uses a helper column named $c; rename yours first"))
+    val toks = docs.withColumn("n_tokens",
+      coalesce(size(filter(split(lower(col(textCol)), " "), t => t =!= "")), lit(0))
+        .cast("long"))
+    val totals = toks.groupBy(col(sourceCol)).agg(sum(col("n_tokens")).as("tot"))
+    val roots = totals.filter(col("tot") > 0).withColumn("rt",
+      if (alpha == 0.5) sqrt(col("tot").cast("double"))
+      else pow(col("tot").cast("double"), lit(alpha)))
+    // Σ rt attaches as a WINDOW over the (tiny, post-aggregation) weight
+    // relation rather than a separate aggregation: a second branch off
+    // `totals` would re-run the whole corpus scan+agg just to fold ~20
+    // scalars (Spark plans DataFrame reuse as duplicate lineage). The
+    // constant partition key is fine — the windowed relation is
+    // |sources| rows by construction.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val withSum = roots.withColumn("ssum",
+      aggregate(
+        array_sort(collect_list(struct(col(sourceCol).as("s"),
+          col("rt").as("rt"))).over(w)),
+        lit(0.0), (acc, x) => acc + x.getField("rt")))
+    // same unconditional small-strata broadcast contract as the other
+    // mixtures
+    toks.join(broadcast(withSum), Seq(sourceCol))
+      .withColumn("p",
+        (lit(budgetTokens.toDouble) * col("rt")) / (col("ssum") * col("tot")))
+      .withColumn("n_copies",
+        floor(col("p")).cast("long") +
+          when(hashUnit(concat(col(idCol).cast("string"), lit("#temp"))) <
+            col("p") - floor(col("p")), 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
       .select(docs.columns.map(col) :+ col("n_tokens") :+
         explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"): _*)

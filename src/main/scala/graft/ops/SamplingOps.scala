@@ -163,9 +163,24 @@ object SamplingOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
 
+  /** X39 — temperature mixture ("α-sampling" at α = 0.5 over all 20
+    * sources): weights derived from per-source token totals, low-resource
+    * sources upsampled. Fixture binding of
+    * [[graft.api.TrainingData.mixByTemperature]]; the oracle replays the
+    * WHOLE derivation — token totals, sqrt weights, the ordered weight-sum
+    * fold, per-doc probability, epoch replication. Budget 30000 puts the
+    * per-source probability just above 1 epoch at sf0.001/sf0.01 (the
+    * replication path) and ~0.11 at sf0.1 (the kept-set path). */
+  def x39cMixTemperature(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mixByTemperature(
+      t(s, d, "documents"), "source", "doc_id", "text", 0.5, 30000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x39_mix" -> (x39Mix _),
     "x39b_mix_replicated" -> (x39bMixReplicated _),
+    "x39c_mix_temperature" -> (x39cMixTemperature _),
     "x31_split" -> (x31Split _),
     "x32c_pack_bins" -> (x32cPackBins _),
     "x31e_cap_per_key" -> (x31eCapPerKey _),
@@ -239,6 +254,38 @@ object SamplingOps {
          |  SELECT doc_id, source, n_tokens,
          |    CAST(floor(p) AS BIGINT) +
          |      (CASE WHEN CAST(${hash16Sql("(CAST(doc_id AS VARCHAR) || '#mix')")} AS DOUBLE) / 65536.0
+         |            < p - floor(p) THEN 1 ELSE 0 END) AS n_copies
+         |  FROM probs)
+         |SELECT doc_id, source, n_tokens,
+         | CAST(unnest(range(n_copies)) AS BIGINT) AS epoch
+         |FROM copies WHERE n_copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
+    // full temperature-mixture replay: token totals per source, sqrt
+    // weights (IEEE requires sqrt correctly rounded, so both engines
+    // derive bit-equal weights from the data), the weight sum as an
+    // ORDERED fold (list ORDER BY source; list_reduce is sequential and
+    // Spark's 0.0-seeded fold agrees since 0.0 + x₁ = x₁), then the same
+    // probability expression tree and the x39b replication mechanism
+    // under the independent '#temp' salt
+    "x39c_mix_temperature" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source,
+         |   CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tot FROM toks GROUP BY 1),
+         |roots AS (
+         |  SELECT source, tot, sqrt(CAST(tot AS DOUBLE)) AS rt
+         |  FROM tot WHERE tot > 0),
+         |s AS (SELECT list_reduce(list(rt ORDER BY source), (a, b) -> a + b) AS ssum
+         |  FROM roots),
+         |probs AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens,
+         |    (30000.0 * r.rt) / (s.ssum * r.tot) AS p
+         |  FROM toks t JOIN roots r USING (source) CROSS JOIN s),
+         |copies AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(floor(p) AS BIGINT) +
+         |      (CASE WHEN CAST(${hash16Sql("(CAST(doc_id AS VARCHAR) || '#temp')")} AS DOUBLE) / 65536.0
          |            < p - floor(p) THEN 1 ELSE 0 END) AS n_copies
          |  FROM probs)
          |SELECT doc_id, source, n_tokens,

@@ -153,6 +153,14 @@ object TextOps {
     graft.api.TrainingData.unigramLmScores(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X28 — bigram language-model scoring (Laplace-smoothed): mean bigram
+    * surprisal under the corpus's own bigram distribution — the stronger
+    * fluency filter next to [[x28jUnigramLm]]. Fixture binding of
+    * [[graft.api.TrainingData.bigramLmScores]]. */
+  def x28nBigramLm(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** X28 — whitespace/case normalization, driven on deterministically
     * DIRTIED input (the fixture text is already clean, so the query first
     * uppercases it, triples interior spaces, and pads the ends — then the
@@ -200,6 +208,7 @@ object TextOps {
     "x28l_redact" -> (x28lRedact _),
     "x28m_heavy_hitters" -> (x28mHeavyHitters _),
     "x28j_unigram_lm" -> (x28jUnigramLm _),
+    "x28n_bigram_lm" -> (x28nBigramLm _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28c_lang_id" -> (x28cLangId _),
@@ -337,6 +346,36 @@ object TextOps {
          | round(CAST(CAST(sum(tf * nllq) AS BIGINT) AS DOUBLE) /
          |   (CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE) * 1000000), 6) AS avg_nll
          |FROM tf JOIN q USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x28j's micro-nat replay extended to bigram types: counts are
+    // integers in both engines, ln is quantized once per distinct bigram
+    // (round·1e6 → BIGINT), context counts derive from the bigram
+    // relation itself (split_part == substring_index for the first
+    // space-joined token), V is the exact distinct-token count
+    "x28n_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, g, count(*) AS bf FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS g
+         |    FROM toks WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2),
+         |cuv AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c_uv FROM bg GROUP BY 1),
+         |cu AS (SELECT split_part(g, ' ', 1) AS u, CAST(sum(c_uv) AS BIGINT) AS c_u
+         |  FROM cuv GROUP BY 1),
+         |vocab AS (
+         |  SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+         |q AS (
+         |  SELECT g,
+         |    CAST(round(ln(CAST(c_u + v AS DOUBLE) / (c_uv + 1)) * 1000000) AS BIGINT) AS nllq
+         |  FROM cuv JOIN cu ON split_part(cuv.g, ' ', 1) = cu.u
+         |  CROSS JOIN vocab)
+         |SELECT doc_id,
+         | CAST(sum(bf) AS BIGINT) AS n_bigrams,
+         | round(CAST(CAST(sum(bf * nllq) AS BIGINT) AS DOUBLE) /
+         |   (CAST(CAST(sum(bf) AS BIGINT) AS DOUBLE) * 1000000), 6) AS avg_nll
+         |FROM bg JOIN q USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sum(BIGINT) in DuckDB promotes to HUGEINT — every aggregate is cast
     // back to BIGINT before use (see q14b history)

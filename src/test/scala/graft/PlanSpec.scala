@@ -184,6 +184,21 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Exchange") <= 3, p)
   }
 
+  test("x39c temperature mixture derives weights without reshuffling the corpus") {
+    val p = plan("x39c_mix_temperature")
+    // ONE corpus scan feeds one totals aggregation; the weight-sum fold
+    // is a window over those ~20 aggregated rows (a second aggregation
+    // branch would rescan the corpus), and the result attaches back by a
+    // single broadcast. The corpus stream itself sees only a Generate
+    // (epoch explode) — never a sort-merge join or per-source
+    // repartition. Exchanges: totals agg + window + broadcast + ordering.
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.linesIterator.exists(_.contains("Generate")), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(treeCount(p, "Exchange") <= 4, p)
+    assert(treeCount(p, "Scan parquet") <= 2, p) // corpus + totals branch share one scan each
+  }
+
   test("oracle-checked queries emit scalar columns only (driver comparator contract)") {
     // the driver's DuckDB comparator lexsorts every column in pandas;
     // array/map/struct cells are unhashable there and crash the gate

@@ -93,6 +93,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2) // surprise orders the docs
   }
 
+  test("bigramLmScores: Laplace bigram surprisal, hand-model-checked") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
+      (2L, "a c"), // bigram: "a c"×1
+      (3L, "solo"), // 1 token: no bigrams
+      (4L, "")).toDF("id", "body")
+    val out = TrainingData.bigramLmScores(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(3L) && !out.contains(4L)) // < 2 tokens ⇒ dropped
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    // hand model: c(a b)=2, c(b a)=1, c(a c)=1; contexts c(a)=3, c(b)=1;
+    // V=4 (a, b, c, solo). P(b|a)=(2+1)/(3+4); P(a|b)=(1+1)/(1+4);
+    // P(c|a)=(1+1)/(3+4) — quantized per bigram TYPE to micro-nats
+    def nllq(cu: Long, cuv: Long) =
+      math.round(math.log((cu + 4).toDouble / (cuv + 1)) * 1e6)
+    def mean(s: Long, n: Long) = BigDecimal(s / (n * 1e6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == mean(2 * nllq(3, 2) + nllq(1, 1), 3))
+    assert(out(2L)._2 == mean(nllq(3, 1), 1))
+    // the rarer transition is the more surprising document
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("bigram LM separates natural from scrambled token order") {
+    // corpus of repeated fluent sentences + one doc with the same tokens
+    // shuffled: its unigram mix is identical, but its transitions are
+    // unseen — the bigram model must score it strictly higher
+    val fluent = (1L to 30L).map(i => (i, "the cat sat on the mat"))
+    val docs = (fluent :+ (99L, "mat the on sat cat the")).toDF("id", "body")
+    val out = TrainingData.bigramLmScores(docs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(99L) > out(1L) * 1.5, out.toString)
+  }
+
   test("annTopKLsh returns exact-verified similarities for its candidates") {
     val vecs = (1L to 30L).map(i =>
       (i, (0 until 8).map(j => ((i * 7 + j * 3) % 11 - 5).toFloat))).toDF("id", "emb")
@@ -701,6 +735,46 @@ class TrainingDataSpec extends SparkSpec {
         docs, "src", "id", "body", Map("web" -> 0.125), 2000L)
       .select("id").as[Long].collect().toSet
     assert(web.select("id").as[Long].collect().toSet == capped)
+  }
+
+  test("mixByTemperature: α endpoints and the exact sqrt midpoint behave as specified") {
+    // skewed corpus: big = 160 docs × 10 tokens (1600), small = 40 × 10 (400)
+    val docs = spark.range(0, 200).select(
+      col("id"),
+      when(col("id") < 160, "big").otherwise("small").as("src"),
+      lit("a b c d e f g h i j").as("body"))
+    def tokensBySrc(alpha: Double, budget: Long): Map[String, Long] =
+      TrainingData.mixByTemperature(docs, "src", "id", "body", alpha, budget)
+        .groupBy(col("src")).agg(sum(col("n_tokens")).as("tk"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α = 0: equal token share per source. budget 800 ⇒ 400 each: the
+    // small source's p = 800/(2·400) = 1 EXACTLY (frac 0 ⇒ one epoch,
+    // every doc) while the big source downsamples at p = 0.25
+    val eq = tokensBySrc(0.0, 800L)
+    assert(eq("small") == 400L, eq.toString)
+    assert(eq("big") > 150L && eq("big") < 650L, eq.toString)
+    // α = 1: the natural distribution — every document keeps with the
+    // same p = budget/total = 0.5 regardless of source
+    val nat = tokensBySrc(1.0, 1000L)
+    assert(nat("big") > 500L && nat("big") < 1100L, nat.toString)
+    assert(nat("small") > 80L && nat("small") < 320L, nat.toString)
+    // α = 0.5 (the sqrt path): rt = (40, 20), Σ = 60 ⇒ the small source's
+    // per-doc p is exactly 2× the big source's; budget 4800 lands both on
+    // INTEGER p (small 4, big 2) — replication is exact, no sampling at all
+    val temp = TrainingData.mixByTemperature(docs, "src", "id", "body", 0.5, 4800L)
+    val copies = temp.groupBy(col("src"), col("id")).count()
+    assert(copies.filter(col("src") === "small" && col("count") =!= 4).count() == 0)
+    assert(copies.filter(col("src") === "big" && col("count") =!= 2).count() == 0)
+    assert(temp.agg(max(col("epoch"))).first().getLong(0) == 3)
+    // deterministic across evaluations; input schema + n_tokens + epoch
+    assert(temp.columns.toSeq == Seq("id", "src", "body", "n_tokens", "epoch"))
+    assert(tokensBySrc(0.5, 999L) == tokensBySrc(0.5, 999L))
+    // guard rails: α outside [0,1] and helper-column collisions reject
+    intercept[IllegalArgumentException](
+      TrainingData.mixByTemperature(docs, "src", "id", "body", 1.5, 100L))
+    intercept[IllegalArgumentException](
+      TrainingData.mixByTemperature(docs.withColumn("rt", lit(1)),
+        "src", "id", "body", 0.5, 100L))
   }
 
   test("topFractionByStrata exact=false stays within the GK sketch's rank-error bound") {
