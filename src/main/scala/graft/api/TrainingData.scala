@@ -369,6 +369,30 @@ object TrainingData {
       corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       threshold, tables, bits)
 
+  /** PQ + ADC approximate top-k — the memory-bandwidth form of
+    * [[cosineTopK]] for corpora where even int8 vectors exceed the scan
+    * budget: `m` per-subspace deterministic k-means codebooks (the
+    * [[annTopKIvf]] build recipe per subspace) compress every corpus
+    * vector to `m` codes; queries scan CODES via per-query lookup tables
+    * of partial dots (quantized to integer micro-units so the
+    * cross-subspace ADC sum is order-invariant), and the ADC top-`refine`
+    * candidates re-rank by exact cosine → (q_id, c_id, sim, rank) with
+    * EXACT sims — recall, not precision, is the approximation. Codebooks
+    * minimize reconstruction L2; ADC scores are inner products against
+    * the reconstructions (the FAISS IVF-PQ decomposition). */
+  def annTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, m: Int = 8, codesPerSubspace: Int = 16,
+      refine: Int = 0): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val refineN = if (refine > 0) refine else 4 * k
+    val (books, dims) =
+      VectorOps.pqCodebooks(corpus.sparkSession, e, m, codesPerSubspace)
+    val codes = VectorOps.pqAssign(VectorOps.subvecs(e, m, dims), books)
+      .select(col("vec_id"), col("m"), col("cid"))
+    VectorOps.pqProbe(q, e, books, codes, m, dims, k, refineN)
+  }
+
   /** SemDeDup-style semantic dedup, removed set: cluster the corpus with
     * the deterministic IVF k-means ([[annTopKIvf]]'s coarse quantizer),
     * then scan for near-duplicates WITHIN clusters only — a vector is

@@ -392,6 +392,149 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X27 (product-quantization path) — ANN via PQ + ADC, the FAISS-style
+    * big-corpus technique: 64 dims split into 8 subspaces of 8; each
+    * subspace trains its own deterministic 16-centroid k-means (seeds =
+    * the 16 lowest-id vectors' subvectors, 2 integer-space Lloyd
+    * iterations — the x27c recipe per subspace), so every corpus vector
+    * compresses to 8 codes. A query scans CODES, not vectors: per-query
+    * lookup tables hold the 8×16 partial dots against the codebooks
+    * (quantized to integer micro-units so the 8-way sum is
+    * order-invariant), the ADC score is one integer sum per candidate,
+    * and the ADC top-20 re-rank by exact cosine to the final top-5.
+    * Codebooks minimize reconstruction L2; ADC scores are inner products
+    * against reconstructions; emitted sims are EXACT (re-ranked), so
+    * recall — not precision — is the only approximation (spec-bounded vs
+    * the float brute force).
+    *
+    * Scale shape: the scan side reads 8 small ints per vector (8× less
+    * than int8 packing, 32× less than float32), the per-query LUT is
+    * 128 rows broadcast, and the score is a partial→final integer sum —
+    * the classic memory-bandwidth-bound ADC kernel as a Spark plan. */
+  def x27eAnnPq(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    pqProbe(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      e, persistPqBooks(s, d), persistPqCodes(s, d),
+      M = 8, dims = 64, k = 5, refine = 20)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // PQ index fixture cache: the codebook build runs 2 driver-coordinated
+  // Lloyd collects (8×16×8 scalars each — only those reach the driver);
+  // codes are persisted because the ADC join references them lazily.
+  @transient private val pqBookCache = PerAppCache.newCache
+  private def persistPqBooks(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(pqBookCache, s, d)(
+      pqCodebooks(s, t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        M = 8, K = 16)._1)
+  @transient private val pqCodeCache = PerAppCache.newCache
+  private def persistPqCodes(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(pqCodeCache, s, d)(
+      pqAssign(subvecs(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")), 8, 64),
+        persistPqBooks(s, d))
+        .select(col("vec_id"), col("m"), col("cid")).persist())
+
+  /** `(vec_id, m, sub)` subvector relation: dimension m·dsub..m·dsub+dsub
+    * of every vector, m ∈ 0..M−1 — a row-local posexplode, no shuffle. */
+  private[graft] def subvecs(e: DataFrame, M: Int, dims: Int): DataFrame = {
+    val df = e.toDF("vec_id", "embedding")
+    val dsub = dims / M
+    df.select(col("vec_id"), posexplode(array((0 until M).map(m =>
+        slice(col("embedding"), m * dsub + 1, dsub)): _*)))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "sub")
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace) →
+    * (vec_id, m, cid, sub). L2 in EXPANDED form — ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩
+    * with left-to-right double folds — so the oracle can mirror the same
+    * operation sequence; ties → lower cid (min(struct)). */
+  private[graft] def pqAssign(sv: DataFrame, books: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    sv.join(broadcast(books), Seq("m"))
+      .withColumn("dist",
+        dot_product(col("sub"), col("sub"))
+          - lit(2.0) * dot_product(col("sub"), col("cemb"))
+          + dot_product(col("cemb"), col("cemb")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"),
+        first(col("sub")).as("sub"))
+      .select(col("vec_id"), col("m"), col("best.cid").as("cid"), col("sub"))
+  }
+
+  /** The PQ codebook build: per-subspace deterministic k-means →
+    * a literal (m, cid, cemb) relation, M·K·dsub scalars total on the
+    * driver. Same recipe as [[ivfCentroids]] (lowest-id seeds,
+    * integer-space updates, 2 iterations), keyed by (m, cid) via a
+    * composite int so the dsub-dim [[CentroidAggregator]] is reusable. */
+  private[graft] def pqCodebooks(s: SparkSession, corpus: DataFrame,
+      M: Int, K: Int): (DataFrame, Int) = {
+    import s.implicits._
+    val e = corpus.toDF("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def toLiteral(rows: Array[(Int, Int, Seq[Float])]): DataFrame =
+      rows.toSeq.toDF("m", "cid", "cemb")
+    val seeds = e.orderBy(col("vec_id")).limit(K)
+      .select(col("embedding")).as[Seq[Float]].collect()
+    require(seeds.nonEmpty, "PQ codebooks need a non-empty corpus")
+    val dims = seeds.head.length
+    require(dims % M == 0, s"dims $dims not divisible into $M subspaces")
+    val dsub = dims / M
+    val agg = new CentroidAggregator(dsub)
+    var books = toLiteral(for {
+      (emb, i) <- seeds.zipWithIndex.toArray
+      m <- 0 until M
+    } yield (m, i, emb.slice(m * dsub, (m + 1) * dsub)))
+    val sv = subvecs(e, M, dims)
+    (1 to 2).foreach { _ =>
+      books = toLiteral(pqAssign(sv, books)
+        .select((col("m") * K + col("cid")).cast("int").as("key"), col("sub"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .agg(agg.toColumn.name("c"))
+        .map { case (key, c) => (key / K, key % K, c.map(_.toFloat)) }
+        .collect())
+    }
+    e.unpersist()
+    (books, dims)
+  }
+
+  /** ADC probe + exact re-rank over a built PQ index. The LUT is the
+    * per-query partial-dot table (M·K rows each) quantized to integer
+    * micro-units — the cross-subspace sum is then order-invariant; the
+    * ADC top-`refine` re-rank by exact cosine. */
+  private[graft] def pqProbe(queries: DataFrame, corpus: DataFrame,
+      books: DataFrame, codes: DataFrame, M: Int, dims: Int, k: Int,
+      refine: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val e = corpus.toDF("vec_id", "embedding")
+    val lut = subvecs(queries.toDF("q_id", "q_emb"), M, dims)
+      .toDF("q_id", "m", "qsub")
+      .join(broadcast(books), Seq("m"))
+      .select(col("q_id"), col("m"), col("cid"),
+        round(dot_product(col("qsub"), col("cemb")) * 1e6)
+          .cast("long").as("pdq"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("shat").desc, col("vec_id"))
+    val cands = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdq")).as("shat"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= refine)
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    cands
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      .join(queries.toDF("q_id", "q_emb"), "q_id")
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .filter(col("sim").isNotNull) // zero vectors rank nowhere (see cosineTopK)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
   /** Packed-corpus brute-force top-k core — shared by the fixture query
     * above and the parametric API (TrainingData.cosineTopKPacked). Same
     * shape as the float baseline (stream side widened, query side
@@ -505,6 +648,7 @@ object VectorOps {
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x27d_ann_packed" -> (x27dAnnPacked _),
+    "x27e_ann_pq" -> (x27eAnnPq _),
     "x40_semdedup" -> (x40SemDedup _),
     "x40b_cluster_profile" -> (x40bClusterProfile _),
     "x30_centroid_agg" -> (x30Centroid _),
@@ -583,6 +727,52 @@ object VectorOps {
        |  SELECT cid,
        |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
        |  FROM $sums GROUP BY cid)""".stripMargin
+  // 8-dim subspace dot with the same left-to-right double fold as
+  // dot_product over the sliced subvectors
+  private def d8Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  // The deterministic PQ codebook build as one CTE chain (the x27c Lloyd
+  // recipe per SUBSPACE, keyed by m): subvector relation `sv`, seed
+  // codebooks b0 (16 lowest-id vectors' subvectors), 2 integer-space
+  // Lloyd iterations (assignment by EXPANDED L2 — ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩,
+  // the same operation sequence pqAssign evaluates; ties → LOWER cid) →
+  // final codebooks `b2` and code assignment `codes`.
+  private def pqAssignCte(books: String, name: String) =
+    s"""$name AS (
+       |  SELECT vec_id, m, sub, cid FROM (
+       |    SELECT s.vec_id, s.m, s.sub, b.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY (${d8Sql("s.sub", "s.sub")} - 2.0 * ${d8Sql("s.sub", "b.cemb")} + ${d8Sql("b.cemb", "b.cemb")}) ASC, b.cid ASC) AS rn
+       |    FROM sv s JOIN $books b ON b.m = s.m)
+       |  WHERE rn = 1)""".stripMargin
+  private def pqUpdateCte(asg: String, sums: String, books: String) =
+    s"""$sums AS (
+       |  SELECT m, cid, i,
+       |    sum(CAST(round(sub[i]*1000000, 0) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM $asg CROSS JOIN range(1, 9) AS r(i)
+       |  GROUP BY m, cid, i),
+       |$books AS (
+       |  SELECT m, cid,
+       |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
+       |  FROM $sums GROUP BY m, cid)""".stripMargin
+  private lazy val pqBuildCtes: String =
+    s"""sv AS (
+       |  SELECT vec_id, m,
+       |    list_transform(range(1, 9), i -> embedding[m*8 + i]) AS sub
+       |  FROM embeddings CROSS JOIN range(0, 8) AS r(m)),
+       |b0 AS (
+       |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |    list_transform(range(1, 9), i -> embedding[m*8 + i]) AS cemb
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+       |  CROSS JOIN range(0, 8) AS r(m)),
+       |${pqAssignCte("b0", "a1")},
+       |${pqUpdateCte("a1", "s1", "b1")},
+       |${pqAssignCte("b1", "a2")},
+       |${pqUpdateCte("a2", "s2", "b2")},
+       |${pqAssignCte("b2", "codes")}""".stripMargin
+
   private lazy val ivfBuildCtes: String =
     s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
@@ -595,6 +785,40 @@ object VectorOps {
        |${assignCte("c2", "asgf")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full PQ replay: the codebook training (8 subspaces × 16 codes ×
+    // 2 Lloyd iterations), the code assignment, the per-query LUT
+    // (partial dots quantized to integer micro-units so the 8-way ADC
+    // sum is order-invariant), the ADC top-20 candidate rank (integer
+    // scores, ties → lower id) and the exact-cosine re-rank
+    "x27e_ann_pq" ->
+      s"""WITH $pqBuildCtes,
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.m, b.cid,
+         |    CAST(round(${d8Sql("s.sub", "b.cemb")} * 1000000, 0) AS BIGINT) AS pdq
+         |  FROM sv s JOIN b2 b ON b.m = s.m WHERE s.vec_id < 20),
+         |shat AS (
+         |  SELECT l.q_id, c.vec_id,
+         |    CAST(sum(pdq) AS BIGINT) AS shat
+         |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
+         |  WHERE c.vec_id <> l.q_id
+         |  GROUP BY l.q_id, c.vec_id),
+         |cands AS (
+         |  SELECT q_id, vec_id AS c_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY shat DESC, vec_id) AS rn
+         |    FROM shat)
+         |  WHERE rn <= 20),
+         |sims AS (
+         |  SELECT q_id, c_id, round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim
+         |  FROM cands
+         |  JOIN embeddings qe ON qe.vec_id = q_id
+         |  JOIN embeddings ce ON ce.vec_id = c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims WHERE sim IS NOT NULL)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     // SemDeDup replay: the same build chain as x27c, then the
     // within-cluster pair scan (an equi-join on cid — mirroring that the
     // Spark side never goes all-pairs) and the keep-lowest-id removed set

@@ -54,6 +54,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("x27e PQ ADC scan joins codes to the broadcast LUT — no inner BNLJ") {
+    val p = plan("x27e_ann_pq")
+    // the codebook build contains the accepted Cross BNLJ anchors
+    // (subvectors × broadcast codebook literal); the ADC scan itself is
+    // codes ⋈ broadcast(LUT) on (m, cid) + an integer aggregation
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x40b cluster profile joins the centroid literal by broadcast") {
     val p = plan("x40b_cluster_profile")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -53,6 +53,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall too low")
   }
 
+  test("PQ ADC top-k has useful recall, exact sims, and a deterministic index") {
+    val brute = VectorOps.x27TopK(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val pq1 = VectorOps.x27eAnnPq(spark, d).collect().map(_.toSeq)
+    val pq2 = VectorOps.x27eAnnPq(spark, d).collect().map(_.toSeq)
+    assert(pq1.sameElements(pq2)) // integer-space codebooks → stable index
+    val pqPairs = pq1.map(r =>
+      ((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
+        r(2).asInstanceOf[Double]))
+    // 8-byte codes are the most aggressive compression of the ANN family —
+    // 0.6 measured here; floor leaves slack for fixture regeneration
+    val recall = (brute.map(_._1).toSet & pqPairs.map(_._1).toSet).size.toDouble / brute.size
+    assert(recall >= 0.4, s"PQ recall $recall too low")
+    // every returned sim is the EXACT cosine (re-ranked, not ADC-approx)
+    val exact = brute.toMap
+    pqPairs.foreach { case (pair, sim) =>
+      exact.get(pair).foreach(e => assert(e == sim, s"$pair: $sim vs exact $e"))
+    }
+  }
+
+  test("parametric annTopKPq matches the fixture binding and bounds candidates") {
+    val e = graft.Tables.t(spark, d, "embeddings")
+    val out = graft.api.TrainingData.annTopKPq(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+        .withColumnRenamed("vec_id", "vid").withColumnRenamed("embedding", "emb")
+        .select(org.apache.spark.sql.functions.col("vid").as("vec_id"),
+          org.apache.spark.sql.functions.col("emb").as("embedding")),
+      "vec_id", "embedding", k = 5, refine = 20)
+      .orderBy("q_id", "rank").collect().map(_.toSeq)
+    val fixture = VectorOps.x27eAnnPq(spark, d).collect().map(_.toSeq)
+    assert(out.sameElements(fixture))
+    // ranks dense 1..≤5 per query
+    val byQ = out.groupBy(_.head)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_(3).asInstanceOf[Int]).sorted.toSeq == (1 to rows.size).toSeq)
+    }
+  }
+
   test("packed int8 top-k recalls the float top-k (quantization error only)") {
     val brute = pairSet(VectorOps.x27TopK(spark, d).select("q_id", "c_id").collect())
     val packed = pairSet(VectorOps.x27dAnnPacked(spark, d).select("q_id", "c_id").collect())
