@@ -162,12 +162,28 @@ object TrainingData {
     * per-doc sum is exact integer arithmetic, and one division at the end
     * turns it back into nats. Documents with zero tokens are absent from
     * the output (they have no distribution to score). */
-  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
+  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLmScoresFromCounts(tokenCounts(docs, idCol, textCol))
+
+  /** The (doc_id, tok, tf) token-frequency relation both LM scorers (and
+    * the bigram vocabulary) derive from — exposed so a caller scoring a
+    * corpus more than once can build it once, persist it, and feed the
+    * `FromCounts` variants instead of paying the tokenize+count pass per
+    * scorer (Spark plans DataFrame reuse as duplicate lineage, so the
+    * composed entry points re-scan by construction). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /** [[unigramLmScores]] over a pre-built (ideally persisted)
+    * [[tokenCounts]] relation — it is referenced on three plan branches
+    * (per-token counts, corpus total, and the per-doc sum). Columns bind
+    * by NAME (doc_id, tok, tf): a mis-shaped input fails analysis. */
+  def unigramLmScoresFromCounts(tokenCounts: DataFrame): DataFrame = {
+    val tf = tokenCounts.select(col("doc_id"), col("tok"), col("tf"))
     val counts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
     val total = tf.agg(sum(col("tf")).as("total"))
     val q = counts.crossJoin(broadcast(total))
@@ -201,18 +217,41 @@ object TrainingData {
     * count relations are hash aggregations on token keys, the per-bigram
     * surprisal attaches by equi-join, only the 1-row vocabulary total is
     * broadcast — nothing collects. */
-  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docs.select(col(idCol).as("doc_id"),
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLmScoresFromCounts(bigramCounts(docs, idCol, textCol),
+      docs.select(explode(split(lower(col(textCol)), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(count_distinct(col("tok")).as("v")))
+
+  /** The (doc_id, bigram, bf) bigram-frequency relation
+    * [[bigramLmScores]] derives from — the bigram twin of
+    * [[tokenCounts]], for callers that persist and reuse it. */
+  def bigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         explode(graft.functions.TextFunctions.token_bigrams(col(textCol)))
           .as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("bf"))
+
+  /** The corpus vocabulary size V as a 1-row (v) relation, derived from a
+    * [[tokenCounts]] relation — equal to the direct scan's
+    * `count_distinct(tok)` (same tokenization built it), so a persisted
+    * token-count relation serves the bigram scorer's V without another
+    * corpus pass. */
+  def vocabularyFromCounts(tokenCounts: DataFrame): DataFrame =
+    tokenCounts.select(col("tok")).agg(count_distinct(col("tok")).as("v"))
+
+  /** [[bigramLmScores]] over a pre-built (ideally persisted)
+    * [[bigramCounts]] relation plus a 1-row vocabulary-size relation
+    * (from [[vocabularyFromCounts]] or any scan producing `v`). The
+    * bigram relation is referenced on three plan branches. Columns bind
+    * by NAME. */
+  def bigramLmScoresFromCounts(bigramCounts: DataFrame,
+      vocabSize: DataFrame): DataFrame = {
+    val bg = bigramCounts.select(col("doc_id"), col("bigram"), col("bf"))
     val cuv = bg.groupBy(col("bigram")).agg(sum(col("bf")).as("c_uv"))
     val cu = cuv.groupBy(substring_index(col("bigram"), " ", 1).as("u"))
       .agg(sum(col("c_uv")).as("c_u"))
-    val vocab = docs
-      .select(explode(split(lower(col(textCol)), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .agg(count_distinct(col("tok")).as("v"))
+    val vocab = vocabSize.select(col("v"))
     val q = cuv.withColumn("u", substring_index(col("bigram"), " ", 1))
       .join(cu, "u")
       .crossJoin(broadcast(vocab))

@@ -10,6 +10,23 @@ import DedupOps.tokens
   * and content fingerprinting — all column algebra over `documents`. */
 object TextOps {
 
+  // Shared count relations cached per (application, SF dir) — the two LM
+  // scorers each reference their count relation on three plan branches
+  // (Spark re-scans per branch on unpersisted lineage), and the bigram
+  // scorer's vocabulary rides the token relation instead of a third
+  // corpus pass. See PerAppCache for the eviction/footprint contract.
+  import PerAppCache.{newCache, cachedPerApp}
+  private val tfCache = newCache
+  private val bgCache = newCache
+  private def tfRel(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(tfCache, s, d)(
+      graft.api.TrainingData.tokenCounts(t(s, d, "documents"), "doc_id", "text")
+        .persist())
+  private def bgRel(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(bgCache, s, d)(
+      graft.api.TrainingData.bigramCounts(t(s, d, "documents"), "doc_id", "text")
+        .persist())
+
   /** X28 — token counting + basic stats per document (zero-token guard:
     * all-whitespace text → NULL avg, not ANSI DIVIDE_BY_ZERO; oracle
     * mirrors via NULLIF). Fixture binding of
@@ -150,7 +167,7 @@ object TextOps {
     * [[graft.api.TrainingData.unigramLmScores]] (see there for the
     * micro-nat integer quantization that makes the sums portable). */
   def x28jUnigramLm(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.unigramLmScores(t(s, d, "documents"), "doc_id", "text")
+    graft.api.TrainingData.unigramLmScoresFromCounts(tfRel(s, d))
       .orderBy(col("doc_id"))
 
   /** X28 — bigram language-model scoring (Laplace-smoothed): mean bigram
@@ -158,7 +175,8 @@ object TextOps {
     * fluency filter next to [[x28jUnigramLm]]. Fixture binding of
     * [[graft.api.TrainingData.bigramLmScores]]. */
   def x28nBigramLm(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
+    graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
+      graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
       .orderBy(col("doc_id"))
 
   /** X28 — whitespace/case normalization, driven on deterministically

@@ -116,6 +116,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("LM FromCounts variants equal the composed entry points") {
+    // the persisted-relation path (what the fixture runs) must produce
+    // the exact rows of the docs-based path — same counts, same
+    // vocabulary, same quantization
+    val docs = Seq((1L, "a b a b c"), (2L, "a c d"), (3L, "b"), (4L, ""))
+      .toDF("id", "body")
+    val tf = TrainingData.tokenCounts(docs, "id", "body")
+    val bg = TrainingData.bigramCounts(docs, "id", "body")
+    assert(TrainingData.unigramLmScoresFromCounts(tf).collect().toSet ==
+      TrainingData.unigramLmScores(docs, "id", "body").collect().toSet)
+    assert(TrainingData.bigramLmScoresFromCounts(bg,
+        TrainingData.vocabularyFromCounts(tf)).collect().toSet ==
+      TrainingData.bigramLmScores(docs, "id", "body").collect().toSet)
+    // mis-shaped input fails analysis instead of silently mis-binding
+    intercept[org.apache.spark.sql.AnalysisException] {
+      TrainingData.unigramLmScoresFromCounts(tf.toDF("a", "b", "c")).collect()
+    }
+  }
+
   test("bigram LM separates natural from scrambled token order") {
     // corpus of repeated fluent sentences + one doc with the same tokens
     // shuffled: its unigram mix is identical, but its transitions are
