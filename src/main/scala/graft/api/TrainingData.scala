@@ -432,6 +432,31 @@ object TrainingData {
     VectorOps.pqProbe(q, e, books, codes, m, dims, k, refineN)
   }
 
+  /** IVF-PQ approximate top-k — [[annTopKIvf]] and [[annTopKPq]]
+    * composed, the complete FAISS-style recipe for corpora where neither
+    * alone suffices: the IVF coarse quantizer bounds WHICH vectors a
+    * query reads (the `nProbe` probed clusters' inverted lists, an
+    * equi-join on the cluster id), and PQ bounds WHAT is read per vector
+    * (`m` small codes ADC-scored via a broadcast per-query LUT); the ADC
+    * top-`refine` re-rank by exact cosine → (q_id, c_id, sim, rank) with
+    * EXACT sims. Non-residual variant: codebooks train on raw vectors,
+    * so one code table serves any probe width. At 100 TB the probed
+    * fraction `nProbe/nClusters` bounds every post-probe relation. */
+  def annTopKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 8, codesPerSubspace: Int = 16, refine: Int = 0): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val refineN = if (refine > 0) refine else 4 * k
+    val centroids = VectorOps.ivfCentroids(corpus.sparkSession, e, nClusters)
+    val (books, dims) =
+      VectorOps.pqCodebooks(corpus.sparkSession, e, m, codesPerSubspace)
+    val codes = VectorOps.pqAssign(VectorOps.subvecs(e, m, dims), books)
+      .select(col("vec_id"), col("m"), col("cid"))
+    VectorOps.ivfPqProbe(q, centroids, VectorOps.ivfAssign(e, centroids),
+      books, codes, m, dims, k, nProbe, refineN)
+  }
+
   /** SemDeDup-style semantic dedup, removed set: cluster the corpus with
     * the deterministic IVF k-means ([[annTopKIvf]]'s coarse quantizer),
     * then scan for near-duplicates WITHIN clusters only — a vector is

@@ -436,6 +436,32 @@ object VectorOps {
         persistPqBooks(s, d))
         .select(col("vec_id"), col("m"), col("cid")).persist())
 
+  /** X27 (scale path #4) — IVF-PQ: the two approximations composed, the
+    * complete FAISS-style big-corpus recipe. The coarse quantizer of
+    * [[x27cAnnIvf]] restricts which inverted lists a query reads (probe
+    * the nProbe=4 nearest of 16 clusters), and WITHIN those lists the
+    * scan reads PQ codes, not vectors — the [[x27eAnnPq]] ADC kernel over
+    * the probed subset only. ADC top-20 re-rank by exact cosine to the
+    * final top-5. Non-residual variant (codebooks trained on raw vectors,
+    * not per-cluster residuals): the same codes serve every nProbe and
+    * the oracle replays both builds verbatim from the shared CTE chains.
+    *
+    * Scale shape: candidate generation is an equi-join on cid (no scan of
+    * unprobed lists), the ADC score reads 8 small ints per candidate, and
+    * both the centroid table and the per-query LUT broadcast — at 100 TB
+    * the probed fraction (nProbe/nClusters) bounds every downstream
+    * relation, which is exactly why FAISS pairs IVF with PQ. */
+  def x27fAnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    ivfPqProbe(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      persistIvfCentroids(s, d), persistIvfIndexed(s, d),
+      persistPqBooks(s, d), persistPqCodes(s, d),
+      M = 8, dims = 64, k = 5, nProbe = 4, refine = 20)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** `(vec_id, m, sub)` subvector relation: dimension m·dsub..m·dsub+dsub
     * of every vector, m ∈ 0..M−1 — a row-local posexplode, no shuffle. */
   private[graft] def subvecs(e: DataFrame, M: Int, dims: Int): DataFrame = {
@@ -504,17 +530,26 @@ object VectorOps {
     * per-query partial-dot table (M·K rows each) quantized to integer
     * micro-units — the cross-subspace sum is then order-invariant; the
     * ADC top-`refine` re-rank by exact cosine. */
-  private[graft] def pqProbe(queries: DataFrame, corpus: DataFrame,
-      books: DataFrame, codes: DataFrame, M: Int, dims: Int, k: Int,
-      refine: Int): DataFrame = {
+  /** The per-query ADC lookup table: for every (query, subspace, code),
+    * the partial dot of the query's subvector against the codebook entry,
+    * quantized to integer micro-units so the cross-subspace sum is
+    * order-invariant → (q_id, m, cid, pdq). M·K rows per query. */
+  private def pqLut(queries: DataFrame, books: DataFrame, M: Int,
+      dims: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot_product
-    val e = corpus.toDF("vec_id", "embedding")
-    val lut = subvecs(queries.toDF("q_id", "q_emb"), M, dims)
+    subvecs(queries.toDF("q_id", "q_emb"), M, dims)
       .toDF("q_id", "m", "qsub")
       .join(broadcast(books), Seq("m"))
       .select(col("q_id"), col("m"), col("cid"),
         round(dot_product(col("qsub"), col("cemb")) * 1e6)
           .cast("long").as("pdq"))
+  }
+
+  private[graft] def pqProbe(queries: DataFrame, corpus: DataFrame,
+      books: DataFrame, codes: DataFrame, M: Int, dims: Int, k: Int,
+      refine: Int): DataFrame = {
+    val e = corpus.toDF("vec_id", "embedding")
+    val lut = pqLut(queries.toDF("q_id", "q_emb"), books, M, dims)
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(col("shat").desc, col("vec_id"))
     val cands = codes.join(broadcast(lut), Seq("m", "cid"))
@@ -528,6 +563,51 @@ object VectorOps {
     cands
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
       .join(queries.toDF("q_id", "q_emb"), "q_id")
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .filter(col("sim").isNotNull) // zero vectors rank nowhere (see cosineTopK)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF-restricted ADC probe + exact re-rank — the composed IVF-PQ
+    * kernel shared by [[x27fAnnIvfPq]] and the parametric API
+    * (graft.api.TrainingData.annTopKIvfPq). Queries probe their `nProbe`
+    * nearest centroids; candidates are exactly the probed clusters'
+    * members (an equi-join on cid against the assigned corpus); ADC
+    * scores their PQ codes via the broadcast per-query LUT; the ADC
+    * top-`refine` re-rank by exact cosine. Tie-breaks match the plain
+    * PQ path (shat DESC then id; sim DESC then id). */
+  private[graft] def ivfPqProbe(queries: DataFrame, centroids: DataFrame,
+      indexed: DataFrame, books: DataFrame, codes: DataFrame, M: Int,
+      dims: Int, k: Int, nProbe: Int, refine: Int): DataFrame = {
+    val q = queries.toDF("q_id", "q_emb")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("cemb")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cid"))
+    // the probed inverted lists: every (query, candidate) the ADC scan
+    // is allowed to read — nothing outside a probed cluster is touched
+    val cand = probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val lut = pqLut(q, books, M, dims)
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("shat").desc, col("vec_id"))
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdq")).as("shat"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= refine)
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    adc
+      .join(indexed.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb")), "c_id")
+      .join(q, "q_id")
       .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
       .filter(col("sim").isNotNull) // zero vectors rank nowhere (see cosineTopK)
       .withColumn("rank", row_number().over(w))
@@ -649,6 +729,7 @@ object VectorOps {
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x27d_ann_packed" -> (x27dAnnPacked _),
     "x27e_ann_pq" -> (x27eAnnPq _),
+    "x27f_ann_ivfpq" -> (x27fAnnIvfPq _),
     "x40_semdedup" -> (x40SemDedup _),
     "x40b_cluster_profile" -> (x40bClusterProfile _),
     "x30_centroid_agg" -> (x30Centroid _),
@@ -768,9 +849,9 @@ object VectorOps {
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
        |  CROSS JOIN range(0, 8) AS r(m)),
        |${pqAssignCte("b0", "a1")},
-       |${pqUpdateCte("a1", "s1", "b1")},
+       |${pqUpdateCte("a1", "ps1", "b1")},
        |${pqAssignCte("b1", "a2")},
-       |${pqUpdateCte("a2", "s2", "b2")},
+       |${pqUpdateCte("a2", "ps2", "b2")},
        |${pqAssignCte("b2", "codes")}""".stripMargin
 
   private lazy val ivfBuildCtes: String =
@@ -802,6 +883,53 @@ object VectorOps {
          |  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid
          |  WHERE c.vec_id <> l.q_id
          |  GROUP BY l.q_id, c.vec_id),
+         |cands AS (
+         |  SELECT q_id, vec_id AS c_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY shat DESC, vec_id) AS rn
+         |    FROM shat)
+         |  WHERE rn <= 20),
+         |sims AS (
+         |  SELECT q_id, c_id, round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim
+         |  FROM cands
+         |  JOIN embeddings qe ON qe.vec_id = q_id
+         |  JOIN embeddings ce ON ce.vec_id = c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims WHERE sim IS NOT NULL)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // full IVF-PQ replay: BOTH build chains (disjoint CTE names — the
+    // IVF chain's sums are s1/s2, the PQ chain's ps1/ps2) verbatim, then
+    // the probe (top-4 centroids, ties → lower cid), the candidate
+    // restriction to probed clusters' members, the ADC integer sum over
+    // those candidates' codes only, the top-20 ADC rank and the exact
+    // re-rank — every stage the Spark plan runs
+    "x27f_ann_ivfpq" ->
+      s"""WITH $ivfBuildCtes,
+         |$pqBuildCtes,
+         |probes AS (
+         |  SELECT q_id, cid FROM (
+         |    SELECT q.vec_id AS q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 20)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id
+         |  FROM probes p JOIN asgf a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.m, b.cid,
+         |    CAST(round(${d8Sql("s.sub", "b.cemb")} * 1000000, 0) AS BIGINT) AS pdq
+         |  FROM sv s JOIN b2 b ON b.m = s.m WHERE s.vec_id < 20),
+         |shat AS (
+         |  SELECT cd.q_id, cd.vec_id,
+         |    CAST(sum(pdq) AS BIGINT) AS shat
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN lut l ON l.q_id = cd.q_id AND l.m = c.m AND l.cid = c.cid
+         |  GROUP BY cd.q_id, cd.vec_id),
          |cands AS (
          |  SELECT q_id, vec_id AS c_id FROM (
          |    SELECT q_id, vec_id,

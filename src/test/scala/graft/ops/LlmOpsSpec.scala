@@ -73,6 +73,41 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ top-k: deterministic, exact sims, candidates confined to probed lists") {
+    val brute = VectorOps.x27TopK(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val r1 = VectorOps.x27fAnnIvfPq(spark, d).collect().map(_.toSeq)
+    val r2 = VectorOps.x27fAnnIvfPq(spark, d).collect().map(_.toSeq)
+    assert(r1.sameElements(r2)) // both builds are integer-space-deterministic
+    val pairs = r1.map(r =>
+      ((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
+        r(2).asInstanceOf[Double]))
+    // two stacked approximations: recall floor = the product regime
+    // (IVF ~0.84 × PQ ~0.6 measured separately); leave regeneration slack
+    val recall = (brute.map(_._1).toSet & pairs.map(_._1).toSet).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall $recall too low")
+    // emitted sims are the EXACT cosines (re-ranked, not ADC scores)
+    val exact = brute.toMap
+    pairs.foreach { case (pair, sim) =>
+      exact.get(pair).foreach(e => assert(e == sim, s"$pair: $sim vs exact $e"))
+    }
+    // the IVF restriction is real: every returned candidate sits in one
+    // of its query's nProbe=4 probed clusters (recomputed independently)
+    val emb = graft.Tables.t(spark, d, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val cent = VectorOps.ivfCentroids(spark, emb, 16)
+    val probed = VectorOps.ivfProbe(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20)
+          .toDF("q_id", "q_emb"),
+        cent, VectorOps.ivfAssign(emb, cent), k = Int.MaxValue, nProbe = 4)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.map(_._1).foreach { case (q, c) =>
+      assert(probed((q, c)), s"candidate $c outside query $q's probed clusters")
+    }
+  }
+
   test("parametric annTopKPq matches the fixture binding and bounds candidates") {
     val e = graft.Tables.t(spark, d, "embeddings")
     val out = graft.api.TrainingData.annTopKPq(
