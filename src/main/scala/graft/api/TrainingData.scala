@@ -268,6 +268,129 @@ object TrainingData {
           (col("n_bigrams").cast("double") * 1e6), 6).as("avg_nll"))
   }
 
+  /** One BPE merge applied to a space-joined symbol string, greedy
+    * left-to-right non-overlapping (the training-time rule): a fold over
+    * the symbols seeded with the first — when the running string's last
+    * symbol is `l` and the next is `r` they fuse, and the fused symbol
+    * re-enters as the new tail (so "a a a" under (a,a) → "aa a", and a
+    * later (aa,a) would take it to "aaa"). Seed-with-first matches
+    * DuckDB's `list_reduce`, which is how the oracle replays it. */
+  private def applyBpeMerge(syms: Column, l: String, r: String): Column = {
+    val lr = l + r
+    val parts0 = split(syms, " ")
+    aggregate(slice(parts0, lit(2), size(parts0) - 1),
+      element_at(parts0, 1),
+      (acc, x) => {
+        val parts = split(acc, " ")
+        when(element_at(parts, -1) === lit(l) && x === lit(r),
+          when(size(parts) === 1, lit(lr))
+            .otherwise(concat(
+              concat_ws(" ", slice(parts, lit(1), size(parts) - 1)),
+              lit(" " + lr))))
+          .otherwise(concat(acc, lit(" "), x))
+      })
+  }
+
+  /** Adjacent-symbol pair counts over a `(word, wcount, syms)` vocabulary
+    * → (lhs, rhs, cnt), weighted by word frequency — the relation each
+    * BPE training round takes its argmax from. */
+  private def bpePairCounts(words: DataFrame): DataFrame = {
+    val parts = split(col("syms"), " ")
+    words
+      .filter(size(parts) > 1)
+      .select(col("wcount"),
+        explode(transform(sequence(lit(1), size(parts) - 1),
+          j => struct(element_at(parts, j).as("lhs"),
+            element_at(parts, j + 1).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("wcount")).as("cnt"))
+  }
+
+  /** The character-level seed segmentation of a word: its characters
+    * space-joined ("hello" → "h e l l o"). */
+  private def charSyms(word: Column): Column =
+    concat_ws(" ", transform(sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1))))
+
+  /** Distributed BPE tokenizer TRAINING — learn the merge table from the
+    * corpus itself (not just apply a fixed one): tokenize, build the
+    * (word, wcount, char-split syms) vocabulary relation, then
+    * `numMerges` rounds of: count adjacent symbol pairs weighted by word
+    * frequency, take the most frequent pair (ties → lexicographically
+    * smallest (lhs, rhs) — deterministic), and fuse it throughout the
+    * vocabulary with the greedy left-to-right rule of [[applyBpeMerge]].
+    * Stops early if no pair remains. Returns (merges, vocab):
+    * `merges` = the learned (iter, lhs, rhs, pair_count) table — a
+    * literal relation, iter 1-based in learn order; `vocab` = (word,
+    * wcount, syms), every corpus word's training-consistent segmentation
+    * under the full merge sequence ([[bpeSegment]] consumes it).
+    *
+    * Scale shape: training iterates over the VOCABULARY relation (distinct
+    * words — bounded by vocabulary growth laws, not corpus size; the
+    * classic word-count formulation of BPE), each round is one hash
+    * aggregation plus a row-local fold, and only the single argmax row
+    * reaches the driver per round — the corpus itself is scanned exactly
+    * once, to build the word counts. Each round's vocabulary is persisted
+    * and its parent released, so lineage stays one fold deep. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      numMerges: Int = 8): (DataFrame, DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .withColumn("syms", charSyms(col("word")))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol already
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1, l, r, c))
+        val next = words.withColumn("syms", applyBpeMerge(col("syms"), l, r))
+          .persist()
+        next.count() // materialize before releasing the parent round
+        words.unpersist()
+        words = next
+      }
+    }
+    // training's own caching released on exit (the API never leaks
+    // persisted relations — PerAppCache doc); the vocab's lineage is
+    // self-contained (the merges are driver-side literals), so persist
+    // the returned relation yourself before consuming it repeatedly
+    words.unpersist()
+    (merges.toSeq.toDF("iter", "lhs", "rhs", "pair_count"), words)
+  }
+
+  /** Segment a corpus with a trained vocabulary ([[bpeTrain]]'s second
+    * result): each token looks up its training-consistent segmentation by
+    * equi-join on the word (tokens absent from the vocabulary fall back
+    * to their character segmentation — no merges learned for them), and
+    * the pieces reassemble in document order → (doc_id, n_pieces,
+    * pieces). Documents with zero tokens are absent from the output. */
+  def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")))
+      .toDF("doc_id", "pos", "word")
+      .filter(col("word") =!= "")
+      .join(vocab.select(col("word"), col("syms")), Seq("word"), "left")
+      .withColumn("syms", coalesce(col("syms"), charSyms(col("word"))))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
+          _.getField("syms"))).as("pieces"))
+      .select(col("doc_id"),
+        size(split(col("pieces"), " ")).as("n_pieces"),
+        col("pieces"))
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's

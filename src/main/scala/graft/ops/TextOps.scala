@@ -220,8 +220,52 @@ object TextOps {
   def x28mHeavyHitters(s: SparkSession, d: String): DataFrame =
     graft.api.TrainingData.heavyHitters(t(s, d, "documents"), "text", 10)
 
+  // One BPE training per (app, dir): the vocab relation rides PerAppCache
+  // (persisted — both fixture queries and every training round's argmax
+  // consume it), and the merge table — a literal 8-row relation with
+  // nothing to persist — rides a plain memo keyed the same way, filled by
+  // the same build (training produces both at once; stale-app entries are
+  // driver-side literals, nothing to release).
+  private val bpeVocabCache = PerAppCache.newCache
+  private val bpeMergesMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def bpeTrained(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(bpeVocabCache, s, d) {
+      val (merges, vocab) = graft.api.TrainingData.bpeTrain(
+        t(s, d, "documents"), "doc_id", "text", numMerges = 8)
+      bpeMergesMemo((s.sparkContext.applicationId, d)) = merges
+      vocab.persist()
+    }
+  private def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    bpeTrained(s, d)
+    bpeMergesMemo((s.sparkContext.applicationId, d))
+  }
+
+  /** X28 — BPE tokenizer TRAINING, distributed: the merge table learned
+    * from the corpus itself — 8 rounds of most-frequent-adjacent-pair
+    * over the (word, count) vocabulary relation, ties to the
+    * lexicographically smallest pair, each round one hash aggregation
+    * with a single argmax row reaching the driver. The DuckDB oracle
+    * replays the ENTIRE training — seed char segmentation, all 8
+    * pair-count/argmax/fold rounds — via list_reduce (ORACLES.md).
+    * Fixture binding of [[graft.api.TrainingData.bpeTrain]]. */
+  def x28oBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeMerges(s, d).orderBy(col("iter"))
+
+  /** X28 — segmentation under the trained tokenizer: every document's
+    * token sequence rewritten as the learned pieces (equi-join on the
+    * word against the trained vocabulary, pieces reassembled in document
+    * order). Fixture binding of [[graft.api.TrainingData.bpeSegment]]
+    * over the cached [[bpeTrained]] vocabulary. */
+  def x28pBpeSegment(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bpeSegment(
+      t(s, d, "documents"), "doc_id", "text", bpeTrained(s, d))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
+    "x28o_bpe_train" -> (x28oBpeTrain _),
+    "x28p_bpe_segment" -> (x28pBpeSegment _),
     "x28k_normalize" -> (x28kNormalize _),
     "x28l_redact" -> (x28lRedact _),
     "x28m_heavy_hitters" -> (x28mHeavyHitters _),
@@ -239,7 +283,69 @@ object TextOps {
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  // The full BPE training replay as one CTE chain: seed char-split
+  // vocabulary w0, then per round i the pair counts p{i} over w{i-1},
+  // the argmax m{i} (cnt DESC, lhs, rhs — Spark's orderBy), and the
+  // fold-applied vocabulary w{i} via list_reduce, whose seed-with-first
+  // string fold is exactly TrainingData.applyBpeMerge's aggregate()
+  // (validated merge-for-merge by the x28o hash compare).
+  private def bpePairsCte(prev: String, p: String) =
+    s"""$p AS (
+       |  SELECT pr[1] AS lhs, pr[2] AS rhs, sum(wcount) AS cnt FROM (
+       |    SELECT wcount,
+       |      unnest(list_transform(range(1, len(string_split(syms, ' '))),
+       |        j -> [string_split(syms, ' ')[j], string_split(syms, ' ')[j+1]])) AS pr
+       |    FROM $prev)
+       |  GROUP BY 1, 2)""".stripMargin
+  private def bpeArgmaxCte(p: String, m: String) =
+    s"$m AS (SELECT lhs, rhs, cnt FROM $p ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+  private def bpeApplyCte(prev: String, m: String, w: String) =
+    s"""$w AS (
+       |  SELECT word, wcount, list_reduce(string_split(syms, ' '), (acc, x) ->
+       |    CASE WHEN list_extract(string_split(acc, ' '), -1) = $m.lhs AND x = $m.rhs
+       |      THEN CASE WHEN len(string_split(acc, ' ')) = 1 THEN $m.lhs || $m.rhs
+       |        ELSE array_to_string(list_slice(string_split(acc, ' '), 1,
+       |          len(string_split(acc, ' ')) - 1), ' ') || ' ' || $m.lhs || $m.rhs END
+       |      ELSE acc || ' ' || x END) AS syms
+       |  FROM $prev CROSS JOIN $m)""".stripMargin
+  private lazy val bpeBuildCtes: String = {
+    val w0 =
+      s"""tokw AS (
+         |  SELECT unnest($toksSql) AS word FROM documents),
+         |w0 AS (
+         |  SELECT word, count(*) AS wcount,
+         |    array_to_string(list_transform(range(1, length(word) + 1),
+         |      i -> substring(word, i, 1)), ' ') AS syms
+         |  FROM tokw GROUP BY word)""".stripMargin
+    val rounds = (1 to 8).map { i =>
+      Seq(bpePairsCte(s"w${i - 1}", s"p$i"), bpeArgmaxCte(s"p$i", s"m$i"),
+        bpeApplyCte(s"w${i - 1}", s"m$i", s"w$i")).mkString(",\n")
+    }.mkString(",\n")
+    s"$w0,\n$rounds"
+  }
+
   val oracles: Map[String, String] = Map(
+    "x28o_bpe_train" ->
+      s"""WITH $bpeBuildCtes
+         |SELECT iter, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM (
+         |  ${(1 to 8).map(i => s"SELECT $i AS iter, lhs, rhs, cnt FROM m$i")
+             .mkString("\n  UNION ALL ")})
+         |ORDER BY iter""".stripMargin,
+    "x28p_bpe_segment" ->
+      s"""WITH $bpeBuildCtes,
+         |tp AS (
+         |  SELECT doc_id, u.j AS pos, u.word AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len($toksSql) + 1),
+         |        j -> {'j': j, 'word': $toksSql[j]})) AS u
+         |    FROM documents)),
+         |agg AS (
+         |  SELECT tp.doc_id, array_to_string(list(w.syms ORDER BY tp.pos), ' ') AS pieces
+         |  FROM tp JOIN w8 w ON w.word = tp.word
+         |  GROUP BY tp.doc_id)
+         |SELECT doc_id, CAST(len(string_split(pieces, ' ')) AS INTEGER) AS n_pieces,
+         |  pieces
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "x28k_normalize" ->
       """WITH dirty AS (
         |  SELECT doc_id,

@@ -135,6 +135,36 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("BPE training learns the hand-computed merge table and segmentation") {
+    // the classic low/lower/lowest corpus; every round computed by hand:
+    //  r1: (l,o):3 ties (o,w):3 -> lexicographic lhs -> (l,o)
+    //  r2: (lo,w):3   r3: (low,e):2
+    //  r4: (lowe,r):1 ties (lowe,s):1 and (s,t):1 -> rhs r < s -> (lowe,r)
+    val docs = Seq((1L, "low lower lowest")).toDF("id", "body")
+    val (merges, vocab) = TrainingData.bpeTrain(docs, "id", "body", numMerges = 4)
+    assert(merges.orderBy("iter").collect().map(_.toSeq).toSeq == Seq(
+      Seq(1, "l", "o", 3L), Seq(2, "lo", "w", 3L),
+      Seq(3, "low", "e", 2L), Seq(4, "lowe", "r", 1L)))
+    val syms = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(syms == Map("low" -> "low", "lower" -> "lower",
+      "lowest" -> "lowe s t"))
+    // segmentation joins the trained vocab; OOV falls back to chars
+    val out = TrainingData.bpeSegment(
+        Seq((1L, "lowest low"), (2L, "new"), (3L, "")).toDF("id", "body"),
+        "id", "body", vocab)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set((1L, 4, "lowe s t low"), (2L, 3, "n e w")))
+    // overlapping-run greedy: "a a a a a" under (a,a) merges 1st+3rd pairs
+    val (m2, v2) = TrainingData.bpeTrain(
+      Seq((1L, "aaaaa")).toDF("id", "body"), "id", "body", numMerges = 1)
+    assert(m2.collect().map(_.toSeq).toSeq == Seq(Seq(1, "a", "a", 4L)))
+    assert(v2.collect().map(_.getString(2)).toSeq == Seq("aa aa a"))
+    // early stop: all words single-symbol after enough merges
+    val (m3, _) = TrainingData.bpeTrain(
+      Seq((1L, "ab ab")).toDF("id", "body"), "id", "body", numMerges = 5)
+    assert(m3.collect().map(_.toSeq).toSeq == Seq(Seq(1, "a", "b", 2L)))
+  }
+
   test("bigram LM separates natural from scrambled token order") {
     // corpus of repeated fluent sentences + one doc with the same tokens
     // shuffled: its unigram mix is identical, but its transitions are
