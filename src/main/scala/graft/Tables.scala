@@ -18,14 +18,30 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a long (nanosAsLong) and truncate to µs with
-    * integer division (`div` — a double division would lose precision at
-    * ~1.7e18 ns), matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation. */
+  /** Dtype-adaptive events loader. Fixture generations have stored
+    * `events.ts` as either parquet TIMESTAMP(NANOS) — which Spark 4 rejects
+    * unless read as a long via nanosAsLong — or plain TIMESTAMP(MICROS).
+    * Inspect the decoded Spark type and normalize to TimestampType:
+    *  - LongType ts = nanoseconds → truncate to µs with integer division
+    *    (`div` — a double division would lose precision at ~1.7e18 ns, and
+    *    DuckDB's TIMESTAMP_NS → TIMESTAMP does the same truncation);
+    *  - TimestampNTZType (MICROS with isAdjustedToUTC=false) → cast, which
+    *    is value-preserving because every entrypoint pins the session
+    *    timezone to UTC — matching DuckDB's naive-timestamp reading;
+    *  - TimestampType passes through untouched. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeTs(raw)
+  }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Exact integer cents of a 2-decimal money column. */

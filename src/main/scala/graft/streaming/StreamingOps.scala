@@ -29,17 +29,18 @@ object StreamingOps {
     }
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet — same nanosAsLong + µs
-    * truncation as the batch loader (graft.Tables.events). */
+  /** Dtype-adaptive streaming events loader: FileStreamSource needs an
+    * explicit schema, so take it from a batch read of the same file (which
+    * already applies the nanosAsLong fallback) instead of hard-coding one —
+    * a hard-coded `ts: LongType` against a TIMESTAMP(MICROS) fixture would
+    * silently read µs as ns and shift every event time 1000×. Normalize
+    * exactly like graft.Tables.events (nanos-long / NTZ-micros / micros). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
-      .parquet(asStreamDir(s"$dir/events.parquet"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(asStreamDir(path))
+    graft.Tables.normalizeTs(raw)
   }
 
   /** X21 — watermarked tumbling-window aggregation (15 min windows,
