@@ -963,15 +963,19 @@ object VectorOps {
     // cluster profile replay: final assignment vs final centroids, mean
     // cosine in exact integer micro-units (order-invariant integer sum,
     // truncating integer division — positive operands, so DuckDB's floor
-    // `//` and Spark's `div` agree)
+    // `//` and Spark's `div` agree). Every integer stage is CAST to BIGINT
+    // explicitly: DuckDB's sum(BIGINT) widens to HUGEINT and `//` follows,
+    // and an int128/decimal arrow column would hash-mismatch driver-side
+    // even with identical values (round-7 verdict item 4).
     "x40b_cluster_profile" ->
       s"""WITH $ivfBuildCtes,
          |prof AS (
          |  SELECT a.cid, a.vec_id,
          |    round(${cosSql("a.embedding", "c.cemb")}, 6) AS sim
          |  FROM asgf a JOIN c2 c ON a.cid = c.cid)
-         |SELECT cid, count(*) AS n_vecs,
-         |  sum(CAST(round(sim * 1000000, 0) AS BIGINT)) // count(*) AS avg_sim_micro,
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(CAST(sum(CAST(round(sim * 1000000, 0) AS BIGINT)) AS BIGINT)
+         |       // count(*) AS BIGINT) AS avg_sim_micro,
          |  min(vec_id) AS min_vec_id
          |FROM prof GROUP BY cid
          |ORDER BY cid""".stripMargin,
