@@ -368,6 +368,122 @@ object TrainingData {
     (merges.toSeq.toDF("iter", "lhs", "rhs", "pair_count"), words)
   }
 
+  /** One left-to-right fusing pass applying a whole BATCH of merge pairs:
+    * at each position, if (last-symbol-of-acc, next) matches ANY pair in
+    * `ps`, fuse it. Callers guarantee the batch is symbol-disjoint (see
+    * [[bpeTrainBatched]]), so at most one pair can match a position and
+    * fusing one pair can neither create nor destroy another's adjacency —
+    * the pass is order-independent. */
+  private def applyBpeMergeBatch(syms: Column,
+      ps: Seq[(String, String)]): Column = {
+    val parts0 = split(syms, " ")
+    aggregate(slice(parts0, lit(2), size(parts0) - 1),
+      element_at(parts0, 1),
+      (acc, x) => {
+        val parts = split(acc, " ")
+        def fused(lr: String) =
+          when(size(parts) === 1, lit(lr))
+            .otherwise(concat(
+              concat_ws(" ", slice(parts, lit(1), size(parts) - 1)),
+              lit(" " + lr)))
+        ps.foldRight(concat(acc, lit(" "), x): Column) {
+          case ((l, r), els) =>
+            when(element_at(parts, -1) === lit(l) && x === lit(r), fused(l + r))
+              .otherwise(els)
+        }
+      })
+  }
+
+  /** BATCHED distributed BPE training — the at-scale form of [[bpeTrain]].
+    * Sequential BPE takes one full pair-count job + driver barrier PER
+    * MERGE; at a production vocabulary (32k merges) that is 32k sequential
+    * Spark jobs. This variant learns up to `batch` merges per barrier:
+    * each ROUND counts adjacent pairs once, then greedily selects up to
+    * `batch` pairs in (count desc, lhs, rhs) order subject to SYMBOL
+    * DISJOINTNESS — a candidate is admitted only if its lhs, rhs, AND its
+    * fused symbol lhs+rhs are all unused by previously admitted pairs of
+    * the round — and fuses the whole batch in ONE vocabulary pass
+    * ([[applyBpeMergeBatch]]).
+    *
+    * Why disjointness: it makes the single fusing pass confluent. No
+    * admitted pair shares a symbol with another, so fusing one cannot
+    * create, destroy, or chain into another's adjacency (the fused symbol
+    * is also reserved, so a batch can never merge into this round's own
+    * output). The result is deterministic and exactly replayable — the
+    * x28q oracle re-runs the same greedy selection and batch fold in SQL.
+    * Batched selection is count-stale WITHIN a round by construction
+    * (counts are not refreshed between the batch's merges) — the standard
+    * large-vocab BPE trade (cf. fastBPE/tokenizers batching) — but the
+    * algorithm is still fully deterministic given (rounds, batch).
+    *
+    * Barriers: `rounds` total (vs `numMerges` for [[bpeTrain]]), each one
+    * hash aggregation; only ≤ `batch`·16 candidate rows (re-fetched with a
+    * growing limit in the rare conflict-heavy case) reach the driver per
+    * round. Returns (merges, vocab): merges = (round, rank, lhs, rhs,
+    * pair_count) in admission order; vocab = (word, wcount, syms) under
+    * the full learned sequence. */
+  def bpeTrainBatched(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 4, batch: Int = 4): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be positive: $rounds")
+    require(batch >= 1, s"batch must be positive: $batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .withColumn("syms", charSyms(col("word")))
+      .persist()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    var exhausted = false
+    var round = 1
+    while (round <= rounds && !exhausted) {
+      val pairs = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+      // Greedy symbol-disjoint selection over the sorted pair relation.
+      // Only a bounded prefix is collected; if the prefix is exhausted
+      // before the batch fills AND more rows could exist past the limit,
+      // the prefix is re-fetched larger — selection is then identical to
+      // a scan of the full relation (skipped candidates block nothing).
+      def select(limit: Int): Option[Seq[(String, String, Long)]] = {
+        val top = pairs.limit(limit).collect()
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        val it = top.iterator
+        while (sel.size < batch && it.hasNext) {
+          val row = it.next()
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!used(l) && !used(r) && !used(l + r)) {
+            sel += ((l, r, row.getLong(2)))
+            used ++= Seq(l, r, l + r)
+          }
+        }
+        if (sel.size == batch || top.length < limit) Some(sel.toSeq) else None
+      }
+      var limit = batch * 16
+      var picked = select(limit)
+      while (picked.isEmpty) { limit *= 4; picked = select(limit) }
+      val sel = picked.get
+      if (sel.isEmpty) exhausted = true
+      else {
+        sel.zipWithIndex.foreach { case ((l, r, c), i) =>
+          merges += ((round, i + 1, l, r, c))
+        }
+        val next = words
+          .withColumn("syms",
+            applyBpeMergeBatch(col("syms"), sel.map(p => (p._1, p._2))))
+          .persist()
+        next.count() // materialize before releasing the parent round
+        words.unpersist()
+        words = next
+      }
+      round += 1
+    }
+    words.unpersist()
+    (merges.toSeq.toDF("round", "rank", "lhs", "rhs", "pair_count"), words)
+  }
+
   /** Segment a corpus with a trained vocabulary ([[bpeTrain]]'s second
     * result): each token looks up its training-consistent segmentation by
     * equi-join on the word (tokens absent from the vocabulary fall back

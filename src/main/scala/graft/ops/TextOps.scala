@@ -262,10 +262,51 @@ object TextOps {
       t(s, d, "documents"), "doc_id", "text", bpeTrained(s, d))
       .orderBy(col("doc_id"))
 
+  // Batched BPE training cached the same way: one build per (app, dir)
+  // fills both the vocab (persisted relation) and the merge table (a
+  // driver-side literal).
+  private val bpeBatchVocabCache = PerAppCache.newCache
+  private val bpeBatchMergesMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private def bpeBatchTrained(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(bpeBatchVocabCache, s, d) {
+      val (merges, vocab) = graft.api.TrainingData.bpeTrainBatched(
+        t(s, d, "documents"), "doc_id", "text", rounds = 4, batch = 4)
+      bpeBatchMergesMemo((s.sparkContext.applicationId, d)) = merges
+      vocab.persist()
+    }
+  private def bpeBatchMerges(s: SparkSession, d: String): DataFrame = {
+    bpeBatchTrained(s, d)
+    bpeBatchMergesMemo((s.sparkContext.applicationId, d))
+  }
+
+  /** X28 — BATCHED BPE training, the at-scale twin of [[x28oBpeTrain]]:
+    * 4 rounds × up to 4 symbol-disjoint merges per round = 16 merges in
+    * 4 driver barriers, vs 8 merges in 8 barriers for the sequential
+    * form ([[graft.api.TrainingData.bpeTrainBatched]] — disjointness
+    * makes the one-pass batch fold confluent, so the schedule is
+    * deterministic). The DuckDB oracle replays the ENTIRE batched
+    * training: the greedy disjoint selection is nested argmax CTEs (each
+    * rank filters against the symbols of the previously admitted pairs)
+    * and the batch fold is a list_reduce whose fuse condition is
+    * membership in the round's admitted-pair list (ORACLES.md). */
+  def x28qBpeTrainBatched(s: SparkSession, d: String): DataFrame =
+    bpeBatchMerges(s, d).orderBy(col("round"), col("rank"))
+
+  /** X28 — segmentation under the BATCHED tokenizer: [[x28pBpeSegment]]
+    * with the 16-merge batched vocabulary, proving the batched schedule
+    * produces a usable end-to-end tokenizer (not just a merge table). */
+  def x28rBpeSegmentBatched(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bpeSegment(
+      t(s, d, "documents"), "doc_id", "text", bpeBatchTrained(s, d))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
     "x28o_bpe_train" -> (x28oBpeTrain _),
     "x28p_bpe_segment" -> (x28pBpeSegment _),
+    "x28q_bpe_train_batched" -> (x28qBpeTrainBatched _),
+    "x28r_bpe_segment_batched" -> (x28rBpeSegmentBatched _),
     "x28k_normalize" -> (x28kNormalize _),
     "x28l_redact" -> (x28lRedact _),
     "x28m_heavy_hitters" -> (x28mHeavyHitters _),
@@ -324,7 +365,92 @@ object TextOps {
     s"$w0,\n$rounds"
   }
 
+  // BATCHED BPE replay (x28q/x28r): per round r, pair counts bp{r} over
+  // bw{r-1}; the greedy symbol-disjoint selection as NESTED argmax CTEs
+  // bs{r}_1..bs{r}_4 — rank k admits the best pair whose lhs, rhs, and
+  // fused lhs||rhs are all absent from bu{r}_{k-1}, the accumulated
+  // symbol set of the previously admitted pairs (identical to the
+  // driver-side greedy: skipped candidates block nothing) — then the
+  // admitted-pair list bb{r} and the one-pass batch fold bw{r} whose
+  // fuse condition is pair MEMBERSHIP in bb{r}. Validated
+  // merge-for-merge by the x28q hash compare.
+  private def bpeUsedCte(sels: Seq[String], u: String) =
+    s"""$u AS MATERIALIZED (SELECT flatten(list([lhs, rhs, lhs || rhs])) AS syms FROM (
+       |  ${sels.map(r => s"SELECT lhs, rhs FROM $r").mkString(" UNION ALL ")}))""".stripMargin
+  private def bpeSelCte(p: String, used: Option[String], s: String) = used match {
+    case None =>
+      s"$s AS MATERIALIZED (SELECT lhs, rhs, cnt FROM $p ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+    case Some(u) =>
+      s"""$s AS MATERIALIZED (
+         |  SELECT p.lhs, p.rhs, p.cnt FROM $p p, $u u
+         |  WHERE NOT list_contains(u.syms, p.lhs)
+         |    AND NOT list_contains(u.syms, p.rhs)
+         |    AND NOT list_contains(u.syms, p.lhs || p.rhs)
+         |  ORDER BY p.cnt DESC, p.lhs, p.rhs LIMIT 1)""".stripMargin
+  }
+  private def bpeBatchCte(sels: Seq[String], b: String) =
+    s"""$b AS MATERIALIZED (SELECT coalesce(list({'l': lhs, 'r': rhs}), []) AS prs FROM (
+       |  ${sels.map(r => s"SELECT lhs, rhs FROM $r").mkString(" UNION ALL ")}))""".stripMargin
+  private def bpeBatchApplyCte(prev: String, b: String, w: String) =
+    s"""$w AS MATERIALIZED (
+       |  SELECT word, wcount, list_reduce(string_split(syms, ' '), (acc, x) ->
+       |    CASE WHEN list_contains(bb.prs,
+       |        {'l': list_extract(string_split(acc, ' '), -1), 'r': x})
+       |      THEN CASE WHEN len(string_split(acc, ' ')) = 1
+       |          THEN list_extract(string_split(acc, ' '), -1) || x
+       |        ELSE array_to_string(list_slice(string_split(acc, ' '), 1,
+       |          len(string_split(acc, ' ')) - 1), ' ') || ' ' ||
+       |          list_extract(string_split(acc, ' '), -1) || x END
+       |      ELSE acc || ' ' || x END) AS syms
+       |  FROM $prev CROSS JOIN $b bb)""".stripMargin
+  private lazy val bpeBatchedCtes: String = {
+    val bw0 =
+      s"""btokw AS MATERIALIZED (
+         |  SELECT unnest($toksSql) AS word FROM documents),
+         |bw0 AS MATERIALIZED (
+         |  SELECT word, count(*) AS wcount,
+         |    array_to_string(list_transform(range(1, length(word) + 1),
+         |      i -> substring(word, i, 1)), ' ') AS syms
+         |  FROM btokw GROUP BY word)""".stripMargin
+    val rounds = (1 to 4).map { r =>
+      val sels = (1 to 4).map(k => s"bs${r}_$k")
+      val selection = (1 to 4).flatMap { k =>
+        val sel = bpeSelCte(s"bp$r",
+          if (k == 1) None else Some(s"bu${r}_${k - 1}"), s"bs${r}_$k")
+        if (k == 4) Seq(sel)
+        else Seq(sel, bpeUsedCte(sels.take(k), s"bu${r}_$k"))
+      }
+      (Seq(bpePairsCte(s"bw${r - 1}", s"bp$r")) ++ selection ++
+        Seq(bpeBatchCte(sels, s"bb$r"),
+          bpeBatchApplyCte(s"bw${r - 1}", s"bb$r", s"bw$r"))).mkString(",\n")
+    }.mkString(",\n")
+    s"$bw0,\n$rounds"
+  }
+
   val oracles: Map[String, String] = Map(
+    "x28q_bpe_train_batched" ->
+      s"""WITH $bpeBatchedCtes
+         |SELECT CAST(round AS INTEGER) AS round, CAST(rank AS INTEGER) AS rank,
+         |  lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM (
+         |  ${(1 to 4).flatMap(r => (1 to 4).map(k =>
+              s"SELECT $r AS round, $k AS rank, lhs, rhs, cnt FROM bs${r}_$k"))
+             .mkString("\n  UNION ALL ")})
+         |ORDER BY round, rank""".stripMargin,
+    "x28r_bpe_segment_batched" ->
+      s"""WITH $bpeBatchedCtes,
+         |btp AS (
+         |  SELECT doc_id, u.j AS pos, u.word AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len($toksSql) + 1),
+         |        j -> {'j': j, 'word': $toksSql[j]})) AS u
+         |    FROM documents)),
+         |bagg AS (
+         |  SELECT btp.doc_id, array_to_string(list(w.syms ORDER BY btp.pos), ' ') AS pieces
+         |  FROM btp JOIN bw4 w ON w.word = btp.word
+         |  GROUP BY btp.doc_id)
+         |SELECT doc_id, CAST(len(string_split(pieces, ' ')) AS INTEGER) AS n_pieces,
+         |  pieces
+         |FROM bagg ORDER BY doc_id""".stripMargin,
     "x28o_bpe_train" ->
       s"""WITH $bpeBuildCtes
          |SELECT iter, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count FROM (

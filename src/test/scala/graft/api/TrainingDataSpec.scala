@@ -165,6 +165,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(m3.collect().map(_.toSeq).toSeq == Seq(Seq(1, "a", "b", 2L)))
   }
 
+  test("batched BPE: greedy symbol-disjoint selection, one barrier per round") {
+    // pair counts (a,b):10 > (b,c):9 > (x,y):8; round 1 admits (a,b),
+    // BLOCKS (b,c) — shares b — then admits (x,y); (b,c) waits for round 2
+    val docs = (
+      (1L to 10L).map(i => (i, "ab")) ++
+      (11L to 19L).map(i => (i, "bc")) ++
+      (20L to 27L).map(i => (i, "xy"))).toDF("id", "body")
+    val (m, _) = TrainingData.bpeTrainBatched(docs, "id", "body",
+      rounds = 2, batch = 3)
+    assert(m.orderBy("round", "rank").collect().map(_.toSeq).toSeq == Seq(
+      Seq(1, 1, "a", "b", 10L), Seq(1, 2, "x", "y", 8L),
+      Seq(2, 1, "b", "c", 9L)))
+
+    // fused-symbol reservation: "a a b" has (a,a):5 and (a,b):5; tie order
+    // admits (a,a) first, which reserves a (and aa) — (a,b) is blocked in
+    // the same round and the batch does NOT chain into (aa,b) either
+    val docs2 = (1L to 5L).map(i => (i, "aab")).toDF("id", "body")
+    val (m2, v2) = TrainingData.bpeTrainBatched(docs2, "id", "body",
+      rounds = 2, batch = 4)
+    assert(m2.orderBy("round", "rank").collect().map(_.toSeq).toSeq == Seq(
+      Seq(1, 1, "a", "a", 5L), Seq(2, 1, "aa", "b", 5L)))
+    assert(v2.collect().map(_.getString(2)).toSeq == Seq("aab"))
+
+    // batch=1 degenerates to sequential BPE: same merges as bpeTrain
+    val classic = Seq((1L, "low lower lowest")).toDF("id", "body")
+    val (seq4, _) = TrainingData.bpeTrain(classic, "id", "body", numMerges = 4)
+    val (bat1, bv) = TrainingData.bpeTrainBatched(classic, "id", "body",
+      rounds = 4, batch = 1)
+    assert(bat1.orderBy("round").collect().map(r =>
+        (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4))).toSeq ==
+      seq4.orderBy("iter").collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+    // every vocab segmentation reassembles to its word (no symbol loss)
+    bv.collect().foreach { r =>
+      assert(r.getString(2).replace(" ", "") == r.getString(0)) }
+    // batched vocab is consumable by the same segmenter
+    val seg = TrainingData.bpeSegment(
+        Seq((1L, "lowest unseen")).toDF("id", "body"), "id", "body", bv)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(seg == Set((1L, 9, "lowe s t u n s e e n")))
+  }
+
   test("bigram LM separates natural from scrambled token order") {
     // corpus of repeated fluent sentences + one doc with the same tokens
     // shuffled: its unigram mix is identical, but its transitions are
