@@ -507,6 +507,32 @@ object TrainingData {
         size(split(col("pieces"), " ")).as("n_pieces"),
         col("pieces"))
 
+  /** C4-style LINE filtering — the boilerplate-removal pass of a web-crawl
+    * pipeline (Raffel et al. 2020 §2.2 drop short/menu/junk lines before
+    * any document-level scoring): split `textCol` on newlines, KEEP lines
+    * with ≥ `minTokens` whitespace tokens and none of the `banned`
+    * substrings (case-sensitive), reassemble survivors in order →
+    * (doc_id, n_lines, n_kept, clean_text, n_chars_clean). Documents
+    * whose every line is dropped stay in the output with clean_text = ''
+    * — dropping whole documents is a separate policy decision
+    * (compose with a filter on n_kept).
+    *
+    * Scale shape: pure row-local column algebra — no shuffle, no UDF, a
+    * 100 TB corpus maps through it at scan speed. */
+  def filterLines(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 5, banned: Seq[String] = Seq.empty): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val ntok = size(filter(split(l, " "), t => t =!= ""))
+      banned.foldLeft(ntok >= minTokens) { (acc, b) => acc && !l.contains(b) }
+    })
+    docs.select(col(idCol).as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      concat_ws("\n", kept).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
+  }
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's

@@ -301,8 +301,47 @@ object TextOps {
       t(s, d, "documents"), "doc_id", "text", bpeBatchTrained(s, d))
       .orderBy(col("doc_id"))
 
+  /** X41 — C4-style line/boilerplate filtering
+    * ([[graft.api.TrainingData.filterLines]]): drop lines that are too
+    * short (< 5 tokens) or carry boilerplate markers ('|' menu
+    * separators, 'click here' calls-to-action), keep the rest in order.
+    * The fixture corpus is a flat token stream, so — like x28k/x28l —
+    * the multi-line input is built deterministically first: the token
+    * stream chunked into 10-token lines, plus injected boilerplate (a
+    * menu line on every doc; a banned-phrase line on doc_id % 5 = 0; a
+    * too-short line on % 3 = 0 and % 2 = 0), so both engines filter the
+    * same dirty document and both drop rules are exercised
+    * independently (the menu line is long enough — dropped only for
+    * '|'; 'subscribe now' is clean — dropped only for length). */
+  def x41LineFilter(s: SparkSession, d: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = t(s, d, "documents")
+      .withColumn("tk", toks)
+      .withColumn("nl",
+        ceil(size(col("tk")).cast("double") / 10.0).cast("int"))
+      .withColumn("body",
+        when(size(col("tk")) === 0, empty)
+          .otherwise(transform(sequence(lit(0), col("nl") - 1),
+            i => array_join(slice(col("tk"), i * 10 + 1, lit(10)), " "))))
+      .withColumn("dirty", array_join(concat(
+        array(lit("home | about | contact")),
+        col("body"),
+        when(col("doc_id") % 5 === 0,
+          array(lit("click here to read more today friends"))).otherwise(empty),
+        when(col("doc_id") % 3 === 0,
+          array(lit("subscribe now"))).otherwise(empty),
+        when(col("doc_id") % 2 === 0, array(lit("ok"))).otherwise(empty)),
+        "\n"))
+    graft.api.TrainingData.filterLines(
+      docs.select(col("doc_id"), col("dirty")), "doc_id", "dirty",
+      minTokens = 5, banned = Seq("click here", "|"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
+    "x41_line_filter" -> (x41LineFilter _),
     "x28o_bpe_train" -> (x28oBpeTrain _),
     "x28p_bpe_segment" -> (x28pBpeSegment _),
     "x28q_bpe_train_batched" -> (x28qBpeTrainBatched _),
@@ -428,6 +467,33 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "x41_line_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id,
+        |    ['home | about | contact'] ||
+        |    list_transform(range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1),
+        |      i -> array_to_string(list_slice(toks, (i - 1) * 10 + 1,
+        |        least((i - 1) * 10 + 10, len(toks))), ' ')) ||
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN ['click here to read more today friends'] ELSE [] END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ['subscribe now'] ELSE [] END) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ['ok'] ELSE [] END) AS lines
+        |  FROM tk),
+        |f AS (
+        |  SELECT doc_id, len(lines) AS n_lines,
+        |    list_filter(lines, l ->
+        |      len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5
+        |      AND NOT contains(l, 'click here')
+        |      AND NOT contains(l, '|')) AS kept
+        |  FROM dl)
+        |SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text,
+        |  CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS n_chars_clean
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x28q_bpe_train_batched" ->
       s"""WITH $bpeBatchedCtes
          |SELECT CAST(round AS INTEGER) AS round, CAST(rank AS INTEGER) AS rank,

@@ -165,6 +165,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(m3.collect().map(_.toSeq).toSeq == Seq(Seq(1, "a", "b", 2L)))
   }
 
+  test("filterLines drops short and boilerplate lines, keeps order") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps here\nhome | about\ntoo short\nanother fine long line right here\nclick here to win a brand new car"),
+      (2L, "short one"), // every line dropped -> empty clean_text survives
+      (3L, "")).toDF("id", "body")
+    val out = TrainingData.filterLines(docs, "id", "body",
+        minTokens = 5, banned = Seq("click here", "|"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out(0) == (1L, 5, 2,
+      "the quick brown fox jumps here\nanother fine long line right here"))
+    assert(out(1) == (2L, 1, 0, "")) // doc kept, text emptied
+    assert(out(2) == (3L, 1, 0, "")) // '' splits to one empty line
+    // no banned list: only the length rule applies
+    val loose = TrainingData.filterLines(docs, "id", "body", minTokens = 2)
+      .orderBy("doc_id").collect().map(_.getInt(2))
+    assert(loose.toSeq == Seq(5, 1, 0))
+  }
+
   test("batched BPE: greedy symbol-disjoint selection, one barrier per round") {
     // pair counts (a,b):10 > (b,c):9 > (x,y):8; round 1 admits (a,b),
     // BLOCKS (b,c) — shares b — then admits (x,y); (b,c) waits for round 2
