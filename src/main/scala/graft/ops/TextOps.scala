@@ -60,6 +60,45 @@ object TextOps {
 
   /** X28 — language-ID heuristic: stopword-marker voting (the n-gram
     * heuristic degenerates to marker tokens on this synthetic corpus). */
+  /** X28s — Gopher-style rule-based document filtering (Rae et al. 2021
+    * §A1.1 "quality filtering" recipe, thresholds tuned to the fixture's
+    * range): per-rule boolean flags PLUS the final keep verdict, so a
+    * pipeline can audit WHY a document was dropped (the flags are the
+    * per-rule reject counters every curation report publishes). All
+    * row-local column algebra — scan-speed at 100 TB, no shuffle before
+    * the gate's orderBy. Rules: token count outside [20, 80]; mean word
+    * length outside [4.0, 5.0]; < 80 % of words containing a letter;
+    * fewer than 2 distinct stopwords present. Zero-token docs flag every
+    * rule (coalesce — NULL ratios must not un-flag). */
+  def x28sGopherRules(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    t(s, d, "documents")
+      .withColumn("tk", tokens(col("text")))
+      .withColumn("n_toks", size(col("tk")))
+      .withColumn("mean_wlen",
+        when(col("n_toks") > 0,
+          round(aggregate(transform(col("tk"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double") / col("n_toks"), 6)))
+      .withColumn("alpha_ratio",
+        when(col("n_toks") > 0,
+          round(size(filter(col("tk"), t => t.rlike("[a-z]")))
+            .cast("double") / col("n_toks"), 6)))
+      .withColumn("n_stop_hits",
+        size(array_intersect(array_distinct(col("tk")),
+          array(stop.map(lit): _*))))
+      .withColumn("r_len", col("n_toks") < 20 || col("n_toks") > 80)
+      .withColumn("r_wordlen",
+        coalesce(col("mean_wlen") < 4.0 || col("mean_wlen") > 5.0, lit(true)))
+      .withColumn("r_alpha", coalesce(col("alpha_ratio") < 0.8, lit(true)))
+      .withColumn("r_stop", col("n_stop_hits") < 2)
+      .withColumn("keep",
+        !(col("r_len") || col("r_wordlen") || col("r_alpha") || col("r_stop")))
+      .select(col("doc_id"), col("n_toks"), col("mean_wlen"),
+        col("alpha_ratio"), col("n_stop_hits"), col("r_len"),
+        col("r_wordlen"), col("r_alpha"), col("r_stop"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   def x28cLangId(s: SparkSession, d: String): DataFrame = {
     val en = Seq("the", "and", "of")
     val es = Seq("el", "la", "de")
@@ -353,6 +392,7 @@ object TextOps {
     "x28n_bigram_lm" -> (x28nBigramLm _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
+    "x28s_gopher_rules" -> (x28sGopherRules _),
     "x28c_lang_id" -> (x28cLangId _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
@@ -590,6 +630,31 @@ object TextOps {
          | round(least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
          |   (1.0 - CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / NULLIF(len(tk), 0)), 6) AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin,
+    // Gopher rules replay: same per-doc signals, same coalesce(TRUE)
+    // guard for zero-token docs, flags and keep as BOOLEANs both sides
+    "x28s_gopher_rules" ->
+      s"""WITH b AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(tk) AS INTEGER) AS n_toks,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+         |      / len(tk), 6) END AS mean_wlen,
+         |  CASE WHEN len(tk) > 0 THEN
+         |    round(CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+         |      AS DOUBLE) / len(tk), 6) END AS alpha_ratio,
+         |  CAST(len(list_intersect(list_distinct(tk),
+         |    ['the','a','and','of','to','in'])) AS INTEGER) AS n_stop_hits
+         | FROM b),
+         |fl AS (SELECT *,
+         |  (n_toks < 20 OR n_toks > 80) AS r_len,
+         |  coalesce(mean_wlen < 4.0 OR mean_wlen > 5.0, TRUE) AS r_wordlen,
+         |  coalesce(alpha_ratio < 0.8, TRUE) AS r_alpha,
+         |  (n_stop_hits < 2) AS r_stop
+         | FROM sig)
+         |SELECT doc_id, n_toks, mean_wlen, alpha_ratio, n_stop_hits,
+         |  r_len, r_wordlen, r_alpha, r_stop,
+         |  NOT (r_len OR r_wordlen OR r_alpha OR r_stop) AS keep
+         |FROM fl ORDER BY doc_id""".stripMargin,
     "x28c_lang_id" ->
       s"""WITH b AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
          |sc AS (SELECT doc_id, lang,

@@ -168,6 +168,38 @@ object VectorOps {
         col("min_vec_id"))
       .orderBy(col("cid"))
 
+  /** X27g — corpus-wide kNN GRAPH over the shared IVF index: every
+    * vector's top-3 nearest neighbors among its own cluster's members
+    * (exact round-6 cosine, ties → lower neighbor id). This is the
+    * all-points variant of the query-set ANN ops — the structure
+    * SemDeDup-style curation, diversity sampling, and graph-based
+    * near-dup clustering consume — and the reason it scales is the same
+    * reason x40 does: candidate generation is an equi-join on cid, so
+    * the quadratic is confined within clusters and never goes global.
+    * Cluster-boundary neighbors are missed by design (the standard IVF
+    * recall trade; the probed-query ops x27c/x27f quantify it).
+    *
+    * Scale note: the window's partition key is vec_id — per-partition
+    * state is the vector's own candidate list (cluster-bounded), not the
+    * corpus; at 100 TB the same shape holds with nClusters grown
+    * proportionally. */
+  def x27gKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val idx = persistIvfIndexed(s, d)
+    val a = idx.select(col("cid"), col("vec_id"), col("embedding"))
+    val b = idx.select(col("cid"), col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("embedding"), col("n_emb")), 6))
+      .filter(col("sim").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("n_id"), col("cid"), col("sim"), col("rank"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Within-cluster qualifying pairs over an assigned `(vec_id,
     * embedding, cid)` index → (cid, v1, v2, sim), v1 < v2, sim ≥
     * threshold (round-6 cosine). The pair scan shuffles on cid only. */
@@ -730,6 +762,7 @@ object VectorOps {
     "x27d_ann_packed" -> (x27dAnnPacked _),
     "x27e_ann_pq" -> (x27eAnnPq _),
     "x27f_ann_ivfpq" -> (x27fAnnIvfPq _),
+    "x27g_knn_graph" -> (x27gKnnGraph _),
     "x40_semdedup" -> (x40SemDedup _),
     "x40b_cluster_profile" -> (x40bClusterProfile _),
     "x30_centroid_agg" -> (x30Centroid _),
@@ -947,6 +980,23 @@ object VectorOps {
          |  FROM sims WHERE sim IS NOT NULL)
          |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // kNN-graph replay: the same build chain, then the within-cluster
+    // pair scan in BOTH directions (vec_id <> n_id) and a per-vector
+    // top-3 window — mirroring that the Spark side's candidates come
+    // from an equi-join on cid, never a global cross join
+    "x27g_knn_graph" ->
+      s"""WITH $ivfBuildCtes,
+         |pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS n_id, a.cid,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, n_id, cid, sim,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+         |  FROM pairs WHERE sim IS NOT NULL)
+         |SELECT vec_id, n_id, cid, sim, rank FROM ranked WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin,
     // SemDeDup replay: the same build chain as x27c, then the
     // within-cluster pair scan (an equi-join on cid — mirroring that the
     // Spark side never goes all-pairs) and the keep-lowest-id removed set

@@ -292,12 +292,53 @@ object StreamingOps {
       fin
     }.orderBy(col("user_id"))
 
+  /** X21b driver-gate binding — the stream-stream interval join
+    * ([[purchaseSignupJoin]]) driven to COMPLETION over the fixture
+    * events stream (memory sink, append mode). The fixture arrives as
+    * ONE micro-batch, and a streaming INNER interval join emits a pair
+    * in the first batch where both sides are present (watermarks only
+    * bound state retention, they never gate inner-join emission) — so
+    * the completed stream equals the batch interval join exactly and
+    * replays against a plain DuckDB self-join.
+    *
+    * Same lifecycle discipline as [[x24StatefulFunnel]]: run-to-
+    * completion per (app, dir), settle the (fixture-bounded, ~400-row)
+    * result out of the memory sink into a literal relation, drop the
+    * view so the sink's log is released immediately. */
+  @transient private val ssjGateCache = graft.ops.PerAppCache.newCache
+  def x42StreamJoin(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(ssjGateCache, s, d) {
+      val view = "x42_ssj_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val q = purchaseSignupJoin(eventsStream(s, d))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(view)
+      val rows = out.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("purchase_id"), col("signup_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x24_stateful_funnel" -> (x24StatefulFunnel _))
+    "x24_stateful_funnel" -> (x24StatefulFunnel _),
+    "x42_stream_join" -> (x42StreamJoin _))
   /** The online funnel's completion state equals the batch event-time
-    * funnel on an in-order stream — so it replays against q27's oracle. */
+    * funnel on an in-order stream — so it replays against q27's oracle;
+    * the completed stream-stream inner interval join equals the batch
+    * self-join (inner joins emit eagerly; watermarks only bound state). */
   val oracles: Map[String, String] = Map(
-    "x24_stateful_funnel" -> graft.ops.Windows.oracles("q27_funnel"))
+    "x24_stateful_funnel" -> graft.ops.Windows.oracles("q27_funnel"),
+    "x42_stream_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+        |  p.user_id AS user_id
+        |FROM events p JOIN events s
+        |  ON p.user_id = s.user_id
+        | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+        | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, signup_id""".stripMargin)
 
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the

@@ -307,25 +307,28 @@ class LlmOpsSpec extends SparkSpec {
       s"approx vs exact kept sets differ beyond boundary rows")
   }
 
-  test("x40 semantic dedup + cluster profile match a plain-Scala SemDeDup model") {
-    // independent reimplementation of the WHOLE pipeline (seeds → 2
-    // integer-space Lloyd iterations → within-cluster pairs → keep-lowest
-    // -id removed set) in driver-side Scala, mirroring each float
-    // operation's fold order — the same role the plain-Scala MinHash model
-    // plays for the native signature expression
+  // ---- plain-Scala IVF model (shared by the x40 and x27g tests) ----
+  // independent reimplementation of the index build (seeds → 2
+  // integer-space Lloyd iterations → final assignment) in driver-side
+  // Scala, mirroring each float operation's fold order — the same role
+  // the plain-Scala MinHash model plays for the native signature
+  // expression
+  private def dotM(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+  }
+  private def cosM(a: Array[Float], b: Array[Float]): Double =
+    dotM(a, b) / (math.sqrt(dotM(a, a)) * math.sqrt(dotM(b, b)))
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r0(v: Double): Long =
+    (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+  /** (id-sorted corpus, vec→cid assignment, final centroids). */
+  private def ivfModel(): (Array[(Long, Array[Float])], Map[Long, Int],
+      Map[Int, Array[Float]]) = {
     val rows = graft.Tables.t(spark, d, "embeddings")
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
-    }
-    def cos(a: Array[Float], b: Array[Float]): Double =
-      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    def round6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def r0(v: Double): Long =
-      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
     // seeds: the 16 lowest-id vectors, relabelled 0..15
     var cents: Map[Int, Array[Float]] =
       rows.take(16).zipWithIndex.map { case ((_, e), i) => i -> e }.toMap
@@ -333,7 +336,7 @@ class LlmOpsSpec extends SparkSpec {
     def assign(e: Array[Float]): Int =
       cents.toSeq.sortBy(_._1).foldLeft((-1, Double.NegativeInfinity)) {
         case ((bc, bs), (c, ce)) =>
-          val s = cos(e, ce); if (s >= bs) (c, s) else (bc, bs)
+          val s = cosM(e, ce); if (s >= bs) (c, s) else (bc, bs)
       }._1
     (1 to 2).foreach { _ =>
       val sums = scala.collection.mutable.Map[Int, Array[Long]]()
@@ -350,7 +353,12 @@ class LlmOpsSpec extends SparkSpec {
         c -> acc.map(s => round6(s.toDouble / cnt(c) / 1000000L).toFloat)
       }.toMap
     }
-    val cid = rows.map { case (id, e) => id -> assign(e) }.toMap
+    (rows, rows.map { case (id, e) => id -> assign(e) }.toMap, cents)
+  }
+
+  test("x40 semantic dedup + cluster profile match a plain-Scala SemDeDup model") {
+    val (rows, cid, cents) = ivfModel()
+    def cos(a: Array[Float], b: Array[Float]): Double = cosM(a, b)
     val byCluster = rows.groupBy { case (id, _) => cid(id) }
     val expectRemoved = byCluster.values.flatMap { members =>
       members.flatMap { case (v2, e2) =>
@@ -373,6 +381,61 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(prof == expectProf)
     assert(prof.values.map(_._1).sum == rows.length)
+  }
+
+  test("x28s gopher rules match a plain-Scala model on the fixture docs") {
+    val docs = graft.Tables.t(spark, d, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stop = Set("the", "a", "and", "of", "to", "in")
+    val expect = docs.map { case (id, text) =>
+      val tk = text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq
+      val n = tk.length
+      val mean = if (n > 0) Some(round6(tk.map(_.length.toLong).sum.toDouble / n)) else None
+      val alpha = if (n > 0)
+        Some(round6(tk.count(_.exists(c => c >= 'a' && c <= 'z')).toDouble / n)) else None
+      val nStop = tk.distinct.count(stop)
+      val rLen = n < 20 || n > 80
+      val rWl = mean.forall(m => m < 4.0 || m > 5.0)
+      val rAl = alpha.forall(_ < 0.8)
+      val rSt = nStop < 2
+      (id, n, mean, alpha, nStop, rLen, rWl, rAl, rSt,
+        !(rLen || rWl || rAl || rSt))
+    }.sortBy(_._1).toSeq
+    val got = TextOps.x28sGopherRules(spark, d).collect().map { r =>
+      (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getInt(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9))
+    }.toSeq
+    assert(got == expect)
+    // the thresholds discriminate on this fixture: both verdicts occur
+    assert(got.exists(_._10) && got.exists(!_._10))
+  }
+
+  test("x27g knn graph matches the plain-Scala per-cluster top-3 model") {
+    val (rows, cid, _) = ivfModel()
+    val byCluster = rows.groupBy { case (id, _) => cid(id) }
+    val expect = byCluster.values.toSeq.flatMap { members =>
+      members.toSeq.flatMap { case (v, e) =>
+        members.toSeq
+          .collect { case (n, ne) if n != v => (n, round6(cosM(e, ne))) }
+          .sortBy { case (n, sim) => (-sim, n) }
+          .take(3).zipWithIndex
+          .map { case ((n, sim), i) => (v, n, cid(v), sim, i + 1) }
+      }
+    }.toSet
+    val got = VectorOps.x27gKnnGraph(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // every vector in a ≥2-member cluster has at least one neighbor edge
+    val covered = got.map(_._1)
+    val expectCovered = byCluster.values.filter(_.length >= 2)
+      .flatMap(_.map(_._1)).toSet
+    assert(covered == expectCovered)
   }
 
   test("parametric semanticDedup partitions the corpus into kept + removed") {

@@ -80,6 +80,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("x42 gate binding equals the batch interval join and is stable") {
+    val gate = StreamingOps.x42StreamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = {
+      val ev = batchEvents
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val sgn = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+          col("ts").as("s_ts"))
+      p.join(sgn,
+          col("user_id") === col("s_user_id") &&
+            col("s_ts") <= col("p_ts") &&
+            col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("signup_id"), col("user_id"))
+        .orderBy("purchase_id", "signup_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(gate.nonEmpty && gate.sameElements(batch))
+    // second construction serves from the per-app cache, same rows
+    assert(StreamingOps.x42StreamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sameElements(gate))
+  }
+
   test("flatMapGroupsWithState sessions are exactly batch gaps-and-islands sessions") {
     val q = StreamingOps.sessionsWithState(spark, StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("fsess_out").start()
