@@ -322,9 +322,77 @@ object StreamingOps {
       fin
     }.orderBy(col("purchase_id"), col("signup_id"))
 
+  /** X24c — transformWithState (Spark 4's arbitrary-state successor to
+    * map/flatMapGroupsWithState, SPARK-49564): the per-user running
+    * count + event-time high-water mark as a [[StatefulProcessor]] with
+    * one ValueState — the modern-API twin of [[runningUserState]]. The
+    * state lives in the RocksDB state store (the only provider that
+    * implements the API's column-family state variables), so the gate
+    * sets the provider conf for this query's start and restores the
+    * session conf after — the other streaming gates keep timing under
+    * the default HDFS-backed provider. Run-to-completion discipline as
+    * [[x24StatefulFunnel]]: last update per user wins (count and
+    * high-water only grow), settled into a literal relation. */
+  final case class UserRow(user_id: Long, ts_ms: Long)
+  class UserAggProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserRow, UserAgg] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[UserAgg] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[UserAgg]("agg",
+        org.apache.spark.sql.Encoders.product[UserAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAgg] = {
+      val prev = if (st.exists()) st.get() else UserAgg(key, 0L, Long.MinValue)
+      var n = prev.n_events
+      var hw = prev.high_water_ms
+      rows.foreach { r => n += 1; if (r.ts_ms > hw) hw = r.ts_ms }
+      val next = UserAgg(key, n, hw)
+      st.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  @transient private val twsGateCache = graft.ops.PerAppCache.newCache
+  def x43TransformWithState(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(twsGateCache, s, d) {
+      import s.implicits._
+      val view = "x43_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = eventsStream(s, d)
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+          .as[UserRow]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserAggProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+          .writeStream.outputMode("update").format("memory")
+          .queryName(view).start()
+        try q.processAllAvailable() finally q.stop()
+        val agg = s.table(view)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("high_water_ms"))).as("st"))
+          .select(col("user_id"), col("st.n_events").as("n_events"),
+            col("st.high_water_ms").as("high_water_ms"))
+        val rows = agg.collect()
+        val fin = s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), agg.schema)
+        s.catalog.dropTempView(view)
+        fin
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }.orderBy(col("user_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x24_stateful_funnel" -> (x24StatefulFunnel _),
-    "x42_stream_join" -> (x42StreamJoin _))
+    "x42_stream_join" -> (x42StreamJoin _),
+    "x43_tws_user_agg" -> (x43TransformWithState _))
   /** The online funnel's completion state equals the batch event-time
     * funnel on an in-order stream — so it replays against q27's oracle;
     * the completed stream-stream inner interval join equals the batch
@@ -338,7 +406,12 @@ object StreamingOps {
         |  ON p.user_id = s.user_id
         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
         | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
-        |ORDER BY purchase_id, signup_id""".stripMargin)
+        |ORDER BY purchase_id, signup_id""".stripMargin,
+    // the completed running state per user is just the batch aggregate
+    "x43_tws_user_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS high_water_ms
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the

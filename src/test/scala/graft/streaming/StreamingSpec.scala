@@ -105,6 +105,23 @@ class StreamingSpec extends SparkSpec {
       .sameElements(gate))
   }
 
+  test("x43 transformWithState completion equals the batch per-user aggregate") {
+    val gate = StreamingOps.x43TransformWithState(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = batchEvents
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), unix_millis(max(col("ts"))).as("hw"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gate.nonEmpty && gate.sameElements(batch))
+    // the provider conf is restored after the gate ran (getOption
+    // surfaces the session DEFAULT — HDFS-backed — not the RocksDB
+    // override the gate set for its own query)
+    val prov = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    assert(!prov.exists(_.contains("RocksDB")), prov.toString)
+  }
+
   test("flatMapGroupsWithState sessions are exactly batch gaps-and-islands sessions") {
     val q = StreamingOps.sessionsWithState(spark, StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("append").format("memory").queryName("fsess_out").start()
