@@ -218,6 +218,33 @@ object TextOps {
       graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
       .orderBy(col("doc_id"))
 
+  /** X44 — curriculum bucketing by model-based difficulty: each document
+    * assigned to one of four difficulty quartiles of its bigram-LM mean
+    * surprisal ([[x28nBigramLm]]'s score — fluent text scores low, hard/
+    * noisy text high), the ordering curriculum-learning schedules train
+    * on easy→hard. SCALE SHAPE: no global ntile sort (a corpus-sized
+    * single-partition window); instead the three exact quartile
+    * thresholds come from ONE aggregation (round-6 so both engines
+    * compare the same values), broadcast back, and the bucket is a
+    * row-local comparison count — ties get the same bucket, which is the
+    * semantics a threshold curriculum wants anyway. */
+  def x44Curriculum(s: SparkSession, d: String): DataFrame = {
+    val scores = graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
+      graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
+    val th = scores
+      .agg(expr("percentile(avg_nll, array(0.25D, 0.5D, 0.75D))").as("ts"))
+      .select(round(element_at(col("ts"), 1), 6).as("t1"),
+        round(element_at(col("ts"), 2), 6).as("t2"),
+        round(element_at(col("ts"), 3), 6).as("t3"))
+    scores.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        lit(1) + (col("avg_nll") > col("t1")).cast("int")
+          + (col("avg_nll") > col("t2")).cast("int")
+          + (col("avg_nll") > col("t3")).cast("int"))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X28 — whitespace/case normalization, driven on deterministically
     * DIRTIED input (the fixture text is already clean, so the query first
     * uppercases it, triples interior spaces, and pads the ends — then the
@@ -390,6 +417,7 @@ object TextOps {
     "x28m_heavy_hitters" -> (x28mHeavyHitters _),
     "x28j_unigram_lm" -> (x28jUnigramLm _),
     "x28n_bigram_lm" -> (x28nBigramLm _),
+    "x44_curriculum" -> (x44Curriculum _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28s_gopher_rules" -> (x28sGopherRules _),
@@ -402,6 +430,38 @@ object TextOps {
 
   private val toksSql =
     "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  // The bigram-LM per-doc surprisal relation as a reusable CTE chain
+  // (`dnll`: doc_id, n_bigrams, avg_nll) — shared by the x28n oracle and
+  // the x44 curriculum oracle, the same way ivfBuildCtes is shared on
+  // the vector side. sum(BIGINT) promotes to HUGEINT in DuckDB, so every
+  // aggregate is cast back before use.
+  private lazy val bigramNllCtes: String =
+    s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |bg AS (
+       |  SELECT doc_id, g, count(*) AS bf FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+       |      i -> tk[i] || ' ' || tk[i+1])) AS g
+       |    FROM toks WHERE len(tk) >= 2)
+       |  GROUP BY 1, 2),
+       |cuv AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c_uv FROM bg GROUP BY 1),
+       |cu AS (SELECT split_part(g, ' ', 1) AS u, CAST(sum(c_uv) AS BIGINT) AS c_u
+       |  FROM cuv GROUP BY 1),
+       |vocab AS (
+       |  SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+       |q AS (
+       |  SELECT g,
+       |    CAST(round(ln(CAST(c_u + v AS DOUBLE) / (c_uv + 1)) * 1000000) AS BIGINT) AS nllq
+       |  FROM cuv JOIN cu ON split_part(cuv.g, ' ', 1) = cu.u
+       |  CROSS JOIN vocab),
+       |dnll AS (
+       |  SELECT doc_id,
+       |    CAST(sum(bf) AS BIGINT) AS n_bigrams,
+       |    round(CAST(CAST(sum(bf * nllq) AS BIGINT) AS DOUBLE) /
+       |      (CAST(CAST(sum(bf) AS BIGINT) AS DOUBLE) * 1000000), 6) AS avg_nll
+       |  FROM bg JOIN q USING (g)
+       |  GROUP BY doc_id)""".stripMargin
 
   // The full BPE training replay as one CTE chain: seed char-split
   // vocabulary w0, then per round i the pair counts p{i} over w{i-1},
@@ -734,30 +794,24 @@ object TextOps {
     // relation itself (split_part == substring_index for the first
     // space-joined token), V is the exact distinct-token count
     "x28n_bigram_lm" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |bg AS (
-         |  SELECT doc_id, g, count(*) AS bf FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |      i -> tk[i] || ' ' || tk[i+1])) AS g
-         |    FROM toks WHERE len(tk) >= 2)
-         |  GROUP BY 1, 2),
-         |cuv AS (SELECT g, CAST(sum(bf) AS BIGINT) AS c_uv FROM bg GROUP BY 1),
-         |cu AS (SELECT split_part(g, ' ', 1) AS u, CAST(sum(c_uv) AS BIGINT) AS c_u
-         |  FROM cuv GROUP BY 1),
-         |vocab AS (
-         |  SELECT count(DISTINCT tok) AS v
-         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
-         |q AS (
-         |  SELECT g,
-         |    CAST(round(ln(CAST(c_u + v AS DOUBLE) / (c_uv + 1)) * 1000000) AS BIGINT) AS nllq
-         |  FROM cuv JOIN cu ON split_part(cuv.g, ' ', 1) = cu.u
-         |  CROSS JOIN vocab)
-         |SELECT doc_id,
-         | CAST(sum(bf) AS BIGINT) AS n_bigrams,
-         | round(CAST(CAST(sum(bf * nllq) AS BIGINT) AS DOUBLE) /
-         |   (CAST(CAST(sum(bf) AS BIGINT) AS DOUBLE) * 1000000), 6) AS avg_nll
-         |FROM bg JOIN q USING (g)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $bigramNllCtes
+         |SELECT doc_id, n_bigrams, avg_nll FROM dnll
+         |ORDER BY doc_id""".stripMargin,
+    // curriculum replay: the same per-doc surprisal chain, then the
+    // three exact quartile thresholds (round-6 both sides) and the
+    // comparison-based bucket — mirroring that the Spark side never
+    // runs a global ntile sort, only a broadcast threshold filter
+    "x44_curriculum" ->
+      s"""WITH $bigramNllCtes,
+         |th AS (SELECT
+         |  round(quantile_cont(avg_nll, 0.25), 6) AS t1,
+         |  round(quantile_cont(avg_nll, 0.5), 6) AS t2,
+         |  round(quantile_cont(avg_nll, 0.75), 6) AS t3 FROM dnll)
+         |SELECT doc_id, n_bigrams, avg_nll,
+         |  CAST(1 + CAST(avg_nll > t1 AS INTEGER)
+         |         + CAST(avg_nll > t2 AS INTEGER)
+         |         + CAST(avg_nll > t3 AS INTEGER) AS INTEGER) AS bucket
+         |FROM dnll CROSS JOIN th ORDER BY doc_id""".stripMargin,
     // sum(BIGINT) in DuckDB promotes to HUGEINT — every aggregate is cast
     // back to BIGINT before use (see q14b history)
     "x28i_repetition" ->

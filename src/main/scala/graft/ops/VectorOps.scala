@@ -200,6 +200,40 @@ object VectorOps {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** X45 — incremental index maintenance: a NEW batch of vectors
+    * (vec_id ≡ 0 mod 5 — an SF-independent 20 % arrival) assigned to
+    * the FROZEN centroids trained on the existing corpus (the other
+    * 80 %), without re-running Lloyd. This is how a production ANN/
+    * semantic-dedup index absorbs a new crawl: assignment is one
+    * broadcast-centroids scan of only the arriving batch (row-local
+    * argmax, no shuffle of the existing corpus), and re-clustering is
+    * deferred to an offline rebuild cadence. Output: each new vector's
+    * cluster plus the cluster's old and arriving populations — all
+    * INTEGER columns by design: a round-6 cosine-to-centroid here sat
+    * within float-vs-double noise of the rounding boundary on ~10 % of
+    * rows (the x40b lesson), while the argmax itself only flips on a
+    * near-tie between two different centroids, which real clusters
+    * don't produce. */
+  def x45IvfAppend(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(s, e.filter(col("vec_id") % 5 =!= 0), 16)
+    val asgNew = e.filter(col("vec_id") % 5 === 0)
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("cemb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"))
+    val nOld = ivfAssign(e.filter(col("vec_id") % 5 =!= 0), cents)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_old"))
+    val nNew = asgNew.groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+    asgNew
+      .join(broadcast(nOld), Seq("cid"), "left_outer")
+      .join(broadcast(nNew), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"), col("n_new"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Within-cluster qualifying pairs over an assigned `(vec_id,
     * embedding, cid)` index → (cid, v1, v2, sim), v1 < v2, sim ≥
     * threshold (round-6 cosine). The pair scan shuffles on cid only. */
@@ -763,6 +797,7 @@ object VectorOps {
     "x27e_ann_pq" -> (x27eAnnPq _),
     "x27f_ann_ivfpq" -> (x27fAnnIvfPq _),
     "x27g_knn_graph" -> (x27gKnnGraph _),
+    "x45_ivf_append" -> (x45IvfAppend _),
     "x40_semdedup" -> (x40SemDedup _),
     "x40b_cluster_profile" -> (x40bClusterProfile _),
     "x30_centroid_agg" -> (x30Centroid _),
@@ -822,13 +857,14 @@ object VectorOps {
   // and final centroids `c2`. Shared verbatim by every oracle that
   // consumes the index (x27c probe, x40 within-cluster dedup, x40b
   // profile) so the replayed build can never drift between them.
-  private def assignCte(cent: String, name: String) =
+  private def assignCte(cent: String, name: String,
+      src: String = "embeddings") =
     s"""$name AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid DESC) AS rn
-       |    FROM embeddings e CROSS JOIN $cent c)
+       |    FROM $src e CROSS JOIN $cent c)
        |  WHERE rn = 1)""".stripMargin
   private def updateCte(asg: String, sums: String, cent: String) =
     s"""$sums AS (
@@ -887,16 +923,21 @@ object VectorOps {
        |${pqUpdateCte("a2", "ps2", "b2")},
        |${pqAssignCte("b2", "codes")}""".stripMargin
 
-  private lazy val ivfBuildCtes: String =
+  /** The deterministic IVF build (seeds → 2 Lloyd iterations → final
+    * centroids c2 + assignment asgf) over any `(vec_id, embedding)`
+    * source relation — `embeddings` for the shared index oracles, a
+    * filtered subset for the incremental-append oracle. */
+  private def ivfBuildCtesOn(src: String): String =
     s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |    embedding AS cemb
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
-       |${assignCte("c0", "asg1")},
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 16)),
+       |${assignCte("c0", "asg1", src)},
        |${updateCte("asg1", "s1", "c1")},
-       |${assignCte("c1", "asg2")},
+       |${assignCte("c1", "asg2", src)},
        |${updateCte("asg2", "s2", "c2")},
-       |${assignCte("c2", "asgf")}""".stripMargin
+       |${assignCte("c2", "asgf", src)}""".stripMargin
+  private lazy val ivfBuildCtes: String = ivfBuildCtesOn("embeddings")
 
   val oracles: Map[String, String] = Map(
     // full PQ replay: the codebook training (8 subspaces × 16 codes ×
@@ -997,6 +1038,33 @@ object VectorOps {
          |  FROM pairs WHERE sim IS NOT NULL)
          |SELECT vec_id, n_id, cid, sim, rank FROM ranked WHERE rank <= 3
          |ORDER BY vec_id, rank""".stripMargin,
+    // incremental-append replay: the Lloyd build runs on the OLD 80 %
+    // only (the parameterized chain), then the new batch is assigned to
+    // the frozen final centroids — same tie rule (higher cid) as the
+    // Spark max(struct) argmax
+    "x45_ivf_append" ->
+      s"""WITH old AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+         |${ivfBuildCtesOn("old")},
+         |n_old AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_old FROM asgf GROUP BY cid),
+         |newb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |asg_new AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${cosSql("n.embedding", "c.cemb")} DESC, c.cid DESC) AS rn
+         |    FROM newb n CROSS JOIN c2 c)
+         |  WHERE rn = 1),
+         |n_new AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n_new FROM asg_new GROUP BY cid)
+         |SELECT a.vec_id, a.cid,
+         |  CAST(COALESCE(o.n_old, 0) AS BIGINT) AS n_old, w.n_new
+         |FROM asg_new a
+         |LEFT JOIN n_old o ON o.cid = a.cid
+         |JOIN n_new w ON w.cid = a.cid
+         |ORDER BY a.vec_id""".stripMargin,
     // SemDeDup replay: the same build chain as x27c, then the
     // within-cluster pair scan (an equi-join on cid — mirroring that the
     // Spark side never goes all-pairs) and the keep-lowest-id removed set

@@ -323,12 +323,15 @@ class LlmOpsSpec extends SparkSpec {
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   private def r0(v: Double): Long =
     (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
-  /** (id-sorted corpus, vec→cid assignment, final centroids). */
-  private def ivfModel(): (Array[(Long, Array[Float])], Map[Long, Int],
-      Map[Int, Array[Float]]) = {
+  /** (id-sorted corpus, vec→cid assignment, final centroids). `keep`
+    * restricts the corpus the index is BUILT on (x45 trains on the old
+    * 80 % only). */
+  private def ivfModel(keep: Long => Boolean = _ => true):
+      (Array[(Long, Array[Float])], Map[Long, Int], Map[Int, Array[Float]]) = {
     val rows = graft.Tables.t(spark, d, "embeddings")
       .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter { case (id, _) => keep(id) }.sortBy(_._1)
     // seeds: the 16 lowest-id vectors, relabelled 0..15
     var cents: Map[Int, Array[Float]] =
       rows.take(16).zipWithIndex.map { case ((_, e), i) => i -> e }.toMap
@@ -436,6 +439,56 @@ class LlmOpsSpec extends SparkSpec {
     val expectCovered = byCluster.values.filter(_.length >= 2)
       .flatMap(_.map(_._1)).toSet
     assert(covered == expectCovered)
+  }
+
+  test("x45 ivf append matches a frozen-centroid plain-Scala model") {
+    val (_, oldCid, cents) = ivfModel(keep = _ % 5 != 0)
+    // argmax with the production tie rule (ties → higher cid)
+    def assign(e: Array[Float]): Int =
+      cents.toSeq.sortBy(_._1).foldLeft((-1, Double.NegativeInfinity)) {
+        case ((bc, bs), (c, ce)) =>
+          val s = cosM(e, ce); if (s >= bs) (c, s) else (bc, bs)
+      }._1
+    val newRows = graft.Tables.t(spark, d, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(_._1 % 5 == 0)
+    val expAsg = newRows.map { case (id, e) => id -> assign(e) }.toMap
+    val expOld = oldCid.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val expNew = expAsg.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val got = VectorOps.x45IvfAppend(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).sameElements(newRows.map(_._1).sorted))
+    got.foreach { case (id, cid, nOld, nNew) =>
+      assert(cid == expAsg(id), s"vec $id cid")
+      assert(nOld == expOld.getOrElse(cid, 0L), s"vec $id n_old")
+      assert(nNew == expNew(cid), s"vec $id n_new")
+    }
+  }
+
+  test("x44 curriculum buckets match exact quartile thresholds of the LM scores") {
+    val scores = TextOps.x28nBigramLm(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // Spark's exact percentile: linear interpolation at p·(n−1)
+    val sorted = scores.map(_._3).sorted
+    def pct(p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      val g = pos - lo
+      round6((1 - g) * sorted(lo) + g * sorted(hi))
+    }
+    val (t1, t2, t3) = (pct(0.25), pct(0.5), pct(0.75))
+    val expect = scores.map { case (id, nb, s) =>
+      (id, nb, s, 1 + (if (s > t1) 1 else 0) + (if (s > t2) 1 else 0)
+        + (if (s > t3) 1 else 0))
+    }.sortBy(_._1).toSeq
+    val got = TextOps.x44Curriculum(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == expect)
+    // quartiles are near-balanced (exact quarters up to threshold ties)
+    val byBucket = got.groupBy(_._4).view.mapValues(_.size)
+    assert(byBucket.keySet == Set(1, 2, 3, 4))
   }
 
   test("parametric semanticDedup partitions the corpus into kept + removed") {
