@@ -66,6 +66,11 @@ object Windows {
       .withColumn("rnk", rank().over(w))
       .withColumn("drnk", dense_rank().over(w))
       .withColumn("quartile", ntile(4).over(w))
+      // relative-position pair completes the ranking family; both are one
+      // integer division of partition-level counts, identical across
+      // engines (round-6 is belt-and-braces house style)
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
       .filter(col("rn") <= 20)
       .orderBy(col("c_mktsegment"), col("rn"))
   }
@@ -322,7 +327,9 @@ object Windows {
         |  CAST(row_number() OVER w AS INTEGER) AS rn,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,
         |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
         | FROM customer
         | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |) WHERE rn <= 20 ORDER BY c_mktsegment, rn""".stripMargin,
