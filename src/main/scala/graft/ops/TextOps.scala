@@ -26,6 +26,16 @@ object TextOps {
     cachedPerApp(bgCache, s, d)(
       graft.api.TrainingData.bigramCounts(t(s, d, "documents"), "doc_id", "text")
         .persist())
+  // the per-doc bigram-LM score relation, shared by x28n and x44: the
+  // curriculum query references the scores on two plan branches (the
+  // threshold aggregation and the bucket join), which re-ran the whole
+  // surprisal lineage per branch before this was persisted
+  private val nllCache = newCache
+  private def nllRel(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(nllCache, s, d)(
+      graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
+        graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
+        .persist())
 
   /** X28 — token counting + basic stats per document (zero-token guard:
     * all-whitespace text → NULL avg, not ANSI DIVIDE_BY_ZERO; oracle
@@ -214,9 +224,7 @@ object TextOps {
     * fluency filter next to [[x28jUnigramLm]]. Fixture binding of
     * [[graft.api.TrainingData.bigramLmScores]]. */
   def x28nBigramLm(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
-      graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
-      .orderBy(col("doc_id"))
+    nllRel(s, d).orderBy(col("doc_id"))
 
   /** X44 — curriculum bucketing by model-based difficulty: each document
     * assigned to one of four difficulty quartiles of its bigram-LM mean
@@ -229,8 +237,7 @@ object TextOps {
     * row-local comparison count — ties get the same bucket, which is the
     * semantics a threshold curriculum wants anyway. */
   def x44Curriculum(s: SparkSession, d: String): DataFrame = {
-    val scores = graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
-      graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
+    val scores = nllRel(s, d)
     val th = scores
       .agg(expr("percentile(avg_nll, array(0.25D, 0.5D, 0.75D))").as("ts"))
       .select(round(element_at(col("ts"), 1), 6).as("t1"),
