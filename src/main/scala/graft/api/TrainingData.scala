@@ -533,6 +533,96 @@ object TrainingData {
       .withColumn("n_chars_clean", length(col("clean_text")))
   }
 
+  /** Gopher-style rule-based document filtering (Rae et al. 2021 §A1.1):
+    * per-rule boolean reject flags PLUS the final keep verdict →
+    * (doc_id, n_toks, mean_wlen, alpha_ratio, n_stop_hits, r_len,
+    * r_wordlen, r_alpha, r_stop, keep). The flags are the per-rule
+    * reject counters a curation report publishes — a pipeline that only
+    * wants the survivors composes with `.filter(col("keep"))`.
+    * Zero-token docs flag every rule (coalesce — NULL ratios must not
+    * un-flag). Pure row-local column algebra: scan-speed at 100 TB. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 80,
+      minMeanWordLen: Double = 4.0, maxMeanWordLen: Double = 5.0,
+      minAlphaRatio: Double = 0.8, minStopHits: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")): DataFrame =
+    docs
+      .withColumn("tk", DedupOps.tokens(col(textCol)))
+      .withColumn("n_toks", size(col("tk")))
+      .withColumn("mean_wlen",
+        when(col("n_toks") > 0,
+          round(aggregate(transform(col("tk"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double") / col("n_toks"), 6)))
+      .withColumn("alpha_ratio",
+        when(col("n_toks") > 0,
+          round(size(filter(col("tk"), t => t.rlike("[a-z]")))
+            .cast("double") / col("n_toks"), 6)))
+      .withColumn("n_stop_hits",
+        size(array_intersect(array_distinct(col("tk")),
+          array(stopwords.map(lit): _*))))
+      .withColumn("r_len",
+        col("n_toks") < minTokens || col("n_toks") > maxTokens)
+      .withColumn("r_wordlen",
+        coalesce(col("mean_wlen") < minMeanWordLen
+          || col("mean_wlen") > maxMeanWordLen, lit(true)))
+      .withColumn("r_alpha",
+        coalesce(col("alpha_ratio") < minAlphaRatio, lit(true)))
+      .withColumn("r_stop", col("n_stop_hits") < minStopHits)
+      .withColumn("keep",
+        !(col("r_len") || col("r_wordlen") || col("r_alpha") || col("r_stop")))
+      .select(col(idCol).as("doc_id"), col("n_toks"), col("mean_wlen"),
+        col("alpha_ratio"), col("n_stop_hits"), col("r_len"),
+        col("r_wordlen"), col("r_alpha"), col("r_stop"), col("keep"))
+
+  /** Curriculum bucketing: every row assigned to one of `nBuckets`
+    * difficulty bins of `scoreCol` (bucket 1 = lowest scores). The
+    * thresholds are the exact (nBuckets−1) interior quantiles from ONE
+    * aggregation, broadcast back; the bucket is a row-local comparison
+    * count — never a data-sized single-partition ntile window. Ties at a
+    * threshold land in the same bucket (what a threshold curriculum
+    * wants). Input schema preserved, `bucket` appended. */
+  def difficultyBuckets(scores: DataFrame, scoreCol: String,
+      nBuckets: Int = 4): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    require(scores.columns.contains(scoreCol), s"no column $scoreCol")
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val th = scores
+      .agg(expr(s"percentile(`$scoreCol`, array(${ps.mkString("D, ")}D))").as("ts"))
+      .select((1 until nBuckets).map(i =>
+        round(element_at(col("ts"), i), 6).as(s"__t$i")): _*)
+    val bucket = (1 until nBuckets)
+      .map(i => (col(scoreCol) > col(s"__t$i")).cast("int"))
+      .foldLeft(lit(1))(_ + _)
+    scores.crossJoin(broadcast(th))
+      .withColumn("bucket", bucket)
+      .select(scores.columns.map(col) :+ col("bucket"): _*)
+  }
+
+  /** Corpus-wide kNN graph over an IVF clustering: every vector's top-k
+    * nearest neighbors among its own cluster's members → (vec_id, n_id,
+    * cid, sim, rank). The all-points structure semantic dedup and
+    * diversity sampling consume; candidates come from an equi-join on
+    * the cluster id, never a global cross join (cluster-boundary
+    * neighbors are missed by design — the standard IVF recall trade). */
+  def knnGraph(corpus: DataFrame, idCol: String, embCol: String, k: Int,
+      nClusters: Int = 16): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    VectorOps.knnGraphCore(
+      VectorOps.ivfAssign(e,
+        VectorOps.ivfCentroids(corpus.sparkSession, e, nClusters)), k)
+  }
+
+  /** Incremental ANN-index maintenance: assign `newBatch` to centroids
+    * FROZEN from `oldCorpus` (no Lloyd re-run) → (vec_id, cid, n_old,
+    * n_new). One broadcast-centroids scan of only the arriving batch;
+    * re-clustering is deferred to an offline rebuild cadence. */
+  def ivfAppend(oldCorpus: DataFrame, newBatch: DataFrame, idCol: String,
+      embCol: String, nClusters: Int = 16): DataFrame =
+    VectorOps.ivfAppendCore(oldCorpus.sparkSession,
+      oldCorpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+      nClusters)
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's

@@ -79,35 +79,11 @@ object TextOps {
     * the gate's orderBy. Rules: token count outside [20, 80]; mean word
     * length outside [4.0, 5.0]; < 80 % of words containing a letter;
     * fewer than 2 distinct stopwords present. Zero-token docs flag every
-    * rule (coalesce — NULL ratios must not un-flag). */
-  def x28sGopherRules(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in")
-    t(s, d, "documents")
-      .withColumn("tk", tokens(col("text")))
-      .withColumn("n_toks", size(col("tk")))
-      .withColumn("mean_wlen",
-        when(col("n_toks") > 0,
-          round(aggregate(transform(col("tk"), t => length(t).cast("long")),
-            lit(0L), (acc, x) => acc + x).cast("double") / col("n_toks"), 6)))
-      .withColumn("alpha_ratio",
-        when(col("n_toks") > 0,
-          round(size(filter(col("tk"), t => t.rlike("[a-z]")))
-            .cast("double") / col("n_toks"), 6)))
-      .withColumn("n_stop_hits",
-        size(array_intersect(array_distinct(col("tk")),
-          array(stop.map(lit): _*))))
-      .withColumn("r_len", col("n_toks") < 20 || col("n_toks") > 80)
-      .withColumn("r_wordlen",
-        coalesce(col("mean_wlen") < 4.0 || col("mean_wlen") > 5.0, lit(true)))
-      .withColumn("r_alpha", coalesce(col("alpha_ratio") < 0.8, lit(true)))
-      .withColumn("r_stop", col("n_stop_hits") < 2)
-      .withColumn("keep",
-        !(col("r_len") || col("r_wordlen") || col("r_alpha") || col("r_stop")))
-      .select(col("doc_id"), col("n_toks"), col("mean_wlen"),
-        col("alpha_ratio"), col("n_stop_hits"), col("r_len"),
-        col("r_wordlen"), col("r_alpha"), col("r_stop"), col("keep"))
+    * rule (coalesce — NULL ratios must not un-flag). Fixture binding of
+    * [[graft.api.TrainingData.gopherRules]]. */
+  def x28sGopherRules(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.gopherRules(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
-  }
 
   def x28cLangId(s: SparkSession, d: String): DataFrame = {
     val en = Seq("the", "and", "of")
@@ -236,21 +212,10 @@ object TextOps {
     * compare the same values), broadcast back, and the bucket is a
     * row-local comparison count — ties get the same bucket, which is the
     * semantics a threshold curriculum wants anyway. */
-  def x44Curriculum(s: SparkSession, d: String): DataFrame = {
-    val scores = nllRel(s, d)
-    val th = scores
-      .agg(expr("percentile(avg_nll, array(0.25D, 0.5D, 0.75D))").as("ts"))
-      .select(round(element_at(col("ts"), 1), 6).as("t1"),
-        round(element_at(col("ts"), 2), 6).as("t2"),
-        round(element_at(col("ts"), 3), 6).as("t3"))
-    scores.crossJoin(broadcast(th))
-      .withColumn("bucket",
-        lit(1) + (col("avg_nll") > col("t1")).cast("int")
-          + (col("avg_nll") > col("t2")).cast("int")
-          + (col("avg_nll") > col("t3")).cast("int"))
+  def x44Curriculum(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.difficultyBuckets(nllRel(s, d), "avg_nll", 4)
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"), col("bucket"))
       .orderBy(col("doc_id"))
-  }
 
   /** X28 — whitespace/case normalization, driven on deterministically
     * DIRTIED input (the fixture text is already clean, so the query first

@@ -183,10 +183,16 @@ object VectorOps {
     * state is the vector's own candidate list (cluster-bounded), not the
     * corpus; at 100 TB the same shape holds with nClusters grown
     * proportionally. */
-  def x27gKnnGraph(s: SparkSession, d: String): DataFrame = {
-    val idx = persistIvfIndexed(s, d)
-    val a = idx.select(col("cid"), col("vec_id"), col("embedding"))
-    val b = idx.select(col("cid"), col("vec_id").as("n_id"),
+  def x27gKnnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphCore(persistIvfIndexed(s, d), k = 3)
+      .orderBy(col("vec_id"), col("rank"))
+
+  /** The kNN-graph kernel over an assigned `(vec_id, embedding, cid)`
+    * index — shared by the fixture query above and the parametric API
+    * (graft.api.TrainingData.knnGraph). */
+  private[graft] def knnGraphCore(indexed: DataFrame, k: Int): DataFrame = {
+    val a = indexed.select(col("cid"), col("vec_id"), col("embedding"))
+    val b = indexed.select(col("cid"), col("vec_id").as("n_id"),
       col("embedding").as("n_emb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("n_id"))
@@ -195,9 +201,8 @@ object VectorOps {
       .withColumn("sim", round(cosine(col("embedding"), col("n_emb")), 6))
       .filter(col("sim").isNotNull)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select(col("vec_id"), col("n_id"), col("cid"), col("sim"), col("rank"))
-      .orderBy(col("vec_id"), col("rank"))
   }
 
   /** X45 — incremental index maintenance: a NEW batch of vectors
@@ -216,14 +221,23 @@ object VectorOps {
     * don't produce. */
   def x45IvfAppend(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val cents = ivfCentroids(s, e.filter(col("vec_id") % 5 =!= 0), 16)
-    val asgNew = e.filter(col("vec_id") % 5 === 0)
+    ivfAppendCore(s, e.filter(col("vec_id") % 5 =!= 0),
+      e.filter(col("vec_id") % 5 === 0), nClusters = 16)
+      .orderBy(col("vec_id"))
+  }
+
+  /** The frozen-centroid append kernel — shared by the fixture query
+    * above and the parametric API (graft.api.TrainingData.ivfAppend). */
+  private[graft] def ivfAppendCore(s: SparkSession, oldCorpus: DataFrame,
+      newBatch: DataFrame, nClusters: Int): DataFrame = {
+    val cents = ivfCentroids(s, oldCorpus, nClusters)
+    val asgNew = newBatch.toDF("vec_id", "embedding")
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("embedding"), col("cemb")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("csim"), col("cid"))).as("best"))
       .select(col("vec_id"), col("best.cid").as("cid"))
-    val nOld = ivfAssign(e.filter(col("vec_id") % 5 =!= 0), cents)
+    val nOld = ivfAssign(oldCorpus, cents)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_old"))
     val nNew = asgNew.groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
     asgNew
@@ -231,7 +245,6 @@ object VectorOps {
       .join(broadcast(nNew), Seq("cid"))
       .select(col("vec_id"), col("cid"),
         coalesce(col("n_old"), lit(0L)).as("n_old"), col("n_new"))
-      .orderBy(col("vec_id"))
   }
 
   /** Within-cluster qualifying pairs over an assigned `(vec_id,

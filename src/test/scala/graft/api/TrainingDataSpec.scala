@@ -1128,4 +1128,59 @@ class TrainingDataSpec extends SparkSpec {
       (1L, "line one <URL>\nline two stays", 1L),
       (2L, "tabbed <URL>\tafter", 1L)))
   }
+
+  test("gopherRules: keep is exactly the conjunction of no-flag, custom thresholds honored") {
+    val docs = Seq(
+      (1L, "the cat and dog of to in ran around the block all day long"),
+      (2L, "x"), // too short
+      (3L, ""), // zero tokens: every rule flags
+      (4L, "the " + ("pneumonoultramicroscopic " * 12) + "of")) // long words
+      .toDF("id", "body")
+    val out = TrainingData.gopherRules(docs, "id", "body",
+        minTokens = 3, maxTokens = 50, minMeanWordLen = 2.0,
+        maxMeanWordLen = 8.0, minAlphaRatio = 0.5, minStopHits = 2)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val flags = (5 to 8).map(r.getBoolean)
+      assert(r.getBoolean(9) == !flags.exists(identity))
+    }
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))).toMap
+    assert(byId(1L) == ((false, false, false, false))) // keeper
+    assert(byId(2L)._1) // r_len on the short doc
+    assert(byId(3L) == ((true, true, true, true))) // zero tokens flags all
+    assert(byId(4L)._2) // r_wordlen on the long-word doc
+  }
+
+  test("difficultyBuckets: monotone in score, schema preserved, nBuckets respected") {
+    val scores = (1 to 40).map(i => (i.toLong, i * 1.5)).toDF("id", "s")
+    val out = TrainingData.difficultyBuckets(scores, "s", 5)
+    assert(out.columns.sameElements(Array("id", "s", "bucket")))
+    val rows = out.orderBy("s").collect().map(r => (r.getDouble(1), r.getInt(2)))
+    assert(rows.map(_._2).min == 1 && rows.map(_._2).max == 5)
+    // non-decreasing bucket along increasing score
+    rows.sliding(2).foreach { case Array((_, b1), (_, b2)) => assert(b1 <= b2) }
+    // equal scores share a bucket (threshold semantics)
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 9.0)).toDF("id", "s")
+    val tiedB = TrainingData.difficultyBuckets(tied, "s", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(tiedB(1L) == tiedB(2L) && tiedB(2L) == tiedB(3L))
+  }
+
+  test("knnGraph and ivfAppend parametric forms agree with the fixture bindings") {
+    val d = "/root/testdata/sf0.01"
+    val e = graft.Tables.t(spark, d, "embeddings")
+    val para = TrainingData.knnGraph(e, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSet
+    val fixture = graft.ops.VectorOps.x27gKnnGraph(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(para == fixture)
+    val paraApp = TrainingData.ivfAppend(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val fixApp = graft.ops.VectorOps.x45IvfAppend(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(paraApp == fixApp)
+  }
 }
