@@ -623,6 +623,56 @@ object TrainingData {
       newBatch.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       nClusters)
 
+  /** T5/UL2-style span corruption — the denoising-objective data op:
+    * deterministic masked spans replaced by numbered sentinel tokens in
+    * the input, emitted with their contents in the target →
+    * (doc_id, n_toks, n_spans, input_text, target_text).
+    *
+    * Spans are CONTENT-ADDRESSED, not random: a per-document phase
+    * h = sha-derived 16-bit hash of the id mod `period` shifts a
+    * fixed-cadence mask (a span of `spanLen` tokens starts wherever
+    * (pos + h) % period == 0) — every engine, run, and partitioning
+    * produces the same corruption, which is what makes the pairs
+    * cacheable and the op oracle-checkable; the corruption RATE
+    * (spanLen/period ≈ 28 % at the 2/7 default, vs T5's 15 %) is the
+    * tunable. Sentinels are `<extra_id_k>` with k increasing along the
+    * document, the T5 vocabulary convention. Pure row-local column
+    * algebra — scan-speed at 100 TB. `spanLen < period` keeps spans
+    * non-overlapping by construction. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      period: Int = 7, spanLen: Int = 2): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(spanLen >= 1 && spanLen < period,
+      s"spanLen must be in [1, period), got $spanLen (period $period)")
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("int").cast("string"), lit(">"))
+    def isStart(i: Column, h: Column): Column = (i + h) % period === 0
+    def inTail(i: Column, h: Column): Column =
+      (1 until spanLen).map(j => i > j && ((i - j + h) % period === 0))
+        .foldLeft(lit(false))(_ || _)
+    docs
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"),
+        (hash16(concat(col(idCol).cast("string"), lit("#spanc"))) % period).as("h"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("seq",
+        when(col("n") >= 1, sequence(lit(1), col("n")))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("starts",
+        filter(col("seq"), i => isStart(i, col("h"))))
+      .select(col("doc_id"), col("n").as("n_toks"),
+        size(col("starts")).as("n_spans"),
+        concat_ws(" ",
+          transform(filter(col("seq"), i => !inTail(i, col("h"))), i =>
+            when(isStart(i, col("h")),
+              sentinel((i + col("h")) / period))
+              .otherwise(element_at(col("tk"), i)))).as("input_text"),
+        concat_ws(" ",
+          transform(col("starts"), p =>
+            concat(sentinel((p + col("h")) / period), lit(" "),
+              array_join(slice(col("tk"), p, lit(spanLen)), " "))))
+          .as("target_text"))
+  }
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's

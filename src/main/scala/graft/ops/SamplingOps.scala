@@ -195,7 +195,7 @@ object SamplingOps {
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
-  private def hash16Sql(idCol: String): String = {
+  private[ops] def hash16Sql(idCol: String): String = {
     val digit = (i: Int) => {
       val a = s"ascii(substring(sha256(CAST($idCol AS VARCHAR)), $i, 1))"
       s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"

@@ -217,6 +217,13 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** X46 — T5-style span corruption (period 7, span length 2 →
+    * ~28 % corruption): content-addressed denoising pairs. Fixture
+    * binding of [[graft.api.TrainingData.spanCorrupt]]. */
+  def x46SpanCorrupt(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.spanCorrupt(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** X28 — whitespace/case normalization, driven on deterministically
     * DIRTIED input (the fixture text is already clean, so the query first
     * uppercases it, triples interior spaces, and pads the ends — then the
@@ -390,6 +397,7 @@ object TextOps {
     "x28j_unigram_lm" -> (x28jUnigramLm _),
     "x28n_bigram_lm" -> (x28nBigramLm _),
     "x44_curriculum" -> (x44Curriculum _),
+    "x46_span_corrupt" -> (x46SpanCorrupt _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28s_gopher_rules" -> (x28sGopherRules _),
@@ -662,6 +670,31 @@ object TextOps {
          | round(least(1.0, CAST(len(tk) AS DOUBLE) / 50.0) *
          |   (1.0 - CAST(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / NULLIF(len(tk), 0)), 6) AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin,
+    // span-corruption replay: the content-addressed phase reuses the
+    // x31 sha256 hex-parse (SamplingOps.hash16Sql), then the same
+    // cadence arithmetic — starts at (i+h)%7=0, 2-token spans, sentinel
+    // k=(p+h)//7 — over DuckDB list lambdas; list_slice clamps at the
+    // doc end exactly like Spark's slice
+    "x46_span_corrupt" ->
+      s"""WITH b AS (SELECT doc_id, $toksSql AS tk,
+         |  (${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#spanc')")} % 7) AS h
+         | FROM documents),
+         |s AS (SELECT doc_id, tk, h, len(tk) AS n,
+         |  list_filter(range(1, len(tk) + 1), i -> (i + h) % 7 = 0) AS starts
+         | FROM b)
+         |SELECT doc_id,
+         |  CAST(n AS INTEGER) AS n_toks,
+         |  CAST(len(starts) AS INTEGER) AS n_spans,
+         |  array_to_string(list_transform(
+         |    list_filter(range(1, n + 1),
+         |      i -> NOT (i > 1 AND (i - 1 + h) % 7 = 0)),
+         |    i -> CASE WHEN (i + h) % 7 = 0
+         |      THEN '<extra_id_' || CAST((i + h) // 7 AS VARCHAR) || '>'
+         |      ELSE tk[i] END), ' ') AS input_text,
+         |  array_to_string(list_transform(starts,
+         |    p -> '<extra_id_' || CAST((p + h) // 7 AS VARCHAR) || '>' || ' ' ||
+         |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' ') AS target_text
+         |FROM s ORDER BY doc_id""".stripMargin,
     // Gopher rules replay: same per-doc signals, same coalesce(TRUE)
     // guard for zero-token docs, flags and keep as BOOLEANs both sides
     "x28s_gopher_rules" ->

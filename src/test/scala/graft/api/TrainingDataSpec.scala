@@ -1167,6 +1167,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(tiedB(1L) == tiedB(2L) && tiedB(2L) == tiedB(3L))
   }
 
+  test("spanCorrupt is lossless: substituting targets back reconstructs the doc") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables.t(spark, d, "documents")
+    val out = TrainingData.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).toSeq
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).mkString(" ")).toMap
+    assert(out.nonEmpty && out.exists(_._3 > 0))
+    out.foreach { case (id, nToks, nSpans, input, target) =>
+      // parse target into sentinel -> span-content map
+      val spanRe = "<extra_id_(\\d+)>".r
+      val parts = spanRe.split(target).map(_.trim) // first elem is ""
+      val keys = spanRe.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      assert(keys.length == nSpans && parts.tail.length == nSpans, s"doc $id")
+      assert(keys == keys.sorted, s"doc $id sentinel order")
+      val spans = keys.zip(parts.tail).toMap
+      val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap {
+        case spanRe(k) => spans(k.toInt).split(" ").toSeq
+        case tok => Seq(tok)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id reconstruction")
+      assert(nToks == orig(id).split(" ").count(_.nonEmpty), s"doc $id n_toks")
+    }
+    // deterministic: a second run is byte-identical
+    val again = TrainingData.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(again.toSet == out.toSet)
+  }
+
   test("knnGraph and ivfAppend parametric forms agree with the fixture bindings") {
     val d = "/root/testdata/sf0.01"
     val e = graft.Tables.t(spark, d, "embeddings")
