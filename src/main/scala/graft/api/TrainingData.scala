@@ -673,6 +673,47 @@ object TrainingData {
           .as("target_text"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * code-model pretraining objective): each document split at two
+    * content-addressed token cuts into prefix/middle/suffix and emitted
+    * in PSM sentinel order →
+    * (doc_id, n_toks, cut1, cut2, fim_text). Cuts derive from two
+    * independent sha-derived hashes of the id (mod n+1 → 0..n), so the
+    * transformation is deterministic across engines/runs/partitionings
+    * — same property as [[spanCorrupt]], same reason. Documents with
+    * n = 0 emit the bare sentinel skeleton (cuts 0/0). Row-local column
+    * algebra; scan-speed at 100 TB. */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def h(salt: String, n: Column): Column =
+      hash16(concat(col(idCol).cast("string"), lit(salt))) % (n + 1)
+    docs
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("c1", least(h("#fim1", col("n")), h("#fim2", col("n"))))
+      .withColumn("c2", greatest(h("#fim1", col("n")), h("#fim2", col("n"))))
+      .select(col("doc_id"), col("n").as("n_toks"),
+        col("c1").as("cut1"), col("c2").as("cut2"),
+        // empty segments become NULL so concat_ws skips them — single
+        // spacing between sentinels whichever segments are empty (and
+        // the cross-engine behavior is identical: DuckDB's
+        // array_to_string of an empty list is already NULL)
+        concat_ws(" ",
+          lit("<fim_prefix>"),
+          seg(col("tk"), lit(1), col("c1")),
+          lit("<fim_suffix>"),
+          seg(col("tk"), col("c2") + 1, col("n") - col("c2")),
+          lit("<fim_middle>"),
+          seg(col("tk"), col("c1") + 1, col("c2") - col("c1")))
+          .as("fim_text"))
+  }
+
+  /** `length`-bounded token segment as a joined string, NULL when empty. */
+  private def seg(tk: Column, start: Column, length: Column): Column = {
+    val s = when(length > 0, slice(tk, start, length))
+      .otherwise(array().cast("array<string>"))
+    when(size(s) > 0, array_join(s, " "))
+  }
+
   /** Cross-corpus contamination pairs — the DECONTAMINATION op: for each
     * probe document (an eval/benchmark set), training documents whose
     * 3-shingle overlap CONTAINS a `threshold` fraction of the probe's

@@ -224,6 +224,13 @@ object TextOps {
     graft.api.TrainingData.spanCorrupt(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X47 — fill-in-the-middle: PSM-ordered prefix/suffix/middle splits
+    * at two content-addressed cuts. Fixture binding of
+    * [[graft.api.TrainingData.fimTransform]]. */
+  def x47Fim(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.fimTransform(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** X28 — whitespace/case normalization, driven on deterministically
     * DIRTIED input (the fixture text is already clean, so the query first
     * uppercases it, triples interior spaces, and pads the ends — then the
@@ -398,6 +405,7 @@ object TextOps {
     "x28n_bigram_lm" -> (x28nBigramLm _),
     "x44_curriculum" -> (x44Curriculum _),
     "x46_span_corrupt" -> (x46SpanCorrupt _),
+    "x47_fim" -> (x47Fim _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28s_gopher_rules" -> (x28sGopherRules _),
@@ -695,6 +703,31 @@ object TextOps {
          |    p -> '<extra_id_' || CAST((p + h) // 7 AS VARCHAR) || '>' || ' ' ||
          |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' ') AS target_text
          |FROM s ORDER BY doc_id""".stripMargin,
+    // FIM replay: two independent hex-parse hashes pick the cuts
+    // (min/max), then three inclusive-end list_slices — DuckDB's
+    // list_slice(x, a, b) is elements a..b, matching Spark's
+    // slice(x, a, b-a+1). Empty segments are NULL on both sides
+    // (NULLIF belt-and-braces here, when(size>0) in fimTransform), so
+    // concat_ws single-spaces the sentinels identically
+    "x47_fim" ->
+      s"""WITH b AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n,
+         |  (${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#fim1')")} % (len(tk) + 1)) AS h1,
+         |  (${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#fim2')")} % (len(tk) + 1)) AS h2
+         | FROM b)
+         |SELECT doc_id,
+         |  CAST(n AS INTEGER) AS n_toks,
+         |  CAST(least(h1, h2) AS INTEGER) AS cut1,
+         |  CAST(greatest(h1, h2) AS INTEGER) AS cut2,
+         |  concat_ws(' ',
+         |    '<fim_prefix>',
+         |    NULLIF(array_to_string(list_slice(tk, 1, least(h1, h2)), ' '), ''),
+         |    '<fim_suffix>',
+         |    NULLIF(array_to_string(list_slice(tk, greatest(h1, h2) + 1, n), ' '), ''),
+         |    '<fim_middle>',
+         |    NULLIF(array_to_string(list_slice(tk, least(h1, h2) + 1, greatest(h1, h2)), ' '), '')
+         |  ) AS fim_text
+         |FROM c ORDER BY doc_id""".stripMargin,
     // Gopher rules replay: same per-doc signals, same coalesce(TRUE)
     // guard for zero-token docs, flags and keep as BOOLEANs both sides
     "x28s_gopher_rules" ->

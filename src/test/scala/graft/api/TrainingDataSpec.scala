@@ -1199,6 +1199,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(again.toSet == out.toSet)
   }
 
+  test("fimTransform is lossless: prefix+middle+suffix reassemble the doc") {
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.Tables.t(spark, d, "documents")
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val out = TrainingData.fimTransform(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(out.nonEmpty)
+    // all three segment shapes occur across the corpus
+    assert(out.exists(r => r._3 == 0 || r._4 == r._2) &&
+      out.exists(r => r._3 > 0 && r._4 < r._2 && r._4 > r._3))
+    out.foreach { case (id, n, c1, c2, fim) =>
+      val toks = orig(id)
+      assert(n == toks.length && 0 <= c1 && c1 <= c2 && c2 <= n, s"doc $id cuts")
+      val ps = fim.indexOf("<fim_prefix>")
+      val ss = fim.indexOf("<fim_suffix>")
+      val ms = fim.indexOf("<fim_middle>")
+      assert(ps == 0 && ss > ps && ms > ss, s"doc $id sentinel order")
+      def seg(s: String) = s.trim.split(" ").filter(_.nonEmpty).toSeq
+      val prefix = seg(fim.substring(ps + 12, ss))
+      val suffix = seg(fim.substring(ss + 12, ms))
+      val middle = seg(fim.substring(ms + 12))
+      assert(prefix ++ middle ++ suffix == toks, s"doc $id reconstruction")
+      assert(prefix.length == c1 && middle.length == c2 - c1, s"doc $id cut lengths")
+    }
+  }
+
   test("knnGraph and ivfAppend parametric forms agree with the fixture bindings") {
     val d = "/root/testdata/sf0.01"
     val e = graft.Tables.t(spark, d, "embeddings")
