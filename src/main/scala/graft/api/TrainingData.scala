@@ -586,10 +586,19 @@ object TrainingData {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
     require(scores.columns.contains(scoreCol), s"no column $scoreCol")
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    // thresholds are compared UNROUNDED: an interpolated quantile either
+    // equals a data value exactly (g = 0 — both engines compute it with
+    // zero float error) or lies strictly between two adjacent data
+    // values, where a last-ulp cross-engine difference cannot move any
+    // value across it. Rounding the threshold to 6 dp MANUFACTURED
+    // boundaries: on the sf0.1 fixture the two engines' round-6 t3
+    // already differed by 1e-6 (HALF_UP on the decimal expansion vs
+    // multiply-based rounding) — the ORACLES.md §5b trap, caught in
+    // round-8 review before any fixture doc landed on it.
     val th = scores
       .agg(expr(s"percentile(`$scoreCol`, array(${ps.mkString("D, ")}D))").as("ts"))
       .select((1 until nBuckets).map(i =>
-        round(element_at(col("ts"), i), 6).as(s"__t$i")): _*)
+        element_at(col("ts"), i).as(s"__t$i")): _*)
     val bucket = (1 until nBuckets)
       .map(i => (col(scoreCol) > col(s"__t$i")).cast("int"))
       .foldLeft(lit(1))(_ + _)
@@ -684,13 +693,17 @@ object TrainingData {
     * n = 0 emit the bare sentinel skeleton (cuts 0/0). Row-local column
     * algebra; scan-speed at 100 TB. */
   def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def h(salt: String, n: Column): Column =
-      hash16(concat(col(idCol).cast("string"), lit(salt))) % (n + 1)
+    // both hashes computed in the FIRST select, while idCol still
+    // resolves — a later col(idCol) reference would break for any id
+    // column not literally named doc_id
+    def h(salt: String): Column =
+      hash16(concat(col(idCol).cast("string"), lit(salt)))
     docs
-      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"),
+        h("#fim1").as("h1"), h("#fim2").as("h2"))
       .withColumn("n", size(col("tk")))
-      .withColumn("c1", least(h("#fim1", col("n")), h("#fim2", col("n"))))
-      .withColumn("c2", greatest(h("#fim1", col("n")), h("#fim2", col("n"))))
+      .withColumn("c1", least(col("h1") % (col("n") + 1), col("h2") % (col("n") + 1)))
+      .withColumn("c2", greatest(col("h1") % (col("n") + 1), col("h2") % (col("n") + 1)))
       .select(col("doc_id"), col("n").as("n_toks"),
         col("c1").as("cut1"), col("c2").as("cut2"),
         // empty segments become NULL so concat_ws skips them — single

@@ -68,8 +68,6 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** X28 — language-ID heuristic: stopword-marker voting (the n-gram
-    * heuristic degenerates to marker tokens on this synthetic corpus). */
   /** X28s — Gopher-style rule-based document filtering (Rae et al. 2021
     * §A1.1 "quality filtering" recipe, thresholds tuned to the fixture's
     * range): per-rule boolean flags PLUS the final keep verdict, so a
@@ -85,6 +83,8 @@ object TextOps {
     graft.api.TrainingData.gopherRules(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X28 — language-ID heuristic: stopword-marker voting (the n-gram
+    * heuristic degenerates to marker tokens on this synthetic corpus). */
   def x28cLangId(s: SparkSession, d: String): DataFrame = {
     val en = Seq("the", "and", "of")
     val es = Seq("el", "la", "de")
@@ -318,18 +318,29 @@ object TextOps {
   // fills both the vocab (persisted relation) and the merge table (a
   // driver-side literal).
   private val bpeBatchVocabCache = PerAppCache.newCache
+  // the merge table is a ≤(rounds·batch)-row driver literal: memoized as
+  // plain rows, NOT a DataFrame — a DataFrame here would pin lineage to
+  // a possibly-stopped SparkContext and sit outside PerAppCache's
+  // eviction (round-8 review); stale (appId, dir) keys now cost bytes,
+  // and other-app keys are dropped on access like cachedPerApp does
   private val bpeBatchMergesMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String),
+      (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]
   private def bpeBatchTrained(s: SparkSession, d: String): DataFrame =
     PerAppCache.cachedPerApp(bpeBatchVocabCache, s, d) {
       val (merges, vocab) = graft.api.TrainingData.bpeTrainBatched(
         t(s, d, "documents"), "doc_id", "text", rounds = 4, batch = 4)
-      bpeBatchMergesMemo((s.sparkContext.applicationId, d)) = merges
+      bpeBatchMergesMemo((s.sparkContext.applicationId, d)) =
+        (merges.schema, merges.collect())
       vocab.persist()
     }
   private def bpeBatchMerges(s: SparkSession, d: String): DataFrame = {
     bpeBatchTrained(s, d)
-    bpeBatchMergesMemo((s.sparkContext.applicationId, d))
+    val appId = s.sparkContext.applicationId
+    bpeBatchMergesMemo.keys.filter(_._1 != appId)
+      .foreach(bpeBatchMergesMemo.remove)
+    val (schema, rows) = bpeBatchMergesMemo((appId, d))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** X28 — BATCHED BPE training, the at-scale twin of [[x28oBpeTrain]]:
@@ -579,8 +590,9 @@ object TextOps {
         |  FROM dl)
         |SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines,
         |  CAST(len(kept) AS INTEGER) AS n_kept,
-        |  array_to_string(kept, chr(10)) AS clean_text,
-        |  CAST(length(array_to_string(kept, chr(10))) AS INTEGER) AS n_chars_clean
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+        |    AS INTEGER) AS n_chars_clean
         |FROM f ORDER BY doc_id""".stripMargin,
     "x28q_bpe_train_batched" ->
       s"""WITH $bpeBatchedCtes
@@ -836,15 +848,18 @@ object TextOps {
          |SELECT doc_id, n_bigrams, avg_nll FROM dnll
          |ORDER BY doc_id""".stripMargin,
     // curriculum replay: the same per-doc surprisal chain, then the
-    // three exact quartile thresholds (round-6 both sides) and the
-    // comparison-based bucket — mirroring that the Spark side never
-    // runs a global ntile sort, only a broadcast threshold filter
+    // three exact quartile thresholds and the comparison-based bucket —
+    // mirroring that the Spark side never runs a global ntile sort, only
+    // a broadcast threshold filter. Thresholds UNROUNDED on both sides:
+    // an interpolated quantile is either a data value exactly or sits
+    // strictly between grid values; round-6 thresholds disagreed across
+    // engines on the sf0.1 fixture (see difficultyBuckets)
     "x44_curriculum" ->
       s"""WITH $bigramNllCtes,
          |th AS (SELECT
-         |  round(quantile_cont(avg_nll, 0.25), 6) AS t1,
-         |  round(quantile_cont(avg_nll, 0.5), 6) AS t2,
-         |  round(quantile_cont(avg_nll, 0.75), 6) AS t3 FROM dnll)
+         |  quantile_cont(avg_nll, 0.25) AS t1,
+         |  quantile_cont(avg_nll, 0.5) AS t2,
+         |  quantile_cont(avg_nll, 0.75) AS t3 FROM dnll)
          |SELECT doc_id, n_bigrams, avg_nll,
          |  CAST(1 + CAST(avg_nll > t1 AS INTEGER)
          |         + CAST(avg_nll > t2 AS INTEGER)

@@ -1228,6 +1228,20 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("objective transforms accept arbitrary id/text column names") {
+    // regression: fimTransform once referenced col(idCol) after renaming
+    // it to doc_id, so any id column not literally named doc_id threw
+    // UNRESOLVED_COLUMN — the parametric contract every op promises
+    val docs = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("my_id", "my_body")
+    val fim = TrainingData.fimTransform(docs, "my_id", "my_body").collect()
+    assert(fim.length == 1 && fim(0).getInt(1) == 8)
+    val sc = TrainingData.spanCorrupt(docs, "my_id", "my_body").collect()
+    assert(sc.length == 1 && sc(0).getInt(1) == 8)
+    val gr = TrainingData.gopherRules(docs, "my_id", "my_body").collect()
+    assert(gr.length == 1)
+  }
+
   test("knnGraph and ivfAppend parametric forms agree with the fixture bindings") {
     val d = "/root/testdata/sf0.01"
     val e = graft.Tables.t(spark, d, "embeddings")

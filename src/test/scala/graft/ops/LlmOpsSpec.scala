@@ -470,13 +470,14 @@ class LlmOpsSpec extends SparkSpec {
   test("x44 curriculum buckets match exact quartile thresholds of the LM scores") {
     val scores = TextOps.x28nBigramLm(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    // Spark's exact percentile: linear interpolation at p·(n−1)
+    // Spark's exact percentile: linear interpolation at p·(n−1),
+    // threshold compared UNROUNDED (see difficultyBuckets scaladoc)
     val sorted = scores.map(_._3).sorted
     def pct(p: Double): Double = {
       val pos = p * (sorted.length - 1)
       val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
       val g = pos - lo
-      round6((1 - g) * sorted(lo) + g * sorted(hi))
+      sorted(lo) + (sorted(hi) - sorted(lo)) * g
     }
     val (t1, t2, t3) = (pct(0.25), pct(0.5), pct(0.75))
     val expect = scores.map { case (id, nb, s) =>

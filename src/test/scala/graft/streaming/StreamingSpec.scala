@@ -12,6 +12,24 @@ class StreamingSpec extends SparkSpec {
 
   private def batchEvents = Tables.events(spark, dir)
 
+  /** The batch twin of StreamingOps.purchaseSignupJoin — ONE definition
+    * shared by both stream-vs-batch tests so the semantics can't
+    * silently diverge between them. */
+  private def batchIntervalJoin = {
+    val ev = batchEvents
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+    p.join(sgn,
+        col("user_id") === col("s_user_id") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+      .orderBy("purchase_id", "signup_id")
+  }
+
   test("watermarked tumbling window agg equals the batch aggregation") {
     val q = StreamingOps.windowedCounts(StreamingOps.eventsStream(spark, dir))
       .writeStream.outputMode("complete").format("memory").queryName("win_out").start()
@@ -65,39 +83,15 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("ssj_out")
       .orderBy("purchase_id", "signup_id").collect()
-    val ev = batchEvents
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-    val sgn = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
-        col("ts").as("s_ts"))
-    val batch = p.join(sgn,
-        col("user_id") === col("s_user_id") &&
-          col("s_ts") <= col("p_ts") &&
-          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("purchase_id"), col("signup_id"), col("user_id"))
-      .orderBy("purchase_id", "signup_id").collect()
+    val batch = batchIntervalJoin.collect()
     assert(batch.nonEmpty && streamed.sameElements(batch))
   }
 
   test("x42 gate binding equals the batch interval join and is stable") {
     val gate = StreamingOps.x42StreamJoin(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val batch = {
-      val ev = batchEvents
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-      val sgn = ev.filter(col("event_type") === "signup")
-        .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
-          col("ts").as("s_ts"))
-      p.join(sgn,
-          col("user_id") === col("s_user_id") &&
-            col("s_ts") <= col("p_ts") &&
-            col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-        .select(col("purchase_id"), col("signup_id"), col("user_id"))
-        .orderBy("purchase_id", "signup_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    }
+    val batch = batchIntervalJoin
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(gate.nonEmpty && gate.sameElements(batch))
     // second construction serves from the per-app cache, same rows
     assert(StreamingOps.x42StreamJoin(spark, dir)
