@@ -705,15 +705,15 @@ object TextOps {
          |SELECT doc_id,
          |  CAST(n AS INTEGER) AS n_toks,
          |  CAST(len(starts) AS INTEGER) AS n_spans,
-         |  array_to_string(list_transform(
+         |  coalesce(array_to_string(list_transform(
          |    list_filter(range(1, n + 1),
          |      i -> NOT (i > 1 AND (i - 1 + h) % 7 = 0)),
          |    i -> CASE WHEN (i + h) % 7 = 0
          |      THEN '<extra_id_' || CAST((i + h) // 7 AS VARCHAR) || '>'
-         |      ELSE tk[i] END), ' ') AS input_text,
-         |  array_to_string(list_transform(starts,
+         |      ELSE tk[i] END), ' '), '') AS input_text,
+         |  coalesce(array_to_string(list_transform(starts,
          |    p -> '<extra_id_' || CAST((p + h) // 7 AS VARCHAR) || '>' || ' ' ||
-         |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' ') AS target_text
+         |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' '), '') AS target_text
          |FROM s ORDER BY doc_id""".stripMargin,
     // FIM replay: two independent hex-parse hashes pick the cuts
     // (min/max), then three inclusive-end list_slices — DuckDB's
