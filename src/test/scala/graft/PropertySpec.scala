@@ -351,6 +351,48 @@ class PropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("spanCorrupt and fimTransform are lossless on random docs incl. empty/tiny") {
+    import spark.implicits._
+    // 0..12 tokens: the tiny-doc range where empty segments, zero spans,
+    // and cuts at the extremes occur — the class the fixture (10..99
+    // token docs) never exercises
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val spanRe = "<extra_id_(\\d+)>".r
+    check(forAll(Gen.listOfN(5, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val toksOf = docs.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+      val scOk = graft.api.TrainingData.spanCorrupt(df, "id", "body")
+        .collect().forall { r =>
+          val (id, input, target) = (r.getLong(0), r.getString(3), r.getString(4))
+          val parts = spanRe.split(target).map(_.trim)
+          val keys = spanRe.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+          val spans = keys.zip(parts.tail).toMap
+          val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap {
+            case spanRe(k) => spans(k.toInt).split(" ").toSeq
+            case tok => Seq(tok)
+          }
+          rebuilt == toksOf(id) && r.getInt(2) == keys.length
+        }
+      val fimOk = graft.api.TrainingData.fimTransform(df, "id", "body")
+        .collect().forall { r =>
+          val (id, fim) = (r.getLong(0), r.getString(4))
+          val (c1, c2) = (r.getInt(2), r.getInt(3))
+          val ss = fim.indexOf("<fim_suffix>")
+          val ms = fim.indexOf("<fim_middle>")
+          def seg(s: String) = s.trim.split(" ").filter(_.nonEmpty).toSeq
+          val prefix = seg(fim.substring("<fim_prefix>".length, ss))
+          val suffix = seg(fim.substring(ss + "<fim_suffix>".length, ms))
+          val middle = seg(fim.substring(ms + "<fim_middle>".length))
+          fim.startsWith("<fim_prefix>") && ss > 0 && ms > ss &&
+            prefix ++ middle ++ suffix == toksOf(id) &&
+            prefix.length == c1 && middle.length == c2 - c1
+        }
+      scOk && fimOk
+    }, n = 10)
+  }
+
   test("contamination containment matches a Set-model on random token docs") {
     import spark.implicits._
     // docs from a tiny vocabulary so shingle overlap actually occurs
