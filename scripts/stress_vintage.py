@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Fixture-vintage stress: rebuild a variant of an SF dir whose documents
+table contains the pathological shapes real fixture regenerations have
+shipped (or could ship) — empty text, whitespace-only, 1-3 token docs,
+all-stopword docs — then run the full Verify + DuckDB gate against it.
+
+Round 7 died because a fixture regeneration changed the events timestamp
+encoding; this harness is the same insurance for the documents table:
+every oracle must agree with Spark on degenerate documents BEFORE a
+driver regeneration ships them. Found in round 8: x28e fingerprint
+(sha256 of NULL vs ''), x41/x46 empty-list joins.
+
+Usage:
+    python3 scripts/stress_vintage.py [srcSfDir] [workDir]
+    # then:
+    sbt -batch "runMain graft.Verify <workDir> /tmp/vout_tiny"
+    python3 scripts/check.py <workDir> /tmp/vout_tiny
+"""
+import duckdb, os, shutil, sys
+
+src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.001'
+dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sf_tiny'
+
+shutil.rmtree(dst, ignore_errors=True)
+os.makedirs(dst)
+for f in os.listdir(src):
+    if f != 'documents.parquet':
+        os.symlink(os.path.join(src, f), os.path.join(dst, f))
+
+con = duckdb.connect()
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/documents.parquet') WHERE doc_id < 20
+  UNION ALL
+  SELECT * FROM (VALUES
+    (9001, '', 'en', 'web', 0),
+    (9002, 'x', 'en', 'web', 1),
+    (9003, 'a b', 'en', 'wiki', 3),
+    (9004, 'the the the the the the', 'en', 'web', 23),
+    (9005, 'one two three four five six seven', 'es', 'book', 33),
+    (9006, '   ', 'fr', 'web', 3),
+    (9007, 'the a and of to in', 'en', 'wiki', 18)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+n, = con.execute(
+    f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()
+print(f"wrote {dst}/documents.parquet ({n} docs incl. 7 pathological)")

@@ -798,9 +798,14 @@ object TextOps {
         | CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INTEGER) AS n_distinct_bpe,
         | regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')[1] AS first_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // coalesce: array_to_string([]) is NULL in DuckDB but '' in Spark's
+    // array_join, and sha256(NULL) would be NULL — a zero-token doc's
+    // fingerprint is the (defined) hash of the empty string, not NULL
+    // (found by the tiny-doc vintage stress, round 8)
     "x28e_fingerprint" ->
       s"""SELECT doc_id,
-         | substring(sha256(array_to_string($toksSql, ' ')), 1, 16) AS fingerprint
+         | substring(sha256(coalesce(array_to_string($toksSql, ' '), '')), 1, 16)
+         |   AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "x28g_pii_scan" ->
       """SELECT doc_id,
