@@ -46,3 +46,22 @@ COPY (
 n, = con.execute(
     f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')").fetchone()
 print(f"wrote {dst}/documents.parquet ({n} docs incl. 7 pathological)")
+
+# embeddings variant: an exact-duplicate vector (keep-lowest-id tie) and
+# an all-zero vector (norm 0 → NULL cosine paths) in the index/dedup/ANN
+# chains. Symlinked dst shares the file otherwise, so replace the link.
+emb_link = os.path.join(dst, 'embeddings.parquet')
+os.remove(emb_link)
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id < 60
+  UNION ALL
+  SELECT 9001 AS vec_id, e.embedding, e.label
+    FROM read_parquet('{src}/embeddings.parquet') e WHERE e.vec_id = 3
+  UNION ALL
+  SELECT 9002, list_transform(range(64), i -> CAST(0.0 AS FLOAT)), 0
+) TO '{emb_link}' (FORMAT PARQUET)
+""")
+m, = con.execute(
+    f"SELECT count(*) FROM read_parquet('{emb_link}')").fetchone()
+print(f"wrote {emb_link} ({m} vectors incl. exact-dup + zero vector)")
