@@ -65,3 +65,27 @@ COPY (
 m, = con.execute(
     f"SELECT count(*) FROM read_parquet('{emb_link}')").fetchone()
 print(f"wrote {emb_link} ({m} vectors incl. exact-dup + zero vector)")
+
+# events variant: NULL props (json fns), NULL value (aggregates), an
+# unknown event_type (funnel/sessionize must pass it through), and an
+# exact-duplicate (user, type, ts) row (keyed dedup ties). Keys the
+# queries ORDER BY (event_id, ts, user_id) stay NON-NULL: Spark default
+# sort is NULLS FIRST, DuckDB's is NULLS LAST — a null order key is an
+# engine-semantics difference, not a robustness gap.
+ev_link = os.path.join(dst, 'events.parquet')
+os.remove(ev_link)
+con.execute(f"""
+COPY (
+  SELECT * FROM read_parquet('{src}/events.parquet')
+  UNION ALL
+  SELECT 900001 AS event_id, ts, user_id, 'refund' AS event_type,
+         NULL AS value, NULL AS props
+    FROM read_parquet('{src}/events.parquet') WHERE event_id = 10
+  UNION ALL
+  SELECT 900002, ts, user_id, event_type, value, props
+    FROM read_parquet('{src}/events.parquet') WHERE event_id = 11
+) TO '{ev_link}' (FORMAT PARQUET)
+""")
+k, = con.execute(
+    f"SELECT count(*) FROM read_parquet('{ev_link}')").fetchone()
+print(f"wrote {ev_link} ({k} events incl. NULL props/value + dup row)")
