@@ -533,6 +533,25 @@ object TrainingData {
       .withColumn("n_chars_clean", length(col("clean_text")))
   }
 
+  /** Within-document repeated-line dedup — the CCNet/C4 page-cleaning
+    * step next to [[filterLines]] (menus, cookie banners, and share
+    * prompts repeat VERBATIM inside a page; cross-page repetition is
+    * [[spanDedup]]'s job) → (doc_id, n_lines, n_kept, clean_text,
+    * n_chars_clean), first occurrence kept, order preserved. Row-local
+    * column algebra (the first-occurrence test is an array_position
+    * scan, quadratic in the LINES OF ONE DOCUMENT — bounded by page
+    * size, not corpus size); no shuffle, scan-speed at 100 TB. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines,
+      (l, i) => array_position(lines, l) === (i + 1).cast("long"))
+    docs.select(col(idCol).as("doc_id"),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      concat_ws("\n", kept).as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")))
+  }
+
   /** Gopher-style rule-based document filtering (Rae et al. 2021 §A1.1):
     * per-rule boolean reject flags PLUS the final keep verdict →
     * (doc_id, n_toks, mean_wlen, alpha_ratio, n_stop_hits, r_len,

@@ -402,9 +402,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X48 — within-doc repeated-line dedup on deterministically DIRTIED
+    * input (same recipe as x41: the clean fixture text is chunked into
+    * 10-token lines, then the first line is repeated — twice for even
+    * ids — and a 'subscribe now' banner injected twice). Fixture binding
+    * of [[graft.api.TrainingData.dedupLines]]. */
+  def x48LineDedup(s: SparkSession, d: String): DataFrame = {
+    val empty = array().cast("array<string>")
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val docs = t(s, d, "documents")
+      .withColumn("tk", toks)
+      .withColumn("nl",
+        ceil(size(col("tk")).cast("double") / 10.0).cast("int"))
+      .withColumn("body",
+        when(size(col("tk")) === 0, empty)
+          .otherwise(transform(sequence(lit(0), col("nl") - 1),
+            i => array_join(slice(col("tk"), i * 10 + 1, lit(10)), " "))))
+      .withColumn("dup1",
+        when(size(col("body")) >= 1, array(element_at(col("body"), 1)))
+          .otherwise(empty))
+      .withColumn("dirty", array_join(concat(
+        col("body"),
+        col("dup1"),
+        array(lit("subscribe now"), lit("subscribe now")),
+        when(col("doc_id") % 2 === 0, col("dup1")).otherwise(empty)),
+        "\n"))
+    graft.api.TrainingData.dedupLines(
+      docs.select(col("doc_id"), col("dirty")), "doc_id", "dirty")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x28_token_stats" -> (x28Tokens _),
     "x41_line_filter" -> (x41LineFilter _),
+    "x48_line_dedup" -> (x48LineDedup _),
     "x28o_bpe_train" -> (x28oBpeTrain _),
     "x28p_bpe_segment" -> (x28pBpeSegment _),
     "x28q_bpe_train_batched" -> (x28qBpeTrainBatched _),
@@ -715,6 +746,43 @@ object TextOps {
          |    p -> '<extra_id_' || CAST((p + h) // 7 AS VARCHAR) || '>' || ' ' ||
          |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' '), '') AS target_text
          |FROM s ORDER BY doc_id""".stripMargin,
+    // line-dedup replay: the same dirtying as the Spark binding (x41's
+    // 10-token chunking + duplicated first line + doubled banner), then
+    // first-occurrence keep via a two-arg list_filter lambda —
+    // list_position and the 1-based lambda index agree with Spark's
+    // array_position === i+1
+    "x48_line_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |dl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+         |      list_transform(range(1, CAST(ceil(len(tk) / 10.0) AS BIGINT) + 1),
+         |        i -> array_to_string(tk[(i - 1) * 10 + 1 :
+         |          least((i - 1) * 10 + 10, len(tk))], ' ')) END AS body
+         |  FROM tk),
+         |d2 AS (
+         |  SELECT doc_id,
+         |    body ||
+         |    (CASE WHEN len(body) >= 1 THEN [body[1]]
+         |          ELSE CAST([] AS VARCHAR[]) END) ||
+         |    ['subscribe now', 'subscribe now'] ||
+         |    (CASE WHEN doc_id % 2 = 0 AND len(body) >= 1 THEN [body[1]]
+         |          ELSE CAST([] AS VARCHAR[]) END) AS lines
+         |  FROM dl),
+         |k AS (
+         |  SELECT doc_id, lines,
+         |    list_filter(lines, (l, i) -> list_position(lines, l) = i) AS kept
+         |  FROM d2)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS INTEGER) AS n_lines,
+         |  CAST(len(kept) AS INTEGER) AS n_kept,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         |  CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+         |    AS INTEGER) AS n_chars_clean
+         |FROM k ORDER BY doc_id""".stripMargin,
     // FIM replay: two independent hex-parse hashes pick the cuts
     // (min/max), then three inclusive-end list_slices — DuckDB's
     // list_slice(x, a, b) is elements a..b, matching Spark's

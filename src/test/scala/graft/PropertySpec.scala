@@ -393,6 +393,23 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("dedupLines keeps exactly first occurrences in order (random line docs)") {
+    import spark.implicits._
+    val line = Gen.oneOf("aa bb", "cc dd", "ee", "")
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, line).map(_.mkString("\n")))
+    check(forAll(Gen.listOfN(5, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val got = graft.api.TrainingData.dedupLines(df, "id", "body")
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+      docs.zipWithIndex.forall { case (t, i) =>
+        val lines = t.split("\n", -1).toSeq
+        val expect = lines.distinct
+        got(i.toLong) == ((lines.length, expect.length, expect.mkString("\n")))
+      }
+    }, n = 20)
+  }
+
   test("contamination containment matches a Set-model on random token docs") {
     import spark.implicits._
     // docs from a tiny vocabulary so shingle overlap actually occurs
