@@ -28,9 +28,14 @@ for f in os.listdir(src):
         os.symlink(os.path.join(src, f), os.path.join(dst, f))
 
 con = duckdb.connect()
+# pass-through branches SELECT columns BY NAME: UNION ALL matches
+# positionally, so a regeneration that reorders same-typed columns
+# (lang vs source) would otherwise silently mis-assign them — exactly
+# the fixture-vintage drift this harness exists to catch
 con.execute(f"""
 COPY (
-  SELECT * FROM read_parquet('{src}/documents.parquet') WHERE doc_id < 20
+  SELECT doc_id, text, lang, source, n_chars
+    FROM read_parquet('{src}/documents.parquet') WHERE doc_id < 20
   UNION ALL
   SELECT * FROM (VALUES
     (9001, '', 'en', 'web', 0),
@@ -54,7 +59,8 @@ emb_link = os.path.join(dst, 'embeddings.parquet')
 os.remove(emb_link)
 con.execute(f"""
 COPY (
-  SELECT * FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id < 60
+  SELECT vec_id, embedding, label
+    FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id < 60
   UNION ALL
   SELECT 9001 AS vec_id, e.embedding, e.label
     FROM read_parquet('{src}/embeddings.parquet') e WHERE e.vec_id = 3
@@ -76,7 +82,8 @@ ev_link = os.path.join(dst, 'events.parquet')
 os.remove(ev_link)
 con.execute(f"""
 COPY (
-  SELECT * FROM read_parquet('{src}/events.parquet')
+  SELECT event_id, ts, user_id, event_type, value, props
+    FROM read_parquet('{src}/events.parquet')
   UNION ALL
   SELECT 900001 AS event_id, ts, user_id, 'refund' AS event_type,
          NULL AS value, NULL AS props

@@ -112,8 +112,11 @@ object Bench {
     // with per-attempt pairs lands in bench_out.json, which is where the
     // round notes read them from. The canary is 3 numbers — it rides on
     // both so even a truncated capture carries the noise marker.
+    // n_registered/n_oracle ride on the artifact so the stamp script can
+    // derive README's coverage counts from the SAME bytes it stamps —
+    // one writer, no hand-maintained numbers to drift
     val common =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_failed":${failed.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
     println(s"{$common}")
     BenchSession.writeArtifact("bench_out.json",
       s"""{$common,"timings":$pairs}""")

@@ -599,11 +599,20 @@ object TrainingData {
     * aggregation, broadcast back; the bucket is a row-local comparison
     * count — never a data-sized single-partition ntile window. Ties at a
     * threshold land in the same bucket (what a threshold curriculum
-    * wants). Input schema preserved, `bucket` appended. */
+    * wants). Input schema preserved, `bucket` appended. Rows whose score
+    * is NULL get a NULL bucket (made explicit below rather than left to
+    * NULL-comparison propagation) — callers wanting them binned or
+    * dropped filter first. */
   def difficultyBuckets(scores: DataFrame, scoreCol: String,
       nBuckets: Int = 4): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
     require(scores.columns.contains(scoreCol), s"no column $scoreCol")
+    // the appended column and the threshold attach columns must not
+    // collide with the input schema — the final select would otherwise
+    // duplicate or ambiguate silently
+    val reserved = "bucket" +: (1 until nBuckets).map(i => s"__t$i")
+    val clash = scores.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"input columns collide with reserved names: $clash")
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     // thresholds are compared UNROUNDED: an interpolated quantile either
     // equals a data value exactly (g = 0 — both engines compute it with
@@ -618,9 +627,10 @@ object TrainingData {
       .agg(expr(s"percentile(`$scoreCol`, array(${ps.mkString("D, ")}D))").as("ts"))
       .select((1 until nBuckets).map(i =>
         element_at(col("ts"), i).as(s"__t$i")): _*)
-    val bucket = (1 until nBuckets)
-      .map(i => (col(scoreCol) > col(s"__t$i")).cast("int"))
-      .foldLeft(lit(1))(_ + _)
+    val bucket = when(col(scoreCol).isNotNull,
+      (1 until nBuckets)
+        .map(i => (col(scoreCol) > col(s"__t$i")).cast("int"))
+        .foldLeft(lit(1))(_ + _))
     scores.crossJoin(broadcast(th))
       .withColumn("bucket", bucket)
       .select(scores.columns.map(col) :+ col("bucket"): _*)
@@ -663,10 +673,12 @@ object TrainingData {
     * produces the same corruption, which is what makes the pairs
     * cacheable and the op oracle-checkable; the corruption RATE
     * (spanLen/period ≈ 28 % at the 2/7 default, vs T5's 15 %) is the
-    * tunable. Sentinels are `<extra_id_k>` with k increasing along the
-    * document, the T5 vocabulary convention. Pure row-local column
-    * algebra — scan-speed at 100 TB. `spanLen < period` keeps spans
-    * non-overlapping by construction. */
+    * tunable. Sentinels are `<extra_id_k>` numbered 0-based by span
+    * ordinal within the document (`<extra_id_0>` is always the first
+    * span) — the exact T5 vocabulary convention, so a downstream
+    * tokenizer's fixed sentinel vocab maps directly. Pure row-local
+    * column algebra — scan-speed at 100 TB. `spanLen < period` keeps
+    * spans non-overlapping by construction. */
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
       period: Int = 7, spanLen: Int = 2): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
@@ -689,14 +701,16 @@ object TrainingData {
         filter(col("seq"), i => isStart(i, col("h"))))
       .select(col("doc_id"), col("n").as("n_toks"),
         size(col("starts")).as("n_spans"),
+        // sentinel ordinal = this start's 1-based position in `starts`,
+        // shifted to the 0-based T5 numbering
         concat_ws(" ",
           transform(filter(col("seq"), i => !inTail(i, col("h"))), i =>
             when(isStart(i, col("h")),
-              sentinel((i + col("h")) / period))
+              sentinel(array_position(col("starts"), i) - 1))
               .otherwise(element_at(col("tk"), i)))).as("input_text"),
         concat_ws(" ",
-          transform(col("starts"), p =>
-            concat(sentinel((p + col("h")) / period), lit(" "),
+          transform(col("starts"), (p, k) =>
+            concat(sentinel(k), lit(" "),
               array_join(slice(col("tk"), p, lit(spanLen)), " "))))
           .as("target_text"))
   }
@@ -898,7 +912,7 @@ object TrainingData {
     * minimize reconstruction L2; ADC scores are inner products against
     * the reconstructions (the FAISS IVF-PQ decomposition). */
   def annTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, m: Int = 8, codesPerSubspace: Int = 16,
+      embCol: String, k: Int, m: Int = VectorOps.PqM, codesPerSubspace: Int = 16,
       refine: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
@@ -922,7 +936,7 @@ object TrainingData {
     * fraction `nProbe/nClusters` bounds every post-probe relation. */
   def annTopKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
-      m: Int = 8, codesPerSubspace: Int = 16, refine: Int = 0): DataFrame = {
+      m: Int = VectorOps.PqM, codesPerSubspace: Int = 16, refine: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val refineN = if (refine > 0) refine else 4 * k
@@ -1908,29 +1922,54 @@ object TrainingData {
     *  - `dup_3gram_frac`: fraction of trigram instances whose trigram
     *    occurs more than once in the document.
     * Docs too short for an n-gram get NULL for that fraction (and 0 for
-    * `n_2grams`). One text scan: both gram sizes are tagged into a single
-    * exploded relation, so the per-(doc, gram) count and the per-doc
-    * rollup are each ONE shuffle regardless of how many gram sizes are
-    * measured. */
+    * `n_2grams`). Both statistics depend only on one document's own
+    * tokens, so they are computed ROW-LOCALLY with sorted-run list
+    * algebra: `array_sort` the gram list, collect the 0-based start
+    * indices of each distinct run (positions where `g[i] != g[i-1]`) plus
+    * a closing `size`, and read the run lengths off consecutive boundary
+    * diffs — max run = top-gram count, sum of runs ≥ 2 = duplicated-gram
+    * instances. O(n log n) per document and ZERO shuffle (the plan is one
+    * projection over the scan, guarded by PlanSpec); the previous
+    * explode+groupBy(doc, n, gram) form shuffled ~5× the corpus bytes for
+    * what is a per-document map at 100 TB. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // STAGED projections, deliberately: each stage aliases a non-cheap
+    // array (the sort, then the boundary list) so every later reference
+    // is an O(1) attribute lookup. Inlining these as one expression tree
+    // would re-evaluate the sort inside the per-element filter lambda
+    // (higher-order functions run interpreted, with no subexpression
+    // elimination) — O(n^2 log n) per document; CollapseProject keeps the
+    // stages apart because the aliases are non-cheap and multiply
+    // referenced.
+    // boundary list: 0-based start index of each distinct run in the
+    // sorted array, plus a closing size(s). The Or short-circuits
+    // left-to-right, so element_at never sees index 0; the empty array
+    // degenerates to [0, 0] -> one zero-length run.
+    def bounds(s: Column): Column = concat(
+      filter(sequence(lit(0), greatest(size(s) - 1, lit(0))),
+        i => (i === 0) || (element_at(s, i + 1) =!= element_at(s, i))),
+      array(size(s)))
+    def runLens(b: Column): Column = zip_with(
+      slice(b, lit(2), size(b) - 1), slice(b, lit(1), size(b) - 1),
+      (next, cur) => next - cur)
     val toks = DedupOps.tokens(col(textCol))
-    val grams = docs.select(col(idCol), explode(concat(
-        transform(ngrams(toks, 2), g => struct(lit(2).as("n"), g.as("g"))),
-        transform(ngrams(toks, 3), g => struct(lit(3).as("n"), g.as("g"))))).as("ng"))
-      .select(col(idCol), col("ng.n").as("n"), col("ng.g").as("g"))
-    val agg = grams.groupBy(col(idCol), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(
-        sum(when(col("n") === 2, col("c")).otherwise(0L)).as("n2"),
-        max(when(col("n") === 2, col("c"))).as("mx2"),
-        sum(when(col("n") === 3, col("c")).otherwise(0L)).as("n3"),
-        sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(0L)).as("dup3"))
-    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+    docs
       .select(col(idCol),
-        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        array_sort(ngrams(toks, 2)).as("sg2"),
+        array_sort(ngrams(toks, 3)).as("sg3"))
+      .select(col(idCol),
+        size(col("sg2")).as("n2"), size(col("sg3")).as("n3"),
+        bounds(col("sg2")).as("b2"), bounds(col("sg3")).as("b3"))
+      .select(col(idCol), col("n2"), col("n3"),
+        runLens(col("b2")).as("l2"), runLens(col("b3")).as("l3"))
+      .select(col(idCol),
+        col("n2").cast("long").as("n_2grams"),
         when(col("n2") > 0,
-          round(col("mx2").cast("double") / col("n2"), 6)).as("top_2gram_frac"),
+          round(array_max(col("l2")).cast("double") / col("n2"), 6))
+          .as("top_2gram_frac"),
         when(col("n3") > 0,
-          round(col("dup3").cast("double") / col("n3"), 6)).as("dup_3gram_frac"))
+          round(aggregate(col("l3"), lit(0),
+              (acc, r) => acc + when(r >= 2, r).otherwise(0)).cast("double")
+            / col("n3"), 6)).as("dup_3gram_frac"))
   }
 }

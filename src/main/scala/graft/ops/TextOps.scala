@@ -723,9 +723,12 @@ object TextOps {
          |FROM b ORDER BY doc_id""".stripMargin,
     // span-corruption replay: the content-addressed phase reuses the
     // x31 sha256 hex-parse (SamplingOps.hash16Sql), then the same
-    // cadence arithmetic — starts at (i+h)%7=0, 2-token spans, sentinel
-    // k=(p+h)//7 — over DuckDB list lambdas; list_slice clamps at the
-    // doc end exactly like Spark's slice
+    // cadence arithmetic — starts at (i+h)%7=0, 2-token spans — over
+    // DuckDB list lambdas; sentinel k is the 0-based span ordinal (T5
+    // convention: <extra_id_0> is always the first span), replayed via
+    // list_position for the input and the two-arg lambda's 1-based
+    // index for the target; list_slice clamps at the doc end exactly
+    // like Spark's slice
     "x46_span_corrupt" ->
       s"""WITH b AS (SELECT doc_id, $toksSql AS tk,
          |  (${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#spanc')")} % 7) AS h
@@ -740,10 +743,10 @@ object TextOps {
          |    list_filter(range(1, n + 1),
          |      i -> NOT (i > 1 AND (i - 1 + h) % 7 = 0)),
          |    i -> CASE WHEN (i + h) % 7 = 0
-         |      THEN '<extra_id_' || CAST((i + h) // 7 AS VARCHAR) || '>'
+         |      THEN '<extra_id_' || CAST(list_position(starts, i) - 1 AS VARCHAR) || '>'
          |      ELSE tk[i] END), ' '), '') AS input_text,
          |  coalesce(array_to_string(list_transform(starts,
-         |    p -> '<extra_id_' || CAST((p + h) // 7 AS VARCHAR) || '>' || ' ' ||
+         |    (p, j) -> '<extra_id_' || CAST(j - 1 AS VARCHAR) || '>' || ' ' ||
          |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' '), '') AS target_text
          |FROM s ORDER BY doc_id""".stripMargin,
     // line-dedup replay: the same dirtying as the Spark binding (x41's

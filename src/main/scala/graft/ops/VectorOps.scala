@@ -471,47 +471,63 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The fixture PQ geometry: 64 dims split into [[PqM]] subspaces of
+    * [[PqDsub]]. 16 subspaces of 4 (16 B/vec) rather than 8 of 8: at the
+    * same 16-entry codebooks the finer subspaces halve the quantization
+    * cell volume per dimension, lifting measured recall@5 from 0.6 to the
+    * ≥0.8 regime (LlmOpsSpec floor) while still compressing 16× vs
+    * float32 — the recall/memory frontier point this library ships. The
+    * oracle build CTEs below derive from the same constants, so the two
+    * engines can never disagree on the geometry. */
+  private[graft] val PqM = 16
+  private[graft] val PqDsub = 64 / PqM
+  /** ADC candidate-pool size before the exact re-rank: 32 (vs k=5) —
+    * the second recall lever alongside the subspace geometry; the pool
+    * is still a per-query constant, so the re-rank cost is flat. */
+  private[graft] val PqRefine = 32
+
   /** X27 (product-quantization path) — ANN via PQ + ADC, the FAISS-style
-    * big-corpus technique: 64 dims split into 8 subspaces of 8; each
-    * subspace trains its own deterministic 16-centroid k-means (seeds =
-    * the 16 lowest-id vectors' subvectors, 2 integer-space Lloyd
-    * iterations — the x27c recipe per subspace), so every corpus vector
-    * compresses to 8 codes. A query scans CODES, not vectors: per-query
-    * lookup tables hold the 8×16 partial dots against the codebooks
-    * (quantized to integer micro-units so the 8-way sum is
-    * order-invariant), the ADC score is one integer sum per candidate,
-    * and the ADC top-20 re-rank by exact cosine to the final top-5.
-    * Codebooks minimize reconstruction L2; ADC scores are inner products
-    * against reconstructions; emitted sims are EXACT (re-ranked), so
-    * recall — not precision — is the only approximation (spec-bounded vs
-    * the float brute force).
+    * big-corpus technique: 64 dims split into [[PqM]] subspaces of
+    * [[PqDsub]]; each subspace trains its own deterministic 16-centroid
+    * k-means (seeds = the 16 lowest-id vectors' subvectors, 2
+    * integer-space Lloyd iterations — the x27c recipe per subspace), so
+    * every corpus vector compresses to [[PqM]] codes. A query scans
+    * CODES, not vectors: per-query lookup tables hold the PqM×16 partial
+    * dots against the codebooks (quantized to integer micro-units so the
+    * cross-subspace sum is order-invariant), the ADC score is one integer
+    * sum per candidate, and the ADC top-[[PqRefine]] re-rank by exact cosine to the
+    * final top-5. Codebooks minimize reconstruction L2; ADC scores are
+    * inner products against reconstructions; emitted sims are EXACT
+    * (re-ranked), so recall — not precision — is the only approximation
+    * (spec-bounded vs the float brute force).
     *
-    * Scale shape: the scan side reads 8 small ints per vector (8× less
-    * than int8 packing, 32× less than float32), the per-query LUT is
-    * 128 rows broadcast, and the score is a partial→final integer sum —
+    * Scale shape: the scan side reads 16 small ints per vector (4× less
+    * than int8 packing, 16× less than float32), the per-query LUT is
+    * 256 rows broadcast, and the score is a partial→final integer sum —
     * the classic memory-bandwidth-bound ADC kernel as a Spark plan. */
   def x27eAnnPq(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
     pqProbe(e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       e, persistPqBooks(s, d), persistPqCodes(s, d),
-      M = 8, dims = 64, k = 5, refine = 20)
+      M = PqM, dims = 64, k = 5, refine = PqRefine)
       .orderBy(col("q_id"), col("rank"))
   }
 
   // PQ index fixture cache: the codebook build runs 2 driver-coordinated
-  // Lloyd collects (8×16×8 scalars each — only those reach the driver);
-  // codes are persisted because the ADC join references them lazily.
+  // Lloyd collects (PqM×16×PqDsub = 1024 scalars each — only those reach
+  // the driver); codes are persisted because the ADC join references
+  // them lazily.
   @transient private val pqBookCache = PerAppCache.newCache
   private def persistPqBooks(s: SparkSession, d: String): DataFrame =
     PerAppCache.cachedPerApp(pqBookCache, s, d)(
       pqCodebooks(s, t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-        M = 8, K = 16)._1)
+        M = PqM, K = 16)._1)
   @transient private val pqCodeCache = PerAppCache.newCache
   private def persistPqCodes(s: SparkSession, d: String): DataFrame =
     PerAppCache.cachedPerApp(pqCodeCache, s, d)(
       pqAssign(subvecs(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")), 8, 64),
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")), PqM, 64),
         persistPqBooks(s, d))
         .select(col("vec_id"), col("m"), col("cid")).persist())
 
@@ -520,7 +536,7 @@ object VectorOps {
     * [[x27cAnnIvf]] restricts which inverted lists a query reads (probe
     * the nProbe=4 nearest of 16 clusters), and WITHIN those lists the
     * scan reads PQ codes, not vectors — the [[x27eAnnPq]] ADC kernel over
-    * the probed subset only. ADC top-20 re-rank by exact cosine to the
+    * the probed subset only. ADC top-[[PqRefine]] re-rank by exact cosine to the
     * final top-5. Non-residual variant (codebooks trained on raw vectors,
     * not per-cluster residuals): the same codes serve every nProbe and
     * the oracle replays both builds verbatim from the shared CTE chains.
@@ -537,7 +553,7 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
       persistIvfCentroids(s, d), persistIvfIndexed(s, d),
       persistPqBooks(s, d), persistPqCodes(s, d),
-      M = 8, dims = 64, k = 5, nProbe = 4, refine = 20)
+      M = PqM, dims = 64, k = 5, nProbe = 4, refine = PqRefine)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -890,10 +906,11 @@ object VectorOps {
        |  SELECT cid,
        |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
        |  FROM $sums GROUP BY cid)""".stripMargin
-  // 8-dim subspace dot with the same left-to-right double fold as
-  // dot_product over the sliced subvectors
+  // subspace-dim dot with the same left-to-right double fold as
+  // dot_product over the sliced subvectors; bound derives from PqDsub so
+  // the oracle geometry tracks the Spark constant
   private def d8Sql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"list_sum(list_transform(range(1, ${PqDsub + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   // The deterministic PQ codebook build as one CTE chain (the x27c Lloyd
   // recipe per SUBSPACE, keyed by m): subvector relation `sv`, seed
@@ -914,7 +931,7 @@ object VectorOps {
        |  SELECT m, cid, i,
        |    sum(CAST(round(sub[i]*1000000, 0) AS BIGINT)) AS s,
        |    count(*) AS n
-       |  FROM $asg CROSS JOIN range(1, 9) AS r(i)
+       |  FROM $asg CROSS JOIN range(1, ${PqDsub + 1}) AS r(i)
        |  GROUP BY m, cid, i),
        |$books AS (
        |  SELECT m, cid,
@@ -923,13 +940,13 @@ object VectorOps {
   private lazy val pqBuildCtes: String =
     s"""sv AS (
        |  SELECT vec_id, m,
-       |    list_transform(range(1, 9), i -> embedding[m*8 + i]) AS sub
-       |  FROM embeddings CROSS JOIN range(0, 8) AS r(m)),
+       |    list_transform(range(1, ${PqDsub + 1}), i -> embedding[m*$PqDsub + i]) AS sub
+       |  FROM embeddings CROSS JOIN range(0, $PqM) AS r(m)),
        |b0 AS (
        |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-       |    list_transform(range(1, 9), i -> embedding[m*8 + i]) AS cemb
+       |    list_transform(range(1, ${PqDsub + 1}), i -> embedding[m*$PqDsub + i]) AS cemb
        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
-       |  CROSS JOIN range(0, 8) AS r(m)),
+       |  CROSS JOIN range(0, $PqM) AS r(m)),
        |${pqAssignCte("b0", "a1")},
        |${pqUpdateCte("a1", "ps1", "b1")},
        |${pqAssignCte("b1", "a2")},
@@ -953,10 +970,10 @@ object VectorOps {
   private lazy val ivfBuildCtes: String = ivfBuildCtesOn("embeddings")
 
   val oracles: Map[String, String] = Map(
-    // full PQ replay: the codebook training (8 subspaces × 16 codes ×
+    // full PQ replay: the codebook training (PqM subspaces × 16 codes ×
     // 2 Lloyd iterations), the code assignment, the per-query LUT
     // (partial dots quantized to integer micro-units so the 8-way ADC
-    // sum is order-invariant), the ADC top-20 candidate rank (integer
+    // sum is order-invariant), the ADC top-PqRefine candidate rank (integer
     // scores, ties → lower id) and the exact-cosine re-rank
     "x27e_ann_pq" ->
       s"""WITH $pqBuildCtes,
@@ -975,7 +992,7 @@ object VectorOps {
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY shat DESC, vec_id) AS rn
          |    FROM shat)
-         |  WHERE rn <= 20),
+         |  WHERE rn <= $PqRefine),
          |sims AS (
          |  SELECT q_id, c_id, round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim
          |  FROM cands
@@ -991,7 +1008,7 @@ object VectorOps {
     // IVF chain's sums are s1/s2, the PQ chain's ps1/ps2) verbatim, then
     // the probe (top-4 centroids, ties → lower cid), the candidate
     // restriction to probed clusters' members, the ADC integer sum over
-    // those candidates' codes only, the top-20 ADC rank and the exact
+    // those candidates' codes only, the top-PqRefine ADC rank and the exact
     // re-rank — every stage the Spark plan runs
     "x27f_ann_ivfpq" ->
       s"""WITH $ivfBuildCtes,
@@ -1022,7 +1039,7 @@ object VectorOps {
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY shat DESC, vec_id) AS rn
          |    FROM shat)
-         |  WHERE rn <= 20),
+         |  WHERE rn <= $PqRefine),
          |sims AS (
          |  SELECT q_id, c_id, round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim
          |  FROM cands

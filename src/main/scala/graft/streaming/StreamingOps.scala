@@ -328,9 +328,12 @@ object StreamingOps {
     * one ValueState — the modern-API twin of [[runningUserState]]. The
     * state lives in the RocksDB state store (the only provider that
     * implements the API's column-family state variables), so the gate
-    * sets the provider conf for this query's start and restores the
-    * session conf after — the other streaming gates keep timing under
-    * the default HDFS-backed provider. Run-to-completion discipline as
+    * sets the provider conf on a DEDICATED child session
+    * (`newSession()`: shared SparkContext and table cache, isolated
+    * SQLConf + temp views) — a streaming query running concurrently on
+    * the caller's session can never silently pick up the RocksDB
+    * override, and the other streaming gates keep timing under the
+    * default HDFS-backed provider. Run-to-completion discipline as
     * [[x24StatefulFunnel]]: last update per user wins (count and
     * high-water only grow), settled into a literal relation. */
   final case class UserRow(user_id: Long, ts_ms: Long)
@@ -356,15 +359,13 @@ object StreamingOps {
   @transient private val twsGateCache = graft.ops.PerAppCache.newCache
   def x43TransformWithState(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(twsGateCache, s, d) {
-      import s.implicits._
+      val s2 = s.newSession()
+      import s2.implicits._
       val view = "x43_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key,
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val q = eventsStream(s, d)
+        val q = eventsStream(s2, d)
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
           .as[UserRow]
           .groupByKey(_.user_id)
@@ -373,20 +374,17 @@ object StreamingOps {
           .writeStream.outputMode("update").format("memory")
           .queryName(view).start()
         try q.processAllAvailable() finally q.stop()
-        val agg = s.table(view)
+        val agg = s2.table(view)
           .groupBy(col("user_id"))
           .agg(max(struct(col("n_events"), col("high_water_ms"))).as("st"))
           .select(col("user_id"), col("st.n_events").as("n_events"),
             col("st.high_water_ms").as("high_water_ms"))
         val rows = agg.collect()
-        val fin = s.createDataFrame(
-          java.util.Arrays.asList(rows: _*), agg.schema)
-        s.catalog.dropTempView(view)
-        fin
-      } finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+        // settle into a literal relation on the CALLER's session — the
+        // child session (and its memory-sink view, dropped below) is gone
+        // after this gate
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally s2.catalog.dropTempView(view)
     }.orderBy(col("user_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -89,19 +89,29 @@ object ReplayBench {
       (System.nanoTime() - t0) / 1e9
     }
     // a pass CURVE, not cold+warm: measured 7.7 → 4.0 → 4.0 → 2.5 → 1.6 s
-    // over five consecutive 1M-event passes — tiered JIT keeps compiling
-    // into pass 3, and pass-1 tenure throttles later passes until a
-    // collection clears it, so "the second pass" understates the
-    // pipeline's steady state ~2.5×. GC before each timed pass makes
-    // passes comparable; the best pass is the steady-state figure and
-    // the full curve is published so a regression in EARLY-pass cost
-    // (e.g. codegen bloat) stays visible too.
+    // over consecutive 1M-event passes — tiered JIT keeps compiling into
+    // pass 3, and pass-1 tenure throttles later passes until a collection
+    // clears it, so "the second pass" understates the pipeline's steady
+    // state ~2.5×. GC before each timed pass makes passes comparable.
+    // HEADLINE = median of the SETTLED passes (3+): honest and stable
+    // across runs where best-of-N rewards one lucky GC window; the best
+    // pass (capability envelope), the settled max/min spread, and the
+    // full curve are all published so early-pass regressions (codegen
+    // bloat) and residual noise stay visible.
     val cold = onePass()
-    val passes = cold +: (1 to 4).map { _ => System.gc(); onePass() }
+    val passes = cold +: (1 to 6).map { _ => System.gc(); onePass() }
+    val settled = passes.drop(2).sorted
+    val median = settled(settled.size / 2)
     val best = passes.min
-    val rate = math.round(n / best)
-    val passesJson = passes.map(p => math.round(p * 100) / 100.0)
-      .mkString("[", ",", "]")
-    s"""{"metric":"replay_throughput","value":$rate,"unit":"events/sec","events":$n,"best_seconds":${math.round(best * 100) / 100.0},"passes":$passesJson,"gen_seconds":${math.round(genSec * 100) / 100.0}}"""
+    val spread = settled.last / settled.head
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    val passesJson = passes.map(r2).mkString("[", ",", "]")
+    // residual settled spread attribution (measured while settling the
+    // round-8 5x curve): the dominant term is GC scheduling — a pass that
+    // absorbs a major collection runs ~1.5-2x the median; JIT is done by
+    // pass 3 (curve flattens) and the fixture is freshly written tmpfs,
+    // so page cache is warm for every pass
+    val note = "median over passes 3+ (JIT settled); residual spread is GC scheduling, not JIT or page cache"
+    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gen_seconds":${r2(genSec)},"note":"$note"}"""
   }
 }

@@ -232,6 +232,43 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"nested columns in oracle queries:\n${offenders.mkString("\n")}")
   }
 
+  test("x28i repetition stats are row-local — no Exchange beyond the fixture ordering") {
+    // the round-8 regression: per-document gram stats computed via a
+    // corpus-wide explode+groupBy(doc, n, gram) — a shuffle of ~5× the
+    // text bytes for a row-local statistic. The sorted-run list-algebra
+    // form must plan as projections over the scan; the only Exchange is
+    // the fixture binding's result orderBy.
+    val p = plan("x28i_repetition")
+    assert(treeCount(p, "Exchange") <= 1, p)
+    assert(!p.contains("HashAggregate") && !p.contains("Generate"), p)
+  }
+
+  test("row-local objective/cleaning transforms stay row-local (x41/x46/x47/x48)") {
+    // the scan-speed family: line filtering, span corruption, FIM, and
+    // within-doc line dedup are all per-row column algebra — a refactor
+    // that introduces a join or aggregation into any of them silently
+    // turns a map stage into a shuffle at 100 TB. Only the fixture
+    // orderBy's single Exchange is allowed.
+    for (q <- Seq("x41_line_filter", "x46_span_corrupt", "x47_fim", "x48_line_dedup")) {
+      val p = plan(q)
+      assert(treeCount(p, "Exchange") <= 1, s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("x44 curriculum thresholds come from ONE aggregation broadcast back — corpus not reshuffled") {
+    // quantile thresholds: one percentile aggregation over the score
+    // relation, broadcast back; bucket assignment is a row-local
+    // comparison fold. Exchanges: the nll-score aggregation chain + the
+    // threshold agg + broadcast + fixture ordering — never a data-sized
+    // ntile window or a sort-merge join of the corpus against itself.
+    val p = plan("x44_curriculum")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastNestedLoopJoin") ||
+      l.contains("BroadcastHashJoin")), p)
+    assert(!p.contains("Window ("), p) // no global ntile
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

@@ -226,6 +226,55 @@ class TrainingDataSpec extends SparkSpec {
     assert(seg == Set((1L, 9, "lowe s t u n s e e n")))
   }
 
+  test("batched BPE at realistic depth: >=64 merges on the fixture vocab, barriers = rounds") {
+    // the at-scale claim (32k vocab ~ 2k barriers at batch 16) measured
+    // on the fixture: 64+ merges must land in ~merges/batch rounds, and
+    // the Spark-job count must scale with ROUNDS, not MERGES (sequential
+    // BPE pays >= 2 jobs per merge — >= 128 here)
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.01", "documents")
+    val batch = 16
+    val rounds = 6
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val m = try {
+      val (m0, _) = TrainingData.bpeTrainBatched(
+        docs, "doc_id", "text", rounds = rounds, batch = batch)
+      val rows = m0.collect()
+      Thread.sleep(2000) // listener bus is async; let job-start events drain
+      rows
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val nMerges = m.length
+    val usedRounds = m.map(_.getInt(0)).max
+    assert(nMerges >= 64, s"only $nMerges merges learned")
+    // barrier count <= merges/batch + slack: each round is one pair-count
+    // barrier; disjointness conflicts may leave a round slightly short
+    assert(usedRounds <= nMerges / batch + 2,
+      s"$usedRounds rounds for $nMerges merges at batch $batch")
+    // job count is rounds-scaled (a handful per round for the pair-count
+    // collect + materialization under AQE), nowhere near 2-per-merge
+    assert(jobs > 0 && jobs < 2 * nMerges,
+      s"$jobs jobs for $nMerges merges — not batching")
+    assert(jobs <= usedRounds * 10 + 10, s"$jobs jobs in $usedRounds rounds")
+    // within every round the admitted batch is symbol-disjoint: no
+    // pair's {lhs, rhs, fused} touches an earlier pair's symbols (a
+    // single pair may have lhs == rhs — that is not a collision)
+    m.groupBy(_.getInt(0)).values.foreach { rnd =>
+      val used = scala.collection.mutable.Set.empty[String]
+      rnd.sortBy(_.getInt(1)).foreach { r =>
+        val ps = Set(r.getString(2), r.getString(3),
+          r.getString(2) + r.getString(3))
+        assert((used & ps).isEmpty,
+          s"symbol collision inside round ${r.getInt(0)}: ${used & ps}")
+        used ++= ps
+      }
+    }
+  }
+
   test("bigram LM separates natural from scrambled token order") {
     // corpus of repeated fluent sentences + one doc with the same tokens
     // shuffled: its unigram mix is identical, but its transitions are
@@ -1183,7 +1232,8 @@ class TrainingDataSpec extends SparkSpec {
       val parts = spanRe.split(target).map(_.trim) // first elem is ""
       val keys = spanRe.findAllMatchIn(target).map(_.group(1).toInt).toSeq
       assert(keys.length == nSpans && parts.tail.length == nSpans, s"doc $id")
-      assert(keys == keys.sorted, s"doc $id sentinel order")
+      // T5 convention: sentinels are 0-based and contiguous by span ordinal
+      assert(keys == (0 until nSpans), s"doc $id sentinel numbering")
       val spans = keys.zip(parts.tail).toMap
       val rebuilt = input.split(" ").filter(_.nonEmpty).toSeq.flatMap {
         case spanRe(k) => spans(k.toInt).split(" ").toSeq

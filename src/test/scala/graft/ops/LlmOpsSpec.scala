@@ -62,10 +62,11 @@ class LlmOpsSpec extends SparkSpec {
     val pqPairs = pq1.map(r =>
       ((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
         r(2).asInstanceOf[Double]))
-    // 8-byte codes are the most aggressive compression of the ANN family —
-    // 0.6 measured here; floor leaves slack for fixture regeneration
+    // 16 subspaces of 4 dims (16 B/vec): finer quantization cells than
+    // the 8×8 geometry lifted measured recall from 0.6 into the >=0.8
+    // regime; floor holds the frontier point the scaladoc claims
     val recall = (brute.map(_._1).toSet & pqPairs.map(_._1).toSet).size.toDouble / brute.size
-    assert(recall >= 0.4, s"PQ recall $recall too low")
+    assert(recall >= 0.8, s"PQ recall $recall too low")
     // every returned sim is the EXACT cosine (re-ranked, not ADC-approx)
     val exact = brute.toMap
     pqPairs.foreach { case (pair, sim) =>
@@ -83,9 +84,10 @@ class LlmOpsSpec extends SparkSpec {
       ((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
         r(2).asInstanceOf[Double]))
     // two stacked approximations: recall floor = the product regime
-    // (IVF ~0.84 × PQ ~0.6 measured separately); leave regeneration slack
+    // (IVF ~0.84 × PQ ~0.8+ measured separately after the 16×4 subspace
+    // geometry); leave regeneration slack
     val recall = (brute.map(_._1).toSet & pairs.map(_._1).toSet).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF-PQ recall $recall too low")
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low")
     // emitted sims are the EXACT cosines (re-ranked, not ADC scores)
     val exact = brute.toMap
     pairs.foreach { case (pair, sim) =>
@@ -115,7 +117,7 @@ class LlmOpsSpec extends SparkSpec {
         .withColumnRenamed("vec_id", "vid").withColumnRenamed("embedding", "emb")
         .select(org.apache.spark.sql.functions.col("vid").as("vec_id"),
           org.apache.spark.sql.functions.col("emb").as("embedding")),
-      "vec_id", "embedding", k = 5, refine = 20)
+      "vec_id", "embedding", k = 5, refine = 32)
       .orderBy("q_id", "rank").collect().map(_.toSeq)
     val fixture = VectorOps.x27eAnnPq(spark, d).collect().map(_.toSeq)
     assert(out.sameElements(fixture))
