@@ -1738,6 +1738,32 @@ object TrainingData {
       .select(col("cluster_id"), col("best.id").as("survivor_id"), col("n_docs"))
   }
 
+  /** Cross-source duplication matrix → (src_a, src_b, n_pairs): how many
+    * near-duplicate pairs connect each unordered pair of sources — the
+    * curation data-map that answers "which corpora duplicate each other"
+    * (crawl-vs-crawl overlap, a dump re-ingested under a new name, a
+    * source that is mostly mirrors of another) before any survivor
+    * policy is chosen. `pairs` is any (d1, d2) near-dup pair relation
+    * (exact Jaccard, MinHash-LSH, embedding — they all emit this shape);
+    * sources attach by equi-join and the unordered key is
+    * (least, greatest), so (A,B) and (B,A) pairs accumulate together and
+    * within-source duplication shows up on the diagonal.
+    *
+    * Scale shape: the pair relation is already candidate-bounded (LSH/
+    * banding upstream — never all-pairs), the two source attaches are
+    * id-keyed equi-joins, and the matrix itself aggregates to at most
+    * |sources|² rows. */
+  def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs.select(col("d1"), col("d2"))
+      .join(src.select(col("__id").as("d1"), col("__src").as("s1")), "d1")
+      .join(src.select(col("__id").as("d2"), col("__src").as("s2")), "d2")
+      .groupBy(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Keep approximately the top `fraction` of rows per stratum by
     * `scoreCol` — "best 30% quality per language" corpus filtering. The
     * per-stratum threshold is ONE percentile aggregation broadcast back
@@ -1913,6 +1939,61 @@ object TrainingData {
     docs.select(col(idCol),
       regexp_replace(afterEmail, digits, "<NUM>").as("redacted_text"),
       nRed.cast("long").as("n_redactions"))
+  }
+
+  /** DSIR-style importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv 2302.03169): score every document
+    * by how much more likely its hashed n-gram features are under a
+    * TARGET domain's feature distribution than under the rest of the
+    * corpus → (doc_id, n_feats, logw), logw = Σ_features
+    * [ln p_target(bucket) − ln p_raw(bucket)]. High logw = looks like the
+    * target domain; select by thresholding downstream ([[difficultyBuckets]]
+    * and the quality cuts compose directly on logw).
+    *
+    * Features are unigrams AND adjacent bigrams (the paper's hashed
+    * n-gram model), hashed into `nBuckets` buckets with the PORTABLE
+    * content hash (sha-derived [[hash16]] mod nBuckets) — both engines
+    * and any partitioning agree on every bucket assignment, not just the
+    * histogram. Bucket probabilities are add-one smoothed over feature
+    * OCCURRENCES; the per-bucket log ratio is quantized to integer
+    * micro-nats ONCE per bucket (the x28j recipe: libm paid per bucket,
+    * not per occurrence), so the per-document sum is exact integer
+    * arithmetic with one division at the end.
+    *
+    * Scale shape: the model fit is one bounded aggregation — the
+    * (bucket, side) count relation has ≤ nBuckets rows and the λ table
+    * attaches back by broadcast; the only data-sized shuffle is the
+    * per-document feature sum, the same shape as every LM scorer here.
+    * Documents with zero features are absent (nothing to score). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val feats = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(concat(DedupOps.tokens(col(textCol)),
+          graft.functions.TextFunctions.token_bigrams(col(textCol)))).as("f"))
+      .withColumn("b", hash16(col("f")) % nBuckets)
+    val cnt = feats.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    // every bucket 0..B-1 exists in the λ relation — empty buckets still
+    // carry smoothed mass, exactly as the model defines them
+    val lam = docs.sparkSession.range(0, nBuckets)
+      .select(col("id").cast("int").as("b"))
+      .join(cnt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double")
+            / (col("tt") + lit(nBuckets.toLong)).cast("double"))
+          - log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double")
+            / (col("tr") + lit(nBuckets.toLong)).cast("double"))) * 1e6)
+          .cast("long").as("lam"))
+    feats.join(broadcast(lam), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("s").cast("double") / 1e6, 6).as("logw"))
   }
 
   /** Within-document repetition metrics (Gopher-rule-style quality

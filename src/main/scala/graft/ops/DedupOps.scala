@@ -240,6 +240,19 @@ object DedupOps {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
 
+  /** X50 — cross-source duplication matrix over the exact-Jaccard pair
+    * relation: n near-dup pairs per unordered source pair — which corpora
+    * duplicate each other (and themselves, on the diagonal), the data-map
+    * read a curation pass consults before choosing survivor policy.
+    * Fixture binding of [[graft.api.TrainingData.crossSourceDupMatrix]]
+    * over the shared cached pair relation ([[persistPairs]] — the same
+    * rows x26/x26e consume, so the three queries can never disagree on
+    * what "a duplicate" is). */
+  def x50DupMatrix(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.crossSourceDupMatrix(
+      persistPairs(s, d), t(s, d, "documents"), "doc_id", "source")
+      .orderBy(col("src_a"), col("src_b"))
+
   /** Reusable connected components over an undirected pair list
     * (`(d1, d2)` long columns): returns `(id, label)` where `label` is the
     * minimum id of the node's component. Iterative min-label propagation;
@@ -432,17 +445,19 @@ object DedupOps {
     "x26b_minhash_lsh" -> (minhashPairs _),
     "x26c_simhash" -> (simhash _),
     "x26e_dedup_clusters" -> (x26eDedupClusters _),
+    "x50_dup_matrix" -> (x50DupMatrix _),
     "x26g_survivors" -> (x26gSurvivors _),
     "x26h_tfidf_neardup" -> (x26hTfidfNearDup _),
     "x35_span_dedup" -> (x35SpanDedup _),
     "x33_contamination" -> (x33Contamination _),
     "x33b_contamination_bloom" -> (x33bContaminationBloom _))
 
-  /** Shared recursive-CTE oracle prefix: exact-Jaccard pairs → transitive
-    * closure → `lab(id, cluster_id)` — the DuckDB model of
-    * [[connectedComponents]], reused by x26e and x26g. */
-  private val ccOracleCte =
-    """WITH RECURSIVE toks AS (
+  /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
+    * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
+    * reused verbatim by the cluster closure below and the x50 matrix so
+    * the replayed pair relation can never drift between consumers. */
+  private val pairsOracleCtes =
+    """toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
       |  FROM documents),
       |sh AS (
@@ -458,7 +473,13 @@ object DedupOps {
       |pairs AS (
       |  SELECT d1, d2 FROM inter
       |  JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
-      |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
+      |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5)""".stripMargin
+
+  /** Shared recursive-CTE oracle prefix: exact-Jaccard pairs → transitive
+    * closure → `lab(id, cluster_id)` — the DuckDB model of
+    * [[connectedComponents]], reused by x26e and x26g. */
+  private val ccOracleCte =
+    s"""WITH RECURSIVE $pairsOracleCtes,
       |edges AS (
       |  SELECT d1 AS src, d2 AS dst FROM pairs
       |  UNION ALL SELECT d2, d1 FROM pairs),
@@ -532,6 +553,19 @@ object DedupOps {
     "x26e_dedup_clusters" ->
       s"""$ccOracleCte
          |SELECT id AS doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    // the matrix rides on the SAME replayed pair relation as x26/x26e
+    // (shared pairsOracleCtes fragment); sources attach by id and the
+    // unordered key folds (A,B)/(B,A) together exactly like Spark's
+    // least/greatest
+    "x50_dup_matrix" ->
+      s"""WITH $pairsOracleCtes
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs
+         |JOIN documents a ON a.doc_id = d1
+         |JOIN documents b ON b.doc_id = d2
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
     "x26g_survivors" ->
       s"""$ccOracleCte,
          |wl AS (

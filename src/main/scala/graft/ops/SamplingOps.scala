@@ -177,7 +177,21 @@ object SamplingOps {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
 
+  /** X49 — DSIR importance weighting toward the fixture's English
+    * documents: every document scored by the hashed-n-gram log likelihood
+    * ratio between the lang='en' feature distribution and the rest of the
+    * corpus (256 buckets, unigram+bigram features) — the "select docs
+    * that look like the target domain" primitive. Fixture binding of
+    * [[graft.api.TrainingData.dsirWeights]]; the oracle replays the whole
+    * model — feature extraction, portable bucket hash, add-one smoothed
+    * counts, micro-nat λ table, per-doc integer sum. */
+  def x49DsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.dsirWeights(t(s, d, "documents"),
+      "doc_id", "text", col("lang") === "en", nBuckets = 256)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_dsir_weights" -> (x49DsirWeights _),
     "x39_mix" -> (x39Mix _),
     "x39b_mix_replicated" -> (x39bMixReplicated _),
     "x39c_mix_temperature" -> (x39cMixTemperature _),
@@ -216,6 +230,50 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // full DSIR replay: unigram+bigram features (range(1, len) is empty
+    // for 0/1-token docs, so tiny docs degrade exactly like Spark's
+    // token_bigrams), the portable sha-derived bucket hash, add-one
+    // smoothed (bucket, side) occurrence counts over ALL 256 buckets
+    // (empty buckets still carry smoothed mass via the range left join),
+    // the micro-nat λ quantization (ln paid once per bucket — the x28j
+    // recipe), and the exact integer per-doc sum. sum(BIGINT) promotes
+    // to HUGEINT in DuckDB: cast back before use.
+    "x49_dsir_weights" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang,
+         |    unnest(tk || list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS f
+         |  FROM tk),
+         |fb AS (
+         |  SELECT doc_id, (${hash16Sql("f")} % 256) AS b,
+         |    (lang = 'en') AS is_t
+         |  FROM feats),
+         |cnt AS (
+         |  SELECT b,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+         |  FROM fb GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+         |  FROM cnt),
+         |lam AS (
+         |  SELECT r.b,
+         |    CAST(round((ln((coalesce(ct, 0) + 1) / (tt + 256)) -
+         |                ln((coalesce(cr, 0) + 1) / (tr + 256))) * 1000000, 0)
+         |      AS BIGINT) AS lam
+         |  FROM range(0, 256) AS r(b)
+         |  LEFT JOIN cnt ON cnt.b = r.b CROSS JOIN tot),
+         |sc AS (
+         |  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(lam) AS BIGINT) AS s
+         |  FROM fb JOIN lam ON lam.b = fb.b
+         |  GROUP BY fb.doc_id)
+         |SELECT doc_id, n_feats, round(s / 1000000.0, 6) AS logw
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // full mixture replay: per-source token totals, the capped keep
     // probability p = min(1, w·budget/tot) (identical double promotion
     // chain in both engines), and the '#mix'-salted 16-bit coordinate

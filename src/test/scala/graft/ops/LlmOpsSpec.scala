@@ -128,6 +128,68 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("x50 dup matrix folds unordered source pairs and conserves the pair count") {
+    import org.apache.spark.sql.functions.col
+    val pairs = DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect()
+    val srcs = graft.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.map { r =>
+      val (a, b) = (srcs(r.getLong(0)), srcs(r.getLong(1)))
+      (Seq(a, b).min, Seq(a, b).max)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = DedupOps.x50DupMatrix(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // conservation: every near-dup pair lands in exactly one matrix cell
+    assert(got.values.sum == pairs.length && pairs.nonEmpty)
+    got.keys.foreach { case (a, b) => assert(a <= b) }
+  }
+
+  test("x49 DSIR weights match a plain-Scala hashed-ngram model and separate domains") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // independent model of the whole pipeline: JVM sha256 bucket hash,
+    // unigram+bigram features with multiplicity, add-one smoothing,
+    // micro-nat lambda, exact integer per-doc sums
+    def h16(s: String): Int = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).take(2).foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
+    def feats(text: String): Seq[String] = {
+      val tk = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      tk ++ tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val B = 256
+    val withB = docs.map { case (id, tx, lang) =>
+      (id, lang == "en", feats(tx).map(f => h16(f) % B)) }
+    val ct = Array.fill(B)(0L); val cr = Array.fill(B)(0L)
+    withB.foreach { case (_, t, bs) =>
+      bs.foreach(b => if (t) ct(b) += 1 else cr(b) += 1) }
+    val (tt, tr) = (ct.sum, cr.sum)
+    val lam = (0 until B).map(b => math.round(
+      (math.log((ct(b) + 1).toDouble / (tt + B)) -
+        math.log((cr(b) + 1).toDouble / (tr + B))) * 1e6))
+    val expect = withB.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      val s = bs.map(lam(_)).sum
+      id -> ((bs.size.toLong,
+        BigDecimal(s.toDouble / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = SamplingOps.x49DsirWeights(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect)
+    // the model does what DSIR exists for: target-domain docs score
+    // strictly higher on average than the rest of the corpus
+    val bySide = withB.map { case (id, t, _) => t -> got.get(id) }
+      .collect { case (t, Some((_, w))) => t -> w }
+    val tgt = bySide.collect { case (true, w) => w }
+    val rest = bySide.collect { case (false, w) => w }
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(tgt.sum / tgt.size > rest.sum / rest.size,
+      s"no domain separation: en ${tgt.sum / tgt.size} vs ${rest.sum / rest.size}")
+  }
+
   test("packed int8 top-k recalls the float top-k (quantization error only)") {
     val brute = pairSet(VectorOps.x27TopK(spark, d).select("q_id", "c_id").collect())
     val packed = pairSet(VectorOps.x27dAnnPacked(spark, d).select("q_id", "c_id").collect())
