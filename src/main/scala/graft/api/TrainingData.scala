@@ -484,6 +484,38 @@ object TrainingData {
     (merges.toSeq.toDF("round", "rank", "lhs", "rhs", "pair_count"), words)
   }
 
+  /** Tokenizer-quality analysis of a corpus under a trained BPE
+    * vocabulary → (doc_id, n_toks, n_pieces, n_oov, fertility, oov_frac):
+    *  - `fertility`: learned pieces per word token — the tokenizer-QA
+    *    headline (high fertility = the vocab splinters this document's
+    *    language/domain, and it will cost that many more sequence
+    *    positions at training time);
+    *  - `oov_frac`: fraction of word tokens absent from the trained
+    *    vocabulary (they fall back to character segmentation, exactly as
+    *    [[bpeSegment]] treats them).
+    * Meaningful when `vocab` was trained on a DIFFERENT split than the
+    * corpus being scored (a vocab trained on the same corpus contains
+    * every word by construction). Same plan shape as [[bpeSegment]]:
+    * one equi-join on the word, one per-doc aggregation; documents with
+    * zero tokens are absent. */
+  def tokenizerStats(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocab.select(col("word"), col("syms")), Seq("word"), "left")
+      .select(col("doc_id"),
+        col("syms").isNull.as("oov"),
+        size(split(coalesce(col("syms"), charSyms(col("word"))), " ")).as("pieces"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("pieces")).cast("long").as("n_pieces"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_pieces"), col("n_oov"),
+        round(col("n_pieces").cast("double") / col("n_toks"), 6).as("fertility"),
+        round(col("n_oov").cast("double") / col("n_toks"), 6).as("oov_frac"))
+
   /** Segment a corpus with a trained vocabulary ([[bpeTrain]]'s second
     * result): each token looks up its training-consistent segmentation by
     * equi-join on the word (tokens absent from the vocabulary fall back
@@ -712,6 +744,91 @@ object TrainingData {
           transform(col("starts"), (p, k) =>
             concat(sentinel(k), lit(" "),
               array_join(slice(col("tk"), p, lit(spanLen)), " "))))
+          .as("target_text"))
+  }
+
+  /** UL2-style mixture-of-denoisers (Tay et al. 2022, arXiv 2205.05131):
+    * each document is assigned ONE denoising objective by its content
+    * address and emitted as an (input, target) pair with the UL2 mode
+    * token prepended → (doc_id, denoiser, n_toks, input_text,
+    * target_text):
+    *  - R (regular): [[spanCorrupt]]'s cadence at period 7, span 2
+    *    (~28 % corruption);
+    *  - X (extreme): the same construction at period 4, span 2 (~50 %
+    *    masked — the heavy-corruption objective);
+    *  - S (sequential): prefix-LM — one content-addressed cut; the
+    *    prefix with a single trailing `<extra_id_0>` is the input, the
+    *    suffix (behind the same sentinel) is the target.
+    * Assignment, both phases, and the S-cut derive from independent
+    * sha-salted hashes of the id, so the mixture is deterministic across
+    * engines/runs/partitionings — the [[spanCorrupt]]/[[fimTransform]]
+    * property that makes the pairs cacheable and oracle-checkable.
+    * Sentinels are 0-based by span ordinal (the T5 convention).
+    *
+    * Row-local column algebra, scan-speed at 100 TB. Per-branch span
+    * lists are STAGED as columns (the x28i lesson: an inline array
+    * referenced per element re-evaluates per element), and the CASE
+    * evaluates only the assigned branch per row. */
+  def ul2Mixture(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("int").cast("string"), lit(">"))
+    def isStart(i: Column, h: Column, period: Int): Column =
+      (i + h) % period === 0
+    def inTail(i: Column, h: Column, period: Int): Column =
+      i > 1 && ((i - 1 + h) % period === 0) // span length 2: one tail slot
+    def spanInput(starts: Column, h: Column, period: Int): Column =
+      concat_ws(" ",
+        transform(filter(col("seq"), i => !inTail(i, h, period)), i =>
+          when(isStart(i, h, period), sentinel(array_position(starts, i) - 1))
+            .otherwise(element_at(col("tk"), i))))
+    def spanTarget(starts: Column): Column =
+      concat_ws(" ",
+        transform(starts, (p, k) =>
+          concat(sentinel(k), lit(" "),
+            array_join(slice(col("tk"), p, lit(2)), " "))))
+    // "" -> NULL so concat_ws drops the slot (no dangling space on the
+    // empty-document degenerate in either engine)
+    def nz(c: Column): Column = when(c =!= "", c)
+    def salted(salt: String): Column =
+      hash16(concat(col(idCol).cast("string"), lit(salt)))
+    docs
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"),
+        (salted("#ul2") % 3).as("tag"), salted("#ul2p").as("hh"),
+        salted("#ul2c").as("hc"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("seq",
+        when(col("n") >= 1, sequence(lit(1), col("n")))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("hr", col("hh") % 7)
+      .withColumn("hx", col("hh") % 4)
+      .withColumn("cut", col("hc") % (col("n") + 1))
+      .withColumn("sr", filter(col("seq"), i => isStart(i, col("hr"), 7)))
+      .withColumn("sx", filter(col("seq"), i => isStart(i, col("hx"), 4)))
+      .select(col("doc_id"),
+        when(col("tag") === 0, lit("R"))
+          .when(col("tag") === 1, lit("S"))
+          .otherwise(lit("X")).as("denoiser"),
+        col("n").as("n_toks"),
+        when(col("tag") === 0,
+            concat_ws(" ", lit("[R]"),
+              nz(spanInput(col("sr"), col("hr"), 7))))
+          .when(col("tag") === 1,
+            concat_ws(" ", lit("[S]"),
+              when(col("cut") > 0,
+                array_join(slice(col("tk"), lit(1), col("cut")), " ")),
+              sentinel(lit(0))))
+          .otherwise(
+            concat_ws(" ", lit("[X]"),
+              nz(spanInput(col("sx"), col("hx"), 4))))
+          .as("input_text"),
+        when(col("tag") === 0, spanTarget(col("sr")))
+          .when(col("tag") === 1,
+            concat_ws(" ", sentinel(lit(0)),
+              when(col("cut") < col("n"),
+                array_join(
+                  slice(col("tk"), col("cut") + 1, col("n") - col("cut")),
+                  " "))))
+          .otherwise(spanTarget(col("sx")))
           .as("target_text"))
   }
 

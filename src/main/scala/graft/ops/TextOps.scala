@@ -231,6 +231,14 @@ object TextOps {
     graft.api.TrainingData.fimTransform(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X51 — UL2 mixture-of-denoisers: each document content-addressed to
+    * one of R (span corruption, period 7), X (extreme corruption,
+    * period 4), or S (prefix-LM) with the mode token prepended. Fixture
+    * binding of [[graft.api.TrainingData.ul2Mixture]]. */
+  def x51Ul2(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.ul2Mixture(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** X28 — whitespace/case normalization, driven on deterministically
     * DIRTIED input (the fixture text is already clean, so the query first
     * uppercases it, triples interior spaces, and pads the ends — then the
@@ -312,6 +320,30 @@ object TextOps {
   def x28pBpeSegment(s: SparkSession, d: String): DataFrame =
     graft.api.TrainingData.bpeSegment(
       t(s, d, "documents"), "doc_id", "text", bpeTrained(s, d))
+      .orderBy(col("doc_id"))
+
+  // Half-corpus tokenizer for x52: trained on doc_id < 250 only, so the
+  // OTHER half genuinely contains out-of-vocabulary words — a same-corpus
+  // vocab contains every word by construction and the analysis would be
+  // vacuous (fixture and stress corpora both keep ids below 250 plus
+  // high-id rows, so the split is non-degenerate at every vintage).
+  private val bpeHalfVocabCache = PerAppCache.newCache
+  private def bpeHalfTrained(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(bpeHalfVocabCache, s, d) {
+      val (_, vocab) = graft.api.TrainingData.bpeTrain(
+        t(s, d, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text", numMerges = 8)
+      vocab.persist()
+    }
+
+  /** X52 — tokenizer-quality analysis: fertility (pieces per word) and
+    * OOV rate of every document under the tokenizer trained on the
+    * doc_id < 250 half — the "does this vocab fit this data" QA read a
+    * tokenizer change gets before a training run. Fixture binding of
+    * [[graft.api.TrainingData.tokenizerStats]]. */
+  def x52TokenizerStats(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.tokenizerStats(
+      t(s, d, "documents"), "doc_id", "text", bpeHalfTrained(s, d))
       .orderBy(col("doc_id"))
 
   // Batched BPE training cached the same way: one build per (app, dir)
@@ -448,6 +480,8 @@ object TextOps {
     "x44_curriculum" -> (x44Curriculum _),
     "x46_span_corrupt" -> (x46SpanCorrupt _),
     "x47_fim" -> (x47Fim _),
+    "x51_ul2_mixture" -> (x51Ul2 _),
+    "x52_tokenizer_stats" -> (x52TokenizerStats _),
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28s_gopher_rules" -> (x28sGopherRules _),
@@ -518,10 +552,12 @@ object TextOps {
        |          len(string_split(acc, ' ')) - 1), ' ') || ' ' || $m.lhs || $m.rhs END
        |      ELSE acc || ' ' || x END) AS syms
        |  FROM $prev CROSS JOIN $m)""".stripMargin
-  private lazy val bpeBuildCtes: String = {
+  // parameterized over a row filter so x52 can train on the doc_id < 250
+  // half verbatim with the same 8-round chain
+  private def bpeBuildCtesOn(where: String): String = {
     val w0 =
       s"""tokw AS (
-         |  SELECT unnest($toksSql) AS word FROM documents),
+         |  SELECT unnest($toksSql) AS word FROM documents$where),
          |w0 AS (
          |  SELECT word, count(*) AS wcount,
          |    array_to_string(list_transform(range(1, length(word) + 1),
@@ -533,6 +569,7 @@ object TextOps {
     }.mkString(",\n")
     s"$w0,\n$rounds"
   }
+  private lazy val bpeBuildCtes: String = bpeBuildCtesOn("")
 
   // BATCHED BPE replay (x28q/x28r): per round r, pair counts bp{r} over
   // bw{r-1}; the greedy symbol-disjoint selection as NESTED argmax CTEs
@@ -654,6 +691,30 @@ object TextOps {
          |  ${(1 to 8).map(i => s"SELECT $i AS iter, lhs, rhs, cnt FROM m$i")
              .mkString("\n  UNION ALL ")})
          |ORDER BY iter""".stripMargin,
+    // tokenizer QA under the HALF-corpus vocab: the 8-round build chain
+    // runs on doc_id < 250 only, then every document left-joins it —
+    // vocab misses fall back to character segmentation (piece count =
+    // char count, both engines count characters not bytes)
+    "x52_tokenizer_stats" ->
+      s"""WITH ${bpeBuildCtesOn(" WHERE doc_id < 250")},
+         |tp2 AS (
+         |  SELECT doc_id, u.word AS word FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len($toksSql) + 1),
+         |        j -> {'j': j, 'word': $toksSql[j]})) AS u
+         |    FROM documents)),
+         |st AS (
+         |  SELECT tp2.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(CASE WHEN w.word IS NULL THEN length(tp2.word)
+         |      ELSE len(string_split(w.syms, ' ')) END) AS BIGINT) AS n_pieces,
+         |    CAST(sum(CASE WHEN w.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tp2 LEFT JOIN w8 w ON w.word = tp2.word
+         |  GROUP BY tp2.doc_id)
+         |SELECT doc_id, n_toks, n_pieces, n_oov,
+         |  round(CAST(n_pieces AS DOUBLE) / n_toks, 6) AS fertility,
+         |  round(CAST(n_oov AS DOUBLE) / n_toks, 6) AS oov_frac
+         |FROM st ORDER BY doc_id""".stripMargin,
     "x28p_bpe_segment" ->
       s"""WITH $bpeBuildCtes,
          |tp AS (
@@ -748,6 +809,56 @@ object TextOps {
          |  coalesce(array_to_string(list_transform(starts,
          |    (p, j) -> '<extra_id_' || CAST(j - 1 AS VARCHAR) || '>' || ' ' ||
          |      array_to_string(list_slice(tk, p, p + 1), ' ')), ' '), '') AS target_text
+         |FROM s ORDER BY doc_id""".stripMargin,
+    // UL2 mixture replay: content-addressed denoiser tag + two phases +
+    // S-cut from independent salted hex-parse hashes; the R/X branches
+    // are the x46 cadence arithmetic at (period 7, hr) / (period 4, hx)
+    // over the STAGED sr/sx span lists; the S branch is two list_slices
+    // around the cut. concat_ws skips NULL slots in both engines, so the
+    // empty-prefix/suffix/corruption degenerates spell identically.
+    "x51_ul2_mixture" ->
+      s"""WITH b AS (SELECT doc_id, $toksSql AS tk,
+         |  (${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#ul2')")} % 3) AS tag,
+         |  ${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#ul2p')")} AS hh,
+         |  ${SamplingOps.hash16Sql("(CAST(doc_id AS VARCHAR) || '#ul2c')")} AS hc
+         | FROM documents),
+         |s AS (SELECT doc_id, tk, tag, len(tk) AS n,
+         |  (hh % 7) AS hr, (hh % 4) AS hx, (hc % (len(tk) + 1)) AS cut,
+         |  list_filter(range(1, len(tk) + 1), i -> (i + (hh % 7)) % 7 = 0) AS sr,
+         |  list_filter(range(1, len(tk) + 1), i -> (i + (hh % 4)) % 4 = 0) AS sx
+         | FROM b)
+         |SELECT doc_id,
+         |  CASE WHEN tag = 0 THEN 'R' WHEN tag = 1 THEN 'S' ELSE 'X' END AS denoiser,
+         |  CAST(n AS INTEGER) AS n_toks,
+         |  CASE WHEN tag = 0 THEN concat_ws(' ', '[R]',
+         |      nullif(array_to_string(list_transform(
+         |        list_filter(range(1, n + 1),
+         |          i -> NOT (i > 1 AND (i - 1 + hr) % 7 = 0)),
+         |        i -> CASE WHEN (i + hr) % 7 = 0
+         |          THEN '<extra_id_' || CAST(list_position(sr, i) - 1 AS VARCHAR) || '>'
+         |          ELSE tk[i] END), ' '), ''))
+         |    WHEN tag = 1 THEN concat_ws(' ', '[S]',
+         |      CASE WHEN cut > 0 THEN array_to_string(tk[1 : cut], ' ') END,
+         |      '<extra_id_0>')
+         |    ELSE concat_ws(' ', '[X]',
+         |      nullif(array_to_string(list_transform(
+         |        list_filter(range(1, n + 1),
+         |          i -> NOT (i > 1 AND (i - 1 + hx) % 4 = 0)),
+         |        i -> CASE WHEN (i + hx) % 4 = 0
+         |          THEN '<extra_id_' || CAST(list_position(sx, i) - 1 AS VARCHAR) || '>'
+         |          ELSE tk[i] END), ' '), ''))
+         |  END AS input_text,
+         |  CASE WHEN tag = 0 THEN
+         |      coalesce(array_to_string(list_transform(sr,
+         |        (p, j) -> '<extra_id_' || CAST(j - 1 AS VARCHAR) || '>' || ' ' ||
+         |          array_to_string(list_slice(tk, p, p + 1), ' ')), ' '), '')
+         |    WHEN tag = 1 THEN concat_ws(' ', '<extra_id_0>',
+         |      CASE WHEN cut < n THEN array_to_string(tk[cut + 1 : n], ' ') END)
+         |    ELSE
+         |      coalesce(array_to_string(list_transform(sx,
+         |        (p, j) -> '<extra_id_' || CAST(j - 1 AS VARCHAR) || '>' || ' ' ||
+         |          array_to_string(list_slice(tk, p, p + 1), ' ')), ' '), '')
+         |  END AS target_text
          |FROM s ORDER BY doc_id""".stripMargin,
     // line-dedup replay: the same dirtying as the Spark binding (x41's
     // 10-token chunking + duplicated first line + doubled banner), then

@@ -249,7 +249,8 @@ class PlanSpec extends SparkSpec {
     // that introduces a join or aggregation into any of them silently
     // turns a map stage into a shuffle at 100 TB. Only the fixture
     // orderBy's single Exchange is allowed.
-    for (q <- Seq("x41_line_filter", "x46_span_corrupt", "x47_fim", "x48_line_dedup")) {
+    for (q <- Seq("x41_line_filter", "x46_span_corrupt", "x47_fim",
+        "x48_line_dedup", "x51_ul2_mixture")) {
       val p = plan(q)
       assert(treeCount(p, "Exchange") <= 1, s"$q:\n$p")
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), s"$q:\n$p")

@@ -128,6 +128,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("x52 tokenizer stats: fertility >= 1, zero OOV on the training half, char fallback proven") {
+    val rows = TextOps.x52TokenizerStats(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nToks, nPieces, nOov, fert, oovFrac) =>
+      // every word is at least one piece, so fertility >= 1 exactly
+      assert(nPieces >= nToks && fert >= 1.0, s"doc $id fertility")
+      assert(oovFrac >= 0.0 && oovFrac <= 1.0 && nOov <= nToks, s"doc $id oov")
+      // the vocab contains every word of the half it trained on
+      if (id < 250) assert(nOov == 0, s"doc $id: OOV inside the training half")
+    }
+    // the fixture's generator shares one word pool across halves, so the
+    // OOV/fallback path is proven on a constructed corpus instead: the
+    // vocab knows only "low" (as "lo w"); "unseen" falls back to its 6
+    // characters and counts as OOV
+    import spark.implicits._
+    val vocab = Seq(("low", 1L, "lo w")).toDF("word", "wcount", "syms")
+    val docs2 = Seq((1L, "low unseen")).toDF("id", "body")
+    val st = graft.api.TrainingData.tokenizerStats(docs2, "id", "body", vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(st.toSeq == Seq((1L, 2L, 8L, 1L, 4.0, 0.5)))
+  }
+
   test("x50 dup matrix folds unordered source pairs and conserves the pair count") {
     import org.apache.spark.sql.functions.col
     val pairs = DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect()
