@@ -682,6 +682,24 @@ object TrainingData {
         VectorOps.ivfCentroids(corpus.sparkSession, e, nClusters)), k)
   }
 
+  /** Prototype-distance pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv 2206.14486): rank every vector within its
+    * cluster by cosine to the cluster prototype and keep the
+    * `keepPerCluster` FARTHEST — pruning easy prototypical examples
+    * first is the data-pruning recipe that beats random keep at scale →
+    * (vec_id, cid, sim_micro, rank, kept), rank 1 = farthest. Zero
+    * vectors have no direction, hence no prototype distance: excluded.
+    * Builds its own deterministic IVF index; callers with a standing
+    * index use the VectorOps core directly. */
+  def prototypePrune(corpus: DataFrame, idCol: String, embCol: String,
+      keepPerCluster: Int, nClusters: Int = 16): DataFrame = {
+    require(keepPerCluster >= 1, s"keepPerCluster must be >= 1: $keepPerCluster")
+    val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val cent = VectorOps.ivfCentroids(corpus.sparkSession, e, nClusters)
+    VectorOps.prototypePruneCore(VectorOps.ivfAssign(e, cent), cent,
+      keepPerCluster)
+  }
+
   /** Incremental ANN-index maintenance: assign `newBatch` to centroids
     * FROZEN from `oldCorpus` (no Lloyd re-run) → (vec_id, cid, n_old,
     * n_new). One broadcast-centroids scan of only the arriving batch;

@@ -168,6 +168,48 @@ object VectorOps {
         col("min_vec_id"))
       .orderBy(col("cid"))
 
+  /** X53 — prototype-distance pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws", arXiv 2206.14486): rank every vector within
+    * its cluster by cosine to the cluster prototype (the centroid) and
+    * keep the k FARTHEST — far-from-prototype examples are the hard,
+    * less-redundant ones, and pruning easy prototypical examples first
+    * is the data-pruning recipe that beats random keep at scale →
+    * (vec_id, cid, sim_micro, rank, kept), rank 1 = farthest.
+    *
+    * Rides the SHARED cached IVF index (the same build x40/x40b/x27g
+    * read — no extra Lloyd run); the cosine is quantized to integer
+    * micro-units (the x40b portability recipe) BEFORE ranking, so the
+    * rank itself is integer-deterministic in both engines. Zero vectors
+    * have no direction, hence no prototype distance: excluded, exactly
+    * like cosineTopK. Scale shape: one broadcast join + a window
+    * partitioned by cid — per-partition state is one cluster, whose size
+    * the index build bounds (grow nClusters with the corpus). */
+  def x53PrototypePrune(s: SparkSession, d: String): DataFrame =
+    prototypePruneCore(persistIvfIndexed(s, d),
+      persistIvfCentroids(s, d), 10)
+      .orderBy(col("vec_id"))
+
+  /** The prune kernel over a built `(vec_id, embedding, cid)` index and
+    * its centroid table — shared by the fixture query above and the
+    * parametric API (graft.api.TrainingData.prototypePrune). */
+  private[graft] def prototypePruneCore(indexed: DataFrame,
+      centroids: DataFrame, keepPerCluster: Int): DataFrame =
+    indexed
+      .join(broadcast(centroids), "cid")
+      // TWO-step quantization (round to 6 dp, then scale) — the x40b
+      // spelling: rounding the raw cosine×1e6 product directly flipped
+      // the micro-unit on ~4 % of fixture rows (last-ulp cosine
+      // differences land on the .5 boundary after the multiply)
+      .withColumn("sim_micro",
+        round(round(cosine(col("embedding"), col("cemb")), 6) * 1e6)
+          .cast("long"))
+      .filter(col("sim_micro").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("sim_micro"), col("vec_id"))))
+      .select(col("vec_id"), col("cid"), col("sim_micro"),
+        col("rank"), (col("rank") <= keepPerCluster).as("kept"))
+
   /** X27g — corpus-wide kNN GRAPH over the shared IVF index: every
     * vector's top-3 nearest neighbors among its own cluster's members
     * (exact round-6 cosine, ties → lower neighbor id). This is the
@@ -757,9 +799,24 @@ object VectorOps {
       while (i < Dims) { a._2(i) += b._2(i); i += 1 }
       (a._1 + b._1, a._2)
     }
-    def finish(r: (Long, Array[Long])): Seq[Double] =
-      r._2.toSeq.map(s2 => BigDecimal(s2.toDouble / r._1 / Scale)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the 6-dp mean is computed as an EXACT integer in micro-units —
+    // half-up of the rational s/n via (2s+n) div (2n) — then divided by
+    // 1e6 once. The previous double-mediated spelling
+    // (BigDecimal(s/n/1e6).setScale(6)) disagreed with DuckDB's
+    // multiply-based round() precisely when the exact mean lands on a
+    // .5-micro boundary (s/n = k+1/2 — probability ~1/n per component,
+    // ~30 of the 1024 fixture centroid components): the ORACLES.md §5b
+    // trap, latent until x53 consumed per-row centroid cosines. Integer
+    // division has no boundary; both engines then perform the same
+    // correctly-rounded q/1e6.
+    def finish(r: (Long, Array[Long])): Seq[Double] = {
+      val n = r._1
+      r._2.toSeq.map { s2 =>
+        val q = if (s2 >= 0) (2 * s2 + n) / (2 * n)
+        else -((2 * -s2 + n) / (2 * n))
+        q.toDouble / 1000000.0
+      }
+    }
     def bufferEncoder =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Long])]()
     def outputEncoder =
@@ -829,6 +886,7 @@ object VectorOps {
     "x45_ivf_append" -> (x45IvfAppend _),
     "x40_semdedup" -> (x40SemDedup _),
     "x40b_cluster_profile" -> (x40bClusterProfile _),
+    "x53_prototype_prune" -> (x53PrototypePrune _),
     "x30_centroid_agg" -> (x30Centroid _),
     "x30b_scalar_udf" -> (x30bUdf _),
     "x30c_quantize_int8" -> (x30cQuantize _),
@@ -895,16 +953,30 @@ object VectorOps {
        |        ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cid DESC) AS rn
        |    FROM $src e CROSS JOIN $cent c)
        |  WHERE rn = 1)""".stripMargin
+  // Two portability traps fixed here, both latent until x53 consumed
+  // per-row centroid cosines (every earlier consumer averaged or ranked
+  // them away):
+  //  1. the member quantization multiplies in DOUBLE explicitly —
+  //     DuckDB's REAL*INTEGER stays float32, whose product snaps onto
+  //     .5-micro boundaries (ulp ~0.016 at 1e5 magnitude) and rounds
+  //     off-by-one vs Spark's toDouble*1e6 on ~1 % of members;
+  //  2. the mean is rounded to 6 dp as an EXACT integer in micro-units —
+  //     (2s+n) // (2n), the CentroidAggregator.finish spelling — because
+  //     round(s/n/1e6, 6) is multiply-based here while finish used to
+  //     round the decimal expansion: the two disagreed exactly on
+  //     .5-micro means (s/n = k+1/2, probability ~1/n per component)
+  private def meanMicroSql(s: String, n: String): String =
+    s"(CASE WHEN $s >= 0 THEN (2*$s + $n) // (2*$n) ELSE -((2*(-($s)) + $n) // (2*$n)) END)"
   private def updateCte(asg: String, sums: String, cent: String) =
     s"""$sums AS (
        |  SELECT cid, i,
-       |    sum(CAST(round(embedding[i]*1000000, 0) AS BIGINT)) AS s,
+       |    sum(CAST(round(CAST(embedding[i] AS DOUBLE)*1000000, 0) AS BIGINT)) AS s,
        |    count(*) AS n
        |  FROM $asg CROSS JOIN range(1, 65) AS r(i)
        |  GROUP BY cid, i),
        |$cent AS (
        |  SELECT cid,
-       |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
+       |    list(CAST(${meanMicroSql("s", "n")} / 1000000.0 AS REAL) ORDER BY i) AS cemb
        |  FROM $sums GROUP BY cid)""".stripMargin
   // subspace-dim dot with the same left-to-right double fold as
   // dot_product over the sliced subvectors; bound derives from PqDsub so
@@ -929,13 +1001,13 @@ object VectorOps {
   private def pqUpdateCte(asg: String, sums: String, books: String) =
     s"""$sums AS (
        |  SELECT m, cid, i,
-       |    sum(CAST(round(sub[i]*1000000, 0) AS BIGINT)) AS s,
+       |    sum(CAST(round(CAST(sub[i] AS DOUBLE)*1000000, 0) AS BIGINT)) AS s,
        |    count(*) AS n
        |  FROM $asg CROSS JOIN range(1, ${PqDsub + 1}) AS r(i)
        |  GROUP BY m, cid, i),
        |$books AS (
        |  SELECT m, cid,
-       |    list(CAST(round(s * 1.0 / n / 1000000.0, 6) AS REAL) ORDER BY i) AS cemb
+       |    list(CAST(${meanMicroSql("s", "n")} / 1000000.0 AS REAL) ORDER BY i) AS cemb
        |  FROM $sums GROUP BY m, cid)""".stripMargin
   private lazy val pqBuildCtes: String =
     s"""sv AS (
@@ -1127,6 +1199,24 @@ object VectorOps {
          |  min(vec_id) AS min_vec_id
          |FROM prof GROUP BY cid
          |ORDER BY cid""".stripMargin,
+    // prototype-prune replay: the shared build chain, the SAME two-step
+    // micro-unit quantization the Spark side ranks on (round to 6 dp,
+    // then scale — the x40b spelling; the one-step product rounding
+    // flipped ~4 % of rows), zero vectors excluded before the window so
+    // NULL ordering never differs between engines
+    "x53_prototype_prune" ->
+      s"""WITH $ivfBuildCtes,
+         |sims AS (
+         |  SELECT a.vec_id, a.cid,
+         |    CAST(round(round(${cosSql("a.embedding", "c.cemb")}, 6) * 1000000, 0) AS BIGINT) AS sim_micro
+         |  FROM asgf a JOIN c2 c ON a.cid = c.cid),
+         |r AS (
+         |  SELECT vec_id, cid, sim_micro,
+         |    CAST(row_number() OVER (PARTITION BY cid
+         |      ORDER BY sim_micro, vec_id) AS INTEGER) AS rank
+         |  FROM sims WHERE sim_micro IS NOT NULL)
+         |SELECT vec_id, cid, sim_micro, rank, (rank <= 10) AS kept
+         |FROM r ORDER BY vec_id""".stripMargin,
     // full SRP-LSH replay: hyperplane signs are interpolated constants
     // (srpSignStr); DuckDB recomputes the per-(vec,table,plane) projection
     // as the SAME left-to-right double fold Spark's SrpBuckets uses
@@ -1231,13 +1321,23 @@ object VectorOps {
          |  FROM sims)
          |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // integer-exact mean spelling (see meanMicroSql): the fixture's label
+    // means can land on .5-micro boundaries too
     "x30_centroid_agg" ->
-      """SELECT label,
-        | round(sum(CAST(round(embedding[1]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c1,
-        | round(sum(CAST(round(embedding[2]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c2,
-        | round(sum(CAST(round(embedding[3]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c3,
-        | round(sum(CAST(round(embedding[4]*1000000, 0) AS BIGINT)) * 1.0 / count(*) / 1000000, 6) AS c4
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT label,
+         |    sum(CAST(round(CAST(embedding[1] AS DOUBLE)*1000000, 0) AS BIGINT)) AS s1,
+         |    sum(CAST(round(CAST(embedding[2] AS DOUBLE)*1000000, 0) AS BIGINT)) AS s2,
+         |    sum(CAST(round(CAST(embedding[3] AS DOUBLE)*1000000, 0) AS BIGINT)) AS s3,
+         |    sum(CAST(round(CAST(embedding[4] AS DOUBLE)*1000000, 0) AS BIGINT)) AS s4,
+         |    count(*) AS n
+         |  FROM embeddings GROUP BY label)
+         |SELECT label,
+         | ${meanMicroSql("s1", "n")} / 1000000.0 AS c1,
+         | ${meanMicroSql("s2", "n")} / 1000000.0 AS c2,
+         | ${meanMicroSql("s3", "n")} / 1000000.0 AS c3,
+         | ${meanMicroSql("s4", "n")} / 1000000.0 AS c4
+         |FROM m ORDER BY label""".stripMargin,
     "x30b_scalar_udf" ->
       """SELECT doc_id, CAST(length(text) * 2 + 1 AS INTEGER) AS udf_val
         |FROM documents ORDER BY doc_id""".stripMargin,

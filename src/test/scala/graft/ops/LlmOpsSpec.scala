@@ -440,9 +440,14 @@ class LlmOpsSpec extends SparkSpec {
         while (i < 64) { acc(i) += r0(e(i).toDouble * 1000000L); i += 1 }
         cnt(c) += 1
       }
-      // empty clusters drop out of the centroid table, like groupByKey
+      // empty clusters drop out of the centroid table, like groupByKey;
+      // the mean is the integer-exact micro rounding finish() computes
       cents = sums.map { case (c, acc) =>
-        c -> acc.map(s => round6(s.toDouble / cnt(c) / 1000000L).toFloat)
+        val n = cnt(c)
+        c -> acc.map { s =>
+          val q = if (s >= 0) (2 * s + n) / (2 * n) else -((2 * -s + n) / (2 * n))
+          (q.toDouble / 1000000.0).toFloat
+        }
       }.toMap
     }
     (rows, rows.map { case (id, e) => id -> assign(e) }.toMap, cents)
@@ -473,6 +478,28 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(prof == expectProf)
     assert(prof.values.map(_._1).sum == rows.length)
+  }
+
+  test("x53 prototype prune matches the plain-Scala per-cluster distance ranking") {
+    val (rows, cid, cents) = ivfModel()
+    val got = VectorOps.x53PrototypePrune(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+    val expect = rows.groupBy { case (id, _) => cid(id) }.toSeq.flatMap {
+      case (c, mem) =>
+        mem.toSeq.map { case (id, e) =>
+          (id, math.round(round6(cosM(e, cents(c))) * 1e6)) }
+          .sortBy { case (id, sm) => (sm, id) }
+          .zipWithIndex
+          .map { case ((id, sm), i) => id -> ((c, sm, i + 1, i + 1 <= 10)) }
+    }.toMap
+    assert(got == expect)
+    // the prune keeps exactly min(10, cluster size) per cluster, rank 1 =
+    // farthest from the prototype (lowest similarity)
+    val kept = got.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._4) }
+    val sizes = got.values.groupBy(_._1).map { case (c, vs) => c -> vs.size }
+    kept.foreach { case (c, k) => assert(k == math.min(10, sizes(c))) }
   }
 
   test("x28s gopher rules match a plain-Scala model on the fixture docs") {
