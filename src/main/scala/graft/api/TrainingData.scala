@@ -2095,26 +2095,70 @@ object TrainingData {
     * not per occurrence), so the per-document sum is exact integer
     * arithmetic with one division at the end.
     *
-    * Scale shape: the model fit is one bounded aggregation — the
-    * (bucket, side) count relation has ≤ nBuckets rows and the λ table
-    * attaches back by broadcast; the only data-sized shuffle is the
-    * per-document feature sum, the same shape as every LM scorer here.
-    * Documents with zero features are absent (nothing to score). */
+    * Scale shape: feature extraction is a row-local explode; the bucket
+    * hash is `xxhash64` per occurrence (one hash instruction — library
+    * callers don't replay results in a second engine, the minhash
+    * precedent), the (bucket, side) model aggregation map-side-combines
+    * to ≤ nBuckets rows, the λ table attaches back by broadcast, and the
+    * only data-sized shuffle is the per-document sum of (doc_id, λ) int
+    * pairs. Documents with zero features are absent (nothing to score).
+    * The fixture query binds [[dsirWeightsPortable]] — the sha-hashed,
+    * DuckDB-replayable twin. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 256): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
-    val feats = docs
-      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
-        explode(concat(DedupOps.tokens(col(textCol)),
-          graft.functions.TextFunctions.token_bigrams(col(textCol)))).as("f"))
+    val feats = dsirFeats(docs, idCol, textCol, isTarget)
+      .withColumn("b", pmod(xxhash64(col("f")), lit(nBuckets.toLong)).cast("int"))
+    dsirScore(feats, nBuckets)
+  }
+
+  /** The oracle-checkable DSIR twin: buckets from the PORTABLE
+    * sha-derived [[hash16]], paid once per feature TYPE — the distinct
+    * type relation is hashed, then attaches to the occurrence stream by
+    * broadcast (valid wherever the type vocabulary is broadcastable; the
+    * at-scale per-occurrence form is [[dsirWeights]]). Identical model
+    * arithmetic; the x49 oracle replays this variant end-to-end. */
+  private[graft] def dsirWeightsPortable(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, nBuckets: Int = 256): DataFrame =
+    dsirScoreFromBucketed(
+      dsirBucketedPortable(docs, idCol, textCol, isTarget, nBuckets), nBuckets)
+
+  /** The portable twin's bucketed occurrence stream
+    * (doc_id, is_t, b) — exposed separately so a caller scoring more
+    * than once (the fixture gate does: the model branch, the λ
+    * broadcast, and the final sum each traverse it) can persist it
+    * instead of re-exploding the corpus per branch. */
+  private[graft] def dsirBucketedPortable(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val raw = dsirFeats(docs, idCol, textCol, isTarget)
+    val fTypes = raw.select(col("f")).distinct()
       .withColumn("b", hash16(col("f")) % nBuckets)
+    raw.join(broadcast(fTypes), "f")
+      .select(col("doc_id"), col("is_t"), col("b"))
+  }
+
+  private[graft] def dsirScoreFromBucketed(feats: DataFrame,
+      nBuckets: Int): DataFrame = dsirScore(feats, nBuckets)
+
+  /** (doc_id, is_t, f) occurrence stream: unigrams + adjacent bigrams,
+    * with multiplicity — row-local explode, no shuffle. */
+  private def dsirFeats(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame =
+    docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+      explode(concat(DedupOps.tokens(col(textCol)),
+        graft.functions.TextFunctions.token_bigrams(col(textCol)))).as("f"))
+
+  /** The shared DSIR model + scoring over a bucketed
+    * (doc_id, is_t, b) occurrence stream. */
+  private def dsirScore(feats: DataFrame, nBuckets: Int): DataFrame = {
     val cnt = feats.groupBy(col("b")).agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
     val tot = cnt.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     // every bucket 0..B-1 exists in the λ relation — empty buckets still
     // carry smoothed mass, exactly as the model defines them
-    val lam = docs.sparkSession.range(0, nBuckets)
+    val lam = feats.sparkSession.range(0, nBuckets)
       .select(col("id").cast("int").as("b"))
       .join(cnt, Seq("b"), "left")
       .crossJoin(broadcast(tot))

@@ -185,9 +185,19 @@ object SamplingOps {
     * [[graft.api.TrainingData.dsirWeights]]; the oracle replays the whole
     * model — feature extraction, portable bucket hash, add-one smoothed
     * counts, micro-nat λ table, per-doc integer sum. */
+  // the bucketed feature stream is traversed by three plan branches
+  // (model counts, λ broadcast, final per-doc sum): persisted per
+  // (app, dir) like the shingle/signature relations, so the corpus is
+  // exploded once rather than once per branch
+  @transient private val dsirFeatCache = graft.ops.PerAppCache.newCache
+  private def persistDsirFeats(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(dsirFeatCache, s, d)(
+      graft.api.TrainingData.dsirBucketedPortable(t(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en", nBuckets = 256).persist())
+
   def x49DsirWeights(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.dsirWeights(t(s, d, "documents"),
-      "doc_id", "text", col("lang") === "en", nBuckets = 256)
+    graft.api.TrainingData.dsirScoreFromBucketed(
+      persistDsirFeats(s, d), nBuckets = 256)
       .orderBy(col("doc_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -270,6 +270,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window ("), p) // no global ntile
   }
 
+  test("x49 DSIR λ table attaches by broadcast; type-level scoring join only") {
+    // the λ table is <= nBuckets rows and the totals are 1 row: both
+    // attach by broadcast. The per-TYPE λ then joins the (doc, feature,
+    // multiplicity) relation on the feature key — the x28j LM-scorer
+    // shape (an equi-join on feature types, never an all-pairs scan)
+    val p = plan("x49_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p)
+  }
+
+  test("x53 prototype prune joins the centroid literal by broadcast, one window") {
+    val p = plan("x53_prototype_prune")
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one Window node: the per-cluster rank (cluster-size bounded)
+    assert(treeCount(p, "Window") == 1, p)
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
