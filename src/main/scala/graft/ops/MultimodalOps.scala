@@ -75,10 +75,127 @@ object MultimodalOps {
       .withColumn("frame_bytes", lit(64))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Typed row produced by the REAL header parser. */
+  final case class HeaderMeta(doc_id: Long, format: String, width: Int,
+      height: Int, valid: Boolean)
+
+  /** REAL container-header metadata extraction — PNG IHDR and JPEG SOF
+    * parsing are public byte formats needing no codec library, so this
+    * part of the decode path is genuine logic, not a stub (only pixel
+    * decode remains stubbed). PNG: 8-byte signature, then the IHDR chunk
+    * carries width/height as big-endian u32 at offsets 16/20. JPEG: SOI
+    * (FFD8), then markers scanned by their length fields until a frame
+    * header (SOF0..SOF15 minus DHT/JPG/DAC) yields height/width as
+    * big-endian u16 at payload offsets 3/5. Anything else (or a
+    * truncated/corrupt payload) → (unknown, valid = false) — the
+    * quarantine row a production pipeline routes out of the decode
+    * stage instead of crashing on. */
+  def parseMediaHeader(docId: Long, b: Array[Byte]): HeaderMeta = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    def isPng = b.length >= 24 &&
+      pngSig.indices.forall(i => u8(i) == pngSig(i)) &&
+      new String(b.slice(12, 16), "US-ASCII") == "IHDR"
+    def jpegSof: Option[(Int, Int)] = {
+      if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else {
+          val len = u16(i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (len < 7) return None
+            return Some((u16(i + 7), u16(i + 5))) // (width, height)
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+    if (isPng) {
+      val (w, h) = (u32(16), u32(20))
+      if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        HeaderMeta(docId, "png", w.toInt, h.toInt, valid = true)
+      else HeaderMeta(docId, "unknown", 0, 0, valid = false)
+    } else jpegSof match {
+      case Some((w, h)) if w > 0 && h > 0 =>
+        HeaderMeta(docId, "jpeg", w, h, valid = true)
+      case _ => HeaderMeta(docId, "unknown", 0, 0, valid = false)
+    }
+  }
+
+  /** Deterministic REAL-format payload builder for the fixture: even ids
+    * get a PNG whose IHDR encodes (32+id%96, 32+(id/2)%96), odd ids a
+    * JPEG whose SOF0 encodes the same dims, and every 7th id a payload
+    * with its magic bytes zeroed (the corrupt-sample case). The builder
+    * writes real headers and the parser reads them back — a builder or
+    * parser bug breaks the round-trip, and the oracle checks the result
+    * against first-principles arithmetic on the id. */
+  def buildMediaPayload(docId: Long, filler: Array[Byte]): Array[Byte] = {
+    val w = 32 + (docId % 96).toInt
+    val h = 32 + ((docId / 2) % 96).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    if (docId % 2 == 0) {
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+      be32(13) // IHDR length
+      out.write('I'); out.write('H'); out.write('D'); out.write('R')
+      be32(w); be32(h)
+      out.write(8); out.write(2); out.write(0); out.write(0); out.write(0)
+      be32(0) // CRC placeholder (header parse does not verify CRC)
+    } else {
+      out.write(0xff); out.write(0xd8) // SOI
+      out.write(0xff); out.write(0xe0); be16(16) // APP0, 16-byte payload
+      out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+      (0 until 9).foreach(_ => out.write(0))
+      out.write(0xff); out.write(0xc0); be16(11) // SOF0, 1 component
+      out.write(8); be16(h); be16(w); out.write(1)
+      out.write(1); out.write(0x11); out.write(0)
+    }
+    out.write(filler, 0, math.min(filler.length, 32))
+    val bytes = out.toByteArray
+    if (docId % 7 == 0) { // corrupt the magic — quarantine case
+      bytes(0) = 0; bytes(1) = 0
+    }
+    bytes
+  }
+
+  /** X29 — REAL header metadata extraction + corrupt-sample quarantine:
+    * build real PNG/JPEG headers, parse them back per-partition over the
+    * typed boundary, quarantine what does not parse. The oracle checks
+    * the parsed dims against the id arithmetic the builder encoded —
+    * the full builder→bytes→parser round-trip is verified, not just the
+    * plumbing. */
+  def x29dHeaderMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bin = t(s, d, "documents")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("filler"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions(_.map { case (id, filler) =>
+        parseMediaHeader(id, buildMediaPayload(id, filler)) })
+      .toDF()
+      .select(col("doc_id"), col("format"),
+        when(col("valid"), col("width")).as("width"),
+        when(col("valid"), col("height")).as("height"),
+        col("valid"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x29_multimodal_decode" -> (x29Multimodal _),
     "x29b_multimodal_stats" -> (x29bShapeStats _),
-    "x29c_frame_sample" -> (x29cFrameSample _))
+    "x29c_frame_sample" -> (x29cFrameSample _),
+    "x29d_header_meta" -> (x29dHeaderMeta _))
 
   val oracles: Map[String, String] = Map(
     "x29_multimodal_decode" ->
@@ -94,6 +211,19 @@ object MultimodalOps {
         | CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         | CAST(sum(CAST(octet_length(encode(text)) // 64 AS BIGINT)) AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1, 2 ORDER BY lang, is_wide""".stripMargin,
+    // first-principles replay of the builder arithmetic: the Spark side
+    // PARSES real header bytes, the oracle recomputes what the builder
+    // encoded from the id alone — agreement proves the byte round-trip
+    "x29d_header_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+        |      WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST(32 + doc_id % 96 AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      ELSE CAST(32 + (doc_id // 2) % 96 AS INTEGER) END AS height,
+        | (doc_id % 7 <> 0) AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x29c_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames
