@@ -1873,6 +1873,39 @@ object TrainingData {
       .select(col("cluster_id"), col("best.id").as("survivor_id"), col("n_docs"))
   }
 
+  /** SFT turn assembly with loss-mask offsets → (conv_id, turn_idx,
+    * role, n_toks, tok_start, tok_end, train_on): each conversation's
+    * turns indexed in order with CUMULATIVE token offsets, and the turns
+    * whose role is in `trainRoles` marked trainable — the layout a
+    * supervised-fine-tuning dataloader consumes to mask loss on
+    * non-assistant turns (train on what the model should say, attend to
+    * everything). `orderCols` must be a unique ordering within a
+    * conversation (pass a tiebreak id alongside the timestamp — two
+    * turns at the same instant would otherwise make the offsets
+    * partitioning-dependent).
+    *
+    * Scale shape: one window partitioned by conversation (running
+    * row_number + token cumsum — per-partition state is one
+    * conversation); token counting is row-local. A conversation is the
+    * natural parallelism unit of SFT data, so this partitioning is the
+    * one the downstream packing/batching steps want anyway. */
+  def turnLossMasks(turns: DataFrame, convCol: String,
+      orderCols: Seq[String], roleCol: String, textCol: String,
+      trainRoles: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convCol)).orderBy(orderCols.map(col): _*)
+    turns
+      .select(col(convCol) +: orderCols.map(col) :+ col(roleCol).as("role") :+
+        size(DedupOps.tokens(col(textCol))).cast("long").as("n_toks"): _*)
+      .withColumn("turn_idx", row_number().over(w))
+      .withColumn("tok_end", sum(col("n_toks")).over(w))
+      .select(col(convCol).as("conv_id"), col("turn_idx"), col("role"),
+        col("n_toks"), (col("tok_end") - col("n_toks")).as("tok_start"),
+        col("tok_end"),
+        col("role").isin(trainRoles.map(x => x: Any): _*).as("train_on"))
+  }
+
   /** Cross-source duplication matrix → (src_a, src_b, n_pairs): how many
     * near-duplicate pairs connect each unordered pair of sources — the
     * curation data-map that answers "which corpora duplicate each other"

@@ -251,7 +251,22 @@ object Windows {
       Seq("view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  /** X54 — SFT turn assembly + loss-mask offsets over the events stream:
+    * each user's event sequence treated as a conversation (turn text =
+    * event_type + props, unique order = (ts, event_id)); purchase and
+    * signup turns train, the rest are context. Fixture binding of
+    * [[graft.api.TrainingData.turnLossMasks]]. */
+  def x54TurnMasks(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.turnLossMasks(
+      t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("role"),
+        concat_ws(" ", col("event_type"), col("props")).as("text")),
+      "user_id", Seq("ts", "event_id"), "role", "text",
+      Seq("purchase", "signup"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x54_turn_masks" -> (x54TurnMasks _),
     "q27_funnel" -> (q27Funnel _),
     "q28_retention" -> (q28Retention _),
     "q11_rollup" -> (q11Rollup _),
@@ -266,6 +281,26 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // turn masks: same token spelling as the text oracles, running
+    // cumsum + row_number over the unique (ts, event_id) order; window
+    // sum(BIGINT) promotes to HUGEINT in DuckDB — cast back
+    "x54_turn_masks" ->
+      """WITH turns AS (
+        |  SELECT user_id AS conv_id, ts, event_id, event_type AS role,
+        |    CAST(len(list_filter(string_split(lower(
+        |      concat_ws(' ', event_type, props)), ' '), t -> t <> ''))
+        |      AS BIGINT) AS n_toks
+        |  FROM events),
+        |w AS (
+        |  SELECT conv_id, role, n_toks,
+        |    CAST(row_number() OVER win AS INTEGER) AS turn_idx,
+        |    CAST(sum(n_toks) OVER win AS BIGINT) AS tok_end
+        |  FROM turns
+        |  WINDOW win AS (PARTITION BY conv_id ORDER BY ts, event_id))
+        |SELECT conv_id, turn_idx, role, n_toks,
+        |  tok_end - n_toks AS tok_start, tok_end,
+        |  role IN ('purchase', 'signup') AS train_on
+        |FROM w ORDER BY conv_id, turn_idx""".stripMargin,
     // day buckets via integer floor-division on epoch ms (both engines
     // truncate the µs timestamp the same way — the q21 idiom)
     "q28_retention" ->

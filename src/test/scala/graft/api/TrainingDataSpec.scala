@@ -1249,6 +1249,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(again.toSet == out.toSet)
   }
 
+  test("turnLossMasks: contiguous offsets, dense turn indices, role masking") {
+    val turns = Seq(
+      (1L, 1L, 10L, "user", "hello there"),
+      (1L, 2L, 11L, "assistant", "hi"),
+      (1L, 2L, 12L, "user", "same ts needs the id tiebreak"),
+      (2L, 5L, 20L, "assistant", "a b c")
+    ).toDF("conv", "t", "id", "role", "text")
+    val out = TrainingData.turnLossMasks(
+        turns, "conv", Seq("t", "id"), "role", "text", Seq("assistant"))
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "user", 2L, 0L, 2L, false),
+      (1L, 2, "assistant", 1L, 2L, 3L, true),
+      (1L, 3, "user", 6L, 3L, 9L, false),
+      (2L, 1, "assistant", 3L, 0L, 3L, true)))
+    // invariants on the fixture-scale output: per conversation, offsets
+    // tile the token stream with no gaps and indices are dense from 1
+    val fx = graft.ops.Windows.x54TurnMasks(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    fx.groupBy(_._1).values.foreach { conv =>
+      val sorted = conv.sortBy(_._2)
+      assert(sorted.head._2 == 1 && sorted.last._2 == sorted.length)
+      sorted.foldLeft(0L) { case (expStart, (_, _, n, s0, e0, _)) =>
+        assert(s0 == expStart && e0 == s0 + n); e0
+      }
+    }
+  }
+
   test("ul2Mixture is lossless per denoiser and mixes all three objectives") {
     val d = "/root/testdata/sf0.01"
     val docs = graft.Tables.t(spark, d, "documents")
