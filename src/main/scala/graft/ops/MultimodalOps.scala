@@ -191,11 +191,112 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Typed row produced by the WAV header parser. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+      bits: Int, n_samples: Long, duration_ms: Long, valid: Boolean)
+
+  /** REAL RIFF/WAVE header parsing — the audio twin of
+    * [[parseMediaHeader]]: 'RIFF' + size + 'WAVE', then chunks scanned by
+    * their little-endian length fields until 'fmt ' yields (channels,
+    * sample rate, bits/sample) and 'data' yields the payload size;
+    * n_samples = data bytes / block align, duration = n_samples·1000 /
+    * rate. PCM format tag (1) only — anything else, truncated, or
+    * inconsistent (zero rate/channels/bits, block align mismatch)
+    * quarantines. */
+  def parseWavHeader(docId: Long, b: Array[Byte]): AudioMeta = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b.slice(i, i + 4), "US-ASCII") else ""
+    val bad = AudioMeta(docId, 0, 0, 0, 0L, 0L, valid = false)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+    var i = 12
+    var fmt: Option[(Int, Long, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataBytes: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val id = tag(i)
+      val len = le32(i + 4)
+      if (id == "fmt ") {
+        if (len < 16 || i + 8 + 16 > b.length) return bad
+        val audioFormat = le16(i + 8)
+        if (audioFormat != 1) return bad // PCM only
+        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22), le16(i + 20)))
+      } else if (id == "data") {
+        // the data chunk's declared size counts even when the payload is
+        // elided (header-only fixture bytes) — a real pipeline reads the
+        // size, not the bytes, at the metadata stage
+        dataBytes = Some(len)
+      }
+      // chunks are word-aligned: odd sizes are padded by one byte
+      i += 8 + len.toInt + (len.toInt & 1)
+      if (len < 0 || len > Int.MaxValue / 2) return bad
+    }
+    (fmt, dataBytes) match {
+      case (Some((ch, rate, bits, align)), Some(db))
+          if ch > 0 && rate > 0 && bits > 0 && align == ch * bits / 8 &&
+            align > 0 && db % align == 0 =>
+        val n = db / align
+        AudioMeta(docId, rate.toInt, ch, bits, n, n * 1000L / rate, valid = true)
+      case _ => bad
+    }
+  }
+
+  /** Deterministic WAV header builder: PCM fmt chunk with id-derived
+    * (rate ∈ {8k, 16k, 22.05k, 44.1k}, channels = 1 + id%2, 16-bit) and a
+    * data chunk DECLARING id-derived sample counts (payload elided —
+    * the metadata stage reads sizes, not samples). Every 5th id gets a
+    * non-PCM format tag (the compressed-audio quarantine case). */
+  def buildWavPayload(docId: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100)
+    val rate = rates((docId % 4).toInt)
+    val ch = 1 + (docId % 2).toInt
+    val bits = 16
+    val align = ch * bits / 8
+    val nSamples = 100L + (docId % 1000)
+    val dataLen = nSamples * align
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(if (docId % 5 == 0) 85 else 1) // 85 = MP3-in-WAV: quarantine
+    le16(ch); le32(rate); le32(rate.toLong * align); le16(align); le16(bits)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    out.toByteArray
+  }
+
+  /** X29 — audio header metadata + quarantine: the WAV twin of
+    * [[x29dHeaderMeta]], proving the audio modality's metadata stage with
+    * real RIFF chunk-walking (duration/sample-rate/channel extraction is
+    * what an audio curation pass filters on — and it never touches the
+    * sample bytes). */
+  def x29eAudioMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map(id => parseWavHeader(id, buildWavPayload(id))))
+      .toDF()
+      .select(col("doc_id"),
+        when(col("valid"), col("sample_rate")).as("sample_rate"),
+        when(col("valid"), col("channels")).as("channels"),
+        when(col("valid"), col("n_samples")).as("n_samples"),
+        when(col("valid"), col("duration_ms")).as("duration_ms"),
+        col("valid"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x29_multimodal_decode" -> (x29Multimodal _),
     "x29b_multimodal_stats" -> (x29bShapeStats _),
     "x29c_frame_sample" -> (x29cFrameSample _),
-    "x29d_header_meta" -> (x29dHeaderMeta _))
+    "x29d_header_meta" -> (x29dHeaderMeta _),
+    "x29e_audio_meta" -> (x29eAudioMeta _))
 
   val oracles: Map[String, String] = Map(
     "x29_multimodal_decode" ->
@@ -224,6 +325,23 @@ object MultimodalOps {
         |      ELSE CAST(32 + (doc_id // 2) % 96 AS INTEGER) END AS height,
         | (doc_id % 7 <> 0) AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // audio twin of the x29d replay: the Spark side chunk-walks real
+    // RIFF bytes, the oracle recomputes the builder's id arithmetic
+    "x29e_audio_meta" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS quarantined,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                    WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    100 + doc_id % 1000 AS n_samples
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN quarantined THEN NULL ELSE CAST(rate AS INTEGER) END AS sample_rate,
+        | CASE WHEN quarantined THEN NULL ELSE CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+        | CASE WHEN quarantined THEN NULL ELSE CAST(n_samples AS BIGINT) END AS n_samples,
+        | CASE WHEN quarantined THEN NULL
+        |      ELSE CAST(n_samples * 1000 // rate AS BIGINT) END AS duration_ms,
+        | NOT quarantined AS valid
+        |FROM p ORDER BY doc_id""".stripMargin,
     "x29c_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames

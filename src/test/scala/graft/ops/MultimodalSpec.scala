@@ -69,6 +69,38 @@ class MultimodalSpec extends SparkSpec {
     assert(invalid(dht))
   }
 
+  test("wav parser: PCM headers round-trip; non-PCM, truncation, misalignment quarantine") {
+    // well-formed via the builder (ids avoiding the %5 quarantine)
+    val ok = MultimodalOps.parseWavHeader(3L, MultimodalOps.buildWavPayload(3L))
+    assert(ok.valid && ok.sample_rate == 44100 && ok.channels == 2 &&
+      ok.n_samples == 103L && ok.duration_ms == 103L * 1000 / 44100)
+    // non-PCM format tag (the builder's %5 branch) quarantines
+    assert(!MultimodalOps.parseWavHeader(5L, MultimodalOps.buildWavPayload(5L)).valid)
+    // structural damage
+    val good = MultimodalOps.buildWavPayload(1L)
+    assert(!MultimodalOps.parseWavHeader(9L, good.take(11)).valid) // truncated RIFF
+    assert(!MultimodalOps.parseWavHeader(9L, Array.emptyByteArray).valid)
+    val notWave = good.clone(); notWave(8) = 'X'.toByte
+    assert(!MultimodalOps.parseWavHeader(9L, notWave).valid)
+    // data size not a multiple of block align ⇒ inconsistent ⇒ quarantine
+    val misaligned = good.clone()
+    misaligned(good.length - 4) = ((good(good.length - 4) & 0xff) + 1).toByte
+    assert(!MultimodalOps.parseWavHeader(9L, misaligned).valid)
+    // a chunk the parser doesn't know (LIST) before fmt/data is skipped
+    // by its length field, not mis-read
+    val withList = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 12) // RIFF..WAVE
+      out.write("LIST".getBytes("US-ASCII"))
+      out.write(4); out.write(0); out.write(0); out.write(0) // len 4 LE
+      out.write("INFO".getBytes("US-ASCII"))
+      out.write(good, 12, good.length - 12)
+      out.toByteArray
+    }
+    val viaList = MultimodalOps.parseWavHeader(1L, withList)
+    assert(viaList.valid && viaList.sample_rate == 16000 && viaList.channels == 2)
+  }
+
   test("builder -> parser round-trip matches the id arithmetic for all branches") {
     val filler = "filler text".getBytes("UTF-8")
     (0L to 20L).foreach { id =>
