@@ -23,6 +23,18 @@ with open('bench_out.json') as f:
 with open('replay_bench.json') as f:
     replay = json.load(f)
 
+# freshness: Bench writes replay_bench.json best-effort BEFORE the sweep
+# (a replay failure must not kill the query sweep), so a failed replay
+# leaves a stale file behind — refuse to stamp round N-1 throughput as
+# round N. The two files come from the same run iff replay predates
+# bench_out by less than one sweep's duration.
+import os
+age_gap = os.path.getmtime('bench_out.json') - os.path.getmtime('replay_bench.json')
+assert -60 < age_gap < 1800, (
+    f'replay_bench.json is {age_gap:.0f}s older than bench_out.json — '
+    f'stale artifact from a previous run (the replay pass likely failed); '
+    f'not stamping')
+
 # the round-7/8 advice item: a stamped artifact must hold the full parsed
 # per-query map, not a truncated stdout tail
 assert bench.get('queries'), 'bench_out.json has no per-query map'

@@ -729,17 +729,42 @@ object TrainingData {
     * tokenizer's fixed sentinel vocab maps directly. Pure row-local
     * column algebra — scan-speed at 100 TB. `spanLen < period` keeps
     * spans non-overlapping by construction. */
+  // ---- shared span-corruption machinery (spanCorrupt + ul2Mixture) ----
+  // Every helper operates over the STAGED `tk` (token array) and `seq`
+  // (1..n index array) columns its caller binds first (the x28i lesson:
+  // an inline array referenced per element re-evaluates per element).
+  // One copy so a sentinel/cadence change cannot silently diverge the
+  // two objectives (the T5 0-based renumbering had to touch both).
+  private def sentinel(k: Column): Column =
+    concat(lit("<extra_id_"), k.cast("int").cast("string"), lit(">"))
+  private def spanIsStart(i: Column, h: Column, period: Int): Column =
+    (i + h) % period === 0
+  private def spanInTail(i: Column, h: Column, period: Int,
+      spanLen: Int): Column =
+    (1 until spanLen).map(j => i > j && ((i - j + h) % period === 0))
+      .foldLeft(lit(false))(_ || _)
+  private def spanStarts(h: Column, period: Int): Column =
+    filter(col("seq"), i => spanIsStart(i, h, period))
+  // sentinel ordinal = the start's 1-based position in `starts`, shifted
+  // to the 0-based T5 numbering
+  private def spanInputText(starts: Column, h: Column, period: Int,
+      spanLen: Int): Column =
+    concat_ws(" ",
+      transform(filter(col("seq"), i => !spanInTail(i, h, period, spanLen)),
+        i => when(spanIsStart(i, h, period),
+            sentinel(array_position(starts, i) - 1))
+          .otherwise(element_at(col("tk"), i))))
+  private def spanTargetText(starts: Column, spanLen: Int): Column =
+    concat_ws(" ",
+      transform(starts, (p, k) =>
+        concat(sentinel(k), lit(" "),
+          array_join(slice(col("tk"), p, lit(spanLen)), " "))))
+
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
       period: Int = 7, spanLen: Int = 2): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     require(spanLen >= 1 && spanLen < period,
       s"spanLen must be in [1, period), got $spanLen (period $period)")
-    def sentinel(k: Column): Column =
-      concat(lit("<extra_id_"), k.cast("int").cast("string"), lit(">"))
-    def isStart(i: Column, h: Column): Column = (i + h) % period === 0
-    def inTail(i: Column, h: Column): Column =
-      (1 until spanLen).map(j => i > j && ((i - j + h) % period === 0))
-        .foldLeft(lit(false))(_ || _)
     docs
       .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"),
         (hash16(concat(col(idCol).cast("string"), lit("#spanc"))) % period).as("h"))
@@ -747,22 +772,12 @@ object TrainingData {
       .withColumn("seq",
         when(col("n") >= 1, sequence(lit(1), col("n")))
           .otherwise(array().cast("array<int>")))
-      .withColumn("starts",
-        filter(col("seq"), i => isStart(i, col("h"))))
+      .withColumn("starts", spanStarts(col("h"), period))
       .select(col("doc_id"), col("n").as("n_toks"),
         size(col("starts")).as("n_spans"),
-        // sentinel ordinal = this start's 1-based position in `starts`,
-        // shifted to the 0-based T5 numbering
-        concat_ws(" ",
-          transform(filter(col("seq"), i => !inTail(i, col("h"))), i =>
-            when(isStart(i, col("h")),
-              sentinel(array_position(col("starts"), i) - 1))
-              .otherwise(element_at(col("tk"), i)))).as("input_text"),
-        concat_ws(" ",
-          transform(col("starts"), (p, k) =>
-            concat(sentinel(k), lit(" "),
-              array_join(slice(col("tk"), p, lit(spanLen)), " "))))
-          .as("target_text"))
+        spanInputText(col("starts"), col("h"), period, spanLen)
+          .as("input_text"),
+        spanTargetText(col("starts"), spanLen).as("target_text"))
   }
 
   /** UL2-style mixture-of-denoisers (Tay et al. 2022, arXiv 2205.05131):
@@ -788,22 +803,6 @@ object TrainingData {
     * referenced per element re-evaluates per element), and the CASE
     * evaluates only the assigned branch per row. */
   def ul2Mixture(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def sentinel(k: Column): Column =
-      concat(lit("<extra_id_"), k.cast("int").cast("string"), lit(">"))
-    def isStart(i: Column, h: Column, period: Int): Column =
-      (i + h) % period === 0
-    def inTail(i: Column, h: Column, period: Int): Column =
-      i > 1 && ((i - 1 + h) % period === 0) // span length 2: one tail slot
-    def spanInput(starts: Column, h: Column, period: Int): Column =
-      concat_ws(" ",
-        transform(filter(col("seq"), i => !inTail(i, h, period)), i =>
-          when(isStart(i, h, period), sentinel(array_position(starts, i) - 1))
-            .otherwise(element_at(col("tk"), i))))
-    def spanTarget(starts: Column): Column =
-      concat_ws(" ",
-        transform(starts, (p, k) =>
-          concat(sentinel(k), lit(" "),
-            array_join(slice(col("tk"), p, lit(2)), " "))))
     // "" -> NULL so concat_ws drops the slot (no dangling space on the
     // empty-document degenerate in either engine)
     def nz(c: Column): Column = when(c =!= "", c)
@@ -820,8 +819,8 @@ object TrainingData {
       .withColumn("hr", col("hh") % 7)
       .withColumn("hx", col("hh") % 4)
       .withColumn("cut", col("hc") % (col("n") + 1))
-      .withColumn("sr", filter(col("seq"), i => isStart(i, col("hr"), 7)))
-      .withColumn("sx", filter(col("seq"), i => isStart(i, col("hx"), 4)))
+      .withColumn("sr", spanStarts(col("hr"), 7))
+      .withColumn("sx", spanStarts(col("hx"), 4))
       .select(col("doc_id"),
         when(col("tag") === 0, lit("R"))
           .when(col("tag") === 1, lit("S"))
@@ -829,7 +828,7 @@ object TrainingData {
         col("n").as("n_toks"),
         when(col("tag") === 0,
             concat_ws(" ", lit("[R]"),
-              nz(spanInput(col("sr"), col("hr"), 7))))
+              nz(spanInputText(col("sr"), col("hr"), 7, 2))))
           .when(col("tag") === 1,
             concat_ws(" ", lit("[S]"),
               when(col("cut") > 0,
@@ -837,16 +836,16 @@ object TrainingData {
               sentinel(lit(0))))
           .otherwise(
             concat_ws(" ", lit("[X]"),
-              nz(spanInput(col("sx"), col("hx"), 4))))
+              nz(spanInputText(col("sx"), col("hx"), 4, 2))))
           .as("input_text"),
-        when(col("tag") === 0, spanTarget(col("sr")))
+        when(col("tag") === 0, spanTargetText(col("sr"), 2))
           .when(col("tag") === 1,
             concat_ws(" ", sentinel(lit(0)),
               when(col("cut") < col("n"),
                 array_join(
                   slice(col("tk"), col("cut") + 1, col("n") - col("cut")),
                   " "))))
-          .otherwise(spanTarget(col("sx")))
+          .otherwise(spanTargetText(col("sx"), 2))
           .as("target_text"))
   }
 
@@ -1045,9 +1044,14 @@ object TrainingData {
     * candidates re-rank by exact cosine → (q_id, c_id, sim, rank) with
     * EXACT sims — recall, not precision, is the approximation. Codebooks
     * minimize reconstruction L2; ADC scores are inner products against
-    * the reconstructions (the FAISS IVF-PQ decomposition). */
+    * the reconstructions (the FAISS IVF-PQ decomposition).
+    *
+    * The default m = 8 stays the most permissive divisor choice (dims
+    * must divide by m); the 64-dim fixture ships m = 16 (4-dim
+    * subspaces, recall@5 ≥ 0.8 vs ~0.6 at 8×8) — callers whose dims
+    * divide by 16 should prefer it. */
   def annTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, m: Int = VectorOps.PqM, codesPerSubspace: Int = 16,
+      embCol: String, k: Int, m: Int = 8, codesPerSubspace: Int = 16,
       refine: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
@@ -1071,7 +1075,7 @@ object TrainingData {
     * fraction `nProbe/nClusters` bounds every post-probe relation. */
   def annTopKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, nClusters: Int = 16, nProbe: Int = 4,
-      m: Int = VectorOps.PqM, codesPerSubspace: Int = 16, refine: Int = 0): DataFrame = {
+      m: Int = 8, codesPerSubspace: Int = 16, refine: Int = 0): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
     val refineN = if (refine > 0) refine else 4 * k
@@ -2138,11 +2142,32 @@ object TrainingData {
     * The fixture query binds [[dsirWeightsPortable]] — the sha-hashed,
     * DuckDB-replayable twin. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int = 256): DataFrame =
+    dsirWeightsFromBucketed(
+      dsirBucketed(docs, idCol, textCol, isTarget, nBuckets), nBuckets)
+
+  /** The bucketed (doc_id, is_t, b) occurrence stream [[dsirWeights]]
+    * scores — exposed because the scoring traverses it on THREE plan
+    * branches (model counts, λ broadcast, final per-doc sum), and Spark
+    * plans DataFrame reuse as duplicate lineage: a caller at scale
+    * builds this once, persists it, and feeds
+    * [[dsirWeightsFromBucketed]] instead of paying the corpus explode
+    * per branch (the same contract as [[tokenCounts]] / the
+    * `FromCounts` LM scorers). */
+  def dsirBucketed(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, nBuckets: Int = 256): DataFrame = {
     require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
-    val feats = dsirFeats(docs, idCol, textCol, isTarget)
+    dsirFeats(docs, idCol, textCol, isTarget)
       .withColumn("b", pmod(xxhash64(col("f")), lit(nBuckets.toLong)).cast("int"))
-    dsirScore(feats, nBuckets)
+      .select(col("doc_id"), col("is_t"), col("b"))
+  }
+
+  /** [[dsirWeights]] over a pre-built (ideally persisted)
+    * [[dsirBucketed]] relation. Columns bind by NAME
+    * (doc_id, is_t, b). */
+  def dsirWeightsFromBucketed(feats: DataFrame, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    dsirScore(feats.select(col("doc_id"), col("is_t"), col("b")), nBuckets)
   }
 
   /** The oracle-checkable DSIR twin: buckets from the PORTABLE
@@ -2153,7 +2178,7 @@ object TrainingData {
     * arithmetic; the x49 oracle replays this variant end-to-end. */
   private[graft] def dsirWeightsPortable(docs: DataFrame, idCol: String,
       textCol: String, isTarget: Column, nBuckets: Int = 256): DataFrame =
-    dsirScoreFromBucketed(
+    dsirWeightsFromBucketed(
       dsirBucketedPortable(docs, idCol, textCol, isTarget, nBuckets), nBuckets)
 
   /** The portable twin's bucketed occurrence stream
@@ -2170,9 +2195,6 @@ object TrainingData {
     raw.join(broadcast(fTypes), "f")
       .select(col("doc_id"), col("is_t"), col("b"))
   }
-
-  private[graft] def dsirScoreFromBucketed(feats: DataFrame,
-      nBuckets: Int): DataFrame = dsirScore(feats, nBuckets)
 
   /** (doc_id, is_t, f) occurrence stream: unigrams + adjacent bigrams,
     * with multiplicity — row-local explode, no shuffle. */

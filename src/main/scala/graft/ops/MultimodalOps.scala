@@ -104,7 +104,10 @@ object MultimodalOps {
       var i = 2
       while (i + 3 < b.length && u8(i) == 0xff) {
         val m = u8(i + 1)
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        if (m == 0xff) i += 1 // 0xff fill/padding bytes are spec-legal
+        else if (m == 0xd9) return None // EOI before any frame header
+        else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7))
+          i += 2 // standalone: SOI, TEM, RSTn
         else {
           val len = u16(i + 2)
           if (len < 2 || i + 2 + len > b.length) return None
@@ -213,17 +216,21 @@ object MultimodalOps {
       if (i + 4 <= b.length) new String(b.slice(i, i + 4), "US-ASCII") else ""
     val bad = AudioMeta(docId, 0, 0, 0, 0L, 0L, valid = false)
     if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
-    var i = 12
+    // the cursor is a Long: chunk sizes are unsigned u32, and two large
+    // declared sizes would overflow an Int cursor into a negative index
+    // (an ArrayIndexOutOfBounds crash where the contract says quarantine)
+    var i = 12L
     var fmt: Option[(Int, Long, Int, Int)] = None // channels, rate, bits, blockAlign
     var dataBytes: Option[Long] = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
-      val id = tag(i)
-      val len = le32(i + 4)
+      val ii = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val id = tag(ii)
+      val len = le32(ii + 4) // u32: 0..4294967295, never negative
       if (id == "fmt ") {
         if (len < 16 || i + 8 + 16 > b.length) return bad
-        val audioFormat = le16(i + 8)
+        val audioFormat = le16(ii + 8)
         if (audioFormat != 1) return bad // PCM only
-        fmt = Some((le16(i + 10), le32(i + 12), le16(i + 22), le16(i + 20)))
+        fmt = Some((le16(ii + 10), le32(ii + 12), le16(ii + 22), le16(ii + 20)))
       } else if (id == "data") {
         // the data chunk's declared size counts even when the payload is
         // elided (header-only fixture bytes) — a real pipeline reads the
@@ -231,8 +238,7 @@ object MultimodalOps {
         dataBytes = Some(len)
       }
       // chunks are word-aligned: odd sizes are padded by one byte
-      i += 8 + len.toInt + (len.toInt & 1)
-      if (len < 0 || len > Int.MaxValue / 2) return bad
+      i += 8L + len + (len & 1L)
     }
     (fmt, dataBytes) match {
       case (Some((ch, rate, bits, align)), Some(db))

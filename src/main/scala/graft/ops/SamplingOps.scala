@@ -196,7 +196,7 @@ object SamplingOps {
         "doc_id", "text", col("lang") === "en", nBuckets = 256).persist())
 
   def x49DsirWeights(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.dsirScoreFromBucketed(
+    graft.api.TrainingData.dsirWeightsFromBucketed(
       persistDsirFeats(s, d), nBuckets = 256)
       .orderBy(col("doc_id"))
 

@@ -117,7 +117,7 @@ class LlmOpsSpec extends SparkSpec {
         .withColumnRenamed("vec_id", "vid").withColumnRenamed("embedding", "emb")
         .select(org.apache.spark.sql.functions.col("vid").as("vec_id"),
           org.apache.spark.sql.functions.col("emb").as("embedding")),
-      "vec_id", "embedding", k = 5, refine = 32)
+      "vec_id", "embedding", k = 5, m = 16, refine = 32)
       .orderBy("q_id", "rank").collect().map(_.toSeq)
     val fixture = VectorOps.x27eAnnPq(spark, d).collect().map(_.toSeq)
     assert(out.sameElements(fixture))

@@ -44,6 +44,20 @@ class MultimodalSpec extends SparkSpec {
     // standalone restart markers are skipped, not mis-read as sized segments
     val rst = MultimodalOps.parseMediaHeader(4L, jpeg(10, 20, withRestart = true))
     assert(rst == MultimodalOps.HeaderMeta(4L, "jpeg", 10, 20, valid = true))
+    // spec-legal 0xff fill/padding bytes between segments are skipped
+    val filled = {
+      val base = jpeg(48, 24)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 2) // SOI
+      out.write(0xff); out.write(0xff); out.write(0xff) // fill bytes
+      out.write(base, 2, base.length - 2)
+      out.toByteArray
+    }
+    assert(MultimodalOps.parseMediaHeader(5L, filled) ==
+      MultimodalOps.HeaderMeta(5L, "jpeg", 48, 24, valid = true))
+    // EOI before any frame header ends the scan as invalid, not a crash
+    val eoi = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(!MultimodalOps.parseMediaHeader(6L, eoi).valid)
   }
 
   test("header parser: corrupt, truncated, and lying payloads quarantine") {
@@ -99,6 +113,21 @@ class MultimodalSpec extends SparkSpec {
     }
     val viaList = MultimodalOps.parseWavHeader(1L, withList)
     assert(viaList.valid && viaList.sample_rate == 16000 && viaList.channels == 2)
+    // two chunks declaring ~1GB each must quarantine, not overflow the
+    // cursor into a negative index (the Int-cursor crash class)
+    val huge = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(Array(0xff, 0xff, 0xff, 0x7f).map(_.toByte)) // size
+      out.write("WAVE".getBytes("US-ASCII"))
+      (1 to 2).foreach { _ =>
+        out.write("JUNK".getBytes("US-ASCII"))
+        out.write(Array(0xff, 0xff, 0xff, 0x3f).map(_.toByte)) // len ~1GB LE
+        out.write(0); out.write(0) // a couple of body bytes
+      }
+      out.toByteArray
+    }
+    assert(!MultimodalOps.parseWavHeader(9L, huge).valid)
   }
 
   test("builder -> parser round-trip matches the id arithmetic for all branches") {
