@@ -2247,26 +2247,28 @@ object TrainingData {
     * projection over the scan, guarded by PlanSpec); the previous
     * explode+groupBy(doc, n, gram) form shuffled ~5× the corpus bytes for
     * what is a per-document map at 100 TB. */
+  // ---- sorted-run list algebra (repetitionStats + tokenEntropy) ----
+  // Callers MUST stage each result as an aliased column in its own
+  // projection: each aliases a non-cheap array (the sort, then the
+  // boundary list) so every later reference is an O(1) attribute
+  // lookup. Inlining these as one expression tree would re-evaluate the
+  // sort inside the per-element filter lambda (higher-order functions
+  // run interpreted, with no subexpression elimination) — O(n^2 log n)
+  // per document; CollapseProject keeps the stages apart because the
+  // aliases are non-cheap and multiply referenced.
+  // boundary list: 0-based start index of each distinct run in the
+  // sorted array, plus a closing size(s). The Or short-circuits
+  // left-to-right, so element_at never sees index 0; the empty array
+  // degenerates to [0, 0] -> one zero-length run.
+  private def runBounds(s: Column): Column = concat(
+    filter(sequence(lit(0), greatest(size(s) - 1, lit(0))),
+      i => (i === 0) || (element_at(s, i + 1) =!= element_at(s, i))),
+    array(size(s)))
+  private def runLens(b: Column): Column = zip_with(
+    slice(b, lit(2), size(b) - 1), slice(b, lit(1), size(b) - 1),
+    (next, cur) => next - cur)
+
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // STAGED projections, deliberately: each stage aliases a non-cheap
-    // array (the sort, then the boundary list) so every later reference
-    // is an O(1) attribute lookup. Inlining these as one expression tree
-    // would re-evaluate the sort inside the per-element filter lambda
-    // (higher-order functions run interpreted, with no subexpression
-    // elimination) — O(n^2 log n) per document; CollapseProject keeps the
-    // stages apart because the aliases are non-cheap and multiply
-    // referenced.
-    // boundary list: 0-based start index of each distinct run in the
-    // sorted array, plus a closing size(s). The Or short-circuits
-    // left-to-right, so element_at never sees index 0; the empty array
-    // degenerates to [0, 0] -> one zero-length run.
-    def bounds(s: Column): Column = concat(
-      filter(sequence(lit(0), greatest(size(s) - 1, lit(0))),
-        i => (i === 0) || (element_at(s, i + 1) =!= element_at(s, i))),
-      array(size(s)))
-    def runLens(b: Column): Column = zip_with(
-      slice(b, lit(2), size(b) - 1), slice(b, lit(1), size(b) - 1),
-      (next, cur) => next - cur)
     val toks = DedupOps.tokens(col(textCol))
     docs
       .select(col(idCol),
@@ -2274,7 +2276,7 @@ object TrainingData {
         array_sort(ngrams(toks, 3)).as("sg3"))
       .select(col(idCol),
         size(col("sg2")).as("n2"), size(col("sg3")).as("n3"),
-        bounds(col("sg2")).as("b2"), bounds(col("sg3")).as("b3"))
+        runBounds(col("sg2")).as("b2"), runBounds(col("sg3")).as("b3"))
       .select(col(idCol), col("n2"), col("n3"),
         runLens(col("b2")).as("l2"), runLens(col("b3")).as("l3"))
       .select(col(idCol),
@@ -2287,4 +2289,34 @@ object TrainingData {
               (acc, r) => acc + when(r >= 2, r).otherwise(0)).cast("double")
             / col("n3"), 6)).as("dup_3gram_frac"))
   }
+
+  /** Per-document unigram entropy (nats) → (doc_id, n_toks, entropy):
+    * H = −Σ_types (c/n)·ln(c/n) over the document's OWN token
+    * distribution — the cheap diversity/quality signal next to the
+    * repetition fractions (boilerplate and keyword-stuffed text carry
+    * low entropy; natural prose sits near ln of its effective
+    * vocabulary). Documents with zero tokens are absent.
+    *
+    * Computed ROW-LOCALLY with the same sorted-run list algebra as
+    * [[repetitionStats]] (type counts = run lengths of the sorted token
+    * array — zero shuffle, a per-document map at 100 TB), and made
+    * portable with the x28j recipe: per-type surprisal ln(n/c) is
+    * quantized to integer micro-nats, the Σ c·surprisal accumulates in
+    * exact integer arithmetic (order-invariant), and ONE division at the
+    * end returns nats. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        array_sort(DedupOps.tokens(col(textCol))).as("st"))
+      .select(col("doc_id"), size(col("st")).as("n"),
+        runBounds(col("st")).as("bnd"))
+      .select(col("doc_id"), col("n"), runLens(col("bnd")).as("runs"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+        round(
+          aggregate(col("runs"), lit(0L), (acc, c) =>
+            acc + c.cast("long") *
+              round(log(col("n").cast("double") / c.cast("double")) * 1e6)
+                .cast("long")).cast("double")
+            / (col("n").cast("double") * 1e6), 6).as("entropy"))
 }

@@ -191,6 +191,14 @@ object TextOps {
     * quality filter). Fixture binding of
     * [[graft.api.TrainingData.unigramLmScores]] (see there for the
     * micro-nat integer quantization that makes the sums portable). */
+  /** X28 — per-document unigram entropy (token-diversity quality
+    * signal): low entropy flags boilerplate/keyword-stuffed text the
+    * repetition fractions alone can miss. Fixture binding of
+    * [[graft.api.TrainingData.tokenEntropy]]. */
+  def x28tTokenEntropy(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.tokenEntropy(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   def x28jUnigramLm(s: SparkSession, d: String): DataFrame =
     graft.api.TrainingData.unigramLmScoresFromCounts(tfRel(s, d))
       .orderBy(col("doc_id"))
@@ -485,6 +493,7 @@ object TextOps {
     "x28i_repetition" -> (x28iRepetition _),
     "x28b_quality_score" -> (x28bQuality _),
     "x28s_gopher_rules" -> (x28sGopherRules _),
+    "x28t_token_entropy" -> (x28tTokenEntropy _),
     "x28c_lang_id" -> (x28cLangId _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
@@ -922,6 +931,24 @@ object TextOps {
          |    NULLIF(array_to_string(list_slice(tk, least(h1, h2) + 1, greatest(h1, h2)), ' '), '')
          |  ) AS fim_text
          |FROM c ORDER BY doc_id""".stripMargin,
+    // the x28j micro-nat recipe over the doc's OWN distribution: counts
+    // per type (the groupBy replays the sorted-run lengths exactly),
+    // surprisal quantized per type, exact integer sum, one division
+    "x28t_token_entropy" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY doc_id, tok),
+         |n AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  n AS n_toks,
+         |  round(CAST(CAST(sum(c * CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * 1000000), 6) AS entropy
+         |FROM c JOIN n ON n.doc_id = c.doc_id
+         |GROUP BY c.doc_id, n
+         |ORDER BY c.doc_id""".stripMargin,
     // Gopher rules replay: same per-doc signals, same coalesce(TRUE)
     // guard for zero-token docs, flags and keep as BOOLEANs both sides
     "x28s_gopher_rules" ->

@@ -241,6 +241,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("x28i_repetition")
     assert(treeCount(p, "Exchange") <= 1, p)
     assert(!p.contains("HashAggregate") && !p.contains("Generate"), p)
+    // the entropy twin rides the same sorted-run machinery: same guard
+    val pe = plan("x28t_token_entropy")
+    assert(treeCount(pe, "Exchange") <= 1, pe)
+    assert(!pe.contains("HashAggregate") && !pe.contains("Generate"), pe)
   }
 
   test("row-local objective/cleaning transforms stay row-local (x41/x46/x47/x48)") {

@@ -437,6 +437,30 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("token entropy matches a Seq model on random token docs") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    check(forAll(Gen.listOfN(4, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "body")
+      val got = graft.api.TrainingData.tokenEntropy(df, "id", "body")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      docs.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        if (toks.isEmpty) !got.contains(i.toLong)
+        else {
+          val n = toks.length
+          val s = toks.groupBy(identity).values.map(_.size).map { c =>
+            c.toLong * math.round(math.log(n.toDouble / c) * 1e6)
+          }.sum
+          val exp = BigDecimal(s.toDouble / (n * 1e6))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          got.get(i.toLong).contains((n.toLong, exp))
+        }
+      }
+    }, n = 10)
+  }
+
   test("repetition stats match a Seq model on random token docs") {
     import spark.implicits._
     val word = Gen.oneOf("a", "b", "c")
