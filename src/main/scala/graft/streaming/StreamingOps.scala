@@ -387,10 +387,58 @@ object StreamingOps {
       } finally s2.catalog.dropTempView(view)
     }.orderBy(col("user_id"))
 
+  /** X55 — [[sessionsWithState]] (the flatMapGroupsWithState sessionizer
+    * with EVENT-TIME TIMEOUTS) driven to completion over the fixture:
+    * batch 1 feeds every event, batch 2 feeds ONE sentinel event for a
+    * user id that exists nowhere in the fixture (-1), advancing the
+    * watermark past every real session's `end + gap + delay` — so every
+    * user's remaining open islands close through the TIMEOUT branch in
+    * the no-data micro-batch (SPARK-24156), not inline. The sentinel's
+    * own session never closes and is filtered by user id. Equality with
+    * the q22-style batch gap sessionization is therefore direct evidence
+    * the timeout machinery fired for every user (x24/x43 exercise
+    * NoTimeout; this is the gate for the timeout path). MemoryStream
+    * feeds the gate — multi-batch watermark control needs it; the input
+    * is bounded by the fixture, and the production path reads a real
+    * source. */
+  @transient private val sessGateCache = graft.ops.PerAppCache.newCache
+  def x55SessionTimeout(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(sessGateCache, s, d) {
+      import s.implicits._
+      val view = "x55_sess_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val evs = graft.Tables.t(s, d, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)].collect()
+      val maxTs = evs.map(_._2).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      val q = sessionsWithState(s, mem.toDS().toDF("user_id", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try {
+        mem.addData(evs.toSeq.map { case (u, t) => (u, new java.sql.Timestamp(t)) })
+        q.processAllAvailable()
+        // one sentinel far past every real session's timeout + the 30-min
+        // watermark delay: the watermark moves, the no-data batch fires
+        // every pending timeout
+        mem.addData(Seq((-1L,
+          new java.sql.Timestamp(maxTs + SessionGapMs + 2 * 1800000L + 1000L))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(view).filter(col("user_id") >= 0)
+      val rows = out.collect()
+      val fin = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("user_id"), col("session_start_ms"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x24_stateful_funnel" -> (x24StatefulFunnel _),
     "x42_stream_join" -> (x42StreamJoin _),
-    "x43_tws_user_agg" -> (x43TransformWithState _))
+    "x43_tws_user_agg" -> (x43TransformWithState _),
+    "x55_session_timeout" -> (x55SessionTimeout _))
   /** The online funnel's completion state equals the batch event-time
     * funnel on an in-order stream — so it replays against q27's oracle;
     * the completed stream-stream inner interval join equals the batch
@@ -405,6 +453,28 @@ object StreamingOps {
         | AND p.event_type = 'purchase' AND s.event_type = 'signup'
         | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, signup_id""".stripMargin,
+    // the completed timeout-sessionizer equals batch gap sessionization
+    // (same 30-min rule as q22, aggregated to the session grain; the
+    // session_id numbering is dropped — start_ms identifies the session)
+    "x55_session_timeout" ->
+      """WITH flagged AS (
+        | SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) > 1800000
+        |   THEN 1
+        |   WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) IS NULL
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM events),
+        |sess AS (
+        | SELECT user_id, ts_ms,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM flagged)
+        |SELECT user_id, min(ts_ms) AS session_start_ms,
+        | max(ts_ms) AS session_end_ms, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_ms""".stripMargin,
     // the completed running state per user is just the batch aggregate
     "x43_tws_user_agg" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
