@@ -388,6 +388,25 @@ object DedupOps {
       .orderBy(col("probe_id"), col("corpus_id"))
   }
 
+  /** X33 — SPLIT decontamination, the composition the scan exists for:
+    * probes = the deterministic TEST split, corpus = the TRAIN split
+    * (the x31 content-addressed 80/10/10 assignment), emitting train
+    * docs that contain ≥ 0.4 of a test doc's shingles — "is my training
+    * set leaking my eval set". Because both sides derive from the SAME
+    * content-addressed split the pipeline itself would use, the scan is
+    * stable across runs, engines, and re-partitioning — a randomSplit
+    * here would silently scan a different leak set every run. */
+  def x33cSplitDecontam(s: SparkSession, d: String): DataFrame = {
+    val split = graft.api.TrainingData.deterministicSplit(
+      t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    graft.api.TrainingData.contaminationPairs(
+      split.filter(col("split") === "train").select(col("doc_id"), col("text")),
+      split.filter(col("split") === "test").select(col("doc_id"), col("text")),
+      "doc_id", "text", 0.4)
+      .orderBy(col("probe_id"), col("corpus_id"))
+  }
+
   /** X33 (scale path) — contamination with the corpus-side Bloom
     * prefilter. Result equals [[x33Contamination]] (the exact shingle join
     * drops the Bloom's false positives), so it shares x33's oracle SQL.
@@ -450,7 +469,8 @@ object DedupOps {
     "x26h_tfidf_neardup" -> (x26hTfidfNearDup _),
     "x35_span_dedup" -> (x35SpanDedup _),
     "x33_contamination" -> (x33Contamination _),
-    "x33b_contamination_bloom" -> (x33bContaminationBloom _))
+    "x33b_contamination_bloom" -> (x33bContaminationBloom _),
+    "x33c_split_decontam" -> (x33cSplitDecontam _))
 
   /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
     * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
@@ -584,6 +604,33 @@ object DedupOps {
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
     "x33b_contamination_bloom" -> x33OracleSql,
+    // the x33 containment arithmetic with probe/corpus sides taken from
+    // the x31 bucket rule (test = bucket >= 90, train = bucket < 80)
+    "x33c_split_decontam" -> {
+      val bucket = s"(${SamplingOps.hash16Sql("doc_id")} % 100)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 1, 1)),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+         |  FROM toks),
+         |bk AS (SELECT doc_id, $bucket AS bucket FROM documents),
+         |ps AS (SELECT s.doc_id AS probe_id, s.sh
+         |  FROM sh s JOIN bk ON bk.doc_id = s.doc_id WHERE bk.bucket >= 90),
+         |cs AS (SELECT s.doc_id AS corpus_id, s.sh
+         |  FROM sh s JOIN bk ON bk.doc_id = s.doc_id WHERE bk.bucket < 80),
+         |pn AS (SELECT probe_id, count(*) AS ns FROM ps GROUP BY 1),
+         |inter AS (
+         |  SELECT probe_id, corpus_id, count(*) AS inter
+         |  FROM ps JOIN cs USING (sh) GROUP BY 1, 2)
+         |SELECT probe_id, corpus_id, inter,
+         | round(CAST(inter AS DOUBLE) / ns, 6) AS containment
+         |FROM inter JOIN pn USING (probe_id)
+         |WHERE CAST(inter AS DOUBLE) / ns >= 0.4
+         |ORDER BY probe_id, corpus_id""".stripMargin
+    },
     // Span dedup replayed exactly: same 3-token cut (last span short),
     // first-occurrence-by-(id, position) keeper via a window, ordered
     // reassembly via string_agg(... ORDER BY span_idx)

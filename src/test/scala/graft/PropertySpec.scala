@@ -437,6 +437,36 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("turn masks match an ordered-fold Seq model on random conversations") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      convs <- Gen.listOfN(n, Gen.choose(0L, 2L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 5L)) // tight range forces ties
+      roles <- Gen.listOfN(n, Gen.oneOf("user", "assistant"))
+      words <- Gen.listOfN(n, Gen.choose(0, 4))
+    } yield convs.indices.map(i =>
+      (convs(i), ts(i), i.toLong, roles(i), Seq.fill(words(i))("w").mkString(" ")))
+    check(forAll(gen) { rows =>
+      val df = rows.toDF("conv", "t", "id", "role", "text")
+      val got = graft.api.TrainingData.turnLossMasks(
+          df, "conv", Seq("t", "id"), "role", "text", Seq("assistant"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6)))).toMap
+      rows.groupBy(_._1).forall { case (conv, turns) =>
+        val ordered = turns.sortBy(t => (t._2, t._3))
+        var off = 0L
+        ordered.zipWithIndex.forall { case ((_, _, _, role, text), i) =>
+          val n = text.split(" ").count(_.nonEmpty).toLong
+          val exp = (role, n, off, off + n, role == "assistant")
+          off += n
+          got.get((conv, i + 1)).contains(exp)
+        }
+      }
+    }, n = 15)
+  }
+
   test("token entropy matches a Seq model on random token docs") {
     import spark.implicits._
     val word = Gen.oneOf("a", "b", "c", "d")
