@@ -388,6 +388,29 @@ object DedupOps {
       .orderBy(col("probe_id"), col("corpus_id"))
   }
 
+  /** X26 — CLUSTER-AWARE deterministic split: every document inherits
+    * the split of its near-dup CLUSTER (content-addressed bucket of the
+    * cluster id, singletons = their own id) → (doc_id, cluster_id,
+    * bucket, split). Splitting by document id lets near-duplicate pairs
+    * straddle train and test — the model then "generalizes" to eval rows
+    * it effectively memorized; hashing the cluster label instead keeps
+    * every duplicate family in ONE split by construction (the
+    * group-aware split eval hygiene requires, same motivation as x33c).
+    * Rides the shared cached label relation, so this query, x26e, and
+    * x26g can never disagree on what a cluster is. */
+  def x26iClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val lab = persistLabels(s, d)
+    graft.api.TrainingData.deterministicSplit(
+      t(s, d, "documents").select(col("doc_id"))
+        .join(lab.select(col("id"), col("label")),
+          col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id")),
+      "cluster_id", Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** X33 — SPLIT decontamination, the composition the scan exists for:
     * probes = the deterministic TEST split, corpus = the TRAIN split
     * (the x31 content-addressed 80/10/10 assignment), emitting train
@@ -470,7 +493,8 @@ object DedupOps {
     "x35_span_dedup" -> (x35SpanDedup _),
     "x33_contamination" -> (x33Contamination _),
     "x33b_contamination_bloom" -> (x33bContaminationBloom _),
-    "x33c_split_decontam" -> (x33cSplitDecontam _))
+    "x33c_split_decontam" -> (x33cSplitDecontam _),
+    "x26i_cluster_split" -> (x26iClusterSplit _))
 
   /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
     * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
@@ -573,6 +597,19 @@ object DedupOps {
     "x26e_dedup_clusters" ->
       s"""$ccOracleCte
          |SELECT id AS doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin,
+    // the x31 bucket rule applied to the CLUSTER id (the shared cluster
+    // closure; singletons fall back to their own doc id)
+    "x26i_cluster_split" ->
+      s"""$ccOracleCte,
+         |cl AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CAST((${SamplingOps.hash16Sql("cluster_id")} % 100) AS INTEGER) AS bucket,
+         |  CASE WHEN ${SamplingOps.hash16Sql("cluster_id")} % 100 < 80 THEN 'train'
+         |       WHEN ${SamplingOps.hash16Sql("cluster_id")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
     // the matrix rides on the SAME replayed pair relation as x26/x26e
     // (shared pairsOracleCtes fragment); sources attach by id and the
     // unordered key folds (A,B)/(B,A) together exactly like Spark's

@@ -153,6 +153,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(st.toSeq == Seq((1L, 2L, 8L, 1L, 4.0, 0.5)))
   }
 
+  test("x26i cluster split: no near-dup pair straddles splits; all splits populated") {
+    import org.apache.spark.sql.functions.col
+    val split = DedupOps.x26iClusterSplit(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // THE invariant the op exists for: every near-dup pair lands in ONE
+    // split (a doc-id split lets the model meet eval rows it memorized)
+    val pairs = DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a) == split(b), s"pair ($a, $b) straddles ${split(a)}/${split(b)}")
+    }
+    // the 80/10/10 intent survives the cluster granularity (loose bound:
+    // cluster sizes skew the per-doc fractions)
+    val byS = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > byS("val") && byS("train") > byS("test"))
+  }
+
   test("x50 dup matrix folds unordered source pairs and conserves the pair count") {
     import org.apache.spark.sql.functions.col
     val pairs = DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect()
