@@ -8,11 +8,16 @@ import graft.Tables._
   * `binary` columns with typed metadata, decoded/feature-extracted inside
   * partition-parallel tasks.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs on the
-  * offline classpath): it derives deterministic fake dimensions from the
-  * payload so the Spark-side plumbing — binary schema, typed Dataset
-  * boundary, mapPartitions batch shape, partition parallelism — is real and
-  * oracle-testable. A production decoder replaces only [[stubDecode]].
+  * Three tiers, in the order they landed: (1) [[stubDecode]] — the
+  * original plumbing demo with deterministic fake dimensions (kept for
+  * x29/x29b/x29c, whose point is the typed-Dataset/mapPartitions batch
+  * shape); (2) REAL container-header parsing — PNG IHDR/JPEG SOF and
+  * RIFF/WAVE chunk walks (x29d/x29e); (3) REAL sample decode — PNG pixel
+  * decode via JDK `Inflater` + per-row unfilter and WAV 16-bit-LE PCM
+  * stats (x29f/x29g), no codec dependency, oracle-replayed from the
+  * builder arithmetic. Nothing in the decode path is stubbed anymore;
+  * only exotic containers (MP4, progressive-JPEG entropy data) are out
+  * of scope.
   */
 object MultimodalOps {
 
@@ -297,12 +302,346 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL sample decode (round 10): the pixel/PCM stage that was the
+  // documented stub is now genuine JDK-only codec logic — PNG IDAT via
+  // java.util.zip.Inflater + per-row unfilter (all five PNG filter
+  // types), WAV 16-bit-LE PCM sample arithmetic. The builders write
+  // real compressed/filtered payloads whose pixel/sample values are a
+  // deterministic function of (doc_id, x, y) / (doc_id, frame, channel),
+  // so the DuckDB oracle replays the generator arithmetic from the id
+  // alone — agreement proves the full encode→deflate→inflate→unfilter→
+  // stats round-trip, not just the plumbing.
+  // ------------------------------------------------------------------
+
+  /** Pixel value formulas shared by the PNG builder and the oracle:
+    * deterministic in (doc_id, x, y), always in 0..255. */
+  @inline private def pxR(id: Long, x: Int, y: Int): Int = ((x * 7L + y * 13L + id) % 256).toInt
+  @inline private def pxG(id: Long, x: Int, y: Int): Int = ((x * 3L + y * 5L + 2 * id) % 256).toInt
+  @inline private def pxB(id: Long, x: Int, y: Int): Int = ((x * 11L + y + 3 * id) % 256).toInt
+
+  /** Image dims for the pixel fixture (small: the oracle unnests a
+    * per-pixel range, so w·h stays ≤ 16·16). */
+  @inline private def pngW(id: Long): Int = 8 + (id % 9).toInt
+  @inline private def pngH(id: Long): Int = 8 + ((id / 3) % 9).toInt
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Build a REAL 8-bit RGB PNG: signature, IHDR, one zlib-deflated IDAT
+    * of filtered scanlines (filter type cycles y%5 through None/Sub/Up/
+    * Average/Paeth so the decoder's unfilter paths are all exercised),
+    * IEND — each chunk with a real CRC32. Every 7th id gets its zlib
+    * header zeroed inside IDAT (the corrupt-stream quarantine case: the
+    * chunk structure still parses, inflate fails). */
+  def buildPngImage(docId: Long): Array[Byte] = {
+    val w = pngW(docId); val h = pngH(docId); val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte]((1 + stride) * h)
+    val cur = new Array[Int](stride)
+    val prior = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cur(x * bpp) = pxR(docId, x, y)
+        cur(x * bpp + 1) = pxG(docId, x, y)
+        cur(x * bpp + 2) = pxB(docId, x, y)
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prior(i)
+        val upLeft = if (i >= bpp) prior(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        raw(y * (1 + stride) + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = zBuf.toByteArray
+    if (docId % 7 == 0 && idat.length >= 2) { idat(0) = 0; idat(1) = 0 }
+
+    val out = new java.io.ByteArrayOutputStream()
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).foreach(out.write)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Unit = {
+        out.write(((v >>> 24) & 0xff).toInt); out.write(((v >>> 16) & 0xff).toInt)
+        out.write(((v >>> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+      }
+      be32(data.length.toLong)
+      val typB = typ.getBytes("US-ASCII")
+      out.write(typB, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typB); crc.update(data)
+      be32(crc.getValue)
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def ibe32(v: Int): Unit = { ihdr.write(v >>> 24); ihdr.write((v >>> 16) & 0xff)
+      ihdr.write((v >>> 8) & 0xff); ihdr.write(v & 0xff) }
+    ibe32(w); ibe32(h)
+    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Typed row of REAL pixel statistics (integer sums, so the oracle
+    * hash-compares exactly — means are sum/n_px downstream). */
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long, valid: Boolean)
+
+  /** REAL PNG pixel decode: walk chunks (CRC-verified), inflate the
+    * concatenated IDAT stream with [[java.util.zip.Inflater]], unfilter
+    * every scanline (all five PNG filter types), and reduce to
+    * per-channel integer sums. Any structural damage — bad signature,
+    * CRC mismatch, inflate failure, short pixel stream, unknown filter
+    * type — quarantines instead of crashing. 8-bit RGB (colour type 2)
+    * only; anything else quarantines. */
+  def decodePngStats(docId: Long, b: Array[Byte]): PixelStats = {
+    val bad = PixelStats(docId, 0, 0, 0L, 0L, 0L, 0L, valid = false)
+    def u8(i: Int): Int = b(i) & 0xff
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 8 || !sig.indices.forall(i => u8(i) == sig(i))) return bad
+    var i = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    try {
+      while (i + 12 <= b.length) {
+        val len = u32(i)
+        if (len > Int.MaxValue - 12 || i + 12 + len > b.length) return bad
+        val typ = new String(b.slice(i + 4, i + 8), "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(b, i + 4, 4 + len.toInt)
+        if (crc.getValue != u32(i + 8 + len.toInt)) return bad
+        typ match {
+          case "IHDR" =>
+            if (len != 13) return bad
+            w = u32(i + 8).toInt; h = u32(i + 12).toInt
+            val bitDepth = u8(i + 16); val colorType = u8(i + 17)
+            if (bitDepth != 8 || colorType != 2) return bad // 8-bit RGB only
+          case "IDAT" => idat.write(b, i + 8, len.toInt)
+          case _ => ()
+        }
+        i += 12 + len.toInt
+      }
+      if (w <= 0 || h <= 0 || idat.size == 0) return bad
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val stride = w * 3
+      val raw = new Array[Byte]((1 + stride) * h)
+      var off = 0
+      while (!inflater.finished() && off < raw.length) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return bad // truncated stream
+        off += n
+      }
+      inflater.end()
+      if (off != raw.length) return bad
+      val cur = new Array[Int](stride)
+      val prior = new Array[Int](stride)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (1 + stride)) & 0xff
+        if (ft > 4) return bad
+        var j = 0
+        while (j < stride) {
+          val f = raw(y * (1 + stride) + 1 + j) & 0xff
+          val left = if (j >= 3) cur(j - 3) else 0
+          val up = prior(j)
+          val upLeft = if (j >= 3) prior(j - 3) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          cur(j) = (f + pred) & 0xff
+          j += 1
+        }
+        var x = 0
+        while (x < w) {
+          sr += cur(x * 3); sg += cur(x * 3 + 1); sb += cur(x * 3 + 2)
+          x += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+      PixelStats(docId, w, h, w.toLong * h, sr, sg, sb, valid = true)
+    } catch {
+      case _: java.util.zip.DataFormatException => bad
+      case _: ArrayIndexOutOfBoundsException => bad
+    }
+  }
+
+  /** X29f — REAL pixel decode end-to-end: build genuine deflate-
+    * compressed filtered PNGs, decode them back per-partition (inflate +
+    * unfilter + channel sums), quarantine corrupt streams. The oracle
+    * replays the pixel formulas from the id, so a bug anywhere in the
+    * filter/deflate round-trip breaks the hash. */
+  def x29fPixelStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map(id => decodePngStats(id, buildPngImage(id))))
+      .toDF()
+      .select(col("doc_id"),
+        when(col("valid"), col("width")).as("width"),
+        when(col("valid"), col("height")).as("height"),
+        when(col("valid"), col("n_px")).as("n_px"),
+        when(col("valid"), col("sum_r")).as("sum_r"),
+        when(col("valid"), col("sum_g")).as("sum_g"),
+        when(col("valid"), col("sum_b")).as("sum_b"),
+        col("valid"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PCM sample formula shared by the WAV builder and the oracle:
+    * deterministic in (doc_id, frame, channel), full 16-bit range. */
+  @inline private def pcmSample(id: Long, frame: Long, ch: Int): Int =
+    (((frame * 773L + id * 131L + ch * 37L) % 65536L) - 32768L).toInt
+
+  @inline private def wavSampleCount(id: Long): Long = 100L + (id % 200)
+
+  /** Build a REAL PCM WAV: the [[buildWavPayload]] header layout but with
+    * the data chunk actually carrying 16-bit-LE interleaved samples from
+    * [[pcmSample]]. Every 5th id keeps the non-PCM format tag (the
+    * compressed-audio quarantine case). */
+  def buildWavPcm(docId: Long): Array[Byte] = {
+    val rates = Array(8000, 16000, 22050, 44100)
+    val rate = rates((docId % 4).toInt)
+    val ch = 1 + (docId % 2).toInt
+    val bits = 16
+    val align = ch * bits / 8
+    val nSamples = wavSampleCount(docId)
+    val dataLen = nSamples * align
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(if (docId % 5 == 0) 85 else 1) // 85 = MP3-in-WAV: quarantine
+    le16(ch); le32(rate); le32(rate.toLong * align); le16(align); le16(bits)
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var frame = 0L
+    while (frame < nSamples) {
+      var c = 0
+      while (c < ch) { le16(pcmSample(docId, frame, c) & 0xffff); c += 1 }
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** Typed row of REAL PCM sample statistics: integer sum-of-squares
+    * (RMS² · n), absolute peak, and near-full-scale count (|s| ≥ 32256,
+    * the clipping-fraction numerator) — all exact integers so the oracle
+    * hash-compares. */
+  final case class PcmStats(doc_id: Long, n_samples: Long, sum_sq: Long,
+      peak: Int, n_clipped: Long, valid: Boolean)
+
+  /** REAL WAV PCM decode: chunk-walk via the [[parseWavHeader]] logic,
+    * then read the data chunk as interleaved 16-bit-LE signed samples and
+    * reduce to (sum of squares, peak, clipped count). The metadata-only
+    * path ([[x29eAudioMeta]]) never touches sample bytes; this is the
+    * feature-extraction stage that does. Truncated data (declared size
+    * beyond the payload) quarantines. */
+  def decodeWavPcm(docId: Long, b: Array[Byte]): PcmStats = {
+    val bad = PcmStats(docId, 0L, 0L, 0, 0L, valid = false)
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b.slice(i, i + 4), "US-ASCII") else ""
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+    var i = 12L
+    var fmt: Option[(Int, Int)] = None // channels, blockAlign
+    var data: Option[(Int, Long)] = None // offset, declared byte length
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val ii = i.toInt
+      val id = tag(ii)
+      val len = le32(ii + 4)
+      if (id == "fmt ") {
+        if (len < 16 || i + 8 + 16 > b.length) return bad
+        if (le16(ii + 8) != 1) return bad // PCM only
+        val ch = le16(ii + 10); val bits = le16(ii + 22); val align = le16(ii + 20)
+        if (ch <= 0 || bits != 16 || align != ch * 2) return bad
+        fmt = Some((ch, align))
+      } else if (id == "data") data = Some((ii + 8, len))
+      i += 8L + len + (len & 1L)
+    }
+    (fmt, data) match {
+      case (Some((_, align)), Some((off, declared)))
+          if declared % align == 0 && off + declared <= b.length =>
+        var sumSq = 0L; var peak = 0; var clipped = 0L
+        var j = off
+        val end = off + declared.toInt
+        while (j < end) {
+          val s = le16(j).toShort.toInt // sign-extend 16-bit LE
+          sumSq += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          if (a >= 32256) clipped += 1
+          j += 2
+        }
+        PcmStats(docId, declared / 2, sumSq, peak, clipped, valid = true)
+      case _ => bad
+    }
+  }
+
+  /** X29g — REAL PCM sample stats end-to-end: build WAVs carrying actual
+    * interleaved 16-bit samples, decode and reduce per-partition. Oracle
+    * replays [[pcmSample]] from the id. */
+  def x29gPcmStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map(id => decodeWavPcm(id, buildWavPcm(id))))
+      .toDF()
+      .select(col("doc_id"),
+        when(col("valid"), col("n_samples")).as("n_samples"),
+        when(col("valid"), col("sum_sq")).as("sum_sq"),
+        when(col("valid"), col("peak")).as("peak"),
+        when(col("valid"), col("n_clipped")).as("n_clipped"),
+        col("valid"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x29_multimodal_decode" -> (x29Multimodal _),
     "x29b_multimodal_stats" -> (x29bShapeStats _),
     "x29c_frame_sample" -> (x29cFrameSample _),
     "x29d_header_meta" -> (x29dHeaderMeta _),
-    "x29e_audio_meta" -> (x29eAudioMeta _))
+    "x29e_audio_meta" -> (x29eAudioMeta _),
+    "x29f_pixel_stats" -> (x29fPixelStats _),
+    "x29g_pcm_stats" -> (x29gPcmStats _))
 
   val oracles: Map[String, String] = Map(
     "x29_multimodal_decode" ->
@@ -357,5 +696,53 @@ object MultimodalOps {
         | CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx,
         | CAST(unnest(range(0, n_frames, 4)) * 64 AS INTEGER) AS byte_offset,
         | 64 AS frame_bytes
-        |FROM m ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM m ORDER BY doc_id, frame_idx""".stripMargin,
+    // first-principles replay of the PIXEL formulas: Spark inflates and
+    // unfilters real deflate-compressed scanlines; the oracle recomputes
+    // per-pixel values from (doc_id, x, y) alone and sums them
+    "x29f_pixel_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 9 AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM dims),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+        |st AS (
+        |  SELECT doc_id, w, h, count(*) AS n_px,
+        |    sum((x*7 + y*13 + doc_id) % 256) AS sum_r,
+        |    sum((x*3 + y*5 + 2*doc_id) % 256) AS sum_g,
+        |    sum((x*11 + y + 3*doc_id) % 256) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(n_px AS BIGINT) END AS n_px,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(sum_r AS BIGINT) END AS sum_r,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(sum_g AS BIGINT) END AS sum_g,
+        | CASE WHEN doc_id % 7 = 0 THEN NULL ELSE CAST(sum_b AS BIGINT) END AS sum_b,
+        | (doc_id % 7 <> 0) AS valid
+        |FROM st ORDER BY doc_id""".stripMargin,
+    // PCM twin: Spark reads real interleaved 16-bit-LE sample bytes; the
+    // oracle replays the sample formula over (frame, channel) ranges
+    "x29g_pcm_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS q, 1 + doc_id % 2 AS ch,
+        |    100 + doc_id % 200 AS ns
+        |  FROM documents),
+        |fr AS (SELECT doc_id, q, ch, unnest(range(ns)) AS i FROM p),
+        |sa AS (SELECT doc_id, q, i, unnest(range(ch)) AS c FROM fr),
+        |v AS (SELECT doc_id, q,
+        |        ((i*773 + doc_id*131 + c*37) % 65536) - 32768 AS s
+        |      FROM sa),
+        |st AS (
+        |  SELECT doc_id, q, count(*) AS n, sum(s*s) AS sum_sq,
+        |    max(abs(s)) AS peak,
+        |    sum(CASE WHEN abs(s) >= 32256 THEN 1 ELSE 0 END) AS n_clipped
+        |  FROM v GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CASE WHEN q THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+        | CASE WHEN q THEN NULL ELSE CAST(sum_sq AS BIGINT) END AS sum_sq,
+        | CASE WHEN q THEN NULL ELSE CAST(peak AS INTEGER) END AS peak,
+        | CASE WHEN q THEN NULL ELSE CAST(n_clipped AS BIGINT) END AS n_clipped,
+        | NOT q AS valid
+        |FROM st ORDER BY doc_id""".stripMargin)
 }

@@ -130,6 +130,92 @@ class MultimodalSpec extends SparkSpec {
     assert(!MultimodalOps.parseWavHeader(9L, huge).valid)
   }
 
+  test("png pixel decode: inflate + all five unfilter paths round-trip the builder") {
+    // ids 0..29 cover every (w, h, filter-cycle) combination the builder
+    // emits and both the valid and %7-corrupt branches
+    (0L to 29L).foreach { id =>
+      val st = MultimodalOps.decodePngStats(id, MultimodalOps.buildPngImage(id))
+      if (id % 7 == 0) assert(!st.valid, s"id $id should quarantine (corrupt zlib)")
+      else {
+        assert(st.valid, s"id $id should decode")
+        val w = 8 + (id % 9).toInt; val h = 8 + ((id / 3) % 9).toInt
+        assert(st.width == w && st.height == h && st.n_px == w.toLong * h, s"id $id dims")
+        // recompute the channel sums from the shared pixel formulas
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (x <- 0 until w; y <- 0 until h) {
+          sr += ((x * 7L + y * 13L + id) % 256)
+          sg += ((x * 3L + y * 5L + 2 * id) % 256)
+          sb += ((x * 11L + y + 3 * id) % 256)
+        }
+        assert(st.sum_r == sr && st.sum_g == sg && st.sum_b == sb, s"id $id sums")
+      }
+    }
+  }
+
+  test("png pixel decode: structural damage quarantines, never crashes") {
+    val good = MultimodalOps.buildPngImage(1L)
+    def invalid(b: Array[Byte]): Boolean = !MultimodalOps.decodePngStats(9L, b).valid
+    assert(invalid(Array.emptyByteArray))
+    assert(invalid(good.take(20))) // truncated inside IHDR
+    val flippedCrc = good.clone(); flippedCrc(good.length - 5) = 0x55
+    assert(invalid(flippedCrc)) // IEND CRC mismatch
+    val flippedPixel = good.clone()
+    flippedPixel(44) = (flippedPixel(44) ^ 0x40).toByte // inside IDAT data
+    assert(invalid(flippedPixel)) // IDAT CRC catches payload damage
+    // a grayscale IHDR (colour type 0) is out of decode scope → quarantine
+    val gray = good.clone(); gray(25) = 0
+    assert(invalid(gray)) // (CRC now wrong too — either check quarantines)
+    // truncated deflate stream: rebuild with IDAT cut short but CRC valid
+    val cut = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 33) // sig + IHDR chunk
+      // locate IDAT in the original: sig(8) + IHDR(25) = offset 33
+      val idatLen = ((good(33) & 0xff) << 24) | ((good(34) & 0xff) << 16) |
+        ((good(35) & 0xff) << 8) | (good(36) & 0xff)
+      val short = java.util.Arrays.copyOfRange(good, 41, 41 + idatLen / 2)
+      def be32(v: Long): Unit = { out.write(((v >>> 24) & 0xff).toInt)
+        out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+        out.write((v & 0xff).toInt) }
+      be32(short.length.toLong)
+      out.write("IDAT".getBytes("US-ASCII")); out.write(short, 0, short.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IDAT".getBytes("US-ASCII")); crc.update(short)
+      be32(crc.getValue)
+      out.toByteArray
+    }
+    assert(invalid(cut))
+  }
+
+  test("wav pcm decode: sample stats round-trip the builder arithmetic") {
+    (0L to 14L).foreach { id =>
+      val st = MultimodalOps.decodeWavPcm(id, MultimodalOps.buildWavPcm(id))
+      if (id % 5 == 0) assert(!st.valid, s"id $id should quarantine (non-PCM)")
+      else {
+        assert(st.valid, s"id $id should decode")
+        val ch = 1 + (id % 2).toInt; val ns = 100L + (id % 200)
+        assert(st.n_samples == ns * ch, s"id $id count")
+        var sumSq = 0L; var peak = 0; var clipped = 0L
+        for (f <- 0L until ns; c <- 0 until ch) {
+          val s = (((f * 773L + id * 131L + c * 37L) % 65536L) - 32768L).toInt
+          sumSq += s.toLong * s
+          peak = math.max(peak, math.abs(s))
+          if (math.abs(s) >= 32256) clipped += 1
+        }
+        assert(st.sum_sq == sumSq && st.peak == peak && st.n_clipped == clipped,
+          s"id $id stats")
+      }
+    }
+  }
+
+  test("wav pcm decode: truncated data chunk quarantines") {
+    val good = MultimodalOps.buildWavPcm(1L)
+    assert(!MultimodalOps.decodeWavPcm(9L, good.take(good.length - 10)).valid)
+    assert(!MultimodalOps.decodeWavPcm(9L, good.take(40)).valid)
+    // odd declared data size (misaligned) quarantines
+    val odd = good.clone(); odd(41) = ((odd(41) & 0xff) + 1).toByte
+    assert(!MultimodalOps.decodeWavPcm(9L, odd).valid)
+  }
+
   test("builder -> parser round-trip matches the id arithmetic for all branches") {
     val filler = "filler text".getBytes("UTF-8")
     (0L to 20L).foreach { id =>
