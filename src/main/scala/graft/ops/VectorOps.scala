@@ -599,6 +599,61 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X27 (scale path #5) — residual IVF-PQ, the full FAISS IVFPQ recipe:
+    * PQ codebooks are trained on COARSE-QUANTIZER RESIDUALS (v − c(v)),
+    * not raw vectors. Residuals are much smaller than the vectors
+    * themselves (the coarse quantizer explains most of the magnitude),
+    * so the same 16-entry-per-subspace codebooks spend their precision
+    * on the within-cluster detail that actually ranks candidates —
+    * measured recall moves from the ~0.5 regime of the non-residual
+    * composition ([[x27fAnnIvfPq]]) to ≥0.7 (LlmOpsSpec floor). The ADC
+    * score adds back the per-(query, cluster) coarse term:
+    * ⟨q,v⟩ = ⟨q,c(v)⟩ + ⟨q,r_v⟩ ≈ qc + Σₘ LUT[qₘ, codeₘ(r_v)] — the
+    * query is NOT residualized (inner-product metric), and qc is one
+    * integer per probed (query, cluster), computed on the broadcast
+    * centroid table. Exact-cosine re-rank as everywhere in X27.
+    *
+    * Scale shape: identical to [[x27fAnnIvfPq]] — candidate generation
+    * is the probed-cluster equi-join, the scan reads [[PqM]] small ints
+    * per candidate plus one extra broadcast integer per probed pair; the
+    * residual encode is one broadcast join + row-local subtraction at
+    * index-build time. */
+  def x27hAnnIvfPqResidual(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    ivfPqResidualProbe(
+      e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      persistIvfCentroids(s, d), persistIvfIndexed(s, d),
+      persistResPqBooks(s, d), persistResPqCodes(s, d),
+      M = PqM, dims = 64, k = 5, nProbe = 4, refine = PqRefine)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The residual corpus: each indexed vector minus its cluster centroid,
+    * componentwise in DOUBLE then cast back to float — the exact IEEE
+    * operation sequence the oracle mirrors, so residuals are bit-equal
+    * cross-engine. Row-local after one broadcast join. */
+  @transient private val resCorpusCache = PerAppCache.newCache
+  private def persistResidualCorpus(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(resCorpusCache, s, d)(
+      persistIvfIndexed(s, d)
+        .join(broadcast(persistIvfCentroids(s, d)), "cid")
+        .select(col("vec_id"),
+          zip_with(col("embedding"), col("cemb"),
+            (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+            .as("embedding"))
+        .persist())
+  @transient private val resPqBookCache = PerAppCache.newCache
+  private def persistResPqBooks(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(resPqBookCache, s, d)(
+      pqCodebooks(s, persistResidualCorpus(s, d), M = PqM, K = 16)._1)
+  @transient private val resPqCodeCache = PerAppCache.newCache
+  private def persistResPqCodes(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(resPqCodeCache, s, d)(
+      pqAssign(subvecs(persistResidualCorpus(s, d), PqM, 64),
+        persistResPqBooks(s, d))
+        .select(col("vec_id"), col("m"), col("cid")).persist())
+
   /** `(vec_id, m, sub)` subvector relation: dimension m·dsub..m·dsub+dsub
     * of every vector, m ∈ 0..M−1 — a row-local posexplode, no shuffle. */
   private[graft] def subvecs(e: DataFrame, M: Int, dims: Int): DataFrame = {
@@ -752,6 +807,51 @@ object VectorOps {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  /** Residual-encoded IVF-PQ probe — the [[ivfPqProbe]] shape plus the
+    * coarse term: probes carry qc = round(⟨q, cemb⟩·10⁶) per probed
+    * (query, cluster); the ADC score is qc + the residual-codebook LUT
+    * sum (query subvectors RAW — inner-product metric residualizes only
+    * the database side). Tie-breaks match the other PQ paths. */
+  private[graft] def ivfPqResidualProbe(queries: DataFrame,
+      centroids: DataFrame, indexed: DataFrame, books: DataFrame,
+      codes: DataFrame, M: Int, dims: Int, k: Int, nProbe: Int,
+      refine: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val q = queries.toDF("q_id", "q_emb")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("q_emb"), col("cemb")))
+      .withColumn("qc",
+        round(dot_product(col("q_emb"), col("cemb")) * 1e6).cast("long"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("cid"), col("qc"))
+    val cand = probes.join(indexed.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qc"), col("vec_id"))
+    val lut = pqLut(q, books, M, dims)
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("shat").desc, col("vec_id"))
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "cid"))
+      .groupBy(col("q_id"), col("vec_id"), col("qc"))
+      .agg(sum(col("pdq")).as("sres"))
+      .withColumn("shat", col("qc") + col("sres"))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= refine)
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    adc
+      .join(indexed.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb")), "c_id")
+      .join(q, "q_id")
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .filter(col("sim").isNotNull) // zero vectors rank nowhere (see cosineTopK)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
   /** Packed-corpus brute-force top-k core — shared by the fixture query
     * above and the parametric API (TrainingData.cosineTopKPacked). Same
     * shape as the float baseline (stream side widened, query side
@@ -882,6 +982,7 @@ object VectorOps {
     "x27d_ann_packed" -> (x27dAnnPacked _),
     "x27e_ann_pq" -> (x27eAnnPq _),
     "x27f_ann_ivfpq" -> (x27fAnnIvfPq _),
+    "x27h_ann_ivfpq_residual" -> (x27hAnnIvfPqResidual _),
     "x27g_knn_graph" -> (x27gKnnGraph _),
     "x45_ivf_append" -> (x45IvfAppend _),
     "x40_semdedup" -> (x40SemDedup _),
@@ -1009,21 +1110,25 @@ object VectorOps {
        |  SELECT m, cid,
        |    list(CAST(${meanMicroSql("s", "n")} / 1000000.0 AS REAL) ORDER BY i) AS cemb
        |  FROM $sums GROUP BY m, cid)""".stripMargin
-  private lazy val pqBuildCtes: String =
+  /** The PQ build chain over any `(vec_id, embedding)` source relation —
+    * `embeddings` for the raw-vector indexes (x27e/x27f), the residual
+    * relation for x27h. */
+  private def pqBuildCtesOn(src: String): String =
     s"""sv AS (
        |  SELECT vec_id, m,
        |    list_transform(range(1, ${PqDsub + 1}), i -> embedding[m*$PqDsub + i]) AS sub
-       |  FROM embeddings CROSS JOIN range(0, $PqM) AS r(m)),
+       |  FROM $src CROSS JOIN range(0, $PqM) AS r(m)),
        |b0 AS (
        |  SELECT m, CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |    list_transform(range(1, ${PqDsub + 1}), i -> embedding[m*$PqDsub + i]) AS cemb
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+       |  FROM (SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT 16)
        |  CROSS JOIN range(0, $PqM) AS r(m)),
        |${pqAssignCte("b0", "a1")},
        |${pqUpdateCte("a1", "ps1", "b1")},
        |${pqAssignCte("b1", "a2")},
        |${pqUpdateCte("a2", "ps2", "b2")},
        |${pqAssignCte("b2", "codes")}""".stripMargin
+  private lazy val pqBuildCtes: String = pqBuildCtesOn("embeddings")
 
   /** The deterministic IVF build (seeds → 2 Lloyd iterations → final
     * centroids c2 + assignment asgf) over any `(vec_id, embedding)`
@@ -1106,6 +1211,65 @@ object VectorOps {
          |  JOIN codes c ON c.vec_id = cd.vec_id
          |  JOIN lut l ON l.q_id = cd.q_id AND l.m = c.m AND l.cid = c.cid
          |  GROUP BY cd.q_id, cd.vec_id),
+         |cands AS (
+         |  SELECT q_id, vec_id AS c_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY shat DESC, vec_id) AS rn
+         |    FROM shat)
+         |  WHERE rn <= $PqRefine),
+         |sims AS (
+         |  SELECT q_id, c_id, round(${cosSql("qe.embedding", "ce.embedding")}, 6) AS sim
+         |  FROM cands
+         |  JOIN embeddings qe ON qe.vec_id = q_id
+         |  JOIN embeddings ce ON ce.vec_id = c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims WHERE sim IS NOT NULL)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // residual IVF-PQ replay: the IVF chain verbatim, the residual
+    // relation (v − c(v) in DOUBLE, cast back to REAL — the same IEEE
+    // sequence the Spark zip_with evaluates), the PQ chain trained ON
+    // the residuals, a RAW-query subvector LUT (inner-product metric:
+    // only the database side is residualized), and the ADC sum with the
+    // per-(query, cluster) coarse term qc added back — every stage the
+    // Spark plan runs
+    "x27h_ann_ivfpq_residual" ->
+      s"""WITH $ivfBuildCtes,
+         |res AS (
+         |  SELECT a.vec_id,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cemb[i] AS DOUBLE) AS REAL)) AS embedding
+         |  FROM asgf a JOIN c2 c ON c.cid = a.cid),
+         |${pqBuildCtesOn("res")},
+         |qsv AS (
+         |  SELECT vec_id, m,
+         |    list_transform(range(1, ${PqDsub + 1}), i -> embedding[m*$PqDsub + i]) AS sub
+         |  FROM embeddings CROSS JOIN range(0, $PqM) AS r(m)
+         |  WHERE vec_id < 20),
+         |probes AS (
+         |  SELECT q_id, cid, qc FROM (
+         |    SELECT q.vec_id AS q_id, c.cid,
+         |      CAST(round(${dotSql("q.embedding", "c.cemb")} * 1000000, 0) AS BIGINT) AS qc,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN c2 c WHERE q.vec_id < 20)
+         |  WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.q_id, p.qc, a.vec_id
+         |  FROM probes p JOIN asgf a ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         |lut AS (
+         |  SELECT s.vec_id AS q_id, s.m, b.cid,
+         |    CAST(round(${d8Sql("s.sub", "b.cemb")} * 1000000, 0) AS BIGINT) AS pdq
+         |  FROM qsv s JOIN b2 b ON b.m = s.m),
+         |shat AS (
+         |  SELECT cd.q_id, cd.vec_id,
+         |    cd.qc + CAST(sum(pdq) AS BIGINT) AS shat
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN lut l ON l.q_id = cd.q_id AND l.m = c.m AND l.cid = c.cid
+         |  GROUP BY cd.q_id, cd.vec_id, cd.qc),
          |cands AS (
          |  SELECT q_id, vec_id AS c_id FROM (
          |    SELECT q_id, vec_id,

@@ -74,6 +74,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("residual IVF-PQ: recall >= 0.7, deterministic, exact sims") {
+    val brute = VectorOps.x27TopK(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val r1 = VectorOps.x27hAnnIvfPqResidual(spark, d).collect().map(_.toSeq)
+    val r2 = VectorOps.x27hAnnIvfPqResidual(spark, d).collect().map(_.toSeq)
+    assert(r1.sameElements(r2)) // both builds are integer-space-deterministic
+    val pairs = r1.map(r =>
+      ((r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]),
+        r(2).asInstanceOf[Double]))
+    // residual encoding is the recall lever: codebooks trained on
+    // coarse-quantizer residuals spend their 16 entries/subspace on the
+    // within-cluster detail, lifting the composed recall out of the
+    // ~0.5 regime of the non-residual x27f (floor leaves regeneration
+    // slack below the measured value)
+    val recall = (brute.map(_._1).toSet & pairs.map(_._1).toSet).size.toDouble / brute.size
+    assert(recall >= 0.7, s"residual IVF-PQ recall $recall below 0.7")
+    // emitted sims are the EXACT cosines (re-ranked, not ADC scores)
+    val exact = brute.toMap
+    pairs.foreach { case (pair, sim) =>
+      exact.get(pair).foreach(e => assert(e == sim, s"$pair: $sim vs exact $e"))
+    }
+  }
+
   test("IVF-PQ top-k: deterministic, exact sims, candidates confined to probed lists") {
     val brute = VectorOps.x27TopK(spark, d).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
