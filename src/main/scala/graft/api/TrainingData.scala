@@ -2084,6 +2084,22 @@ object TrainingData {
       lower(trim(regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", " ")))
         .as("norm_text"))
 
+  /** Decontamination normalization — the standard eval-set rule (the
+    * GPT-3 appendix-C recipe): lowercase, strip punctuation/symbols to
+    * spaces, collapse ALL whitespace, trim → (id, norm_text). Stronger
+    * than [[normalizeText]]: a re-punctuated or re-wrapped copy of an
+    * eval document normalizes to the identical token stream, so the
+    * downstream shingle containment scan ([[contaminationPairs]])
+    * catches it. The punctuation class is ASCII-non-alphanumeric spelled
+    * explicitly (Java∩RE2, oracle-replayable); non-ASCII letters pass
+    * through untouched. Pure row-local projection. */
+  def normalizeForDecontam(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[!-/:-@\\[-`{-~]", " "),
+        "[ \\t\\n\\r\\f]+", " ")).as("norm_text"))
+
   /** PII redaction → (id, redacted_text, n_redactions): email-,
     * URL-, and long-digit-run-shaped substrings are replaced with
     * `<EMAIL>`/`<URL>`/`<NUM>` placeholder tokens (the destructive

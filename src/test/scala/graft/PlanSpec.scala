@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
   private def treeCount(p: String, node: String): Int =
     p.linesIterator.count(_.contains(s"$node ("))
 
+  test("x33c split decontamination reads documents.parquet once (split persisted)") {
+    val p = plan("x33c_split_decontam")
+    // the split predicate is hash-derived (not pushdownable), so the
+    // train/test branches MUST share one materialized split relation —
+    // two parquet scans here would mean 2× corpus I/O at scale
+    assert(treeCount(p, "Scan parquet") <= 1, p)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+  }
+
   test("x31b hash sample is a pure scan+filter — no shuffle at all") {
     val p = plan("x31b_sample")
     // the sample itself adds no Exchange; the fixture's orderBy adds the

@@ -580,6 +580,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(!jac.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
   }
 
+  test("normalizeForDecontam catches re-punctuated/re-wrapped copies the raw scan misses") {
+    // the perturbation class decontamination normalization exists for:
+    // a training doc that carries an eval doc's content but re-cased,
+    // re-punctuated, and re-wrapped across lines
+    val probe = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val perturbed = "The, quick; brown... fox\njumps over\tthe lazy dog! near the\nriver bank today."
+    val corpus = Seq((100L, perturbed),
+      (101L, "totally unrelated content about something else entirely here"))
+      .toDF("id", "body")
+    val probes = Seq((1L, probe)).toDF("id", "body")
+    // raw scan: tokens split on single spaces, punctuation glued to
+    // words → shingles differ → the perturbed copy escapes
+    val raw = TrainingData.contaminationPairs(corpus, probes, "id", "body", 0.5)
+      .collect()
+    assert(raw.isEmpty, s"raw scan unexpectedly caught: ${raw.mkString}")
+    // normalized scan: both sides canonicalize to the same token stream
+    // → containment 1.0
+    val nc = TrainingData.normalizeForDecontam(corpus, "id", "body")
+    val np = TrainingData.normalizeForDecontam(probes, "id", "body")
+    val hits = TrainingData.contaminationPairs(nc, np, "id", "norm_text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
+  }
+
   test("dedupSurvivors keeps the highest-scoring member per cluster, singletons survive") {
     val docs = Seq(
       (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: 2 and 3 tie on score → min id 2
