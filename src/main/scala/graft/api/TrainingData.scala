@@ -1910,6 +1910,42 @@ object TrainingData {
         col("role").isin(trainRoles.map(x => x: Any): _*).as("train_on"))
   }
 
+  /** RLHF preference-pair assembly → (prompt_id, chosen_id, rejected_id,
+    * margin): per prompt, the top-rated response (ties → lowest id, the
+    * deterministic tie-break) is CHOSEN and every strictly-lower-rated
+    * response pairs against it as REJECTED with margin = rating gap —
+    * the (chosen, rejected) layout a DPO/RLHF reward trainer consumes.
+    * Responses tied with the chosen carry no preference signal and emit
+    * no pair; NULL-rated responses are dropped (an unrated response
+    * can't express a preference); a prompt with one (or zero) usable
+    * responses emits nothing. `minMargin` optionally drops weak
+    * preferences (margin below it) the way noisy-label filtering does.
+    *
+    * Scale shape: ONE window per prompt (the [[turnLossMasks]] pattern —
+    * a prompt's response set is the natural parallelism unit): the
+    * chosen row is a `first_value` over the full frame, so there is no
+    * self-join and no second shuffle; everything after the window is a
+    * row-local filter+projection. */
+  def preferencePairs(responses: DataFrame, promptCol: String,
+      idCol: String, ratingCol: String, minMargin: Double = 0.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prompt_id"))
+      .orderBy(col("rating").desc, col("response_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    responses
+      .select(col(promptCol).as("prompt_id"), col(idCol).as("response_id"),
+        col(ratingCol).cast("double").as("rating"))
+      .filter(col("rating").isNotNull)
+      .withColumn("chosen_id", first(col("response_id")).over(w))
+      .withColumn("chosen_rating", first(col("rating")).over(w))
+      .filter(col("rating") < col("chosen_rating"))
+      .withColumn("margin", round(col("chosen_rating") - col("rating"), 6))
+      .filter(col("margin") >= minMargin)
+      .select(col("prompt_id"), col("chosen_id"),
+        col("response_id").as("rejected_id"), col("margin"))
+  }
+
   /** Cross-source duplication matrix → (src_a, src_b, n_pairs): how many
     * near-duplicate pairs connect each unordered pair of sources — the
     * curation data-map that answers "which corpora duplicate each other"

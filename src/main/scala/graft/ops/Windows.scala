@@ -265,8 +265,21 @@ object Windows {
       Seq("purchase", "signup"))
       .orderBy(col("conv_id"), col("turn_idx"))
 
+  /** X56 — RLHF preference-pair assembly over the events fixture: each
+    * user's rated events stand in for a prompt's rated responses
+    * (user → prompt, event → response, value → reward-model rating);
+    * the top-rated event is chosen, every strictly-lower-rated one
+    * pairs against it with the rating gap as margin. Fixture binding of
+    * [[graft.api.TrainingData.preferencePairs]]. */
+  def x56PreferencePairs(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.preferencePairs(
+      t(s, d, "events").select(col("user_id"), col("event_id"), col("value")),
+      "user_id", "event_id", "value")
+      .orderBy(col("prompt_id"), col("rejected_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x54_turn_masks" -> (x54TurnMasks _),
+    "x56_preference_pairs" -> (x56PreferencePairs _),
     "q27_funnel" -> (q27Funnel _),
     "q28_retention" -> (q28Retention _),
     "q11_rollup" -> (q11Rollup _),
@@ -281,6 +294,26 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // preference pairs: the chosen row is a full-frame first_value over
+    // (rating DESC, id) — the same single window the Spark plan runs;
+    // ties with the chosen and NULL ratings emit nothing
+    "x56_preference_pairs" ->
+      """WITH r AS (
+        |  SELECT user_id AS prompt_id, event_id AS response_id,
+        |    CAST(value AS DOUBLE) AS rating
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT prompt_id, response_id, rating,
+        |    first_value(response_id) OVER win AS chosen_id,
+        |    first_value(rating) OVER win AS chosen_rating
+        |  FROM r
+        |  WINDOW win AS (PARTITION BY prompt_id
+        |    ORDER BY rating DESC, response_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT prompt_id, chosen_id, response_id AS rejected_id,
+        |  round(chosen_rating - rating, 6) AS margin
+        |FROM w WHERE rating < chosen_rating
+        |ORDER BY prompt_id, rejected_id""".stripMargin,
     // turn masks: same token spelling as the text oracles, running
     // cumsum + row_number over the unique (ts, event_id) order; window
     // sum(BIGINT) promotes to HUGEINT in DuckDB — cast back

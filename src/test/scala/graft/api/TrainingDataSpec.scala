@@ -604,6 +604,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("preferencePairs: deterministic chosen, ties/nulls/singletons emit nothing") {
+    val responses = Seq(
+      ("pA", 3L, java.lang.Double.valueOf(5.0)), // ties with 1 on rating → 1 chosen (min id)
+      ("pA", 1L, java.lang.Double.valueOf(5.0)),
+      ("pA", 2L, java.lang.Double.valueOf(3.0)),
+      ("pA", 4L, null.asInstanceOf[java.lang.Double]), // unrated → dropped
+      ("pB", 7L, java.lang.Double.valueOf(1.0)),       // singleton → no pair
+      ("pC", 8L, java.lang.Double.valueOf(2.0)),
+      ("pC", 9L, java.lang.Double.valueOf(0.5))
+    ).toDF("prompt", "rid", "score")
+    val out = TrainingData.preferencePairs(responses, "prompt", "rid", "score")
+      .orderBy("prompt_id", "rejected_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // pA: chosen=1 (tie-break to lowest id), only id 2 is strictly worse
+    // (3 ties with the chosen → no signal, 4 unrated → dropped);
+    // pB: nothing; pC: 8 over 9
+    assert(out.toSeq == Seq(("pA", 1L, 2L, 2.0), ("pC", 8L, 9L, 1.5)), out.mkString)
+    // minMargin drops the weak pC preference
+    val strong = TrainingData.preferencePairs(responses, "prompt", "rid", "score",
+        minMargin = 1.6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(strong.toSeq == Seq(("pA", 1L, 2L)), strong.mkString)
+  }
+
   test("dedupSurvivors keeps the highest-scoring member per cluster, singletons survive") {
     val docs = Seq(
       (1L, 10.0), (2L, 30.0), (3L, 30.0), // cluster {1,2,3}: 2 and 3 tie on score → min id 2
