@@ -196,7 +196,36 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
     retries.addAndGet(r)
   }
 
+  // Pacing-fidelity histogram: per-record lag-vs-schedule in 1 ms
+  // buckets 0..1999 plus an overflow bucket — bounded memory (16 KB),
+  // lock-free, shared across sink partitions like the counters. On-time
+  // records (the pacer slept; gap ≤ 0) land in bucket 0, so percentiles
+  // read directly as "how far behind schedule delivery ran".
+  private val LagBuckets = 2000
+  private val lagHist =
+    new java.util.concurrent.atomic.AtomicLongArray(LagBuckets + 1)
+
+  /** `p` ∈ (0, 1] percentile of recorded lags, ms; lags ≥ [[LagBuckets]]
+    * saturate to LagBuckets (read "≥2000"). −1 when nothing recorded. */
+  def lagPercentileMs(p: Double): Long = {
+    var n = 0L
+    var i = 0
+    while (i <= LagBuckets) { n += lagHist.get(i); i += 1 }
+    if (n == 0) return -1L
+    val target = math.ceil(p * n).toLong
+    var seen = 0L
+    i = 0
+    while (i <= LagBuckets) {
+      seen += lagHist.get(i)
+      if (seen >= target) return i.toLong
+      i += 1
+    }
+    LagBuckets.toLong
+  }
+
   def record(lagMs: Long, highWaterMs: Long): Unit = {
+    lagHist.incrementAndGet(
+      math.min(math.max(lagMs, 0L), LagBuckets.toLong).toInt)
     total.incrementAndGet()
     window.incrementAndGet()
     val now = System.currentTimeMillis()
@@ -221,6 +250,8 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
     total.set(0); window.set(0); windowStart.set(System.currentTimeMillis())
     requests.set(0); retries.set(0)
     queueGauge = () => 0; queueCapacity = 0; forcedGauge = () => 0L
+    var i = 0
+    while (i <= LagBuckets) { lagHist.set(i, 0L); i += 1 }
   }
 }
 

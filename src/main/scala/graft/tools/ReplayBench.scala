@@ -112,6 +112,41 @@ object ReplayBench {
     // pass 3 (curve flattens) and the fixture is freshly written tmpfs,
     // so page cache is warm for every pass
     val note = "median over passes 3+ (JIT settled); residual spread is GC scheduling, not JIT or page cache"
-    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gen_seconds":${r2(genSec)},"note":"$note"}"""
+
+    // pacing-FIDELITY pass: the throughput passes above disable pacing
+    // (speedup ~2^61 — sleeps never fire), so they say nothing about how
+    // closely the paced sink tracks its schedule. One extra pass at a
+    // real speedup where pacing binds: 10 000× over the fixture's 25 ms
+    // spacing = one event due every 2.5 µs (~400 k ev/s demand, under
+    // the measured ~600 k capability, so the pacer — not throughput — is
+    // what's being measured), with the schedule anchored far enough
+    // ahead that scan+parse+sort spin-up doesn't count against it (the
+    // reference's initial fill() buffering has the same effect). p50/p99
+    // lag-vs-schedule come from the ReplayStats histogram every paced
+    // record already feeds.
+    val PacingSpeedup = 10000.0
+    val pacingJson = {
+      val grace = 3000L
+      val pacedCfg = ReplayConfig(inputPath = dir.toString,
+        speedupFactor = PacingSpeedup,
+        ingestionStartMs = Some(System.currentTimeMillis() + grace),
+        senderParallelism = 32,
+        // keep stdout clean for the Bench one-JSON-line contract: the
+        // histogram fills regardless of the stats-line cadence
+        statisticsFrequencyMillis = Long.MaxValue)
+      ReplayStats.configureShared(Long.MaxValue, _ => ())
+      ReplayStats.shared.reset()
+      System.gc()
+      val t0 = System.nanoTime()
+      val sentPaced = ReplayJob.run(spark, pacedCfg, CountingSender)
+      val pacedSec = (System.nanoTime() - t0) / 1e9
+      require(sentPaced == n, s"paced pass dropped rows: sent $sentPaced of $n")
+      val p50 = ReplayStats.shared.lagPercentileMs(0.50)
+      val p99 = ReplayStats.shared.lagPercentileMs(0.99)
+      val p999 = ReplayStats.shared.lagPercentileMs(0.999)
+      s""""pacing":{"speedup":${math.round(PacingSpeedup)},"p50_lag_ms":$p50,"p99_lag_ms":$p99,"p999_lag_ms":$p999,"paced_seconds":${r2(pacedSec)},"schedule_grace_ms":$grace}"""
+    }
+
+    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gen_seconds":${r2(genSec)},$pacingJson,"note":"$note"}"""
   }
 }

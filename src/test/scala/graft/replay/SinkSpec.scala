@@ -235,6 +235,20 @@ class SinkSpec extends AnyFunSuite {
     } finally ReplayStats.configureShared(Long.MaxValue, _ => ())
   }
 
+  test("lag histogram percentiles: on-time clamps to 0, overflow saturates, reset clears") {
+    val st = new ReplayStats(Long.MaxValue, _ => ())
+    assert(st.lagPercentileMs(0.5) == -1L) // empty
+    // 50 on-time (negative gap = the pacer slept), 49 at 10 ms, 1 wild
+    (1 to 50).foreach(_ => st.record(-3L, 0L))
+    (1 to 49).foreach(_ => st.record(10L, 0L))
+    st.record(999999L, 0L)
+    assert(st.lagPercentileMs(0.50) == 0L) // half delivered on schedule
+    assert(st.lagPercentileMs(0.99) == 10L)
+    assert(st.lagPercentileMs(1.0) == 2000L) // saturated overflow bucket
+    st.reset()
+    assert(st.lagPercentileMs(0.5) == -1L)
+  }
+
   test("reflective call resolves overloads exactly, not by getMethods order") {
     import KinesisRecordSender.call
     // exact-match pass: a Long argument must bind m(long), not m(Object),
