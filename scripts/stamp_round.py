@@ -26,14 +26,18 @@ with open('replay_bench.json') as f:
 # freshness: Bench writes replay_bench.json best-effort BEFORE the sweep
 # (a replay failure must not kill the query sweep), so a failed replay
 # leaves a stale file behind — refuse to stamp round N-1 throughput as
-# round N. The two files come from the same run iff replay predates
-# bench_out by less than one sweep's duration.
-import os
-age_gap = os.path.getmtime('bench_out.json') - os.path.getmtime('replay_bench.json')
-assert -60 < age_gap < 1800, (
-    f'replay_bench.json is {age_gap:.0f}s older than bench_out.json — '
-    f'stale artifact from a previous run (the replay pass likely failed); '
-    f'not stamping')
+# round N. Bench embeds ONE run_id in both artifacts; they come from the
+# same invocation iff the ids match. (Replaces the old mtime-window
+# inference, which falsely aborted on >30-min sweeps and was meaningless
+# on fresh checkouts/copies with reset mtimes.)
+bench_id = bench.get('run_id')
+replay_id = replay.get('run_id')
+assert bench_id, 'bench_out.json carries no run_id — regenerate with current Bench'
+assert replay_id, ('replay_bench.json carries no run_id — stale artifact from a '
+                   'previous run (the replay pass likely failed); not stamping')
+assert bench_id == replay_id, (
+    f'run_id mismatch: bench_out.json {bench_id} vs replay_bench.json '
+    f'{replay_id} — artifacts are from different runs; not stamping')
 
 # the round-7/8 advice item: a stamped artifact must hold the full parsed
 # per-query map, not a truncated stdout tail

@@ -4,6 +4,11 @@ import graft.tools.BenchSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // one id per Bench invocation, embedded in BOTH artifacts
+    // (replay_bench.json and bench_out.json) so the stamp script can
+    // assert they came from the same run instead of inferring freshness
+    // from file mtimes (which a >30-min sweep or a fresh checkout broke)
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     val spark = BenchSession.open()
     // replay-path throughput (the reference's actual capability) gets the
     // same per-round regression visibility as the SQL surface: a bounded
@@ -22,7 +27,7 @@ object Bench {
       val prevTz = spark.conf.getOption("spark.sql.session.timeZone")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       try {
-        val replayLine = graft.tools.ReplayBench.runOn(spark, 1000000L)
+        val replayLine = graft.tools.ReplayBench.runOn(spark, 1000000L, runId)
         BenchSession.writeArtifact("replay_bench.json", replayLine)
         System.err.println(s"[bench] replay: $replayLine")
       } finally prevTz match {
@@ -116,7 +121,7 @@ object Bench {
     // derive README's coverage counts from the SAME bytes it stamps —
     // one writer, no hand-maintained numbers to drift
     val common =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
+      s""""metric":"total","value":$total,"unit":"sec","run_id":"$runId","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
     println(s"{$common}")
     BenchSession.writeArtifact("bench_out.json",
       s"""{$common,"timings":$pairs}""")

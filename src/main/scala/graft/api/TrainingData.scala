@@ -1899,11 +1899,20 @@ object TrainingData {
     require(orderCols.nonEmpty, "need at least one ordering column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(convCol)).orderBy(orderCols.map(col): _*)
+    // the token cumsum runs over a ROWS frame, not the default RANGE
+    // frame: under the documented unique-orderCols contract they agree,
+    // but if a caller violates it (tied order keys), RANGE would give
+    // tied rows the same tok_end while row_number stays distinct —
+    // silently overlapping/negative-width offsets; ROWS keeps the
+    // offsets tiling consistently even under ties
+    val wRows = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
     turns
       .select(col(convCol) +: orderCols.map(col) :+ col(roleCol).as("role") :+
         size(DedupOps.tokens(col(textCol))).cast("long").as("n_toks"): _*)
       .withColumn("turn_idx", row_number().over(w))
-      .withColumn("tok_end", sum(col("n_toks")).over(w))
+      .withColumn("tok_end", sum(col("n_toks")).over(wRows))
       .select(col(convCol).as("conv_id"), col("turn_idx"), col("role"),
         col("n_toks"), (col("tok_end") - col("n_toks")).as("tok_start"),
         col("tok_end"),
@@ -1955,7 +1964,10 @@ object TrainingData {
     * (exact Jaccard, MinHash-LSH, embedding — they all emit this shape);
     * sources attach by equi-join and the unordered key is
     * (least, greatest), so (A,B) and (B,A) pairs accumulate together and
-    * within-source duplication shows up on the diagonal.
+    * within-source duplication shows up on the diagonal. Pair ids absent
+    * from `docs` (or with NULL source) fold into an explicit `'unknown'`
+    * source, so Σ n_pairs always equals |pairs| — conservation holds by
+    * construction rather than by an unstated coverage assumption.
     *
     * Scale shape: the pair relation is already candidate-bounded (LSH/
     * banding upstream — never all-pairs), the two source attaches are
@@ -1964,9 +1976,18 @@ object TrainingData {
   def crossSourceDupMatrix(pairs: DataFrame, docs: DataFrame,
       idCol: String, srcCol: String): DataFrame = {
     val src = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    // LEFT joins + an explicit 'unknown' source: an inner join would
+    // silently DROP any pair whose id is absent from docs (or whose
+    // source is NULL), so the matrix would under-count and the
+    // pair-count conservation property (Σ n_pairs == |pairs|) would
+    // break without a visible symptom. Unresolved ids fold into
+    // 'unknown' rows instead — dropped coverage is a visible matrix
+    // entry, not a silent subtraction.
     pairs.select(col("d1"), col("d2"))
-      .join(src.select(col("__id").as("d1"), col("__src").as("s1")), "d1")
-      .join(src.select(col("__id").as("d2"), col("__src").as("s2")), "d2")
+      .join(src.select(col("__id").as("d1"), col("__src").as("s1")), Seq("d1"), "left")
+      .join(src.select(col("__id").as("d2"), col("__src").as("s2")), Seq("d2"), "left")
+      .select(coalesce(col("s1"), lit("unknown")).as("s1"),
+        coalesce(col("s2"), lit("unknown")).as("s2"))
       .groupBy(least(col("s1"), col("s2")).as("src_a"),
         greatest(col("s1"), col("s2")).as("src_b"))
       .agg(count(lit(1)).as("n_pairs"))

@@ -139,6 +139,12 @@ object StreamingOps {
     * closed, so at most (watermark delay / gap) + 1 islands per user. */
   final case class OpenSessions(islands: List[SessState])
   val SessionGapMs = 1800000L
+  /** The watermark delay [[sessionsWithState]] declares — ONE constant
+    * shared with the x55 sentinel arithmetic below: the sentinel must
+    * outrun session timeout + this delay, and a delay changed in only
+    * one place would fail the gate as a confusing row-count mismatch. */
+  val WatermarkDelayMs = 1800000L
+  private val WatermarkDelayStr = s"${WatermarkDelayMs / 60000} minutes"
 
   def sessionsWithState(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
@@ -155,7 +161,7 @@ object StreamingOps {
       }.reverse
 
     events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", WatermarkDelayStr)
       // the watermarked column itself must flow into the stateful op
       // (the analyzer rejects event-time timeouts otherwise)
       .select(col("user_id"), col("ts"))
@@ -420,11 +426,13 @@ object StreamingOps {
       try {
         mem.addData(evs.toSeq.map { case (u, t) => (u, new java.sql.Timestamp(t)) })
         q.processAllAvailable()
-        // one sentinel far past every real session's timeout + the 30-min
-        // watermark delay: the watermark moves, the no-data batch fires
-        // every pending timeout
+        // one sentinel far past every real session's timeout + the
+        // declared watermark delay (the SHARED WatermarkDelayMs constant,
+        // so a changed delay moves both sides together): the watermark
+        // moves, the no-data batch fires every pending timeout
         mem.addData(Seq((-1L,
-          new java.sql.Timestamp(maxTs + SessionGapMs + 2 * 1800000L + 1000L))))
+          new java.sql.Timestamp(
+            maxTs + SessionGapMs + 2 * WatermarkDelayMs + 1000L))))
         q.processAllAvailable()
       } finally q.stop()
       val out = s.table(view).filter(col("user_id") >= 0)

@@ -25,6 +25,7 @@ object CountingSender extends RecordSender {
 object ReplayBench {
   def main(args: Array[String]): Unit = {
     val requested = if (args.length > 0) args(0).toLong else 2000000L
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft-replay-bench")
@@ -33,7 +34,7 @@ object ReplayBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val line = runOn(spark, requested)
+    val line = runOn(spark, requested, runId)
     println(line)
     // same durability contract as Bench: the number survives stdout loss
     BenchSession.writeArtifact("replay_bench.json", line)
@@ -44,9 +45,9 @@ object ReplayBench {
     * session so the per-round artifact costs one warm pass, not a second
     * JVM): generates the fixture, runs cold+warm, cleans up, returns the
     * one-line JSON. */
-  def runOn(spark: SparkSession, requested: Long): String = {
+  def runOn(spark: SparkSession, requested: Long, runId: String = ""): String = {
     val dir = Files.createTempDirectory("replay_bench")
-    try runOnFixture(spark, requested, dir)
+    try runOnFixture(spark, requested, dir, runId)
     finally {
       // always delete the ~1M-event fixture — Bench swallows replay
       // failures by design, and a leaked temp dir per round fills /tmp
@@ -58,7 +59,7 @@ object ReplayBench {
   }
 
   private def runOnFixture(spark: SparkSession, requested: Long,
-      dir: java.nio.file.Path): String = {
+      dir: java.nio.file.Path, runId: String = ""): String = {
     // deterministic minified JSON fixture, 16 files for parallel scan
     val files = 16
     val perFile = requested / files
@@ -147,6 +148,9 @@ object ReplayBench {
       s""""pacing":{"speedup":${math.round(PacingSpeedup)},"p50_lag_ms":$p50,"p99_lag_ms":$p99,"p999_lag_ms":$p999,"paced_seconds":${r2(pacedSec)},"schedule_grace_ms":$grace}"""
     }
 
-    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gen_seconds":${r2(genSec)},$pacingJson,"note":"$note"}"""
+    // the shared run id lets the stamp script assert this artifact and
+    // bench_out.json came from one Bench invocation (no mtime inference)
+    val runIdJson = if (runId.nonEmpty) s""","run_id":"$runId"""" else ""
+    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gen_seconds":${r2(genSec)},$pacingJson$runIdJson,"note":"$note"}"""
   }
 }

@@ -604,6 +604,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("crossSourceDupMatrix conserves pair counts; unresolved ids fold into 'unknown'") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 99L), (98L, 99L)).toDF("d1", "d2")
+    val docs = Seq((1L, "web"), (2L, "books"), (3L, "web"),
+      (4L, null.asInstanceOf[String])).toDF("id", "src")
+    val m = TrainingData.crossSourceDupMatrix(pairs, docs, "id", "src")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // ids 98/99 are absent from docs → 'unknown' rows, not dropped
+    assert(m == Map(("books", "web") -> 1L, ("web", "web") -> 1L,
+      ("books", "unknown") -> 1L, ("unknown", "unknown") -> 1L), m)
+    // conservation: every input pair appears in exactly one cell
+    assert(m.values.sum == 4L)
+  }
+
   test("preferencePairs: deterministic chosen, ties/nulls/singletons emit nothing") {
     val responses = Seq(
       ("pA", 3L, java.lang.Double.valueOf(5.0)), // ties with 1 on rating → 1 chosen (min id)

@@ -257,6 +257,35 @@ class LlmOpsSpec extends SparkSpec {
       s"no domain separation: en ${tgt.sum / tgt.size} vs ${rest.sum / rest.size}")
   }
 
+  test("dsirWeights (xxhash64 default) agrees with the portable twin on structure") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val isT = col("lang") === "en"
+    val pub = graft.api.TrainingData.dsirWeights(docs, "doc_id", "text", isT)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val port = graft.api.TrainingData
+      .dsirWeightsPortable(docs, "doc_id", "text", isT)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // same scored doc set and identical per-doc n_feats: the bucket hash
+    // (xxhash64 vs sha16) must not change WHICH features exist, only
+    // where they land — a pmod/bucket-assignment bug shows up here
+    assert(pub.keySet == port.keySet)
+    pub.foreach { case (id, (n, _)) =>
+      assert(n == port(id)._1, s"doc $id n_feats: public $n vs portable ${port(id)._1}")
+    }
+    // and the public path satisfies the same model invariant the x49
+    // gate proves for the portable one: target docs outscore the rest
+    val side = graft.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), isT.as("t")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val tgt = pub.collect { case (id, (_, w)) if side(id) => w }
+    val rest = pub.collect { case (id, (_, w)) if !side(id) => w }
+    assert(tgt.nonEmpty && rest.nonEmpty)
+    assert(tgt.sum / tgt.size > rest.sum / rest.size,
+      s"no domain separation on the xxhash64 path")
+  }
+
   test("packed int8 top-k recalls the float top-k (quantization error only)") {
     val brute = pairSet(VectorOps.x27TopK(spark, d).select("q_id", "c_id").collect())
     val packed = pairSet(VectorOps.x27dAnnPacked(spark, d).select("q_id", "c_id").collect())
