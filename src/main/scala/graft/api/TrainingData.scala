@@ -97,9 +97,10 @@ object TrainingData {
     * are w = tf·idf_milli ≤ ~3e8 even at 10^12 docs, so Σw² stays well
     * inside a BIGINT for any real document. */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxDfFraction: Double = 0.5): DataFrame =
+      threshold: Double, maxDfFraction: Double = 0.5,
+      maxDf: Long = 1000L): DataFrame =
     tfidfCosinePairsFromWeights(
-      tfidfWeights(docs, idCol, textCol, maxDfFraction), threshold)
+      tfidfWeights(docs, idCol, textCol, maxDfFraction, maxDf), threshold)
 
   /** The `(doc_id, tok, w)` quantized tf·idf weight relation of a corpus
     * — [[tfidfCosinePairs]]'s build input, split out (like [[shingles]])
@@ -108,7 +109,7 @@ object TrainingData {
     * `.persist()` it, and use [[tfidfCosinePairsFromWeights]] when the
     * corpus is large. */
   def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
-      maxDfFraction: Double = 0.5): DataFrame = {
+      maxDfFraction: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), " ")).as("tok"))
@@ -116,8 +117,19 @@ object TrainingData {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // TWO df cuts, different jobs. The FRACTION cut is the tf-idf
+    // stopword rule (a token in half the corpus carries no signal). The
+    // ABSOLUTE cap is the scale bound: the downstream posting-list
+    // self-join costs Σ_tok df², and a relative-only cut lets that grow
+    // quadratically with corpus size (threshold grows with N, so
+    // mid-frequency tokens keep 1%-of-N-long posting lists — measured
+    // 776× at a 10× scale-up). Capping df absolutely bounds the join at
+    // maxDf · |postings| — LINEAR in the corpus. Tokens above the cap
+    // are ipso facto poor near-dup evidence (idf ≤ ln(N/maxDf) is the
+    // corpus's lowest), so the cut sharpens precision as it bounds cost.
     tf.join(dfRel, "tok").crossJoin(broadcast(n))
-      .filter(col("df") <= col("n_docs") * lit(maxDfFraction))
+      .filter(col("df") <= least(col("n_docs") * lit(maxDfFraction),
+        lit(maxDf)))
       .select(col("doc_id"), col("tok"),
         (col("tf") * round(log(col("n_docs").cast("double") / col("df")) * 1000)
           .cast("long")).as("w"))
@@ -1033,6 +1045,21 @@ object TrainingData {
     VectorOps.embNearDupLshCore(
       corpus.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
       threshold, tables, bits)
+
+  /** Bucket-bit sizing for [[embeddingNearDupPairs]] at a given corpus
+    * size: SRP-LSH candidate cost is Σ bucket², so FIXED bits go
+    * quadratic as the corpus grows (occupancy ∝ n/2^bits → pairs ∝
+    * n²/2^bits; measured 186× at a 10× scale-up under the fixture's 4
+    * bits). Sizing bits so the EXPECTED bucket occupancy stays at
+    * `targetBucket` keeps candidates ≈ tables·n·targetBucket/2 — linear
+    * in n. Recall at the same threshold drops as bits grow (the SRP
+    * collision curve p = (1 − θ/π)^bits); compensate with more tables
+    * when recall matters more than cost. */
+  def srpBitsFor(corpusSize: Long, targetBucket: Long = 64L): Int = {
+    require(corpusSize > 0 && targetBucket > 0)
+    math.max(4, math.ceil(
+      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt)
+  }
 
   /** PQ + ADC approximate top-k — the memory-bandwidth form of
     * [[cosineTopK]] for corpora where even int8 vectors exceed the scan

@@ -818,7 +818,7 @@ object DedupOps {
         |  SELECT doc_id, tok,
         |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) AS w
         |  FROM tf JOIN dfr USING (tok) CROSS JOIN n
-        |  WHERE df <= n_docs * 0.5),
+        |  WHERE df <= least(n_docs * 0.5, 1000)),
         |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
         |          FROM w GROUP BY 1),
         |dots AS (

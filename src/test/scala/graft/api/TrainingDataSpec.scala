@@ -604,6 +604,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("tfidfWeights absolute df cap bounds posting lists independent of corpus size") {
+    // 12 docs; "common" appears in 10 (df 10), "rare" in 2 (df 2).
+    // fraction cut alone (0.9) keeps both; the absolute cap 5 must
+    // drop "common" — the posting-list bound that keeps the pair join
+    // linear at scale — while "rare" survives
+    val docs = (1L to 12L).map(i =>
+      (i, if (i <= 10) s"common filler$i" else s"rare filler$i")).toDF("id", "body")
+    val toks = TrainingData.tfidfWeights(docs, "id", "body",
+        maxDfFraction = 0.9, maxDf = 5L)
+      .select("tok").collect().map(_.getString(0)).toSet
+    assert(!toks.contains("common"), toks.mkString(","))
+    assert(toks.contains("rare"))
+    // and with the cap above every df, the fraction rule alone governs
+    val uncapped = TrainingData.tfidfWeights(docs, "id", "body",
+        maxDfFraction = 0.9, maxDf = Long.MaxValue)
+      .select("tok").collect().map(_.getString(0)).toSet
+    assert(uncapped.contains("common"))
+  }
+
+  test("srpBitsFor sizes bucket bits to corpus for constant expected occupancy") {
+    assert(TrainingData.srpBitsFor(64) == 4)   // floor
+    assert(TrainingData.srpBitsFor(5000) == 7) // log2(5000/64) = 6.3 → 7
+    assert(TrainingData.srpBitsFor(50000) == 10)
+    assert(TrainingData.srpBitsFor(50000, targetBucket = 512) == 7)
+    // occupancy target holds: n / 2^bits <= targetBucket (within the
+    // ceil slack), so candidate pairs stay ~tables·n·target/2 — linear
+    Seq(100L, 10000L, 1000000L).foreach { n =>
+      val b = TrainingData.srpBitsFor(n)
+      assert(n.toDouble / (1L << b) <= 64.0, s"n=$n bits=$b")
+    }
+  }
+
   test("crossSourceDupMatrix conserves pair counts; unresolved ids fold into 'unknown'") {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 99L), (98L, 99L)).toDF("d1", "d2")
     val docs = Seq((1L, "web"), (2L, "books"), (3L, "web"),
