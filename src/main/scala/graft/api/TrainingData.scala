@@ -1625,6 +1625,82 @@ object TrainingData {
       transform(array_sort(collect_list(struct(col("start_off"), col("id")))),
         s => s.getField("id")).as("doc_ids"))
 
+  /** Packed-bin SEGMENT layout over a [[packSequences]] assignment →
+    * (bin, doc_id, seg_idx, seg_start, seg_len, tok_from): for every
+    * (bin, document) pair the concat-and-chunk layout places tokens in,
+    * the within-bin token range occupied (`seg_start`, `seg_len`) and
+    * which slice of the document it is (`tok_from`, 0-based; `seg_idx`
+    * orders a document's segments across the bins it spans). This is the
+    * attention-boundary layout a pretraining dataloader consumes:
+    * segments tile every bin exactly (spec-asserted), so cross-document
+    * attention masks and position-id resets fall out of
+    * (bin, seg_start, seg_len) directly — X32's manifest (x32c) says
+    * WHICH docs a batch holds, this says WHERE each one sits.
+    * Zero-token docs occupy no positions and emit nothing.
+    *
+    * Scale shape: row-local over the assignment — the bin span is a
+    * per-row sequence explode bounded by ⌈n_tokens/budget⌉ + 1, no
+    * shuffle beyond what [[packSequences]] already did. */
+  def packedSegments(assignment: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val bdg = lit(budgetTokens)
+    assignment
+      .select(col("id").as("doc_id"), col("n_tokens"), col("start_off"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", col("start_off") + col("n_tokens"))
+      .withColumn("first_bin", expr(s"start_off div ${budgetTokens}L"))
+      .withColumn("bin",
+        explode(sequence(col("first_bin"),
+          expr(s"(start_off + n_tokens - 1) div ${budgetTokens}L"))))
+      .withColumn("bin_lo", col("bin") * bdg)
+      .withColumn("seg_from", greatest(col("start_off"), col("bin_lo")))
+      .select(col("bin"), col("doc_id"),
+        (col("bin") - col("first_bin")).cast("int").as("seg_idx"),
+        (col("seg_from") - col("bin_lo")).as("seg_start"),
+        (least(col("end_off"), col("bin_lo") + bdg) - col("seg_from"))
+          .as("seg_len"),
+        (col("seg_from") - col("start_off")).as("tok_from"))
+  }
+
+  /** Deterministic weighted source interleave → (doc_id, source,
+    * src_rank, pos): the training-time READING ORDER that mixes sources
+    * at their target rates — consuming rows by ascending `pos` yields
+    * ~`w_a : w_b` documents from sources a, b in every window of the
+    * stream (the batch-level mixing schedule next to X39's corpus-level
+    * budget mixing: X39 decides WHICH docs/epochs, this decides WHEN).
+    * Within a source, documents are ordered content-addressedly
+    * (hash16(id), id — a deterministic shuffle, so the schedule is
+    * reproducible across runs/engines/partitionings and no correlated
+    * id-order leaks into training). `pos = src_rank / weight` is one
+    * IEEE division — exact in both engines; interleaving follows from
+    * the classic rate-pacing argument (source a's k-th doc sits at
+    * k/w_a). Docs whose source is not in `weights` are EXCLUDED (weight
+    * zero) — the same contract as a mixture recipe omitting a source.
+    *
+    * Scale shape: one window per source (high-cardinality partitioning
+    * is the caller's source granularity) + a broadcast weight join; the
+    * global order is carried by the `pos` KEY, never materialized as a
+    * single-partition row number — consumers range-partition on pos. */
+  def interleaveBySource(docs: DataFrame, idCol: String, srcCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"every interleave weight must be > 0: $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate source in weights: $weights")
+    val s = docs.sparkSession
+    import s.implicits._
+    val wrel = weights.toDF("source", "wt")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .join(broadcast(wrel), "source")
+      .withColumn("hk", hash16(col("doc_id")))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("src_rank"),
+        (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
+  }
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

@@ -140,6 +140,26 @@ object SamplingOps {
         array_join(transform(col("doc_ids"), _.cast("string")), ","))
       .orderBy(col("bin"))
 
+  /** X32 — packed-bin segment layout: where each document's tokens sit
+    * within each 2048-token bin (the attention-boundary map next to
+    * x32c's membership manifest). Fixture binding of
+    * [[graft.api.TrainingData.packedSegments]]. */
+  def x32dPackSegments(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.packedSegments(
+      graft.api.TrainingData.packSequences(
+        t(s, d, "documents"), "doc_id", "text", 2048L), 2048L)
+      .orderBy(col("bin"), col("seg_start"), col("doc_id"))
+
+  /** X57 — deterministic weighted source interleave: a 5/3/2
+    * reading-order schedule over three fixture sources (the rest are
+    * outside the recipe and excluded — the weight-zero contract).
+    * Fixture binding of [[graft.api.TrainingData.interleaveBySource]]. */
+  def x57SourceInterleave(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.interleaveBySource(
+      t(s, d, "documents").select(col("doc_id"), col("source")),
+      "doc_id", "source", Seq(("src1", 5), ("src2", 3), ("src3", 2)))
+      .orderBy(col("pos"), col("source"), col("doc_id"))
+
   /** X39 — deterministic corpus mixture: 50/30/20 token-weighted blend
     * of three sources at a 2000-token budget. Fixture binding of
     * [[graft.api.TrainingData.mixByTokenBudget]]; the per-source keep
@@ -215,7 +235,9 @@ object SamplingOps {
     "x31c_stratified" -> (x31cStratified _),
     "x31d_quality_cut" -> (x31dQualityCut _),
     "x31g_quality_cut_approx" -> (x31gQualityCutApprox _),
-    "x32_seqpack" -> (x32SeqPack _))
+    "x32_seqpack" -> (x32SeqPack _),
+    "x32d_pack_segments" -> (x32dPackSegments _),
+    "x57_source_interleave" -> (x57SourceInterleave _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
@@ -440,7 +462,42 @@ object SamplingOps {
          | count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          | array_to_string(list(doc_id ORDER BY start_off, doc_id), ',') AS doc_ids
-         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin)
+         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    // same cumsum prefix; each doc explodes over the bins its token
+    // range [start_off, start_off+n) spans, and the within-bin segment
+    // is pure greatest/least arithmetic both engines evaluate on BIGINTs
+    "x32d_pack_segments" ->
+      s"""$cumsumCte,
+         |seg AS (
+         |  SELECT doc_id, n_tokens, start_off,
+         |    unnest(range(start_off // 2048,
+         |                 (start_off + n_tokens - 1) // 2048 + 1)) AS bin
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT bin, doc_id,
+         | CAST(bin - start_off // 2048 AS INTEGER) AS seg_idx,
+         | CAST(greatest(start_off, bin*2048) - bin*2048 AS BIGINT) AS seg_start,
+         | CAST(least(start_off + n_tokens, bin*2048 + 2048)
+         |      - greatest(start_off, bin*2048) AS BIGINT) AS seg_len,
+         | CAST(greatest(start_off, bin*2048) - start_off AS BIGINT) AS tok_from
+         |FROM seg ORDER BY bin, seg_start, doc_id""".stripMargin,
+    // interleave: within-source content-addressed rank (the x31 hex
+    // parse), pos = rank/weight as ONE IEEE division — exact in both
+    // engines, so the double column itself hash-compares
+    "x57_source_interleave" -> {
+      s"""WITH wt(source, wt) AS (VALUES
+         |    ('src1', 5), ('src2', 3), ('src3', 2)),
+         |r AS (
+         |  SELECT d.doc_id, d.source, w.wt, ${hash16Sql("d.doc_id")} AS hk
+         |  FROM documents d JOIN wt w USING (source)),
+         |k AS (
+         |  SELECT doc_id, source, wt,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+         |      AS BIGINT) AS src_rank
+         |  FROM r)
+         |SELECT doc_id, source, src_rank,
+         |  CAST(src_rank AS DOUBLE) / CAST(wt AS DOUBLE) AS pos
+         |FROM k ORDER BY pos, source, doc_id""".stripMargin
+    })
 
   // shared by x32_seqpack and x32c_pack_bins — one spelling of the token
   // count + windowed cumsum, so the two oracles cannot desynchronize

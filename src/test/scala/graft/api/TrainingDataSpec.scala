@@ -604,6 +604,68 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("packedSegments: segments tile bins exactly and reassemble every document") {
+    // budget 10; doc 2 spans three bins (6..29), doc 4 is empty
+    val docs = Seq(
+      (1L, "a b c d e f"),          // 6 toks: [0,6)
+      (2L, (1 to 24).map("t" + _).mkString(" ")), // 24 toks: [6,30)
+      (3L, "x y z"),                // 3 toks: [30,33)
+      (4L, "")                      // 0 toks: no segments
+    ).toDF("id", "body")
+    val asg = TrainingData.packSequences(docs, "id", "body", 10L)
+    val segs = TrainingData.packedSegments(asg, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // per-document reassembly: tok_from ranges tile [0, n_tokens)
+    val byDoc = segs.groupBy(_._2).view.mapValues(_.sortBy(_._3)).toMap
+    assert(!byDoc.contains(4L))
+    assert(byDoc(2L).map(_._5).sum == 24L)
+    byDoc.foreach { case (_, ss) =>
+      var expectFrom = 0L
+      ss.foreach { case (_, _, _, _, len, from) =>
+        assert(from == expectFrom); expectFrom += len
+      }
+    }
+    // per-bin tiling: within a bin, sorted segments cover [0, 10)
+    // contiguously (the last bin may end short)
+    val byBin = segs.groupBy(_._1)
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, ss) =>
+      var cursor = 0L
+      ss.sortBy(_._4).foreach { case (_, _, _, st, len, _) =>
+        assert(st == cursor, s"gap in bin $bin at $cursor"); cursor += len
+      }
+      if (bin != lastBin) assert(cursor == 10L, s"bin $bin short: $cursor")
+    }
+    // doc 2's first segment continues exactly where bin 0 left off
+    assert(byDoc(2L).head == ((0L, 2L, 0, 6L, 4L, 0L)))
+  }
+
+  test("interleaveBySource: rates honored, deterministic, unlisted sources excluded") {
+    val docs = (1L to 50L).map(i =>
+      (i, if (i <= 25) "a" else if (i <= 45) "b" else "zzz")).toDF("id", "src")
+    val out = TrainingData.interleaveBySource(docs, "id", "src",
+        Seq(("a", 5), ("b", 1)))
+      .orderBy("pos", "source", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // weight-zero contract: source zzz absent
+    assert(out.forall(_._2 != "zzz") && out.length == 45)
+    // rate pacing: among the first 12 scheduled docs, a:b ≈ 5:1
+    val first12 = out.take(12).map(_._2)
+    assert(first12.count(_ == "a") == 10 && first12.count(_ == "b") == 2, first12.mkString)
+    // deterministic across invocations
+    val again = TrainingData.interleaveBySource(docs, "id", "src",
+        Seq(("a", 5), ("b", 1)))
+      .orderBy("pos", "source", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.sameElements(again))
+    // pos is exactly src_rank / weight
+    out.foreach { case (_, srcName, rank, pos) =>
+      val wgt = if (srcName == "a") 5.0 else 1.0
+      assert(pos == rank.toDouble / wgt)
+    }
+  }
+
   test("tfidfWeights absolute df cap bounds posting lists independent of corpus size") {
     // 12 docs; "common" appears in 10 (df 10), "rare" in 2 (df 2).
     // fraction cut alone (0.9) keeps both; the absolute cap 5 must
