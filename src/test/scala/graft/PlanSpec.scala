@@ -81,6 +81,30 @@ class PlanSpec extends SparkSpec {
   private def treeCount(p: String, node: String): Int =
     p.linesIterator.count(_.contains(s"$node ("))
 
+  test("real-decode queries stay row-local: one result-order exchange only") {
+    // the decode work (inflate/unfilter/PCM) runs inside mapPartitions;
+    // any additional Exchange would mean payload bytes started shuffling
+    Seq("x29f_pixel_stats", "x29g_pcm_stats").foreach { q =>
+      val p = plan(q)
+      assert(treeCount(p, "Exchange") <= 1, s"$q:\n$p")
+    }
+  }
+
+  test("x56/x57 are one-window plans (no self-join, no global row number)") {
+    val p56 = plan("x56_preference_pairs")
+    assert(treeCount(p56, "Window") == 1, p56)
+    assert(treeCount(p56, "Exchange") <= 2, p56) // window + result order
+    assert(!p56.contains("SortMergeJoin") && !p56.contains("CartesianProduct"), p56)
+    val p57 = plan("x57_source_interleave")
+    assert(treeCount(p57, "Window") == 1, p57)
+    assert(p57.contains("BroadcastHashJoin"), p57) // weights attach by broadcast
+    // two SHUFFLE exchanges (window partition + result order); the weight
+    // BroadcastExchange is not a shuffle and is excluded from the count
+    val shuffles = p57.linesIterator.count(l =>
+      l.contains("Exchange (") && !l.contains("BroadcastExchange ("))
+    assert(shuffles <= 2, p57)
+  }
+
   test("x33c split decontamination reads documents.parquet once (split persisted)") {
     val p = plan("x33c_split_decontam")
     // the split predicate is hash-derived (not pushdownable), so the
