@@ -1701,6 +1701,53 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Quality-filter threshold calibration → one row per occupied score
+    * bucket: (threshold_bucket, n_kept, pos_kept, precision, recall,
+    * f1) for the keep-rule `score ≥ bucket·bucketWidth` — the sweep a
+    * curation team reads to PICK a filter threshold (where does
+    * precision cross 0.9, what recall does that cost) before commiting
+    * a classifier cut to a corpus. `labelCol` is the boolean
+    * ground-truth ("is actually high-quality", from human ratings or a
+    * held-out signal); NULL scores/labels are excluded.
+    *
+    * Scale shape: ONE aggregation reduces the corpus to ≤ |buckets|
+    * rows; the cumulative-from-top counts are a window over that tiny
+    * bucket relation (the x39c weight-window pattern — never a window
+    * over data). Ratios are single IEEE divisions rounded at 6, so the
+    * whole sweep hash-compares. */
+  def filterThresholdSweep(docs: DataFrame, scoreCol: String,
+      labelCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val b = docs
+      .select(floor(col(scoreCol).cast("double") / bucketWidth).cast("long")
+          .as("threshold_bucket"),
+        col(labelCol).cast("boolean").as("pos"))
+      .filter(col("threshold_bucket").isNotNull && col("pos").isNotNull)
+    val agg = b.groupBy(col("threshold_bucket")).agg(
+      count(lit(1)).as("n_bkt"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("pos_bkt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold_bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = agg.agg(sum(col("pos_bkt")).as("pos_total"))
+    agg
+      .withColumn("n_kept", sum(col("n_bkt")).over(w))
+      .withColumn("pos_kept", sum(col("pos_bkt")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("precision",
+        round(col("pos_kept").cast("double") / col("n_kept"), 6))
+      .withColumn("recall",
+        when(col("pos_total") > 0,
+          round(col("pos_kept").cast("double") / col("pos_total"), 6)))
+      .withColumn("f1",
+        when(col("pos_kept") > 0, round(
+          lit(2.0) * col("pos_kept") /
+            (col("n_kept") + col("pos_total")).cast("double"), 6)))
+      .select(col("threshold_bucket"), col("n_kept"), col("pos_kept"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
   /** Corpus top-k bigrams → (bigram, n), deterministic order. The
     * adjacent-pair extraction is the native one-pass [[TokenBigrams]]
     * expression (the composed zip_with/filter/transform pipeline runs

@@ -160,6 +160,19 @@ object SamplingOps {
       "doc_id", "source", Seq(("src1", 5), ("src2", 3), ("src3", 2)))
       .orderBy(col("pos"), col("source"), col("doc_id"))
 
+  /** X58 — quality-filter threshold calibration: precision/recall/F1 of
+    * the keep-rule `n_chars/100 ≥ threshold` against the lang='en'
+    * ground-truth stand-in — the sweep read before committing a
+    * classifier cut. Fixture binding of
+    * [[graft.api.TrainingData.filterThresholdSweep]]. */
+  def x58ThresholdSweep(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.filterThresholdSweep(
+      t(s, d, "documents")
+        .select((col("n_chars") / 100.0).as("score"),
+          (col("lang") === "en").as("label")),
+      "score", "label", 1.0)
+      .orderBy(col("threshold_bucket"))
+
   /** X39 — deterministic corpus mixture: 50/30/20 token-weighted blend
     * of three sources at a 2000-token budget. Fixture binding of
     * [[graft.api.TrainingData.mixByTokenBudget]]; the per-source keep
@@ -237,7 +250,8 @@ object SamplingOps {
     "x31g_quality_cut_approx" -> (x31gQualityCutApprox _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
-    "x57_source_interleave" -> (x57SourceInterleave _))
+    "x57_source_interleave" -> (x57SourceInterleave _),
+    "x58_threshold_sweep" -> (x58ThresholdSweep _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
@@ -497,7 +511,37 @@ object SamplingOps {
          |SELECT doc_id, source, src_rank,
          |  CAST(src_rank AS DOUBLE) / CAST(wt AS DOUBLE) AS pos
          |FROM k ORDER BY pos, source, doc_id""".stripMargin
-    })
+    },
+    // threshold sweep: one bucket aggregation, cumulative-from-top
+    // window over the bucket relation, F1 as the single-division
+    // identity 2·pk/(nk+pt) so rounding never compounds
+    "x58_threshold_sweep" ->
+      """WITH b AS (
+        |  SELECT CAST(floor((n_chars / 100.0) / 1.0) AS BIGINT) AS threshold_bucket,
+        |    (lang = 'en') AS pos
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |agg AS (
+        |  SELECT threshold_bucket, count(*) AS n_bkt,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_bkt
+        |  FROM b GROUP BY 1),
+        |cum AS (
+        |  SELECT threshold_bucket,
+        |    CAST(sum(n_bkt) OVER win AS BIGINT) AS n_kept,
+        |    CAST(sum(pos_bkt) OVER win AS BIGINT) AS pos_kept
+        |  FROM agg
+        |  WINDOW win AS (ORDER BY threshold_bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(pos_bkt) AS BIGINT) AS pos_total FROM agg)
+        |SELECT threshold_bucket, n_kept, pos_kept,
+        |  round(CAST(pos_kept AS DOUBLE) / n_kept, 6) AS precision,
+        |  CASE WHEN pos_total > 0
+        |       THEN round(CAST(pos_kept AS DOUBLE) / pos_total, 6) END AS recall,
+        |  CASE WHEN pos_kept > 0
+        |       THEN round(2.0 * pos_kept / CAST(n_kept + pos_total AS DOUBLE), 6)
+        |  END AS f1
+        |FROM cum CROSS JOIN tot
+        |ORDER BY threshold_bucket""".stripMargin)
 
   // shared by x32_seqpack and x32c_pack_bins — one spelling of the token
   // count + windowed cumsum, so the two oracles cannot desynchronize

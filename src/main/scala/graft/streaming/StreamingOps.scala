@@ -393,6 +393,64 @@ object StreamingOps {
       } finally s2.catalog.dropTempView(view)
     }.orderBy(col("user_id"))
 
+  /** X24d — transformWithState with MAP state (SPARK-49564's composite
+    * state variables): per-user event-type counts held as ONE
+    * `MapState[String, Long]` per user instead of a value-state holding
+    * a whole map — the API's scalable sub-key structure (RocksDB stores
+    * each (user, type) entry as its own key, so updating one type never
+    * rewrites the user's whole map — the reason MapState exists).
+    * Within-batch occurrences accumulate locally and hit the store once
+    * per touched type. Run-to-completion gate as [[x43TransformWithState]]
+    * (counts only grow → last update per (user, type) wins). */
+  final case class TypedRow(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+  class UserTypeCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedRow, TypeCount] {
+    @transient private var st: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TypedRow],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      val batch = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(r => batch(r.event_type) = batch.getOrElse(r.event_type, 0L) + 1)
+      batch.iterator.map { case (tpe, dn) =>
+        val n = (if (st.containsKey(tpe)) st.getValue(tpe) else 0L) + dn
+        st.updateValue(tpe, n)
+        TypeCount(key, tpe, n)
+      }
+    }
+  }
+
+  @transient private val twsMapGateCache = graft.ops.PerAppCache.newCache
+  def x43bTwsMapState(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(twsMapGateCache, s, d) {
+      val s2 = s.newSession()
+      import s2.implicits._
+      val view = "x43b_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = eventsStream(s2, d)
+          .select(col("user_id"), col("event_type"))
+          .as[TypedRow]
+          .groupByKey(_.user_id)
+          .transformWithState(new UserTypeCountProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
+          .writeStream.outputMode("update").format("memory")
+          .queryName(view).start()
+        try q.processAllAvailable() finally q.stop()
+        val agg = s2.table(view)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(col("n")).as("n"))
+        val rows = agg.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally s2.catalog.dropTempView(view)
+    }.orderBy(col("user_id"), col("event_type"))
+
   /** X55 — [[sessionsWithState]] (the flatMapGroupsWithState sessionizer
     * with EVENT-TIME TIMEOUTS) driven to completion over the fixture:
     * batch 1 feeds every event, batch 2 feeds ONE sentinel event for a
@@ -446,6 +504,7 @@ object StreamingOps {
     "x24_stateful_funnel" -> (x24StatefulFunnel _),
     "x42_stream_join" -> (x42StreamJoin _),
     "x43_tws_user_agg" -> (x43TransformWithState _),
+    "x43b_tws_map_state" -> (x43bTwsMapState _),
     "x55_session_timeout" -> (x55SessionTimeout _))
   /** The online funnel's completion state equals the batch event-time
     * funnel on an in-order stream — so it replays against q27's oracle;
@@ -453,6 +512,11 @@ object StreamingOps {
     * self-join (inner joins emit eagerly; watermarks only bound state). */
   val oracles: Map[String, String] = Map(
     "x24_stateful_funnel" -> graft.ops.Windows.oracles("q27_funnel"),
+    // the completed MapState counts equal the batch (user, type) counts
+    "x43b_tws_map_state" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY user_id, event_type""".stripMargin,
     "x42_stream_join" ->
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
         |  p.user_id AS user_id

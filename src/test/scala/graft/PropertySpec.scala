@@ -644,6 +644,73 @@ class PropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("packedSegments tiles every bin and reassembles every doc (random corpora)") {
+    import spark.implicits._
+    val gen = for {
+      budget <- Gen.choose(3L, 17L)
+      counts <- Gen.listOfN(8, Gen.choose(0, 25))
+    } yield (budget, counts)
+    check(forAll(gen) { case (budget, counts) =>
+      val docs = counts.zipWithIndex.map { case (k, i) =>
+        ((i + 1).toLong, Seq.fill(k)("w").mkString(" ")) }.toDF("id", "body")
+      val segs = graft.api.TrainingData.packedSegments(
+          graft.api.TrainingData.packSequences(docs, "id", "body", budget), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      val total = counts.map(_.toLong).sum
+      val sumOk = segs.map(_._5).sum == total
+      // per-doc: tok_from ranges tile [0, n_tokens) in seg_idx order
+      val docOk = segs.groupBy(_._2).forall { case (id, ss) =>
+        val sorted = ss.sortBy(_._3)
+        val tiles = sorted.foldLeft(Option(0L)) {
+          case (Some(cur), (_, _, _, _, len, from)) if from == cur => Some(cur + len)
+          case _ => None
+        }
+        tiles.contains(counts((id - 1).toInt).toLong)
+      }
+      // per-bin: sorted segments cover [0, budget) with no gap; all bins
+      // but the last are exactly full
+      val byBin = segs.groupBy(_._1)
+      val binOk = total == 0 || {
+        val last = byBin.keys.max
+        byBin.forall { case (bin, ss) =>
+          val sorted = ss.sortBy(_._4)
+          val end = sorted.foldLeft(Option(0L)) {
+            case (Some(cur), (_, _, _, st, len, _)) if st == cur => Some(cur + len)
+            case _ => None
+          }
+          end.exists(e => if (bin == last) e <= budget else e == budget)
+        }
+      }
+      sumOk && docOk && binOk
+    }, n = 10)
+  }
+
+  test("preferencePairs equals a Seq model on random rated responses") {
+    import spark.implicits._
+    val rowGen = for {
+      prompt <- Gen.choose(0, 3)
+      id <- Gen.choose(1L, 60L)
+      rating <- Gen.option(Gen.choose(0, 5))
+    } yield (s"p$prompt", id, rating)
+    check(forAll(Gen.listOfN(25, rowGen)) { rows0 =>
+      val rows = rows0.distinctBy(r => (r._1, r._2)) // unique response ids
+      val df = rows.map { case (p, i, r) =>
+        (p, i, r.map(_.toDouble).map(java.lang.Double.valueOf).orNull)
+      }.toDF("prompt", "rid", "score")
+      val got = graft.api.TrainingData.preferencePairs(df, "prompt", "rid", "score")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val model = rows.filter(_._3.isDefined)
+        .groupBy(_._1).toSeq.flatMap { case (p, rs) =>
+          val best = rs.maxBy(r => (r._3.get, -r._2))
+          rs.filter(_._3.get < best._3.get).map(r =>
+            (p, best._2, r._2, (best._3.get - r._3.get).toDouble))
+        }.toSet
+      got == model
+    }, n = 12)
+  }
+
   test("zValue is a bijection on the masked grid") {
     import spark.implicits._
     val b = 4 // 16x16 grid

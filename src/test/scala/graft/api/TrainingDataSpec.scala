@@ -604,6 +604,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("filterThresholdSweep: hand-computed precision/recall/F1 per threshold") {
+    // scores 0..3, labels: bucket 3 → 2 pos; bucket 2 → 1 pos 1 neg;
+    // bucket 1 → 0 pos 2 neg; bucket 0 → 1 pos; one null label dropped
+    val docs = Seq(
+      (3.5, java.lang.Boolean.TRUE), (3.1, java.lang.Boolean.TRUE),
+      (2.5, java.lang.Boolean.TRUE), (2.0, java.lang.Boolean.FALSE),
+      (1.5, java.lang.Boolean.FALSE), (1.0, java.lang.Boolean.FALSE),
+      (0.5, java.lang.Boolean.TRUE), (0.9, null.asInstanceOf[java.lang.Boolean])
+    ).toDF("score", "label")
+    val out = TrainingData.filterThresholdSweep(docs, "score", "label", 1.0)
+      .orderBy("threshold_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // pos_total = 4; keep >= 3: 2/2 pos; >= 2: 3/4; >= 1: 3/6; >= 0: 4/7
+    assert(out.toSeq == Seq(
+      (0L, 7L, 4L, math.rint(4.0 / 7 * 1e6) / 1e6, 1.0),
+      (1L, 6L, 3L, 0.5, 0.75),
+      (2L, 4L, 3L, 0.75, 0.75),
+      (3L, 2L, 2L, 1.0, 0.5)), out.mkString)
+  }
+
   test("packedSegments: segments tile bins exactly and reassemble every document") {
     // budget 10; doc 2 spans three bins (6..29), doc 4 is empty
     val docs = Seq(
