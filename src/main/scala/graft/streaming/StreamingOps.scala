@@ -451,6 +451,121 @@ object StreamingOps {
       } finally s2.catalog.dropTempView(view)
     }.orderBy(col("user_id"), col("event_type"))
 
+  /** X24e/X43c — the island-merging sessionizer re-expressed in
+    * transformWithState with EXPLICIT event-time TIMERS: where
+    * [[sessionsWithState]] leans on `GroupStateTimeout.EventTimeTimeout`
+    * (one implicit timeout per key via setTimeoutTimestamp), the modern
+    * API makes the machinery explicit — `registerTimer(ms)` on the
+    * handle, `handleExpiredTimer` invoked in the no-data micro-batch
+    * once the watermark passes the registered instant. Same close rule
+    * (STRICTLY `end + gap < wm`; see [[sessionsWithState]]'s boundary
+    * note), same interval-merge state; one timer per key at the
+    * earliest possible close, re-armed on every state change (stale
+    * timers deleted — the API keeps every registered instant alive
+    * otherwise, and a spurious early fire is harmless because the timer
+    * is always re-registered while islands stay open). */
+  class SessionTimerProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[OpenSessions] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[OpenSessions]("islands",
+        org.apache.spark.sql.Encoders.product[OpenSessions],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def mergeSorted(sorted: List[SessState]): List[SessState] =
+      sorted.foldLeft(List.empty[SessState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start <= h.end + SessionGapMs =>
+            SessState(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+
+    private def closeAndRearm(key: Long, islands: List[SessState],
+        wm: Long): Iterator[SessionOut] = {
+      val (closed, open) = islands.partition(s => s.end + SessionGapMs < wm)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (open.isEmpty) st.clear()
+      else {
+        st.update(OpenSessions(open))
+        getHandle.registerTimer(open.map(_.end + SessionGapMs).min)
+      }
+      closed.sortBy(_.start).iterator
+        .map(s => SessionOut(key, s.start, s.end, s.n))
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.map(_._2.getTime).toArray.sorted
+      val batchIslands = sorted.foldLeft(List.empty[SessState]) {
+        (acc, ms) => acc match {
+          case h :: t if ms - h.end <= SessionGapMs =>
+            SessState(h.start, math.max(h.end, ms), h.n + 1) :: t
+          case _ => SessState(ms, ms, 1) :: acc
+        }
+      }.reverse
+      val prev = if (st.exists()) st.get().islands else Nil
+      closeAndRearm(key, mergeSorted((prev ++ batchIslands).sortBy(_.start)),
+        tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      closeAndRearm(key, if (st.exists()) st.get().islands else Nil,
+        tv.getCurrentWatermarkInMs())
+  }
+
+  /** X43c driver gate: the x55 drive (fixture batch + sentinel-user
+    * watermark advance → every real session must close through
+    * [[SessionTimerProcessor.handleExpiredTimer]] in the no-data batch)
+    * on the x43 RocksDB child session. Equality with batch gap
+    * sessionization is direct evidence the TIMER path fired for every
+    * user — the x55 argument, transplanted to the modern API. */
+  @transient private val twsTimerGateCache = graft.ops.PerAppCache.newCache
+  def x43cTwsTimers(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(twsTimerGateCache, s, d) {
+      val s2 = s.newSession()
+      import s2.implicits._
+      val view = "x43c_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = graft.Tables.t(s2, d, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+          .as[(Long, Long)].collect()
+        val maxTs = evs.map(_._2).max
+        implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, java.sql.Timestamp)]
+        val q = mem.toDS().toDF("user_id", "ts")
+          .withWatermark("ts", WatermarkDelayStr)
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor,
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(view).start()
+        try {
+          mem.addData(evs.toSeq.map { case (u, t) =>
+            (u, new java.sql.Timestamp(t)) })
+          q.processAllAvailable()
+          mem.addData(Seq((-1L,
+            new java.sql.Timestamp(
+              maxTs + SessionGapMs + 2 * WatermarkDelayMs + 1000L))))
+          q.processAllAvailable()
+        } finally q.stop()
+        val out = s2.table(view).filter(col("user_id") >= 0)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally s2.catalog.dropTempView(view)
+    }.orderBy(col("user_id"), col("session_start_ms"))
+
   /** X55 — [[sessionsWithState]] (the flatMapGroupsWithState sessionizer
     * with EVENT-TIME TIMEOUTS) driven to completion over the fixture:
     * batch 1 feeds every event, batch 2 feeds ONE sentinel event for a
@@ -505,6 +620,7 @@ object StreamingOps {
     "x42_stream_join" -> (x42StreamJoin _),
     "x43_tws_user_agg" -> (x43TransformWithState _),
     "x43b_tws_map_state" -> (x43bTwsMapState _),
+    "x43c_tws_timers" -> (x43cTwsTimers _),
     "x55_session_timeout" -> (x55SessionTimeout _))
   /** The online funnel's completion state equals the batch event-time
     * funnel on an in-order stream — so it replays against q27's oracle;
@@ -528,7 +644,17 @@ object StreamingOps {
     // the completed timeout-sessionizer equals batch gap sessionization
     // (same 30-min rule as q22, aggregated to the session grain; the
     // session_id numbering is dropped — start_ms identifies the session)
-    "x55_session_timeout" ->
+    // the x43c timer-path sessionizer is held to the SAME oracle as x55:
+    // identical session semantics, different timeout machinery
+    "x43c_tws_timers" -> gapSessionOracleSql,
+    "x55_session_timeout" -> gapSessionOracleSql,
+    // the completed running state per user is just the batch aggregate
+    "x43_tws_user_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS high_water_ms
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  private lazy val gapSessionOracleSql: String =
       """WITH flagged AS (
         | SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
         |  CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
@@ -546,12 +672,7 @@ object StreamingOps {
         |SELECT user_id, min(ts_ms) AS session_start_ms,
         | max(ts_ms) AS session_end_ms, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start_ms""".stripMargin,
-    // the completed running state per user is just the batch aggregate
-    "x43_tws_user_agg" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(max(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS high_water_ms
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id, session_start_ms""".stripMargin
 
   /** X24 — arbitrary stateful processing: per-user running event count +
     * high-water mark via mapGroupsWithState (the general escape hatch the
