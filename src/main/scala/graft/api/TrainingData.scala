@@ -1701,6 +1701,33 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Corpus version diff → (doc_id, status, old_hash, new_hash) with
+    * status ∈ added/removed/changed/unchanged — the dump-over-dump
+    * comparison a curation pipeline runs between crawl versions before
+    * deciding what to re-process (changed + added are the increment;
+    * removed feeds tombstones). Presence is tracked by explicit flags,
+    * NOT hash nullability — a present row with NULL text keeps its
+    * presence and null-safe hash compare (`<=>`) classifies it
+    * correctly (two NULL-text versions are 'unchanged', not 'added').
+    *
+    * Scale shape: one full-outer equi-join on the id (shuffle-free when
+    * both dumps are [[saveBucketed]] on it); text never travels — each
+    * side reduces to (id, 32-byte hash) at its own scan. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def side(df: DataFrame, h: String, p: String): DataFrame =
+      df.select(col(idCol).as("doc_id"), sha2(col(textCol), 256).as(h),
+        lit(true).as(p))
+    side(oldDocs, "old_hash", "__op")
+      .join(side(newDocs, "new_hash", "__np"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(col("old_hash") <=> col("new_hash"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+  }
+
   /** Quality-filter threshold calibration → one row per occupied score
     * bucket: (threshold_bucket, n_kept, pos_kept, precision, recall,
     * f1) for the keep-rule `score ≥ bucket·bucketWidth` — the sweep a

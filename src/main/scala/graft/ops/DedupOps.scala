@@ -482,6 +482,24 @@ object DedupOps {
         t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
         .persist())
 
+  /** X59 — corpus version diff: the fixture plays two crawl dumps from
+    * one table — new drops every 7th doc (removed), rewrites every 5th
+    * (changed), and re-ingests every 11th under a shifted id (added) —
+    * and [[graft.api.TrainingData.corpusDiff]] classifies every id.
+    * The oracle replays the perturbation and the full-outer hash
+    * compare. */
+  def x59CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val newDump = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    graft.api.TrainingData.corpusDiff(docs, newDump, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
     * the token hash's bit value; the sign becomes the fingerprint bit.
     * Deterministic (integer sums). Near-dup docs differ in few bits.
@@ -523,7 +541,8 @@ object DedupOps {
     "x33b_contamination_bloom" -> (x33bContaminationBloom _),
     "x33c_split_decontam" -> (x33cSplitDecontam _),
     "x33d_contamination_norm" -> (x33dContaminationNormalized _),
-    "x26i_cluster_split" -> (x26iClusterSplit _))
+    "x26i_cluster_split" -> (x26iClusterSplit _),
+    "x59_corpus_diff" -> (x59CorpusDiff _))
 
   /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
     * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
@@ -670,6 +689,28 @@ object DedupOps {
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
     "x33b_contamination_bloom" -> x33OracleSql,
+    // corpus diff: the fixture perturbation replayed, then the same
+    // full-outer presence/hash classification (IS NOT DISTINCT FROM is
+    // DuckDB's spelling of Spark's null-safe <=>)
+    "x59_corpus_diff" ->
+      """WITH oldd AS (
+        |  SELECT doc_id, sha256(text) AS h, TRUE AS p FROM documents),
+        |newd AS (
+        |  SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h,
+        |    TRUE AS p
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, sha256(text), TRUE
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.p IS NULL THEN 'added'
+        |       WHEN n.p IS NULL THEN 'removed'
+        |       WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.h AS old_hash, n.h AS new_hash
+        |FROM oldd o FULL JOIN newd n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
     // the x33 scan over the decontamination normalization: lowercase,
     // ASCII punctuation stripped to spaces (the spelled-out Java∩RE2
     // class normalizeForDecontam uses), whitespace collapsed — then the

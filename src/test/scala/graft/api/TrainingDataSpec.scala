@@ -604,6 +604,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("corpusDiff classifies by presence flags; NULL-text rows stay comparable") {
+    val old = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"),
+      (4L, "d")).toDF("id", "body")
+    val neu = Seq((2L, null.asInstanceOf[String]), (3L, "c2"), (4L, "d"),
+      (5L, "e")).toDF("id", "body")
+    val got = TrainingData.corpusDiff(old, neu, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 2 is PRESENT with NULL text in both dumps: presence flags keep
+    // it 'unchanged' — hash-nullability-as-presence would say 'added'
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"), got)
+  }
+
   test("filterThresholdSweep: hand-computed precision/recall/F1 per threshold") {
     // scores 0..3, labels: bucket 3 → 2 pos; bucket 2 → 1 pos 1 neg;
     // bucket 1 → 0 pos 2 neg; bucket 0 → 1 pos; one null label dropped
