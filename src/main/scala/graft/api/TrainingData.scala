@@ -1701,6 +1701,40 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Per-document n-gram NOVELTY vs a reference corpus →
+    * (doc_id, n_shingles, n_novel, novelty): what fraction of each
+    * document's distinct 3-shingles does NOT occur anywhere in the
+    * reference — the "how much of this dump is actually new text"
+    * measure read when triaging a fresh crawl against what's already
+    * ingested (low novelty ⇒ mostly mirrors/boilerplate; also the
+    * corpus-side complement of [[contaminationPairs]], which is
+    * probe-centric). Docs too short for a shingle emit (0, 0, NULL).
+    *
+    * Scale shape: the reference reduces to its DISTINCT shingle-hash
+    * set once (one hash aggregation); scoring is a left join on the
+    * 8-byte hash + one per-doc count — linear, and a Bloom filter of
+    * the reference set slots in front of the join exactly like
+    * [[contaminationPairsBloom]] when the reference outgrows the
+    * shuffle budget. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ds = shingles(docs, idCol, textCol).toDF("doc_id", "shh")
+    val ref = shingles(reference, idCol, textCol)
+      .select(col("shh")).distinct().withColumn("__seen", lit(true))
+    val counts = ds.join(ref, Seq("shh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_shingles") > 0,
+          round(col("n_novel").cast("double") / col("n_shingles"), 6))
+          .as("novelty"))
+  }
+
   /** Corpus version diff → (doc_id, status, old_hash, new_hash) with
     * status ∈ added/removed/changed/unchanged — the dump-over-dump
     * comparison a curation pipeline runs between crawl versions before

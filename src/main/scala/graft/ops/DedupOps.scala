@@ -500,6 +500,18 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X60 — n-gram novelty: each doc with id ≥ 250 scored for the
+    * fraction of its shingles absent from the id < 250 reference half —
+    * the new-crawl triage measure. Fixture binding of
+    * [[graft.api.TrainingData.ngramNovelty]]. */
+  def x60NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.api.TrainingData.ngramNovelty(
+      docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** X26 — 32-bit SimHash over token frequencies: per bit, sum +tf/−tf by
     * the token hash's bit value; the sign becomes the fingerprint bit.
     * Deterministic (integer sums). Near-dup docs differ in few bits.
@@ -542,7 +554,8 @@ object DedupOps {
     "x33c_split_decontam" -> (x33cSplitDecontam _),
     "x33d_contamination_norm" -> (x33dContaminationNormalized _),
     "x26i_cluster_split" -> (x26iClusterSplit _),
-    "x59_corpus_diff" -> (x59CorpusDiff _))
+    "x59_corpus_diff" -> (x59CorpusDiff _),
+    "x60_ngram_novelty" -> (x60NgramNovelty _))
 
   /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
     * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
@@ -689,6 +702,32 @@ object DedupOps {
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
     "x33b_contamination_bloom" -> x33OracleSql,
+    // novelty: reference reduced to its distinct shingle set, scored
+    // side left-joined on the shingle; string shingles stand in for the
+    // Spark side's xxhash64 keys like every shingle oracle here
+    "x60_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |ref AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 250),
+        |scored AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 250),
+        |cnt AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS n_novel
+        |  FROM scored s LEFT JOIN ref r USING (sh) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN n_shingles > 0
+        |       THEN round(CAST(n_novel AS DOUBLE) / n_shingles, 6) END AS novelty
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+        |LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // corpus diff: the fixture perturbation replayed, then the same
     // full-outer presence/hash classification (IS NOT DISTINCT FROM is
     // DuckDB's spelling of Spark's null-safe <=>)
