@@ -1701,6 +1701,37 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Vocabulary coverage curve → the top-`k` token types by corpus
+    * frequency with their CUMULATIVE share: (rank, tok, n, cum_share) —
+    * the Zipf curve read when sizing a tokenizer vocabulary ("the top
+    * 30k types cover 97% of tokens; the next 30k buy 1.5%") and when
+    * auditing what a frequency-capped vocab will fall back to chars on.
+    * Deterministic: ties at the cut break by token string.
+    *
+    * Scale shape: the corpus reduces to the (type, count) relation in
+    * one hash aggregation; top-k is TakeOrderedAndProject (no global
+    * sort of the vocab), and the cumulative window runs over exactly k
+    * rows — the x39c tiny-relation-window pattern. */
+  def vocabCoverageCurve(docs: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val tf = docs
+      .select(explode(graft.ops.DedupOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = tf.agg(sum(col("n")).as("total"))
+    val top = tf.orderBy(col("n").desc, col("tok")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok"))))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(w).cast("double") / col("total"), 6))
+      .select(col("rank"), col("tok"), col("n"), col("cum_share"))
+  }
+
   /** Per-document n-gram NOVELTY vs a reference corpus →
     * (doc_id, n_shingles, n_novel, novelty): what fraction of each
     * document's distinct 3-shingles does NOT occur anywhere in the

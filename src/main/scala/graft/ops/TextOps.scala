@@ -472,7 +472,17 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X61 — vocabulary coverage curve: top-100 token types with their
+    * cumulative corpus share (the Zipf curve a vocab-sizing decision
+    * reads). Fixture binding of
+    * [[graft.api.TrainingData.vocabCoverageCurve]]. */
+  def x61VocabCoverage(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.vocabCoverageCurve(
+      t(s, d, "documents"), "text", 100)
+      .orderBy(col("rank"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x28_token_stats" -> (x28Tokens _),
     "x41_line_filter" -> (x41LineFilter _),
     "x48_line_dedup" -> (x48LineDedup _),
@@ -643,6 +653,24 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // coverage curve: one (type, count) aggregation, top-100 by
+    // (n DESC, tok), cumulative window over exactly those 100 rows
+    "x61_vocab_coverage" ->
+      """WITH tf AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+        |top AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 100)
+        |SELECT
+        |  CAST(row_number() OVER win AS INTEGER) AS rank, tok,
+        |  CAST(n AS BIGINT) AS n,
+        |  round(CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / total, 6) AS cum_share
+        |FROM top CROSS JOIN tot
+        |WINDOW win AS (ORDER BY n DESC, tok)
+        |ORDER BY rank""".stripMargin,
     "x41_line_filter" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
