@@ -105,6 +105,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, p57)
   }
 
+  test("x61 vocab top-k plans as TakeOrderedAndProject, never a global vocab sort") {
+    val p = plan("x61_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x59 corpus diff joins hashes, not text: one full-outer equi-join") {
+    val p = plan("x59_corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x33c split decontamination reads documents.parquet once (split persisted)") {
     val p = plan("x33c_split_decontam")
     // the split predicate is hash-derived (not pushdownable), so the
