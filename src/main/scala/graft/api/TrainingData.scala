@@ -2290,6 +2290,83 @@ object TrainingData {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Per-document curation VERDICT report → (doc_id, kept, removed_by):
+    * every document's fate under the standard curation cascade, with
+    * the FIRST matching rule attributed —
+    *   1. `exact_dup`      not the lowest-id copy of its content hash;
+    *   2. `near_dup`       not its near-dup cluster's best-`scoreCol`
+    *                       survivor — decided among CANONICAL copies
+    *                       only (stage 1 runs first), so an exact copy
+    *                       can never win a cluster and then vanish to
+    *                       rule 1; singletons survive trivially;
+    *   3. `contamination`  contains ≥ `containmentThreshold` of some
+    *                       probe's shingles ([[contaminationPairs]]);
+    *   4. `quality`        NULL text, NULL score, or score < minScore;
+    *   5. kept otherwise (removed_by NULL).
+    * This is the audit table a production pipeline publishes next to a
+    * curated corpus — per-rule/per-source removal counts, spot-check
+    * sampling, and "why is doc X gone" all read off it. The cascade
+    * order mirrors what pipelines run (cheap exact dedup first; an
+    * exact duplicate is attributed there even though it is also a
+    * jaccard-1 near-dup).
+    *
+    * Scale shape: each rule is the library's own scalable op (hash
+    * aggregation for canonicals, the shingle-pair→cluster→survivor
+    * chain, the bipartite containment join) and the verdict is four
+    * LEFT equi-joins on the id + one row-local CASE. Self-contained:
+    * relations are built from `docs`/`probes`; at production scale
+    * swap the pair step for the MinHash-LSH candidate cut exactly as
+    * [[dedupCorpus]] documents. */
+  def curationVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, probes: DataFrame, jaccardThreshold: Double = 0.5,
+      containmentThreshold: Double = 0.5, minScore: Double = 0.0,
+      maxRounds: Int = 50): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      col(scoreCol).cast("double").as("__score"))
+    val ex = d.filter(col("__text").isNotNull)
+      .select(col("doc_id"), sha2(col("__text"), 256).as("__h"))
+    val canon = ex.groupBy(col("__h")).agg(min(col("doc_id")).as("__canon"))
+    val exFlag = ex.join(canon, "__h")
+      .select(col("doc_id"), (col("doc_id") =!= col("__canon")).as("__xd"))
+    // STAGED like a real pipeline: exact duplicates drop FIRST, and
+    // near-dup survivorship is decided among the CANONICAL copies only.
+    // Deciding it on the raw set can hand the cluster win to an exact
+    // copy that rule 1 then removes — deleting the whole content family
+    // (caught by the cascade spec). NULL-text docs have no hash and are
+    // canonical by default (they shingle to nothing and fall to the
+    // quality rule).
+    val canonDocs = d.join(exFlag, Seq("doc_id"), "left")
+      .filter(!coalesce(col("__xd"), lit(false)))
+      .select(col("doc_id"), col("__text"), col("__score"))
+    val sh = shingles(canonDocs, "doc_id", "__text").persist()
+    val labels =
+      try dedupClusters(
+        nearDupPairsFromShingles(sh, jaccardThreshold)
+          .select(col("d1"), col("d2")), maxRounds)
+      finally sh.unpersist()
+    val surv = dedupSurvivors(
+        canonDocs.select(col("doc_id"), col("__score")), "doc_id", "__score",
+        labels)
+      .select(col("survivor_id").as("doc_id"), lit(true).as("__sv"))
+    val contam = contaminationPairs(
+        canonDocs.select(col("doc_id"), col("__text")),
+        probes.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "doc_id", "__text", containmentThreshold)
+      .select(col("corpus_id").as("doc_id")).distinct()
+      .withColumn("__ct", lit(true))
+    d.join(exFlag, Seq("doc_id"), "left")
+      .join(surv, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("removed_by",
+        when(coalesce(col("__xd"), lit(false)), "exact_dup")
+          .when(col("__sv").isNull, "near_dup")
+          .when(coalesce(col("__ct"), lit(false)), "contamination")
+          .when(col("__text").isNull || col("__score").isNull ||
+            col("__score") < minScore, "quality"))
+      .select(col("doc_id"), col("removed_by").isNull.as("kept"),
+        col("removed_by"))
+  }
+
   /** C4-style span-level dedup ACROSS the corpus →
     * (id, clean_text, n_spans, n_kept): each document is cut into
     * consecutive `spanTokens`-token spans, every span occurrence after the

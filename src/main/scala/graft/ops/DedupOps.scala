@@ -500,6 +500,19 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X62 — per-doc curation verdict report over the fixture cascade:
+    * corpus = docs with id ≥ 50, probes = the id < 50 eval stand-in,
+    * near-dup survivorship by n_chars, quality floor at 100 chars.
+    * Fixture binding of [[graft.api.TrainingData.curationVerdicts]]. */
+  def x62CurationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.api.TrainingData.curationVerdicts(
+      docs.filter(col("doc_id") >= 50), "doc_id", "text", "n_chars",
+      docs.filter(col("doc_id") < 50), jaccardThreshold = 0.5,
+      containmentThreshold = 0.5, minScore = 100.0)
+      .orderBy(col("doc_id"))
+  }
+
   /** X60 — n-gram novelty: each doc with id ≥ 250 scored for the
     * fraction of its shingles absent from the id < 250 reference half —
     * the new-crawl triage measure. Fixture binding of
@@ -555,7 +568,8 @@ object DedupOps {
     "x33d_contamination_norm" -> (x33dContaminationNormalized _),
     "x26i_cluster_split" -> (x26iClusterSplit _),
     "x59_corpus_diff" -> (x59CorpusDiff _),
-    "x60_ngram_novelty" -> (x60NgramNovelty _))
+    "x60_ngram_novelty" -> (x60NgramNovelty _),
+    "x62_curation_report" -> (x62CurationReport _))
 
   /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
     * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
@@ -702,6 +716,89 @@ object DedupOps {
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
     "x33b_contamination_bloom" -> x33OracleSql,
+    // the full cascade replayed over the >= 50 corpus: sha canonicals,
+    // the recursive-CTE cluster closure + best-score survivor (the
+    // x26e/x26g fragments parameterized by the id cut), the x33
+    // containment scan, the quality floor, and the FIRST-rule CASE.
+    // dedupSurvivors' NULL-score handling is mirrored (-inf coalesce)
+    "x62_curation_report" ->
+      """WITH RECURSIVE cex AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY sha256(text)) AS canon
+        |  FROM documents WHERE doc_id >= 50 AND text IS NOT NULL),
+        |ccanon AS (
+        |  SELECT d.doc_id FROM documents d
+        |  LEFT JOIN cex e ON e.doc_id = d.doc_id
+        |  WHERE d.doc_id >= 50 AND (e.canon IS NULL OR e.canon = d.doc_id)),
+        |ctoks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents
+        |  WHERE doc_id >= 50 AND doc_id IN (SELECT doc_id FROM ccanon)),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM ctoks),
+        |cns AS (SELECT doc_id, count(*) AS ns FROM csh GROUP BY 1),
+        |cpr AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cpairs AS (
+        |  SELECT d1, d2 FROM cpr
+        |  JOIN cns n1 ON d1 = n1.doc_id JOIN cns n2 ON d2 = n2.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
+        |cedges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM cpairs
+        |  UNION ALL SELECT d2, d1 FROM cpairs),
+        |creach(id, m) AS (
+        |  SELECT src, src FROM cedges
+        |  UNION
+        |  SELECT e.src, r.m FROM cedges e JOIN creach r ON r.id = e.dst),
+        |clab AS (SELECT id, min(m) AS cluster_id FROM creach GROUP BY id),
+        |cwl AS (
+        |  SELECT d.doc_id,
+        |    coalesce(CAST(d.n_chars AS DOUBLE), CAST('-infinity' AS DOUBLE)) AS score,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN clab l ON d.doc_id = l.id
+        |  WHERE d.doc_id >= 50
+        |    AND d.doc_id IN (SELECT doc_id FROM ccanon)),
+        |csurv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM cwl) WHERE rn = 1),
+        |ptoks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id < 50),
+        |psh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM ptoks),
+        |ppn AS (SELECT doc_id AS probe_id, count(*) AS ns FROM psh GROUP BY 1),
+        |cint AS (
+        |  SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id, count(*) AS inter
+        |  FROM psh p JOIN csh c USING (sh) GROUP BY 1, 2),
+        |contam AS (
+        |  SELECT DISTINCT corpus_id AS doc_id FROM cint
+        |  JOIN ppn USING (probe_id)
+        |  WHERE CAST(inter AS DOUBLE) / ns >= 0.5),
+        |verdict AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN e.canon IS NOT NULL AND e.canon <> d.doc_id THEN 'exact_dup'
+        |         WHEN s.doc_id IS NULL THEN 'near_dup'
+        |         WHEN c.doc_id IS NOT NULL THEN 'contamination'
+        |         WHEN d.text IS NULL OR d.n_chars IS NULL OR d.n_chars < 100
+        |           THEN 'quality'
+        |    END AS removed_by
+        |  FROM documents d
+        |  LEFT JOIN cex e ON e.doc_id = d.doc_id
+        |  LEFT JOIN csurv s ON s.doc_id = d.doc_id
+        |  LEFT JOIN contam c ON c.doc_id = d.doc_id
+        |  WHERE d.doc_id >= 50)
+        |SELECT doc_id, removed_by IS NULL AS kept, removed_by
+        |FROM verdict ORDER BY doc_id""".stripMargin,
     // novelty: reference reduced to its distinct shingle set, scored
     // side left-joined on the shingle; string shingles stand in for the
     // Spark side's xxhash64 keys like every shingle oracle here

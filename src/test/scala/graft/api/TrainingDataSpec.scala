@@ -604,6 +604,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("curationVerdicts attributes every cascade branch, first rule wins") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base, 100.0),                       // canonical of the exact pair
+      (11L, base, 500.0),                       // exact dup (higher id) even
+                                                // though it out-scores 10
+      (12L, base + " lambda mu", 300.0),        // near-dup of the 10-cluster,
+                                                // highest score → survivor...
+      (13L, "probe text one two three four five six seven eight", 400.0),
+      // ^ contains probe 1's full text → contamination (survivor, no dup)
+      (14L, "tiny", 5.0),                       // below the quality floor
+      (15L, "totally separate healthy document about other things entirely", 200.0),
+      (16L, null.asInstanceOf[String], 300.0)   // NULL text → quality
+    ).toDF("id", "body", "score")
+    val probes = Seq(
+      (1L, "probe text one two three four five six seven eight"))
+      .toDF("id", "body")
+    val got = TrainingData.curationVerdicts(docs, "id", "body", "score",
+        probes.withColumn("score", lit(1.0)), minScore = 10.0)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    // cluster {10, 11, 12}: 12 has the best score → survivor; 11 is an
+    // exact dup of 10 (rule 1 beats its also-true near-dup status); 10
+    // loses survivorship → near_dup
+    assert(got == Map(
+      10L -> Some("near_dup"), 11L -> Some("exact_dup"), 12L -> None,
+      13L -> Some("contamination"), 14L -> Some("quality"), 15L -> None,
+      16L -> Some("quality")), got)
+  }
+
   test("corpusDiff classifies by presence flags; NULL-text rows stay comparable") {
     val old = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"),
       (4L, "d")).toDF("id", "body")
