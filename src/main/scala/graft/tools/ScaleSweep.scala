@@ -46,7 +46,8 @@ object ScaleSweep {
     "x27h_ann_ivfpq_residual", "x39c_mix_temperature", "q15_setops",
     "q03b_large_join", "x28j_unigram_lm", "x27_cosine_topk",
     "x32c_pack_bins", "x33b_contamination_bloom", "x28d_tfidf_top_term",
-    "q22_sessionize", "x59_corpus_diff", "x60_ngram_novelty")
+    "q22_sessionize", "x59_corpus_diff", "x60_ngram_novelty",
+    "x62_curation_report")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
