@@ -1701,6 +1701,88 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Source-pair KL-divergence matrix → (src_a, src_b, kl_nats) for
+    * every ORDERED pair of sources: KL(a‖b) between the add-one-smoothed
+    * unigram distributions — the distribution-drift data-map a curation
+    * team reads next to the dup matrix ("is this new dump like books or
+    * like crawl", "did src X drift between versions"). Smoothing is over
+    * the corpus-wide vocabulary V, so every term is defined and KL is
+    * finite.
+    *
+    * Exactness design: per-(source, token) surprisal is quantized ONCE
+    * to integer micro-nats (L = round(ln((n+V)/(c+1))·10⁶), the x28j
+    * recipe), making every sum an exact integer. The engine computes
+    * the SPARSE decomposition — the Σ over the full vocabulary splits
+    * into the shared-token join term plus closed-form integer masses
+    * for tokens present in only one side or neither, so nothing dense
+    * is ever materialized (at 100 TB the dense relation is |S|·V and
+    * the absent-token mass dominates it) — while the DuckDB oracle
+    * computes the DENSE sum over vocabulary × sources outright. Hash
+    * equality of the two is a machine-checked proof the decomposition
+    * algebra is right.
+    *
+    * Scale shape: one (source, token) aggregation, one token equi-join
+    * for the shared terms (bounded by co-occurring types), per-source
+    * scalars broadcast; the matrix is |S|² rows. NULL sources/texts are
+    * excluded. */
+  def sourceKlMatrix(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("src"),
+        explode(graft.ops.DedupOps.tokens(col(textCol))).as("tok"))
+    val c = tok.groupBy(col("src"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val ns = c.groupBy(col("src")).agg(sum(col("cnt")).as("n"))
+    val vrel = c.agg(countDistinct(col("tok")).as("V"))
+    val present = c.join(ns, "src").crossJoin(broadcast(vrel))
+      .withColumn("L",
+        round(log((col("n") + col("V")).cast("double") / (col("cnt") + 1))
+          * 1e6).cast("long"))
+      .select(col("src"), col("tok"), col("cnt"), col("L"))
+    // per-source integer scalars: |A|, Σ(c+1), Σ(c+1)·L, ΣL, and the
+    // absent-token surprisal L0 = round(ln(n+V)·1e6)
+    val scal = present.groupBy(col("src")).agg(
+        count(lit(1)).as("nA"),
+        sum(col("cnt") + 1).as("S"),
+        sum((col("cnt") + 1) * col("L")).as("SL"),
+        sum(col("L")).as("PL"))
+      .join(ns, "src").crossJoin(broadcast(vrel))
+      .withColumn("L0",
+        round(log((col("n") + col("V")).cast("double")) * 1e6).cast("long"))
+    // shared-token cross terms per ordered pair
+    val aSide = present.select(col("src").as("src_a"), col("tok"),
+      (col("cnt") + 1).as("ca1"))
+    val bSide = present.select(col("src").as("src_b"), col("tok"),
+      col("L").as("lb"))
+    val inter = aSide.join(bSide, Seq("tok"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca1") * col("lb")).as("J"),
+        sum(col("ca1")).as("IS"),
+        sum(col("lb")).as("IL"),
+        count(lit(1)).as("IC"))
+    val sa = scal.select(col("src").as("src_a"), col("nA").as("nA_a"),
+      col("S").as("S_a"), col("SL").as("SL_a"), col("L0").as("L0_a"),
+      col("n").as("n_a"), col("V"))
+    val sb = scal.select(col("src").as("src_b"), col("nA").as("nA_b"),
+      col("PL").as("PL_b"), col("L0").as("L0_b"))
+    sa.crossJoin(sb).filter(col("src_a") =!= col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("J", "IS", "IL", "IC"))
+      // T2 = Σ_t (c_a+1)·L_a(t); T1 = Σ_t (c_a+1)·L_b(t); the Σ over the
+      // FULL vocab splits into A∩B (join terms), A\B, B\A, and neither —
+      // each an exact integer
+      .withColumn("T2", col("SL_a") + (col("V") - col("nA_a")) * col("L0_a"))
+      .withColumn("T1",
+        col("J") + (col("S_a") - col("IS")) * col("L0_b")
+          + (col("PL_b") - col("IL"))
+          + (col("V") - col("nA_a") - col("nA_b") + col("IC")) * col("L0_b"))
+      .withColumn("kl_nats",
+        round((col("T1") - col("T2")).cast("double")
+          / ((col("n_a") + col("V")).cast("double") * 1e6), 6))
+      .select(col("src_a"), col("src_b"), col("kl_nats"))
+  }
+
   /** Vocabulary coverage curve → the top-`k` token types by corpus
     * frequency with their CUMULATIVE share: (rank, tok, n, cum_share) —
     * the Zipf curve read when sizing a tokenizer vocabulary ("the top

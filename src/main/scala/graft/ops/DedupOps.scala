@@ -500,6 +500,17 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X63 — source-pair KL-divergence matrix over the fixture's 20
+    * sources: the distribution-drift data-map next to x50's dup matrix.
+    * Fixture binding of [[graft.api.TrainingData.sourceKlMatrix]] —
+    * the Spark side runs the sparse closed-form decomposition, the
+    * oracle sums the dense vocabulary × sources relation; hash equality
+    * proves the decomposition. */
+  def x63SourceKl(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.sourceKlMatrix(
+      t(s, d, "documents"), "source", "text")
+      .orderBy(col("src_a"), col("src_b"))
+
   /** X62 — per-doc curation verdict report over the fixture cascade:
     * corpus = docs with id ≥ 50, probes = the id < 50 eval stand-in,
     * near-dup survivorship by n_chars, quality floor at 100 chars.
@@ -575,7 +586,8 @@ object DedupOps {
     "x26i_cluster_split" -> (x26iClusterSplit _),
     "x59_corpus_diff" -> (x59CorpusDiff _),
     "x60_ngram_novelty" -> (x60NgramNovelty _),
-    "x62_curation_report" -> (x62CurationReport _))
+    "x62_curation_report" -> (x62CurationReport _),
+    "x63_source_kl" -> (x63SourceKl _))
 
   /** Shared oracle fragment: tokens → distinct 3-shingles → exact-Jaccard
     * `pairs(d1, d2)` at ≥ 0.5 — the DuckDB model of [[persistPairs]],
@@ -722,6 +734,37 @@ object DedupOps {
     // x33b's Bloom prefilter is result-invariant (false positives die in
     // the exact join), so the Bloom path is held to the SAME oracle
     "x33b_contamination_bloom" -> x33OracleSql,
+    // the DENSE smoothed-KL sum (vocabulary × sources outright) against
+    // the engine's sparse closed-form decomposition — hash equality is
+    // the machine-checked proof the decomposition algebra is right.
+    // Surprisal quantized to integer micro-nats (the x28j recipe) so
+    // the per-pair numerator is an exact integer in both engines
+    "x63_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source AS src,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT src, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS V FROM c),
+        |vocab AS (SELECT DISTINCT tok FROM c),
+        |dense AS (
+        |  SELECT s.src, vb.tok, coalesce(c.cnt, 0) AS cnt, s.n
+        |  FROM ns s CROSS JOIN vocab vb
+        |  LEFT JOIN c ON c.src = s.src AND c.tok = vb.tok),
+        |l AS (
+        |  SELECT src, tok, cnt, n,
+        |    CAST(round(ln(CAST(n + V AS DOUBLE) / (cnt + 1)) * 1000000) AS BIGINT) AS L
+        |  FROM dense CROSS JOIN v),
+        |pair AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a,
+        |    CAST(sum((a.cnt + 1) * (b.L - a.L)) AS BIGINT) AS num
+        |  FROM l a JOIN l b ON a.tok = b.tok AND a.src <> b.src
+        |  GROUP BY 1, 2, 3)
+        |SELECT src_a, src_b,
+        |  round(CAST(num AS DOUBLE) / (CAST(n_a + V AS DOUBLE) * 1000000), 6) AS kl_nats
+        |FROM pair CROSS JOIN v
+        |ORDER BY src_a, src_b""".stripMargin,
     // the full cascade replayed over the >= 50 corpus: sha canonicals,
     // the recursive-CTE cluster closure + best-score survivor (the
     // x26e/x26g fragments parameterized by the id cut), the x33

@@ -604,6 +604,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("sourceKlMatrix equals a plain-Scala dense model; KL is non-negative and asymmetric") {
+    val docs = Seq(
+      ("a", "x x x y"), ("a", "x z"),
+      ("b", "y y y z"), ("b", "w w"),
+      ("c", "x x x y x z") // c ≈ a's distribution, far from b
+    ).toDF("src", "body")
+    val got = TrainingData.sourceKlMatrix(docs, "src", "body")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // dense model with the same micro-nat quantization
+    val toks = Seq("a" -> Seq("x", "x", "x", "y", "x", "z"),
+      "b" -> Seq("y", "y", "y", "z", "w", "w"),
+      "c" -> Seq("x", "x", "x", "y", "x", "z"))
+    val vocab = toks.flatMap(_._2).distinct
+    val V = vocab.size
+    def l(src: String, t: String): Long = {
+      val cnt = toks.find(_._1 == src).get._2.count(_ == t)
+      val n = toks.find(_._1 == src).get._2.size
+      math.round(math.log((n + V).toDouble / (cnt + 1)) * 1e6)
+    }
+    def kl(a: String, b: String): Double = {
+      val n = toks.find(_._1 == a).get._2.size
+      val num = vocab.map { t =>
+        val ca1 = toks.find(_._1 == a).get._2.count(_ == t) + 1L
+        ca1 * (l(b, t) - l(a, t))
+      }.sum
+      BigDecimal(num.toDouble / ((n + V).toDouble * 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (x <- Seq("a", "b", "c"); y <- Seq("a", "b", "c") if x != y)
+      assert(got((x, y)) == kl(x, y), s"($x,$y): ${got((x, y))} vs ${kl(x, y)}")
+    // a and c share a distribution → near-zero divergence; both far from b
+    assert(got(("a", "c")) < 0.01 && got(("c", "a")) < 0.01)
+    assert(got(("a", "b")) > 0.2 && got(("b", "a")) > 0.2)
+    // KL is non-negative (up to micro-nat quantization slack) and the
+    // matrix is genuinely asymmetric
+    got.values.foreach(v => assert(v >= -1e-5, s"negative KL $v"))
+    assert(got(("a", "b")) != got(("b", "a")))
+  }
+
   test("curationVerdicts attributes every cascade branch, first rule wins") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
