@@ -1701,6 +1701,53 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Min-K%-style hardest-token scoring → (doc_id, n_tokens, k_cnt,
+    * mink_score): the mean surprisal of each document's HARDEST
+    * `kPercent`% of token instances under the corpus's own unigram LM —
+    * the aggregate behind Min-K% Prob membership inference (score a
+    * doc by its least-likely tokens: a memorized document has even
+    * those assigned high probability) and a robust quality signal (the
+    * mean-of-hardest can't be masked by padding easy boilerplate around
+    * gibberish the way the overall mean can). This is the reference-LM
+    * form; with a trained model's per-token logprobs ingested as a
+    * column, the identical top-k% aggregate applies. Docs with no
+    * tokens emit (0, 0, NULL).
+    *
+    * Exactness: per-TYPE surprisal quantized once to integer micro-nats
+    * (the x28j recipe); k_cnt = ⌈n·k/100⌉ in pure integer arithmetic
+    * ((n·k + 99) div 100 — no float ceil); the top-k sum is exact and
+    * one division sequence produces the score. Per-doc work is bounded
+    * by the document's own length (sort + slice of its surprisal
+    * list). */
+  def minKProbScores(docs: DataFrame, idCol: String, textCol: String,
+      kPercent: Int = 20): DataFrame = {
+    require(kPercent >= 1 && kPercent <= 100,
+      s"kPercent must be in 1..100, got $kPercent")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(graft.ops.DedupOps.tokens(col(textCol))).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    val lt = cnt.crossJoin(broadcast(tot)).select(col("tok"),
+      round(log(col("total").cast("double") / col("c")) * 1e6)
+        .cast("long").as("L"))
+    val perDoc = tok.join(lt, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(col("L")), asc = false).as("ls"))
+      .withColumn("k_cnt",
+        expr(s"(n_tokens * $kPercent + 99) div 100"))
+      .withColumn("s", aggregate(slice(col("ls"), lit(1), col("k_cnt")),
+        lit(0L), (acc, x) => acc + x))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("k_cnt"), lit(0L)).as("k_cnt"),
+        when(col("n_tokens").isNotNull,
+          round(col("s").cast("double") / col("k_cnt") / 1e6, 6))
+          .as("mink_score"))
+  }
+
   /** Source-pair KL-divergence matrix → (src_a, src_b, kl_nats) for
     * every ORDERED pair of sources: KL(a‖b) between the add-one-smoothed
     * unigram distributions — the distribution-drift data-map a curation

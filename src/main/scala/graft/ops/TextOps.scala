@@ -481,8 +481,17 @@ object TextOps {
       t(s, d, "documents"), "text", 100)
       .orderBy(col("rank"))
 
+  /** X64 — Min-K%-style hardest-token scores at k=20 over the unigram
+    * LM: the membership-inference/robust-quality aggregate. Fixture
+    * binding of [[graft.api.TrainingData.minKProbScores]]. */
+  def x64MinKProb(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.minKProbScores(
+      t(s, d, "documents"), "doc_id", "text", kPercent = 20)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x61_vocab_coverage" -> (x61VocabCoverage _),
+    "x64_min_k_prob" -> (x64MinKProb _),
     "x28_token_stats" -> (x28Tokens _),
     "x41_line_filter" -> (x41LineFilter _),
     "x48_line_dedup" -> (x48LineDedup _),
@@ -653,6 +662,37 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // min-k%: per-type micro-nat surprisal (x28j spelling), instances
+    // ranked per doc by L DESC (ties share L, so any tiebreak sums the
+    // same), integer top-k sum, ONE division sequence s/k/1e6
+    "x64_min_k_prob" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+        |lt AS (
+        |  SELECT tok,
+        |    CAST(round(ln(CAST(total AS DOUBLE) / c) * 1000000) AS BIGINT) AS L
+        |  FROM cnt CROSS JOIN tot),
+        |inst AS (
+        |  SELECT t.doc_id, l.L,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY l.L DESC) AS rn,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS n
+        |  FROM tok t JOIN lt l USING (tok)),
+        |agg AS (
+        |  SELECT doc_id, n, (n * 20 + 99) // 100 AS k_cnt,
+        |    CAST(sum(CASE WHEN rn <= (n * 20 + 99) // 100 THEN L ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM inst GROUP BY doc_id, n)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(k_cnt, 0) AS BIGINT) AS k_cnt,
+        |  CASE WHEN n IS NOT NULL
+        |       THEN round(CAST(s AS DOUBLE) / k_cnt / 1000000, 6) END AS mink_score
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // coverage curve: one (type, count) aggregation, top-100 by
     // (n DESC, tok), cumulative window over exactly those 100 rows
     "x61_vocab_coverage" ->

@@ -604,6 +604,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("minKProbScores: hardest-k mean resists boilerplate padding, hand-checked") {
+    // "pad pad ... pad rare1 rare2": the overall mean surprisal is
+    // diluted by the 8 cheap pads, the hardest-20% (k_cnt=2) mean is
+    // exactly the two rare tokens' surprisal
+    val docs = Seq(
+      (1L, "pad pad pad pad pad pad pad pad zq1 zq2"),
+      (2L, "pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "")
+    ).toDF("id", "body")
+    val out = TrainingData.minKProbScores(docs, "id", "body", 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // corpus: total 20 tokens; pad c=18, zq1/zq2 c=1 each
+    val lRare = math.round(math.log(20.0 / 1) * 1e6)
+    val lPad = math.round(math.log(20.0 / 18) * 1e6)
+    val exp1 = BigDecimal(2 * lRare / 2.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal(2 * lPad / 2.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((10L, 2L, Some(exp1))), out(1L))
+    assert(out(2L) == ((10L, 2L, Some(exp2))), out(2L))
+    assert(out(3L) == ((0L, 0L, None)))
+    // the padded-gibberish doc scores far above the pure-boilerplate one
+    assert(out(1L)._3.get > out(2L)._3.get * 5)
+  }
+
   test("sourceKlMatrix equals a plain-Scala dense model; KL is non-negative and asymmetric") {
     val docs = Seq(
       ("a", "x x x y"), ("a", "x z"),
