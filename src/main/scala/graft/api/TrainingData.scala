@@ -1701,6 +1701,44 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Length-grouped batching → (doc_id, n_tokens, len_bucket,
+    * batch_idx): documents bucketed by token-length quantiles and
+    * batched WITHIN their bucket in content-addressed order — the
+    * padding-efficiency layout (batching similar lengths wastes far
+    * fewer pad tokens than random batching; the hash order still
+    * decorrelates content within a bucket). `len_bucket` ∈ 0..nBuckets−1
+    * from exact percentiles; `batch_idx` numbers fixed-size batches
+    * inside each bucket.
+    *
+    * Scale shape: thresholds are ONE exact-percentile aggregation
+    * broadcast back (the x44 pattern — never a global sort); the
+    * bucket is a row-local comparison count; batch numbering is one
+    * window per bucket. For a production run partition the window by a
+    * (bucket, shard) composite if a single bucket outgrows one task's
+    * sort. */
+  def lengthGroupedBatches(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 4, batchSize: Int = 8): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(graft.ops.DedupOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cut = base.agg(
+      expr(s"percentile(n_tokens, array(${ps.mkString(", ")}))").as("ths"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("len_bucket")).orderBy(col("hk"), col("doc_id"))
+    base.crossJoin(broadcast(cut))
+      .withColumn("len_bucket",
+        aggregate(col("ths"), lit(0),
+          (acc, th) => acc + when(col("n_tokens") >= th, 1).otherwise(0)))
+      .withColumn("hk", hash16(col("doc_id")))
+      // integer div, not Column./ (which is always double division)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"CAST((rn - 1) div $batchSize AS BIGINT)"))
+      .select(col("doc_id"), col("n_tokens"), col("len_bucket"),
+        col("batch_idx"))
+  }
+
   /** Min-K%-style hardest-token scoring → (doc_id, n_tokens, k_cnt,
     * mink_score): the mean surprisal of each document's HARDEST
     * `kPercent`% of token instances under the corpus's own unigram LM —

@@ -160,6 +160,15 @@ object SamplingOps {
       "doc_id", "source", Seq(("src1", 5), ("src2", 3), ("src3", 2)))
       .orderBy(col("pos"), col("source"), col("doc_id"))
 
+  /** X65 — length-grouped batching: 4 token-length quantile buckets,
+    * 8-doc batches within each in content-addressed order — the
+    * padding-efficiency layout. Fixture binding of
+    * [[graft.api.TrainingData.lengthGroupedBatches]]. */
+  def x65LengthBatches(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.lengthGroupedBatches(
+      t(s, d, "documents"), "doc_id", "text", nBuckets = 4, batchSize = 8)
+      .orderBy(col("doc_id"))
+
   /** X58 — quality-filter threshold calibration: precision/recall/F1 of
     * the keep-rule `n_chars/100 ≥ threshold` against the lang='en'
     * ground-truth stand-in — the sweep read before committing a
@@ -251,7 +260,8 @@ object SamplingOps {
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
-    "x58_threshold_sweep" -> (x58ThresholdSweep _))
+    "x58_threshold_sweep" -> (x58ThresholdSweep _),
+    "x65_length_batches" -> (x65LengthBatches _))
 
   // the same 16-bit hex parse, DuckDB spelling (both engines emit
   // lowercase sha256 hex and agree on ascii())
@@ -511,6 +521,33 @@ object SamplingOps {
          |SELECT doc_id, source, src_rank,
          |  CAST(src_rank AS DOUBLE) / CAST(wt AS DOUBLE) AS pos
          |FROM k ORDER BY pos, source, doc_id""".stripMargin
+    },
+    // length-grouped batching: quantile thresholds (the x44 pattern),
+    // row-local bucket, hash-ordered rank + integer-div batch number
+    "x65_length_batches" -> {
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |th AS (SELECT
+         |  quantile_cont(n_tokens, 0.25) AS t1,
+         |  quantile_cont(n_tokens, 0.5) AS t2,
+         |  quantile_cont(n_tokens, 0.75) AS t3 FROM base),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(CAST(n_tokens >= t1 AS INTEGER)
+         |       + CAST(n_tokens >= t2 AS INTEGER)
+         |       + CAST(n_tokens >= t3 AS INTEGER) AS INTEGER) AS len_bucket,
+         |    ${hash16Sql("doc_id")} AS hk
+         |  FROM base CROSS JOIN th),
+         |r AS (
+         |  SELECT doc_id, n_tokens, len_bucket,
+         |    row_number() OVER (PARTITION BY len_bucket ORDER BY hk, doc_id) AS rn
+         |  FROM b)
+         |SELECT doc_id, n_tokens, len_bucket,
+         |  CAST((rn - 1) // 8 AS BIGINT) AS batch_idx
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     // threshold sweep: one bucket aggregation, cumulative-from-top
     // window over the bucket relation, F1 as the single-division

@@ -604,6 +604,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.length == 1 && hits(0) == ((1L, 100L, 1.0)), hits.mkString)
   }
 
+  test("lengthGroupedBatches: full batches, deterministic, and genuinely padding-efficient") {
+    // 64 docs with token counts 1..64 → 4 buckets of 16, 8-doc batches
+    val docs = (1L to 64L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" ")))
+      .toDF("id", "body")
+    val out = TrainingData.lengthGroupedBatches(docs, "id", "body",
+        nBuckets = 4, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.length == 64)
+    // every (bucket, batch) is exactly full here (16 per bucket = 2 full batches)
+    val sizes = out.groupBy(r => (r._3, r._4)).view.mapValues(_.length)
+    assert(sizes.values.forall(_ == 8), sizes.toMap)
+    // padding efficiency: the mean within-batch length spread is far
+    // below the global spread (what random batching would pay)
+    val spreads = out.groupBy(r => (r._3, r._4)).values
+      .map(b => b.map(_._2).max - b.map(_._2).min)
+    assert(spreads.max <= 15, spreads) // bucket width caps the spread
+    // deterministic across invocations
+    val again = TrainingData.lengthGroupedBatches(docs, "id", "body", 4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("minKProbScores: hardest-k mean resists boilerplate padding, hand-checked") {
     // "pad pad ... pad rare1 rare2": the overall mean surprisal is
     // diluted by the 8 cheap pads, the hardest-20% (k_cnt=2) mean is
