@@ -711,6 +711,66 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("corpusDiff equals a Seq model on random dump pairs (incl. null texts)") {
+    import spark.implicits._
+    val rowGen = for {
+      id <- Gen.choose(1L, 12L)
+      txt <- Gen.option(Gen.oneOf("aa", "bb", "cc"))
+    } yield (id, txt)
+    val gen = for {
+      o <- Gen.listOfN(8, rowGen)
+      n <- Gen.listOfN(8, rowGen)
+    } yield (o.distinctBy(_._1), n.distinctBy(_._1))
+    check(forAll(gen) { case (o, n) =>
+      val od = o.map { case (i, t) => (i, t.orNull) }.toDF("id", "body")
+      val nd = n.map { case (i, t) => (i, t.orNull) }.toDF("id", "body")
+      val got = graft.api.TrainingData.corpusDiff(od, nd, "id", "body")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val om = o.toMap; val nm = n.toMap
+      val model = (om.keySet ++ nm.keySet).map { id =>
+        id -> ((om.get(id), nm.get(id)) match {
+          case (None, _) => "added"
+          case (_, None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      got == model
+    }, n = 12)
+  }
+
+  test("minKProbScores equals a Seq model on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "rare1", "rare2")
+    val docGen = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word))
+    check(forAll(Gen.listOfN(6, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (ws, i) =>
+        ((i + 1).toLong, ws.mkString(" ")) }.toDF("id", "body")
+      val got = graft.api.TrainingData.minKProbScores(docs, "id", "body", 20)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+      // plain-Scala dense model with the same micro-nat quantization
+      val all = texts.flatten
+      val total = all.size
+      val cnt = all.groupBy(identity).view.mapValues(_.size).toMap
+      def L(t: String): Long =
+        math.round(math.log(total.toDouble / cnt(t)) * 1e6)
+      val model = texts.zipWithIndex.map { case (ws, i) =>
+        val id = (i + 1).toLong
+        if (ws.isEmpty) id -> ((0L, 0L, None))
+        else {
+          val k = (ws.size * 20 + 99) / 100
+          val s = ws.map(L).sorted(Ordering[Long].reverse).take(k).sum
+          id -> ((ws.size.toLong, k.toLong,
+            Some(BigDecimal(s.toDouble / k / 1e6)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+        }
+      }.toMap
+      got == model
+    }, n = 12)
+  }
+
   test("zValue is a bijection on the masked grid") {
     import spark.implicits._
     val b = 4 // 16x16 grid
