@@ -1701,6 +1701,33 @@ object TrainingData {
         (col("src_rank").cast("double") / col("wt").cast("double")).as("pos"))
   }
 
+  /** Encoding-quality scan → (doc_id, n_chars, n_control,
+    * n_replacement, control_frac, replacement_frac): counts of C0
+    * control characters (minus \t\n\r) + DEL and of U+FFFD replacement
+    * characters — the mojibake/binary-contamination signals a
+    * crawl-cleaning pass filters on (decode errors surface as U+FFFD;
+    * stray control bytes survive decoding and poison tokenizers;
+    * CCNet-class pipelines drop or strip on both). Pure row-local
+    * regex counting in the Java∩RE2 dialect intersection (`\x{FFFD}`
+    * spelled as an escape so no raw non-ASCII byte rides in either
+    * engine's pattern). Empty docs report zero counts with NULL
+    * fractions; NULL text propagates NULLs. */
+  def encodingQuality(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ctl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val rep = "\\x{FFFD}"
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        regexp_count(col(textCol), lit(ctl)).cast("long").as("n_control"),
+        regexp_count(col(textCol), lit(rep)).cast("long").as("n_replacement"))
+      .withColumn("control_frac",
+        when(col("n_chars") > 0,
+          round(col("n_control").cast("double") / col("n_chars"), 6)))
+      .withColumn("replacement_frac",
+        when(col("n_chars") > 0,
+          round(col("n_replacement").cast("double") / col("n_chars"), 6)))
+  }
+
   /** Length-grouped batching → (doc_id, n_tokens, len_bucket,
     * batch_idx): documents bucketed by token-length quantiles and
     * batched WITHIN their bucket in content-addressed order — the

@@ -489,9 +489,25 @@ object TextOps {
       t(s, d, "documents"), "doc_id", "text", kPercent = 20)
       .orderBy(col("doc_id"))
 
+  /** X66 — encoding-quality scan over a deterministically dirtied
+    * fixture (the fixture text is clean, so control bytes and U+FFFD
+    * are injected by id arithmetic BOTH engines replay — the x28l
+    * pattern). Fixture binding of
+    * [[graft.api.TrainingData.encodingQuality]]. */
+  def x66EncodingScan(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.encodingQuality(
+      t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit("\u0001\u0002")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("\uFFFD")).otherwise(lit("")))
+          .as("text")),
+      "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x64_min_k_prob" -> (x64MinKProb _),
+    "x66_encoding_scan" -> (x66EncodingScan _),
     "x28_token_stats" -> (x28Tokens _),
     "x41_line_filter" -> (x41LineFilter _),
     "x48_line_dedup" -> (x48LineDedup _),
@@ -662,6 +678,26 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // encoding scan: the injection replayed via chr(), counts via
+    // len(regexp_extract_all) (the x28g spelling), \x{FFFD} as an
+    // escape so no raw non-ASCII byte rides in the pattern
+    "x66_encoding_scan" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(65533) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS BIGINT) AS n_control,
+        |  CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS BIGINT) AS n_replacement,
+        |  CASE WHEN length(t) > 0
+        |       THEN round(CAST(len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]')) AS DOUBLE)
+        |            / length(t), 6) END AS control_frac,
+        |  CASE WHEN length(t) > 0
+        |       THEN round(CAST(len(regexp_extract_all(t, '\x{FFFD}')) AS DOUBLE)
+        |            / length(t), 6) END AS replacement_frac
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     // min-k%: per-type micro-nat surprisal (x28j spelling), instances
     // ranked per doc by L DESC (ties share L, so any tiebreak sums the
     // same), integer top-k sum, ONE division sequence s/k/1e6
