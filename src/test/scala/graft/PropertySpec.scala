@@ -771,6 +771,55 @@ class PropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("filterThresholdSweep: kept counts and recall are monotone in the threshold") {
+    import spark.implicits._
+    val rowGen = for {
+      score <- Gen.choose(0, 80).map(_ / 10.0)
+      label <- Gen.oneOf(true, false)
+    } yield (score, label)
+    check(forAll(Gen.listOfN(40, rowGen)) { rows =>
+      val df = rows.toDF("score", "label")
+      val out = graft.api.TrainingData
+        .filterThresholdSweep(df, "score", "label", 1.0)
+        .orderBy("threshold_bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // ascending threshold ⇒ non-increasing kept and pos_kept counts,
+      // and the lowest bucket keeps everything
+      val monotone = out.sliding(2).forall {
+        case Array((_, n1, p1), (_, n2, p2)) => n2 <= n1 && p2 <= p1
+        case _ => true
+      }
+      monotone && out.headOption.forall(_._2 == rows.size)
+    }, n = 15)
+  }
+
+  test("interleaveBySource: every schedule prefix tracks the target rates (discrepancy bound)") {
+    import spark.implicits._
+    val gen = for {
+      wa <- Gen.choose(1, 5)
+      wb <- Gen.choose(1, 5)
+      na <- Gen.choose(10, 25)
+      nb <- Gen.choose(10, 25)
+    } yield (wa, wb, na, nb)
+    check(forAll(gen) { case (wa, wb, na, nb) =>
+      val docs = ((1 to na).map(i => (i.toLong, "a")) ++
+        (1 to nb).map(i => (100L + i, "b"))).toDF("id", "src")
+      val sched = graft.api.TrainingData.interleaveBySource(docs, "id", "src",
+          Seq(("a", wa), ("b", wb)))
+        .orderBy("pos", "source", "doc_id").collect().map(_.getString(1))
+      // rate-pacing law: in the prefix where neither source is
+      // exhausted, counts track k·w/(w_a+w_b) within ±(1 source's
+      // step) — the classic discrepancy bound of pos = rank/weight
+      val horizon = math.min(sched.count(_ == "a") * (wa + wb) / wa,
+        sched.count(_ == "b") * (wa + wb) / wb)
+      (1 to math.min(horizon, sched.length)).forall { k =>
+        val ca = sched.take(k).count(_ == "a")
+        val ideal = k.toDouble * wa / (wa + wb)
+        math.abs(ca - ideal) <= math.max(wa, wb) + 1
+      }
+    }, n = 20)
+  }
+
   test("zValue is a bijection on the masked grid") {
     import spark.implicits._
     val b = 4 // 16x16 grid
