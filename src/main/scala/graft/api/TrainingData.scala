@@ -87,6 +87,16 @@ object TrainingData {
     * their posting lists are the quadratic hot spots — the standard
     * stopword cut), and the remaining join is a plain shuffle equi-join.
     *
+    * '''Behavior change (round 10):''' `maxDf` (default 1000) now caps
+    * document frequency ABSOLUTELY alongside the relative
+    * `maxDfFraction` cut. On corpora where `n_docs·maxDfFraction >
+    * 1000`, mid-frequency tokens (df in (1000, N/2]) that previously
+    * contributed weight are dropped, so pairs near the threshold can
+    * disappear vs rounds ≤ 9. The cap is what bounds the posting-list
+    * self-join at `maxDf·|postings|` (linear in the corpus; the
+    * relative-only cut measured 776× at a 10× scale-up) — pass
+    * `maxDf = Long.MaxValue` to opt out and restore the old semantics.
+    *
     * Determinism design (the reason this is oracle-checkable while most
     * float similarity is not): idf is QUANTIZED to integer milli-units
     * once per token (`round(ln(N/df)·1000)` — a single libm call + round,
@@ -107,7 +117,12 @@ object TrainingData {
     * because the pair pipeline references it on THREE plan branches (the
     * per-doc norms and both posting-list join sides): compute it once,
     * `.persist()` it, and use [[tfidfCosinePairsFromWeights]] when the
-    * corpus is large. */
+    * corpus is large.
+    *
+    * '''Behavior change (round 10):''' the absolute `maxDf` cap (default
+    * 1000) drops mid-frequency tokens the old relative-only cut kept —
+    * see [[tfidfCosinePairs]] for the scale rationale and the
+    * `maxDf = Long.MaxValue` opt-out. */
   def tfidfWeights(docs: DataFrame, idCol: String, textCol: String,
       maxDfFraction: Double = 0.5, maxDf: Long = 1000L): DataFrame = {
     val tf = docs
@@ -1823,7 +1838,10 @@ object TrainingData {
     *
     * Exactness design: per-(source, token) surprisal is quantized ONCE
     * to integer micro-nats (L = round(ln((n+V)/(c+1))·10⁶), the x28j
-    * recipe), making every sum an exact integer. The engine computes
+    * recipe), making every sum an exact integer — accumulated as
+    * DECIMAL(38,0) because the per-pair masses reach ~(n+V)·ln(n+V)·10⁶
+    * and would wrap a BIGINT at ~3·10¹¹ tokens per source (the oracle's
+    * HUGEINT promotion is the same widening). The engine computes
     * the SPARSE decomposition — the Σ over the full vocabulary splits
     * into the shared-token join term plus closed-form integer masses
     * for tokens present in only one side or neither, so nothing dense
@@ -1852,12 +1870,20 @@ object TrainingData {
           * 1e6).cast("long"))
       .select(col("src"), col("tok"), col("cnt"), col("L"))
     // per-source integer scalars: |A|, Σ(c+1), Σ(c+1)·L, ΣL, and the
-    // absent-token surprisal L0 = round(ln(n+V)·1e6)
+    // absent-token surprisal L0 = round(ln(n+V)·1e6). The sums
+    // accumulate as DECIMAL(38,0), not BIGINT: SL and the T1 absent-mass
+    // terms are bounded by ~(n+V)·ln(n+V)·1e6 micro-nats, which passes
+    // Long.MaxValue once a source holds ~3e11 tokens — a silent
+    // wraparound at exactly the corpus scale this matrix targets.
+    // DECIMAL(38,0) holds ~1e38 (exact to 38 digits, like DuckDB's
+    // HUGEINT promotion on the oracle side), pushing the bound past any
+    // physical corpus; the final kl_nats division is double as before.
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     val scal = present.groupBy(col("src")).agg(
         count(lit(1)).as("nA"),
-        sum(col("cnt") + 1).as("S"),
-        sum((col("cnt") + 1) * col("L")).as("SL"),
-        sum(col("L")).as("PL"))
+        sum((col("cnt") + 1).cast(dec)).as("S"),
+        sum((col("cnt") + 1).cast(dec) * col("L")).as("SL"),
+        sum(col("L").cast(dec)).as("PL"))
       .join(ns, "src").crossJoin(broadcast(vrel))
       .withColumn("L0",
         round(log((col("n") + col("V")).cast("double")) * 1e6).cast("long"))
@@ -1869,9 +1895,9 @@ object TrainingData {
     val inter = aSide.join(bSide, Seq("tok"))
       .filter(col("src_a") =!= col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
-      .agg(sum(col("ca1") * col("lb")).as("J"),
-        sum(col("ca1")).as("IS"),
-        sum(col("lb")).as("IL"),
+      .agg(sum(col("ca1").cast(dec) * col("lb")).as("J"),
+        sum(col("ca1").cast(dec)).as("IS"),
+        sum(col("lb").cast(dec)).as("IL"),
         count(lit(1)).as("IC"))
     val sa = scal.select(col("src").as("src_a"), col("nA").as("nA_a"),
       col("S").as("S_a"), col("SL").as("SL_a"), col("L0").as("L0_a"),
@@ -1880,15 +1906,20 @@ object TrainingData {
       col("PL").as("PL_b"), col("L0").as("L0_b"))
     sa.crossJoin(sb).filter(col("src_a") =!= col("src_b"))
       .join(inter, Seq("src_a", "src_b"), "left")
-      .na.fill(0L, Seq("J", "IS", "IL", "IC"))
+      .withColumn("J", coalesce(col("J"), lit(0L).cast(dec)))
+      .withColumn("IS", coalesce(col("IS"), lit(0L).cast(dec)))
+      .withColumn("IL", coalesce(col("IL"), lit(0L).cast(dec)))
+      .withColumn("IC", coalesce(col("IC"), lit(0L)))
       // T2 = Σ_t (c_a+1)·L_a(t); T1 = Σ_t (c_a+1)·L_b(t); the Σ over the
       // FULL vocab splits into A∩B (join terms), A\B, B\A, and neither —
-      // each an exact integer
-      .withColumn("T2", col("SL_a") + (col("V") - col("nA_a")) * col("L0_a"))
+      // each an exact integer (DECIMAL(38,0) end-to-end, see `dec` above)
+      .withColumn("T2",
+        col("SL_a") + (col("V") - col("nA_a")).cast(dec) * col("L0_a"))
       .withColumn("T1",
         col("J") + (col("S_a") - col("IS")) * col("L0_b")
           + (col("PL_b") - col("IL"))
-          + (col("V") - col("nA_a") - col("nA_b") + col("IC")) * col("L0_b"))
+          + (col("V") - col("nA_a") - col("nA_b") + col("IC")).cast(dec)
+            * col("L0_b"))
       .withColumn("kl_nats",
         round((col("T1") - col("T2")).cast("double")
           / ((col("n_a") + col("V")).cast("double") * 1e6), 6))

@@ -758,7 +758,7 @@ object DedupOps {
         |  FROM dense CROSS JOIN v),
         |pair AS (
         |  SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a,
-        |    CAST(sum((a.cnt + 1) * (b.L - a.L)) AS BIGINT) AS num
+        |    sum(CAST(a.cnt + 1 AS HUGEINT) * (b.L - a.L)) AS num
         |  FROM l a JOIN l b ON a.tok = b.tok AND a.src <> b.src
         |  GROUP BY 1, 2, 3)
         |SELECT src_a, src_b,

@@ -455,7 +455,11 @@ object MultimodalOps {
       var off = 0
       while (!inflater.finished() && off < raw.length) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return bad // truncated stream
+        // truncated stream (needsInput) or an FDICT preset-dictionary
+        // stream (needsDictionary): both make inflate() return 0 forever
+        // without finishing — quarantine rather than spin
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          return bad
         off += n
       }
       inflater.end()

@@ -184,6 +184,28 @@ class MultimodalSpec extends SparkSpec {
       out.toByteArray
     }
     assert(invalid(cut))
+    // FDICT (preset-dictionary) zlib stream: inflate() returns 0 with
+    // needsDictionary()=true, needsInput()=false, finished()=false — a
+    // decoder that only treats needsInput as terminal SPINS FOREVER here.
+    // Header 0x78 0x20: CMF=0x78, FLG=0x20 sets the FDICT bit and keeps
+    // (CMF·256+FLG) % 31 == 0 as RFC 1950 requires, then the 4-byte
+    // DICTID; a valid-CRC IDAT carries it so every structural check
+    // upstream passes and the inflate loop itself must bail.
+    val fdict = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 33) // sig + IHDR chunk
+      val z = Array[Byte](0x78, 0x20, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06)
+      def be32(v: Long): Unit = { out.write(((v >>> 24) & 0xff).toInt)
+        out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+        out.write((v & 0xff).toInt) }
+      be32(z.length.toLong)
+      out.write("IDAT".getBytes("US-ASCII")); out.write(z, 0, z.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update("IDAT".getBytes("US-ASCII")); crc.update(z)
+      be32(crc.getValue)
+      out.toByteArray
+    }
+    assert(invalid(fdict))
   }
 
   test("wav pcm decode: sample stats round-trip the builder arithmetic") {
