@@ -1064,16 +1064,25 @@ object TrainingData {
   /** Bucket-bit sizing for [[embeddingNearDupPairs]] at a given corpus
     * size: SRP-LSH candidate cost is Σ bucket², so FIXED bits go
     * quadratic as the corpus grows (occupancy ∝ n/2^bits → pairs ∝
-    * n²/2^bits; measured 186× at a 10× scale-up under the fixture's 4
-    * bits). Sizing bits so the EXPECTED bucket occupancy stays at
-    * `targetBucket` keeps candidates ≈ tables·n·targetBucket/2 — linear
-    * in n. Recall at the same threshold drops as bits grow (the SRP
-    * collision curve p = (1 − θ/π)^bits); compensate with more tables
-    * when recall matters more than cost. */
+    * n²/2^bits; measured 173× at a 10× scale-up under the old fixture's
+    * pinned 4 bits). Sizing bits so the EXPECTED bucket occupancy stays
+    * at `targetBucket` keeps candidates ≈ tables·n·targetBucket/2 —
+    * linear in n. Recall at the same threshold drops as bits grow (the
+    * SRP collision curve p = (1 − θ/π)^bits); compensate with more
+    * tables when recall matters more than cost.
+    *
+    * Returns the smallest b ≥ 4 with targetBucket·2^b ≥ corpusSize,
+    * derived in PURE INTEGER arithmetic (shift-and-compare, capped at
+    * 56): the registered x26f query feeds a corpus COUNT through this
+    * function and its DuckDB oracle replays the same derivation, so a
+    * float ceil(log2(n/target)) — where two libms can disagree by one
+    * ulp exactly at the power-of-two boundaries and flip the bucket
+    * geometry — would be an oracle hash breaker, not a style choice. */
   def srpBitsFor(corpusSize: Long, targetBucket: Long = 64L): Int = {
     require(corpusSize > 0 && targetBucket > 0)
-    math.max(4, math.ceil(
-      math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt)
+    var b = 0
+    while (b < 56 && (targetBucket << b) < corpusSize) b += 1
+    math.max(4, b)
   }
 
   /** PQ + ADC approximate top-k — the memory-bandwidth form of

@@ -450,11 +450,24 @@ object VectorOps {
     * the threshold, so every emitted pair is a TRUE near-dup pair with the
     * same sim the exact scan would report. Recall < 1 for pairs near the
     * threshold (the SRP collision curve: p_table = (1 − θ/π)^bits);
-    * subset + recall-floor asserted against x26d in LlmOpsSpec. */
-  def x26fEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame =
+    * subset + recall-floor asserted against x26d in LlmOpsSpec.
+    *
+    * Bucket bits are ADAPTIVE — `srpBitsFor(count(embeddings))`, the
+    * smallest b ≥ 4 with 64·2^b ≥ n — because fixed bits are a measured
+    * scale-killer: bucket occupancy grows ∝ n, candidate pairs ∝
+    * n²/2^bits, 173× wall time at a 10× scale-up under pinned 4 bits
+    * (SCALING_r10). Sizing bits to the corpus keeps expected occupancy
+    * (and so the candidate relation) linear in n. The count is the raw
+    * table count — one parquet-metadata scan — and the DuckDB oracle
+    * replays the SAME integer derivation from its own count(*), with
+    * sign literals generated to the 24-plane maximum and the
+    * count-derived prefix selecting how many participate. */
+  def x26fEmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val bits = graft.api.TrainingData.srpBitsFor(t(s, d, "embeddings").count())
     embNearDupLshFromNormed(persistNormedEmb(s, d),
-      threshold = 0.4, tables = 8, bits = 4)
+      threshold = 0.4, tables = 8, bits = bits)
       .orderBy(col("v1"), col("v2"))
+  }
 
   /** SRP-LSH near-dup pair core over any `(vec_id, embedding)` corpus —
     * shared by the fixture query above and the parametric API
@@ -1012,14 +1025,21 @@ object VectorOps {
       if (h % 2 == 0) '+' else '-'
     }.mkString
 
-  // shared oracle fragments for the 8-table × 4-bit SRP config both LSH
-  // fixtures (x26f, x27b) use: the sign literals, and the CTE chain
-  // projecting `src` (vec_id, embedding) into per-table bucket keys with
-  // the SAME left-to-right double fold SrpBuckets evaluates
+  // shared oracle fragments for the 8-table SRP config both LSH fixtures
+  // (x26f, x27b) use: the sign literals and the CTE chain projecting
+  // `src` (vec_id, embedding) into per-table bucket keys with the SAME
+  // left-to-right double fold SrpBuckets evaluates. Sign literals are
+  // data-independent algorithm constants, so they are generated to the
+  // MAXIMUM plane count (24) once; `bitsSql` — a literal for the
+  // fixed-config x27b, the count-derived nbits subquery for the adaptive
+  // x26f — selects the PREFIX of planes that participates. 24 planes
+  // cover srpBitsFor counts up to 64·2^24 ≈ 1.07e9 rows, far past any
+  // oracle-checkable fixture; the engine itself has no such ceiling.
+  private[graft] val MaxOracleSrpBits = 24
   private lazy val srpSignRows: String =
-    (for (tb <- 0 until 8; p <- 0 until 4)
+    (for (tb <- 0 until 8; p <- 0 until MaxOracleSrpBits)
       yield s"($tb, $p, '${srpSignStr(tb, p, 64)}')").mkString(",\n    ")
-  private def srpBucketCtes(src: String): String =
+  private def srpBucketCtes(src: String, bitsSql: String = "4"): String =
     s"""signs(t, p, sgns) AS (VALUES
        |    $srpSignRows),
        |proj AS (
@@ -1029,11 +1049,20 @@ object VectorOps {
        |           THEN CAST(e.embedding[i] AS DOUBLE)
        |           ELSE -CAST(e.embedding[i] AS DOUBLE) END),
        |      (a, b) -> a + b) AS proj
-       |  FROM $src e CROSS JOIN signs s),
+       |  FROM $src e CROSS JOIN signs s WHERE s.p < ($bitsSql)),
        |buckets AS (
        |  SELECT vec_id, t,
        |    CAST(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkey
        |  FROM proj GROUP BY 1, 2)""".stripMargin
+  // srpBitsFor replayed in SQL — the smallest b ≥ 4 with 64·2^b ≥
+  // count(*), the same shift-and-compare integer derivation (no float
+  // log2: libm ulp disagreement at power-of-two boundaries would flip
+  // the geometry). 56 is srpBitsFor's own cap, unreachable here.
+  private def srpNbitsCte(countSrc: String): String =
+    s"""nbits AS (
+       |  SELECT greatest(4, coalesce(min(r.range), 56)) AS b
+       |  FROM range(0, 56) r, (SELECT count(*) AS n FROM $countSrc) nb
+       |  WHERE (CAST(64 AS BIGINT) << r.range) >= nb.n)""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
@@ -1394,7 +1423,8 @@ object VectorOps {
       s"""WITH nz AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  WHERE ${dotSql("embedding", "embedding")} > 0),
-         |${srpBucketCtes("nz")},
+         |${srpNbitsCte("embeddings")},
+         |${srpBucketCtes("nz", "SELECT b FROM nbits")},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
          |  FROM buckets a JOIN buckets b

@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * so layout/encoding differences never pollute the ratio.
   *
   * Usage: sbt "runMain graft.tools.ScaleSweep" → scaling_out.json
-  * (repo cwd), one JSON line with per-query {t1, t10, ratio}.
+  * (repo cwd), one JSON line with per-query {t1, t1_warm, t10,
+  * t10_warm, ratio} (ratio is COLD/COLD — see timeQuery), a
+  * queries_100x section for the Top5 heaviest, and the pinned-bits
+  * configuration contrast.
   */
 object ScaleSweep {
 
@@ -53,6 +56,8 @@ object ScaleSweep {
     * copy of the base, the fair 1× baseline). */
   def generate(spark: SparkSession, base: String, out: String,
       reps: Int): Unit = {
+    require(reps >= 1 && reps <= 128,
+      s"replica transforms (64 rotations x 2 signs) support at most 128, got $reps")
     val r = spark.range(reps).select(col("id").as("__r"))
     def rep(name: String)(f: DataFrame => DataFrame): Unit = {
       val df = graft.Tables.t(spark, base, name)
@@ -67,11 +72,22 @@ object ScaleSweep {
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit("~"), col("__r"))))).as("text"),
       col("lang"), col("source"), col("n_chars"), col("__r")))
-    rep("embeddings")(df => df.select(
-      shifted("vec_id"),
-      concat(slice(col("embedding"), col("__r") + 1, lit(64) - col("__r")),
-        slice(col("embedding"), lit(1), col("__r"))).as("embedding"),
-      col("label"), col("__r")))
+    rep("embeddings")(df => {
+      // component ROTATION by __r (norms and the pairwise-sim
+      // distribution survive, vectors differ) only yields 64 distinct
+      // transforms at 64 dims; replicas 64..127 additionally NEGATE
+      // (cos(-a,-b) = cos(a,b), so within-replica sims still survive,
+      // while cross-replica cosines vs the unnegated twin flip sign —
+      // nothing becomes a near-dup of another replica)
+      val rot = col("__r") % 64
+      val rotated = concat(slice(col("embedding"), rot + 1, lit(64) - rot),
+        slice(col("embedding"), lit(1), rot))
+      df.select(
+        shifted("vec_id"),
+        when(col("__r") < 64, rotated)
+          .otherwise(transform(rotated, x => -x)).as("embedding"),
+        col("label"), col("__r"))
+    })
     rep("events")(df => df.select(
       shifted("event_id"), col("ts"), shifted("user_id"),
       col("event_type"), col("value"), col("props"), col("__r")))
@@ -99,24 +115,48 @@ object ScaleSweep {
     }
   }
 
+  /** One timed execution of a registered query. COLD timings evict the
+    * per-app caches first, so every cold run pays the query's full
+    * compute — several Heavy queries (x62, x33c) persist shared or even
+    * whole-result relations per app/dir, and a min-of-two without
+    * eviction times a tiny cached scan on the second run, which can
+    * never expose a superlinear regression (the tool's whole purpose).
+    * Cold is min-of-two FULLY-EVICTED runs (noise floor without cache
+    * reuse); warm is one further run with the caches left hot — the
+    * steady-state number, reported but never used for the ratio flag. */
   private def timeQuery(spark: SparkSession, name: String,
-      dir: String): Double = {
+      dir: String): (Double, Double) = {
     def once(): Double = {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    math.min(once(), once())
+    def cold(): Double = { graft.ops.PerAppCache.evictAll(); once() }
+    val c = math.min(cold(), cold())
+    (c, once())
   }
+
+  /** The 5 heaviest sweep queries get an additional 100× point: 10×
+    * caught three hidden quadratics in round 10, but data-dependent
+    * constants (bucket occupancy, df caps, broadcast thresholds) can
+    * hide below 10× and only bend the curve later. On 32 saturated
+    * cores the linear-per-core expectation at 100× data is a ratio of
+    * ~100; the flag threshold is 1.5× that. */
+  val Top5: Seq[String] = Seq(
+    "x26f_embedding_neardup_lsh", "x62_curation_report",
+    "x33c_split_decontam", "x28d_tfidf_top_term", "q03b_large_join")
+  private val Flag10x = 12.0
+  private val Flag100x = 150.0
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = BenchSession.open()
-    val d1 = s"$out/x1"; val d10 = s"$out/x10"
+    val d1 = s"$out/x1"; val d10 = s"$out/x10"; val d100 = s"$out/x100"
     val t0g = System.nanoTime()
     generate(spark, base, d1, 1)
     generate(spark, base, d10, 10)
+    generate(spark, base, d100, 100)
     val genSec = (System.nanoTime() - t0g) / 1e9
 
     BenchSession.warmTables(spark, d1)
@@ -124,50 +164,59 @@ object ScaleSweep {
     // JIT/codegen warm-up on the 1× side so neither sweep pays it
     timeQuery(spark, Heavy.head, d1)
 
-    val rows = Heavy.map { name =>
-      val t1 = timeQuery(spark, name, d1)
-      (name, t1)
-    }
+    val rows = Heavy.map(name => (name, timeQuery(spark, name, d1)))
     graft.ops.PerAppCache.evictAll() // drop the 1× cached relations
     BenchSession.warmTables(spark, d10)
-    val full = rows.map { case (name, t1) =>
-      val t10 = timeQuery(spark, name, d10)
-      (name, t1, t10, t10 / t1)
+    val full = rows.map { case (name, (c1, w1)) =>
+      val (c10, w10) = timeQuery(spark, name, d10)
+      (name, c1, w1, c10, w10, c10 / c1)
     }
     graft.ops.PerAppCache.evictAll()
 
-    // at-scale CONFIGURATION variants: the fixture queries run a fixed
-    // config the oracle can replay (4-bit SRP buckets), which is NOT the
-    // config a 10× corpus should run — measure the documented remedy
-    // (srpBitsFor: bits sized to corpus → constant expected bucket
-    // occupancy) so the artifact shows it restores linearity where the
-    // fixed config goes quadratic.
-    def timeThunk(f: => Long): Double = {
-      def once(): Double = {
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
-      math.min(once(), once())
+    // 100× section for the Top5 heaviest: cold-vs-cold against the same
+    // 1× cold baseline as the 10× table
+    BenchSession.warmTables(spark, d100)
+    val t1ByName = rows.toMap
+    val top = Top5.map { name =>
+      val (c100, w100) = timeQuery(spark, name, d100)
+      val (c1, _) = t1ByName(name)
+      (name, c1, c100, w100, c100 / c1)
     }
-    def x26fAdaptive(dir: String): Long = {
-      val e = graft.Tables.t(spark, dir, "embeddings")
-      val bits = graft.api.TrainingData.srpBitsFor(e.count())
+    graft.ops.PerAppCache.evictAll()
+
+    // at-scale CONFIGURATION contrast: the registered x26f now derives
+    // its SRP bits from the corpus count (srpBitsFor — constant expected
+    // bucket occupancy, linear candidates); keep the old pinned-4-bit
+    // form measured alongside it so the artifact still shows WHY (fixed
+    // bits: occupancy ∝ n, candidate pairs ∝ n²/2^bits — 173× at 10× in
+    // SCALING_r10). One timed run each, not min-of-two: the contrast is
+    // documentation, not a regression gate.
+    def onceThunk(f: => Long): Double = {
+      graft.ops.PerAppCache.evictAll()
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def x26fFixed(dir: String): Long =
       graft.api.TrainingData.embeddingNearDupPairs(
-        e, "vec_id", "embedding", 0.4, tables = 8, bits = bits).count()
-    }
-    val e1 = timeThunk(x26fAdaptive(d1))
-    val e10 = timeThunk(x26fAdaptive(d10))
+        graft.Tables.t(spark, dir, "embeddings"),
+        "vec_id", "embedding", 0.4, tables = 8, bits = 4).count()
+    val f1 = onceThunk(x26fFixed(d1))
+    val f10 = onceThunk(x26fFixed(d10))
     val extrasJson =
-      s""""x26f_adaptive_bits":{"t1":${math.round(e1 * 1000) / 1000.0},"t10":${math.round(e10 * 1000) / 1000.0},"ratio":${math.round(e10 / e1 * 1000) / 1000.0}}"""
+      s""""x26f_fixed_bits_4":{"t1":${math.round(f1 * 1000) / 1000.0},"t10":${math.round(f10 * 1000) / 1000.0},"ratio":${math.round(f10 / f1 * 1000) / 1000.0}}"""
     graft.ops.PerAppCache.evictAll()
 
     def r3(v: Double) = math.round(v * 1000) / 1000.0
-    val qjson = full.map { case (n, t1, t10, ratio) =>
-      s""""$n":{"t1":${r3(t1)},"t10":${r3(t10)},"ratio":${r3(ratio)}}"""
+    val qjson = full.map { case (n, c1, w1, c10, w10, ratio) =>
+      s""""$n":{"t1":${r3(c1)},"t1_warm":${r3(w1)},"t10":${r3(c10)},"t10_warm":${r3(w10)},"ratio":${r3(ratio)}}"""
     }.mkString("{", ",", "}")
-    val flagged = full.collect { case (n, _, _, ratio) if ratio > 12.0 => n }
-    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val topJson = top.map { case (n, c1, c100, w100, ratio) =>
+      s""""$n":{"t1":${r3(c1)},"t100":${r3(c100)},"t100_warm":${r3(w100)},"ratio":${r3(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val flagged = full.collect { case (n, _, _, _, _, r) if r > Flag10x => n }
+    val flagged100 = top.collect { case (n, _, _, _, r) if r > Flag100x => n }
+    def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"scaling_10x","base":"$base","replicas":10,"gen_seconds":${r3(genSec)},"n_queries":${full.size},"flagged_superlinear":$flaggedJson,"queries":$qjson,"adaptive_variants":{$extrasJson}}"""
+      s"""{"metric":"scaling_10x","base":"$base","replicas":10,"gen_seconds":${r3(genSec)},"n_queries":${full.size},"flagged_superlinear":${jarr(flagged)},"queries":$qjson,"queries_100x":$topJson,"flagged_superlinear_100x":${jarr(flagged100)},"config_variants":{$extrasJson}}"""
     println(line)
     BenchSession.writeArtifact("scaling_out.json", line)
     spark.stop()

@@ -138,6 +138,43 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Exchange") <= 2, p) // agg + result order
   }
 
+  test("q03b flips broadcast->sort-merge once both sides outgrow the threshold") {
+    // SCALING_r10 measured q03b at 6.99x per 10x data — the documented
+    // broadcast->SMJ strategy transition. Pin the at-scale plan here so a
+    // stats regression can't silently degrade it to a BNLJ/cartesian and
+    // hide inside the sweep ratio: replicate orders far past the 10 MB
+    // broadcast threshold (the query prunes orders to 2 of 7 columns and
+    // the estimator scales the file size by that fraction, so the file
+    // must be ~4x the threshold: sf0.001 orders ~36 KB x 2000 ~ 70 MB ->
+    // ~20 MB pruned estimate; keys stride-shifted so join integrity
+    // holds within a replica) and assert the planner picks the shuffled
+    // sort-merge join. Plan-only — nothing executes.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val out = java.nio.file.Files.createTempDirectory("q03b_rep").toString
+    val stride = 100000000L
+    def rep(table: String, key: String, n: Int): Unit = {
+      val r = spark.range(n).select(col("id").as("__r"))
+      spark.read.parquet(s"$dir/$table.parquet").crossJoin(broadcast(r))
+        .withColumn(key, col(key) + col("__r") * stride)
+        .drop("__r").write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    rep("lineitem", "l_orderkey", 300)
+    rep("orders", "o_orderkey", 2000)
+    // scaled-down threshold, NOT -1: the decision stays stats-driven
+    // (both pruned estimates sit ~4x above it, the same proportion as
+    // multi-GB sides vs the default 10 MB), so a future broadcast hint
+    // or a stats estimate collapsing to zero still fails here where
+    // disabling broadcast outright would mask it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
+    try {
+      val p = SparkEntry.queries("q03b_large_join")(spark, out)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), p.linesIterator.take(40).mkString("\n"))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join co-located: zero exchanges in the join plan") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
