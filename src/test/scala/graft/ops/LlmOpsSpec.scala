@@ -151,6 +151,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("annTopKIvfPq defaults to residual encoding; opt-out is the naive composition") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.t(spark, d, "embeddings")
+    val qs = emb.filter(col("vec_id") < 20)
+    def run(residual: Boolean) = graft.api.TrainingData.annTopKIvfPq(
+        emb, qs, "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
+        m = VectorOps.PqM, codesPerSubspace = 16, refine = VectorOps.PqRefine,
+        residual = residual)
+      .orderBy("q_id", "rank").collect().map(_.toSeq)
+    // the DEFAULT (residual = true) must reproduce the residual fixture
+    // path exactly — the ≥0.7 recall floor asserted above transfers to
+    // every API caller who doesn't opt out
+    assert(run(residual = true).sameElements(
+      VectorOps.x27hAnnIvfPqResidual(spark, d).collect().map(_.toSeq)))
+    // the explicit opt-out reproduces the old raw-vector composition
+    // (the ~0.5-floor trap, now a deliberate choice instead of a default)
+    assert(run(residual = false).sameElements(
+      VectorOps.x27fAnnIvfPq(spark, d).collect().map(_.toSeq)))
+  }
+
   test("x52 tokenizer stats: fertility >= 1, zero OOV on the training half, char fallback proven") {
     val rows = TextOps.x52TokenizerStats(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
