@@ -2973,4 +2973,257 @@ object TrainingData {
               round(log(col("n").cast("double") / c.cast("double")) * 1e6)
                 .cast("long")).cast("double")
             / (col("n").cast("double") * 1e6), 6).as("entropy"))
+
+  // ───────────────────────── round-11 additions ─────────────────────────
+
+  /** The winnowing SELECTION over a per-position k-gram hash array: the
+    * absolute positions picked by sliding a `window`-wide frame and
+    * keeping the MINIMUM hash, ties → RIGHTMOST (the Schleimer/Wilkerson/
+    * Aiken MOSS rule — rightmost ties is what makes adjacent windows
+    * reuse the previous pick and bounds fingerprint density at ~2/(w+1)).
+    * Entirely row-local array algebra: zero shuffle, a per-document map
+    * at any corpus size. Fewer than `window` k-grams → one whole-array
+    * window (every non-empty doc yields ≥ 1 fingerprint). */
+  private def winnowSelect(kh: Column, window: Int): Column = {
+    val nwin = when(size(kh) >= window, size(kh) - (window - 1))
+      .otherwise(lit(1))
+    array_distinct(transform(sequence(lit(1), nwin), j => {
+      val win = slice(kh, j, lit(window))
+      // rightmost-min fold over window indices: acc starts at 1, each
+      // later index wins on <= — the seed-free DuckDB list_reduce
+      // replays the identical fold
+      val idx = when(size(win) >= 2,
+        aggregate(sequence(lit(2), size(win)), lit(1),
+          (acc, i) => when(element_at(win, i) <= element_at(win, acc), i)
+            .otherwise(acc)))
+        .otherwise(lit(1))
+      j - 1 + idx
+    }))
+  }
+
+  /** Winnowing document fingerprints → (doc_id, pos, fp): the MOSS
+    * local-fingerprinting scheme — k-word grams hashed per POSITION
+    * (not distinct, unlike the Jaccard shingle relation), a w-wide
+    * sliding window keeps each window's min hash (ties → rightmost),
+    * and the selected (position, hash) set is the document's
+    * fingerprint. The guarantee the scheme is chosen for: any shared
+    * run of ≥ w + k − 1 tokens between two documents is CAUGHT by at
+    * least one shared fingerprint, while density stays ~2/(w+1) —
+    * near-dup detection with positional evidence at ~25 % of the
+    * full shingle relation's size.
+    *
+    * Hashes are the 32-bit sha-prefix ([[graft.ops.DedupOps.sha32]]),
+    * the portable fixture hash, so the DuckDB oracle replays the whole
+    * pipeline. Scale shape: fingerprinting is row-local (see
+    * [[winnowSelect]]); only the selected ~2n/(w+1) fingerprints ever
+    * reach a shuffle. */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame = {
+    require(k >= 1 && window >= 1, s"k and window must be >= 1")
+    val withKh = docs
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+          i => graft.ops.DedupOps.sha32(array_join(slice(col("tk"), i, lit(k)), " ")))
+          .as("kh"))
+    withKh
+      .select(col("doc_id"), col("kh"),
+        explode(winnowSelect(col("kh"), window)).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        element_at(col("kh"), col("p")).as("fp"))
+  }
+
+  /** Shared-fingerprint document pairs → (d1, d2, n_shared), d1 < d2:
+    * the pair relation over [[winnowingFingerprints]] — two documents
+    * pair when they share ≥ 1 selected fingerprint VALUE, with the
+    * count of distinct shared values as the match weight. The
+    * winnowing guarantee makes this the cheap contiguous-overlap
+    * detector: any shared token run of ≥ window + k − 1 produces a
+    * pair. Scale shape: distinct (doc, fp) → one equi-join on the
+    * 8-byte fingerprint ([[graft.ops.DedupOps.coocPairs]]); density
+    * ~2/(w+1) of the shingle relation the Jaccard path joins. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, window: Int = 4): DataFrame =
+    DedupOps.coocPairs(
+      winnowingFingerprints(docs, idCol, textCol, k, window)
+        .select(col("doc_id"), col("fp")).distinct(),
+      "fp")
+      .select(col("d1"), col("d2"), col("inter").as("n_shared"))
+
+  /** Contamination SPAN offsets → (doc_id, probe_id, start_pos, end_pos,
+    * n_shingles, span_tokens): where [[contaminationPairs]] reports THAT
+    * a corpus document contains an eval document's shingles, this
+    * reports WHERE — every maximal run of consecutive k-gram positions
+    * in the corpus document whose hashes appear in the probe, the
+    * offsets a surgical decontamination pass excises (drop the span,
+    * keep the document) instead of dropping whole documents. Positions
+    * are 1-based k-gram indices; a span covers tokens
+    * [start_pos, end_pos + k − 1], i.e. `span_tokens` = end_pos −
+    * start_pos + k tokens.
+    *
+    * Scale shape: corpus k-grams stay (id, pos, hash8) rows; the probe
+    * side reduces to its DISTINCT hash set (eval suites are small —
+    * broadcast); matches coalesce into runs with ONE window partitioned
+    * by (doc, probe) ordered by position — the islands trick, state
+    * bounded by a document's own match count. */
+  def contaminationSpans(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1)
+    def kgramPos(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), DedupOps.tokens(col(textCol)).as("tk"))
+        .filter(size(col("tk")) >= k)
+        .select(col(outId),
+          posexplode(transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+            i => graft.ops.DedupOps.sha32(array_join(slice(col("tk"), i, lit(k)), " ")))))
+        .select(col(outId), (col("pos") + 1).cast("long").as("p"),
+          col("col").as("shh"))
+    val hits = kgramPos(corpus, "doc_id")
+      .join(broadcast(kgramPos(probes, "probe_id")
+        .select(col("probe_id"), col("shh")).distinct()), Seq("shh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("probe_id")).orderBy(col("p"))
+    hits
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col("doc_id"), col("probe_id"), col("grp"))
+      .agg(min(col("p")).as("start_pos"), max(col("p")).as("end_pos"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("probe_id"), col("start_pos"),
+        col("end_pos"),
+        col("n_shingles"),
+        (col("end_pos") - col("start_pos") + k).as("span_tokens"))
+  }
+
+  /** Rank-fusion quality scoring via bucketized ECDFs →
+    * (id, b_<signal>..., fused): each INTEGER signal is mapped to its
+    * corpus decile (bucket = how many of the nBuckets−1 exact percentile
+    * edges lie at or below the value), and the fused score is the mean
+    * bucket — the standard way to combine incommensurable quality
+    * signals (length, diversity, size) without hand-tuned weights:
+    * every signal contributes on the same 0..nBuckets−1 scale
+    * regardless of its units or distribution.
+    *
+    * Scale shape deliberately avoids the textbook percent_rank: a
+    * whole-corpus window with no partition key moves EVERYTHING to one
+    * partition. Instead ONE aggregation computes (nBuckets−1) edges per
+    * signal (`percentile` — exact and portable on integer inputs, the
+    * q08b pair), the tiny edge relation broadcasts, and bucket
+    * assignment is a row-local comparison count — the x44 threshold
+    * pattern generalized to every signal at once. Signals must be
+    * integer-valued ([[tokenStats]] counts are the intended inputs);
+    * rows with any NULL signal are dropped. */
+  def ecdfFusion(rows: DataFrame, idCol: String, signalCols: Seq[String],
+      nBuckets: Int = 10): DataFrame = {
+    require(signalCols.nonEmpty, "need at least one signal column")
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val base = rows
+      .select(col(idCol).as("id") +:
+        signalCols.map(c => col(c).cast("long").as(c)): _*)
+      .na.drop(signalCols)
+    val edges = base.agg(
+      expr(s"percentile(`${signalCols.head}`, array(${qs.mkString(", ")}))")
+        .as(s"__e_${signalCols.head}"),
+      signalCols.tail.map(c =>
+        expr(s"percentile(`$c`, array(${qs.mkString(", ")}))").as(s"__e_$c")): _*)
+    val bucketed = base.crossJoin(broadcast(edges))
+      .select(col("id") +: signalCols.map(c =>
+        size(filter(transform(col(s"__e_$c"), e => round(e, 6)),
+          e => e <= col(c))).cast("long").as(s"b_$c")): _*)
+    bucketed.select(col("id") +: signalCols.map(c => col(s"b_$c")) :+
+      round(signalCols.map(c => col(s"b_$c")).reduce(_ + _).cast("double")
+        / signalCols.size, 6).as("fused"): _*)
+  }
+
+  /** Jelinek-Mercer interpolated bigram LM scoring → (doc_id, n_bigrams,
+    * avg_nll): mean surprisal under P(w2|w1) = λ·c(w1w2)/c(w1) +
+    * (1−λ)·c(w2)/N — the interpolated-backoff form that scores unseen
+    * continuations by their unigram mass instead of a uniform Laplace
+    * floor, the standard fluency filter one notch above
+    * [[bigramLmScores]]. Both component ratios are ratios of corpus
+    * counts, so with the corpus scoring itself every bigram has
+    * c(w1w2) ≥ 1 and the log argument is always positive.
+    *
+    * Portability: surprisal is quantized ONCE per bigram TYPE to
+    * integer micro-nats with the division/FMA order written out
+    * (λ·(c12/c1) + (1−λ)·(c2/N), each division its own IEEE op — the
+    * x28j recipe extended to a two-term argument), so per-doc sums are
+    * exact integers. Scale shape: two count aggregations (bigram,
+    * unigram types), one broadcast scalar N, one join of doc-bigram
+    * multiplicities against the type table — no per-token shuffle. */
+  def interpolatedBigramLm(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    val base = docs
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
+    val docBg = base.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("dc"))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val nTot = uni.agg(sum(col("cw")).as("nn"))
+    val ltab = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("dc")).as("c12"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(col("w1"), col("w2"),
+        round(-log(
+          lit(lambda) * (col("c12").cast("double") / col("c1"))
+            + lit(1.0 - lambda) * (col("c2").cast("double") / col("nn")))
+          * 1e6).cast("long").as("L"))
+    docBg.join(ltab, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        sum(col("dc") * col("L")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast("double") / (col("n_bigrams") * 1e6), 6)
+          .as("avg_nll"))
+  }
+
+  /** Triangle statistics over an undirected pair graph → (id, degree,
+    * n_triangles, clustering): per-node triangle membership and local
+    * clustering coefficient 2T/(d·(d−1)) — the dedup-graph diagnostic
+    * that separates CLIQUE-shaped duplicate families (mirrors: every
+    * pair verified, clustering → 1) from CHAIN-shaped ones (template
+    * drift: A~B~C but A̸~C, clustering → 0), which tells a curation team
+    * whether min-id cluster survivors are safe (cliques) or lossy
+    * (chains). Nodes are every endpoint in `pairs`; self-loops dropped,
+    * direction ignored.
+    *
+    * Scale shape: edges orient low→high id, so each triangle is
+    * enumerated exactly once by one equi-join (wedges on the middle
+    * node) + one semi-join (closing edge) — never an all-pairs
+    * expansion. Near-dup graphs are bounded-degree by construction
+    * (LSH candidate caps); for a skewed graph swap the id orientation
+    * for degree-ordering, the standard hub-taming refinement. */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"),
+        "left_semi")
+    val triCnt = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triCnt, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2
+            / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

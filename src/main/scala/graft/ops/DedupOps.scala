@@ -119,7 +119,7 @@ object DedupOps {
     * oracle-checked; the parametric API keeps xxhash64 (one hash
     * instruction vs a crypto digest) since library callers don't replay
     * results in a second engine. */
-  private def sha32(c: Column): Column =
+  private[graft] def sha32(c: Column): Column =
     conv(substring(sha2(c, 256), 1, 8), 16, 10).cast("long")
 
   // The sha32 MinHash signature relation (one row per doc, 16 longs):
@@ -568,7 +568,44 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X67 — winnowing fingerprint pairs (MOSS local fingerprinting):
+    * shared-min-hash-window document pairs with positional evidence —
+    * the contiguous-overlap detector at ~2/(w+1) the shingle relation's
+    * density. Fixture binding of
+    * [[graft.api.TrainingData.winnowingPairs]] (k = 3, window = 4). */
+  def x67WinnowPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.winnowingPairs(
+      t(s, d, "documents"), "doc_id", "text", k = 3, window = 4)
+      .orderBy(col("d1"), col("d2"))
+
+  /** X68 — contamination SPAN offsets: the x33 scan upgraded from
+    * "which documents leak" to "which token ranges leak" — maximal runs
+    * of probe-matched k-gram positions, the input to a surgical
+    * span-excision decontamination pass. Same probe convention as x33
+    * (doc_id < 50 stands in for the eval set). Fixture binding of
+    * [[graft.api.TrainingData.contaminationSpans]]. */
+  def x68ContamSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.api.TrainingData.contaminationSpans(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("probe_id"), col("start_pos"))
+  }
+
+  /** X71 — triangle census of the near-dup graph: per-node triangle
+    * count + local clustering coefficient over the SHARED verified pair
+    * relation (x26's cache), separating clique-shaped duplicate
+    * families from chain-shaped template drift. Fixture binding of
+    * [[graft.api.TrainingData.triangleStats]]. */
+  def x71DupTriangles(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.triangleStats(
+      persistPairs(s, d).select(col("d1"), col("d2")))
+      .orderBy(col("id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x67_winnow_pairs" -> (x67WinnowPairs _),
+    "x68_contam_spans" -> (x68ContamSpans _),
+    "x71_dup_triangles" -> (x71DupTriangles _),
     "x25_exact_dedup" -> (x25Exact _),
     "x25b_dedup_increment" -> (x25bDedupIncrement _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
@@ -647,7 +684,80 @@ object DedupOps {
       |WHERE CAST(inter AS DOUBLE) / ns >= 0.5
       |ORDER BY probe_id, corpus_id""".stripMargin
 
+  // per-POSITION 3-gram hash rows (p, h) over the portable sha32 hash —
+  // the winnowing/span oracles' shared prefix. Unlike the Jaccard `sh`
+  // CTE this keeps positions and multiplicity (winnowing windows and
+  // span offsets are positional by definition).
+  private def kgramPosCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |kg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+       |    i -> {'p': i, 'g': tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]})) AS u
+       |  FROM toks WHERE len(tk) >= 3),
+       |kh AS (SELECT doc_id, u.p AS p, ${hex32Sql("u.g")} AS h FROM kg)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // full winnowing replay: per-window argmin as a relational
+    // row_number (ORDER BY h, p DESC = the engine's rightmost-min fold
+    // by definition), then the shared-fingerprint pair join
+    "x67_winnow_pairs" ->
+      s"""WITH $kgramPosCtes,
+         |m AS (SELECT doc_id, max(p) AS m FROM kh GROUP BY 1),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(1, greatest(m - 3, 1) + 1)) AS j
+         |  FROM m),
+         |wk AS (
+         |  SELECT w.doc_id, w.j, k.p, k.h FROM wins w
+         |  JOIN kh k ON k.doc_id = w.doc_id AND k.p >= w.j AND k.p <= w.j + 3),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, h FROM (
+         |    SELECT doc_id, j, h,
+         |      row_number() OVER (PARTITION BY doc_id, j ORDER BY h, p DESC) AS rn
+         |    FROM wk) WHERE rn = 1)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+    // span replay: probe hash set, positional match join, islands via
+    // p - row_number, maximal-run aggregation
+    "x68_contam_spans" ->
+      s"""WITH $kgramPosCtes,
+         |probe AS (SELECT DISTINCT doc_id AS probe_id, h FROM kh WHERE doc_id < 50),
+         |hits AS (
+         |  SELECT k.doc_id, p.probe_id, k.p
+         |  FROM kh k JOIN probe p ON k.h = p.h WHERE k.doc_id >= 50),
+         |runs AS (
+         |  SELECT doc_id, probe_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id, probe_id ORDER BY p) AS grp
+         |  FROM hits)
+         |SELECT doc_id, probe_id, min(p) AS start_pos, max(p) AS end_pos,
+         |  count(*) AS n_shingles, max(p) - min(p) + 3 AS span_tokens
+         |FROM runs GROUP BY doc_id, probe_id, grp
+         |ORDER BY doc_id, probe_id, start_pos""".stripMargin,
+    // triangle replay over the SAME replayed pair relation the cluster
+    // oracles consume: wedge join + closing-edge EXISTS, per-node count
+    "x71_dup_triangles" ->
+      s"""WITH $pairsOracleCtes,
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs),
+         |deg AS (
+         |  SELECT id, count(*) AS degree FROM (
+         |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |tc AS (
+         |  SELECT id, count(*) AS n_triangles FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri
+         |    UNION ALL SELECT z AS id FROM tri) GROUP BY 1)
+         |SELECT d.id, d.degree, coalesce(tc.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN round(CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) * 2
+         |      / (d.degree * (d.degree - 1)), 6)
+         |    ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN tc ON tc.id = d.id
+         |ORDER BY d.id""".stripMargin,
     "x25_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
         | count(*) AS n_copies

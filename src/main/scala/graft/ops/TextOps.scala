@@ -504,7 +504,30 @@ object TextOps {
       "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X69 — rank-fusion quality scoring: three integer token-stat signals
+    * mapped to corpus deciles (exact-percentile edge vector, broadcast)
+    * and averaged — multi-signal quality without hand-tuned weights or a
+    * whole-corpus window. Fixture binding of
+    * [[graft.api.TrainingData.ecdfFusion]] over
+    * [[graft.api.TrainingData.tokenStats]]. */
+  def x69QualityFusion(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.ecdfFusion(
+      graft.api.TrainingData.tokenStats(t(s, d, "documents"), "doc_id", "text"),
+      "doc_id", Seq("n_tokens", "n_distinct", "n_chars"), nBuckets = 10)
+      .orderBy(col("id"))
+
+  /** X70 — Jelinek-Mercer interpolated bigram LM scoring (λ = 0.75):
+    * the backoff-style fluency filter one notch above the Laplace
+    * bigram LM (x28n). Fixture binding of
+    * [[graft.api.TrainingData.interpolatedBigramLm]]. */
+  def x70InterpLm(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.interpolatedBigramLm(
+      t(s, d, "documents"), "doc_id", "text", lambda = 0.75)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x69_quality_fusion" -> (x69QualityFusion _),
+    "x70_interp_lm" -> (x70InterpLm _),
     "x61_vocab_coverage" -> (x61VocabCoverage _),
     "x64_min_k_prob" -> (x64MinKProb _),
     "x66_encoding_scan" -> (x66EncodingScan _),
@@ -678,6 +701,62 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // full ECDF-fusion replay: token-stat signals, quantile_cont edge
+    // vectors (the q08b percentile pair on integer inputs), round-6
+    // edges, row-local bucket counts
+    "x69_quality_fusion" -> {
+      val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
+      s"""WITH st AS (
+         |  SELECT doc_id AS id,
+         |    len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_tokens,
+         |    len(list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS n_distinct,
+         |    length(text) AS n_chars
+         |  FROM documents WHERE text IS NOT NULL),
+         |edges AS (
+         |  SELECT quantile_cont(n_tokens, [$qs]) AS e1,
+         |    quantile_cont(n_distinct, [$qs]) AS e2,
+         |    quantile_cont(n_chars, [$qs]) AS e3
+         |  FROM st),
+         |b AS (
+         |  SELECT id,
+         |    len(list_filter(list_transform(e1, e -> round(e, 6)), e -> e <= n_tokens)) AS b_n_tokens,
+         |    len(list_filter(list_transform(e2, e -> round(e, 6)), e -> e <= n_distinct)) AS b_n_distinct,
+         |    len(list_filter(list_transform(e3, e -> round(e, 6)), e -> e <= n_chars)) AS b_n_chars
+         |  FROM st CROSS JOIN edges)
+         |SELECT id, b_n_tokens, b_n_distinct, b_n_chars,
+         |  round(CAST(b_n_tokens + b_n_distinct + b_n_chars AS DOUBLE) / 3, 6) AS fused
+         |FROM b ORDER BY id""".stripMargin
+    },
+    // interpolated-LM replay: per-TYPE surprisal quantized to integer
+    // micro-nats with the division order written out (λ·(c12/c1) +
+    // (1−λ)·(c2/N) — each division its own IEEE op, the x28j recipe)
+    "x70_interp_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |dbg AS (
+        |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS dc FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> {'w1': tk[i], 'w2': tk[i+1]})) AS u
+        |    FROM toks WHERE len(tk) >= 2)
+        |  GROUP BY 1, 2, 3),
+        |uni AS (
+        |  SELECT w, count(*) AS cw FROM (
+        |    SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cw) AS BIGINT) AS nn FROM uni),
+        |bgc AS (SELECT w1, w2, CAST(sum(dc) AS BIGINT) AS c12 FROM dbg GROUP BY 1, 2),
+        |ltab AS (
+        |  SELECT b.w1, b.w2,
+        |    CAST(round(-ln(0.75 * (CAST(c12 AS DOUBLE) / u1.cw)
+        |      + 0.25 * (CAST(u2.cw AS DOUBLE) / nn)) * 1000000) AS BIGINT) AS L
+        |  FROM bgc b
+        |  JOIN uni u1 ON u1.w = b.w1
+        |  JOIN uni u2 ON u2.w = b.w2
+        |  CROSS JOIN nt)
+        |SELECT d.doc_id, CAST(sum(d.dc) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(d.dc * l.L) AS DOUBLE) / (sum(d.dc) * 1000000.0), 6) AS avg_nll
+        |FROM dbg d JOIN ltab l ON l.w1 = d.w1 AND l.w2 = d.w2
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // encoding scan: the injection replayed via chr(), counts via
     // len(regexp_extract_all) (the x28g spelling), \x{FFFD} as an
     // escape so no raw non-ASCII byte rides in the pattern

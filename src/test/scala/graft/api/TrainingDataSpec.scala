@@ -16,6 +16,161 @@ class TrainingDataSpec extends SparkSpec {
     (13L, "completely different words entirely here now"),
     (14L, "")).toDF("id", "body")
 
+  // the portable 32-bit sha prefix, in plain Scala — the model twin of
+  // DedupOps.sha32 for the winnowing/span model checks below
+  private def sha32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  private def winnowModel(toks: Seq[String], k: Int, w: Int): Set[(Long, Long)] =
+    if (toks.size < k) Set.empty
+    else {
+      val kh = (0 to toks.size - k).map(i => sha32(toks.slice(i, i + k).mkString(" ")))
+      val nwin = if (kh.size >= w) kh.size - w + 1 else 1
+      (1 to nwin).map { j =>
+        val win = kh.slice(j - 1, math.min(j - 1 + w, kh.size))
+        // rightmost min: later index wins ties
+        val idx = win.zipWithIndex.minBy { case (h, i) => (h, -i) }._2
+        ((j + idx).toLong, kh(j - 1 + idx))
+      }.toSet
+    }
+
+  test("winnowingFingerprints match the rightmost-min Seq model") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),           // exact dup of 1
+      (3L, "x y z a b c d e f q r s"),       // shares the run a..f
+      (4L, "one two three"),                 // exactly k tokens -> 1 kgram
+      (5L, "short doc"),                     // < k tokens -> no fingerprints
+      (6L, "w w w w w w w w")                // all-same: one kgram value
+    ).toDF("id", "body")
+    val got = TrainingData.winnowingFingerprints(docs, "id", "body", k = 3, window = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val texts = Map(1L -> "a b c d e f g h i j", 2L -> "a b c d e f g h i j",
+      3L -> "x y z a b c d e f q r s", 4L -> "one two three",
+      5L -> "short doc", 6L -> "w w w w w w w w")
+    texts.foreach { case (id, t) =>
+      val model = winnowModel(t.split(" ").toSeq, 3, 4)
+      assert(got.getOrElse(id, Set.empty) == model, s"doc $id")
+    }
+    // density: selected positions are a subset of kgram positions, and
+    // every window of w kgrams contains at least one selected position
+    got.foreach { case (id, fps) =>
+      val m = texts(id).split(" ").length - 2
+      val ps = fps.map(_._1)
+      assert(ps.forall(p => p >= 1 && p <= m), s"doc $id positions")
+      if (m >= 4) (1 to m - 3).foreach { j =>
+        assert(ps.exists(p => p >= j && p <= j + 3), s"doc $id window $j uncovered")
+      }
+    }
+  }
+
+  test("winnowingPairs catch every guaranteed-length shared run; exact dups pair") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "p q r a b c d e f s t u"), // shares a 6-token run (>= w+k-1) with 1/2
+      (4L, "totally unrelated content here present")
+    ).toDF("id", "body")
+    val pairs = TrainingData.winnowingPairs(docs, "id", "body", k = 3, window = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact dups share every fingerprint
+    assert(pairs.contains((1L, 2L)))
+    // the winnowing guarantee: any shared run of >= window + k - 1 = 6
+    // tokens is caught by at least one shared fingerprint
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // symmetric evidence: the dup pair shares at least as many values
+    // as either cross pair
+    assert(pairs((1L, 2L)) >= pairs((1L, 3L)))
+  }
+
+  test("contaminationSpans: maximal runs with correct offsets, probe side broadcast") {
+    val corpusDf = Seq(
+      // tokens 1..14; probes cover kgrams at positions 3,4,5 and 10
+      (100L, "w1 w2 p1 p2 p3 p4 p5 w3 w4 w5 q1 q2 q3 w6"),
+      (101L, "no overlap at all in this document")
+    ).toDF("id", "body")
+    val probesDf = Seq(
+      (1L, "p1 p2 p3 p4 p5"), // kgrams: p1p2p3 p2p3p4 p3p4p5 -> doc pos 3,4,5
+      (2L, "q1 q2 q3")        // one kgram -> doc pos 11
+    ).toDF("id", "body")
+    val out = TrainingData.contaminationSpans(corpusDf, probesDf, "id", "body", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      (100L, 1L, 3L, 5L, 3L, 5L),   // one maximal run of 3 consecutive kgrams
+      (100L, 2L, 11L, 11L, 1L, 3L)  // a single-kgram span
+    ), out)
+  }
+
+  test("interpolatedBigramLm matches a Seq model and orders fluency sensibly") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // high-probability bigrams
+      (2L, "a b c d e"),     // each bigram once
+      (3L, "z")              // no bigrams -> absent
+    ).toDF("id", "body")
+    val got = TrainingData.interpolatedBigramLm(docs, "id", "body", lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Seq model with the same quantization
+    val toks = Map(1L -> "a b a b a b", 2L -> "a b c d e", 3L -> "z")
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val uni = toks.values.flatten.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = uni.values.sum
+    val bigrams = toks.values.flatMap(ts => ts.zip(ts.tail)).toSeq
+    val c12 = bigrams.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    def L(w1: String, w2: String): Long =
+      math.round(-math.log(0.75 * (c12((w1, w2)).toDouble / uni(w1))
+        + 0.25 * (uni(w2).toDouble / n)) * 1e6)
+    toks.foreach { case (id, ts) =>
+      val bg = ts.zip(ts.tail)
+      if (bg.isEmpty) assert(!got.contains(id))
+      else {
+        val (nb, avg) = got(id)
+        assert(nb == bg.size)
+        val exp = BigDecimal(bg.map { case (w1, w2) => L(w1, w2) }.sum.toDouble
+          / (bg.size * 1e6)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(avg - exp) < 1e-9, s"doc $id: $avg vs $exp")
+      }
+    }
+    // the repetitive doc is more predictable than the all-distinct one
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
+  test("ecdfFusion buckets monotonically and fuses to the mean decile") {
+    val rows = (1 to 100).map(i => (i.toLong, i.toLong, (101 - i).toLong))
+      .toDF("id", "up", "down")
+    val out = TrainingData.ecdfFusion(rows, "id", Seq("up", "down"), nBuckets = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.foreach { case (id, bu, bd, fused) =>
+      assert(bu >= 0 && bu <= 9 && bd >= 0 && bd <= 9)
+      // up and down are mirror signals: buckets must mirror too
+      assert(bu + bd == 9, s"id $id: $bu + $bd")
+      assert(fused == 4.5)
+    }
+    // monotone: a strictly larger signal value never gets a smaller bucket
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert((2 to 100).forall(i => byId(i.toLong) >= byId(i.toLong - 1)))
+  }
+
+  test("triangleStats: cliques cluster at 1, chains at 0, counts exact") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = TrainingData.triangleStats(pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))       // in the 1-2-3 triangle, deg 2
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.333333)))  // deg 3, one of three pairs closed
+    assert(got(4L) == ((2L, 0L, 0.0)))       // chain node: no triangle
+    assert(got(5L) == ((1L, 0L, 0.0)))       // leaf: degree 1
+    // handshake: Σ degree = 2·|E|
+    assert(got.values.map(_._1).sum == 10L)
+  }
+
   test("exactDedup groups byte-identical docs under the min id") {
     val out = TrainingData.exactDedup(corpus, "id", "body")
       .orderBy("canonical_id").collect()
@@ -846,6 +1001,13 @@ class TrainingDataSpec extends SparkSpec {
     Seq(100L, 10000L, 1000000L).foreach { n =>
       val b = TrainingData.srpBitsFor(n)
       assert(n.toDouble / (1L << b) <= 64.0, s"n=$n bits=$b")
+    }
+    // exact power-of-two boundaries — the libm-ulp trap class the integer
+    // derivation exists for: n = 64·2^k must give k, n+1 must give k+1,
+    // and the registered x26f oracle replays the identical shift-compare
+    Seq(6, 10, 20).foreach { k =>
+      assert(TrainingData.srpBitsFor(64L << k) == k, s"boundary k=$k")
+      assert(TrainingData.srpBitsFor((64L << k) + 1) == k + 1, s"boundary+1 k=$k")
     }
   }
 

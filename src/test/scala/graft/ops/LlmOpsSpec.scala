@@ -341,6 +341,85 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"embedding LSH recall $recall too low")
   }
 
+  test("x67 winnowing pairs catch every shared >= w+k-1 token run on the fixture") {
+    import org.apache.spark.sql.functions.col
+    // THE winnowing guarantee (Schleimer et al. §3): any run of
+    // window + k - 1 = 6 consecutive tokens shared by two documents
+    // spans a full window on both sides, whose selected fingerprint is
+    // identical — so every 6-gram-sharing pair MUST appear
+    val toks = graft.Tables.t(spark, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toVector)
+    val byGram = toks.flatMap { case (id, tk) =>
+      if (tk.size < 6) Seq.empty
+      else (0 to tk.size - 6).map(i => tk.slice(i, i + 6).mkString(" ") -> id)
+    }.groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+    val guaranteed = byGram.filter(_.size > 1)
+      .flatMap(g => g.combinations(2).map(p => (p(0), p(1)))).toSet
+    val winnow = DedupOps.x67WinnowPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guaranteed.nonEmpty, "fixture has no shared 6-gram — test is vacuous")
+    guaranteed.foreach(p => assert(winnow.contains(p), s"guaranteed pair $p missed"))
+  }
+
+  test("x68 spans sit inside their documents and re-verify against probe shingles") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.t(spark, d, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+    def kgrams(t: String): Vector[String] = {
+      val tk = t.toLowerCase.split(" ").filter(_.nonEmpty).toVector
+      if (tk.size < 3) Vector.empty
+      else (0 to tk.size - 3).map(i => tk.slice(i, i + 3).mkString(" ")).toVector
+    }
+    val probeSets = docs.collect { case (id, t) if id < 50 => id -> kgrams(t).toSet }
+    val rows = DedupOps.x68ContamSpans(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, probe, s0, e0, n, spanToks) =>
+      val kg = kgrams(docs(doc))
+      assert(doc >= 50 && probe < 50)
+      assert(s0 >= 1 && e0 <= kg.size && s0 <= e0)
+      assert(n == e0 - s0 + 1 && spanToks == e0 - s0 + 3) // runs are contiguous
+      // every kgram in the span is genuinely in the probe; the run is
+      // MAXIMAL (the neighbours on both sides are not matches)
+      val ps = probeSets(probe)
+      (s0 to e0).foreach(p => assert(ps.contains(kg((p - 1).toInt)), s"($doc,$probe) pos $p"))
+      if (s0 > 1) assert(!ps.contains(kg((s0 - 2).toInt)), s"($doc,$probe) not maximal left")
+      if (e0 < kg.size) assert(!ps.contains(kg(e0.toInt)), s"($doc,$probe) not maximal right")
+    }
+  }
+
+  test("x71 triangle census agrees with a Scala model of the shared pair graph") {
+    val pairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
+    val got = DedupOps.x71DupTriangles(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    assert(got.keySet == adj.keySet) // every endpoint appears
+    got.foreach { case (id, (deg, tri, cc)) =>
+      assert(deg == adj(id).size.toLong, s"degree of $id")
+      val nbrs = adj(id).toSeq
+      val expTri = (for {
+        i <- nbrs.indices; j <- (i + 1) until nbrs.size
+        if adj(nbrs(i)).contains(nbrs(j))
+      } yield 1).size.toLong
+      assert(tri == expTri, s"triangles of $id")
+      val expCc = if (deg >= 2)
+        BigDecimal(2.0 * expTri / (deg * (deg - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(cc == expCc, s"clustering of $id")
+    }
+    // the fixture's exact-dup families are cliques: at least one node
+    // must sit at clustering 1.0 for the diagnostic to mean anything
+    assert(got.values.exists(v => v._1 >= 2 && v._3 == 1.0))
+  }
+
   test("dedup clusters are the connected components of the near-dup pair graph") {
     val pairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
     val labels = DedupOps.x26eDedupClusters(spark, d).collect()
