@@ -3208,7 +3208,7 @@ object TrainingData {
         greatest(col("d1"), col("d2")).as("b"))
       .filter(col("a") < col("b")).distinct()
     val deg = e.select(col("a").as("id"))
-      .unionAll(e.select(col("b").as("id")))
+      .union(e.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
@@ -3225,5 +3225,142 @@ object TrainingData {
           round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2
             / (col("degree") * (col("degree") - 1)), 6))
           .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** PageRank over an undirected pair graph in INTEGER micro-units →
+    * (id, degree, rank_micro): the iterative-BSP centrality that ranks
+    * duplicate-family hubs (a document near-duplicating many documents
+    * that themselves near-duplicate others) above chain endpoints —
+    * x71's triangle census says what SHAPE a family has, this says who
+    * anchors it. Undirected graph: both edge directions participate, so
+    * there are no dangling nodes (every endpoint has degree ≥ 1) and no
+    * lost rank mass to redistribute.
+    *
+    * Determinism is the design constraint: ranks live in integer
+    * micro-units (start 1 000 000), each node passes `rank div degree`
+    * to every neighbour (integer division — truncation is deterministic
+    * where a float ratio's libm rounding is not), and the update is
+    * r' = (100−dampingPct)·10⁴ + (dampingPct · Σ contrib) div 100 —
+    * pure Long arithmetic whose sums are associative, so the result is
+    * partitioning-independent and a second engine replays it exactly.
+    * Rank mass is approximately conserved (truncation leaks < 1 micro
+    * per edge per round); ORDERING of nodes by rank — the useful output
+    * — is what the integer form preserves bit-exactly.
+    *
+    * Scale shape: the edge relation (with the source's degree attached)
+    * is built once and persisted; each iteration is ONE shuffle — join
+    * ranks to edges on src (both sides hash-partitioned by the same
+    * key) + re-aggregate by dst. Each iteration's ranks are persisted
+    * and the previous unpersisted, so lineage stays one stage deep — at
+    * 10⁹ edges the plan never re-derives iteration k−1 to compute k
+    * (the classic Pregel/GraphX discipline, expressed relationally). */
+  def pageRankMicro(pairs: DataFrame, iterations: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0, 100], got $dampingPct")
+    val e0 = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+    val adj = edges
+      .join(deg.select(col("id").as("src"), col("degree")), Seq("src"))
+      .persist()
+    val baseMicro = (100L - dampingPct) * 10000L
+    var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro")).persist()
+    for (_ <- 1 to iterations) {
+      val next = adj
+        .join(ranks.select(col("id").as("src"), col("rank_micro")), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("rank_micro div degree").as("contrib"))
+        .groupBy(col("id"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("id"),
+          (lit(baseMicro) +
+            expr(s"(${dampingPct}L * s) div 100L")).as("rank_micro"))
+        .persist()
+      next.count() // materialize before releasing the previous iteration
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = deg.join(ranks, Seq("id"))
+      .select(col("id"), col("degree"), col("rank_micro"))
+    adj.unpersist()
+    out
+  }
+
+  /** Hard-negative mining for contrastive / retrieval training →
+    * (q_id, c_id, sim, rank): for each query, the k corpus rows MOST
+    * similar while staying BELOW the positive threshold — the
+    * informative negatives that sit just outside the near-duplicate
+    * band (a random negative teaches a retriever nothing; a
+    * near-duplicate mislabeled as negative poisons it; the band in
+    * between is where the training signal lives). `posThreshold` should
+    * match the near-dup threshold of the dedup pass that defines
+    * positives (the x26d fixture convention: 0.4), so the two relations
+    * partition the similarity axis with no gap and no overlap.
+    *
+    * Same exactness/shape contract as [[cosineTopK]]: queries
+    * broadcast, the corpus side fans out, NULL sims (zero vectors)
+    * can't occupy ranks — here the strict `sim < posThreshold` filter
+    * removes them before ranking. For large query sets compose the
+    * LSH/IVF candidate forms and apply the same band filter to their
+    * exact re-rank. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, posThreshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_sim
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    VectorOps.fanOut(c).crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .filter(col("sim") < posThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /** Majority-vote label aggregation → (item, n_votes, n_labels,
+    * majority_label, majority_n, agreement): the label-consolidation
+    * step of every human/model-annotated training set — per item, the
+    * label with the most votes wins, ties break to the
+    * lexicographically smallest label (deterministic under any
+    * partitioning), and `agreement` = majority share is the per-item
+    * confidence a curation pass filters on (agreement 1.0 = unanimous;
+    * ≈ 1/n_labels = annotators split evenly — route to re-annotation).
+    * Rows with a NULL item or label carry no vote and are dropped.
+    *
+    * Scale shape: ONE shuffle to (item, label) counts — the relation a
+    * downstream confusion audit reuses — then a per-item window over
+    * the counts (bounded by the label-alphabet size, not the vote
+    * count) and one slim self-join for the totals. No per-vote state
+    * survives the first aggregation. */
+  def majorityVote(votes: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val base = votes
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("item"), col(labelCol).as("label"))
+    val counts = base.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val totals = counts.groupBy(col("item"))
+      .agg(sum(col("n_label")).as("n_votes"),
+        count(lit(1)).as("n_labels"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("n_label").desc, col("label"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(totals, Seq("item"))
+      .select(col("item"), col("n_votes"), col("n_labels"),
+        col("label").as("majority_label"), col("n_label").as("majority_n"),
+        round(col("n_label").cast("double") / col("n_votes"), 6)
+          .as("agreement"))
   }
 }

@@ -602,7 +602,19 @@ object DedupOps {
       persistPairs(s, d).select(col("d1"), col("d2")))
       .orderBy(col("id"))
 
+  /** X72 — PageRank centrality of the near-dup graph: which documents
+    * ANCHOR duplicate families (x71 says what shape a family has; this
+    * ranks its hubs). Integer micro-unit arithmetic makes the iterative
+    * result partitioning-independent and oracle-replayable. Rides the
+    * SHARED verified pair relation (x26's cache). Fixture binding of
+    * [[graft.api.TrainingData.pageRankMicro]] (5 iterations, d = 0.85). */
+  def x72DupPagerank(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.pageRankMicro(
+      persistPairs(s, d).select(col("d1"), col("d2")))
+      .orderBy(col("id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x72_dup_pagerank" -> (x72DupPagerank _),
     "x67_winnow_pairs" -> (x67WinnowPairs _),
     "x68_contam_spans" -> (x68ContamSpans _),
     "x71_dup_triangles" -> (x71DupTriangles _),
@@ -698,7 +710,37 @@ object DedupOps {
        |  FROM toks WHERE len(tk) >= 3),
        |kh AS (SELECT doc_id, u.p AS p, ${hex32Sql("u.g")} AS h FROM kg)""".stripMargin
 
+  // the x72 iteration unrolled as CTEs r0..rN: each round is one
+  // join + re-aggregation in pure BIGINT arithmetic (// is DuckDB floor
+  // division — identical to Spark's `div` truncation on these
+  // always-positive operands), so the replay is exact, not approximate
+  private def pagerankRoundsSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT a.dst AS id,
+         |    CAST(150000 + (85 * sum(p.r // a.degree)) // 100 AS BIGINT) AS r
+         |  FROM adj a JOIN r${i - 1} p ON p.id = a.src GROUP BY 1)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    // pagerank replay over the SAME replayed pair relation the cluster
+    // oracles consume: undirected edges, per-source degree, 5 unrolled
+    // integer rounds
+    "x72_dup_pagerank" ->
+      s"""WITH $pairsOracleCtes,
+         |e AS (SELECT d1 AS a, d2 AS b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY 1),
+         |adj AS (SELECT e.src, e.dst, d.degree
+         |  FROM edges e JOIN deg d ON d.id = e.src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${pagerankRoundsSql(5)}
+         |SELECT d.id, d.degree, r5.r AS rank_micro
+         |FROM deg d JOIN r5 ON r5.id = d.id
+         |ORDER BY d.id""".stripMargin,
     // full winnowing replay: per-window argmin as a relational
     // row_number (ORDER BY h, p DESC = the engine's rightmost-min fold
     // by definition), then the shared-fingerprint pair join

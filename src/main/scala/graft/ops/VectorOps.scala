@@ -45,6 +45,19 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X73 — hard-negative mining: for the same query set as x27, the
+    * top-5 corpus rows MOST similar while staying strictly BELOW the
+    * x26d near-dup threshold (0.4) — the contrastive-training negatives
+    * that sit just outside the positive band. Fixture binding of
+    * [[graft.api.TrainingData.hardNegatives]]. */
+  def x73HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    graft.api.TrainingData
+      .hardNegatives(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, posThreshold = 0.4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** X27 (scale path) — ANN via LSH: 8 tables of 4-bit SRP buckets;
     * candidates = same bucket in any table; exact cosine re-rank within
     * candidates. Recall vs [[x27TopK]] is asserted in LlmOpsSpec. */
@@ -990,6 +1003,7 @@ object VectorOps {
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
     "x27_cosine_topk" -> (x27TopK _),
+    "x73_hard_negatives" -> (x73HardNegatives _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x27d_ann_packed" -> (x27dAnnPacked _),
@@ -1513,6 +1527,23 @@ object VectorOps {
          |  SELECT q_id, c_id, sim,
          |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
          |  FROM sims)
+         |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // x27's replay with the positive band excised BEFORE ranking: the
+    // strict sim < 0.4 comparison also discards NULL/NaN sims (zero
+    // vectors) in both engines
+    "x73_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+         |sims AS (
+         |  SELECT q_id, c_id,
+         |   round(${dotSql("q_emb", "c_emb")} /
+         |     (sqrt(${dotSql("q_emb", "q_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})), 6) AS sim
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |ranked AS (
+         |  SELECT q_id, c_id, sim,
+         |   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rank
+         |  FROM sims WHERE sim < 0.4)
          |SELECT q_id, c_id, sim, rank FROM ranked WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
     // integer-exact mean spelling (see meanMicroSql): the fixture's label

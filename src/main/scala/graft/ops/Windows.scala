@@ -277,7 +277,23 @@ object Windows {
       "user_id", "event_id", "value")
       .orderBy(col("prompt_id"), col("rejected_id"))
 
+  /** X74 — majority-vote label consolidation over the events fixture:
+    * the props key stands in for an annotated ITEM, the event type for
+    * an annotator's LABEL vote (item → example, event_type → label,
+    * rows → votes); per item the most-voted label wins with
+    * deterministic tie-break and `agreement` as the per-item
+    * confidence. Fixture binding of
+    * [[graft.api.TrainingData.majorityVote]]. */
+  def x74MajorityVote(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.majorityVote(
+      t(s, d, "events").select(
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("event_type")),
+      "item_id", "event_type")
+      .orderBy(col("item"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_label_votes" -> (x74MajorityVote _),
     "x54_turn_masks" -> (x54TurnMasks _),
     "x56_preference_pairs" -> (x56PreferencePairs _),
     "q27_funnel" -> (q27Funnel _),
@@ -294,6 +310,25 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // majority vote: (item, label) counts, winner by row_number over
+    // (count DESC, label) — the q20-established regexp spelling for the
+    // props key; NULL props/labels carry no vote in either engine
+    "x74_label_votes" ->
+      """WITH v AS (
+        |  SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS item,
+        |    event_type AS label
+        |  FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT item, label, count(*) AS n_label FROM v GROUP BY 1, 2),
+        |t AS (SELECT item, CAST(sum(n_label) AS BIGINT) AS n_votes,
+        |    count(*) AS n_labels FROM c GROUP BY 1),
+        |w AS (SELECT item, label, n_label,
+        |    row_number() OVER (PARTITION BY item ORDER BY n_label DESC, label) AS rn
+        |  FROM c)
+        |SELECT w.item, t.n_votes, t.n_labels, w.label AS majority_label,
+        |  w.n_label AS majority_n,
+        |  round(CAST(w.n_label AS DOUBLE) / t.n_votes, 6) AS agreement
+        |FROM w JOIN t ON t.item = w.item WHERE rn = 1
+        |ORDER BY w.item""".stripMargin,
     // preference pairs: the chosen row is a full-frame first_value over
     // (rating DESC, id) — the same single window the Spark plan runs;
     // ties with the chosen and NULL ratings emit nothing

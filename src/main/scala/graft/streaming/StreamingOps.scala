@@ -615,7 +615,43 @@ object StreamingOps {
       fin
     }.orderBy(col("user_id"), col("session_start_ms"))
 
+  /** X75 — at-least-once redelivery dedup, the canonical
+    * `dropDuplicatesWithinWatermark` use: the fixture stream is unioned
+    * with itself (every event delivered exactly twice — the redelivery
+    * pattern an at-least-once source like Kinesis/Kafka produces on
+    * retry) and deduplicated by event_id, so each event must emit
+    * exactly once. Unlike `dropDuplicates`, the within-watermark form
+    * EXPIRES its key state once the watermark passes a key's first
+    * arrival + delay — the property that makes exactly-once projection
+    * of an at-least-once stream viable over unbounded time (plain
+    * streaming dropDuplicates on a non-event-time key retains every key
+    * forever). Both copies carry identical payloads, so the surviving
+    * row is deterministic in every projected column. Append mode: dedup
+    * emits eagerly on first sight — no watermark flush needed for the
+    * gate. Same run-to-completion lifecycle as [[x42StreamJoin]]. */
+  @transient private val redeliveryGateCache = graft.ops.PerAppCache.newCache
+  def x75StreamDedupRedelivery(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(redeliveryGateCache, s, d) {
+      val view = "x75_dedup_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val ev = eventsStream(s, d)
+      val q = ev.union(ev)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(view)
+      val rows = out.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("event_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x75_stream_dedup" -> (x75StreamDedupRedelivery _),
     "x24_stateful_funnel" -> (x24StatefulFunnel _),
     "x42_stream_join" -> (x42StreamJoin _),
     "x43_tws_user_agg" -> (x43TransformWithState _),
@@ -627,6 +663,10 @@ object StreamingOps {
     * the completed stream-stream inner interval join equals the batch
     * self-join (inner joins emit eagerly; watermarks only bound state). */
   val oracles: Map[String, String] = Map(
+    // doubled-then-deduplicated stream == the original event set, by id
+    "x75_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     "x24_stateful_funnel" -> graft.ops.Windows.oracles("q27_funnel"),
     // the completed MapState counts equal the batch (user, type) counts
     "x43b_tws_map_state" ->

@@ -171,6 +171,71 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == 10L)
   }
 
+  test("pageRankMicro matches a Scala integer model; the hub outranks leaves") {
+    // star (1-2, 1-3, 1-4) + a chain tail (4-5), plus a duplicate and a
+    // reversed pair the edge canonicalization must fold away
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (2L, 1L), (1L, 3L))
+      .toDF("d1", "d2")
+    val got = TrainingData.pageRankMicro(pairs, iterations = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the same integer recurrence in plain Scala (Long / truncates like
+    // Spark's `div` on these positive operands)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = in.map { case (id, s) => id -> (150000L + 85L * s / 100L) }
+    }
+    deg.keySet.foreach { id =>
+      assert(got(id) == ((deg(id), r(id))), s"node $id: ${got(id)} vs model")
+    }
+    assert(r(1L) > r(2L) && r(1L) > r(5L)) // the hub anchors the family
+    assert(got.size == 5)
+  }
+
+  test("hardNegatives sit strictly below the positive threshold, ranked densely") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), // query
+      (2L, Seq(0.99f, 0.14f, 0f, 0f)), // near-dup: sim ≈ 0.99 — excluded
+      (3L, Seq(0.5f, 0.866f, 0f, 0f)), // sim = 0.5 ≥ 0.6? no: vs threshold 0.6 below
+      (4L, Seq(0.3f, 0.954f, 0f, 0f)), // sim ≈ 0.3
+      (5L, Seq(0f, 0f, 1f, 0f)), // orthogonal: sim = 0
+      (6L, Seq(0f, 0f, 0f, 0f))) // zero vector: NULL sim, never ranked
+      .toDF("id", "emb")
+    val out = TrainingData.hardNegatives(
+      vecs, vecs.filter(col("id") === 1), "id", "emb", k = 3, posThreshold = 0.6)
+      .orderBy("rank").collect()
+    // 2 (sim ≈ .99) is a positive, 6 has no direction: candidates are 3, 4, 5
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 4L, 5L))
+    assert(out.map(_.getInt(3)).toSeq == Seq(1, 2, 3)) // dense ranks, no gap
+    assert(out.forall(_.getDouble(2) < 0.6))
+    // the excluded near-dup IS cosineTopK's rank-1: the band filter is
+    // the only difference between the two relations
+    val top = TrainingData.cosineTopK(
+      vecs, vecs.filter(col("id") === 1), "id", "emb", 1).collect()
+    assert(top.head.getLong(1) == 2L)
+  }
+
+  test("majorityVote picks the most-voted label, breaks ties low, drops NULLs") {
+    val votes = Seq(
+      (Some(1L), Some("pos")), (Some(1L), Some("pos")), (Some(1L), Some("neg")),
+      (Some(2L), Some("b")), (Some(2L), Some("a")), // tie → 'a'
+      (Some(3L), Some("x")),
+      (None, Some("pos")), (Some(4L), None)) // no vote carried
+      .toDF("item_id", "label")
+    val got = TrainingData.majorityVote(votes, "item_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got(1L) == ((3L, 2L, "pos", 2L, 0.666667)))
+    assert(got(2L) == ((2L, 2L, "a", 1L, 0.5))) // deterministic tie-break
+    assert(got(3L) == ((1L, 1L, "x", 1L, 1.0))) // unanimous singleton
+    assert(got.size == 3) // the NULL-item and NULL-label rows vanished
+  }
+
   test("exactDedup groups byte-identical docs under the min id") {
     val out = TrainingData.exactDedup(corpus, "id", "body")
       .orderBy("canonical_id").collect()

@@ -420,6 +420,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.values.exists(v => v._1 >= 2 && v._3 == 1.0))
   }
 
+  test("x72 pagerank replays the integer recurrence over the shared pair graph") {
+    val pairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
+    val got = DedupOps.x72DupPagerank(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val edges = pairs.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (src, _) => r(src) / deg(src) }.sum).toMap
+      r = in.map { case (id, s) => id -> (150000L + 85L * s / 100L) }
+    }
+    assert(got.keySet == deg.keySet)
+    got.foreach { case (id, (dg, rk)) =>
+      assert(dg == deg(id) && rk == r(id), s"node $id: ($dg, $rk)")
+    }
+    // within a clique every member has the same rank (symmetric roles)
+    assert(got.nonEmpty)
+  }
+
+  test("x73 hard negatives and the near-dup positives partition the sim axis") {
+    val neg = VectorOps.x73HardNegatives(spark, d).collect()
+    assert(neg.nonEmpty)
+    assert(neg.forall(_.getDouble(2) < 0.4)) // strictly below the band edge
+    // no (q, c) hard negative may appear in the x26d positive relation
+    val pos = VectorOps.x26dEmbeddingNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(neg.forall { r =>
+      val (q, c) = (r.getLong(0), r.getLong(1))
+      !pos.contains((math.min(q, c), math.max(q, c)))
+    })
+    // per query: ranks are 1..n with no gaps, sims non-increasing
+    neg.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rows.length).toSeq, s"q=$q")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2)
+        case _ => true
+      }, s"q=$q sims")
+    }
+  }
+
   test("dedup clusters are the connected components of the near-dup pair graph") {
     val pairs = pairSet(DedupOps.x26Jaccard(spark, d).select("d1", "d2").collect())
     val labels = DedupOps.x26eDedupClusters(spark, d).collect()

@@ -261,6 +261,17 @@ class StreamingSpec extends SparkSpec {
     assert(fin.sameElements(batch))
   }
 
+  test("redelivered stream deduplicates to exactly the original event set") {
+    val got = StreamingOps.x75StreamDedupRedelivery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = batchEvents
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every event exactly once: doubling then deduplicating is identity
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
   test("streaming online funnel converges to the batch event-time funnel") {
     val steps = Seq("view", "click", "purchase")
     val q = StreamingOps.funnelWithState(spark,
