@@ -3328,6 +3328,119 @@ object TrainingData {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  /** BM25 retrieval top-k → (q_id, doc_id, score_micro, rank): the
+    * lexical-retrieval primitive of a curation pipeline — finding the
+    * corpus documents most relevant to a probe (eval-set decontam
+    * beyond n-gram overlap, retrieval labels for embedding training,
+    * RAG training-pair mining). Okapi BM25 with the textbook
+    * parameters: idf = ln(1 + (N − df + ½)/(df + ½)), per-term weight
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Portability: every per-(term, doc) weight is quantized ONCE to an
+    * integer micro Long with the operation order written out (each
+    * division/multiplication its own IEEE op — the x28j recipe), so
+    * per-(query, doc) score sums are exact integers under any
+    * partitioning; derived float constants ship as shortest-round-trip
+    * literals (`Double.toString`), which every IEEE parser restores
+    * bit-exactly. Ranking is (score DESC, doc_id) — fully ordered.
+    *
+    * Scale shape: the corpus reduces to (doc, term, tf) + a per-doc
+    * length ONCE; df and the (N, avgdl) scalars are one aggregation
+    * each; the query side reduces to its DISTINCT (q_id, term) relation
+    * (probe sets are small — broadcast), so the only large join is
+    * query-terms × corpus-postings on the term key, bounded by the df
+    * of the query's own terms — the classic inverted-index access path,
+    * relationally. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    def terms(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), DedupOps.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0)
+    val ctf = terms(corpus, "doc_id")
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = ctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df_ = ctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("nn"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qt = terms(queries, "q_id")
+      .select(col("q_id"), explode(col("tk")).as("term")).distinct()
+    // shortest-round-trip literals for the derived constants: both
+    // engines parse them back to the identical double
+    val k1p1 = java.lang.Double.toString(k1 + 1.0)
+    val oneMb = java.lang.Double.toString(1.0 - b)
+    val scored = ctf
+      .join(broadcast(qt), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(df_.join(broadcast(qt.select(col("term")).distinct()),
+        Seq("term"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(
+          log(lit(1.0) + (col("nn").cast("double") - col("df").cast("double")
+            + lit(0.5)) / (col("df").cast("double") + lit(0.5)))
+          * ((col("tf").cast("double") * expr(s"CAST($k1p1 AS DOUBLE)"))
+            / (col("tf").cast("double") + expr(s"CAST($k1 AS DOUBLE)")
+              * (expr(s"CAST($oneMb AS DOUBLE)") + expr(s"CAST($b AS DOUBLE)")
+                * (col("dl").cast("double") / col("avgdl")))))
+          * 1e6).cast("long").as("w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("score_micro"), col("rank"))
+  }
+
+  /** Per-source distribution-drift chi-square → (source, n_docs, dof,
+    * chi2): how far each source's categorical distribution (language,
+    * here any `catCol`) sits from the corpus-wide distribution —
+    * χ²_s = Σ_c (O_sc − E_sc)²/E_sc with E_sc = n_s·n_c/N, the
+    * contingency-table drift screen next to x63's KL matrix (χ² weights
+    * absolute count deviations where KL weights log-ratio mass; a
+    * source over-representing one rare language lights up here first).
+    * dof = (global category count − 1) for every source, reported so
+    * the caller can normalize or look up a p-value.
+    *
+    * Portability: each (source, category) term is quantized once to
+    * integer micros — with E written out as (n_s·n_c)/N, one division —
+    * and the per-source sum is exact; the engine and the oracle replay
+    * the identical arithmetic. Scale: one (source, category) count
+    * aggregation; marginals broadcast. */
+  def sourceDriftChi2(docs: DataFrame, srcCol: String,
+      catCol: String): DataFrame = {
+    val base = docs
+      .filter(col(srcCol).isNotNull && col(catCol).isNotNull)
+      .select(col(srcCol).as("src"), col(catCol).as("cat"))
+    val cell = base.groupBy(col("src"), col("cat")).agg(count(lit(1)).as("o"))
+    val ns = cell.groupBy(col("src")).agg(sum(col("o")).as("n_s"))
+    val nc = cell.groupBy(col("cat")).agg(sum(col("o")).as("n_c"))
+    val tot = cell.agg(sum(col("o")).as("nn"),
+      count_distinct(col("cat")).as("n_cats"))
+    // the FULL (src × cat) grid, not just observed cells: a category a
+    // source never emits still contributes (0 − E)²/E drift mass
+    val grid = ns.crossJoin(broadcast(nc))
+      .join(cell, Seq("src", "cat"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("n_s"), col("nn"), col("n_cats"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        ((col("n_s") * col("n_c")).cast("double") / col("nn")).as("e"))
+      .select(col("src"), col("n_s"), col("n_cats"),
+        round((col("o").cast("double") - col("e"))
+          * (col("o").cast("double") - col("e")) / col("e") * 1e6)
+          .cast("long").as("t"))
+    grid.groupBy(col("src"))
+      .agg(first(col("n_s")).as("n_docs"),
+        (first(col("n_cats")) - 1).as("dof"),
+        round(sum(col("t")).cast("double") / 1e6, 6).as("chi2"))
+      .select(col("src").as("source"), col("n_docs"), col("dof"), col("chi2"))
+  }
+
   /** Majority-vote label aggregation → (item, n_votes, n_labels,
     * majority_label, majority_n, agreement): the label-consolidation
     * step of every human/model-annotated training set — per item, the

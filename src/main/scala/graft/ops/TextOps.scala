@@ -525,7 +525,31 @@ object TextOps {
       t(s, d, "documents"), "doc_id", "text", lambda = 0.75)
       .orderBy(col("doc_id"))
 
+  /** X76 — BM25 retrieval top-k: the eval docs (doc_id < 50, the x33
+    * probe convention) retrieve their 5 most-relevant corpus documents
+    * by Okapi BM25 — the lexical-retrieval primitive behind
+    * beyond-n-gram decontamination and retrieval-label mining. Fixture
+    * binding of [[graft.api.TrainingData.bm25TopK]] (k1 = 1.2,
+    * b = 0.75). */
+  def x76Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    graft.api.TrainingData.bm25TopK(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** X77 — per-source chi-square drift vs the corpus-wide language
+    * distribution: the contingency-table screen next to x63's KL matrix.
+    * Fixture binding of [[graft.api.TrainingData.sourceDriftChi2]]. */
+  def x77SourceChi2(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.sourceDriftChi2(
+      t(s, d, "documents"), "source", "lang")
+      .orderBy(col("source"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x76_bm25_topk" -> (x76Bm25TopK _),
+    "x77_source_chi2" -> (x77SourceChi2 _),
     "x69_quality_fusion" -> (x69QualityFusion _),
     "x70_interp_lm" -> (x70InterpLm _),
     "x61_vocab_coverage" -> (x61VocabCoverage _),
@@ -701,6 +725,75 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // full BM25 replay: postings, doc lengths, query-term df, the
+    // per-(term, doc) weight quantized to micro with the IDENTICAL
+    // operation order (each division its own IEEE op), exact integer
+    // score sums, (score DESC, doc_id) ranking
+    "x76_bm25_topk" ->
+      s"""WITH cd AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id >= 50),
+         |qd AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id < 50),
+         |ctf AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM cd WHERE len(tk) > 0)
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+         |dfr AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1),
+         |st AS (SELECT count(*) AS nn,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |qt AS (
+         |  SELECT DISTINCT doc_id AS q_id, tok AS term
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM qd WHERE len(tk) > 0)),
+         |sc AS (
+         |  SELECT q.q_id, c.doc_id,
+         |    CAST(round(
+         |      ln(1.0 + (CAST(nn AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |        / (CAST(df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |        / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+         |          * (CAST(dl AS DOUBLE) / avgdl))))
+         |      * 1000000.0) AS BIGINT) AS w
+         |  FROM ctf c
+         |  JOIN qt q USING (term)
+         |  JOIN dl USING (doc_id)
+         |  JOIN dfr USING (term)
+         |  CROSS JOIN st),
+         |agg AS (
+         |  SELECT q_id, doc_id, CAST(sum(w) AS BIGINT) AS score_micro
+         |  FROM sc GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT q_id, doc_id, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+         |  FROM agg)
+         |SELECT q_id, doc_id, score_micro, rank FROM rk WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+    // chi-square replay: full src × cat grid (absent cells contribute
+    // (0−E)²/E), per-cell terms quantized to micro, exact integer sums
+    "x77_source_chi2" ->
+      """WITH b AS (
+        |  SELECT source AS src, lang AS cat FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cell AS (SELECT src, cat, count(*) AS o FROM b GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(sum(o) AS BIGINT) AS n_s FROM cell GROUP BY 1),
+        |nc AS (SELECT cat, CAST(sum(o) AS BIGINT) AS n_c FROM cell GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |    count(DISTINCT cat) AS n_cats FROM cell),
+        |grid AS (
+        |  SELECT ns.src, ns.n_s, tot.n_cats,
+        |    coalesce(cell.o, 0) AS o,
+        |    CAST(ns.n_s * nc.n_c AS DOUBLE) / nn AS e
+        |  FROM ns CROSS JOIN nc CROSS JOIN tot
+        |  LEFT JOIN cell ON cell.src = ns.src AND cell.cat = nc.cat),
+        |tm AS (
+        |  SELECT src, n_s, n_cats,
+        |    CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+        |      / e * 1000000.0) AS BIGINT) AS t
+        |  FROM grid)
+        |SELECT src AS source, max(n_s) AS n_docs, max(n_cats) - 1 AS dof,
+        |  round(CAST(sum(t) AS DOUBLE) / 1000000.0, 6) AS chi2
+        |FROM tm GROUP BY src ORDER BY source""".stripMargin,
     // full ECDF-fusion replay: token-stat signals, quantile_cont edge
     // vectors (the q08b percentile pair on integer inputs), round-6
     // edges, row-local bucket counts

@@ -50,7 +50,10 @@ object ScaleSweep {
     "q03b_large_join", "x28j_unigram_lm", "x27_cosine_topk",
     "x32c_pack_bins", "x33b_contamination_bloom", "x28d_tfidf_top_term",
     "q22_sessionize", "x59_corpus_diff", "x60_ngram_novelty",
-    "x62_curation_report")
+    "x62_curation_report",
+    // round-11 additions with nontrivial shuffle/iteration shapes
+    "x67_winnow_pairs", "x68_contam_spans", "x70_interp_lm",
+    "x72_dup_pagerank", "x73_hard_negatives")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
@@ -154,9 +157,14 @@ object ScaleSweep {
     val spark = BenchSession.open()
     val d1 = s"$out/x1"; val d10 = s"$out/x10"; val d100 = s"$out/x100"
     val t0g = System.nanoTime()
-    generate(spark, base, d1, 1)
-    generate(spark, base, d10, 10)
-    generate(spark, base, d100, 100)
+    // the generator is deterministic in (base, reps), so a completed dir
+    // is reusable across sweep runs; nation.parquet is written LAST and
+    // serves as the completion sentinel
+    def ensure(dir: String, reps: Int): Unit =
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/nation.parquet")))
+        generate(spark, base, dir, reps)
+    ensure(d1, 1); ensure(d10, 10); ensure(d100, 100)
     val genSec = (System.nanoTime() - t0g) / 1e9
 
     BenchSession.warmTables(spark, d1)

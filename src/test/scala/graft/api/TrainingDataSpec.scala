@@ -219,6 +219,68 @@ class TrainingDataSpec extends SparkSpec {
     assert(top.head.getLong(1) == 2L)
   }
 
+  test("bm25TopK matches a Scala model and ranks term-matching docs first") {
+    val corp = Seq(
+      (100L, "spark shuffles data across the cluster"),
+      (101L, "the cat sat on the mat"),
+      (102L, "spark spark spark tuning guide"),
+      (103L, "an unrelated gardening manual")).toDF("id", "body")
+    val qs = Seq((1L, "spark cluster tuning")).toDF("id", "body")
+    val got = TrainingData.bm25TopK(corp, qs, "id", "body", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // Scala model of the identical quantized arithmetic
+    val docs = Map(
+      100L -> "spark shuffles data across the cluster",
+      101L -> "the cat sat on the mat",
+      102L -> "spark spark spark tuning guide",
+      103L -> "an unrelated gardening manual")
+      .map { case (k, v) => k -> v.split(" ").toSeq }
+    val n = docs.size
+    val dl = docs.map { case (k, v) => k -> v.size }
+    val avgdl = dl.values.sum.toDouble / n
+    def df(t: String) = docs.values.count(_.contains(t))
+    def w(t: String, d: Long): Long = {
+      val tf = docs(d).count(_ == t).toDouble
+      if (tf == 0) 0L
+      else math.round(
+        math.log(1.0 + (n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5))
+          * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl))))
+          * 1e6)
+    }
+    val qTerms = Seq("spark", "cluster", "tuning")
+    val model = docs.keys.toSeq
+      .map(d => d -> qTerms.map(t => w(t, d)).sum)
+      .filter(_._2 != 0).sortBy { case (d, s) => (-s, d) }
+    assert(got.length == 2 && model.length == 2) // only 100 and 102 overlap
+    got.zip(model).zipWithIndex.foreach { case (((gd, gs, gr), (md, ms)), i) =>
+      assert(gd == md && gs == ms && gr == i + 1, s"rank ${i + 1}")
+    }
+  }
+
+  test("sourceDriftChi2: identical distributions score ~0, a skewed source lights up") {
+    val docs = (
+      // sources a and b: identical 2:1 en/fr mix → cell == expected
+      Seq.fill(20)(("a", "en")) ++ Seq.fill(10)(("a", "fr")) ++
+      Seq.fill(40)(("b", "en")) ++ Seq.fill(20)(("b", "fr")) ++
+      // source c emits ONLY de — maximal drift, and its absent en/fr
+      // cells must still contribute (0 − E)²/E mass
+      Seq.fill(30)(("c", "de")))
+      .toDF("source", "lang")
+    val got = TrainingData.sourceDriftChi2(docs, "source", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a")._1 == 30L && got("b")._1 == 60L && got("c")._1 == 30L)
+    assert(got.values.forall(_._2 == 2L)) // 3 global langs → dof 2
+    // a and b only drift because c removed de-mass from their expected
+    // counts; c is the outlier (hand arithmetic: χ²_c = 90, χ²_a = 10,
+    // χ²_b = 20 on this table)
+    assert(math.abs(got("c")._3 - 90.0) < 1e-3)
+    assert(got("c")._3 > 4 * got("a")._3)
+    assert(got("c")._3 > 4 * got("b")._3)
+    assert(math.abs(got("a")._3 - got("b")._3 / 2) < 1e-3) // same shape, half the docs
+  }
+
   test("majorityVote picks the most-voted label, breaks ties low, drops NULLs") {
     val votes = Seq(
       (Some(1L), Some("pos")), (Some(1L), Some("pos")), (Some(1L), Some("neg")),
