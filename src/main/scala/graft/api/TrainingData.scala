@@ -3248,12 +3248,14 @@ object TrainingData {
     * — is what the integer form preserves bit-exactly.
     *
     * Scale shape: the edge relation (with the source's degree attached)
-    * is built once and persisted; each iteration is ONE shuffle — join
-    * ranks to edges on src (both sides hash-partitioned by the same
-    * key) + re-aggregate by dst. Each iteration's ranks are persisted
-    * and the previous unpersisted, so lineage stays one stage deep — at
-    * 10⁹ edges the plan never re-derives iteration k−1 to compute k
-    * (the classic Pregel/GraphX discipline, expressed relationally). */
+    * is built and materialized once; each iteration is ONE shuffle —
+    * join ranks to edges on src + re-aggregate by dst — and each
+    * iteration's result is `localCheckpoint(eager)`, truncating the
+    * logical plan to the materialized partitions (the
+    * [[graft.ops.DedupOps.connectedComponents]] idiom): without the
+    * truncation the plan tree GROWS per round and the driver re-analyzes
+    * a super-linearly expanding query — the classic Pregel/GraphX
+    * lineage discipline, expressed relationally. */
   def pageRankMicro(pairs: DataFrame, iterations: Int = 5,
       dampingPct: Int = 85): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
@@ -3268,13 +3270,15 @@ object TrainingData {
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
     val adj = edges
       .join(deg.select(col("id").as("src"), col("degree")), Seq("src"))
-      .persist()
+      .localCheckpoint(true)
     val baseMicro = (100L - dampingPct) * 10000L
-    var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro")).persist()
+    var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro"))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val next = adj
+      ranks = adj
         .join(ranks.select(col("id").as("src"), col("rank_micro")), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank_micro div degree").as("contrib"))
@@ -3283,15 +3287,10 @@ object TrainingData {
         .select(col("id"),
           (lit(baseMicro) +
             expr(s"(${dampingPct}L * s) div 100L")).as("rank_micro"))
-        .persist()
-      next.count() // materialize before releasing the previous iteration
-      ranks.unpersist()
-      ranks = next
+        .localCheckpoint(true) // truncate lineage, release prior round to GC
     }
-    val out = deg.join(ranks, Seq("id"))
+    deg.join(ranks, Seq("id"))
       .select(col("id"), col("degree"), col("rank_micro"))
-    adj.unpersist()
-    out
   }
 
   /** Hard-negative mining for contrastive / retrieval training →
