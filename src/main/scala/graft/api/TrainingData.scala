@@ -3327,6 +3327,46 @@ object TrainingData {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  /** Shingle-containment pairs → (contained_id, container_id, n_shared,
+    * containment): the ASYMMETRIC near-dup relation C(A→B) =
+    * |S(A) ∩ S(B)| / |S(A)| — a quote, excerpt, or doc-in-doc embedding
+    * scores near 1.0 even when symmetric Jaccard is tiny (a 100-word
+    * quote inside a 10 000-word page has J ≈ 0.01), so this is the
+    * detector for exactly the duplication Jaccard dedup misses. Both
+    * directions emit from the ONE unordered co-occurrence join (the
+    * x26 path — the pair relation explodes into its two orientations
+    * before the threshold filter, so the join cost is identical to the
+    * symmetric scan). Input is any `(doc_id, shh)` shingle relation
+    * ([[shingles]]); thresholds compare on the 6-decimal round both
+    * engines replay. */
+  def containmentPairsFromShingles(shingles: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingles.select(col("doc_id"), col("shh"))
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    DedupOps.coocPairs(sh, "shh")
+      .join(n.select(col("doc_id").as("d1"), col("ns").as("n1")), Seq("d1"))
+      .join(n.select(col("doc_id").as("d2"), col("ns").as("n2")), Seq("d2"))
+      .select(explode(array(
+        struct(col("d1").as("contained_id"), col("d2").as("container_id"),
+          col("inter"),
+          round(col("inter").cast("double") / col("n1"), 6).as("c")),
+        struct(col("d2").as("contained_id"), col("d1").as("container_id"),
+          col("inter"),
+          round(col("inter").cast("double") / col("n2"), 6).as("c"))))
+        .as("r"))
+      .select(col("r.contained_id").as("contained_id"),
+        col("r.container_id").as("container_id"),
+        col("r.inter").as("n_shared"), col("r.c").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** [[containmentPairsFromShingles]] over raw documents. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    containmentPairsFromShingles(shingles(docs, idCol, textCol), threshold)
+
   /** BM25 retrieval top-k → (q_id, doc_id, score_micro, rank): the
     * lexical-retrieval primitive of a curation pipeline — finding the
     * corpus documents most relevant to a probe (eval-set decontam
@@ -3475,4 +3515,5 @@ object TrainingData {
         round(col("n_label").cast("double") / col("n_votes"), 6)
           .as("agreement"))
   }
+
 }

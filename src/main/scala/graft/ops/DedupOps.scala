@@ -613,7 +613,19 @@ object DedupOps {
       persistPairs(s, d).select(col("d1"), col("d2")))
       .orderBy(col("id"))
 
+  /** X78 — asymmetric containment pairs at C ≥ 0.8: quotes/excerpts/
+    * doc-in-doc duplication that symmetric Jaccard misses (a short doc
+    * fully inside a long one has J ≈ |short|/|long|). Rides the SHARED
+    * shingle cache; both orientations from the one co-occurrence join.
+    * Fixture binding of
+    * [[graft.api.TrainingData.containmentPairsFromShingles]]. */
+  def x78ContainmentPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData
+      .containmentPairsFromShingles(persistShingles(s, d), 0.8)
+      .orderBy(col("contained_id"), col("container_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x78_containment" -> (x78ContainmentPairs _),
     "x72_dup_pagerank" -> (x72DupPagerank _),
     "x67_winnow_pairs" -> (x67WinnowPairs _),
     "x68_contam_spans" -> (x68ContamSpans _),
@@ -725,6 +737,33 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // containment replay: the x26 shingle/count/co-occurrence prefix,
+    // then BOTH orientations of each unordered pair with its own
+    // denominator, thresholded on the same 6-decimal round
+    "x78_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs2 AS (
+        |  SELECT d1 AS contained_id, d2 AS container_id, inter AS n_shared,
+        |    round(CAST(inter AS DOUBLE) / n1.ns, 6) AS containment
+        |  FROM inter JOIN n n1 ON d1 = n1.doc_id
+        |  UNION ALL
+        |  SELECT d2, d1, inter,
+        |    round(CAST(inter AS DOUBLE) / n2.ns, 6)
+        |  FROM inter JOIN n n2 ON d2 = n2.doc_id)
+        |SELECT * FROM pairs2 WHERE containment >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     // pagerank replay over the SAME replayed pair relation the cluster
     // oracles consume: undirected edges, per-source degree, 5 unrolled
     // integer rounds

@@ -76,10 +76,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("might_contain"), p.linesIterator.take(40).mkString("\n"))
   }
 
-  // tree occurrences only — formatted mode repeats each node name in the
-  // detail section, so count the "Name (id)" tree form
+  // distinct plan nodes only — formatted mode repeats each node name in
+  // the detail section as "(id) Name", and a cached/reused subtree's tree
+  // lines render once per reference, so: match tree lines where the node
+  // name (word-bounded — "Window" must not match "WindowGroupLimit") leads
+  // the line after the tree-drawing prefix, optionally followed by
+  // modifiers ("BroadcastHashJoin Inner BuildRight (52)"), and count
+  // DISTINCT trailing "(id)"s
+  private val nodeId = """\((\d+)\)\s*$""".r
   private def treeCount(p: String, node: String): Int =
-    p.linesIterator.count(_.contains(s"$node ("))
+    p.linesIterator.flatMap { l =>
+      val t = l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*')
+      if (!t.startsWith(node)) None
+      else {
+        val rest = t.drop(node.length)
+        if (rest.startsWith(" ") || rest.startsWith("("))
+          nodeId.findFirstMatchIn(rest).map(_.group(1))
+        else None
+      }
+    }.toSet.size
 
   test("real-decode queries stay row-local: one result-order exchange only") {
     // the decode work (inflate/unfilter/PCM) runs inside mapPartitions;
@@ -173,6 +188,27 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p.linesIterator.take(40).mkString("\n"))
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("x72 pagerank plan stays bounded: localCheckpoint truncates iteration lineage") {
+    // without eager localCheckpoint per round the plan re-expands every
+    // prior iteration (measured ~4600 exchanges for 5 rounds); over
+    // checkpointed leaves the final query is one join + one exchange
+    val p = plan("x72_dup_pagerank")
+    assert(treeCount(p, "Exchange") <= 4, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x68/x76 probe-side relations broadcast; no cartesian anywhere") {
+    val spans = plan("x68_contam_spans")
+    assert(spans.contains("BroadcastHashJoin"), spans.linesIterator.take(30).mkString("\n"))
+    assert(!spans.contains("CartesianProduct"), spans)
+    val bm25 = plan("x76_bm25_topk")
+    // the postings × query-terms join and the df attach are broadcast
+    // hash joins; the only nested-loop is the 1-row (N, avgdl) scalar
+    assert(treeCount(bm25, "BroadcastHashJoin") >= 2, bm25.linesIterator.take(40).mkString("\n"))
+    assert(!bm25.contains("CartesianProduct"), bm25)
+    assert(!bm25.contains("SortMergeJoin"), bm25)
   }
 
   test("bucketed tables join co-located: zero exchanges in the join plan") {

@@ -219,6 +219,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(top.head.getLong(1) == 2L)
   }
 
+  test("containmentPairs is asymmetric: the short doc sits inside the long one") {
+    val got = TrainingData.containmentPairs(corpus, "id", "body", 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // 10 and 11 are byte-identical (4 shingles each): 1.0 both ways
+    assert(got.contains((10L, 11L, 4L, 1.0)) && got.contains((11L, 10L, 4L, 1.0)))
+    // 10's 4 shingles share 3 with 12's 7: contained 3/4 = 0.75 one way…
+    assert(got.contains((10L, 12L, 3L, 0.75)))
+    // …but 3/7 ≈ 0.43 the other — the asymmetry Jaccard can't express
+    assert(!got.exists(p => p._1 == 12L && p._2 == 10L))
+  }
+
   test("bm25TopK matches a Scala model and ranks term-matching docs first") {
     val corp = Seq(
       (100L, "spark shuffles data across the cluster"),
