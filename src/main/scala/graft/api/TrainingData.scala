@@ -3516,4 +3516,147 @@ object TrainingData {
           .as("agreement"))
   }
 
+  /** Top-k bigram collocations by pointwise mutual information →
+    * (w1, w2, c12, pmi_micro): the statistical phrase detector behind
+    * tokenizer-vocab merging ("new york" should be one unit) and
+    * boilerplate mining — PMI = ln p(w1w2) − ln p(w1) − ln p(w2) ranks
+    * pairs that co-occur far above chance, where raw bigram counts
+    * (x28h) just rank stopword runs. `minCount` floors c12 because
+    * PMI's variance explodes for rare pairs (a 1-occurrence typo pair
+    * can top the corpus).
+    *
+    * Portability: pmi quantized once per bigram TYPE to integer
+    * micro-nats with each division its own IEEE op
+    * (ln(c12/B) − ln(c1/T) − ln(c2/T)) — the x28j recipe — so ranking
+    * ties are engine-identical; (pmi desc, w1, w2) is a total order.
+    * Scale shape: two count aggregations (bigram + unigram types), two
+    * vocabulary-keyed joins, broadcast scalar totals; the top-k is
+    * orderBy+limit — TakeOrderedAndProject, never a global sort. */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame =
+    pmiCollocationsFromCounts(bigramCounts(docs, idCol, textCol),
+      tokenCounts(docs, idCol, textCol), minCount, k)
+
+  /** [[pmiCollocations]] over pre-built (ideally persisted)
+    * [[bigramCounts]] / [[tokenCounts]] relations — the LM scorers'
+    * cached relations serve the collocation scan without another corpus
+    * pass. Columns bind by NAME (doc_id, bigram, bf / doc_id, tok, tf). */
+  def pmiCollocationsFromCounts(bigramCounts: DataFrame,
+      tokenCounts: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"need minCount/k >= 1, got $minCount/$k")
+    val bg = bigramCounts.groupBy(col("bigram")).agg(sum(col("bf")).as("c12"))
+      // tokens are whitespace-split, so the joined bigram has exactly
+      // one interior space — the split is lossless
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"), col("c12"))
+    val uni = tokenCounts.groupBy(col("tok")).agg(sum(col("tf")).as("cw"))
+    val tot = bg.agg(sum(col("c12")).as("bb"))
+      .crossJoin(uni.agg(sum(col("cw")).as("tt")))
+    bg.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((log(col("c12").cast("double") / col("bb"))
+          - log(col("c1").cast("double") / col("tt"))
+          - log(col("c2").cast("double") / col("tt"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Top-k burstiest terms → (w, df, total_tf, vmr): per-term
+    * variance-to-mean ratio (index of dispersion) of the term's count
+    * across ALL corpus documents, zeros included — the template/
+    * boilerplate detector: a term whose occurrences pile into few docs
+    * (navigation chrome, license headers, SEO spam) has VMR ≫ 1 while
+    * an evenly-used term sits near 1 (Poisson), and content words the
+    * corpus mentions everywhere fall below. `minDf` floors document
+    * frequency so one doc repeating a typo 100× doesn't top the list.
+    *
+    * Exactness: VMR = (N·Σtf² − (Σtf)²) / (N·Σtf) from integer sums;
+    * the products accumulate as DECIMAL(38,0) (the x63 discipline —
+    * N·Σtf² passes Long.MaxValue once N·tf² mass reaches ~9e18, i.e.
+    * well inside a 100 TB corpus; DuckDB mirrors via HUGEINT), with ONE
+    * double division at the end. (vmr desc, w) is a total order.
+    * Scale shape: one (doc, term) tf aggregation, one per-term rollup,
+    * broadcast scalar N; top-k is orderBy+limit. */
+  def termBurstiness(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 5L, k: Int = 50): DataFrame =
+    termBurstinessFromCounts(tokenCounts(docs, idCol, textCol),
+      docs.agg(count(lit(1)).as("nd")), minDf, k)
+
+  /** [[termBurstiness]] over a pre-built (ideally persisted)
+    * [[tokenCounts]] relation plus a 1-row (nd) total-document-count
+    * relation (counted over ALL docs, zero-token ones included — they
+    * are real zeros in the dispersion). Columns bind by NAME. */
+  def termBurstinessFromCounts(tokenCounts: DataFrame, nDocs: DataFrame,
+      minDf: Long, k: Int): DataFrame = {
+    require(minDf >= 1 && k >= 1, s"need minDf/k >= 1, got $minDf/$k")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val tf = tokenCounts.select(col("doc_id"), col("tok").as("w"), col("tf"))
+    val nRel = nDocs.select(col("nd"))
+    tf.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("s1"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nRel))
+      .select(col("w"), col("df"), col("s1").as("total_tf"),
+        round((col("nd").cast(dec) * col("s2")
+            - col("s1").cast(dec) * col("s1")).cast("double")
+          / (col("nd").cast(dec) * col("s1")).cast("double"), 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("w"))
+      .limit(k)
+  }
+
+  /** Exact-count stratified selection by largest-remainder allocation →
+    * (doc_id, stratum, rk): EXACTLY `budget` rows total (when the corpus
+    * has them), split across strata proportionally to their counts —
+    * the "sample 10 M docs preserving the source mix" primitive where
+    * fraction-based sampling ([[stratifiedSample]]) only hits the
+    * budget in expectation. Hamilton's method: every stratum gets
+    * ⌊budget·c_s/C⌋, then the leftover seats go to the largest
+    * remainders (ties → stratum ascending); within a stratum the kept
+    * rows are the content-addressed hash order ([[hashBucket]]'s
+    * 16-bit sha256 coordinate, salt `#quota`), so the selection is
+    * deterministic across runs, partitioning, and engines, and a
+    * grown corpus reshuffles selections minimally. NULL strata are
+    * excluded — coalesce them to a bucket first if they must compete.
+    *
+    * Scale shape: one stratum-count aggregation (map-side combined),
+    * the seat allocation entirely on the strata relation (tiny — a
+    * window over sources/languages, broadcast back), and ONE per-stratum
+    * window over the corpus for the in-stratum rank. Pure integer
+    * arithmetic throughout — both engines replay seats exactly. */
+  def stratifiedQuota(docs: DataFrame, idCol: String, stratCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = docs.filter(col(stratCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(stratCol).as("stratum"))
+    val cs = base.groupBy(col("stratum")).agg(count(lit(1)).as("c_s"))
+    val tot = cs.agg(sum(col("c_s")).as("cc"))
+    val seats = cs.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("c_s"),
+        expr(s"(${budget}L * c_s) div cc").as("base_s"),
+        expr(s"(${budget}L * c_s) % cc").as("rem_s"))
+    val extra = seats.agg((lit(budget) - sum(col("base_s"))).as("extra"))
+    // the strata relation is categorical-small (sources, languages):
+    // an unpartitioned window here ranks tens of rows, not the corpus
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem_s").desc, col("stratum"))
+    val alloc = seats.withColumn("rr", row_number().over(wRem))
+      .crossJoin(broadcast(extra))
+      .select(col("stratum"),
+        (col("base_s") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .as("alloc"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum"))
+      .orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("h", hash16(concat(col("doc_id").cast("string"), lit("#quota"))))
+      .withColumn("rk", row_number().over(wIn))
+      .join(broadcast(alloc), Seq("stratum"))
+      .filter(col("rk") <= col("alloc"))
+      .select(col("doc_id"), col("stratum"), col("rk"))
+  }
 }

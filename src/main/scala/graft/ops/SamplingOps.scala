@@ -242,7 +242,18 @@ object SamplingOps {
       persistDsirFeats(s, d), nBuckets = 256)
       .orderBy(col("doc_id"))
 
+  /** X81 — exact-count stratified selection: exactly 200 documents,
+    * allocated across sources by largest remainder (Hamilton's method),
+    * kept rows chosen by the content-addressed hash order. The
+    * exact-total counterpart of x31c's fraction-based strata. Fixture
+    * binding of [[graft.api.TrainingData.stratifiedQuota]]. */
+  def x81StratifiedQuota(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.stratifiedQuota(
+      t(s, d, "documents"), "doc_id", "source", budget = 200L)
+      .orderBy(col("stratum"), col("rk"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x81_stratified_quota" -> (x81StratifiedQuota _),
     "x49_dsir_weights" -> (x49DsirWeights _),
     "x39_mix" -> (x39Mix _),
     "x39b_mix_replicated" -> (x39bMixReplicated _),
@@ -286,6 +297,33 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // largest-remainder replay: integer seat arithmetic (// ≡ div on
+    // positive operands), remainder ranking over the tiny strata
+    // relation, in-stratum rank on the same sha-derived salted hash
+    "x81_stratified_quota" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source AS stratum FROM documents
+         |  WHERE source IS NOT NULL),
+         |cs AS (SELECT stratum, count(*) AS c_s FROM base GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS cc FROM cs),
+         |seats AS (
+         |  SELECT stratum, c_s, (200 * c_s) // cc AS base_s,
+         |    (200 * c_s) % cc AS rem_s
+         |  FROM cs CROSS JOIN tot),
+         |ex AS (SELECT 200 - CAST(sum(base_s) AS BIGINT) AS extra FROM seats),
+         |alloc AS (
+         |  SELECT stratum, base_s + (CASE WHEN
+         |      row_number() OVER (ORDER BY rem_s DESC, stratum) <= extra
+         |    THEN 1 ELSE 0 END) AS alloc
+         |  FROM seats CROSS JOIN ex),
+         |rk AS (
+         |  SELECT doc_id, stratum,
+         |    row_number() OVER (PARTITION BY stratum
+         |      ORDER BY ${hash16Sql("(CAST(doc_id AS VARCHAR) || '#quota')")}, doc_id) AS rk
+         |  FROM base)
+         |SELECT doc_id, stratum, rk FROM rk JOIN alloc USING (stratum)
+         |WHERE rk <= alloc
+         |ORDER BY stratum, rk""".stripMargin,
     // full DSIR replay: unigram+bigram features (range(1, len) is empty
     // for 0/1-token docs, so tiny docs degrade exactly like Spark's
     // token_bigrams), the portable sha-derived bucket hash, add-one

@@ -172,6 +172,24 @@ object TextOps {
   def x28hTopBigrams(s: SparkSession, d: String): DataFrame =
     graft.api.TrainingData.topBigrams(t(s, d, "documents"), "text", 10)
 
+  /** X79 — top-50 bigram collocations by PMI (min count 5): the
+    * statistical phrase detector above x28h's raw-count top bigrams.
+    * Rides the SHARED cached token/bigram count relations. Fixture
+    * binding of [[graft.api.TrainingData.pmiCollocationsFromCounts]]. */
+  def x79PmiCollocations(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.pmiCollocationsFromCounts(
+      bgRel(s, d), tfRel(s, d), minCount = 5L, k = 50)
+
+  /** X80 — top-50 burstiest terms (min df 5): variance-to-mean of tf
+    * across all documents, the boilerplate/template detector. Rides the
+    * SHARED cached token-count relation; the doc total comes from the
+    * table count. Fixture binding of
+    * [[graft.api.TrainingData.termBurstinessFromCounts]]. */
+  def x80TermBurstiness(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.termBurstinessFromCounts(
+      tfRel(s, d), t(s, d, "documents").agg(count(lit(1)).as("nd")),
+      minDf = 5L, k = 50)
+
   /** X28 — document fingerprint: 16-hex-char prefix of the content hash of
     * the token-normalized text (whitespace-insensitive exact dedup key).
     * Fixture binding of [[graft.api.TrainingData.fingerprint]]. */
@@ -548,6 +566,8 @@ object TextOps {
       .orderBy(col("source"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x79_pmi_collocations" -> (x79PmiCollocations _),
+    "x80_term_burstiness" -> (x80TermBurstiness _),
     "x76_bm25_topk" -> (x76Bm25TopK _),
     "x77_source_chi2" -> (x77SourceChi2 _),
     "x69_quality_fusion" -> (x69QualityFusion _),
@@ -725,6 +745,52 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // PMI replay: bigram + unigram type counts, scalar totals, the
+    // three-ln micro quantization with each division its own IEEE op,
+    // (pmi DESC, w1, w2) total order
+    "x79_pmi_collocations" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (
+         |  SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         |    count(*) AS c12
+         |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS g
+         |    FROM toks WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2),
+         |uni AS (
+         |  SELECT tok AS w, count(*) AS cw
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(c12) AS BIGINT) FROM bg) AS bb,
+         |         (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS tt)
+         |SELECT w1, w2, c12,
+         |  CAST(round((ln(CAST(c12 AS DOUBLE) / bb)
+         |    - ln(CAST(c1 AS DOUBLE) / tt)
+         |    - ln(CAST(c2 AS DOUBLE) / tt)) * 1000000) AS BIGINT) AS pmi_micro
+         |FROM bg
+         |JOIN (SELECT w AS w1, cw AS c1 FROM uni) USING (w1)
+         |JOIN (SELECT w AS w2, cw AS c2 FROM uni) USING (w2)
+         |CROSS JOIN tot
+         |WHERE c12 >= 5
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+    // burstiness replay: integer (df, Σtf, Σtf²) per term, HUGEINT
+    // products (the engine's DECIMAL(38,0)), one double division
+    "x80_term_burstiness" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |agg AS (
+         |  SELECT tok AS w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS s1,
+         |    CAST(sum(tf * tf) AS BIGINT) AS s2
+         |  FROM tf GROUP BY 1)
+         |SELECT w, df, s1 AS total_tf,
+         |  round(CAST(CAST(nd AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+         |    / CAST(CAST(nd AS HUGEINT) * s1 AS DOUBLE), 6) AS vmr
+         |FROM agg CROSS JOIN nd
+         |WHERE df >= 5
+         |ORDER BY vmr DESC, w LIMIT 50""".stripMargin,
     // full BM25 replay: postings, doc lengths, query-term df, the
     // per-(term, doc) weight quantized to micro with the IDENTICAL
     // operation order (each division its own IEEE op), exact integer

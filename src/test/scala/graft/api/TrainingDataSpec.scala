@@ -1997,4 +1997,78 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(paraApp == fixApp)
   }
+
+  test("pmiCollocations ranks a true phrase above a chance co-occurrence") {
+    // "new york" always co-occurs; "the" is everywhere so "the cat"
+    // co-occurs often but only at chance rate
+    val docs = Seq(
+      (1L, "the cat visited new york and the dog visited new york"),
+      (2L, "new york is where the cat and the dog live"),
+      (3L, "the cat saw the dog in new york"),
+      (4L, "the dog and the cat left new york")).toDF("id", "body")
+    val got = TrainingData.pmiCollocations(docs, "id", "body",
+        minCount = 2L, k = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // Scala model of the same arithmetic for one pair
+    val toks = docs.collect().flatMap(_.getString(1).split(" ")).filter(_.nonEmpty)
+    val bigrams = docs.collect().flatMap(
+      _.getString(1).split(" ").filter(_.nonEmpty).sliding(2).filter(_.size == 2)
+        .map(a => (a(0), a(1))).toSeq)
+    def pmiModel(w1: String, w2: String): Long = {
+      val c12 = bigrams.count(_ == ((w1, w2))).toDouble
+      val bb = bigrams.length.toDouble
+      val tt = toks.length.toDouble
+      val c1 = toks.count(_ == w1).toDouble
+      val c2 = toks.count(_ == w2).toDouble
+      math.round((math.log(c12 / bb) - math.log(c1 / tt) - math.log(c2 / tt)) * 1e6)
+    }
+    assert(got(("new", "york"))._2 == pmiModel("new", "york"))
+    assert(got(("the", "cat"))._2 == pmiModel("the", "cat"))
+    assert(got(("new", "york"))._2 > got(("the", "cat"))._2)
+    // minCount floors: a 1-occurrence pair is absent at minCount=2
+    assert(!got.contains(("cat", "visited")))
+  }
+
+  test("termBurstiness: a concentrated term out-scores an evenly spread one") {
+    // both terms have total tf 4 over N=4 docs; "burst" piles into one
+    // doc (VMR = (4·16−16)/(4·4) = 3.0), "even" spreads 1 per doc
+    // (VMR = (4·4−16)/(4·4) = 0.0)
+    val docs = Seq(
+      (1L, "burst burst burst burst even filler"),
+      (2L, "even filler pad"),
+      (3L, "even filler pad"),
+      (4L, "even filler pad")).toDF("id", "body")
+    val got = TrainingData.termBurstiness(docs, "id", "body", minDf = 1L, k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("burst") == ((1L, 4L, 3.0)))
+    assert(got("even") == ((4L, 4L, 0.0)))
+    assert(got("burst")._3 > got("filler")._3)
+    // minDf floors: df-1 terms vanish at minDf=2
+    val floored = TrainingData.termBurstiness(docs, "id", "body", minDf = 2L, k = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(!floored.contains("burst") && floored.contains("even"))
+  }
+
+  test("stratifiedQuota: largest-remainder seats, exact total, deterministic") {
+    // strata 70/20/10 docs, budget 25 → quotas 17.5/5/2.5; floors 17/5/2
+    // leave 1 seat; remainders .5/.0/.5 tie → stratum-ascending gives it
+    // to 'a' (a < c)
+    val docs = (1L to 100L).map(i =>
+      (i, if (i <= 70) "a" else if (i <= 90) "b" else "c")).toDF("id", "src")
+    val got = TrainingData.stratifiedQuota(docs, "id", "src", budget = 25L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.length == 25)
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc == Map("a" -> 18, "b" -> 5, "c" -> 2))
+    // in-stratum ranks tile 1..alloc and selection is deterministic
+    assert(got.filter(_._2 == "a").map(_._3).sorted.toSeq == (1 to 18))
+    val again = TrainingData.stratifiedQuota(docs, "id", "src", budget = 25L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSet == again.toSet)
+    // budget == corpus keeps everything; NULL strata are excluded
+    val full = TrainingData.stratifiedQuota(docs, "id", "src", budget = 100L)
+    assert(full.count() == 100L)
+  }
 }
