@@ -3609,6 +3609,72 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance diverse top-k →
+    * (rank, c_id, rel_micro, maxsim_micro, score_micro): greedy MMR
+    * (Carbonell & Goldstein 1998) selection of `k` corpus rows for a
+    * 1-row query embedding — each round picks
+    * argmax λ·relevance − (1−λ)·max-sim-to-already-selected, so the
+    * result is relevant AND mutually diverse where plain top-k returns
+    * k near-copies of the best hit. The eval-set / few-shot-pool /
+    * exemplar-selection primitive of a curation pipeline.
+    *
+    * The greedy argmax is inherently sequential, so the SCALE split is:
+    * the corpus-sized work is ONE scan scoring relevance and ONE
+    * TakeOrderedAndProject into a `poolSize`-bounded candidate pool
+    * (MMR beyond the relevance frontier adds nothing — a low-relevance
+    * row never wins any round); the k rounds then run on the bounded
+    * pool with 1-row broadcast joins and eager localCheckpoints (the
+    * BPE-argmax discipline), never touching the corpus again.
+    *
+    * Portability: relevance and pair similarities quantize once to
+    * integer micro (round(cos·10⁶), the x27e recipe); scores are pure
+    * Long arithmetic λpct·rel − (100−λpct)·maxsim, so every argmax is
+    * engine-identical with (score desc, c_id) total order. Zero-norm
+    * rows drop (NULL rel in both engines). */
+  def mmrDiverseTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+      embCol: String, k: Int, lambdaPct: Int = 70,
+      poolSize: Int = 50): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize, got $k/$poolSize")
+    require(lambdaPct >= 1 && lambdaPct <= 99,
+      s"lambdaPct must be in [1, 99], got $lambdaPct")
+    import graft.functions.VectorFunctions.cosine_sim
+    val q = query.select(col(embCol).as("q_emb")).limit(1)
+    val simMicro = (a: Column, b: Column) =>
+      round(cosine_sim(a, b) * 1e6).cast("long")
+    val lam = lit(lambdaPct.toLong)
+    val lam1 = lit((100 - lambdaPct).toLong)
+    var pool = corpus.select(col(idCol).as("c_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", simMicro(col("emb"), col("q_emb")))
+      .filter(col("rel").isNotNull)
+      .select(col("c_id"), col("emb"), col("rel"))
+      .orderBy(col("rel").desc, col("c_id")).limit(poolSize)
+      .withColumn("ms", lit(0L))
+      .localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to k) {
+      val sel = pool
+        .withColumn("score", lam * col("rel") - lam1 * col("ms"))
+        .orderBy(col("score").desc, col("c_id")).limit(1)
+        .localCheckpoint(true)
+      picks += sel.select(lit(r).as("rank"), col("c_id"),
+        col("rel").as("rel_micro"), col("ms").as("maxsim_micro"),
+        col("score").as("score_micro"))
+      if (r < k) {
+        // rel is non-NULL for every pool row, so both norms are > 0 and
+        // the pairwise sim below can never be NULL
+        pool = pool
+          .crossJoin(broadcast(
+            sel.select(col("c_id").as("s_id"), col("emb").as("s_emb"))))
+          .filter(col("c_id") =!= col("s_id"))
+          .select(col("c_id"), col("emb"), col("rel"),
+            greatest(col("ms"), simMicro(col("emb"), col("s_emb"))).as("ms"))
+          .localCheckpoint(true)
+      }
+    }
+    picks.reduce(_ unionAll _)
+  }
+
   /** Exact-count stratified selection by largest-remainder allocation →
     * (doc_id, stratum, rk): EXACTLY `budget` rows total (when the corpus
     * has them), split across strata proportionally to their counts —

@@ -58,6 +58,20 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X82 — MMR diverse top-8 for probe vector 1 (λ = 70%, pool 50):
+    * greedy maximal-marginal-relevance selection — relevant AND mutually
+    * diverse, where x27's plain top-k returns near-copies of the best
+    * hit. Fixture binding of
+    * [[graft.api.TrainingData.mmrDiverseTopK]]. */
+  def x82MmrDiverse(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    graft.api.TrainingData
+      .mmrDiverseTopK(e.filter(col("vec_id") =!= 1),
+        e.filter(col("vec_id") === 1), "vec_id", "embedding",
+        k = 8, lambdaPct = 70, poolSize = 50)
+      .orderBy(col("rank"))
+  }
+
   /** X27 (scale path) — ANN via LSH: 8 tables of 4-bit SRP buckets;
     * candidates = same bucket in any table; exact cosine re-rank within
     * candidates. Recall vs [[x27TopK]] is asserted in LlmOpsSpec. */
@@ -1004,6 +1018,7 @@ object VectorOps {
     "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
     "x27_cosine_topk" -> (x27TopK _),
     "x73_hard_negatives" -> (x73HardNegatives _),
+    "x82_mmr_diverse" -> (x82MmrDiverse _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x27d_ann_packed" -> (x27dAnnPacked _),
@@ -1515,6 +1530,45 @@ object VectorOps {
          |  AND round(${dotSql("a.embedding", "b.embedding")} /
          |   (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})), 6) >= 0.4
          |ORDER BY v1, v2""".stripMargin,
+    // MMR replay: the relevance pool CTE, then the 8 greedy rounds
+    // unrolled — each round the argmax of 70·rel − 30·maxsim (score
+    // DESC, c_id) over the survivors, then maxsim folds in the
+    // just-selected row's similarity. Integer micro sims (the x27e
+    // round(cos·1e6) recipe) make every argmax engine-identical.
+    "x82_mmr_diverse" -> {
+      val simM = (a: String, b: String) =>
+        s"CAST(round(${cosSql(a, b)} * 1000000, 0) AS BIGINT)"
+      val rounds = (1 to 8).map { r =>
+        val prev = s"m${r - 1}"
+        val sel =
+          s"""s$r AS (
+             |  SELECT c_id, emb, rel, ms, 70 * rel - 30 * ms AS score
+             |  FROM $prev ORDER BY score DESC, c_id LIMIT 1)""".stripMargin
+        val next = if (r < 8)
+          s""",
+             |m$r AS (
+             |  SELECT m.c_id, m.emb, m.rel,
+             |    greatest(m.ms, ${simM("m.emb", "s.emb")}) AS ms
+             |  FROM $prev m, s$r s WHERE m.c_id <> s.c_id)""".stripMargin
+        else ""
+        sel + next
+      }.mkString(",\n")
+      val unions = (1 to 8).map(r =>
+        s"SELECT $r AS rank, c_id, rel AS rel_micro, ms AS maxsim_micro, score AS score_micro FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH cand AS (
+         |  SELECT c.vec_id AS c_id, c.embedding AS emb,
+         |    ${simM("c.embedding", "q.embedding")} AS rel
+         |  FROM embeddings c,
+         |    (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+         |  WHERE c.vec_id <> 1),
+         |m0 AS (
+         |  SELECT c_id, emb, rel, CAST(0 AS BIGINT) AS ms FROM cand
+         |  WHERE rel IS NOT NULL ORDER BY rel DESC, c_id LIMIT 50),
+         |$rounds
+         |$unions
+         |ORDER BY rank""".stripMargin
+    },
     "x27_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),

@@ -2051,6 +2051,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(!floored.contains("burst") && floored.contains("even"))
   }
 
+  test("mmrDiverseTopK swaps the near-copy for a diverse pick; exact model agrees") {
+    // probe along e1; 1 and 2 are near-copies of each other (pair cos
+    // ≈ 0.99995), 3 is diverse but less relevant, 4 is irrelevant, 5 is
+    // a zero vector. Plain relevance top-3 = (1, 2, 3); MMR at λ=60
+    // must demote the copy: (1, 3, 2).
+    val corpus = Seq(
+      (1L, Seq(9f, 4f, 0f, 0f)),
+      (2L, Seq(9f, 4.1f, 0f, 0f)),
+      (3L, Seq(8f, -6f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 9f, 1f)),
+      (5L, Seq(0f, 0f, 0f, 0f))).toDF("id", "emb")
+    val probeVec = Seq(1f, 0f, 0f, 0f)
+    val probe = Seq((0L, probeVec)).toDF("id", "emb")
+    val got = TrainingData.mmrDiverseTopK(corpus, probe, "id", "emb",
+        k = 3, lambdaPct = 60, poolSize = 10)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), got.toString)
+    // exact integer model: same fold-order cosine, same HALF-UP micro
+    // rounding, same greedy recurrence
+    def dotM(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def simM(a: Seq[Float], b: Seq[Float]): Long = {
+      val v = dotM(a, b) / (math.sqrt(dotM(a, a)) * math.sqrt(dotM(b, b))) * 1e6
+      (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+    }
+    var pool = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .filter(c => dotM(c._2, c._2) > 0)
+      .map(c => (c._1, c._2, simM(c._2, probeVec), 0L)).toSeq
+    val model = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    for (r <- 1 to 3) {
+      val sel = pool.minBy(c => (-(60L * c._3 - 40L * c._4), c._1))
+      model += ((r, sel._1, sel._3, sel._4, 60L * sel._3 - 40L * sel._4))
+      pool = pool.filter(_._1 != sel._1)
+        .map(c => (c._1, c._2, c._3, math.max(c._4, simM(c._2, sel._2))))
+    }
+    assert(got == model.toSeq)
+    // the zero vector can never appear at any k
+    val all = TrainingData.mmrDiverseTopK(corpus, probe, "id", "emb",
+      k = 4, lambdaPct = 60, poolSize = 10)
+    assert(all.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("stratifiedQuota: largest-remainder seats, exact total, deterministic") {
     // strata 70/20/10 docs, budget 25 → quotas 17.5/5/2.5; floors 17/5/2
     // leave 1 seat; remainders .5/.0/.5 tie → stratum-ascending gives it
