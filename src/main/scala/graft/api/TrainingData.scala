@@ -3609,6 +3609,105 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Deterministic per-epoch shard layout → (doc_id, shard, pos): the
+    * dataloader contract of a multi-epoch training run — every epoch is
+    * a DIFFERENT pseudorandom permutation of the corpus (epoch salt in
+    * the hash), sharded for `nShards` parallel readers, with a dense
+    * 1-based position inside each shard — all content-addressed
+    * (sha-derived, [[hashBucket]]'s coordinate), so any engine, any
+    * partitioning, and any re-run derives the identical order, and a
+    * resumed job can seek to (shard, pos) exactly.
+    *
+    * Scale shape: shard assignment is a pure row function; the only
+    * shuffle is the per-shard window for `pos` — partitioned by shard,
+    * never a global sort. A grown corpus perturbs only the positions
+    * after the insertion points, not every shard's membership. */
+  def epochShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      epoch: Int): DataFrame = {
+    require(nShards >= 1 && epoch >= 0,
+      s"need nShards >= 1 and epoch >= 0, got $nShards/$epoch")
+    val h = hash16(concat(col("doc_id").cast("string"), lit(s"#e$epoch")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Referential-integrity audit between two keyed relations →
+    * (status ∈ both/left_only/right_only, n_keys, n_left_rows,
+    * n_right_rows): the join-coverage report a pipeline runs before
+    * trusting an enrichment join — "every document has exactly one
+    * embedding row, nothing dangles" — made a first-class relation
+    * instead of a silent inner-join drop ([[crossSourceDupMatrix]]'s
+    * lesson). Counts are by KEY (n_keys) and by ROW (n_*_rows), so
+    * duplicate keys on either side are visible too. NULL keys are
+    * reported as their own side's orphans (they can never join).
+    *
+    * Scale shape: each side reduces to (key, count) — map-side
+    * combined — before the single full-outer join on the key; the
+    * 3-row summary is one tiny aggregation after. */
+  def integrityAudit(left: DataFrame, leftKey: String, right: DataFrame,
+      rightKey: String): DataFrame = {
+    val l = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("nl"))
+    val r = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("nr"))
+    l.join(r, Seq("k"), "full_outer")
+      .select(
+        when(col("nl").isNotNull && col("nr").isNotNull, "both")
+          .when(col("nl").isNotNull, "left_only")
+          .otherwise("right_only").as("status"),
+        col("nl"), col("nr"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("nl")), lit(0L)).as("n_left_rows"),
+        coalesce(sum(col("nr")), lit(0L)).as("n_right_rows"))
+  }
+
+  /** Per-stratum Zipf slope → (stratum, n_terms, slope): the OLS slope
+    * of ln(frequency) on ln(rank) over the stratum's term-frequency
+    * distribution — natural text tracks Zipf's law with slope ≈ −1;
+    * machine-generated/templated sources flatten (repetitive head,
+    * missing tail) and key-value/log spam steepens, so the per-source
+    * slope is a corpus-provenance screen next to x63's KL and x77's χ²
+    * (which compare distributions to each other; this compares each to
+    * the power law).
+    *
+    * Exactness: ln(rank) and ln(count) quantize once per term to
+    * integer MILLI-nats (micro would overflow the Σxy products), the
+    * OLS sums accumulate as DECIMAL(38,0) (x63 discipline), and the
+    * slope is ONE double division of exact integers, rounded to 6 —
+    * engine-identical. Rank is (count desc, term) — a per-stratum
+    * window over the vocabulary relation, never the corpus. */
+  def zipfSlope(docs: DataFrame, stratCol: String, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val cnt = docs.filter(col(stratCol).isNotNull)
+      .select(col(stratCol).as("stratum"),
+        explode(graft.ops.DedupOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("stratum"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("c").desc, col("tok"))
+    cnt.withColumn("rk", row_number().over(w))
+      .select(col("stratum"),
+        round(log(col("rk").cast("double")) * 1e3).cast("long").as("x"),
+        round(log(col("c").cast("double")) * 1e3).cast("long").as("y"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x").cast(dec) * col("x"))).as("sxx"),
+        sum((col("x").cast(dec) * col("y"))).as("sxy"))
+      // a 1-term stratum has zero x-variance (rank 1 only): slope is
+      // undefined there — NULL, not a division error
+      .select(col("stratum"), col("n_terms"),
+        when(col("n_terms") >= 2,
+          round((col("n_terms").cast(dec) * col("sxy") - col("sx") * col("sy"))
+              .cast("double")
+            / (col("n_terms").cast(dec) * col("sxx") - col("sx") * col("sx"))
+              .cast("double"), 6))
+          .as("slope"))
+  }
+
   /** Maximal-marginal-relevance diverse top-k →
     * (rank, c_id, rel_micro, maxsim_micro, score_micro): greedy MMR
     * (Carbonell & Goldstein 1998) selection of `k` corpus rows for a

@@ -243,7 +243,27 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** X84 — referential-integrity audit of the documents ↔ embeddings
+    * enrichment join (the by-key/by-row coverage report a pipeline runs
+    * before trusting a join). The fixture tables share a key set, so the
+    * embedding side carries a q26-style deterministic change set —
+    * every 7th key dropped (left orphans), every 11th re-keyed negative
+    * (right orphans), every 13th duplicated (by-row ≠ by-key) — so all
+    * three statuses and the row/key distinction are exercised. Fixture
+    * binding of [[graft.api.TrainingData.integrityAudit]]. */
+  def x84IntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings").select(col("vec_id"))
+    val right = e.filter(col("vec_id") % 7 =!= 0)
+      .unionAll(e.filter(col("vec_id") % 11 === 0)
+        .select((-col("vec_id") - 1).as("vec_id")))
+      .unionAll(e.filter(col("vec_id") % 13 === 0))
+    graft.api.TrainingData.integrityAudit(
+      t(s, d, "documents"), "doc_id", right, "vec_id")
+      .orderBy(col("status"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x84_integrity_audit" -> (x84IntegrityAudit _),
     "q01_pricing_summary" -> (q01 _),
     "q26_merge_upsert" -> (q26MergeUpsert _),
     "q02_filter_project" -> (q02 _),
@@ -260,6 +280,25 @@ object Relational {
     "q25_salted_agg" -> (q25SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    // by-key/by-row coverage replay: per-side (key, count) reduction,
+    // one full-outer join, presence-flag status
+    "x84_integrity_audit" ->
+      """WITH r0 AS (
+        |  SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 0
+        |  UNION ALL SELECT -vec_id - 1 FROM embeddings WHERE vec_id % 11 = 0
+        |  UNION ALL SELECT vec_id FROM embeddings WHERE vec_id % 13 = 0),
+        |l AS (SELECT doc_id AS k, count(*) AS nl FROM documents GROUP BY 1),
+        |r AS (SELECT vec_id AS k, count(*) AS nr FROM r0 GROUP BY 1),
+        |j AS (
+        |  SELECT CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 'both'
+        |              WHEN nl IS NOT NULL THEN 'left_only'
+        |              ELSE 'right_only' END AS status, nl, nr
+        |  FROM l FULL OUTER JOIN r USING (k))
+        |SELECT status, count(*) AS n_keys,
+        |  coalesce(CAST(sum(nl) AS BIGINT), 0) AS n_left_rows,
+        |  coalesce(CAST(sum(nr) AS BIGINT), 0) AS n_right_rows
+        |FROM j GROUP BY status
+        |ORDER BY status""".stripMargin,
     "q26_merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -252,7 +252,18 @@ object SamplingOps {
       t(s, d, "documents"), "doc_id", "source", budget = 200L)
       .orderBy(col("stratum"), col("rk"))
 
+  /** X83 — epoch-3 shard layout over 8 shards: the deterministic
+    * dataloader order for a multi-epoch run; every epoch permutes
+    * differently (epoch salt), any engine derives the identical
+    * (shard, pos). Fixture binding of
+    * [[graft.api.TrainingData.epochShuffle]]. */
+  def x83EpochShuffle(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.epochShuffle(
+      t(s, d, "documents"), "doc_id", nShards = 8, epoch = 3)
+      .orderBy(col("shard"), col("pos"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x83_epoch_shuffle" -> (x83EpochShuffle _),
     "x81_stratified_quota" -> (x81StratifiedQuota _),
     "x49_dsir_weights" -> (x49DsirWeights _),
     "x39_mix" -> (x39Mix _),
@@ -297,6 +308,18 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // epoch-shuffle replay: the salted sha shard hash (pmod ≡ % on the
+    // non-negative 16-bit hash) and the per-shard (hash, id) rank
+    "x83_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${hash16Sql("(CAST(doc_id AS VARCHAR) || '#e3')")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % 8 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS INTEGER) AS pos
+         |FROM h
+         |ORDER BY shard, pos""".stripMargin,
     // largest-remainder replay: integer seat arithmetic (// ≡ div on
     // positive operands), remainder ranking over the tiny strata
     // relation, in-stratum rank on the same sha-derived salted hash

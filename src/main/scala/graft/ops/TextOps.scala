@@ -565,7 +565,16 @@ object TextOps {
       t(s, d, "documents"), "source", "lang")
       .orderBy(col("source"))
 
+  /** X85 — per-source Zipf slope: OLS of ln(freq) on ln(rank) over each
+    * source's term distribution — the power-law provenance screen
+    * (natural text ≈ −1; templated sources flatten). Fixture binding of
+    * [[graft.api.TrainingData.zipfSlope]]. */
+  def x85ZipfSlope(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.zipfSlope(t(s, d, "documents"), "source", "text")
+      .orderBy(col("stratum"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x85_zipf_slope" -> (x85ZipfSlope _),
     "x79_pmi_collocations" -> (x79PmiCollocations _),
     "x80_term_burstiness" -> (x80TermBurstiness _),
     "x76_bm25_topk" -> (x76Bm25TopK _),
@@ -745,6 +754,33 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Zipf replay: per-source (count DESC, term) rank, milli-nat
+    // quantized (ln rank, ln count), HUGEINT OLS sums (the engine's
+    // DECIMAL(38,0)), one double division rounded to 6
+    "x85_zipf_slope" ->
+      s"""WITH cnt AS (
+         |  SELECT source AS stratum, tok, count(*) AS c
+         |  FROM (SELECT source, unnest($toksSql) AS tok FROM documents
+         |        WHERE source IS NOT NULL)
+         |  GROUP BY 1, 2),
+         |xy AS (
+         |  SELECT stratum,
+         |    CAST(round(ln(CAST(row_number() OVER (PARTITION BY stratum
+         |      ORDER BY c DESC, tok) AS DOUBLE)) * 1000) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+         |  FROM cnt),
+         |s AS (
+         |  SELECT stratum, count(*) AS n_terms,
+         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM xy GROUP BY 1)
+         |SELECT stratum, n_terms,
+         |  CASE WHEN n_terms >= 2 THEN
+         |    round(CAST(CAST(n_terms AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+         |      / CAST(CAST(n_terms AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+         |  END AS slope
+         |FROM s ORDER BY stratum""".stripMargin,
     // PMI replay: bigram + unigram type counts, scalar totals, the
     // three-ln micro quantization with each division its own IEEE op,
     // (pmi DESC, w1, w2) total order

@@ -2051,6 +2051,81 @@ class TrainingDataSpec extends SparkSpec {
     assert(!floored.contains("burst") && floored.contains("even"))
   }
 
+  test("epochShuffle: sha model agrees; epochs permute differently; pos tiles") {
+    val docs = (1L to 200L).map(i => Tuple1(i)).toDF("id")
+    val got = TrainingData.epochShuffle(docs, "id", nShards = 4, epoch = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length == 200 && got.map(_._1).toSet.size == 200)
+    // plain-Scala model of the 16-bit sha coordinate
+    def h16(s: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16)
+    }
+    got.foreach { case (id, shard, _) =>
+      assert(shard == h16(s"$id#e3") % 4, s"id $id")
+    }
+    // pos tiles 1..n within each shard, ordered by (hash, id)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $shard")
+      val byPos = rows.sortBy(_._3).map(_._1)
+      val expect = rows.map(_._1).sortBy(id => (h16(s"$id#e3"), id))
+      assert(byPos.toSeq == expect.toSeq, s"shard $shard order")
+    }
+    // a different epoch produces a different layout (and the same epoch
+    // reproduces exactly)
+    val e4 = TrainingData.epochShuffle(docs, "id", nShards = 4, epoch = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(e4.toSet != got.toSet)
+    val again = TrainingData.epochShuffle(docs, "id", nShards = 4, epoch = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("integrityAudit counts keys and rows per status; NULLs are orphans") {
+    val left = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .map(Tuple1(_)).toDF("lk")
+    val right = Seq(Some(2L), Some(3L), Some(3L), Some(4L), None, None)
+      .map(Tuple1(_)).toDF("rk")
+    val got = TrainingData.integrityAudit(left, "lk", right, "rk")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // keys 2,3 match (left rows 3: one 2 twice + one 3; right rows 3);
+    // left_only = {1, NULL} (2 keys, 2 rows); right_only = {4, NULL}
+    // (2 keys, 3 rows — the NULL key holds two rows)
+    assert(got("both") == ((2L, 3L, 3L)))
+    assert(got("left_only") == ((2L, 2L, 0L)))
+    assert(got("right_only") == ((2L, 0L, 3L)), got.toString)
+  }
+
+  test("zipfSlope: perfect power law gives slope ~ -1; exact model; 1-term NULL") {
+    // frequencies 12/6/4/3 = 12/rank — an exact Zipf corpus — against a
+    // flat source (all counts equal → slope 0) and a 1-term source
+    val zipf = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    val flat = "p q r s p q r s"      // every count 2, ranks 1..4
+    val docs = Seq((1L, "z", zipf), (2L, "f", flat), (3L, "one", "solo"))
+      .toDF("id", "src", "body")
+    val got = TrainingData.zipfSlope(docs, "src", "body")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    def q3(v: Double): Long = math.round(math.log(v) * 1e3)
+    def slopeModel(counts: Seq[Long]): Double = {
+      val xy = counts.sorted(Ordering[Long].reverse).zipWithIndex
+        .map { case (c, i) => (q3((i + 1).toDouble), q3(c.toDouble)) }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      BigDecimal((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("z")._1 == 4L && got("z")._2 == slopeModel(Seq(12L, 6L, 4L, 3L)))
+    assert(math.abs(got("z")._2.asInstanceOf[Double] + 1.0) < 0.02, got("z"))
+    assert(got("f")._2 == 0.0)
+    assert(got("one") == ((1L, null)))
+  }
+
   test("mmrDiverseTopK swaps the near-copy for a diverse pick; exact model agrees") {
     // probe along e1; 1 and 2 are near-copies of each other (pair cos
     // ≈ 0.99995), 3 is diverse but less relevant, 4 is irrelevant, 5 is
