@@ -3609,6 +3609,48 @@ object TrainingData {
       .limit(k)
   }
 
+  /** SimHash Hamming-neighbor pairs → (d1, d2, hamming), d1 < d2: every
+    * document pair whose 32-bit SimHash fingerprints differ in at most
+    * `maxHamming` bits — the Manku et al. (WWW'07) web-scale near-dup
+    * detector. Unlike the probabilistic MinHash/SRP candidate paths,
+    * this banding is EXACT: the signature splits into 4 bytes, and by
+    * pigeonhole any pair within Hamming distance 3 agrees on at least
+    * one whole byte — so the byte-value equi-join has full recall and
+    * the popcount verify makes precision 1. Requires maxHamming ≤ 3
+    * (≥ 4 would need a wider signature or more bands for the
+    * guarantee).
+    *
+    * Scale shape: 4 narrow (doc, band-key) rows per document, one
+    * equi-join on the 8-byte band key, verify on 16-byte id pairs —
+    * never an all-pairs scan; signature bits are integer-exact
+    * (portable sha token hash + signed tf sums). */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashHammingPairsFromSignatures(
+      graft.ops.DedupOps.simhashSignatures(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))),
+      maxHamming)
+
+  /** [[simhashHammingPairs]] over a pre-computed (ideally persisted)
+    * `(doc_id, simhash)` signature relation — it is referenced on three
+    * plan branches (banding + both verify attaches). */
+  def simhashHammingPairsFromSignatures(signatures: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the 4x8-bit banding guarantees recall only for maxHamming <= 3, got $maxHamming")
+    val sig = signatures.select(col("doc_id"), col("simhash"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*)))
+      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bandkey"))
+    graft.ops.DedupOps.coocPairs(bands, "bandkey")
+      .join(sig.select(col("doc_id").as("d1"), col("simhash").as("h1")), Seq("d1"))
+      .join(sig.select(col("doc_id").as("d2"), col("simhash").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic per-epoch shard layout → (doc_id, shard, pos): the
     * dataloader contract of a multi-epoch training run — every epoch is
     * a DIFFERENT pseudorandom permutation of the corpus (epoch salt in
@@ -3798,7 +3840,12 @@ object TrainingData {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val base = docs.filter(col(stratCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(stratCol).as("stratum"))
+    // the corpus-wide count aggregation materializes ONCE (eager
+    // localCheckpoint): seats, the leftover-seat scalar, and the
+    // remainder ranking all branch off this categorical-small relation,
+    // and without the checkpoint each branch re-scans the corpus
     val cs = base.groupBy(col("stratum")).agg(count(lit(1)).as("c_s"))
+      .localCheckpoint(true)
     val tot = cs.agg(sum(col("c_s")).as("cc"))
     val seats = cs.crossJoin(broadcast(tot))
       .select(col("stratum"), col("c_s"),

@@ -547,9 +547,14 @@ object DedupOps {
     * Deterministic (integer sums). Near-dup docs differ in few bits.
     * Token bits come from the portable [[sha32]] hash, so the fingerprint
     * values themselves are replayed bit-for-bit by the DuckDB oracle. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val tf = t(s, d, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+  def simhash(s: SparkSession, d: String): DataFrame =
+    persistSimhash(s, d).orderBy(col("doc_id"))
+
+  /** The (doc_id, simhash) signature relation of any (doc_id, text)
+    * corpus — shared by the x26c fixture and the x86 Hamming pair scan
+    * (which references it on three plan branches). */
+  private[graft] def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       // hash hoisted into ONE projected column: referencing
       // sha32(tok) inside all 32 per-bit sums would evaluate the hash
@@ -565,8 +570,26 @@ object DedupOps {
     bitSums.select(col("doc_id"),
       (0 until 32).map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-      .orderBy(col("doc_id"))
   }
+
+  @transient private val simhashCache = PerAppCache.newCache
+  private def persistSimhash(s: SparkSession, d: String): DataFrame =
+    PerAppCache.cachedPerApp(simhashCache, s, d)(
+      simhashSignatures(t(s, d, "documents").select(col("doc_id"), col("text")))
+        .persist())
+
+  /** X86 — simhash Hamming-neighbor pairs at distance ≤ 3: the
+    * Manku/Google near-dup detector as an EXACT banded join — the 32-bit
+    * signature splits into 4 bytes; pigeonhole guarantees any pair
+    * within Hamming 3 shares at least one intact byte, so the band
+    * equi-join has FULL recall (unlike the probabilistic SRP/MinHash
+    * paths) and every candidate verifies by popcount. Rides the SHARED
+    * signature cache. Fixture binding of
+    * [[graft.api.TrainingData.simhashHammingPairsFromSignatures]]. */
+  def x86SimhashPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData
+      .simhashHammingPairsFromSignatures(persistSimhash(s, d), maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
 
   /** X67 — winnowing fingerprint pairs (MOSS local fingerprinting):
     * shared-min-hash-window document pairs with positional evidence —
@@ -625,6 +648,7 @@ object DedupOps {
       .orderBy(col("contained_id"), col("container_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x86_simhash_pairs" -> (x86SimhashPairs _),
     "x78_containment" -> (x78ContainmentPairs _),
     "x72_dup_pagerank" -> (x72DupPagerank _),
     "x67_winnow_pairs" -> (x67WinnowPairs _),
@@ -1251,25 +1275,50 @@ object DedupOps {
         |ORDER BY d1, d2""".stripMargin,
     // SimHash fingerprints bit-for-bit: portable token hash, per-bit
     // signed tf sums, sign → bit
-    "x26c_simhash" -> {
-      val sumCols = (0 until 32).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS s_$b")
-        .mkString(",\n    ")
-      val bitTerms = (0 until 32).map(b =>
-        s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-        .mkString(" +\n ")
-      s"""WITH tf AS (
-         |  SELECT doc_id, tok, count(*) AS tf
-         |  FROM (SELECT doc_id,
-         |          unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
-         |        FROM documents)
-         |  GROUP BY 1, 2),
-         |hh AS (SELECT doc_id, tf, ${hex32Sql("tok")} AS h FROM tf),
-         |s AS (SELECT doc_id,
-         |    $sumCols
-         |  FROM hh GROUP BY doc_id)
-         |SELECT doc_id,
-         | $bitTerms AS simhash
-         |FROM s ORDER BY doc_id""".stripMargin
-    })
+    "x26c_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+    // Hamming pairs over the SAME replayed signature relation: 4-byte
+    // banding (exact by pigeonhole at distance <= 3), popcount verify
+    "x86_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |b AS (
+         |  SELECT doc_id, i AS band, (simhash >> ((i - 1) * 8)) & 255 AS v
+         |  FROM sig CROSS JOIN range(1, 5) AS r(i)),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b2.doc_id AS d2
+         |  FROM b a JOIN b b2 ON a.band = b2.band AND a.v = b2.v
+         |    AND a.doc_id < b2.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+         |FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id
+         |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3
+         |ORDER BY d1, d2""".stripMargin)
+
+  // the simhash signature relation as a reusable CTE chain (`sig`:
+  // doc_id, simhash) — shared by the x26c fingerprint oracle and the
+  // x86 Hamming-pair oracle, mirroring the Spark-side shared cache
+  private lazy val simhashCtes: String = {
+    val sumCols = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS s_$b")
+      .mkString(",\n    ")
+    val bitTerms = (0 until 32).map(b =>
+      s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" +\n ")
+    s"""tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |hh AS (SELECT doc_id, tf, ${hex32Sql("tok")} AS h FROM tf),
+       |s AS (SELECT doc_id,
+       |    $sumCols
+       |  FROM hh GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |   $bitTerms AS simhash
+       |  FROM s)""".stripMargin
+  }
 }

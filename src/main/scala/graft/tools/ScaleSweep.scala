@@ -53,7 +53,9 @@ object ScaleSweep {
     "x62_curation_report",
     // round-11 additions with nontrivial shuffle/iteration shapes
     "x67_winnow_pairs", "x68_contam_spans", "x70_interp_lm",
-    "x72_dup_pagerank", "x73_hard_negatives")
+    "x72_dup_pagerank", "x73_hard_negatives",
+    "x78_containment", "x79_pmi_collocations", "x82_mmr_diverse",
+    "x85_zipf_slope")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

@@ -211,6 +211,40 @@ class PlanSpec extends SparkSpec {
     assert(!bm25.contains("SortMergeJoin"), bm25)
   }
 
+  test("x79/x80 top-k stats queries plan as TakeOrderedAndProject, no cartesian") {
+    Seq("x79_pmi_collocations", "x80_term_burstiness").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("x81/x83 layout queries: bounded exchanges, the windows partition by key") {
+    // x81's strata-count checkpoint turns the seat arithmetic into
+    // materialized ExistingRDD leaves (their Exchanges move ≤ strata
+    // rows); the CORPUS is scanned exactly once, for the rank window
+    val p81 = plan("x81_stratified_quota")
+    assert(treeCount(p81, "Scan parquet") == 1, p81)
+    assert(treeCount(p81, "Window") == 2, p81) // strata remainder + corpus rank
+    assert(!p81.contains("CartesianProduct"), p81)
+    val p83 = plan("x83_epoch_shuffle")
+    assert(treeCount(p83, "Exchange") <= 2, p83)
+    assert(treeCount(p83, "Window") == 1, p83)
+  }
+
+  test("x84 integrity audit joins (key,count)-reduced sides full-outer") {
+    val p = plan("x84_integrity_audit")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x85 zipf: per-stratum vocabulary window, bounded exchanges") {
+    val p = plan("x85_zipf_slope")
+    assert(treeCount(p, "Window") == 1, p)
+    assert(treeCount(p, "Exchange") <= 3, p)
+  }
+
   test("bucketed tables join co-located: zero exchanges in the join plan") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")

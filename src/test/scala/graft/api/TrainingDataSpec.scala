@@ -2051,6 +2051,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(!floored.contains("burst") && floored.contains("even"))
   }
 
+  test("simhashHammingPairs equals the brute-force Hamming scan (exact banding)") {
+    // the banding claims EXACTNESS (pigeonhole recall + popcount-verify
+    // precision), so the check is full equality with the all-pairs scan
+    // over the oracle-checked signature relation — on the fixture corpus
+    // AND a hand corpus with a known duplicate
+    val fixture = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val hand = Seq(
+      (9001L, "the cat sat on the mat and looked around"),
+      (9002L, "the cat sat on the mat and looked around"), // exact dup -> 0
+      (9003L, "the cat sat on the mat and looked away"),   // near dup
+      (9004L, "entirely unrelated content about spark plans")
+    ).toDF("doc_id", "text")
+    val docs = fixture.unionByName(hand)
+    val got = TrainingData.simhashHammingPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = graft.ops.DedupOps.simhashSignatures(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, h1) <- sigs; (i2, h2) <- sigs if i1 < i2
+      hm = java.lang.Long.bitCount(h1 ^ h2) if hm <= 3
+    } yield (i1, i2, hm)).toSet
+    assert(got == brute)
+    assert(got.contains((9001L, 9002L, 0)), "exact dup pair at Hamming 0")
+    // the guarantee stops at 3: wider radii must be rejected, not
+    // silently lossy
+    intercept[IllegalArgumentException] {
+      TrainingData.simhashHammingPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
   test("epochShuffle: sha model agrees; epochs permute differently; pos tiles") {
     val docs = (1L to 200L).map(i => Tuple1(i)).toDF("id")
     val got = TrainingData.epochShuffle(docs, "id", nShards = 4, epoch = 3)
