@@ -650,7 +650,40 @@ object StreamingOps {
       fin
     }.orderBy(col("event_id"))
 
+  /** X87 — stream-static enrichment join: every micro-batch of the
+    * event stream joins the STATIC documents dimension (user_id →
+    * doc_id → source), the lookup-enrich shape of a serving pipeline.
+    * Spark re-plans the static side per micro-batch — it broadcasts
+    * under the threshold exactly like the batch q03 dimension join, and
+    * a dimension update lands at the next batch without restarting the
+    * query; an inner stream-static join needs no watermark (no state —
+    * the static side is the state). Emitted rows equal the batch inner
+    * join, which is the oracle. Same run-to-completion lifecycle as
+    * [[x42StreamJoin]]. */
+  @transient private val enrichGateCache = graft.ops.PerAppCache.newCache
+  def x87StreamStaticEnrich(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(enrichGateCache, s, d) {
+      val view = "x87_enrich_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val dim = graft.Tables.t(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+      val q = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(dim, col("user_id") === col("doc_id"))
+        .select(col("event_id"), col("user_id"), col("source"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(view)
+      val rows = out.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("event_id"), col("user_id"), col("source"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x87_stream_enrich" -> (x87StreamStaticEnrich _),
     "x75_stream_dedup" -> (x75StreamDedupRedelivery _),
     "x24_stateful_funnel" -> (x24StatefulFunnel _),
     "x42_stream_join" -> (x42StreamJoin _),
@@ -663,6 +696,13 @@ object StreamingOps {
     * the completed stream-stream inner interval join equals the batch
     * self-join (inner joins emit eagerly; watermarks only bound state). */
   val oracles: Map[String, String] = Map(
+    // the completed stream-static inner join == the batch inner join
+    // (per-batch joins against an immutable static side compose to
+    // exactly the batch relation; inner joins emit eagerly)
+    "x87_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, d.source
+        |FROM events e JOIN documents d ON e.user_id = d.doc_id
+        |ORDER BY event_id, user_id, source""".stripMargin,
     // doubled-then-deduplicated stream == the original event set, by id
     "x75_stream_dedup" ->
       """SELECT event_id, user_id, event_type

@@ -272,6 +272,20 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("stream-static enrich equals the batch inner join against the dimension") {
+    val got = StreamingOps.x87StreamStaticEnrich(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = batchEvents.select(col("event_id"), col("user_id"))
+      .join(graft.Tables.t(spark, dir, "documents")
+        .select(col("doc_id"), col("source")),
+        col("user_id") === col("doc_id"))
+      .select(col("event_id"), col("user_id"), col("source"))
+      .orderBy(col("event_id"), col("user_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == want.length && got.sameElements(want))
+    assert(got.nonEmpty, "the fixture user ids must hit the dimension")
+  }
+
   test("streaming online funnel converges to the batch event-time funnel") {
     val steps = Seq("view", "click", "purchase")
     val q = StreamingOps.funnelWithState(spark,
