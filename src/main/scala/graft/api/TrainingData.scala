@@ -3393,20 +3393,34 @@ object TrainingData {
   def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
     def terms(df: DataFrame, outId: String) = df
       .select(col(idCol).as(outId), DedupOps.tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) > 0)
-    val ctf = terms(corpus, "doc_id")
-      .select(col("doc_id"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25TopKFromCounts(
+      terms(corpus, "doc_id")
+        .select(col("doc_id"), explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")),
+      terms(queries, "q_id")
+        .select(col("q_id"), explode(col("tk")).as("term")).distinct(),
+      k, k1, b)
+  }
+
+  /** [[bm25TopK]] over a pre-built (ideally persisted) corpus postings
+    * relation `(doc_id, term, tf)` and a distinct query-term relation
+    * `(q_id, term)` — the postings are referenced on THREE plan
+    * branches (doc lengths, df, and the scoring join), so an
+    * unpersisted input re-tokenizes the corpus per branch. Columns
+    * bind by NAME. */
+  def bm25TopKFromCounts(postings: DataFrame, queryTerms: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
+    val ctf = postings.select(col("doc_id"), col("term"), col("tf"))
     val dl = ctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df_ = ctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("nn"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qt = terms(queries, "q_id")
-      .select(col("q_id"), explode(col("tk")).as("term")).distinct()
+    val qt = queryTerms.select(col("q_id"), col("term"))
     // shortest-round-trip literals for the derived constants: both
     // engines parse them back to the identical double
     val k1p1 = java.lang.Double.toString(k1 + 1.0)

@@ -550,10 +550,17 @@ object TextOps {
     * binding of [[graft.api.TrainingData.bm25TopK]] (k1 = 1.2,
     * b = 0.75). */
   def x76Bm25TopK(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    graft.api.TrainingData.bm25TopK(
-      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
-      "doc_id", "text", k = 5)
+    // rides the SHARED cached token-count relation: corpus postings and
+    // query terms are both slices of tfRel, so the corpus tokenizes
+    // zero extra times here (it used to re-tokenize on all three
+    // posting branches — the slowest query in the r11 bench stamp)
+    val tf = tfRel(s, d)
+    graft.api.TrainingData.bm25TopKFromCounts(
+      tf.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("tok").as("term"), col("tf")),
+      tf.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("q_id"), col("tok").as("term")).distinct(),
+      k = 5)
       .orderBy(col("q_id"), col("rank"))
   }
 
