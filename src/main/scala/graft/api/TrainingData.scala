@@ -3623,6 +3623,84 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Rolling ingestion-anomaly z-scores → (series, bucket, n, n_prev,
+    * z): per series (an event type, a source, a pipeline stage), event
+    * counts bucket by `bucketMs` epochs and each bucket scores against
+    * the TRAILING `trail` observed buckets — z = (c − mean)/std — the
+    * ingestion-monitoring primitive that flags a scraper gone hot, a
+    * source gone dark, or a duplicate flood before it poisons a
+    * training snapshot. The frame is the trailing observed buckets
+    * (ROWS, not RANGE — silent calendar gaps collapse; a dead-quiet
+    * series scores its restart against its live history). Buckets with
+    * fewer than `minPrev` predecessors or zero variance emit a NULL z
+    * (not enough history to call anything anomalous).
+    *
+    * Exactness: counts are integers, the frame sums (Σc, Σc²) are
+    * exact window aggregates, and z is computed in ONE arithmetic
+    * sequence from them — (c·n − Σc)/√(n·Σc² − (Σc)²) · √n — where the
+    * two sqrts are IEEE-correctly-rounded, so both engines agree to
+    * the 6-decimal round. Scale shape: one count aggregation, one
+    * per-series ordered window — never a global sort. */
+  def rollingAnomaly(events: DataFrame, seriesCol: String, tsCol: String,
+      bucketMs: Long = 3600000L, trail: Int = 24,
+      minPrev: Int = 8): DataFrame = {
+    require(bucketMs > 0 && trail >= 2 && minPrev >= 2 && minPrev <= trail,
+      s"bad rolling-anomaly params: bucketMs=$bucketMs trail=$trail minPrev=$minPrev")
+    val cnt = events
+      .filter(col(seriesCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(seriesCol).as("series"),
+        expr(s"(unix_millis(CAST(${tsCol} AS TIMESTAMP)) div ${bucketMs}L)")
+          .as("bucket"))
+      .groupBy(col("series"), col("bucket")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("series")).orderBy(col("bucket"))
+      .rowsBetween(-trail, -1)
+    cnt
+      .withColumn("np", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .select(col("series"), col("bucket"), col("n"),
+        coalesce(col("np"), lit(0L)).as("n_prev"),
+        when(col("np") >= minPrev &&
+            col("np") * col("s2") - col("s1") * col("s1") > 0,
+          round((col("n") * col("np") - col("s1")).cast("double")
+            / sqrt((col("np") * col("s2") - col("s1") * col("s1"))
+              .cast("double"))
+            * sqrt(col("np").cast("double")), 6))
+          .as("z"))
+  }
+
+  /** Event-type transition matrix → (from_type, to_type, n, p_micro):
+    * per-user consecutive event-type pairs counted corpus-wide, with
+    * the row-conditional transition probability in exact integer
+    * micro-units (n·10⁶ div row total) — the first-order Markov
+    * estimate behind session modeling, bot detection (impossible
+    * transitions), and funnel design. Ordering within a user is
+    * (event time, event id) — fully deterministic under any
+    * partitioning. NULL users/types/timestamps carry no transition.
+    *
+    * Scale shape: one per-user ordered window for the lag, one
+    * (from, to) count aggregation, one slim row-total join — no
+    * per-event state past the window. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("eid"))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), col(typeCol).as("ty"),
+        col(tsCol).as("t"), col(idCol).as("eid"))
+      .withColumn("prev", lag(col("ty"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("ty").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
+    pairs.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000L) div row_n").as("p_micro"))
+  }
+
   /** SimHash Hamming-neighbor pairs → (d1, d2, hamming), d1 < d2: every
     * document pair whose 32-bit SimHash fingerprints differ in at most
     * `maxHamming` bits — the Manku et al. (WWW'07) web-scale near-dup

@@ -292,7 +292,26 @@ object Windows {
       "item_id", "event_type")
       .orderBy(col("item"))
 
+  /** X88 — per-event-type rolling ingestion anomaly: hourly counts
+    * scored against the trailing 24 observed hours. Fixture binding of
+    * [[graft.api.TrainingData.rollingAnomaly]]. */
+  def x88EventAnomaly(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.rollingAnomaly(
+      t(s, d, "events"), "event_type", "ts")
+      .orderBy(col("series"), col("bucket"))
+
+  /** X89 — event-type transition matrix (first-order Markov estimate):
+    * per-user consecutive pairs with exact integer-micro conditional
+    * probabilities. Fixture binding of
+    * [[graft.api.TrainingData.transitionMatrix]]. */
+  def x89EventTransitions(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.transitionMatrix(
+      t(s, d, "events"), "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x88_event_anomaly" -> (x88EventAnomaly _),
+    "x89_event_transitions" -> (x89EventTransitions _),
     "x74_label_votes" -> (x74MajorityVote _),
     "x54_turn_masks" -> (x54TurnMasks _),
     "x56_preference_pairs" -> (x56PreferencePairs _),
@@ -310,6 +329,51 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // rolling anomaly: hourly (series, bucket) counts, trailing-24 ROWS
+    // frame sums, z in one arithmetic sequence from the integer sums;
+    // < 8 predecessors or zero variance -> NULL
+    "x88_event_anomaly" ->
+      """WITH cnt AS (
+        |  SELECT event_type AS series,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 AS bucket,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT series, bucket, n,
+        |    count(*) OVER w AS np,
+        |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+        |  FROM cnt
+        |  WINDOW w AS (PARTITION BY series ORDER BY bucket
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT series, bucket, n, coalesce(np, 0) AS n_prev,
+        |  CASE WHEN np >= 8 AND np * s2 - s1 * s1 > 0 THEN
+        |    round(CAST(n * np - s1 AS DOUBLE)
+        |      / sqrt(CAST(np * s2 - s1 * s1 AS DOUBLE))
+        |      * sqrt(CAST(np AS DOUBLE)), 6)
+        |  END AS z
+        |FROM fr ORDER BY series, bucket""".stripMargin,
+    // transition matrix: per-user lag over (ts, event_id), (from, to)
+    // counts, integer-micro conditional probability by div
+    "x89_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS ty,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |pairs AS (
+        |  SELECT prev AS from_type, ty AS to_type, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n
+        |  FROM pairs GROUP BY 1)
+        |SELECT from_type, to_type, n, (n * 1000000) // row_n AS p_micro
+        |FROM pairs JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     // majority vote: (item, label) counts, winner by row_number over
     // (count DESC, label) — the q20-established regexp spelling for the
     // props key; NULL props/labels carry no vote in either engine

@@ -2051,6 +2051,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(!floored.contains("burst") && floored.contains("even"))
   }
 
+  test("rollingAnomaly scores a spike against trailing history; thin/flat history is NULL") {
+    // series "a": buckets 0..9 carry 4 events each, bucket 10 carries 12
+    // — flat history has zero variance → NULL z even with history;
+    // series "b": counts 1..11 → real variance, model-checked z
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, java.sql.Timestamp)]
+    def at(b: Long, i: Long) = new java.sql.Timestamp(b * 3600000L + i)
+    for (b <- 0L to 9L; i <- 0L until 4L) rows += (("a", at(b, i)))
+    for (i <- 0L until 12L) rows += (("a", at(10L, i)))
+    for (b <- 0L to 10L; i <- 0L to b) rows += (("b", at(b, i)))
+    val ev = rows.toSeq.toDF("event_type", "ts")
+    val got = TrainingData.rollingAnomaly(ev, "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), if (r.isNullAt(4)) null else r.getDouble(4))))
+      .toMap
+    // a@10: 10 predecessors all 4 → variance 0 → NULL
+    assert(got(("a", 10L)) == ((12L, 10L, null)))
+    // a@5: only 5 predecessors < minPrev 8 → NULL
+    assert(got(("a", 5L))._3 == null && got(("a", 5L))._2 == 5L)
+    // b@10: predecessors counts 3..10 (buckets 2..9 = 8 rows... model it
+    val hist = (1L to 10L)  // counts of buckets 0..9
+    val np = 10L; val s1 = hist.sum; val s2 = hist.map(x => x * x).sum
+    val zModel = BigDecimal((11L * np - s1).toDouble
+        / math.sqrt((np * s2 - s1 * s1).toDouble) * math.sqrt(np.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("b", 10L)) == ((11L, 10L, zModel)))
+  }
+
+  test("transitionMatrix counts per-user consecutive pairs with exact micro probs") {
+    val ev = Seq(
+      (1L, "view", 1000L, 1L), (1L, "click", 2000L, 2L),
+      (1L, "view", 3000L, 3L), (1L, "click", 4000L, 4L),
+      (2L, "view", 1000L, 5L), (2L, "buy", 2000L, 6L),
+      // NULL user/type rows carry no transition
+      (3L, null, 1000L, 7L), (3L, "view", 2000L, 8L)
+    ).toDF("u", "ty", "tms", "eid")
+      .withColumn("t", org.apache.spark.sql.functions.timestamp_millis(col("tms")))
+    val got = TrainingData.transitionMatrix(ev, "u", "ty", "t", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from view: click 2×, buy 1× → 666666 and 333333 micro (div floor)
+    assert(got(("view", "click")) == ((2L, 666666L)))
+    assert(got(("view", "buy")) == ((1L, 333333L)))
+    assert(got(("click", "view")) == ((1L, 1000000L)))
+    assert(!got.keySet.exists(_._1 == null) && got.size == 3)
+  }
+
   test("simhashHammingPairs equals the brute-force Hamming scan (exact banding)") {
     // the banding claims EXACTNESS (pigeonhole recall + popcount-verify
     // precision), so the check is full equality with the all-pairs scan
