@@ -3623,6 +3623,62 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Per-stratum Kolmogorov–Smirnov drift → (stratum, n_s, d_stat):
+    * the EXACT sup-norm distance between each stratum's empirical CDF
+    * of a numeric column and the corpus-wide CDF — the binless
+    * complement of x63's KL (token space, binned by vocabulary) and
+    * x77's χ² (categorical): "does this source's document-length /
+    * quality-score / token-count DISTRIBUTION match the corpus?",
+    * sensitive to shape shifts a mean/variance screen misses.
+    *
+    * Exactness: the sup over all reals is attained at the corpus's
+    * distinct values, so the statistic is max over the value grid of
+    * |cum_s·N − cum_g·n_s| — pure integer cross-multiplication — with
+    * ONE double division at the end: engine-identical. Scale shape:
+    * two count aggregations, the (stratum × distinct-value) grid built
+    * from a BROADCAST value relation (numeric columns of a curation
+    * pipeline — lengths, scores, counts — have bounded distinct
+    * grids), two cumulative windows partitioned by stratum/constant
+    * over that grid, one max aggregation. The corpus itself is
+    * scanned once. */
+  def ksDrift(docs: DataFrame, stratCol: String, valueCol: String): DataFrame = {
+    val base = docs
+      .filter(col(stratCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratCol).as("stratum"), col(valueCol).as("v"))
+    val cs = base.groupBy(col("stratum"), col("v")).agg(count(lit(1)).as("c"))
+    val cg = cs.groupBy(col("v")).agg(sum(col("c")).as("cgv"))
+    val ns = cs.groupBy(col("stratum")).agg(sum(col("c")).as("n_s"))
+    val nn = cg.agg(sum(col("cgv")).as("nn"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // cross-multiplied differences reach N² — DECIMAL(38,0) (the x63
+    // discipline; HUGEINT on the oracle side), Long wraps past ~3e9 docs
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // the full (stratum × value) grid: a value a stratum never takes
+    // still hosts a CDF jump of the OTHER distribution, where the sup
+    // can land
+    ns.crossJoin(broadcast(cg))
+      .join(cs, Seq("stratum", "v"), "left")
+      .select(col("stratum"), col("v"), col("n_s"), col("cgv"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum(col("c")).over(wS))
+      .withColumn("cum_g", sum(col("cgv")).over(wG))
+      .crossJoin(broadcast(nn))
+      .groupBy(col("stratum"))
+      .agg(first(col("n_s")).as("n_s"),
+        max(abs(col("cum_s").cast(dec) * col("nn")
+          - col("cum_g").cast(dec) * col("n_s"))).as("dnum"),
+        first(col("nn")).as("nn2"))
+      .select(col("stratum"), col("n_s"),
+        round(col("dnum").cast("double")
+          / (col("n_s").cast(dec) * col("nn2")).cast("double"), 6)
+          .as("d_stat"))
+  }
+
   /** Rolling ingestion-anomaly z-scores → (series, bucket, n, n_prev,
     * z): per series (an event type, a source, a pipeline stage), event
     * counts bucket by `bucketMs` epochs and each bucket scores against

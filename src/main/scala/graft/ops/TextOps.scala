@@ -580,7 +580,16 @@ object TextOps {
     graft.api.TrainingData.zipfSlope(t(s, d, "documents"), "source", "text")
       .orderBy(col("stratum"))
 
+  /** X90 — per-source KS drift on document length: the exact sup-norm
+    * CDF distance vs the corpus, the binless distribution screen next
+    * to x77's χ² and x63's KL. Fixture binding of
+    * [[graft.api.TrainingData.ksDrift]]. */
+  def x90KsDrift(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.ksDrift(t(s, d, "documents"), "source", "n_chars")
+      .orderBy(col("stratum"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x90_ks_drift" -> (x90KsDrift _),
     "x85_zipf_slope" -> (x85ZipfSlope _),
     "x79_pmi_collocations" -> (x79PmiCollocations _),
     "x80_term_burstiness" -> (x80TermBurstiness _),
@@ -761,6 +770,38 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // KS replay: (stratum, value) counts, the full stratum × value
+    // grid, cumulative sums, integer cross-multiplied sup (HUGEINT —
+    // the engine's DECIMAL(38,0)), one double division
+    "x90_ks_drift" ->
+      """WITH cs AS (
+        |  SELECT source AS stratum, n_chars AS v, count(*) AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cg AS (SELECT v, CAST(sum(c) AS BIGINT) AS cgv FROM cs GROUP BY 1),
+        |ns AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cgv) AS BIGINT) AS nn FROM cg),
+        |grid AS (
+        |  SELECT ns.stratum, cg.v, ns.n_s, cg.cgv,
+        |    coalesce(cs.c, 0) AS c
+        |  FROM ns CROSS JOIN cg
+        |  LEFT JOIN cs ON cs.stratum = ns.stratum AND cs.v = cg.v),
+        |cum AS (
+        |  SELECT stratum, n_s, cgv,
+        |    CAST(sum(c) OVER w AS BIGINT) AS cum_s,
+        |    CAST(sum(cgv) OVER w AS BIGINT) AS cum_g
+        |  FROM grid
+        |  WINDOW w AS (PARTITION BY stratum ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT stratum, any_value(n_s) AS n_s,
+        |  round(CAST(max(abs(CAST(cum_s AS HUGEINT) * nn.nn
+        |      - CAST(cum_g AS HUGEINT) * n_s)) AS DOUBLE)
+        |    / CAST(CAST(any_value(n_s) AS HUGEINT) * any_value(nn.nn) AS DOUBLE), 6)
+        |    AS d_stat
+        |FROM cum CROSS JOIN nn
+        |GROUP BY stratum
+        |ORDER BY stratum""".stripMargin,
     // Zipf replay: per-source (count DESC, term) rank, milli-nat
     // quantized (ln rank, ln count), HUGEINT OLS sums (the engine's
     // DECIMAL(38,0)), one double division rounded to 6

@@ -2051,6 +2051,42 @@ class TrainingDataSpec extends SparkSpec {
     assert(!floored.contains("burst") && floored.contains("even"))
   }
 
+  test("ksDrift: exact sup-norm vs a Scala model; identical stratum scores ~0") {
+    // strata: a = {1,1,2}, b = {2,3,3,3}, c mirrors the pooled corpus
+    // shape exactly twice — its CDF still differs from the global
+    // (which includes a and b), but a stratum equal to the corpus
+    // minus itself scores small; the exact values come from the model
+    val docs = (
+      Seq.fill(2)(("a", 1L)) ++ Seq(("a", 2L)) ++
+      Seq(("b", 2L)) ++ Seq.fill(3)(("b", 3L)) ++
+      Seq(("c", 1L), ("c", 2L), ("c", 3L))
+    ).zipWithIndex.map { case ((s, v), i) => (i.toLong, s, v) }
+      .toDF("id", "src", "len")
+    val got = TrainingData.ksDrift(docs, "src", "len")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // exact integer model over the merged value grid
+    val all = Seq("a" -> 1L, "a" -> 1L, "a" -> 2L, "b" -> 2L, "b" -> 3L,
+      "b" -> 3L, "b" -> 3L, "c" -> 1L, "c" -> 2L, "c" -> 3L)
+    val values = all.map(_._2).distinct.sorted
+    val nG = all.size.toLong
+    def model(s: String): (Long, Double) = {
+      val sv = all.filter(_._1 == s).map(_._2)
+      val nS = sv.size.toLong
+      val d = values.map { v =>
+        val cumS = sv.count(_ <= v).toLong
+        val cumG = all.count(_._2 <= v).toLong
+        math.abs(cumS * nG - cumG * nS)
+      }.max
+      (nS, BigDecimal(d.toDouble / (nS * nG).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    Seq("a", "b", "c").foreach(s => assert(got(s) == model(s), s"stratum $s"))
+    // the uniform stratum c hugs the corpus much closer than the
+    // skewed a/b tails
+    assert(got("c")._2 < got("a")._2 && got("c")._2 < got("b")._2)
+  }
+
   test("rollingAnomaly scores a spike against trailing history; thin/flat history is NULL") {
     // series "a": buckets 0..9 carry 4 events each, bucket 10 carries 12
     // — flat history has zero variance → NULL z even with history;
