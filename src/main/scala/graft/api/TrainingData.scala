@@ -3623,6 +3623,62 @@ object TrainingData {
       .limit(k)
   }
 
+  /** Windowed skip-gram co-occurrence PMI → (w1, w2, n_cooc,
+    * pmi_micro): unordered token pairs within a ±`window` token
+    * distance, scored by PMI against the unigram margins — the
+    * word2vec/GloVe count-matrix primitive, and the topical-association
+    * detector where [[pmiCollocations]] (adjacent bigrams only) finds
+    * PHRASES: "doctor…patient" associate at distance 4 without ever
+    * being a bigram. Pairs order lexicographically (w1 < w2; a token
+    * co-occurring with itself keeps w1 = w2), so each unordered
+    * co-occurrence counts once.
+    *
+    * Scale shape: pair generation is ROW-LOCAL array algebra (nested
+    * transform over each token array — no positional self-join, no
+    * shuffle until the pair count); the aggregation keys are pair
+    * types, margins ride the same token relation; top-k is
+    * orderBy+limit. PMI quantizes per pair TYPE to integer micro-nats
+    * (each division its own IEEE op — the x79 recipe with the pair
+    * total as the joint mass). */
+  def skipgramPmi(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(window >= 1 && minCount >= 1 && k >= 1,
+      s"bad skip-gram params: window=$window minCount=$minCount k=$k")
+    val base = docs
+      .select(col(idCol).as("doc_id"), graft.ops.DedupOps.tokens(col(textCol)).as("tk"))
+    // per doc: all (i, j) with i < j <= i + window, emitted as the
+    // lexicographically ordered "w1 w2" pair — row-local
+    val pairExpr = flatten(transform(
+      sequence(lit(1), greatest(size(col("tk")) - 1, lit(0))),
+      i => transform(
+        sequence(i + 1, least(i + lit(window), size(col("tk")))),
+        j => {
+          val a = element_at(col("tk"), i.cast("int"))
+          val b = element_at(col("tk"), j.cast("int"))
+          concat(least(a, b), lit(" "), greatest(a, b))
+        })))
+    val pc = base.filter(size(col("tk")) >= 2)
+      .select(explode(pairExpr).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_cooc"))
+    val uni = base.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = pc.agg(sum(col("n_cooc")).as("pp"))
+      .crossJoin(uni.agg(sum(col("cw")).as("tt")))
+    pc.filter(col("n_cooc") >= minCount)
+      .select(substring_index(col("pair"), " ", 1).as("w1"),
+        substring_index(col("pair"), " ", -1).as("w2"), col("n_cooc"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_cooc"),
+        round((log(col("n_cooc").cast("double") / col("pp"))
+          - log(col("c1").cast("double") / col("tt"))
+          - log(col("c2").cast("double") / col("tt"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-stratum Kolmogorov–Smirnov drift → (stratum, n_s, d_stat):
     * the EXACT sup-norm distance between each stratum's empirical CDF
     * of a numeric column and the corpus-wide CDF — the binless

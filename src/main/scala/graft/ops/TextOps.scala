@@ -588,7 +588,16 @@ object TextOps {
     graft.api.TrainingData.ksDrift(t(s, d, "documents"), "source", "n_chars")
       .orderBy(col("stratum"))
 
+  /** X91 — windowed skip-gram PMI (±4 tokens, min count 5, top 50): the
+    * topical-association detector where x79's adjacent-bigram PMI finds
+    * phrases. Fixture binding of
+    * [[graft.api.TrainingData.skipgramPmi]]. */
+  def x91SkipgramPmi(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.skipgramPmi(t(s, d, "documents"), "doc_id", "text",
+      window = 4, minCount = 5L, k = 50)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x91_skipgram_pmi" -> (x91SkipgramPmi _),
     "x90_ks_drift" -> (x90KsDrift _),
     "x85_zipf_slope" -> (x85ZipfSlope _),
     "x79_pmi_collocations" -> (x79PmiCollocations _),
@@ -770,6 +779,37 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // skip-gram replay: row-local nested-lambda pair generation
+    // (lexicographic order inside the lambda), pair/unigram type
+    // counts, the x79 three-ln micro quantization with the pair total
+    // as joint mass
+    "x91_skipgram_pmi" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |p AS (
+         |  SELECT pair, count(*) AS n_cooc FROM (
+         |    SELECT unnest(flatten(list_transform(range(1, len(tk)),
+         |      i -> list_transform(range(i + 1, least(i + 4, len(tk)) + 1),
+         |        j -> CASE WHEN tk[i] <= tk[j] THEN tk[i] || ' ' || tk[j]
+         |                  ELSE tk[j] || ' ' || tk[i] END)))) AS pair
+         |    FROM toks WHERE len(tk) >= 2)
+         |  GROUP BY 1),
+         |uni AS (
+         |  SELECT tok AS w, count(*) AS cw
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT CAST(sum(n_cooc) AS BIGINT) FROM p) AS pp,
+         |         (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS tt)
+         |SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+         |  n_cooc,
+         |  CAST(round((ln(CAST(n_cooc AS DOUBLE) / pp)
+         |    - ln(CAST(c1 AS DOUBLE) / tt)
+         |    - ln(CAST(c2 AS DOUBLE) / tt)) * 1000000) AS BIGINT) AS pmi_micro
+         |FROM p
+         |JOIN (SELECT w, cw AS c1 FROM uni) u1 ON split_part(pair, ' ', 1) = u1.w
+         |JOIN (SELECT w, cw AS c2 FROM uni) u2 ON split_part(pair, ' ', 2) = u2.w
+         |CROSS JOIN tot
+         |WHERE n_cooc >= 5
+         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
     // KS replay: (stratum, value) counts, the full stratum × value
     // grid, cumulative sums, integer cross-multiplied sup (HUGEINT —
     // the engine's DECIMAL(38,0)), one double division

@@ -2051,6 +2051,41 @@ class TrainingDataSpec extends SparkSpec {
     assert(!floored.contains("burst") && floored.contains("even"))
   }
 
+  test("skipgramPmi catches a distance association adjacent PMI can't see") {
+    // "doctor" and "patient" always co-occur at distance 3 — never
+    // adjacent — so pmiCollocations can't rank them but skipgramPmi must
+    val docs = Seq(
+      (1L, "the doctor saw the patient today ok fine"),
+      (2L, "a doctor met this patient in town again"),
+      (3L, "one doctor and the patient talked more here"),
+      (4L, "filler words without the pair at all here")
+    ).toDF("id", "body")
+    val sg = TrainingData.skipgramPmi(docs, "id", "body",
+        window = 4, minCount = 2L, k = 200)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sg.contains(("doctor", "patient")) && sg(("doctor", "patient"))._1 == 3L)
+    val adj = TrainingData.pmiCollocations(docs, "id", "body",
+        minCount = 2L, k = 200)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!adj.contains(("doctor", "patient")) && !adj.contains(("patient", "doctor")))
+    // exact model for the one pair: unordered within-4 pairs vs margins
+    val texts = docs.collect().map(_.getString(1))
+    val allToks = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+    val pairs = texts.flatMap { t =>
+      val tk = t.split(" ").filter(_.nonEmpty)
+      for { i <- tk.indices; j <- (i + 1) to math.min(i + 4, tk.length - 1) }
+        yield if (tk(i) <= tk(j)) (tk(i), tk(j)) else (tk(j), tk(i))
+    }
+    val n = pairs.count(_ == (("doctor", "patient"))).toDouble
+    val exp = math.round((math.log(n / pairs.length)
+      - math.log(allToks.count(_ == "doctor").toDouble / allToks.length)
+      - math.log(allToks.count(_ == "patient").toDouble / allToks.length)) * 1e6)
+    assert(sg(("doctor", "patient"))._2 == exp)
+    // a token can pair with itself ("the ... the") and stays ordered
+    assert(sg.keySet.forall { case (a, b) => a <= b })
+  }
+
   test("ksDrift: exact sup-norm vs a Scala model; identical stratum scores ~0") {
     // strata: a = {1,1,2}, b = {2,3,3,3}, c mirrors the pooled corpus
     // shape exactly twice — its CDF still differs from the global
