@@ -3701,7 +3701,12 @@ object TrainingData {
     val base = docs
       .filter(col(stratCol).isNotNull && col(valueCol).isNotNull)
       .select(col(stratCol).as("stratum"), col(valueCol).as("v"))
+    // the (stratum, value) count relation materializes ONCE (eager
+    // localCheckpoint, the x81 discipline): the grid, the global
+    // margins, and the stratum sizes all branch off it, and without
+    // the checkpoint each branch re-scans the corpus
     val cs = base.groupBy(col("stratum"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val cg = cs.groupBy(col("v")).agg(sum(col("c")).as("cgv"))
     val ns = cs.groupBy(col("stratum")).agg(sum(col("c")).as("n_s"))
     val nn = cg.agg(sum(col("cgv")).as("nn"))
@@ -3798,6 +3803,11 @@ object TrainingData {
       tsCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("t"), col("eid"))
+    // the (from, to) count matrix materializes ONCE (eager
+    // localCheckpoint, the x81 discipline): it is type-alphabet-small,
+    // and both the emit branch and the row-total branch reference it —
+    // unpersisted, each branch re-runs the per-user lag window over
+    // the full event relation
     val pairs = events
       .filter(col(userCol).isNotNull && col(typeCol).isNotNull &&
         col(tsCol).isNotNull)
@@ -3807,6 +3817,7 @@ object TrainingData {
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("from_type"), col("ty").as("to_type"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val tot = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("row_n"))
     pairs.join(tot, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n"),

@@ -55,7 +55,8 @@ object ScaleSweep {
     "x67_winnow_pairs", "x68_contam_spans", "x70_interp_lm",
     "x72_dup_pagerank", "x73_hard_negatives",
     "x78_containment", "x79_pmi_collocations", "x82_mmr_diverse",
-    "x85_zipf_slope")
+    "x85_zipf_slope", "x86_simhash_pairs", "x90_ks_drift",
+    "x91_skipgram_pmi", "x76_bm25_topk")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

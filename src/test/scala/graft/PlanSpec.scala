@@ -245,6 +245,34 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Exchange") <= 3, p)
   }
 
+  test("x88/x89 event windows partition by series/user; no cartesian") {
+    // the three frame aggregates may split across two Window nodes over
+    // the SAME series partitioning — what matters is no extra exchange
+    val p88 = plan("x88_event_anomaly")
+    assert(treeCount(p88, "Window") <= 2, p88)
+    assert(treeCount(p88, "Exchange") <= 3, p88)
+    assert(!p88.contains("CartesianProduct"), p88)
+    // x89's pair matrix checkpoints (the lag window runs ONCE at
+    // materialization): the final plan is a slim join of leaves
+    val p89 = plan("x89_event_transitions")
+    assert(treeCount(p89, "Scan parquet") == 0, p89)
+    assert(!p89.contains("CartesianProduct") &&
+      !p89.contains("BroadcastNestedLoopJoin"), p89)
+  }
+
+  test("x90/x91 drift/skip-gram: one corpus scan path, top-k stays TakeOrdered") {
+    // x90's (stratum, value) counts checkpoint once — the grid, margins,
+    // and sizes derive from the materialized leaf, so the final plan
+    // carries ZERO parquet scans and the cumulative window over the grid
+    val p90 = plan("x90_ks_drift")
+    assert(treeCount(p90, "Scan parquet") == 0, p90)
+    assert(treeCount(p90, "Window") >= 1, p90)
+    assert(!p90.contains("CartesianProduct"), p90)
+    val p91 = plan("x91_skipgram_pmi")
+    assert(p91.contains("TakeOrderedAndProject"), p91)
+    assert(!p91.contains("CartesianProduct"), p91)
+  }
+
   test("bucketed tables join co-located: zero exchanges in the join plan") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
