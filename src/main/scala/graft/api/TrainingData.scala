@@ -4086,4 +4086,191 @@ object TrainingData {
       .filter(col("rk") <= col("alloc"))
       .select(col("doc_id"), col("stratum"), col("rk"))
   }
+
+  /** Prefix-filtered EXACT Jaccard self-join (the AllPairs/PPJoin
+    * candidate cut) → (d1, d2, n_inter, n_union, jaccard), d1 < d2,
+    * J ≥ tNum/tDen: the same pair relation [[nearDupPairsFromShingles]]
+    * verifies by joining EVERY co-occurring shingle, produced from a
+    * candidate set bounded by each document's RAREST shingles. Under
+    * any one global total order of the shingle universe, two sets of
+    * sizes m₁, m₂ with |A∩B| ≥ ⌈τ·max(m₁,m₂)⌉ (implied by J ≥ τ) must
+    * collide inside their first m − ⌈τ·m⌉ + 1 elements — so the
+    * candidate join runs over those prefixes only, ordered rarest
+    * first (ascending document frequency) to minimize fan-out; the
+    * full postings join then verifies EXACT Jaccard per candidate, so
+    * the prefix order affects cost, never results. A length filter
+    * (tDen·min ≥ tNum·max, implied by J ≥ τ) prunes at the candidate
+    * join itself.
+    *
+    * Exactness: the threshold is the rational tNum/tDen and every
+    * comparison is integer cross-multiplication — prefix length
+    * m − ⌈tNum·m/tDen⌉ + 1 in integer ceil-division, the final test
+    * (tDen+tNum)·inter ≥ tNum·(m₁+m₂) — with one 6-decimal rounded
+    * double division for the reported jaccard.
+    *
+    * Scale shape: the shingle relation materializes once (eager
+    * localCheckpoint — document frequencies, per-doc sizes, the
+    * prefix build, and both verification branches all read it); one
+    * per-doc window ranks shingles by global rarity; the candidate
+    * self-join runs over prefixes (on a real corpus a small fraction
+    * of postings — rare-shingle collisions only); the verification
+    * join is candidates × contained-doc postings, bounded by true
+    * near-dup density, never the corpus². */
+  def jaccardPrefixPairsFromShingles(shingles: DataFrame, tNum: Long,
+      tDen: Long): DataFrame = {
+    require(tNum >= 1 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    val sh = shingles.select(col("doc_id"), col("shh")).localCheckpoint(true)
+    val dfreq = sh.groupBy(col("shh")).agg(count(lit(1)).as("dfq"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("dfq"), col("shh"))
+    val pref = sh.join(dfreq, Seq("shh"))
+      .withColumn("pos", row_number().over(wDoc))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("m") - expr(s"(${tNum}L * m + ${tDen - 1}L) div ${tDen}L") + 1)
+      .select(col("doc_id"), col("shh"), col("m"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(tDen) * least(col("a.m"), col("b.m")) >=
+            lit(tNum) * greatest(col("a.m"), col("b.m")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("d1"), col("shh")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shh")), Seq("d2", "shh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("m").as("m1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("m").as("m2")), Seq("d2"))
+      .filter(lit(tDen + tNum) * col("n_inter") >=
+        lit(tNum) * (col("m1") + col("m2")))
+      .select(col("d1"), col("d2"), col("n_inter"),
+        (col("m1") + col("m2") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double")
+          / (col("m1") + col("m2") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  /** [[jaccardPrefixPairsFromShingles]] over raw documents. */
+  def jaccardPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
+      tNum: Long, tDen: Long): DataFrame =
+    jaccardPrefixPairsFromShingles(shingles(docs, idCol, textCol), tNum, tDen)
+
+  /** Blocked fuzzy dictionary resolution → (variant, canonical, dist,
+    * n_variant, n_canonical): the entity-resolution primitive — the
+    * relation's DISTINCT name strings matched against each other at
+    * Levenshtein ≤ maxDist within last-token blocks, each surviving
+    * pair oriented by row support (the better-attested spelling is the
+    * canonical; ties break to the lexicographically smaller name, so
+    * the orientation is deterministic). Resolving the DICTIONARY, not
+    * the rows, is what makes this scale: a corpus with millions of
+    * rows over thousands of spellings pays one count aggregation and
+    * then a self-join quadratic only in per-block DISTINCT names —
+    * never in rows. Blocking is exact-match on the last
+    * whitespace-token (the head noun of a name phrase): pairs in
+    * different blocks are out of scope by definition, the standard
+    * blocking contract.
+    *
+    * Exactness: Levenshtein is the classic unit-cost edit distance
+    * (both engines implement the same DP), support counts are
+    * integers, and the orientation comparison is pure integer/string
+    * ordering. */
+  def fuzzyResolvePairs(rel: DataFrame, nameCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // the dictionary materializes once (support counts, blocks, and
+    // both self-join sides read it); it is distinct-name-sized, so the
+    // checkpoint is tiny
+    val dict = rel.filter(col(nameCol).isNotNull)
+      .groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("support"))
+      .localCheckpoint(true)
+    val b = dict.select(col("name"), col("support"),
+      substring_index(col("name"), " ", -1).as("blk"))
+    val aWins = col("a.support") > col("b.support") ||
+      (col("a.support") === col("b.support") && col("a.name") < col("b.name"))
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .filter(levenshtein(col("a.name"), col("b.name")) <= maxDist)
+      .select(
+        when(aWins, col("b.name")).otherwise(col("a.name")).as("variant"),
+        when(aWins, col("a.name")).otherwise(col("b.name")).as("canonical"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"),
+        when(aWins, col("b.support")).otherwise(col("a.support")).as("n_variant"),
+        when(aWins, col("a.support")).otherwise(col("b.support")).as("n_canonical"))
+  }
+
+  /** SCD2 state intervals (gaps-and-islands) → (key, state,
+    * valid_from, valid_to, n_events): per key, consecutive runs of the
+    * SAME state value collapse into one validity interval
+    * [valid_from, valid_to), valid_to NULL on the current (open)
+    * interval — the slowly-changing-dimension type-2 build that turns
+    * an append-only event log into a "state history + current state"
+    * dimension (account tier changes, document license flips, pipeline
+    * stage ownership). A run closes only when the state CHANGES:
+    * repeated same-state events extend the open interval and are
+    * counted into n_events, not split.
+    *
+    * Ordering within a key is (event time millis, tiebreak column) —
+    * fully deterministic under any partitioning; rows with a NULL key,
+    * state, or timestamp carry no state evidence and are excluded.
+    * Scale shape: one keyed ordered window for the change flag + run
+    * id (ROWS frame — the x54 tied-order discipline), one (key, run)
+    * aggregation, one slim per-key window over the interval relation
+    * (intervals-per-key rows, not events) for valid_to. Never a global
+    * sort. */
+  def stateIntervals(events: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val base = events
+      .filter(col(keyCol).isNotNull && col(stateCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(stateCol).as("state"),
+        expr(s"unix_millis(CAST($tsCol AS TIMESTAMP))").as("t"),
+        col(tieCol).as("tie"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("tie"))
+    val wRows = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val iv = base
+      .withColumn("chg",
+        when(lag(col("state"), 1).over(w).isNull ||
+          lag(col("state"), 1).over(w) =!= col("state"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(wRows))
+      .groupBy(col("k"), col("run"))
+      .agg(min(col("state")).as("state"), min(col("t")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wIv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("run"))
+    iv.withColumn("valid_to", lead(col("valid_from"), 1).over(wIv))
+      .select(col("k"), col("state"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+
+  /** Per-source n-gram saturation → (source, n, n_total, n_distinct,
+    * ttr_micro) for n = 1..maxN: type-token ratios over token n-grams
+    * WITH multiplicity — the diversity/memorization audit ("is this
+    * source template spam?"). A boilerplate mill shows ttr collapsing
+    * as n grows (the same 3-grams repeat); organic text holds it up.
+    * ttr_micro = n_distinct·10⁶ div n_total — exact integer division.
+    * Scale shape: row-local n-gram generation, one (source, n, gram)
+    * count aggregation (map-side partial — duplicate grams collapse
+    * before the shuffle), one (source, n) rollup of counts. */
+  def ngramSaturation(docs: DataFrame, srcCol: String, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    val base = docs.filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("source"), DedupOps.tokens(col(textCol)).as("tk"))
+    val grams = (1 to maxN).map { n =>
+      base.filter(size(col("tk")) >= n)
+        .select(col("source"), lit(n).as("n"),
+          explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => array_join(slice(col("tk"), i, lit(n)), " "))).as("gram"))
+    }.reduce(_ unionAll _)
+    grams
+      .groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
+        expr("(n_distinct * 1000000) div n_total").as("ttr_micro"))
+  }
 }

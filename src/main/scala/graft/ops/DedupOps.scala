@@ -647,7 +647,29 @@ object DedupOps {
       .containmentPairsFromShingles(persistShingles(s, d), 0.8)
       .orderBy(col("contained_id"), col("container_id"))
 
+  /** X92 — prefix-filtered exact Jaccard join at τ = 7/10: the
+    * AllPairs candidate cut (rarest-shingle prefixes under one global
+    * order, integer length filter) feeding an exact verification join
+    * — same answer an all-co-occurrences scan produces, from a
+    * candidate set bounded by rare-shingle collisions. Rides the
+    * SHARED shingle cache. Fixture binding of
+    * [[graft.api.TrainingData.jaccardPrefixPairsFromShingles]]. */
+  def x92JaccardPrefix(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData
+      .jaccardPrefixPairsFromShingles(persistShingles(s, d), 7L, 10L)
+      .orderBy(col("d1"), col("d2"))
+
+  /** X93 — blocked fuzzy dictionary resolution over part names:
+    * DISTINCT spellings matched at Levenshtein ≤ 2 within last-token
+    * blocks, oriented variant → canonical by row support. Fixture
+    * binding of [[graft.api.TrainingData.fuzzyResolvePairs]]. */
+  def x93FuzzyResolve(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.fuzzyResolvePairs(t(s, d, "part"), "p_name", 2)
+      .orderBy(col("variant"), col("canonical"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x93_fuzzy_resolve" -> (x93FuzzyResolve _),
+    "x92_jaccard_prefix" -> (x92JaccardPrefix _),
     "x86_simhash_pairs" -> (x86SimhashPairs _),
     "x78_containment" -> (x78ContainmentPairs _),
     "x72_dup_pagerank" -> (x72DupPagerank _),
@@ -761,6 +783,51 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // fuzzy-resolve replay: DISTINCT-name dictionary with support
+    // counts, last-token blocks, the same levenshtein DP, orientation
+    // by (support DESC, name ASC)
+    "x93_fuzzy_resolve" ->
+      """WITH dict AS (
+        |  SELECT p_name AS name, count(*) AS support
+        |  FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+        |b AS (SELECT name, support, split_part(name, ' ', -1) AS blk
+        |  FROM dict),
+        |p AS (
+        |  SELECT a.name AS an, a.support AS asup, b.name AS bn,
+        |    b.support AS bsup, levenshtein(a.name, b.name) AS dist,
+        |    (a.support > b.support OR
+        |     (a.support = b.support AND a.name < b.name)) AS awins
+        |  FROM b a JOIN b b ON a.blk = b.blk AND a.name < b.name)
+        |SELECT CASE WHEN awins THEN bn ELSE an END AS variant,
+        |  CASE WHEN awins THEN an ELSE bn END AS canonical, dist,
+        |  CASE WHEN awins THEN bsup ELSE asup END AS n_variant,
+        |  CASE WHEN awins THEN asup ELSE bsup END AS n_canonical
+        |FROM p WHERE dist <= 2
+        |ORDER BY variant, canonical""".stripMargin,
+    // prefix-join replay: the prefix filter affects COST, never
+    // results, so the oracle is the brute-force co-occurrence scan
+    // with the same integer rational threshold (17·inter ≥ 7·(m1+m2)
+    // ⟺ J ≥ 7/10) and the same 6-decimal round
+    "x92_jaccard_prefix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter AS n_inter,
+        |  n1.ns + n2.ns - inter AS n_union,
+        |  round(CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter), 6) AS jaccard
+        |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |WHERE 17 * inter >= 7 * (n1.ns + n2.ns)
+        |ORDER BY d1, d2""".stripMargin,
     // containment replay: the x26 shingle/count/co-occurrence prefix,
     // then BOTH orientations of each unordered pair with its own
     // denominator, thresholded on the same 6-decimal round

@@ -596,7 +596,17 @@ object TextOps {
     graft.api.TrainingData.skipgramPmi(t(s, d, "documents"), "doc_id", "text",
       window = 4, minCount = 5L, k = 50)
 
+  /** X95 — per-source n-gram saturation (n = 1..3): type-token ratios
+    * over n-grams with multiplicity, the template-spam/diversity
+    * audit. Fixture binding of
+    * [[graft.api.TrainingData.ngramSaturation]]. */
+  def x95NgramSaturation(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.ngramSaturation(
+      t(s, d, "documents"), "source", "text", maxN = 3)
+      .orderBy(col("source"), col("n"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x95_ngram_saturation" -> (x95NgramSaturation _),
     "x91_skipgram_pmi" -> (x91SkipgramPmi _),
     "x90_ks_drift" -> (x90KsDrift _),
     "x85_zipf_slope" -> (x85ZipfSlope _),
@@ -779,6 +789,28 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // saturation replay: per-n gram generation with multiplicity,
+    // (source, n, gram) type counts, integer-div micro ratio
+    "x95_ngram_saturation" ->
+      s"""WITH toks AS (
+         |  SELECT source, $toksSql AS tk FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL),
+         |g AS (
+         |  SELECT source, 1 AS n, unnest(tk) AS gram
+         |  FROM toks WHERE len(tk) >= 1
+         |  UNION ALL
+         |  SELECT source, 2, unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1]))
+         |  FROM toks WHERE len(tk) >= 2
+         |  UNION ALL
+         |  SELECT source, 3, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |  FROM toks WHERE len(tk) >= 3),
+         |c AS (SELECT source, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3)
+         |SELECT source, n, CAST(sum(c) AS BIGINT) AS n_total,
+         |  count(*) AS n_distinct,
+         |  (count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS ttr_micro
+         |FROM c GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
     // skip-gram replay: row-local nested-lambda pair generation
     // (lexicographic order inside the lambda), pair/unigram type
     // counts, the x79 three-ln micro quantization with the pair total

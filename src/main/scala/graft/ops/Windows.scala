@@ -309,7 +309,20 @@ object Windows {
       t(s, d, "events"), "user_id", "event_type", "ts", "event_id")
       .orderBy(col("from_type"), col("to_type"))
 
+  /** X94 — SCD2 state intervals over the event log: per-user runs of
+    * the same event type collapse into [valid_from, valid_to) validity
+    * intervals, NULL valid_to on the open one — the gaps-and-islands
+    * dimension build. Fixture binding of
+    * [[graft.api.TrainingData.stateIntervals]]. */
+  def x94StateIntervals(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.stateIntervals(
+      t(s, d, "events"), "user_id", "event_type", "ts", "event_id")
+      .withColumnRenamed("k", "user_id")
+      .withColumnRenamed("state", "event_type")
+      .orderBy(col("user_id"), col("valid_from"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x94_state_intervals" -> (x94StateIntervals _),
     "x88_event_anomaly" -> (x88EventAnomaly _),
     "x89_event_transitions" -> (x89EventTransitions _),
     "x74_label_votes" -> (x74MajorityVote _),
@@ -329,6 +342,34 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // SCD2 replay: per-user lag over (t, event_id), change flag, ROWS
+    // running sum -> run id, (user, run) interval aggregation, lead of
+    // valid_from over the per-user interval relation
+    "x94_state_intervals" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS t, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS prev
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |r AS (
+        |  SELECT user_id, event_type, t,
+        |    sum(CASE WHEN prev IS NULL OR prev <> event_type
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM seq),
+        |iv AS (
+        |  SELECT user_id, min(event_type) AS event_type, run,
+        |    min(t) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS valid_to,
+        |  n_events
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
     // rolling anomaly: hourly (series, bucket) counts, trailing-24 ROWS
     // frame sums, z in one arithmetic sequence from the integer sums;
     // < 8 predecessors or zero variance -> NULL

@@ -2340,4 +2340,96 @@ class TrainingDataSpec extends SparkSpec {
     val full = TrainingData.stratifiedQuota(docs, "id", "src", budget = 100L)
     assert(full.count() == 100L)
   }
+
+  test("jaccardPrefixPairs equals the brute-force co-occurrence scan") {
+    // the prefix filter must affect cost only: same (d1, d2, inter) set
+    // as the all-co-occurrences verifier at the same rational threshold
+    val pruned = TrainingData.jaccardPrefixPairs(corpus, "id", "body", 3L, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = TrainingData.nearDupPairs(corpus, "id", "body", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned == brute)
+    assert(pruned.map(p => (p._1, p._2)) ==
+      Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
+  test("jaccardPrefixPairs: exact-threshold and length-filter boundaries") {
+    // hand-built element sets so J lands EXACTLY on the rational bound:
+    //  1 = {1..7}, 2 = {1..10}: inter 7, union 10 -> J = 7/10 (keep, and
+    //      the length filter sits at equality: 10*7 = 7*10)
+    //  4 = {21..27}, 5 = {21..26, 28}: inter 6, union 8 -> 0.75 (keep)
+    //  8 = {1..10, 50} vs 1: J = 7/11 — cut by the length filter itself
+    //      (vs 2 it IS a true pair, J = 10/11: supersets still surface)
+    //  6 = {31..36, 1}, 7 = {41..46, 1}: share ONLY the corpus's most
+    //      frequent element, J = 1/13 (prefixes hold the rarest, so the
+    //      pair never even becomes a candidate)
+    val sh = (
+      (1L to 7L).map((1L, _)) ++ (1L to 10L).map((2L, _)) ++
+      (21L to 27L).map((4L, _)) ++ ((21L to 26L) :+ 28L).map((5L, _)) ++
+      ((1L to 10L) :+ 50L).map((8L, _)) ++
+      ((31L to 36L) :+ 1L).map((6L, _)) ++ ((41L to 46L) :+ 1L).map((7L, _))
+    ).toDF("doc_id", "shh")
+    val got = TrainingData.jaccardPrefixPairsFromShingles(sh, 7L, 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == Set((1L, 2L, 7L, 10L, 0.7), (2L, 8L, 10L, 11L, 0.909091),
+      (4L, 5L, 6L, 8L, 0.75)))
+  }
+
+  test("fuzzyResolvePairs: support orientation, blocks, distance cutoff") {
+    // rows replicate names so support counting is exercised; "blue
+    // gadget" sits in another block and must pair with nothing
+    val rows = Seq.fill(5)("blue widget") ++ Seq.fill(2)("bleu widget") ++
+      Seq("blu widget") ++ Seq.fill(9)("blue gadget") ++
+      Seq.fill(3)("red bolt") ++ Seq("redd bolt") ++ Seq(null)
+    val rel = rows.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("id", "name")
+    val got = TrainingData.fuzzyResolvePairs(rel, "name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("blu widget", "blue widget", 1, 1L, 5L),   // 1 insertion
+      ("bleu widget", "blue widget", 2, 2L, 5L),  // u<->e is 2 substitutions
+      ("blu widget", "bleu widget", 1, 1L, 2L),   // lower support = variant
+      ("redd bolt", "red bolt", 1, 1L, 3L)))
+    assert(!got.exists(p => p._1.endsWith("gadget") || p._2.endsWith("gadget")))
+  }
+
+  test("stateIntervals: runs collapse, open interval NULL, ties by tiebreak") {
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ev = Seq(
+      (1L, 1L, "A", ts(1000L)), (2L, 1L, "A", ts(2000L)), // same-state run
+      (3L, 1L, "B", ts(3000L)),
+      (5L, 1L, "A", ts(4000L)), (4L, 1L, "A", ts(4000L)), // tied ts: id order
+      (6L, 2L, "A", ts(5000L)),
+      (7L, 2L, null, ts(6000L))                           // NULL state: no evidence
+    ).toDF("event_id", "user_id", "state", "ts")
+    val got = TrainingData.stateIntervals(ev, "user_id", "state", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      (1L, "A", 1000L, 3000L, 2L),
+      (1L, "B", 3000L, 4000L, 1L),
+      (1L, "A", 4000L, -1L, 2L),   // ids 4 and 5 extend one open run
+      (2L, "A", 5000L, -1L, 1L)))
+  }
+
+  test("ngramSaturation: exact type/token counts per n; short docs skip high n") {
+    val docs = Seq(
+      ("a", "x x x x"),       // 4 tokens, 1 type at every n
+      ("b", "p q r"),         // all-distinct at every n
+      ("b", "p q"),           // contributes to n=1,2 only
+      ("c", null)             // no text: excluded
+    ).toDF("src", "body")
+    val got = TrainingData.ngramSaturation(docs, "src", "body", maxN = 3)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", 1)) == ((4L, 1L, 250000L)))
+    assert(got(("a", 2)) == ((3L, 1L, 333333L)))
+    assert(got(("a", 3)) == ((2L, 1L, 500000L)))
+    assert(got(("b", 1)) == ((5L, 3L, 600000L)))  // p q r p q: 3 types / 5
+    assert(got(("b", 2)) == ((3L, 2L, 666666L))) // "p q" twice, "q r" once
+    assert(!got.contains(("c", 1)))
+  }
 }
