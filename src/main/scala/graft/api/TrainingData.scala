@@ -1254,6 +1254,36 @@ object TrainingData {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  /** Brute-force Euclidean top-k → (q_id, c_id, dist2, rank): nearest
+    * corpus rows by SQUARED L2 distance (monotone in L2 — the root is
+    * never needed for ranking), the magnitude-sensitive complement of
+    * [[cosineTopK]] (cosine ignores vector length; L2 does not — for
+    * unnormalized embeddings the two genuinely disagree, which is what
+    * makes fusing them via [[reciprocalRankFusion]] informative).
+    * dist² expands to dot(q,q) − 2·dot(q,c) + dot(c,c): three native
+    * fused dot products with identical left-to-right fold order in both
+    * engines, rounded once to 6 decimals so ranking ties are
+    * engine-identical; ties break by id. Same self-exclusion-by-id and
+    * broadcast-query fan-out contract as [[cosineTopK]]. */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot_product
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist2"), col("c_id"))
+    VectorOps.fanOut(c).crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("dist2", round(
+        dot_product(col("q_emb"), col("q_emb"))
+          - lit(2d) * dot_product(col("q_emb"), col("c_emb"))
+          + dot_product(col("c_emb"), col("c_emb")), 6))
+      .filter(col("dist2").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("dist2"), col("rank"))
+  }
+
   /** Symmetric int8 quantization → (id, scale_r, q1..q4, n_sat, mse);
     * `dims` is the embedding length. NOTE: all-zero vectors have no scale
     * and are DROPPED from the output — anti-join against the input ids to
@@ -4273,4 +4303,221 @@ object TrainingData {
       .select(col("source"), col("n"), col("n_total"), col("n_distinct"),
         expr("(n_distinct * 1000000) div n_total").as("ttr_micro"))
   }
+
+  /** Sliding-window passage chunking → (doc_id, chunk_id, start_pos,
+    * n_tokens, chunk): each document's token stream cut into windows of
+    * `size` tokens advancing by `size − overlap` — the retrieval/RAG
+    * passage layout (consecutive full chunks share exactly `overlap`
+    * tokens, so a fact straddling a boundary appears whole in at least
+    * one chunk) and the long-document training slicer X32's cross-doc
+    * bin packing does not cover (packing concatenates MANY docs into
+    * budget bins; chunking windows WITHIN one doc with overlap).
+    *
+    * Contract: chunk starts are 1, 1+stride, … for every start ≤ the
+    * token count, so every token lands in ≥ 1 chunk (full coverage);
+    * the final chunk may be shorter than `size`. chunk_id is dense from
+    * 1 in start order — (doc_id, chunk_id) is a stable passage address
+    * under any partitioning (content-addressed inputs, arithmetic ids).
+    * NULL/empty texts emit no chunks.
+    *
+    * Scale shape: entirely ROW-LOCAL — one `sequence` + `explode` per
+    * doc, per-chunk columns by `slice`; no shuffle, no window, scan
+    * speed at any corpus size. Chunk fan-out is len/stride per doc,
+    * bounded by the doc's own length. */
+  def passageChunks(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap (size $size)")
+    val stride = size - overlap
+    docs.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        DedupOps.tokens(col(textCol)).as("tk"))
+      .filter(size_(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), size_(col("tk")), lit(stride)))
+          .as("start_pos"))
+      .select(col("doc_id"),
+        expr(s"((start_pos - 1) div $stride) + 1").cast("int").as("chunk_id"),
+        col("start_pos"),
+        least(lit(size), size_(col("tk")) - col("start_pos") + 1)
+          .cast("int").as("n_tokens"),
+        array_join(slice(col("tk"), col("start_pos"), lit(size)), " ")
+          .as("chunk"))
+  }
+
+  // `size` is shadowed by chunking parameters above; alias the column fn
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** Reciprocal-rank fusion over candidate rankings → (q_id, c_id,
+    * rrf_micro, rank): the standard score-free combiner for multi-system
+    * retrieval (lexical + dense, exact + quantized) — each ranking
+    * contributes 1/(kConst + rank) for the candidates it ranked, summed
+    * per (query, candidate), and the fused top `topK` win. Score-free
+    * matters: BM25 weights and cosine sims live on incomparable scales,
+    * but ranks always fuse.
+    *
+    * Each input ranking must carry (q_id, c_id, rank); candidates
+    * missing from one ranking simply contribute fewer terms (the
+    * candidate-pool RRF convention). Contributions are quantized to
+    * exact integer micros — 10⁶ div (kConst + rank) — so the fused sum
+    * and its ordering are engine-identical; ties break by c_id.
+    *
+    * Scale shape: rankings are already per-query-bounded relations
+    * (top-N pools); fusion is one union + one (q, c) hash aggregation +
+    * one per-query window over ≤ Σ pool sizes rows. Nothing touches the
+    * corpus again. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], kConst: Long = 60L,
+      topK: Int = 5): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 1 && topK >= 1,
+      s"need kConst/topK >= 1, got $kConst/$topK")
+    val contribs = rankings.map {
+      _.select(col("q_id"), col("c_id"),
+        expr(s"1000000L div (${kConst}L + rank)").as("contrib"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("c_id"))
+    contribs
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Train→eval near-dup leakage audit → (doc_id, split, n_train_dups,
+    * min_train_dup): every VAL/TEST document with at least one near-dup
+    * in TRAIN — the eval-hygiene scan run before any benchmark number
+    * ships (a test doc near-duplicating a training doc measures
+    * memorization, not generalization; the standard remedy is dropping
+    * exactly the rows this relation lists). The complement of X33's
+    * probe-containment decontam: X33 catches eval text PASTED INSIDE
+    * training docs, this catches whole-document near-duplication across
+    * an already-assigned split.
+    *
+    * `pairs` is any symmetric near-dup pair relation (d1, d2) — ride
+    * the SHARED cached x26 pairs so "a duplicate" means the same thing
+    * here as in the dedup/cluster/matrix queries. `splits` carries
+    * (id, split); `trainSplit` names the training partition. Pairs are
+    * exploded into both orientations BEFORE the split filter, so
+    * leakage is caught regardless of which side got the smaller id.
+    *
+    * Scale shape: two id equi-joins against the (bounded) pair
+    * relation + one per-eval-doc aggregation — never re-reads text.
+    * Split assignment is a pure row function (content-addressed
+    * bucket), so the splits side is a projection, not a stored table. */
+  def splitLeakage(pairs: DataFrame, splits: DataFrame, idCol: String,
+      splitCol: String, trainSplit: String = "train"): DataFrame = {
+    val s = splits.select(col(idCol).as("__id"), col(splitCol).as("__split"))
+    val both = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionAll(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    both
+      .join(s.select(col("__id").as("src"), col("__split").as("split")),
+        Seq("src"))
+      .join(s.select(col("__id").as("dst"),
+        col("__split").as("dst_split")), Seq("dst"))
+      .filter(col("split") =!= lit(trainSplit) &&
+        col("dst_split") === lit(trainSplit))
+      .groupBy(col("src").as("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_train_dups"), min(col("dst")).as("min_train_dup"))
+  }
+
+  /** Fleiss' kappa (variable-rater generalization) → one summary row
+    * (n_items, n_ratings, n_labels, po_micro, pe_micro, kappa_micro):
+    * chance-corrected inter-annotator agreement over a (item, rater,
+    * label) ratings relation — the go/no-go statistic on an annotation
+    * batch before its labels train anything (κ ≈ 0: the raters are
+    * noise; the X74 majority vote would consolidate that noise with
+    * full confidence). Items need ≥ 2 raters to carry agreement
+    * evidence; duplicate (item, rater) rows must be resolved by the
+    * caller (one rating per rater per item — the fixture binding keeps
+    * the latest by event time).
+    *
+    * Exactness discipline: observed agreement is pairwise per item —
+    * Σ_c n_ic(n_ic−1) / (n_i(n_i−1)) — quantized ONCE per item to
+    * integer micros (the per-TYPE x28j recipe: one integer division
+    * each, then exact sums), and chance agreement Σ_c p_c² uses
+    * per-label micro shares; κ = (P_o − P_e)·10⁶ div (10⁶ − P_e) in
+    * pure integer arithmetic. Every engine replays the identical
+    * divisions, so the statistic hash-matches.
+    *
+    * Scale shape: ONE shuffle to (item, label) counts, a per-item
+    * rollup (window-free), one tiny per-label aggregation (bounded by
+    * the label alphabet), broadcast scalar totals. No per-rating state
+    * survives the first aggregation. */
+  def fleissKappa(ratings: DataFrame, itemCol: String, raterCol: String,
+      labelCol: String): DataFrame = {
+    val base = ratings
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(itemCol).as("item"), col(labelCol).as("label"))
+    val cellCounts = base.groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("n_il"))
+    val perItem = cellCounts.groupBy(col("item"))
+      .agg(sum(col("n_il")).as("n_i"),
+        sum(col("n_il") * (col("n_il") - 1)).as("agree_pairs"))
+      .filter(col("n_i") >= 2)
+      .select(col("item"), col("n_i"),
+        expr("(agree_pairs * 1000000L) div (n_i * (n_i - 1))")
+          .as("a_micro"))
+    val items = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("n_i")).as("n_ratings"), sum(col("a_micro")).as("a_sum"))
+    // label shares use only ratings on the ≥2-rater items (the items
+    // that contribute to P_o — P_e must marginalize the same population)
+    val kept = cellCounts.join(perItem.select(col("item")), Seq("item"))
+    val labelTotals = kept.groupBy(col("label"))
+      .agg(sum(col("n_il")).as("c_l"))
+    val pe = labelTotals.crossJoin(
+        broadcast(kept.agg(sum(col("n_il")).as("tot"))))
+      .select(expr("(c_l * 1000000L) div tot").as("p_micro"))
+      .agg(count(lit(1)).as("n_labels"),
+        // Σ p_c² with p_c in micros: the product is micro² — divide one
+        // factor of 10⁶ back out AFTER the exact sum
+        expr("sum(p_micro * p_micro) div 1000000L").as("pe_micro"))
+    items.crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_ratings"), col("n_labels"),
+        expr("a_sum div n_items").as("po_micro"), col("pe_micro"))
+      .select(col("n_items"), col("n_ratings"), col("n_labels"),
+        col("po_micro"), col("pe_micro"),
+        // sign-explicit so truncation is toward zero in BOTH engines
+        // (Spark `div` truncates; DuckDB `//` floors — identical only
+        // on nonnegative operands, so divide |P_o − P_e| and re-sign);
+        // a single-label corpus has P_e = 1 and κ is UNDEFINED (the
+        // correction denominator is zero) → NULL, never a div-by-zero
+        when(col("pe_micro") >= 1000000L, lit(null).cast("long"))
+          .otherwise(
+            when(col("po_micro") >= col("pe_micro"), lit(1L)).otherwise(lit(-1L))
+              * expr("(abs(po_micro - pe_micro) * 1000000L) div (1000000L - pe_micro)"))
+          .as("kappa_micro"))
+  }
+
+  /** Per-source simple Good–Turing mass estimate → (source, n_tokens,
+    * n_types, n_r1, n_r2, unseen_micro): the count-of-counts read a
+    * coverage decision consults — N₁/N (Good–Turing) estimates the
+    * probability mass of token types NOT YET SEEN from this source, the
+    * "how much more vocabulary is out there" dial next to X61's
+    * coverage curve (what the seen vocabulary covers) and X95's
+    * saturation (how fast types repeat). A saturated/templated source
+    * shows unseen mass near 0; an open-vocabulary source holds it up.
+    *
+    * unseen_micro = N₁·10⁶ div N — exact integer division off exact
+    * integer counts; n_r1/n_r2 (singleton/doubleton type counts) ship
+    * so a consumer can apply deeper Simple Good–Turing smoothing.
+    * Scale shape: one (source, token) count aggregation (map-side
+    * partial) + one per-source rollup with conditional sums. */
+  def goodTuringMass(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("source"),
+        explode(DedupOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_r1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_r2"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_r1"), col("n_r2"),
+        expr("(n_r1 * 1000000L) div n_tokens").as("unseen_micro"))
 }

@@ -667,7 +667,23 @@ object DedupOps {
     graft.api.TrainingData.fuzzyResolvePairs(t(s, d, "part"), "p_name", 2)
       .orderBy(col("variant"), col("canonical"))
 
+  /** X98 — train→eval near-dup leakage audit: every val/test document
+    * (deterministic 80/10/10 split, the x31 assignment) with at least
+    * one near-dup in TRAIN under the SHARED x26 pair relation — the
+    * eval-hygiene scan run before any benchmark number ships, and the
+    * whole-document complement of x33's probe-containment decontam.
+    * Fixture binding of [[graft.api.TrainingData.splitLeakage]]. */
+  def x98SplitLeakage(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.splitLeakage(
+      persistPairs(s, d),
+      graft.api.TrainingData.deterministicSplit(
+        t(s, d, "documents").select(col("doc_id")), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10))),
+      "doc_id", "split")
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x98_split_leakage" -> (x98SplitLeakage _),
     "x93_fuzzy_resolve" -> (x93FuzzyResolve _),
     "x92_jaccard_prefix" -> (x92JaccardPrefix _),
     "x86_simhash_pairs" -> (x86SimhashPairs _),
@@ -783,6 +799,26 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // leakage replay: the shared x26 pair CTE, both orientations, the
+    // x31 sha-bucket split assignment, eval-side aggregation
+    "x98_split_leakage" ->
+      s"""WITH $pairsOracleCtes,
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      (${graft.ops.SamplingOps.hash16Sql("doc_id")} % 100) AS bk
+         |    FROM documents WHERE doc_id IS NOT NULL)),
+         |bi AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION ALL SELECT d2, d1 FROM pairs)
+         |SELECT src AS doc_id, a.split, count(*) AS n_train_dups,
+         |  min(dst) AS min_train_dup
+         |FROM bi
+         |JOIN sp a ON a.doc_id = src JOIN sp b ON b.doc_id = dst
+         |WHERE a.split <> 'train' AND b.split = 'train'
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
     // fuzzy-resolve replay: DISTINCT-name dictionary with support
     // counts, last-token blocks, the same levenshtein DP, orientation
     // by (support DESC, name ASC)

@@ -262,7 +262,19 @@ object SamplingOps {
       t(s, d, "documents"), "doc_id", nShards = 8, epoch = 3)
       .orderBy(col("shard"), col("pos"))
 
+  /** X96 — sliding-window passage chunking over documents: 16-token
+    * windows advancing by 12 (overlap 4), dense chunk ids — the RAG /
+    * long-document passage layout (X32's bin packing concatenates MANY
+    * docs into budget bins; this windows WITHIN one doc with overlap so
+    * boundary-straddling facts appear whole in some chunk). Fixture
+    * binding of [[graft.api.TrainingData.passageChunks]]. */
+  def x96PassageChunks(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.passageChunks(
+      t(s, d, "documents"), "doc_id", "text", size = 16, overlap = 4)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x96_passage_chunks" -> (x96PassageChunks _),
     "x83_epoch_shuffle" -> (x83EpochShuffle _),
     "x81_stratified_quota" -> (x81StratifiedQuota _),
     "x49_dsir_weights" -> (x49DsirWeights _),
@@ -308,6 +320,23 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // passage-chunk replay: the same tokenizer, start grid
+    // range(1, len+1, stride), integer-div chunk id, inclusive-end
+    // list slice — fully row-local in both engines
+    "x96_passage_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |s AS (
+        |  SELECT doc_id, tk,
+        |    CAST(unnest(range(1, len(tk) + 1, 12)) AS INTEGER) AS start_pos
+        |  FROM toks WHERE len(tk) >= 1)
+        |SELECT doc_id,
+        |  CAST((start_pos - 1) // 12 + 1 AS INTEGER) AS chunk_id, start_pos,
+        |  CAST(least(16, len(tk) - start_pos + 1) AS INTEGER) AS n_tokens,
+        |  array_to_string(tk[start_pos : start_pos + 15], ' ') AS chunk
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     // epoch-shuffle replay: the salted sha shard hash (pmod ≡ % on the
     // non-negative 16-bit hash) and the per-shard (hash, id) rank
     "x83_epoch_shuffle" ->

@@ -605,7 +605,19 @@ object TextOps {
       t(s, d, "documents"), "source", "text", maxN = 3)
       .orderBy(col("source"), col("n"))
 
+  /** X100 — per-source simple Good–Turing unseen-mass estimate: N₁/N
+    * in exact integer micros plus the count-of-counts inputs — "how
+    * much vocabulary have we NOT seen from this source yet", the
+    * forward-looking companion of x61's coverage curve and x95's
+    * saturation. Fixture binding of
+    * [[graft.api.TrainingData.goodTuringMass]]. */
+  def x100GoodTuring(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.goodTuringMass(
+      t(s, d, "documents"), "source", "text")
+      .orderBy(col("source"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x100_good_turing" -> (x100GoodTuring _),
     "x95_ngram_saturation" -> (x95NgramSaturation _),
     "x91_skipgram_pmi" -> (x91SkipgramPmi _),
     "x90_ks_drift" -> (x90KsDrift _),
@@ -789,6 +801,21 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Good-Turing replay: (source, token) type counts, conditional
+    // count-of-counts sums, one integer micro division
+    "x100_good_turing" ->
+      s"""WITH toks AS (
+         |  SELECT source, $toksSql AS tk FROM documents
+         |  WHERE source IS NOT NULL AND text IS NOT NULL),
+         |tok AS (SELECT source, unnest(tk) AS tok FROM toks),
+         |c AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+         |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // sum(c) AS BIGINT) AS unseen_micro
+         |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
     // saturation replay: per-n gram generation with multiplicity,
     // (source, n, gram) type counts, integer-div micro ratio
     "x95_ngram_saturation" ->

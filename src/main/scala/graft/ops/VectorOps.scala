@@ -58,6 +58,23 @@ object VectorOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** X97 — reciprocal-rank fusion of two retrieval rankings for the x27
+    * query set (vec_id < 20): exact-cosine top-50 and squared-L2 top-50
+    * fuse by Σ 10⁶ div (60 + rank), fused top-5 kept. Cosine ignores
+    * vector magnitude, L2 does not — on unnormalized embeddings the two
+    * rankings genuinely disagree, so this is a real multi-system
+    * combine, not a self-fusion. Fixture binding of
+    * [[graft.api.TrainingData.reciprocalRankFusion]]. */
+  def x97RrfFusion(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    graft.api.TrainingData.reciprocalRankFusion(Seq(
+      graft.api.TrainingData.cosineTopK(e, q, "vec_id", "embedding", 50),
+      graft.api.TrainingData.l2TopK(e, q, "vec_id", "embedding", 50)),
+      kConst = 60L, topK = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** X82 — MMR diverse top-8 for probe vector 1 (λ = 70%, pool 50):
     * greedy maximal-marginal-relevance selection — relevant AND mutually
     * diverse, where x27's plain top-k returns near-copies of the best
@@ -1019,6 +1036,7 @@ object VectorOps {
     "x27_cosine_topk" -> (x27TopK _),
     "x73_hard_negatives" -> (x73HardNegatives _),
     "x82_mmr_diverse" -> (x82MmrDiverse _),
+    "x97_rrf_fusion" -> (x97RrfFusion _),
     "x27b_ann_lsh" -> (x27bAnnLsh _),
     "x27c_ann_ivf" -> (x27cAnnIvf _),
     "x27d_ann_packed" -> (x27dAnnPacked _),
@@ -1569,6 +1587,41 @@ object VectorOps {
          |$unions
          |ORDER BY rank""".stripMargin
     },
+    // RRF replay: one sims CTE carries BOTH metrics (cosine for ranking
+    // A, expanded squared-L2 for ranking B — the identical three-dot
+    // IEEE sequence), candidate pools at rank <= 50, integer-micro
+    // contributions 10^6 // (60 + rank), fused top-5
+    "x97_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+         |sims AS (
+         |  SELECT q_id, c_id,
+         |   round(${dotSql("q_emb", "c_emb")} /
+         |     (sqrt(${dotSql("q_emb", "q_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})), 6) AS sim,
+         |   round(${dotSql("q_emb", "q_emb")} - 2 * ${dotSql("q_emb", "c_emb")}
+         |     + ${dotSql("c_emb", "c_emb")}, 6) AS dist2
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |ra AS (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM sims WHERE sim IS NOT NULL),
+         |rb AS (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY dist2, c_id) AS rank
+         |  FROM sims WHERE dist2 IS NOT NULL),
+         |u AS (
+         |  SELECT q_id, c_id, 1000000 // (60 + rank) AS contrib
+         |  FROM ra WHERE rank <= 50
+         |  UNION ALL
+         |  SELECT q_id, c_id, 1000000 // (60 + rank) AS contrib
+         |  FROM rb WHERE rank <= 50),
+         |f AS (SELECT q_id, c_id, CAST(sum(contrib) AS BIGINT) AS rrf_micro
+         |  FROM u GROUP BY 1, 2),
+         |r AS (SELECT q_id, c_id, rrf_micro,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_micro DESC, c_id) AS INTEGER) AS rank FROM f)
+         |SELECT q_id, c_id, rrf_micro, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "x27_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),

@@ -321,7 +321,30 @@ object Windows {
       .withColumnRenamed("state", "event_type")
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** X99 — Fleiss' kappa over the events-as-annotations reading (the
+    * x74 mapping: props.k = item, user_id = rater, event_type = label),
+    * one rating per (item, rater) — the latest by (ts, event_id).
+    * κ near 0 says the raters are noise and x74's majority labels would
+    * consolidate that noise with full confidence. Fixture binding of
+    * [[graft.api.TrainingData.fleissKappa]]. */
+  def x99FleissKappa(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_id"), col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ratings = t(s, d, "events")
+      .select(
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .filter(col("item_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    graft.api.TrainingData
+      .fleissKappa(ratings, "item_id", "user_id", "event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x99_fleiss_kappa" -> (x99FleissKappa _),
     "x94_state_intervals" -> (x94StateIntervals _),
     "x88_event_anomaly" -> (x88EventAnomaly _),
     "x89_event_transitions" -> (x89EventTransitions _),
@@ -342,6 +365,51 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // kappa replay: latest rating per (item, rater), (item, label) cell
+    // counts, per-item pairwise agreement quantized once to micros,
+    // per-label micro shares over the SAME >= 2-rater population, the
+    // sign-explicit integer kappa division (// ≡ div on nonnegatives)
+    "x99_fleiss_kappa" ->
+      """WITH r0 AS (
+        |  SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |      AS item, user_id, event_type,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |        AS BIGINT), user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE props IS NOT NULL
+        |    AND regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |r AS (SELECT item, event_type AS label FROM r0 WHERE rn = 1),
+        |cell AS (SELECT item, label, count(*) AS n_il FROM r GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(n_il) AS BIGINT) AS n_i,
+        |    CAST(sum(n_il * (n_il - 1)) AS BIGINT) AS agree
+        |  FROM cell GROUP BY 1),
+        |pi2 AS (SELECT item, n_i,
+        |    (agree * 1000000) // (n_i * (n_i - 1)) AS a_micro
+        |  FROM pi WHERE n_i >= 2),
+        |it AS (SELECT count(*) AS n_items,
+        |    CAST(sum(n_i) AS BIGINT) AS n_ratings,
+        |    CAST(sum(a_micro) AS BIGINT) AS a_sum FROM pi2),
+        |kept AS (SELECT c.label, c.n_il FROM cell c JOIN pi2 USING (item)),
+        |lt AS (SELECT label, CAST(sum(n_il) AS BIGINT) AS c_l
+        |  FROM kept GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_il) AS BIGINT) AS tot FROM kept),
+        |pm AS (SELECT (c_l * 1000000) // tot AS p_micro FROM lt, tt),
+        |pe AS (SELECT count(*) AS n_labels,
+        |    CAST(sum(p_micro * p_micro) // 1000000 AS BIGINT) AS pe_micro
+        |  FROM pm),
+        |s AS (SELECT n_items, n_ratings, n_labels,
+        |    CAST(a_sum // n_items AS BIGINT) AS po_micro, pe_micro
+        |  FROM it, pe)
+        |SELECT n_items, n_ratings, n_labels, po_micro, pe_micro,
+        |  CASE WHEN pe_micro >= 1000000 THEN NULL
+        |    ELSE CAST(CASE WHEN po_micro >= pe_micro THEN 1 ELSE -1 END
+        |      * ((abs(po_micro - pe_micro) * 1000000)
+        |         // (1000000 - pe_micro)) AS BIGINT) END AS kappa_micro
+        |FROM s""".stripMargin,
     // SCD2 replay: per-user lag over (t, event_id), change flag, ROWS
     // running sum -> run id, (user, run) interval aggregation, lead of
     // valid_from over the per-user interval relation

@@ -2432,4 +2432,128 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(("b", 2)) == ((3L, 2L, 666666L))) // "p q" twice, "q r" once
     assert(!got.contains(("c", 1)))
   }
+
+  test("passageChunks: full coverage, exact overlap, dense ids, edges") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 toks: 3 chunks
+      (2L, "a b c"),                                  // shorter than size
+      (3L, ""), (4L, null)                            // no chunks
+    ).toDF("id", "body")
+    val got = TrainingData.passageChunks(docs, "id", "body",
+        size = 10, overlap = 4) // stride 6
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1, 7, 13, 19, 25 — every start <= len, final chunk short
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((1, 1, 10), (2, 7, 10), (3, 13, 10), (4, 19, 7), (5, 25, 1)))
+    // coverage: every token index lands in >= 1 chunk
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (1 to 25).toSet)
+    // consecutive FULL chunks share exactly `overlap` tokens
+    val c1 = d1(0)._5.split(" "); val c2 = d1(1)._5.split(" ")
+    assert(c1.takeRight(4).toSeq == c2.take(4).toSeq)
+    // short doc: one chunk, whole doc
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 1, 1, 3, "a b c")))
+    assert(!got.exists(c => c._1 == 3L || c._1 == 4L))
+  }
+
+  test("reciprocalRankFusion: exact integer model, pool asymmetry, ties") {
+    // ranking A ranks (1,2,3); ranking B ranks (2,1) — candidate 3
+    // appears in only one pool and still fuses with one term
+    val ra = Seq((9L, 1L, 1), (9L, 2L, 2), (9L, 3L, 3))
+      .toDF("q_id", "c_id", "rank")
+    val rb = Seq((9L, 2L, 1), (9L, 1L, 2)).toDF("q_id", "c_id", "rank")
+    val got = TrainingData.reciprocalRankFusion(Seq(ra, rb),
+        kConst = 60L, topK = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._3)
+    def m(r: Long) = 1000000L / (60L + r)
+    // 1: 1/61 + 1/62 = 16393+16129 = 32522; 2: 1/62 + 1/61 = same sum —
+    // TIE, broken by c_id; 3: 1/63 alone
+    assert(got.toSeq == Seq(
+      (1L, m(1) + m(2), 1), (2L, m(2) + m(1), 2), (3L, m(3), 3)))
+  }
+
+  test("splitLeakage: both orientations caught, train-train ignored") {
+    // pairs carry the smaller id first; the eval doc can sit on EITHER
+    // side, and train-train / eval-eval pairs must not report
+    val pairs = Seq((1L, 5L), (2L, 6L), (3L, 4L), (5L, 6L))
+      .toDF("d1", "d2")
+    val splits = Seq(
+      (1L, "train"), (2L, "train"), (3L, "train"), (4L, "train"),
+      (5L, "test"), (6L, "val")).toDF("id", "split")
+    val got = TrainingData.splitLeakage(pairs, splits, "id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // 5 (test) near-dups train-1; 6 (val) near-dups train-2; pair (3,4)
+    // is train-train (silent); pair (5,6) is eval-eval (silent)
+    assert(got == Set((5L, "test", 1L, 1L), (6L, "val", 1L, 2L)))
+  }
+
+  test("fleissKappa: hand-computed statistic, perfect and negative cases") {
+    // 3 items x 3 raters, 2 labels — the worked Fleiss setup.
+    // item 1: AAA (agree 3*2=6 of 6); item 2: AAB (2+0=2 of 6);
+    // item 3: ABB (0+2=2 of 6)
+    val r = Seq(
+      (1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "A"),
+      (2L, 1L, "A"), (2L, 2L, "A"), (2L, 3L, "B"),
+      (3L, 1L, "A"), (3L, 2L, "B"), (3L, 3L, "B"),
+      (4L, 1L, "A") // single-rater item: excluded everywhere
+    ).toDF("item", "rater", "label")
+    val got = TrainingData.fleissKappa(r, "item", "rater", "label")
+      .collect().head
+    assert(got.getLong(0) == 3L && got.getLong(1) == 9L &&
+      got.getLong(2) == 2L)
+    // per-item micros: 1000000, 333333, 333333 -> po = 1666666/3
+    val po = (1000000L + 333333L + 333333L) / 3L
+    assert(got.getLong(3) == po)
+    // label masses over kept items: A=6, B=3 of 9 ->
+    // p_micro 666666, 333333; pe = (666666^2+333333^2) div 10^6
+    val pe = (666666L * 666666L + 333333L * 333333L) / 1000000L
+    assert(got.getLong(4) == pe)
+    assert(got.getLong(5) == (po - pe) * 1000000L / (1000000L - pe))
+
+    // unanimity (with >1 label in play, so pe < 1): po = kappa = 10^6
+    val perfect = Seq((1L, 1L, "A"), (1L, 2L, "A"), (2L, 1L, "B"),
+      (2L, 2L, "B")).toDF("item", "rater", "label")
+    val p = TrainingData.fleissKappa(perfect, "item", "rater", "label")
+      .collect().head
+    assert(p.getLong(3) == 1000000L && p.getLong(5) == 1000000L)
+
+    // single-label corpus: P_e = 1, kappa UNDEFINED -> NULL (never a
+    // division by zero)
+    val oneLabel = Seq((1L, 1L, "A"), (1L, 2L, "A"), (2L, 1L, "A"),
+      (2L, 2L, "A")).toDF("item", "rater", "label")
+    val o = TrainingData.fleissKappa(oneLabel, "item", "rater", "label")
+      .collect().head
+    assert(o.getLong(3) == 1000000L && o.getLong(4) == 1000000L &&
+      o.isNullAt(5))
+
+    // systematic DISagreement: every item split 1-1 -> po = 0,
+    // kappa strictly negative (the sign-explicit division path)
+    val disagree = Seq((1L, 1L, "A"), (1L, 2L, "B"), (2L, 1L, "A"),
+      (2L, 2L, "B")).toDF("item", "rater", "label")
+    val n = TrainingData.fleissKappa(disagree, "item", "rater", "label")
+      .collect().head
+    assert(n.getLong(3) == 0L && n.getLong(5) < 0L)
+    assert(n.getLong(5) == -(n.getLong(4) * 1000000L /
+      (1000000L - n.getLong(4))))
+  }
+
+  test("goodTuringMass: count-of-counts model; saturated vs open source") {
+    val docs = Seq(
+      // open vocabulary: 4 singletons, 1 doubleton -> unseen 4/6
+      ("open", "a b c d e e"),
+      // template spam: one type repeated -> unseen mass 0
+      ("tmpl", "x x x x"), ("tmpl", "x x"),
+      ("nul", null)
+    ).toDF("src", "body")
+    val got = TrainingData.goodTuringMass(docs, "src", "body")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("open") == ((6L, 5L, 4L, 1L, 666666L)))
+    assert(got("tmpl") == ((6L, 1L, 0L, 0L, 0L)))
+    assert(!got.contains("nul"))
+  }
 }
