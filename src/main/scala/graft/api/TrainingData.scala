@@ -4492,6 +4492,125 @@ object TrainingData {
           .as("kappa_micro"))
   }
 
+  /** Weighted priority sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, the exponential-clocks form) → exactly k rows,
+    * (id, weight, key_micro, rk): each row draws key = −ln(u)/w from its
+    * content-addressed unit coordinate u, and the k SMALLEST keys win —
+    * inclusion is weight-proportional, the sample is a fixed-size
+    * weighted subset. This is the fixed-BUDGET selection primitive next
+    * to [[weightedHashSample]] (independent Bernoulli — size varies) and
+    * [[stratifiedQuota]] (exact per-stratum counts, uniform within):
+    * "give me exactly k docs, preferring high quality" is this one.
+    *
+    * Deterministic and engine-replayable: u = (hash16(id#ares)+1)/65536
+    * (never 0, so ln is finite), the key quantized ONCE per row to
+    * integer micros through one written-out IEEE sequence, ties broken
+    * by id. Rows with NULL/nonpositive weight carry no clock and are
+    * excluded. Scale shape: one hash + one ln per row, then top-k via
+    * orderBy+limit — TakeOrderedAndProject (per-partition heaps + one
+    * k-row merge), NEVER a global sort. */
+  def weightedPrioritySample(docs: DataFrame, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0d)
+      .select(col(idCol).as("doc_id"),
+        col(weightCol).cast("double").as("weight"),
+        hash16(concat(col(idCol).cast("string"), lit("#ares"))).as("h"))
+      .withColumn("key_micro", expr(
+        "CAST(round((-ln((h + 1) / 65536.0) / weight) * 1000000.0, 0) AS BIGINT)"))
+      .orderBy(col("key_micro"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), col("key_micro"))
+  }
+
+  /** Robust outlier flags by modified z-score (Iglewicz & Hoaglin 1993)
+    * → (id, stratum, value, z_micro) for |z| above `threshold`: per
+    * stratum, z = 0.6745·(x − median)/MAD — the median/MAD pair shrugs
+    * off the very outliers that poison a mean/stddev screen (one
+    * megadoc inflates σ until nothing flags). The data-quality read
+    * before trusting per-source length/score distributions.
+    *
+    * Exactness: median and MAD come from ONE exact-percentile
+    * aggregation each (the x31d portable pair — Spark `percentile` ==
+    * DuckDB `quantile_cont` on integer inputs), both rounded to
+    * 6 decimals before broadcast; z quantized once per row to integer
+    * micros through one written-out IEEE sequence. A zero-MAD stratum
+    * (over half the rows at the median) has no robust scale — its rows
+    * emit NO flags (NULL z, the x88 zero-variance contract), never a
+    * division by zero.
+    *
+    * Scale shape: two tiny percentile aggregations (strata-bounded)
+    * broadcast back; the flag is a row-local comparison — the corpus is
+    * scanned twice and never sorted. */
+  def robustOutliers(docs: DataFrame, strataCol: String, valueCol: String,
+      idCol: String, threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val base = docs
+      .filter(col(strataCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(strataCol).as("stratum"),
+        col(valueCol).cast("double").as("value"))
+    val med = base.groupBy(col("stratum"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = base.join(broadcast(med), Seq("stratum"))
+      .groupBy(col("stratum"))
+      .agg(round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"))
+    base.join(broadcast(med), Seq("stratum"))
+      .join(broadcast(mad), Seq("stratum"))
+      .filter(col("mad") > 0d)
+      .withColumn("z_micro", expr(
+        "CAST(round((0.6745 * (value - med) / mad) * 1000000.0, 0) AS BIGINT)"))
+      .filter(abs(col("z_micro")) > (threshold * 1e6).toLong)
+      .select(col("doc_id"), col("stratum"), col("value"), col("z_micro"))
+  }
+
+  /** Corpus-resemblance matrix → (src_a, src_b, n_inter, n_union,
+    * jaccard): EXACT Jaccard between each source pair's DISTINCT
+    * 3-shingle sets — "how much does corpus A overlap corpus B" at the
+    * corpus grain, the triage a curation team runs before ingesting a
+    * new dump (x50 counts near-dup DOC pairs per source pair; this
+    * measures wholesale set overlap even when no single doc pair
+    * crosses the near-dup threshold). Broder's resemblance, computed
+    * exactly.
+    *
+    * Scale shape: the (source, shingle) relation distincts in one
+    * aggregation; intersections come from ONE more aggregation — each
+    * shingle collapses to its (≤ |sources|, sorted) source set, pair
+    * generation is a row-local nested lambda over that bounded array
+    * (the x91 discipline), so nothing is ever quadratic in shingles and
+    * no shingle-keyed self-join runs. The matrix is bounded by
+    * |sources|². */
+  def sourceJaccardMatrix(shingles: DataFrame, docs: DataFrame,
+      idCol: String, srcCol: String): DataFrame = {
+    val srcSh = shingles
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("__src")),
+        Seq("doc_id"))
+      .filter(col("__src").isNotNull)
+      .select(col("__src").as("source"), col("shh"))
+      .distinct()
+    val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val pairs = srcSh
+      .groupBy(col("shh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size_(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size_(col("ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("ns").as("na")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("ns").as("nb")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double")
+          / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+  }
+
   /** Per-source simple Good–Turing mass estimate → (source, n_tokens,
     * n_types, n_r1, n_r2, unseen_micro): the count-of-counts read a
     * coverage decision consults — N₁/N (Good–Turing) estimates the

@@ -682,7 +682,19 @@ object DedupOps {
       "doc_id", "split")
       .orderBy(col("doc_id"))
 
+  /** X104 — corpus-resemblance matrix: exact Jaccard between each
+    * source pair's DISTINCT shingle sets (Broder's resemblance at the
+    * CORPUS grain — x50 counts near-dup doc pairs; this sees wholesale
+    * overlap even when no doc pair crosses the threshold). Rides the
+    * SHARED shingle cache. Fixture binding of
+    * [[graft.api.TrainingData.sourceJaccardMatrix]]. */
+  def x104SourceJaccard(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.sourceJaccardMatrix(
+      persistShingles(s, d), t(s, d, "documents"), "doc_id", "source")
+      .orderBy(col("src_a"), col("src_b"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x104_source_jaccard" -> (x104SourceJaccard _),
     "x98_split_leakage" -> (x98SplitLeakage _),
     "x93_fuzzy_resolve" -> (x93FuzzyResolve _),
     "x92_jaccard_prefix" -> (x92JaccardPrefix _),
@@ -799,6 +811,33 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // resemblance replay: the shared toks/sh fragment, per-source
+    // DISTINCT shingle sets, one co-occurrence self-join (the oracle
+    // may be quadratic where the engine aggregates — result-equal)
+    "x104_source_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |ss AS (
+        |  SELECT DISTINCT d.source, s.sh
+        |  FROM sh s JOIN documents d USING (doc_id)
+        |  WHERE d.source IS NOT NULL),
+        |n AS (SELECT source, count(*) AS ns FROM ss GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_inter,
+        |  na.ns + nb.ns - n_inter AS n_union,
+        |  round(CAST(n_inter AS DOUBLE) / (na.ns + nb.ns - n_inter), 6)
+        |    AS jaccard
+        |FROM i JOIN n na ON src_a = na.source JOIN n nb ON src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // leakage replay: the shared x26 pair CTE, both orientations, the
     // x31 sha-bucket split assignment, eval-side aggregation
     "x98_split_leakage" ->

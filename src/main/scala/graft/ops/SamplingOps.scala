@@ -273,7 +273,19 @@ object SamplingOps {
       t(s, d, "documents"), "doc_id", "text", size = 16, overlap = 4)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** X102 — Efraimidis–Spirakis weighted priority sampling: exactly 100
+    * documents, inclusion ∝ n_chars — the fixed-budget weighted
+    * selection next to x31f's Bernoulli sample (size varies) and x81's
+    * per-stratum quota (uniform within stratum). Fixture binding of
+    * [[graft.api.TrainingData.weightedPrioritySample]]. */
+  def x102PrioritySample(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.weightedPrioritySample(
+      t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 100)
+      .orderBy(col("key_micro"), col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x102_priority_sample" -> (x102PrioritySample _),
     "x96_passage_chunks" -> (x96PassageChunks _),
     "x83_epoch_shuffle" -> (x83EpochShuffle _),
     "x81_stratified_quota" -> (x81StratifiedQuota _),
@@ -320,6 +332,20 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // priority-sample replay: the salted 16-bit coordinate, the same
+    // -ln(u)/w IEEE sequence micro-quantized once per row, top-k by
+    // (key, id)
+    "x102_priority_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         |    ${hash16Sql("doc_id || '#ares'")} AS h
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0)
+         |SELECT doc_id, weight,
+         |  CAST(round((-ln((h + 1) / 65536.0) / weight) * 1000000.0, 0)
+         |    AS BIGINT) AS key_micro
+         |FROM h
+         |ORDER BY key_micro, doc_id LIMIT 100""".stripMargin,
     // passage-chunk replay: the same tokenizer, start grid
     // range(1, len+1, stride), integer-div chunk id, inclusive-end
     // list slice — fully row-local in both engines

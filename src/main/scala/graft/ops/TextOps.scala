@@ -616,7 +616,18 @@ object TextOps {
       t(s, d, "documents"), "source", "text")
       .orderBy(col("source"))
 
+  /** X103 — robust length-outlier flags: per-source modified z-scores
+    * (median/MAD — immune to the outliers themselves) over n_chars,
+    * flagged past 2.0 (the fixture's synthetic lengths are tight;
+    * the Iglewicz–Hoaglin 3.5 is the API default for real corpora).
+    * Fixture binding of [[graft.api.TrainingData.robustOutliers]]. */
+  def x103RobustOutliers(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.robustOutliers(
+      t(s, d, "documents"), "source", "n_chars", "doc_id", threshold = 2.0)
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x103_robust_outliers" -> (x103RobustOutliers _),
     "x100_good_turing" -> (x100GoodTuring _),
     "x95_ngram_saturation" -> (x95NgramSaturation _),
     "x91_skipgram_pmi" -> (x91SkipgramPmi _),
@@ -801,6 +812,26 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // robust-outlier replay: quantile_cont median/MAD (the x31d
+    // portable percentile pair) rounded to 6 before use, one
+    // micro-quantized z per row, zero-MAD strata emit nothing
+    "x103_robust_outliers" ->
+      """WITH base AS (
+        |  SELECT doc_id, source AS stratum, CAST(n_chars AS DOUBLE) AS value
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |med AS (SELECT stratum, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM base GROUP BY 1),
+        |mad AS (SELECT stratum,
+        |    round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+        |  FROM base JOIN med USING (stratum) GROUP BY 1),
+        |z AS (
+        |  SELECT doc_id, stratum, value,
+        |    CAST(round((0.6745 * (value - med) / mad) * 1000000.0, 0)
+        |      AS BIGINT) AS z_micro
+        |  FROM base JOIN med USING (stratum) JOIN mad USING (stratum)
+        |  WHERE mad > 0)
+        |SELECT doc_id, stratum, value, z_micro FROM z
+        |WHERE abs(z_micro) > 2000000 ORDER BY doc_id""".stripMargin,
     // Good-Turing replay: (source, token) type counts, conditional
     // count-of-counts sums, one integer micro division
     "x100_good_turing" ->

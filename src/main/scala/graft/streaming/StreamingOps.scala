@@ -119,6 +119,89 @@ object StreamingOps {
       .select(col("purchase_id"), col("signup_id"), col("user_id"))
   }
 
+  /** The interval/delay constants [[purchaseSignupLeftJoin]] declares —
+    * shared with the x101 sentinel arithmetic (the x55 single-constant
+    * discipline): the sentinel must outrun interval + delay, and a bound
+    * changed in only one place would surface as a confusing row-count
+    * mismatch at the gate. */
+  val JoinIntervalMs = 3600000L
+  val JoinDelayMs = 1800000L
+
+  /** LEFT-OUTER variant of [[purchaseSignupJoin]]: every purchase emits —
+    * matched pairs eagerly (like the inner join), and UNMATCHED purchases
+    * with a NULL signup only once the watermark PROVES no admissible
+    * signup can still arrive (s_ts ≤ p_ts, so a left row is closed when
+    * the signup-side watermark passes p_ts). This is the state-expiry
+    * null-emission path an inner join never exercises: the join state
+    * must hold the purchase until the proof arrives, then emit exactly
+    * one null row — a purchase near the stream's end stays pending until
+    * a later event (or the x101 sentinel) advances the watermark. */
+  def purchaseSignupLeftJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"${JoinDelayMs / 60000} minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", s"${JoinDelayMs / 60000} minutes")
+    purchases.join(signups,
+      col("user_id") === col("s_user_id") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"INTERVAL ${JoinIntervalMs / 1000} SECONDS"),
+      "left_outer")
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+  }
+
+  /** X101 — the left-outer stream-stream interval join driven to
+    * completion: fixture events in batch 1, then one sentinel
+    * purchase/signup pair (user −1) far past every real purchase's
+    * expiry — the watermark moves, the no-data micro-batch emits every
+    * pending unmatched purchase with its NULL signup. Equality with the
+    * batch LEFT JOIN is direct evidence the outer-emission machinery
+    * fired (x42 proves only the eager inner path; watermarks there just
+    * bound state). MemoryStream feeds the gate — multi-batch watermark
+    * control needs it; the production path reads a real source. */
+  @transient private val lojGateCache = graft.ops.PerAppCache.newCache
+  def x101StreamLeftJoin(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(lojGateCache, s, d) {
+      import s.implicits._
+      val view = "x101_loj_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val evs = graft.Tables.t(s, d, "events")
+        .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long, String, Long)].collect()
+      val maxTs = evs.map(_._4).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+      val q = purchaseSignupLeftJoin(
+          mem.toDS().toDF("event_id", "user_id", "event_type", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try {
+        mem.addData(evs.toSeq.map { case (e, u, t, ms) =>
+          (e, u, t, new java.sql.Timestamp(ms)) })
+        q.processAllAvailable()
+        // one sentinel per SIDE (each side filters by event_type, so each
+        // needs its own watermark carrier) past interval + delay + slack
+        val sTs = new java.sql.Timestamp(
+          maxTs + JoinIntervalMs + 2 * JoinDelayMs + 1000L)
+        mem.addData(Seq((-1L, -1L, "purchase", sTs),
+          (-2L, -1L, "signup", sTs)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(view).filter(col("user_id") >= 0)
+      val rows = out.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("purchase_id"), col("signup_id"))
+
   /** X24 — flatMapGroupsWithState: manual sessionization with 0..n
     * outputs per group per batch and EVENT-TIME TIMEOUTS — the fully
     * general custom-state shape (`session_window` above is the
@@ -683,6 +766,7 @@ object StreamingOps {
     }.orderBy(col("event_id"), col("user_id"), col("source"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x101_stream_left_join" -> (x101StreamLeftJoin _),
     "x87_stream_enrich" -> (x87StreamStaticEnrich _),
     "x75_stream_dedup" -> (x75StreamDedupRedelivery _),
     "x24_stateful_funnel" -> (x24StatefulFunnel _),
@@ -713,6 +797,24 @@ object StreamingOps {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY user_id, event_type""".stripMargin,
+    // the COMPLETED left-outer interval join == the batch LEFT JOIN:
+    // matched rows emit eagerly, null rows emit exactly when the
+    // sentinel-advanced watermark proves the purchase unmatchable —
+    // equality of the full relation is the proof the expiry path fired.
+    // NULL signup ordering never matters: a purchase has either one null
+    // row or only non-null rows, and purchase_id leads the sort
+    "x101_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+        |  p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase'
+        |       AND event_id IS NOT NULL AND user_id IS NOT NULL
+        |       AND ts IS NOT NULL) p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup'
+        |       AND event_id IS NOT NULL AND user_id IS NOT NULL
+        |       AND ts IS NOT NULL) s
+        |  ON p.user_id = s.user_id
+        | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, signup_id""".stripMargin,
     "x42_stream_join" ->
       """SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
         |  p.user_id AS user_id

@@ -2556,4 +2556,65 @@ class TrainingDataSpec extends SparkSpec {
     assert(got("tmpl") == ((6L, 1L, 0L, 0L, 0L)))
     assert(!got.contains("nul"))
   }
+
+  test("weightedPrioritySample: exact-model keys, weight bias, exclusions") {
+    // plain-Scala model of the whole derivation: 16-bit salted hash ->
+    // unit coordinate -> -ln(u)/w micro key
+    def h16(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    def key(id: Long, w: Double): Long =
+      math.round((-math.log((h16(s"$id#ares") + 1) / 65536.0) / w) * 1e6)
+    val docs = ((1L to 40L).map(i => (i, 10.0)) ++
+      Seq((100L, 1e9), (101L, 0.0), (102L, -3.0))) // 101/102: no clock
+      .toDF("id", "w")
+    val got = TrainingData.weightedPrioritySample(docs, "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // model replays the full ordering
+    val model = ((1L to 40L).map(i => (i, key(i, 10.0))) :+
+      ((100L, key(100L, 1e9))))
+      .sortBy(p => (p._2, p._1)).take(10)
+    assert(got.toSeq == model)
+    // the huge-weight row has key ~0: it must be in every top-10
+    assert(got.exists(_._1 == 100L))
+    assert(!got.exists(p => p._1 == 101L || p._1 == 102L))
+  }
+
+  test("robustOutliers: flags the planted outlier, zero-MAD stratum silent") {
+    val rows =
+      // stratum s: values tight around 100, one planted megadoc
+      (1L to 9L).map(i => (i, "s", 95L + i)) ++ Seq((10L, "s", 100000L)) ++
+      // stratum z: over half the rows identical -> MAD 0 -> silent,
+      // even though 9999 would scream under a mean/stddev screen
+      Seq((21L, "z", 5L), (22L, "z", 5L), (23L, "z", 5L), (24L, "z", 9999L))
+    val got = TrainingData.robustOutliers(rows.toDF("id", "src", "v"),
+        "src", "v", "id", threshold = 3.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    // s sorted: 96..104, 100000 -> interpolated median 100.5; absolute
+    // deviations sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 99899.5 ->
+    // MAD 2.5; z(100000) = .6745*(100000-100.5)/2.5 micros
+    assert(got.map(_._1).toSeq == Seq(10L))
+    val z = math.round(0.6745 * (100000.0 - 100.5) / 2.5 * 1e6)
+    assert(got.head._3 == z)
+    assert(!got.exists(_._2 == "z"))
+  }
+
+  test("sourceJaccardMatrix: exact set overlap; disjoint pairs absent") {
+    // a and b share exactly half of a's shingles; c is disjoint. Docs
+    // long enough that 3-shingles are unambiguous.
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4 w5"),       // shingles: 3
+      (2L, "b", "w1 w2 w3 w4 w5 x1 x2"), // superset of a's + 2 more
+      (3L, "c", "y1 y2 y3 y4")           // disjoint
+    ).toDF("id", "src", "body")
+    val sh = TrainingData.shingles(docs, "id", "body")
+    val got = TrainingData.sourceJaccardMatrix(sh, docs, "id", "src")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // a: 3 shingles, b: 5, inter = 3, union = 5
+    assert(got(("a", "b")) == ((3L, 5L, 0.6)))
+    assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
+  }
 }

@@ -310,4 +310,69 @@ class StreamingSpec extends SparkSpec {
         (2 to 4).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))).toList))
     assert(fin.nonEmpty && fin.sameElements(batch))
   }
+
+  test("left-outer stream join withholds nulls until the watermark proves them") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a realistic epoch base: an event AT the initial watermark (0)
+    // would be dropped by late-row filtering before it ever reached
+    // join state
+    val base = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.purchaseSignupLeftJoin(
+        mem.toDS().toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("loj_spec").start()
+    try {
+      // user 1: signup then purchase 30 min later (matched pair);
+      // user 2: purchase with no signup anywhere (the null row)
+      mem.addData(Seq((10L, 1L, "signup", ts(0L)),
+        (11L, 1L, "purchase", ts(30L * 60000L)),
+        (12L, 2L, "purchase", ts(30L * 60000L))))
+      q.processAllAvailable()
+      val after1 = spark.table("loj_spec").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // the unmatched purchase is WITHHELD — an admissible signup could
+      // still arrive, so its null row must NOT appear yet (Spark 4 also
+      // defers the matched pair to watermark finalization, hence the
+      // subset assertion rather than equality)
+      assert(after1.toSet.subsetOf(Set((11L, 10L))))
+      assert(!after1.contains((12L, -1L)))
+      // sentinel pair far past expiry: the no-data batch emits the null
+      val sTs = ts(30L * 60000L +
+        StreamingOps.JoinIntervalMs + 2 * StreamingOps.JoinDelayMs + 1000L)
+      mem.addData(Seq((-1L, -1L, "purchase", sTs), (-2L, -1L, "signup", sTs)))
+      q.processAllAvailable()
+      val after2 = spark.table("loj_spec").filter(col("user_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      assert(after2.toSet == Set((11L, 10L), (12L, -1L)))
+    } finally { q.stop(); spark.catalog.dropTempView("loj_spec") }
+  }
+
+  test("x101 gate equals the batch LEFT join (null rows included)") {
+    val gate = StreamingOps.x101StreamLeftJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2)))
+    val ev = batchEvents
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val sgn = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"),
+        col("event_id").as("signup_id"), col("ts").as("s_ts"))
+    val batch = p.join(sgn,
+        col("user_id") === col("s_user_id") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("purchase_id"), col("signup_id"), col("user_id"))
+      .orderBy("purchase_id", "signup_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2)))
+    assert(gate.nonEmpty && gate.sameElements(batch))
+    // and the outer path genuinely fired: at least one null row exists
+    assert(gate.exists(_._2 == -1L))
+  }
 }
