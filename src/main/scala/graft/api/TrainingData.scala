@@ -4600,15 +4600,51 @@ object TrainingData {
       .select(col("p.src_a"), col("p.src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // sizes is bounded by |sources| — broadcast unconditionally rather
+    // than leaving the static plan on sort-merge (PlanSpec-pinned)
     pairs
-      .join(sizes.select(col("source").as("src_a"), col("ns").as("na")),
-        Seq("src_a"))
-      .join(sizes.select(col("source").as("src_b"), col("ns").as("nb")),
-        Seq("src_b"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("ns").as("na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("ns").as("nb"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"),
         round(col("n_inter").cast("double")
           / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  /** Duplicate-mass concentration → top-k clusters by size with their
+    * share of all clustered docs: (rank, cluster_id, n_docs,
+    * share_micro, cum_share_micro) — the read that tells a curation team
+    * whether duplication is a few mega-templates (top-3 clusters hold
+    * 80% → kill those templates at the source) or a long tail (invest in
+    * the pairwise pipeline instead). `clusters` is any (id, cluster)
+    * labeling — ride the shared x26e labels so "a cluster" means the
+    * same thing as in the dedup queries.
+    *
+    * Scale shape: one (cluster) count aggregation; top-k via
+    * orderBy+limit — TakeOrderedAndProject, never a global sort; the
+    * share/cumulative window runs over exactly k rows (the x39c
+    * tiny-relation window pattern) with broadcast scalar totals.
+    * Shares in exact integer micros. */
+  def clusterConcentration(clusters: DataFrame, idCol: String,
+      clusterCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sizes = clusters.filter(col(clusterCol).isNotNull)
+      .groupBy(col(clusterCol).as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(sum(col("n_docs")).as("n_total"))
+    val top = sizes.orderBy(col("n_docs").desc, col("cluster_id")).limit(k)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_docs").desc, col("cluster_id"))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(ord).cast("int"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+      .select(col("rank"), col("cluster_id"), col("n_docs"),
+        expr("(n_docs * 1000000L) div n_total").as("share_micro"),
+        expr("(cum_docs * 1000000L) div n_total").as("cum_share_micro"))
   }
 
   /** Per-source simple Good–Turing mass estimate → (source, n_tokens,

@@ -166,17 +166,58 @@ object DedupOps {
     * DuckDB oracle. The parametric API path
     * ([[minhashPairsFromShingles]]) keeps xxhash64 bases and 8-byte band
     * keys: at scale the band shuffle should carry longs, not strings. */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    verifiedJaccardPairs(shaBandCandidates(s, d), persistShingles(s, d), 0.5)
+      .orderBy(col("d1"), col("d2"))
+
+  /** The PRE-verification band-candidate pair relation of the sha
+    * MinHash path — shared by [[minhashPairs]] and the x107 recall
+    * audit (which must see the candidates the verify step would have
+    * filtered). */
+  private def shaBandCandidates(s: SparkSession, d: String): DataFrame = {
     val sig = persistShaSignatures(s, d)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>
         concat_ws(",", lit(bId) +:
           (0 until BandSize).map(r => col(s"sig_${bId * BandSize + r}")): _*)
       }: _*)).as("bandkey"))
-    val cand = coocPairs(bands, "bandkey").select(col("d1"), col("d2"))
-    verifiedJaccardPairs(cand, persistShingles(s, d), 0.5)
-      .orderBy(col("d1"), col("d2"))
+    coocPairs(bands, "bandkey").select(col("d1"), col("d2"))
   }
+
+  /** X107 — LSH recall/precision audit: the banding's candidate pairs
+    * measured against the EXACT pair relation (the shared x26 cache) →
+    * one row (n_exact, n_cand, n_caught, recall_micro, precision_micro).
+    * The estimator-quality check a team runs before trusting banded LSH
+    * at a scale where the exact join is unaffordable: recall < 10⁶ means
+    * real duplicates slip through this band/row configuration; the
+    * pre-verify precision prices the verification join. Counts are the
+    * whole audit — it rides two already-cached relations and adds one
+    * equi-join on (d1, d2). Zero exact pairs → NULL recall (undefined),
+    * never a division by zero. */
+  def x107LshRecallAudit(s: SparkSession, d: String): DataFrame = {
+    val exact = persistPairs(s, d).select(col("d1"), col("d2"))
+    val cand = shaBandCandidates(s, d)
+    val counts = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(exact.join(cand, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_caught")))
+    counts.select(col("n_exact"), col("n_cand"), col("n_caught"),
+      when(col("n_exact") === 0L, lit(null).cast("long"))
+        .otherwise(expr("(n_caught * 1000000L) div n_exact"))
+        .as("recall_micro"),
+      when(col("n_cand") === 0L, lit(null).cast("long"))
+        .otherwise(expr("(n_caught * 1000000L) div n_cand"))
+        .as("precision_micro"))
+  }
+
+  /** X106 — duplicate-mass concentration: top-20 near-dup clusters by
+    * size with exact micro shares of all clustered docs, off the SHARED
+    * x26e label cache. Fixture binding of
+    * [[graft.api.TrainingData.clusterConcentration]]. */
+  def x106DupConcentration(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.clusterConcentration(
+      persistLabels(s, d), "id", "label", k = 20)
+      .orderBy(col("rank"))
 
   /** The MinHash+LSH core over any `(doc_id, shh)` shingle relation —
     * shared by the fixture query above and the parametric API
@@ -694,6 +735,8 @@ object DedupOps {
       .orderBy(col("src_a"), col("src_b"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x106_dup_concentration" -> (x106DupConcentration _),
+    "x107_lsh_recall_audit" -> (x107LshRecallAudit _),
     "x104_source_jaccard" -> (x104SourceJaccard _),
     "x98_split_leakage" -> (x98SplitLeakage _),
     "x93_fuzzy_resolve" -> (x93FuzzyResolve _),
@@ -746,6 +789,41 @@ object DedupOps {
       |  SELECT d1, d2 FROM inter
       |  JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
       |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5)""".stripMargin
+
+  /** Shared oracle fragment: tokens → shingles → portable-hash MinHash
+    * signatures → 4×4 band keys → DISTINCT candidate pairs `cand(d1, d2)`
+    * — the DuckDB model of [[shaBandCandidates]], reused verbatim by the
+    * x26b verification and the x107 recall audit so the replayed banding
+    * can never drift between the two consumers. */
+  private lazy val shaMinhashCandCtes: String = {
+    val hCols = (0 until NumHashes).map(i =>
+      s"((${aCoef(i)} * v + ${bCoef(i)}) % $P) AS h_$i").mkString(",\n    ")
+    val sCols = (0 until NumHashes).map(i => s"min(h_$i) AS s_$i").mkString(", ")
+    val bandSelects = (0 until NumHashes / BandSize).map { b =>
+      val parts = (0 until BandSize)
+        .map(r => s"CAST(s_${b * BandSize + r} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, concat_ws(',', '$b', $parts) AS bandkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(tk) - 1, 1)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+       |  FROM toks),
+       |base AS (SELECT doc_id, ${hex32Sql("sh")} % 2147483648 AS v FROM sh),
+       |hs AS (SELECT doc_id,
+       |    $hCols
+       |  FROM base),
+       |sig AS (SELECT doc_id, $sCols FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.bandkey = b.bandkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** Shared recursive-CTE oracle prefix: exact-Jaccard pairs → transitive
     * closure → `lab(id, cluster_id)` — the DuckDB model of
@@ -1346,34 +1424,8 @@ object DedupOps {
     // Full MinHash+LSH replayed in SQL on the portable base hash:
     // signatures → 4×4 banding → candidate equi-join → exact-Jaccard
     // verification — the algorithm is oracle-checked, not just its result
-    "x26b_minhash_lsh" -> {
-      val hCols = (0 until NumHashes).map(i =>
-        s"((${aCoef(i)} * v + ${bCoef(i)}) % $P) AS h_$i").mkString(",\n    ")
-      val sCols = (0 until NumHashes).map(i => s"min(h_$i) AS s_$i").mkString(", ")
-      val bandSelects = (0 until NumHashes / BandSize).map { b =>
-        val parts = (0 until BandSize)
-          .map(r => s"CAST(s_${b * BandSize + r} AS VARCHAR)").mkString(", ")
-        s"SELECT doc_id, concat_ws(',', '$b', $parts) AS bandkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, greatest(len(tk) - 1, 1)),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
-         |  FROM toks),
-         |base AS (SELECT doc_id, ${hex32Sql("sh")} % 2147483648 AS v FROM sh),
-         |hs AS (SELECT doc_id,
-         |    $hCols
-         |  FROM base),
-         |sig AS (SELECT doc_id, $sCols FROM hs GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b
-         |    ON a.bandkey = b.bandkey AND a.doc_id < b.doc_id),
+    "x26b_minhash_lsh" ->
+      s"""WITH $shaMinhashCandCtes,
          |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT d1, d2, count(*) AS inter
@@ -1384,8 +1436,48 @@ object DedupOps {
          | round(CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter), 6) AS jaccard
          |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
          |WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5
-         |ORDER BY d1, d2""".stripMargin
-    },
+         |ORDER BY d1, d2""".stripMargin,
+    // LSH audit replay: the SAME banding chain's pre-verify candidates
+    // measured against the exact pair relation; NULL on empty denominators
+    "x107_lsh_recall_audit" ->
+      s"""WITH $shaMinhashCandCtes,
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |co AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2 FROM co
+         |  JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
+         |c AS (SELECT
+         |  (SELECT count(*) FROM pairs) AS n_exact,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM pairs JOIN cand USING (d1, d2)) AS n_caught)
+         |SELECT n_exact, n_cand, n_caught,
+         |  CASE WHEN n_exact = 0 THEN NULL
+         |    ELSE (n_caught * 1000000) // n_exact END AS recall_micro,
+         |  CASE WHEN n_cand = 0 THEN NULL
+         |    ELSE (n_caught * 1000000) // n_cand END AS precision_micro
+         |FROM c""".stripMargin,
+    // concentration replay: cluster sizes off the shared closure, top-20
+    // by (size, id), exact micro shares over the tiny top-k relation
+    "x106_dup_concentration" ->
+      s"""$ccOracleCte,
+         |sizes AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM sizes),
+         |top AS (SELECT cluster_id, n_docs FROM sizes
+         |  ORDER BY n_docs DESC, cluster_id LIMIT 20),
+         |r AS (SELECT cluster_id, n_docs,
+         |    CAST(row_number() OVER (ORDER BY n_docs DESC, cluster_id)
+         |      AS INTEGER) AS rank,
+         |    CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, cluster_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+         |  FROM top)
+         |SELECT rank, cluster_id, n_docs,
+         |  (n_docs * 1000000) // n_total AS share_micro,
+         |  (cum_docs * 1000000) // n_total AS cum_share_micro
+         |FROM r, tot ORDER BY rank""".stripMargin,
     // Inverted-index tf-idf cosine, replayed exactly: milli-quantized idf
     // makes every sum integer; sqrt/division are correctly-rounded IEEE
     "x26h_tfidf_neardup" ->

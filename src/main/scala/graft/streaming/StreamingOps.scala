@@ -202,6 +202,74 @@ object StreamingOps {
       fin
     }.orderBy(col("purchase_id"), col("signup_id"))
 
+  /** CHAINED stateful pipeline — watermarked redelivery dedup feeding an
+    * event-time window aggregation IN THE SAME streaming query (two
+    * stateful operators back to back, the multi-stateful-operator
+    * support that landed with Spark 3.5+/4): the exactly-once ingestion
+    * shape — an at-least-once source deduped by id, then aggregated —
+    * as ONE query instead of two jobs with an intermediate sink. The
+    * dedup's key state expires on the watermark (x75's property); the
+    * aggregation's windows finalize on the same watermark downstream. */
+  def dedupedWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+
+  /** X105 — the chained dedup→window pipeline driven to completion:
+    * batch 1 delivers every fixture event TWICE (in-batch redelivery),
+    * batch 2 redelivers the whole fixture again (cross-batch redelivery
+    * against persisted dedup state — the case an in-batch distinct can't
+    * catch), batch 3's sentinel advances the watermark so every real
+    * window finalizes through the append-mode flush. The completed
+    * output must equal the batch window counts over DISTINCT events —
+    * evidence both stateful operators composed correctly. Identical
+    * redelivered payloads make the surviving row deterministic (the x75
+    * contract). */
+  @transient private val chainGateCache = graft.ops.PerAppCache.newCache
+  def x105ChainedStateful(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(chainGateCache, s, d) {
+      import s.implicits._
+      val view = "x105_chain_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val evs = graft.Tables.t(s, d, "events")
+        .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, String, Long)].collect()
+      val maxTs = evs.map(_._3).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = dedupedWindowCounts(
+          mem.toDS().toDF("event_id", "event_type", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try {
+        val rows = evs.toSeq.map { case (e, t, ms) =>
+          (e, t, new java.sql.Timestamp(ms)) }
+        mem.addData(rows ++ rows) // in-batch redelivery
+        q.processAllAvailable()
+        mem.addData(rows)         // cross-batch redelivery vs dedup state
+        q.processAllAvailable()
+        // sentinel flushes every real window; its own far-future window
+        // is excluded by the window_start bound below
+        mem.addData(Seq((-1L, "purchase", new java.sql.Timestamp(
+          maxTs + 4 * 1800000L + 1000L))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(view).filter(col("window_start_ms") <= maxTs)
+      val rows = out.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("window_start_ms"), col("event_type"))
+
   /** X24 — flatMapGroupsWithState: manual sessionization with 0..n
     * outputs per group per batch and EVENT-TIME TIMEOUTS — the fully
     * general custom-state shape (`session_window` above is the
@@ -766,6 +834,7 @@ object StreamingOps {
     }.orderBy(col("event_id"), col("user_id"), col("source"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x105_chained_stateful" -> (x105ChainedStateful _),
     "x101_stream_left_join" -> (x101StreamLeftJoin _),
     "x87_stream_enrich" -> (x87StreamStaticEnrich _),
     "x75_stream_dedup" -> (x75StreamDedupRedelivery _),
@@ -797,6 +866,19 @@ object StreamingOps {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY user_id, event_type""".stripMargin,
+    // the completed dedup→window chain == batch window counts over
+    // DISTINCT events (identical redelivered payloads collapse; the
+    // 15-min window start is epoch-floor arithmetic in both engines)
+    "x105_chained_stateful" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT event_id, ts, event_type FROM events
+        |  WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL)
+        |SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000
+        |    AS window_start_ms,
+        |  event_type, count(*) AS n
+        |FROM ev GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
     // the COMPLETED left-outer interval join == the batch LEFT JOIN:
     // matched rows emit eagerly, null rows emit exactly when the
     // sentinel-advanced watermark proves the purchase unmatchable —

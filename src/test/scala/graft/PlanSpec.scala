@@ -473,6 +473,29 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Window") == 1, p)
   }
 
+  test("x96 passage chunking is row-local — no aggregation, one result exchange") {
+    val p = plan("x96_passage_chunks")
+    assert(treeCount(p, "Exchange") <= 1, p)
+    assert(!p.contains("HashAggregate") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("x102 priority sample plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("x102_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // a Sort node outside the take would mean the corpus got globally sorted
+    assert(treeCount(p, "Sort") == 0, p)
+  }
+
+  test("x104 resemblance pairs come from a lambda explode, not a shingle self-join") {
+    // the per-shingle source-set aggregation + row-local pair lambda must
+    // plan as Generate-over-aggregate; a shingle-keyed self-join would
+    // surface as an extra large-side SortMergeJoin on shh
+    val p = plan("x104_source_jaccard")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

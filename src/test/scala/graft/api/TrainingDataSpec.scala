@@ -2601,6 +2601,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(!got.exists(_._2 == "z"))
   }
 
+  test("clusterConcentration: exact shares, rank order, top-k cut") {
+    // clusters of sizes 5, 3, 1, 1 (10 clustered docs); k = 2
+    val labels = (Seq.fill(5)(100L) ++ Seq.fill(3)(200L) ++
+      Seq(300L, 400L)).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "cluster")
+    val got = TrainingData.clusterConcentration(labels, "id", "cluster", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, 100L, 5L, 500000L, 500000L),
+      (2, 200L, 3L, 300000L, 800000L)))
+  }
+
   test("sourceJaccardMatrix: exact set overlap; disjoint pairs absent") {
     // a and b share exactly half of a's shingles; c is disjoint. Docs
     // long enough that 3-shingles are unambiguous.

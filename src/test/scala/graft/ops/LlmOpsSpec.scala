@@ -19,6 +19,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact) // 16 hashes / 4 bands: recall 1.0 at jaccard ≥ 0.5 here
   }
 
+  test("x107 audit counts agree with the exact/LSH relations it rides") {
+    val exact = DedupOps.x26Jaccard(spark, d).count()
+    val row = DedupOps.x107LshRecallAudit(spark, d).collect().head
+    assert(row.getLong(0) == exact)            // n_exact == |x26|
+    assert(row.getLong(2) <= row.getLong(0))   // caught <= exact
+    assert(row.getLong(2) <= row.getLong(1))   // caught <= candidates
+    // the suite's equivalence test (lsh == exact) implies full recall
+    assert(row.getLong(3) == 1000000L)
+  }
+
   test("simhash separates near-dups from random pairs by hamming distance") {
     val sims = DedupOps.simhash(spark, d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -352,6 +352,35 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("loj_spec") }
   }
 
+  test("chained dedup->window pipeline dedupes across batches before counting") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L // past the initial watermark (see x101 spec)
+    def ts(ms: Long) = new java.sql.Timestamp(base + ms)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.dedupedWindowCounts(
+        mem.toDS().toDF("event_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chain_spec").start()
+    try {
+      val e1 = (1L, "A", ts(0L)); val e2 = (2L, "A", ts(60000L))
+      mem.addData(Seq(e1, e1, e2, e2)) // in-batch redelivery
+      q.processAllAvailable()
+      mem.addData(Seq(e1, (3L, "B", ts(0L)))) // cross-batch redelivery + new
+      q.processAllAvailable()
+      mem.addData(Seq((-1L, "A", ts(4 * 1800000L)))) // flush sentinel
+      q.processAllAvailable()
+      val got = spark.table("chain_spec")
+        .filter(col("window_start_ms") <= base + 60000L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // one 15-min window; every redelivery collapsed BEFORE the count
+      val w0 = (base / 900000L) * 900000L
+      assert(got == Set((w0, "A", 2L), (w0, "B", 1L)))
+    } finally { q.stop(); spark.catalog.dropTempView("chain_spec") }
+  }
+
   test("x101 gate equals the batch LEFT join (null rows included)") {
     val gate = StreamingOps.x101StreamLeftJoin(spark, dir).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
