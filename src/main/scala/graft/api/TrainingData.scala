@@ -4445,7 +4445,10 @@ object TrainingData {
     * Scale shape: ONE shuffle to (item, label) counts, a per-item
     * rollup (window-free), one tiny per-label aggregation (bounded by
     * the label alphabet), broadcast scalar totals. No per-rating state
-    * survives the first aggregation. */
+    * survives the first aggregation. Integer bound: the per-item
+    * product agree·10⁶ (agree ≤ n_i²) stays inside Long while an item
+    * has < ~3·10⁶ raters — far past any real annotation design; the
+    * cross-item sums are Longs over ≤ 10⁶-bounded micros. */
   def fleissKappa(ratings: DataFrame, itemCol: String, raterCol: String,
       labelCol: String): DataFrame = {
     val base = ratings
