@@ -411,15 +411,16 @@ object MultimodalOps {
   final case class PixelStats(doc_id: Long, width: Int, height: Int,
       n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long, valid: Boolean)
 
-  /** REAL PNG pixel decode: walk chunks (CRC-verified), inflate the
+  /** REAL PNG pixel decode shared by [[decodePngStats]] (x29f) and
+    * [[decodePngAHash]] (x108): walk chunks (CRC-verified), inflate the
     * concatenated IDAT stream with [[java.util.zip.Inflater]], unfilter
-    * every scanline (all five PNG filter types), and reduce to
-    * per-channel integer sums. Any structural damage — bad signature,
-    * CRC mismatch, inflate failure, short pixel stream, unknown filter
-    * type — quarantines instead of crashing. 8-bit RGB (colour type 2)
-    * only; anything else quarantines. */
-  def decodePngStats(docId: Long, b: Array[Byte]): PixelStats = {
-    val bad = PixelStats(docId, 0, 0, 0L, 0L, 0L, 0L, valid = false)
+    * every scanline (all five PNG filter types), and return the full
+    * interleaved RGB grid (w·h·3 ints — bounded, the fixture is ≤16×16).
+    * Any structural damage — bad signature, CRC mismatch, inflate
+    * failure, short pixel stream, unknown filter type — returns None
+    * (quarantine) instead of crashing. 8-bit RGB (colour type 2) only. */
+  private[ops] def decodePngGrid(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val bad: Option[(Int, Int, Array[Int])] = None
     def u8(i: Int): Int = b(i) & 0xff
     def u32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -466,7 +467,7 @@ object MultimodalOps {
       if (off != raw.length) return bad
       val cur = new Array[Int](stride)
       val prior = new Array[Int](stride)
-      var sr = 0L; var sg = 0L; var sb = 0L
+      val grid = new Array[Int](stride * h)
       var y = 0
       while (y < h) {
         val ft = raw(y * (1 + stride)) & 0xff
@@ -487,20 +488,69 @@ object MultimodalOps {
           cur(j) = (f + pred) & 0xff
           j += 1
         }
-        var x = 0
-        while (x < w) {
-          sr += cur(x * 3); sg += cur(x * 3 + 1); sb += cur(x * 3 + 2)
-          x += 1
-        }
+        System.arraycopy(cur, 0, grid, y * stride, stride)
         System.arraycopy(cur, 0, prior, 0, stride)
         y += 1
       }
-      PixelStats(docId, w, h, w.toLong * h, sr, sg, sb, valid = true)
+      Some((w, h, grid))
     } catch {
       case _: java.util.zip.DataFormatException => bad
       case _: ArrayIndexOutOfBoundsException => bad
     }
   }
+
+  /** REAL PNG pixel decode reduced to per-channel integer sums (x29f) —
+    * [[decodePngGrid]] + one pass over the grid; quarantine → invalid row. */
+  def decodePngStats(docId: Long, b: Array[Byte]): PixelStats =
+    decodePngGrid(b) match {
+      case None => PixelStats(docId, 0, 0, 0L, 0L, 0L, 0L, valid = false)
+      case Some((w, h, px)) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          sr += px(i); sg += px(i + 1); sb += px(i + 2); i += 3
+        }
+        PixelStats(docId, w, h, w.toLong * h, sr, sg, sb, valid = true)
+    }
+
+  /** Typed row of the 64-bit average-hash: the top/bottom 32 bits ride in
+    * two Longs so neither engine touches the sign bit. */
+  final case class PHashRow(doc_id: Long, hash_hi: Long, hash_lo: Long,
+      valid: Boolean)
+
+  /** Perceptual average-hash (aHash) over the DECODED pixel grid: sample
+    * an 8×8 grid by integer nearest-neighbour (xs = i·w/8, ys = j·h/8),
+    * gray = r+g+b per sample (0..765, no lossy division), set bit
+    * p = 8·j+i iff 64·gray > Σgray — all integer arithmetic, so the
+    * DuckDB oracle replays it exactly from the pixel formulas. */
+  def decodePngAHash(docId: Long, b: Array[Byte]): PHashRow =
+    decodePngGrid(b) match {
+      case None => PHashRow(docId, 0L, 0L, valid = false)
+      case Some((w, h, px)) =>
+        val gray = new Array[Long](64)
+        var tot = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val xs = i * w / 8; val ys = j * h / 8
+            val o = (ys * w + xs) * 3
+            val v = (px(o) + px(o + 1) + px(o + 2)).toLong
+            gray(j * 8 + i) = v; tot += v
+            i += 1
+          }
+          j += 1
+        }
+        var lo = 0L; var hi = 0L
+        var p = 0
+        while (p < 64) {
+          if (64L * gray(p) > tot) {
+            if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+          }
+          p += 1
+        }
+        PHashRow(docId, hi, lo, valid = true)
+    }
 
   /** X29f — REAL pixel decode end-to-end: build genuine deflate-
     * compressed filtered PNGs, decode them back per-partition (inflate +
@@ -638,7 +688,137 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X108 — image near-dup over REAL decoded pixels: aHash each PNG
+    * ([[decodePngAHash]]), then find Hamming-≤3 pairs EXACTLY by
+    * pigeonhole banding — 4 bands of 16 bits; any pair within distance 3
+    * shares at least one identical band, so the band-equality join has
+    * full recall and the ≤3 filter makes it exact (x86's SimHash trick,
+    * here on image hashes). Output: every valid doc with its hash and
+    * its near-dup degree + smallest partner.
+    *
+    * Scale shape: the corpus is reduced to 2 Longs per image at the
+    * decode stage (pixels never shuffle); the candidate join shuffles
+    * only (band, hash) rows and bucket sizes are bounded by hash
+    * collision structure, never n². No brute-force pair scan anywhere. */
+  def x108ImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+    val hashes = ids
+      .mapPartitions(_.map(id => decodePngAHash(id, buildPngImage(id))))
+      .toDF().where(col("valid"))
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+    val banded = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_lo"), 16),
+        col("hash_hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hash_hi"), 16))).as(Seq("band_idx", "band_val")))
+    val lhs = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("a_id"), col("hash_hi").as("a_hi"), col("hash_lo").as("a_lo"))
+    val rhs = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("b_id"), col("hash_hi").as("b_hi"), col("hash_lo").as("b_lo"))
+    val pairs = lhs.join(rhs, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (expr("bit_count(a_hi ^ b_hi)") + expr("bit_count(a_lo ^ b_lo)"))
+          .cast("long").as("hd"))
+      .where(col("hd") <= 3)
+      .distinct() // a pair may collide in several bands — count it once
+    val perDoc = pairs.select(col("a_id").as("doc_id"), col("b_id").as("partner"))
+      .union(pairs.select(col("b_id").as("doc_id"), col("a_id").as("partner")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_neardup"), min("partner").as("min_partner"))
+    hashes.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        col("min_partner"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Typed row of per-doc audio segmentation features (all exact ints). */
+  final case class AudioSegRow(doc_id: Long, n_windows: Long,
+      n_zero_cross: Long, max_win_sumsq: Long, argmax_win: Long,
+      valid: Boolean)
+
+  /** REAL WAV segmentation features: chunk-walk + 16-bit-LE decode like
+    * [[decodeWavPcm]], but analyzed frame-wise on channel 0 — zero
+    * crossings (sign flips between consecutive frames) and per-50-frame
+    * window energy (Σs², exact Long), reporting the loudest window and
+    * its index (ties → smallest index). The per-sample stats stage
+    * (x29g) collapses the whole doc; this is the segment-level feature
+    * extraction a speech-curation pass runs. Quarantine as x29g. */
+  def decodeWavSegments(docId: Long, b: Array[Byte]): AudioSegRow = {
+    val bad = AudioSegRow(docId, 0L, 0L, 0L, 0L, valid = false)
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      if (i + 4 <= b.length) new String(b.slice(i, i + 4), "US-ASCII") else ""
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+    var i = 12L
+    var fmt: Option[Int] = None // blockAlign
+    var data: Option[(Int, Long)] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val ii = i.toInt
+      val id = tag(ii)
+      val len = le32(ii + 4)
+      if (id == "fmt ") {
+        if (len < 16 || i + 8 + 16 > b.length) return bad
+        if (le16(ii + 8) != 1) return bad // PCM only
+        val ch = le16(ii + 10); val bits = le16(ii + 22); val align = le16(ii + 20)
+        if (ch <= 0 || bits != 16 || align != ch * 2) return bad
+        fmt = Some(align)
+      } else if (id == "data") data = Some((ii + 8, len))
+      i += 8L + len + (len & 1L)
+    }
+    (fmt, data) match {
+      case (Some(align), Some((off, declared)))
+          if declared % align == 0 && off + declared <= b.length =>
+        val nFrames = (declared / align).toInt
+        var prev = 0
+        var zc = 0L
+        var winSumSq = 0L
+        var maxSumSq = -1L; var argmax = 0L
+        var f = 0
+        while (f < nFrames) {
+          val s = le16(off + f * align).toShort.toInt // channel 0
+          if (f > 0 && ((prev < 0) != (s < 0))) zc += 1
+          winSumSq += s.toLong * s
+          if (f % 50 == 49 || f == nFrames - 1) {
+            if (winSumSq > maxSumSq) { maxSumSq = winSumSq; argmax = f / 50 }
+            winSumSq = 0L
+          }
+          prev = s
+          f += 1
+        }
+        AudioSegRow(docId, (nFrames + 49L) / 50L, zc,
+          if (maxSumSq < 0) 0L else maxSumSq, argmax, valid = true)
+      case _ => bad
+    }
+  }
+
+  /** X109 — audio segmentation end-to-end: real PCM WAVs decoded to
+    * frame-level channel-0 features per-partition. Oracle replays
+    * [[pcmSample]] over (frame) ranges with LAG + windowed Σs². */
+  def x109AudioSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions(_.map(id => decodeWavSegments(id, buildWavPcm(id))))
+      .toDF()
+      .select(col("doc_id"),
+        when(col("valid"), col("n_windows")).as("n_windows"),
+        when(col("valid"), col("n_zero_cross")).as("n_zero_cross"),
+        when(col("valid"), col("max_win_sumsq")).as("max_win_sumsq"),
+        when(col("valid"), col("argmax_win")).as("argmax_win"),
+        col("valid"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x108_image_phash" -> (x108ImagePhash _),
+    "x109_audio_segments" -> (x109AudioSegments _),
     "x29_multimodal_decode" -> (x29Multimodal _),
     "x29b_multimodal_stats" -> (x29bShapeStats _),
     "x29c_frame_sample" -> (x29cFrameSample _),
@@ -648,6 +828,86 @@ object MultimodalOps {
     "x29g_pcm_stats" -> (x29gPcmStats _))
 
   val oracles: Map[String, String] = Map(
+    // first-principles aHash replay: the oracle recomputes the 8×8
+    // nearest-neighbour samples from the pixel formulas, derives the same
+    // 64-bit hash (as two 32-bit Longs), and repeats the banding
+    // derivation — which is EXACT for Hamming ≤ 3 by pigeonhole, so the
+    // engine's banded join and this SQL agree row-for-row
+    "x108_image_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 3) % 9 AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |ii AS (SELECT doc_id, w, h, unnest(range(8)) AS i FROM dims),
+        |ij AS (SELECT doc_id, w, h, i, unnest(range(8)) AS j FROM ii),
+        |gr AS (
+        |  SELECT doc_id, j*8 + i AS p,
+        |    ((xs*7 + ys*13 + doc_id) % 256) + ((xs*3 + ys*5 + 2*doc_id) % 256)
+        |      + ((xs*11 + ys + 3*doc_id) % 256) AS gray
+        |  FROM (SELECT doc_id, i, j, (i*w)//8 AS xs, (j*h)//8 AS ys FROM ij)),
+        |tot AS (SELECT doc_id, sum(gray) AS total FROM gr GROUP BY 1),
+        |hs AS (
+        |  SELECT g.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN 64*gray > total AND p >= 32
+        |      THEN 1::BIGINT << (p-32) END), 0) AS BIGINT) AS hash_hi,
+        |    CAST(coalesce(sum(CASE WHEN 64*gray > total AND p < 32
+        |      THEN 1::BIGINT << p END), 0) AS BIGINT) AS hash_lo
+        |  FROM gr g JOIN tot t ON g.doc_id = t.doc_id GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, hash_hi, hash_lo, b AS band_idx,
+        |    CASE b WHEN 0 THEN hash_lo & 65535 WHEN 1 THEN hash_lo >> 16
+        |           WHEN 2 THEN hash_hi & 65535 ELSE hash_hi >> 16 END AS band_val
+        |  FROM hs, (SELECT unnest(range(4)) AS b)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_neardup, min(partner) AS min_partner
+        |  FROM (SELECT a_id AS doc_id, b_id AS partner FROM pairs
+        |        UNION ALL SELECT b_id, a_id FROM pairs)
+        |  GROUP BY 1)
+        |SELECT h.doc_id, h.hash_hi, h.hash_lo,
+        |  CAST(coalesce(p.n_neardup, 0) AS BIGINT) AS n_neardup,
+        |  p.min_partner
+        |FROM hs h LEFT JOIN per_doc p ON h.doc_id = p.doc_id
+        |ORDER BY h.doc_id""".stripMargin,
+    // segment-feature replay: channel-0 sample formula over frame ranges,
+    // LAG for sign flips, frame//50 windows for energy, argmax by
+    // (sumsq DESC, win ASC)
+    "x109_audio_segments" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS q, 100 + doc_id % 200 AS ns
+        |  FROM documents),
+        |fr AS (SELECT doc_id, q, ns, unnest(range(ns)) AS f FROM p),
+        |v AS (SELECT doc_id, q, ns, f,
+        |        ((f*773 + doc_id*131) % 65536) - 32768 AS s
+        |      FROM fr),
+        |l AS (SELECT doc_id, q, ns, f, s,
+        |        lag(s) OVER (PARTITION BY doc_id ORDER BY f) AS ps
+        |      FROM v),
+        |zc AS (SELECT doc_id, any_value(ns) AS ns,
+        |        sum(CASE WHEN ps IS NOT NULL AND ((ps < 0) <> (s < 0))
+        |            THEN 1 ELSE 0 END) AS n_zero_cross
+        |      FROM l GROUP BY 1),
+        |wi AS (SELECT doc_id, f // 50 AS win, sum(s*s) AS sumsq
+        |      FROM v GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, win, sumsq,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY sumsq DESC, win) AS rn
+        |      FROM wi)
+        |SELECT p.doc_id,
+        | CASE WHEN q THEN NULL ELSE CAST((p.ns + 49) // 50 AS BIGINT) END AS n_windows,
+        | CASE WHEN q THEN NULL ELSE CAST(z.n_zero_cross AS BIGINT) END AS n_zero_cross,
+        | CASE WHEN q THEN NULL ELSE CAST(m.sumsq AS BIGINT) END AS max_win_sumsq,
+        | CASE WHEN q THEN NULL ELSE CAST(m.win AS BIGINT) END AS argmax_win,
+        | NOT q AS valid
+        |FROM p
+        |JOIN zc z ON p.doc_id = z.doc_id
+        |JOIN mx m ON p.doc_id = m.doc_id AND m.rn = 1
+        |ORDER BY p.doc_id""".stripMargin,
     "x29_multimodal_decode" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,

@@ -238,6 +238,70 @@ class MultimodalSpec extends SparkSpec {
     assert(!MultimodalOps.decodeWavPcm(9L, odd).valid)
   }
 
+  test("image aHash: hash bits match a brute-force recompute from the pixel formulas") {
+    (0L to 20L).foreach { id =>
+      val r = MultimodalOps.decodePngAHash(id, MultimodalOps.buildPngImage(id))
+      if (id % 7 == 0) assert(!r.valid, s"id $id should quarantine")
+      else {
+        assert(r.valid, s"id $id should decode")
+        val w = 8 + (id % 9).toInt; val h = 8 + ((id / 3) % 9).toInt
+        def gray(xs: Int, ys: Int): Long =
+          ((xs * 7L + ys * 13L + id) % 256) + ((xs * 3L + ys * 5L + 2 * id) % 256) +
+            ((xs * 11L + ys + 3 * id) % 256)
+        val g = for (j <- 0 until 8; i <- 0 until 8)
+          yield gray(i * w / 8, j * h / 8)
+        val tot = g.sum
+        var lo = 0L; var hi = 0L
+        for (p <- 0 until 64 if 64L * g(p) > tot)
+          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+        assert(r.hash_lo == lo && r.hash_hi == hi, s"id $id hash")
+      }
+    }
+  }
+
+  test("x108 banding is exact: query pairs equal brute-force Hamming<=3 over all hashes") {
+    val out = MultimodalOps.x108ImagePhash(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // brute-force over the decoded hashes themselves
+    val hs = out.map { case (id, (hi, lo, _, _)) => (id, hi, lo) }.toSeq
+    val brute = hs.map { case (a, ahi, alo) =>
+      val partners = hs.filter { case (b, bhi, blo) =>
+        b != a && java.lang.Long.bitCount(ahi ^ bhi) +
+          java.lang.Long.bitCount(alo ^ blo) <= 3
+      }.map(_._1)
+      (a, (partners.size.toLong, if (partners.isEmpty) -1L else partners.min))
+    }.toMap
+    assert(out.nonEmpty, "fixture should decode some images")
+    out.foreach { case (id, (_, _, n, minP)) =>
+      assert((n, minP) == brute(id), s"doc $id pair stats")
+    }
+    assert(out.values.exists(_._3 > 0) || brute.values.forall(_._1 == 0L),
+      "banding must not lose pairs the brute force finds")
+  }
+
+  test("wav segments: windowed energy + zero crossings round-trip the builder") {
+    (0L to 14L).foreach { id =>
+      val r = MultimodalOps.decodeWavSegments(id, MultimodalOps.buildWavPcm(id))
+      if (id % 5 == 0) assert(!r.valid, s"id $id should quarantine")
+      else {
+        assert(r.valid, s"id $id should decode")
+        val ns = (100L + (id % 200)).toInt
+        def s0(f: Int): Int = (((f * 773L + id * 131L) % 65536L) - 32768L).toInt
+        val zc = (1 until ns).count(f => (s0(f - 1) < 0) != (s0(f) < 0)).toLong
+        val wins = (0 until ns).groupBy(_ / 50).toSeq
+          .map { case (w, fs) => (w.toLong, fs.map(f => s0(f).toLong * s0(f)).sum) }
+        val (argmax, mx) = wins.minBy { case (w, ss) => (-ss, w) }
+        assert(r.n_windows == (ns + 49) / 50 && r.n_zero_cross == zc &&
+          r.max_win_sumsq == mx && r.argmax_win == argmax, s"id $id features")
+      }
+    }
+    // truncated data chunk quarantines rather than mis-decoding
+    val good = MultimodalOps.buildWavPcm(1L)
+    assert(!MultimodalOps.decodeWavSegments(9L, good.take(good.length - 10)).valid)
+  }
+
   test("builder -> parser round-trip matches the id arithmetic for all branches") {
     val filler = "filler text".getBytes("UTF-8")
     (0L to 20L).foreach { id =>
