@@ -4678,4 +4678,109 @@ object TrainingData {
       .select(col("source"), col("n_tokens"), col("n_types"),
         col("n_r1"), col("n_r2"),
         expr("(n_r1 * 1000000L) div n_tokens").as("unseen_micro"))
+
+  /** k-anonymity / l-diversity audit: group rows by the quasi-identifier
+    * columns and report every group violating EITHER bound — size < k
+    * (re-identification risk: few rows share this quasi-identifier
+    * combination) or distinct-sensitive-values < l (attribute
+    * disclosure: the group's sensitive column is near-constant, so
+    * membership alone reveals it). The release gate a privacy pass runs
+    * before user-derived rows enter a training corpus; an empty result
+    * is the pass condition. NULL quasi values form their own group
+    * (standard GROUP BY semantics in both engines); NULL sensitive
+    * values don't count toward l (COUNT DISTINCT ignores them).
+    *
+    * Scale shape: ONE hash aggregation on the quasi columns with
+    * map-side partials; count(DISTINCT sensitive) expands per group but
+    * never beyond the raw rows. No window, no join, no sort. */
+  def kAnonymityAudit(rows: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    rows.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+      .where(col("group_size") < k || col("l_div") < l)
+  }
+
+  /** Dataloader-order interleaving audit over a (doc_id, shard, pos)
+    * layout (e.g. [[epochShuffle]]): per shard, how often do ADJACENT
+    * positions come from the same source, and how long is the longest
+    * same-source run? A healthy epoch permutation drives the adjacent
+    * same-source fraction toward the source-share ("well mixed"); a
+    * broken shuffle (sorted-by-source input, degenerate salt) shows up
+    * as long runs — gradient batches dominated by one source.
+    * same_frac_micros = 10⁶·n_adjacent_same div (n_docs−1), exact; NULL
+    * for single-doc shards.
+    *
+    * Scale shape: one join layout⋈docs on doc_id (layout carries no
+    * text), then window work PARTITIONED BY shard — each shard sorts
+    * independently, so parallelism is the shard count and no global
+    * sort exists. Runs are gaps-and-islands off the same lag pass. */
+  def shuffleQualityAudit(layout: DataFrame, docs: DataFrame,
+      idCol: String, sourceCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pos"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val lagged = layout
+      .join(docs.select(col(idCol).as("doc_id"), col(sourceCol).as("src")),
+        Seq("doc_id"))
+      .withColumn("same",
+        when(lag(col("src"), 1).over(w) === col("src"), 1L).otherwise(0L))
+    val runLen = lagged
+      .withColumn("run_id", sum(lit(1L) - col("same")).over(wRun))
+      .groupBy(col("shard"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("shard")).agg(max(col("run_len")).as("max_run"))
+    lagged.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("same")).as("n_adjacent_same"))
+      .join(runLen, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_adjacent_same"),
+        when(col("n_docs") <= 1, lit(null))
+          .otherwise(expr("(1000000 * n_adjacent_same) div (n_docs - 1)"))
+          .as("same_frac_micros"),
+        col("max_run"))
+  }
+
+  /** Shard load-balance audit over a (doc_id, shard) layout: per-shard
+    * load totals reduced to one summary row — max/min/total load, the
+    * straggler ratio skew_micros = 10⁶·max_load·n_shards div total
+    * (10⁶ = perfectly balanced; 2·10⁶ = the slowest shard carries twice
+    * its fair share — the wall-clock multiplier of the epoch), and the
+    * exact Gini coefficient in micros (10⁶·Σᵢⱼ|xᵢ−xⱼ| div 2n·Σx). The
+    * "will this layout straggle" check next to [[shuffleQualityAudit]]'s
+    * "is it mixed".
+    *
+    * Integer bounds: exact while max_load·n_shards ≤ ~9·10¹² and
+    * n_shards²·max_load ≤ ~9·10¹² — with 1024 shards that is ~10 GB of
+    * per-shard character load headroom, i.e. 100 TB-corpus territory;
+    * beyond it, pre-scale the load column (e.g. KB units).
+    *
+    * Scale shape: the corpus reduces to (shard, load) — n_shards rows —
+    * in one map-side-combined aggregation; the |xᵢ−xⱼ| cross pair runs
+    * on that tiny relation only (broadcast nested loop over n_shards²
+    * scalars, never rows). */
+  def shardBalanceAudit(layout: DataFrame, docs: DataFrame,
+      idCol: String, loadCol: String): DataFrame = {
+    val loads = layout
+      .join(docs.select(col(idCol).as("doc_id"), col(loadCol).as("load")),
+        Seq("doc_id"))
+      .groupBy(col("shard")).agg(sum(col("load")).as("shard_load"))
+    val pairAbs = loads.select(col("shard_load").as("la"))
+      .crossJoin(loads.select(col("shard_load").as("lb")))
+      .agg(sum(abs(col("la") - col("lb"))).as("pair_abs"))
+    loads
+      .agg(count(lit(1)).as("n_shards"), sum(col("shard_load")).as("total_load"),
+        max(col("shard_load")).as("max_load"), min(col("shard_load")).as("min_load"))
+      .crossJoin(pairAbs)
+      .select(col("n_shards"), col("total_load"), col("max_load"),
+        col("min_load"),
+        when(col("total_load") === 0, lit(null))
+          .otherwise(expr("(1000000 * max_load * n_shards) div total_load"))
+          .as("skew_micros"),
+        when(col("total_load") === 0, lit(null))
+          .otherwise(
+            expr("(1000000 * pair_abs) div (2 * n_shards * total_load)"))
+          .as("gini_micros"))
+  }
 }

@@ -262,7 +262,19 @@ object Relational {
       .orderBy(col("status"))
   }
 
+  /** X110 — k-anonymity / l-diversity release audit on customer rows:
+    * quasi-identifiers (nation, market segment), sensitive column
+    * acctbal, bounds k=8 / l=3 — every reported row is a group a privacy
+    * pass would suppress or generalize before release. Fixture binding
+    * of [[graft.api.TrainingData.kAnonymityAudit]]. */
+  def x110KAnonymity(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kAnonymityAudit(
+      t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+      k = 8L, l = 3L)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x110_k_anonymity" -> (x110KAnonymity _),
     "x84_integrity_audit" -> (x84IntegrityAudit _),
     "q01_pricing_summary" -> (q01 _),
     "q26_merge_upsert" -> (q26MergeUpsert _),
@@ -280,6 +292,15 @@ object Relational {
     "q25_salted_agg" -> (q25SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    // one quasi-identifier aggregation, HAVING on both privacy bounds
+    "x110_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_div
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(*) < 8 OR count(DISTINCT c_acctbal) < 3
+        |ORDER BY 1, 2""".stripMargin,
     // by-key/by-row coverage replay: per-side (key, count) reduction,
     // one full-outer join, presence-flag status
     "x84_integrity_audit" ->

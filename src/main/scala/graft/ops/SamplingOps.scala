@@ -262,6 +262,28 @@ object SamplingOps {
       t(s, d, "documents"), "doc_id", nShards = 8, epoch = 3)
       .orderBy(col("shard"), col("pos"))
 
+  /** X111 — dataloader-order interleaving audit over the x83 epoch
+    * layout: per shard, adjacent same-source pair count/fraction and the
+    * longest same-source run — the "is the shuffle actually mixing
+    * sources" check on the exact layout x83 ships. Fixture binding of
+    * [[graft.api.TrainingData.shuffleQualityAudit]]. */
+  def x111ShuffleQuality(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.shuffleQualityAudit(
+      graft.api.TrainingData.epochShuffle(
+        t(s, d, "documents"), "doc_id", nShards = 8, epoch = 3),
+      t(s, d, "documents"), "doc_id", "source")
+      .orderBy(col("shard"))
+
+  /** X112 — shard load-balance audit over the same x83 layout, loads =
+    * n_chars: max/min/total shard load, straggler ratio, exact Gini in
+    * micros — the "will this epoch straggle" summary. Fixture binding of
+    * [[graft.api.TrainingData.shardBalanceAudit]]. */
+  def x112ShardBalance(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.shardBalanceAudit(
+      graft.api.TrainingData.epochShuffle(
+        t(s, d, "documents"), "doc_id", nShards = 8, epoch = 3),
+      t(s, d, "documents"), "doc_id", "n_chars")
+
   /** X96 — sliding-window passage chunking over documents: 16-token
     * windows advancing by 12 (overlap 4), dense chunk ids — the RAG /
     * long-document passage layout (X32's bin packing concatenates MANY
@@ -285,6 +307,8 @@ object SamplingOps {
       .orderBy(col("key_micro"), col("doc_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x111_shuffle_quality" -> (x111ShuffleQuality _),
+    "x112_shard_balance" -> (x112ShardBalance _),
     "x102_priority_sample" -> (x102PrioritySample _),
     "x96_passage_chunks" -> (x96PassageChunks _),
     "x83_epoch_shuffle" -> (x83EpochShuffle _),
@@ -375,6 +399,71 @@ object SamplingOps {
          |    AS INTEGER) AS pos
          |FROM h
          |ORDER BY shard, pos""".stripMargin,
+    // x83's layout replayed, then the adjacency audit: LAG same-source
+    // flags, gaps-and-islands runs, exact micro fraction
+    "x111_shuffle_quality" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${hash16Sql("(CAST(doc_id AS VARCHAR) || '#e3')")} AS h
+         |  FROM documents),
+         |lay AS (
+         |  SELECT doc_id, h % 8 AS shard,
+         |    row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+         |  FROM h),
+         |lg AS (
+         |  SELECT l.shard, l.pos,
+         |    CASE WHEN lag(d.source) OVER (PARTITION BY l.shard ORDER BY l.pos)
+         |           = d.source THEN 1 ELSE 0 END AS same
+         |  FROM lay l JOIN documents d ON l.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT shard, same,
+         |    sum(1 - same) OVER (PARTITION BY shard ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+         |  FROM lg),
+         |rl AS (SELECT shard, run_id, count(*) AS run_len FROM r GROUP BY 1, 2),
+         |mr AS (SELECT shard, CAST(max(run_len) AS BIGINT) AS max_run
+         |       FROM rl GROUP BY 1),
+         |ag AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(same) AS BIGINT) AS n_adjacent_same
+         |  FROM lg GROUP BY 1)
+         |SELECT a.shard, CAST(n_docs AS BIGINT) AS n_docs, n_adjacent_same,
+         |  CASE WHEN n_docs <= 1 THEN NULL
+         |       ELSE CAST((1000000 * n_adjacent_same) // (n_docs - 1) AS BIGINT)
+         |  END AS same_frac_micros,
+         |  max_run
+         |FROM ag a JOIN mr m ON a.shard = m.shard
+         |ORDER BY a.shard""".stripMargin,
+    // same layout reduced to per-shard loads, then the one-row balance
+    // summary: straggler ratio + exact Gini, both in integer micros
+    "x112_shard_balance" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${hash16Sql("(CAST(doc_id AS VARCHAR) || '#e3')")} AS h
+         |  FROM documents),
+         |lay AS (SELECT doc_id, h % 8 AS shard FROM h),
+         |loads AS (
+         |  SELECT l.shard, CAST(sum(d.n_chars) AS BIGINT) AS shard_load
+         |  FROM lay l JOIN documents d ON l.doc_id = d.doc_id GROUP BY 1),
+         |pr AS (
+         |  SELECT CAST(sum(abs(a.shard_load - b.shard_load)) AS BIGINT)
+         |    AS pair_abs
+         |  FROM loads a, loads b),
+         |tot AS (
+         |  SELECT count(*) AS n_shards,
+         |    CAST(sum(shard_load) AS BIGINT) AS total_load,
+         |    CAST(max(shard_load) AS BIGINT) AS max_load,
+         |    CAST(min(shard_load) AS BIGINT) AS min_load
+         |  FROM loads)
+         |SELECT CAST(n_shards AS BIGINT) AS n_shards, total_load, max_load,
+         |  min_load,
+         |  CASE WHEN total_load = 0 THEN NULL
+         |       ELSE CAST((1000000 * max_load * n_shards) // total_load
+         |         AS BIGINT) END AS skew_micros,
+         |  CASE WHEN total_load = 0 THEN NULL
+         |       ELSE CAST((1000000 * pair_abs) // (2 * n_shards * total_load)
+         |         AS BIGINT) END AS gini_micros
+         |FROM tot, pr""".stripMargin,
     // largest-remainder replay: integer seat arithmetic (// ≡ div on
     // positive operands), remainder ranking over the tiny strata
     // relation, in-stratum rank on the same sha-derived salted hash

@@ -2630,4 +2630,63 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(("a", "b")) == ((3L, 5L, 0.6)))
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
   }
+
+  test("kAnonymityAudit: both bounds enforced; NULL quasi groups; NULL sensitive ignored") {
+    val rows = Seq(
+      // group (1, "A"): size 3 < k=3? no (==3 passes size), but l_div 1 < 2
+      (1, "A", Some("x")), (1, "A", Some("x")), (1, "A", Some("x")),
+      // group (1, "B"): size 2 < 3 → violates k
+      (1, "B", Some("x")), (1, "B", Some("y")),
+      // group (2, "A"): size 3, l_div 2 → compliant, absent
+      (2, "A", Some("x")), (2, "A", Some("y")), (2, "A", Some("x")),
+      // NULL quasi forms its own group (size 1 → violates)
+      (3, null, Some("z")),
+      // NULL sensitive doesn't count toward l: size 3, l_div 1 → violates l
+      (4, "C", Some("x")), (4, "C", None), (4, "C", None))
+      .toDF("q1", "q2", "s")
+    val got = graft.api.TrainingData
+      .kAnonymityAudit(rows, Seq("q1", "q2"), "s", k = 3L, l = 2L)
+      .collect()
+      .map(r => ((r.getInt(0), Option(r.getString(1)).getOrElse("<null>")),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      (1, "A") -> ((3L, 1L)),
+      (1, "B") -> ((2L, 2L)),
+      (3, "<null>") -> ((1L, 1L)),
+      (4, "C") -> ((3L, 1L))))
+  }
+
+  test("shuffleQualityAudit: adjacency counts, run lengths, single-doc shard NULL") {
+    val layout = Seq(
+      // shard 0, order by pos: sources A A A B A → same 2+0+0... lag:
+      // (A,A)=1 (A,A)=1 (A,B)=0 (B,A)=0 → n_same 2, max_run 3
+      (10L, 0, 1), (11L, 0, 2), (12L, 0, 3), (13L, 0, 4), (14L, 0, 5),
+      // shard 1: single doc → frac NULL, max_run 1
+      (20L, 1, 1))
+      .toDF("doc_id", "shard", "pos")
+    val docs = Seq(
+      (10L, "A"), (11L, "A"), (12L, "A"), (13L, "B"), (14L, "A"),
+      (20L, "Z")).toDF("doc_id", "source")
+    val got = graft.api.TrainingData
+      .shuffleQualityAudit(layout, docs, "doc_id", "source")
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0) == ((5L, 2L, 2L * 1000000L / 4L, 3L)))
+    assert(got(1) == ((1L, 0L, -1L, 1L)))
+  }
+
+  test("shardBalanceAudit: hand-computed skew and Gini on known loads") {
+    val layout = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("doc_id", "shard")
+    val docs = Seq((1L, 4L), (2L, 6L), (3L, 30L)).toDF("doc_id", "load")
+    val r = graft.api.TrainingData
+      .shardBalanceAudit(layout, docs, "doc_id", "load").collect().head
+    // loads: shard0 = 10, shard1 = 30; total 40, max 30, min 10
+    assert(r.getLong(0) == 2L && r.getLong(1) == 40L &&
+      r.getLong(2) == 30L && r.getLong(3) == 10L)
+    // skew = 1e6·30·2 div 40 = 1_500_000
+    assert(r.getLong(4) == 1500000L)
+    // pair_abs = |10-30| + |30-10| = 40 → gini = 1e6·40 div (2·2·40) = 250_000
+    assert(r.getLong(5) == 250000L)
+  }
 }
