@@ -4679,6 +4679,57 @@ object TrainingData {
         col("n_r1"), col("n_r2"),
         expr("(n_r1 * 1000000L) div n_tokens").as("unseen_micro"))
 
+  /** Per-group embedding centroid drift between two corpus halves
+    * (id parity = "version A vs version B"): each component is quantized
+    * to integer micros FIRST — so the per-dimension sums are
+    * order-independent exact Longs, never a float reduction — then the
+    * centroid is the truncated integer mean and the drift ships as
+    * exact (dot, ‖a‖², ‖b‖²) plus the derived cos²·10⁶ (one
+    * IEEE-identical double expression over exact integer inputs; sign
+    * carried separately since cos² loses it). cos²→10⁶ means identical
+    * centroid directions; a drop flags representation drift between
+    * corpus versions — the embedding-space twin of the count-based
+    * corpus diff.
+    *
+    * Scale shape: quantize is row-local; the (group, half, dim) sums are
+    * map-side combined (d·groups·2 rows out of the shuffle, never n·d);
+    * everything after runs on centroid-sized relations. Integer bounds:
+    * |mean micro| ≤ 10⁶·max|v| keeps dot ≤ d·10¹⁴ for |v| ≤ ~40 —
+    * corpus-size-independent because means, not sums, are multiplied. */
+  def centroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val q = emb.filter(col(vecCol).isNotNull)
+      .select(col(labelCol).as("label"), (col(idCol) % 2).as("half"),
+        expr(s"transform($vecCol, v -> " +
+          "CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT))").as("mv"))
+    val cnt = q.groupBy(col("label"), col("half")).agg(count(lit(1)).as("n"))
+    val cent = q
+      .select(col("label"), col("half"), posexplode(col("mv")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("half"), col("dim")).agg(sum(col("v")).as("sv"))
+      .join(cnt, Seq("label", "half"))
+      .select(col("label"), col("half"), col("dim"),
+        expr("sv div n").as("c"), col("n"))
+    val a = cent.where(col("half") === 0)
+      .select(col("label"), col("dim"), col("c").as("ca"), col("n").as("n_a"))
+    val b = cent.where(col("half") === 1)
+      .select(col("label"), col("dim"), col("c").as("cb"), col("n").as("n_b"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na2"),
+        sum(col("cb") * col("cb")).as("nb2"))
+      .select(col("label"), col("n_a"), col("n_b"), col("dot"), col("na2"),
+        col("nb2"),
+        when(col("dot") > 0, 1).when(col("dot") < 0, -1).otherwise(0)
+          .as("dot_sign"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null))
+          .otherwise(expr(
+            "CAST(floor(1000000.0 * CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)" +
+              " / (CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))) AS BIGINT)"))
+          .as("cos2_micros"))
+  }
+
   /** k-anonymity / l-diversity audit: group rows by the quasi-identifier
     * columns and report every group violating EITHER bound — size < k
     * (re-identification risk: few rows share this quasi-identifier

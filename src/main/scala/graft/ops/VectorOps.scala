@@ -1030,9 +1030,20 @@ object VectorOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X113 — per-label centroid drift between the vec_id-parity halves of
+    * the embedding corpus: exact integer (dot, ‖a‖², ‖b‖²) of the
+    * micro-quantized centroid means + derived cos²·10⁶ — the
+    * embedding-space corpus-version diff. Fixture binding of
+    * [[graft.api.TrainingData.centroidDrift]]. */
+  def x113CentroidDrift(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.centroidDrift(
+      t(s, d, "embeddings"), "vec_id", "embedding", "label")
+      .orderBy(col("label"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
+    "x113_centroid_drift" -> (x113CentroidDrift _),
     "x27_cosine_topk" -> (x27TopK _),
     "x73_hard_negatives" -> (x73HardNegatives _),
     "x82_mmr_diverse" -> (x82MmrDiverse _),
@@ -1622,6 +1633,44 @@ object VectorOps {
          |    ORDER BY rrf_micro DESC, c_id) AS INTEGER) AS rank FROM f)
          |SELECT q_id, c_id, rrf_micro, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // centroid-drift replay: per-component micro quantization, exact
+    // integer sums and truncated means, then the same IEEE double
+    // expression for cos²·10⁶ over exact integer inputs
+    "x113_centroid_drift" ->
+      s"""WITH q AS (
+         |  SELECT label, vec_id % 2 AS half, embedding AS e FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |cnt AS (SELECT label, half, count(*) AS n FROM q GROUP BY 1, 2),
+         |ex AS (SELECT label, half, unnest(range(1, 65)) AS dim, e FROM q),
+         |sums AS (
+         |  SELECT label, half, dim,
+         |    sum(CAST(round(CAST(e[dim] AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+         |      AS sv
+         |  FROM ex GROUP BY 1, 2, 3),
+         |cent AS (
+         |  SELECT s.label, s.half, s.dim, CAST(sv // n AS BIGINT) AS c, n
+         |  FROM sums s JOIN cnt USING (label, half)),
+         |j AS (
+         |  SELECT a.label, a.n AS n_a, b.n AS n_b, a.c AS ca, b.c AS cb
+         |  FROM cent a JOIN cent b
+         |    ON a.label = b.label AND a.dim = b.dim
+         |      AND a.half = 0 AND b.half = 1),
+         |ag AS (
+         |  SELECT label,
+         |    CAST(any_value(n_a) AS BIGINT) AS n_a,
+         |    CAST(any_value(n_b) AS BIGINT) AS n_b,
+         |    CAST(sum(ca * cb) AS BIGINT) AS dot,
+         |    CAST(sum(ca * ca) AS BIGINT) AS na2,
+         |    CAST(sum(cb * cb) AS BIGINT) AS nb2
+         |  FROM j GROUP BY 1)
+         |SELECT label, n_a, n_b, dot, na2, nb2,
+         |  CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1 ELSE 0 END
+         |    AS dot_sign,
+         |  CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+         |       ELSE CAST(floor(1000000.0 * CAST(dot AS DOUBLE)
+         |         * CAST(dot AS DOUBLE) / (CAST(na2 AS DOUBLE)
+         |         * CAST(nb2 AS DOUBLE))) AS BIGINT) END AS cos2_micros
+         |FROM ag ORDER BY label""".stripMargin,
     "x27_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
          |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),

@@ -2631,6 +2631,35 @@ class TrainingDataSpec extends SparkSpec {
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
   }
 
+  test("centroidDrift: exact micro means, sign, truncation toward zero, zero-norm NULL") {
+    val emb = Seq(
+      // label 1: orthogonal halves → dot 0
+      (0L, Array(1.0f, 0.0f), 1), (2L, Array(3.0f, 0.0f), 1),
+      (1L, Array(0.0f, 2.0f), 1),
+      // label 2: parallel halves → cos² = 10⁶ exactly
+      (4L, Array(1.0f, 1.0f), 2), (5L, Array(2.0f, 2.0f), 2),
+      // label 3: zero half-0 centroid → cos² NULL
+      (6L, Array(0.0f, 0.0f), 3), (7L, Array(1.0f, 0.0f), 3),
+      // label 4: negative micro sum −3 over n=2 truncates to −1 (not −2)
+      (8L, Array(-3.0e-6f, 0.0f), 4), (10L, Array(0.0f, 0.0f), 4),
+      (9L, Array(1.0e-6f, 0.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.api.TrainingData
+      .centroidDrift(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6), if (r.isNullAt(7)) -1L else r.getLong(7)))).toMap
+    // label 1: means a=[2e6,0], b=[0,2e6] → dot 0, na2 4e12, nb2 4e12, cos² 0
+    assert(got(1) == ((2L, 1L, 0L, 4000000000000L, 4000000000000L, 0, 0L)))
+    // label 2: a=[1e6,1e6], b=[2e6,2e6] → cos² = 10⁶
+    assert(got(2) == ((1L, 1L, 4000000000000L, 2000000000000L,
+      8000000000000L, 1, 1000000L)))
+    // label 3: zero a-centroid → NULL cos², sign 0
+    assert(got(3) == ((1L, 1L, 0L, 0L, 1000000000000L, 0, -1L)))
+    // label 4: a mean micro = (−3 + 0) div 2 = −1 (truncated), b = 1
+    assert(got(4) == ((2L, 1L, -1L, 1L, 1L, -1, 1000000L)))
+  }
+
   test("kAnonymityAudit: both bounds enforced; NULL quasi groups; NULL sensitive ignored") {
     val rows = Seq(
       // group (1, "A"): size 3 < k=3? no (==3 passes size), but l_div 1 < 2
