@@ -4679,6 +4679,34 @@ object TrainingData {
         col("n_r1"), col("n_r2"),
         expr("(n_r1 * 1000000L) div n_tokens").as("unseen_micro"))
 
+  /** Shared-prefix boilerplate clusters: group documents by the hash of
+    * their first `prefixLen` characters and report groups where ≥ 2 docs
+    * share the prefix but ≥ 2 DISTINCT full bodies exist — the
+    * template/boilerplate-header signature (site chrome, license
+    * headers, generated-page scaffolds) that exact dedup (identical
+    * bodies collapse to one hash) and shingle Jaccard (long distinct
+    * tails swamp the shared head) both miss. Docs shorter than the
+    * prefix are excluded — their "prefix" is the whole body, which is
+    * exact-dedup's jurisdiction.
+    *
+    * Scale shape: text reduces to TWO 32-byte hashes per doc at the
+    * scan; one groupBy on the prefix hash with a distinct-count on the
+    * body hash. No joins, no text in any shuffle. */
+  def prefixBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int): DataFrame = {
+    require(prefixLen >= 1, s"need prefixLen >= 1, got $prefixLen")
+    docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= prefixLen)
+      .select(col(idCol).as("doc_id"),
+        sha2(substring(col(textCol), 1, prefixLen), 256).as("prefix_hash"),
+        sha2(col(textCol), 256).as("text_hash"))
+      .groupBy(col("prefix_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text_hash")).as("n_distinct"),
+        min(col("doc_id")).as("min_doc"))
+      .where(col("n_docs") >= 2 && col("n_distinct") >= 2)
+  }
+
   /** Per-group embedding centroid drift between two corpus halves
     * (id parity = "version A vs version B"): each component is quantized
     * to integer micros FIRST — so the per-dimension sums are

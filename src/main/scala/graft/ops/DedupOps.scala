@@ -523,6 +523,15 @@ object DedupOps {
         t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
         .persist())
 
+  /** X114 — shared-prefix boilerplate clusters at 64 chars: the
+    * template-header detector between exact dedup (x25) and span dedup
+    * (x35). Fixture binding of
+    * [[graft.api.TrainingData.prefixBoilerplate]]. */
+  def x114PrefixBoilerplate(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.prefixBoilerplate(
+      t(s, d, "documents"), "doc_id", "text", prefixLen = 64)
+      .orderBy(col("prefix_hash"))
+
   /** X59 — corpus version diff: the fixture plays two crawl dumps from
     * one table — new drops every 7th doc (removed), rewrites every 5th
     * (changed), and re-ingests every 11th under a shifted id (added) —
@@ -763,6 +772,7 @@ object DedupOps {
     "x33d_contamination_norm" -> (x33dContaminationNormalized _),
     "x26i_cluster_split" -> (x26iClusterSplit _),
     "x59_corpus_diff" -> (x59CorpusDiff _),
+    "x114_prefix_boilerplate" -> (x114PrefixBoilerplate _),
     "x60_ngram_novelty" -> (x60NgramNovelty _),
     "x62_curation_report" -> (x62CurationReport _),
     "x63_source_kl" -> (x63SourceKl _))
@@ -889,6 +899,18 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // both engines hash with sha256 over the identical 64-char prefix;
+    // HAVING mirrors the two-bound boilerplate condition
+    "x114_prefix_boilerplate" ->
+      """SELECT sha256(substring(text, 1, 64)) AS prefix_hash,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct,
+        |  min(doc_id) AS min_doc
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) >= 64
+        |GROUP BY 1
+        |HAVING count(*) >= 2 AND count(DISTINCT sha256(text)) >= 2
+        |ORDER BY 1""".stripMargin,
     // resemblance replay: the shared toks/sh fragment, per-source
     // DISTINCT shingle sets, one co-occurrence self-join (the oracle
     // may be quadratic where the engine aggregates — result-equal)

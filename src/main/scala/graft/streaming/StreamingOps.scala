@@ -270,6 +270,74 @@ object StreamingOps {
       fin
     }.orderBy(col("window_start_ms"), col("event_type"))
 
+  /** Union of two INDEPENDENTLY-watermarked streams → event-time window
+    * counts. The query's global watermark is the MINIMUM over the two
+    * sources, so a lagging source holds back window finalization for
+    * the whole union — the multi-source coordination rule every
+    * fan-in ingestion topology (N kinesis shards/regions → one table)
+    * lives or dies by. StreamingSpec pins the mid-stream hold-back (a
+    * window whose end has passed source A's watermark but not B's must
+    * NOT emit); the x115 gate drives it to completion and the oracle is
+    * the plain batch window count over both sources' rows. */
+  def unionWindowCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.withWatermark("ts", "30 minutes")
+      .unionByName(b.withWatermark("ts", "30 minutes"))
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+
+  /** X115 — the two-source union driven to completion: fixture events
+    * split by id parity into two memory streams, source B delivered a
+    * batch behind source A (the lag the min-watermark rule exists for),
+    * then a sentinel on BOTH streams (each source's watermark must
+    * pass the last real window — advancing only one would hold the
+    * global min back forever). Completed output = batch window counts
+    * over all events. */
+  @transient private val unionGateCache = graft.ops.PerAppCache.newCache
+  def x115MultisourceUnion(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(unionGateCache, s, d) {
+      import s.implicits._
+      val view = "x115_union_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s.catalog.dropTempView(view)
+      val evs = graft.Tables.t(s, d, "events")
+        .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, String, Long)].collect()
+      val maxTs = evs.map(_._3).max
+      val (aEvs, bEvs) = evs.partition(_._1 % 2 == 0)
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      val memA = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      val memB = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, java.sql.Timestamp)]
+      def rows(xs: Array[(Long, String, Long)]) = xs.toSeq.map {
+        case (e, t, ms) => (e, t, new java.sql.Timestamp(ms)) }
+      val q = unionWindowCounts(
+          memA.toDS().toDF("event_id", "event_type", "ts"),
+          memB.toDS().toDF("event_id", "event_type", "ts"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(view).start()
+      try {
+        memA.addData(rows(aEvs)) // A fully delivered, B absent: lag phase
+        q.processAllAvailable()
+        memB.addData(rows(bEvs)) // B catches up
+        q.processAllAvailable()
+        val sTs = new java.sql.Timestamp(maxTs + 4 * 1800000L + 1000L)
+        memA.addData(Seq((-1L, "purchase", sTs)))
+        memB.addData(Seq((-2L, "purchase", sTs)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = s.table(view).filter(col("window_start_ms") <= maxTs)
+      val collected = out.collect()
+      val fin = s.createDataFrame(
+        java.util.Arrays.asList(collected: _*), out.schema)
+      s.catalog.dropTempView(view)
+      fin
+    }.orderBy(col("window_start_ms"), col("event_type"))
+
   /** X24 — flatMapGroupsWithState: manual sessionization with 0..n
     * outputs per group per batch and EVENT-TIME TIMEOUTS — the fully
     * general custom-state shape (`session_window` above is the
@@ -835,6 +903,7 @@ object StreamingOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x105_chained_stateful" -> (x105ChainedStateful _),
+    "x115_multisource_union" -> (x115MultisourceUnion _),
     "x101_stream_left_join" -> (x101StreamLeftJoin _),
     "x87_stream_enrich" -> (x87StreamStaticEnrich _),
     "x75_stream_dedup" -> (x75StreamDedupRedelivery _),
@@ -869,6 +938,19 @@ object StreamingOps {
     // the completed dedup→window chain == batch window counts over
     // DISTINCT events (identical redelivered payloads collapse; the
     // 15-min window start is epoch-floor arithmetic in both engines)
+    // the completed two-source union == the batch window count over ALL
+    // rows (no dedup in this pipeline — redelivery is x105's concern);
+    // the parity split is a partition of the rows, so the union restores
+    // exactly the batch relation
+    "x115_multisource_union" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000
+        |    AS window_start_ms,
+        |  event_type, count(*) AS n
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
     "x105_chained_stateful" ->
       """WITH ev AS (
         |  SELECT DISTINCT event_id, ts, event_type FROM events

@@ -2631,6 +2631,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
   }
 
+  test("prefixBoilerplate: shared-prefix differing-body groups only; short docs excluded") {
+    val p = "x" * 64
+    val docs = Seq(
+      (1L, p + " tail one"),   // boilerplate group: same prefix,
+      (2L, p + " tail two"),   //   three docs, two distinct bodies
+      (3L, p + " tail one"),
+      (4L, "y" * 64 + " a"),   // same prefix, IDENTICAL bodies → exact-dup
+      (5L, "y" * 64 + " a"),   //   territory, not boilerplate: absent
+      (6L, "z" * 64 + " solo"), // singleton prefix: absent
+      (7L, "short"))            // shorter than the prefix: excluded
+      .toDF("id", "body")
+    val got = graft.api.TrainingData
+      .prefixBoilerplate(docs, "id", "body", prefixLen = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((3L, 2L, 1L)))
+  }
+
   test("centroidDrift: exact micro means, sign, truncation toward zero, zero-norm NULL") {
     val emb = Seq(
       // label 1: orthogonal halves → dot 0

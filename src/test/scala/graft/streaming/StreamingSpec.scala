@@ -381,6 +381,49 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("chain_spec") }
   }
 
+  test("union of two watermarked sources finalizes on the MIN watermark only") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // aligned to a 15-min boundary so offset/15min IS the window index
+    val base = 1700000100000L
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    def w(min: Long) = base + (min / 15L) * 900000L
+    val memA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val memB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingOps.unionWindowCounts(
+        memA.toDS().toDF("event_id", "event_type", "ts"),
+        memB.toDS().toDF("event_id", "event_type", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("union_spec").start()
+    try {
+      // A races ahead to minute 120; B has produced nothing yet
+      memA.addData(Seq((0L, "view", ts(1)), (2L, "view", ts(16)),
+        (4L, "view", ts(120))))
+      q.processAllAvailable()
+      // A's own watermark (min 90) would flush five windows; the global
+      // min (B at the initial watermark) must hold ALL of them back
+      assert(spark.table("union_spec").count() == 0)
+      // B catches up to minute 50 → global wm = min(90, 20) = minute 20:
+      // exactly window [0,15) may flush — [15,30) (A@16) must still wait
+      memB.addData(Seq((1L, "view", ts(2)), (3L, "view", ts(50))))
+      q.processAllAvailable()
+      val mid = spark.table("union_spec").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(mid == Set((w(0), "view", 2L)))
+      // sentinels on BOTH sources: everything real flushes
+      memA.addData(Seq((-1L, "view", ts(300))))
+      memB.addData(Seq((-2L, "view", ts(300))))
+      q.processAllAvailable()
+      val fin = spark.table("union_spec")
+        .filter(col("window_start_ms") <= base + 120L * 60000L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(fin == Set((w(0), "view", 2L), (w(16), "view", 1L),
+        (w(50), "view", 1L), (w(120), "view", 1L)))
+    } finally { q.stop(); spark.catalog.dropTempView("union_spec") }
+  }
+
   test("x101 gate equals the batch LEFT join (null rows included)") {
     val gate = StreamingOps.x101StreamLeftJoin(spark, dir).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
