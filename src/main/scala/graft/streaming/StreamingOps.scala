@@ -670,6 +670,104 @@ object StreamingOps {
       } finally s2.catalog.dropTempView(view)
     }.orderBy(col("user_id"), col("event_type"))
 
+  /** Typed output of the per-window admission controller. */
+  final case class QuotaOut(window_start_ms: Long, event_type: String,
+      n_total: Long, n_admitted: Long, n_dropped: Long)
+
+  /** Per-(event_type, 15-min window) admission control: a ValueState
+    * counter tallies arrivals; ONE event-time timer per key, armed at
+    * window end when the key's state is first created, emits the
+    * admission report (total, admitted = min(total, quota), dropped)
+    * exactly when the watermark proves the window complete — then clears
+    * the state, so state is bounded by OPEN windows. The rate-limiter
+    * shape every replay/ingestion topology needs (R9 paces the producer;
+    * this bounds the consumer per key), with deterministic COUNT
+    * semantics: which rows were "admitted" is not an online-decidable
+    * identity under arbitrary arrival order, so the contract reports
+    * conserved counts, not row identities. Late rows can never arrive
+    * after their window's timer fired: the timer fires only once the
+    * watermark passes window end, and the same watermark already drops
+    * older input rows. */
+  class QuotaProcessor(quota: Long) extends org.apache.spark.sql.streaming
+      .StatefulProcessor[(String, Long), (String, Long), QuotaOut] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, Long),
+        rows: Iterator[(String, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[QuotaOut] = {
+      val fresh = !st.exists()
+      val n = (if (fresh) 0L else st.get()) + rows.size
+      st.update(n)
+      if (fresh) getHandle.registerTimer(key._2 + 900000L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: (String, Long),
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[QuotaOut] = {
+      val n = if (st.exists()) st.get() else 0L
+      st.clear()
+      Iterator.single(QuotaOut(key._2, key._1, n, math.min(n, quota),
+        math.max(n - quota, 0L)))
+    }
+  }
+
+  /** X116 — the admission controller driven to completion (quota 3 per
+    * (type, window)): fixture events in one batch, a sentinel advances
+    * the watermark past every real window end + delay, so EVERY report
+    * row emits through [[QuotaProcessor.handleExpiredTimer]] in the
+    * no-data batch — the gate proves the timer path is the only exit.
+    * Oracle: batch counts with least/greatest quota arithmetic. */
+  @transient private val quotaGateCache = graft.ops.PerAppCache.newCache
+  def x116QuotaAdmission(s: SparkSession, d: String): DataFrame =
+    graft.ops.PerAppCache.cachedPerApp(quotaGateCache, s, d) {
+      // transformWithState needs a multi-column-family state store:
+      // RocksDB on a child session (the x43 pattern)
+      val s2 = s.newSession()
+      import s2.implicits._
+      val view = "x116_quota_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val evs = graft.Tables.t(s2, d, "events")
+          .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+            col("ts").isNotNull)
+          .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+          .as[(String, Long)].collect()
+        val maxTs = evs.map(_._2).max
+        implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(String, java.sql.Timestamp)]
+        val q = mem.toDS().toDF("event_type", "ts")
+          .withWatermark("ts", "30 minutes")
+          .select(col("event_type"),
+            expr("(unix_millis(ts) div 900000) * 900000").as("win"))
+          .as[(String, Long)]
+          .groupByKey(identity)
+          .transformWithState(new QuotaProcessor(3L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(view).start()
+        try {
+          mem.addData(evs.toSeq.map { case (t, ms) =>
+            (t, new java.sql.Timestamp(ms)) })
+          q.processAllAvailable()
+          mem.addData(Seq(("purchase",
+            new java.sql.Timestamp(maxTs + 4 * 1800000L + 1000L))))
+          q.processAllAvailable()
+        } finally q.stop()
+        val out = s2.table(view).filter(col("window_start_ms") <= maxTs)
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally s2.catalog.dropTempView(view)
+    }.orderBy(col("window_start_ms"), col("event_type"))
+
   /** X24e/X43c — the island-merging sessionizer re-expressed in
     * transformWithState with EXPLICIT event-time TIMERS: where
     * [[sessionsWithState]] leans on `GroupStateTimeout.EventTimeTimeout`
@@ -904,6 +1002,7 @@ object StreamingOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x105_chained_stateful" -> (x105ChainedStateful _),
     "x115_multisource_union" -> (x115MultisourceUnion _),
+    "x116_quota_admission" -> (x116QuotaAdmission _),
     "x101_stream_left_join" -> (x101StreamLeftJoin _),
     "x87_stream_enrich" -> (x87StreamStaticEnrich _),
     "x75_stream_dedup" -> (x75StreamDedupRedelivery _),
@@ -938,6 +1037,20 @@ object StreamingOps {
     // the completed dedup→window chain == batch window counts over
     // DISTINCT events (identical redelivered payloads collapse; the
     // 15-min window start is epoch-floor arithmetic in both engines)
+    // the completed admission report == batch counts with the quota
+    // arithmetic applied per (type, window): counts are conserved
+    // (admitted + dropped = total) and every row exited via the timer
+    "x116_quota_admission" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 900000) * 900000
+        |    AS window_start_ms,
+        |  event_type, count(*) AS n_total,
+        |  CAST(least(count(*), 3) AS BIGINT) AS n_admitted,
+        |  CAST(greatest(count(*) - 3, 0) AS BIGINT) AS n_dropped
+        |FROM events
+        |WHERE event_id IS NOT NULL AND ts IS NOT NULL
+        |  AND event_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin,
     // the completed two-source union == the batch window count over ALL
     // rows (no dedup in this pipeline — redelivery is x105's concern);
     // the parity split is a partition of the rows, so the union restores

@@ -57,7 +57,8 @@ object ScaleSweep {
     "x78_containment", "x79_pmi_collocations", "x82_mmr_diverse",
     "x85_zipf_slope", "x86_simhash_pairs", "x90_ks_drift",
     "x91_skipgram_pmi", "x76_bm25_topk",
-    "x92_jaccard_prefix", "x95_ngram_saturation", "x104_source_jaccard")
+    "x92_jaccard_prefix", "x95_ngram_saturation", "x104_source_jaccard",
+    "x108_image_phash", "x113_centroid_drift")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

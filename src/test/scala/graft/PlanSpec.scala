@@ -496,6 +496,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("x108/x109 decode stays row-local; the pair join is banded, never all-pairs") {
+    // audio features: decode inside mapPartitions, one result-order
+    // exchange only — payload bytes must never shuffle
+    val p109 = plan("x109_audio_segments")
+    assert(treeCount(p109, "Exchange") <= 1, p109)
+    // image hash pairs: candidates come from the band-equality equi-join;
+    // a brute-force pair scan would surface as CartesianProduct or a
+    // nested-loop join over the hash relation
+    val p108 = plan("x108_image_phash")
+    assert(!p108.contains("CartesianProduct"), p108)
+    assert(!p108.contains("BroadcastNestedLoopJoin"), p108)
+  }
+
+  test("x113 centroid joins run on centroid-sized relations (broadcast), corpus scanned without a pair join") {
+    val p = plan("x113_centroid_drift")
+    // the half-A x half-B join is on (label, dim) centroid rows — tiny,
+    // broadcastable; the corpus itself must never self-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(treeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("x114 boilerplate is one aggregation over hashes — no join, no window") {
+    val p = plan("x114_prefix_boilerplate")
+    assert(treeCount(p, "SortMergeJoin") == 0 &&
+      treeCount(p, "BroadcastHashJoin") == 0, p)
+    assert(treeCount(p, "Window") == 0, p)
+    assert(treeCount(p, "Scan parquet") == 1, p)
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

@@ -424,6 +424,51 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("union_spec") }
   }
 
+  test("quota admission: cross-batch accumulation, timer-only emission, conserved counts") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = 1700000100000L // 15-min aligned, past the initial watermark
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)]
+    val q = mem.toDS().toDF("event_type", "ts")
+      .withWatermark("ts", "30 minutes")
+      .select(col("event_type"),
+        expr("(unix_millis(ts) div 900000) * 900000").as("win"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .transformWithState(new StreamingOps.QuotaProcessor(3L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quota_spec").start()
+    try {
+      mem.addData(Seq(("A", ts(1)), ("A", ts(2)), ("B", ts(3))))
+      q.processAllAvailable()
+      mem.addData(Seq(("A", ts(4)), ("A", ts(5)), ("A", ts(6)), ("B", ts(7))))
+      q.processAllAvailable()
+      // over-quota arrivals exist, but NOTHING may emit before the
+      // watermark proves the window complete: the timer is the only exit
+      assert(s2.table("quota_spec").count() == 0)
+      mem.addData(Seq(("A", ts(300))))
+      q.processAllAvailable()
+      val got = s2.table("quota_spec")
+        .filter(col("window_start_ms") === base)
+        .collect()
+        .map(r => (r.getString(1), (r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      // A: 5 arrivals over two batches → 3 admitted, 2 dropped; B: 2 → all in
+      assert(got == Map("A" -> ((5L, 3L, 2L)), "B" -> ((2L, 2L, 0L))))
+      // conservation: admitted + dropped = total on every row
+      s2.table("quota_spec").collect().foreach { r =>
+        assert(r.getLong(3) + r.getLong(4) == r.getLong(2), r.toString)
+      }
+    } finally { q.stop(); s2.catalog.dropTempView("quota_spec") }
+  }
+
   test("x101 gate equals the batch LEFT join (null rows included)") {
     val gate = StreamingOps.x101StreamLeftJoin(spark, dir).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
