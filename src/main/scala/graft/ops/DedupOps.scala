@@ -174,14 +174,47 @@ object DedupOps {
     * MinHash path — shared by [[minhashPairs]] and the x107 recall
     * audit (which must see the candidates the verify step would have
     * filtered). */
-  private def shaBandCandidates(s: SparkSession, d: String): DataFrame = {
-    val sig = persistShaSignatures(s, d)
-    val bands = sig.select(col("doc_id"), explode(array(
+  private def shaBandCandidates(s: SparkSession, d: String): DataFrame =
+    coocPairs(shaBands(s, d), "bandkey").select(col("d1"), col("d2"))
+
+  /** The (doc_id, bandkey) relation of the sha MinHash path — shared by
+    * [[shaBandCandidates]] (symmetric self-coocurrence) and the x117
+    * incremental admission (delta ⋈ base cross join only). */
+  private def shaBands(s: SparkSession, d: String): DataFrame =
+    persistShaSignatures(s, d).select(col("doc_id"), explode(array(
       (0 until NumHashes / BandSize).map { bId =>
         concat_ws(",", lit(bId) +:
           (0 until BandSize).map(r => col(s"sig_${bId * BandSize + r}")): _*)
       }: _*)).as("bandkey"))
-    coocPairs(bands, "bandkey").select(col("d1"), col("d2"))
+
+  /** X117 — INCREMENTAL near-dup admission: a delta batch (every 10th
+    * doc) screened against the standing corpus through the LSH band
+    * index — the near-dup sibling of x25b's exact-hash admission, and
+    * how a 100 TB corpus actually ingests: the base side's signatures
+    * and bands already exist (here: the SHARED cached sha-signature
+    * relation), the delta is signed fresh, and candidates come ONLY
+    * from delta-band ⋈ base-band — no base×base pair work, no delta
+    * self-pairs, cost proportional to the delta. Verified cross
+    * candidates (exact Jaccard ≥ 0.5) reject the newcomer with its
+    * smallest duplicate-of id; unmatched newcomers are admitted. */
+  def x117IncrementalAdmission(s: SparkSession, d: String): DataFrame = {
+    val bands = shaBands(s, d)
+    val cand = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("bandkey"), col("doc_id").as("d1"))
+      .join(bands.filter(col("doc_id") % 10 =!= 0)
+        .select(col("bandkey"), col("doc_id").as("d2")), "bandkey")
+      .select(col("d1"), col("d2")).distinct()
+    val matches = verifiedJaccardPairs(cand, persistShingles(s, d), 0.5)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("d2")).as("dup_of"))
+    t(s, d, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 0)
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        (coalesce(col("n_dups"), lit(0L)) === 0L).as("admitted"))
+      .orderBy(col("doc_id"))
   }
 
   /** X107 — LSH recall/precision audit: the banding's candidate pairs
@@ -773,6 +806,7 @@ object DedupOps {
     "x26i_cluster_split" -> (x26iClusterSplit _),
     "x59_corpus_diff" -> (x59CorpusDiff _),
     "x114_prefix_boilerplate" -> (x114PrefixBoilerplate _),
+    "x117_incremental_admission" -> (x117IncrementalAdmission _),
     "x60_ngram_novelty" -> (x60NgramNovelty _),
     "x62_curation_report" -> (x62CurationReport _),
     "x63_source_kl" -> (x63SourceKl _))
@@ -899,6 +933,37 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the SHARED banding fragment restricted to mixed-parity pairs and
+    // oriented (delta → base), then the same exact-Jaccard verification
+    // and per-newcomer admission verdict
+    "x117_incremental_admission" ->
+      s"""WITH $shaMinhashCandCtes,
+         |candx AS (
+         |  SELECT CASE WHEN d1 % 10 = 0 THEN d1 ELSE d2 END AS new_id,
+         |         CASE WHEN d1 % 10 = 0 THEN d2 ELSE d1 END AS base_id
+         |  FROM cand
+         |  WHERE (d1 % 10 = 0) <> (d2 % 10 = 0)),
+         |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+         |ix AS (
+         |  SELECT c.new_id, c.base_id, count(*) AS inter
+         |  FROM candx c
+         |  JOIN sh a ON a.doc_id = c.new_id
+         |  JOIN sh b ON b.doc_id = c.base_id AND b.sh = a.sh
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT new_id, base_id FROM ix
+         |  JOIN n n1 ON new_id = n1.doc_id
+         |  JOIN n n2 ON base_id = n2.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (n1.ns + n2.ns - inter) >= 0.5),
+         |m AS (
+         |  SELECT new_id AS doc_id, count(*) AS n_dups, min(base_id) AS dup_of
+         |  FROM ver GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(m.n_dups, 0) AS BIGINT) AS n_dups, m.dup_of,
+         |  coalesce(m.n_dups, 0) = 0 AS admitted
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     // both engines hash with sha256 over the identical 64-char prefix;
     // HAVING mirrors the two-bound boilerplate condition
     "x114_prefix_boilerplate" ->

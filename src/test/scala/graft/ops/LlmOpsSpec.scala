@@ -19,6 +19,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(lsh == exact) // 16 hashes / 4 bands: recall 1.0 at jaccard ≥ 0.5 here
   }
 
+  test("x117 incremental admission agrees with the batch LSH scan's cross pairs") {
+    val full = pairSet(DedupOps.minhashPairs(spark, d).select("d1", "d2").collect())
+    // the batch scan's mixed-parity pairs, oriented delta → base
+    val crossRejects = full.collect {
+      case (a, b) if (a % 10 == 0) != (b % 10 == 0) =>
+        if (a % 10 == 0) (a, b) else (b, a)
+    }.groupBy(_._1).map { case (k, v) => (k, (v.size.toLong, v.map(_._2).min)) }
+    val got = DedupOps.x117IncrementalAdmission(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.nonEmpty && got.values.exists(!_._3),
+      "fixture must exercise the reject path")
+    got.foreach { case (id, (n, dupOf, admitted)) =>
+      crossRejects.get(id) match {
+        case Some((en, eMin)) =>
+          assert(!admitted && n == en && dupOf == eMin, s"doc $id")
+        case None => assert(admitted && n == 0L && dupOf == -1L, s"doc $id")
+      }
+    }
+    // delta-delta near-dups must NOT reject an admission (only the
+    // standing corpus gates newcomers)
+    assert(got.keys.forall(_ % 10 == 0))
+  }
+
   test("x107 audit counts agree with the exact/LSH relations it rides") {
     val exact = DedupOps.x26Jaccard(spark, d).count()
     val row = DedupOps.x107LshRecallAudit(spark, d).collect().head
