@@ -4679,6 +4679,59 @@ object TrainingData {
         col("n_r1"), col("n_r2"),
         expr("(n_r1 * 1000000L) div n_tokens").as("unseen_micro"))
 
+  /** Greedy k-center coreset (Gonzalez 2-approximation): from a
+    * deterministic pool (the `poolSize` lowest ids), seed with the
+    * lowest id, then k−1 rounds of "select the point FARTHEST from the
+    * selected set" (max of min squared-L2, micros; ties → smallest id).
+    * Pure-coverage representative selection — [[mmrDiverseTopK]] trades
+    * relevance against diversity around a query; k-center has no query
+    * and maximizes coverage alone, and its mindist_micro column is the
+    * (decreasing) covering-radius sequence: stop when it plateaus and k
+    * was enough. The coreset/prototype pick behind "label k examples
+    * that span the space".
+    *
+    * Scale shape: the MMR loop discipline — each round one bounded-pool
+    * argmax (TakeOrderedAndProject after localCheckpoint, lineage never
+    * re-expands) and one broadcast fold of the single selected row; the
+    * corpus is touched once to build the pool. */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, poolSize: Int): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize, got $k/$poolSize")
+    import graft.functions.VectorFunctions.dot_product
+    def dMicro(a: Column, b: Column): Column =
+      round((dot_product(a, a) - lit(2d) * dot_product(a, b)
+        + dot_product(b, b)) * lit(1e6)).cast("long")
+    var pool = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("c_id"), col(embCol).as("emb"))
+      .orderBy(col("c_id")).limit(poolSize)
+      .localCheckpoint(true)
+    var sel = pool.orderBy(col("c_id")).limit(1).localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    picks += sel.select(lit(1).as("rank"), col("c_id"),
+      lit(null).cast("long").as("mindist_micro"))
+    pool = pool.crossJoin(broadcast(
+        sel.select(col("c_id").as("s_id"), col("emb").as("s_emb"))))
+      .filter(col("c_id") =!= col("s_id"))
+      .select(col("c_id"), col("emb"),
+        dMicro(col("emb"), col("s_emb")).as("md"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      sel = pool.orderBy(col("md").desc, col("c_id")).limit(1)
+        .localCheckpoint(true)
+      picks += sel.select(lit(r).as("rank"), col("c_id"),
+        col("md").as("mindist_micro"))
+      if (r < k) {
+        pool = pool.crossJoin(broadcast(
+            sel.select(col("c_id").as("s_id"), col("emb").as("s_emb"))))
+          .filter(col("c_id") =!= col("s_id"))
+          .select(col("c_id"), col("emb"),
+            least(col("md"), dMicro(col("emb"), col("s_emb"))).as("md"))
+          .localCheckpoint(true)
+      }
+    }
+    picks.reduce(_ unionAll _)
+  }
+
   /** Shared-prefix boilerplate clusters: group documents by the hash of
     * their first `prefixLen` characters and report groups where ≥ 2 docs
     * share the prefix but ≥ 2 DISTINCT full bodies exist — the

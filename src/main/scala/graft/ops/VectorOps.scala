@@ -89,6 +89,15 @@ object VectorOps {
       .orderBy(col("rank"))
   }
 
+  /** X118 — greedy k-center coreset (Gonzalez) over the 64 lowest-id
+    * embeddings, k = 8: pure-coverage prototype selection with the
+    * covering-radius sequence. Fixture binding of
+    * [[graft.api.TrainingData.kCenterCoreset]]. */
+  def x118KCenterCoreset(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kCenterCoreset(
+      t(s, d, "embeddings"), "vec_id", "embedding", k = 8, poolSize = 64)
+      .orderBy(col("rank"))
+
   /** X27 (scale path) — ANN via LSH: 8 tables of 4-bit SRP buckets;
     * candidates = same bucket in any table; exact cosine re-rank within
     * candidates. Recall vs [[x27TopK]] is asserted in LlmOpsSpec. */
@@ -1044,6 +1053,7 @@ object VectorOps {
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
     "x113_centroid_drift" -> (x113CentroidDrift _),
+    "x118_kcenter_coreset" -> (x118KCenterCoreset _),
     "x27_cosine_topk" -> (x27TopK _),
     "x73_hard_negatives" -> (x73HardNegatives _),
     "x82_mmr_diverse" -> (x82MmrDiverse _),
@@ -1633,6 +1643,42 @@ object VectorOps {
          |    ORDER BY rrf_micro DESC, c_id) AS INTEGER) AS rank FROM f)
          |SELECT q_id, c_id, rrf_micro, rank FROM r WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
+    // k-center replay: the MMR unrolling recipe for the Gonzalez greedy —
+    // seed s1 = lowest pool id, then 7 rounds of (max md, min c_id)
+    // argmax with least() folds; the same IEEE three-dot + micro-round
+    // sequence as the engine makes every argmax engine-identical
+    "x118_kcenter_coreset" -> {
+      val dM = (a: String, b: String) =>
+        s"CAST(round((${dotSql(a, a)} - 2 * ${dotSql(a, b)} + ${dotSql(b, b)}) * 1000000, 0) AS BIGINT)"
+      val rounds = (2 to 8).map { r =>
+        val prev = s"m${r - 1}"
+        val sel =
+          s"""s$r AS (
+             |  SELECT c_id, emb, md FROM $prev
+             |  ORDER BY md DESC, c_id LIMIT 1)""".stripMargin
+        val next = if (r < 8)
+          s""",
+             |m$r AS (
+             |  SELECT m.c_id, m.emb, least(m.md, ${dM("m.emb", "s.emb")}) AS md
+             |  FROM $prev m, s$r s WHERE m.c_id <> s.c_id)""".stripMargin
+        else ""
+        sel + next
+      }.mkString(",\n")
+      val unions = (2 to 8).map(r =>
+        s"SELECT $r AS rank, c_id, md AS mindist_micro FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH pool AS (
+         |  SELECT vec_id AS c_id, embedding AS emb FROM embeddings
+         |  WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 64),
+         |s1 AS (SELECT c_id, emb FROM pool ORDER BY c_id LIMIT 1),
+         |m1 AS (
+         |  SELECT p.c_id, p.emb, ${dM("p.emb", "s.emb")} AS md
+         |  FROM pool p, s1 s WHERE p.c_id <> s.c_id),
+         |$rounds
+         |SELECT 1 AS rank, c_id, CAST(NULL AS BIGINT) AS mindist_micro FROM s1
+         |UNION ALL $unions
+         |ORDER BY rank""".stripMargin
+    },
     // centroid-drift replay: per-component micro quantization, exact
     // integer sums and truncated means, then the same IEEE double
     // expression for cos²·10⁶ over exact integer inputs

@@ -2631,6 +2631,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(!got.contains(("a", "c")) && !got.contains(("b", "c")))
   }
 
+  test("kCenterCoreset: hand-computed greedy picks, tie to smaller id, radius non-increasing") {
+    // 1-D points embedded as [x, 0]: 0, 100, 10, 1, 11 for ids 1..5
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(100.0f, 0.0f)),
+      (3L, Array(10.0f, 0.0f)), (4L, Array(1.0f, 0.0f)),
+      (5L, Array(11.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.api.TrainingData
+      .kCenterCoreset(emb, "vec_id", "embedding", k = 5, poolSize = 5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // greedy: seed 1 (x=0), then 2 (x=100, d²=10⁴), then 5 (x=11,
+    // md=121), then the 10⁶-micro tie between ids 3 and 4 → smaller id 3
+    assert(got.toSeq == Seq(
+      (1, 1L, -1L), (2, 2L, 10000L * 1000000L), (3, 5L, 121L * 1000000L),
+      (4, 3L, 1000000L), (5, 4L, 1000000L)))
+    // the covering radius never increases
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a })
+  }
+
   test("prefixBoilerplate: shared-prefix differing-body groups only; short docs excluded") {
     val p = "x" * 64
     val docs = Seq(
