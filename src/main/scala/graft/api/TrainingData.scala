@@ -4679,6 +4679,101 @@ object TrainingData {
         col("n_r1"), col("n_r2"),
         expr("(n_r1 * 1000000L) div n_tokens").as("unseen_micro"))
 
+  /** Confusion matrix with per-true-class row fractions: (label, pred,
+    * n, label_total, row_frac_micros = 10⁶·n div label_total) — the
+    * diagonal rows are per-class recall, off-diagonal rows name the
+    * confusions. The evaluation table behind trusting any classifier
+    * that gates the corpus (lang-id routing, quality filters, toxicity
+    * screens); NULL labels/predictions are excluded (they are coverage
+    * problems, not confusions).
+    *
+    * Scale shape: two hash aggregations on low-cardinality class keys
+    * (map-side combined) + one broadcast-sized join on label. */
+  def confusionMatrix(rows: DataFrame, labelCol: String,
+      predCol: String): DataFrame = {
+    val base = rows
+      .select(col(labelCol).as("label"), col(predCol).as("pred"))
+      .filter(col("label").isNotNull && col("pred").isNotNull)
+    base.groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+      .join(base.groupBy(col("label")).agg(count(lit(1)).as("label_total")),
+        Seq("label"))
+      .select(col("label"), col("pred"), col("n"), col("label_total"),
+        expr("(1000000 * n) div label_total").as("row_frac_micros"))
+  }
+
+  /** Calibration (reliability) bins + ECE for a probability-like score
+    * in [0, 1]: per equal-width bin, the mean predicted probability vs
+    * the empirical positive rate, both in exact micros (per-row micro
+    * quantization BEFORE the sum — order-independent), the absolute gap,
+    * and the expected calibration error ECE = Σ n_b·|gap_b| div N
+    * broadcast on every row. A well-calibrated quality/toxicity score
+    * hugs the diagonal; filters thresholded on a mis-calibrated score
+    * keep the wrong mass ([[filterThresholdSweep]] prices thresholds;
+    * this prices the score itself). Out-of-range probabilities clamp
+    * into the edge bins.
+    *
+    * Scale shape: one row-local projection, one aggregation on ≤ nBins
+    * keys, one broadcast of the 1-row ECE. */
+  def calibrationBins(rows: DataFrame, probCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"need nBins >= 1, got $nBins")
+    val base = rows
+      .select(col(probCol).cast("double").as("p"),
+        col(labelCol).cast("boolean").as("y"))
+      .filter(col("p").isNotNull && col("y").isNotNull)
+      .select(
+        greatest(lit(0L), least(floor(col("p") * nBins).cast("long"),
+          lit(nBins - 1L))).as("bin"),
+        round(col("p") * 1e6).cast("long").as("p_micro"),
+        when(col("y"), 1L).otherwise(0L).as("pos"))
+    val bins = base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("p_micro")).as("sp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sp div n").as("mean_p_micros"),
+        expr("(1000000 * n_pos) div n").as("emp_micros"))
+      .withColumn("gap_micros",
+        abs(col("mean_p_micros") - col("emp_micros")))
+    bins.crossJoin(broadcast(
+      bins.agg(expr("sum(n * gap_micros) div sum(n)").as("ece_micros"))))
+  }
+
+  /** Exact ROC-AUC via the Mann–Whitney U statistic with midrank tie
+    * handling, in integer arithmetic end to end: group rows by score,
+    * one ordered pass over the DISTINCT-score relation accumulates
+    * 2·Σ(positive midranks) = Σ_s p_s·(2·cum_s + c_s + 1), and
+    * auc_micros = 10⁶·(r2 − n_pos·(n_pos+1)) div (2·n_pos·n_neg) —
+    * the threshold-free ranking quality of a filter score
+    * ([[calibrationBins]] prices its probabilities; this prices its
+    * ORDER). Single-class inputs → NULL. Exact while
+    * 10⁶·r2 ≲ 9·10¹⁸, i.e. n ≤ ~2·10⁶ rows; beyond that, pre-bucket
+    * scores or lift r2 to DECIMAL.
+    *
+    * Scale shape: per-score counts are one map-side-combined
+    * aggregation; the ordered cumulative pass runs over DISTINCT scores
+    * only (value cardinality, not rows), then one scalar reduction. */
+  def aucExact(rows: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = rows
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select((col("p") * (lit(2L) * col("cum") + col("c") + lit(1L)))
+        .as("pr2"), col("c"), col("p"))
+      .agg(sum(col("pr2")).as("r2"), sum(col("p")).as("n_pos"),
+        expr("sum(c) - sum(p)").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(expr(
+            "(1000000 * (r2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"))
+          .as("auc_micros"))
+  }
+
   /** Greedy k-center coreset (Gonzalez 2-approximation): from a
     * deterministic pool (the `poolSize` lowest ids), seed with the
     * lowest id, then k−1 rounds of "select the point FARTHEST from the

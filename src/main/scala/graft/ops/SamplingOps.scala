@@ -284,6 +284,31 @@ object SamplingOps {
         t(s, d, "documents"), "doc_id", nShards = 8, epoch = 3),
       t(s, d, "documents"), "doc_id", "n_chars")
 
+  /** X120 — calibration bins + ECE for the x58 score/label pair read as
+    * a probability (p = min(n_chars, 600)/600, label = lang = 'en'):
+    * x58 prices thresholds on this score; this prices the score's
+    * probability claim itself. The 600 divisor spreads the fixture's
+    * 48..553 n_chars range across all ten bins. Fixture binding of
+    * [[graft.api.TrainingData.calibrationBins]]. */
+  def x120Calibration(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.calibrationBins(
+      t(s, d, "documents")
+        .select((least(col("n_chars"), lit(600)).cast("double") / 600.0)
+          .as("p"), (col("lang") === "en").as("label")),
+      "p", "label", nBins = 10)
+      .orderBy(col("bin"))
+
+  /** X121 — exact Mann–Whitney ROC-AUC of the same score/label pair
+    * (score = n_chars, integer — no floats anywhere): the
+    * threshold-free ranking quality next to x58's per-threshold table
+    * and x120's calibration. Fixture binding of
+    * [[graft.api.TrainingData.aucExact]]. */
+  def x121AucExact(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.aucExact(
+      t(s, d, "documents")
+        .select(col("n_chars").as("score"), (col("lang") === "en").as("label")),
+      "score", "label")
+
   /** X96 — sliding-window passage chunking over documents: 16-token
     * windows advancing by 12 (overlap 4), dense chunk ids — the RAG /
     * long-document passage layout (X32's bin packing concatenates MANY
@@ -309,6 +334,8 @@ object SamplingOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x111_shuffle_quality" -> (x111ShuffleQuality _),
     "x112_shard_balance" -> (x112ShardBalance _),
+    "x120_calibration" -> (x120Calibration _),
+    "x121_auc_exact" -> (x121AucExact _),
     "x102_priority_sample" -> (x102PrioritySample _),
     "x96_passage_chunks" -> (x96PassageChunks _),
     "x83_epoch_shuffle" -> (x83EpochShuffle _),
@@ -464,6 +491,62 @@ object SamplingOps {
          |       ELSE CAST((1000000 * pair_abs) // (2 * n_shards * total_load)
          |         AS BIGINT) END AS gini_micros
          |FROM tot, pr""".stripMargin,
+    // calibration replay: identical IEEE double p, clamped equal-width
+    // bin, per-row micro quantization BEFORE the sums, // ≡ div on the
+    // non-negative operands, one-row ECE broadcast on every bin
+    "x120_calibration" ->
+      """WITH b AS (
+        |  SELECT least(n_chars, 600) / 600.0 AS p, (lang = 'en') AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (
+        |  SELECT greatest(0, least(CAST(floor(p * 10) AS BIGINT), 9)) AS bin,
+        |    CAST(round(p * 1000000.0, 0) AS BIGINT) AS p_micro,
+        |    CASE WHEN y THEN 1 ELSE 0 END AS pos
+        |  FROM b),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_micro) AS BIGINT) AS sp
+        |  FROM r GROUP BY 1),
+        |bins AS (
+        |  SELECT bin, n, n_pos, CAST(sp // n AS BIGINT) AS mean_p_micros,
+        |    CAST((1000000 * n_pos) // n AS BIGINT) AS emp_micros
+        |  FROM g),
+        |b2 AS (
+        |  SELECT *, CAST(abs(mean_p_micros - emp_micros) AS BIGINT)
+        |    AS gap_micros
+        |  FROM bins),
+        |e AS (SELECT CAST(sum(n * gap_micros) // sum(n) AS BIGINT)
+        |      AS ece_micros FROM b2)
+        |SELECT bin, n, n_pos, mean_p_micros, emp_micros, gap_micros,
+        |  e.ece_micros
+        |FROM b2, e ORDER BY bin""".stripMargin,
+    // Mann–Whitney replay: per-score counts, the cumulative-preceding
+    // window over DISTINCT scores, the same exact integer midrank sum
+    "x121_auc_exact" ->
+      """WITH b AS (
+        |  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |      CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT s, c, p,
+        |    coalesce(sum(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg
+        |  FROM w)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+        |         // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_micros
+        |FROM a""".stripMargin,
     // largest-remainder replay: integer seat arithmetic (// ≡ div on
     // positive operands), remainder ranking over the tiny strata
     // relation, in-stratum rank on the same sha-derived salted hash

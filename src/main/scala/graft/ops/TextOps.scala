@@ -83,9 +83,9 @@ object TextOps {
     graft.api.TrainingData.gopherRules(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** X28 — language-ID heuristic: stopword-marker voting (the n-gram
-    * heuristic degenerates to marker tokens on this synthetic corpus). */
-  def x28cLangId(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc lang-id prediction frame shared by [[x28cLangId]] and
+    * the x119 confusion matrix. */
+  private def langPredictions(s: SparkSession, d: String): DataFrame = {
     val en = Seq("the", "and", "of")
     val es = Seq("el", "la", "de")
     val fr = Seq("le", "et", "un")
@@ -101,8 +101,23 @@ object TextOps {
           .when(col("s_fr") > 0, "fr")
           .otherwise("unknown").as("pred_lang"),
         col("s_en"), col("s_es"), col("s_fr"))
-      .orderBy(col("doc_id"))
   }
+
+  /** X28 — language-ID heuristic: stopword-marker voting (the n-gram
+    * heuristic degenerates to marker tokens on this synthetic corpus). */
+  def x28cLangId(s: SparkSession, d: String): DataFrame =
+    langPredictions(s, d).orderBy(col("doc_id"))
+
+  /** X119 — the lang-id heuristic EVALUATED: confusion matrix of the
+    * x28c predictions against the fixture's labelled lang — diagonal
+    * rows are per-class recall (micros), off-diagonal rows name which
+    * languages the marker heuristic confuses. The audit that decides
+    * whether a classifier may gate corpus routing. Fixture binding of
+    * [[graft.api.TrainingData.confusionMatrix]]. */
+  def x119LangConfusion(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.confusionMatrix(
+      langPredictions(s, d), "labelled_lang", "pred_lang")
+      .orderBy(col("label"), col("pred"))
 
   /** X28 — tf-idf: highest-scoring term per document. idf is the only
     * libm-touched value (ln) → rounded at 6 decimals on both sides.
@@ -664,6 +679,7 @@ object TextOps {
     "x28s_gopher_rules" -> (x28sGopherRules _),
     "x28t_token_entropy" -> (x28tTokenEntropy _),
     "x28c_lang_id" -> (x28cLangId _),
+    "x119_lang_confusion" -> (x119LangConfusion _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
     "x28e_fingerprint" -> (x28eFingerprint _),
@@ -1530,6 +1546,29 @@ object TextOps {
          |  r_len, r_wordlen, r_alpha, r_stop,
          |  NOT (r_len OR r_wordlen OR r_alpha OR r_stop) AS keep
          |FROM fl ORDER BY doc_id""".stripMargin,
+    // the x28c scoring fragment aggregated to (label, pred) cells with
+    // exact per-true-class row fractions
+    "x119_lang_confusion" ->
+      s"""WITH b AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  len(list_filter(tk, t -> t IN ('the','and','of'))) AS s_en,
+         |  len(list_filter(tk, t -> t IN ('el','la','de'))) AS s_es,
+         |  len(list_filter(tk, t -> t IN ('le','et','un'))) AS s_fr
+         | FROM b),
+         |pr AS (
+         |  SELECT lang AS label,
+         |   CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |        WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+         |        WHEN s_fr > 0 THEN 'fr'
+         |        ELSE 'unknown' END AS pred
+         |  FROM sc WHERE lang IS NOT NULL),
+         |cnt AS (SELECT label, pred, count(*) AS n FROM pr GROUP BY 1, 2),
+         |rt AS (SELECT label, count(*) AS label_total FROM pr GROUP BY 1)
+         |SELECT c.label, c.pred, CAST(n AS BIGINT) AS n,
+         |  CAST(label_total AS BIGINT) AS label_total,
+         |  CAST((1000000 * n) // label_total AS BIGINT) AS row_frac_micros
+         |FROM cnt c JOIN rt USING (label)
+         |ORDER BY c.label, c.pred""".stripMargin,
     "x28c_lang_id" ->
       s"""WITH b AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
          |sc AS (SELECT doc_id, lang,

@@ -2757,4 +2757,54 @@ class TrainingDataSpec extends SparkSpec {
     // pair_abs = |10-30| + |30-10| = 40 → gini = 1e6·40 div (2·2·40) = 250_000
     assert(r.getLong(5) == 250000L)
   }
+
+  test("confusionMatrix: NULLs excluded, per-true-class row fractions") {
+    val rows = Seq(
+      ("en", "en"), ("en", "en"), ("en", "es"), ("es", "es"),
+      (null.asInstanceOf[String], "en"), ("fr", null.asInstanceOf[String]))
+      .toDF("gold", "pred")
+    val got = graft.api.TrainingData.confusionMatrix(rows, "gold", "pred")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // NULL gold and NULL pred rows drop; en total 3, es total 1
+    assert(got == Map(
+      ("en", "en") -> ((2L, 3L, 666666L)),
+      ("en", "es") -> ((1L, 3L, 333333L)),
+      ("es", "es") -> ((1L, 1L, 1000000L))))
+  }
+
+  test("calibrationBins: edge clamping, NULL drop, exact micros, ECE") {
+    val rows = Seq(
+      // -0.5 clamps into bin 0 (p_micro stays -500000), 1.2 into bin 1
+      (Some(-0.5), Some(true)), (Some(0.25), Some(false)),
+      (Some(0.75), Some(true)), (Some(1.2), Some(true)),
+      (None, Some(true)), (Some(0.5), None))
+      .toDF("p", "y")
+    val got = graft.api.TrainingData.calibrationBins(rows, "p", "y", nBins = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // bin 0: sp = -500000+250000 → mean -125000 (div truncates toward 0),
+    // emp 500000, gap 625000; bin 1: mean 975000, emp 1e6, gap 25000;
+    // ECE = (2·625000 + 2·25000) div 4 = 325000 on both rows
+    assert(got == Map(
+      0L -> ((2L, 1L, -125000L, 500000L, 625000L, 325000L)),
+      1L -> ((2L, 2L, 975000L, 1000000L, 25000L, 325000L))))
+  }
+
+  test("aucExact: midrank ties, perfect separation, single-class NULL") {
+    // positives at s=1 (tied with a negative) and s=3: midranks 1.5 + 4
+    // → U = 2.5 → AUC = 2.5/(2·2) = 0.625
+    val rows = Seq((1, Some(true)), (1, Some(false)), (2, Some(false)),
+      (3, Some(true)), (9, None)).toDF("s", "lab")
+    val r = graft.api.TrainingData.aucExact(rows, "s", "lab").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getLong(2) == 625000L)
+    val sep = Seq((1, false), (2, true)).toDF("s", "lab")
+    assert(graft.api.TrainingData.aucExact(sep, "s", "lab")
+      .collect().head.getLong(2) == 1000000L)
+    val mono = Seq((1, true), (2, true)).toDF("s", "lab")
+    assert(graft.api.TrainingData.aucExact(mono, "s", "lab")
+      .collect().head.isNullAt(2))
+  }
 }
