@@ -4774,6 +4774,185 @@ object TrainingData {
           .as("auc_micros"))
   }
 
+  /** Exact Spearman rank correlation between two columns via the same
+    * midrank identity as [[aucExact]]: per DISTINCT value,
+    * midrank·2 = 2·cum + c + 1 (integer — half-ranks stay exact), then
+    * Pearson over the doubled midranks with DECIMAL(38,0) sums:
+    * num = n·Σxy − Σx·Σy, den_i = n·Σx² − (Σx)², and
+    * rho²·10⁶ = floor(10⁶·num²/(den1·den2)) as ONE IEEE double
+    * expression over exact integer inputs (the [[centroidDrift]]
+    * recipe), sign carried separately since rho² loses it. The
+    * monotone-association check between two quality signals (rank
+    * agreement is what a FILTER consumes — Pearson on raw values is
+    * hostage to outliers the ranks ignore). Constant columns → NULL.
+    * Exact while n·Σxy ≲ 10³⁸, i.e. n ≲ 4·10⁹ rows.
+    *
+    * Scale shape: per-value counts are map-side-combined aggregations;
+    * the two cumulative passes run over DISTINCT values only (value
+    * cardinality, not rows — same caveat as [[aucExact]]); the rank
+    * joins broadcast the value→midrank relations; one scalar reduce. */
+  def spearmanExact(rows: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = rows
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).as("x"), col(yCol).as("y"))
+    def mr2(cn: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col(cn))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      base.groupBy(col(cn)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+        .select(col(cn),
+          (lit(2L) * col("cum") + col("c") + lit(1L)).as(cn + "_mr2"))
+    }
+    base
+      .join(broadcast(mr2("x")), Seq("x"))
+      .join(broadcast(mr2("y")), Seq("y"))
+      .select(col("x_mr2").cast("decimal(38,0)").as("rx"),
+        col("y_mr2").cast("decimal(38,0)").as("ry"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n"),
+        (col("n").cast("decimal(38,0)") * col("sxy") - col("sx") * col("sy"))
+          .as("num"),
+        (col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+          .as("den1"),
+        (col("n").cast("decimal(38,0)") * col("syy") - col("sy") * col("sy"))
+          .as("den2"))
+      .select(col("n"),
+        when(col("num") > 0, 1).when(col("num") < 0, -1).otherwise(0)
+          .as("rho_sign"),
+        when(col("den1") === 0 || col("den2") === 0, lit(null))
+          .otherwise(expr(
+            "CAST(floor(1000000.0 * CAST(num AS DOUBLE) * CAST(num AS DOUBLE)" +
+              " / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE))) AS BIGINT)"))
+          .as("rho_sq_micros"))
+  }
+
+  /** Benford first-digit audit of a positive integer measure: per digit
+    * 1..9 the observed count and frequency in exact micros vs the
+    * Benford expectation log₁₀(1 + 1/d) — shipped as TRUNCATED integer
+    * micro literals (301029, 176091, …) so no libm call happens in
+    * either engine — plus the signed gap and a χ²-style statistic
+    * Σ (obs−exp)² div exp broadcast on every row. Fabricated or
+    * template-generated numeric fields (prices, counts, quantities)
+    * flunk Benford where organically-grown ones pass — the
+    * numeric-field twin of the text quality screens. Digits absent from
+    * the data emit n = 0 rows (their mass still moves the statistic).
+    *
+    * Scale shape: one row-local string projection, one 9-key map-side
+    * combined aggregation, everything after on ≤ 9 rows. */
+  def benfordAudit(rows: DataFrame, valueCol: String): DataFrame = {
+    // floor(10⁶·log10(1 + 1/d)) for d = 1..9
+    val exp = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val spark = rows.sparkSession
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(exp.map(lit): _*), col("id").cast("int"))
+          .as("exp_micros"))
+    val counts = rows
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val g = broadcast(digits).join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        col("exp_micros"))
+    val tot = g.agg(sum(col("n")).as("total"))
+    val rowsOut = g.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"), col("total"),
+        when(col("total") === 0, lit(null))
+          .otherwise(expr("(1000000 * n) div total")).as("obs_micros"),
+        col("exp_micros"))
+      .withColumn("gap_micros", col("obs_micros") - col("exp_micros"))
+    rowsOut.crossJoin(broadcast(rowsOut.agg(
+      sum(expr("((obs_micros - exp_micros) * (obs_micros - exp_micros))" +
+        " div exp_micros")).as("chi2_micros"))))
+      .select(col("digit"), col("n"), col("total"), col("obs_micros"),
+        col("exp_micros"), col("gap_micros"), col("chi2_micros"))
+  }
+
+  /** Deterministic bootstrap confidence interval for the mean of a
+    * per-row measure: each (row, replicate) draws a Poisson(1) weight by
+    * inverse-CDF lookup of the content-addressed 16-bit coordinate
+    * (thresholds are the truncated 2¹⁶-scaled Poisson CDF literals —
+    * 24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535 — so both
+    * engines draw the IDENTICAL weight), each replicate reports its
+    * weighted mean in truncated micros, and the 2.5%/97.5% percentile
+    * replicates (rank ⌊B/40⌋+1 and B−⌊B/40⌋ of the sorted means)
+    * broadcast as the interval. The error bar every corpus-level metric
+    * should ship with — a mean quality score without one is noise
+    * pretending to be signal. Same resample, same interval, on every
+    * run, partitioning, and engine — the property `sample()`-based
+    * bootstraps lack.
+    *
+    * Scale shape: the explode is row-local (B·n rows, no text carried —
+    * id hash + one Long), the per-replicate sums are one map-side
+    * combined B-key aggregation, ranking runs over B rows. */
+  def bootstrapCiMicro(rows: DataFrame, idCol: String, valueCol: String,
+      nReplicates: Int): DataFrame = {
+    require(nReplicates >= 4, s"need nReplicates >= 4, got $nReplicates")
+    // truncated 2^16-scaled Poisson(1) CDF: P(X <= k) for k = 0..7
+    val cdf = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L,
+      65535L)
+    val h = hash16(concat(col(idCol).cast("string"), lit("#boot#"),
+      col("rep").cast("string")))
+    val weight = cdf.zipWithIndex.foldRight(lit(8L)) {
+      case ((t, k), acc) => when(h < t, k.toLong).otherwise(acc)
+    }
+    val reps = rows
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(valueCol),
+        explode(sequence(lit(0), lit(nReplicates - 1))).as("rep"))
+      .select(col("rep"), weight.as("w"), col(valueCol).cast("long").as("v"))
+      .groupBy(col("rep"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("swv"))
+      .select(col("rep"), col("n_eff"),
+        when(col("n_eff") === 0, lit(null))
+          .otherwise(expr("(1000000 * swv) div n_eff")).as("mean_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(coalesce(col("mean_micro"), lit(-1L)), col("rep"))
+    val ranked = reps.withColumn("rn", row_number().over(w))
+    val loIdx = nReplicates / 40 + 1
+    val hiIdx = nReplicates - nReplicates / 40
+    val bounds = ranked
+      .agg(max(when(col("rn") === loIdx, col("mean_micro"))).as("lo_micro"),
+        max(when(col("rn") === hiIdx, col("mean_micro"))).as("hi_micro"))
+    ranked.select(col("rep"), col("n_eff"), col("mean_micro"))
+      .crossJoin(broadcast(bounds))
+  }
+
+  /** Per-group positive rate with the Wilson-score LOWER confidence
+    * bound at z = 1.96: (group, n, n_pos, p_micros, wilson_lb_micros).
+    * Ranking groups (sources, shards, annotators) by the lower bound
+    * instead of the raw rate is the standard fix for small-n groups
+    * looking spuriously clean — a 2/2 group ranks below a 95/100 one.
+    * The bound is ONE IEEE double expression over the exact integer
+    * (n, n_pos) pair — identical in both engines, sqrt is
+    * correctly-rounded in both. NULL labels are excluded from n.
+    *
+    * Scale shape: one map-side-combined aggregation on the group key;
+    * the bound is a row-local expression on the tiny grouped relation. */
+  def wilsonBounds(rows: DataFrame, groupCol: String,
+      labelCol: String): DataFrame =
+    rows
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_pos"))
+      .select(col("grp"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("p_micros"),
+        expr(
+          "CAST(floor(1000000.0 * (((CAST(n_pos AS DOUBLE) + 1.96*1.96/2.0)" +
+            " / CAST(n AS DOUBLE) - (1.96 / CAST(n AS DOUBLE)) *" +
+            " sqrt(CAST(n_pos AS DOUBLE) * (CAST(n AS DOUBLE) -" +
+            " CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96*1.96/4.0))" +
+            " / (1.0 + 1.96*1.96 / CAST(n AS DOUBLE)))) AS BIGINT)")
+          .as("wilson_lb_micros"))
+
   /** Greedy k-center coreset (Gonzalez 2-approximation): from a
     * deterministic pool (the `poolSize` lowest ids), seed with the
     * lowest id, then k−1 rounds of "select the point FARTHEST from the

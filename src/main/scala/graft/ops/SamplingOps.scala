@@ -309,6 +309,40 @@ object SamplingOps {
         .select(col("n_chars").as("score"), (col("lang") === "en").as("label")),
       "score", "label")
 
+  /** X123 — Benford first-digit audit of order totals in exact cents:
+    * fabricated or template-generated numeric fields flunk Benford where
+    * organically-grown ones pass — the numeric-field twin of the text
+    * quality screens. Fixture binding of
+    * [[graft.api.TrainingData.benfordAudit]]. */
+  def x123Benford(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.benfordAudit(
+      t(s, d, "orders")
+        .select(expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)")
+          .as("cents")),
+      "cents")
+      .orderBy(col("digit"))
+
+  /** X124 — deterministic bootstrap 95% CI for mean n_chars over the
+    * corpus (40 replicates, content-addressed Poisson weights): the
+    * error bar every corpus-level metric should ship with. Fixture
+    * binding of [[graft.api.TrainingData.bootstrapCiMicro]]. */
+  def x124BootstrapCi(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bootstrapCiMicro(
+      t(s, d, "documents"), "doc_id", "n_chars", nReplicates = 40)
+      .orderBy(col("rep"))
+
+  /** X125 — per-source English rate with the Wilson-score lower bound
+    * at z = 1.96: ranking sources by the lower bound instead of the raw
+    * rate is the standard fix for small-n sources looking spuriously
+    * clean. Fixture binding of
+    * [[graft.api.TrainingData.wilsonBounds]]. */
+  def x125WilsonBounds(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.wilsonBounds(
+      t(s, d, "documents")
+        .select(col("source"), (col("lang") === "en").as("is_en")),
+      "source", "is_en")
+      .orderBy(col("grp"))
+
   /** X96 — sliding-window passage chunking over documents: 16-token
     * windows advancing by 12 (overlap 4), dense chunk ids — the RAG /
     * long-document passage layout (X32's bin packing concatenates MANY
@@ -336,6 +370,9 @@ object SamplingOps {
     "x112_shard_balance" -> (x112ShardBalance _),
     "x120_calibration" -> (x120Calibration _),
     "x121_auc_exact" -> (x121AucExact _),
+    "x123_benford" -> (x123Benford _),
+    "x124_bootstrap_ci" -> (x124BootstrapCi _),
+    "x125_wilson_bounds" -> (x125WilsonBounds _),
     "x102_priority_sample" -> (x102PrioritySample _),
     "x96_passage_chunks" -> (x96PassageChunks _),
     "x83_epoch_shuffle" -> (x83EpochShuffle _),
@@ -522,6 +559,91 @@ object SamplingOps {
         |SELECT bin, n, n_pos, mean_p_micros, emp_micros, gap_micros,
         |  e.ece_micros
         |FROM b2, e ORDER BY bin""".stripMargin,
+    // Benford replay: same truncated log10 micro literals, string first
+    // digit of the positive cents, // ≡ div on non-negative operands
+    "x123_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS c
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND CAST(round(o_totalprice * 100.0, 0) AS BIGINT) > 0),
+        |d AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+        |e AS (SELECT digit, CAST(CASE digit
+        |    WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+        |    WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+        |    WHEN 7 THEN 57991 WHEN 8 THEN 51152 ELSE 45757 END AS BIGINT)
+        |  AS exp_micros FROM d),
+        |cnt AS (
+        |  SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit, count(*) AS n
+        |  FROM v GROUP BY 1),
+        |g AS (
+        |  SELECT e.digit, CAST(coalesce(n, 0) AS BIGINT) AS n, exp_micros
+        |  FROM e LEFT JOIN cnt USING (digit)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        |r AS (
+        |  SELECT digit, n, total,
+        |    CASE WHEN total = 0 THEN NULL
+        |         ELSE CAST((1000000 * n) // total AS BIGINT) END AS obs_micros,
+        |    exp_micros
+        |  FROM g, t),
+        |r2 AS (SELECT *, CAST(obs_micros - exp_micros AS BIGINT)
+        |       AS gap_micros FROM r),
+        |chi AS (SELECT CAST(sum(((obs_micros - exp_micros)
+        |  * (obs_micros - exp_micros)) // exp_micros) AS BIGINT)
+        |  AS chi2_micros FROM r2)
+        |SELECT digit, n, total, obs_micros, exp_micros, gap_micros,
+        |  chi2_micros
+        |FROM r2, chi ORDER BY digit""".stripMargin,
+    // bootstrap replay: identical sha 16-bit coordinate per (doc, rep),
+    // identical truncated Poisson-CDF thresholds, rank 2/39 of 40 means
+    "x124_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars FROM documents
+         |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+         |r AS (SELECT doc_id, n_chars, unnest(range(0, 40)) AS rep
+         |      FROM base),
+         |h AS (SELECT rep, n_chars,
+         |  ${hash16Sql("(CAST(doc_id AS VARCHAR) || '#boot#' || CAST(rep AS VARCHAR))")}
+         |  AS hv FROM r),
+         |w AS (SELECT rep, n_chars, CASE
+         |    WHEN hv < 24109 THEN 0 WHEN hv < 48218 THEN 1
+         |    WHEN hv < 60273 THEN 2 WHEN hv < 64291 THEN 3
+         |    WHEN hv < 65296 THEN 4 WHEN hv < 65497 THEN 5
+         |    WHEN hv < 65530 THEN 6 WHEN hv < 65535 THEN 7 ELSE 8 END
+         |  AS wt FROM h),
+         |g AS (SELECT rep, CAST(sum(wt) AS BIGINT) AS n_eff,
+         |      CAST(sum(wt * n_chars) AS BIGINT) AS swv FROM w GROUP BY 1),
+         |m AS (SELECT CAST(rep AS INTEGER) AS rep, n_eff,
+         |  CASE WHEN n_eff = 0 THEN NULL
+         |       ELSE CAST((1000000 * swv) // n_eff AS BIGINT) END
+         |  AS mean_micro FROM g),
+         |rk AS (SELECT *, row_number() OVER (
+         |    ORDER BY coalesce(mean_micro, -1), rep) AS rn FROM m),
+         |b AS (SELECT max(CASE WHEN rn = 2 THEN mean_micro END) AS lo_micro,
+         |      max(CASE WHEN rn = 39 THEN mean_micro END) AS hi_micro
+         |      FROM rk)
+         |SELECT rep, n_eff, mean_micro, lo_micro, hi_micro
+         |FROM rk, b ORDER BY rep""".stripMargin,
+    // Wilson replay: exact integer (n, n_pos) per source, the identical
+    // IEEE lower-bound expression (sqrt correctly rounded both engines)
+    "x125_wilson_bounds" ->
+      """WITH b AS (
+        |  SELECT source AS grp, (lang = 'en') AS y FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM b GROUP BY 1)
+        |SELECT grp, n, n_pos,
+        |  CAST((1000000 * n_pos) // n AS BIGINT) AS p_micros,
+        |  CAST(floor(1000000.0 * (((CAST(n_pos AS DOUBLE) + 1.96*1.96/2.0)
+        |    / CAST(n AS DOUBLE) - (1.96 / CAST(n AS DOUBLE)) *
+        |    sqrt(CAST(n_pos AS DOUBLE) * (CAST(n AS DOUBLE) -
+        |    CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96*1.96/4.0))
+        |    / (1.0 + 1.96*1.96 / CAST(n AS DOUBLE)))) AS BIGINT)
+        |  AS wilson_lb_micros
+        |FROM g ORDER BY grp""".stripMargin,
     // Mann–Whitney replay: per-score counts, the cumulative-preceding
     // window over DISTINCT scores, the same exact integer midrank sum
     "x121_auc_exact" ->

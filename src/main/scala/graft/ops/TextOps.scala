@@ -119,6 +119,19 @@ object TextOps {
       langPredictions(s, d), "labelled_lang", "pred_lang")
       .orderBy(col("label"), col("pred"))
 
+  /** X122 — exact Spearman rank correlation between the two cheapest
+    * per-doc quality signals (n_chars vs whitespace token count): rank
+    * agreement is what a FILTER consumes, and Pearson on raw values is
+    * hostage to the outliers ranks ignore. Fixture binding of
+    * [[graft.api.TrainingData.spearmanExact]]. */
+  def x122Spearman(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.spearmanExact(
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("n_chars").as("xc"),
+          size(graft.ops.DedupOps.tokens(col("text"))).as("yc")),
+      "xc", "yc")
+
   /** X28 — tf-idf: highest-scoring term per document. idf is the only
     * libm-touched value (ln) → rounded at 6 decimals on both sides.
     *
@@ -680,6 +693,7 @@ object TextOps {
     "x28t_token_entropy" -> (x28tTokenEntropy _),
     "x28c_lang_id" -> (x28cLangId _),
     "x119_lang_confusion" -> (x119LangConfusion _),
+    "x122_spearman" -> (x122Spearman _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
     "x28e_fingerprint" -> (x28eFingerprint _),
@@ -1546,6 +1560,42 @@ object TextOps {
          |  r_len, r_wordlen, r_alpha, r_stop,
          |  NOT (r_len OR r_wordlen OR r_alpha OR r_stop) AS keep
          |FROM fl ORDER BY doc_id""".stripMargin,
+    // Spearman replay: same midrank·2 identity over DISTINCT values,
+    // HUGEINT Pearson sums, the identical IEEE rho² expression
+    "x122_spearman" ->
+      s"""WITH b AS (
+         |  SELECT n_chars AS x, len($toksSql) AS y FROM documents
+         |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |gx AS (SELECT x, count(*) AS c FROM b GROUP BY 1),
+         |mx AS (SELECT x,
+         |  2 * coalesce(sum(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         |  AS xm FROM gx),
+         |gy AS (SELECT y, count(*) AS c FROM b GROUP BY 1),
+         |my AS (SELECT y,
+         |  2 * coalesce(sum(c) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         |  AS ym FROM gy),
+         |j AS (
+         |  SELECT CAST(xm AS HUGEINT) AS rx, CAST(ym AS HUGEINT) AS ry
+         |  FROM b JOIN mx USING (x) JOIN my USING (y)),
+         |a AS (
+         |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+         |  FROM j),
+         |f AS (
+         |  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den1,
+         |    n * syy - sy * sy AS den2
+         |  FROM a)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+         |    AS rho_sign,
+         |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+         |       ELSE CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+         |         * CAST(num AS DOUBLE) / (CAST(den1 AS DOUBLE)
+         |         * CAST(den2 AS DOUBLE))) AS BIGINT)
+         |  END AS rho_sq_micros
+         |FROM f""".stripMargin,
     // the x28c scoring fragment aggregated to (label, pred) cells with
     // exact per-true-class row fractions
     "x119_lang_confusion" ->

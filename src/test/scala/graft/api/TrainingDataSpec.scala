@@ -2807,4 +2807,91 @@ class TrainingDataSpec extends SparkSpec {
     assert(graft.api.TrainingData.aucExact(mono, "s", "lab")
       .collect().head.isNullAt(2))
   }
+
+  test("spearmanExact: monotone ±1, midrank ties, constant-column NULL") {
+    def run(xs: Seq[Int], ys: Seq[Int]) = graft.api.TrainingData
+      .spearmanExact(xs.zip(ys).toDF("a", "b"), "a", "b").collect().head
+    val up = run(Seq(1, 2, 3), Seq(10, 20, 30))
+    assert(up.getInt(1) == 1 && up.getLong(2) == 1000000L)
+    val down = run(Seq(1, 2, 3), Seq(30, 20, 10))
+    assert(down.getInt(1) == -1 && down.getLong(2) == 1000000L)
+    // x=(1,1,2) y=(5,7,7): doubled midranks x=(3,3,6), y=(3,5,5)
+    // → num=6, den1=18, den2=8 → rho = 6/12 = 0.5 → rho² = 250000
+    val tied = run(Seq(1, 1, 2), Seq(5, 7, 7))
+    assert(tied.getLong(0) == 3L && tied.getInt(1) == 1 &&
+      tied.getLong(2) == 250000L)
+    assert(run(Seq(1, 1), Seq(1, 2)).isNullAt(2))
+  }
+
+  test("benfordAudit: first digits, zero-count rows, exact chi2") {
+    val vals = Seq(1L, 19L, 2L, 250L, 999L, 0L, -5L)
+    val got = graft.api.TrainingData
+      .benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got.size == 9)
+    // positives 1,19,2,250,999 → digits 1:2, 2:2, 9:1, total 5
+    val exp = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val obs = Map(1 -> 400000L, 2 -> 400000L, 9 -> 200000L)
+      .withDefaultValue(0L)
+    val chi2 = (1 to 9).map { d =>
+      val g = obs(d) - exp(d); g * g / exp(d)
+    }.sum
+    (1 to 9).foreach { d =>
+      val (n, total, o, e, gap, c2) = got(d)
+      assert(total == 5L && e == exp(d) && o == obs(d) &&
+        gap == obs(d) - exp(d) && c2 == chi2)
+      assert(n == (if (d == 9) 1L else if (d <= 2) 2L else 0L))
+    }
+  }
+
+  test("bootstrapCiMicro: constant value pins every mean; bounds rank 2/39") {
+    val docs = (1L to 20L).map((_, 7L)).toDF("id", "v")
+    val got = graft.api.TrainingData
+      .bootstrapCiMicro(docs, "id", "v", nReplicates = 40).collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      assert(r.getLong(1) > 0L)          // some doc drew a nonzero weight
+      assert(r.getLong(2) == 7000000L)   // weighted mean of a constant
+      assert(r.getLong(3) == 7000000L && r.getLong(4) == 7000000L)
+    }
+    // varying values: bounds are means of actual replicates, lo <= hi,
+    // identical on every row, and the whole thing is deterministic
+    val docs2 = (1L to 30L).map(i => (i, i * 11 % 97)).toDF("id", "v")
+    val a = graft.api.TrainingData
+      .bootstrapCiMicro(docs2, "id", "v", 40).collect()
+    val b = graft.api.TrainingData
+      .bootstrapCiMicro(docs2, "id", "v", 40).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val means = a.map(_.getLong(2)).toSet
+    val (lo, hi) = (a.head.getLong(3), a.head.getLong(4))
+    assert(lo <= hi && means.contains(lo) && means.contains(hi))
+    assert(a.forall(r => r.getLong(3) == lo && r.getLong(4) == hi))
+    intercept[IllegalArgumentException] {
+      graft.api.TrainingData.bootstrapCiMicro(docs, "id", "v", 3)
+    }
+  }
+
+  test("wilsonBounds: exact IEEE mirror; small-n ranks below large-n") {
+    def mirror(n: Long, pos: Long): Long = {
+      val nd = n.toDouble; val pd = pos.toDouble
+      math.floor(1000000.0 * (((pd + 1.96 * 1.96 / 2.0) / nd -
+        (1.96 / nd) * math.sqrt(pd * (nd - pd) / nd + 1.96 * 1.96 / 4.0)) /
+        (1.0 + 1.96 * 1.96 / nd))).toLong
+    }
+    val df = (Seq.fill(2)(("tiny", Some(true))) ++
+      Seq.fill(95)(("big", Some(true))) ++ Seq.fill(5)(("big", Some(false))) ++
+      Seq(("none", Some(false)), ("skip", None))).toDF("g", "y")
+    val got = graft.api.TrainingData.wilsonBounds(df, "g", "y")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("tiny") == ((2L, 2L, 1000000L, mirror(2, 2))))
+    assert(got("big") == ((100L, 95L, 950000L, mirror(100, 95))))
+    assert(got("none") == ((1L, 0L, 0L, mirror(1, 0))))
+    assert(!got.contains("skip")) // NULL labels excluded entirely
+    // the headline property: a perfect 2/2 ranks BELOW a 95/100
+    assert(got("tiny")._4 < got("big")._4)
+  }
 }
