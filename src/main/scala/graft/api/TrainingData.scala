@@ -4953,6 +4953,72 @@ object TrainingData {
             " / (1.0 + 1.96*1.96 / CAST(n AS DOUBLE)))) AS BIGINT)")
           .as("wilson_lb_micros"))
 
+  /** Exact average precision (area under the precision-recall curve,
+    * step convention) with deterministic tie handling: distinct scores
+    * are retrieved as whole BLOCKS in descending order, the block's
+    * precision is measured at its END (cum_pos div cum_all, the
+    * pessimistic convention — a tied block can't claim its positives
+    * sort first), and AP = Σ_blocks p_b·P_b / n_pos in truncated
+    * micros. The eval companion to [[aucExact]] for IMBALANCED labels:
+    * AUC's random baseline is 500 000 regardless of prevalence, AP's
+    * random baseline IS the prevalence — rare-positive screens (toxicity,
+    * contamination) need this one. Single-class → NULL.
+    *
+    * Scale shape: per-score counts are one map-side-combined
+    * aggregation; the descending cumulative pass runs over DISTINCT
+    * scores only (value cardinality, not rows — the [[aucExact]]
+    * caveat), then one scalar reduce. */
+  def averagePrecisionExact(rows: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = rows
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    base.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      .withColumn("cum_all", sum(col("c")).over(w))
+      .withColumn("cum_pos", sum(col("p")).over(w))
+      .select(col("c"), col("p"),
+        (col("p") * expr("(1000000 * cum_pos) div cum_all")).as("term"))
+      .agg(sum(col("term")).as("tsum"), sum(col("p")).as("n_pos"),
+        expr("sum(c) - sum(p)").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(expr("tsum div n_pos")).as("ap_micros"))
+  }
+
+  /** Source-concentration audit: per group its share of the corpus in
+    * exact micros, plus — broadcast on every row — the group count, the
+    * Herfindahl–Hirschman index HHI = Σ share_micros² div 10⁶ (10⁶ ⇔
+    * one source owns everything, 10⁶/k ⇔ k equal sources), and the
+    * Shannon entropy in micro-nats (each term −share·ln(share)
+    * rounded ONCE per group, the x28d/x79 libm convention). The
+    * one-look answer to "is this corpus secretly one crawl wearing
+    * twenty source labels" — mixture weights (X39/X57) treat sources
+    * as given; this audits the premise.
+    *
+    * Scale shape: one map-side-combined aggregation on the group key;
+    * everything after runs on the ≤|groups| relation. */
+  def sourceConcentration(rows: DataFrame, groupCol: String): DataFrame = {
+    val g = rows.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("total"))
+    val shares = g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("total"),
+        expr("(1000000 * n) div total").as("share_micros"),
+        expr("CAST(round(-(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) *" +
+          " ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0, 0)" +
+          " AS BIGINT)").as("ent_term"))
+    shares.crossJoin(broadcast(shares.agg(
+      count(lit(1)).as("n_groups"),
+      expr("sum(share_micros * share_micros) div 1000000").as("hhi_micros"),
+      sum(col("ent_term")).as("entropy_micro_nats"))))
+      .select(col("grp"), col("n"), col("total"), col("share_micros"),
+        col("n_groups"), col("hhi_micros"), col("entropy_micro_nats"))
+  }
+
   /** Greedy k-center coreset (Gonzalez 2-approximation): from a
     * deterministic pool (the `poolSize` lowest ids), seed with the
     * lowest id, then k−1 rounds of "select the point FARTHEST from the

@@ -343,6 +343,25 @@ object SamplingOps {
       "source", "is_en")
       .orderBy(col("grp"))
 
+  /** X126 — exact average precision of the x121 score/label pair: AUC's
+    * random baseline is 500 000 regardless of prevalence, AP's baseline
+    * IS the prevalence — the imbalanced-label companion. Fixture
+    * binding of [[graft.api.TrainingData.averagePrecisionExact]]. */
+  def x126AvgPrecision(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.averagePrecisionExact(
+      t(s, d, "documents")
+        .select(col("n_chars").as("score"), (col("lang") === "en").as("label")),
+      "score", "label")
+
+  /** X128 — source-concentration audit over documents: per-source share
+    * in exact micros plus HHI and Shannon entropy broadcast — is this
+    * corpus secretly one crawl wearing twenty source labels? Fixture
+    * binding of [[graft.api.TrainingData.sourceConcentration]]. */
+  def x128SourceConcentration(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.sourceConcentration(
+      t(s, d, "documents"), "source")
+      .orderBy(col("grp"))
+
   /** X96 — sliding-window passage chunking over documents: 16-token
     * windows advancing by 12 (overlap 4), dense chunk ids — the RAG /
     * long-document passage layout (X32's bin packing concatenates MANY
@@ -373,6 +392,8 @@ object SamplingOps {
     "x123_benford" -> (x123Benford _),
     "x124_bootstrap_ci" -> (x124BootstrapCi _),
     "x125_wilson_bounds" -> (x125WilsonBounds _),
+    "x126_avg_precision" -> (x126AvgPrecision _),
+    "x128_source_concentration" -> (x128SourceConcentration _),
     "x102_priority_sample" -> (x102PrioritySample _),
     "x96_passage_chunks" -> (x96PassageChunks _),
     "x83_epoch_shuffle" -> (x83EpochShuffle _),
@@ -644,6 +665,55 @@ object SamplingOps {
         |    / (1.0 + 1.96*1.96 / CAST(n AS DOUBLE)))) AS BIGINT)
         |  AS wilson_lb_micros
         |FROM g ORDER BY grp""".stripMargin,
+    // average-precision replay: per-score counts, DESC inclusive
+    // cumulative window over DISTINCT scores, block-end precision
+    "x126_avg_precision" ->
+      """WITH b AS (
+        |  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |      CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT c, p,
+        |    sum(c) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all,
+        |    sum(p) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(p * ((1000000 * cum_pos) // cum_all)) AS BIGINT)
+        |      AS tsum,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg
+        |  FROM w)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE CAST(tsum // n_pos AS BIGINT) END AS ap_micros
+        |FROM a""".stripMargin,
+    // concentration replay: exact micro shares, HHI, per-group-rounded
+    // entropy terms (the x28d/x79 single-libm-round convention)
+    "x128_source_concentration" ->
+      """WITH g AS (
+        |  SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        |s AS (
+        |  SELECT grp, n, total,
+        |    CAST((1000000 * n) // total AS BIGINT) AS share_micros,
+        |    CAST(round(-(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT) AS ent_term
+        |  FROM g, t),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(share_micros * share_micros) // 1000000 AS BIGINT)
+        |      AS hhi_micros,
+        |    CAST(sum(ent_term) AS BIGINT) AS entropy_micro_nats
+        |  FROM s)
+        |SELECT grp, n, total, share_micros, n_groups, hhi_micros,
+        |  entropy_micro_nats
+        |FROM s, a ORDER BY grp""".stripMargin,
     // Mann–Whitney replay: per-score counts, the cumulative-preceding
     // window over DISTINCT scores, the same exact integer midrank sum
     "x121_auc_exact" ->

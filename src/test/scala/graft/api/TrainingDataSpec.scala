@@ -2894,4 +2894,35 @@ class TrainingDataSpec extends SparkSpec {
     // the headline property: a perfect 2/2 ranks BELOW a 95/100
     assert(got("tiny")._4 < got("big")._4)
   }
+
+  test("averagePrecisionExact: block ties, perfect=1e6, single-class NULL") {
+    def run(rows: Seq[(Int, Boolean)]) = graft.api.TrainingData
+      .averagePrecisionExact(rows.toDF("s", "lab"), "s", "lab")
+      .collect().head
+    // blocks desc: s=3 (1 pos of 1 → P 1e6), s=2 (neg), s=1 (1 pos +
+    // 1 neg → block-end P = 2/4 = 500000) → AP = 1500000 div 2
+    val r = run(Seq((3, true), (2, false), (1, true), (1, false)))
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L &&
+      r.getLong(2) == 750000L)
+    val perfect = run(Seq((3, true), (2, true), (1, false)))
+    assert(perfect.getLong(2) == 1000000L)
+    assert(run(Seq((1, true), (2, true))).isNullAt(2))
+  }
+
+  test("sourceConcentration: exact shares, HHI, rounded entropy terms") {
+    val rows = (Seq.fill(3)("a") ++ Seq("b") ++ Seq(null.asInstanceOf[String]))
+      .map(Tuple1(_)).toDF("src")
+    val got = graft.api.TrainingData.sourceConcentration(rows, "src")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    def ent(n: Long, t: Long): Long = {
+      val s = n.toDouble / t.toDouble
+      math.round(-s * math.log(s) * 1000000.0)
+    }
+    val entSum = ent(3, 4) + ent(1, 4)
+    // shares 750000/250000 → HHI = (750000² + 250000²) div 10⁶ = 625000
+    assert(got("a") == ((3L, 4L, 750000L, 2L, 625000L, entSum)))
+    assert(got("b") == ((1L, 4L, 250000L, 2L, 625000L, entSum)))
+  }
 }
