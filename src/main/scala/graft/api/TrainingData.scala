@@ -5019,6 +5019,71 @@ object TrainingData {
         col("n_groups"), col("hhi_micros"), col("entropy_micro_nats"))
   }
 
+  /** One-pass table profiler (the ANALYZE a pipeline runs before it
+    * trusts a new dump): per column the row count, non-null count,
+    * EXACT distinct count, and lexicographic min/max (cast to string —
+    * binary UTF-8 comparison in both engines; float columns print
+    * differently across engines, profile them as integers or skip).
+    * Ships as one aggregation row unpivoted to a row per column.
+    *
+    * Scale shape: ONE aggregation; the multiple exact count(DISTINCT)
+    * columns plan as Spark's Expand (one input row fans to one row per
+    * distinct-agg) — the standard exact-NDV cost, (1+n_cols)× the scan.
+    * At 100 TB profile a [[hashSample]] slice or swap
+    * `approx_count_distinct` in (documented alternative, not the
+    * default: a profiler that lies about NDV is worse than a slow
+    * one). */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggExprs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', nn_$c, ndv_$c, min_$c, max_$c"
+    }.mkString(", ")
+    one.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS" +
+        " (column_name, n_nonnull, n_distinct, min_str, max_str)"))
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
+
+  /** Matryoshka truncation audit: per vector, how much of the squared
+    * norm survives keeping only the first `prefixDims` components —
+    * retained_micros = 10⁶·‖v[1..k]‖² div ‖v‖² on micro-quantized
+    * components (exact integer Longs, order-independent), with the
+    * corpus mean broadcast. The measurement behind a dimension-
+    * truncation storage decision (half the dims at 95% retained norm ⇒
+    * the ANN index shrinks 2× for ~5% score distortion) — embeddings
+    * trained matryoshka-style front-load the norm; this checks whether
+    * YOURS did. Zero vectors → NULL retained, excluded from the mean.
+    *
+    * Scale shape: entirely row-local arithmetic + one 1-row broadcast
+    * aggregation; no shuffle carries a vector. */
+  def matryoshkaAudit(emb: DataFrame, idCol: String, vecCol: String,
+      prefixDims: Int): DataFrame = {
+    require(prefixDims >= 1, s"need prefixDims >= 1, got $prefixDims")
+    val mv = s"transform($vecCol, v -> " +
+      "CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+    val rows = emb
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"),
+        expr(s"aggregate($mv, 0L, (a, x) -> a + x * x)").as("full2"),
+        expr(s"aggregate(slice($mv, 1, $prefixDims), 0L," +
+          " (a, x) -> a + x * x)").as("prefix2"))
+      .select(col("vec_id"), col("full2"), col("prefix2"),
+        when(col("full2") === 0, lit(null))
+          .otherwise(expr("(1000000 * prefix2) div full2"))
+          .as("retained_micros"))
+    rows.crossJoin(broadcast(rows.agg(
+      expr("sum(retained_micros) div count(retained_micros)")
+        .as("mean_retained_micros"))))
+  }
+
   /** Greedy k-center coreset (Gonzalez 2-approximation): from a
     * deterministic pool (the `poolSize` lowest ids), seed with the
     * lowest id, then k−1 rounds of "select the point FARTHEST from the

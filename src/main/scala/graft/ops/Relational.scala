@@ -273,7 +273,17 @@ object Relational {
       k = 8L, l = 3L)
       .orderBy(col("c_nationkey"), col("c_mktsegment"))
 
+  /** X129 — one-pass profile of the documents table: per column the
+    * row/non-null/exact-distinct counts and lexicographic min/max — the
+    * ANALYZE a pipeline runs before trusting a new dump. The multiple
+    * exact count(DISTINCT) plan as ONE aggregation via Expand. Fixture
+    * binding of [[graft.api.TrainingData.tableProfile]]. */
+  def x129TableProfile(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.tableProfile(t(s, d, "documents"))
+      .orderBy(col("column_name"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x129_table_profile" -> (x129TableProfile _),
     "x110_k_anonymity" -> (x110KAnonymity _),
     "x84_integrity_audit" -> (x84IntegrityAudit _),
     "q01_pricing_summary" -> (q01 _),
@@ -292,6 +302,21 @@ object Relational {
     "q25_salted_agg" -> (q25SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    // profile replay: one SELECT per column unioned — n_rows from the
+    // whole table, count(col) non-null, exact DISTINCT, min/max as
+    // VARCHAR (binary UTF-8 comparison in both engines)
+    "x129_table_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           | (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+           | CAST(count($c) AS BIGINT) AS n_nonnull,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_str,
+           | CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // one quasi-identifier aggregation, HAVING on both privacy bounds
     "x110_k_anonymity" ->
       """SELECT c_nationkey, c_mktsegment,

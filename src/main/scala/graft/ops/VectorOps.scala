@@ -1049,7 +1049,18 @@ object VectorOps {
       t(s, d, "embeddings"), "vec_id", "embedding", "label")
       .orderBy(col("label"))
 
+  /** X130 — Matryoshka truncation audit at 32 of 64 dims: per vector
+    * the exact fraction of squared norm surviving truncation (micro
+    * units) + the corpus mean — the measurement behind a
+    * dimension-truncation storage decision for the ANN index. Fixture
+    * binding of [[graft.api.TrainingData.matryoshkaAudit]]. */
+  def x130Matryoshka(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.matryoshkaAudit(
+      t(s, d, "embeddings"), "vec_id", "embedding", prefixDims = 32)
+      .orderBy(col("vec_id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x130_matryoshka" -> (x130Matryoshka _),
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
     "x113_centroid_drift" -> (x113CentroidDrift _),
@@ -1679,6 +1690,33 @@ object VectorOps {
          |UNION ALL $unions
          |ORDER BY rank""".stripMargin
     },
+    // matryoshka replay: identical micro quantization, exact integer
+    // squared norms of the full and prefix slices, // ≡ div on the
+    // non-negative operands, 1-row mean joined onto every row
+    "x130_matryoshka" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v ->
+        |      CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS mv
+        |  FROM embeddings
+        |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        |n AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(mv, x -> x * x)) AS BIGINT)
+        |      AS full2,
+        |    CAST(list_sum(list_transform(mv[1:32], x -> x * x)) AS BIGINT)
+        |      AS prefix2
+        |  FROM q),
+        |r AS (
+        |  SELECT vec_id, full2, prefix2,
+        |    CASE WHEN full2 = 0 THEN NULL
+        |         ELSE CAST((1000000 * prefix2) // full2 AS BIGINT) END
+        |    AS retained_micros
+        |  FROM n),
+        |m AS (SELECT CAST(sum(retained_micros) // count(retained_micros)
+        |      AS BIGINT) AS mean_retained_micros FROM r)
+        |SELECT vec_id, full2, prefix2, retained_micros, mean_retained_micros
+        |FROM r, m ORDER BY vec_id""".stripMargin,
     // centroid-drift replay: per-component micro quantization, exact
     // integer sums and truncated means, then the same IEEE double
     // expression for cos²·10⁶ over exact integer inputs

@@ -58,7 +58,10 @@ object ScaleSweep {
     "x85_zipf_slope", "x86_simhash_pairs", "x90_ks_drift",
     "x91_skipgram_pmi", "x76_bm25_topk",
     "x92_jaccard_prefix", "x95_ngram_saturation", "x104_source_jaccard",
-    "x108_image_phash", "x113_centroid_drift")
+    "x108_image_phash", "x113_centroid_drift",
+    // round-11 fourth-session additions: the 40× bootstrap explode and
+    // the two distinct-value cumulative passes
+    "x124_bootstrap_ci", "x122_spearman", "x121_auc_exact")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

@@ -2925,4 +2925,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(got("a") == ((3L, 4L, 750000L, 2L, 625000L, entSum)))
     assert(got("b") == ((1L, 4L, 250000L, 2L, 625000L, entSum)))
   }
+
+  test("tableProfile: counts, exact NDV, lexicographic min/max, NULLs") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), Some("a")), (Some(2L), None),
+      (None, Some("a"))).toDF("id", "s")
+    val got = graft.api.TrainingData.tableProfile(df)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 3L, 2L, "1", "2")))
+    assert(got("s") == ((4L, 3L, 2L, "a", "b")))
+  }
+
+  test("matryoshkaAudit: exact retained norm, zero-vector NULL, mean") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // prefix2 1e12, full2 2e12
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // prefix2 = full2 → 1e6
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)))   // zero → NULL, out of mean
+      .toDF("vec_id", "embedding")
+    val got = graft.api.TrainingData
+      .matryoshkaAudit(emb, "vec_id", "embedding", prefixDims = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1) == ((2000000000000L, 1000000000000L, 500000L, 750000L)))
+    assert(got(2) == ((1000000000000L, 1000000000000L, 1000000L, 750000L)))
+    assert(got(3) == ((0L, 0L, -1L, 750000L)))
+  }
 }
