@@ -105,5 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BucketIndex(exprs(0), bounds)
       }))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_select"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.WinnowSelect].getName, "winnow_select"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.WinnowSelect(exprs(0), intLit(exprs(1), "window"))))
   }
 }

@@ -3013,8 +3013,14 @@ object TrainingData {
     * reuse the previous pick and bounds fingerprint density at ~2/(w+1)).
     * Entirely row-local array algebra: zero shuffle, a per-document map
     * at any corpus size. Fewer than `window` k-grams → one whole-array
-    * window (every non-empty doc yields ≥ 1 fingerprint). */
-  private def winnowSelect(kh: Column, window: Int): Column = {
+    * window (every non-empty doc yields ≥ 1 fingerprint).
+    *
+    * This composed-lambda form is the REFERENCE twin: the shipped path
+    * is the native O(n) monotonic-deque expression
+    * [[graft.functions.WinnowSelect]] (the nested fold here interprets
+    * O(n·w) lambda steps per document and dominated the x67 profile);
+    * TextExprSpec asserts bit-equality between the two. */
+  private[graft] def winnowSelectComposed(kh: Column, window: Int): Column = {
     val nwin = when(size(kh) >= window, size(kh) - (window - 1))
       .otherwise(lit(1))
     array_distinct(transform(sequence(lit(1), nwin), j => {
@@ -3045,7 +3051,7 @@ object TrainingData {
     * Hashes are the 32-bit sha-prefix ([[graft.ops.DedupOps.sha32]]),
     * the portable fixture hash, so the DuckDB oracle replays the whole
     * pipeline. Scale shape: fingerprinting is row-local (see
-    * [[winnowSelect]]); only the selected ~2n/(w+1) fingerprints ever
+    * [[winnowSelectComposed]] for the reference semantics); only the selected ~2n/(w+1) fingerprints ever
     * reach a shuffle. */
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
@@ -3059,7 +3065,8 @@ object TrainingData {
           .as("kh"))
     withKh
       .select(col("doc_id"), col("kh"),
-        explode(winnowSelect(col("kh"), window)).as("p"))
+        explode(graft.functions.TextFunctions.winnow_select(col("kh"), window))
+          .as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         element_at(col("kh"), col("p")).as("fp"))
   }

@@ -253,10 +253,85 @@ case class Sha32MinHashSigs(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Native winnowing selection (SURVEY.md §2B X67 hot path).
+  *
+  * Semantics are exactly the composed
+  * `array_distinct(transform(sequence(1, nwin), j -> rightmost-min fold
+  * over slice(kh, j, window)))` lambda pipeline
+  * (`TrainingData.winnowSelectComposed`): 1-based positions of each
+  * sliding window's minimum hash, ties → RIGHTMOST (the
+  * Schleimer/Wilkerson/Aiken MOSS rule), consecutive duplicates
+  * collapsed; fewer than `window` k-grams → one whole-array window. The
+  * composed form interprets an O(n·w) nested fold per document; this is
+  * the O(n) monotonic-deque sliding minimum — pop-while
+  * `v[back] >= v[new]` keeps the deque strictly increasing and leaves
+  * the RIGHTMOST of any tied minimum at the front, so the emitted
+  * positions are bit-identical to the fold's. Empty arrays yield empty
+  * (the callers filter size ≥ k upstream). */
+case class WinnowSelect(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  require(window >= 1, "window must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_select expects array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : GenericArrayData = {
+    val n = v.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyIntArray)
+    val w = if (n >= window) window else n
+    val out = new Array[Int](n - w + 1)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val x = v.getLong(i)
+      while (tail > head && v.getLong(dq(tail - 1)) >= x) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (i >= w - 1) {
+        while (dq(head) <= i - w) head += 1
+        val pick = dq(head) + 1 // 1-based position
+        if (cnt == 0 || out(cnt - 1) != pick) { out(cnt) = pick; cnt += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowSelect", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Distinct xxhash64 values of the `n`-token shingles of `text`. */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** 1-based winnowing pick positions over a per-position hash array:
+    * sliding `window` minimum, ties rightmost, duplicates collapsed. */
+  def winnow_select(kh: Column, window: Int): Column =
+    GraftBridge.column(WinnowSelect(GraftBridge.expression(kh), window))
 
   /** k-permutation sha32 MinHash signature of `text`'s `n`-token
     * shingles; empty array when the text has no shingles. */

@@ -97,4 +97,39 @@ class TextExprSpec extends SparkSpec {
       .select(size(TextFunctions.shingle_hashes(col("text"), 3)).as("n"))
     assert(df.as[Int].collect().toSeq == Seq(0, 0, 1, 1))
   }
+
+  test("WinnowSelect ≡ composed rightmost-min fold on adversarial + random arrays") {
+    import spark.implicits._
+    // adversarial: all-equal (ties every window), strictly rising,
+    // strictly falling, sawtooth, shorter than the window, length 1
+    val fixed: Seq[Seq[Long]] = Seq(
+      Seq(5L, 5L, 5L, 5L, 5L, 5L), Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      Seq(6L, 5L, 4L, 3L, 2L, 1L), Seq(1L, 9L, 1L, 9L, 1L, 9L),
+      Seq(3L, 1L), Seq(7L))
+    // deterministic pseudo-random arrays with heavy tie mass (mod 4)
+    val rnd = (1 to 200).map { s =>
+      val len = s % 23 + 1
+      (0 until len).map(i => ((s * 2654435761L + i * 40503L) % 4).abs).toSeq
+    }
+    for (w <- Seq(1, 2, 4, 7)) {
+      val df = (fixed ++ rnd).toDF("kh")
+      val both = df.select(
+        TextFunctions.winnow_select(col("kh"), w).as("native"),
+        graft.api.TrainingData.winnowSelectComposed(col("kh"), w)
+          .as("composed"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"w=$w native=${r.getSeq[Int](0)} composed=${r.getSeq[Int](1)}")
+      }
+    }
+    // the density guarantee the scheme is chosen for: ~2n/(w+1) picks
+    val dense = (0 until 1000)
+      .map(i => ((i * 2654435761L) % 100000).abs).toSeq
+    val picks = Seq(dense).toDF("kh")
+      .select(TextFunctions.winnow_select(col("kh"), 4).as("p"))
+      .collect().head.getSeq[Int](0)
+    assert(picks.length <= 2 * dense.length / 5 + 8)
+    assert(picks == picks.sorted && picks.distinct.length == picks.length)
+  }
 }
