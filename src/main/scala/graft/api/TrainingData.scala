@@ -4462,8 +4462,12 @@ object TrainingData {
       .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
         col(labelCol).isNotNull)
       .select(col(itemCol).as("item"), col(labelCol).as("label"))
+    // the (item, label) cell relation feeds FOUR branches (per-item
+    // agreement, the kept-item filter, label marginals, the P_e total) —
+    // unpersisted, the upstream scan/dedup lineage re-ran per branch
     val cellCounts = base.groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("n_il"))
+      .persist()
     val perItem = cellCounts.groupBy(col("item"))
       .agg(sum(col("n_il")).as("n_i"),
         sum(col("n_il") * (col("n_il") - 1)).as("agree_pairs"))

@@ -525,6 +525,49 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "Scan parquet") == 1, p)
   }
 
+  test("x121/x122/x126 rank passes run over DISTINCT-value relations, not rows") {
+    // the midrank/AP machinery must aggregate to per-value counts BEFORE
+    // any window — a Window directly over the row-grain relation would
+    // single-partition the full corpus instead of its value cardinality
+    for (q <- Seq("x121_auc_exact", "x126_avg_precision")) {
+      val p = plan(q)
+      assert(treeCount(p, "Window") == 1, s"$q\n$p")
+      assert(p.indexOf("HashAggregate") < p.indexOf("Window") ||
+        p.indexOf("Window") < 0, q)
+    }
+    val p122 = plan("x122_spearman")
+    // two midrank windows (x and y), both value-grain; the rank joins
+    // broadcast the value→midrank relations back onto rows
+    assert(treeCount(p122, "Window") == 2, p122)
+    assert(treeCount(p122, "BroadcastHashJoin") == 2, p122)
+    assert(!p122.contains("CartesianProduct"), p122)
+  }
+
+  test("x124 bootstrap explode is row-local; one B-key aggregation") {
+    val p = plan("x124_bootstrap_ci")
+    assert(p.contains("Generate"), p) // the explode
+    assert(!p.contains("CartesianProduct"), p)
+    // no sort-merge join anywhere: the bounds attach by broadcast
+    assert(treeCount(p, "SortMergeJoin") == 0, p)
+  }
+
+  test("x129 profile plans as ONE aggregation via Expand — no per-column scans") {
+    val p = plan("x129_table_profile")
+    assert(p.contains("Expand"), p)
+    assert(treeCount(p, "Scan parquet") == 1, p)
+    assert(treeCount(p, "SortMergeJoin") == 0 &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("x67 winnow fingerprinting is the native expression — no interpreted HOF fold") {
+    val p = plan("x67_winnow_pairs")
+    assert(p.contains("winnowselect") || p.contains("WinnowSelect") ||
+      p.contains("winnow_select"), p.linesIterator.take(40).mkString("\n"))
+    // selection stays row-local: the only joins are the fingerprint
+    // equi-join of the pair stage
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
