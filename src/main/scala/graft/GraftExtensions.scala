@@ -106,6 +106,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BucketIndex(exprs(0), bounds)
       }))
     ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("sha32_kgrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.Sha32KgramHashes].getName, "sha32_kgrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.Sha32KgramHashes(exprs(0), intLit(exprs(1), "k"))))
+    ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_select"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.WinnowSelect].getName, "winnow_select"),

@@ -3056,13 +3056,13 @@ object TrainingData {
   def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, window: Int = 4): DataFrame = {
     require(k >= 1 && window >= 1, s"k and window must be >= 1")
+    // one-pass native k-gram hashing (Sha32KgramHashes ≡ the composed
+    // tokens→slice→join→sha32 chain — bit-equality in TextExprSpec);
+    // empty arrays (< k tokens) drop exactly like the size(tk) filter did
     val withKh = docs
-      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= k)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-          i => graft.ops.DedupOps.sha32(array_join(slice(col("tk"), i, lit(k)), " ")))
-          .as("kh"))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.sha32_kgrams(col(textCol), k).as("kh"))
+      .filter(size(col("kh")) >= 1)
     withKh
       .select(col("doc_id"), col("kh"),
         explode(graft.functions.TextFunctions.winnow_select(col("kh"), window))
@@ -3108,11 +3108,10 @@ object TrainingData {
       textCol: String, k: Int = 3): DataFrame = {
     require(k >= 1)
     def kgramPos(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId), DedupOps.tokens(col(textCol)).as("tk"))
-        .filter(size(col("tk")) >= k)
-        .select(col(outId),
-          posexplode(transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-            i => graft.ops.DedupOps.sha32(array_join(slice(col("tk"), i, lit(k)), " ")))))
+      df.select(col(idCol).as(outId),
+          graft.functions.TextFunctions.sha32_kgrams(col(textCol), k).as("kh"))
+        .filter(size(col("kh")) >= 1)
+        .select(col(outId), posexplode(col("kh")))
         .select(col(outId), (col("pos") + 1).cast("long").as("p"),
           col("col").as("shh"))
     val hits = kgramPos(corpus, "doc_id")

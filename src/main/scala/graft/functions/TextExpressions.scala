@@ -253,6 +253,85 @@ case class Sha32MinHashSigs(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Native per-POSITION k-gram sha32 hasher (X67/X68 hot path).
+  *
+  * Semantics are exactly the composed
+  * `transform(sequence(1, size(tk) − k + 1), i ->
+  * sha32(array_join(slice(tk, i, k), " ")))` over
+  * `filter(split(lower(text), " "), _ != "")` — every position's
+  * k-token gram hashed to the first-4-bytes-of-SHA-256 portable value
+  * (identical to `conv(substring(sha2(g, 256), 1, 8), 16, 10)`), WITH
+  * multiplicity and in position order (array index = 1-based k-gram
+  * position — [[ShingleHashes]] is the DISTINCT/xxhash64 sibling for
+  * Jaccard, this keeps what winnowing windows and span offsets need).
+  * Fewer than k tokens → empty array. One pass, one thread-local
+  * digest; the composed form re-tokenized and re-joined through five
+  * interpreted higher-order functions per position. */
+case class Sha32KgramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "k-gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sha32_kgrams expects a string column, got $other")
+    }
+
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  // see ShingleHashes.compute — the direct codegen call target
+  def compute(v: UTF8String): GenericArrayData = {
+    val lowered = v.toLowerCase.toString
+    val parts = lowered.split(' ')
+    val toks = new java.util.ArrayList[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) toks.add(parts(i))
+      i += 1
+    }
+    val m = toks.size - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val md = mdLocal.get()
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(i) = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sha32KgramHashes", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native winnowing selection (SURVEY.md §2B X67 hot path).
   *
   * Semantics are exactly the composed
@@ -332,6 +411,11 @@ object TextFunctions {
     * sliding `window` minimum, ties rightmost, duplicates collapsed. */
   def winnow_select(kh: Column, window: Int): Column =
     GraftBridge.column(WinnowSelect(GraftBridge.expression(kh), window))
+
+  /** Per-position sha32 k-gram hashes of `text`, with multiplicity,
+    * array index = 1-based k-gram position. */
+  def sha32_kgrams(text: Column, k: Int): Column =
+    GraftBridge.column(Sha32KgramHashes(GraftBridge.expression(text), k))
 
   /** k-permutation sha32 MinHash signature of `text`'s `n`-token
     * shingles; empty array when the text has no shingles. */

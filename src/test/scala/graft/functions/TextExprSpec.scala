@@ -98,6 +98,30 @@ class TextExprSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq == Seq(0, 0, 1, 1))
   }
 
+  test("Sha32KgramHashes ≡ composed tokens→slice→join→sha32 chain, positions aligned") {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c", "one two", "", "  spaced   OUT   here  and  more  ",
+      "Mixed CASE Tokens repeat repeat repeat repeat",
+      "unicode ü tokens é here ß again ü tokens é here")
+    val df = texts.toDF("text")
+    val k = 3
+    val composed = df
+      .select(DedupOps.tokens(col("text")).as("tk"))
+      .select(when(size(col("tk")) >= k,
+        transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+          i => DedupOps.sha32(array_join(slice(col("tk"), i, lit(k)), " "))))
+        .otherwise(array().cast("array<long>")).as("kh"))
+      .as[Seq[Long]].collect().toSeq
+    val native = df
+      .select(TextFunctions.sha32_kgrams(col("text"), k).as("kh"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == composed)
+    assert(native.head.nonEmpty) // the real path actually hashes
+  }
+
   test("WinnowSelect ≡ composed rightmost-min fold on adversarial + random arrays") {
     import spark.implicits._
     // adversarial: all-equal (ties every window), strictly rising,
