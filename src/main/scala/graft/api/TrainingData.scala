@@ -5094,6 +5094,96 @@ object TrainingData {
         .as("mean_retained_micros"))))
   }
 
+  /** Autocorrelation of the daily ingestion count at the given lags:
+    * per lag, exact Pearson r over the (day, day+lag) count pairs —
+    * DECIMAL(38,0) sums, r²·10⁶ as ONE IEEE double expression over
+    * exact integers with the sign carried separately (the
+    * [[spearmanExact]] recipe on raw values — counts have no outliers a
+    * rank transform must tame). r(7) ≫ r(1) is the weekly-seasonality
+    * signature; a collapse of both flags an ingestion regime change
+    * before [[rollingAnomaly]]'s per-bucket z-scores accumulate. Days
+    * absent from the data drop their pairs (documented: gaps are not
+    * zero-filled — a silent zero day IS the anomaly and shows up in
+    * [[cusumChangepoint]] instead). Lags with < 3 pairs or constant
+    * counts → NULL.
+    *
+    * Scale shape: the corpus reduces to one (day, count) aggregation
+    * (map-side combined); every join/window after runs on the ≤|days|
+    * relation — broadcast-sized at any corpus size. */
+  def dailyAutocorr(events: DataFrame, tsCol: String,
+      lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags: $lags")
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"(unix_millis(CAST($tsCol AS TIMESTAMP)) div 86400000L)")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val pairs = lags.map { lag =>
+      daily.as("a")
+        .join(daily.as("b"), col("b.day") === col("a.day") + lag)
+        .select(lit(lag).as("lag"),
+          col("a.y").cast("decimal(38,0)").as("x"),
+          col("b.y").cast("decimal(38,0)").as("z"))
+    }.reduce(_ unionAll _)
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("z")).as("sz"),
+        sum(col("x") * col("z")).as("sxz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"))
+      .select(col("lag"), col("n_pairs"),
+        (col("n_pairs").cast("decimal(38,0)") * col("sxz")
+          - col("sx") * col("sz")).as("num"),
+        (col("n_pairs").cast("decimal(38,0)") * col("sxx")
+          - col("sx") * col("sx")).as("den1"),
+        (col("n_pairs").cast("decimal(38,0)") * col("szz")
+          - col("sz") * col("sz")).as("den2"))
+      .select(col("lag"), col("n_pairs"),
+        when(col("num") > 0, 1).when(col("num") < 0, -1).otherwise(0)
+          .as("r_sign"),
+        when(col("n_pairs") < 3 || col("den1") === 0 || col("den2") === 0,
+          lit(null))
+          .otherwise(expr(
+            "CAST(floor(1000000.0 * CAST(num AS DOUBLE) * CAST(num AS DOUBLE)" +
+              " / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE))) AS BIGINT)"))
+          .as("r_sq_micros"))
+  }
+
+  /** CUSUM changepoint scan over the daily ingestion count: per day the
+    * exact cumulative deviation S_t = n·Σ_{i≤t} y_i − t·T (the
+    * mean-free cumulative sum scaled by n to stay integer — S_t/n is
+    * the classic CUSUM), plus — broadcast on every row — the argmax day
+    * of |S_t| (ties → earliest) and the max |S_t| itself: the
+    * single most likely level-shift location. [[rollingAnomaly]] flags
+    * single weird buckets; this locates a PERSISTENT regime change
+    * (crawler config shift, a source going dark) that per-bucket
+    * z-scores absorb into their trailing window. Exact while
+    * n_days·total_events < 2⁶³ (~10⁵ days × 10¹³ events).
+    *
+    * Scale shape: one (day, count) aggregation; the ordered cumulative
+    * pass and the argmax run on the ≤|days| relation (single-partition
+    * window over days — value cardinality, bounded by calendar time,
+    * not corpus size). */
+  def cusumChangepoint(events: DataFrame, tsCol: String): DataFrame = {
+    val daily = events.filter(col(tsCol).isNotNull)
+      .select(expr(s"(unix_millis(CAST($tsCol AS TIMESTAMP)) div 86400000L)")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("y"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = daily.agg(sum(col("y")).as("tt"), count(lit(1)).as("nd"))
+    val s = daily
+      .withColumn("t", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .withColumn("cy", sum(col("y")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("y"), col("t"),
+        (col("nd") * col("cy") - col("t") * col("tt")).as("s_dev"))
+    s.crossJoin(broadcast(
+      s.select(col("day"), abs(col("s_dev")).as("a"))
+        .orderBy(col("a").desc, col("day")).limit(1)
+        .select(col("day").as("cp_day"), col("a").as("max_abs_dev"))))
+  }
+
   /** Greedy k-center coreset (Gonzalez 2-approximation): from a
     * deterministic pool (the `poolSize` lowest ids), seed with the
     * lowest id, then k−1 rounds of "select the point FARTHEST from the

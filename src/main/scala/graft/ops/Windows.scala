@@ -343,7 +343,27 @@ object Windows {
       .fleissKappa(ratings, "item_id", "user_id", "event_type")
   }
 
+  /** X131 — autocorrelation of the daily event count at lags 1 and 7:
+    * r(7) ≫ r(1) is the weekly-seasonality signature, a collapse of
+    * both flags an ingestion regime change. Fixture binding of
+    * [[graft.api.TrainingData.dailyAutocorr]]. */
+  def x131DailyAutocorr(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.dailyAutocorr(
+      t(s, d, "events"), "ts", Seq(1, 7))
+      .orderBy(col("lag"))
+
+  /** X132 — CUSUM changepoint scan of the daily event count: the exact
+    * cumulative-deviation sequence plus the argmax level-shift day
+    * broadcast — locates the persistent regime change x88's per-bucket
+    * z-scores absorb. Fixture binding of
+    * [[graft.api.TrainingData.cusumChangepoint]]. */
+  def x132Cusum(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cusumChangepoint(t(s, d, "events"), "ts")
+      .orderBy(col("day"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x131_daily_autocorr" -> (x131DailyAutocorr _),
+    "x132_cusum_changepoint" -> (x132Cusum _),
     "x99_fleiss_kappa" -> (x99FleissKappa _),
     "x94_state_intervals" -> (x94StateIntervals _),
     "x88_event_anomaly" -> (x88EventAnomaly _),
@@ -441,6 +461,61 @@ object Windows {
     // rolling anomaly: hourly (series, bucket) counts, trailing-24 ROWS
     // frame sums, z in one arithmetic sequence from the integer sums;
     // < 8 predecessors or zero variance -> NULL
+    // autocorrelation replay: same epoch-ms day buckets, the lag self
+    // join, HUGEINT Pearson sums, the identical IEEE r² expression
+    "x131_daily_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+        |    count(*) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |pairs AS (
+        |  SELECT 1 AS lag, CAST(a.y AS HUGEINT) AS x, CAST(b.y AS HUGEINT) AS z
+        |  FROM daily a JOIN daily b ON b.day = a.day + 1
+        |  UNION ALL
+        |  SELECT 7, CAST(a.y AS HUGEINT), CAST(b.y AS HUGEINT)
+        |  FROM daily a JOIN daily b ON b.day = a.day + 7),
+        |a AS (
+        |  SELECT lag, count(*) AS n_pairs, sum(x) AS sx, sum(z) AS sz,
+        |    sum(x * z) AS sxz, sum(x * x) AS sxx, sum(z * z) AS szz
+        |  FROM pairs GROUP BY 1),
+        |f AS (
+        |  SELECT lag, n_pairs,
+        |    n_pairs * sxz - sx * sz AS num,
+        |    n_pairs * sxx - sx * sx AS den1,
+        |    n_pairs * szz - sz * sz AS den2
+        |  FROM a)
+        |SELECT lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS r_sign,
+        |  CASE WHEN n_pairs < 3 OR den1 = 0 OR den2 = 0 THEN NULL
+        |       ELSE CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+        |         * CAST(num AS DOUBLE) / (CAST(den1 AS DOUBLE)
+        |         * CAST(den2 AS DOUBLE))) AS BIGINT)
+        |  END AS r_sq_micros
+        |FROM f ORDER BY lag""".stripMargin,
+    // CUSUM replay: same day buckets, exact n·cumsum − t·total, the
+    // (max |S|, earliest day) argmax joined onto every row
+    "x132_cusum_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(sum(y) AS BIGINT) AS tt,
+        |        CAST(count(*) AS BIGINT) AS nd FROM daily),
+        |s AS (
+        |  SELECT day, y,
+        |    CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS t,
+        |    CAST(sum(y) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cy
+        |  FROM daily),
+        |dev AS (
+        |  SELECT day, y, t, CAST(nd * cy - t * tt AS BIGINT) AS s_dev
+        |  FROM s, tot),
+        |cp AS (
+        |  SELECT day AS cp_day, CAST(abs(s_dev) AS BIGINT) AS max_abs_dev
+        |  FROM dev ORDER BY abs(s_dev) DESC, day LIMIT 1)
+        |SELECT day, y, t, s_dev, cp_day, max_abs_dev
+        |FROM dev, cp ORDER BY day""".stripMargin,
     "x88_event_anomaly" ->
       """WITH cnt AS (
         |  SELECT event_type AS series,

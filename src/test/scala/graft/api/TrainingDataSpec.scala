@@ -2926,6 +2926,41 @@ class TrainingDataSpec extends SparkSpec {
     assert(got("b") == ((1L, 4L, 250000L, 2L, 625000L, entSum)))
   }
 
+  test("dailyAutocorr: perfect trend, anti-correlation, gap days, NULL floor") {
+    def ev(dayCounts: Seq[(Long, Int)]) = dayCounts.flatMap { case (d, c) =>
+      Seq.fill(c)(new java.sql.Timestamp(d * 86400000L))
+    }.map(Tuple1(_)).toDF("ts")
+    // counts 1..6 over consecutive days: lag-1 pairs perfectly linear
+    val up = graft.api.TrainingData.dailyAutocorr(
+      ev((0L to 5L).map(d => (d, d.toInt + 1))), "ts", Seq(1))
+      .collect().head
+    assert(up.getLong(1) == 5L && up.getInt(2) == 1 &&
+      up.getLong(3) == 1000000L)
+    // alternating 1,2,1,2: lag-1 anti-correlated, r² still 10⁶
+    val alt = graft.api.TrainingData.dailyAutocorr(
+      ev(Seq((0L, 1), (1L, 2), (2L, 1), (3L, 2))), "ts", Seq(1))
+      .collect().head
+    assert(alt.getInt(2) == -1 && alt.getLong(3) == 1000000L)
+    // gap day drops its pairs → only 1 pair → below the n>=3 floor
+    val gap = graft.api.TrainingData.dailyAutocorr(
+      ev(Seq((0L, 1), (1L, 2), (3L, 5))), "ts", Seq(1))
+      .collect().head
+    assert(gap.getLong(1) == 1L && gap.isNullAt(3))
+  }
+
+  test("cusumChangepoint: exact deviation sequence and argmax day") {
+    val rows = (Seq.fill(2)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(8)(2L))
+      .map(d => Tuple1(new java.sql.Timestamp(d * 86400000L))).toDF("ts")
+    val got = graft.api.TrainingData.cusumChangepoint(rows, "ts")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    // T=12, n=3: S = 3·cum − t·12 → −6, −12, 0; argmax |S| at day 1
+    assert(got(0L) == ((2L, 1, -6L, 1L, 12L)))
+    assert(got(1L) == ((2L, 2, -12L, 1L, 12L)))
+    assert(got(2L) == ((8L, 3, 0L, 1L, 12L)))
+  }
+
   test("tableProfile: counts, exact NDV, lexicographic min/max, NULLs") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), Some("a")), (Some(2L), None),
