@@ -3130,6 +3130,49 @@ object TrainingData {
         (col("end_pos") - col("start_pos") + k).as("span_tokens"))
   }
 
+  /** Span EXCISION — the surgical-decontamination completion of
+    * [[contaminationSpans]]: given (doc_id, start_pos, end_pos) spans in
+    * 1-based k-gram indices, rebuild each document's token stream with
+    * every covered token range [start_pos, end_pos + k − 1] removed
+    * (overlapping spans from different probes merge by coverage — a
+    * token survives iff NO span covers it) → (doc_id, n_tokens,
+    * n_removed, clean_text). Documents without spans pass through
+    * whole. The operator drops the SPAN and keeps the document — the
+    * alternative ([[curationVerdicts]]' contamination rule) drops whole
+    * documents and with them every clean token they carried. Tokens are
+    * the lowercased whitespace stream (the pipeline's normalization);
+    * clean_text re-joins with single spaces.
+    *
+    * Scale shape: spans aggregate to one array per doc (bounded by the
+    * doc's own match count), attach by ONE left equi-join on doc id,
+    * and the rebuild is row-local array algebra. */
+  def exciseSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1)
+    val spanArr = spans
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos").as("s"),
+        (col("end_pos") + (k - 1)).as("e"))).as("spans"))
+    docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tk"),
+        coalesce(col("spans"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("spans"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n_tokens"),
+        // sequence(1, 0) steps BACKWARDS in Spark (the shingles guard):
+        // zero-token docs get an explicit empty kept list
+        when(size(col("tk")) >= 1,
+          expr("filter(sequence(1, size(tk)), i -> NOT exists(spans," +
+            " sp -> i >= sp.s AND i <= sp.e))"))
+          .otherwise(array().cast("array<int>")).as("kept"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        expr("array_join(transform(kept, i -> element_at(tk, i)), ' ')")
+          .as("clean_text"))
+  }
+
   /** Rank-fusion quality scoring via bucketized ECDFs →
     * (id, b_<signal>..., fused): each INTEGER signal is mapped to its
     * corpus decile (bucket = how many of the nBuckets−1 exact percentile

@@ -698,6 +698,25 @@ object DedupOps {
       .orderBy(col("doc_id"), col("probe_id"), col("start_pos"))
   }
 
+  /** X133 — span EXCISION over the x68 spans: rebuild each corpus
+    * document's token stream with every contaminated k-gram span
+    * removed (coverage-merged across probes) — the surgical
+    * decontamination that keeps the document and drops only the leaked
+    * run, where x62's contamination rule drops whole documents. Fixture
+    * binding of [[graft.api.TrainingData.exciseSpans]] over
+    * [[graft.api.TrainingData.contaminationSpans]]. */
+  def x133SpanExcision(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50)
+    graft.api.TrainingData.exciseSpans(
+      corpus,
+      graft.api.TrainingData.contaminationSpans(
+        corpus, docs.filter(col("doc_id") < 50), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("start_pos"), col("end_pos")),
+      "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** X71 — triangle census of the near-dup graph: per-node triangle
     * count + local clustering coefficient over the SHARED verified pair
     * relation (x26's cache), separating clique-shaped duplicate
@@ -789,6 +808,7 @@ object DedupOps {
     "x67_winnow_pairs" -> (x67WinnowPairs _),
     "x68_contam_spans" -> (x68ContamSpans _),
     "x71_dup_triangles" -> (x71DupTriangles _),
+    "x133_span_excision" -> (x133SpanExcision _),
     "x25_exact_dedup" -> (x25Exact _),
     "x25b_dedup_increment" -> (x25bDedupIncrement _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
@@ -1131,6 +1151,42 @@ object DedupOps {
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
          |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+    // excision replay: the x68 span chain, spans coverage-merged per
+    // doc, kept = indices no span covers, text re-joined on spaces
+    "x133_span_excision" ->
+      s"""WITH $kgramPosCtes,
+         |probe AS (SELECT DISTINCT doc_id AS probe_id, h FROM kh WHERE doc_id < 50),
+         |hits AS (
+         |  SELECT k.doc_id, p.probe_id, k.p
+         |  FROM kh k JOIN probe p ON k.h = p.h WHERE k.doc_id >= 50),
+         |runs AS (
+         |  SELECT doc_id, probe_id, p,
+         |    p - row_number() OVER (PARTITION BY doc_id, probe_id ORDER BY p) AS grp
+         |  FROM hits),
+         |spans AS (
+         |  SELECT doc_id, min(p) AS s, max(p) + 2 AS e
+         |  FROM runs GROUP BY doc_id, probe_id, grp),
+         |sp AS (
+         |  SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+         |  FROM spans GROUP BY 1),
+         |base AS (
+         |  SELECT t.doc_id, t.tk, coalesce(sp.spans, []) AS spans
+         |  FROM toks t LEFT JOIN sp ON sp.doc_id = t.doc_id
+         |  WHERE t.doc_id >= 50 AND t.doc_id IS NOT NULL
+         |    AND t.tk IS NOT NULL),
+         |kp AS (
+         |  SELECT doc_id, tk,
+         |    list_filter(range(1, len(tk) + 1), i ->
+         |      len(list_filter(spans, x -> i >= x.s AND i <= x.e)) = 0)
+         |    AS kept
+         |  FROM base)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+         |  -- DuckDB's array_to_string of an empty list is NULL; Spark's
+         |  -- array_join is '' — a fully-excised doc is '' in both
+         |  coalesce(array_to_string(list_transform(kept, i -> tk[i]), ' '),
+         |    '') AS clean_text
+         |FROM kp ORDER BY doc_id""".stripMargin,
     // span replay: probe hash set, positional match join, islands via
     // p - row_number, maximal-run aggregation
     "x68_contam_spans" ->

@@ -2961,6 +2961,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(2L) == ((8L, 3, 0L, 1L, 12L)))
   }
 
+  test("exciseSpans: coverage merge, pass-through, full excision, lowering") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "X y Z"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    // k=3: span (s,e) covers tokens [s, e+2]
+    val spans = Seq((1L, 1L, 1L), (1L, 3L, 3L), (3L, 1L, 1L))
+      .toDF("doc_id", "start_pos", "end_pos")
+    val got = graft.api.TrainingData.exciseSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: covered 1..3 ∪ 3..5 → kept {6} → "f"
+    assert(got(1L) == ((6L, 5L, "f")))
+    // doc 2: no spans → whole doc, lowercased token stream
+    assert(got(2L) == ((3L, 0L, "x y z")))
+    // doc 3: fully covered → empty string, not NULL
+    assert(got(3L) == ((3L, 3L, "")))
+  }
+
   test("tableProfile: counts, exact NDV, lexicographic min/max, NULLs") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), Some("a")), (Some(2L), None),
