@@ -492,4 +492,40 @@ class StreamingSpec extends SparkSpec {
     // and the outer path genuinely fired: at least one null row exists
     assert(gate.exists(_._2 == -1L))
   }
+
+  test("IdempotentUpsertSink: id-keyed replay skip, latest-wins, forward-only") {
+    val sink = new StreamingOps.IdempotentUpsertSink
+    // rows are (event_id, user_id, event_type, ts_ms)
+    assert(sink.applyBatch(Seq((10L, 1L, "a", 100L), (11L, 2L, "b", 100L)), 0L))
+    assert(sink.snapshot == Map(1L -> ((100L, 10L, "a")),
+      2L -> ((100L, 11L, "b"))))
+    // replay identity is the BATCH ID, not the content: a replayed id
+    // with a DIFFERENT payload must still be skipped wholesale
+    assert(!sink.applyBatch(Seq((99L, 1L, "poison", 999L)), 0L))
+    assert(sink.snapshot(1L) == ((100L, 10L, "a")))
+    // a fresh id applies: older update can't move a key backward,
+    // same-ts lower event_id loses, newer wins
+    assert(sink.applyBatch(Seq((5L, 1L, "old", 50L), (9L, 2L, "tie", 100L),
+      (12L, 2L, "new", 200L)), 1L))
+    assert(sink.snapshot == Map(1L -> ((100L, 10L, "a")),
+      2L -> ((200L, 12L, "new"))))
+  }
+
+  test("x134 gate equals batch argmax per user and is deterministic") {
+    val d = "/root/testdata/sf0.001"
+    val gate = StreamingOps.defs("x134_upsert_sink")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val batch = graft.Tables.t(spark, d, "events")
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getString(2)))
+    assert(gate.nonEmpty && gate.sameElements(batch))
+  }
 }
