@@ -3173,6 +3173,38 @@ object TrainingData {
           .as("clean_text"))
   }
 
+  /** Duplicated-shingle MASS per group: of each group's distinct
+    * (doc, shingle) instances, the exact micro fraction whose shingle
+    * occurs in ≥ 2 documents corpus-wide, with the corpus-level
+    * fraction broadcast. This is duplication measured as TOKEN-MASS
+    * EXPOSURE rather than document pairs — the x26 pair relation says
+    * which docs pair, x106 says how concentrated the clusters are, this
+    * says how much of each source's raw text a model will effectively
+    * see twice (the repeated-n-gram statistic large-corpus reports
+    * quote). Input is the distinct per-doc shingle-hash relation (the
+    * shared x26 cache).
+    *
+    * Scale shape: one (hash → occurrence count) aggregation on the
+    * 8-byte key, one hash join back to instances, one group
+    * aggregation — no pair join anywhere (pair-free by construction,
+    * unlike every x26 family member). */
+  def dupShingleMass(shingles: DataFrame, docs: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    val sh = shingles.toDF("doc_id", "k")
+    val df = sh.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+    val g = sh.join(df, Seq("k"))
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"))
+        .filter(col("grp").isNotNull), Seq("doc_id"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_instances"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("grp"), col("n_instances"), col("n_dup"),
+        expr("(1000000 * n_dup) div n_instances").as("dup_micros"))
+    g.crossJoin(broadcast(g.agg(
+      expr("(1000000 * sum(n_dup)) div sum(n_instances)")
+        .as("corpus_dup_micros"))))
+  }
+
   /** Rank-fusion quality scoring via bucketized ECDFs →
     * (id, b_<signal>..., fused): each INTEGER signal is mapped to its
     * corpus decile (bucket = how many of the nBuckets−1 exact percentile

@@ -717,6 +717,16 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** X135 — duplicated-shingle mass per source: how much of each
+    * source's raw text a model effectively sees twice (token-mass
+    * exposure, not document pairs — pair-free by construction). Rides
+    * the SHARED shingle cache. Fixture binding of
+    * [[graft.api.TrainingData.dupShingleMass]]. */
+  def x135DupMass(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.dupShingleMass(
+      persistShingles(s, d), t(s, d, "documents"), "doc_id", "source")
+      .orderBy(col("grp"))
+
   /** X71 — triangle census of the near-dup graph: per-node triangle
     * count + local clustering coefficient over the SHARED verified pair
     * relation (x26's cache), separating clique-shaped duplicate
@@ -809,6 +819,7 @@ object DedupOps {
     "x68_contam_spans" -> (x68ContamSpans _),
     "x71_dup_triangles" -> (x71DupTriangles _),
     "x133_span_excision" -> (x133SpanExcision _),
+    "x135_dup_mass" -> (x135DupMass _),
     "x25_exact_dedup" -> (x25Exact _),
     "x25b_dedup_increment" -> (x25bDedupIncrement _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
@@ -1151,6 +1162,37 @@ object DedupOps {
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
          |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+    // dup-mass replay: the x26 distinct-shingle derivation by STRING
+    // (hash-grain in the engine — identical short of a 64-bit collision),
+    // occurrence counts joined back, per-source instance fractions
+    "x135_dup_mass" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS sh
+        |  FROM toks),
+        |df AS (SELECT sh, count(*) AS n_docs FROM sh GROUP BY 1),
+        |inst AS (
+        |  SELECT d.source AS grp, f.n_docs
+        |  FROM sh s JOIN df f USING (sh)
+        |  JOIN documents d ON d.doc_id = s.doc_id
+        |  WHERE d.source IS NOT NULL),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_instances,
+        |    CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM inst GROUP BY 1),
+        |gg AS (
+        |  SELECT grp, n_instances, n_dup,
+        |    CAST((1000000 * n_dup) // n_instances AS BIGINT) AS dup_micros
+        |  FROM g),
+        |c AS (SELECT CAST((1000000 * sum(n_dup)) // sum(n_instances)
+        |      AS BIGINT) AS corpus_dup_micros FROM gg)
+        |SELECT grp, n_instances, n_dup, dup_micros, corpus_dup_micros
+        |FROM gg, c ORDER BY grp""".stripMargin,
     // excision replay: the x68 span chain, spans coverage-merged per
     // doc, kept = indices no span covers, text re-joined on spaces
     "x133_span_excision" ->

@@ -2978,6 +2978,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(3L) == ((3L, 3L, "")))
   }
 
+  test("dupShingleMass: cross-group duplication, exact micro fractions") {
+    // shingle relation is (doc_id, key), distinct per doc by contract
+    val sh = Seq((1L, 100L), (1L, 200L), (2L, 100L), (3L, 300L))
+      .toDF("doc_id", "k")
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "skip"))
+      .toDF("doc_id", "source")
+    val got = graft.api.TrainingData.dupShingleMass(sh, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // key 100 occurs in docs 1 and 2 (cross-group): a's instances = 2
+    // (1 dup → 500000); b's = 2 (1 dup → 500000); corpus = 2/4
+    assert(got("a") == ((2L, 1L, 500000L, 500000L)))
+    assert(got("b") == ((2L, 1L, 500000L, 500000L)))
+    assert(!got.contains("skip")) // no shingles → no instances
+  }
+
   test("tableProfile: counts, exact NDV, lexicographic min/max, NULLs") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), Some("a")), (Some(2L), None),
