@@ -59,9 +59,10 @@ object ScaleSweep {
     "x91_skipgram_pmi", "x76_bm25_topk",
     "x92_jaccard_prefix", "x95_ngram_saturation", "x104_source_jaccard",
     "x108_image_phash", "x113_centroid_drift",
-    // round-11 fourth-session additions: the 40× bootstrap explode and
-    // the two distinct-value cumulative passes
-    "x124_bootstrap_ci", "x122_spearman", "x121_auc_exact")
+    // round-11 fourth-session additions: the 40× bootstrap explode, the
+    // distinct-value cumulative passes, span excision, dup mass
+    "x124_bootstrap_ci", "x122_spearman", "x121_auc_exact",
+    "x133_span_excision", "x135_dup_mass")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
