@@ -568,6 +568,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("NO registered query plans a CartesianProduct — the global ban, CI-enforced") {
+    // the repo's scale claim bans the node outright (accepted tiny-side
+    // cross joins must carry a broadcast hint and plan as BNLJ Cross);
+    // sweeping every registered query makes the claim a regression net
+    // instead of a README sentence
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))
