@@ -3205,6 +3205,75 @@ object TrainingData {
         .as("corpus_dup_micros"))))
   }
 
+  /** Chao1 species-richness estimate of the vocabulary: from the type
+    * frequency spectrum (f1 singletons, f2 doubletons), the
+    * bias-corrected estimate of the TOTAL vocabulary including unseen
+    * types — chao1 = V + f1·(f1−1) div (2·(f2+1)), exact integer —
+    * plus the unseen fraction in micros. Answers "how much vocabulary
+    * does this corpus still owe us": a near-zero unseen fraction says
+    * more data adds tokens, not types (vocab-sizing can freeze);
+    * [[vocabCoverageCurve]] reads the seen head, [[goodTuringMass]]
+    * prices the unseen PROBABILITY mass, this counts the unseen TYPES.
+    * Input binds by name to a (tok, tf)-shaped counts relation (the
+    * [[tokenCounts]] cache).
+    *
+    * Scale shape: one (type → total) aggregation over the shared counts
+    * relation, then one scalar reduce over the type relation. */
+  def chao1Richness(counts: DataFrame): DataFrame =
+    counts.groupBy(col("tok")).agg(sum(col("tf")).as("c"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_types"), col("n_tokens"), col("f1"), col("f2"),
+        (col("n_types") + expr("(f1 * (f1 - 1)) div (2 * (f2 + 1))"))
+          .as("chao1_est"))
+      .withColumn("unseen_micros",
+        when(col("chao1_est") === 0, lit(null))
+          .otherwise(expr("(1000000 * (chao1_est - n_types)) div chao1_est")))
+
+  /** Sorted-neighborhood candidate pairs (the record-linkage SNM
+    * blocking method — Hernández/Stolfo): documents sorted by a
+    * normalized key pair within a sliding rank window of width `w`,
+    * run in TWO passes (prefix key and reversed-prefix key) whose
+    * union is the multi-key form that covers the single-key method's
+    * boundary misses. The third blocking mechanism beside hash banding
+    * (MinHash/SimHash bands) and sorted prefixes (x92): SNM catches
+    * near-dups whose SHARED PART is the sort key — leading boilerplate,
+    * shared titles — at n·w pairs per pass, never n².
+    *
+    * Scale shape: ranks are per-BLOCK windows (2-char key blocks), not
+    * one global sort — block-boundary misses are the documented
+    * single-pass gap the second key pass exists to cover; the window
+    * join is an explode of `w` offsets + one equi-join on (block,
+    * rank). */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"need window >= 1, got $w")
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+    def pass(key: Column, passName: String): DataFrame = {
+      val keyed = docs
+        .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol).as("id"), key.as("k"),
+          substring(key, 1, 2).as("block"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block")).orderBy(col("k"), col("id"))
+      val ranked = keyed.withColumn("rank", row_number().over(win))
+      ranked.select(col("block"), col("id").as("ida"), col("rank"),
+          explode(sequence(lit(1), lit(w))).as("off"))
+        .select(col("block"), col("ida"),
+          (col("rank") + col("off")).as("rank2"))
+        .join(ranked.select(col("block"), col("id").as("idb"),
+          col("rank").as("rank2")), Seq("block", "rank2"))
+        .select(least(col("ida"), col("idb")).as("d1"),
+          greatest(col("ida"), col("idb")).as("d2"),
+          lit(passName).as("pass"))
+    }
+    pass(substring(norm, 1, 24), "prefix")
+      .unionAll(pass(substring(reverse(norm), 1, 24), "suffix"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(countDistinct(col("pass")).as("n_passes"))
+  }
+
   /** Rank-fusion quality scoring via bucketized ECDFs →
     * (id, b_<signal>..., fused): each INTEGER signal is mapped to its
     * corpus decile (bucket = how many of the nBuckets−1 exact percentile

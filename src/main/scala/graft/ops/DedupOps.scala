@@ -727,6 +727,17 @@ object DedupOps {
       persistShingles(s, d), t(s, d, "documents"), "doc_id", "source")
       .orderBy(col("grp"))
 
+  /** X137 — sorted-neighborhood candidate pairs (multi-key SNM, window
+    * 3): the record-linkage blocking mechanism beside hash banding and
+    * sorted prefixes — catches near-dups whose shared part IS the sort
+    * key (leading boilerplate, shared titles) at n·w pairs per pass.
+    * Fixture binding of
+    * [[graft.api.TrainingData.sortedNeighborhoodPairs]]. */
+  def x137SortedNeighborhood(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.sortedNeighborhoodPairs(
+      t(s, d, "documents"), "doc_id", "text", w = 3)
+      .orderBy(col("d1"), col("d2"))
+
   /** X71 — triangle census of the near-dup graph: per-node triangle
     * count + local clustering coefficient over the SHARED verified pair
     * relation (x26's cache), separating clique-shaped duplicate
@@ -820,6 +831,7 @@ object DedupOps {
     "x71_dup_triangles" -> (x71DupTriangles _),
     "x133_span_excision" -> (x133SpanExcision _),
     "x135_dup_mass" -> (x135DupMass _),
+    "x137_sorted_neighborhood" -> (x137SortedNeighborhood _),
     "x25_exact_dedup" -> (x25Exact _),
     "x25b_dedup_increment" -> (x25bDedupIncrement _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
@@ -1162,6 +1174,31 @@ object DedupOps {
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
          |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+    // SNM replay: same normalization ('g' flag — DuckDB replaces first
+    // match by default where Spark replaces all), per-block row_number,
+    // rank-window join, unordered pair fold, distinct-pass count
+    "x137_sorted_neighborhood" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nrm
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |k1 AS (SELECT id, substring(nrm, 1, 24) AS k, 'prefix' AS pass
+        |       FROM base),
+        |k2 AS (SELECT id, substring(reverse(nrm), 1, 24) AS k,
+        |       'suffix' AS pass FROM base),
+        |ks AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2),
+        |r AS (
+        |  SELECT id, k, pass, substring(k, 1, 2) AS block,
+        |    row_number() OVER (PARTITION BY pass, substring(k, 1, 2)
+        |      ORDER BY k, id) AS rank
+        |  FROM ks),
+        |j AS (
+        |  SELECT a.pass, least(a.id, b.id) AS d1,
+        |    greatest(a.id, b.id) AS d2
+        |  FROM r a JOIN r b ON a.pass = b.pass AND a.block = b.block
+        |    AND b.rank >= a.rank + 1 AND b.rank <= a.rank + 3)
+        |SELECT d1, d2, CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
+        |FROM j GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
     // dup-mass replay: the x26 distinct-shingle derivation by STRING
     // (hash-grain in the engine — identical short of a 64-bit collision),
     // occurrence counts joined back, per-source instance fractions

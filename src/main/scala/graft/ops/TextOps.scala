@@ -132,6 +132,14 @@ object TextOps {
           size(graft.ops.DedupOps.tokens(col("text"))).as("yc")),
       "xc", "yc")
 
+  /** X136 — Chao1 vocabulary-richness estimate off the shared token
+    * counts: how many vocabulary types the corpus still owes us — x61
+    * reads the seen head, x100 prices unseen MASS, this counts unseen
+    * TYPES. Fixture binding of
+    * [[graft.api.TrainingData.chao1Richness]]. */
+  def x136Chao1(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.chao1Richness(tfRel(s, d))
+
   /** X28 — tf-idf: highest-scoring term per document. idf is the only
     * libm-touched value (ln) → rounded at 6 decimals on both sides.
     *
@@ -694,6 +702,7 @@ object TextOps {
     "x28c_lang_id" -> (x28cLangId _),
     "x119_lang_confusion" -> (x119LangConfusion _),
     "x122_spearman" -> (x122Spearman _),
+    "x136_chao1" -> (x136Chao1 _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
     "x28e_fingerprint" -> (x28eFingerprint _),
@@ -1560,6 +1569,29 @@ object TextOps {
          |  r_len, r_wordlen, r_alpha, r_stop,
          |  NOT (r_len OR r_wordlen OR r_alpha OR r_stop) AS keep
          |FROM fl ORDER BY doc_id""".stripMargin,
+    // Chao1 replay: type totals from the same tokenization, exact
+    // integer bias-corrected estimate, // ≡ div on nonnegatives
+    "x136_chao1" ->
+      s"""WITH b AS (
+         |  SELECT unnest($toksSql) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS c FROM b GROUP BY 1),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM tc),
+         |e AS (
+         |  SELECT n_types, n_tokens, f1, f2,
+         |    CAST(n_types + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         |      AS chao1_est
+         |  FROM a)
+         |SELECT n_types, n_tokens, f1, f2, chao1_est,
+         |  CASE WHEN chao1_est = 0 THEN NULL
+         |       ELSE CAST((1000000 * (chao1_est - n_types)) // chao1_est
+         |         AS BIGINT)
+         |  END AS unseen_micros
+         |FROM e""".stripMargin,
     // Spearman replay: same midrank·2 identity over DISTINCT values,
     // HUGEINT Pearson sums, the identical IEEE rho² expression
     "x122_spearman" ->

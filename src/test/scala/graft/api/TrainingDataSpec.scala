@@ -2978,6 +2978,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(3L) == ((3L, 3L, "")))
   }
 
+  test("chao1Richness: bias-corrected estimate on a hand frequency spectrum") {
+    // type totals across docs: a,b,c = 1 (f1=3), d = 2 (f2=1), e = 7
+    val counts = Seq((1L, "a", 1L), (1L, "b", 1L), (2L, "c", 1L),
+      (1L, "d", 1L), (2L, "d", 1L), (1L, "e", 3L), (2L, "e", 4L))
+      .toDF("doc_id", "tok", "tf")
+    val r = graft.api.TrainingData.chao1Richness(counts).collect().head
+    // chao1 = 5 + 3·2 div (2·2) = 6; unseen = 10⁶·1 div 6
+    assert(r.getLong(0) == 5L && r.getLong(1) == 12L &&
+      r.getLong(2) == 3L && r.getLong(3) == 1L)
+    assert(r.getLong(4) == 6L && r.getLong(5) == 166666L)
+  }
+
+  test("sortedNeighborhoodPairs: prefix pass, suffix pass, both, no cross-block") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta delta"),   // shared HEAD
+      (3L, "omega ending zzz"), (4L, "different ending zzz"), // shared TAIL
+      (5L, "common head shared tail"), (6L, "common head shared tail"))
+      .toDF("doc_id", "text")
+    val got = graft.api.TrainingData
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", w = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map(
+      (1L, 2L) -> 1L, // prefix key co-blocks, suffix keys differ
+      (3L, 4L) -> 1L, // suffix key co-blocks, prefix keys differ
+      (5L, 6L) -> 2L)) // identical docs caught by BOTH passes
+  }
+
   test("dupShingleMass: cross-group duplication, exact micro fractions") {
     // shingle relation is (doc_id, key), distinct per doc by contract
     val sh = Seq((1L, 100L), (1L, 200L), (2L, 100L), (3L, 300L))
