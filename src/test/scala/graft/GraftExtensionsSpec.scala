@@ -63,4 +63,26 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("sha32_kgrams and winnow_select resolve from SQL and agree with the Column API") {
+    val sqlRow = spark.sql(
+      """SELECT sha32_kgrams('the quick brown fox jumps', 3) AS kh,
+        |       winnow_select(sha32_kgrams('the quick brown fox jumps', 3), 2) AS w
+        |""".stripMargin).collect()(0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val api = Seq("the quick brown fox jumps").toDF("t")
+      .select(
+        graft.functions.TextFunctions.sha32_kgrams(col("t"), 3).as("kh"),
+        graft.functions.TextFunctions.winnow_select(
+          graft.functions.TextFunctions.sha32_kgrams(col("t"), 3), 2).as("w"))
+      .collect()(0)
+    assert(sqlRow.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(sqlRow.getSeq[Int](1) == api.getSeq[Int](1))
+    assert(sqlRow.getSeq[Long](0).length == 3) // 5 tokens → 3 positions
+    val e = intercept[Exception] {
+      spark.sql("SELECT winnow_select(array(1L, 2L), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
 }
