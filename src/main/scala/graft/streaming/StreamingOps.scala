@@ -29,6 +29,46 @@ object StreamingOps {
     }
   }
 
+  /** A fresh (emptied) per-app per-fixture sink directory for a gate's
+    * executor-side parquet readout. */
+  private def freshGateDir(s: SparkSession, tag: String,
+      dir: String): String = {
+    val sinkDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_gate_${s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_")}",
+      tag + "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    if (java.nio.file.Files.exists(sinkDir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(sinkDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    }
+    sinkDir.toString
+  }
+
+  /** Executor-side readout for run-to-completion gates whose result is
+    * O(input): each micro-batch appends to a parquet directory via
+    * foreachBatch (a distributed write — rows never pass through the
+    * driver) and the returned DataFrame is a read of those files. The
+    * memory-sink + collect readout the aggregate-sized gates use would
+    * materialize the whole result on the driver here — fine for a
+    * window-count relation, wrong for a per-event projection. The dir
+    * is fresh per gate run (the PerAppCache above each caller makes
+    * that once per app per fixture). */
+  private[streaming] def runToParquet(s: SparkSession, tag: String,
+      dir: String)(out: DataFrame): DataFrame = {
+    val target = freshGateDir(s, tag, dir)
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.write.mode("append").parquet(target)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(target)))
+      s.read.parquet(target)
+    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      out.schema)
+  }
+
   /** Dtype-adaptive streaming events loader: FileStreamSource needs an
     * explicit schema, so take it from a batch read of the same file (which
     * already applies the nanosAsLong fallback) instead of hard-coding one —
@@ -303,57 +343,62 @@ object StreamingOps {
     * BATCH ID — the contract that makes foreachBatch exactly-once
     * under Spark's at-least-once batch replay (a restarted query
     * re-delivers the last uncommitted batch; a sink that re-applies it
-    * double-counts). The sink keeps latest-per-key by (ts, event_id)
-    * ordering — so the final table equals the plain batch argmax per
-    * key no matter how the stream was batched — and skips any batchId
-    * it has already committed. The gate runs the fixture through two
-    * micro-batches, then SIMULATES the restart replay by re-applying
-    * batch 0's exact data under its original batchId and requires the
-    * state unchanged (the no-op proof; StreamingSpec also pins that the
-    * same data under a FRESH batchId does mutate — the skip is keyed by
-    * id, not by content). In production the state table is a Delta/
-    * Iceberg MERGE target; the gate's driver-side map is the
-    * fixture-bounded stand-in (the established run-to-completion
-    * readout pattern). */
+    * double-counts). The MERGE target is modeled DISTRIBUTEDLY, the way
+    * Delta/Iceberg implement it: each micro-batch appends its rows
+    * stamped with the batch id to a parquet LOG (an executor-side
+    * write — rows never pass through the driver), and the table state
+    * is the log's compaction — dedup on (batch_id, event_id) collapses
+    * a replayed batch (replay re-delivers the SAME recomputed rows
+    * under the SAME id; the driver-side [[IdempotentUpsertSink]] in the
+    * spec pins the stricter id-keyed wholesale skip), then the
+    * latest-per-key argmax by (ts_ms, event_id). Because the per-batch
+    * merge only moves a key FORWARD in that ordering, sequential batch
+    * application equals the global argmax — so the final table equals
+    * the plain batch argmax per key no matter how the stream was
+    * batched, which is the oracle. The gate then SIMULATES the restart
+    * replay by re-appending batch 0's rows verbatim under their
+    * original batch id and requires the compacted state unchanged (the
+    * no-op proof, checked with except() — an O(1)-to-driver
+    * aggregate, not a collect). */
   @transient private val upsertGateCache = graft.ops.PerAppCache.newCache
   def x134UpsertSink(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(upsertGateCache, s, d) {
-      import s.implicits._
-      val evs = graft.Tables.t(s, d, "events")
+      val logDir = freshGateDir(s, "x134_log", d)
+      val src = eventsStream(s, d)
         .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
           col("event_type").isNotNull && col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"))
-        .as[(Long, Long, String, Long)].collect().toSeq
-      val sink = new IdempotentUpsertSink
-      def applyBatch(rows: Seq[(Long, Long, String, Long)],
-          batchId: Long): Unit = sink.applyBatch(rows, batchId)
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, String, Long)]
-      val q = mem.toDS().toDF("event_id", "user_id", "event_type", "ts_ms")
-        .writeStream.outputMode("update")
-        .foreachBatch { (df: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], id: Long) =>
-          applyBatch(df.collect().toSeq.map(r =>
-            (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))), id)
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          b.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(logDir)
         }
         .start()
-      val (h1, h2) = evs.splitAt(evs.size / 2)
-      try {
-        mem.addData(h1)
-        q.processAllAvailable()
-        mem.addData(h2)
-        q.processAllAvailable()
-      } finally q.stop()
-      // restart replay: batch 0's data under its ORIGINAL id must no-op
-      val before = sink.snapshot
-      applyBatch(h1, 0L)
-      require(sink.snapshot == before,
+      try q.processAllAvailable() finally q.stop()
+      // the MERGE-target state: exactly-once projection of the
+      // at-least-once log, then latest-per-key
+      def state(): DataFrame = s.read.parquet(logDir)
+        .dropDuplicates("batch_id", "event_id")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_ms"), col("event_id"), col("event_type")))
+          .as("m"))
+        .select(col("user_id"), col("m.ts_ms").as("last_ts_ms"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_type"))
+      val before = state().persist()
+      before.count() // pin the pre-replay state before the log grows
+      // restart replay: batch 0's rows under their ORIGINAL id must no-op
+      // (persisted first so the append never scans the dir it extends)
+      val b0 = s.read.parquet(logDir).filter(col("batch_id") === 0L).persist()
+      b0.count()
+      b0.write.mode("append").parquet(logDir)
+      b0.unpersist()
+      val after = state()
+      require(after.except(before).isEmpty && before.except(after).isEmpty,
         "idempotent sink re-applied an already-committed batch")
-      s.createDataFrame(sink.snapshot.toSeq.map { case (uid, (ms, eid, ty)) =>
-        (uid, ms, eid, ty) })
-        .toDF("user_id", "last_ts_ms", "last_event_id", "last_type")
+      before.unpersist()
+      after
     }.orderBy(col("user_id"))
 
   /** Union of two INDEPENDENTLY-watermarked streams → event-time window
@@ -1031,26 +1076,20 @@ object StreamingOps {
     * forever). Both copies carry identical payloads, so the surviving
     * row is deterministic in every projected column. Append mode: dedup
     * emits eagerly on first sight — no watermark flush needed for the
-    * gate. Same run-to-completion lifecycle as [[x42StreamJoin]]. */
+    * gate. The result is O(input), so the readout is
+    * [[runToParquet]] (executor-side parquet append per micro-batch) —
+    * no O(data) collect on the driver, unlike the aggregate-sized
+    * memory-sink gates. */
   @transient private val redeliveryGateCache = graft.ops.PerAppCache.newCache
   def x75StreamDedupRedelivery(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(redeliveryGateCache, s, d) {
-      val view = "x75_dedup_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
       val ev = eventsStream(s, d)
-      val q = ev.union(ev)
-        .withWatermark("ts", "30 minutes")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(view)
-      val rows = out.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      runToParquet(s, "x75_dedup", d) {
+        ev.union(ev)
+          .withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      }
     }.orderBy(col("event_id"))
 
   /** X87 — stream-static enrichment join: every micro-batch of the
@@ -1061,28 +1100,20 @@ object StreamingOps {
     * a dimension update lands at the next batch without restarting the
     * query; an inner stream-static join needs no watermark (no state —
     * the static side is the state). Emitted rows equal the batch inner
-    * join, which is the oracle. Same run-to-completion lifecycle as
-    * [[x42StreamJoin]]. */
+    * join, which is the oracle. The enriched stream is O(input), so the
+    * readout is [[runToParquet]] — per-batch executor-side parquet
+    * append, no O(data) collect on the driver. */
   @transient private val enrichGateCache = graft.ops.PerAppCache.newCache
   def x87StreamStaticEnrich(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(enrichGateCache, s, d) {
-      val view = "x87_enrich_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
       val dim = graft.Tables.t(s, d, "documents")
         .select(col("doc_id"), col("source"))
-      val q = eventsStream(s, d)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .join(dim, col("user_id") === col("doc_id"))
-        .select(col("event_id"), col("user_id"), col("source"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(view)
-      val rows = out.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      runToParquet(s, "x87_enrich", d) {
+        eventsStream(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .join(dim, col("user_id") === col("doc_id"))
+          .select(col("event_id"), col("user_id"), col("source"))
+      }
     }.orderBy(col("event_id"), col("user_id"), col("source"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "runMain graft.tools.ScaleSweep" → scaling_out.json
   * (repo cwd), one JSON line with per-query {t1, t1_warm, t10,
   * t10_warm, ratio} (ratio is COLD/COLD — see timeQuery), a
-  * queries_100x section for the Top5 heaviest, and the pinned-bits
+  * queries_100x section for the Top100x set, and the pinned-bits
   * configuration contrast.
   */
 object ScaleSweep {
@@ -148,15 +148,21 @@ object ScaleSweep {
     (c, once())
   }
 
-  /** The 5 heaviest sweep queries get an additional 100× point: 10×
+  /** The heaviest sweep queries get an additional 100× point: 10×
     * caught three hidden quadratics in round 10, but data-dependent
     * constants (bucket occupancy, df caps, broadcast thresholds) can
     * hide below 10× and only bend the curve later. On 32 saturated
     * cores the linear-per-core expectation at 100× data is a ratio of
-    * ~100; the flag threshold is 1.5× that. */
-  val Top5: Seq[String] = Seq(
+    * ~100; the flag threshold is 1.5× that. Round 12 widened the list
+    * from the r10 top-5 to also cover the r11 sweep's near-flag tail
+    * (x78 11.2×, x91 8.9×, x70 8.2×, x72 8.0×, x67 3.6×, x76 1.5× cold
+    * at 10× in SCALING_r11) — none had a 100× point before, and 10×
+    * provably hides data-dependent constants. */
+  val Top100x: Seq[String] = Seq(
     "x26f_embedding_neardup_lsh", "x62_curation_report",
-    "x33c_split_decontam", "x28d_tfidf_top_term", "q03b_large_join")
+    "x33c_split_decontam", "x28d_tfidf_top_term", "q03b_large_join",
+    "x78_containment", "x91_skipgram_pmi", "x70_interp_lm",
+    "x72_dup_pagerank", "x67_winnow_pairs", "x76_bm25_topk")
   private val Flag10x = 12.0
   private val Flag100x = 150.0
 
@@ -190,11 +196,11 @@ object ScaleSweep {
     }
     graft.ops.PerAppCache.evictAll()
 
-    // 100× section for the Top5 heaviest: cold-vs-cold against the same
-    // 1× cold baseline as the 10× table
+    // 100× section for the heaviest + r11's near-flag tail:
+    // cold-vs-cold against the same 1× cold baseline as the 10× table
     BenchSession.warmTables(spark, d100)
     val t1ByName = rows.toMap
-    val top = Top5.map { name =>
+    val top = Top100x.map { name =>
       val (c100, w100) = timeQuery(spark, name, d100)
       val (c1, _) = t1ByName(name)
       (name, c1, c100, w100, c100 / c1)
