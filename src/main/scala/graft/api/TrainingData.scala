@@ -4899,15 +4899,19 @@ object TrainingData {
     * auc_micros = 10⁶·(r2 − n_pos·(n_pos+1)) div (2·n_pos·n_neg) —
     * the threshold-free ranking quality of a filter score
     * ([[calibrationBins]] prices its probabilities; this prices its
-    * ORDER). Single-class inputs → NULL. Exact while
-    * 10⁶·r2 ≲ 9·10¹⁸, i.e. n ≤ ~2·10⁶ rows; beyond that, pre-bucket
-    * scores or lift r2 to DECIMAL.
+    * ORDER). Single-class inputs → NULL. The midrank sum r2 runs in
+    * DECIMAL(38,0) (DuckDB's HUGEINT twin), so the arithmetic stays
+    * exact to n ≈ 7·10¹⁵ rows — past any corpus this engine will meet;
+    * a raise_error guard names the failure (and points at
+    * [[aucBucketed]]) instead of silently wrapping if it is ever
+    * crossed. `maxExactRows` is the guard's test seam — production
+    * callers never pass it.
     *
     * Scale shape: per-score counts are one map-side-combined
     * aggregation; the ordered cumulative pass runs over DISTINCT scores
     * only (value cardinality, not rows), then one scalar reduction. */
-  def aucExact(rows: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
+  def aucExact(rows: DataFrame, scoreCol: String, labelCol: String,
+      maxExactRows: Long = 7000000000000000L): DataFrame = {
     val base = rows
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(col(scoreCol).as("s"),
@@ -4917,15 +4921,52 @@ object TrainingData {
     base.groupBy(col("s"))
       .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
       .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
-      .select((col("p") * (lit(2L) * col("cum") + col("c") + lit(1L)))
-        .as("pr2"), col("c"), col("p"))
+      .select((col("p").cast("decimal(38,0)") *
+          (lit(2L) * col("cum") + col("c") + lit(1L))).as("pr2"),
+        col("c"), col("p"))
       .agg(sum(col("pr2")).as("r2"), sum(col("p")).as("n_pos"),
         expr("sum(c) - sum(p)").as("n_neg"))
       .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+        when(col("n_pos") + col("n_neg") > maxExactRows, expr(
+          "raise_error('aucExact: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); pre-bucket with aucBucketed')"))
+          .when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
           .otherwise(expr(
-            "(1000000 * (r2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"))
+            "CAST((1000000 * (r2 - CAST(n_pos AS DECIMAL(38,0)) *" +
+              " (n_pos + 1))) div (2 * CAST(n_pos AS DECIMAL(38,0)) *" +
+              " n_neg) AS BIGINT)"))
           .as("auc_micros"))
+  }
+
+  /** The beyond-bound companion to [[aucExact]]: scores quantize to
+    * micros, then to `nBuckets` equal-width integer buckets over the
+    * observed [min, max] range — bucket = ((s_micro − lo)·nBuckets)
+    * div (hi − lo + 1) — and the exact Mann–Whitney midrank AUC runs
+    * over the BUCKET as the score. The result is exactly the AUC of the
+    * coarsened score (ties within a bucket handled by midranks, the
+    * same convention aucExact applies to genuinely tied scores), and
+    * the distinct-score mass is capped at nBuckets regardless of corpus
+    * size, so the ordered cumulative pass never grows with data. The
+    * bucket derivation is pure integer arithmetic on micro-quantized
+    * scores — portable to any engine, which is what makes the variant
+    * oracle-checkable rather than approximate-and-unverifiable.
+    *
+    * Scale shape: one 2-value broadcast (lo, hi), one row-local bucket
+    * projection, then [[aucExact]]'s distinct-bucket pass over
+    * ≤ nBuckets keys. */
+  def aucBucketed(rows: DataFrame, scoreCol: String, labelCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val base = rows
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(expr(s"CAST(round(CAST($scoreCol AS DOUBLE) * 1000000.0," +
+        " 0) AS BIGINT)").as("s_micro"), col(labelCol).as("y"))
+    val bounds = base.agg(min(col("s_micro")).as("lo"),
+      max(col("s_micro")).as("hi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(expr(s"((s_micro - lo) * $nBuckets) div (hi - lo + 1)")
+        .as("bucket"), col("y"))
+    aucExact(bucketed, "bucket", "y")
   }
 
   /** Exact Spearman rank correlation between two columns via the same
@@ -4939,13 +4980,18 @@ object TrainingData {
     * monotone-association check between two quality signals (rank
     * agreement is what a FILTER consumes — Pearson on raw values is
     * hostage to outliers the ranks ignore). Constant columns → NULL.
-    * Exact while n·Σxy ≲ 10³⁸, i.e. n ≲ 4·10⁹ rows.
+    * Exact while n·Σxy ≲ 10³⁸, i.e. n ≲ 4·10⁹ rows — past that a
+    * raise_error guard names the failure and points at
+    * [[spearmanBucketed]] instead of silently returning a wrapped
+    * value. `maxExactRows` is the guard's test seam — production
+    * callers never pass it.
     *
     * Scale shape: per-value counts are map-side-combined aggregations;
     * the two cumulative passes run over DISTINCT values only (value
     * cardinality, not rows — same caveat as [[aucExact]]); the rank
     * joins broadcast the value→midrank relations; one scalar reduce. */
-  def spearmanExact(rows: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def spearmanExact(rows: DataFrame, xCol: String, yCol: String,
+      maxExactRows: Long = 4000000000L): DataFrame = {
     val base = rows
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).as("x"), col(yCol).as("y"))
@@ -4977,11 +5023,47 @@ object TrainingData {
       .select(col("n"),
         when(col("num") > 0, 1).when(col("num") < 0, -1).otherwise(0)
           .as("rho_sign"),
-        when(col("den1") === 0 || col("den2") === 0, lit(null))
+        when(col("n") > maxExactRows, expr(
+          "raise_error('spearmanExact: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); pre-bucket with spearmanBucketed')"))
+          .when(col("den1") === 0 || col("den2") === 0, lit(null))
           .otherwise(expr(
             "CAST(floor(1000000.0 * CAST(num AS DOUBLE) * CAST(num AS DOUBLE)" +
               " / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE))) AS BIGINT)"))
           .as("rho_sq_micros"))
+  }
+
+  /** The beyond-bound companion to [[spearmanExact]]: both columns
+    * quantize to micros, then to `nBuckets` equal-width integer buckets
+    * over their own observed [min, max] ranges (the [[aucBucketed]]
+    * derivation), and the exact midrank Spearman runs over the bucket
+    * pair. The result is exactly the rank correlation of the coarsened
+    * signals — monotone structure survives a monotone bucketing, ties
+    * within a bucket take the same midrank convention genuinely tied
+    * values take — and every post-projection relation (distinct values,
+    * midrank maps) is capped at nBuckets regardless of corpus size. The
+    * bucket derivation is pure integer arithmetic, portable to any
+    * engine — the oracle replays it.
+    *
+    * Scale shape: one 4-value broadcast of the two ranges, one
+    * row-local bucket projection, then [[spearmanExact]]'s
+    * distinct-value passes over ≤ nBuckets keys each. */
+  def spearmanBucketed(rows: DataFrame, xCol: String, yCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    def micro(c: String) =
+      expr(s"CAST(round(CAST($c AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+    val base = rows
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(micro(xCol).as("xm"), micro(yCol).as("ym"))
+    val bounds = base.agg(
+      min(col("xm")).as("xlo"), max(col("xm")).as("xhi"),
+      min(col("ym")).as("ylo"), max(col("ym")).as("yhi"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(
+        expr(s"((xm - xlo) * $nBuckets) div (xhi - xlo + 1)").as("xb"),
+        expr(s"((ym - ylo) * $nBuckets) div (yhi - ylo + 1)").as("yb"))
+    spearmanExact(bucketed, "xb", "yb")
   }
 
   /** Benford first-digit audit of a positive integer measure: per digit
@@ -5175,10 +5257,15 @@ object TrainingData {
 
   /** One-pass table profiler (the ANALYZE a pipeline runs before it
     * trusts a new dump): per column the row count, non-null count,
-    * EXACT distinct count, and lexicographic min/max (cast to string —
-    * binary UTF-8 comparison in both engines; float columns print
-    * differently across engines, profile them as integers or skip).
-    * Ships as one aggregation row unpivoted to a row per column.
+    * EXACT distinct count, and min/max cast to string (binary UTF-8
+    * comparison in both engines). Float/Double columns are profiled as
+    * their MICRO-QUANTIZED integer view — round(v·10⁶) as BIGINT, the
+    * [[matryoshkaAudit]]/[[centroidDrift]] recipe — because float
+    * FORMATTING differs across engines ("1.0" vs "1") while integer
+    * printing does not: the NDV/min/max of the micro view is
+    * engine-portable and still catches the profile drifts that matter
+    * (a shifted range, a collapsed cardinality). Ships as one
+    * aggregation row unpivoted to a row per column.
     *
     * Scale shape: ONE aggregation; the multiple exact count(DISTINCT)
     * columns plan as Spark's Expand (one input row fans to one row per
@@ -5189,11 +5276,19 @@ object TrainingData {
     * one). */
   def tableProfile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
+    val floaty = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.FloatType ||
+        f.dataType == org.apache.spark.sql.types.DoubleType => f.name
+    }.toSet
+    def view(c: String) =
+      if (floaty(c))
+        expr(s"CAST(round(CAST(`$c` AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+      else col(c)
     val aggExprs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
-      Seq(count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
+      Seq(count(view(c)).as(s"nn_$c"),
+        countDistinct(view(c)).as(s"ndv_$c"),
+        min(view(c)).cast("string").as(s"min_$c"),
+        max(view(c)).cast("string").as(s"max_$c"))
     }
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
     val stackArgs = cols.map { c =>

@@ -738,6 +738,33 @@ object DedupOps {
       t(s, d, "documents"), "doc_id", "text", w = 3)
       .orderBy(col("d1"), col("d2"))
 
+  /** X137b — sorted-neighborhood recall audit: the SNM candidates
+    * (either key pass, window 3) measured against the EXACT near-dup
+    * pair relation (the shared x26 cache) → one row (n_exact, n_cand,
+    * n_caught, recall_micro, precision_micro). The x107 audit pattern
+    * applied to the third candidate mechanism — it QUANTIFIES the
+    * single-pass block-boundary misses the two-key design trades for
+    * shuffle-free per-block ranking (the round-11 carry-forward): a
+    * recall below ~950 000 on a real corpus says the window or the key
+    * count needs to grow before SNM is trusted as the only blocker. */
+  def x137bSnmRecallAudit(s: SparkSession, d: String): DataFrame = {
+    val exact = persistPairs(s, d).select(col("d1"), col("d2"))
+    val cand = graft.api.TrainingData.sortedNeighborhoodPairs(
+      t(s, d, "documents"), "doc_id", "text", w = 3)
+      .select(col("d1"), col("d2"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(exact.join(cand, Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_caught")))
+      .select(col("n_exact"), col("n_cand"), col("n_caught"),
+        when(col("n_exact") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_caught * 1000000L) div n_exact"))
+          .as("recall_micro"),
+        when(col("n_cand") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(n_caught * 1000000L) div n_cand"))
+          .as("precision_micro"))
+  }
+
   /** X71 — triangle census of the near-dup graph: per-node triangle
     * count + local clustering coefficient over the SHARED verified pair
     * relation (x26's cache), separating clique-shaped duplicate
@@ -832,6 +859,7 @@ object DedupOps {
     "x133_span_excision" -> (x133SpanExcision _),
     "x135_dup_mass" -> (x135DupMass _),
     "x137_sorted_neighborhood" -> (x137SortedNeighborhood _),
+    "x137b_snm_recall_audit" -> (x137bSnmRecallAudit _),
     "x25_exact_dedup" -> (x25Exact _),
     "x25b_dedup_increment" -> (x25bDedupIncrement _),
     "x26_ngram_jaccard" -> (x26Jaccard _),
@@ -1199,6 +1227,39 @@ object DedupOps {
         |    AND b.rank >= a.rank + 1 AND b.rank <= a.rank + 3)
         |SELECT d1, d2, CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
         |FROM j GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
+    // SNM recall replay: the shared exact-pair CTE + the x137 two-pass
+    // window-3 candidate relation, counted the x107 way
+    "x137b_snm_recall_audit" ->
+      s"""WITH $pairsOracleCtes,
+         |snmb AS (
+         |  SELECT doc_id AS id,
+         |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS nrm
+         |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         |ks AS (
+         |  SELECT id, substring(nrm, 1, 24) AS k, 'prefix' AS pass FROM snmb
+         |  UNION ALL
+         |  SELECT id, substring(reverse(nrm), 1, 24) AS k, 'suffix' AS pass
+         |  FROM snmb),
+         |r AS (
+         |  SELECT id, k, pass, substring(k, 1, 2) AS block,
+         |    row_number() OVER (PARTITION BY pass, substring(k, 1, 2)
+         |      ORDER BY k, id) AS rank
+         |  FROM ks),
+         |cand AS (
+         |  SELECT DISTINCT least(a.id, b.id) AS d1,
+         |    greatest(a.id, b.id) AS d2
+         |  FROM r a JOIN r b ON a.pass = b.pass AND a.block = b.block
+         |    AND b.rank >= a.rank + 1 AND b.rank <= a.rank + 3),
+         |c AS (SELECT
+         |  (SELECT count(*) FROM pairs) AS n_exact,
+         |  (SELECT count(*) FROM cand) AS n_cand,
+         |  (SELECT count(*) FROM pairs JOIN cand USING (d1, d2)) AS n_caught)
+         |SELECT n_exact, n_cand, n_caught,
+         |  CASE WHEN n_exact = 0 THEN NULL
+         |    ELSE (n_caught * 1000000) // n_exact END AS recall_micro,
+         |  CASE WHEN n_cand = 0 THEN NULL
+         |    ELSE (n_caught * 1000000) // n_cand END AS precision_micro
+         |FROM c""".stripMargin,
     // dup-mass replay: the x26 distinct-shingle derivation by STRING
     // (hash-grain in the engine — identical short of a 64-bit collision),
     // occurrence counts joined back, per-source instance fractions

@@ -282,8 +282,20 @@ object Relational {
     graft.api.TrainingData.tableProfile(t(s, d, "documents"))
       .orderBy(col("column_name"))
 
+  /** X129b — the profiler over FLOAT columns (lineitem quantities and
+    * prices): Double columns profile as their micro-quantized BIGINT
+    * view (round(v·10⁶)), so NDV/min/max stay engine-portable where raw
+    * float FORMATTING is not — the round-11 carry-forward closed.
+    * Fixture binding of [[graft.api.TrainingData.tableProfile]]. */
+  def x129bProfileFloats(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.tableProfile(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_returnflag")))
+      .orderBy(col("column_name"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x129_table_profile" -> (x129TableProfile _),
+    "x129b_profile_floats" -> (x129bProfileFloats _),
     "x110_k_anonymity" -> (x110KAnonymity _),
     "x84_integrity_audit" -> (x84IntegrityAudit _),
     "q01_pricing_summary" -> (q01 _),
@@ -315,6 +327,27 @@ object Relational {
            | CAST(min($c) AS VARCHAR) AS min_str,
            | CAST(max($c) AS VARCHAR) AS max_str
            |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+    // float-column profile replay: Double columns go through the same
+    // micro quantization (round(v*1e6) AS BIGINT) in both engines, so
+    // the min/max strings are integer prints — portable where raw float
+    // formatting is not
+    "x129b_profile_floats" -> {
+      val cols = Seq("l_orderkey" -> false, "l_quantity" -> true,
+        "l_extendedprice" -> true, "l_discount" -> true,
+        "l_returnflag" -> false)
+      cols.map { case (c, isFloat) =>
+        val v = if (isFloat)
+          s"CAST(round(CAST($c AS DOUBLE) * 1000000.0, 0) AS BIGINT)"
+        else c
+        s"""SELECT '$c' AS column_name,
+           | (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           | CAST(count($v) AS BIGINT) AS n_nonnull,
+           | CAST(count(DISTINCT $v) AS BIGINT) AS n_distinct,
+           | CAST(min($v) AS VARCHAR) AS min_str,
+           | CAST(max($v) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
     // one quasi-identifier aggregation, HAVING on both privacy bounds

@@ -309,6 +309,18 @@ object SamplingOps {
         .select(col("n_chars").as("score"), (col("lang") === "en").as("label")),
       "score", "label")
 
+  /** X121b — the bucketed AUC over the same score/label pair (16
+    * equal-width buckets): the scale path whose distinct-score mass is
+    * capped at nBuckets regardless of corpus size — exactly the AUC of
+    * the coarsened score, with the integer bucket derivation replayed
+    * by the oracle. Fixture binding of
+    * [[graft.api.TrainingData.aucBucketed]]. */
+  def x121bAucBucketed(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.aucBucketed(
+      t(s, d, "documents")
+        .select(col("n_chars").as("score"), (col("lang") === "en").as("label")),
+      "score", "label", nBuckets = 16)
+
   /** X123 — Benford first-digit audit of order totals in exact cents:
     * fabricated or template-generated numeric fields flunk Benford where
     * organically-grown ones pass — the numeric-field twin of the text
@@ -389,6 +401,7 @@ object SamplingOps {
     "x112_shard_balance" -> (x112ShardBalance _),
     "x120_calibration" -> (x120Calibration _),
     "x121_auc_exact" -> (x121AucExact _),
+    "x121b_auc_bucketed" -> (x121bAucBucketed _),
     "x123_benford" -> (x123Benford _),
     "x124_bootstrap_ci" -> (x124BootstrapCi _),
     "x125_wilson_bounds" -> (x125WilsonBounds _),
@@ -721,6 +734,37 @@ object SamplingOps {
         |  SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
         |  FROM documents
         |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
+        |      CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT s, c, p,
+        |    coalesce(sum(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg
+        |  FROM w)
+        |SELECT n_pos, n_neg,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |       ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+        |         // (2 * n_pos * n_neg) AS BIGINT)
+        |  END AS auc_micros
+        |FROM a""".stripMargin,
+    // bucketed-AUC replay: micro-quantize the score, equal-width
+    // integer buckets over the observed range, then the identical
+    // Mann–Whitney midrank machinery over the bucket
+    "x121b_auc_bucketed" ->
+      """WITH raw AS (
+        |  SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0, 0)
+        |      AS BIGINT) AS sm,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |bd AS (SELECT min(sm) AS lo, max(sm) AS hi FROM raw),
+        |b AS (SELECT ((sm - lo) * 16) // (hi - lo + 1) AS s, y
+        |      FROM raw, bd),
         |g AS (SELECT s, CAST(count(*) AS BIGINT) AS c,
         |      CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1),
         |w AS (

@@ -132,6 +132,20 @@ object TextOps {
           size(graft.ops.DedupOps.tokens(col("text"))).as("yc")),
       "xc", "yc")
 
+  /** X122b — the bucketed Spearman over the same signal pair (32
+    * equal-width buckets per axis): the beyond-4·10⁹-rows scale path —
+    * every post-projection relation is capped at nBuckets, and the
+    * integer bucket derivation replays in the oracle, so the coarsened
+    * statistic is hash-checked rather than approximate-and-trusted.
+    * Fixture binding of [[graft.api.TrainingData.spearmanBucketed]]. */
+  def x122bSpearmanBucketed(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.spearmanBucketed(
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("n_chars").as("xc"),
+          size(graft.ops.DedupOps.tokens(col("text"))).as("yc")),
+      "xc", "yc", nBuckets = 32)
+
   /** X136 — Chao1 vocabulary-richness estimate off the shared token
     * counts: how many vocabulary types the corpus still owes us — x61
     * reads the seen head, x100 prices unseen MASS, this counts unseen
@@ -702,6 +716,7 @@ object TextOps {
     "x28c_lang_id" -> (x28cLangId _),
     "x119_lang_confusion" -> (x119LangConfusion _),
     "x122_spearman" -> (x122Spearman _),
+    "x122b_spearman_bucketed" -> (x122bSpearmanBucketed _),
     "x136_chao1" -> (x136Chao1 _),
     "x28d_tfidf_top_term" -> (x28dTfIdf _),
     "x28f_bpe_tokens" -> (x28fBpeTokens _),
@@ -1598,6 +1613,53 @@ object TextOps {
       s"""WITH b AS (
          |  SELECT n_chars AS x, len($toksSql) AS y FROM documents
          |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |gx AS (SELECT x, count(*) AS c FROM b GROUP BY 1),
+         |mx AS (SELECT x,
+         |  2 * coalesce(sum(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         |  AS xm FROM gx),
+         |gy AS (SELECT y, count(*) AS c FROM b GROUP BY 1),
+         |my AS (SELECT y,
+         |  2 * coalesce(sum(c) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1
+         |  AS ym FROM gy),
+         |j AS (
+         |  SELECT CAST(xm AS HUGEINT) AS rx, CAST(ym AS HUGEINT) AS ry
+         |  FROM b JOIN mx USING (x) JOIN my USING (y)),
+         |a AS (
+         |  SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+         |  FROM j),
+         |f AS (
+         |  SELECT n, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den1,
+         |    n * syy - sy * sy AS den2
+         |  FROM a)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+         |    AS rho_sign,
+         |  CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+         |       ELSE CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+         |         * CAST(num AS DOUBLE) / (CAST(den1 AS DOUBLE)
+         |         * CAST(den2 AS DOUBLE))) AS BIGINT)
+         |  END AS rho_sq_micros
+         |FROM f""".stripMargin,
+    // bucketed Spearman replay: micro-quantize, equal-width integer
+    // buckets over each axis's observed range, then the identical
+    // midrank machinery over the bucket pair
+    "x122b_spearman_bucketed" ->
+      s"""WITH raw AS (
+         |  SELECT
+         |    CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT)
+         |      AS xm,
+         |    CAST(round(CAST(len($toksSql) AS DOUBLE) * 1000000.0, 0)
+         |      AS BIGINT) AS ym
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |bd AS (SELECT min(xm) AS xlo, max(xm) AS xhi,
+         |              min(ym) AS ylo, max(ym) AS yhi FROM raw),
+         |b AS (
+         |  SELECT ((xm - xlo) * 32) // (xhi - xlo + 1) AS x,
+         |         ((ym - ylo) * 32) // (yhi - ylo + 1) AS y
+         |  FROM raw, bd),
          |gx AS (SELECT x, count(*) AS c FROM b GROUP BY 1),
          |mx AS (SELECT x,
          |  2 * coalesce(sum(c) OVER (ORDER BY x

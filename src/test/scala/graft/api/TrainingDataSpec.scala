@@ -2808,6 +2808,53 @@ class TrainingDataSpec extends SparkSpec {
       .collect().head.isNullAt(2))
   }
 
+  test("aucExact: raise_error guard fires past maxExactRows") {
+    val rows = Seq((1, true), (2, false), (3, true)).toDF("s", "lab")
+    val e = intercept[Exception] {
+      graft.api.TrainingData.aucExact(rows, "s", "lab", maxExactRows = 2L)
+        .collect()
+    }
+    assert(e.getMessage.contains("aucExact: exact-arithmetic bound"))
+  }
+
+  test("aucBucketed: equals aucExact of the coarsened score") {
+    // scores 0..99, positives at >= 50: 4 buckets coarsen to 0..3 —
+    // every in-bucket order distinction collapses to midrank ties
+    val rows = (0 until 100).map(i => (i, i >= 50)).toDF("s", "lab")
+    val got = graft.api.TrainingData.aucBucketed(rows, "s", "lab", 4)
+      .collect().head
+    val twin = graft.api.TrainingData.aucExact(
+      (0 until 100).map(i => (i / 25, i >= 50)).toDF("b", "lab"),
+      "b", "lab").collect().head
+    assert(got.getLong(0) == 50L && got.getLong(1) == 50L)
+    assert(got.getLong(2) == twin.getLong(2))
+    // and the bucketed AUC of a perfectly-bucket-separable score is 1
+    assert(got.getLong(2) == 1000000L)
+  }
+
+  test("spearmanBucketed: equals spearmanExact of the buckets; guard") {
+    val xs = 0 until 64
+    val ys = xs.map(i => i * 3 + 7)
+    val rows = xs.zip(ys).toDF("a", "b")
+    val r = graft.api.TrainingData.spearmanBucketed(rows, "a", "b", 8)
+      .collect().head
+    // replay the micro+equal-width bucket derivation and hand the
+    // buckets to the exact form — the variant must match it exactly
+    def bucket(v: Int, lo: Int, hi: Int) =
+      ((v.toLong - lo) * 1000000L * 8L) / ((hi.toLong - lo) * 1000000L + 1L)
+    val xb = xs.map(v => bucket(v, xs.min, xs.max))
+    val yb = ys.map(v => bucket(v, ys.min, ys.max))
+    val twin = graft.api.TrainingData
+      .spearmanExact(xb.zip(yb).toDF("a", "b"), "a", "b").collect().head
+    assert(r.getLong(0) == 64L && r.getInt(1) == 1)
+    assert(r.getLong(2) == twin.getLong(2))
+    val e = intercept[Exception] {
+      graft.api.TrainingData.spearmanExact(rows, "a", "b",
+        maxExactRows = 8L).collect()
+    }
+    assert(e.getMessage.contains("spearmanExact: exact-arithmetic bound"))
+  }
+
   test("spearmanExact: monotone ±1, midrank ties, constant-column NULL") {
     def run(xs: Seq[Int], ys: Seq[Int]) = graft.api.TrainingData
       .spearmanExact(xs.zip(ys).toDF("a", "b"), "a", "b").collect().head
@@ -3031,6 +3078,21 @@ class TrainingDataSpec extends SparkSpec {
           r.getString(4), r.getString(5)))).toMap
     assert(got("id") == ((4L, 3L, 2L, "1", "2")))
     assert(got("s") == ((4L, 3L, 2L, "a", "b")))
+  }
+
+  test("tableProfile: float columns profile as micro-quantized BIGINTs") {
+    val df = Seq(
+      (1L, Some(0.05), Some(1.5f)), (2L, Some(0.0500001), Some(-2.0f)),
+      (3L, Some(0.05), None), (4L, None, Some(1.5f)))
+      .toDF("id", "d", "f")
+    val got = graft.api.TrainingData.tableProfile(df)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    // 0.05 and 0.0500001 collapse at micro resolution (50000) — the
+    // quantized NDV is the portable one; min/max print as integers
+    assert(got("d") == ((4L, 3L, 1L, "50000", "50000")))
+    assert(got("f") == ((4L, 3L, 2L, "-2000000", "1500000")))
   }
 
   test("matryoshkaAudit: exact retained norm, zero-vector NULL, mean") {
