@@ -5124,19 +5124,45 @@ object TrainingData {
     * run, partitioning, and engine — the property `sample()`-based
     * bootstraps lack.
     *
+    * This is the PORTABLE (sha-derived) verification twin — its 16-bit
+    * coordinate replays in any engine with sha256, which is what makes
+    * the x124 oracle possible, at the cost of B sha evaluations per
+    * row. The production default at scale is [[bootstrapCi]]
+    * (xxhash64-with-replicate-seed coordinate — one 64-bit hash per
+    * (row, replicate), no crypto): identical CDF lookup, identical
+    * interval structure, different (equally uniform) draw — the
+    * [[dsirWeights]]/[[dsirWeightsPortable]] pattern.
+    *
     * Scale shape: the explode is row-local (B·n rows, no text carried —
     * id hash + one Long), the per-replicate sums are one map-side
     * combined B-key aggregation, ranking runs over B rows. */
   def bootstrapCiMicro(rows: DataFrame, idCol: String, valueCol: String,
-      nReplicates: Int): DataFrame = {
+      nReplicates: Int): DataFrame =
+    bootstrapCiImpl(rows, idCol, valueCol, nReplicates,
+      hash16(concat(col(idCol).cast("string"), lit("#boot#"),
+        col("rep").cast("string"))))
+
+  /** The production bootstrap CI: [[bootstrapCiMicro]]'s exact interval
+    * machinery with the per-(row, replicate) 16-bit coordinate drawn
+    * from xxhash64(id, "#boot#", rep) instead of sha256 — one codegen'd
+    * 64-bit hash per exploded row instead of a cryptographic digest,
+    * the at-100-TB default (LlmOpsSpec pins the structural equivalence;
+    * the sha twin is what the oracle replays). Deterministic in
+    * (id, rep) exactly like the twin. */
+  def bootstrapCi(rows: DataFrame, idCol: String, valueCol: String,
+      nReplicates: Int): DataFrame =
+    bootstrapCiImpl(rows, idCol, valueCol, nReplicates,
+      pmod(xxhash64(col(idCol).cast("string"), lit("#boot#"), col("rep")),
+        lit(65536L)))
+
+  private def bootstrapCiImpl(rows: DataFrame, idCol: String,
+      valueCol: String, nReplicates: Int, coord16: Column): DataFrame = {
     require(nReplicates >= 4, s"need nReplicates >= 4, got $nReplicates")
     // truncated 2^16-scaled Poisson(1) CDF: P(X <= k) for k = 0..7
     val cdf = Seq(24109L, 48218L, 60273L, 64291L, 65296L, 65497L, 65530L,
       65535L)
-    val h = hash16(concat(col(idCol).cast("string"), lit("#boot#"),
-      col("rep").cast("string")))
     val weight = cdf.zipWithIndex.foldRight(lit(8L)) {
-      case ((t, k), acc) => when(h < t, k.toLong).otherwise(acc)
+      case ((t, k), acc) => when(coord16 < t, k.toLong).otherwise(acc)
     }
     val reps = rows
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)

@@ -63,20 +63,40 @@ object Functions {
   /** X8 (scale path) — approximate percentiles via Spark's bounded-memory
     * quantile sketch (Greenwald-Khanna): the form that survives a stratum
     * with billions of distinct values, where exact `percentile`'s
-    * buffer (all distinct values) cannot. Rows-only by design — the
-    * sketch's rank-error guarantee is engine-specific — with the error
-    * bound asserted against the exact result in FunctionsSpec-style
-    * checks inside LlmOpsSpec. accuracy=10000 ⇒ rank error ≤ n/10000. */
-  def q08dApproxPercentiles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    * buffer (all distinct values) cannot. The sketch VALUES are
+    * engine-specific (different sketch, different interpolation), so the
+    * registered output is the BOUND AUDIT instead: per group, the exact
+    * rank interval of each sketch answer — [count(<v), count(≤v)],
+    * computed in-plan against the data itself — must overlap the target
+    * rank ± the accuracy-10000 tolerance (rank error ≤ n/10000, +2 slack
+    * for endpoint rounding; the LlmOpsSpec arithmetic promoted into the
+    * query). The oracle pins the group set, n, and the expectation that
+    * both bounds HOLD — a sketch regression breaks the hash. Conditions
+    * are scaled ×10 so 0.5·n and 0.9·n stay in integers. */
+  def q08dApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice*100,0) AS BIGINT)").as("c"))
+    val ap = base.groupBy(col("l_returnflag")).agg(
+      expr("approx_percentile(c, 0.5, 10000)").as("m_ap"),
+      expr("approx_percentile(c, 0.9, 10000)").as("p_ap"))
+    base.join(broadcast(ap), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("approx_percentile(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5, 10000)") / 100.0, 4)
-          .as("median_price_approx"),
-        round(expr("approx_percentile(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9, 10000)") / 100.0, 4)
-          .as("p90_price_approx"),
-        count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") < col("m_ap"), 1L).otherwise(0L)).as("lt_m"),
+        sum(when(col("c") <= col("m_ap"), 1L).otherwise(0L)).as("le_m"),
+        sum(when(col("c") < col("p_ap"), 1L).otherwise(0L)).as("lt_p"),
+        sum(when(col("c") <= col("p_ap"), 1L).otherwise(0L)).as("le_p"))
+      .withColumn("tol", col("n") / 10000 + 2)
+      .select(col("l_returnflag"), col("n"),
+        (col("lt_m") * 10 <= col("n") * 5 + col("tol") * 10 &&
+          col("le_m") * 10 >= col("n") * 5 - col("tol") * 10)
+          .as("median_in_bound"),
+        (col("lt_p") * 10 <= col("n") * 9 + col("tol") * 10 &&
+          col("le_p") * 10 >= col("n") * 9 - col("tol") * 10)
+          .as("p90_in_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** X8 — correlation from exact integer accumulators: Spark's streaming
     * corr() is float-order-dependent, so the five sums are taken as exact
@@ -231,6 +251,15 @@ object Functions {
         | round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.5)/100.0, 4) AS median_price,
         | round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)/100.0, 4) AS p90_price,
         | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // GK bound audit: the oracle pins the group set, n, and the
+    // EXPECTATION that both sketch answers sit inside the accuracy-10000
+    // rank band — the booleans are computed Spark-side against exact
+    // in-plan rank counts, so a sketch regression flips them and breaks
+    // the hash (ORACLES.md §8: the sketch VALUES stay engine-specific)
+    "q08d_approx_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | TRUE AS median_in_bound, TRUE AS p90_in_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q08c_corr_exact" ->
       """WITH s AS (

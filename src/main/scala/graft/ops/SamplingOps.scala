@@ -61,16 +61,38 @@ object SamplingOps {
     * `exact = false`, so the per-stratum threshold comes from
     * `approx_percentile`'s quantile sketch instead of the exact
     * `percentile` buffer — the form that survives a stratum with billions
-    * of distinct scores. Rows-only by design: the sketch's interpolation
-    * is engine-specific, so DuckDB's quantile lands on a (slightly)
-    * different threshold; LlmOpsSpec bounds the kept set against the
-    * exact twin instead. */
-  def x31gQualityCutApprox(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.topFractionByStrata(
-      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
-      "lang", "n_chars", 0.3, exact = false)
+    * of distinct scores. The kept SET is engine-specific (a different
+    * sketch lands on a slightly different threshold), so the registered
+    * output is the per-stratum BOUND AUDIT: the effective threshold
+    * (min kept score) must have a rank interval overlapping the
+    * 0.7-quantile target within the accuracy-10000 tolerance, and the
+    * kept set must be a clean ≥-threshold filter — the LlmOpsSpec
+    * arithmetic promoted into the query, hash-checked against the
+    * oracle's expectation that both HOLD (the kept rows themselves stay
+    * engine-specific; LlmOpsSpec still bounds the kept-set deviation
+    * against the exact twin). */
+  def x31gQualityCutApprox(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    val kept = graft.api.TrainingData.topFractionByStrata(
+      docs, "lang", "n_chars", 0.3, exact = false)
+    val th = kept.groupBy(col("lang"))
+      .agg(min(col("n_chars")).as("t_a"), count(lit(1)).as("n_kept"))
+    docs.join(broadcast(th), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_kept")).as("nk"),
+        sum(when(col("n_chars") < col("t_a"), 1L).otherwise(0L)).as("lt_t"),
+        sum(when(col("n_chars") <= col("t_a"), 1L).otherwise(0L)).as("le_t"),
+        sum(when(col("n_chars") >= col("t_a"), 1L).otherwise(0L)).as("ge_t"))
+      .withColumn("tol", col("n_docs") / 10000 + 2)
+      .select(col("lang"), col("n_docs"),
+        (col("lt_t") * 10 <= col("n_docs") * 7 + col("tol") * 10 &&
+          col("le_t") * 10 >= col("n_docs") * 7 - col("tol") * 10)
+          .as("threshold_in_bound"),
+        (col("nk") === col("ge_t")).as("clean_cut"))
+      .orderBy(col("lang"))
+  }
 
   /** X32 — sequence packing at a 2048-token budget over documents.
     * Fixture binding of [[graft.api.TrainingData.packSequences]] (see
@@ -981,6 +1003,18 @@ object SamplingOps {
          |ORDER BY doc_id""".stripMargin,
     // Spark percentile == DuckDB quantile_cont on integer inputs (the
     // q08b-established portable pair)
+    // GK bound audit over the per-stratum cut (the q08d recipe): the
+    // oracle pins the stratum set, n_docs, and the expectation that the
+    // Spark-side rank checks hold; the kept rows stay engine-specific
+    "x31g_quality_cut_approx" ->
+      """WITH th AS (
+        |  SELECT lang FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS threshold_in_bound, TRUE AS clean_cut
+        |FROM documents d JOIN th USING (lang)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x31d_quality_cut" ->
       """WITH cut AS (
         |  SELECT lang, quantile_cont(n_chars, 0.7) AS cutoff

@@ -2921,6 +2921,42 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapCi (xxhash64 default) equals the sha twin on structure") {
+    // constant value: every replicate mean is exactly v regardless of
+    // which rows each path's draw upweights — (rep, mean, lo, hi) must
+    // be IDENTICAL across the two coordinates here (any divergence is a
+    // weight-or-rank plumbing bug, not a hash difference); n_eff is the
+    // one column the differing draws legitimately move
+    val const = (1L to 200L).map((_, 7L)).toDF("id", "v")
+    def strip(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq.sortBy(_._1)
+    val fast = graft.api.TrainingData
+      .bootstrapCi(const, "id", "v", 40).collect()
+    val sha = graft.api.TrainingData
+      .bootstrapCiMicro(const, "id", "v", 40).collect()
+    assert(strip(fast) == strip(sha))
+    fast.foreach(r => assert(r.getLong(2) == 7000000L &&
+      r.getLong(3) == 7000000L && r.getLong(4) == 7000000L))
+    // varying values: same interval STRUCTURE from both paths — B rows,
+    // deterministic across runs, lo/hi are actual replicate means with
+    // lo <= hi on every row; the draws differ so the bounds may differ
+    val docs = (1L to 200L).map(i => (i, i * 11 % 97)).toDF("id", "v")
+    val a = graft.api.TrainingData.bootstrapCi(docs, "id", "v", 40).collect()
+    val b = graft.api.TrainingData.bootstrapCi(docs, "id", "v", 40).collect()
+    assert(a.length == 40 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val means = a.map(_.getLong(2)).toSet
+    val (lo, hi) = (a.head.getLong(3), a.head.getLong(4))
+    assert(lo <= hi && means.contains(lo) && means.contains(hi))
+    assert(a.forall(r => r.getLong(3) == lo && r.getLong(4) == hi))
+    // and with 200 rows both 95% intervals must cover the exact mean
+    val exactMean = docs.collect().map(_.getLong(1)).sum * 1000000L / 200L
+    val shaV = graft.api.TrainingData
+      .bootstrapCiMicro(docs, "id", "v", 40).collect().head
+    assert(lo <= exactMean && exactMean <= hi)
+    assert(shaV.getLong(3) <= exactMean && exactMean <= shaV.getLong(4))
+  }
+
   test("wilsonBounds: exact IEEE mirror; small-n ranks below large-n") {
     def mirror(n: Long, pos: Long): Long = {
       val nd = n.toDouble; val pd = pos.toDouble

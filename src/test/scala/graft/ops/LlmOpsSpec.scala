@@ -578,8 +578,12 @@ class LlmOpsSpec extends SparkSpec {
     val li = graft.Tables.t(spark, d, "lineitem")
       .select(col("l_returnflag").as("rf"),
         expr("CAST(round(l_extendedprice*100,0) AS BIGINT)").as("cents"))
-    val approx = Functions.q08dApproxPercentiles(spark, d)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // independent check: compute the sketch answers directly and verify
+    // the rank bound against a local sort (not the query's own counts)
+    val approx = li.groupBy(col("rf")).agg(
+        expr("approx_percentile(cents, 0.5, 10000)").as("m"),
+        expr("approx_percentile(cents, 0.9, 10000)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val groups = li.collect().groupBy(_.getString(0))
     groups.foreach { case (rf, rows) =>
       val sorted = rows.map(_.getLong(1)).sorted
@@ -587,10 +591,8 @@ class LlmOpsSpec extends SparkSpec {
       // a duplicated value occupies the whole rank interval
       // [count(<v), count(<=v)] — the sketch answer is in-bound if that
       // interval OVERLAPS the tolerance band around the target rank
-      def rankRange(cents: Double): (Int, Int) = {
-        val v = math.round(cents * 100)
+      def rankRange(v: Long): (Int, Int) =
         (sorted.count(_ < v), sorted.count(_ <= v))
-      }
       val (med, p90) = approx(rf)
       // accuracy 10000 ⇒ rank error ≤ ceil(n/10000); allow +1 for rounding
       val tol = n / 10000 + 2
@@ -598,6 +600,13 @@ class LlmOpsSpec extends SparkSpec {
         r._1 <= target + tol && r._2 >= target - tol
       assert(inBound(rankRange(med), 0.5 * n), s"$rf median rank off")
       assert(inBound(rankRange(p90), 0.9 * n), s"$rf p90 rank off")
+    }
+    // and the registered audit query reaches the same verdict in-plan
+    val audit = Functions.q08dApproxPercentiles(spark, d).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} median_in_bound false")
+      assert(r.getBoolean(3), s"${r.getString(0)} p90_in_bound false")
     }
   }
 
@@ -612,11 +621,22 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byLang = docs.groupBy(_._2)
-    val approx = SamplingOps.x31gQualityCutApprox(spark, d).collect()
+    val approx = graft.api.TrainingData.topFractionByStrata(
+        graft.Tables.t(spark, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", 0.3, exact = false)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val exactKept = SamplingOps.x31dQualityCut(spark, d).collect()
       .map(r => r.getLong(0)).toSet
     assert(approx.nonEmpty)
+    // the registered audit query reaches the same verdicts in-plan
+    val audit = SamplingOps.x31gQualityCutApprox(spark, d).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)} threshold_in_bound false")
+      assert(r.getBoolean(3), s"${r.getString(0)} clean_cut false")
+    }
     byLang.foreach { case (lang, rows) =>
       val keptA = approx.filter(_._2 == lang)
       assert(keptA.nonEmpty, s"$lang: approx cut kept nothing")
