@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // spend up to ~45% CPU in kernel time (page-fault/THP pressure) on the
   // allocation-heavy replay path. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // pin the heap floor to the ceiling and the collector explicitly:
+  // cross-round replay-bench medians ranged 541-642k ev/s with identical
+  // code, and heap-resize + collector-ergonomics drift is the kind of
+  // nondeterminism that masquerades as a regression. G1 is the JDK 17
+  // default — pinned so a future JDK can't silently switch it.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  "-XX:+UseG1GC",
 )

@@ -99,20 +99,46 @@ object ReplayBench {
     // pass (capability envelope), the settled max/min spread, and the
     // full curve are all published so early-pass regressions (codegen
     // bloat) and residual noise stay visible.
-    val cold = onePass()
-    val passes = cold +: (1 to 6).map { _ => System.gc(); onePass() }
+    // per-pass GC accounting: with the heap pinned (build.sbt -Xms=-Xmx,
+    // explicit G1) the remaining cross-run variance should be GC
+    // scheduling — publishing each pass's collection count/time makes
+    // that attribution CHECKABLE instead of asserted (a slow pass with a
+    // fat gc_ms delta is noise; a slow pass with none is a regression)
+    def gcSnapshot(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionCount).sum,
+        beans.map(_.getCollectionTime).sum)
+    }
+    def timedPass(): (Double, Long, Long) = {
+      val (c0, t0) = gcSnapshot()
+      val sec = onePass()
+      val (c1, t1) = gcSnapshot()
+      (sec, c1 - c0, t1 - t0)
+    }
+    val cold = timedPass()
+    // 10 passes (was 7): the settled median now sits on 8 samples, and
+    // the ±5% round-over-round reproducibility target has enough support
+    // to mean something
+    val detail = cold +: (1 to 9).map { _ => System.gc(); timedPass() }
+    val passes = detail.map(_._1)
     val settled = passes.drop(2).sorted
     val median = settled(settled.size / 2)
     val best = passes.min
     val spread = settled.last / settled.head
     def r2(x: Double) = math.round(x * 100) / 100.0
     val passesJson = passes.map(r2).mkString("[", ",", "]")
+    val gcJson = detail.map { case (sec, gn, gms) =>
+      s"""{"sec":${r2(sec)},"gc_n":$gn,"gc_ms":$gms}"""
+    }.mkString("[", ",", "]")
+    val heapMb = Runtime.getRuntime.maxMemory() >> 20
     // residual settled spread attribution (measured while settling the
     // round-8 5x curve): the dominant term is GC scheduling — a pass that
     // absorbs a major collection runs ~1.5-2x the median; JIT is done by
     // pass 3 (curve flattens) and the fixture is freshly written tmpfs,
     // so page cache is warm for every pass
-    val note = "median over passes 3+ (JIT settled); residual spread is GC scheduling, not JIT or page cache"
+    val note = "median over passes 3+ (JIT settled); heap pinned Xms=Xmx G1; per-pass gc deltas published for spread attribution"
 
     // pacing-FIDELITY pass: the throughput passes above disable pacing
     // (speedup ~2^61 — sleeps never fire), so they say nothing about how
@@ -151,6 +177,6 @@ object ReplayBench {
     // the shared run id lets the stamp script assert this artifact and
     // bench_out.json came from one Bench invocation (no mtime inference)
     val runIdJson = if (runId.nonEmpty) s""","run_id":"$runId"""" else ""
-    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gen_seconds":${r2(genSec)},$pacingJson$runIdJson,"note":"$note"}"""
+    s"""{"metric":"replay_throughput","value":${math.round(n / median)},"unit":"events/sec","events":$n,"median_seconds":${r2(median)},"best_seconds":${r2(best)},"best_rate":${math.round(n / best)},"settled_spread":${r2(spread)},"passes":$passesJson,"gc_per_pass":$gcJson,"heap_mb":$heapMb,"gen_seconds":${r2(genSec)},$pacingJson$runIdJson,"note":"$note"}"""
   }
 }
