@@ -5689,4 +5689,224 @@ object TrainingData {
             expr("(1000000 * pair_abs) div (2 * n_shards * total_load)"))
           .as("gini_micros"))
   }
+
+  /** Distributed AS-OF join — each left row matched to the LATEST right
+    * row with right.ts ≤ left.ts on the same key (the point-in-time
+    * lookup behind last-touch attribution, slowly-changing-dimension
+    * reads, and feature-store training joins; reference ops express the
+    * per-event "state as of then" question this answers). Implemented
+    * with the union-tag trick: both sides union into one relation, one
+    * shuffle on the key, one sort by (ts, side, id), and a
+    * last_value(ignoreNulls) carry-forward — NO per-row subquery, no
+    * range-join explosion; the cost is a single sort per key partition
+    * regardless of how many right rows precede each left row. Ties:
+    * a right row AT the left row's timestamp matches (right sorts
+    * first); among right rows sharing (key, ts) the max `rightIdCol`
+    * wins (deterministic). Timestamps are caller-provided LONGs (ms) —
+    * the portable grain.
+    *
+    * Output: the left columns + `matched_id` (NULL when no right row
+    * precedes) + `asof_gap_ms`.
+    *
+    * Scale shape: one hash exchange on `keyCol` + one in-partition
+    * sort; the window is partitioned by key (never a global sort). A
+    * 100 TB left with a hot key skews like any keyed window — pre-split
+    * hot keys upstream if a single entity exceeds a partition. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightIdCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lt = left
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"),
+        lit(1).as("__side"), lit(null).cast("long").as("__rid"),
+        struct(leftCols.map(col): _*).as("__l"))
+    val rt = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(rightIdCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"),
+        lit(0).as("__side"), col(rightIdCol).cast("long").as("__rid"),
+        lit(null).cast(left.select(struct(leftCols.map(col): _*))
+          .schema.head.dataType.sql).as("__l"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__rid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lt.unionByName(rt)
+      .withColumn("__m", last(
+        when(col("__side") === 0,
+          struct(col("__t").as("rt"), col("__rid").as("rid"))),
+        ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ Seq(
+        col("__m.rid").as("matched_id"),
+        (col("__t") - col("__m.rt")).as("asof_gap_ms")): _*)
+  }
+
+  /** PORTABLE bounded-memory quantile sketch: an HDR-style log-bucketed
+    * histogram — bucket(v ≥ 1) = octave·k + sub, octave = ⌊log₂ v⌋
+    * computed as len(bin(v)) − 1 (pure integer, both engines print the
+    * same binary), sub = ((v − 2^octave)·k) div 2^octave — then each
+    * requested quantile reports the FIRST bucket whose cumulative count
+    * reaches rank ⌈q·n⌉, with the bucket's [lo, hi] value range. The
+    * estimate's relative error is bounded by the bucket width: ≤ 1/k of
+    * the value. Unlike the GK sketch behind q08d, every step here is
+    * integer arithmetic an oracle can replay — the sketch itself is
+    * hash-checkable across engines — and the histogram is a trivially
+    * MERGEABLE counts relation (sum buckets across shards/days), which
+    * GK merging is not. Values < 1 are excluded (documented; shift
+    * nonnegative measures by +1 at the call site if zeros matter).
+    *
+    * Scale shape: one map-side-combined aggregation on ≤ 64·k bucket
+    * keys; the cumulative pass and quantile selection run on that tiny
+    * relation. */
+  def logHistQuantiles(rows: DataFrame, valueCol: String, k: Int,
+      quantiles: Seq[Double]): DataFrame = {
+    require(k >= 2, s"need k >= 2 sub-buckets, got $k")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $quantiles")
+    val spark = rows.sparkSession
+    val base = rows
+      .select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("v") >= 1L)
+      .select(expr("length(bin(v)) - 1").as("oct"), col("v"))
+      .select((col("oct") * k +
+        expr(s"((v - shiftleft(1L, oct)) * $k) div shiftleft(1L, oct)"))
+        .as("bucket"))
+    val hist = base.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    val qs = spark.range(quantiles.size).select(
+      col("id").cast("int").as("qi"),
+      element_at(array(quantiles.map(q =>
+        lit(math.round(q * 1000000).toLong)): _*),
+        col("id").cast("int") + 1).as("q_micros"))
+    // rank = ceil(q·n) in integers; the matched bucket is the min bucket
+    // with cum >= rank; bucket bounds invert the bucket arithmetic
+    broadcast(qs).join(cum,
+        col("cum") * 1000000L >= col("q_micros") * col("n"))
+      .groupBy(col("qi"), col("q_micros"), col("n"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("q_micros"), col("n"), col("bucket"),
+        // exact bucket→value inversion: v is in bucket (oct, sub) iff
+        // sub·2^oct ≤ (v − 2^oct)·k < (sub+1)·2^oct, so
+        // lo = 2^oct + ⌈sub·2^oct/k⌉, hi = 2^oct + ⌈(sub+1)·2^oct/k⌉ − 1
+        // (multiply BEFORE the div — dividing 2^oct by k first collapses
+        // every small-octave bucket onto the octave base)
+        expr(s"shiftleft(1L, CAST(bucket div $k AS INT))" +
+          s" + ((bucket % $k) * shiftleft(1L, CAST(bucket div $k AS INT))" +
+          s" + $k - 1) div $k").as("value_lo"),
+        expr(s"shiftleft(1L, CAST(bucket div $k AS INT))" +
+          s" + (((bucket % $k) + 1) * shiftleft(1L, CAST(bucket div $k AS INT))" +
+          s" + $k - 1) div $k - 1").as("value_hi"))
+      .orderBy(col("q_micros"))
+  }
+
+  /** Per-group exact ORDER STATISTICS over the distinct-value relation:
+    * for each requested (1-indexed) rank expression, the smallest value
+    * whose at-or-below count reaches it. The shared core of
+    * [[conformalThreshold]] and [[winsorizedStats]] — per-(group, value)
+    * counts are one map-side-combined aggregation, the cumulative pass
+    * runs over DISTINCT values per group (value cardinality, not rows),
+    * and selection is a tiny filtered argmin. Returns
+    * (grp, n, rank, value). `ranks` maps a label to a function of n
+    * (e.g. p05 → ⌈0.05·n⌉) evaluated as integer column arithmetic. */
+  private def groupOrderStats(rows: DataFrame, groupCol: String,
+      valueCol: String, ranks: Seq[(String, Column => Column)]): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val counts = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val withN = cum.join(broadcast(ns), Seq("grp"))
+    ranks.map { case (label, rankOf) =>
+      withN.filter(col("cum") >= rankOf(col("n")))
+        .groupBy(col("grp"), col("n"))
+        .agg(min(col("v")).as("value"))
+        .select(col("grp"), col("n"), lit(label).as("stat"), col("value"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Split-conformal calibration threshold per group: with `n`
+    * calibration scores and miscoverage α, the threshold is the
+    * ⌈(1−α)(n+1)⌉-th smallest score — the finite-sample-correct
+    * quantile that guarantees ≥ 1−α coverage on exchangeable future
+    * points (the gate a selective filter needs BEFORE it promises "we
+    * keep 90% of good docs"). Groups where ⌈(1−α)(n+1)⌉ > n emit a NULL
+    * threshold (n too small for the guarantee at this α — the honest
+    * answer, not max(score)). α is taken in integer per-mille to keep
+    * the rank arithmetic exact: rank = ⌈keepPerMille·(n+1)/1000⌉.
+    *
+    * Scale shape: [[groupOrderStats]] — distinct-value cumulative pass
+    * per group, never a per-group sort of raw rows. */
+  def conformalThreshold(rows: DataFrame, groupCol: String,
+      scoreCol: String, keepPerMille: Int): DataFrame = {
+    require(keepPerMille >= 1 && keepPerMille <= 999,
+      s"keepPerMille must be in [1, 999], got $keepPerMille")
+    // ⌈(n+1)·kpm/1000⌉ = (a + 999) div 1000 — the double is exact while
+    // (n+1)·kpm < 2^53, i.e. n ≲ 9·10¹² calibration rows per group
+    def rank(n: Column): Column =
+      floor(((n + 1) * keepPerMille + 999L) / 1000.0).cast("long")
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(scoreCol).cast("long").as("v"))
+    val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    // groups where rank > n have NO order statistic (the guarantee needs
+    // n+1 effective slots) — the LEFT join keeps them with NULL instead
+    // of dropping them, because "this group is too small to calibrate"
+    // is the audit's most important row
+    val stats = groupOrderStats(rows, groupCol, scoreCol,
+      Seq("conformal" -> rank)).select(col("grp"), col("value"))
+    ns.join(broadcast(stats), Seq("grp"), "left")
+      .select(col("grp"), col("n"), rank(col("n")).as("rank"),
+        when(rank(col("n")) > col("n"), lit(null).cast("long"))
+          .otherwise(col("value")).as("threshold"))
+      .orderBy(col("grp"))
+  }
+
+  /** Per-group WINSORIZED statistics: values clipped at the exact
+    * discrete p05/p95 order statistics (actual data values, ranks
+    * ⌈0.05·n⌉ and ⌈0.95·n⌉ — no interpolation, so everything stays in
+    * exact integers), with the clip counts and the winsorized mean in
+    * truncated micros. The robust location estimate for a heavy-tailed
+    * quality signal — a handful of 10 MB documents should not own the
+    * corpus mean the way they own the raw average; winsorizing prices
+    * the bulk, [[robustOutliers]] names the tail. Output:
+    * (grp, n, lo, hi, n_clip_lo, n_clip_hi, wmean_micros).
+    *
+    * Scale shape: [[groupOrderStats]] for the two bounds (broadcast
+    * back), then one row-local clamp + one aggregation — raw rows are
+    * never sorted. */
+  def winsorizedStats(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    // ⌈0.05·n⌉ and ⌈0.95·n⌉ via (a + 19) div 20 — exact while
+    // 19·n < 2^53 (n ≲ 4·10¹¹ rows per group)
+    def rankLo(n: Column): Column =
+      floor((n + 19L) / 20.0).cast("long")
+    def rankHi(n: Column): Column =
+      floor((n * 19L + 19L) / 20.0).cast("long")
+    val stats = groupOrderStats(rows, groupCol, valueCol,
+      Seq("lo" -> rankLo, "hi" -> rankHi))
+    val bounds = stats.groupBy(col("grp"))
+      .agg(max(when(col("stat") === "lo", col("value"))).as("lo"),
+        max(when(col("stat") === "hi", col("value"))).as("hi"))
+    rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .join(broadcast(bounds), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(greatest(col("lo"), least(col("hi"), col("v")))).as("wsum"))
+      .select(col("grp"), col("n"), col("lo"), col("hi"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        expr("(1000000 * wsum) div n").as("wmean_micros"))
+      .orderBy(col("grp"))
+  }
 }

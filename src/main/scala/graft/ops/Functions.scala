@@ -98,6 +98,22 @@ object Functions {
       .orderBy(col("l_returnflag"))
   }
 
+  /** X139 — the PORTABLE bounded-memory quantile sketch next to q08d's
+    * GK form: HDR-style log-bucketed histogram (16 sub-buckets per
+    * octave ⇒ ≤ 1/16 relative error) over price cents, reporting
+    * p50/p90/p99 as exact bucket [lo, hi] value ranges. Every step is
+    * integer arithmetic the oracle replays — the sketch itself is
+    * hash-checked across engines, and the histogram is a trivially
+    * mergeable counts relation (sum buckets across shards/days), which
+    * GK merging is not. Fixture binding of
+    * [[graft.api.TrainingData.logHistQuantiles]]. */
+  def x139LogHistQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.logHistQuantiles(
+      t(s, d, "lineitem")
+        .select(expr("CAST(round(l_extendedprice*100,0) AS BIGINT)")
+          .as("cents")),
+      "cents", k = 16, quantiles = Seq(0.5, 0.9, 0.99))
+
   /** X8 — correlation from exact integer accumulators: Spark's streaming
     * corr() is float-order-dependent, so the five sums are taken as exact
     * longs (at 100 TB: decimal(38) sums, same algebra) and the closed-form
@@ -229,6 +245,7 @@ object Functions {
     "q08_distinct_agg" -> (q08Distinct _),
     "q08b_percentiles" -> (q08bPercentiles _),
     "q08d_approx_percentiles" -> (q08dApproxPercentiles _),
+    "x139_loghist_quantiles" -> (x139LogHistQuantiles _),
     "q08c_corr_exact" -> (q08cCorrExact _),
     "q09_approx_distinct" -> (q09Approx _),
     "q15_setops" -> (q15SetOps _),
@@ -252,6 +269,42 @@ object Functions {
         | round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)/100.0, 4) AS p90_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // log-histogram replay: identical integer bucket arithmetic
+    // (length(bin(v))-1 octaves, 16 sub-buckets, shift/div inversion),
+    // cumulative bucket pass, rank selection at ceil(q*n)
+    "x139_loghist_quantiles" ->
+      """WITH vals AS (
+        |  SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |pos AS (SELECT v FROM vals WHERE v >= 1),
+        |bk AS (
+        |  SELECT (length(bin(v)) - 1) * 16 +
+        |    ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+        |      // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS bucket
+        |  FROM pos),
+        |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bk
+        |      GROUP BY 1),
+        |cum AS (SELECT bucket, c,
+        |    CAST(sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM h),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |q(q_micros) AS (VALUES (CAST(500000 AS BIGINT)),
+        |  (CAST(900000 AS BIGINT)), (CAST(990000 AS BIGINT))),
+        |sel AS (
+        |  SELECT q.q_micros, nn.n, min(cum.bucket) AS bucket
+        |  FROM q, nn, cum
+        |  WHERE cum.cum * 1000000 >= q.q_micros * nn.n
+        |  GROUP BY 1, 2)
+        |SELECT q_micros, n, bucket,
+        |  (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
+        |    ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+        |      + 15) // 16 AS value_lo,
+        |  (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
+        |    (((bucket % 16) + 1) *
+        |      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
+        |    - 1 AS value_hi
+        |FROM sel ORDER BY q_micros""".stripMargin,
     // GK bound audit: the oracle pins the group set, n, and the
     // EXPECTATION that both sketch answers sit inside the accuracy-10000
     // rank band — the booleans are computed Spark-side against exact

@@ -94,6 +94,31 @@ object SamplingOps {
       .orderBy(col("lang"))
   }
 
+  /** X140 — split-conformal calibration threshold per language: with n
+    * calibration scores and 10% miscoverage, the threshold is the
+    * ⌈0.9·(n+1)⌉-th smallest score — the finite-sample-correct quantile
+    * that guarantees ≥ 90% coverage on exchangeable future points (what
+    * a selective gate needs BEFORE promising a keep rate; x120/x121
+    * price the score, this calibrates the cut). Groups too small for
+    * the guarantee emit NULL, not max(score). Fixture binding of
+    * [[graft.api.TrainingData.conformalThreshold]]. */
+  def x140ConformalThreshold(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.conformalThreshold(
+      t(s, d, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars", keepPerMille = 900)
+
+  /** X141 — per-language winsorized statistics: values clipped at the
+    * exact discrete p05/p95 order statistics (actual data values — no
+    * interpolation, everything in exact integers), clip counts, and the
+    * winsorized mean in micros. The robust location estimate for a
+    * heavy-tailed quality signal — x103 names the tail, this prices the
+    * bulk without it. Fixture binding of
+    * [[graft.api.TrainingData.winsorizedStats]]. */
+  def x141WinsorizedStats(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.winsorizedStats(
+      t(s, d, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars")
+
   /** X32 — sequence packing at a 2048-token budget over documents.
     * Fixture binding of [[graft.api.TrainingData.packSequences]] (see
     * there for the two-pass global-cumsum scale design). */
@@ -447,6 +472,8 @@ object SamplingOps {
     "x31c_stratified" -> (x31cStratified _),
     "x31d_quality_cut" -> (x31dQualityCut _),
     "x31g_quality_cut_approx" -> (x31gQualityCutApprox _),
+    "x140_conformal_threshold" -> (x140ConformalThreshold _),
+    "x141_winsorized_stats" -> (x141WinsorizedStats _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
@@ -1003,6 +1030,61 @@ object SamplingOps {
          |ORDER BY doc_id""".stripMargin,
     // Spark percentile == DuckDB quantile_cont on integer inputs (the
     // q08b-established portable pair)
+    // conformal replay: per-group distinct-value cumulative pass, rank
+    // ceil((n+1)*kpm/1000) as integer arithmetic, NULL past n
+    "x140_conformal_threshold" ->
+      """WITH b AS (
+        |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM b
+        |      GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, v, CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |ns AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |r AS (SELECT grp, n,
+        |        CAST(((n + 1) * 900 + 999) // 1000 AS BIGINT) AS rank
+        |      FROM ns),
+        |sel AS (
+        |  SELECT r.grp, min(cum.v) AS value
+        |  FROM r JOIN cum ON cum.grp = r.grp AND cum.cum >= r.rank
+        |  GROUP BY 1)
+        |SELECT r.grp, r.n, r.rank,
+        |  CASE WHEN r.rank > r.n THEN NULL ELSE sel.value END AS threshold
+        |FROM r LEFT JOIN sel ON sel.grp = r.grp
+        |ORDER BY r.grp""".stripMargin,
+    // winsorize replay: the two discrete order statistics per group
+    // (ceil(n/20), ceil(19n/20)) off the same cumulative pass, then a
+    // row-local clamp and exact integer sums
+    "x141_winsorized_stats" ->
+      """WITH b AS (
+        |  SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM b
+        |      GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, v, CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM g),
+        |ns AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |bounds AS (
+        |  SELECT ns.grp,
+        |    (SELECT min(v) FROM cum WHERE cum.grp = ns.grp
+        |     AND cum.cum >= (ns.n + 19) // 20) AS lo,
+        |    (SELECT min(v) FROM cum WHERE cum.grp = ns.grp
+        |     AND cum.cum >= (ns.n * 19 + 19) // 20) AS hi
+        |  FROM ns)
+        |SELECT b.grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(bo.lo) AS BIGINT) AS lo, CAST(max(bo.hi) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN b.v < bo.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN b.v > bo.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST((1000000 * sum(greatest(bo.lo, least(bo.hi, b.v))))
+        |    // count(*) AS BIGINT) AS wmean_micros
+        |FROM b JOIN bounds bo ON bo.grp = b.grp
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // GK bound audit over the per-stratum cut (the q08d recipe): the
     // oracle pins the stratum set, n_docs, and the expectation that the
     // Spark-side rank checks hold; the kept rows stay engine-specific

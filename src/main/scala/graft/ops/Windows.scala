@@ -361,7 +361,34 @@ object Windows {
     graft.api.TrainingData.cusumChangepoint(t(s, d, "events"), "ts")
       .orderBy(col("day"))
 
+  /** X138 — last-touch attribution via the generalized
+    * [[graft.api.TrainingData.asOfJoin]]: each purchase matched to the
+    * user's latest click at-or-before it, WITH the attribution gap —
+    * the q24 recipe promoted to a reusable API that carries the full
+    * left row and the time-to-convert (the column a marketing/causal
+    * pipeline actually consumes; q24 returns only the matched id).
+    * Same scale shape: one shuffle on the key, one sort, a
+    * carry-forward window — no range-join explosion. */
+  def x138AsofAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsMs(col("ts")).as("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+    graft.api.TrainingData.asOfJoin(
+      purchases, clicks, "user_id", "ts_ms", "event_id")
+      .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+        col("matched_id").as("click_id"), col("asof_gap_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x138_asof_attribution" -> (x138AsofAttribution _),
     "x131_daily_autocorr" -> (x131DailyAutocorr _),
     "x132_cusum_changepoint" -> (x132Cusum _),
     "x99_fleiss_kappa" -> (x99FleissKappa _),
@@ -385,6 +412,34 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // as-of replay without window IGNORE NULLS: matched ts = max prior
+    // click ts per purchase, matched id = max click id at that ts (the
+    // same (ts, id) tie-break the Spark sort order applies)
+    "x138_asof_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts_ms FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, user_id, ts_ms FROM e
+        |      WHERE event_type = 'click'),
+        |mt AS (
+        |  SELECT p.purchase_id, p.user_id, p.ts_ms, max(c.ts_ms) AS ct
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.ts_ms <= p.ts_ms
+        |  GROUP BY 1, 2, 3),
+        |mi AS (
+        |  SELECT mt.purchase_id, mt.user_id, mt.ts_ms, mt.ct,
+        |    max(c2.event_id) AS click_id
+        |  FROM mt LEFT JOIN c c2
+        |    ON c2.user_id = mt.user_id AND c2.ts_ms = mt.ct
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT purchase_id, user_id, ts_ms, click_id,
+        |  ts_ms - ct AS asof_gap_ms
+        |FROM mi ORDER BY purchase_id""".stripMargin,
     // kappa replay: latest rating per (item, rater), (item, label) cell
     // counts, per-item pairwise agreement quantized once to micros,
     // per-label micro shares over the SAME >= 2-rater population, the

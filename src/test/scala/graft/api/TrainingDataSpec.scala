@@ -3131,6 +3131,76 @@ class TrainingDataSpec extends SparkSpec {
     assert(got("f") == ((4L, 3L, 2L, "-2000000", "1500000")))
   }
 
+  test("asOfJoin: latest at-or-before, same-ts match, id tie-break, no-match NULL") {
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 12L),
+      (3L, 300L, 13L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 100L, 900L), (1L, 100L, 901L), (1L, 200L, 902L),
+      (3L, 301L, 903L)).toDF("k", "t", "rid")
+    val got = graft.api.TrainingData.asOfJoin(left, right, "k", "t", "rid")
+      .collect().map(r => r.getLong(2) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)),
+          (if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(10L) == ((901L, 0L)))  // same-ts matches; max rid wins the tie
+    assert(got(11L) == ((902L, 5L)))  // latest prior, gap 205-200
+    assert(got(12L) == ((-1L, -1L)))  // no right row for key 2 → NULL
+    assert(got(13L) == ((-1L, -1L)))  // right row is AFTER the left ts
+  }
+
+  test("logHistQuantiles: exact quantile lands inside its bucket bounds") {
+    // values 1..1000: exact p50 = 500, p90 = 900, p99 = 990 — each must
+    // sit inside the reported [value_lo, value_hi], and the bucket's
+    // relative width must respect the 1/k bound
+    val rows = (1L to 1000L).map(Tuple1(_)).toDF("v")
+    val got = graft.api.TrainingData
+      .logHistQuantiles(rows, "v", k = 16, quantiles = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val exact = Map(500000L -> 500L, 900000L -> 900L, 990000L -> 990L)
+    exact.foreach { case (q, ev) =>
+      val (n, lo, hi) = got(q)
+      assert(n == 1000L)
+      assert(lo <= ev && ev <= hi, s"q=$q exact $ev outside [$lo, $hi]")
+      assert(hi - lo <= lo / 16 + 1, s"q=$q bucket [$lo, $hi] too wide")
+    }
+    // small-octave inversion: v=3 (oct 1) must map to a bucket whose
+    // bounds are exactly [3, 3] at k=16 (sub-bucket width < 1 collapses
+    // to single values — the multiply-before-div inversion)
+    val tiny = graft.api.TrainingData
+      .logHistQuantiles(Seq(3L).map(Tuple1(_)).toDF("v"), "v", 16, Seq(1.0))
+      .collect().head
+    assert(tiny.getLong(3) == 3L && tiny.getLong(4) == 3L)
+  }
+
+  test("conformalThreshold: exact rank, coverage property, small-group NULL") {
+    // group a: scores 1..99 → n=99, rank = ceil(0.9*100) = 90 → the
+    // 90th smallest = 90; group b: n=2 → rank = ceil(0.9*3) = 3 > 2 → NULL
+    val rows = ((1 to 99).map(i => ("a", i.toLong)) ++
+      Seq(("b", 5L), ("b", 6L))).toDF("g", "s")
+    val got = graft.api.TrainingData
+      .conformalThreshold(rows, "g", "s", keepPerMille = 900)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got("a") == ((99L, 90L, 90L)))
+    assert(got("b") == ((2L, 3L, -1L)))
+    // the guarantee the threshold exists for: >= 90% of calibration
+    // scores sit at or below it
+    assert((1 to 99).count(_ <= 90) * 10 >= 99 * 9)
+  }
+
+  test("winsorizedStats: discrete p05/p95 clip bounds, exact clipped mean") {
+    // 1..100: ceil(5) = 5th smallest = 5, ceil(95) = 95th = 95;
+    // clip 4 below, 5 above; winsorized sum = 4*5 + sum(5..95) + 5*95
+    val rows = (1L to 100L).map(v => ("g", v)).toDF("g", "v")
+    val r = graft.api.TrainingData.winsorizedStats(rows, "g", "v")
+      .collect().head
+    val wsum = 4L * 5 + (5L to 95L).sum + 5L * 95
+    assert(r.getString(0) == "g" && r.getLong(1) == 100L)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 95L)
+    assert(r.getLong(4) == 4L && r.getLong(5) == 5L)
+    assert(r.getLong(6) == 1000000L * wsum / 100L)
+  }
+
   test("matryoshkaAudit: exact retained norm, zero-vector NULL, mean") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // prefix2 1e12, full2 2e12
