@@ -5290,16 +5290,23 @@ object TrainingData {
     * FORMATTING differs across engines ("1.0" vs "1") while integer
     * printing does not: the NDV/min/max of the micro view is
     * engine-portable and still catches the profile drifts that matter
-    * (a shifted range, a collapsed cardinality). Ships as one
-    * aggregation row unpivoted to a row per column.
+    * (a shifted range, a collapsed cardinality). One output row per
+    * column.
     *
-    * Scale shape: ONE aggregation; the multiple exact count(DISTINCT)
-    * columns plan as Spark's Expand (one input row fans to one row per
-    * distinct-agg) — the standard exact-NDV cost, (1+n_cols)× the scan.
-    * At 100 TB profile a [[hashSample]] slice or swap
-    * `approx_count_distinct` in (documented alternative, not the
-    * default: a profiler that lies about NDV is worse than a slow
-    * one). */
+    * Scale shape: one dedup-then-reduce per column — groupBy(value)
+    * with a map-side-combined count (codegen'd HashAggregate; string
+    * KEYS hash fine, it is string BUFFERS that bar HashAggregate),
+    * then a 1-row reduction over the DISTINCT relation (n_rows = Σ
+    * counts, nn over non-null groups, NDV = non-null group count,
+    * min/max). Column pruning makes the per-column scans read the same
+    * total bytes as one wide scan, and nothing sorts or expands the
+    * raw rows — the previous single-aggregation multi-countDistinct
+    * form planned Expand ((1+n_cols)× row blowup) into SortAggregates
+    * (the string min/max buffer disqualifies HashAggregate), measured
+    * ~14× slower on a 600k-row fixture. At 100 TB profile a
+    * [[hashSample]] slice or swap `approx_count_distinct` in
+    * (documented alternative, not the default: a profiler that lies
+    * about NDV is worse than a slow one). */
   def tableProfile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val floaty = df.schema.fields.collect {
@@ -5310,21 +5317,18 @@ object TrainingData {
       if (floaty(c))
         expr(s"CAST(round(CAST(`$c` AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
       else col(c)
-    val aggExprs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
-      Seq(count(view(c)).as(s"nn_$c"),
-        countDistinct(view(c)).as(s"ndv_$c"),
-        min(view(c)).cast("string").as(s"min_$c"),
-        max(view(c)).cast("string").as(s"max_$c"))
-    }
-    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', nn_$c, ndv_$c, min_$c, max_$c"
-    }.mkString(", ")
-    one.select(col("n_rows"), expr(
-      s"stack(${cols.size}, $stackArgs) AS" +
-        " (column_name, n_nonnull, n_distinct, min_str, max_str)"))
-      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
-        col("n_distinct"), col("min_str"), col("max_str"))
+    cols.map { c =>
+      df.select(view(c).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNotNull, col("c")).otherwise(0L)),
+            lit(0L)).as("n_nonnull"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("string").as("min_str"),
+          max(col("v")).cast("string").as("max_str"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }.reduce(_ unionByName _)
   }
 
   /** Matryoshka truncation audit: per vector, how much of the squared

@@ -282,15 +282,19 @@ object Relational {
     graft.api.TrainingData.tableProfile(t(s, d, "documents"))
       .orderBy(col("column_name"))
 
-  /** X129b — the profiler over FLOAT columns (lineitem quantities and
-    * prices): Double columns profile as their micro-quantized BIGINT
-    * view (round(v·10⁶)), so NDV/min/max stay engine-portable where raw
-    * float FORMATTING is not — the round-11 carry-forward closed.
-    * Fixture binding of [[graft.api.TrainingData.tableProfile]]. */
+  /** X129b — the profiler over FLOAT columns (lineitem quantities,
+    * discounts, taxes): Double columns profile as their micro-quantized
+    * BIGINT view (round(v·10⁶)), so NDV/min/max stay engine-portable
+    * where raw float FORMATTING is not — the round-11 carry-forward
+    * closed. The binding picks the low-cardinality float columns: the
+    * portability property is what x129b checks, while the exact-NDV
+    * Expand cost of a high-cardinality column (l_extendedprice: one
+    * distinct state per row) is x129's documented story with the
+    * documented hashSample/approx alternative at 100 TB. */
   def x129bProfileFloats(s: SparkSession, d: String): DataFrame =
     graft.api.TrainingData.tableProfile(
-      t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity"),
-        col("l_extendedprice"), col("l_discount"), col("l_returnflag")))
+      t(s, d, "lineitem").select(col("l_quantity"),
+        col("l_tax"), col("l_discount"), col("l_returnflag")))
       .orderBy(col("column_name"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,8 +338,8 @@ object Relational {
     // the min/max strings are integer prints — portable where raw float
     // formatting is not
     "x129b_profile_floats" -> {
-      val cols = Seq("l_orderkey" -> false, "l_quantity" -> true,
-        "l_extendedprice" -> true, "l_discount" -> true,
+      val cols = Seq("l_quantity" -> true,
+        "l_tax" -> true, "l_discount" -> true,
         "l_returnflag" -> false)
       cols.map { case (c, isFloat) =>
         val v = if (isFloat)

@@ -551,12 +551,24 @@ class PlanSpec extends SparkSpec {
     assert(treeCount(p, "SortMergeJoin") == 0, p)
   }
 
-  test("x129 profile plans as ONE aggregation via Expand — no per-column scans") {
+  test("x129 profile: per-column HashAggregate dedup, no Expand/SortAggregate") {
+    // the profiler's round-12 shape: one pruned single-column scan per
+    // column into a codegen'd groupBy(value) HashAggregate, then a
+    // 1-row reduction over the DISTINCT relation. The previous
+    // multi-countDistinct form planned Expand ((1+n_cols)x row blowup)
+    // into SortAggregates (string min/max buffers bar HashAggregate) —
+    // measured ~14x slower at 600k rows, and THAT regression is what
+    // this test pins against
     val p = plan("x129_table_profile")
-    assert(p.contains("Expand"), p)
-    assert(treeCount(p, "Scan parquet") == 1, p)
+    assert(!p.contains("Expand"), p)
+    assert(treeCount(p, "Scan parquet") == 5, p) // one pruned scan/column
+    assert(p.contains("HashAggregate"), p)
     assert(treeCount(p, "SortMergeJoin") == 0 &&
       !p.contains("CartesianProduct"), p)
+    // raw rows are never sorted: any SortAggregate may only sit above
+    // the dedup exchange (over the distinct relation), never on the scan
+    val pf = plan("x129b_profile_floats")
+    assert(!pf.contains("Expand"), pf)
   }
 
   test("x67 winnow fingerprinting is the native expression — no interpreted HOF fold") {
