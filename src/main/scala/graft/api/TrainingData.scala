@@ -5745,6 +5745,89 @@ object TrainingData {
         (col("__t") - col("__m.rt")).as("asof_gap_ms")): _*)
   }
 
+  /** PORTABLE bounded-memory distinct-count sketch: K-Minimum-Values
+    * (Bar-Yossef et al.) on a sha-derived 52-bit coordinate — the
+    * hash-checkable companion to q09's HyperLogLog, the same role
+    * [[logHistQuantiles]] plays for the GK quantile sketch. Each
+    * distinct value hashes to conv(first 13 sha256 hex chars) ∈
+    * [0, 2⁵²); the k smallest DISTINCT hashes summarize the set, and
+    * ndv_est = (k−1)·2⁵² div kth_min (standard KMV, ±~1/√k relative
+    * error). When fewer than k distinct hashes exist the count is
+    * exact. Both the coordinate and the estimator are integer
+    * arithmetic either engine replays — unlike HLL, whose register
+    * layout is engine-internal — and the k-mins summary is MERGEABLE
+    * (union then re-take k smallest). Output: one row (k, n_hashes,
+    * kth_min, ndv_est).
+    *
+    * Scale shape: one map-side-combined dedup on the hash, then
+    * TakeOrderedAndProject of k rows; nothing else leaves the
+    * executors. The 52-bit space holds ~10¹² distinct values before
+    * hash collisions bias the estimate ~0.1% — past that, widen the
+    * parse (sha256 has 256 bits to spend). */
+  def kmvDistinct(rows: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 16, s"need k >= 16 for a usable estimate, got $k")
+    val hashes = rows
+      .filter(col(valueCol).isNotNull)
+      .select(expr(s"CAST(conv(substring(sha2(CAST(`$valueCol` AS STRING)," +
+        " 256), 1, 13), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val mins = hashes.orderBy(col("h")).limit(k)
+    mins.agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+      .select(lit(k).as("k"), col("n_hashes"), col("kth_min"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4503599627370496)" +
+            " div kth_min")).as("ndv_est"))
+  }
+
+  /** Exact-integer nDCG@k per query group: docs ranked by score
+    * descending (ties broken by gain descending then arbitrary-but-
+    * deterministic within the oracle's replay — callers should pass
+    * distinct scores or accept gain-favoring ties), the top k gains
+    * weighted by truncated micro discounts ⌊10⁶/log₂(i+1)⌋ (shipped as
+    * integer literals like the Benford expectations — no libm call in
+    * either engine), IDCG from the same gains sorted descending, and
+    * ndcg_micros = 10⁶·DCG div IDCG. The graded-relevance ranking
+    * metric completing the eval shelf (AUC prices order, AP prices
+    * rare-positive order, this prices ORDER WITH POSITION DISCOUNTS —
+    * what a reranker or curriculum front-load is actually judged by).
+    * Groups with zero total gain emit NULL.
+    *
+    * Scale shape: two keyed windows over the per-query relation (never
+    * global), one aggregation; k bounds the discount table, not the
+    * data. */
+  def ndcgAtK(rows: DataFrame, queryCol: String, scoreCol: String,
+      gainCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"need 1 <= k <= 20, got $k")
+    // ⌊10⁶/log₂(i+1)⌋ for i = 1..20
+    val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L, 278942L, 270238L, 262649L,
+      255958L, 250000L, 244650L, 239812L, 235408L, 231378L, 227670L)
+    val base = rows
+      .filter(col(queryCol).isNotNull && col(scoreCol).isNotNull &&
+        col(gainCol).isNotNull)
+      .select(col(queryCol).as("grp"), col(scoreCol).as("s"),
+        col(gainCol).cast("long").as("g"))
+    def topGainSum(orderBy: Seq[Column]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(orderBy: _*)
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("grp"),
+          (col("g") * element_at(array(disc.map(lit): _*), col("rn")))
+            .as("term"))
+        .groupBy(col("grp")).agg(sum(col("term")).as("sum_micros"))
+    }
+    val dcg = topGainSum(Seq(col("s").desc, col("g").desc))
+      .withColumnRenamed("sum_micros", "dcg_micros")
+    val idcg = topGainSum(Seq(col("g").desc, col("s").desc))
+      .withColumnRenamed("sum_micros", "idcg_micros")
+    dcg.join(idcg, Seq("grp"))
+      .select(col("grp"), col("dcg_micros"), col("idcg_micros"),
+        when(col("idcg_micros") === 0, lit(null))
+          .otherwise(expr("(1000000 * dcg_micros) div idcg_micros"))
+          .as("ndcg_micros"))
+  }
+
   /** PORTABLE bounded-memory quantile sketch: an HDR-style log-bucketed
     * histogram — bucket(v ≥ 1) = octave·k + sub, octave = ⌊log₂ v⌋
     * computed as len(bin(v)) − 1 (pure integer, both engines print the

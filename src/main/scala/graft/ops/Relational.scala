@@ -297,9 +297,24 @@ object Relational {
         col("l_tax"), col("l_discount"), col("l_returnflag")))
       .orderBy(col("column_name"))
 
+  /** X142 — KMV portable distinct sketch over lineitem's price cents
+    * (the high-NDV column the exact profiler pays for): k = 256 minimum
+    * sha-derived 52-bit hashes → ndv_est within ~1/√k of exact, every
+    * step integer arithmetic the oracle replays — the hash-checkable
+    * companion to q09's engine-internal HLL, and a mergeable summary
+    * (union two tables' k-mins, re-take k smallest). Fixture binding of
+    * [[graft.api.TrainingData.kmvDistinct]]. */
+  def x142KmvDistinct(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kmvDistinct(
+      t(s, d, "lineitem")
+        .select(expr("CAST(round(l_extendedprice*100,0) AS BIGINT)")
+          .as("cents")),
+      "cents", k = 256)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x129_table_profile" -> (x129TableProfile _),
     "x129b_profile_floats" -> (x129bProfileFloats _),
+    "x142_kmv_distinct" -> (x142KmvDistinct _),
     "x110_k_anonymity" -> (x110KAnonymity _),
     "x84_integrity_audit" -> (x84IntegrityAudit _),
     "q01_pricing_summary" -> (q01 _),
@@ -317,7 +332,36 @@ object Relational {
     "q14b_unpivot" -> (q14bUnpivot _),
     "q25_salted_agg" -> (q25SaltedAgg _))
 
+  // 52-bit sha coordinate: the first 13 lowercase-hex chars parsed via
+  // ascii() arithmetic (the hash16 recipe widened — both engines emit
+  // lowercase sha256 hex and agree on ascii())
+  private def hash52Sql(valExpr: String): String = {
+    val digit = (i: Int) => {
+      val a = s"ascii(substring(sha256(CAST($valExpr AS VARCHAR)), $i, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    (2 to 13).foldLeft(s"CAST(${digit(1)} AS BIGINT)") {
+      (acc, i) => s"($acc * 16 + ${digit(i)})"
+    }
+  }
+
   val oracles: Map[String, String] = Map(
+    // KMV replay: distinct 52-bit sha coordinates, k smallest, the same
+    // integer estimator
+    "x142_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT ${hash52Sql(
+             "CAST(round(l_extendedprice*100,0) AS BIGINT)")} AS h
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         |mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+         |             CAST(max(h) AS BIGINT) AS kth_min
+         |      FROM mins)
+         |SELECT 256 AS k, n_hashes, kth_min,
+         |  CASE WHEN n_hashes < 256 THEN n_hashes
+         |       ELSE (CAST(255 AS BIGINT) * 4503599627370496) // kth_min
+         |  END AS ndv_est
+         |FROM a""".stripMargin,
     // profile replay: one SELECT per column unioned — n_rows from the
     // whole table, count(col) non-null, exact DISTINCT, min/max as
     // VARCHAR (binary UTF-8 comparison in both engines)

@@ -94,6 +94,23 @@ object SamplingOps {
       .orderBy(col("lang"))
   }
 
+  /** X143 — exact-integer nDCG@10 per source: docs "retrieved" by
+    * n_chars descending, graded relevance from the language (en=2,
+    * es=1, else 0), positional discounts as truncated micro literals
+    * ⌊10⁶/log₂(i+1)⌋ — the graded-relevance ranking metric completing
+    * the eval shelf (x121 prices order, x126 rare-positive order, this
+    * prices order under position discounts). Fixture binding of
+    * [[graft.api.TrainingData.ndcgAtK]]. */
+  def x143NdcgAtK(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.ndcgAtK(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars"),
+          when(col("lang") === "en", 2L).when(col("lang") === "es", 1L)
+            .otherwise(0L).as("gain")),
+      "source", "n_chars", "gain", k = 10)
+      .orderBy(col("grp"))
+
   /** X140 — split-conformal calibration threshold per language: with n
     * calibration scores and 10% miscoverage, the threshold is the
     * ⌈0.9·(n+1)⌉-th smallest score — the finite-sample-correct quantile
@@ -474,6 +491,7 @@ object SamplingOps {
     "x31g_quality_cut_approx" -> (x31gQualityCutApprox _),
     "x140_conformal_threshold" -> (x140ConformalThreshold _),
     "x141_winsorized_stats" -> (x141WinsorizedStats _),
+    "x143_ndcg_at_k" -> (x143NdcgAtK _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
@@ -1030,6 +1048,39 @@ object SamplingOps {
          |ORDER BY doc_id""".stripMargin,
     // Spark percentile == DuckDB quantile_cont on integer inputs (the
     // q08b-established portable pair)
+    // nDCG replay: per-group row_number ranking under the identical
+    // tie-break, micro discount literals joined by rank, integer sums
+    "x143_ndcg_at_k" ->
+      """WITH b AS (
+        |  SELECT source AS grp, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 2 WHEN lang = 'es' THEN 1
+        |         ELSE 0 END AS g
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |d(rn, disc) AS (VALUES
+        |  (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+        |  (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+        |  (9, 301029), (10, 289064)),
+        |r AS (
+        |  SELECT grp, g, row_number() OVER (PARTITION BY grp
+        |    ORDER BY s DESC, g DESC) AS rn
+        |  FROM b),
+        |dcg AS (
+        |  SELECT grp, CAST(sum(g * disc) AS BIGINT) AS dcg_micros
+        |  FROM r JOIN d USING (rn) WHERE rn <= 10 GROUP BY 1),
+        |ri AS (
+        |  SELECT grp, g, row_number() OVER (PARTITION BY grp
+        |    ORDER BY g DESC, s DESC) AS rn
+        |  FROM b),
+        |idcg AS (
+        |  SELECT grp, CAST(sum(g * disc) AS BIGINT) AS idcg_micros
+        |  FROM ri JOIN d USING (rn) WHERE rn <= 10 GROUP BY 1)
+        |SELECT dcg.grp, dcg_micros, idcg_micros,
+        |  CASE WHEN idcg_micros = 0 THEN NULL
+        |       ELSE (1000000 * dcg_micros) // idcg_micros
+        |  END AS ndcg_micros
+        |FROM dcg JOIN idcg USING (grp)
+        |ORDER BY grp""".stripMargin,
     // conformal replay: per-group distinct-value cumulative pass, rank
     // ceil((n+1)*kpm/1000) as integer arithmetic, NULL past n
     "x140_conformal_threshold" ->

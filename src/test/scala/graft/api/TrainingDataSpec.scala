@@ -3171,6 +3171,59 @@ class TrainingDataSpec extends SparkSpec {
     assert(tiny.getLong(3) == 3L && tiny.getLong(4) == 3L)
   }
 
+  test("kmvDistinct: exact below k, ~1/sqrt(k) estimate above, deterministic") {
+    // 100 distinct values < k = 64? No — use k = 64 with 40 values:
+    // exact path reports the true count
+    val small = (1L to 40L).map(Tuple1(_)).toDF("v")
+    val rs = graft.api.TrainingData.kmvDistinct(small, "v", k = 64)
+      .collect().head
+    assert(rs.getInt(0) == 64 && rs.getLong(1) == 40L &&
+      rs.getLong(3) == 40L)
+    // 20 000 distinct values ≫ k = 256: estimator within 4/sqrt(k) ≈ 25%
+    // (deterministic — this is a fixed property of sha256 on 1..20000,
+    // not a flaky statistical assertion)
+    val big = (1L to 20000L).map(Tuple1(_)).toDF("v")
+    val rb = graft.api.TrainingData.kmvDistinct(big, "v", k = 256)
+      .collect().head
+    val est = rb.getLong(3)
+    assert(rb.getLong(1) == 256L)
+    assert(math.abs(est - 20000L) <= 5000L, s"estimate $est off 20000")
+    // duplicates don't move the estimate: the sketch sees distinct hashes
+    val dup = big.union(big)
+    val rd = graft.api.TrainingData.kmvDistinct(dup, "v", k = 256)
+      .collect().head
+    assert(rd.getLong(3) == est)
+  }
+
+  test("ndcgAtK: perfect ranking = 1e6, inverted < 1e6, zero-gain NULL") {
+    // query q1: scores rank docs exactly by gain → DCG = IDCG → 1e6
+    val perfect = Seq(("q1", 30, 3L), ("q1", 20, 2L), ("q1", 10, 1L),
+      ("q1", 5, 0L)).toDF("q", "s", "g")
+    val p = graft.api.TrainingData.ndcgAtK(perfect, "q", "s", "g", 10)
+      .collect().head
+    assert(p.getLong(3) == 1000000L)
+    // hand-check the DCG arithmetic: 3·1e6 + 2·630929 + 1·500000
+    assert(p.getLong(1) == 3L * 1000000 + 2L * 630929 + 500000)
+    // inverted ranking scores strictly below perfect
+    val inverted = Seq(("q1", 30, 0L), ("q1", 20, 1L), ("q1", 10, 2L),
+      ("q1", 5, 3L)).toDF("q", "s", "g")
+    val i = graft.api.TrainingData.ndcgAtK(inverted, "q", "s", "g", 10)
+      .collect().head
+    assert(i.getLong(3) < 1000000L && i.getLong(3) > 0L)
+    assert(i.getLong(2) == p.getLong(2)) // same gains → same IDCG
+    // all-zero gains → NULL (undefined, not 0/0)
+    val zero = Seq(("q2", 9, 0L), ("q2", 8, 0L)).toDF("q", "s", "g")
+    assert(graft.api.TrainingData.ndcgAtK(zero, "q", "s", "g", 10)
+      .collect().head.isNullAt(3))
+    // k truncates: only the top-k ranks contribute
+    val deep = (1 to 15).map(r => ("q3", 100 - r, 1L)).toDF("q", "s", "g")
+    val dk = graft.api.TrainingData.ndcgAtK(deep, "q", "s", "g", 10)
+      .collect().head
+    val sum10 = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L).sum
+    assert(dk.getLong(1) == sum10 && dk.getLong(3) == 1000000L)
+  }
+
   test("conformalThreshold: exact rank, coverage property, small-group NULL") {
     // group a: scores 1..99 → n=99, rank = ceil(0.9*100) = 90 → the
     // 90th smallest = 90; group b: n=2 → rank = ceil(0.9*3) = 3 > 2 → NULL
