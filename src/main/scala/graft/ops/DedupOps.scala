@@ -733,10 +733,16 @@ object DedupOps {
     * key (leading boilerplate, shared titles) at n·w pairs per pass.
     * Fixture binding of
     * [[graft.api.TrainingData.sortedNeighborhoodPairs]]. */
+  // the SNM pair relation is consumed by both x137 (the pairs) and
+  // x137b (the recall audit) — computed once per app per fixture
+  @transient private val snmCache = newCache
+  private def persistSnmPairs(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(snmCache, s, d)(
+      graft.api.TrainingData.sortedNeighborhoodPairs(
+        t(s, d, "documents"), "doc_id", "text", w = 3).persist())
+
   def x137SortedNeighborhood(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.sortedNeighborhoodPairs(
-      t(s, d, "documents"), "doc_id", "text", w = 3)
-      .orderBy(col("d1"), col("d2"))
+    persistSnmPairs(s, d).orderBy(col("d1"), col("d2"))
 
   /** X137b — sorted-neighborhood recall audit: the SNM candidates
     * (either key pass, window 3) measured against the EXACT near-dup
@@ -749,9 +755,7 @@ object DedupOps {
     * count needs to grow before SNM is trusted as the only blocker. */
   def x137bSnmRecallAudit(s: SparkSession, d: String): DataFrame = {
     val exact = persistPairs(s, d).select(col("d1"), col("d2"))
-    val cand = graft.api.TrainingData.sortedNeighborhoodPairs(
-      t(s, d, "documents"), "doc_id", "text", w = 3)
-      .select(col("d1"), col("d2"))
+    val cand = persistSnmPairs(s, d).select(col("d1"), col("d2"))
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
       .crossJoin(exact.join(cand, Seq("d1", "d2"))
