@@ -820,6 +820,161 @@ class PropertySpec extends SparkSpec {
     }, n = 20)
   }
 
+  test("asOfJoin equals a brute Seq model on random keyed timelines") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L)
+      t <- Gen.choose(0L, 30L)
+    } yield (k, t)
+    val gen = for {
+      ls <- Gen.listOfN(15, rowGen)
+      rs <- Gen.listOfN(15, rowGen)
+    } yield (ls, rs)
+    check(forAll(gen) { case (ls, rs) =>
+      // left rows get distinct ids so the model keys cleanly; right ids
+      // deliberately COLLIDE on (k, ts) sometimes (max-id tie-break)
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, 1000L + i) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, (i % 7).toLong) }
+      val got = graft.api.TrainingData.asOfJoin(
+          left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+          "k", "t", "rid")
+        .collect().map(r => r.getLong(2) ->
+          ((if (r.isNullAt(3)) None else Some(r.getLong(3))),
+            (if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      left.forall { case (k, t, lid) =>
+        val cand = right.filter(r => r._1 == k && r._2 <= t)
+        val model = if (cand.isEmpty) (None, None) else {
+          val best = cand.maxBy(r => (r._2, r._3))
+          (Some(best._3), Some(t - best._2))
+        }
+        got(lid) == model
+      }
+    }, n = 30)
+  }
+
+  test("winsorizedStats equals a sorted-Seq model on random groups") {
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(-50L, 50L)
+    } yield (g, v)
+    check(forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val got = graft.api.TrainingData
+        .winsorizedStats(rows.toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))).toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val vs = grp.map(_._2).sorted
+        val n = vs.length
+        def rank(num: Long, den: Long) = // ⌈num/den⌉, 1-indexed pick
+          vs(((num + den - 1) / den - 1).toInt)
+        val lo = rank(n.toLong, 20L)
+        val hi = rank(19L * n, 20L)
+        val clipped = vs.map(v => math.max(lo, math.min(hi, v)))
+        got(g) == ((n.toLong, lo, hi,
+          vs.count(_ < lo).toLong, vs.count(_ > hi).toLong,
+          // BigInt: 1e6·sum can exceed Long only at absurd scale, but
+          // the div semantics must match Spark's truncation on negatives
+          (BigInt(1000000) * clipped.sum / n).toLong))
+      }
+    }, n = 30)
+  }
+
+  test("conformalThreshold equals a Seq model; kept mass respects coverage") {
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b")
+      v <- Gen.choose(0L, 40L)
+    } yield (g, v)
+    check(forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(500, 990)) {
+      (rows, kpm) =>
+        val got = graft.api.TrainingData
+          .conformalThreshold(rows.toDF("g", "v"), "g", "v", kpm)
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+        rows.groupBy(_._1).forall { case (g, grp) =>
+          val vs = grp.map(_._2).sorted
+          val n = vs.length
+          val rank = ((n + 1).toLong * kpm + 999L) / 1000L
+          val model =
+            if (rank > n) None else Some(vs(rank.toInt - 1))
+          val cov = model.forall(th =>
+            // the conformal guarantee on the calibration set itself:
+            // at least rank of n scores sit at or below the threshold
+            vs.count(_ <= th) >= rank)
+          got(g) == ((n.toLong, rank, model)) && cov
+        }
+    }, n = 30)
+  }
+
+  test("logHistQuantiles: every exact quantile sits inside its bucket") {
+    import spark.implicits._
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.choose(1L, 1L << 40))
+      k <- Gen.oneOf(4, 16, 64)
+    } yield (vals, k)
+    check(forAll(gen) { case (vals, k) =>
+      val qs = Seq(0.25, 0.5, 0.99)
+      val got = graft.api.TrainingData
+        .logHistQuantiles(vals.map(Tuple1(_)).toDF("v"), "v", k, qs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4))))
+        .toMap
+      val sorted = vals.sorted
+      qs.forall { q =>
+        val rank = math.ceil(q * sorted.size).toInt
+        val exact = sorted(rank - 1)
+        val (lo, hi) = got(math.round(q * 1000000))
+        lo <= exact && exact <= hi
+      }
+    }, n = 30)
+  }
+
+  test("ndcgAtK equals a Seq model on random rankings") {
+    import spark.implicits._
+    val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
+      333333L, 315464L, 301029L, 289064L)
+    val rowGen = for {
+      s <- Gen.choose(0L, 20L)
+      g <- Gen.choose(0L, 3L)
+    } yield (s, g)
+    check(forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      // distinct scores per row keep the model's tie-break identical to
+      // the engine's: (score desc, gain desc) with (s, g) duplicates
+      // interchangeable — sums agree either way
+      val got = graft.api.TrainingData.ndcgAtK(
+          rows.map { case (s, g) => ("q", s, g) }.toDF("q", "s", "g"),
+          "q", "s", "g", 10)
+        .collect().head
+      def dcg(ordered: Seq[Long]) =
+        ordered.take(10).zip(disc).map { case (g, d) => g * d }.sum
+      val d = dcg(rows.sortBy(r => (-r._1, -r._2)).map(_._2))
+      val i = dcg(rows.map(_._2).sortBy(-_))
+      val model: (Long, Long, Option[Long]) =
+        (d, i, if (i == 0) None else Some(1000000L * d / i))
+      (got.getLong(1), got.getLong(2),
+        if (got.isNullAt(3)) None else Some(got.getLong(3))) == model
+    }, n = 30)
+  }
+
+  test("kmvDistinct: exact below k and duplicate-invariant on random sets") {
+    import spark.implicits._
+    check(forAll(Gen.nonEmptyListOf(Gen.choose(0L, 30L))) { vals =>
+      val df = vals.map(Tuple1(_)).toDF("v")
+      val r = graft.api.TrainingData.kmvDistinct(df, "v", k = 64)
+        .collect().head
+      val exact = vals.distinct.size.toLong
+      // ≤ 31 distinct values < k = 64 → the sketch must answer exactly,
+      // and feeding every row twice must not move it
+      val r2 = graft.api.TrainingData
+        .kmvDistinct(df.union(df), "v", k = 64).collect().head
+      r.getLong(3) == exact && r2.getLong(3) == exact
+    }, n = 20)
+  }
+
   test("zValue is a bijection on the masked grid") {
     import spark.implicits._
     val b = 4 // 16x16 grid
