@@ -5846,19 +5846,36 @@ object TrainingData {
     * keys; the cumulative pass and quantile selection run on that tiny
     * relation. */
   def logHistQuantiles(rows: DataFrame, valueCol: String, k: Int,
-      quantiles: Seq[Double]): DataFrame = {
+      quantiles: Seq[Double]): DataFrame =
+    logHistQuantilesFromHistogram(logHistogram(rows, valueCol, k), k,
+      quantiles)
+
+  /** The mergeable `(bucket, c)` histogram behind [[logHistQuantiles]],
+    * exposed because MERGEABILITY is the sketch's point: per-shard /
+    * per-day histograms union and re-aggregate (`groupBy(bucket).sum`)
+    * into exactly the whole-corpus histogram — the x139b query holds
+    * the merged form to the direct form's oracle, so the merge law is
+    * hash-checked, not asserted. */
+  def logHistogram(rows: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"need k >= 2 sub-buckets, got $k")
-    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
-      s"quantiles must be in (0, 1]: $quantiles")
-    val spark = rows.sparkSession
-    val base = rows
+    rows
       .select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull && col("v") >= 1L)
       .select(expr("length(bin(v)) - 1").as("oct"), col("v"))
       .select((col("oct") * k +
         expr(s"((v - shiftleft(1L, oct)) * $k) div shiftleft(1L, oct)"))
         .as("bucket"))
-    val hist = base.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+  }
+
+  /** [[logHistQuantiles]] over a pre-built (possibly merged)
+    * `(bucket, c)` histogram relation. Columns bind by NAME. */
+  def logHistQuantilesFromHistogram(hist: DataFrame, k: Int,
+      quantiles: Seq[Double]): DataFrame = {
+    require(k >= 2, s"need k >= 2 sub-buckets, got $k")
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $quantiles")
+    val spark = hist.sparkSession
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = hist.withColumn("cum", sum(col("c")).over(w))

@@ -114,6 +114,28 @@ object Functions {
           .as("cents")),
       "cents", k = 16, quantiles = Seq(0.5, 0.9, 0.99))
 
+  /** X139b — the MERGE law hash-checked: lineitem split into two
+    * disjoint shards by orderkey parity, a histogram built PER SHARD,
+    * the two histograms merged (union + groupBy(bucket).sum — the
+    * operation a per-day/per-shard rollup performs), and the quantiles
+    * read off the merged histogram. Held to the SAME oracle as x139's
+    * direct whole-corpus form — result invariance under merging IS the
+    * check (the x33b pattern), which is the property GK sketches do not
+    * give you. */
+  def x139bLogHistMerged(s: SparkSession, d: String): DataFrame = {
+    val cents = t(s, d, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice*100,0) AS BIGINT)").as("cents"))
+    def shard(pred: org.apache.spark.sql.Column) =
+      graft.api.TrainingData.logHistogram(
+        cents.filter(pred).select(col("cents")), "cents", k = 16)
+    val merged = shard(col("l_orderkey") % 2 === 0)
+      .unionByName(shard(col("l_orderkey") % 2 =!= 0))
+      .groupBy(col("bucket")).agg(sum(col("c")).as("c"))
+    graft.api.TrainingData.logHistQuantilesFromHistogram(
+      merged, k = 16, quantiles = Seq(0.5, 0.9, 0.99))
+  }
+
   /** X8 — correlation from exact integer accumulators: Spark's streaming
     * corr() is float-order-dependent, so the five sums are taken as exact
     * longs (at 100 TB: decimal(38) sums, same algebra) and the closed-form
@@ -246,6 +268,7 @@ object Functions {
     "q08b_percentiles" -> (q08bPercentiles _),
     "q08d_approx_percentiles" -> (q08dApproxPercentiles _),
     "x139_loghist_quantiles" -> (x139LogHistQuantiles _),
+    "x139b_loghist_merged" -> (x139bLogHistMerged _),
     "q08c_corr_exact" -> (q08cCorrExact _),
     "q09_approx_distinct" -> (q09Approx _),
     "q15_setops" -> (q15SetOps _),
@@ -256,7 +279,47 @@ object Functions {
     "q19_array_fns" -> (q19Array _),
     "q20_json_fns" -> (q20Json _))
 
+  // log-histogram replay: identical integer bucket arithmetic
+  // (length(bin(v))-1 octaves, 16 sub-buckets, shift/div inversion),
+  // cumulative bucket pass, rank selection at ceil(q*n). SHARED by
+  // x139 (direct) and x139b (per-shard merge) — result invariance
+  // under merging is the x139b check
+  private val logHistOracle =
+    """WITH vals AS (
+      |  SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |pos AS (SELECT v FROM vals WHERE v >= 1),
+      |bk AS (
+      |  SELECT (length(bin(v)) - 1) * 16 +
+      |    ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+      |      // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS bucket
+      |  FROM pos),
+      |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bk
+      |      GROUP BY 1),
+      |cum AS (SELECT bucket, c,
+      |    CAST(sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM h),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+      |q(q_micros) AS (VALUES (CAST(500000 AS BIGINT)),
+      |  (CAST(900000 AS BIGINT)), (CAST(990000 AS BIGINT))),
+      |sel AS (
+      |  SELECT q.q_micros, nn.n, min(cum.bucket) AS bucket
+      |  FROM q, nn, cum
+      |  WHERE cum.cum * 1000000 >= q.q_micros * nn.n
+      |  GROUP BY 1, 2)
+      |SELECT q_micros, n, bucket,
+      |  (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
+      |    ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+      |      + 15) // 16 AS value_lo,
+      |  (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
+      |    (((bucket % 16) + 1) *
+      |      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
+      |    - 1 AS value_hi
+      |FROM sel ORDER BY q_micros""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x139b_loghist_merged" -> logHistOracle,
     "q03b_large_join" ->
       """SELECT o_orderpriority,
         | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,
@@ -269,42 +332,7 @@ object Functions {
         | round(quantile_cont(CAST(round(l_extendedprice*100,0) AS BIGINT), 0.9)/100.0, 4) AS p90_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // log-histogram replay: identical integer bucket arithmetic
-    // (length(bin(v))-1 octaves, 16 sub-buckets, shift/div inversion),
-    // cumulative bucket pass, rank selection at ceil(q*n)
-    "x139_loghist_quantiles" ->
-      """WITH vals AS (
-        |  SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS v
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |pos AS (SELECT v FROM vals WHERE v >= 1),
-        |bk AS (
-        |  SELECT (length(bin(v)) - 1) * 16 +
-        |    ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
-        |      // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) AS bucket
-        |  FROM pos),
-        |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bk
-        |      GROUP BY 1),
-        |cum AS (SELECT bucket, c,
-        |    CAST(sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
-        |      AS BIGINT) AS cum
-        |  FROM h),
-        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
-        |q(q_micros) AS (VALUES (CAST(500000 AS BIGINT)),
-        |  (CAST(900000 AS BIGINT)), (CAST(990000 AS BIGINT))),
-        |sel AS (
-        |  SELECT q.q_micros, nn.n, min(cum.bucket) AS bucket
-        |  FROM q, nn, cum
-        |  WHERE cum.cum * 1000000 >= q.q_micros * nn.n
-        |  GROUP BY 1, 2)
-        |SELECT q_micros, n, bucket,
-        |  (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
-        |    ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
-        |      + 15) // 16 AS value_lo,
-        |  (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
-        |    (((bucket % 16) + 1) *
-        |      (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
-        |    - 1 AS value_hi
-        |FROM sel ORDER BY q_micros""".stripMargin,
+    "x139_loghist_quantiles" -> logHistOracle,
     // GK bound audit: the oracle pins the group set, n, and the
     // EXPECTATION that both sketch answers sit inside the accuracy-10000
     // rank band — the booleans are computed Spark-side against exact

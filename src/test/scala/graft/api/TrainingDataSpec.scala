@@ -3169,6 +3169,19 @@ class TrainingDataSpec extends SparkSpec {
       .logHistQuantiles(Seq(3L).map(Tuple1(_)).toDF("v"), "v", 16, Seq(1.0))
       .collect().head
     assert(tiny.getLong(3) == 3L && tiny.getLong(4) == 3L)
+    // the merge law: per-shard histograms union+re-sum into exactly the
+    // whole-corpus answer — the property GK sketches don't give you
+    val (a, b) = ((1L to 700L), (300L to 1000L))
+    val merged = graft.api.TrainingData.logHistQuantilesFromHistogram(
+      graft.api.TrainingData.logHistogram(a.map(Tuple1(_)).toDF("v"), "v", 16)
+        .unionByName(graft.api.TrainingData.logHistogram(
+          b.map(Tuple1(_)).toDF("v"), "v", 16))
+        .groupBy(col("bucket")).agg(sum(col("c")).as("c")),
+      16, Seq(0.5, 0.9, 0.99)).collect().map(_.toSeq).toSeq
+    val direct = graft.api.TrainingData.logHistQuantiles(
+      (a ++ b).map(Tuple1(_)).toDF("v"), "v", 16, Seq(0.5, 0.9, 0.99))
+      .collect().map(_.toSeq).toSeq
+    assert(merged == direct)
   }
 
   test("kmvDistinct: exact below k, ~1/sqrt(k) estimate above, deterministic") {
