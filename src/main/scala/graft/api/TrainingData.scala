@@ -5764,15 +5764,31 @@ object TrainingData {
     * executors. The 52-bit space holds ~10¹² distinct values before
     * hash collisions bias the estimate ~0.1% — past that, widen the
     * parse (sha256 has 256 bits to spend). */
-  def kmvDistinct(rows: DataFrame, valueCol: String, k: Int): DataFrame = {
+  def kmvDistinct(rows: DataFrame, valueCol: String, k: Int): DataFrame =
+    kmvEstimateFromMins(kmvMins(rows, valueCol, k), k)
+
+  /** The k-minimum-hashes summary behind [[kmvDistinct]], exposed
+    * because MERGEABILITY is the sketch's point: per-shard summaries
+    * union and feed [[kmvEstimateFromMins]] (which re-dedups and
+    * re-takes the k smallest — the k smallest of a union of per-shard
+    * k-smallest sets equals the k smallest of the union, exactly). The
+    * x142b query holds the merged form to the direct form's oracle. */
+  def kmvMins(rows: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 16, s"need k >= 16 for a usable estimate, got $k")
-    val hashes = rows
+    rows
       .filter(col(valueCol).isNotNull)
       .select(expr(s"CAST(conv(substring(sha2(CAST(`$valueCol` AS STRING)," +
         " 256), 1, 13), 16, 10) AS BIGINT)").as("h"))
       .distinct()
-    val mins = hashes.orderBy(col("h")).limit(k)
-    mins.agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** [[kmvDistinct]]'s estimator over a pre-built (possibly merged)
+    * `h` k-mins relation. */
+  def kmvEstimateFromMins(mins: DataFrame, k: Int): DataFrame = {
+    require(k >= 16, s"need k >= 16 for a usable estimate, got $k")
+    mins.select(col("h")).distinct().orderBy(col("h")).limit(k)
+      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
       .select(lit(k).as("k"), col("n_hashes"), col("kth_min"),
         when(col("n_hashes") < k, col("n_hashes"))
           .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4503599627370496)" +

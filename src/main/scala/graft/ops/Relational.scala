@@ -311,10 +311,31 @@ object Relational {
           .as("cents")),
       "cents", k = 256)
 
+  /** X142b — the KMV merge law hash-checked: per-parity-shard k-mins
+    * summaries unioned and re-reduced ([[graft.api.TrainingData
+    * .kmvEstimateFromMins]] re-takes the k smallest — exactly the k
+    * smallest of the union), held to the SAME oracle as x142's direct
+    * form. Result invariance under merging IS the check (the x139b /
+    * x33b pattern) — the property HLL register merging never gets
+    * hash-checked for. */
+  def x142bKmvMerged(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice*100,0) AS BIGINT)").as("cents"))
+    def mins(pred: org.apache.spark.sql.Column) =
+      graft.api.TrainingData.kmvMins(
+        li.filter(pred).select(col("cents")), "cents", k = 256)
+    graft.api.TrainingData.kmvEstimateFromMins(
+      mins(col("l_orderkey") % 2 === 0)
+        .unionByName(mins(col("l_orderkey") % 2 =!= 0)),
+      k = 256)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x129_table_profile" -> (x129TableProfile _),
     "x129b_profile_floats" -> (x129bProfileFloats _),
     "x142_kmv_distinct" -> (x142KmvDistinct _),
+    "x142b_kmv_merged" -> (x142bKmvMerged _),
     "x110_k_anonymity" -> (x110KAnonymity _),
     "x84_integrity_audit" -> (x84IntegrityAudit _),
     "q01_pricing_summary" -> (q01 _),
@@ -345,23 +366,28 @@ object Relational {
     }
   }
 
+  // KMV replay: distinct 52-bit sha coordinates, k smallest, the same
+  // integer estimator. SHARED by x142 (direct) and x142b (per-shard
+  // merge) — the k smallest of a union of per-shard k-smallest sets IS
+  // the k smallest of the union, so merge invariance is the check
+  private val kmvOracle =
+    s"""WITH h AS (
+       |  SELECT DISTINCT ${hash52Sql(
+           "CAST(round(l_extendedprice*100,0) AS BIGINT)")} AS h
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+       |mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+       |             CAST(max(h) AS BIGINT) AS kth_min
+       |      FROM mins)
+       |SELECT 256 AS k, n_hashes, kth_min,
+       |  CASE WHEN n_hashes < 256 THEN n_hashes
+       |       ELSE (CAST(255 AS BIGINT) * 4503599627370496) // kth_min
+       |  END AS ndv_est
+       |FROM a""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // KMV replay: distinct 52-bit sha coordinates, k smallest, the same
-    // integer estimator
-    "x142_kmv_distinct" ->
-      s"""WITH h AS (
-         |  SELECT DISTINCT ${hash52Sql(
-             "CAST(round(l_extendedprice*100,0) AS BIGINT)")} AS h
-         |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
-         |mins AS (SELECT h FROM h ORDER BY h LIMIT 256),
-         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes,
-         |             CAST(max(h) AS BIGINT) AS kth_min
-         |      FROM mins)
-         |SELECT 256 AS k, n_hashes, kth_min,
-         |  CASE WHEN n_hashes < 256 THEN n_hashes
-         |       ELSE (CAST(255 AS BIGINT) * 4503599627370496) // kth_min
-         |  END AS ndv_est
-         |FROM a""".stripMargin,
+    "x142b_kmv_merged" -> kmvOracle,
+    "x142_kmv_distinct" -> kmvOracle,
     // profile replay: one SELECT per column unioned — n_rows from the
     // whole table, count(col) non-null, exact DISTINCT, min/max as
     // VARCHAR (binary UTF-8 comparison in both engines)

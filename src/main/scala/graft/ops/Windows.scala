@@ -148,24 +148,24 @@ object Windows {
   }
 
   /** X7 — as-of join: for each purchase, the latest signup of the same user
-    * at or before it. Implemented as union + last(ignoreNulls) over an
-    * event-time order — one shuffle on user_id, no range explosion; scales
-    * as a single sort-based window regardless of key skew on time. */
+    * at or before it. Rides the generalized
+    * [[graft.api.TrainingData.asOfJoin]] (union + last(ignoreNulls) over
+    * an event-time order — one shuffle on user_id, no range explosion;
+    * scales as a single sort-based window regardless of key skew on
+    * time); this binding keeps the original q24 output shape while x138
+    * carries the gap-returning attribution form. */
   def q24AsOf(s: SparkSession, d: String): DataFrame = {
     val ev = t(s, d, "events")
-    val left = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("l_id"),
-        lit(null).cast("long").as("r_id"), lit(1).as("is_left"))
-    val right = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts"), lit(null).cast("long").as("l_id"),
-        col("event_id").as("r_id"), lit(0).as("is_left"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("is_left"), coalesce(col("r_id"), col("l_id")))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    left.unionByName(right)
-      .withColumn("asof_signup_id", last(col("r_id"), ignoreNulls = true).over(w))
-      .filter(col("is_left") === 1)
-      .select(col("l_id").as("event_id"), col("user_id"), col("asof_signup_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsMs(col("ts")).as("ts_ms"))
+    graft.api.TrainingData.asOfJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ms")),
+      ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_ms"), col("event_id")),
+      "user_id", "ts_ms", "event_id")
+      .select(col("event_id"), col("user_id"),
+        col("matched_id").as("asof_signup_id"))
       .orderBy(col("event_id"))
   }
 

@@ -3206,6 +3206,16 @@ class TrainingDataSpec extends SparkSpec {
     val rd = graft.api.TrainingData.kmvDistinct(dup, "v", k = 256)
       .collect().head
     assert(rd.getLong(3) == est)
+    // the merge law: per-shard k-mins union + re-reduce equals the
+    // direct whole-set answer exactly
+    val (sa, sb) = ((1L to 12000L), (8000L to 20000L))
+    val merged = graft.api.TrainingData.kmvEstimateFromMins(
+      graft.api.TrainingData.kmvMins(sa.map(Tuple1(_)).toDF("v"), "v", 256)
+        .unionByName(graft.api.TrainingData.kmvMins(
+          sb.map(Tuple1(_)).toDF("v"), "v", 256)),
+      256).collect().head
+    assert(merged.getLong(2) == rb.getLong(2) &&
+      merged.getLong(3) == est)
   }
 
   test("ndcgAtK: perfect ranking = 1e6, inverted < 1e6, zero-gain NULL") {
