@@ -5745,6 +5745,40 @@ object TrainingData {
         (col("__t") - col("__m.rt")).as("asof_gap_ms")): _*)
   }
 
+  /** Per-group Bayesian-average (pseudo-count shrinkage) score: each
+    * group's mean pulled toward the corpus grand mean by λ virtual
+    * observations — shrunk = (Σ_g + λ·m) / (n_g + λ), computed entirely
+    * in exact integer micros: m_micros = 10⁶·Σ div N once, then
+    * (10⁶·Σ_g + λ·m_micros) div (n_g + λ) per group. THE fix for
+    * ranking groups (sources, annotators, domains) by a continuous
+    * quality score when group sizes vary by orders of magnitude — a
+    * 2-doc source with two lucky scores must not outrank a 10k-doc
+    * source ([[wilsonBounds]] solves this for BINARY labels; this is
+    * the continuous-score twin). Output: (grp, n, mean_micros,
+    * grand_mean_micros, shrunk_micros), with shrunk between the raw
+    * group mean and the grand mean by construction.
+    *
+    * Scale shape: one map-side-combined group aggregation + one 1-row
+    * broadcast; everything after is row-local on the tiny grouped
+    * relation. */
+  def bayesAverage(rows: DataFrame, groupCol: String, valueCol: String,
+      lambda: Long): DataFrame = {
+    require(lambda >= 1, s"need lambda >= 1, got $lambda")
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+    val g = base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val grand = g.agg(expr("(1000000 * sum(s)) div sum(n)")
+      .as("grand_mean_micros"))
+    g.crossJoin(broadcast(grand))
+      .select(col("grp"), col("n"),
+        expr("(1000000 * s) div n").as("mean_micros"),
+        col("grand_mean_micros"),
+        expr(s"(1000000 * s + $lambda * grand_mean_micros)" +
+          s" div (n + $lambda)").as("shrunk_micros"))
+  }
+
   /** PORTABLE bounded-memory distinct-count sketch: K-Minimum-Values
     * (Bar-Yossef et al.) on a sha-derived 52-bit coordinate — the
     * hash-checkable companion to q09's HyperLogLog, the same role

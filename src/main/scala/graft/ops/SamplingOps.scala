@@ -111,6 +111,17 @@ object SamplingOps {
       "source", "n_chars", "gain", k = 10)
       .orderBy(col("grp"))
 
+  /** X144 — Bayesian-average n_chars score per source (λ = 25 virtual
+    * docs at the corpus mean): the continuous-score twin of x125's
+    * Wilson bound — a 2-doc source with two lucky lengths must not
+    * outrank a corpus-scale one. Exact integer micros end to end.
+    * Fixture binding of [[graft.api.TrainingData.bayesAverage]]. */
+  def x144BayesAverage(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bayesAverage(
+      t(s, d, "documents").select(col("source"), col("n_chars")),
+      "source", "n_chars", lambda = 25L)
+      .orderBy(col("grp"))
+
   /** X140 — split-conformal calibration threshold per language: with n
     * calibration scores and 10% miscoverage, the threshold is the
     * ⌈0.9·(n+1)⌉-th smallest score — the finite-sample-correct quantile
@@ -492,6 +503,7 @@ object SamplingOps {
     "x140_conformal_threshold" -> (x140ConformalThreshold _),
     "x141_winsorized_stats" -> (x141WinsorizedStats _),
     "x143_ndcg_at_k" -> (x143NdcgAtK _),
+    "x144_bayes_average" -> (x144BayesAverage _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
@@ -1048,6 +1060,25 @@ object SamplingOps {
          |ORDER BY doc_id""".stripMargin,
     // Spark percentile == DuckDB quantile_cont on integer inputs (the
     // q08b-established portable pair)
+    // Bayesian-average replay: one group aggregation, the grand mean in
+    // micros once, the same integer shrinkage quotient
+    "x144_bayes_average" ->
+      """WITH b AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS s
+        |      FROM b GROUP BY 1),
+        |gm AS (SELECT CAST((1000000 * sum(s)) // sum(n) AS BIGINT)
+        |         AS grand_mean_micros
+        |       FROM g)
+        |SELECT grp, n,
+        |  CAST((1000000 * s) // n AS BIGINT) AS mean_micros,
+        |  grand_mean_micros,
+        |  CAST((1000000 * s + 25 * grand_mean_micros) // (n + 25)
+        |    AS BIGINT) AS shrunk_micros
+        |FROM g, gm ORDER BY grp""".stripMargin,
     // nDCG replay: per-group row_number ranking under the identical
     // tie-break, micro discount literals joined by rank, integer sums
     "x143_ndcg_at_k" ->

@@ -3247,6 +3247,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(dk.getLong(1) == sum10 && dk.getLong(3) == 1000000L)
   }
 
+  test("bayesAverage: exact shrinkage, small groups pull harder, bounds") {
+    // group a: 2 docs at 100; group b: 200 docs at 10 →
+    // grand = (200 + 2000)·1e6 / 202; a shrinks far toward grand,
+    // b barely moves
+    val rows = ((1 to 2).map(_ => ("a", 100L)) ++
+      (1 to 200).map(_ => ("b", 10L))).toDF("g", "v")
+    val got = graft.api.TrainingData.bayesAverage(rows, "g", "v", 25L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val grand = 1000000L * 2200 / 202
+    val shrunkA = (1000000L * 200 + 25 * grand) / 27
+    val shrunkB = (1000000L * 2000 + 25 * grand) / 225
+    assert(got("a") == ((2L, 100000000L, grand, shrunkA)))
+    assert(got("b") == ((200L, 10000000L, grand, shrunkB)))
+    // shrunk sits between the raw mean and the grand mean on both sides
+    assert(shrunkA < 100000000L && shrunkA > grand)
+    assert(shrunkB > 10000000L && shrunkB < grand)
+    // and the small group moved proportionally farther
+    assert((100000000L - shrunkA).toDouble / (100000000L - grand) >
+      (shrunkB - 10000000L).toDouble / (grand - 10000000L))
+  }
+
   test("conformalThreshold: exact rank, coverage property, small-group NULL") {
     // group a: scores 1..99 → n=99, rank = ceil(0.9*100) = 90 → the
     // 90th smallest = 90; group b: n=2 → rank = ceil(0.9*3) = 3 > 2 → NULL
