@@ -62,7 +62,13 @@ object ScaleSweep {
     // round-11 fourth-session additions: the 40× bootstrap explode, the
     // distinct-value cumulative passes, span excision, dup mass
     "x124_bootstrap_ci", "x122_spearman", "x121_auc_exact",
-    "x133_span_excision", "x135_dup_mass")
+    "x133_span_excision", "x135_dup_mass",
+    // round-12 additions: the as-of union-sort window, the two portable
+    // sketches (sha-heavy dedup + k-mins / histogram buckets), the SNM
+    // recall audit's pair join, and the order-statistic core
+    "x138_asof_attribution", "x139_loghist_quantiles",
+    "x142_kmv_distinct", "x137b_snm_recall_audit",
+    "x141_winsorized_stats", "x143_ndcg_at_k")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

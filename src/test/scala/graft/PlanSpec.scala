@@ -580,6 +580,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x138 as-of join: one keyed window, pushed type filters, no join node") {
+    val p = plan("x138_asof_attribution")
+    // the whole point of the union-tag design: NO join operator at all —
+    // a RangeJoin/BNLJ here would mean the as-of degraded to a range join
+    assert(!p.contains("Join"), p)
+    assert(treeCount(p, "Window") == 1, p)
+    // the event_type predicate reaches both parquet scans
+    assert(p.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("EqualTo(event_type")) == 2, p)
+  }
+
+  test("x139/x142 sketches: bounded top-k/bucket relations, no raw-row sort") {
+    val ph = plan("x139_loghist_quantiles")
+    // the histogram is a hash aggregation; the only Sort may sit above
+    // the tiny bucket relation (the final orderBy), never under the agg
+    assert(ph.contains("HashAggregate"), ph)
+    assert(!ph.contains("CartesianProduct"), ph)
+    val pk = plan("x142_kmv_distinct")
+    // k-mins is TakeOrderedAndProject over the dedup — not a global sort
+    assert(pk.contains("TakeOrderedAndProject"), pk)
+    assert(pk.contains("HashAggregate"), pk)
+  }
+
+  test("x140/x141 order statistics: keyed windows over distinct values, broadcast bounds") {
+    val pc = plan("x140_conformal_threshold")
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("SortMergeJoin"), pc)
+    val pw = plan("x141_winsorized_stats")
+    assert(pw.contains("BroadcastHashJoin"), pw)
+    assert(!pw.contains("CartesianProduct") &&
+      !pw.contains("SortMergeJoin"), pw)
+  }
+
+  test("x144 shrinkage: one group aggregation + a 1-row broadcast, nothing else") {
+    val p = plan("x144_bayes_average")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("NO registered query plans a CartesianProduct — the global ban, CI-enforced") {
     // the repo's scale claim bans the node outright (accepted tiny-side
     // cross joins must carry a broadcast hint and plan as BNLJ Cross);
