@@ -5919,7 +5919,11 @@ object TrainingData {
   }
 
   /** [[logHistQuantiles]] over a pre-built (possibly merged)
-    * `(bucket, c)` histogram relation. Columns bind by NAME. */
+    * `(bucket, c)` histogram relation. Columns bind by NAME, and the
+    * relation must carry ONE row per bucket (after a merge, re-aggregate
+    * with groupBy(bucket).sum the way x139b does) — duplicate bucket
+    * rows would make the cumulative pass order-dependent across the
+    * tie. */
   def logHistQuantilesFromHistogram(hist: DataFrame, k: Int,
       quantiles: Seq[Double]): DataFrame = {
     require(k >= 2, s"need k >= 2 sub-buckets, got $k")
