@@ -4957,9 +4957,12 @@ object TrainingData {
   def aucBucketed(rows: DataFrame, scoreCol: String, labelCol: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    // backtick-quoted everywhere the raw name is re-parsed (expr AND
+    // col, whose dot means struct access): a column name with spaces or
+    // dots must stay a name, not become SQL
     val base = rows
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .select(expr(s"CAST(round(CAST($scoreCol AS DOUBLE) * 1000000.0," +
+      .filter(col(s"`$scoreCol`").isNotNull && col(labelCol).isNotNull)
+      .select(expr(s"CAST(round(CAST(`$scoreCol` AS DOUBLE) * 1000000.0," +
         " 0) AS BIGINT)").as("s_micro"), col(labelCol).as("y"))
     val bounds = base.agg(min(col("s_micro")).as("lo"),
       max(col("s_micro")).as("hi"))
@@ -5052,9 +5055,9 @@ object TrainingData {
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
     def micro(c: String) =
-      expr(s"CAST(round(CAST($c AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
+      expr(s"CAST(round(CAST(`$c` AS DOUBLE) * 1000000.0, 0) AS BIGINT)")
     val base = rows
-      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .filter(col(s"`$xCol`").isNotNull && col(s"`$yCol`").isNotNull)
       .select(micro(xCol).as("xm"), micro(yCol).as("ym"))
     val bounds = base.agg(
       min(col("xm")).as("xlo"), max(col("xm")).as("xhi"),
@@ -5714,8 +5717,10 @@ object TrainingData {
     *
     * Scale shape: one hash exchange on `keyCol` + one in-partition
     * sort; the window is partitioned by key (never a global sort). A
-    * 100 TB left with a hot key skews like any keyed window — pre-split
-    * hot keys upstream if a single entity exceeds a partition. */
+    * 100 TB left with a hot key skews like any keyed window — use
+    * [[asOfJoinSalted]] (same semantics, (key, time-bucket) windows +
+    * a cross-bucket carry-in) when a single entity's history exceeds a
+    * partition. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightIdCol: String): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -5745,6 +5750,75 @@ object TrainingData {
         (col("__t") - col("__m.rt")).as("asof_gap_ms")): _*)
   }
 
+  /** SKEW-HARDENED [[asOfJoin]]: identical semantics (latest right row
+    * with right.ts ≤ left.ts per key, same (ts, side, max-rid)
+    * tie-break), but the carry-forward window partitions by
+    * (key, time-bucket) instead of key alone, so ONE hot entity's
+    * history spreads over timeline÷`bucketMs` partitions instead of
+    * landing in a single straggler — the plain form's documented 100 TB
+    * hot-key failure. Two phases:
+    *   1. within each (key, ⌊ts/bucketMs⌋) bucket, the plain
+    *      carry-forward window — bounded by the bucket's rows, never by
+    *      the key's;
+    *   2. a per-(key, bucket) summary (max right (ts, id) struct — one
+    *      row per bucket, so the per-key prefix window runs over bucket
+    *      COUNT, not event count) prefix-maxed over earlier buckets and
+    *      joined back as the carry-in for left rows with no
+    *      within-bucket match. Correct because bucket ranges are
+    *      disjoint and ascending: any right row in an earlier bucket
+    *      precedes every left ts in this one, and the latest such row is
+    *      exactly the prefix max (ts ties can't span buckets).
+    * Pick `bucketMs` so a hot key's densest bucket fits a partition
+    * (e.g. an hour for click streams); keys too small to skew just see
+    * a few extra tiny partitions. */
+  def asOfJoinSalted(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightIdCol: String, bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1, s"need bucketMs >= 1, got $bucketMs")
+    val leftCols = left.columns.toSeq
+    val lt = left
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"),
+        lit(1).as("__side"), lit(null).cast("long").as("__rid"),
+        struct(leftCols.map(col): _*).as("__l"))
+    val rt = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(rightIdCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("long").as("__t"),
+        lit(0).as("__side"), col(rightIdCol).cast("long").as("__rid"),
+        lit(null).cast(left.select(struct(leftCols.map(col): _*))
+          .schema.head.dataType.sql).as("__l"))
+    // floor division (not div's truncation toward zero), so negative
+    // timestamps bucket consistently with positive ones
+    val tagged = lt.unionByName(rt).withColumn("__b",
+      expr(s"CASE WHEN __t >= 0 THEN __t div $bucketMs" +
+        s" ELSE -((-__t + $bucketMs - 1) div $bucketMs) END"))
+    val rightStruct =
+      when(col("__side") === 0,
+        struct(col("__t").as("rt"), col("__rid").as("rid")))
+    // phase 2 summary first: one row per (key, bucket) PRESENT on either
+    // side (a left-only bucket still needs its carry-in), with the
+    // bucket's latest right row (max struct = lexicographic (ts, rid) —
+    // the same tie-break as the in-bucket window)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = tagged.groupBy(col("__k"), col("__b"))
+      .agg(max(rightStruct).as("__bmax"))
+      .select(col("__k"), col("__b"), max(col("__bmax")).over(wb).as("__carry"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__side"), col("__rid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("__m0", last(rightStruct, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .join(carry, Seq("__k", "__b"))
+      .withColumn("__m", coalesce(col("__m0"), col("__carry")))
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ Seq(
+        col("__m.rid").as("matched_id"),
+        (col("__t") - col("__m.rt")).as("asof_gap_ms")): _*)
+  }
+
   /** Per-group Bayesian-average (pseudo-count shrinkage) score: each
     * group's mean pulled toward the corpus grand mean by λ virtual
     * observations — shrunk = (Σ_g + λ·m) / (n_g + λ), computed entirely
@@ -5766,7 +5840,8 @@ object TrainingData {
     require(lambda >= 1, s"need lambda >= 1, got $lambda")
     val base = rows
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .select(col(groupCol).as("grp"),
+        integralLong(valueCol, "bayesAverage").as("v"))
     val g = base.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
     val grand = g.agg(expr("(1000000 * sum(s)) div sum(n)")
@@ -5809,12 +5884,33 @@ object TrainingData {
     * x142b query holds the merged form to the direct form's oracle. */
   def kmvMins(rows: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 16, s"need k >= 16 for a usable estimate, got $k")
-    rows
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val hashes = rows
       .filter(col(valueCol).isNotNull)
       .select(expr(s"CAST(conv(substring(sha2(CAST(`$valueCol` AS STRING)," +
         " 256), 1, 13), 16, 10) AS BIGINT)").as("h"))
-      .distinct()
-      .orderBy(col("h")).limit(k)
+      .as[Long]
+    // Per-partition k-smallest-DISTINCT pre-cut before the global
+    // distinct: the k smallest of a union of per-partition k-smallest
+    // sets IS the k smallest of the union (the same merge law x142b
+    // hash-checks), so the exchange below carries ≤ n_partitions·k rows
+    // instead of the full O(NDV) distinct-hash relation — the difference
+    // between a sketch and shuffling 10¹² hashes at 100 TB. A bounded
+    // TreeSet (dedup + ordered eviction) at the sketch boundary;
+    // mapPartitions is warranted here for the same reason it is at the
+    // binary-decode boundary: no Catalyst operator expresses "bounded
+    // k-distinct-min per partition" without first shuffling everything.
+    val pre = hashes.mapPartitions { it =>
+      val heap = new java.util.TreeSet[java.lang.Long]()
+      it.foreach { h =>
+        if (heap.size < k) heap.add(h)
+        else if (h < heap.last) { heap.add(h); if (heap.size > k) heap.pollLast() }
+      }
+      import scala.jdk.CollectionConverters._
+      heap.iterator().asScala.map(_.longValue)
+    }.toDF("h")
+    pre.distinct().orderBy(col("h")).limit(k)
   }
 
   /** [[kmvDistinct]]'s estimator over a pre-built (possibly merged)
@@ -5889,8 +5985,12 @@ object TrainingData {
     * integer arithmetic an oracle can replay — the sketch itself is
     * hash-checkable across engines — and the histogram is a trivially
     * MERGEABLE counts relation (sum buckets across shards/days), which
-    * GK merging is not. Values < 1 are excluded (documented; shift
-    * nonnegative measures by +1 at the call site if zeros matter).
+    * GK merging is not. Zeros land in a dedicated bucket −1 (value
+    * range [0, 0]), so n conserves the input row count for any
+    * nonnegative measure; NEGATIVE values raise a named in-plan error
+    * (a log histogram has no finite bucket for them — shift the measure
+    * nonnegative at the call site) instead of silently vanishing from
+    * the counts.
     *
     * Scale shape: one map-side-combined aggregation on ≤ 64·k bucket
     * keys; the cumulative pass and quantile selection run on that tiny
@@ -5910,11 +6010,20 @@ object TrainingData {
     require(k >= 2, s"need k >= 2 sub-buckets, got $k")
     rows
       .select(col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull && col("v") >= 1L)
-      .select(expr("length(bin(v)) - 1").as("oct"), col("v"))
-      .select((col("oct") * k +
-        expr(s"((v - shiftleft(1L, oct)) * $k) div shiftleft(1L, oct)"))
-        .as("bucket"))
+      .filter(col("v").isNotNull)
+      // v = 0 → the dedicated zero bucket −1 (count conservation: n must
+      // equal input rows for a nonnegative measure, not surviving rows);
+      // v < 0 → a NAMED failure, not silent exclusion (CaseWhen branches
+      // evaluate lazily, so clean data never touches raise_error)
+      .select(
+        when(col("v") < 0L, expr("raise_error('logHistogram: negative" +
+          " value has no log bucket; shift the measure nonnegative at" +
+          " the call site if negatives matter')").cast("long"))
+          .when(col("v") === 0L, lit(-1L))
+          .otherwise(expr(s"(length(bin(v)) - 1) * $k" +
+            s" + ((v - shiftleft(1L, length(bin(v)) - 1)) * $k)" +
+            " div shiftleft(1L, length(bin(v)) - 1)"))
+          .as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
   }
 
@@ -5940,9 +6049,15 @@ object TrainingData {
         lit(math.round(q * 1000000).toLong)): _*),
         col("id").cast("int") + 1).as("q_micros"))
     // rank = ceil(q·n) in integers; the matched bucket is the min bucket
-    // with cum >= rank; bucket bounds invert the bucket arithmetic
+    // with cum >= rank; bucket bounds invert the bucket arithmetic.
+    // Both comparison sides run in DECIMAL(38,0) (the aucExact r2
+    // recipe): cum·10⁶ and q_micros·n overflow BIGINT past n ≈ 9.2·10¹²
+    // rows, and this sketch is pitched precisely as the unbounded-corpus
+    // scale path — a silent wrap would return a wrong quantile, not an
+    // error
     broadcast(qs).join(cum,
-        col("cum") * 1000000L >= col("q_micros") * col("n"))
+        col("cum").cast("decimal(38,0)") * 1000000L >=
+          col("q_micros").cast("decimal(38,0)") * col("n"))
       .groupBy(col("qi"), col("q_micros"), col("n"))
       .agg(min(col("bucket")).as("bucket"))
       .select(col("q_micros"), col("n"), col("bucket"),
@@ -5950,15 +6065,34 @@ object TrainingData {
         // sub·2^oct ≤ (v − 2^oct)·k < (sub+1)·2^oct, so
         // lo = 2^oct + ⌈sub·2^oct/k⌉, hi = 2^oct + ⌈(sub+1)·2^oct/k⌉ − 1
         // (multiply BEFORE the div — dividing 2^oct by k first collapses
-        // every small-octave bucket onto the octave base)
-        expr(s"shiftleft(1L, CAST(bucket div $k AS INT))" +
-          s" + ((bucket % $k) * shiftleft(1L, CAST(bucket div $k AS INT))" +
-          s" + $k - 1) div $k").as("value_lo"),
-        expr(s"shiftleft(1L, CAST(bucket div $k AS INT))" +
-          s" + (((bucket % $k) + 1) * shiftleft(1L, CAST(bucket div $k AS INT))" +
-          s" + $k - 1) div $k - 1").as("value_hi"))
+        // every small-octave bucket onto the octave base); the zero
+        // bucket −1 inverts to [0, 0]
+        when(col("bucket") < 0, lit(0L)).otherwise(
+          expr(s"shiftleft(1L, CAST(bucket div $k AS INT))" +
+            s" + ((bucket % $k) * shiftleft(1L, CAST(bucket div $k AS INT))" +
+            s" + $k - 1) div $k")).as("value_lo"),
+        when(col("bucket") < 0, lit(0L)).otherwise(
+          expr(s"shiftleft(1L, CAST(bucket div $k AS INT))" +
+            s" + (((bucket % $k) + 1) * shiftleft(1L, CAST(bucket div $k AS INT))" +
+            s" + $k - 1) div $k - 1")).as("value_hi"))
       .orderBy(col("q_micros"))
   }
+
+  /** `valueCol` as an exact LONG, with a NAMED in-plan error when the
+    * cast would truncate — a continuous double score in [0, 1] collapses
+    * to 0 under a silent CAST AS LONG and every group shrinks to a
+    * meaningless statistic. Callers with continuous measures
+    * micro-quantize at the call site (CAST(round(v * 1e6) AS BIGINT),
+    * the tableProfile/aucBucketed recipe). The double round-trip
+    * comparison is exact below 2⁵³; above that, both sides round to the
+    * same double and integral-grain longs still pass. */
+  private def integralLong(valueCol: String, opName: String): Column =
+    when(col(valueCol).cast("long").cast("double") =!=
+        col(valueCol).cast("double"),
+      expr(s"raise_error('$opName: non-integral value column would be" +
+        " truncated by CAST AS LONG; micro-quantize at the call site" +
+        " (CAST(round(v * 1e6) AS BIGINT))')").cast("long"))
+      .otherwise(col(valueCol).cast("long"))
 
   /** Per-group exact ORDER STATISTICS over the distinct-value relation:
     * for each requested (1-indexed) rank expression, the smallest value
@@ -5970,10 +6104,11 @@ object TrainingData {
     * (grp, n, rank, value). `ranks` maps a label to a function of n
     * (e.g. p05 → ⌈0.05·n⌉) evaluated as integer column arithmetic. */
   private def groupOrderStats(rows: DataFrame, groupCol: String,
-      valueCol: String, ranks: Seq[(String, Column => Column)]): DataFrame = {
+      valueCol: String, ranks: Seq[(String, Column => Column)],
+      opName: String): DataFrame = {
     val base = rows
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .select(col(groupCol).as("grp"), integralLong(valueCol, opName).as("v"))
     val counts = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
       .orderBy(col("v"))
@@ -6018,7 +6153,8 @@ object TrainingData {
     // of dropping them, because "this group is too small to calibrate"
     // is the audit's most important row
     val stats = groupOrderStats(rows, groupCol, scoreCol,
-      Seq("conformal" -> rank)).select(col("grp"), col("value"))
+      Seq("conformal" -> rank), "conformalThreshold")
+      .select(col("grp"), col("value"))
     ns.join(broadcast(stats), Seq("grp"), "left")
       .select(col("grp"), col("n"), rank(col("n")).as("rank"),
         when(rank(col("n")) > col("n"), lit(null).cast("long"))
@@ -6048,13 +6184,14 @@ object TrainingData {
     def rankHi(n: Column): Column =
       floor((n * 19L + 19L) / 20.0).cast("long")
     val stats = groupOrderStats(rows, groupCol, valueCol,
-      Seq("lo" -> rankLo, "hi" -> rankHi))
+      Seq("lo" -> rankLo, "hi" -> rankHi), "winsorizedStats")
     val bounds = stats.groupBy(col("grp"))
       .agg(max(when(col("stat") === "lo", col("value"))).as("lo"),
         max(when(col("stat") === "hi", col("value"))).as("hi"))
     rows
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("v"))
+      .select(col(groupCol).as("grp"),
+        integralLong(valueCol, "winsorizedStats").as("v"))
       .join(broadcast(bounds), Seq("grp"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),

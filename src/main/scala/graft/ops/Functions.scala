@@ -136,6 +136,22 @@ object Functions {
       merged, k = 16, quantiles = Seq(0.5, 0.9, 0.99))
   }
 
+  /** X139c — the ZERO-INFLATED case of the log-histogram sketch: TPC-H
+    * discount cents are 0..10 with a fat atom at 0 — exactly the shape
+    * a "values < 1 are excluded" histogram silently mis-prices (n would
+    * count only surviving rows and every low quantile would shift up a
+    * bucket). Zeros land in the dedicated bucket −1 with value range
+    * [0, 0], so n conserves the INPUT row count (hash-checked here: the
+    * oracle's n is count(*) of non-null discounts) and p25 correctly
+    * reads 0. Negative values raise a named in-plan error rather than
+    * vanishing (FunctionsSpec). */
+  def x139cLogHistZeros(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.logHistQuantiles(
+      t(s, d, "lineitem")
+        .select(expr("CAST(round(l_discount*100,0) AS BIGINT)")
+          .as("disc_cents")),
+      "disc_cents", k = 16, quantiles = Seq(0.25, 0.5, 0.9))
+
   /** X8 — correlation from exact integer accumulators: Spark's streaming
     * corr() is float-order-dependent, so the five sums are taken as exact
     * longs (at 100 TB: decimal(38) sums, same algebra) and the closed-form
@@ -269,6 +285,7 @@ object Functions {
     "q08d_approx_percentiles" -> (q08dApproxPercentiles _),
     "x139_loghist_quantiles" -> (x139LogHistQuantiles _),
     "x139b_loghist_merged" -> (x139bLogHistMerged _),
+    "x139c_loghist_zeros" -> (x139cLogHistZeros _),
     "q08c_corr_exact" -> (q08cCorrExact _),
     "q09_approx_distinct" -> (q09Approx _),
     "q15_setops" -> (q15SetOps _),
@@ -318,8 +335,48 @@ object Functions {
       |    - 1 AS value_hi
       |FROM sel ORDER BY q_micros""".stripMargin
 
+  // the zero-inflated replay: same bucket arithmetic plus the dedicated
+  // zero bucket -1 ([0,0]); n = count(*) of non-null discounts, so the
+  // hash check IS the count-conservation check
+  private val logHistZerosOracle =
+    """WITH vals AS (
+      |  SELECT CAST(round(l_discount*100,0) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_discount IS NOT NULL),
+      |bk AS (
+      |  SELECT CASE WHEN v = 0 THEN CAST(-1 AS BIGINT)
+      |    ELSE (length(bin(v)) - 1) * 16 +
+      |      ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1))) * 16)
+      |        // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) END AS bucket
+      |  FROM vals),
+      |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM bk
+      |      GROUP BY 1),
+      |cum AS (SELECT bucket, c,
+      |    CAST(sum(c) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum
+      |  FROM h),
+      |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+      |q(q_micros) AS (VALUES (CAST(250000 AS BIGINT)),
+      |  (CAST(500000 AS BIGINT)), (CAST(900000 AS BIGINT))),
+      |sel AS (
+      |  SELECT q.q_micros, nn.n, min(cum.bucket) AS bucket
+      |  FROM q, nn, cum
+      |  WHERE cum.cum * 1000000 >= q.q_micros * nn.n
+      |  GROUP BY 1, 2)
+      |SELECT q_micros, n, bucket,
+      |  CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT) ELSE
+      |    (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
+      |      ((bucket % 16) * (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT))
+      |        + 15) // 16 END AS value_lo,
+      |  CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT) ELSE
+      |    (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) +
+      |      (((bucket % 16) + 1) *
+      |        (CAST(1 AS BIGINT) << CAST(bucket // 16 AS INT)) + 15) // 16
+      |      - 1 END AS value_hi
+      |FROM sel ORDER BY q_micros""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x139b_loghist_merged" -> logHistOracle,
+    "x139c_loghist_zeros" -> logHistZerosOracle,
     "q03b_large_join" ->
       """SELECT o_orderpriority,
         | sum(CAST(round(l_extendedprice*100,0) AS BIGINT))/100.0 AS revenue,

@@ -387,8 +387,40 @@ object Windows {
       .orderBy(col("purchase_id"))
   }
 
+  /** X138b — the SKEW-HARDENED as-of join under a deliberately hot key:
+    * 90% of users collapse onto key 0 (the anonymous-traffic shape a
+    * real click stream has), and
+    * [[graft.api.TrainingData.asOfJoinSalted]] answers the same
+    * last-touch question with the carry-forward window partitioned by
+    * (key, hour-bucket) — the hot key's history spreads across buckets
+    * instead of one straggler partition, and the cross-bucket carry-in
+    * runs over the per-bucket summary (bucket COUNT rows per key, not
+    * event count). Held to the plain as-of semantics via the oracle:
+    * same match, same gap, on the skewed key. */
+  def x138bAsofSalted(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"),
+        when(col("user_id") % 10 < 9, lit(0L)).otherwise(col("user_id"))
+          .as("grp_key"),
+        col("event_type"), tsMs(col("ts")).as("ts_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("grp_key"),
+        col("ts_ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("grp_key"), col("ts_ms"), col("event_id"))
+    graft.api.TrainingData.asOfJoinSalted(
+      purchases, clicks, "grp_key", "ts_ms", "event_id",
+      bucketMs = 3600000L)
+      .select(col("purchase_id"), col("grp_key"), col("ts_ms"),
+        col("matched_id").as("click_id"), col("asof_gap_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x138_asof_attribution" -> (x138AsofAttribution _),
+    "x138b_asof_salted" -> (x138bAsofSalted _),
     "x131_daily_autocorr" -> (x131DailyAutocorr _),
     "x132_cusum_changepoint" -> (x132Cusum _),
     "x99_fleiss_kappa" -> (x99FleissKappa _),
@@ -438,6 +470,34 @@ object Windows {
         |    ON c2.user_id = mt.user_id AND c2.ts_ms = mt.ct
         |  GROUP BY 1, 2, 3, 4)
         |SELECT purchase_id, user_id, ts_ms, click_id,
+        |  ts_ms - ct AS asof_gap_ms
+        |FROM mi ORDER BY purchase_id""".stripMargin,
+    // the salted two-phase form is held to the PLAIN as-of semantics on
+    // the skewed key — bucketing must be invisible in the result
+    "x138b_asof_salted" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS grp_key,
+        |    event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT event_id AS purchase_id, grp_key, ts_ms FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id, grp_key, ts_ms FROM e
+        |      WHERE event_type = 'click'),
+        |mt AS (
+        |  SELECT p.purchase_id, p.grp_key, p.ts_ms, max(c.ts_ms) AS ct
+        |  FROM p LEFT JOIN c
+        |    ON c.grp_key = p.grp_key AND c.ts_ms <= p.ts_ms
+        |  GROUP BY 1, 2, 3),
+        |mi AS (
+        |  SELECT mt.purchase_id, mt.grp_key, mt.ts_ms, mt.ct,
+        |    max(c2.event_id) AS click_id
+        |  FROM mt LEFT JOIN c c2
+        |    ON c2.grp_key = mt.grp_key AND c2.ts_ms = mt.ct
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT purchase_id, grp_key, ts_ms, click_id,
         |  ts_ms - ct AS asof_gap_ms
         |FROM mi ORDER BY purchase_id""".stripMargin,
     // kappa replay: latest rating per (item, rater), (item, label) cell

@@ -601,6 +601,28 @@ class PlanSpec extends SparkSpec {
     // k-mins is TakeOrderedAndProject over the dedup — not a global sort
     assert(pk.contains("TakeOrderedAndProject"), pk)
     assert(pk.contains("HashAggregate"), pk)
+    // the per-partition k-smallest pre-cut sits UNDER the distinct's
+    // exchange, so the shuffle carries ≤ n_partitions·k rows, never the
+    // O(NDV) distinct-hash relation — the r12 verdict's kmvMins item
+    val treeK = pk.linesIterator.takeWhile(!_.matches("^\\(\\d+\\) .*")).toSeq
+    val iMap = treeK.indexWhere(_.contains("MapPartitions"))
+    val iEx = treeK.indexWhere(_.contains("Exchange"))
+    assert(iMap >= 0 && iEx >= 0 && iEx < iMap,
+      s"pre-cut must be below the exchange:\n${treeK.mkString("\n")}")
+  }
+
+  test("x138b salted as-of: NO single-partition keyed window; carry join broadcasts") {
+    val p = plan("x138b_asof_salted")
+    // phase-1 carry-forward window partitions by (key, bucket) — a hot
+    // key's history spreads; the ONLY per-key window runs over the
+    // per-bucket summary (bucket count rows), and the carry-in joins
+    // back via broadcast of that tiny relation
+    assert(treeCount(p, "Window") == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the in-bucket window's spec carries the bucket column: its sort
+    // prefix is (__k, __b) — the salted partitioning made it to the plan
+    assert(p.contains("__b"), p)
   }
 
   test("x140/x141 order statistics: keyed windows over distinct values, broadcast bounds") {

@@ -854,6 +854,35 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("asOfJoinSalted equals asOfJoin on random timelines incl. negative ts") {
+    import spark.implicits._
+    // tiny bucketMs (7 ms) forces many buckets per key, so cross-bucket
+    // carry-ins and left-only buckets are exercised on every run;
+    // negative timestamps exercise the floor-division bucketing
+    val rowGen = for {
+      k <- Gen.choose(0L, 2L)
+      t <- Gen.choose(-30L, 30L)
+    } yield (k, t)
+    val gen = for {
+      ls <- Gen.listOfN(15, rowGen)
+      rs <- Gen.listOfN(15, rowGen)
+    } yield (ls, rs)
+    check(forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (k, t, 1000L + i) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, (i % 7).toLong) }
+      def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          String, String, String) => org.apache.spark.sql.DataFrame) =
+        f(left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+          "k", "t", "rid")
+          .collect().map(r => r.getLong(2) ->
+            ((if (r.isNullAt(3)) None else Some(r.getLong(3))),
+              (if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      run(graft.api.TrainingData.asOfJoin) ==
+        run(graft.api.TrainingData.asOfJoinSalted(_, _, _, _, _, bucketMs = 7L))
+    }, n = 30)
+  }
+
   test("winsorizedStats equals a sorted-Seq model on random groups") {
     import spark.implicits._
     val rowGen = for {
@@ -933,6 +962,66 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("logHistQuantiles: zero bucket conserves n; negatives raise; zeros quantile to [0,0]") {
+    import spark.implicits._
+    val gen = for {
+      zeros <- Gen.choose(1, 20)
+      pos <- Gen.listOf(Gen.choose(1L, 1L << 20))
+    } yield (zeros, pos)
+    check(forAll(gen) { case (zeros, pos) =>
+      val vals = List.fill(zeros)(0L) ++ pos
+      val got = graft.api.TrainingData
+        .logHistQuantiles(vals.map(Tuple1(_)).toDF("v"), "v", 16,
+          Seq(0.25, 0.5, 0.99))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+      val sorted = vals.sorted
+      Seq(0.25, 0.5, 0.99).forall { q =>
+        val (n, lo, hi) = got(math.round(q * 1000000))
+        val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+        // count conservation: n is ALL input rows, zeros included, and
+        // the exact quantile (0 when the zero atom covers the rank)
+        // still sits inside the reported bucket range
+        n == vals.size && lo <= exact && exact <= hi
+      }
+    }, n = 30)
+    val err = intercept[Exception] {
+      graft.api.TrainingData.logHistQuantiles(
+        Seq(3L, -1L).map(Tuple1(_)).toDF("v"), "v", 16, Seq(0.5)).collect()
+    }
+    assert(err.getMessage.contains("logHistogram: negative value"))
+  }
+
+  test("integral-cast guard: bayesAverage/winsorizedStats raise on fractional doubles") {
+    import spark.implicits._
+    // a continuous score in [0, 1] must NOT silently collapse to 0 under
+    // CAST AS LONG — the guard names the operator and the micro recipe
+    val frac = Seq(("a", 0.73), ("a", 0.20), ("b", 0.55)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      graft.api.TrainingData.bayesAverage(frac, "g", "v", 25L).collect()
+    }
+    assert(e1.getMessage.contains("bayesAverage: non-integral"))
+    val e2 = intercept[Exception] {
+      graft.api.TrainingData.winsorizedStats(frac, "g", "v").collect()
+    }
+    assert(e2.getMessage.contains("winsorizedStats: non-integral"))
+    // integral-valued doubles still pass (5.0 is not truncation)
+    val ok = graft.api.TrainingData.bayesAverage(
+      Seq(("a", 5.0), ("b", 7.0)).map(t => (t._1, t._2)).toDF("g", "v"),
+      "g", "v", 1L).collect()
+    assert(ok.length == 2)
+  }
+
+  test("aucBucketed accepts column names needing backtick quoting") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.1, false), (0.6, true), (0.4, false))
+      .toDF("score col.odd", "label")
+    val r = graft.api.TrainingData
+      .aucBucketed(df, "score col.odd", "label", nBuckets = 4)
+      .collect().head
+    assert(r.getLong(2) == 1000000L) // perfectly separable → AUC 1.0
+  }
+
   test("ndcgAtK equals a Seq model on random rankings") {
     import spark.implicits._
     val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L, 356207L,
@@ -973,6 +1062,21 @@ class PropertySpec extends SparkSpec {
         .kmvDistinct(df.union(df), "v", k = 64).collect().head
       r.getLong(3) == exact && r2.getLong(3) == exact
     }, n = 20)
+  }
+
+  test("kmvMins pre-cut is partitioning-invariant (merge law at the partition grain)") {
+    import spark.implicits._
+    // the per-partition k-smallest pre-cut must be invisible in the
+    // result: any repartitioning yields the same k smallest distinct
+    // hashes, because k-of-union == k-of-(per-partition k-mins union)
+    val vals = (0L until 500L).map(v => Tuple1(v * 37 % 211)).toDF("v")
+    def mins(df: org.apache.spark.sql.DataFrame) =
+      graft.api.TrainingData.kmvMins(df, "v", 32)
+        .collect().map(_.getLong(0)).toSeq
+    val one = mins(vals.coalesce(1))
+    assert(one.size == 32 && one == one.sorted)
+    assert(mins(vals.repartition(13)) == one)
+    assert(mins(vals.repartition(64)) == one)
   }
 
   test("zValue is a bijection on the masked grid") {
