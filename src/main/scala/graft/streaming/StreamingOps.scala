@@ -39,8 +39,12 @@ object StreamingOps {
       tag + "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
     if (java.nio.file.Files.exists(sinkDir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(sinkDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      // Files.walk holds a directory handle until closed — materialize
+      // the listing, then close BEFORE deleting (a gate re-run per
+      // fixture would otherwise leak one handle per invocation)
+      val walk = java.nio.file.Files.walk(sinkDir)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
     }
     sinkDir.toString
   }
@@ -55,18 +59,37 @@ object StreamingOps {
     * is fresh per gate run (the PerAppCache above each caller makes
     * that once per app per fixture). */
   private[streaming] def runToParquet(s: SparkSession, tag: String,
-      dir: String)(out: DataFrame): DataFrame = {
-    val target = freshGateDir(s, tag, dir)
-    val q = out.writeStream.outputMode("append")
+      dir: String)(out: DataFrame): DataFrame =
+    gateToParquet(s, tag, dir, out, "append")(_.processAllAvailable())
+
+  /** The general form behind [[runToParquet]], for gates that need
+    * multi-batch drive choreography (MemoryStream addData /
+    * processAllAvailable watermark control) or update-mode logs: starts
+    * `out` with an executor-side foreachBatch parquet append, hands the
+    * live query to `drive`, and returns a read of the appended files on
+    * `readback` (the CALLER's session — `out` may be planned on a
+    * RocksDB child session; parquet files are session-independent).
+    * In update mode the parquet dir accumulates the same update log the
+    * memory sink held — but distributed, in executor writes, instead of
+    * driver-resident rows. NO registered gate returns through
+    * format("memory") anymore: a memory sink materializes the whole
+    * result on the driver, which is wrong the moment output is
+    * input-proportional (and was the r12 verdict's remaining streaming
+    * item). */
+  private def gateToParquet(readback: SparkSession, tag: String,
+      dir: String, out: DataFrame, mode: String)(
+      drive: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    val target = freshGateDir(readback, tag, dir)
+    val q = out.writeStream.outputMode(mode)
       .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
         b.write.mode("append").parquet(target)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try drive(q) finally q.stop()
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(target)))
-      s.read.parquet(target)
-    else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-      out.schema)
+      readback.read.parquet(target)
+    else readback.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), out.schema)
   }
 
   /** Dtype-adaptive streaming events loader: FileStreamSource needs an
@@ -201,13 +224,14 @@ object StreamingOps {
     * batch LEFT JOIN is direct evidence the outer-emission machinery
     * fired (x42 proves only the eager inner path; watermarks there just
     * bound state). MemoryStream feeds the gate — multi-batch watermark
-    * control needs it; the production path reads a real source. */
+    * control needs it; the production path reads a real source. The
+    * readout is [[gateToParquet]]: output here is one row per purchase
+    * (input-proportional), exactly the shape a driver-resident memory
+    * sink must not hold. */
   @transient private val lojGateCache = graft.ops.PerAppCache.newCache
   def x101StreamLeftJoin(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(lojGateCache, s, d) {
       import s.implicits._
-      val view = "x101_loj_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
       val evs = graft.Tables.t(s, d, "events")
         .filter(col("event_id").isNotNull && col("user_id").isNotNull &&
           col("event_type").isNotNull && col("ts").isNotNull)
@@ -218,11 +242,9 @@ object StreamingOps {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
-      val q = purchaseSignupLeftJoin(
-          mem.toDS().toDF("event_id", "user_id", "event_type", "ts"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try {
+      gateToParquet(s, "x101_loj", d, purchaseSignupLeftJoin(
+          mem.toDS().toDF("event_id", "user_id", "event_type", "ts")),
+          "append") { q =>
         mem.addData(evs.toSeq.map { case (e, u, t, ms) =>
           (e, u, t, new java.sql.Timestamp(ms)) })
         q.processAllAvailable()
@@ -233,13 +255,7 @@ object StreamingOps {
         mem.addData(Seq((-1L, -1L, "purchase", sTs),
           (-2L, -1L, "signup", sTs)))
         q.processAllAvailable()
-      } finally q.stop()
-      val out = s.table(view).filter(col("user_id") >= 0)
-      val rows = out.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      }.filter(col("user_id") >= 0)
     }.orderBy(col("purchase_id"), col("signup_id"))
 
   /** CHAINED stateful pipeline — watermarked redelivery dedup feeding an
@@ -273,8 +289,6 @@ object StreamingOps {
   def x105ChainedStateful(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(chainGateCache, s, d) {
       import s.implicits._
-      val view = "x105_chain_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
       val evs = graft.Tables.t(s, d, "events")
         .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
           col("ts").isNotNull)
@@ -285,11 +299,8 @@ object StreamingOps {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, java.sql.Timestamp)]
-      val q = dedupedWindowCounts(
-          mem.toDS().toDF("event_id", "event_type", "ts"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try {
+      gateToParquet(s, "x105_chain", d, dedupedWindowCounts(
+          mem.toDS().toDF("event_id", "event_type", "ts")), "append") { q =>
         val rows = evs.toSeq.map { case (e, t, ms) =>
           (e, t, new java.sql.Timestamp(ms)) }
         mem.addData(rows ++ rows) // in-batch redelivery
@@ -301,13 +312,7 @@ object StreamingOps {
         mem.addData(Seq((-1L, "purchase", new java.sql.Timestamp(
           maxTs + 4 * 1800000L + 1000L))))
         q.processAllAvailable()
-      } finally q.stop()
-      val out = s.table(view).filter(col("window_start_ms") <= maxTs)
-      val rows = out.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      }.filter(col("window_start_ms") <= maxTs)
     }.orderBy(col("window_start_ms"), col("event_type"))
 
   /** The MERGE-target stand-in behind the x134 gate: latest-per-key
@@ -357,9 +362,15 @@ object StreamingOps {
     * the plain batch argmax per key no matter how the stream was
     * batched, which is the oracle. The gate then SIMULATES the restart
     * replay by re-appending batch 0's rows verbatim under their
-    * original batch id and requires the compacted state unchanged (the
-    * no-op proof, checked with except() — an O(1)-to-driver
-    * aggregate, not a collect). */
+    * original batch id and requires the deduped LOG CARDINALITY
+    * unchanged (falsifiable: a regression in the dedup key grows it —
+    * the compacted argmax state alone could never fail, since identical
+    * payload rows can't move an argmax), PLUS the negative control the
+    * r12 advice asked for: the same payload under a FRESH batch id is a
+    * new delivery, must NOT collapse, and must grow the deduped log by
+    * exactly |batch 0| — proving the no-op is the batch-id key's doing,
+    * not payload-level dedup. The registered output is invariant to
+    * both appends, so the oracle is untouched. */
   @transient private val upsertGateCache = graft.ops.PerAppCache.newCache
   def x134UpsertSink(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(upsertGateCache, s, d) {
@@ -391,8 +402,26 @@ object StreamingOps {
       // restart replay: batch 0's rows under their ORIGINAL id must no-op
       // (persisted first so the append never scans the dir it extends)
       val b0 = s.read.parquet(logDir).filter(col("batch_id") === 0L).persist()
-      b0.count()
+      val nB0 = b0.count()
+      def dedupedRows(): Long = s.read.parquet(logDir)
+        .dropDuplicates("batch_id", "event_id").count()
+      val n0 = dedupedRows()
       b0.write.mode("append").parquet(logDir)
+      // checked on the deduped log's CARDINALITY — the check a dedup-key
+      // regression actually fails (the argmax state compare below can't:
+      // identical payloads never move an argmax)
+      require(dedupedRows() == n0,
+        "idempotent sink re-applied an already-committed batch")
+      // NEGATIVE control: the same payload under a FRESH batch id is a
+      // new delivery, not a replay — the idempotence key must NOT
+      // collapse it, so the deduped log grows by exactly |batch 0|.
+      // Proves the no-op above is the batch-id key's doing rather than
+      // payload-level dedup; the latest-per-key output is invariant
+      // either way, so the oracle sees no difference.
+      b0.withColumn("batch_id", lit(999999999L))
+        .write.mode("append").parquet(logDir)
+      require(dedupedRows() == n0 + nB0,
+        "a fresh-batch-id delivery must not be collapsed by the idempotence key")
       b0.unpersist()
       val after = state()
       require(after.except(before).isEmpty && before.except(after).isEmpty,
@@ -429,8 +458,6 @@ object StreamingOps {
   def x115MultisourceUnion(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(unionGateCache, s, d) {
       import s.implicits._
-      val view = "x115_union_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
       val evs = graft.Tables.t(s, d, "events")
         .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
           col("ts").isNotNull)
@@ -446,12 +473,9 @@ object StreamingOps {
         .MemoryStream[(Long, String, java.sql.Timestamp)]
       def rows(xs: Array[(Long, String, Long)]) = xs.toSeq.map {
         case (e, t, ms) => (e, t, new java.sql.Timestamp(ms)) }
-      val q = unionWindowCounts(
+      gateToParquet(s, "x115_union", d, unionWindowCounts(
           memA.toDS().toDF("event_id", "event_type", "ts"),
-          memB.toDS().toDF("event_id", "event_type", "ts"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try {
+          memB.toDS().toDF("event_id", "event_type", "ts")), "append") { q =>
         memA.addData(rows(aEvs)) // A fully delivered, B absent: lag phase
         q.processAllAvailable()
         memB.addData(rows(bEvs)) // B catches up
@@ -460,13 +484,7 @@ object StreamingOps {
         memA.addData(Seq((-1L, "purchase", sTs)))
         memB.addData(Seq((-2L, "purchase", sTs)))
         q.processAllAvailable()
-      } finally q.stop()
-      val out = s.table(view).filter(col("window_start_ms") <= maxTs)
-      val collected = out.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(collected: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      }.filter(col("window_start_ms") <= maxTs)
     }.orderBy(col("window_start_ms"), col("event_type"))
 
   /** X24 — flatMapGroupsWithState: manual sessionization with 0..n
@@ -613,39 +631,25 @@ object StreamingOps {
     *
     * Constructing the DataFrame RUNS the streaming query (there is no
     * lazy handle to a finished stream), so the result is cached per
-    * (app, dir); the memory-sink view name is dir-scoped so two SF dirs
-    * in one session don't collide. The final-state aggregation is a
-    * distributed groupBy over the sink's update log — no driver
-    * collects; at production scale the same state machine writes to a
-    * real sink and this projection is the consumer's. */
+    * (app, dir). The update log lands in executor-written parquet
+    * ([[gateToParquet]] — never driver-resident), and the final-state
+    * aggregation is a distributed groupBy over that log; at production
+    * scale the same state machine writes to a real sink and this
+    * projection is the consumer's. */
   @transient private val funnelGateCache = graft.ops.PerAppCache.newCache
   def x24StatefulFunnel(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(funnelGateCache, s, d) {
-      val view = "x24_funnel_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view) // leftover from a stopped app's run
-      val q = funnelWithState(s, eventsStream(s, d),
-          Seq("view", "click", "purchase"))
-        .writeStream.outputMode("update").format("memory")
-        .queryName(view).start()
-      try q.processAllAvailable() finally q.stop() // never leak a live stream
+      val log = gateToParquet(s, "x24_funnel", d,
+        funnelWithState(s, eventsStream(s, d),
+          Seq("view", "click", "purchase")).toDF(), "update")(
+        _.processAllAvailable())
       // last update per user wins: reached only grows, and equal reached
       // implies identical times (times append only when a step is hit)
-      val agg = s.table(view)
-        .groupBy(col("user_id"))
+      log.groupBy(col("user_id"))
         .agg(max(struct(col("reached"), col("t_ms"))).as("st"))
         .select(col("user_id") +: col("st.reached").as("reached") +:
           (1 to 3).map(i => when(size(col("st.t_ms")) >= i,
             element_at(col("st.t_ms"), i)).as(s"t${i}_ms")): _*)
-      // the memory sink's update log (≥ one row per user) lives in driver
-      // memory and is NOT covered by PerAppCache.evictAll — so settle the
-      // final states into a literal relation (bounded by the FIXTURE's
-      // user count; the production path writes a real sink) and drop the
-      // view, releasing the log immediately
-      val rows = agg.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), agg.schema)
-      s.catalog.dropTempView(view)
-      fin
     }.orderBy(col("user_id"))
 
   /** X21b driver-gate binding — the stream-stream interval join
@@ -658,24 +662,13 @@ object StreamingOps {
     * replays against a plain DuckDB self-join.
     *
     * Same lifecycle discipline as [[x24StatefulFunnel]]: run-to-
-    * completion per (app, dir), settle the (fixture-bounded, ~400-row)
-    * result out of the memory sink into a literal relation, drop the
-    * view so the sink's log is released immediately. */
+    * completion per (app, dir), with the (input-proportional, one row
+    * per matched purchase) result landing in executor-written parquet
+    * via [[runToParquet]] — never a driver-resident sink. */
   @transient private val ssjGateCache = graft.ops.PerAppCache.newCache
   def x42StreamJoin(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(ssjGateCache, s, d) {
-      val view = "x42_ssj_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
-      val q = purchaseSignupJoin(eventsStream(s, d))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(view)
-      val rows = out.collect()
-      val fin = s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      runToParquet(s, "x42_ssj", d)(purchaseSignupJoin(eventsStream(s, d)))
     }.orderBy(col("purchase_id"), col("signup_id"))
 
   /** X24c — transformWithState (Spark 4's arbitrary-state successor to
@@ -717,30 +710,22 @@ object StreamingOps {
     graft.ops.PerAppCache.cachedPerApp(twsGateCache, s, d) {
       val s2 = s.newSession()
       import s2.implicits._
-      val view = "x43_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = eventsStream(s2, d)
+      // the update log lands in parquet (executor writes); the readback
+      // runs on the CALLER's session — the RocksDB child session is gone
+      // after this gate
+      val log = gateToParquet(s, "x43_tws", d, eventsStream(s2, d)
           .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
           .as[UserRow]
           .groupByKey(_.user_id)
           .transformWithState(new UserAggProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
-          .writeStream.outputMode("update").format("memory")
-          .queryName(view).start()
-        try q.processAllAvailable() finally q.stop()
-        val agg = s2.table(view)
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("n_events"), col("high_water_ms"))).as("st"))
-          .select(col("user_id"), col("st.n_events").as("n_events"),
-            col("st.high_water_ms").as("high_water_ms"))
-        val rows = agg.collect()
-        // settle into a literal relation on the CALLER's session — the
-        // child session (and its memory-sink view, dropped below) is gone
-        // after this gate
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-      } finally s2.catalog.dropTempView(view)
+          .toDF(), "update")(_.processAllAvailable())
+      log.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("high_water_ms"))).as("st"))
+        .select(col("user_id"), col("st.n_events").as("n_events"),
+          col("st.high_water_ms").as("high_water_ms"))
     }.orderBy(col("user_id"))
 
   /** X24d — transformWithState with MAP state (SPARK-49564's composite
@@ -780,25 +765,17 @@ object StreamingOps {
     graft.ops.PerAppCache.cachedPerApp(twsMapGateCache, s, d) {
       val s2 = s.newSession()
       import s2.implicits._
-      val view = "x43b_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = eventsStream(s2, d)
+      gateToParquet(s, "x43b_tws", d, eventsStream(s2, d)
           .select(col("user_id"), col("event_type"))
           .as[TypedRow]
           .groupByKey(_.user_id)
           .transformWithState(new UserTypeCountProcessor,
             org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update)
-          .writeStream.outputMode("update").format("memory")
-          .queryName(view).start()
-        try q.processAllAvailable() finally q.stop()
-        val agg = s2.table(view)
-          .groupBy(col("user_id"), col("event_type"))
-          .agg(max(col("n")).as("n"))
-        val rows = agg.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
-      } finally s2.catalog.dropTempView(view)
+          .toDF(), "update")(_.processAllAvailable())
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
     }.orderBy(col("user_id"), col("event_type"))
 
   /** Typed output of the per-window admission controller. */
@@ -861,20 +838,18 @@ object StreamingOps {
       // RocksDB on a child session (the x43 pattern)
       val s2 = s.newSession()
       import s2.implicits._
-      val view = "x116_quota_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val evs = graft.Tables.t(s2, d, "events")
-          .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
-            col("ts").isNotNull)
-          .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
-          .as[(String, Long)].collect()
-        val maxTs = evs.map(_._2).max
-        implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(String, java.sql.Timestamp)]
-        val q = mem.toDS().toDF("event_type", "ts")
+      val evs = graft.Tables.t(s2, d, "events")
+        .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(String, Long)].collect()
+      val maxTs = evs.map(_._2).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, java.sql.Timestamp)]
+      gateToParquet(s, "x116_quota", d, mem.toDS().toDF("event_type", "ts")
           .withWatermark("ts", "30 minutes")
           .select(col("event_type"),
             expr("(unix_millis(ts) div 900000) * 900000").as("win"))
@@ -883,20 +858,14 @@ object StreamingOps {
           .transformWithState(new QuotaProcessor(3L),
             org.apache.spark.sql.streaming.TimeMode.EventTime(),
             OutputMode.Append)
-          .writeStream.outputMode("append").format("memory")
-          .queryName(view).start()
-        try {
-          mem.addData(evs.toSeq.map { case (t, ms) =>
-            (t, new java.sql.Timestamp(ms)) })
-          q.processAllAvailable()
-          mem.addData(Seq(("purchase",
-            new java.sql.Timestamp(maxTs + 4 * 1800000L + 1000L))))
-          q.processAllAvailable()
-        } finally q.stop()
-        val out = s2.table(view).filter(col("window_start_ms") <= maxTs)
-        val rows = out.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      } finally s2.catalog.dropTempView(view)
+          .toDF(), "append") { q =>
+        mem.addData(evs.toSeq.map { case (t, ms) =>
+          (t, new java.sql.Timestamp(ms)) })
+        q.processAllAvailable()
+        mem.addData(Seq(("purchase",
+          new java.sql.Timestamp(maxTs + 4 * 1800000L + 1000L))))
+        q.processAllAvailable()
+      }.filter(col("window_start_ms") <= maxTs)
     }.orderBy(col("window_start_ms"), col("event_type"))
 
   /** X24e/X43c — the island-merging sessionizer re-expressed in
@@ -978,18 +947,16 @@ object StreamingOps {
     graft.ops.PerAppCache.cachedPerApp(twsTimerGateCache, s, d) {
       val s2 = s.newSession()
       import s2.implicits._
-      val view = "x43c_tws_" + d.replaceAll("[^A-Za-z0-9]", "_")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val evs = graft.Tables.t(s2, d, "events")
-          .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
-          .as[(Long, Long)].collect()
-        val maxTs = evs.map(_._2).max
-        implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
-        val mem = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, java.sql.Timestamp)]
-        val q = mem.toDS().toDF("user_id", "ts")
+      val evs = graft.Tables.t(s2, d, "events")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)].collect()
+      val maxTs = evs.map(_._2).max
+      implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp)]
+      gateToParquet(s, "x43c_tws", d, mem.toDS().toDF("user_id", "ts")
           .withWatermark("ts", WatermarkDelayStr)
           .select(col("user_id"), col("ts"))
           .as[(Long, java.sql.Timestamp)]
@@ -997,21 +964,15 @@ object StreamingOps {
           .transformWithState(new SessionTimerProcessor,
             org.apache.spark.sql.streaming.TimeMode.EventTime(),
             OutputMode.Append)
-          .writeStream.outputMode("append").format("memory")
-          .queryName(view).start()
-        try {
-          mem.addData(evs.toSeq.map { case (u, t) =>
-            (u, new java.sql.Timestamp(t)) })
-          q.processAllAvailable()
-          mem.addData(Seq((-1L,
-            new java.sql.Timestamp(
-              maxTs + SessionGapMs + 2 * WatermarkDelayMs + 1000L))))
-          q.processAllAvailable()
-        } finally q.stop()
-        val out = s2.table(view).filter(col("user_id") >= 0)
-        val rows = out.collect()
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      } finally s2.catalog.dropTempView(view)
+          .toDF(), "append") { q =>
+        mem.addData(evs.toSeq.map { case (u, t) =>
+          (u, new java.sql.Timestamp(t)) })
+        q.processAllAvailable()
+        mem.addData(Seq((-1L,
+          new java.sql.Timestamp(
+            maxTs + SessionGapMs + 2 * WatermarkDelayMs + 1000L))))
+        q.processAllAvailable()
+      }.filter(col("user_id") >= 0)
     }.orderBy(col("user_id"), col("session_start_ms"))
 
   /** X55 — [[sessionsWithState]] (the flatMapGroupsWithState sessionizer
@@ -1032,8 +993,6 @@ object StreamingOps {
   def x55SessionTimeout(s: SparkSession, d: String): DataFrame =
     graft.ops.PerAppCache.cachedPerApp(sessGateCache, s, d) {
       import s.implicits._
-      val view = "x55_sess_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      s.catalog.dropTempView(view)
       val evs = graft.Tables.t(s, d, "events")
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
         .as[(Long, Long)].collect()
@@ -1041,10 +1000,9 @@ object StreamingOps {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, java.sql.Timestamp)]
-      val q = sessionsWithState(s, mem.toDS().toDF("user_id", "ts"))
-        .writeStream.outputMode("append").format("memory")
-        .queryName(view).start()
-      try {
+      gateToParquet(s, "x55_sess", d,
+          sessionsWithState(s, mem.toDS().toDF("user_id", "ts")).toDF(),
+          "append") { q =>
         mem.addData(evs.toSeq.map { case (u, t) => (u, new java.sql.Timestamp(t)) })
         q.processAllAvailable()
         // one sentinel far past every real session's timeout + the
@@ -1055,12 +1013,7 @@ object StreamingOps {
           new java.sql.Timestamp(
             maxTs + SessionGapMs + 2 * WatermarkDelayMs + 1000L))))
         q.processAllAvailable()
-      } finally q.stop()
-      val out = s.table(view).filter(col("user_id") >= 0)
-      val rows = out.collect()
-      val fin = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-      s.catalog.dropTempView(view)
-      fin
+      }.filter(col("user_id") >= 0)
     }.orderBy(col("user_id"), col("session_start_ms"))
 
   /** X75 — at-least-once redelivery dedup, the canonical
