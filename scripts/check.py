@@ -46,6 +46,11 @@ def main():
             f"CREATE VIEW {tname} AS SELECT * FROM read_parquet('{sfdir}/{tname}.parquet')")
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracles = json.load(f)
+    twins = {}
+    twins_path = os.path.join(outdir, "rows_only_twins.json")
+    if os.path.exists(twins_path):
+        with open(twins_path) as f:
+            twins = json.load(f)
 
     declared = [d for d in sorted(os.listdir(outdir))
                 if os.path.isdir(os.path.join(outdir, d))]
@@ -53,7 +58,8 @@ def main():
     for name in declared:
         got = load_spark_result(outdir, name)
         if name not in oracles:
-            print(f"[rows-only] {name}: rows={got.num_rows if got else 'MISSING'}")
+            twin = f" twin={twins[name]}" if name in twins else ""
+            print(f"[rows-only] {name}: rows={got.num_rows if got else 'MISSING'}{twin}")
             continue
         try:
             want = con.execute(oracles[name]).fetch_arrow_table()

@@ -65,17 +65,25 @@ object Bench {
     while (settleRuns < 5 && settleCur < settlePrev * 0.8) {
       settlePrev = settleCur; settleCur = canaryOnce(); settleRuns += 1
     }
-    val canary = scala.collection.mutable.ArrayBuffer[Double](canaryOnce())
+    // canary samples carry their POSITION (queries completed when the
+    // sample ran) and are interleaved every 16 queries — a contention
+    // burst localizes to the queries it actually hit, instead of r12's
+    // three-point spread that could only say "somewhere in the sweep"
+    val canary =
+      scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, canaryOnce()))
 
-    // two timed executions per query; BOTH timings are published (steal on
-    // this box lands 1-5 s on whichever query is running — a tight [t1,t2]
-    // pair means the cost is real, a wide pair means environment), and the
-    // min over successful runs remains the steady-state headline number
-    // comparable round-over-round and across scale factors
+    // COLD/WARM split per query (the ScaleSweep discipline, r12 verdict
+    // #1a): the cold run evicts every shared per-app cache first, so each
+    // query pays its own build — shared-cache cost can no longer migrate
+    // between queries with registration order (r12's x104 "5.9× slower
+    // with unchanged code" was exactly that migration); the warm run
+    // rides the caches the cold run left hot. BOTH are published; the
+    // min over successful runs (≈ warm) remains the steady-state headline
+    // comparable round-over-round — and is now registration-order-stable,
+    // because build cost never lands in a min that has a warm run.
     val qseq = SparkEntry.queries.toSeq
-    val mid = qseq.size / 2
     val results = qseq.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == mid) canary += canaryOnce()
+      if (i > 0 && i % 16 == 0) canary += ((i, canaryOnce()))
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -88,25 +96,29 @@ object Bench {
       // BOTH runs goes under "errors", NOT into the timing map: a
       // sign-encoded sentinel there silently reads as a huge speedup to
       // any tool that sums or diffs the timings
-      val runs = Seq(once(), once())
+      graft.ops.PerAppCache.evictAll()
+      val runs = Seq(once(), once()) // head = cold, last = warm
       val good = runs.filter(_._2).map(_._1)
       (name, good.minOption, runs)
     }
-    canary += canaryOnce()
+    canary += ((qseq.size, canaryOnce()))
 
     def fmt(v: Double): String = (math.round(v * 10000) / 10000.0).toString
     val timed = results.collect { case (k, Some(v), _) => k -> v }
     val failed = results.collect { case (k, None, _) => k }.sorted
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // raw per-attempt pairs, success or not (failures also appear under
-    // "errors"); the artifact the round notes attribute swings from
+    // raw [cold, warm] pairs, success or not (failures also appear under
+    // "errors"); the artifact the round notes attribute swings from —
+    // a mover whose cold grew but warm held is cache-build cost, a mover
+    // whose warm grew only near a canary spike is the box
     val pairs = results.map { case (k, _, runs) =>
       "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\":\"failed both runs\"")
       .mkString("{", ",", "}")
-    val canaryJson = canary.map(fmt).mkString("[", ",", "]")
+    val canaryJson = canary.map { case (pos, v) => s"[$pos,${fmt(v)}]" }
+      .mkString("[", ",", "]")
     // "value" sums only the queries that ran — with n_failed published next
     // to it so a round with failures is never read as a speedup when
     // diffing totals across differing query sets
@@ -115,13 +127,14 @@ object Bench {
     // tail — r5 lost a third of the per-query map to truncation, and the
     // raw timing pairs would nearly double the line); the FULL artifact
     // with per-attempt pairs lands in bench_out.json, which is where the
-    // round notes read them from. The canary is 3 numbers — it rides on
-    // both so even a truncated capture carries the noise marker.
+    // round notes read them from. The canary is ~16 [pos, sec] samples —
+    // it rides on both so even a truncated capture carries the noise
+    // profile, positioned against the queries it ran between.
     // n_registered/n_oracle ride on the artifact so the stamp script can
     // derive README's coverage counts from the SAME bytes it stamps —
     // one writer, no hand-maintained numbers to drift
     val common =
-      s""""metric":"total","value":$total,"unit":"sec","run_id":"$runId","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
+      s""""metric":"total","value":$total,"unit":"sec","run_id":"$runId","timing_mode":"cold_warm","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"queries":$qs,"canary":$canaryJson,"errors":$errs,"sf":"$sfDir""""
     println(s"{$common}")
     BenchSession.writeArtifact("bench_out.json",
       s"""{$common,"timings":$pairs}""")

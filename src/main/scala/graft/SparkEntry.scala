@@ -44,17 +44,26 @@ object SparkEntry {
 
   /** The queries DECLARED to have no DuckDB oracle — each a sketch whose
     * internal state IS the algorithm (different sketch parameters across
-    * engines make equality meaningless; see ORACLES.md §8). Every entry
-    * carries a spec bounding it against its exact twin (LlmOpsSpec /
-    * FunctionsSpec). Closed list: a new query missing from BOTH this set
-    * and oracleSql fails registration below, so an oracle can't be
-    * forgotten silently. Round 12 moved q08d and x31g OUT of this set:
-    * their registered queries now emit the GK rank-bound audit
-    * (booleans computed in-plan against exact rank counts), which IS
-    * hash-comparable — only the HLL count (q09) and the sketch
-    * tie-breaks (x28m) remain value-incomparable across engines. */
-  val rowsOnlyByDesign: Set[String] =
-    Set("q09_approx_distinct", "x28m_heavy_hitters")
+    * engines make equality meaningless; see ORACLES.md §8) — mapped to
+    * the EXACT TWIN whose hash-checked query bounds it (the spec-pinned
+    * pairing, now machine-readable: Verify dumps this map as
+    * rows_only_twins.json next to oracle_sql.json, so a correctness
+    * artifact's `no_oracle` rows are self-describing instead of
+    * requiring ORACLES.md §8 spelunking). Every entry carries a spec
+    * bounding it against its twin (LlmOpsSpec / FunctionsSpec). Closed
+    * list: a new query missing from BOTH this map and oracleSql fails
+    * registration below, so an oracle can't be forgotten silently.
+    * Round 12 moved q08d and x31g OUT of this set: their registered
+    * queries now emit the GK rank-bound audit (booleans computed
+    * in-plan against exact rank counts), which IS hash-comparable —
+    * only the HLL count (q09) and the sketch tie-breaks (x28m) remain
+    * value-incomparable across engines. */
+  val rowsOnlyTwins: Map[String, String] = Map(
+    // HLL ndv estimate vs the exact distinct counts the same plan groups
+    "q09_approx_distinct" -> "q08_distinct_agg",
+    // CMS/sketch heavy hitters vs the exact top-term counts
+    "x28m_heavy_hitters" -> "x28d_tfidf_top_term")
+  val rowsOnlyByDesign: Set[String] = rowsOnlyTwins.keySet
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,6 +80,11 @@ object SparkEntry {
     val shadowed = rowsOnlyByDesign intersect sql.keySet
     require(shadowed.isEmpty,
       s"declared rows-only but an oracle exists: ${shadowed.mkString(", ")}")
+    // a twin must itself be hash-checked — a rows-only query bounded by
+    // another rows-only query would be a circular declaration
+    val badTwins = rowsOnlyTwins.values.toSet -- sql.keySet
+    require(badTwins.isEmpty,
+      s"rows-only twins without a hash-checked oracle: ${badTwins.mkString(", ")}")
     sql
   }
 }

@@ -55,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-description for the no_oracle rows: each declared rows-only
+    // query's exact hash-checked twin, so the correctness artifact's
+    // reader can resolve `no_oracle` to `no_oracle(twin=...)` without
+    // consulting ORACLES.md §8
+    val twins = SparkEntry.rowsOnlyTwins
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_twins.json"), twins)
     failed
   }
 }

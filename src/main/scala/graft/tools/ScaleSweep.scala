@@ -168,17 +168,37 @@ object ScaleSweep {
     "x26f_embedding_neardup_lsh", "x62_curation_report",
     "x33c_split_decontam", "x28d_tfidf_top_term", "q03b_large_join",
     "x78_containment", "x91_skipgram_pmi", "x70_interp_lm",
-    "x72_dup_pagerank", "x67_winnow_pairs", "x76_bm25_topk")
-  // x137b (cold 10× ratio 10.3×, warm 1.1× — cache-build amortization)
-  // got its 100× point from a STANDALONE probe this round: 44× cold /
-  // 0.6 s warm at 12 g, no quadratic. It stays out of the in-sweep
-  // Top100x list deliberately: appended as a 12th 100× query it OOMs
-  // the sweep JVM at 12 g AND 24 g while running fine alone — the
-  // failure is accumulated 100×-section state (persisted pair/SNM
-  // caches + lingering localCheckpoint blocks awaiting ContextCleaner),
-  // not the query; fresh-session probing is the honest measurement.
+    "x72_dup_pagerank", "x67_winnow_pairs", "x76_bm25_topk",
+    // round-13 additions: x137b rejoins IN-SWEEP (its r12 OOM was
+    // accumulated section state, fixed by drainState below — the r12
+    // standalone probe measured 44× cold / 0.6 s warm), plus the r12
+    // sweep's warm≈cold heavies x139 (6.7×), x142 (6.8×), x95 (7.0×)
+    "x137b_snm_recall_audit", "x139_loghist_quantiles",
+    "x142_kmv_distinct", "x95_ngram_saturation")
   private val Flag10x = 12.0
   private val Flag100x = 150.0
+
+  /** Drain accumulated executor-side state between heavy queries: evict
+    * every shared per-app cache, then GC-and-poll until the
+    * ContextCleaner has released all cached RDD blocks. localCheckpoint
+    * blocks (the iterative ops checkpoint per round) are freed only
+    * AFTER their RDD becomes unreachable and the async cleaner runs —
+    * without this, the 100× section accumulates every prior query's
+    * checkpoint blocks on-heap, which is exactly what OOMed the r12
+    * sweep at its 12th 100× query while the same query ran fine alone.
+    * The same persist-without-unpersist pattern would bite any
+    * long-running multi-phase job; this is the library-shaped fix, not
+    * a harness hack. */
+  def drainState(spark: SparkSession, maxWaitMs: Long = 15000L): Unit = {
+    graft.ops.PerAppCache.evictAll()
+    val sc = spark.sparkContext
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    while (sc.getRDDStorageInfo.nonEmpty &&
+        System.currentTimeMillis() < deadline) {
+      System.gc()
+      Thread.sleep(250L)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -211,10 +231,15 @@ object ScaleSweep {
     graft.ops.PerAppCache.evictAll()
 
     // 100× section for the heaviest + r11's near-flag tail:
-    // cold-vs-cold against the same 1× cold baseline as the 10× table
+    // cold-vs-cold against the same 1× cold baseline as the 10× table.
+    // drainState between queries: each 100× query starts with an empty
+    // block store, so the section scales past r12's 11-query OOM wall
+    // and x137b runs in-sweep instead of as a standalone carve-out
+    drainState(spark)
     BenchSession.warmTables(spark, d100)
     val t1ByName = rows.toMap
     val top = Top100x.map { name =>
+      drainState(spark)
       val (c100, w100) = timeQuery(spark, name, d100)
       val (c1, _) = t1ByName(name)
       (name, c1, c100, w100, c100 / c1)
