@@ -6204,4 +6204,372 @@ object TrainingData {
         expr("(1000000 * wsum) div n").as("wmean_micros"))
       .orderBy(col("grp"))
   }
+
+  /** Per-group EFFECTIVE SAMPLE SIZE and importance-weight diagnostics:
+    * Kish's ESS = (Σw)²/Σw² — the number of equally-weighted rows a
+    * weighted sample is actually worth. THE health check on any
+    * importance-weighted corpus (DSIR weights from [[dsirLogRatios]],
+    * mixture weights from [[mixByTokenBudget]], inverse-propensity
+    * weights): a 10⁹-row shard whose ESS is 10³ trains like a thousand
+    * documents wearing a billion-row cost, and no loss curve will say
+    * why. Output per group: n, ess_milli (ESS in thousandths),
+    * ess_fraction_micros (ESS/n), max_share_micros (largest single
+    * row's share of the group's weight — the "one doc owns the budget"
+    * flag), n_zero_share (rows whose share truncated to zero at the
+    * 10⁻⁷ grain — an honesty column, not an error).
+    *
+    * Exactness: ESS is scale-invariant, so weights are normalized
+    * twice in integer space — milli-quantized (round(w·10³), so any
+    * raw weight ≤ 9·10⁸ is exact), then expressed per-row as a share
+    * of the group maximum at 10⁻⁷ grain and of the group total at
+    * 10⁻⁷ grain. Every sum stays under 2⁶³ for groups ≤ ~9·10¹¹ rows
+    * and the two truncations are deterministic, so the oracle replays
+    * the arithmetic exactly; shares below 10⁻⁷ of the group mass
+    * truncate to zero (counted in n_zero_share) — ESS then reads the
+    * effective count among rows carrying ≥ 10⁻⁷ of the mass, a
+    * conservative reading.
+    *
+    * Scale shape: two map-side-combined aggregations on the group key
+    * with the tiny per-group bounds relation broadcast back between
+    * them; no sort, no window over raw rows. */
+  def essWeights(rows: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        expr(s"CAST(round(CAST(`$weightCol` AS DOUBLE) * 1000, 0)" +
+          " AS BIGINT)").as("wm"))
+      .select(col("grp"),
+        when(col("wm") < 0 || col("wm") > 900000000000L,
+          expr("raise_error('essWeights: weight outside [0, 9e8] — " +
+            "rescale at the call site (ESS is scale-invariant)')")
+            .cast("long"))
+          .otherwise(col("wm")).as("wm"))
+    val bounds = base.groupBy(col("grp"))
+      .agg(max(col("wm")).as("wmax"))
+    // two-stage normalization keeps every product and sum in BIGINT at
+    // any group size: v1 = share of the group MAX at 1e-7 grain
+    // (≤ 10⁷), then v = share of the group TOTAL of v1 at 1e-7 grain
+    val shares = base.join(broadcast(bounds), Seq("grp"))
+      .select(col("grp"),
+        when(col("wmax") === 0, lit(0L))
+          .otherwise(expr("(10000000 * wm) div wmax")).as("v1"))
+    val sums = shares.groupBy(col("grp"))
+      .agg(sum(col("v1")).as("s1"))
+    shares.join(broadcast(sums), Seq("grp"))
+      .select(col("grp"),
+        when(col("s1") === 0, lit(0L))
+          .otherwise(expr("(10000000 * v1) div s1")).as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sv2"), max(col("v")).as("vmax"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_zero_share"))
+      .select(col("grp"), col("n"),
+        when(col("sv2") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000 * sv * sv) div sv2")).as("ess_milli"),
+        when(col("sv2") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000 * ((1000 * sv * sv) div sv2)) div n"))
+          .as("ess_fraction_micros"),
+        expr("vmax div 10").as("max_share_micros"),
+        col("n_zero_share"))
+      .orderBy(col("grp"))
+  }
+
+  /** Murphy decomposition of the Brier score over binned forecasts:
+    * reliability (how far each bin's mean forecast sits from its
+    * realized event rate — calibration error, squared and
+    * count-weighted), resolution (how far the bins' event rates spread
+    * from the base rate — the forecast's actual discriminative power),
+    * and uncertainty (base-rate variance, the floor no forecaster
+    * beats). [[SamplingOps]]' x120 ECE reports |gap| per bin; this is
+    * the SQUARED decomposition that separates "the scores are
+    * miscalibrated" (reliability, fixable by remapping) from "the
+    * scores don't discriminate" (low resolution, not fixable) — the
+    * decision between recalibrating a quality classifier and
+    * retraining it. Output: one row (n, n_pos, n_bins, brier_micros,
+    * reliability_micros, resolution_micros, uncertainty_micros,
+    * base_rate_micros).
+    *
+    * Exactness: scores are micro-quantized ([0, 10⁶], a named in-plan
+    * error outside that range); every squared term is reduced to micro
+    * grain by one deterministic `div 10⁶` before the count-weighted
+    * sum, so all sums stay under 2⁶³ for inputs ≤ ~9·10¹² rows and the
+    * oracle replays each truncation exactly. The identity
+    * brier ≈ reliability − resolution + uncertainty holds to within-bin
+    * variance plus micro-truncation — this reports the measured brier
+    * independently rather than asserting the identity.
+    *
+    * Scale shape: one map-side-combined aggregation onto ≤ `bins`
+    * keys; everything after runs on that tiny relation. */
+  def brierDecomposition(rows: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"need 2 <= bins <= 1000, got $bins")
+    val base = rows
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        expr(s"CAST(round(CAST(`$scoreCol` AS DOUBLE) * 1000000, 0)" +
+          " AS BIGINT)").as("p"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("o"))
+      .select(
+        when(col("p") < 0 || col("p") > 1000000L,
+          expr("raise_error('brierDecomposition: score outside [0, 1]')")
+            .cast("long")).otherwise(col("p")).as("p"),
+        col("o"))
+    val binned = base.select(
+      least(lit(bins - 1L), expr(s"(p * $bins) div 1000000")).as("bin"),
+      col("p"), col("o"),
+      // per-row squared error reduced to micro grain immediately, so
+      // the corpus sum is ≤ 10⁶·n
+      expr("((p - 1000000 * o) * (p - 1000000 * o)) div 1000000")
+        .as("sq"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("p")).as("sp"),
+        sum(col("o")).as("so"), sum(col("sq")).as("sbr"))
+    val tot = perBin.agg(sum(col("n_b")).as("n"), sum(col("so")).as("n_pos"),
+      sum(col("sbr")).as("sbr_all"), count(lit(1)).as("n_bins"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_pos"), col("n_bins"), col("sbr_all"),
+        col("n_b"),
+        expr("sp div n_b").as("pbar"),
+        expr("(1000000 * so) div n_b").as("ebar"),
+        expr("(1000000 * n_pos) div n").as("obar"))
+      .select(col("n"), col("n_pos"), col("n_bins"), col("sbr_all"),
+        col("obar"),
+        (col("n_b") * expr(
+          "((pbar - ebar) * (pbar - ebar)) div 1000000")).as("rel_term"),
+        (col("n_b") * expr(
+          "((ebar - obar) * (ebar - obar)) div 1000000")).as("res_term"))
+      .groupBy(col("n"), col("n_pos"), col("n_bins"), col("sbr_all"),
+        col("obar"))
+      .agg(sum(col("rel_term")).as("rel_sum"),
+        sum(col("res_term")).as("res_sum"))
+      .select(col("n"), col("n_pos"), col("n_bins"),
+        expr("sbr_all div n").as("brier_micros"),
+        expr("rel_sum div n").as("reliability_micros"),
+        expr("res_sum div n").as("resolution_micros"),
+        expr("(obar * (1000000 - obar)) div 1000000")
+          .as("uncertainty_micros"),
+        col("obar").as("base_rate_micros"))
+  }
+
+  /** Kaplan–Meier risk table with right-censoring, plus the
+    * Nelson–Aalen cumulative hazard: per (group, duration) the number
+    * at risk, observed events, and censored exits, with
+    * hazard_cum_micros = Σ_{t_i ≤ t} ⌊10⁶·d_i/n_i⌋ over event times
+    * and survival ≈ e^(−H) in micros. Retention with honest
+    * censoring: the x37-style retention curve treats "still active at
+    * observation end" as "never returned"; this is the estimator that
+    * doesn't — the difference between "80% churn by day 30" and "80%
+    * of users we could OBSERVE to day 30 churned". Censored rows
+    * (event = 0/false) leave the risk set without counting as events.
+    *
+    * Exactness: durations are exact integers ([[integralLong]] grain —
+    * bucket to days/hours at the call site), each hazard term is one
+    * deterministic integer division, and the cumulative sum runs over
+    * distinct durations in a deterministic order, so everything
+    * hash-checks; survival_micros additionally pays ONE exp() per
+    * output row of the tiny distinct-durations relation, rounded once
+    * (the x28d/x79 libm convention).
+    *
+    * Scale shape: one map-side-combined (group, duration) aggregation;
+    * the cumulative windows run over DISTINCT durations per group
+    * (value cardinality, not rows). */
+  def kaplanMeier(rows: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        integralLong(durationCol, "kaplanMeier").as("t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("e"))
+    val byT = base.groupBy(col("grp"), col("t"))
+      .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("cens"),
+        count(lit(1)).as("m"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    // at risk at t = everyone who has not exited strictly before t
+    val risked = byT
+      .withColumn("n_total", sum(col("m")).over(wTot))
+      .withColumn("exited_thru", sum(col("m")).over(wAll))
+      .select(col("grp"), col("t"), col("d"), col("cens"),
+        (col("n_total") - col("exited_thru") + col("m")).as("at_risk"),
+        expr("(1000000 * d) div" +
+          " (n_total - exited_thru + m)").as("haz_term"))
+    risked
+      .withColumn("hazard_cum_micros", sum(col("haz_term")).over(wAll))
+      // risk-table convention: report event times only (censor-only
+      // durations shaped the at_risk counts above and then drop out)
+      .filter(col("d") > 0)
+      .select(col("grp"), col("t"), col("at_risk"), col("d").as("d_events"),
+        col("cens").as("n_censored"), col("hazard_cum_micros"),
+        expr("CAST(round(exp(-CAST(hazard_cum_micros AS DOUBLE) / 1e6)" +
+          " * 1000000, 0) AS BIGINT)").as("survival_micros"))
+      .orderBy(col("grp"), col("t"))
+  }
+
+  /** Frequent item PAIRS with support, confidence, and lift — Apriori
+    * level 2 over (basket, item) relations: items below `minSupport`
+    * baskets never reach the pair join (the Apriori pruning that makes
+    * this linear-ish instead of |items|²), surviving pairs are counted
+    * by one within-basket self-equi-join, and each reported pair
+    * carries conf(a→b), conf(b→a), and lift in truncated micros.
+    * "Users who do X also do Y" / co-occurring labels / co-crawled
+    * domains — the transaction-grain co-occurrence mining next to
+    * x79's PMI (token grain, information units; this is support
+    * grain, probability units). Higher-order itemsets iterate the
+    * same prune-join-count step on the pair relation.
+    *
+    * Exactness: supports are exact BIGINT counts; lift is computed as
+    * two chained truncated divisions ⌊⌊10⁶·s_ab/s_a⌋·N/s_b⌋ so every
+    * intermediate fits BIGINT at any corpus size (a direct
+    * 10⁶·s_ab·N/(s_a·s_b) overflows past s_a·s_b > 9·10¹⁸); both
+    * engines replay the same truncation order.
+    *
+    * Scale shape: distinct (basket, item) is one map-side-combined
+    * dedup; frequent singletons broadcast into a semi-filter; the pair
+    * join is an equi-join on basket whose fan-out is bounded by
+    * per-basket FREQUENT-item count (salt mega-baskets upstream if a
+    * basket can hold thousands of frequent items). */
+  def frequentItemPairs(rows: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"need minSupport >= 1, got $minSupport")
+    // the deduped (basket, item) relation feeds four plan branches
+    // (singleton supports, basket count, both pair-join sides) — persist
+    // it so the raw input is scanned once, the shingles/pairs convention
+    val items = rows
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
+      .distinct()
+      .persist()
+    val l1 = items.groupBy(col("i")).agg(count(lit(1)).as("s1"))
+      .filter(col("s1") >= minSupport)
+    val nBaskets = items.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val freq = items.join(broadcast(l1), Seq("i"))
+    val pairs = freq.select(col("b"), col("i").as("i1"), col("s1").as("sa"))
+      .join(freq.select(col("b"), col("i").as("i2"), col("s1").as("sb")),
+        Seq("b"))
+      .filter(col("i1") < col("i2"))
+      .groupBy(col("i1"), col("i2"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("s_ab"))
+      .filter(col("s_ab") >= minSupport)
+    pairs.crossJoin(broadcast(nBaskets))
+      .select(col("i1"), col("i2"), col("s_ab"),
+        col("sa").as("s_i1"), col("sb").as("s_i2"), col("n_baskets"),
+        expr("(1000000 * s_ab) div sa").as("conf_1to2_micros"),
+        expr("(1000000 * s_ab) div sb").as("conf_2to1_micros"),
+        expr("(((1000000 * s_ab) div sa) * n_baskets) div sb")
+          .as("lift_micros"))
+      .orderBy(col("s_ab").desc, col("i1"), col("i2"))
+  }
+
+  /** Set-operation cardinalities from two KMV sketches: union,
+    * intersection, and difference NDV estimates plus the Jaccard
+    * estimate, all from two k-row [[kmvMins]] summaries — "how much do
+    * these two 100 TB corpora overlap" priced at sketch cost, never a
+    * join of the full key sets. The standard KMV overlap estimator:
+    * with K = the k smallest hashes of A ∪ B (which is exactly the
+    * k smallest of mins(A) ∪ mins(B) — the x142b merge law), every
+    * h ∈ K that belongs to A is necessarily in mins(A) (fewer than k
+    * union hashes precede it, so fewer than k of A's do), so
+    * membership tests against the two sketches are EXACT for K's rows:
+    * ρ = |K ∩ A ∩ B| / |K| estimates Jaccard, and
+    * intersection ≈ ρ·union. Output: one row (k, n_union_hashes,
+    * n_both, union_est, inter_est, jaccard_micros, only_a_est,
+    * only_b_est).
+    *
+    * Exactness: the sha-derived coordinate, the k-min reduction, and
+    * the estimator are the integer arithmetic of [[kmvDistinct]];
+    * ±~1/√k relative error on union, looser on small intersections
+    * (ρ has k samples — don't read a 256-sketch overlap below ~1%).
+    *
+    * Scale shape: two [[kmvMins]] passes (each one map-side-combined
+    * dedup + a ≤ n_partitions·k exchange), then every join below runs
+    * on ≤ k-row relations, all broadcast. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 16, s"need k >= 16 for a usable estimate, got $k")
+    // ONE tagged union so each side's kmvMins scan sits on exactly one
+    // plan branch (a per-branch recompute would re-scan the full input
+    // per use): dedup by hash carrying the membership flags, then the
+    // k smallest WITH flags are K and its A/B memberships together
+    val tagged = kmvMins(a, valueCol, k)
+      .select(col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionByName(kmvMins(b, valueCol, k)
+        .select(col("h"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy(col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .orderBy(col("h")).limit(k)
+    tagged
+      .agg(count(lit(1)).as("n_union_hashes"), max(col("h")).as("kth_min"),
+        sum(col("in_a") * col("in_b")).as("n_both"),
+        sum(col("in_a") * (lit(1L) - col("in_b"))).as("n_only_a"),
+        sum(col("in_b") * (lit(1L) - col("in_a"))).as("n_only_b"))
+      .select(lit(k).as("k"), col("n_union_hashes"), col("n_both"),
+        // kmvEstimateFromMins' estimator inline on the same row
+        when(col("n_union_hashes") < k, col("n_union_hashes"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4503599627370496)" +
+            " div kth_min")).as("union_est"),
+        col("n_only_a"), col("n_only_b"))
+      .filter(col("n_union_hashes") > 0) // both inputs empty → no row, not /0
+      .select(col("k"), col("n_union_hashes"), col("n_both"),
+        col("union_est"),
+        expr("(n_both * union_est) div n_union_hashes").as("inter_est"),
+        expr("(1000000 * n_both) div n_union_hashes").as("jaccard_micros"),
+        expr("(n_only_a * union_est) div n_union_hashes").as("only_a_est"),
+        expr("(n_only_b * union_est) div n_union_hashes").as("only_b_est"))
+  }
+
+  /** The four RE2-safe patterns behind [[piiScan]] — no backreferences,
+    * no lookaround, so Java regex (Spark) and RE2 (the oracle's
+    * DuckDB, and most production scrubbers) match identically. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "card16" -> "\\b\\d{16}\\b",
+    "phones" -> "\\+1 \\d{3}-\\d{3}-\\d{4}")
+
+  /** PII pattern scan + redaction audit per group: match counts for
+    * emails / IPv4 addresses / 16-digit card-shaped numbers / +1 phone
+    * numbers ([[PiiPatterns]]), the count and fraction of documents
+    * carrying ANY of them, and the total characters a redaction pass
+    * (all four patterns replaced, in the fixed [[PiiPatterns]] order)
+    * would remove — the scrub-before-train report a corpus ships with,
+    * and the size estimate for the redaction job itself. Counts are
+    * per-MATCH (a doc with three emails contributes three), doc flags
+    * are per-doc. Output: (grp, n_docs, n_docs_with_pii,
+    * pii_docs_micros, n_emails, n_ipv4, n_card16, n_phones,
+    * redacted_chars).
+    *
+    * Scale shape: row-local regex work (codegen'd regexp_count /
+    * regexp_replace — patterns compiled once per task), then one
+    * map-side-combined aggregation on the group key. */
+  def piiScan(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val Seq(email, ipv4, card, phone) = PiiPatterns.map(_._2)
+    val redacted = PiiPatterns.foldLeft(col("t")) { case (c, (_, p)) =>
+      regexp_replace(c, p, "")
+    }
+    docs.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(textCol).as("t"))
+      .select(col("grp"),
+        regexp_count(col("t"), lit(email)).cast("long").as("c_email"),
+        regexp_count(col("t"), lit(ipv4)).cast("long").as("c_ip"),
+        regexp_count(col("t"), lit(card)).cast("long").as("c_card"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("c_phone"),
+        (length(col("t")) - length(redacted)).cast("long").as("cut"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_email") + col("c_ip") + col("c_card") +
+          col("c_phone") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("c_email")).as("n_emails"), sum(col("c_ip")).as("n_ipv4"),
+        sum(col("c_card")).as("n_card16"), sum(col("c_phone")).as("n_phones"),
+        sum(col("cut")).as("redacted_chars"))
+      .select(col("grp"), col("n_docs"), col("n_docs_with_pii"),
+        expr("(1000000 * n_docs_with_pii) div n_docs").as("pii_docs_micros"),
+        col("n_emails"), col("n_ipv4"), col("n_card16"), col("n_phones"),
+        col("redacted_chars"))
+      .orderBy(col("grp"))
+  }
 }

@@ -769,6 +769,67 @@ object DedupOps {
           .as("precision_micro"))
   }
 
+  /** Transposition-aware typo/OCR near-dup pairs: records blocked on
+    * (first `blockPrefix` chars of the lowercased key, exact length),
+    * then TRUE Damerau–Levenshtein ≤ `maxDist` within each block via
+    * the native codegen expression
+    * [[graft.functions.DamerauLevenshtein]] — the edit-distance
+    * blocker for SHORT keys (names, titles, normalized lines) where
+    * transpositions dominate ("teh"→"the" is 1 edit here, 2 under
+    * x93's plain Levenshtein, so a radius-1 block only this metric
+    * fills). Emits both distances and their gap — the measured count
+    * of transpositions the plain metric overprices. Output:
+    * (id1, id2, dl, lev, transposition_gain), id1 < id2.
+    *
+    * Scale shape: one equi-join on the block key (never all-pairs);
+    * the O(|s|²) matrix runs row-local on ≤ blocked candidates. The
+    * block is prefix+length, so a typo in the FIRST `blockPrefix`
+    * chars escapes the block — run a second pass on a reversed or
+    * offset key for coverage, the x137 two-key convention. */
+  def typoNearDupPairs(rows: DataFrame, idCol: String, keyCol: String,
+      blockPrefix: Int, maxDist: Int): DataFrame = {
+    require(blockPrefix >= 1, s"need blockPrefix >= 1, got $blockPrefix")
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val base = rows
+      .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol).as("id"), lower(col(keyCol)).as("s"))
+      .withColumn("blk", concat_ws("|",
+        substring(col("s"), 1, blockPrefix),
+        length(col("s")).cast("string")))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        graft.functions.TextFunctions
+          .damerau_levenshtein(col("a.s"), col("b.s")).cast("long").as("dl"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("lev"))
+      .filter(col("dl") <= maxDist)
+      .select(col("id1"), col("id2"), col("dl"), col("lev"),
+        (col("lev") - col("dl")).as("transposition_gain"))
+  }
+
+  /** X150 — typo near-dup pairs over a transposition-perturbed corpus:
+    * every third document gets a twin (id + 10⁷) whose 40-char
+    * normalized head has chars 9/10 swapped — the OCR/typo shape —
+    * then [[typoNearDupPairs]] blocks on (8-char prefix, length) and
+    * verifies with true Damerau–Levenshtein ≤ 2. The oracle holds the
+    * native expression to DuckDB's own `damerau_levenshtein` on every
+    * candidate pair — an exact cross-engine check of the
+    * Lowrance–Wagner implementation itself. */
+  def x150TypoNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val twins = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(substring(col("head"), 1, 8),
+          substring(col("head"), 10, 1), substring(col("head"), 9, 1),
+          substring(col("head"), 11, 30)).as("head"))
+    typoNearDupPairs(docs.unionByName(twins), "doc_id", "head",
+      blockPrefix = 8, maxDist = 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** X71 — triangle census of the near-dup graph: per-node triangle
     * count + local clustering coefficient over the SHARED verified pair
     * relation (x26's cache), separating clique-shaped duplicate
@@ -848,6 +909,7 @@ object DedupOps {
       .orderBy(col("src_a"), col("src_b"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x150_typo_neardup" -> (x150TypoNeardup _),
     "x106_dup_concentration" -> (x106DupConcentration _),
     "x107_lsh_recall_audit" -> (x107LshRecallAudit _),
     "x104_source_jaccard" -> (x104SourceJaccard _),
@@ -1008,6 +1070,34 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // typo near-dup replay: the same twin perturbation and
+    // (8-char-prefix, length) blocking, with DuckDB's OWN
+    // damerau_levenshtein as the reference for the native
+    // Lowrance–Wagner expression — an exact cross-engine check of the
+    // algorithm, candidate pair by candidate pair
+    "x150_typo_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS head
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(text) >= 40),
+        |twins AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    concat(substring(head, 1, 8), substring(head, 10, 1),
+        |      substring(head, 9, 1), substring(head, 11, 30)) AS head
+        |  FROM docs WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT doc_id AS id, lower(head) AS s,
+        |    concat(substring(lower(head), 1, 8), '|',
+        |      CAST(length(head) AS VARCHAR)) AS blk
+        |  FROM (SELECT * FROM docs UNION ALL SELECT * FROM twins)),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl,
+        |    CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev
+        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id1, id2, dl, lev, lev - dl AS transposition_gain
+        |FROM p WHERE dl <= 2 ORDER BY id1, id2""".stripMargin,
     // the SHARED banding fragment restricted to mixed-parity pairs and
     // oriented (delta → base), then the same exact-Jaccard verification
     // and per-newcomer admission verdict

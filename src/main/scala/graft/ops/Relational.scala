@@ -331,7 +331,24 @@ object Relational {
       k = 256)
   }
 
+  /** X149 — KMV set-operation overlap between two user populations
+    * (click-ers vs view-ers): union / intersection / difference NDV
+    * estimates and the Jaccard estimate, from two 256-row k-mins
+    * summaries — "how much do these two corpora overlap" priced at
+    * sketch cost (never a join of the full key sets), with every step
+    * integer arithmetic the oracle replays. Fixture binding of
+    * [[graft.api.TrainingData.kmvOverlap]]. */
+  def x149KmvOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+    graft.api.TrainingData.kmvOverlap(
+      ev.filter(col("event_type") === "click").select(col("user_id")),
+      ev.filter(col("event_type") === "view").select(col("user_id")),
+      "user_id", k = 256)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x149_kmv_overlap" -> (x149KmvOverlap _),
     "x129_table_profile" -> (x129TableProfile _),
     "x129b_profile_floats" -> (x129bProfileFloats _),
     "x142_kmv_distinct" -> (x142KmvDistinct _),
@@ -385,7 +402,53 @@ object Relational {
        |  END AS ndv_est
        |FROM a""".stripMargin
 
+  // KMV overlap replay: per-side 52-bit sha coordinates, per-side
+  // 256-mins, tagged union deduped by hash, the k smallest WITH flags,
+  // then the same integer estimators
+  private val kmvOverlapOracle = {
+    def side(et: String) =
+      s"""SELECT h FROM (
+         |  SELECT DISTINCT ${hash52Sql("user_id")} AS h
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         |    AND event_type = '$et')
+         |ORDER BY h LIMIT 256""".stripMargin
+    s"""WITH ma AS (${side("click")}),
+       |mb AS (${side("view")}),
+       |u AS (
+       |  SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT h, 1 AS in_a, 0 AS in_b FROM ma
+       |    UNION ALL
+       |    SELECT h, 0 AS in_a, 1 AS in_b FROM mb)
+       |  GROUP BY h ORDER BY h LIMIT 256),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_union_hashes,
+       |    CAST(max(h) AS BIGINT) AS kth_min,
+       |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       |    CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+       |    CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS n_only_b
+       |  FROM u),
+       |est AS (
+       |  SELECT n_union_hashes, n_both, n_only_a, n_only_b,
+       |    CASE WHEN n_union_hashes < 256 THEN n_union_hashes
+       |         ELSE CAST((CAST(255 AS BIGINT) * 4503599627370496)
+       |           // kth_min AS BIGINT)
+       |    END AS union_est
+       |  FROM a WHERE n_union_hashes > 0)
+       |SELECT 256 AS k, n_union_hashes, n_both, union_est,
+       |  CAST((n_both * union_est) // n_union_hashes AS BIGINT)
+       |    AS inter_est,
+       |  CAST((1000000 * n_both) // n_union_hashes AS BIGINT)
+       |    AS jaccard_micros,
+       |  CAST((n_only_a * union_est) // n_union_hashes AS BIGINT)
+       |    AS only_a_est,
+       |  CAST((n_only_b * union_est) // n_union_hashes AS BIGINT)
+       |    AS only_b_est
+       |FROM est""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x149_kmv_overlap" -> kmvOverlapOracle,
     "x142b_kmv_merged" -> kmvOracle,
     "x142_kmv_distinct" -> kmvOracle,
     // profile replay: one SELECT per column unioned — n_rows from the

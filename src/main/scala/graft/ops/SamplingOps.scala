@@ -122,6 +122,32 @@ object SamplingOps {
       "source", "n_chars", lambda = 25L)
       .orderBy(col("grp"))
 
+  /** X145 — Kish effective sample size per source under
+    * length-proportional weighting: if documents are sampled/weighted
+    * ∝ n_chars (the x39 token-budget convention), how many
+    * equally-weighted documents is each source actually worth? A
+    * source whose ESS fraction is low is secretly a few huge documents
+    * wearing many rows. Fixture binding of
+    * [[graft.api.TrainingData.essWeights]]. */
+  def x145EssWeights(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.essWeights(
+      t(s, d, "documents").select(col("source"), col("n_chars")),
+      "source", "n_chars")
+
+  /** X146 — Murphy (reliability/resolution/uncertainty) decomposition
+    * of the Brier score for the x120 calibration pair (score =
+    * min(n_chars, 600)/600 as an is-English forecast): separates "the
+    * score is miscalibrated" (reliability — remap it) from "the score
+    * doesn't discriminate" (low resolution — retrain it), which the
+    * |gap| table of x120 can't. Fixture binding of
+    * [[graft.api.TrainingData.brierDecomposition]]. */
+  def x146BrierDecomp(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.brierDecomposition(
+      t(s, d, "documents")
+        .select((least(col("n_chars"), lit(600)).cast("double") / 600.0)
+          .as("p"), (col("lang") === "en").as("label")),
+      "p", "label", bins = 10)
+
   /** X140 — split-conformal calibration threshold per language: with n
     * calibration scores and 10% miscoverage, the threshold is the
     * ⌈0.9·(n+1)⌉-th smallest score — the finite-sample-correct quantile
@@ -504,6 +530,8 @@ object SamplingOps {
     "x141_winsorized_stats" -> (x141WinsorizedStats _),
     "x143_ndcg_at_k" -> (x143NdcgAtK _),
     "x144_bayes_average" -> (x144BayesAverage _),
+    "x145_ess_weights" -> (x145EssWeights _),
+    "x146_brier_decomp" -> (x146BrierDecomp _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
@@ -1062,6 +1090,88 @@ object SamplingOps {
     // q08b-established portable pair)
     // Bayesian-average replay: one group aggregation, the grand mean in
     // micros once, the same integer shrinkage quotient
+    // ESS replay: the identical two-stage integer normalization (share
+    // of group max at 1e-7 grain, then share of that total at 1e-7
+    // grain) — every div has a non-negative dividend, so DuckDB's
+    // floor-// equals Spark's truncating div
+    "x145_ess_weights" ->
+      """WITH b AS (
+        |  SELECT source AS grp,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1000, 0) AS BIGINT) AS wm
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |mx AS (SELECT grp, max(wm) AS wmax FROM b GROUP BY 1),
+        |v1 AS (
+        |  SELECT b.grp,
+        |    CASE WHEN wmax = 0 THEN 0
+        |         ELSE (10000000 * wm) // wmax END AS v1
+        |  FROM b JOIN mx ON b.grp = mx.grp),
+        |s1 AS (SELECT grp, CAST(sum(v1) AS BIGINT) AS s1 FROM v1 GROUP BY 1),
+        |v AS (
+        |  SELECT v1.grp,
+        |    CASE WHEN s1 = 0 THEN 0
+        |         ELSE (10000000 * v1) // s1 END AS v
+        |  FROM v1 JOIN s1 ON v1.grp = s1.grp),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(sum(v * v) AS BIGINT) AS sv2,
+        |    CAST(max(v) AS BIGINT) AS vmax,
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_share
+        |  FROM v GROUP BY 1)
+        |SELECT grp, n,
+        |  CASE WHEN sv2 = 0 THEN NULL
+        |       ELSE CAST((1000 * sv * sv) // sv2 AS BIGINT) END AS ess_milli,
+        |  CASE WHEN sv2 = 0 THEN NULL
+        |       ELSE CAST((1000 * ((1000 * sv * sv) // sv2)) // n AS BIGINT)
+        |  END AS ess_fraction_micros,
+        |  CAST(vmax // 10 AS BIGINT) AS max_share_micros,
+        |  n_zero_share
+        |FROM g ORDER BY grp""".stripMargin,
+    // Brier decomposition replay: micro scores, per-row squared error
+    // reduced to micro grain before summing, per-bin truncated means,
+    // count-weighted squared gaps — each div's dividend non-negative
+    "x146_brier_decomp" ->
+      """WITH b AS (
+        |  SELECT CAST(round((least(n_chars, 600) / 600.0) * 1000000.0, 0)
+        |           AS BIGINT) AS p,
+        |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (
+        |  SELECT least(9, (p * 10) // 1000000) AS bin, p, o,
+        |    ((p - 1000000 * o) * (p - 1000000 * o)) // 1000000 AS sq
+        |  FROM b),
+        |g AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(p) AS BIGINT) AS sp, CAST(sum(o) AS BIGINT) AS so,
+        |    CAST(sum(sq) AS BIGINT) AS sbr
+        |  FROM r GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |    CAST(sum(so) AS BIGINT) AS n_pos,
+        |    CAST(sum(sbr) AS BIGINT) AS sbr_all,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM g),
+        |per AS (
+        |  SELECT n, n_pos, n_bins, sbr_all, n_b,
+        |    sp // n_b AS pbar, (1000000 * so) // n_b AS ebar,
+        |    (1000000 * n_pos) // n AS obar
+        |  FROM g, tot),
+        |t2 AS (
+        |  SELECT n, n_pos, n_bins, sbr_all, obar,
+        |    n_b * (((pbar - ebar) * (pbar - ebar)) // 1000000) AS rel_term,
+        |    n_b * (((ebar - obar) * (ebar - obar)) // 1000000) AS res_term
+        |  FROM per)
+        |SELECT n, n_pos, n_bins,
+        |  CAST(sbr_all // n AS BIGINT) AS brier_micros,
+        |  CAST(sum(rel_term) // n AS BIGINT) AS reliability_micros,
+        |  CAST(sum(res_term) // n AS BIGINT) AS resolution_micros,
+        |  CAST((obar * (1000000 - obar)) // 1000000 AS BIGINT)
+        |    AS uncertainty_micros,
+        |  CAST(obar AS BIGINT) AS base_rate_micros
+        |FROM t2 GROUP BY n, n_pos, n_bins, sbr_all, obar""".stripMargin,
     "x144_bayes_average" ->
       """WITH b AS (
         |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v

@@ -572,6 +572,30 @@ object TextOps {
       "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** X151 — PII pattern scan + redaction audit per source, over a
+    * deterministically PII-seeded fixture (the synthetic text is
+    * clean, so emails/IPs/card numbers/phones are appended by id
+    * arithmetic BOTH engines replay — the x66 injection pattern).
+    * Fixture binding of [[graft.api.TrainingData.piiScan]]. */
+  def x151PiiScan(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.piiScan(
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact u"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".1"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" card 4111111111111111")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit(" tel +1 555-123-4567")).otherwise(lit("")))
+            .as("text")),
+      "source", "text")
+
   /** X69 — rank-fusion quality scoring: three integer token-stat signals
     * mapped to corpus deciles (exact-percentile edge vector, broadcast)
     * and averaged — multi-signal quality without hand-tuned weights or a
@@ -677,6 +701,7 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x151_pii_scan" -> (x151PiiScan _),
     "x103_robust_outliers" -> (x103RobustOutliers _),
     "x100_good_turing" -> (x100GoodTuring _),
     "x95_ngram_saturation" -> (x95NgramSaturation _),
@@ -866,6 +891,59 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // PII scan replay: identical id-arithmetic injection, RE2 counts
+    // via len(regexp_extract_all), redaction via the same four
+    // regexp_replace passes in the same order ('g' — DuckDB replaces
+    // first-only by default where Spark replaces all)
+    "x151_pii_scan" ->
+      """WITH seeded AS (
+        |  SELECT source AS grp, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' contact u' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |           || '.1' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' card 4111111111111111' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' tel +1 555-123-4567' ELSE '' END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |    AND text IS NOT NULL),
+        |c AS (
+        |  SELECT grp,
+        |    CAST(len(regexp_extract_all(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      AS BIGINT) AS c_email,
+        |    CAST(len(regexp_extract_all(t,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS c_ip,
+        |    CAST(len(regexp_extract_all(t, '\b\d{16}\b')) AS BIGINT)
+        |      AS c_card,
+        |    CAST(len(regexp_extract_all(t, '\+1 \d{3}-\d{3}-\d{4}'))
+        |      AS BIGINT) AS c_phone,
+        |    CAST(length(t) - length(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '', 'g'),
+        |        '\b\d{16}\b', '', 'g'),
+        |        '\+1 \d{3}-\d{3}-\d{4}', '', 'g')) AS BIGINT) AS cut
+        |  FROM seeded),
+        |g AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN c_email + c_ip + c_card + c_phone > 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |    CAST(sum(c_email) AS BIGINT) AS n_emails,
+        |    CAST(sum(c_ip) AS BIGINT) AS n_ipv4,
+        |    CAST(sum(c_card) AS BIGINT) AS n_card16,
+        |    CAST(sum(c_phone) AS BIGINT) AS n_phones,
+        |    CAST(sum(cut) AS BIGINT) AS redacted_chars
+        |  FROM c GROUP BY 1)
+        |SELECT grp, n_docs, n_docs_with_pii,
+        |  CAST((1000000 * n_docs_with_pii) // n_docs AS BIGINT)
+        |    AS pii_docs_micros,
+        |  n_emails, n_ipv4, n_card16, n_phones, redacted_chars
+        |FROM g ORDER BY grp""".stripMargin,
     // robust-outlier replay: quantile_cont median/MAD (the x31d
     // portable percentile pair) rounded to 6 before use, one
     // micro-quantized z per row, zero-MAD strata emit nothing

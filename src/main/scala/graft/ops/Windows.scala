@@ -418,9 +418,53 @@ object Windows {
       .orderBy(col("purchase_id"))
   }
 
+  /** X147 — Kaplan–Meier churn risk table with right-censoring over the
+    * events stream: each user's lifespan in HOURS (first event → last
+    * event), churn OBSERVED only when the user has been silent for the
+    * final 12 hours of the observation window — users still active near
+    * the end are CENSORED, not counted as churned (the estimator
+    * q28-style retention can't express), cohorted by whether the user
+    * ever signed up. Plus the Nelson–Aalen cumulative hazard and e^(−H)
+    * survival. Fixture binding of
+    * [[graft.api.TrainingData.kaplanMeier]]. */
+  def x147KaplanMeier(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"), col("event_type"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L))
+          .as("signed"))
+    val horizon = ev.agg(max(col("ms")).as("max_ms"))
+    val cohorts = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("signed") === 1, lit("signup")).otherwise(lit("organic"))
+          .as("cohort"),
+        expr("(last_ms - first_ms) div 3600000").as("dur_hours"),
+        when(col("last_ms") < col("max_ms") - 43200000L, 1L).otherwise(0L)
+          .as("churned"))
+    graft.api.TrainingData.kaplanMeier(cohorts, "cohort", "dur_hours",
+      "churned")
+  }
+
+  /** X148 — frequent event-type pairs per user basket: which behaviors
+    * co-occur in the same user's history, with support, both
+    * confidences, and lift — the Apriori level-2 market-basket read of
+    * the events stream ("users who purchase also signup" with the
+    * probability units x89's transition matrix and x79's PMI don't
+    * give). Fixture binding of
+    * [[graft.api.TrainingData.frequentItemPairs]]. */
+  def x148FreqPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.frequentItemPairs(
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull),
+      "user_id", "event_type", minSupport = 20L)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x138_asof_attribution" -> (x138AsofAttribution _),
     "x138b_asof_salted" -> (x138bAsofSalted _),
+    "x147_kaplan_meier" -> (x147KaplanMeier _),
+    "x148_freq_pairs" -> (x148FreqPairs _),
     "x131_daily_autocorr" -> (x131DailyAutocorr _),
     "x132_cusum_changepoint" -> (x132Cusum _),
     "x99_fleiss_kappa" -> (x99FleissKappa _),
@@ -444,6 +488,77 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // Kaplan–Meier replay: per-user lifespan/censoring derivation, then
+    // the (cohort, duration) risk table — cumulative exits over distinct
+    // durations, truncated-micro hazard terms, one exp() per output row
+    "x147_kaplan_meier" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (
+        |  SELECT user_id, min(ms) AS first_ms, max(ms) AS last_ms,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signed
+        |  FROM e GROUP BY 1),
+        |hz AS (SELECT max(ms) AS max_ms FROM e),
+        |c AS (
+        |  SELECT CASE WHEN signed = 1 THEN 'signup' ELSE 'organic' END
+        |      AS grp,
+        |    (last_ms - first_ms) // 3600000 AS t,
+        |    CASE WHEN last_ms < max_ms - 43200000 THEN 1 ELSE 0 END AS ev
+        |  FROM pu, hz),
+        |byt AS (
+        |  SELECT grp, t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS cens,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM c GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT grp, t, d, cens, m,
+        |    sum(m) OVER (PARTITION BY grp) AS n_total,
+        |    sum(m) OVER (PARTITION BY grp ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS exited_thru
+        |  FROM byt),
+        |hzd AS (
+        |  SELECT grp, t, d, cens,
+        |    CAST(n_total - exited_thru + m AS BIGINT) AS at_risk,
+        |    (1000000 * d) // (n_total - exited_thru + m) AS haz
+        |  FROM rk),
+        |cum AS (
+        |  SELECT grp, t, d, cens, at_risk,
+        |    CAST(sum(haz) OVER (PARTITION BY grp ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS hazard_cum_micros
+        |  FROM hzd)
+        |SELECT grp, t, at_risk, d AS d_events, cens AS n_censored,
+        |  hazard_cum_micros,
+        |  CAST(round(exp(-CAST(hazard_cum_micros AS DOUBLE) / 1e6)
+        |    * 1000000, 0) AS BIGINT) AS survival_micros
+        |FROM cum WHERE d > 0 ORDER BY grp, t""".stripMargin,
+    // Apriori level-2 replay: distinct (basket, item), frequent
+    // singletons, within-basket pair join, chained truncated divisions
+    // for confidence and lift in the same order
+    "x148_freq_pairs" ->
+      """WITH it AS (
+        |  SELECT DISTINCT user_id AS b, CAST(event_type AS VARCHAR) AS i
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |l1 AS (SELECT i, CAST(count(*) AS BIGINT) AS s1 FROM it GROUP BY 1
+        |       HAVING count(*) >= 20),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
+        |       FROM it),
+        |f AS (SELECT it.b, it.i, s1 FROM it JOIN l1 ON it.i = l1.i),
+        |p AS (
+        |  SELECT a.i AS i1, c.i AS i2, a.s1 AS sa, c.s1 AS sb,
+        |    CAST(count(*) AS BIGINT) AS s_ab
+        |  FROM f a JOIN f c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= 20)
+        |SELECT i1, i2, s_ab, sa AS s_i1, sb AS s_i2, n_baskets,
+        |  CAST((1000000 * s_ab) // sa AS BIGINT) AS conf_1to2_micros,
+        |  CAST((1000000 * s_ab) // sb AS BIGINT) AS conf_2to1_micros,
+        |  CAST((((1000000 * s_ab) // sa) * n_baskets) // sb AS BIGINT)
+        |    AS lift_micros
+        |FROM p, nb ORDER BY s_ab DESC, i1, i2""".stripMargin,
     // as-of replay without window IGNORE NULLS: matched ts = max prior
     // click ts per purchase, matched id = max click id at that ts (the
     // same (ts, id) tie-break the Spark sort order applies)

@@ -68,7 +68,15 @@ object ScaleSweep {
     // recall audit's pair join, and the order-statistic core
     "x138_asof_attribution", "x139_loghist_quantiles",
     "x142_kmv_distinct", "x137b_snm_recall_audit",
-    "x141_winsorized_stats", "x143_ndcg_at_k")
+    "x141_winsorized_stats", "x143_ndcg_at_k",
+    // round-13 additions: the salted as-of (union + bucketed windows),
+    // the new ratio/risk/market-basket aggregations, the KMV overlap's
+    // two pre-cut scans, the blocked Damerau–Levenshtein join (block
+    // occupancy is the quantity to watch — same caveat as SNM), and
+    // the regex-heavy PII scan
+    "x138b_asof_salted", "x145_ess_weights", "x146_brier_decomp",
+    "x147_kaplan_meier", "x148_freq_pairs", "x149_kmv_overlap",
+    "x150_typo_neardup", "x151_pii_scan", "x139c_loghist_zeros")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
@@ -174,7 +182,10 @@ object ScaleSweep {
     // standalone probe measured 44× cold / 0.6 s warm), plus the r12
     // sweep's warm≈cold heavies x139 (6.7×), x142 (6.8×), x95 (7.0×)
     "x137b_snm_recall_audit", "x139_loghist_quantiles",
-    "x142_kmv_distinct", "x95_ngram_saturation")
+    "x142_kmv_distinct", "x95_ngram_saturation",
+    // round-13: the blocked-DL join's per-block pair count grows with
+    // block occupancy (the SNM caveat) — 10× can hide it, 100× can't
+    "x150_typo_neardup")
   private val Flag10x = 12.0
   private val Flag100x = 150.0
 

@@ -642,6 +642,69 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("x145/x146 weight/calibration audits: aggregations + broadcast bounds only") {
+    val pe = plan("x145_ess_weights")
+    // two-stage normalization = two group aggregations with the tiny
+    // per-group bounds broadcast back between them — never a sort or a
+    // shuffled join of raw rows
+    assert(pe.contains("HashAggregate") && pe.contains("BroadcastHashJoin"), pe)
+    assert(!pe.contains("SortMergeJoin") && !pe.contains("CartesianProduct"), pe)
+    val pb = plan("x146_brier_decomp")
+    // one aggregation onto ≤ bins keys; everything after runs on that
+    // tiny relation (the 1-row totals ride a broadcast)
+    assert(pb.contains("HashAggregate"), pb)
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct"), pb)
+  }
+
+  test("x147 Kaplan–Meier: per-user agg, windows over distinct durations only") {
+    val p = plan("x147_kaplan_meier")
+    // the raw events reduce to per-user rows, then to (cohort, duration)
+    // rows BEFORE any window — the cumulative passes run over value
+    // cardinality, not event rows
+    assert(p.contains("HashAggregate") && p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val tree = p.linesIterator.takeWhile(!_.matches("^\\(\\d+\\) .*")).toSeq
+    val iAgg = tree.lastIndexWhere(_.contains("HashAggregate"))
+    val iWin = tree.indexWhere(_.contains("Window"))
+    assert(iWin < iAgg, // formatted tree prints top-down: window ABOVE agg
+      s"window must sit above the (grp, t) aggregation:\n${tree.mkString("\n")}")
+  }
+
+  test("x148 frequent pairs: L1 broadcast prune, basket equi-join, no cartesian") {
+    val p = plan("x148_freq_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only BNLJ is the accepted broadcast 1-row n_baskets attach
+    // (Cross) — an INNER BNLJ would mean the pair join degraded to
+    // all-pairs, the x40 convention
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), p)
+  }
+
+  test("x149 KMV overlap: per-side k-min pre-cut under the exchange, k-row tail") {
+    val p = plan("x149_kmv_overlap")
+    // both sides inherit kmvMins' bounded MapPartitions pre-cut; the
+    // set algebra below runs on ≤ 2k rows
+    assert(p.contains("MapPartitions") && p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x150 typo dedup: block equi-join feeds the native DL — no all-pairs") {
+    val p = plan("x150_typo_neardup")
+    assert(p.contains("damerauLevenshtein") || p.contains("damerau"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the join key is the block — an equi-join (broadcast or SMJ), so
+    // the O(|s|²) matrix only ever runs on blocked candidates
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x151 PII scan: row-local regex then one group aggregation — no join") {
+    val p = plan("x151_pii_scan")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("NO registered query plans a CartesianProduct — the global ban, CI-enforced") {
     // the repo's scale claim bans the node outright (accepted tiny-side
     // cross joins must carry a broadcast hint and plan as BNLJ Cross);

@@ -3314,4 +3314,158 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(2) == ((1000000000000L, 1000000000000L, 1000000L, 750000L)))
     assert(got(3) == ((0L, 0L, -1L, 750000L)))
   }
+
+  test("essWeights: uniform = n, one-dominant ~ 1, scale-invariant, zeros") {
+    // uniform weights: every share is exactly 10^7/4 → ESS = n exactly
+    val uni = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0))
+      .toDF("grp", "w")
+    val ru = graft.api.TrainingData.essWeights(uni, "grp", "w")
+      .collect().head
+    assert(ru.getLong(1) == 4L && ru.getLong(2) == 4000L)
+    assert(ru.getLong(3) == 1000000L)       // ESS/n = 1
+    assert(ru.getLong(4) == 250000L)        // max share = 1/4 in micros
+    assert(ru.getLong(5) == 0L)
+    // one dominant weight: ESS collapses toward 1; max_share ~ 1
+    val dom = (Seq(("g", 1000000.0)) ++ Seq.fill(9)(("g", 1.0)))
+      .toDF("grp", "w")
+    val rd = graft.api.TrainingData.essWeights(dom, "grp", "w")
+      .collect().head
+    assert(rd.getLong(2) >= 1000L && rd.getLong(2) < 1100L)
+    assert(rd.getLong(4) > 999000L)
+    // scale invariance: w and 1000·w give identical outputs (the
+    // two-stage normalization divides the scale out before anything
+    // else touches it)
+    val s1 = graft.api.TrainingData.essWeights(
+      Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)).toDF("grp", "w"), "grp", "w")
+      .collect().head
+    val s2 = graft.api.TrainingData.essWeights(
+      Seq(("g", 1000.0), ("g", 2000.0), ("g", 3000.0)).toDF("grp", "w"),
+      "grp", "w").collect().head
+    assert(s1.toSeq == s2.toSeq)
+    // hand check on 1:2:3 — v1 = 3333333/6666666/10000000,
+    // s1v = 19999999, v = 1666666/3333333/5000000, sv = 9999999,
+    // sv2 = 1666666² + 3333333² + 5000000² → ESS exact from those
+    val sv = 1666666L + 3333333L + 5000000L
+    val sv2 = 1666666L * 1666666L + 3333333L * 3333333L +
+      5000000L * 5000000L
+    assert(s1.getLong(2) == 1000L * sv * sv / sv2)
+    // all-zero weights: shares 0 → NULL ESS, zero max share
+    val z = graft.api.TrainingData.essWeights(
+      Seq(("g", 0.0), ("g", 0.0)).toDF("grp", "w"), "grp", "w")
+      .collect().head
+    assert(z.isNullAt(2) && z.getLong(4) == 0L && z.getLong(5) == 2L)
+  }
+
+  test("brierDecomposition: perfect = 0, constant forecaster resolution 0") {
+    // perfect forecaster: p = o exactly → brier = rel = 0, res = unc
+    val perfect = Seq((1.0, true), (0.0, false), (1.0, true), (0.0, false),
+      (1.0, true)).toDF("p", "y")
+    val rp = graft.api.TrainingData.brierDecomposition(perfect, "p", "y", 10)
+      .collect().head
+    assert(rp.getLong(0) == 5L && rp.getLong(1) == 3L)
+    assert(rp.getLong(3) == 0L && rp.getLong(4) == 0L)
+    // base rate 3/5 = 600000; unc = 0.6·0.4 = 240000; resolution: bins
+    // p=0 (ebar 0) and p=1 (ebar 1e6) vs obar 600000:
+    // (2·(600000² div 1e6) + 3·(400000² div 1e6)) div 5 = 240000
+    assert(rp.getLong(7) == 600000L && rp.getLong(6) == 240000L)
+    assert(rp.getLong(5) == 240000L)
+    // constant forecaster at the base rate: resolution = 0 (one bin,
+    // ebar = obar), reliability = 0 (pbar = ebar), brier = uncertainty
+    val const = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    val rc = graft.api.TrainingData.brierDecomposition(const, "p", "y", 10)
+      .collect().head
+    assert(rc.getLong(2) == 1L && rc.getLong(4) == 0L && rc.getLong(5) == 0L)
+    assert(rc.getLong(3) == 250000L && rc.getLong(6) == 250000L)
+    // out-of-range score raises the named error
+    val bad = Seq((1.5, true)).toDF("p", "y")
+    val e = intercept[Exception] {
+      graft.api.TrainingData.brierDecomposition(bad, "p", "y", 10)
+        .collect()
+    }
+    assert(e.getMessage.contains("brierDecomposition") ||
+      e.getCause != null)
+  }
+
+  test("kaplanMeier: risk table, censoring leaves risk set without events") {
+    // cohort: durations 1(event), 2(censored), 3(event), 3(event), 4(cens)
+    val rows = Seq(("c", 1L, 1), ("c", 2L, 0), ("c", 3L, 1), ("c", 3L, 1),
+      ("c", 4L, 0)).toDF("grp", "dur", "ev")
+    val got = graft.api.TrainingData.kaplanMeier(rows, "grp", "dur", "ev")
+      .collect()
+    // event times only: t=1 (at_risk 5) and t=3 (at_risk 3 — the
+    // censored t=2 row LEFT the risk set but appears in no output row)
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+    val t1 = got(0); val t3 = got(1)
+    assert(t1.getLong(2) == 5L && t1.getLong(3) == 1L && t1.getLong(4) == 0L)
+    assert(t3.getLong(2) == 3L && t3.getLong(3) == 2L && t3.getLong(4) == 0L)
+    // hazard: 1e6/5 = 200000; then + 2e6/3 = 866666 cumulative
+    assert(t1.getLong(5) == 200000L)
+    assert(t3.getLong(5) == 200000L + 2000000L / 3L)
+    // survival micro = round(exp(-H)) — spot the monotone decrease
+    assert(t1.getLong(6) > t3.getLong(6) && t3.getLong(6) > 0L)
+  }
+
+  test("frequentItemPairs: Apriori prune, exact supports, confidence, lift") {
+    val baskets = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),      // duplicate (1,a) dedups
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),                 // c has support 1 → pruned
+      (4L, "a"), (4L, "b")).toDF("b", "i")
+    val got = graft.api.TrainingData.frequentItemPairs(baskets, "b", "i",
+      minSupport = 2L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 3L)                   // s_ab
+    assert(r.getLong(3) == 4L && r.getLong(4) == 3L) // s_a, s_b
+    assert(r.getLong(5) == 4L)                   // n_baskets
+    assert(r.getLong(6) == 750000L)              // conf a→b = 3/4
+    assert(r.getLong(7) == 1000000L)             // conf b→a = 3/3
+    // lift = (750000 · 4) div 3 = 1000000 — independence exactly
+    assert(r.getLong(8) == 1000000L)
+  }
+
+  test("kmvOverlap: identical sets J=1, disjoint J=0, subset containment") {
+    val a = (1L to 5000L).map(Tuple1(_)).toDF("v")
+    val same = graft.api.TrainingData.kmvOverlap(a, a, "v", 64)
+      .collect().head
+    assert(same.getLong(1) == 64L && same.getLong(2) == 64L)
+    assert(same.getLong(5) == 1000000L)          // jaccard = 1
+    assert(same.getLong(6) == 0L && same.getLong(7) == 0L)
+    val b = (10001L to 15000L).map(Tuple1(_)).toDF("v")
+    val disj = graft.api.TrainingData.kmvOverlap(a, b, "v", 64)
+      .collect().head
+    assert(disj.getLong(2) == 0L && disj.getLong(5) == 0L &&
+      disj.getLong(4) == 0L)
+    // A ⊂ U: every union min in B(=U) too → only_b counts A's misses
+    val u = (1L to 10000L).map(Tuple1(_)).toDF("v")
+    val sub = graft.api.TrainingData.kmvOverlap(a, u, "v", 256)
+      .collect().head
+    assert(sub.getLong(7) == 0L || sub.getLong(6) == 0L)
+    // jaccard estimate near the true 0.5 (deterministic sha property)
+    assert(math.abs(sub.getLong(5) - 500000L) < 150000L)
+  }
+
+  test("piiScan: seeded counts, per-doc flag, redaction chars, clean docs") {
+    val docs = Seq(
+      ("s1", "reach me at a.b@x.org or c@d.io thanks"),    // 2 emails
+      ("s1", "server 10.0.0.1 and card 4111111111111111"), // ip + card
+      ("s1", "call +1 555-123-4567 now"),                  // phone
+      ("s1", "nothing sensitive here"),
+      ("s2", "clean")).toDF("src", "body")
+    val got = graft.api.TrainingData.piiScan(docs, "src", "body")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getLong(1) == 4L && s1.getLong(2) == 3L)
+    assert(s1.getLong(3) == 750000L)
+    assert(s1.getLong(4) == 2L && s1.getLong(5) == 1L &&
+      s1.getLong(6) == 1L && s1.getLong(7) == 1L)
+    // redacted chars = exact lengths of the matched spans
+    val spans = Seq("a.b@x.org", "c@d.io", "10.0.0.1", "4111111111111111",
+      "+1 555-123-4567").map(_.length.toLong).sum
+    assert(s1.getLong(8) == spans)
+    val s2 = got("s2")
+    assert(s2.getLong(1) == 1L && s2.getLong(2) == 0L &&
+      s2.getLong(3) == 0L && s2.getLong(8) == 0L)
+  }
 }

@@ -156,4 +156,107 @@ class TextExprSpec extends SparkSpec {
     assert(picks.length <= 2 * dense.length / 5 + 8)
     assert(picks == picks.sorted && picks.distinct.length == picks.length)
   }
+
+  test("DamerauLevenshtein: literature cases incl. the true-DL discriminator") {
+    import spark.implicits._
+    val cases = Seq(
+      // THE case separating true DL from OSA: OSA("ca","abc") = 3
+      ("ca", "abc", 2),
+      ("ab", "ba", 1),        // one transposition
+      ("teh", "the", 1),      // the typo motivation (levenshtein = 2)
+      ("", "", 0), ("", "abc", 3), ("abc", "", 3),
+      ("abc", "abc", 0),
+      ("kitten", "sitting", 3),       // pure levenshtein agreement
+      ("a cat", "an act", 2),         // insert + transposition
+      ("abcdef", "abcfad", 3),
+      ("xy", "yxz", 2), ("banana", "banaan", 1))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextFunctions.damerau_levenshtein(col("a"), col("b")).as("dl"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    cases.zip(got).foreach { case ((a, b, want), (_, _, d)) =>
+      assert(d == want, s"dl($a, $b) = $d, want $want")
+    }
+    // symmetry over the same set
+    val sym = cases.map { case (a, b, _) => (b, a) }.toDF("a", "b")
+      .select(TextFunctions.damerau_levenshtein(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(sym == cases.map(_._3))
+  }
+
+  test("DamerauLevenshtein: exhaustive BFS cross-check over {a,b}^<=4") {
+    // independent model: true DL = shortest path in the edit graph whose
+    // moves are insert/delete/substitute (alphabet {a,b}) and ADJACENT
+    // transposition — BFS from s1 until s2 (true DL never exceeds
+    // max(|a|,|b|), so the frontier is bounded)
+    def bfs(s1: String, s2: String): Int = {
+      if (s1 == s2) return 0
+      val alpha = "ab"
+      var frontier = Set(s1)
+      var seen = Set(s1)
+      var d = 0
+      while (d < 10) {
+        d += 1
+        val next = scala.collection.mutable.Set[String]()
+        for (s <- frontier) {
+          val n = s.length
+          for (i <- 0 to n; c <- alpha)
+            next += s.substring(0, i) + c + s.substring(i)      // insert
+          for (i <- 0 until n)
+            next += s.substring(0, i) + s.substring(i + 1)      // delete
+          for (i <- 0 until n; c <- alpha)
+            next += s.substring(0, i) + c + s.substring(i + 1)  // subst
+          for (i <- 0 until n - 1)                              // transpose
+            next += s.substring(0, i) + s.charAt(i + 1) + s.charAt(i) +
+              s.substring(i + 2)
+        }
+        if (next.contains(s2)) return d
+        frontier = next.toSet -- seen
+        seen = seen ++ frontier
+      }
+      fail(s"bfs($s1, $s2) did not converge")
+    }
+    val strs = (0 to 4).flatMap(n =>
+      (0 until math.pow(2, n).toInt).map(m =>
+        (0 until n).map(i => if (((m >> i) & 1) == 0) 'a' else 'b')
+          .mkString))
+    val expr = DamerauLevenshtein(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        org.apache.spark.sql.types.StringType))
+    import org.apache.spark.unsafe.types.UTF8String
+    for (a <- strs; b <- strs) {
+      val fast = expr.compute(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+      val slow = bfs(a, b)
+      assert(fast == slow, s"dl($a, $b): matrix $fast vs bfs $slow")
+    }
+  }
+
+  test("DamerauLevenshtein: codegen path equals interpreted, null, guard") {
+    import spark.implicits._
+    val df = Seq(("abcd", "acbd"), ("abcd", null), (null, "x"))
+      .toDF("a", "b")
+    val rows = df.select(
+      TextFunctions.damerau_levenshtein(col("a"), col("b")).as("dl"))
+      .collect()
+    assert(rows(0).getInt(0) == 1)
+    assert(rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    // interpreted (direct eval) equals the df (codegen) value
+    val direct = DamerauLevenshtein(
+      org.apache.spark.sql.catalyst.expressions.Literal("abcd"),
+      org.apache.spark.sql.catalyst.expressions.Literal("acbd"))
+      .eval(null)
+    assert(direct == 1)
+    // the O(n·m) guard: document-scale input is refused by name
+    val big = "x" * 4097
+    val e = intercept[Exception] {
+      Seq((big, "y")).toDF("a", "b")
+        .select(TextFunctions.damerau_levenshtein(col("a"), col("b")))
+        .collect()
+    }
+    assert(e.getMessage.contains("4096") ||
+      Option(e.getCause).exists(_.getMessage.contains("4096")))
+  }
 }
