@@ -6572,4 +6572,303 @@ object TrainingData {
         col("redacted_chars"))
       .orderBy(col("grp"))
   }
+
+  /** Degree distribution + degree assortativity of an undirected pair
+    * graph (near-dup pairs, link graphs): one row per distinct degree
+    * with its node count, and — broadcast on every row — the node/edge
+    * totals, max degree, and the degree-assortativity Pearson r as
+    * (sign, r² micros), the [[dailyAutocorr]] convention that avoids a
+    * portable sqrt. The STRUCTURAL read of the dup graph x71/x72 rank
+    * node-by-node: positive assortativity = hubs duplicate hubs
+    * (template families quoting each other), strongly negative = a few
+    * boilerplate hubs touching everything — the shape that tells you
+    * whether killing the top-degree docs collapses the graph. Pearson
+    * runs over the 2·E directed endpoint pairs, exact DECIMAL(38,0)
+    * sums.
+    *
+    * Scale shape: one degree aggregation, two equi-joins attaching
+    * endpoint degrees to edges, one scalar reduce; the histogram and
+    * the summary are tiny relations. */
+  def dupGraphStats(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val edges = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+    val deg = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy(col("deg").as("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    val ends = withDeg.select(col("du").as("x"), col("dv").as("z"))
+      .unionAll(withDeg.select(col("dv").as("x"), col("du").as("z")))
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("z").cast("decimal(38,0)").as("z"))
+    val summary = ends
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("z")).as("sz"), sum(col("x") * col("z")).as("sxz"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("z") * col("z")).as("szz"))
+      .select(col("m"),
+        (col("m").cast("decimal(38,0)") * col("sxz") - col("sx") * col("sz"))
+          .as("num"),
+        (col("m").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx"))
+          .as("den1"),
+        (col("m").cast("decimal(38,0)") * col("szz") - col("sz") * col("sz"))
+          .as("den2"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        when(col("num") > 0, 1).when(col("num") < 0, -1).otherwise(0)
+          .as("assort_sign"),
+        when(col("m") < 6 || col("den1") === 0 || col("den2") === 0,
+          lit(null))
+          .otherwise(expr(
+            "CAST(floor(1000000.0 * CAST(num AS DOUBLE) * CAST(num AS" +
+              " DOUBLE) / (CAST(den1 AS DOUBLE) * CAST(den2 AS DOUBLE)))" +
+              " AS BIGINT)"))
+          .as("assort_sq_micros"))
+    val totals = deg.agg(count(lit(1)).as("n_nodes_total"),
+      max(col("deg")).as("max_degree"))
+    hist.crossJoin(broadcast(totals)).crossJoin(broadcast(summary))
+      .orderBy(col("degree"))
+  }
+
+  /** Information gain of a categorical feature about a categorical
+    * label — H(Y) − H(Y|X) in micro-nats, plus H(X) and the gain
+    * RATIO (IG normalized by feature entropy, the C4.5 correction that
+    * stops high-cardinality features winning for free). x77's χ² says
+    * whether source and label are dependent AT ALL; this prices the
+    * dependence in nats — "how much does knowing the source tell you
+    * about the language" as a number a curation report can rank
+    * features by. Every entropy term is rounded ONCE per type /
+    * (feature, label) cell (the x28j/x128 libm convention), all counts
+    * exact.
+    *
+    * Scale shape: three map-side-combined aggregations (label, feature,
+    * cell) — the entropy sums run over value-cardinality relations,
+    * never rows; the three 1-row summaries broadcast into one output
+    * row. */
+  def informationGain(rows: DataFrame, featureCol: String,
+      labelCol: String): DataFrame = {
+    val base = rows
+      .filter(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(featureCol).cast("string").as("f"),
+        col(labelCol).cast("string").as("y"))
+    def entTerm(nc: Column, tot: Column): Column =
+      expr(s"CAST(round(-(CAST(${nc} AS DOUBLE) / CAST(${tot} AS DOUBLE))" +
+        s" * ln(CAST(${nc} AS DOUBLE) / CAST(${tot} AS DOUBLE))" +
+        " * 1000000.0, 0) AS BIGINT)")
+    val n = base.agg(count(lit(1)).as("n"))
+    val hy = base.groupBy(col("y")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(entTerm(col("c"), col("n"))).as("h_label_micronats"))
+    val hx = base.groupBy(col("f")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("n_features"),
+        sum(entTerm(col("c"), col("n"))).as("h_feature_micronats"))
+    // H(Y|X) = −Σ_xy (n_xy/N)·ln(n_xy/n_x): each cell's term uses the
+    // cell count against its FEATURE margin, weighted by corpus share
+    val cells = base.groupBy(col("f"), col("y")).agg(count(lit(1)).as("cxy"))
+    val margins = base.groupBy(col("f")).agg(count(lit(1)).as("cx"))
+    val hcond = cells.join(broadcast(margins), Seq("f"))
+      .crossJoin(broadcast(n))
+      .agg(sum(expr("CAST(round(-(CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " * ln(CAST(cxy AS DOUBLE) / CAST(cx AS DOUBLE)) * 1000000.0, 0)" +
+        " AS BIGINT)")).as("h_cond_micronats"))
+    n.crossJoin(broadcast(hy)).crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hcond))
+      .select(col("n"), col("n_labels"), col("n_features"),
+        col("h_label_micronats"), col("h_cond_micronats"),
+        (col("h_label_micronats") - col("h_cond_micronats"))
+          .as("info_gain_micronats"),
+        col("h_feature_micronats"),
+        // clamped at 0: IG is mathematically ≥ 0, but per-term
+        // micro-rounding can land a few micro-nats negative, and
+        // truncation-vs-floor diverges on negative dividends
+        when(col("h_feature_micronats") <= 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * greatest(0, h_label_micronats -" +
+            " h_cond_micronats)) div h_feature_micronats"))
+          .as("gain_ratio_micros"))
+  }
+
+  /** ROLLING-window distinct count from mergeable per-day KMV
+    * sketches: per day the k smallest distinct hashes, then each
+    * output day unions the last `windowDays` days' summaries and
+    * re-takes the k smallest — the k smallest of a union of per-day
+    * k-smallest sets IS the k smallest of the union (the x142b law),
+    * so the estimate equals a fresh sketch of the whole window.
+    * "Rolling 7-day distinct users over 100 TB of events" priced at
+    * days·k rows of state instead of a window-sized exact dedup per
+    * day — the windowed form of what [[kmvOverlap]] does for set
+    * algebra. Exact below k. Output per day: (day, n_days_in_window,
+    * n_hashes, kth_min, ndv_est).
+    *
+    * Scale shape: one (day, hash) dedup with [[kmvMins]]-style
+    * per-partition bounded pre-cut (a per-day k-heap in mapPartitions
+    * — day count is bounded by calendar time), one day-keyed rank to
+    * k, then the rolling union is an explode of `windowDays` offsets
+    * over the days·k summary relation. */
+  def kmvRollingDistinct(rows: DataFrame, tsCol: String, valueCol: String,
+      k: Int, windowDays: Int): DataFrame = {
+    require(k >= 16, s"need k >= 16 for a usable estimate, got $k")
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val dayHash = rows
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(expr(s"(unix_millis(CAST(`$tsCol` AS TIMESTAMP))" +
+        " div 86400000L)").as("day"),
+        expr(s"CAST(conv(substring(sha2(CAST(`$valueCol` AS STRING)," +
+          " 256), 1, 13), 16, 10) AS BIGINT)").as("h"))
+      .as[(Long, Long)]
+    // per-partition per-day bounded k-heap (the kmvMins pre-cut keyed
+    // by day): the exchange below carries ≤ n_partitions·days·k rows
+    val pre = dayHash.mapPartitions { it =>
+      val heaps = new java.util.HashMap[Long, java.util.TreeSet[java.lang.Long]]()
+      it.foreach { case (day, h) =>
+        var heap = heaps.get(day)
+        if (heap == null) { heap = new java.util.TreeSet[java.lang.Long](); heaps.put(day, heap) }
+        if (heap.size < k) heap.add(h)
+        else if (h < heap.last) { heap.add(h); if (heap.size > k) heap.pollLast() }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.entrySet().iterator().asScala.flatMap { e =>
+        e.getValue.iterator().asScala.map(h => (e.getKey.longValue, h.longValue))
+      }
+    }.toDF("day", "h")
+    val wDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("h"))
+    // the per-day summary is days·k rows and feeds three branches
+    // (rolling mins, window-day counts, the observed-day clamp) —
+    // persist it so the raw dedup is paid once
+    val daily = pre.distinct()
+      .withColumn("rn", row_number().over(wDay)).filter(col("rn") <= k)
+      .select(col("day"), col("h"))
+      .persist()
+    // each day's mins serve the windowDays output days [day, day+W),
+    // clamped to OBSERVED days (a window anchored past the data's last
+    // day is not a reportable statistic)
+    val served = daily
+      .select(col("day"), col("h"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select((col("day") + col("off")).as("out_day"), col("day"), col("h"))
+      .join(broadcast(daily.select(col("day").as("out_day")).distinct()),
+        Seq("out_day"), "left_semi")
+    val wOut = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("out_day")).orderBy(col("h"))
+    served
+      .select(col("out_day"), col("h")).distinct()
+      .withColumn("rn", row_number().over(wOut)).filter(col("rn") <= k)
+      .groupBy(col("out_day"))
+      .agg(count(lit(1)).as("n_hashes"), max(col("h")).as("kth_min"))
+      .join(served.groupBy(col("out_day"))
+        .agg(countDistinct(col("day")).as("n_days_in_window")), Seq("out_day"))
+      .select(col("out_day").as("day"), col("n_days_in_window"),
+        col("n_hashes"), col("kth_min"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * 4503599627370496)" +
+            " div kth_min")).as("ndv_est"))
+      .orderBy(col("day"))
+  }
+
+  /** Population Stability Index between two slices of a continuous
+    * measure — THE production-ML drift gauge beside x90's KS: scores
+    * micro-quantize and bucket into `bins` equal-width bins over the
+    * COMBINED observed range (the [[aucBucketed]] binning), each side's
+    * bin shares get add-one smoothing (so an empty bin contributes a
+    * finite penalty instead of ±∞), and
+    * PSI = Σ (p−q)·ln(p/q), each term rounded ONCE per bin to
+    * micro-nats (the x28j convention). PSI < 0.1 ⇒ stable,
+    * 0.1–0.25 ⇒ drifting, > 0.25 ⇒ the distribution moved — the triage
+    * thresholds monitoring dashboards quote. Output: one row per bin
+    * (bin, n_a, n_b, p_micros, q_micros, term_micronats) with the
+    * total PSI broadcast.
+    *
+    * Scale shape: one 2-value broadcast (lo, hi), one row-local bucket
+    * projection per side, two ≤ bins aggregations, everything after on
+    * the bins relation. */
+  def psiDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"need 2 <= bins <= 1000, got $bins")
+    def micro(df: DataFrame, side: String) = df
+      .filter(col(s"`$valueCol`").isNotNull)
+      .select(expr(s"CAST(round(CAST(`$valueCol` AS DOUBLE) * 1000000.0," +
+        " 0) AS BIGINT)").as("m"), lit(side).as("side"))
+    val both = micro(a, "a").unionByName(micro(b, "b"))
+    val bounds = both.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val counts = both.crossJoin(broadcast(bounds))
+      .select(expr(s"((m - lo) * $bins) div (hi - lo + 1)").as("bin"),
+        col("side"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        // add-one smoothed shares over (total + bins) — finite on
+        // empty bins, exactly replayable
+        expr(s"(1000000 * (n_a + 1)) div (ta + $bins)").as("p_micros"),
+        expr(s"(1000000 * (n_b + 1)) div (tb + $bins)").as("q_micros"),
+        expr(s"CAST(round(((CAST(n_a + 1 AS DOUBLE) / (ta + $bins))" +
+          s" - (CAST(n_b + 1 AS DOUBLE) / (tb + $bins)))" +
+          s" * ln((CAST(n_a + 1 AS DOUBLE) / (ta + $bins))" +
+          s" / (CAST(n_b + 1 AS DOUBLE) / (tb + $bins)))" +
+          " * 1000000.0, 0) AS BIGINT)").as("term_micronats"))
+    terms.crossJoin(broadcast(
+      terms.agg(sum(col("term_micronats")).as("psi_micronats"))))
+      .orderBy(col("bin"))
+  }
+
+  /** Per-slice exact ROC-AUC with the worst/best slice broadcast — the
+    * SLICE-level eval completing [[aucExact]] (global order quality)
+    * and [[brierDecomposition]] (global calibration): does the quality
+    * score rank WORSE on one source/language than another? The same
+    * Mann–Whitney midrank identity, partitioned by slice — per-score
+    * counts per slice, a slice-keyed cumulative pass over distinct
+    * scores, DECIMAL(38,0) midrank sums. Single-class slices emit NULL
+    * and stay out of the min/max. Output per slice: (slice, n_pos,
+    * n_neg, auc_micros, min_auc_micros, max_auc_micros,
+    * auc_gap_micros).
+    *
+    * Scale shape: one (slice, score) aggregation; cumulative windows
+    * keyed by slice over DISTINCT scores (value cardinality); the
+    * min/max summary is one tiny reduce broadcast back. */
+  def aucBySlice(rows: DataFrame, sliceCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = rows
+      .filter(col(sliceCol).isNotNull && col(s"`$scoreCol`").isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(sliceCol).as("g"), col(s"`$scoreCol`").as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val perSlice = base.groupBy(col("g"), col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+      .select(col("g"),
+        (col("p").cast("decimal(38,0)") *
+          (lit(2L) * col("cum") + col("c") + lit(1L))).as("pr2"),
+        col("c"), col("p"))
+      .groupBy(col("g"))
+      .agg(sum(col("pr2")).as("r2"), sum(col("p")).as("n_pos"),
+        expr("sum(c) - sum(p)").as("n_neg"))
+      .select(col("g").as("slice"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(expr(
+            "CAST((1000000 * (r2 - CAST(n_pos AS DECIMAL(38,0)) *" +
+              " (n_pos + 1))) div (2 * CAST(n_pos AS DECIMAL(38,0)) *" +
+              " n_neg) AS BIGINT)"))
+          .as("auc_micros"))
+    perSlice.crossJoin(broadcast(perSlice
+      .agg(min(col("auc_micros")).as("min_auc_micros"),
+        max(col("auc_micros")).as("max_auc_micros"))))
+      .select(col("slice"), col("n_pos"), col("n_neg"), col("auc_micros"),
+        col("min_auc_micros"), col("max_auc_micros"),
+        (col("max_auc_micros") - col("min_auc_micros"))
+          .as("auc_gap_micros"))
+      .orderBy(col("slice"))
+  }
 }

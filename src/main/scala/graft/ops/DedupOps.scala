@@ -830,6 +830,16 @@ object DedupOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** X152 — degree distribution + degree assortativity of the near-dup
+    * graph over the SHARED x26 pair cache: the STRUCTURAL read x71/x72
+    * rank node-by-node — positive assortativity = template families
+    * quoting each other, strongly negative = a few boilerplate hubs
+    * touching everything (killing the top-degree docs collapses the
+    * graph). Fixture binding of
+    * [[graft.api.TrainingData.dupGraphStats]]. */
+  def x152DupGraphStats(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.dupGraphStats(persistPairs(s, d), "d1", "d2")
+
   /** X71 — triangle census of the near-dup graph: per-node triangle
     * count + local clustering coefficient over the SHARED verified pair
     * relation (x26's cache), separating clique-shaped duplicate
@@ -910,6 +920,7 @@ object DedupOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x150_typo_neardup" -> (x150TypoNeardup _),
+    "x152_dup_graph_stats" -> (x152DupGraphStats _),
     "x106_dup_concentration" -> (x106DupConcentration _),
     "x107_lsh_recall_audit" -> (x107LshRecallAudit _),
     "x104_source_jaccard" -> (x104SourceJaccard _),
@@ -1070,6 +1081,45 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // degree histogram + HUGEINT Pearson assortativity over the shared
+    // replayed pair relation (the x131 sign + floor(r²·1e6) convention)
+    "x152_dup_graph_stats" ->
+      s"""WITH $pairsOracleCtes,
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT d1 AS id FROM pairs UNION ALL SELECT d2 FROM pairs)
+         |  GROUP BY 1),
+         |hist AS (SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+         |         FROM deg GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes_total,
+         |        CAST(max(deg) AS BIGINT) AS max_degree FROM deg),
+         |ends AS (
+         |  SELECT CAST(da.deg AS HUGEINT) AS x, CAST(db.deg AS HUGEINT) AS z
+         |  FROM pairs JOIN deg da ON da.id = d1 JOIN deg db ON db.id = d2
+         |  UNION ALL
+         |  SELECT CAST(db.deg AS HUGEINT), CAST(da.deg AS HUGEINT)
+         |  FROM pairs JOIN deg da ON da.id = d1 JOIN deg db ON db.id = d2),
+         |a AS (
+         |  SELECT count(*) AS m, sum(x) AS sx, sum(z) AS sz,
+         |    sum(x * z) AS sxz, sum(x * x) AS sxx, sum(z * z) AS szz
+         |  FROM ends),
+         |f AS (
+         |  SELECT m, m * sxz - sx * sz AS num, m * sxx - sx * sx AS den1,
+         |    m * szz - sz * sz AS den2
+         |  FROM a),
+         |summ AS (
+         |  SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+         |    CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END
+         |      AS assort_sign,
+         |    CASE WHEN m < 6 OR den1 = 0 OR den2 = 0 THEN NULL
+         |         ELSE CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+         |           * CAST(num AS DOUBLE) / (CAST(den1 AS DOUBLE)
+         |           * CAST(den2 AS DOUBLE))) AS BIGINT)
+         |    END AS assort_sq_micros
+         |  FROM f)
+         |SELECT degree, n_nodes, n_nodes_total, max_degree, n_edges,
+         |  assort_sign, assort_sq_micros
+         |FROM hist, tot, summ ORDER BY degree""".stripMargin,
     // typo near-dup replay: the same twin perturbation and
     // (8-char-prefix, length) blocking, with DuckDB's OWN
     // damerau_levenshtein as the reference for the native

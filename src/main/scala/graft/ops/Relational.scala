@@ -347,8 +347,23 @@ object Relational {
       "user_id", k = 256)
   }
 
+  /** X154 — rolling 7-day distinct users from mergeable per-day KMV
+    * sketches (k = 64): each output day unions the last week's per-day
+    * k-mins summaries and re-takes the k smallest — the x142b merge law
+    * applied to a SLIDING WINDOW, pricing "rolling distinct over
+    * 100 TB" at days·k rows of state instead of a window-sized exact
+    * dedup per day. Exact below k. Fixture binding of
+    * [[graft.api.TrainingData.kmvRollingDistinct]]. */
+  def x154KmvRolling(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kmvRollingDistinct(
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("ts"), col("user_id")),
+      "ts", "user_id", k = 64, windowDays = 7)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x149_kmv_overlap" -> (x149KmvOverlap _),
+    "x154_kmv_rolling" -> (x154KmvRolling _),
     "x129_table_profile" -> (x129TableProfile _),
     "x129b_profile_floats" -> (x129bProfileFloats _),
     "x142_kmv_distinct" -> (x142KmvDistinct _),
@@ -447,8 +462,46 @@ object Relational {
        |FROM est""".stripMargin
   }
 
+  // rolling-KMV replay: per-day distinct 52-bit coordinates, per-day
+  // k-mins via a day-keyed rank, each day's summary serving the 7
+  // output days at or after it (clamped to observed days), re-rank to
+  // k per output day, the same integer estimator
+  private val kmvRollingOracle =
+    s"""WITH dh AS (
+       |  SELECT DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+       |      AS day,
+       |    ${hash52Sql("user_id")} AS h
+       |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       |daily AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h,
+       |      row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |    FROM dh)
+       |  WHERE rn <= 64),
+       |days AS (SELECT DISTINCT day FROM daily),
+       |served AS (
+       |  SELECT d.day AS out_day, s.day, s.h
+       |  FROM daily s JOIN days d ON d.day BETWEEN s.day AND s.day + 6),
+       |ranked AS (
+       |  SELECT out_day, h,
+       |    row_number() OVER (PARTITION BY out_day ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT out_day, h FROM served)),
+       |est AS (
+       |  SELECT out_day, CAST(count(*) AS BIGINT) AS n_hashes,
+       |    CAST(max(h) AS BIGINT) AS kth_min
+       |  FROM ranked WHERE rn <= 64 GROUP BY 1),
+       |wd AS (SELECT out_day,
+       |       CAST(count(DISTINCT day) AS BIGINT) AS n_days_in_window
+       |       FROM served GROUP BY 1)
+       |SELECT est.out_day AS day, n_days_in_window, n_hashes, kth_min,
+       |  CASE WHEN n_hashes < 64 THEN n_hashes
+       |       ELSE (CAST(63 AS BIGINT) * 4503599627370496) // kth_min
+       |  END AS ndv_est
+       |FROM est JOIN wd USING (out_day) ORDER BY day""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x149_kmv_overlap" -> kmvOverlapOracle,
+    "x154_kmv_rolling" -> kmvRollingOracle,
     "x142b_kmv_merged" -> kmvOracle,
     "x142_kmv_distinct" -> kmvOracle,
     // profile replay: one SELECT per column unioned — n_rows from the

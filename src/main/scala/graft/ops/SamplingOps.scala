@@ -134,6 +134,19 @@ object SamplingOps {
       t(s, d, "documents").select(col("source"), col("n_chars")),
       "source", "n_chars")
 
+  /** X156 — per-SLICE exact ROC-AUC of the x121 score/label pair with
+    * the worst/best slice broadcast: does n_chars rank is-English
+    * worse on one source than another — the slice-level eval a global
+    * AUC hides (a score can look fine on average and be anti-predictive
+    * on one crawl). Fixture binding of
+    * [[graft.api.TrainingData.aucBySlice]]. */
+  def x156AucBySlice(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.aucBySlice(
+      t(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          (col("lang") === "en").as("label")),
+      "source", "n_chars", "label")
+
   /** X146 — Murphy (reliability/resolution/uncertainty) decomposition
     * of the Brier score for the x120 calibration pair (score =
     * min(n_chars, 600)/600 as an is-English forecast): separates "the
@@ -532,6 +545,7 @@ object SamplingOps {
     "x144_bayes_average" -> (x144BayesAverage _),
     "x145_ess_weights" -> (x145EssWeights _),
     "x146_brier_decomp" -> (x146BrierDecomp _),
+    "x156_auc_by_slice" -> (x156AucBySlice _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
@@ -1090,6 +1104,42 @@ object SamplingOps {
     // q08b-established portable pair)
     // Bayesian-average replay: one group aggregation, the grand mean in
     // micros once, the same integer shrinkage quotient
+    // per-slice Mann–Whitney midrank replay (the x121 machinery
+    // partitioned by slice), min/max/gap over non-NULL slice AUCs
+    "x156_auc_by_slice" ->
+      """WITH b AS (
+        |  SELECT source AS g, n_chars AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |g1 AS (SELECT g, s, CAST(count(*) AS BIGINT) AS c,
+        |       CAST(sum(y) AS BIGINT) AS p FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT g, c, p,
+        |    coalesce(sum(c) OVER (PARTITION BY g ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g1),
+        |r AS (
+        |  SELECT g, CAST(sum(p * (2 * cum + c + 1)) AS BIGINT) AS r2,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(c) - sum(p) AS BIGINT) AS n_neg
+        |  FROM w GROUP BY 1),
+        |a AS (
+        |  SELECT g AS slice, n_pos, n_neg,
+        |    CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        |         ELSE CAST((1000000 * (r2 - n_pos * (n_pos + 1)))
+        |           // (2 * n_pos * n_neg) AS BIGINT)
+        |    END AS auc_micros
+        |  FROM r)
+        |SELECT slice, n_pos, n_neg, auc_micros,
+        |  (SELECT CAST(min(auc_micros) AS BIGINT) FROM a)
+        |    AS min_auc_micros,
+        |  (SELECT CAST(max(auc_micros) AS BIGINT) FROM a)
+        |    AS max_auc_micros,
+        |  (SELECT CAST(max(auc_micros) - min(auc_micros) AS BIGINT) FROM a)
+        |    AS auc_gap_micros
+        |FROM a ORDER BY slice""".stripMargin,
     // ESS replay: the identical two-stage integer normalization (share
     // of group max at 1e-7 grain, then share of that total at 1e-7
     // grain) — every div has a non-negative dividend, so DuckDB's

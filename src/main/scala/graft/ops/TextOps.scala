@@ -596,6 +596,30 @@ object TextOps {
             .as("text")),
       "source", "text")
 
+  /** X153 — information gain of the source about the language: H(lang)
+    * − H(lang | source) in micro-nats plus the C4.5 gain ratio — x77's
+    * χ² says the two are dependent, this prices the dependence in nats
+    * (a curation report ranks candidate routing features by it).
+    * Fixture binding of [[graft.api.TrainingData.informationGain]]. */
+  def x153InfoGain(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.informationGain(
+      t(s, d, "documents"), "source", "lang")
+
+  /** X155 — Population Stability Index between English and non-English
+    * documents' length distributions: the binned production-ML drift
+    * gauge next to x90's KS (PSI is what monitoring dashboards quote —
+    * < 0.1 stable, > 0.25 moved), add-one smoothed so empty bins
+    * penalize finitely. Fixture binding of
+    * [[graft.api.TrainingData.psiDrift]]. */
+  def x155PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+    graft.api.TrainingData.psiDrift(
+      docs.filter(col("lang") === "en").select(col("n_chars")),
+      docs.filter(col("lang") =!= "en").select(col("n_chars")),
+      "n_chars", bins = 10)
+  }
+
   /** X69 — rank-fusion quality scoring: three integer token-stat signals
     * mapped to corpus deciles (exact-percentile edge vector, broadcast)
     * and averaged — multi-signal quality without hand-tuned weights or a
@@ -702,6 +726,8 @@ object TextOps {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x151_pii_scan" -> (x151PiiScan _),
+    "x153_info_gain" -> (x153InfoGain _),
+    "x155_psi_drift" -> (x155PsiDrift _),
     "x103_robust_outliers" -> (x103RobustOutliers _),
     "x100_good_turing" -> (x100GoodTuring _),
     "x95_ngram_saturation" -> (x95NgramSaturation _),
@@ -944,6 +970,85 @@ object TextOps {
         |    AS pii_docs_micros,
         |  n_emails, n_ipv4, n_card16, n_phones, redacted_chars
         |FROM g ORDER BY grp""".stripMargin,
+    // information-gain replay: per-type entropy terms rounded once to
+    // micro-nats (the x28j/x128 convention — every term non-negative,
+    // so round() ties agree), gain ratio clamped at 0 before the
+    // truncated division (micro-rounding can push IG a few micro-nats
+    // negative, and trunc-vs-floor diverges on negatives)
+    "x153_info_gain" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS f, CAST(lang AS VARCHAR) AS y
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |hy AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS h_label_micronats
+        |  FROM (SELECT y, count(*) AS c FROM b GROUP BY 1), nn),
+        |hx AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0, 0)
+        |      AS BIGINT)) AS BIGINT) AS h_feature_micronats
+        |  FROM (SELECT f, count(*) AS c FROM b GROUP BY 1), nn),
+        |hc AS (
+        |  SELECT CAST(sum(CAST(round(-(CAST(cxy AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) * ln(CAST(cxy AS DOUBLE)
+        |      / CAST(cx AS DOUBLE)) * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+        |      AS h_cond_micronats
+        |  FROM (SELECT f, y, count(*) AS cxy FROM b GROUP BY 1, 2) cells
+        |  JOIN (SELECT f, count(*) AS cx FROM b GROUP BY 1) mg USING (f),
+        |    nn)
+        |SELECT n, n_labels, n_features, h_label_micronats,
+        |  h_cond_micronats,
+        |  h_label_micronats - h_cond_micronats AS info_gain_micronats,
+        |  h_feature_micronats,
+        |  CASE WHEN h_feature_micronats <= 0 THEN NULL
+        |       ELSE CAST((1000000 * greatest(0, h_label_micronats
+        |         - h_cond_micronats)) // h_feature_micronats AS BIGINT)
+        |  END AS gain_ratio_micros
+        |FROM nn, hy, hx, hc""".stripMargin,
+    // PSI replay: identical micro binning over the combined range,
+    // add-one smoothed shares, each (p−q)·ln(p/q) term non-negative and
+    // rounded once per bin
+    "x155_psi_drift" ->
+      """WITH am AS (
+        |  SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0, 0)
+        |    AS BIGINT) AS m, 'a' AS side
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND lang = 'en'),
+        |bm AS (
+        |  SELECT CAST(round(CAST(n_chars AS DOUBLE) * 1000000.0, 0)
+        |    AS BIGINT) AS m, 'b' AS side
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND lang <> 'en'),
+        |uni AS (SELECT * FROM am UNION ALL SELECT * FROM bm),
+        |bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM uni),
+        |counts AS (
+        |  SELECT ((m - lo) * 10) // (hi - lo + 1) AS bin,
+        |    CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM uni, bounds GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |        CAST(sum(n_b) AS BIGINT) AS tb FROM counts),
+        |terms AS (
+        |  SELECT bin, n_a, n_b,
+        |    CAST((1000000 * (n_a + 1)) // (ta + 10) AS BIGINT) AS p_micros,
+        |    CAST((1000000 * (n_b + 1)) // (tb + 10) AS BIGINT) AS q_micros,
+        |    CAST(round(((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+        |      - (CAST(n_b + 1 AS DOUBLE) / (tb + 10)))
+        |      * ln((CAST(n_a + 1 AS DOUBLE) / (ta + 10))
+        |      / (CAST(n_b + 1 AS DOUBLE) / (tb + 10)))
+        |      * 1000000.0, 0) AS BIGINT) AS term_micronats
+        |  FROM counts, tot)
+        |SELECT bin, n_a, n_b, p_micros, q_micros, term_micronats,
+        |  (SELECT CAST(sum(term_micronats) AS BIGINT) FROM terms)
+        |    AS psi_micronats
+        |FROM terms ORDER BY bin""".stripMargin,
     // robust-outlier replay: quantile_cont median/MAD (the x31d
     // portable percentile pair) rounded to 6 before use, one
     // micro-quantized z per row, zero-MAD strata emit nothing

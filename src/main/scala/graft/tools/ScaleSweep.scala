@@ -76,7 +76,9 @@ object ScaleSweep {
     // the regex-heavy PII scan
     "x138b_asof_salted", "x145_ess_weights", "x146_brier_decomp",
     "x147_kaplan_meier", "x148_freq_pairs", "x149_kmv_overlap",
-    "x150_typo_neardup", "x151_pii_scan", "x139c_loghist_zeros")
+    "x150_typo_neardup", "x151_pii_scan", "x139c_loghist_zeros",
+    "x152_dup_graph_stats", "x153_info_gain", "x154_kmv_rolling",
+    "x155_psi_drift", "x156_auc_by_slice")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

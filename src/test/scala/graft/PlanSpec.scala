@@ -705,6 +705,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("x152/x153 graph + info-gain: equi-joins and tiny aggregations only") {
+    val pg = plan("x152_dup_graph_stats")
+    assert(pg.contains("HashAggregate"), pg)
+    assert(!pg.contains("CartesianProduct"), pg)
+    val pi = plan("x153_info_gain")
+    assert(pi.contains("HashAggregate"), pi)
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("SortMergeJoin"), pi)
+  }
+
+  test("x154 rolling KMV: per-day bounded pre-cut, day-keyed windows only") {
+    val p = plan("x154_kmv_rolling")
+    // the per-partition per-day k-heap sits under the dedup exchange —
+    // the shuffle carries ≤ n_partitions·days·k rows, never raw events
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x155/x156 drift + slice AUC: value-cardinality passes, keyed windows") {
+    val pp = plan("x155_psi_drift")
+    assert(pp.contains("HashAggregate"), pp)
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("SortMergeJoin"), pp)
+    val pa = plan("x156_auc_by_slice")
+    // the cumulative pass is keyed by slice over distinct scores
+    assert(pa.contains("Window") && pa.contains("HashAggregate"), pa)
+    assert(!pa.contains("CartesianProduct"), pa)
+  }
+
   test("NO registered query plans a CartesianProduct — the global ban, CI-enforced") {
     // the repo's scale claim bans the node outright (accepted tiny-side
     // cross joins must carry a broadcast hint and plan as BNLJ Cross);

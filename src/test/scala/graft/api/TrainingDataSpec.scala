@@ -3446,6 +3446,113 @@ class TrainingDataSpec extends SparkSpec {
     assert(math.abs(sub.getLong(5) - 500000L) < 150000L)
   }
 
+  test("dupGraphStats: degrees, histogram, assortativity sign on a star") {
+    // star graph 0-1, 0-2, 0-3: hub degree 3, leaves 1 — maximally
+    // DISassortative (every edge joins deg 3 to deg 1) → sign = -1, r² = 1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("d1", "d2")
+    val rs = graft.api.TrainingData.dupGraphStats(star, "d1", "d2")
+      .collect()
+    val byDeg = rs.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDeg == Map(1L -> 3L, 3L -> 1L))
+    val h = rs.head
+    assert(h.getLong(2) == 4L && h.getLong(3) == 3L && h.getLong(4) == 3L)
+    assert(h.getInt(5) == -1 && h.getLong(6) == 1000000L)
+    // a clique (triangle): all degrees equal → zero variance → NULL r²
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("d1", "d2")
+    val rt = graft.api.TrainingData.dupGraphStats(tri, "d1", "d2")
+      .collect().head
+    assert(rt.getInt(5) == 0 && rt.isNullAt(6))
+  }
+
+  test("informationGain: perfect feature = H(Y), independent ~ 0, ratio") {
+    // feature determines label exactly → H(Y|X) = 0, IG = H(Y)
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("f", "y")
+    val rp = graft.api.TrainingData.informationGain(perfect, "f", "y")
+      .collect().head
+    // H(Y) with p = 1/2, 1/2: 2·round(0.5·ln2·1e6) = 693148
+    assert(rp.getLong(3) == 2L * 346574L)
+    assert(rp.getLong(4) == 0L)                      // H(Y|X) = 0
+    assert(rp.getLong(5) == rp.getLong(3))           // IG = H(Y)
+    assert(rp.getLong(7) == 1000000L)                // gain ratio = 1
+    // independent feature: every (f, y) cell equal → IG = 0
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("f", "y")
+    val ri = graft.api.TrainingData.informationGain(indep, "f", "y")
+      .collect().head
+    assert(ri.getLong(5) == 0L && ri.getLong(7) == 0L)
+  }
+
+  test("kmvRollingDistinct: window union equals a fresh whole-window sketch") {
+    // three days of values with overlap; window = 2 days
+    val rows = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 3L), (1L, 4L),
+      (3L, 5L)) // note: day 2 absent — windows clamp to observed days
+      .map { case (day, v) =>
+        (new java.sql.Timestamp(day * 86400000L), v)
+      }.toDF("ts", "v")
+    val got = graft.api.TrainingData
+      .kmvRollingDistinct(rows, "ts", "v", k = 16, windowDays = 2)
+      .collect()
+    // observed days only: 0, 1, 3
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L))
+    val byDay = got.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    // day 0: just day 0 → 3 distinct; day 1: days {0,1} → {1,2,3,4} = 4;
+    // day 3: only day 3 in window (day 2 absent) → 1
+    assert(byDay(0L) == ((1L, 3L, 3L)))
+    assert(byDay(1L) == ((2L, 4L, 4L)))
+    assert(byDay(3L) == ((1L, 1L, 1L)))
+    // merge law at scale: rolling estimate for the last day over a wide
+    // window equals kmvDistinct of the union — same k, same hashes
+    val many = (1L to 3000L).map(v =>
+      (new java.sql.Timestamp((v % 5) * 86400000L), v)).toDF("ts", "v")
+    val rolling = graft.api.TrainingData
+      .kmvRollingDistinct(many, "ts", "v", k = 64, windowDays = 5)
+      .collect().maxBy(_.getLong(0))
+    val direct = graft.api.TrainingData.kmvDistinct(
+      many.select(col("v")), "v", k = 64).collect().head
+    assert(rolling.getLong(4) == direct.getLong(3),
+      s"rolling ${rolling.getLong(4)} vs direct ${direct.getLong(3)}")
+  }
+
+  test("psiDrift: identical slices ~ 0, disjoint large, smoothing finite") {
+    val a = (1L to 100L).map(v => Tuple1(v.toDouble)).toDF("v")
+    val same = graft.api.TrainingData.psiDrift(a, a, "v", 10)
+      .collect()
+    assert(same.forall(_.getLong(5) == 0L))          // identical → 0 terms
+    assert(same.head.getLong(6) == 0L)
+    // disjoint ranges: every bin one-sided, PSI far above 0.25
+    val b = (1001L to 1100L).map(v => Tuple1(v.toDouble)).toDF("v")
+    val disj = graft.api.TrainingData.psiDrift(a, b, "v", 10)
+      .collect()
+    assert(disj.head.getLong(6) > 250000L)
+    // smoothing: no NULL/infinite terms despite empty bins on each side
+    assert(disj.forall(r => !r.isNullAt(5)))
+  }
+
+  test("aucBySlice: per-slice midranks match aucExact; gap over slices") {
+    val rows = Seq(
+      // slice p: perfect separation → 1e6
+      ("p", 10L, true), ("p", 9L, true), ("p", 1L, false), ("p", 2L, false),
+      // slice r: anti-predictive → 0
+      ("r", 1L, true), ("r", 2L, true), ("r", 9L, false), ("r", 10L, false),
+      // slice s: single-class → NULL, out of min/max
+      ("s", 5L, true), ("s", 6L, true)).toDF("g", "s", "y")
+    val got = graft.api.TrainingData.aucBySlice(rows, "g", "s", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("p").getLong(3) == 1000000L)
+    assert(got("r").getLong(3) == 0L)
+    assert(got("s").isNullAt(3))
+    assert(got("p").getLong(4) == 0L && got("p").getLong(5) == 1000000L)
+    assert(got("p").getLong(6) == 1000000L)          // gap = max − min
+    // per-slice value equals the global aucExact run on that slice alone
+    val solo = graft.api.TrainingData.aucExact(
+      rows.filter(col("g") === "p"), "s", "y").collect().head
+    assert(solo.getLong(2) == got("p").getLong(3))
+  }
+
   test("piiScan: seeded counts, per-doc flag, redaction chars, clean docs") {
     val docs = Seq(
       ("s1", "reach me at a.b@x.org or c@d.io thanks"),    // 2 emails
