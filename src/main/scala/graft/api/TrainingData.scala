@@ -6871,4 +6871,102 @@ object TrainingData {
           .as("auc_gap_micros"))
       .orderBy(col("slice"))
   }
+
+  /** Per-group WEIGHTED exact quantiles: for each requested quantile,
+    * the smallest value whose CUMULATIVE WEIGHT reaches ⌈q·W⌉ — the
+    * mass-weighted order statistic every existing quantile op here
+    * lacks (q08b/x139/x140/x141 weight rows equally). With weight =
+    * token count this answers "the median TOKEN lives in a document of
+    * length X" — by-mass length distributions diverge wildly from
+    * by-doc ones on heavy-tailed corpora, and batch/pack planning
+    * (x32/x65) budgets MASS, not documents. Exact integer end to end:
+    * integral values and weights ([[integralLong]] grain — quantize at
+    * the call site), rank_q = ⌈q_micros·W / 10⁶⌉ in integer
+    * arithmetic. Output: (grp, q_micros, w_total, rank, value).
+    *
+    * Scale shape: one map-side-combined (group, value) weight-sum, a
+    * keyed cumulative pass over DISTINCT values (value cardinality,
+    * not rows), then a tiny per-(group, quantile) argmin. */
+  def weightedQuantiles(rows: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty &&
+      quantiles.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $quantiles")
+    val qMicros = quantiles.map(q => math.round(q * 1000000).toLong)
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(s"`$valueCol`").isNotNull &&
+        col(s"`$weightCol`").isNotNull)
+      .select(col(groupCol).as("grp"),
+        integralLong(valueCol, "weightedQuantiles").as("v"),
+        integralLong(weightCol, "weightedQuantiles").as("w"))
+      .select(col("grp"), col("v"),
+        when(col("w") < 0, expr("raise_error('weightedQuantiles: " +
+          "negative weight')").cast("long")).otherwise(col("w")).as("w"))
+    val perV = base.groupBy(col("grp"), col("v"))
+      .agg(sum(col("w")).as("wc"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val cum = perV
+      .withColumn("cw", sum(col("wc")).over(wCum))
+      .withColumn("w_total", sum(col("wc")).over(wTot))
+    val qs = qMicros.map(lit(_))
+    cum
+      .select(col("grp"), col("v"), col("cw"), col("w_total"),
+        explode(array(qs: _*)).as("q_micros"))
+      // rank = ⌈q·W⌉ — exact while q_micros·W < 2⁶³ (W ≲ 9·10¹² mass)
+      .withColumn("rank",
+        expr("(q_micros * w_total + 999999) div 1000000"))
+      .filter(col("cw") >= col("rank") && col("w_total") > 0)
+      .groupBy(col("grp"), col("q_micros"), col("w_total"), col("rank"))
+      .agg(min(col("v")).as("value"))
+      .select(col("grp"), col("q_micros"), col("w_total"), col("rank"),
+        col("value"))
+      .orderBy(col("grp"), col("q_micros"))
+  }
+
+  /** Weighted Cohen's kappa between TWO ordinal raters (quadratic
+    * penalty w_ij = (i−j)²): chance-corrected agreement where
+    * near-misses cost little and distant disagreements cost a lot —
+    * x99's Fleiss κ handles many raters on NOMINAL labels, this is the
+    * two-rater ORDINAL companion (two quality heuristics, a grader vs
+    * a reference rubric). κ = 1 − n·Σ(w·O) / Σ(w·ra·rb), all counts
+    * exact, the division once in DECIMAL(38,0) (the aucExact/x121
+    * arithmetic — HUGEINT in the oracle). Both-constant inputs (no
+    * chance disagreement) emit NULL. Output: one row (n, n_categories,
+    * observed_penalty_sum, expected_penalty_num, kappa_micros).
+    *
+    * Scale shape: one (i, j) cell aggregation (≤ categories² keys) and
+    * two margin aggregations — the cross of margins runs on
+    * categories-sized relations, never rows. */
+  def cohenKappaWeighted(rows: DataFrame, raterACol: String,
+      raterBCol: String): DataFrame = {
+    val base = rows
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(integralLong(raterACol, "cohenKappaWeighted").as("i"),
+        integralLong(raterBCol, "cohenKappaWeighted").as("j"))
+    val cells = base.groupBy(col("i"), col("j")).agg(count(lit(1)).as("o"))
+    val ra = base.groupBy(col("i")).agg(count(lit(1)).as("na"))
+    val rb = base.groupBy(col("j")).agg(count(lit(1)).as("nb"))
+    val n = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("i")).as("ca"), countDistinct(col("j")).as("cb"))
+    val obs = cells
+      .agg(sum(expr("(i - j) * (i - j) * o")).as("wo"))
+    // categories-sized cross (≤ |categories|² rows) — broadcast-hinted
+    // so it plans as a BNLJ Cross, never a CartesianProduct
+    val exp_ = ra.crossJoin(broadcast(rb))
+      .agg(sum(expr("CAST((i - j) * (i - j) AS DECIMAL(38,0))" +
+        " * na * nb")).as("we"))
+    n.crossJoin(broadcast(obs)).crossJoin(broadcast(exp_))
+      .select(col("n"),
+        greatest(col("ca"), col("cb")).as("n_categories"),
+        col("wo").as("observed_penalty_sum"),
+        col("we").cast("string").as("expected_penalty_num"),
+        when(col("we") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(1000000 - (1000000 * CAST(n AS DECIMAL(38,0)) * wo)" +
+              " div we AS BIGINT)")).as("kappa_micros"))
+  }
 }

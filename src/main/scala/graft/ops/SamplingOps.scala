@@ -147,6 +147,18 @@ object SamplingOps {
           (col("lang") === "en").as("label")),
       "source", "n_chars", "label")
 
+  /** X157 — token-MASS-weighted length quantiles per source: the
+    * smallest length whose cumulative character mass reaches q·W —
+    * "the median CHARACTER lives in a doc of length X", which on a
+    * heavy-tailed corpus sits far above the by-doc median (q08b) and
+    * is the number batch/pack planning (x32/x65) actually budgets.
+    * Fixture binding of [[graft.api.TrainingData.weightedQuantiles]]
+    * at p50/p90/p99. */
+  def x157WeightedQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.weightedQuantiles(
+      t(s, d, "documents").select(col("source"), col("n_chars")),
+      "source", "n_chars", "n_chars", Seq(0.5, 0.9, 0.99))
+
   /** X146 — Murphy (reliability/resolution/uncertainty) decomposition
     * of the Brier score for the x120 calibration pair (score =
     * min(n_chars, 600)/600 as an is-English forecast): separates "the
@@ -546,6 +558,7 @@ object SamplingOps {
     "x145_ess_weights" -> (x145EssWeights _),
     "x146_brier_decomp" -> (x146BrierDecomp _),
     "x156_auc_by_slice" -> (x156AucBySlice _),
+    "x157_weighted_quantiles" -> (x157WeightedQuantiles _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
     "x57_source_interleave" -> (x57SourceInterleave _),
@@ -1104,6 +1117,34 @@ object SamplingOps {
     // q08b-established portable pair)
     // Bayesian-average replay: one group aggregation, the grand mean in
     // micros once, the same integer shrinkage quotient
+    // weighted-order-statistic replay: per-(group, value) weight sums,
+    // keyed cumulative pass, ceil-rank in integer arithmetic
+    "x157_weighted_quantiles" ->
+      """WITH b AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(n_chars AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |pv AS (SELECT grp, v, CAST(sum(w) AS BIGINT) AS wc
+        |       FROM b GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, v, wc,
+        |    CAST(sum(wc) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(wc) OVER (PARTITION BY grp) AS BIGINT) AS w_total
+        |  FROM pv),
+        |q(q_micros) AS (VALUES (500000), (900000), (990000)),
+        |r AS (
+        |  SELECT grp, v, cw, w_total, CAST(q_micros AS BIGINT) AS q_micros,
+        |    (CAST(q_micros AS BIGINT) * w_total + 999999) // 1000000
+        |      AS rank
+        |  FROM c, q)
+        |SELECT grp, q_micros, w_total, CAST(rank AS BIGINT) AS rank,
+        |  CAST(min(v) AS BIGINT) AS value
+        |FROM r WHERE cw >= rank AND w_total > 0
+        |GROUP BY grp, q_micros, w_total, rank
+        |ORDER BY grp, q_micros""".stripMargin,
     // per-slice Mann–Whitney midrank replay (the x121 machinery
     // partitioned by slice), min/max/gap over non-NULL slice AUCs
     "x156_auc_by_slice" ->

@@ -620,6 +620,22 @@ object TextOps {
       "n_chars", bins = 10)
   }
 
+  /** X158 — weighted Cohen's κ between two ordinal quality graders
+    * (char-length decile vs token-count decile, quadratic penalty):
+    * chance-corrected agreement where near-misses cost little — x99's
+    * Fleiss κ handles many raters on nominal labels, this is the
+    * two-rater ORDINAL read ("do these two heuristics grade the same
+    * corpus the same way"). Fixture binding of
+    * [[graft.api.TrainingData.cohenKappaWeighted]]. */
+  def x158CohenKappa(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cohenKappaWeighted(
+      t(s, d, "documents")
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
+        .select(least(lit(9L), expr("n_chars div 60")).as("grade_chars"),
+          least(lit(9L), expr("size(filter(split(text, ' '), " +
+            "t -> t != '')) div 10")).as("grade_tokens")),
+      "grade_chars", "grade_tokens")
+
   /** X69 — rank-fusion quality scoring: three integer token-stat signals
     * mapped to corpus deciles (exact-percentile edge vector, broadcast)
     * and averaged — multi-signal quality without hand-tuned weights or a
@@ -727,6 +743,7 @@ object TextOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x151_pii_scan" -> (x151PiiScan _),
     "x153_info_gain" -> (x153InfoGain _),
+    "x158_cohen_kappa" -> (x158CohenKappa _),
     "x155_psi_drift" -> (x155PsiDrift _),
     "x103_robust_outliers" -> (x103RobustOutliers _),
     "x100_good_turing" -> (x100GoodTuring _),
@@ -970,6 +987,36 @@ object TextOps {
         |    AS pii_docs_micros,
         |  n_emails, n_ipv4, n_card16, n_phones, redacted_chars
         |FROM g ORDER BY grp""".stripMargin,
+    // weighted-kappa replay: the same decile graders, cell/margin
+    // counts, quadratic penalties, HUGEINT for the n·Sum(w·O) product
+    // (the x121 DECIMAL twin)
+    "x158_cohen_kappa" ->
+      """WITH b AS (
+        |  SELECT least(9, n_chars // 60) AS i,
+        |    least(9, len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) // 10) AS j
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |cells AS (SELECT i, j, CAST(count(*) AS BIGINT) AS o
+        |          FROM b GROUP BY 1, 2),
+        |ra AS (SELECT i, CAST(count(*) AS BIGINT) AS na FROM b GROUP BY 1),
+        |rb AS (SELECT j, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT i) AS BIGINT) AS ca,
+        |       CAST(count(DISTINCT j) AS BIGINT) AS cb FROM b),
+        |obs AS (SELECT CAST(sum((i - j) * (i - j) * o) AS BIGINT) AS wo
+        |        FROM cells),
+        |ex AS (SELECT sum(CAST((i - j) * (i - j) AS HUGEINT) * na * nb)
+        |         AS we
+        |       FROM ra, rb)
+        |SELECT n, greatest(ca, cb) AS n_categories,
+        |  wo AS observed_penalty_sum,
+        |  CAST(we AS VARCHAR) AS expected_penalty_num,
+        |  CASE WHEN we = 0 THEN NULL
+        |       ELSE CAST(1000000 - (1000000 * CAST(n AS HUGEINT) * wo)
+        |         // we AS BIGINT)
+        |  END AS kappa_micros
+        |FROM nn, obs, ex""".stripMargin,
     // information-gain replay: per-type entropy terms rounded once to
     // micro-nats (the x28j/x128 convention — every term non-negative,
     // so round() ties agree), gain ratio clamped at 0 before the

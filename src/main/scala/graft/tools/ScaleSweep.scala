@@ -78,7 +78,8 @@ object ScaleSweep {
     "x147_kaplan_meier", "x148_freq_pairs", "x149_kmv_overlap",
     "x150_typo_neardup", "x151_pii_scan", "x139c_loghist_zeros",
     "x152_dup_graph_stats", "x153_info_gain", "x154_kmv_rolling",
-    "x155_psi_drift", "x156_auc_by_slice")
+    "x155_psi_drift", "x156_auc_by_slice", "x157_weighted_quantiles",
+    "x158_cohen_kappa")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

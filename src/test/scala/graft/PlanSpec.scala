@@ -735,6 +735,20 @@ class PlanSpec extends SparkSpec {
     assert(!pa.contains("CartesianProduct"), pa)
   }
 
+  test("x157/x158 weighted stats: keyed cumulative pass, tiny margin cross") {
+    val pw = plan("x157_weighted_quantiles")
+    // cumulative weight runs keyed by group over distinct values
+    assert(pw.contains("Window") && pw.contains("HashAggregate"), pw)
+    assert(!pw.contains("CartesianProduct"), pw)
+    val pk = plan("x158_cohen_kappa")
+    // the margin cross is the accepted broadcast Cross over
+    // categories-sized relations — never a CartesianProduct
+    assert(pk.contains("HashAggregate"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+    assert(!pk.linesIterator.exists(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("Inner")), pk)
+  }
+
   test("NO registered query plans a CartesianProduct — the global ban, CI-enforced") {
     // the repo's scale claim bans the node outright (accepted tiny-side
     // cross joins must carry a broadcast hint and plan as BNLJ Cross);

@@ -3553,6 +3553,56 @@ class TrainingDataSpec extends SparkSpec {
     assert(solo.getLong(2) == got("p").getLong(3))
   }
 
+  test("weightedQuantiles: mass-weighted ranks, equal-weight = order stat") {
+    // values 1..10 weighted by themselves: W = 55, p50 rank = 28,
+    // cumulative reaches 28 at v = 7 — far above the by-row median 5
+    val m = (1L to 10L).map(v => ("g", v, v)).toDF("grp", "v", "w")
+    val got = graft.api.TrainingData
+      .weightedQuantiles(m, "grp", "v", "w", Seq(0.5, 1.0))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(got(500000L).getLong(2) == 55L && got(500000L).getLong(3) == 28L)
+    assert(got(500000L).getLong(4) == 7L)
+    assert(got(1000000L).getLong(4) == 10L)
+    // equal weights reduce to the plain discrete order statistic
+    val eq = (1L to 10L).map(v => ("g", v, 1L)).toDF("grp", "v", "w")
+    val ge = graft.api.TrainingData
+      .weightedQuantiles(eq, "grp", "v", "w", Seq(0.5))
+      .collect().head
+    assert(ge.getLong(4) == 5L)
+    // zero-weight values never satisfy a rank on their own; an
+    // all-zero group vanishes (w_total = 0)
+    val z = Seq(("g", 1L, 0L), ("g", 2L, 0L)).toDF("grp", "v", "w")
+    assert(graft.api.TrainingData
+      .weightedQuantiles(z, "grp", "v", "w", Seq(0.5)).count() == 0L)
+  }
+
+  test("cohenKappaWeighted: perfect = 1e6, inverted = -1e6, constant NULL") {
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    val rp = graft.api.TrainingData.cohenKappaWeighted(perfect, "a", "b")
+      .collect().head
+    assert(rp.getLong(2) == 0L && rp.getLong(4) == 1000000L)
+    // two raters in perfect opposition on {0,1}: κ = −1 exactly
+    val inv = Seq((0L, 1L), (1L, 0L)).toDF("a", "b")
+    val ri = graft.api.TrainingData.cohenKappaWeighted(inv, "a", "b")
+      .collect().head
+    assert(ri.getLong(4) == -1000000L)
+    // quadratic penalty: a 0-vs-2 miss costs 4× a 0-vs-1 miss — with
+    // identical marginals the distant-miss κ is strictly lower
+    def kappa(pairs: Seq[(Long, Long)]): Long =
+      graft.api.TrainingData
+        .cohenKappaWeighted(pairs.toDF("a", "b"), "a", "b")
+        .collect().head.getLong(4)
+    val near = kappa(Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 1L), (1L, 0L),
+      (2L, 2L)))
+    val far = kappa(Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 2L), (2L, 0L),
+      (1L, 1L)))
+    assert(far < near)
+    // both raters constant: no chance disagreement → NULL
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(graft.api.TrainingData.cohenKappaWeighted(const, "a", "b")
+      .collect().head.isNullAt(4))
+  }
+
   test("piiScan: seeded counts, per-doc flag, redaction chars, clean docs") {
     val docs = Seq(
       ("s1", "reach me at a.b@x.org or c@d.io thanks"),    // 2 emails
