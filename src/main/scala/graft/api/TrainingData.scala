@@ -1657,8 +1657,15 @@ object TrainingData {
         s"${docs.schema(idCol).dataType.sql}): a string id's lexicographic " +
         "window order would disagree with the numeric bucket order")
     val s = docs.sparkSession
+    // eager-checkpoint the tokenize pass: approxQuantile below is a
+    // driver action over `base`, and the main plan reads `base` again —
+    // without this, the corpus is scanned and tokenized TWICE per call
+    // (the r13 x32 2.2 s-warm regression). The checkpointed relation is
+    // two longs per doc; lineage truncation also keeps the window stage
+    // free of the tokenizer.
     val base = docs.select(col(idCol).as("id"),
       size(graft.ops.DedupOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
     // bucket count bounded to ample cumsum parallelism; the native
     // binary-search bucketizer keeps per-row cost and plan size
     // independent of it (the cap is no longer a codegen-depth guard)
@@ -4606,11 +4613,19 @@ object TrainingData {
         col(labelCol).isNotNull)
       .select(col(itemCol).as("item"), col(labelCol).as("label"))
     // the (item, label) cell relation feeds FOUR branches (per-item
-    // agreement, the kept-item filter, label marginals, the P_e total) —
-    // unpersisted, the upstream scan/dedup lineage re-ran per branch
+    // agreement, the kept-item filter, label marginals, the P_e total).
+    // EAGER localCheckpoint (the PageRank discipline), not a lazy
+    // persist: a lazy cache referenced from five subtrees of one plan
+    // let the branches race its first materialization, re-running the
+    // expensive upstream (caller-side window/dedup) per branch — the
+    // r13 x99 regression (7 s warm on a 2 MB input). Checkpointing
+    // truncates lineage, runs the upstream exactly once, and needs no
+    // paired unpersist (blocks are released when the RDD is GC'd).
     val cellCounts = base.groupBy(col("item"), col("label"))
       .agg(count(lit(1)).as("n_il"))
-      .persist()
+      .localCheckpoint(true)
+    // perItem is read twice (the totals agg and the kept-item join) —
+    // same eager treatment; it is ≤ one row per item
     val perItem = cellCounts.groupBy(col("item"))
       .agg(sum(col("n_il")).as("n_i"),
         sum(col("n_il") * (col("n_il") - 1)).as("agree_pairs"))
@@ -4618,6 +4633,7 @@ object TrainingData {
       .select(col("item"), col("n_i"),
         expr("(agree_pairs * 1000000L) div (n_i * (n_i - 1))")
           .as("a_micro"))
+      .localCheckpoint(true)
     val items = perItem.agg(count(lit(1)).as("n_items"),
       sum(col("n_i")).as("n_ratings"), sum(col("a_micro")).as("a_sum"))
     // label shares use only ratings on the ≥2-rater items (the items
@@ -6436,13 +6452,17 @@ object TrainingData {
       itemCol: String, minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"need minSupport >= 1, got $minSupport")
     // the deduped (basket, item) relation feeds four plan branches
-    // (singleton supports, basket count, both pair-join sides) — persist
-    // it so the raw input is scanned once, the shingles/pairs convention
+    // (singleton supports, basket count, both pair-join sides) — EAGER
+    // localCheckpoint so the raw input is scanned once AND nothing
+    // leaks: a bare persist here accumulated cached relations across
+    // calls in a long-lived session (no unpersist point exists — the
+    // caller owns the returned lazy DataFrame); checkpoint blocks are
+    // released when the RDD is GC'd
     val items = rows
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("b"), col(itemCol).cast("string").as("i"))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     val l1 = items.groupBy(col("i")).agg(count(lit(1)).as("s1"))
       .filter(col("s1") >= minSupport)
     val nBaskets = items.select(col("b")).distinct()
@@ -6618,7 +6638,10 @@ object TrainingData {
           .as("den1"),
         (col("m").cast("decimal(38,0)") * col("szz") - col("sz") * col("sz"))
           .as("den2"))
-      .select((col("m") / 2).cast("long").as("n_edges"),
+      // m div 2 keeps the edge count integral end to end (m is an exact
+      // BIGINT row count; / would detour through floating point, exact
+      // only while 2·E < 2^53) — mirrors the oracle's m // 2
+      .select(expr("m div 2").as("n_edges"),
         when(col("num") > 0, 1).when(col("num") < 0, -1).otherwise(0)
           .as("assort_sign"),
         when(col("m") < 6 || col("den1") === 0 || col("den2") === 0,
@@ -6716,10 +6739,15 @@ object TrainingData {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
     val spark = rows.sparkSession
     import spark.implicits._
+    // day = FLOOR(epoch_millis / 86400000): `div` truncates toward
+    // zero, so pre-1970 timestamps (negative millis) would land one day
+    // late vs the oracle's flooring `//` — subtract 1 exactly when the
+    // remainder is negative (Spark % follows the dividend's sign)
     val dayHash = rows
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(expr(s"(unix_millis(CAST(`$tsCol` AS TIMESTAMP))" +
-        " div 86400000L)").as("day"),
+        s" div 86400000L) - (CASE WHEN unix_millis(CAST(`$tsCol` AS" +
+        " TIMESTAMP)) % 86400000L < 0 THEN 1 ELSE 0 END)").as("day"),
         expr(s"CAST(conv(substring(sha2(CAST(`$valueCol` AS STRING)," +
           " 256), 1, 13), 16, 10) AS BIGINT)").as("h"))
       .as[(Long, Long)]
@@ -6742,11 +6770,13 @@ object TrainingData {
       .partitionBy(col("day")).orderBy(col("h"))
     // the per-day summary is days·k rows and feeds three branches
     // (rolling mins, window-day counts, the observed-day clamp) —
-    // persist it so the raw dedup is paid once
+    // EAGER localCheckpoint so the raw dedup is paid once and nothing
+    // leaks across calls (a bare persist had no unpersist point;
+    // checkpoint blocks release when the RDD is GC'd)
     val daily = pre.distinct()
       .withColumn("rn", row_number().over(wDay)).filter(col("rn") <= k)
       .select(col("day"), col("h"))
-      .persist()
+      .localCheckpoint(true)
     // each day's mins serve the windowDays output days [day, day+W),
     // clamped to OBSERVED days (a window anchored past the data's last
     // day is not a reportable statistic)
@@ -6795,7 +6825,18 @@ object TrainingData {
     def micro(df: DataFrame, side: String) = df
       .filter(col(s"`$valueCol`").isNotNull)
       .select(expr(s"CAST(round(CAST(`$valueCol` AS DOUBLE) * 1000000.0," +
-        " 0) AS BIGINT)").as("m"), lit(side).as("side"))
+        " 0) AS BIGINT)").as("m0"), lit(side).as("side"))
+      // range guard (the essWeights/brierDecomposition convention):
+      // keep |m| ≤ 4.5e15 so (m − lo) ≤ 9e15 and ·bins (≤ 1000) stays
+      // inside BIGINT; a saturated non-ANSI cast (|v| > 9.2e12) also
+      // lands above the bound, so the guard catches cast overflow too —
+      // fail loudly instead of silently diverging from the ANSI oracle
+      .select(
+        when(abs(col("m0")) > 4500000000000000L,
+          expr(s"raise_error('psiDrift: |value| > 4.5e9 — rescale at" +
+            " the call site (PSI is scale-invariant)')").cast("long"))
+          .otherwise(col("m0")).as("m"),
+        col("side"))
     val both = micro(a, "a").unionByName(micro(b, "b"))
     val bounds = both.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
     val counts = both.crossJoin(broadcast(bounds))

@@ -793,6 +793,12 @@ object DedupOps {
     val base = rows
       .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
       .select(col(idCol).as("id"), lower(col(keyCol)).as("s"))
+      // block key uses length(s) AFTER lowercasing — Java toLowerCase
+      // can change string length (e.g. İ → i̇), so the oracle mirrors
+      // length(lower(...)) exactly. Caveat (next to the BMP note on the
+      // DL expression): Spark `length` counts UTF-16 units, DuckDB
+      // counts codepoints — identical on BMP text, divergent on
+      // supplementary planes; keys are expected BMP.
       .withColumn("blk", concat_ws("|",
         substring(col("s"), 1, blockPrefix),
         length(col("s")).cast("string")))
@@ -1139,7 +1145,7 @@ object DedupOps {
         |r AS (
         |  SELECT doc_id AS id, lower(head) AS s,
         |    concat(substring(lower(head), 1, 8), '|',
-        |      CAST(length(head) AS VARCHAR)) AS blk
+        |      CAST(length(lower(head)) AS VARCHAR)) AS blk
         |  FROM (SELECT * FROM docs UNION ALL SELECT * FROM twins)),
         |p AS (
         |  SELECT a.id AS id1, b.id AS id2,

@@ -196,36 +196,77 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
     retries.addAndGet(r)
   }
 
-  // Pacing-fidelity histogram: per-record lag-vs-schedule in 1 ms
-  // buckets 0..1999 plus an overflow bucket — bounded memory (16 KB),
+  // Pacing-fidelity histogram: per-record lag-vs-schedule, two-tier —
+  // 1 ms buckets for 0..1999 ms, then 100 ms buckets for 2 s..61.9 s,
+  // then one overflow bucket (read "≥62 s"). Bounded memory (~21 KB),
   // lock-free, shared across sink partitions like the counters. On-time
   // records (the pacer slept; gap ≤ 0) land in bucket 0, so percentiles
-  // read directly as "how far behind schedule delivery ran".
-  private val LagBuckets = 2000
+  // read directly as "how far behind schedule delivery ran". The coarse
+  // tier exists because the r13 artifact read p50=p99=p999=2000 — a
+  // saturated 2 s cap was indistinguishable from a real constant 2 s
+  // slip; now a constant slip reads as its actual magnitude.
+  private val FineBuckets = 2000 // 1 ms grain
+  private val CoarseBuckets = 600 // 100 ms grain, 2 000..61 999 ms
+  private val NBuckets = FineBuckets + CoarseBuckets
   private val lagHist =
-    new java.util.concurrent.atomic.AtomicLongArray(LagBuckets + 1)
+    new java.util.concurrent.atomic.AtomicLongArray(NBuckets + 1)
 
-  /** `p` ∈ (0, 1] percentile of recorded lags, ms; lags ≥ [[LagBuckets]]
-    * saturate to LagBuckets (read "≥2000"). −1 when nothing recorded. */
+  private def bucketOf(lagMs: Long): Int = {
+    val l = math.max(lagMs, 0L)
+    if (l < FineBuckets) l.toInt
+    else {
+      val c = (l - FineBuckets) / 100L
+      if (c < CoarseBuckets) FineBuckets + c.toInt else NBuckets
+    }
+  }
+
+  /** Lower edge of bucket `i` in ms (the value a percentile reports). */
+  private def bucketLoMs(i: Int): Long =
+    if (i < FineBuckets) i.toLong
+    else if (i < NBuckets) FineBuckets + (i - FineBuckets) * 100L
+    else FineBuckets + CoarseBuckets * 100L // overflow: "≥62 000"
+
+  /** `p` ∈ (0, 1] percentile of recorded lags, ms (bucket lower edge;
+    * ≥62 000 means the overflow bucket). −1 when nothing recorded. */
   def lagPercentileMs(p: Double): Long = {
     var n = 0L
     var i = 0
-    while (i <= LagBuckets) { n += lagHist.get(i); i += 1 }
+    while (i <= NBuckets) { n += lagHist.get(i); i += 1 }
     if (n == 0) return -1L
     val target = math.ceil(p * n).toLong
     var seen = 0L
     i = 0
-    while (i <= LagBuckets) {
+    while (i <= NBuckets) {
       seen += lagHist.get(i)
-      if (seen >= target) return i.toLong
+      if (seen >= target) return bucketLoMs(i)
       i += 1
     }
-    LagBuckets.toLong
+    bucketLoMs(NBuckets)
+  }
+
+  /** Compact log₂-spaced dump of the lag histogram for the bench
+    * artifact: [lo_ms, count] per nonempty range over [0,1), [1,2),
+    * [2,4), … [65536,∞) — at most 18 entries, so the one-line JSON
+    * contract survives, while cap-vs-real-slip stays distinguishable. */
+  def lagHistogramLog2: Seq[(Long, Long)] = {
+    val edges = 0L +: (0 to 16).map(1L << _) // 0,1,2,4,...,65536
+    val counts = new Array[Long](edges.size)
+    var i = 0
+    while (i <= NBuckets) {
+      val c = lagHist.get(i)
+      if (c > 0) {
+        val lo = bucketLoMs(i)
+        var j = edges.size - 1
+        while (edges(j) > lo) j -= 1
+        counts(j) += c
+      }
+      i += 1
+    }
+    edges.zip(counts).filter(_._2 > 0)
   }
 
   def record(lagMs: Long, highWaterMs: Long): Unit = {
-    lagHist.incrementAndGet(
-      math.min(math.max(lagMs, 0L), LagBuckets.toLong).toInt)
+    lagHist.incrementAndGet(bucketOf(lagMs))
     total.incrementAndGet()
     window.incrementAndGet()
     val now = System.currentTimeMillis()
@@ -251,7 +292,7 @@ final class ReplayStats(@volatile var frequencyMillis: Long,
     requests.set(0); retries.set(0)
     queueGauge = () => 0; queueCapacity = 0; forcedGauge = () => 0L
     var i = 0
-    while (i <= LagBuckets) { lagHist.set(i, 0L); i += 1 }
+    while (i <= NBuckets) { lagHist.set(i, 0L); i += 1 }
   }
 }
 

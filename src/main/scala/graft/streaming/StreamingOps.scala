@@ -237,6 +237,11 @@ object StreamingOps {
           col("event_type").isNotNull && col("ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"))
+        // driver-side collect is FIXTURE-BOUNDED (sf events, ≤ a few
+        // hundred k rows): MemoryStream's multi-batch choreography only
+        // exists as driver-side addData, so the gate's INPUT must pass
+        // through the driver; outputs stay executor-side parquet. A
+        // production run replaces this gate with a real source.
         .as[(Long, Long, String, Long)].collect()
       val maxTs = evs.map(_._4).max
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -294,6 +299,8 @@ object StreamingOps {
           col("ts").isNotNull)
         .select(col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"))
+        // fixture-bounded driver collect — MemoryStream input-side only
+        // (multi-batch addData is driver API); see x101's note
         .as[(Long, String, Long)].collect()
       val maxTs = evs.map(_._3).max
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -463,6 +470,8 @@ object StreamingOps {
           col("ts").isNotNull)
         .select(col("event_id"), col("event_type"),
           unix_millis(col("ts")).as("ts_ms"))
+        // fixture-bounded driver collect — MemoryStream input-side only
+        // (multi-batch addData is driver API); see x101's note
         .as[(Long, String, Long)].collect()
       val maxTs = evs.map(_._3).max
       val (aEvs, bEvs) = evs.partition(_._1 % 2 == 0)
@@ -844,6 +853,8 @@ object StreamingOps {
         .filter(col("event_id").isNotNull && col("event_type").isNotNull &&
           col("ts").isNotNull)
         .select(col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+        // fixture-bounded driver collect — MemoryStream input-side only
+        // (multi-batch addData is driver API); see x101's note
         .as[(String, Long)].collect()
       val maxTs = evs.map(_._2).max
       implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
@@ -951,6 +962,8 @@ object StreamingOps {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val evs = graft.Tables.t(s2, d, "events")
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        // fixture-bounded driver collect — MemoryStream input-side only
+        // (multi-batch addData is driver API); see x101's note
         .as[(Long, Long)].collect()
       val maxTs = evs.map(_._2).max
       implicit val sq: org.apache.spark.sql.SQLContext = s2.sqlContext
@@ -995,6 +1008,8 @@ object StreamingOps {
       import s.implicits._
       val evs = graft.Tables.t(s, d, "events")
         .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        // fixture-bounded driver collect — MemoryStream input-side only
+        // (multi-batch addData is driver API); see x101's note
         .as[(Long, Long)].collect()
       val maxTs = evs.map(_._2).max
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext

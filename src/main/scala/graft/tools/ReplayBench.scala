@@ -46,20 +46,31 @@ object ReplayBench {
     * JVM): generates the fixture, runs cold+warm, cleans up, returns the
     * one-line JSON. */
   def runOn(spark: SparkSession, requested: Long, runId: String = ""): String = {
+    // two SEPARATE temp dirs: the replay Source lists the fixture dir
+    // RECURSIVELY (reference parity), so the io canary's parquet output
+    // must not live under it or later passes would scan it as input
     val dir = Files.createTempDirectory("replay_bench")
-    try runOnFixture(spark, requested, dir, runId)
+    val ioDir = Files.createTempDirectory("replay_io_canary")
+    def rmTree(root: java.nio.file.Path): Unit = {
+      // recursive, deepest-first; Files.walk is a resource: close it
+      val st = Files.walk(root)
+      try st.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally st.close()
+    }
+    try runOnFixture(spark, requested, dir, ioDir, runId)
     finally {
       // always delete the ~1M-event fixture — Bench swallows replay
       // failures by design, and a leaked temp dir per round fills /tmp
-      // with no visible symptom. Files.list is a resource: close it.
-      val st = Files.list(dir)
-      try st.forEach(p => Files.delete(p)) finally st.close()
-      Files.delete(dir)
+      // with no visible symptom
+      rmTree(dir)
+      rmTree(ioDir)
     }
   }
 
   private def runOnFixture(spark: SparkSession, requested: Long,
-      dir: java.nio.file.Path, runId: String = ""): String = {
+      dir: java.nio.file.Path, ioCanaryDir: java.nio.file.Path,
+      runId: String = ""): String = {
     // deterministic minified JSON fixture, 16 files for parallel scan
     val files = 16
     val perFile = requested / files
@@ -117,15 +128,21 @@ object ReplayBench {
       val (c1, t1) = gcSnapshot()
       (sec, c1 - c0, t1 - t0)
     }
-    // fixed CPU canary interleaved between passes (r12 advice #7): the
-    // r12 artifact showed a 16.9 s pass with ZERO GC delta — classic
-    // external contention the gc accounting cannot name. A deterministic
-    // single-thread multiply-add loop (~100 ms on a quiet core; pure
-    // JVM, no Spark state, no allocation) is timed after every pass;
-    // a pass whose adjacent canary runs > 20% over the pre-curve
-    // baseline was measured on a contended box and is EXCLUDED from the
-    // settled stats — with its canary reading published, so the
-    // exclusion is auditable rather than silent.
+    // three-sense contention detection (r13 verdict #4: the CPU-spin
+    // canary sat FLAT through 30 s and 38 s passes — whatever contends
+    // on the driver's box is not visible to a single-thread ALU probe):
+    //  1. CPU canary — deterministic single-thread multiply-add loop
+    //     (~100 ms quiet); catches CPU steal.
+    //  2. I/O canary — a small Spark parquet write+read round-trip
+    //     (~0.2 s quiet): exercises what the replay pass exercises
+    //     (task scheduling, file I/O, codec), so I/O or scheduler
+    //     bursts that a pure-ALU spin never feels move THIS probe.
+    //  3. Self-deviation — a settled pass > 2.5× the preliminary
+    //     settled median is excluded even when both canaries read
+    //     clean (the backstop for contention that ended before the
+    //     post-pass probes ran).
+    // Each exclusion is published with its reason, so the artifact is
+    // auditable rather than silently trimmed.
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       var acc = 0L
@@ -134,11 +151,23 @@ object ReplayBench {
       if (acc == 42L) System.err.print("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
-    (1 to 3).foreach(_ => canaryOnce()) // JIT-warm the canary itself
+    val ioDir = ioCanaryDir.resolve("probe").toString
+    def ioCanaryOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 200000, 1, 8)
+        .select(col("id"), (col("id") % 97).as("k"))
+        .write.mode("overwrite").parquet(ioDir)
+      spark.read.parquet(ioDir).where(col("k") === 13).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (1 to 3).foreach { _ => canaryOnce(); ioCanaryOnce() } // JIT/codegen warm
     val canaryBase =
       Seq(canaryOnce(), canaryOnce(), canaryOnce()).sorted.apply(1)
-    def passWithCanary(): ((Double, Long, Long), Double) = {
-      val p = timedPass(); (p, canaryOnce())
+    val ioBase =
+      Seq(ioCanaryOnce(), ioCanaryOnce(), ioCanaryOnce()).sorted.apply(1)
+    def passWithCanary(): ((Double, Long, Long), Double, Double) = {
+      val p = timedPass(); (p, canaryOnce(), ioCanaryOnce())
     }
     val cold = passWithCanary()
     // 10 passes (was 7): the settled median now sits on 8 samples, and
@@ -147,10 +176,20 @@ object ReplayBench {
     val curve = cold +: (1 to 9).map { _ => System.gc(); passWithCanary() }
     val detail = curve.map(_._1)
     val canaries = curve.map(_._2)
+    val ioCanaries = curve.map(_._3)
     val passes = detail.map(_._1)
-    val excluded = canaries.zipWithIndex.collect {
-      case (c, i) if i >= 2 && c > canaryBase * 1.2 => i
+    // preliminary settled median over ALL passes 3+ (exclusion target)
+    val prelimSorted = passes.drop(2).sorted
+    val prelimMedian = prelimSorted(prelimSorted.size / 2)
+    val exclusionReasons: Seq[(Int, String)] = passes.indices.drop(2).flatMap { i =>
+      val rs = Seq(
+        if (canaries(i) > canaryBase * 1.2) Some("cpu_canary") else None,
+        if (ioCanaries(i) > ioBase * 1.5) Some("io_canary") else None,
+        if (passes(i) > prelimMedian * 2.5) Some("self_deviation") else None
+      ).flatten
+      if (rs.nonEmpty) Some((i, rs.mkString("+"))) else None
     }
+    val excluded = exclusionReasons.map(_._1).toSet
     val settledKept = passes.zipWithIndex.drop(2)
       .collect { case (p, i) if !excluded.contains(i) => p }
     // fallback: if contention ate most of the curve, keep every settled
@@ -162,12 +201,16 @@ object ReplayBench {
     val best = passes.min
     val spread = settled.last / settled.head
     def r2(x: Double) = math.round(x * 100) / 100.0
+    def r4(x: Double) = math.round(x * 10000) / 10000.0
     val passesJson = passes.map(r2).mkString("[", ",", "]")
     val gcJson = detail.map { case (sec, gn, gms) =>
       s"""{"sec":${r2(sec)},"gc_n":$gn,"gc_ms":$gms}"""
     }.mkString("[", ",", "]")
+    val exclJson = exclusionReasons
+      .map { case (i, r) => s"""{"pass":$i,"reason":"$r"}""" }
+      .mkString("[", ",", "]")
     val canaryJson =
-      s""""canary":{"baseline_sec":${math.round(canaryBase * 10000) / 10000.0},"per_pass":${canaries.map(c => math.round(c * 10000) / 10000.0).mkString("[", ",", "]")},"excluded_passes":${excluded.mkString("[", ",", "]")},"threshold":1.2}"""
+      s""""canary":{"baseline_sec":${r4(canaryBase)},"per_pass":${canaries.map(r4).mkString("[", ",", "]")},"io_baseline_sec":${r4(ioBase)},"io_per_pass":${ioCanaries.map(r4).mkString("[", ",", "]")},"excluded_passes":$exclJson,"cpu_threshold":1.2,"io_threshold":1.5,"self_deviation_threshold":2.5}"""
     val heapMb = Runtime.getRuntime.maxMemory() >> 20
     // residual settled spread attribution (measured while settling the
     // round-8 5x curve): the dominant term is GC scheduling — a pass that
@@ -207,7 +250,17 @@ object ReplayBench {
       val p50 = ReplayStats.shared.lagPercentileMs(0.50)
       val p99 = ReplayStats.shared.lagPercentileMs(0.99)
       val p999 = ReplayStats.shared.lagPercentileMs(0.999)
-      s""""pacing":{"speedup":${math.round(PacingSpeedup)},"p50_lag_ms":$p50,"p99_lag_ms":$p99,"p999_lag_ms":$p999,"paced_seconds":${r2(pacedSec)},"schedule_grace_ms":$grace}"""
+      // the full log2-spaced lag histogram + post-pass canary readings:
+      // r13's p50=p99=p999=2000 was unreadable (saturated cap vs real
+      // constant slip) — the buckets make the shape visible, and the
+      // canaries tie a slipped pass to box contention when that is the
+      // cause (the paced pass is a ~60 s wall-clock window, the longest
+      // single exposure in the whole bench)
+      val histJson = ReplayStats.shared.lagHistogramLog2
+        .map { case (lo, c) => s"[$lo,$c]" }.mkString("[", ",", "]")
+      val postCpu = canaryOnce()
+      val postIo = ioCanaryOnce()
+      s""""pacing":{"speedup":${math.round(PacingSpeedup)},"p50_lag_ms":$p50,"p99_lag_ms":$p99,"p999_lag_ms":$p999,"paced_seconds":${r2(pacedSec)},"schedule_grace_ms":$grace,"lag_hist_log2_ms":$histJson,"post_cpu_canary_sec":${r4(postCpu)},"post_io_canary_sec":${r4(postIo)},"cpu_canary_baseline_sec":${r4(canaryBase)},"io_canary_baseline_sec":${r4(ioBase)}}"""
     }
 
     // the shared run id lets the stamp script assert this artifact and

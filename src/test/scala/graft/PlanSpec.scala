@@ -761,6 +761,25 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"CartesianProduct in: $offenders")
   }
 
+  test("PLANS.md spans the full registered surface — one section per query, none FAILED") {
+    // the committed plan audit drifted behind the surface twice (r13:
+    // 228 sections vs 244 queries) — pin section count to
+    // SparkEntry.queries.size so adding a query without regenerating
+    // PLANS.md (runMain graft.tools.PlanDump) fails CI, and a FAILED
+    // section (a query PlanDump could not build) can never ship silently
+    val plansFile = new java.io.File("PLANS.md")
+    assert(plansFile.exists, "PLANS.md missing — run graft.tools.PlanDump")
+    val lines = scala.io.Source.fromFile(plansFile)
+    val (sections, failed) = try {
+      val ls = lines.getLines().toSeq
+      (ls.count(_.startsWith("## ")), ls.count(_.startsWith("FAILED:")))
+    } finally lines.close()
+    assert(sections == SparkEntry.queries.size,
+      s"PLANS.md has $sections sections but ${SparkEntry.queries.size} " +
+        "queries are registered — regenerate with graft.tools.PlanDump")
+    assert(failed == 0, s"PLANS.md carries $failed FAILED sections")
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

@@ -244,9 +244,28 @@ class SinkSpec extends AnyFunSuite {
     st.record(999999L, 0L)
     assert(st.lagPercentileMs(0.50) == 0L) // half delivered on schedule
     assert(st.lagPercentileMs(0.99) == 10L)
-    assert(st.lagPercentileMs(1.0) == 2000L) // saturated overflow bucket
+    assert(st.lagPercentileMs(1.0) == 62000L) // saturated overflow bucket
     st.reset()
     assert(st.lagPercentileMs(0.5) == -1L)
+  }
+
+  test("lag histogram coarse tier: a constant multi-second slip reads as its magnitude, not a 2 s cap") {
+    val st = new ReplayStats(Long.MaxValue, _ => ())
+    // the r13 failure shape: every record ~27.3 s behind schedule —
+    // the old 2 s-capped histogram reported p50=p99=p999=2000
+    (1 to 100).foreach(_ => st.record(27310L, 0L))
+    // coarse tier is 100 ms grain: lower edge of [27300, 27400)
+    assert(st.lagPercentileMs(0.50) == 27300L)
+    assert(st.lagPercentileMs(0.999) == 27300L)
+    // log2 dump: all mass in the [16384, 32768) range
+    assert(st.lagHistogramLog2 == Seq((16384L, 100L)))
+    // mixed: fine-tier lags keep 1 ms resolution alongside coarse ones
+    st.reset()
+    (1 to 99).foreach(_ => st.record(7L, 0L))
+    st.record(3456L, 0L)
+    assert(st.lagPercentileMs(0.50) == 7L)
+    assert(st.lagPercentileMs(1.0) == 3400L) // [3400,3500) lower edge
+    assert(st.lagHistogramLog2 == Seq((4L, 99L), (2048L, 1L)))
   }
 
   test("reflective call resolves overloads exactly, not by getMethods order") {
