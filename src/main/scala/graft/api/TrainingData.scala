@@ -7010,4 +7010,864 @@ object TrainingData {
             "CAST(1000000 - (1000000 * CAST(n AS DECIMAL(38,0)) * wo)" +
               " div we AS BIGINT)")).as("kappa_micros"))
   }
+
+  /** Mann–Whitney U rank-sum test between two groups of an integral
+    * measure — the SIGNIFICANCE companion to [[aucExact]] (U and AUC are
+    * the same statistic: AUC = U/(n_a·n_b)); "is the quality score
+    * distribution for source A genuinely shifted vs source B, or is the
+    * gap noise" is this, not a mean-difference t-test hostage to heavy
+    * tails. Reports the doubled U statistic (doubling keeps midranks
+    * integral), the tie-corrected normal-approximation z as (sign, z²
+    * micros) — the x131/x152 no-portable-sqrt convention — and the AUC
+    * link in micros.
+    *
+    * Exactness: midranks via the x121 identity (2·midrank = 2·cum_before
+    * + c + 1) over per-value counts, every sum in DECIMAL(38,0); z² =
+    * 3·D²·n·(n−1) / (n_a·n_b·(n³−n−T)) with D = 2U−n_a·n_b and tie term
+    * T = Σ(c³−c), computed as two chained truncated divisions
+    * ⌊⌊10⁶·D²/(n_a·n_b)⌋·3n(n−1)/(n³−n−T)⌋ so every intermediate fits
+    * DECIMAL(38,0) to n ≈ 2·10⁸ rows; past that a raise_error guard
+    * points at [[aucBucketed]] (`maxExactRows` is the guard's test
+    * seam). One-group or empty input → NULL statistics.
+    *
+    * Scale shape: per-value counts are one map-side-combined
+    * aggregation; the cumulative pass runs over DISTINCT values only
+    * (value cardinality, not rows); then one scalar reduce. */
+  def mannWhitneyU(rows: DataFrame, isACol: String, valueCol: String,
+      maxExactRows: Long = 200000000L): DataFrame = {
+    val base = rows
+      .filter(col(isACol).isNotNull && col(valueCol).isNotNull)
+      .select(when(col(isACol).cast("boolean"), 1L).otherwise(0L).as("ia"),
+        integralLong(valueCol, "mannWhitneyU").as("v"))
+    val byV = base.groupBy(col("v"))
+      .agg(sum(col("ia")).as("a"), count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // single-partition window over DISTINCT values only — value
+    // cardinality, not rows (the aucExact caveat: bucket first if the
+    // measure is continuous at corpus scale)
+    val ranked = byV
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+    ranked
+      .agg(sum(col("a")).as("n_a"), sum(col("c") - col("a")).as("n_b"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * (2 * cum_before + c + 1)"))
+          .as("r2a"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("tie_t"))
+      .select(col("n_a"), col("n_b"), (col("n_a") + col("n_b")).as("n"),
+        // 2U = 2R_a − 2·n_a(n_a+1)/2 = r2a − n_a(n_a+1)
+        expr("r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)").as("u2"),
+        col("tie_t"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n") > maxExactRows, expr(
+          "raise_error('mannWhitneyU: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); pre-bucket with aucBucketed')"))
+          .when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(col("u2").cast("long")).as("u_doubled"),
+        // AUC = U/(n_a n_b): micros via 5·10⁵·2U (one truncation)
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(expr("CAST((500000 * u2) div (CAST(n_a AS" +
+            " DECIMAL(38,0)) * n_b) AS BIGINT)")).as("auc_micros"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+          .otherwise(expr("CAST(sign(u2 - CAST(n_a AS DECIMAL(38,0))" +
+            " * n_b) AS BIGINT)")).as("z_sign"),
+        // fully tied input (every row one value) has zero variance →
+        // NULL, never a div-by-zero
+        when(col("n_a") === 0 || col("n_b") === 0 ||
+            expr("CAST(n AS DECIMAL(38,0)) * n * n - n - tie_t") === 0,
+          lit(null))
+          .otherwise(expr(
+            "CAST(((1000000 * (u2 - CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+              " * (u2 - CAST(n_a AS DECIMAL(38,0)) * n_b))" +
+              " div (CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+              " * (3 * CAST(n AS DECIMAL(38,0)) * (n - 1)))" +
+              " div (CAST(n AS DECIMAL(38,0)) * n * n - n - tie_t)" +
+              " AS BIGINT)")).as("z_sq_micros"))
+  }
+
+  /** Theil–Sen estimator — the MEDIAN of all pairwise slopes of an
+    * integral (x, y) series: the robust trend read over daily volumes
+    * where one ingestion-burst day drags least-squares arbitrarily but
+    * moves a median of O(days²) slopes almost nothing (29.3% breakdown
+    * point). "Is this corpus's daily intake actually declining" at the
+    * day grain; the robust sibling of x131's autocorrelation and x132's
+    * CUSUM on the same series.
+    *
+    * Exactness: one aggregated point per x (ties on x pre-summed by
+    * `yAgg`), each pairwise slope sign-explicit truncated micros
+    * sign·⌊10⁶·|Δy|/Δx⌋ (Spark div truncates, DuckDB // floors —
+    * identical only on nonnegative operands), the median via the x31d
+    * portable percentile pair (Spark `percentile` == DuckDB
+    * `quantile_cont` on integer inputs) rounded once to 6 decimals.
+    *
+    * Scale shape: the pair join is x-grain² — DAYS², bounded by
+    * calendar time (a decade of days = 3650² ≈ 13M pairs), never
+    * rows²; one aggregation to points, one self-join, one percentile. */
+  def theilSenSlope(rows: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // eager checkpoint (the x99 discipline): the x-grain point relation
+    // feeds THREE branches (both pair-join sides + the n_points agg) —
+    // un-materialized, the raw scan would run three times
+    val pts = rows
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(integralLong(xCol, "theilSenSlope").as("x"))
+      .agg(sum(integralLong(yCol, "theilSenSlope")).as("y"))
+      .localCheckpoint(true)
+    val slopes = pts.as("a")
+      .join(pts.as("b"), col("b.x") > col("a.x"))
+      .select(expr("CASE WHEN b.y >= a.y THEN 1 ELSE -1 END" +
+        " * ((1000000 * abs(b.y - a.y)) div (b.x - a.x))")
+        .as("slope_micros"))
+    slopes.agg(count(lit(1)).as("n_pairs"),
+        expr("round(percentile(slope_micros, 0.5), 6)")
+          .as("slope_median_micros"))
+      .crossJoin(broadcast(pts.agg(count(lit(1)).as("n_points"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"))))
+      .select(col("n_points"), col("n_pairs"), col("x_min"), col("x_max"),
+        col("slope_median_micros"))
+  }
+
+  /** McNemar's test for PAIRED model comparison — two classifiers'
+    * predictions on the SAME examples: only the discordant pairs carry
+    * evidence (b = A right where B is wrong, c = the reverse), and the
+    * continuity-corrected statistic χ² = (|b−c|−1)²/(b+c) asks whether
+    * the flip balance could be chance. THE eval-shelf read for "is the
+    * new quality filter actually better than the old one on this
+    * corpus" — a marginal accuracy diff on paired data double-counts
+    * the examples both get right.
+    *
+    * Exactness: four exact BIGINT cell counts from one aggregation;
+    * the statistic one truncated micro division with the correction
+    * clamped at 0 (|b−c| ≤ 1 → numerator 0, not negative); b+c = 0
+    * (perfect agreement) → NULL, never div-by-zero.
+    *
+    * Scale shape: one row-local correctness projection + one scalar
+    * aggregation — no shuffle beyond the final reduce. */
+  def mcNemar(rows: DataFrame, labelCol: String, predACol: String,
+      predBCol: String): DataFrame = {
+    rows
+      .filter(col(labelCol).isNotNull && col(predACol).isNotNull &&
+        col(predBCol).isNotNull)
+      .select(
+        (col(predACol).cast("boolean") === col(labelCol).cast("boolean"))
+          .as("okA"),
+        (col(predBCol).cast("boolean") === col(labelCol).cast("boolean"))
+          .as("okB"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("okA") && col("okB"), 1L).otherwise(0L))
+          .as("both_right"),
+        sum(when(!col("okA") && !col("okB"), 1L).otherwise(0L))
+          .as("both_wrong"),
+        sum(when(col("okA") && !col("okB"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("okA") && col("okB"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("both_right"), col("both_wrong"), col("b"),
+        col("c"),
+        when(col("b") + col("c") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * greatest(abs(b - c) - 1, 0L)" +
+              " * greatest(abs(b - c) - 1, 0L)) div (b + c)"))
+          .as("chi2_micros"))
+  }
+
+  /** Benjamini–Hochberg FDR control over per-slice proportion tests —
+    * "which sources' positive rate genuinely differs from the pooled
+    * rate, holding the FALSE DISCOVERY RATE at q": per slice the exact
+    * one-sample two-sided z² against the pooled proportion, a
+    * deterministic Chernoff-style p surrogate p̃ = exp(−z²/2) (monotone
+    * in the true normal p, so the BH ORDERING — all that BH consumes —
+    * is preserved; documented as a surrogate, not a calibrated p), then
+    * the step-up rule: sort ascending, reject every slice at rank ≤ k*
+    * where k* = max{k : p̃_(k) ≤ k·q/m}. Testing 50 sources at α=0.05
+    * each expects 2.5 false alarms; this is the multiple-comparisons
+    * fix dashboards skip and then chase ghosts.
+    *
+    * Exactness: z² = (k·N − n·K)²/(n·K·(N−K)) exact in DECIMAL(38,0)
+    * micros (N ≲ 10⁸ before the guard trips); p̃ rounded once to micros
+    * through one written-out IEEE sequence; thresholds k·q div m in
+    * integer micros; k* via one max over the marked ranks.
+    *
+    * Scale shape: one map-side-combined per-slice aggregation; ranking
+    * and the step-up scan run on the SLICES relation (bounded by slice
+    * cardinality, not rows), single-partition window documented. */
+  def bhFdr(rows: DataFrame, sliceCol: String, flagCol: String,
+      qMicros: Long, maxExactRows: Long = 100000000L): DataFrame = {
+    require(qMicros >= 1 && qMicros <= 1000000,
+      s"qMicros must be in [1, 1e6], got $qMicros")
+    val base = rows
+      .filter(col(sliceCol).isNotNull && col(flagCol).isNotNull)
+      .select(col(sliceCol).cast("string").as("slice"),
+        when(col(flagCol).cast("boolean"), 1L).otherwise(0L).as("f"))
+    // eager checkpoint (the x99 discipline): the slice-grain relation
+    // feeds the pooled totals AND the per-slice scoring — and `ranked`
+    // below fans out again (k* scan + final join), so both bounded
+    // relations materialize once instead of re-running the row scan 4×
+    val per = base.groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_s"), sum(col("f")).as("k_s"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("n_s")).as("nn"), sum(col("k_s")).as("kk"),
+      count(lit(1)).as("m"))
+    val scored = per.crossJoin(broadcast(tot))
+      .select(col("slice"), col("n_s"), col("k_s"), col("m"),
+        when(col("nn") > maxExactRows, expr(
+          "raise_error('bhFdr: exact-arithmetic bound exceeded" +
+            " (N > maxExactRows); pre-aggregate slices')"))
+          // a degenerate pooled rate (all-positive / all-negative) has
+          // zero variance — no test, every slice reports NULL/rank only
+          .when(col("kk") === 0 || col("kk") === col("nn"),
+            lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (CAST(k_s AS DECIMAL(38,0)) * nn" +
+              " - CAST(n_s AS DECIMAL(38,0)) * kk)" +
+              " * (CAST(k_s AS DECIMAL(38,0)) * nn" +
+              " - CAST(n_s AS DECIMAL(38,0)) * kk))" +
+              " div (CAST(n_s AS DECIMAL(38,0)) * kk * (nn - kk))" +
+              " AS BIGINT)")).as("z_sq_micros"))
+      .select(col("slice"), col("n_s"), col("k_s"), col("m"),
+        col("z_sq_micros"),
+        // Chernoff surrogate, monotone in the true p — one IEEE
+        // sequence, rounded once (the x28j libm convention)
+        when(col("z_sq_micros").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(round(exp(-CAST(z_sq_micros AS DOUBLE) / 2e6)" +
+              " * 1000000.0, 0) AS BIGINT)")).as("p_tilde_micros"))
+    // slices-grain window (bounded by slice cardinality) — ascending
+    // surrogate p, ties broken by slice for a deterministic rank
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_tilde_micros").asc_nulls_last, col("slice"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("bh_threshold_micros",
+        expr(s"(rank * ${qMicros}L) div m"))
+      .localCheckpoint(true)
+    val kStar = ranked
+      .agg(coalesce(max(when(
+        col("p_tilde_micros") <= col("bh_threshold_micros"),
+        col("rank"))), lit(0)).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("slice"), col("n_s"), col("k_s"), col("z_sq_micros"),
+        col("p_tilde_micros"), col("rank"), col("bh_threshold_micros"),
+        col("k_star"), (col("rank") <= col("k_star")).as("rejected"))
+      .orderBy(col("rank"))
+  }
+
+  /** Log-rank test between TWO survival curves — "does cohort A churn
+    * faster than cohort B, counting the still-alive honestly": at each
+    * event time the observed group-A deaths are compared with the
+    * hypergeometric expectation given the at-risk split, and
+    * χ² = (Σ(O−E))²/ΣV asks whether the running imbalance is chance.
+    * The significance companion to [[kaplanMeier]] exactly as
+    * [[mannWhitneyU]] is to [[aucExact]] — the x147 risk table shows
+    * two curves, this says whether they differ.
+    *
+    * Exactness: at-risk counts via the x147 total-minus-exited window
+    * identity per group; E and V truncated micros once per event time
+    * (V = d·n_a·(n−n_b... sic n−n_a)·(n−d)·10⁶ div (n²·(n−1)), exact in
+    * DECIMAL(38,0) to n ≈ 10⁸ — a raise_error guard names the bound);
+    * the final statistic one truncated division of exact micro sums.
+    * Zero total variance (no event time mixes the groups) → NULL.
+    *
+    * Scale shape: one aggregation to (t) grain, two bounded windows
+    * over DISTINCT times (time cardinality, not rows), scalar reduce. */
+  def logRankTest(rows: DataFrame, isACol: String, durationCol: String,
+      eventCol: String, maxExactRows: Long = 100000000L): DataFrame = {
+    val base = rows
+      .filter(col(isACol).isNotNull && col(durationCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(when(col(isACol).cast("boolean"), 1L).otherwise(0L).as("ia"),
+        integralLong(durationCol, "logRankTest").as("t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("e"))
+    val byT = base.groupBy(col("t"))
+      .agg(sum(expr("ia * e")).as("d_a"), sum(col("e")).as("d"),
+        sum(col("ia")).as("m_a"), count(lit(1)).as("m"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    // single-partition windows over DISTINCT event times only — time
+    // cardinality (hours/days of calendar), not rows
+    val risked = byT
+      .withColumn("n_at", sum(col("m")).over(wTot) -
+        sum(col("m")).over(wCum) + col("m"))
+      .withColumn("na_at", sum(col("m_a")).over(wTot) -
+        sum(col("m_a")).over(wCum) + col("m_a"))
+      .filter(col("d") > 0)
+    risked
+      .agg(sum(col("d_a")).as("o_a"), sum(col("d")).as("events_total"),
+        max(col("n_at")).as("n"), max(col("na_at")).as("n_a"),
+        // E_a and V per event time, truncated micros once per time
+        sum(expr("(1000000 * d * na_at) div n_at")).as("e_a_micros"),
+        sum(expr("CASE WHEN n_at <= 1 THEN CAST(0 AS DECIMAL(38,0))" +
+          " ELSE (1000000 * CAST(d AS DECIMAL(38,0)) * na_at" +
+          " * (n_at - na_at) * (n_at - d))" +
+          " div (CAST(n_at AS DECIMAL(38,0)) * n_at * (n_at - 1)) END"))
+          .as("var_micros"))
+      .select(col("n"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
+        col("events_total"), col("o_a"),
+        col("e_a_micros"),
+        (lit(1000000L) * col("o_a") - col("e_a_micros"))
+          .as("oe_sum_micros"),
+        col("var_micros").cast("long").as("var_sum_micros"),
+        when(col("n") > maxExactRows, expr(
+          "raise_error('logRankTest: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); coarsen the duration grain')"))
+          .when(col("var_micros") === 0, lit(null).cast("long"))
+          // the square runs in DECIMAL(38,0) (S ≤ 10⁶·n → S² ≤ 10¹²·n²
+          // would wrap BIGINT past n ≈ 3·10³)
+          .otherwise(expr(
+            "CAST((CAST(1000000 * o_a - e_a_micros AS DECIMAL(38,0))" +
+              " * (1000000 * o_a - e_a_micros)) div var_micros" +
+              " AS BIGINT)")).as("chi2_micros"))
+  }
+
+  /** Leakage-free GROUP K-fold assignment — every row of a group lands
+    * in the SAME fold (the train/test hygiene x98's leakage audit
+    * checks after the fact, built in up front), with folds balanced by
+    * serpentine (snake) assignment over the size-ranked groups: rank
+    * groups by weight descending, deal rank 1..k left-to-right, rank
+    * k+1..2k right-to-left, … — the deterministic O(1)-state
+    * approximation of greedy LPT balancing (within max-group-weight of
+    * even). "Split by user, not by event" is this operator.
+    *
+    * Exactness: fold arithmetic is pure integer on the dense rank;
+    * ties in weight break by group id, so the assignment replays
+    * bit-for-bit in any engine.
+    *
+    * Scale shape: one map-side-combined per-group aggregation; ranking
+    * runs on the GROUPS relation (group cardinality, not rows —
+    * single-partition window documented); per-fold totals via one more
+    * bounded aggregation, broadcast back. */
+  def groupKFold(rows: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2 folds, got $k")
+    val per = rows
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("grp"))
+    val assigned = per
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("fold", expr(
+        s"CAST(CASE WHEN ((rank - 1) div $k) % 2 = 0" +
+          s" THEN (rank - 1) % $k" +
+          s" ELSE ${k - 1} - ((rank - 1) % $k) END AS BIGINT)"))
+      // eager checkpoint (the x99 discipline): the group-grain
+      // assignment feeds the fold totals AND the final join
+      .localCheckpoint(true)
+    val foldTotals = assigned.groupBy(col("fold"))
+      .agg(sum(col("n_rows")).as("fold_rows"))
+    assigned.join(broadcast(foldTotals), Seq("fold"))
+      .select(col("grp"), col("n_rows"), col("rank"), col("fold"),
+        col("fold_rows"))
+      .orderBy(col("rank"))
+  }
+
+  /** Krippendorff's α (nominal) — the agreement coefficient that prices
+    * MISSING ratings correctly: Fleiss' κ (x99) wants a balanced
+    * design; α is defined on whatever (item, rating) pairs exist,
+    * weighting each item's disagreement by its pairable count.
+    * α = 1 − D_o/D_e over the coincidence matrix: D_o = Σ_i Σ_c
+    * n_ic(n_i−n_ic)/(n_i−1) (within-item disagreement), D_e =
+    * (n²−Σ_c n_c²)/(n−1) (marginal chance). α = 1 for perfect
+    * agreement, 0 at chance, negative for systematic disagreement —
+    * the annotation-QA gate next to x99/x158.
+    *
+    * Exactness: per-item disagreement quantized once to micros (the
+    * per-item n_i−1 denominator is where α differs from κ); the final
+    * α one truncated DECIMAL(38,0) division, sign-explicit (D_o can
+    * exceed D_e). Single-label corpora (D_e = 0) → NULL.
+    *
+    * Scale shape: one (item, label) cell aggregation, one item-grain
+    * and one label-grain reduce, all-scalar finish — the x99 shape with
+    * one extra bounded aggregation. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val cells = ratings
+      .filter(col(itemCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(itemCol).as("item"), col(labelCol).as("label"))
+      .groupBy(col("item"), col("label"))
+      .agg(count(lit(1)).as("n_il"))
+      // the multi-branch fan-out below — the x99 eager discipline
+      .localCheckpoint(true)
+    val perItem = cells.groupBy(col("item"))
+      .agg(sum(col("n_il")).as("n_i"),
+        sum(expr("n_il * n_il")).as("sq_i"))
+      .filter(col("n_i") >= 2)
+      // Σ_c n_ic(n_i − n_ic) = n_i² − Σ_c n_ic², micros once per item
+      .select(col("item"), col("n_i"),
+        expr("(1000000 * (n_i * n_i - sq_i)) div (n_i - 1)")
+          .as("do_i_micros"))
+      .localCheckpoint(true)
+    val kept = cells.join(perItem.select(col("item")), Seq("item"))
+    val marg = kept.groupBy(col("label"))
+      .agg(sum(col("n_il")).as("n_c"))
+      .agg(count(lit(1)).as("n_labels"),
+        sum(col("n_c")).as("n"),
+        sum(expr("CAST(n_c AS DECIMAL(38,0)) * n_c")).as("sq_c"))
+    perItem
+      .agg(count(lit(1)).as("n_items"), sum(col("do_i_micros"))
+        .as("do_micros"))
+      .crossJoin(broadcast(marg))
+      .select(col("n_items"), col("n").as("n_pairable"), col("n_labels"),
+        col("do_micros"),
+        // α = 1 − D_o·(n−1)/(n²−Σn_c²), sign-explicit truncation
+        // (D_o > D_e is legal: systematic disagreement)
+        when(expr("CAST(n AS DECIMAL(38,0)) * n - sq_c") === 0,
+          lit(null).cast("long"))
+          .otherwise(lit(1000000L) -
+            when(col("do_micros") >= 0, lit(1L)).otherwise(lit(-1L)) *
+            expr("CAST((abs(CAST(do_micros AS DECIMAL(38,0))) * (n - 1))" +
+              " div (CAST(n AS DECIMAL(38,0)) * n - sq_c) AS BIGINT)"))
+          .as("alpha_micros"))
+  }
+
+  /** Jensen–Shannon divergence between two corpora's value
+    * distributions — the SYMMETRIC, always-finite drift gauge next to
+    * x64's KL (asymmetric, infinite on unseen values) and x155's PSI
+    * (needs smoothing for the same reason): JSD = ½KL(p‖m) + ½KL(q‖m)
+    * with m the midpoint, bounded in [0, ln 2], zero iff identical —
+    * the pairwise corpus-distance a mixture planner can treat as a
+    * metric (√JSD is one).
+    *
+    * Exactness: exact per-value counts each side (full outer join on
+    * the value relation — a value absent on one side contributes only
+    * the other side's ½q·ln 2 term, no smoothing needed); each
+    * per-value term computed through one written-out IEEE sequence and
+    * rounded once to micro-nats (the x28j convention). Output: one row
+    * (n_a, n_b, n_values, jsd_micronats).
+    *
+    * Scale shape: two map-side-combined per-value aggregations, one
+    * value-grain full-outer equi-join, one scalar reduce — value
+    * cardinality, not rows, after the first aggregation. */
+  def jsDivergence(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String) = df
+      .filter(col(s"`$valueCol`").isNotNull)
+      .groupBy(col(s"`$valueCol`").cast("string").as("v"))
+      .agg(count(lit(1)).as(out))
+    // eager checkpoint (the x99 discipline): the value-grain joined
+    // relation feeds the totals AND the term pass — un-materialized,
+    // both corpora would tokenize and aggregate twice. Storage is
+    // VALUE cardinality (the vocabulary), not rows.
+    val joined = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true)
+    val tot = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"), col("ta"), col("tb"),
+        // one IEEE sequence per value, rounded once: p = ca/ta,
+        // q = cb/tb, m = (p+q)/2; 0·ln(0/m) ≡ 0 by the CASE guards
+        expr(
+          "CAST(round((" +
+            "CASE WHEN ca = 0 THEN 0.0 ELSE" +
+            " 0.5 * (CAST(ca AS DOUBLE) / ta)" +
+            " * ln((CAST(ca AS DOUBLE) / ta) /" +
+            " ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb)" +
+            " / 2.0)) END +" +
+            "CASE WHEN cb = 0 THEN 0.0 ELSE" +
+            " 0.5 * (CAST(cb AS DOUBLE) / tb)" +
+            " * ln((CAST(cb AS DOUBLE) / tb) /" +
+            " ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb)" +
+            " / 2.0)) END) * 1000000.0, 0) AS BIGINT)")
+          .as("term_micronats"))
+      .agg(max(col("ta")).as("n_a"), max(col("tb")).as("n_b"),
+        count(lit(1)).as("n_values"),
+        sum(col("term_micronats")).as("jsd_micronats"))
+  }
+
+  /** Quantile normalization of a per-group score onto the POOLED
+    * distribution — the cross-source calibration that makes "quality
+    * 0.7 from crawl A" comparable to "quality 0.7 from crawl B" when
+    * the two scorers drifted: each distinct (group, value) maps to its
+    * within-group midrank percentile, the percentile snaps to a
+    * 1/`gridSize` grid, and the grid level looks up the pooled
+    * ceil-rank order statistic (the conformalThreshold arithmetic).
+    * After this, one global threshold means the same thing in every
+    * source.
+    *
+    * Exactness: midranks via the x121 identity per group; the grid
+    * snap one truncated division; the pooled lookup exact ceil-rank
+    * over the pooled distinct-value cumulative relation. Deterministic
+    * end to end — no libm at all.
+    *
+    * Scale shape: per-(group, value) counts are map-side-combined;
+    * cumulative passes run over DISTINCT values (per group and
+    * pooled); the lookup joins the (gridSize+1)-row level relation to
+    * the pooled cumulative relation, then equi-joins level → rows —
+    * nothing quadratic in value cardinality. */
+  def quantileNormalize(rows: DataFrame, groupCol: String,
+      valueCol: String, gridSize: Int = 1000): DataFrame = {
+    require(gridSize >= 10 && gridSize <= 100000,
+      s"gridSize must be in [10, 1e5], got $gridSize")
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(valueCol, "quantileNormalize").as("v"))
+    // per-(group, value) counts — feeds the group cumulative AND the
+    // pooled cumulative; eager checkpoint scans rows once
+    val gv = base.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wGrpTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    // within-group midrank percentile snapped to the grid: level =
+    // ⌊grid·(2·cum_before + c)/(2·n_g)⌋ ∈ [0, grid]
+    val leveled = gv
+      .withColumn("cb", coalesce(sum(col("c")).over(wGrp), lit(0L)))
+      .withColumn("ng", sum(col("c")).over(wGrpTot))
+      .select(col("grp"), col("v"), col("c"),
+        expr(s"($gridSize * (2 * cb + c)) div (2 * ng)").as("level"))
+    // pooled distinct-value cumulative — single-partition window over
+    // DISTINCT pooled values (value cardinality, not rows)
+    val wPool = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val pooled = gv.groupBy(col("v")).agg(sum(col("c")).as("pc"))
+      .withColumn("cum", sum(col("pc")).over(wPool))
+      .localCheckpoint(true)
+    val nTotal = pooled.agg(max(col("cum")).as("n"))
+    // grid levels → pooled ceil-rank order statistic: level l maps to
+    // rank max(1, ⌈l·N/grid⌉); the min-value-at-or-past-rank argmin
+    // runs on the (grid+1) × |pooled values ≥ rank| relation — the
+    // pooled side prunes by the cum ≥ rank predicate
+    val levels = nTotal
+      .select(explode(sequence(lit(0), lit(gridSize))).as("level"),
+        col("n"))
+      .select(col("level"),
+        greatest(lit(1L), expr(s"(level * n + ${gridSize - 1})" +
+          s" div $gridSize")).as("rank"))
+    val gridVals = pooled.join(broadcast(levels), col("cum") >= col("rank"))
+      .groupBy(col("level")).agg(min(col("v")).as("pooled_v"))
+    leveled.join(broadcast(gridVals), Seq("level"))
+      .select(col("grp"), col("v").as("value"), col("c").as("n_rows"),
+        col("level"), col("pooled_v").as("normalized_value"))
+      .orderBy(col("grp"), col("value"))
+  }
+
+  /** Cramér's V — the [0,1]-normalized effect size of the x77 χ²
+    * dependence test: χ² says source and language are NOT independent;
+    * V says HOW FAR from independent on a scale where 0 = independent
+    * and 1 = one determines the other, comparable across tables of any
+    * size (χ² itself grows with n). Reported as V² in micros (the
+    * x131/x152 no-portable-sqrt convention), alongside the exact χ²
+    * micros and the bias-corrected V²− of Bergsma 2013 (the version
+    * that does not inflate on sparse tables), clamped at 0.
+    *
+    * Exactness: each cell's χ² term (o·n − r·c)²/(n·r·c) truncated to
+    * micros once per cell in DECIMAL(38,0) (exact to n ≈ 3·10⁸ —
+    * raise_error past it); the two divisions to V² and V²− chained
+    * truncations. Degenerate 1×k / k×1 tables → NULL.
+    *
+    * Scale shape: one cell aggregation (≤ r·c keys), two margin
+    * aggregations broadcast back, a scalar finish. */
+  def cramersV(rows: DataFrame, aCol: String, bCol: String,
+      maxExactRows: Long = 300000000L): DataFrame = {
+    val base = rows
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+    val cells = base.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("rn"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cn"))
+    val nn = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("k"))
+    // χ² runs over the FULL r×k grid — an unobserved (a, b) pair still
+    // contributes (0 − e)²/e; the margin cross (categories², broadcast)
+    // restores the zero cells the observed-cell relation lacks
+    val grid = ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), col("rn"), col("cn"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val chi = grid
+      .crossJoin(broadcast(nn))
+      .select(when(col("n") > maxExactRows, expr(
+        "raise_error('cramersV: exact-arithmetic bound exceeded" +
+          " (n > maxExactRows); pre-bucket the columns')"))
+        .otherwise(expr(
+          "CAST((1000000 * (CAST(o AS DECIMAL(38,0)) * n" +
+            " - CAST(rn AS DECIMAL(38,0)) * cn)" +
+            " * (CAST(o AS DECIMAL(38,0)) * n" +
+            " - CAST(rn AS DECIMAL(38,0)) * cn))" +
+            " div (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)"))
+        .as("t"))
+      .agg(sum(col("t")).as("chi2_micros"))
+    nn.crossJoin(broadcast(chi))
+      .select(col("n"), col("r").as("n_rows_cat"), col("k").as("n_cols_cat"),
+        col("chi2_micros"),
+        when(least(col("r"), col("k")) <= 1, lit(null).cast("long"))
+          .otherwise(expr(
+            "chi2_micros div (n * (least(r, k) - 1))")).as("v_sq_micros"),
+        // Bergsma bias correction: φ²− = max(0, φ² − (r−1)(k−1)/(n−1)),
+        // r− = r − (r−1)²/(n−1), k− likewise — all in micros, clamped.
+        // A sparse table can drive the corrected denominator to ≤ 0;
+        // that is NULL by an explicit guard (Spark's div-by-zero is
+        // NULL where DuckDB's // raises — the dialect trap)
+        when(least(col("r"), col("k")) <= 1 || col("n") <= 1 ||
+            expr("least(r - ((r - 1) * (r - 1)) div (n - 1)," +
+              " k - ((k - 1) * (k - 1)) div (n - 1))") <= 1,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "greatest(0L, (chi2_micros div n)" +
+              " - (1000000 * (r - 1) * (k - 1)) div (n - 1))" +
+              " div (least(r - ((r - 1) * (r - 1)) div (n - 1)," +
+              " k - ((k - 1) * (k - 1)) div (n - 1)) - 1)"))
+          .as("v_sq_corrected_micros"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic — the INTEGRATED-gap drift
+    * test next to x90's KS (which reads only the single worst gap):
+    * T = n·m/(n+m)² · Σ over pooled points of (F_a − F_b)², weighted
+    * by pooled mass — sensitive to broad mid-distribution drift a KS
+    * max can miss. The drift shelf's third leg beside KS (sup-norm)
+    * and PSI (binned, smoothed).
+    *
+    * Exactness: per-value counts + one cumulative pass over DISTINCT
+    * pooled values; each value's term c·(cumA·m − cumB·n)² exact in
+    * DECIMAL(38,0), the final normalization two chained truncated
+    * divisions — exact to n+m ≈ 2·10⁷ rows (raise_error past it;
+    * pre-bucket to value grain first at corpus scale, which this
+    * statistic permits: it reads only the ECDFs).
+    *
+    * Scale shape: one map-side-combined per-value aggregation, one
+    * distinct-value cumulative window, one scalar reduce. */
+  def cvmTwoSample(rows: DataFrame, isACol: String, valueCol: String,
+      maxExactRows: Long = 20000000L): DataFrame = {
+    val base = rows
+      .filter(col(isACol).isNotNull && col(valueCol).isNotNull)
+      .select(when(col(isACol).cast("boolean"), 1L).otherwise(0L).as("ia"),
+        integralLong(valueCol, "cvmTwoSample").as("v"))
+    val byV = base.groupBy(col("v"))
+      .agg(sum(col("ia")).as("a"), count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byV
+      .withColumn("ca", sum(col("a")).over(wCum))
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .agg(sum(col("a")).as("n_a"), sum(col("c") - col("a")).as("n_b"),
+        // Σ c·(cumA·m − cumB·n)² with cumB = cc − ca; n/m appear as
+        // the final totals — inject them via the decomposition below:
+        // everything is computable from per-value cumulative sums, so
+        // carry the three exact DECIMAL sums and finish scalar
+        sum(expr("CAST(c AS DECIMAL(38,0)) * ca * ca")).as("saa"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * ca * (cc - ca)")).as("sab"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (cc - ca) * (cc - ca)"))
+          .as("sbb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") + col("n_b") > maxExactRows, expr(
+          "raise_error('cvmTwoSample: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); pre-bucket the value column')"))
+          .when(col("n_a") === 0 || col("n_b") === 0,
+            lit(null).cast("long"))
+          // T·1e6 = 1e6·(m²·Σc·ca² − 2nm·Σc·ca·cb + n²·Σc·cb²)
+          //          / (nm(n+m)²), chained truncation
+          .otherwise(expr(
+            "CAST((1000000 * (CAST(n_b AS DECIMAL(38,0)) * n_b * saa" +
+              " - 2 * CAST(n_a AS DECIMAL(38,0)) * n_b * sab" +
+              " + CAST(n_a AS DECIMAL(38,0)) * n_a * sbb))" +
+              " div (CAST(n_a AS DECIMAL(38,0)) * n_b" +
+              " * (n_a + n_b) * (n_a + n_b)) AS BIGINT)"))
+          .as("cvm_t_micros"))
+  }
+
+  /** Kendall's τ-b — rank correlation from exact concordant/discordant
+    * pair counts over the (x, y) CELL GRID: the third rank-agreement
+    * leg beside Spearman (x122, rank-linear) and AUC (x121,
+    * binary-label) — τ reads "of all comparable pairs, how many order
+    * the same way", the interpretation a filter-vs-filter comparison
+    * wants. Tie-corrected (τ-b), reported as (sign, τ² micros) — the
+    * no-portable-sqrt convention — plus the raw C/D/tie counts.
+    *
+    * Exactness: all counts from one cells² broadcast theta-join in
+    * exact DECIMAL(38,0) (C and D count each unordered pair once via
+    * the x1 < x2 orientation); τ² = (C−D)²·10⁶ / ((P−Tx)(P−Ty)) with
+    * P = n(n−1)/2, two chained truncated divisions.
+    *
+    * Scale shape: rows reduce to ≤ |x-values|·|y-values| cells in one
+    * aggregation; the pair join is CELLS², not rows² — bucket
+    * continuous inputs first (deciles make it 100² = 10⁴ cell pairs).
+    * The guard refuses > 4096 distinct cells by name. */
+  def kendallTauB(rows: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = rows
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(integralLong(xCol, "kendallTauB").as("x"),
+        integralLong(yCol, "kendallTauB").as("y"))
+    val cells = base.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val guard = cells.agg(count(lit(1)).as("n_cells"))
+      .select(when(col("n_cells") > 4096, expr(
+        "raise_error('kendallTauB: > 4096 distinct (x, y) cells —" +
+          " bucket the inputs (the pair join is cells-squared)')"))
+        .otherwise(col("n_cells")).as("n_cells"))
+    val pairs = cells.as("p")
+      .join(broadcast(cells.as("q")),
+        col("q.x") > col("p.x") ||
+          (col("q.x") === col("p.x") && col("q.y") > col("p.y")))
+      .select(col("p.c").as("c1"), col("q.c").as("c2"),
+        when(col("q.x") > col("p.x") && col("q.y") > col("p.y"), 1)
+          .when(col("q.x") > col("p.x") && col("q.y") < col("p.y"), -1)
+          .otherwise(0).as("dir"))
+      .agg(
+        sum(when(col("dir") === 1,
+          expr("CAST(c1 AS DECIMAL(38,0)) * c2")).otherwise(lit(0)))
+          .as("conc"),
+        sum(when(col("dir") === -1,
+          expr("CAST(c1 AS DECIMAL(38,0)) * c2")).otherwise(lit(0)))
+          .as("disc"))
+    val margins = cells.groupBy(col("x"))
+      .agg(sum(col("c")).as("m"))
+      .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * (m - 1) div 2"))
+        .as("tie_x"))
+      .crossJoin(broadcast(cells.groupBy(col("y"))
+        .agg(sum(col("c")).as("m"))
+        .agg(sum(expr("CAST(m AS DECIMAL(38,0)) * (m - 1) div 2"))
+          .as("tie_y"))))
+      .crossJoin(broadcast(cells.agg(sum(col("c")).as("n"))))
+    pairs.crossJoin(broadcast(margins)).crossJoin(broadcast(guard))
+      .select(col("n"), col("n_cells"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        col("tie_x").cast("long").as("tie_pairs_x"),
+        col("tie_y").cast("long").as("tie_pairs_y"),
+        when(expr("(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_x)" +
+          " * (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_y)") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("CAST(sign(conc - disc) AS BIGINT)"))
+          .as("tau_sign"),
+        when(expr("(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_x)" +
+          " * (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_y)") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(((1000000 * (conc - disc) * (conc - disc))" +
+              " div (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_x))" +
+              " div (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2 - tie_y)" +
+              " AS BIGINT)")).as("tau_sq_micros"))
+  }
+
+  /** Water-filling token-budget allocation across sources — the mix
+    * designer's primitive: give every source budget proportional to
+    * its weight until its SUPPLY caps it, then redistribute the
+    * remainder among the uncapped (the allocation that maximizes
+    * weighted utilization under per-source caps). "60 B tokens across
+    * 40 crawls, quality-weighted, no crawl above what it has" is this
+    * operator; [[mixByTokenBudget]] then materializes the chosen
+    * per-source rates.
+    *
+    * Exactness: sources sort by supply/weight in truncated micros
+    * (ties by source id); the fill level λ at each candidate cut is
+    * one truncated division over exact prefix sums; the chosen cut is
+    * the first where the level no longer overfills the next source —
+    * deterministic integer end to end. Un-allocated remainder (from
+    * truncation and total-supply shortfall) is reported, never hidden.
+    *
+    * Scale shape: everything runs on the SOURCES relation (bounded by
+    * source cardinality — single-partition window documented); callers
+    * aggregate rows → (source, supply, weight) upstream. */
+  def waterFill(sources: DataFrame, srcCol: String, supplyCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = sources
+      .filter(col(srcCol).isNotNull && col(supplyCol).isNotNull &&
+        col(weightCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        integralLong(supplyCol, "waterFill").as("supply"),
+        integralLong(weightCol, "waterFill").as("w"))
+      .filter(col("supply") >= 0 && col("w") > 0)
+    // sources-grain window (bounded by source cardinality): ascending
+    // fill ratio = the order sources saturate in
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ratio_micros"), col("src"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = base
+      .withColumn("ratio_micros", expr("(1000000 * supply) div w"))
+      .withColumn("sup_before", coalesce(sum(col("supply")).over(wOrd), lit(0L)))
+      .withColumn("w_before", coalesce(sum(col("w")).over(wOrd), lit(0L)))
+      .localCheckpoint(true)
+    val totals = ranked.agg(sum(col("w")).as("w_all"))
+    // a source SATURATES iff the level computed over it and everyone
+    // after it still overflows its own ratio: level_i = (B −
+    // sup_before)·1e6 / (w_all − w_before) > ratio_i ⇒ capped. The
+    // capped set is a prefix of the ratio order, and for uncapped rows
+    // level_i ≤ λ with equality at the FIRST one — so λ = max(level)
+    // over the uncapped rows (truncation is monotone, so the max
+    // survives the micro quantization). A negative remaining budget
+    // (possible within truncation slack of the cut) clamps to level
+    // −1: Spark div truncates toward zero where DuckDB // floors, and
+    // the clamp keeps the two engines identical there.
+    val marked = ranked.crossJoin(broadcast(totals))
+      .withColumn("level_micros",
+        expr(s"CASE WHEN ${budget}L - sup_before < 0 THEN -1L" +
+          s" ELSE (1000000 * (${budget}L - sup_before))" +
+          " div (w_all - w_before) END"))
+      .withColumn("capped", col("level_micros") > col("ratio_micros"))
+      .localCheckpoint(true)
+    val lambda = marked.filter(!col("capped"))
+      .agg(max(col("level_micros")).as("lambda_micros"))
+    marked.crossJoin(broadcast(lambda))
+      .select(col("src"), col("supply"), col("w"), col("ratio_micros"),
+        col("capped"), col("lambda_micros"),
+        when(col("capped"), col("supply"))
+          .otherwise(expr("(w * lambda_micros) div 1000000"))
+          .as("alloc"))
+      .orderBy(col("ratio_micros"), col("src"))
+  }
+
+  /** Isotonic calibration by bucketed pool-adjacent-violators — the
+    * monotone regression of an outcome rate on a score, via the exact
+    * max–min identity fit_b = max_{i≤b} min_{j≥b} mean(y over buckets
+    * i..j): what calibrating a quality score against observed labels
+    * actually requires (Platt scaling assumes a sigmoid; isotonic
+    * assumes only monotonicity). x122's ECE *measures* miscalibration;
+    * this *repairs* it, and the repaired curve is monotone by
+    * construction.
+    *
+    * Exactness: per-bucket (positives, count) exact; every interval
+    * mean one truncated micro division from exact prefix sums; the
+    * max-of-min over truncated means replays bit-for-bit (max/min of
+    * identical integers). Empty input → empty output.
+    *
+    * Scale shape: rows touch ONE aggregation to bucket grain; the
+    * i≤b≤j triple relation is buckets³ (10 buckets → 1 000 rows) built
+    * from two broadcast joins on the bucket relation — nothing
+    * row-scale past the first aggregation. */
+  def isotonicCalibration(rows: DataFrame, bucketCol: String,
+      labelCol: String): DataFrame = {
+    val byB = rows
+      .filter(col(bucketCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(integralLong(bucketCol, "isotonicCalibration").as("b"))
+      .agg(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        .as("pos"), count(lit(1)).as("cnt"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // bucket-grain prefix sums (single-partition window over ≤ buckets
+    // rows — bounded by construction)
+    val pre = byB
+      .withColumn("cpos", sum(col("pos")).over(wOrd))
+      .withColumn("ccnt", sum(col("cnt")).over(wOrd))
+      .select(col("b"), col("pos"), col("cnt"), col("cpos"), col("ccnt"))
+      // eager checkpoint (the x99 discipline): this bucket-grain
+      // relation feeds FOUR branches (both interval-join sides, the
+      // b-list join, the final rate join) — un-materialized, the row
+      // scan + aggregation would run four times
+      .localCheckpoint(true)
+    val ivals = pre.as("i")
+      .join(broadcast(pre.as("j")), col("j.b") >= col("i.b"))
+      .select(col("i.b").as("lo"), col("j.b").as("hi"),
+        expr("(1000000 * (j.cpos - i.cpos + i.pos))" +
+          " div (j.ccnt - i.ccnt + i.cnt)").as("mean_micros"))
+    // fit_b = max over i≤b of (min over j≥b of mean(i..j))
+    val perLoB = ivals
+      .join(broadcast(pre.select(col("b"))),
+        col("lo") <= col("b") && col("b") <= col("hi"))
+      .groupBy(col("b"), col("lo"))
+      .agg(min(col("mean_micros")).as("min_mean"))
+    perLoB.groupBy(col("b"))
+      .agg(max(col("min_mean")).as("iso_rate_micros"))
+      .join(pre.select(col("b"), col("pos"), col("cnt"),
+        expr("(1000000 * pos) div cnt").as("raw_rate_micros")), Seq("b"))
+      .select(col("b").as("bucket"), col("cnt").as("n"), col("pos"),
+        col("raw_rate_micros"), col("iso_rate_micros"))
+      .orderBy(col("bucket"))
+  }
 }

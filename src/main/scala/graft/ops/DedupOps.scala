@@ -924,7 +924,79 @@ object DedupOps {
       persistShingles(s, d), t(s, d, "documents"), "doc_id", "source")
       .orderBy(col("src_a"), col("src_b"))
 
+  /** Canonical URL form for crawl dedup — the fixed normalization
+    * chain every web-corpus pipeline runs before exact URL dedup:
+    * (1) strip the fragment (#… never reaches the server), (2) drop
+    * utm_* tracking params (leading, trailing, and mid-query — the
+    * three positional rules avoid replacement backreferences, whose
+    * $1-vs-\1 spelling differs across regex dialects), (3) lowercase
+    * scheme://host[:port] ONLY (paths are case-sensitive by RFC 3986)
+    * and strip the default :80 — anchored `:80$` is safe because it
+    * runs on the EXTRACTED authority substring alone, (4) trim
+    * trailing slashes (empty path ≡ root). `www.` is NOT stripped —
+    * host and www-host are distinct origins in general. Every step is
+    * a row-local regexp in the RE2∩Java intersection dialect (the
+    * x151 discipline), so the oracle replays it byte-for-byte. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "\\?utm_[a-z]+=[^&#]*&", "?"),
+        "\\?utm_[a-z]+=[^&#]*$", ""),
+      "&utm_[a-z]+=[^&#]*", "")
+    val authority = regexp_replace(
+      lower(regexp_extract(noUtm, "^([^/]*//[^/]*)", 1)), ":80$", "")
+    val path = regexp_extract(noUtm, "^[^/]*//[^/]*(.*)$", 1)
+    rtrim(concat(authority, path), "/")
+  }
+
+  /** Exact URL dedup groups over [[canonicalUrl]] →
+    * (canon_url, n_docs, n_raw_forms, rep_doc_id): how many raw
+    * variants collapse into each canonical URL and the minimum-id
+    * representative — the crawl-frontier dedup read. One row-local
+    * projection + one map-side-combined aggregation; dedup at any
+    * scale is the groupBy's shuffle on the canonical key. */
+  def urlDedup(rows: DataFrame, idCol: String, urlCol: String): DataFrame =
+    rows
+      .filter(col(idCol).isNotNull && col(urlCol).isNotNull)
+      .select(col(idCol).as("id"), col(urlCol).as("url"))
+      .withColumn("canon_url", canonicalUrl(col("url")))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("id")).as("rep_doc_id"))
+      .orderBy(col("canon_url"))
+
+  /** X164 — canonical-URL dedup over an id-arithmetic synthetic crawl
+    * frontier (the x66/x151 injection pattern: scheme/host case, www
+    * flags, default :80, trailing slash, utm params, and fragments all
+    * keyed off doc_id so both engines generate identical raw URLs):
+    * variants that differ only in case/port/slash/utm/fragment
+    * collapse to one canonical group. Fixture binding of
+    * [[urlDedup]]. */
+  def x164UrlCanon(s: SparkSession, d: String): DataFrame = {
+    val urls = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), concat(
+        lit("HTTP://"),
+        when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site"), (col("doc_id") % 37).cast("string"),
+        lit(".ExAmple.com"),
+        when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Page/"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="),
+            (col("doc_id") % 13).cast("string")))
+          .otherwise(when(col("doc_id") % 7 === 0,
+            lit("?utm_campaign=x")).otherwise(lit(""))),
+        when(col("doc_id") % 6 === 0, lit("#section")).otherwise(lit("")))
+        .as("url"))
+    urlDedup(urls, "doc_id", "url")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x164_url_canon" -> (x164UrlCanon _),
     "x150_typo_neardup" -> (x150TypoNeardup _),
     "x152_dup_graph_stats" -> (x152DupGraphStats _),
     "x106_dup_concentration" -> (x106DupConcentration _),
@@ -1087,6 +1159,39 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // canonical-URL replay: the identical id-arithmetic URL injection,
+    // then the same 4-step normalization chain in the same order ('g'
+    // flag — DuckDB replaces first-only by default where Spark
+    // replaces all; no replacement backrefs, the $1-vs-\1 dialect trap)
+    "x164_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+        |    || 'Site' || CAST(doc_id % 37 AS VARCHAR) || '.ExAmple.com'
+        |    || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+        |    || '/Page/' || CAST(doc_id % 11 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR)
+        |         WHEN doc_id % 7 = 0 THEN '?utm_campaign=x' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END AS url
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |s1 AS (SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '', 'g') AS a FROM u),
+        |s2 AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(a,
+        |      '\?utm_[a-z]+=[^&#]*&', '?', 'g'),
+        |      '\?utm_[a-z]+=[^&#]*$', '', 'g'),
+        |      '&utm_[a-z]+=[^&#]*', '', 'g') AS a FROM s1),
+        |c AS (SELECT doc_id, url,
+        |    rtrim(regexp_replace(lower(regexp_extract(a,
+        |        '^([^/]*//[^/]*)', 1)), ':80$', '', 'g')
+        |      || regexp_extract(a, '^[^/]*//[^/]*(.*)$', 1), '/') AS canon
+        |  FROM s2)
+        |SELECT canon AS canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        |  min(doc_id) AS rep_doc_id
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // degree histogram + HUGEINT Pearson assortativity over the shared
     // replayed pair relation (the x131 sign + floor(r²·1e6) convention)
     "x152_dup_graph_stats" ->

@@ -134,6 +134,95 @@ object SamplingOps {
       t(s, d, "documents").select(col("source"), col("n_chars")),
       "source", "n_chars")
 
+  /** X159 — Mann–Whitney rank-sum test of n_chars between English and
+    * non-English documents: the SIGNIFICANCE read on the x155 PSI pair
+    * ("the distributions drifted" vs "the shift is beyond chance"),
+    * tie-corrected because integer lengths tie heavily. Fixture
+    * binding of [[graft.api.TrainingData.mannWhitneyU]]. */
+  def x159MannWhitney(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mannWhitneyU(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("is_en"), col("n_chars")),
+      "is_en", "n_chars")
+
+  /** X161 — Benjamini–Hochberg FDR control over per-source long-doc
+    * rates at q = 0.10: which sources' share of ≥200-char documents
+    * genuinely differs from the pooled rate once multiple comparisons
+    * are priced — the step-up rule over the per-slice z² surrogates.
+    * Fixture binding of [[graft.api.TrainingData.bhFdr]]. */
+  def x161BhFdr(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bhFdr(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), (col("n_chars") >= 200).as("long_doc")),
+      "source", "long_doc", qMicros = 100000L)
+
+  /** X162 — McNemar paired comparison of two is-English heuristics
+    * (n_chars ≥ 150 vs whitespace-token count ≥ 25) on the same
+    * documents: only the flip cells carry evidence — the eval-shelf
+    * read for "is filter B actually better than filter A". Fixture
+    * binding of [[graft.api.TrainingData.mcNemar]]. */
+  def x162McNemar(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mcNemar(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("label"),
+          (col("n_chars") >= 150).as("pred_a"),
+          (expr("size(filter(split(text, ' '), t -> t != ''))") >= 25)
+            .as("pred_b")),
+      "label", "pred_a", "pred_b")
+
+  /** X165 — isotonic calibration of the x146 score (n_chars deciles)
+    * against is-English: the monotone repair of the reliability curve
+    * x122's ECE only measures, via exact bucketed
+    * pool-adjacent-violators. Fixture binding of
+    * [[graft.api.TrainingData.isotonicCalibration]]. */
+  def x165Isotonic(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.isotonicCalibration(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select(least(lit(9L), expr("n_chars div 60")).as("bucket"),
+          (col("lang") === "en").as("label")),
+      "bucket", "label")
+
+  /** X169 — quantile normalization of n_chars onto the pooled length
+    * distribution, per source: after this map, "length percentile X"
+    * means the same value in every source — the cross-scorer
+    * calibration a mixed-corpus threshold needs. Grid 100 keeps the
+    * level relation broadcastable. Fixture binding of
+    * [[graft.api.TrainingData.quantileNormalize]]. */
+  def x169QuantileNorm(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.quantileNormalize(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars")),
+      "source", "n_chars", gridSize = 100)
+
+  /** X173 — water-filling a 40k-token budget across sources by
+    * quality weight (longer-doc sources weigh more) under per-source
+    * supply caps: the mix-design allocation x39's budget mixing then
+    * materializes. Fixture binding of
+    * [[graft.api.TrainingData.waterFill]]. */
+  def x173WaterFill(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.waterFill(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("supply"),
+          (count(lit(1)) % 7 + 1).as("weight")),
+      "source", "supply", "weight", budget = 40000L)
+
+  /** X166 — leakage-free 5-fold split of events BY USER: every event of
+    * a user lands in one fold (the x98 leakage audit built in up
+    * front), folds balanced by serpentine assignment over size-ranked
+    * users. Fixture binding of
+    * [[graft.api.TrainingData.groupKFold]]. */
+  def x166GroupKfold(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.groupKFold(
+      t(s, d, "events").filter(col("user_id").isNotNull), "user_id", 5)
+
   /** X156 — per-SLICE exact ROC-AUC of the x121 score/label pair with
     * the worst/best slice broadcast: does n_chars rank is-English
     * worse on one source than another — the slice-level eval a global
@@ -558,6 +647,13 @@ object SamplingOps {
     "x145_ess_weights" -> (x145EssWeights _),
     "x146_brier_decomp" -> (x146BrierDecomp _),
     "x156_auc_by_slice" -> (x156AucBySlice _),
+    "x159_mann_whitney" -> (x159MannWhitney _),
+    "x161_bh_fdr" -> (x161BhFdr _),
+    "x162_mcnemar" -> (x162McNemar _),
+    "x165_isotonic" -> (x165Isotonic _),
+    "x166_group_kfold" -> (x166GroupKfold _),
+    "x169_quantile_norm" -> (x169QuantileNorm _),
+    "x173_water_fill" -> (x173WaterFill _),
     "x157_weighted_quantiles" -> (x157WeightedQuantiles _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
@@ -588,6 +684,223 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mann–Whitney replay: per-value counts, the 2·midrank identity
+    // over distinct values, HUGEINT sums, the chained truncated z²
+    // division in the same order
+    "x159_mann_whitney" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |    n_chars AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |byv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |rk AS (SELECT v, a, c,
+        |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM byv),
+        |agg AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(c - a) AS BIGINT) AS n_b,
+        |    sum(CAST(a AS HUGEINT) * (2 * cb + c + 1)) AS r2a,
+        |    sum(CAST(c AS HUGEINT) * c * c - c) AS tie_t
+        |  FROM rk),
+        |st AS (SELECT n_a, n_b, n_a + n_b AS n,
+        |    r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2, tie_t
+        |  FROM agg)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST(u2 AS BIGINT) END AS u_doubled,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST((500000 * u2) // (CAST(n_a AS HUGEINT) * n_b)
+        |      AS BIGINT) END AS auc_micros,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST(sign(u2 - CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |  END AS z_sign,
+        |  CASE WHEN n_a = 0 OR n_b = 0
+        |      OR CAST(n AS HUGEINT) * n * n - n - tie_t = 0 THEN NULL
+        |    ELSE CAST(((1000000 * (u2 - CAST(n_a AS HUGEINT) * n_b)
+        |      * (u2 - CAST(n_a AS HUGEINT) * n_b))
+        |      // (CAST(n_a AS HUGEINT) * n_b)
+        |      * (3 * CAST(n AS HUGEINT) * (n - 1)))
+        |      // (CAST(n AS HUGEINT) * n * n - n - tie_t) AS BIGINT)
+        |  END AS z_sq_micros
+        |FROM st""".stripMargin,
+    // BH replay: exact per-slice z² in HUGEINT, the same exp(−z²/2)
+    // IEEE sequence rounded once, the step-up scan over the ranked
+    // slices with ties broken by slice
+    "x161_bh_fdr" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS slice,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |per AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(f) AS BIGINT) AS k_s
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn,
+        |    CAST(sum(k_s) AS BIGINT) AS kk,
+        |    CAST(count(*) AS BIGINT) AS m FROM per),
+        |sc AS (
+        |  SELECT slice, n_s, k_s, m,
+        |    CASE WHEN kk = 0 OR kk = nn THEN NULL
+        |      ELSE CAST((1000000
+        |        * (CAST(k_s AS HUGEINT) * nn - CAST(n_s AS HUGEINT) * kk)
+        |        * (CAST(k_s AS HUGEINT) * nn - CAST(n_s AS HUGEINT) * kk))
+        |        // (CAST(n_s AS HUGEINT) * kk * (nn - kk)) AS BIGINT)
+        |    END AS z_sq_micros
+        |  FROM per, tt),
+        |sc2 AS (SELECT *, CASE WHEN z_sq_micros IS NULL THEN NULL
+        |    ELSE CAST(round(exp(-CAST(z_sq_micros AS DOUBLE) / 2e6)
+        |      * 1000000.0, 0) AS BIGINT) END AS p_tilde_micros
+        |  FROM sc),
+        |rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY p_tilde_micros ASC NULLS LAST, slice) AS rank
+        |  FROM sc2),
+        |rk2 AS (SELECT *, (rank * 100000) // m AS bh_threshold_micros
+        |  FROM rk),
+        |ks AS (SELECT coalesce(max(CASE WHEN p_tilde_micros
+        |    <= bh_threshold_micros THEN rank END), 0) AS k_star
+        |  FROM rk2)
+        |SELECT slice, n_s, k_s, z_sq_micros, p_tilde_micros, rank,
+        |  bh_threshold_micros, k_star, rank <= k_star AS rejected
+        |FROM rk2, ks ORDER BY rank""".stripMargin,
+    // McNemar replay: the same two heuristics, four exact cells, the
+    // continuity-corrected statistic with the clamp-at-0
+    "x162_mcnemar" ->
+      """WITH b AS (
+        |  SELECT (lang = 'en') AS label, (n_chars >= 150) AS pa,
+        |    (len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      >= 25) AS pb
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |ok AS (SELECT (pa = label) AS oka, (pb = label) AS okb FROM b),
+        |cnt AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN oka AND okb THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS both_right,
+        |    CAST(sum(CASE WHEN NOT oka AND NOT okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS both_wrong,
+        |    CAST(sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM ok)
+        |SELECT n, both_right, both_wrong, b, c,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |    ELSE (1000000 * greatest(abs(b - c) - 1, 0)
+        |      * greatest(abs(b - c) - 1, 0)) // (b + c)
+        |  END AS chi2_micros
+        |FROM cnt""".stripMargin,
+    // isotonic replay: bucket-grain prefix sums, every interval mean
+    // one truncated micro division, the exact max-of-min-of-means
+    // identity over the i ≤ b ≤ j triple relation
+    "x165_isotonic" ->
+      """WITH b AS (
+        |  SELECT least(9, n_chars // 60) AS bkt,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |byb AS (SELECT bkt, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1),
+        |pre AS (SELECT bkt, pos, cnt,
+        |    sum(pos) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cpos,
+        |    sum(cnt) OVER (ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ccnt
+        |  FROM byb),
+        |iv AS (SELECT i.bkt AS lo, j.bkt AS hi,
+        |    (1000000 * (j.cpos - i.cpos + i.pos))
+        |      // (j.ccnt - i.ccnt + i.cnt) AS mm
+        |  FROM pre i JOIN pre j ON j.bkt >= i.bkt),
+        |pl AS (SELECT p.bkt, iv.lo, min(iv.mm) AS min_mean
+        |  FROM iv JOIN pre p ON iv.lo <= p.bkt AND p.bkt <= iv.hi
+        |  GROUP BY 1, 2),
+        |fit AS (SELECT bkt, CAST(max(min_mean) AS BIGINT)
+        |    AS iso_rate_micros
+        |  FROM pl GROUP BY 1)
+        |SELECT f.bkt AS bucket, p.cnt AS n, p.pos,
+        |  CAST((1000000 * p.pos) // p.cnt AS BIGINT) AS raw_rate_micros,
+        |  f.iso_rate_micros
+        |FROM fit f JOIN pre p ON f.bkt = p.bkt ORDER BY bucket""".stripMargin,
+    // group-k-fold replay: per-group counts, size-desc rank with id
+    // tie-break, the serpentine fold arithmetic, per-fold totals back
+    "x166_group_kfold" ->
+      """WITH per AS (SELECT CAST(user_id AS VARCHAR) AS grp,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT grp, n_rows,
+        |    row_number() OVER (ORDER BY n_rows DESC, grp) AS rank
+        |  FROM per),
+        |asg AS (SELECT grp, n_rows, rank,
+        |    CASE WHEN ((rank - 1) // 5) % 2 = 0 THEN (rank - 1) % 5
+        |      ELSE 4 - ((rank - 1) % 5) END AS fold
+        |  FROM rk),
+        |ft AS (SELECT fold, CAST(sum(n_rows) AS BIGINT) AS fold_rows
+        |  FROM asg GROUP BY 1)
+        |SELECT a.grp, a.n_rows, a.rank, a.fold, ft.fold_rows
+        |FROM asg a JOIN ft USING (fold) ORDER BY a.rank""".stripMargin,
+    // quantile-normalization replay: per-group midrank level snap,
+    // pooled ceil-rank order statistics at the 101 grid levels, the
+    // level equi-join back
+    "x169_quantile_norm" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS grp, n_chars AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |lv AS (SELECT grp, v, c,
+        |    coalesce(sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+        |    sum(c) OVER (PARTITION BY grp) AS ng
+        |  FROM gv),
+        |lev AS (SELECT grp, v, c,
+        |    (100 * (2 * cb + c)) // (2 * ng) AS level FROM lv),
+        |pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc FROM gv GROUP BY 1),
+        |poolc AS (SELECT v, pc, sum(pc) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pool),
+        |nt AS (SELECT max(cum) AS n FROM poolc),
+        |lvls AS (SELECT g.l AS level,
+        |    greatest(1, (g.l * n + 99) // 100) AS rank
+        |  FROM generate_series(0, 100) AS g(l), nt),
+        |gvv AS (SELECT level, min(v) AS pooled_v
+        |  FROM lvls JOIN poolc ON cum >= rank GROUP BY 1)
+        |SELECT grp, lev.v AS value, c AS n_rows, lev.level,
+        |  pooled_v AS normalized_value
+        |FROM lev JOIN gvv ON lev.level = gvv.level
+        |ORDER BY grp, value""".stripMargin,
+    // water-fill replay: the same ratio ordering, prefix sums, clamped
+    // level, capped marking, and max-level λ over the uncapped set
+    "x173_water_fill" ->
+      """WITH src AS (
+        |  SELECT CAST(source AS VARCHAR) AS src,
+        |    CAST(sum(n_chars) AS BIGINT) AS supply,
+        |    CAST(count(*) % 7 + 1 AS BIGINT) AS w
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |rk AS (SELECT src, supply, w,
+        |    (1000000 * supply) // w AS ratio_micros,
+        |    coalesce(sum(supply) OVER (ORDER BY (1000000 * supply) // w,
+        |      src ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS sup_before,
+        |    coalesce(sum(w) OVER (ORDER BY (1000000 * supply) // w, src
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS w_before
+        |  FROM src),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS w_all FROM rk),
+        |mk AS (SELECT rk.*,
+        |    CASE WHEN 40000 - sup_before < 0 THEN -1
+        |      ELSE (1000000 * (40000 - sup_before)) // (w_all - w_before)
+        |    END AS level_micros
+        |  FROM rk, tt),
+        |mk2 AS (SELECT *, level_micros > ratio_micros AS capped FROM mk),
+        |lam AS (SELECT max(CASE WHEN NOT capped THEN level_micros END)
+        |    AS lambda_micros FROM mk2)
+        |SELECT src, supply, w, ratio_micros, capped, lambda_micros,
+        |  CASE WHEN capped THEN supply
+        |    ELSE (w * lambda_micros) // 1000000 END AS alloc
+        |FROM mk2, lam ORDER BY ratio_micros, src""".stripMargin,
     // priority-sample replay: the salted 16-bit coordinate, the same
     // -ln(u)/w IEEE sequence micro-quantized once per row, top-k by
     // (key, id)

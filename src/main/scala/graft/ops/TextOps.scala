@@ -605,6 +605,60 @@ object TextOps {
     graft.api.TrainingData.informationGain(
       t(s, d, "documents"), "source", "lang")
 
+  /** X170 — Cramér's V effect size of the source↔language dependence:
+    * x77's χ² says "not independent", this says HOW FAR on [0,1]
+    * (reported as V² micros), comparable across tables of any size,
+    * with the Bergsma bias-corrected form alongside. Fixture binding
+    * of [[graft.api.TrainingData.cramersV]]. */
+  def x170CramersV(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cramersV(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull),
+      "source", "lang")
+
+  /** X171 — two-sample Cramér–von Mises drift between English and
+    * non-English length distributions: the INTEGRATED ECDF gap next to
+    * x90's KS (worst single gap) and x155's PSI (binned, smoothed) —
+    * broad mid-distribution drift that a sup-norm misses moves this.
+    * Fixture binding of [[graft.api.TrainingData.cvmTwoSample]]. */
+  def x171CvmDrift(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cvmTwoSample(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("is_en"), col("n_chars")),
+      "is_en", "n_chars")
+
+  /** X172 — Kendall's τ-b between the two x158 ordinal graders
+    * (char-length decile vs token-count decile): "of all comparable
+    * doc pairs, how many do the two heuristics order the same way" —
+    * the pair-level agreement read beside Spearman's rank-linear x122
+    * and x158's cell-level κ. Fixture binding of
+    * [[graft.api.TrainingData.kendallTauB]]. */
+  def x172KendallTau(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kendallTauB(
+      t(s, d, "documents")
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
+        .select(least(lit(9L), expr("n_chars div 60")).as("gx"),
+          least(lit(9L), expr("size(filter(split(text, ' '), " +
+            "t -> t != '')) div 10")).as("gy")),
+      "gx", "gy")
+
+  /** X168 — Jensen–Shannon divergence between the English and
+    * non-English documents' token distributions: the symmetric,
+    * always-finite corpus distance (bounded by ln 2) next to the
+    * asymmetric KL and the binned PSI (x155) — the pairwise read a
+    * mixture planner can treat as a metric. Fixture binding of
+    * [[graft.api.TrainingData.jsDivergence]]. */
+  def x168JsDivergence(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("text").isNotNull)
+    def toks(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(graft.ops.DedupOps.tokens(col("text"))).as("token"))
+    graft.api.TrainingData.jsDivergence(
+      toks(docs.filter(col("lang") === "en")),
+      toks(docs.filter(col("lang") =!= "en")), "token")
+  }
+
   /** X155 — Population Stability Index between English and non-English
     * documents' length distributions: the binned production-ML drift
     * gauge next to x90's KS (PSI is what monitoring dashboards quote —
@@ -743,6 +797,10 @@ object TextOps {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x151_pii_scan" -> (x151PiiScan _),
     "x153_info_gain" -> (x153InfoGain _),
+    "x168_js_divergence" -> (x168JsDivergence _),
+    "x170_cramers_v" -> (x170CramersV _),
+    "x171_cvm_drift" -> (x171CvmDrift _),
+    "x172_kendall_tau" -> (x172KendallTau _),
     "x158_cohen_kappa" -> (x158CohenKappa _),
     "x155_psi_drift" -> (x155PsiDrift _),
     "x103_robust_outliers" -> (x103RobustOutliers _),
@@ -934,6 +992,151 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Cramér's V replay: per-cell χ² terms truncated once in HUGEINT,
+    // chained divisions to V² and the Bergsma-corrected V²− with the
+    // same ≤1 denominator guard
+    "x170_cramers_v" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS a, CAST(lang AS VARCHAR) AS bb
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cells AS (SELECT a, bb, CAST(count(*) AS BIGINT) AS o
+        |  FROM b GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+        |cbm AS (SELECT bb, CAST(sum(o) AS BIGINT) AS cn
+        |  FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT bb) AS BIGINT) AS k FROM cells),
+        |grid AS (SELECT ra.a, cbm.bb, rn, cn, coalesce(o, 0) AS o
+        |  FROM ra CROSS JOIN cbm
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.bb = cbm.bb),
+        |chi AS (SELECT CAST(sum(
+        |    CAST((1000000 * (CAST(o AS HUGEINT) * n
+        |      - CAST(rn AS HUGEINT) * cn)
+        |      * (CAST(o AS HUGEINT) * n - CAST(rn AS HUGEINT) * cn))
+        |      // (CAST(n AS HUGEINT) * rn * cn) AS BIGINT)) AS BIGINT)
+        |    AS chi2_micros
+        |  FROM grid, nn)
+        |SELECT n, r AS n_rows_cat, k AS n_cols_cat, chi2_micros,
+        |  CASE WHEN least(r, k) <= 1 THEN NULL
+        |    ELSE chi2_micros // (n * (least(r, k) - 1))
+        |  END AS v_sq_micros,
+        |  CASE WHEN least(r, k) <= 1 OR n <= 1
+        |      OR least(r - ((r - 1) * (r - 1)) // (n - 1),
+        |        k - ((k - 1) * (k - 1)) // (n - 1)) <= 1 THEN NULL
+        |    ELSE greatest(0, (chi2_micros // n)
+        |      - (1000000 * (r - 1) * (k - 1)) // (n - 1))
+        |      // (least(r - ((r - 1) * (r - 1)) // (n - 1),
+        |        k - ((k - 1) * (k - 1)) // (n - 1)) - 1)
+        |  END AS v_sq_corrected_micros
+        |FROM nn, chi""".stripMargin,
+    // CvM replay: per-value cumulative sums, the three HUGEINT
+    // cross-products, one chained truncated normalization
+    "x171_cvm_drift" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |    n_chars AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |byv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |    CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |cm AS (SELECT v, a, c,
+        |    sum(a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS ca,
+        |    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cc
+        |  FROM byv),
+        |agg AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(c - a) AS BIGINT) AS n_b,
+        |    sum(CAST(c AS HUGEINT) * ca * ca) AS saa,
+        |    sum(CAST(c AS HUGEINT) * ca * (cc - ca)) AS sab,
+        |    sum(CAST(c AS HUGEINT) * (cc - ca) * (cc - ca)) AS sbb
+        |  FROM cm)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST((1000000 * (CAST(n_b AS HUGEINT) * n_b * saa
+        |      - 2 * CAST(n_a AS HUGEINT) * n_b * sab
+        |      + CAST(n_a AS HUGEINT) * n_a * sbb))
+        |      // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b) * (n_a + n_b))
+        |      AS BIGINT)
+        |  END AS cvm_t_micros
+        |FROM agg""".stripMargin,
+    // Kendall τ-b replay: the cells² oriented theta-join, HUGEINT
+    // C/D/tie counts, the two chained truncated divisions
+    "x172_kendall_tau" ->
+      """WITH b AS (
+        |  SELECT least(9, n_chars // 60) AS x,
+        |    least(9, len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) // 10) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        |p AS (SELECT
+        |    sum(CASE WHEN q.x > p.x AND q.y > p.y
+        |      THEN CAST(p.c AS HUGEINT) * q.c ELSE 0 END) AS conc,
+        |    sum(CASE WHEN q.x > p.x AND q.y < p.y
+        |      THEN CAST(p.c AS HUGEINT) * q.c ELSE 0 END) AS disc
+        |  FROM cells p JOIN cells q
+        |    ON q.x > p.x OR (q.x = p.x AND q.y > p.y)),
+        |tx AS (SELECT sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS tie_x
+        |  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS m
+        |        FROM cells GROUP BY 1)),
+        |ty AS (SELECT sum(CAST(m AS HUGEINT) * (m - 1) // 2) AS tie_y
+        |  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS m
+        |        FROM cells GROUP BY 1)),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+        |SELECT n, n_cells, CAST(conc AS BIGINT) AS concordant,
+        |  CAST(disc AS BIGINT) AS discordant,
+        |  CAST(tie_x AS BIGINT) AS tie_pairs_x,
+        |  CAST(tie_y AS BIGINT) AS tie_pairs_y,
+        |  CASE WHEN (CAST(n AS HUGEINT) * (n - 1) // 2 - tie_x)
+        |      * (CAST(n AS HUGEINT) * (n - 1) // 2 - tie_y) = 0 THEN NULL
+        |    ELSE CAST(sign(conc - disc) AS BIGINT) END AS tau_sign,
+        |  CASE WHEN (CAST(n AS HUGEINT) * (n - 1) // 2 - tie_x)
+        |      * (CAST(n AS HUGEINT) * (n - 1) // 2 - tie_y) = 0 THEN NULL
+        |    ELSE CAST(((1000000 * (conc - disc) * (conc - disc))
+        |      // (CAST(n AS HUGEINT) * (n - 1) // 2 - tie_x))
+        |      // (CAST(n AS HUGEINT) * (n - 1) // 2 - tie_y) AS BIGINT)
+        |  END AS tau_sq_micros
+        |FROM p, tx, ty, nn, g""".stripMargin,
+    // JSD replay: per-token counts each side, full-outer value join,
+    // the same ½(p·ln(p/m) + q·ln(q/m)) IEEE sequence rounded once per
+    // token, absent-side terms guarded to 0
+    "x168_js_divergence" ->
+      """WITH ta AS (
+        |  SELECT t AS v FROM documents,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS u(t)
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL AND lang = 'en'),
+        |tb AS (
+        |  SELECT t AS v FROM documents,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS u(t)
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL AND lang <> 'en'),
+        |ca AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM ta GROUP BY 1),
+        |cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS taa,
+        |    CAST(sum(cb) AS BIGINT) AS tbb FROM j),
+        |terms AS (
+        |  SELECT CAST(round((
+        |    CASE WHEN ca = 0 THEN 0.0 ELSE
+        |      0.5 * (CAST(ca AS DOUBLE) / taa)
+        |      * ln((CAST(ca AS DOUBLE) / taa) /
+        |        ((CAST(ca AS DOUBLE) / taa + CAST(cb AS DOUBLE) / tbb)
+        |         / 2.0)) END +
+        |    CASE WHEN cb = 0 THEN 0.0 ELSE
+        |      0.5 * (CAST(cb AS DOUBLE) / tbb)
+        |      * ln((CAST(cb AS DOUBLE) / tbb) /
+        |        ((CAST(ca AS DOUBLE) / taa + CAST(cb AS DOUBLE) / tbb)
+        |         / 2.0)) END) * 1000000.0, 0) AS BIGINT) AS term
+        |  FROM j, tt)
+        |SELECT (SELECT taa FROM tt) AS n_a, (SELECT tbb FROM tt) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_values,
+        |  CAST(sum(term) AS BIGINT) AS jsd_micronats
+        |FROM terms""".stripMargin,
     // PII scan replay: identical id-arithmetic injection, RE2 counts
     // via len(regexp_extract_all), redaction via the same four
     // regexp_replace passes in the same order ('g' — DuckDB replaces

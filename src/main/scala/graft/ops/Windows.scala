@@ -460,7 +460,70 @@ object Windows {
         .filter(col("user_id").isNotNull && col("event_type").isNotNull),
       "user_id", "event_type", minSupport = 20L)
 
+  /** X160 — Theil–Sen robust trend of the daily event count: the median
+    * of all day-pair slopes (micro-events/day), immune to the ingestion
+    * bursts that drag a least-squares fit — the robust companion to
+    * x131's autocorrelation and x132's CUSUM over the same series.
+    * Fixture binding of [[graft.api.TrainingData.theilSenSlope]]. */
+  def x160TheilSen(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.theilSenSlope(
+      t(s, d, "events")
+        .filter(col("ts").isNotNull)
+        // fixture timestamps are all post-1970 (nonnegative millis), so
+        // truncating div == floor here
+        .select(expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000L")
+          .as("day"), lit(1L).as("one")),
+      "day", "one")
+
+  /** X163 — log-rank test between the even- and odd-user-id cohorts'
+    * churn curves, over the same lifespan/censoring framing as x147:
+    * whether the two Kaplan–Meier curves differ beyond chance. Fixture
+    * binding of [[graft.api.TrainingData.logRankTest]]. */
+  def x163LogRank(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+    // user-grain relation feeds the horizon AND the cohort projection —
+    // eager checkpoint scans events once; the global max over users'
+    // last events IS the global max event time, so no second scan
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+      .localCheckpoint(true)
+    val horizon = perUser.agg(max(col("last_ms")).as("max_ms"))
+    val cohorts = perUser.crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2 === 0).as("is_even"),
+        expr("(last_ms - first_ms) div 3600000").as("dur_hours"),
+        when(col("last_ms") < col("max_ms") - 43200000L, 1L).otherwise(0L)
+          .as("churned"))
+    graft.api.TrainingData.logRankTest(cohorts, "is_even", "dur_hours",
+      "churned")
+  }
+
+  /** X167 — Krippendorff's α (nominal) over the same deduped
+    * (item, rater, label) relation as x99's Fleiss κ: the
+    * missing-data-correct agreement coefficient (per-item pairable
+    * weighting), so the two can be read side by side on one corpus.
+    * Fixture binding of [[graft.api.TrainingData.krippendorffAlpha]]. */
+  def x167Krippendorff(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_id"), col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ratings = t(s, d, "events")
+      .select(
+        get_json_object(col("props"), "$.k").cast("long").as("item_id"),
+        col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .filter(col("item_id").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("ts").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    graft.api.TrainingData
+      .krippendorffAlpha(ratings, "item_id", "event_type")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x160_theil_sen" -> (x160TheilSen _),
+    "x163_log_rank" -> (x163LogRank _),
+    "x167_krippendorff" -> (x167Krippendorff _),
     "x138_asof_attribution" -> (x138AsofAttribution _),
     "x138b_asof_salted" -> (x138bAsofSalted _),
     "x147_kaplan_meier" -> (x147KaplanMeier _),
@@ -488,6 +551,118 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // Theil–Sen replay: day-grain points, all increasing-x pairs with
+    // sign-explicit truncated micro slopes, quantile_cont median (the
+    // x31d portable percentile pair) rounded once to 6
+    "x160_theil_sen" ->
+      """WITH pts AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |sl AS (
+        |  SELECT CASE WHEN b.y >= a.y THEN 1 ELSE -1 END
+        |    * ((1000000 * abs(b.y - a.y)) // (b.x - a.x)) AS s
+        |  FROM pts a JOIN pts b ON b.x > a.x),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(quantile_cont(s, 0.5), 6) AS slope_median_micros FROM sl),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |  min(x) AS x_min, max(x) AS x_max FROM pts)
+        |SELECT n_points, n_pairs, x_min, x_max, slope_median_micros
+        |FROM agg, p""".stripMargin,
+    // log-rank replay: the x147 lifespan/censoring framing split by
+    // user-id parity, at-risk via the total-minus-exited identity, E/V
+    // truncated micros once per event time, HUGEINT square in the
+    // final statistic
+    "x163_log_rank" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |pu AS (SELECT user_id, min(ms) AS first_ms, max(ms) AS last_ms
+        |  FROM e GROUP BY 1),
+        |hz AS (SELECT max(ms) AS max_ms FROM e),
+        |c AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    (last_ms - first_ms) // 3600000 AS t,
+        |    CASE WHEN last_ms < max_ms - 43200000 THEN 1 ELSE 0 END AS ev
+        |  FROM pu, hz),
+        |byt AS (
+        |  SELECT t, CAST(sum(ia * ev) AS BIGINT) AS d_a,
+        |    CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(ia) AS BIGINT) AS m_a,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM c GROUP BY 1),
+        |rk AS (
+        |  SELECT t, d_a, d, m_a, m,
+        |    sum(m) OVER () - sum(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + m
+        |      AS n_at,
+        |    sum(m_a) OVER () - sum(m_a) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + m_a
+        |      AS na_at
+        |  FROM byt),
+        |evt AS (SELECT * FROM rk WHERE d > 0),
+        |agg AS (
+        |  SELECT CAST(sum(d_a) AS BIGINT) AS o_a,
+        |    CAST(sum(d) AS BIGINT) AS events_total,
+        |    CAST(max(n_at) AS BIGINT) AS n,
+        |    CAST(max(na_at) AS BIGINT) AS n_a,
+        |    CAST(sum((1000000 * d * na_at) // n_at) AS BIGINT)
+        |      AS e_a_micros,
+        |    sum(CASE WHEN n_at <= 1 THEN CAST(0 AS HUGEINT)
+        |      ELSE (1000000 * CAST(d AS HUGEINT) * na_at
+        |        * (n_at - na_at) * (n_at - d))
+        |        // (CAST(n_at AS HUGEINT) * n_at * (n_at - 1)) END)
+        |      AS var_h
+        |  FROM evt)
+        |SELECT n, n_a, n - n_a AS n_b, events_total, o_a, e_a_micros,
+        |  1000000 * o_a - e_a_micros AS oe_sum_micros,
+        |  CAST(var_h AS BIGINT) AS var_sum_micros,
+        |  CASE WHEN var_h = 0 THEN NULL
+        |    ELSE CAST((CAST(1000000 * o_a - e_a_micros AS HUGEINT)
+        |      * (1000000 * o_a - e_a_micros)) // var_h AS BIGINT)
+        |  END AS chi2_micros
+        |FROM agg""".stripMargin,
+    // Krippendorff-α replay: the x99 dedup CTE, per-item disagreement
+    // quantized once to micros over the pairable (n_i ≥ 2) items,
+    // marginal chance in HUGEINT, sign-explicit final division
+    "x167_krippendorff" ->
+      """WITH r0 AS (
+        |  SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |      AS item, user_id, event_type,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |        AS BIGINT), user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE props IS NOT NULL
+        |    AND regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |r AS (SELECT item, event_type AS label FROM r0 WHERE rn = 1),
+        |cell AS (SELECT item, label, CAST(count(*) AS BIGINT) AS n_il
+        |  FROM r GROUP BY 1, 2),
+        |pi AS (SELECT item, CAST(sum(n_il) AS BIGINT) AS n_i,
+        |    CAST(sum(n_il * n_il) AS BIGINT) AS sq_i
+        |  FROM cell GROUP BY 1),
+        |pi2 AS (SELECT item, n_i,
+        |    (1000000 * (n_i * n_i - sq_i)) // (n_i - 1) AS do_i
+        |  FROM pi WHERE n_i >= 2),
+        |kept AS (SELECT c.label, c.n_il FROM cell c JOIN pi2 USING (item)),
+        |mg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+        |    CAST(sum(n_c) AS BIGINT) AS n,
+        |    sum(CAST(n_c AS HUGEINT) * n_c) AS sq_c
+        |  FROM (SELECT label, CAST(sum(n_il) AS BIGINT) AS n_c
+        |        FROM kept GROUP BY 1)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(do_i) AS BIGINT) AS do_micros FROM pi2)
+        |SELECT n_items, n AS n_pairable, n_labels, do_micros,
+        |  CASE WHEN CAST(n AS HUGEINT) * n - sq_c = 0 THEN NULL
+        |    ELSE 1000000 - (CASE WHEN do_micros >= 0 THEN 1 ELSE -1 END)
+        |      * CAST((abs(CAST(do_micros AS HUGEINT)) * (n - 1))
+        |        // (CAST(n AS HUGEINT) * n - sq_c) AS BIGINT)
+        |  END AS alpha_micros
+        |FROM ag, mg""".stripMargin,
     // Kaplan–Meier replay: per-user lifespan/censoring derivation, then
     // the (cohort, duration) risk table — cumulative exits over distinct
     // durations, truncated-micro hazard terms, one exp() per output row

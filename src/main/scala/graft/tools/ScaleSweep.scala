@@ -79,7 +79,14 @@ object ScaleSweep {
     "x150_typo_neardup", "x151_pii_scan", "x139c_loghist_zeros",
     "x152_dup_graph_stats", "x153_info_gain", "x154_kmv_rolling",
     "x155_psi_drift", "x156_auc_by_slice", "x157_weighted_quantiles",
-    "x158_cohen_kappa")
+    "x158_cohen_kappa",
+    // round-14 additions: the distinct-value rank-sum pass, the
+    // regex-chain URL dedup, the per-user grouped fold assignment,
+    // the full-tokenization JSD, the per-slice BH scan, and the
+    // survival-time log-rank windows
+    "x159_mann_whitney", "x161_bh_fdr", "x163_log_rank",
+    "x164_url_canon", "x166_group_kfold", "x168_js_divergence",
+    "x169_quantile_norm", "x171_cvm_drift", "x172_kendall_tau")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
@@ -188,7 +195,11 @@ object ScaleSweep {
     "x142_kmv_distinct", "x95_ngram_saturation",
     // round-13: the blocked-DL join's per-block pair count grows with
     // block occupancy (the SNM caveat) — 10× can hide it, 100× can't
-    "x150_typo_neardup")
+    "x150_typo_neardup",
+    // round-14: the full-tokenization JSD (token-grain full-outer
+    // join) and the regex-chain URL dedup — both all-rows row-local
+    // passes whose constants only show at 100×
+    "x168_js_divergence", "x164_url_canon")
   private val Flag10x = 12.0
   private val Flag100x = 150.0
 

@@ -769,11 +769,14 @@ class PlanSpec extends SparkSpec {
     // section (a query PlanDump could not build) can never ship silently
     val plansFile = new java.io.File("PLANS.md")
     assert(plansFile.exists, "PLANS.md missing — run graft.tools.PlanDump")
-    val lines = scala.io.Source.fromFile(plansFile)
-    val (sections, failed) = try {
-      val ls = lines.getLines().toSeq
+    // explicit UTF-8: PLANS.md carries multibyte plan glyphs (×, —)
+    // and the platform default charset is not guaranteed
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files
+      .readAllLines(plansFile.toPath, java.nio.charset.StandardCharsets.UTF_8)
+      .asScala
+    val (sections, failed) =
       (ls.count(_.startsWith("## ")), ls.count(_.startsWith("FAILED:")))
-    } finally lines.close()
     assert(sections == SparkEntry.queries.size,
       s"PLANS.md has $sections sections but ${SparkEntry.queries.size} " +
         "queries are registered — regenerate with graft.tools.PlanDump")

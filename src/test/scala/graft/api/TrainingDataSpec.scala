@@ -3603,6 +3603,276 @@ class TrainingDataSpec extends SparkSpec {
       .collect().head.isNullAt(4))
   }
 
+  test("mannWhitneyU: complete separation, all-tied NULL, empty-side NULL") {
+    // A = {1,2,3} strictly below B = {4,5,6}: U_A = 0, AUC = 0,
+    // z² = 3·81·30/(9·210) = 3857142 micros (z ≈ −1.964)
+    val sep = Seq((true, 1L), (true, 2L), (true, 3L),
+      (false, 4L), (false, 5L), (false, 6L)).toDF("ia", "v")
+    val r = graft.api.TrainingData.mannWhitneyU(sep, "ia", "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 0L)       // u_doubled
+    assert(r.getLong(3) == 0L)       // auc_micros
+    assert(r.getLong(4) == -1L)      // z_sign
+    assert(r.getLong(5) == 3857142L) // z_sq_micros
+    // every row the same value: midranks give AUC = 1/2 exactly, and
+    // the tie correction zeroes the variance → z² NULL
+    val tied = Seq((true, 7L), (true, 7L), (false, 7L), (false, 7L))
+      .toDF("ia", "v")
+    val t = graft.api.TrainingData.mannWhitneyU(tied, "ia", "v")
+      .collect().head
+    assert(t.getLong(3) == 500000L && t.isNullAt(5))
+    // one empty side → all statistics NULL
+    val one = Seq((true, 1L), (true, 2L)).toDF("ia", "v")
+    val o = graft.api.TrainingData.mannWhitneyU(one, "ia", "v")
+      .collect().head
+    assert(o.isNullAt(2) && o.isNullAt(3) && o.isNullAt(5))
+  }
+
+  test("theilSenSlope: pairwise slope median, sign-explicit negatives") {
+    // points (0,0),(1,2),(2,4),(3,5): six slopes sorted
+    // [1e6, 1.5e6, 1666666, 2e6, 2e6, 2e6] → median 1833333.0
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 5L)).toDF("x", "y")
+    val r = graft.api.TrainingData.theilSenSlope(pts, "x", "y")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 1833333.0)
+    // declining series: trunc toward zero on the ABS, then re-sign
+    val dn = Seq((0L, 10L), (1L, 8L)).toDF("x", "y")
+    val d = graft.api.TrainingData.theilSenSlope(dn, "x", "y")
+      .collect().head
+    assert(d.getDouble(4) == -2000000.0)
+  }
+
+  test("mcNemar: discordant cells only, continuity clamp, agreement NULL") {
+    // 3 both-right, 1 both-wrong, b = 5 (A right/B wrong), c = 2
+    val rows =
+      Seq.fill(3)((true, true, true)) ++ Seq.fill(1)((true, false, false)) ++
+        Seq.fill(5)((true, true, false)) ++ Seq.fill(2)((true, false, true))
+    val df = rows.toDF("label", "pa", "pb")
+    val r = graft.api.TrainingData.mcNemar(df, "label", "pa", "pb")
+      .collect().head
+    assert(r.getLong(0) == 11L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 5L && r.getLong(4) == 2L)
+    // χ² = 1e6·(|5−2|−1)²/7 = 4e6 div 7
+    assert(r.getLong(5) == 4000000L / 7L)
+    // |b−c| ≤ 1 clamps the corrected numerator at 0, not negative
+    val even = (Seq.fill(2)((true, true, false)) ++
+      Seq.fill(2)((true, false, true))).toDF("label", "pa", "pb")
+    assert(graft.api.TrainingData.mcNemar(even, "label", "pa", "pb")
+      .collect().head.getLong(5) == 0L)
+    // b + c = 0 (the models never disagree) → NULL
+    val agree = Seq((true, true, true), (false, false, false))
+      .toDF("label", "pa", "pb")
+    assert(graft.api.TrainingData.mcNemar(agree, "label", "pa", "pb")
+      .collect().head.isNullAt(5))
+  }
+
+  test("bhFdr: step-up rule rejects exactly the below-threshold prefix") {
+    // s1 all-positive and s2 all-negative (z² = 10 each); s3–s5 at the
+    // pooled rate (z² = 0) — BH at q = 0.1 over m = 5 rejects exactly
+    // {s1, s2}: p̃ = exp(−5) ≈ 6738 ≤ 20000/40000, rank-3 p̃ = 1e6 > 60000
+    val rows = (1 to 10).flatMap(i => Seq(
+      ("s1", true), ("s2", false),
+      ("s3", i <= 5), ("s4", i <= 5), ("s5", i <= 5))).toDF("s", "f")
+    val got = graft.api.TrainingData.bhFdr(rows, "s", "f", 100000L)
+      .collect()
+    assert(got.length == 5)
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    assert(byName("s1").getLong(3) == 10000000L) // z² micros
+    assert(byName("s1").getLong(4) == 6738L)     // exp(−5) micros
+    assert(byName("s3").getLong(3) == 0L &&
+      byName("s3").getLong(4) == 1000000L)
+    assert(got.count(_.getBoolean(8)) == 2)
+    assert(byName("s1").getBoolean(8) && byName("s2").getBoolean(8))
+    assert(byName("s1").getInt(7) == 2) // k_star broadcast on every row
+  }
+
+  test("isotonicCalibration: PAV pools the violating prefix, keeps the tail") {
+    // raw rates [1/2, 0/2, 2/2]: buckets 0,1 violate monotonicity and
+    // pool to 1/4; bucket 2 stands — the max-min identity exactly
+    val rows = Seq((0L, true), (0L, false), (1L, false), (1L, false),
+      (2L, true), (2L, true)).toDF("b", "y")
+    val got = graft.api.TrainingData.isotonicCalibration(rows, "b", "y")
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(500000L, 0L, 1000000L))
+    assert(got.map(_.getLong(4)).toSeq == Seq(250000L, 250000L, 1000000L))
+    // already-monotone input is a fixed point
+    val mono = Seq((0L, false), (1L, true), (1L, false), (2L, true))
+      .toDF("b", "y")
+    val m = graft.api.TrainingData.isotonicCalibration(mono, "b", "y")
+      .collect()
+    assert(m.map(_.getLong(4)).toSeq == Seq(0L, 500000L, 1000000L))
+  }
+
+  test("groupKFold: serpentine balance, whole groups, deterministic ties") {
+    // sizes 10,9,8,7,6,5,4 over k=3: folds 0,1,2,2,1,0,0 →
+    // totals 19/15/15 (within max-group-size of even)
+    val rows = Seq(("g1", 10), ("g2", 9), ("g3", 8), ("g4", 7),
+      ("g5", 6), ("g6", 5), ("g7", 4))
+      .flatMap { case (g, n) => Seq.fill(n)(Tuple1(g)) }.toDF("g")
+    val got = graft.api.TrainingData.groupKFold(rows, "g", 3).collect()
+    val folds = got.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(folds == Map("g1" -> 0L, "g2" -> 1L, "g3" -> 2L, "g4" -> 2L,
+      "g5" -> 1L, "g6" -> 0L, "g7" -> 0L))
+    val totals = got.map(r => r.getLong(3) -> r.getLong(4)).toMap
+    assert(totals == Map(0L -> 19L, 1L -> 15L, 2L -> 15L))
+    // every group appears exactly once — no group spans folds
+    assert(got.map(_.getString(0)).distinct.length == 7)
+  }
+
+  test("logRankTest: separated curves accumulate O−E, identical curves zero") {
+    // A churns at t=1,2; B at t=5,6 — hand-walked E/V per event time
+    val sep = Seq((true, 1L, 1), (true, 2L, 1), (false, 5L, 1),
+      (false, 6L, 1)).toDF("ia", "dur", "ev")
+    val r = graft.api.TrainingData.logRankTest(sep, "ia", "dur", "ev")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 2L)
+    assert(r.getLong(5) == 833333L)  // E_a = 500000 + 333333 + 0 + 0
+    assert(r.getLong(6) == 1166667L) // O−E micros
+    assert(r.getLong(7) == 472222L)  // V = 250000 + 222222 + 0 + 0
+    assert(r.getLong(8) ==
+      (BigInt(1166667L) * 1166667L / 472222L).toLong)
+    // mirrored cohorts: O = E at every time → χ² = 0
+    val same = Seq((true, 1L, 1), (false, 1L, 1), (true, 2L, 1),
+      (false, 2L, 1)).toDF("ia", "dur", "ev")
+    assert(graft.api.TrainingData.logRankTest(same, "ia", "dur", "ev")
+      .collect().head.getLong(8) == 0L)
+  }
+
+  test("krippendorffAlpha: perfect 1e6, chance 0, single-label NULL") {
+    // item1 agrees, item2 splits: D_o = D_e → α = 0 exactly
+    val chance = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "label")
+    val c = graft.api.TrainingData
+      .krippendorffAlpha(chance, "item", "label").collect().head
+    assert(c.getLong(0) == 2L && c.getLong(1) == 4L && c.getLong(2) == 2L)
+    assert(c.getLong(3) == 2000000L && c.getLong(4) == 0L)
+    // both items agree (on different labels) → D_o = 0 → α = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    assert(graft.api.TrainingData
+      .krippendorffAlpha(perfect, "item", "label")
+      .collect().head.getLong(4) == 1000000L)
+    // one label corpus-wide: D_e = 0 → NULL (agreement undefined)
+    val single = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "label")
+    assert(graft.api.TrainingData
+      .krippendorffAlpha(single, "item", "label")
+      .collect().head.isNullAt(4))
+    // a 1-rater item is unpairable: contributes nothing
+    val sparse = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("item", "label")
+    val s = graft.api.TrainingData
+      .krippendorffAlpha(sparse, "item", "label").collect().head
+    assert(s.getLong(0) == 1L && s.getLong(1) == 2L)
+  }
+
+  test("jsDivergence: identical 0, disjoint ln2, absent-side terms finite") {
+    val a = Seq("x", "x", "y").toDF("v")
+    val same = graft.api.TrainingData.jsDivergence(a, a, "v")
+      .collect().head
+    assert(same.getLong(3) == 0L)
+    // fully disjoint supports → JSD = ln 2 (the upper bound), finite
+    // WITHOUT smoothing (each side contributes ½·ln 2 per value)
+    val b = Seq("z").toDF("v")
+    val d = graft.api.TrainingData
+      .jsDivergence(Seq("w").toDF("v"), b, "v").collect().head
+    assert(d.getLong(2) == 2L)
+    assert(d.getLong(3) == 346574L * 2L) // 2·round(½ln2·1e6)
+  }
+
+  test("quantileNormalize: shifted groups land on identical pooled values") {
+    // g2 is g1 shifted by +10 — identical within-group SHAPE, so both
+    // groups must map position-for-position onto the same pooled values
+    val rows = (Seq(1L, 2L, 3L, 4L, 5L).map(("g1", _)) ++
+      Seq(11L, 12L, 13L, 14L, 15L).map(("g2", _))).toDF("g", "v")
+    val got = graft.api.TrainingData.quantileNormalize(rows, "g", "v", 10)
+      .collect()
+    def norms(g: String) = got.filter(_.getString(0) == g)
+      .sortBy(_.getLong(1)).map(_.getLong(4)).toSeq
+    assert(norms("g1") == norms("g2"))
+    // hand-walked: levels 1,3,5,7,9 → pooled ceil-ranks 1,3,5,7,9 →
+    // pooled order statistics 1,3,5,12,14
+    assert(norms("g1") == Seq(1L, 3L, 5L, 12L, 14L))
+  }
+
+  test("cramersV: perfect association 1e6, independence 0, zero cells counted") {
+    val perfect = (Seq.fill(5)(("a1", "b1")) ++ Seq.fill(5)(("a2", "b2")))
+      .toDF("a", "b")
+    val p = graft.api.TrainingData.cramersV(perfect, "a", "b")
+      .collect().head
+    // χ² = n = 10 only when the two EMPTY cells contribute their
+    // (0−e)²/e terms — the full-grid check
+    assert(p.getLong(3) == 10000000L)
+    assert(p.getLong(4) == 1000000L) // V² = 1
+    val indep = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"),
+      ("a2", "b2")).flatMap(Seq.fill(2)(_)).toDF("a", "b")
+    val i = graft.api.TrainingData.cramersV(indep, "a", "b")
+      .collect().head
+    assert(i.getLong(3) == 0L && i.getLong(4) == 0L)
+    // a single-category column has no association to measure → NULL
+    val degen = Seq(("a1", "b1"), ("a1", "b2")).toDF("a", "b")
+    assert(graft.api.TrainingData.cramersV(degen, "a", "b")
+      .collect().head.isNullAt(4))
+  }
+
+  test("cvmTwoSample: hand-walked gap, identical samples zero") {
+    // A = {1}, B = {2}: ECDF gap 1 on the first point → T = 1/4
+    val d = graft.api.TrainingData.cvmTwoSample(
+      Seq((true, 1L), (false, 2L)).toDF("ia", "v"), "ia", "v")
+      .collect().head
+    assert(d.getLong(0) == 1L && d.getLong(1) == 1L)
+    assert(d.getLong(2) == 250000L)
+    val same = graft.api.TrainingData.cvmTwoSample(
+      Seq((true, 1L), (false, 1L), (true, 2L), (false, 2L))
+        .toDF("ia", "v"), "ia", "v").collect().head
+    assert(same.getLong(2) == 0L)
+    // one empty side → NULL
+    assert(graft.api.TrainingData.cvmTwoSample(
+      Seq((true, 1L), (true, 2L)).toDF("ia", "v"), "ia", "v")
+      .collect().head.isNullAt(2))
+  }
+
+  test("kendallTauB: perfect +1, inverted -1, tie-corrected") {
+    def tau(pts: Seq[(Long, Long)]) = graft.api.TrainingData
+      .kendallTauB(pts.toDF("x", "y"), "x", "y").collect().head
+    val p = tau(Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(p.getLong(2) == 3L && p.getLong(3) == 0L)
+    assert(p.getLong(6) == 1L && p.getLong(7) == 1000000L)
+    val inv = tau(Seq((1L, 3L), (2L, 2L), (3L, 1L)))
+    assert(inv.getLong(6) == -1L && inv.getLong(7) == 1000000L)
+    // tie on x: C = 2, D = 0, one tied x-pair →
+    // τ² = (4·10⁶ div 2) div 3 = 666666 (τ-b = 2/√6)
+    val t = tau(Seq((1L, 1L), (1L, 2L), (2L, 3L)))
+    assert(t.getLong(2) == 2L && t.getLong(4) == 1L && t.getLong(5) == 0L)
+    assert(t.getLong(6) == 1L && t.getLong(7) == 666666L)
+    // everything tied on one axis → comparable-pair product 0 → NULL
+    assert(tau(Seq((1L, 1L), (1L, 2L))).isNullAt(7))
+  }
+
+  test("waterFill: caps bind in ratio order, remainder redistributes by weight") {
+    val src = Seq(("s1", 100L, 1L), ("s2", 300L, 1L), ("s3", 1000L, 2L))
+      .toDF("s", "sup", "w")
+    val got = graft.api.TrainingData
+      .waterFill(src, "s", "sup", "w", budget = 700L).collect()
+    val alloc = got.map(r => r.getString(0) -> r.getLong(6)).toMap
+    // s1 saturates (supply 100); λ = 2·10⁸ micros → s2 gets 200,
+    // s3 (double weight) gets 400 — budget exactly consumed
+    assert(alloc == Map("s1" -> 100L, "s2" -> 200L, "s3" -> 400L))
+    assert(got.map(_.getLong(6)).sum == 700L)
+    // budget above total supply: everyone capped at supply, λ NULL
+    val all = graft.api.TrainingData
+      .waterFill(src, "s", "sup", "w", budget = 5000L).collect()
+    assert(all.forall(_.getBoolean(4)))
+    assert(all.map(_.getLong(6)).sum == 1400L)
+    // zero budget: nothing capped, zero allocations
+    val zero = graft.api.TrainingData
+      .waterFill(src, "s", "sup", "w", budget = 0L).collect()
+    assert(zero.map(_.getLong(6)).sum == 0L)
+  }
+
   test("piiScan: seeded counts, per-doc flag, redaction chars, clean docs") {
     val docs = Seq(
       ("s1", "reach me at a.b@x.org or c@d.io thanks"),    // 2 emails

@@ -908,4 +908,28 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(cms.estimateCount("token-absent-from-corpus") <= slack)
   }
+
+  test("canonicalUrl collapses case/port/slash/utm/fragment variants, preserves path case") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "http://a.com/p/"),
+      (2L, "HTTP://A.com/p"),
+      (3L, "http://a.com:80/p#x"),
+      (4L, "http://a.com/p?utm_campaign=z"),
+      (5L, "http://a.com/q"),                          // distinct path
+      (6L, "http://a.com/p?utm_source=f&keep=1"),      // utm first, keep rest
+      (7L, "http://b.com/Mixed/Case?id=1&utm_medium=m") // utm mid-query
+    ).toDF("id", "url")
+    val got = DedupOps.urlDedup(urls, "id", "url").collect()
+    val byCanon = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 1–4 collapse: four docs, four raw forms, min-id representative
+    assert(byCanon("http://a.com/p") == (4L, 4L, 1L))
+    assert(byCanon("http://a.com/q") == (1L, 1L, 5L))
+    // non-utm query params survive; PATH case is preserved (RFC 3986 —
+    // only scheme/host lowercase)
+    assert(byCanon.contains("http://a.com/p?keep=1"))
+    assert(byCanon.contains("http://b.com/Mixed/Case?id=1"))
+    assert(got.length == 4)
+  }
 }
