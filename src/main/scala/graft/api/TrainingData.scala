@@ -7813,6 +7813,212 @@ object TrainingData {
       .orderBy(col("ratio_micros"), col("src"))
   }
 
+  /** Cochran's Q — the k-classifier generalization of [[mcNemar]]:
+    * k binary judges on the SAME n examples, Q = (k−1)·(k·ΣG_j² − S²)
+    * / (k·S − ΣL_i²) with G_j = judge j's successes, L_i = example i's
+    * success count, S = ΣL — "do these k quality filters have the same
+    * accuracy" in one test instead of k² pairwise McNemars (the
+    * multiple-comparisons trap x161 exists to fix). Q ≈ χ²(k−1) under
+    * the null; reject → drill into pairwise x162.
+    *
+    * Exactness: all sums exact (per-row L/L² row-local, per-judge G in
+    * one aggregation), the statistic one truncated micro division in
+    * DECIMAL(38,0). Degenerate inputs (every example all-success or
+    * all-failure ⇒ denominator 0) → NULL.
+    *
+    * Scale shape: ONE map-side-combined aggregation over rows carrying
+    * k+3 sums; everything after is scalar. */
+  def cochranQ(rows: DataFrame, labelCol: String,
+      predCols: Seq[String]): DataFrame = {
+    require(predCols.size >= 2, s"need >= 2 judges, got ${predCols.size}")
+    val k = predCols.size
+    val filtered = rows.filter(col(labelCol).isNotNull &&
+      predCols.map(col(_).isNotNull).reduce(_ && _))
+    val oks = predCols.zipWithIndex.map { case (p, i) =>
+      when(col(p).cast("boolean") === col(labelCol).cast("boolean"), 1L)
+        .otherwise(0L).as(s"ok$i")
+    }
+    val base = filtered.select(oks: _*)
+    val li = base.columns.map(col).reduce(_ + _)
+    val gSums = base.columns.zipWithIndex.map { case (c, i) =>
+      sum(col(c)).as(s"g$i")
+    }
+    val agg = base
+      .withColumn("li", li)
+      .agg(count(lit(1)).as("n"),
+        (Seq(sum(col("li")).as("s"), sum(expr("li * li")).as("l2")) ++
+          gSums): _*)
+    val sumGsq = (0 until k)
+      .map(i => s"CAST(g$i AS DECIMAL(38,0)) * g$i")
+      .mkString(" + ")
+    agg.select(col("n"), lit(k).cast("long").as("k_judges"), col("s"),
+      when(expr(s"$k * s - l2") === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          s"CAST((1000000 * ${k - 1} * ($k * ($sumGsq) -" +
+            s" CAST(s AS DECIMAL(38,0)) * s))" +
+            s" div (CAST($k AS DECIMAL(38,0)) * s - l2) AS BIGINT)"))
+        .as("q_micros"))
+  }
+
+  /** Largest-remainder (Hare) apportionment — split an integer budget
+    * across sources EXACTLY proportionally to weights: every source
+    * gets ⌊seats·w/W⌋, and the leftover seats go one each to the
+    * largest fractional remainders (ties by source id). The allocation
+    * sums to the budget EXACTLY by construction — proportional
+    * rounding that "just truncates" silently under-spends by up to
+    * |sources| seats. The quota-assignment primitive next to
+    * [[waterFill]] (which handles supply caps; this is the
+    * no-caps exact split).
+    *
+    * Exactness: base and remainder are one integer division each
+    * (remainder = seats·w mod W — exact, no micro grain); the top-R
+    * cut is a rank over the sources relation with the documented
+    * (remainder desc, src) tie order.
+    *
+    * Scale shape: everything on the SOURCES relation (bounded by
+    * source cardinality; single-partition window documented). */
+  def largestRemainder(sources: DataFrame, srcCol: String,
+      weightCol: String, seats: Long): DataFrame = {
+    require(seats >= 0, s"seats must be >= 0, got $seats")
+    val base = sources
+      .filter(col(srcCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        integralLong(weightCol, "largestRemainder").as("w"))
+      .filter(col("w") > 0)
+    val tot = base.agg(sum(col("w")).as("w_all"))
+    val quotas = base.crossJoin(broadcast(tot))
+      .select(col("src"), col("w"),
+        expr(s"(${seats}L * w) div w_all").as("base"),
+        expr(s"(${seats}L * w) % w_all").as("remainder"))
+      .localCheckpoint(true) // feeds the leftover count AND the rank
+    val leftover = quotas.agg((lit(seats) - sum(col("base"))).as("r"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("remainder").desc, col("src"))
+    quotas
+      .withColumn("rem_rank", row_number().over(wRank))
+      .crossJoin(broadcast(leftover))
+      .select(col("src"), col("w"), col("base"), col("remainder"),
+        col("rem_rank"),
+        (col("base") + when(col("rem_rank") <= col("r"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy(col("src"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio — the confounder-adjusted
+    * association between a binary exposure and a binary outcome ACROSS
+    * strata: OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) pools the per-stratum
+    * 2×2 tables without letting stratum size differences manufacture
+    * or mask the effect — the Simpson's-paradox guard ("long docs are
+    * English-er" might be pure source mix; this asks if it holds
+    * WITHIN sources). Per-stratum rows carry the four cells and both
+    * micro terms; the pooled OR broadcasts onto every row.
+    *
+    * Exactness: cells are exact counts; each stratum's ad/n and bc/n
+    * truncated to micros once (the per-item rounding convention); the
+    * final ratio one truncated DECIMAL(38,0) division. Σ(bc/n) = 0
+    * (no discordant cells anywhere) → NULL.
+    *
+    * Scale shape: one (stratum, exposure, outcome) aggregation, a
+    * strata-grain pivot, one scalar reduce broadcast back. */
+  def mantelHaenszel(rows: DataFrame, strataCol: String,
+      exposureCol: String, outcomeCol: String): DataFrame = {
+    val base = rows
+      .filter(col(strataCol).isNotNull && col(exposureCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(strataCol).cast("string").as("stratum"),
+        when(col(exposureCol).cast("boolean"), 1L).otherwise(0L).as("e"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L).as("o"))
+    val cells = base.groupBy(col("stratum"))
+      .agg(sum(expr("e * o")).as("a"),
+        sum(expr("e * (1 - o)")).as("b"),
+        sum(expr("(1 - e) * o")).as("c"),
+        sum(expr("(1 - e) * (1 - o)")).as("d"),
+        count(lit(1)).as("n"))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        col("n"),
+        expr("(1000000 * a * d) div n").as("ad_n_micros"),
+        expr("(1000000 * b * c) div n").as("bc_n_micros"))
+      .localCheckpoint(true) // feeds the pooled reduce AND the output
+    val pooled = cells.agg(sum(col("ad_n_micros")).as("sr"),
+        sum(col("bc_n_micros")).as("ss"))
+      .select(when(col("ss") === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          "CAST((1000000 * CAST(sr AS DECIMAL(38,0))) div ss AS BIGINT)"))
+        .as("or_mh_micros"))
+    cells.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        col("ad_n_micros"), col("bc_n_micros"), col("or_mh_micros"))
+      .orderBy(col("stratum"))
+  }
+
+  /** CUPED variance-reduced arm means — the experimentation-shelf
+    * adjustment that removes pre-period signal from a post-period
+    * metric: θ = cov(x, y)/var(x) fit POOLED (the unbiased-under-
+    * randomization choice), each arm reports ȳ − θ·(x̄_arm − x̄) —
+    * the arm difference keeps its expectation while the pre-period
+    * noise (often most of the variance in engagement metrics) cancels.
+    * "Did the new filter change downstream volume" read on far fewer
+    * samples.
+    *
+    * Exactness: θ from exact DECIMAL(38,0) sums (n·Σxy − Σx·Σy over
+    * n·Σx² − (Σx)²) truncated once to micros; arm means truncated to
+    * micros once each; the adjustment one more truncated product.
+    * Zero pre-period variance → NULL θ and adjusted = raw.
+    *
+    * Scale shape: one pooled aggregation + one per-arm aggregation
+    * (both map-side-combined), scalar θ broadcast onto the arms
+    * relation. */
+  def cuped(rows: DataFrame, armCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = rows
+      .filter(col(armCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"),
+        integralLong(xCol, "cuped").as("x"),
+        integralLong(yCol, "cuped").as("y"))
+      .localCheckpoint(true) // feeds the pooled θ AND the per-arm agg
+    val theta = base
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .select(col("n"),
+        expr("(1000000 * sx) div n").as("mean_x_micros"),
+        // covariance can be negative — sign-explicit truncation (Spark
+        // div truncates, DuckDB // floors; identical only on
+        // nonnegative operands)
+        when(expr("CAST(n AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(sign(CAST(n AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy) AS BIGINT)" +
+              " * CAST((1000000 * abs(CAST(n AS DECIMAL(38,0)) * sxy" +
+              " - CAST(sx AS DECIMAL(38,0)) * sy))" +
+              " div (CAST(n AS DECIMAL(38,0)) * sxx" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)"))
+          .as("theta_micros"))
+    base.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_arm"), sum(col("x")).as("sxa"),
+        sum(col("y")).as("sya"))
+      .select(col("arm"), col("n_arm"),
+        expr("(1000000 * sxa) div n_arm").as("mean_x_arm_micros"),
+        expr("(1000000 * sya) div n_arm").as("mean_y_arm_micros"))
+      .crossJoin(broadcast(theta))
+      .select(col("arm"), col("n_arm"), col("mean_x_arm_micros"),
+        col("mean_y_arm_micros"), col("theta_micros"),
+        // the correction product can be negative — same sign-explicit
+        // truncation as θ itself
+        when(col("theta_micros").isNull, col("mean_y_arm_micros"))
+          .otherwise(col("mean_y_arm_micros") -
+            expr("CAST(sign(theta_micros * (mean_x_arm_micros" +
+              " - mean_x_micros)) AS BIGINT)" +
+              " * (abs(theta_micros * (mean_x_arm_micros" +
+              " - mean_x_micros)) div 1000000)"))
+          .as("adj_mean_y_micros"))
+      .orderBy(col("arm"))
+  }
+
   /** Isotonic calibration by bucketed pool-adjacent-violators — the
     * monotone regression of an outcome rate on a score, via the exact
     * max–min identity fit_b = max_{i≤b} min_{j≥b} mean(y over buckets

@@ -924,6 +924,38 @@ object DedupOps {
       persistShingles(s, d), t(s, d, "documents"), "doc_id", "source")
       .orderBy(col("src_a"), col("src_b"))
 
+  /** Jaro–Winkler near-dup pairs over (prefix, length)-blocked
+    * candidates — the NAME/TITLE matcher beside [[typoNearDupPairs]]'s
+    * edit-distance metric: JW's windowed matching tolerates
+    * transposed-word and shuffled-character noise that DL prices per
+    * edit, and record linkage thresholds it directly (≥ 0.9 ≈ "same
+    * entity" in the classic literature). Same block shape as x150 —
+    * per-block quadratic bounded by block occupancy, the SNM caveat. */
+  def jwNearDupPairs(rows: DataFrame, idCol: String, keyCol: String,
+      blockPrefix: Int, minJwMicros: Long): DataFrame = {
+    require(blockPrefix >= 1, s"need blockPrefix >= 1, got $blockPrefix")
+    require(minJwMicros >= 0 && minJwMicros <= 1000000,
+      s"minJwMicros must be in [0, 1e6], got $minJwMicros")
+    val base = rows
+      .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(idCol).as("id"), lower(col(keyCol)).as("s"))
+      // the x150 block key (length AFTER lowercasing; BMP caveat there)
+      .withColumn("blk", concat_ws("|",
+        substring(col("s"), 1, blockPrefix),
+        length(col("s")).cast("string")))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        // one shared ·10⁶ rounding of the bit-exact double (the
+        // expression reproduces DuckDB's builtin bit-for-bit — §5i-2)
+        graft.functions.TextFunctions
+          .jaro_winkler(col("a.s"), col("b.s")).as("jw_raw"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(round(jw_raw * 1000000.0, 0) AS BIGINT)")
+          .as("jw_micros"))
+      .filter(col("jw_micros") >= minJwMicros)
+  }
+
   /** Canonical URL form for crawl dedup — the fixed normalization
     * chain every web-corpus pipeline runs before exact URL dedup:
     * (1) strip the fragment (#… never reaches the server), (2) drop
@@ -995,8 +1027,33 @@ object DedupOps {
     urlDedup(urls, "doc_id", "url")
   }
 
+  /** X174 — Jaro–Winkler near-dup pairs over the SAME
+    * transposition-perturbed corpus as x150, thresholded at the
+    * record-linkage 0.9: the DL and JW verdicts on identical
+    * candidates can be read side by side (DL prices the swap as one
+    * edit; JW scores it as a tiny windowed mismatch). The oracle holds
+    * the native expression to DuckDB's own `jaro_winkler_similarity`
+    * on every candidate pair — value-exact after one shared ·10⁶
+    * rounding (the expression is bit-identical to the builtin; §5i-2).
+    * Fixture binding of [[jwNearDupPairs]]. */
+  def x174JwNeardup(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    val twins = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(substring(col("head"), 1, 8),
+          substring(col("head"), 10, 1), substring(col("head"), 9, 1),
+          substring(col("head"), 11, 30)).as("head"))
+    jwNearDupPairs(docs.unionByName(twins), "doc_id", "head",
+      blockPrefix = 8, minJwMicros = 900000L)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x164_url_canon" -> (x164UrlCanon _),
+    "x174_jw_neardup" -> (x174JwNeardup _),
     "x150_typo_neardup" -> (x150TypoNeardup _),
     "x152_dup_graph_stats" -> (x152DupGraphStats _),
     "x106_dup_concentration" -> (x106DupConcentration _),
@@ -1192,6 +1249,32 @@ object DedupOps {
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
         |  min(doc_id) AS rep_doc_id
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // JW near-dup replay: the x150 twin perturbation and blocking,
+    // DuckDB's OWN jaro_winkler_similarity as the reference for the
+    // native expression — value-exact after one shared ·10⁶ rounding
+    "x174_jw_neardup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS head
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND length(text) >= 40),
+        |twins AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    concat(substring(head, 1, 8), substring(head, 10, 1),
+        |      substring(head, 9, 1), substring(head, 11, 30)) AS head
+        |  FROM docs WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT doc_id AS id, lower(head) AS s,
+        |    concat(substring(lower(head), 1, 8), '|',
+        |      CAST(length(lower(head)) AS VARCHAR)) AS blk
+        |  FROM (SELECT * FROM docs UNION ALL SELECT * FROM twins)),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000.0, 0)
+        |      AS BIGINT) AS jw_micros
+        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id)
+        |SELECT id1, id2, jw_micros FROM p
+        |WHERE jw_micros >= 900000 ORDER BY id1, id2""".stripMargin,
     // degree histogram + HUGEINT Pearson assortativity over the shared
     // replayed pair relation (the x131 sign + floor(r²·1e6) convention)
     "x152_dup_graph_stats" ->

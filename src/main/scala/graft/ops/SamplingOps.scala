@@ -214,6 +214,35 @@ object SamplingOps {
           (count(lit(1)) % 7 + 1).as("weight")),
       "source", "supply", "weight", budget = 40000L)
 
+  /** X175 — Cochran's Q over THREE is-English heuristics (char length,
+    * whitespace tokens, ' the ' marker) on the same documents: one
+    * test for "do these filters have the same accuracy" before any
+    * pairwise x162 drill-down. Fixture binding of
+    * [[graft.api.TrainingData.cochranQ]]. */
+  def x175CochranQ(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cochranQ(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("label"),
+          (col("n_chars") >= 150).as("p_len"),
+          (expr("size(filter(split(text, ' '), t -> t != ''))") >= 25)
+            .as("p_tok"),
+          col("text").contains(" the ").as("p_the")),
+      "label", Seq("p_len", "p_tok", "p_the"))
+
+  /** X176 — largest-remainder apportionment of 1000 sampling slots
+    * across sources by document count: the exact-sum proportional
+    * split (truncation alone under-spends by up to |sources| slots).
+    * Fixture binding of
+    * [[graft.api.TrainingData.largestRemainder]]. */
+  def x176LargestRemainder(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.largestRemainder(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      "source", "n_docs", seats = 1000L)
+
   /** X166 — leakage-free 5-fold split of events BY USER: every event of
     * a user lands in one fold (the x98 leakage audit built in up
     * front), folds balanced by serpentine assignment over size-ranked
@@ -654,6 +683,8 @@ object SamplingOps {
     "x166_group_kfold" -> (x166GroupKfold _),
     "x169_quantile_norm" -> (x169QuantileNorm _),
     "x173_water_fill" -> (x173WaterFill _),
+    "x175_cochran_q" -> (x175CochranQ _),
+    "x176_largest_remainder" -> (x176LargestRemainder _),
     "x157_weighted_quantiles" -> (x157WeightedQuantiles _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
@@ -901,6 +932,51 @@ object SamplingOps {
         |  CASE WHEN capped THEN supply
         |    ELSE (w * lambda_micros) // 1000000 END AS alloc
         |FROM mk2, lam ORDER BY ratio_micros, src""".stripMargin,
+    // Cochran's Q replay: the same three heuristics, row-local L/L²,
+    // per-judge success sums, one truncated HUGEINT division
+    "x175_cochran_q" ->
+      """WITH b AS (
+        |  SELECT (lang = 'en') AS label, (n_chars >= 150) AS p0,
+        |    (len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      >= 25) AS p1,
+        |    (text LIKE '% the %') AS p2
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |ok AS (SELECT CASE WHEN p0 = label THEN 1 ELSE 0 END AS ok0,
+        |  CASE WHEN p1 = label THEN 1 ELSE 0 END AS ok1,
+        |  CASE WHEN p2 = label THEN 1 ELSE 0 END AS ok2 FROM b),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(ok0 + ok1 + ok2) AS BIGINT) AS s,
+        |  CAST(sum((ok0 + ok1 + ok2) * (ok0 + ok1 + ok2)) AS BIGINT)
+        |    AS l2,
+        |  CAST(sum(ok0) AS BIGINT) AS g0, CAST(sum(ok1) AS BIGINT) AS g1,
+        |  CAST(sum(ok2) AS BIGINT) AS g2 FROM ok)
+        |SELECT n, CAST(3 AS BIGINT) AS k_judges, s,
+        |  CASE WHEN 3 * s - l2 = 0 THEN NULL
+        |    ELSE CAST((1000000 * 2 * (3 * (CAST(g0 AS HUGEINT) * g0
+        |      + CAST(g1 AS HUGEINT) * g1 + CAST(g2 AS HUGEINT) * g2)
+        |      - CAST(s AS HUGEINT) * s))
+        |      // (CAST(3 AS HUGEINT) * s - l2) AS BIGINT)
+        |  END AS q_micros
+        |FROM agg""".stripMargin,
+    // largest-remainder replay: one integer quota division + mod per
+    // source, remainder-desc rank with src tie-break, exact-sum check
+    // implicit in the alloc arithmetic
+    "x176_largest_remainder" ->
+      """WITH src AS (SELECT CAST(source AS VARCHAR) AS src,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS w_all FROM src),
+        |q AS (SELECT src, w, (1000 * w) // w_all AS base,
+        |    (1000 * w) % w_all AS remainder
+        |  FROM src, tt),
+        |lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS r FROM q),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY remainder DESC, src)
+        |    AS rem_rank FROM q)
+        |SELECT src, w, base, remainder, rem_rank,
+        |  base + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END AS alloc
+        |FROM rk, lo ORDER BY src""".stripMargin,
     // priority-sample replay: the salted 16-bit coordinate, the same
     // -ln(u)/w IEEE sequence micro-quantized once per row, top-k by
     // (key, id)

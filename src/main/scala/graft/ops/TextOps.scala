@@ -643,6 +643,20 @@ object TextOps {
             "t -> t != '')) div 10")).as("gy")),
       "gx", "gy")
 
+  /** X177 — Mantel–Haenszel pooled odds ratio of long-doc → English
+    * WITHIN sources: x170 says length and language associate; this
+    * asks whether the association survives source stratification or
+    * was Simpson's-paradox source mix all along. Fixture binding of
+    * [[graft.api.TrainingData.mantelHaenszel]]. */
+  def x177MantelHaenszel(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mantelHaenszel(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull &&
+          col("lang").isNotNull)
+        .select(col("source"), (col("n_chars") >= 200).as("long_doc"),
+          (col("lang") === "en").as("is_en")),
+      "source", "long_doc", "is_en")
+
   /** X168 — Jensen–Shannon divergence between the English and
     * non-English documents' token distributions: the symmetric,
     * always-finite corpus distance (bounded by ln 2) next to the
@@ -801,6 +815,7 @@ object TextOps {
     "x170_cramers_v" -> (x170CramersV _),
     "x171_cvm_drift" -> (x171CvmDrift _),
     "x172_kendall_tau" -> (x172KendallTau _),
+    "x177_mantel_haenszel" -> (x177MantelHaenszel _),
     "x158_cohen_kappa" -> (x158CohenKappa _),
     "x155_psi_drift" -> (x155PsiDrift _),
     "x103_robust_outliers" -> (x103RobustOutliers _),
@@ -992,6 +1007,32 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mantel–Haenszel replay: per-stratum 2×2 cells, ad/n and bc/n
+    // truncated to micros once per stratum, one pooled HUGEINT ratio
+    "x177_mantel_haenszel" ->
+      """WITH b AS (SELECT CAST(source AS VARCHAR) AS stratum,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS e,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |cells AS (SELECT stratum,
+        |    CAST(sum(e * o) AS BIGINT) AS a,
+        |    CAST(sum(e * (1 - o)) AS BIGINT) AS b2,
+        |    CAST(sum((1 - e) * o) AS BIGINT) AS c,
+        |    CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1),
+        |t2 AS (SELECT stratum, a, b2, c, d,
+        |    (1000000 * a * d) // n AS ad_n_micros,
+        |    (1000000 * b2 * c) // n AS bc_n_micros FROM cells),
+        |pl AS (SELECT CAST(sum(ad_n_micros) AS BIGINT) AS sr,
+        |    CAST(sum(bc_n_micros) AS BIGINT) AS ss FROM t2)
+        |SELECT stratum, a, b2 AS b, c, d, ad_n_micros, bc_n_micros,
+        |  CASE WHEN ss = 0 THEN NULL
+        |    ELSE CAST((1000000 * CAST(sr AS HUGEINT)) // ss AS BIGINT)
+        |  END AS or_mh_micros
+        |FROM t2, pl ORDER BY stratum""".stripMargin,
     // Cramér's V replay: per-cell χ² terms truncated once in HUGEINT,
     // chained divisions to V² and the Bergsma-corrected V²− with the
     // same ≤1 denominator guard

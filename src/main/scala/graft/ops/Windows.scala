@@ -520,8 +520,32 @@ object Windows {
       .krippendorffAlpha(ratings, "item_id", "event_type")
   }
 
+  /** X178 — CUPED variance-reduced per-arm activity means over the
+    * events stream: arms by user-id parity, pre-period x = each user's
+    * first-half event count, post-period y = second-half count — the
+    * experimentation adjustment that cancels per-user baseline
+    * activity out of the arm comparison. Fixture binding of
+    * [[graft.api.TrainingData.cuped]]. */
+  def x178Cuped(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), tsMs(col("ts")).as("ms"))
+    val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ms") <= expr("lo + (hi - lo) div 2"), 1L)
+          .otherwise(0L)).as("x_pre"),
+        sum(when(col("ms") > expr("lo + (hi - lo) div 2"), 1L)
+          .otherwise(0L)).as("y_post"))
+      .select((col("user_id") % 2 === 0).as("arm_even"),
+        col("x_pre"), col("y_post"))
+    graft.api.TrainingData.cuped(perUser, "arm_even", "x_pre", "y_post")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x160_theil_sen" -> (x160TheilSen _),
+    "x178_cuped" -> (x178Cuped _),
     "x163_log_rank" -> (x163LogRank _),
     "x167_krippendorff" -> (x167Krippendorff _),
     "x138_asof_attribution" -> (x138AsofAttribution _),
@@ -551,6 +575,48 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // CUPED replay: global half-window split, per-user pre/post
+    // counts, pooled sign-explicit θ, per-arm adjusted means with the
+    // same sign-explicit correction truncation
+    "x178_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |bd AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN ms <= lo + (hi - lo) // 2 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ms > lo + (hi - lo) // 2 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y
+        |  FROM e, bd GROUP BY 1),
+        |arm AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'true'
+        |    ELSE 'false' END AS arm, x, y FROM pu),
+        |th AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM arm),
+        |th2 AS (SELECT (1000000 * sx) // n AS mean_x_micros,
+        |    CASE WHEN CAST(n AS HUGEINT) * sxx
+        |        - CAST(sx AS HUGEINT) * sx = 0 THEN NULL
+        |      ELSE CAST(sign(CAST(n AS HUGEINT) * sxy
+        |          - CAST(sx AS HUGEINT) * sy) AS BIGINT)
+        |        * CAST((1000000 * abs(CAST(n AS HUGEINT) * sxy
+        |          - CAST(sx AS HUGEINT) * sy))
+        |          // (CAST(n AS HUGEINT) * sxx
+        |          - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+        |    END AS theta_micros FROM th),
+        |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+        |    CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+        |  FROM arm GROUP BY 1)
+        |SELECT arm, n_arm, (1000000 * sxa) // n_arm AS mean_x_arm_micros,
+        |  (1000000 * sya) // n_arm AS mean_y_arm_micros, theta_micros,
+        |  CASE WHEN theta_micros IS NULL THEN (1000000 * sya) // n_arm
+        |    ELSE (1000000 * sya) // n_arm
+        |      - CAST(sign(theta_micros * ((1000000 * sxa) // n_arm
+        |          - mean_x_micros)) AS BIGINT)
+        |        * (abs(theta_micros * ((1000000 * sxa) // n_arm
+        |          - mean_x_micros)) // 1000000)
+        |  END AS adj_mean_y_micros
+        |FROM pa, th2 ORDER BY arm""".stripMargin,
     // Theil–Sen replay: day-grain points, all increasing-x pairs with
     // sign-explicit truncated micro slopes, quantile_cont median (the
     // x31d portable percentile pair) rounded once to 6

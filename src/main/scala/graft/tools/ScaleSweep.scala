@@ -86,7 +86,10 @@ object ScaleSweep {
     // survival-time log-rank windows
     "x159_mann_whitney", "x161_bh_fdr", "x163_log_rank",
     "x164_url_canon", "x166_group_kfold", "x168_js_divergence",
-    "x169_quantile_norm", "x171_cvm_drift", "x172_kendall_tau")
+    "x169_quantile_norm", "x171_cvm_drift", "x172_kendall_tau",
+    // the blocked JW join shares x150's block-occupancy caveat; CUPED
+    // and Cochran's Q are whole-relation aggregation passes
+    "x174_jw_neardup", "x175_cochran_q", "x178_cuped")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

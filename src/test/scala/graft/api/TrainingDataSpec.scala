@@ -3873,6 +3873,84 @@ class TrainingDataSpec extends SparkSpec {
     assert(zero.map(_.getLong(6)).sum == 0L)
   }
 
+  test("cochranQ: k=2 equals uncorrected McNemar, degenerate NULL") {
+    // b = 5 (only judge 0 right), c = 2, both-right 3, both-wrong 1:
+    // Q = (b−c)²/(b+c) = 9/7 for k = 2 — the McNemar identity
+    val rows = (Seq.fill(5)((true, true, false)) ++
+      Seq.fill(2)((true, false, true)) ++ Seq.fill(3)((true, true, true)) ++
+      Seq.fill(1)((true, false, false))).toDF("label", "p0", "p1")
+    val r = graft.api.TrainingData.cochranQ(rows, "label", Seq("p0", "p1"))
+      .collect().head
+    assert(r.getLong(0) == 11L && r.getLong(1) == 2L && r.getLong(2) == 13L)
+    assert(r.getLong(3) == 9000000L / 7L)
+    // every example all-success → zero within-example variance → NULL
+    val flat = Seq.fill(4)((true, true, true)).toDF("label", "p0", "p1")
+    assert(graft.api.TrainingData.cochranQ(flat, "label", Seq("p0", "p1"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("largestRemainder: exact-sum apportionment, remainder order, ties") {
+    // Hare classic: weights 47/29/24, 10 seats → quotas 4.7/2.9/2.4 →
+    // bases 4/2/2, two leftovers to the largest remainders (b, then a)
+    val src = Seq(("a", 47L), ("b", 29L), ("c", 24L)).toDF("s", "w")
+    val got = graft.api.TrainingData.largestRemainder(src, "s", "w", 10L)
+      .collect()
+    val alloc = got.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(alloc == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    assert(got.map(_.getLong(5)).sum == 10L)
+    // equal weights: ties break by source id — 'a' wins the odd seat
+    val eq = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("s", "w")
+    val e = graft.api.TrainingData.largestRemainder(eq, "s", "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(e == Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+  }
+
+  test("mantelHaenszel: single-stratum OR = ad/bc, no-discordance NULL") {
+    def rows(n: Seq[(String, Boolean, Boolean)]) =
+      n.toDF("st", "e", "o")
+    // a=4, b=1, c=1, d=4 → OR = 16 exactly
+    val one = rows(Seq.fill(4)(("s", true, true)) ++
+      Seq(("s", true, false), ("s", false, true)) ++
+      Seq.fill(4)(("s", false, false)))
+    val r = graft.api.TrainingData.mantelHaenszel(one, "st", "e", "o")
+      .collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 1L &&
+      r.getLong(3) == 1L && r.getLong(4) == 4L)
+    assert(r.getLong(7) == 16000000L)
+    // two identical strata pool to the same OR (the MH point)
+    val two = rows((Seq.fill(4)(("s1", true, true)) ++
+      Seq(("s1", true, false), ("s1", false, true)) ++
+      Seq.fill(4)(("s1", false, false))).map(t => t) ++
+      (Seq.fill(4)(("s2", true, true)) ++
+        Seq(("s2", true, false), ("s2", false, true)) ++
+        Seq.fill(4)(("s2", false, false))))
+    val t = graft.api.TrainingData.mantelHaenszel(two, "st", "e", "o")
+      .collect()
+    assert(t.forall(_.getLong(7) == 16000000L))
+    // b·c = 0 in every stratum → Σ(bc/n) = 0 → NULL
+    val nod = rows(Seq(("s", true, true), ("s", false, false)))
+    assert(graft.api.TrainingData.mantelHaenszel(nod, "st", "e", "o")
+      .collect().head.isNullAt(7))
+  }
+
+  test("cuped: y = x makes adjusted arm means equal, zero-variance raw") {
+    // y ≡ x → θ = 1 → every arm's adjusted mean collapses onto the
+    // pooled mean (all pre-period signal, nothing left to compare)
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 4L, 4L), ("b", 5L, 5L), ("b", 6L, 6L)).toDF("arm", "x", "y")
+    val got = graft.api.TrainingData.cuped(rows, "arm", "x", "y")
+      .collect()
+    assert(got.forall(_.getLong(4) == 1000000L)) // θ = 1
+    assert(got.forall(_.getLong(5) == 3500000L)) // pooled mean 3.5
+    // constant pre-period: no variance to remove → θ NULL, adj = raw
+    val const = Seq(("a", 7L, 1L), ("b", 7L, 5L)).toDF("arm", "x", "y")
+    val c = graft.api.TrainingData.cuped(const, "arm", "x", "y")
+      .collect()
+    assert(c.forall(_.isNullAt(4)))
+    assert(c.map(r => r.getString(0) -> r.getLong(5)).toMap ==
+      Map("a" -> 1000000L, "b" -> 5000000L))
+  }
+
   test("piiScan: seeded counts, per-doc flag, redaction chars, clean docs") {
     val docs = Seq(
       ("s1", "reach me at a.b@x.org or c@d.io thanks"),    // 2 emails

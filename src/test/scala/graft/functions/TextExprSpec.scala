@@ -259,4 +259,42 @@ class TextExprSpec extends SparkSpec {
     assert(e.getMessage.contains("4096") ||
       Option(e.getCause).exists(_.getMessage.contains("4096")))
   }
+
+  test("JaroWinkler: literature cases, DuckDB conventions, codegen = interpreted") {
+    import spark.implicits._
+    def jwMicros(a: String, b: String): Long = {
+      val v = JaroWinkler(
+        org.apache.spark.sql.catalyst.expressions.Literal(a),
+        org.apache.spark.sql.catalyst.expressions.Literal(b))
+        .eval(null).asInstanceOf[Double]
+      math.round(v * 1e6)
+    }
+    // Winkler's own canonical example: jaro = 17/18, prefix 3 →
+    // 0.944444… + 0.3·(1 − 17/18) = 0.9611111…
+    assert(jwMicros("martha", "marhta") == 961111L)
+    // Winkler's second canonical pair: jaro = 0.76667, prefix 2 →
+    // 0.76667 + 0.2·0.1·0.23333 = 0.813333
+    assert(jwMicros("dixon", "dicksonx") == 813333L)
+    assert(jwMicros("abc", "xyz") == 0L)             // no matches
+    assert(jwMicros("same", "same") == 1000000L)
+    // DuckDB conventions the oracle depends on: both-empty → 0 (NOT
+    // the common 1.0), one-empty → 0
+    assert(jwMicros("", "") == 0L)
+    assert(jwMicros("", "abc") == 0L)
+    // codegen (DataFrame) path equals interpreted, nulls null-safe
+    val rows = Seq(("martha", "marhta"), ("x", null))
+      .toDF("a", "b")
+      .select(TextFunctions.jaro_winkler(col("a"), col("b")).as("jw"))
+      .collect()
+    assert(math.round(rows(0).getDouble(0) * 1e6) == 961111L)
+    assert(rows(1).isNullAt(0))
+    // the O(n·window) guard refuses document-scale input by name
+    val e = intercept[Exception] {
+      Seq(("x" * 4097, "y")).toDF("a", "b")
+        .select(TextFunctions.jaro_winkler(col("a"), col("b")))
+        .collect()
+    }
+    assert(e.getMessage.contains("4096") ||
+      Option(e.getCause).exists(_.getMessage.contains("4096")))
+  }
 }
