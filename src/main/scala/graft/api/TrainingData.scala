@@ -8019,6 +8019,255 @@ object TrainingData {
       .orderBy(col("arm"))
   }
 
+  /** Kruskal–Wallis H — the k-GROUP generalization of [[mannWhitneyU]]
+    * (k = 2 reduces to the rank-sum z² exactly — spec-pinned): "does
+    * document quality differ across these 20 sources" in ONE
+    * tie-corrected rank test instead of 190 pairwise comparisons (the
+    * trap x161 exists to fix). H ≈ χ²(k−1) under the null; reject →
+    * drill into pairwise x159.
+    *
+    * Exactness: pooled doubled midranks per DISTINCT value (the x121
+    * identity), per-group rank sums in DECIMAL(38,0), each group's
+    * R²/n quantized once to micros, the tie correction one more
+    * chained truncated division with the truncation-slack clamp at 0;
+    * exact to n ≈ 2·10⁷ (raise_error past it — pre-bucket first, the
+    * statistic reads only ranks). All-tied input → NULL.
+    *
+    * Scale shape: per-(group, value) counts map-side-combined, one
+    * cumulative pass over DISTINCT pooled values, one value-grain
+    * equi-join, a groups-grain reduce. */
+  def kruskalWallis(rows: DataFrame, groupCol: String, valueCol: String,
+      maxExactRows: Long = 20000000L): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        integralLong(valueCol, "kruskalWallis").as("v"))
+    val gv = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds the pooled AND per-group passes
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pooled = gv.groupBy(col("v")).agg(sum(col("c")).as("pc"))
+      .withColumn("cb", coalesce(sum(col("pc")).over(wCum), lit(0L)))
+      .localCheckpoint(true) // feeds the join AND the tie/total reduce
+    val tie = pooled.agg(sum(col("pc")).as("n"),
+      sum(expr("CAST(pc AS DECIMAL(38,0)) * pc * pc - pc")).as("t"))
+    val perGroup = gv.join(pooled, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("nj"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * cb + pc + 1)")).as("r2"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("(1000000 * r2 * r2) div (4 * CAST(nj AS" +
+          " DECIMAL(38,0)))")).as("ssum"))
+    perGroup.crossJoin(broadcast(tie))
+      .select(col("n"), col("k").as("k_groups"),
+        when(col("n") > maxExactRows, expr(
+          "raise_error('kruskalWallis: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); pre-bucket the value column')"))
+          .otherwise(expr(
+            "CAST((12 * ssum) div (CAST(n AS DECIMAL(38,0)) * (n + 1))" +
+              " - 3000000 * (n + 1) AS BIGINT)")).as("h_micros"))
+      .crossJoin(broadcast(tie.select(col("t"), col("n").as("n2"))))
+      .select(col("n"), col("k_groups"), col("h_micros"),
+        // tie correction H′ = H·(n³−n)/(n³−n−T); truncation slack can
+        // land H a hair negative — clamp (the info-gain convention)
+        when(expr("CAST(n2 AS DECIMAL(38,0)) * n2 * n2 - n2 - t") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((greatest(0L, h_micros) * (CAST(n2 AS DECIMAL(38,0))" +
+              " * n2 * n2 - n2))" +
+              " div (CAST(n2 AS DECIMAL(38,0)) * n2 * n2 - n2 - t)" +
+              " AS BIGINT)")).as("h_tc_micros"))
+  }
+
+  /** Hodges–Lehmann two-sample shift — the MEDIAN of all cross-pair
+    * differences a − b: the robust EFFECT SIZE companion to x159's
+    * significance ("English docs are ~how many chars longer,
+    * outlier-proof"); a mean difference is hostage to the same tails
+    * MWU exists to dodge. Exact weighted median over the
+    * value-pair-grain difference relation — n_a·n_b pairs priced as
+    * |V_a|·|V_b| weighted cells, never materialized pairwise.
+    *
+    * Exactness: integer differences with exact DECIMAL(38,0) weights
+    * (count products), the lower weighted median at ceil-rank
+    * ⌈(W+1)/2⌉ — deterministic, no interpolation. The cell-count
+    * guard refuses |V_a|·|V_b| > maxPairCells by name (bucket
+    * continuous inputs first).
+    *
+    * Scale shape: two map-side-combined per-value counts, one bounded
+    * cross of the value relations, one cumulative pass over DISTINCT
+    * differences. */
+  def hodgesLehmannShift(a: DataFrame, b: DataFrame, valueCol: String,
+      maxPairCells: Long = 4000000L): DataFrame = {
+    def counts(df: DataFrame) = df
+      .filter(col(s"`$valueCol`").isNotNull)
+      .groupBy(integralLong(valueCol, "hodgesLehmannShift").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ca = counts(a)
+    val cb = counts(b)
+    val guard = ca.agg(count(lit(1)).as("na_v"))
+      .crossJoin(broadcast(cb.agg(count(lit(1)).as("nb_v"))))
+      .select(when(col("na_v") * col("nb_v") > maxPairCells, expr(
+        "raise_error('hodgesLehmannShift: value-pair cells exceed" +
+          " maxPairCells; bucket the value column first')"))
+        .otherwise(col("na_v") * col("nb_v")).as("n_cells"))
+    val diffs = ca.as("x").crossJoin(cb.as("y"))
+      .groupBy((col("x.v") - col("y.v")).as("d"))
+      .agg(sum(expr("CAST(x.c AS DECIMAL(38,0)) * y.c")).as("w"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = diffs.withColumn("cw", sum(col("w")).over(wCum))
+      .localCheckpoint(true)
+    val tot = cum.agg(max(col("cw")).as("wt"), count(lit(1)).as("nd"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cw") >= expr("(wt + 1) div 2"))
+      .agg(min(col("d")).as("hl_shift"))
+    ca.agg(sum(col("c")).as("n_a"))
+      .crossJoin(broadcast(cb.agg(sum(col("c")).as("n_b"))))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(med))
+      .crossJoin(broadcast(guard))
+      .select(col("n_a"), col("n_b"), col("nd").as("n_diff_values"),
+        col("wt").cast("long").as("w_total"), col("n_cells"),
+        col("hl_shift"))
+  }
+
+  /** Friedman test — k TREATMENTS measured on the same n BLOCKS, ranks
+    * taken WITHIN each block: "is the event-type volume ordering
+    * stable across days", "do the k quality heuristics rank docs the
+    * same way corpus-wide" — the repeated-measures companion to
+    * [[kruskalWallis]] (independent groups) and [[cochranQ]] (binary
+    * outcomes). Tie-corrected; χ²(k−1) under the null.
+    *
+    * Exactness: within-block doubled midranks are ROW-LOCAL CASE sums
+    * (k ≤ 8 enforced — the expression is O(k²) per row); per-block tie
+    * terms Σ(t³−t) likewise row-local; cross-block sums exact in
+    * DECIMAL(38,0); the statistic and its tie correction two chained
+    * truncated micro divisions with the clamp-at-0. Zero tie-corrected
+    * denominator (every block fully tied) → NULL.
+    *
+    * Scale shape: ONE map-side-combined aggregation over blocks —
+    * no shuffle beyond the final reduce. */
+  def friedmanTest(rows: DataFrame, treatmentCols: Seq[String]): DataFrame = {
+    val k = treatmentCols.size
+    require(k >= 2 && k <= 8,
+      s"friedmanTest needs 2 <= k <= 8 treatments, got $k")
+    val filtered = rows.filter(
+      treatmentCols.map(col(_).isNotNull).reduce(_ && _))
+    val vals = treatmentCols.zipWithIndex.map { case (c, i) =>
+      integralLong(c, "friedmanTest").as(s"v$i")
+    }
+    val base = filtered.select(vals: _*)
+    // doubled midrank of treatment j within its block:
+    // 2·#{less} + #{tied incl. self} + 1
+    val rankCols = (0 until k).map { j =>
+      val less = (0 until k).filter(_ != j)
+        .map(i => when(col(s"v$i") < col(s"v$j"), 2L).otherwise(0L))
+        .reduce(_ + _)
+      val ties = (0 until k).filter(_ != j)
+        .map(i => when(col(s"v$i") === col(s"v$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      (less + ties + 2L).as(s"r$j")
+    }
+    // per-block tie term Σ_values (t³−t) = Σ_positions (t_i² − 1) with
+    // t_i = multiplicity of position i's value within the block
+    val tieTerm = (0 until k).map { i =>
+      val t = (0 until k)
+        .map(m => when(col(s"v$m") === col(s"v$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      t * t - lit(1L)
+    }.reduce(_ + _)
+    val ranked = base.select(rankCols :+ tieTerm.as("tb"): _*)
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      (Seq(sum(col("tb")).as("t")) ++
+        (0 until k).map(j => sum(col(s"r$j")).as(s"s$j"))): _*)
+    val sumR2Sq = (0 until k)
+      .map(j => s"CAST(s$j AS DECIMAL(38,0)) * s$j").mkString(" + ")
+    sums.select(col("n").as("n_blocks"), lit(k).cast("long").as("k"),
+      col("t").as("tie_sum"),
+      expr(s"CAST((3000000 * ($sumR2Sq))" +
+        s" div (CAST(n AS DECIMAL(38,0)) * $k * ${k + 1})" +
+        s" - 3000000 * n * ${k + 1} AS BIGINT)").as("chi2_micros"))
+      .select(col("n_blocks"), col("k"), col("tie_sum"), col("chi2_micros"),
+        when(expr(s"CAST(n_blocks AS DECIMAL(38,0)) * ${k * (k * k - 1)}" +
+          " - tie_sum") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST((greatest(0L, chi2_micros)" +
+              s" * (CAST(n_blocks AS DECIMAL(38,0)) * ${k * (k * k - 1)}))" +
+              s" div (CAST(n_blocks AS DECIMAL(38,0)) * ${k * (k * k - 1)}" +
+              " - tie_sum) AS BIGINT)")).as("chi2_tc_micros"))
+  }
+
+  /** Corpus-level BLEU-2 — modified (clipped) 1-gram and 2-gram
+    * precision of a CANDIDATE corpus against a REFERENCE corpus, with
+    * the brevity penalty: the generated-data QA read ("how much of
+    * this synthetic batch is lexically licensed by the seed corpus")
+    * at corpus grain — x60's novelty asks what is NEW, this asks what
+    * is COVERED, clipping repeated n-grams so "the the the" can't farm
+    * precision. BLEU-2 = BP·exp(½(ln p₁ + ln p₂)).
+    *
+    * Exactness: clipped counts Σ min(c_cand, c_ref) are exact BIGINT
+    * from two n-gram-grain joins; p₁/p₂ truncated micros; BP and the
+    * geometric mean each ONE written-out IEEE sequence rounded once
+    * (the x28j convention). Zero clipped mass at either order → BLEU
+    * 0, no ln(0).
+    *
+    * Scale shape: n-gram counting is map-side-combined; the clip
+    * joins run at n-gram-TYPE grain (vocabulary, not tokens); scalar
+    * finish. */
+  def bleuNgramPrecision(cand: DataFrame, ref: DataFrame,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame) =
+      df.filter(col(s"`$textCol`").isNotNull)
+        .select(graft.ops.DedupOps.tokens(col(s"`$textCol`")).as("tk"))
+    def unigrams(df: DataFrame, out: String) = toks(df)
+      .select(explode(col("tk")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as(out))
+    def bigrams(df: DataFrame, out: String) = toks(df)
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as(out))
+    def clip(c: DataFrame, r: DataFrame) = c.join(r, Seq("g"))
+      .agg(coalesce(sum(least(col("cc"), col("cr"))), lit(0L)).as("clip"))
+    val u1 = unigrams(cand, "cc").localCheckpoint(true) // clip + totals
+    val r1 = unigrams(ref, "cr")
+    val u2 = bigrams(cand, "cc")
+    val r2 = bigrams(ref, "cr")
+    val tot = u1.agg(sum(col("cc")).as("cand_tokens"))
+      .crossJoin(broadcast(r1.agg(sum(col("cr")).as("ref_tokens"))))
+      .crossJoin(broadcast(u2.agg(
+        coalesce(sum(col("cc")), lit(0L)).as("cand_bigrams"))))
+    tot
+      .crossJoin(broadcast(clip(u1, r1).withColumnRenamed("clip", "clip1")))
+      .crossJoin(broadcast(clip(u2, r2).withColumnRenamed("clip", "clip2")))
+      .select(col("cand_tokens"), col("ref_tokens"), col("cand_bigrams"),
+        col("clip1"), col("clip2"),
+        expr("(1000000 * clip1) div cand_tokens").as("p1_micros"),
+        when(col("cand_bigrams") === 0, lit(0L))
+          .otherwise(expr("(1000000 * clip2) div cand_bigrams"))
+          .as("p2_micros"),
+        // BP = min(1, e^(1 − r/c)) — one IEEE sequence, rounded once
+        when(col("cand_tokens") >= col("ref_tokens"), lit(1000000L))
+          .otherwise(expr(
+            "CAST(round(exp(1.0 - CAST(ref_tokens AS DOUBLE)" +
+              " / cand_tokens) * 1000000.0, 0) AS BIGINT)"))
+          .as("bp_micros"))
+      .select(col("cand_tokens"), col("ref_tokens"), col("cand_bigrams"),
+        col("clip1"), col("clip2"), col("p1_micros"), col("p2_micros"),
+        col("bp_micros"),
+        // geometric mean in ln space — zero clipped mass → 0 outright
+        when(col("clip1") === 0 || col("clip2") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(round(CAST(bp_micros AS DOUBLE) / 1000000.0" +
+              " * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / cand_tokens)" +
+              " + ln(CAST(clip2 AS DOUBLE) / cand_bigrams)))" +
+              " * 1000000.0, 0) AS BIGINT)")).as("bleu2_micros"))
+  }
+
   /** Isotonic calibration by bucketed pool-adjacent-violators — the
     * monotone regression of an outcome rate on a score, via the exact
     * max–min identity fit_b = max_{i≤b} min_{j≥b} mean(y over buckets

@@ -786,10 +786,24 @@ object DedupOps {
     * block is prefix+length, so a typo in the FIRST `blockPrefix`
     * chars escapes the block — run a second pass on a reversed or
     * offset key for coverage, the x137 two-key convention. */
-  def typoNearDupPairs(rows: DataFrame, idCol: String, keyCol: String,
-      blockPrefix: Int, maxDist: Int): DataFrame = {
-    require(blockPrefix >= 1, s"need blockPrefix >= 1, got $blockPrefix")
-    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+  /** Shared candidate generator for the blocked string-metric
+    * near-dup families (x150 DL, x174 JW): builds the (prefix, length)
+    * block key, then emits candidate pairs with the per-block
+    * quadratic BOUNDED — blocks at or under `maxBlockSize` compare
+    * all pairs exactly (the fixture regime: the oracle replays this
+    * branch verbatim), while OVERSIZED blocks fall back to
+    * sorted-neighborhood within the block (members ranked by (key,
+    * id), pairs only within `window` ranks — near-identical keys sort
+    * adjacent, the x137 SNM argument). This is the round-14 fix for
+    * the measured 100× blow-up: the all-pairs form ran x150's 100×
+    * point at 8 848 s (ratio 3 973 — per-block quadratic, exactly the
+    * SNM caveat the Scaladoc predicted); windowed sub-blocking caps
+    * per-member work at `window` comparisons. Recall on oversized
+    * blocks is within-window only — the documented tradeoff; raise
+    * `blockPrefix` to shrink blocks when exactness matters. */
+  private def blockedCandidates(rows: DataFrame, idCol: String,
+      keyCol: String, blockPrefix: Int, maxBlockSize: Int,
+      window: Int): DataFrame = {
     val base = rows
       .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
       .select(col(idCol).as("id"), lower(col(keyCol)).as("s"))
@@ -802,12 +816,43 @@ object DedupOps {
       .withColumn("blk", concat_ws("|",
         substring(col("s"), 1, blockPrefix),
         length(col("s")).cast("string")))
-    base.as("a").join(base.as("b"),
+    val wCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"))
+    val wRnk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("s"), col("id"))
+    val sized = base
+      .withColumn("bn", count(lit(1)).over(wCnt))
+      .withColumn("rn", row_number().over(wRnk))
+    val small = sized.filter(col("bn") <= maxBlockSize)
+    val exact = small.as("a").join(small.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+    val big = sized.filter(col("bn") > maxBlockSize)
+    val windowed = big.as("a").join(big.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("b.rn") > col("a.rn") &&
+          col("b.rn") <= col("a.rn") + window)
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        // metric args stay (a, b) — both metrics are symmetric
+        col("a.s").as("s1"), col("b.s").as("s2"))
+    exact.unionByName(windowed)
+  }
+
+  def typoNearDupPairs(rows: DataFrame, idCol: String, keyCol: String,
+      blockPrefix: Int, maxDist: Int, maxBlockSize: Int = 256,
+      window: Int = 32): DataFrame = {
+    require(blockPrefix >= 1, s"need blockPrefix >= 1, got $blockPrefix")
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    require(maxBlockSize >= 2 && window >= 1,
+      s"need maxBlockSize >= 2 and window >= 1, got ($maxBlockSize, $window)")
+    blockedCandidates(rows, idCol, keyCol, blockPrefix, maxBlockSize,
+        window)
+      .select(col("id1"), col("id2"),
         graft.functions.TextFunctions
-          .damerau_levenshtein(col("a.s"), col("b.s")).cast("long").as("dl"),
-        levenshtein(col("a.s"), col("b.s")).cast("long").as("lev"))
+          .damerau_levenshtein(col("s1"), col("s2")).cast("long").as("dl"),
+        levenshtein(col("s1"), col("s2")).cast("long").as("lev"))
       .filter(col("dl") <= maxDist)
       .select(col("id1"), col("id2"), col("dl"), col("lev"),
         (col("lev") - col("dl")).as("transposition_gain"))
@@ -932,24 +977,20 @@ object DedupOps {
     * entity" in the classic literature). Same block shape as x150 —
     * per-block quadratic bounded by block occupancy, the SNM caveat. */
   def jwNearDupPairs(rows: DataFrame, idCol: String, keyCol: String,
-      blockPrefix: Int, minJwMicros: Long): DataFrame = {
+      blockPrefix: Int, minJwMicros: Long, maxBlockSize: Int = 256,
+      window: Int = 32): DataFrame = {
     require(blockPrefix >= 1, s"need blockPrefix >= 1, got $blockPrefix")
     require(minJwMicros >= 0 && minJwMicros <= 1000000,
       s"minJwMicros must be in [0, 1e6], got $minJwMicros")
-    val base = rows
-      .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
-      .select(col(idCol).as("id"), lower(col(keyCol)).as("s"))
-      // the x150 block key (length AFTER lowercasing; BMP caveat there)
-      .withColumn("blk", concat_ws("|",
-        substring(col("s"), 1, blockPrefix),
-        length(col("s")).cast("string")))
-    base.as("a").join(base.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+    require(maxBlockSize >= 2 && window >= 1,
+      s"need maxBlockSize >= 2 and window >= 1, got ($maxBlockSize, $window)")
+    blockedCandidates(rows, idCol, keyCol, blockPrefix, maxBlockSize,
+        window)
+      .select(col("id1"), col("id2"),
         // one shared ·10⁶ rounding of the bit-exact double (the
         // expression reproduces DuckDB's builtin bit-for-bit — §5i-2)
         graft.functions.TextFunctions
-          .jaro_winkler(col("a.s"), col("b.s")).as("jw_raw"))
+          .jaro_winkler(col("s1"), col("s2")).as("jw_raw"))
       .select(col("id1"), col("id2"),
         expr("CAST(round(jw_raw * 1000000.0, 0) AS BIGINT)")
           .as("jw_micros"))

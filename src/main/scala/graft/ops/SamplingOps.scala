@@ -214,6 +214,33 @@ object SamplingOps {
           (count(lit(1)) % 7 + 1).as("weight")),
       "source", "supply", "weight", budget = 40000L)
 
+  /** X179 — Kruskal–Wallis H across ALL sources' length distributions:
+    * one tie-corrected rank test for "do the sources differ at all"
+    * before any pairwise x159 drill-down (k = 2 reduces to x159's z²
+    * exactly — spec-pinned). Fixture binding of
+    * [[graft.api.TrainingData.kruskalWallis]]. */
+  def x179KruskalWallis(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kruskalWallis(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars")),
+      "source", "n_chars")
+
+  /** X180 — Hodges–Lehmann shift between English and non-English
+    * lengths: the outlier-proof "English docs are HOW MANY chars
+    * longer" effect size next to x159's significance verdict — the
+    * exact weighted median of all cross-pair differences, priced at
+    * value-pair grain. Fixture binding of
+    * [[graft.api.TrainingData.hodgesLehmannShift]]. */
+  def x180HodgesLehmann(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+    graft.api.TrainingData.hodgesLehmannShift(
+      docs.filter(col("lang") === "en").select(col("n_chars")),
+      docs.filter(col("lang") =!= "en").select(col("n_chars")),
+      "n_chars")
+  }
+
   /** X175 — Cochran's Q over THREE is-English heuristics (char length,
     * whitespace tokens, ' the ' marker) on the same documents: one
     * test for "do these filters have the same accuracy" before any
@@ -685,6 +712,8 @@ object SamplingOps {
     "x173_water_fill" -> (x173WaterFill _),
     "x175_cochran_q" -> (x175CochranQ _),
     "x176_largest_remainder" -> (x176LargestRemainder _),
+    "x179_kruskal_wallis" -> (x179KruskalWallis _),
+    "x180_hodges_lehmann" -> (x180HodgesLehmann _),
     "x157_weighted_quantiles" -> (x157WeightedQuantiles _),
     "x32_seqpack" -> (x32SeqPack _),
     "x32d_pack_segments" -> (x32dPackSegments _),
@@ -932,6 +961,68 @@ object SamplingOps {
         |  CASE WHEN capped THEN supply
         |    ELSE (w * lambda_micros) // 1000000 END AS alloc
         |FROM mk2, lam ORDER BY ratio_micros, src""".stripMargin,
+    // Kruskal–Wallis replay: pooled doubled midranks over distinct
+    // values, per-group HUGEINT rank sums, per-group micro quantization
+    // of R²/n, chained tie correction with the clamp
+    "x179_kruskal_wallis" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS g, n_chars AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc
+        |  FROM gv GROUP BY 1),
+        |poolc AS (SELECT v, pc,
+        |    coalesce(sum(pc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM pool),
+        |tie AS (SELECT CAST(sum(pc) AS BIGINT) AS n,
+        |    sum(CAST(pc AS HUGEINT) * pc * pc - pc) AS t FROM poolc),
+        |rj AS (SELECT g, CAST(sum(c) AS BIGINT) AS nj,
+        |    sum(CAST(c AS HUGEINT) * (2 * cb + pc + 1)) AS r2
+        |  FROM gv JOIN poolc USING (v) GROUP BY 1),
+        |sj AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    sum((1000000 * r2 * r2) // (4 * CAST(nj AS HUGEINT)))
+        |      AS ssum
+        |  FROM rj),
+        |h AS (SELECT n, k,
+        |    CAST((12 * ssum) // (CAST(n AS HUGEINT) * (n + 1))
+        |      - 3000000 * (n + 1) AS BIGINT) AS h_micros, t
+        |  FROM sj, tie)
+        |SELECT n, k AS k_groups, h_micros,
+        |  CASE WHEN CAST(n AS HUGEINT) * n * n - n - t = 0 THEN NULL
+        |    ELSE CAST((greatest(0, CAST(h_micros AS HUGEINT))
+        |      * (CAST(n AS HUGEINT) * n * n - n))
+        |      // (CAST(n AS HUGEINT) * n * n - n - t) AS BIGINT)
+        |  END AS h_tc_micros
+        |FROM h""".stripMargin,
+    // Hodges–Lehmann replay: value-pair difference cells with HUGEINT
+    // count-product weights, lower weighted median at ceil-rank
+    "x180_hodges_lehmann" ->
+      """WITH av AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND lang = 'en'
+        |  GROUP BY 1),
+        |bv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND lang <> 'en'
+        |  GROUP BY 1),
+        |df AS (SELECT av.v - bv.v AS d,
+        |    sum(CAST(av.c AS HUGEINT) * bv.c) AS w
+        |  FROM av, bv GROUP BY 1),
+        |cum AS (SELECT d, w, sum(w) OVER (ORDER BY d ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM df),
+        |tt AS (SELECT max(cw) AS wt, CAST(count(*) AS BIGINT) AS nd
+        |  FROM cum),
+        |gd AS (SELECT CAST((SELECT count(*) FROM av) AS BIGINT)
+        |    * (SELECT count(*) FROM bv) AS n_cells),
+        |med AS (SELECT min(d) AS hl_shift FROM cum, tt
+        |  WHERE cw >= (wt + 1) // 2)
+        |SELECT (SELECT CAST(sum(c) AS BIGINT) FROM av) AS n_a,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM bv) AS n_b,
+        |  nd AS n_diff_values, CAST(wt AS BIGINT) AS w_total,
+        |  n_cells, hl_shift
+        |FROM tt, gd, med""".stripMargin,
     // Cochran's Q replay: the same three heuristics, row-local L/L²,
     // per-judge success sums, one truncated HUGEINT division
     "x175_cochran_q" ->

@@ -657,6 +657,20 @@ object TextOps {
           (col("lang") === "en").as("is_en")),
       "source", "long_doc", "is_en")
 
+  /** X182 — corpus-level BLEU-2 of the even-id half against the odd-id
+    * half: clipped 1/2-gram precision with the brevity penalty — the
+    * "how much of this batch is lexically licensed by the seed" QA
+    * read for generated data, x60's novelty inverted. Fixture binding
+    * of [[graft.api.TrainingData.bleuNgramPrecision]]. */
+  def x182BleuPrecision(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+    graft.api.TrainingData.bleuNgramPrecision(
+      docs.filter(col("doc_id") % 2 === 0).select(col("text")),
+      docs.filter(col("doc_id") % 2 =!= 0).select(col("text")),
+      "text")
+  }
+
   /** X168 — Jensen–Shannon divergence between the English and
     * non-English documents' token distributions: the symmetric,
     * always-finite corpus distance (bounded by ln 2) next to the
@@ -816,6 +830,7 @@ object TextOps {
     "x171_cvm_drift" -> (x171CvmDrift _),
     "x172_kendall_tau" -> (x172KendallTau _),
     "x177_mantel_haenszel" -> (x177MantelHaenszel _),
+    "x182_bleu_precision" -> (x182BleuPrecision _),
     "x158_cohen_kappa" -> (x158CohenKappa _),
     "x155_psi_drift" -> (x155PsiDrift _),
     "x103_robust_outliers" -> (x103RobustOutliers _),
@@ -1007,6 +1022,57 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // BLEU-2 replay: n-gram-type clip joins, truncated micro
+    // precisions, the same BP and ln-space geometric-mean IEEE
+    // sequences rounded once
+    "x182_bleu_precision" ->
+      s"""WITH ct AS (SELECT $toksSql AS tk FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND doc_id % 2 = 0),
+         |rt AS (SELECT $toksSql AS tk FROM documents
+         |  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+         |    AND doc_id % 2 <> 0),
+         |c1 AS (SELECT g, CAST(count(*) AS BIGINT) AS cc
+         |  FROM (SELECT unnest(tk) AS g FROM ct) GROUP BY 1),
+         |r1 AS (SELECT g, CAST(count(*) AS BIGINT) AS cr
+         |  FROM (SELECT unnest(tk) AS g FROM rt) GROUP BY 1),
+         |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS cc
+         |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS g
+         |    FROM ct WHERE len(tk) >= 2) GROUP BY 1),
+         |r2 AS (SELECT g, CAST(count(*) AS BIGINT) AS cr
+         |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS g
+         |    FROM rt WHERE len(tk) >= 2) GROUP BY 1),
+         |tots AS (SELECT
+         |  (SELECT CAST(sum(cc) AS BIGINT) FROM c1) AS cand_tokens,
+         |  (SELECT CAST(sum(cr) AS BIGINT) FROM r1) AS ref_tokens,
+         |  (SELECT CAST(coalesce(sum(cc), 0) AS BIGINT) FROM c2)
+         |    AS cand_bigrams),
+         |cl AS (SELECT
+         |  (SELECT CAST(coalesce(sum(least(cc, cr)), 0) AS BIGINT)
+         |    FROM c1 JOIN r1 USING (g)) AS clip1,
+         |  (SELECT CAST(coalesce(sum(least(cc, cr)), 0) AS BIGINT)
+         |    FROM c2 JOIN r2 USING (g)) AS clip2),
+         |p AS (SELECT cand_tokens, ref_tokens, cand_bigrams, clip1,
+         |    clip2,
+         |    (1000000 * clip1) // cand_tokens AS p1_micros,
+         |    CASE WHEN cand_bigrams = 0 THEN 0
+         |      ELSE (1000000 * clip2) // cand_bigrams END AS p2_micros,
+         |    CASE WHEN cand_tokens >= ref_tokens THEN 1000000
+         |      ELSE CAST(round(exp(1.0 - CAST(ref_tokens AS DOUBLE)
+         |        / cand_tokens) * 1000000.0, 0) AS BIGINT)
+         |    END AS bp_micros
+         |  FROM tots, cl)
+         |SELECT cand_tokens, ref_tokens, cand_bigrams, clip1, clip2,
+         |  p1_micros, p2_micros, bp_micros,
+         |  CASE WHEN clip1 = 0 OR clip2 = 0 THEN 0
+         |    ELSE CAST(round(CAST(bp_micros AS DOUBLE) / 1000000.0
+         |      * exp(0.5 * (ln(CAST(clip1 AS DOUBLE) / cand_tokens)
+         |      + ln(CAST(clip2 AS DOUBLE) / cand_bigrams)))
+         |      * 1000000.0, 0) AS BIGINT)
+         |  END AS bleu2_micros
+         |FROM p""".stripMargin,
     // Mantel–Haenszel replay: per-stratum 2×2 cells, ad/n and bc/n
     // truncated to micros once per stratum, one pooled HUGEINT ratio
     "x177_mantel_haenszel" ->

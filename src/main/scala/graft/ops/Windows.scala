@@ -543,9 +543,34 @@ object Windows {
     graft.api.TrainingData.cuped(perUser, "arm_even", "x_pre", "y_post")
   }
 
+  /** X181 — Friedman test of the purchase/click/view volume ORDERING
+    * across days: each day ranks its three event-type counts; a large
+    * χ²_F says the ordering is systematic (views always dominate), a
+    * small one says the type mix is interchangeable day to day — the
+    * repeated-measures companion to x179 (independent groups) on the
+    * stream side. Fixture binding of
+    * [[graft.api.TrainingData.friedmanTest]]. */
+  def x181Friedman(s: SparkSession, d: String): DataFrame = {
+    val blk = t(s, d, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      // fixture timestamps are post-1970 — truncating div == floor
+      .groupBy(expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000L")
+        .as("day"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchase"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("n_view"))
+    graft.api.TrainingData.friedmanTest(blk,
+      Seq("n_purchase", "n_click", "n_view"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x160_theil_sen" -> (x160TheilSen _),
     "x178_cuped" -> (x178Cuped _),
+    "x181_friedman" -> (x181Friedman _),
     "x163_log_rank" -> (x163LogRank _),
     "x167_krippendorff" -> (x167Krippendorff _),
     "x138_asof_attribution" -> (x138AsofAttribution _),
@@ -575,6 +600,60 @@ object Windows {
     "q24_asof_join" -> (q24AsOf _))
 
   val oracles: Map[String, String] = Map(
+    // Friedman replay: per-day type counts, row-local doubled midranks
+    // and tie terms (k = 3 CASE sums), chained truncated statistic +
+    // tie correction with the clamp
+    "x181_friedman" ->
+      """WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000
+        |    AS day, event_type
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |blk AS (SELECT day,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS v2
+        |  FROM e GROUP BY 1),
+        |rk AS (SELECT
+        |    2 * ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v0 THEN 1 ELSE 0 END) + 2 AS r0,
+        |    2 * ((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END) + 2 AS r1,
+        |    2 * ((CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END) + 2 AS r2,
+        |    (CASE WHEN v0 = v1 THEN 1 ELSE 0 END
+        |      + CASE WHEN v0 = v2 THEN 1 ELSE 0 END
+        |      + CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS eqp
+        |  FROM blk),
+        |rk2 AS (SELECT r0, r1, r2,
+        |    CASE eqp WHEN 0 THEN 0 WHEN 1 THEN 6 ELSE 24 END AS tb
+        |  FROM rk),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(tb) AS BIGINT) AS t,
+        |    CAST(sum(r0) AS BIGINT) AS s0, CAST(sum(r1) AS BIGINT) AS s1,
+        |    CAST(sum(r2) AS BIGINT) AS s2
+        |  FROM rk2),
+        |st AS (SELECT n, t,
+        |    CAST((3000000 * (CAST(s0 AS HUGEINT) * s0
+        |      + CAST(s1 AS HUGEINT) * s1 + CAST(s2 AS HUGEINT) * s2))
+        |      // (CAST(n AS HUGEINT) * 3 * 4)
+        |      - 3000000 * n * 4 AS BIGINT) AS chi2_micros
+        |  FROM sm)
+        |SELECT n AS n_blocks, CAST(3 AS BIGINT) AS k, t AS tie_sum,
+        |  chi2_micros,
+        |  CASE WHEN CAST(n AS HUGEINT) * 24 - t = 0 THEN NULL
+        |    ELSE CAST((greatest(0, CAST(chi2_micros AS HUGEINT))
+        |      * (CAST(n AS HUGEINT) * 24))
+        |      // (CAST(n AS HUGEINT) * 24 - t) AS BIGINT)
+        |  END AS chi2_tc_micros
+        |FROM st""".stripMargin,
     // CUPED replay: global half-window split, per-user pre/post
     // counts, pooled sign-explicit θ, per-arm adjusted means with the
     // same sign-explicit correction truncation

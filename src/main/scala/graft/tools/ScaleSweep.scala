@@ -89,7 +89,10 @@ object ScaleSweep {
     "x169_quantile_norm", "x171_cvm_drift", "x172_kendall_tau",
     // the blocked JW join shares x150's block-occupancy caveat; CUPED
     // and Cochran's Q are whole-relation aggregation passes
-    "x174_jw_neardup", "x175_cochran_q", "x178_cuped")
+    "x174_jw_neardup", "x175_cochran_q", "x178_cuped",
+    // rank machinery at distinct-value grain, the value-pair-cell HL
+    // median, and the full-tokenization BLEU clip joins
+    "x179_kruskal_wallis", "x180_hodges_lehmann", "x182_bleu_precision")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
@@ -175,6 +178,18 @@ object ScaleSweep {
     (c, once())
   }
 
+  /** Failure-tolerant wrapper: one broken query must not kill an
+    * hour-long sweep run — it lands in the artifact's `errors` section
+    * (visible, never silently dropped) and the rest of the sweep
+    * completes. */
+  private def timeQuerySafe(spark: SparkSession, name: String,
+      dir: String): Either[String, (Double, Double)] =
+    try Right(timeQuery(spark, name, dir))
+    catch { case e: Throwable =>
+      System.err.println(s"[sweep] $name failed on $dir: ${e.getMessage}")
+      Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    }
+
   /** The heaviest sweep queries get an additional 100× point: 10×
     * caught three hidden quadratics in round 10, but data-dependent
     * constants (bucket occupancy, df caps, broadcast thresholds) can
@@ -249,11 +264,16 @@ object ScaleSweep {
     // JIT/codegen warm-up on the 1× side so neither sweep pays it
     timeQuery(spark, Heavy.head, d1)
 
-    val rows = Heavy.map(name => (name, timeQuery(spark, name, d1)))
+    val tried = Heavy.map(name => (name, timeQuerySafe(spark, name, d1)))
+    val errs1 = tried.collect { case (n, Left(m)) => (n, s"1x: $m") }
+    val rows = tried.collect { case (n, Right(t)) => (n, t) }
     graft.ops.PerAppCache.evictAll() // drop the 1× cached relations
     BenchSession.warmTables(spark, d10)
-    val full = rows.map { case (name, (c1, w1)) =>
-      val (c10, w10) = timeQuery(spark, name, d10)
+    val tried10 = rows.map { case (name, (c1, w1)) =>
+      (name, c1, w1, timeQuerySafe(spark, name, d10))
+    }
+    val errs10 = tried10.collect { case (n, _, _, Left(m)) => (n, s"10x: $m") }
+    val full = tried10.collect { case (name, c1, w1, Right((c10, w10))) =>
       (name, c1, w1, c10, w10, c10 / c1)
     }
     graft.ops.PerAppCache.evictAll()
@@ -266,9 +286,12 @@ object ScaleSweep {
     drainState(spark)
     BenchSession.warmTables(spark, d100)
     val t1ByName = rows.toMap
-    val top = Top100x.map { name =>
+    val tried100 = Top100x.filter(t1ByName.contains).map { name =>
       drainState(spark)
-      val (c100, w100) = timeQuery(spark, name, d100)
+      (name, timeQuerySafe(spark, name, d100))
+    }
+    val errs100 = tried100.collect { case (n, Left(m)) => (n, s"100x: $m") }
+    val top = tried100.collect { case (name, Right((c100, w100))) =>
       val (c1, _) = t1ByName(name)
       (name, c1, c100, w100, c100 / c1)
     }
@@ -305,8 +328,12 @@ object ScaleSweep {
     val flagged = full.collect { case (n, _, _, _, _, r) if r > Flag10x => n }
     val flagged100 = top.collect { case (n, _, _, _, r) if r > Flag100x => n }
     def jarr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errsJson = (errs1 ++ errs10 ++ errs100)
+      .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scaling_10x","base":"$base","replicas":10,"gen_seconds":${r3(genSec)},"n_queries":${full.size},"flagged_superlinear":${jarr(flagged)},"queries":$qjson,"queries_100x":$topJson,"flagged_superlinear_100x":${jarr(flagged100)},"config_variants":{$extrasJson}}"""
+      s"""{"metric":"scaling_10x","base":"$base","replicas":10,"gen_seconds":${r3(genSec)},"n_queries":${full.size},"flagged_superlinear":${jarr(flagged)},"queries":$qjson,"queries_100x":$topJson,"flagged_superlinear_100x":${jarr(flagged100)},"errors":$errsJson,"config_variants":{$extrasJson}}"""
     println(line)
     BenchSession.writeArtifact("scaling_out.json", line)
     spark.stop()

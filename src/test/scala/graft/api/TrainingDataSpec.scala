@@ -3951,6 +3951,81 @@ class TrainingDataSpec extends SparkSpec {
       Map("a" -> 1000000L, "b" -> 5000000L))
   }
 
+  test("kruskalWallis: k=2 equals the Mann-Whitney z², all-tied NULL") {
+    // the same complete-separation fixture as the x159 spec: H for
+    // k = 2 must equal the rank-sum z² = 3857142 micros exactly
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = graft.api.TrainingData.kruskalWallis(rows, "g", "v")
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3857142L)
+    // tie-free: the correction is the identity
+    assert(r.getLong(3) == 3857142L)
+    // every row one value → zero rank variance → NULL
+    val tied = Seq(("a", 7L), ("b", 7L), ("c", 7L), ("c", 7L))
+      .toDF("g", "v")
+    assert(graft.api.TrainingData.kruskalWallis(tied, "g", "v")
+      .collect().head.isNullAt(3))
+  }
+
+  test("hodgesLehmannShift: exact weighted median of cross differences") {
+    val a = Seq(5L, 6L, 7L).toDF("v")
+    val b = Seq(1L, 2L, 3L).toDF("v")
+    val r = graft.api.TrainingData.hodgesLehmannShift(a, b, "v")
+      .collect().head
+    // 9 differences sorted [2,3,3,4,4,4,5,5,6] → lower median 4
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(3) == 9L)
+    assert(r.getLong(5) == 4L)
+    // identical samples → shift 0 (even count takes the LOWER median)
+    val same = Seq(1L, 2L).toDF("v")
+    assert(graft.api.TrainingData.hodgesLehmannShift(same, same, "v")
+      .collect().head.getLong(5) == 0L)
+  }
+
+  test("friedmanTest: consistent ordering maxes χ², fully tied NULL") {
+    // three blocks, the same treatment order every time → χ² = n(k−1)
+    // = 6 exactly (the Friedman maximum for n=3, k=3), no ties
+    val rows = Seq((1L, 2L, 3L), (10L, 20L, 30L), (2L, 4L, 6L))
+      .toDF("a", "b", "c")
+    val r = graft.api.TrainingData.friedmanTest(rows, Seq("a", "b", "c"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 0L)          // tie_sum
+    assert(r.getLong(3) == 6000000L)
+    assert(r.getLong(4) == 6000000L)    // tie-free correction = identity
+    // every block fully tied → correction denominator 0 → NULL
+    val flat = Seq((5L, 5L, 5L), (9L, 9L, 9L)).toDF("a", "b", "c")
+    val f = graft.api.TrainingData.friedmanTest(flat, Seq("a", "b", "c"))
+      .collect().head
+    assert(f.getLong(2) == 48L && f.getLong(3) == 0L && f.isNullAt(4))
+  }
+
+  test("bleuNgramPrecision: clipped counts, brevity penalty, identity 1") {
+    val cand = Seq("a b c").toDF("text")
+    val ref = Seq("a b d").toDF("text")
+    val r = graft.api.TrainingData.bleuNgramPrecision(cand, ref, "text")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 1L) // clip1, clip2
+    assert(r.getLong(5) == 666666L && r.getLong(6) == 500000L)
+    assert(r.getLong(7) == 1000000L) // equal lengths: no brevity penalty
+    // bleu2 = √(p1·p2) = √(1/3), through the written-out IEEE sequence
+    assert(r.getLong(8) == math.round(
+      math.exp(0.5 * (math.log(2.0 / 3.0) + math.log(1.0 / 2.0))) * 1e6))
+    // identical corpora → 1.0 across the board
+    val same = graft.api.TrainingData
+      .bleuNgramPrecision(cand, cand, "text").collect().head
+    assert(same.getLong(5) == 1000000L && same.getLong(6) == 1000000L &&
+      same.getLong(8) == 1000000L)
+    // shorter candidate pays the brevity penalty
+    val short = graft.api.TrainingData.bleuNgramPrecision(
+      Seq("a b").toDF("text"), Seq("a b c d").toDF("text"), "text")
+      .collect().head
+    assert(short.getLong(7) < 1000000L)
+  }
+
   test("piiScan: seeded counts, per-doc flag, redaction chars, clean docs") {
     val docs = Seq(
       ("s1", "reach me at a.b@x.org or c@d.io thanks"),    // 2 emails

@@ -909,6 +909,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(cms.estimateCount("token-absent-from-corpus") <= slack)
   }
 
+  test("blocked near-dup cap: oversized blocks go windowed, small blocks stay exact") {
+    import spark.implicits._
+    // ten keys in ONE block (shared 4-char prefix + length): suffix 00..09
+    val rows = (0 to 9).map(i => (i.toLong, f"aaaa$i%02d00")).toDF("id", "k")
+    // cap not binding → exact all-pairs: C(10,2) = 45 candidates
+    val exact = DedupOps.typoNearDupPairs(rows, "id", "k",
+      blockPrefix = 4, maxDist = 8).collect()
+    assert(exact.length == 45)
+    // cap 4 < block size 10 → sorted-neighborhood window 2:
+    // 9 gap-1 + 8 gap-2 = 17 candidates, each sort-adjacent
+    val windowed = DedupOps.typoNearDupPairs(rows, "id", "k",
+      blockPrefix = 4, maxDist = 8, maxBlockSize = 4, window = 2)
+      .collect()
+    assert(windowed.length == 17)
+    // the near-identical neighbor (sort-adjacent) pairs all survive
+    val pairs = windowed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 to 8).forall(i => pairs.contains((i.toLong, i + 1L))))
+    // jw path shares the generator: same 17 candidates at threshold 0
+    assert(DedupOps.jwNearDupPairs(rows, "id", "k", blockPrefix = 4,
+      minJwMicros = 0L, maxBlockSize = 4, window = 2)
+      .collect().length == 17)
+  }
+
   test("canonicalUrl collapses case/port/slash/utm/fragment variants, preserves path case") {
     import spark.implicits._
     val urls = Seq(
