@@ -828,9 +828,21 @@ object DedupOps {
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.s").as("s1"), col("b.s").as("s2"))
+    // rank-BUCKET banding (the asOfJoin discipline): a bare range
+    // predicate on rn would plan as an equi-join on blk alone and
+    // ENUMERATE every within-block pair before filtering — the same
+    // quadratic the window exists to avoid. Buckets of width `window`
+    // make (blk, bucket) the equi-key: a gap ≤ window pair spans at
+    // most adjacent buckets, so the left side explodes over (k, k+1)
+    // and per-key occupancy is ≤ 2·window — enumeration itself is
+    // bounded, not just the surviving candidate count.
     val big = sized.filter(col("bn") > maxBlockSize)
-    val windowed = big.as("a").join(big.as("b"),
-        col("a.blk") === col("b.blk") &&
+      .withColumn("bkt", expr(s"(rn - 1) div $window"))
+    val windowed = big
+      .withColumn("jb", explode(array(col("bkt"), col("bkt") + 1)))
+      .as("a")
+      .join(big.as("b"),
+        col("a.blk") === col("b.blk") && col("a.jb") === col("b.bkt") &&
           col("b.rn") > col("a.rn") &&
           col("b.rn") <= col("a.rn") + window)
       .select(least(col("a.id"), col("b.id")).as("id1"),
