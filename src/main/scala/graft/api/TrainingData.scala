@@ -3603,10 +3603,22 @@ object TrainingData {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
     val ctf = postings.select(col("doc_id"), col("term"), col("tf"))
+    val qdistinct = queryTerms.select(col("term")).distinct()
     val dl = ctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df_ = ctf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("nn"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // df only for the query's own terms: the broadcast semi-join cuts
+    // the postings BEFORE the aggregation, so the df shuffle is bounded
+    // by query-term postings instead of the whole vocabulary (per-term
+    // df is unchanged — filtering by term never alters that term's
+    // count). The same bound the scoring join already had.
+    val df_ = ctf.join(broadcast(qdistinct), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // (N, avgdl) straight off the postings — Σdl = Σtf and |docs| is a
+    // distinct count, so the dl relation isn't aggregated twice (it
+    // used to feed both this and the scoring join, re-running the
+    // per-doc aggregation; the r11→r14 x76 warm creep)
+    val stats = ctf.agg(count_distinct(col("doc_id")).as("nn"),
+      (sum(col("tf")).cast("double")
+        / count_distinct(col("doc_id"))).as("avgdl"))
     val qt = queryTerms.select(col("q_id"), col("term"))
     // shortest-round-trip literals for the derived constants: both
     // engines parse them back to the identical double
@@ -3615,8 +3627,7 @@ object TrainingData {
     val scored = ctf
       .join(broadcast(qt), Seq("term"))
       .join(dl, Seq("doc_id"))
-      .join(broadcast(df_.join(broadcast(qt.select(col("term")).distinct()),
-        Seq("term"))), Seq("term"))
+      .join(broadcast(df_), Seq("term")) // already query-term-bounded
       .crossJoin(broadcast(stats))
       .select(col("q_id"), col("doc_id"),
         round(
@@ -7292,13 +7303,19 @@ object TrainingData {
     risked
       .agg(sum(col("d_a")).as("o_a"), sum(col("d")).as("events_total"),
         max(col("n_at")).as("n"), max(col("na_at")).as("n_a"),
-        // E_a and V per event time, truncated micros once per time
-        sum(expr("(1000000 * d * na_at) div n_at")).as("e_a_micros"),
+        // E_a and V per event time, truncated micros once per time.
+        // The product 10⁶·d·na_at wraps BIGINT past d·na_at ≈ 9.2·10¹²
+        // (far under maxExactRows²), so the term runs in DECIMAL(38,0)
+        // like var_micros; the sum is cast back to long below (≤ 10⁶·n,
+        // safe to n = maxExactRows).
+        sum(expr("(1000000 * CAST(d AS DECIMAL(38,0)) * na_at)" +
+          " div n_at")).as("e_a_micros"),
         sum(expr("CASE WHEN n_at <= 1 THEN CAST(0 AS DECIMAL(38,0))" +
           " ELSE (1000000 * CAST(d AS DECIMAL(38,0)) * na_at" +
           " * (n_at - na_at) * (n_at - d))" +
           " div (CAST(n_at AS DECIMAL(38,0)) * n_at * (n_at - 1)) END"))
           .as("var_micros"))
+      .withColumn("e_a_micros", col("e_a_micros").cast("long"))
       .select(col("n"), col("n_a"), (col("n") - col("n_a")).as("n_b"),
         col("events_total"), col("o_a"),
         col("e_a_micros"),
@@ -7936,8 +7953,13 @@ object TrainingData {
         count(lit(1)).as("n"))
       .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
         col("n"),
-        expr("(1000000 * a * d) div n").as("ad_n_micros"),
-        expr("(1000000 * b * c) div n").as("bc_n_micros"))
+        // 10⁶·a·d wraps BIGINT past a·d ≈ 9.2·10¹² (~3M rows in each
+        // cell): run the products in DECIMAL(38,0) and cast the ≤10⁶·n
+        // quotient back (the oracle mirrors via HUGEINT)
+        expr("CAST((1000000 * CAST(a AS DECIMAL(38,0)) * d) div n" +
+          " AS BIGINT)").as("ad_n_micros"),
+        expr("CAST((1000000 * CAST(b AS DECIMAL(38,0)) * c) div n" +
+          " AS BIGINT)").as("bc_n_micros"))
       .localCheckpoint(true) // feeds the pooled reduce AND the output
     val pooled = cells.agg(sum(col("ad_n_micros")).as("sr"),
         sum(col("bc_n_micros")).as("ss"))

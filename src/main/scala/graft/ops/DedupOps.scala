@@ -888,8 +888,10 @@ object DedupOps {
         concat(substring(col("head"), 1, 8),
           substring(col("head"), 10, 1), substring(col("head"), 9, 1),
           substring(col("head"), 11, 30)).as("head"))
-    typoNearDupPairs(docs.unionByName(twins), "doc_id", "head",
-      blockPrefix = 8, maxDist = 2)
+    val all = docs.unionByName(twins)
+    typoNearDupPairs(all, "doc_id", "head", blockPrefix = 8, maxDist = 2)
+      .crossJoin(broadcast(blockRegimeGuard(all, "doc_id", "head", 8, 256)))
+      .filter(col("regime_ok") === 1).drop("regime_ok")
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -1014,7 +1016,12 @@ object DedupOps {
     * (1) strip the fragment (#… never reaches the server), (2) drop
     * utm_* tracking params (leading, trailing, and mid-query — the
     * three positional rules avoid replacement backreferences, whose
-    * $1-vs-\1 spelling differs across regex dialects), (3) lowercase
+    * $1-vs-\1 spelling differs across regex dialects; the '&'-prefixed
+    * rule runs FIRST so a run of consecutive utm params collapses to
+    * at most one leading param before the '?' rules fire — a single
+    * global pass never rescans text formed by its own replacements,
+    * so '?utm_a=1&utm_b=2&x=1' needs the '&utm_b' strip before the
+    * leading rule can see '?utm_a=1&x=1'), (3) lowercase
     * scheme://host[:port] ONLY (paths are case-sensitive by RFC 3986)
     * and strip the default :80 — anchored `:80$` is safe because it
     * runs on the EXTRACTED authority substring alone, (4) trim
@@ -1026,9 +1033,9 @@ object DedupOps {
     val noFrag = regexp_replace(u, "#.*$", "")
     val noUtm = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, "\\?utm_[a-z]+=[^&#]*&", "?"),
-        "\\?utm_[a-z]+=[^&#]*$", ""),
-      "&utm_[a-z]+=[^&#]*", "")
+        regexp_replace(noFrag, "&utm_[a-z]+=[^&#]*", ""),
+        "\\?utm_[a-z]+=[^&#]*&", "?"),
+      "\\?utm_[a-z]+=[^&#]*$", "")
     val authority = regexp_replace(
       lower(regexp_extract(noUtm, "^([^/]*//[^/]*)", 1)), ":80$", "")
     val path = regexp_extract(noUtm, "^[^/]*//[^/]*(.*)$", 1)
@@ -1099,12 +1106,96 @@ object DedupOps {
         concat(substring(col("head"), 1, 8),
           substring(col("head"), 10, 1), substring(col("head"), 9, 1),
           substring(col("head"), 11, 30)).as("head"))
-    jwNearDupPairs(docs.unionByName(twins), "doc_id", "head",
-      blockPrefix = 8, minJwMicros = 900000L)
+    val all = docs.unionByName(twins)
+    jwNearDupPairs(all, "doc_id", "head", blockPrefix = 8,
+        minJwMicros = 900000L)
+      .crossJoin(broadcast(blockRegimeGuard(all, "doc_id", "head", 8, 256)))
+      .filter(col("regime_ok") === 1).drop("regime_ok")
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Fixture-regime tripwire for the blocked string-metric oracles:
+    * the x150/x174 oracle SQL enumerates ALL within-block pairs, which
+    * is the engine's behavior only while every block stays at or under
+    * `maxBlockSize` — past the cap [[blockedCandidates]] silently
+    * switches to windowed sorted-neighborhood candidates and the gate
+    * would flip hash-red with no hint why. This 1-row relation RAISES
+    * the moment any (prefix, length) block outgrows the cap, so
+    * fixture growth fails loudly at the regime boundary instead
+    * (ADVICE r14). The guard column must survive into a filter — a
+    * dropped, never-referenced projection would be pruned and the
+    * raise_error with it. */
+  private[graft] def blockRegimeGuard(rows: DataFrame, idCol: String,
+      keyCol: String, blockPrefix: Int, cap: Int): DataFrame =
+    rows
+      .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(lower(col(keyCol)).as("s"))
+      .withColumn("blk", concat_ws("|",
+        substring(col("s"), 1, blockPrefix),
+        length(col("s")).cast("string")))
+      .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .agg(coalesce(max(col("bn")), lit(0L)).as("max_bn"))
+      .select(
+        when(col("max_bn") > cap, expr(
+          s"raise_error('blocked near-dup fixture left the all-pairs" +
+            s" regime (a block exceeds $cap): the oracle replays the" +
+            " exact branch only; raise blockPrefix or re-derive the" +
+            " oracle')").cast("int"))
+          .otherwise(lit(1)).as("regime_ok"))
+
+  /** X183 — windowed-fallback recall audit on a fixture FORCED over
+    * the block cap (the x137b/x107 audit pattern pointed at the
+    * oversized-block regime the x150/x174 fixtures never enter): 6
+    * base documents each fan out to 280 variants that differ only in
+    * a 4-digit counter spliced at chars 9–12, with the doc id baked
+    * into the block prefix so every block holds exactly its 280
+    * variants (> the 256 cap → the windowed sorted-neighborhood path
+    * runs). The SAME corpus through [[typoNearDupPairs]] twice — an
+    * uncapped all-pairs pass (ground truth) and the default capped
+    * pass — yields the measured miss rate of the w = 32 window:
+    * near-dup digit pairs ≤ 2 edits apart but > 32 ranks apart in the
+    * sort are exactly what the fallback trades for boundedness.
+    * Output: one row (n_blocks, max_block, n_oversized, n_exact,
+    * n_windowed, recall_micro); windowed candidates are a strict
+    * subset of all-pairs, so caught ≡ n_windowed. Sized for the gate:
+    * keys are 24 chars and the ground truth is ~235k DL matrix
+    * evaluations — the audit's all-pairs half is the deliberate
+    * quadratic, bounded by the FIXED fixture, never by corpus SF. */
+  def x150bWindowRecall(s: SparkSession, d: String): DataFrame = {
+    val variants = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("doc_id") < 6 &&
+        col("text").isNotNull && length(col("text")) >= 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"),
+        explode(expr("sequence(0, 279)")).as("k"))
+      .select((col("doc_id") * 1000 + col("k")).as("id"),
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 3, "0"),
+          substring(col("head"), 1, 4),
+          lpad(col("k").cast("string"), 4, "0"),
+          substring(col("head"), 13, 12)).as("key"))
+      .localCheckpoint(true) // bounded (≤ 1680 rows), feeds 3 branches
+    val exact = typoNearDupPairs(variants, "id", "key", blockPrefix = 8,
+        maxDist = 2, maxBlockSize = 1 << 20)
+      .agg(count(lit(1)).as("n_exact"))
+    val windowed = typoNearDupPairs(variants, "id", "key",
+        blockPrefix = 8, maxDist = 2)
+      .agg(count(lit(1)).as("n_windowed"))
+    val blocks = variants
+      .select(lower(col("key")).as("s"))
+      .withColumn("blk", concat_ws("|", substring(col("s"), 1, 8),
+        length(col("s")).cast("string")))
+      .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("n_blocks"), max(col("bn")).as("max_block"),
+        sum(when(col("bn") > 256, 1L).otherwise(0L)).as("n_oversized"))
+    blocks.crossJoin(broadcast(exact)).crossJoin(broadcast(windowed))
+      .select(col("n_blocks"), col("max_block"), col("n_oversized"),
+        col("n_exact"), col("n_windowed"),
+        when(col("n_exact") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_windowed * 1000000L) div n_exact"))
+          .as("recall_micro"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x150b_window_recall" -> (x150bWindowRecall _),
     "x164_url_canon" -> (x164UrlCanon _),
     "x174_jw_neardup" -> (x174JwNeardup _),
     "x150_typo_neardup" -> (x150TypoNeardup _),
@@ -1269,6 +1360,46 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // windowed-recall replay: the same 8×300 digit-spliced fixture,
+    // the all-pairs and rank-window (w = 32, order s,id) candidate
+    // regimes side by side, counts + block occupancy in one row
+    "x150b_window_recall" ->
+      """WITH base AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS head
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 6
+        |    AND text IS NOT NULL AND length(text) >= 40),
+        |var AS (
+        |  SELECT doc_id * 1000 + k AS id,
+        |    lower(concat('d', lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+        |      substring(head, 1, 4), lpad(CAST(k AS VARCHAR), 4, '0'),
+        |      substring(head, 13, 12))) AS s
+        |  FROM base, generate_series(0, 279) AS g(k)),
+        |r AS (
+        |  SELECT id, s,
+        |    concat(substring(s, 1, 8), '|',
+        |      CAST(length(s) AS VARCHAR)) AS blk
+        |  FROM var),
+        |rk AS (SELECT id, s, blk,
+        |    row_number() OVER (PARTITION BY blk ORDER BY s, id) AS rn
+        |  FROM r),
+        |bs AS (SELECT blk, CAST(count(*) AS BIGINT) AS bn
+        |  FROM r GROUP BY 1),
+        |bstat AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |    max(bn) AS max_block,
+        |    CAST(sum(CASE WHEN bn > 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oversized
+        |  FROM bs),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM rk a JOIN rk b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2),
+        |wn AS (SELECT CAST(count(*) AS BIGINT) AS n_windowed
+        |  FROM rk a JOIN rk b ON a.blk = b.blk AND b.rn > a.rn
+        |    AND b.rn <= a.rn + 32
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2)
+        |SELECT n_blocks, max_block, n_oversized, n_exact, n_windowed,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |    ELSE (n_windowed * 1000000) // n_exact END AS recall_micro
+        |FROM bstat, ex, wn""".stripMargin,
     // canonical-URL replay: the identical id-arithmetic URL injection,
     // then the same 4-step normalization chain in the same order ('g'
     // flag — DuckDB replaces first-only by default where Spark
@@ -1290,9 +1421,9 @@ object DedupOps {
         |    regexp_replace(url, '#.*$', '', 'g') AS a FROM u),
         |s2 AS (SELECT doc_id, url,
         |    regexp_replace(regexp_replace(regexp_replace(a,
+        |      '&utm_[a-z]+=[^&#]*', '', 'g'),
         |      '\?utm_[a-z]+=[^&#]*&', '?', 'g'),
-        |      '\?utm_[a-z]+=[^&#]*$', '', 'g'),
-        |      '&utm_[a-z]+=[^&#]*', '', 'g') AS a FROM s1),
+        |      '\?utm_[a-z]+=[^&#]*$', '', 'g') AS a FROM s1),
         |c AS (SELECT doc_id, url,
         |    rtrim(regexp_replace(lower(regexp_extract(a,
         |        '^([^/]*//[^/]*)', 1)), ':80$', '', 'g')

@@ -915,7 +915,8 @@ object SamplingOps {
         |    sum(c) OVER (PARTITION BY grp) AS ng
         |  FROM gv),
         |lev AS (SELECT grp, v, c,
-        |    (100 * (2 * cb + c)) // (2 * ng) AS level FROM lv),
+        |    CAST((100 * (2 * cb + c)) // (2 * ng) AS BIGINT) AS level
+        |  FROM lv),
         |pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc FROM gv GROUP BY 1),
         |poolc AS (SELECT v, pc, sum(pc) OVER (ORDER BY v
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -950,9 +951,9 @@ object SamplingOps {
         |  FROM src),
         |tt AS (SELECT CAST(sum(w) AS BIGINT) AS w_all FROM rk),
         |mk AS (SELECT rk.*,
-        |    CASE WHEN 40000 - sup_before < 0 THEN -1
+        |    CAST(CASE WHEN 40000 - sup_before < 0 THEN -1
         |      ELSE (1000000 * (40000 - sup_before)) // (w_all - w_before)
-        |    END AS level_micros
+        |    END AS BIGINT) AS level_micros
         |  FROM rk, tt),
         |mk2 AS (SELECT *, level_micros > ratio_micros AS capped FROM mk),
         |lam AS (SELECT max(CASE WHEN NOT capped THEN level_micros END)

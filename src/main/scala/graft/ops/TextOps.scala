@@ -1090,8 +1090,10 @@ object TextOps {
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM b GROUP BY 1),
         |t2 AS (SELECT stratum, a, b2, c, d,
-        |    (1000000 * a * d) // n AS ad_n_micros,
-        |    (1000000 * b2 * c) // n AS bc_n_micros FROM cells),
+        |    CAST((1000000 * CAST(a AS HUGEINT) * d) // n AS BIGINT)
+        |      AS ad_n_micros,
+        |    CAST((1000000 * CAST(b2 AS HUGEINT) * c) // n AS BIGINT)
+        |      AS bc_n_micros FROM cells),
         |pl AS (SELECT CAST(sum(ad_n_micros) AS BIGINT) AS sr,
         |    CAST(sum(bc_n_micros) AS BIGINT) AS ss FROM t2)
         |SELECT stratum, a, b2 AS b, c, d, ad_n_micros, bc_n_micros,

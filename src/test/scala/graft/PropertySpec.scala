@@ -114,6 +114,52 @@ class PropertySpec extends SparkSpec {
     }, n = 30)
   }
 
+  test("sendAll under flaky RANDOM failed-index sets: at-least-once + eventual drain") {
+    // the prefix-failure test above fixes WHICH indices fail; the real
+    // PutRecords contract fails an arbitrary subset per request, and a
+    // failed-but-actually-persisted record (the at-least-once ghost) is
+    // normal. Drive seeded random subsets + ghost deliveries through the
+    // backoff loop and assert the reference's guarantees: every record
+    // delivered at least once, duplicates only among reported-failed
+    // records, every sleep a legal backoff, and the drain terminates.
+    val gen = for {
+      n <- Gen.choose(0, 1300)
+      seed <- Gen.choose(0L, Long.MaxValue)
+      pFail <- Gen.choose(0, 80) // per-record failure odds, percent
+      pGhost <- Gen.choose(0, 100) // of failures: delivered anyway, percent
+      flakyCalls <- Gen.choose(0, 60) // sender heals after this many calls
+    } yield (n, seed, pFail, pGhost, flakyCalls)
+    check(forAll(gen) { case (n, seed, pFail, pGhost, flakyCalls) =>
+      val rnd = new scala.util.Random(seed)
+      val received = scala.collection.mutable.ArrayBuffer[String]()
+      val ghosts = scala.collection.mutable.ArrayBuffer[String]()
+      val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+      var call = 0
+      val sender = new RecordSender {
+        def send(records: Seq[Array[Byte]]): Seq[Int] = {
+          call += 1
+          records.indices.filter { i =>
+            val s = new String(records(i), UTF_8)
+            val fails = call <= flakyCalls && rnd.nextInt(100) < pFail
+            if (!fails) received += s
+            else if (rnd.nextInt(100) < pGhost) { received += s; ghosts += s }
+            fails
+          }
+        }
+      }
+      val (sent, retries) = Sink.sendAll(
+        (0 until n).iterator.map(i => i.toString.getBytes(UTF_8)),
+        sender, sleeps += _)
+      val counts = received.groupBy(identity).map { case (k, v) => (k, v.size) }
+      val ghostCounts = ghosts.groupBy(identity).map { case (k, v) => (k, v.size) }
+      sent == n &&
+        (0 until n).forall(i => counts.getOrElse(i.toString, 0) >= 1) &&
+        counts.forall { case (k, c) => c <= 1 + ghostCounts.getOrElse(k, 0) } &&
+        sleeps.forall(s => s >= 200L && s <= Sink.MaxBackoffMillis) &&
+        retries == sleeps.size
+    }, n = 40)
+  }
+
   test("reorder buffer: no loss, per-release order, capacity bound (random streams)") {
     import graft.replay.StreamingReplay.ReorderBuffer
     val gen = for {

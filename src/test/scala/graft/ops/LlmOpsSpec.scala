@@ -941,18 +941,60 @@ class LlmOpsSpec extends SparkSpec {
       (4L, "http://a.com/p?utm_campaign=z"),
       (5L, "http://a.com/q"),                          // distinct path
       (6L, "http://a.com/p?utm_source=f&keep=1"),      // utm first, keep rest
-      (7L, "http://b.com/Mixed/Case?id=1&utm_medium=m") // utm mid-query
+      (7L, "http://b.com/Mixed/Case?id=1&utm_medium=m"), // utm mid-query
+      // consecutive leading utm runs (the r14 ADVICE under-collapse: a
+      // single global pass never rescans its own replacements, so the
+      // &-rule must run before the leading rules)
+      (8L, "http://a.com/p?utm_a=1&utm_b=2&keep=1"),
+      (9L, "http://a.com/p?utm_a=1&utm_b=2&utm_c=3")
     ).toDF("id", "url")
     val got = DedupOps.urlDedup(urls, "id", "url").collect()
     val byCanon = got.map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    // 1–4 collapse: four docs, four raw forms, min-id representative
-    assert(byCanon("http://a.com/p") == (4L, 4L, 1L))
+    // 1–4 and 9 collapse (9's three utm params all strip → bare /p):
+    // five docs, five raw forms, min-id representative
+    assert(byCanon("http://a.com/p") == (5L, 5L, 1L))
     assert(byCanon("http://a.com/q") == (1L, 1L, 5L))
     // non-utm query params survive; PATH case is preserved (RFC 3986 —
-    // only scheme/host lowercase)
+    // only scheme/host lowercase); 8's double-utm run fully strips
     assert(byCanon.contains("http://a.com/p?keep=1"))
     assert(byCanon.contains("http://b.com/Mixed/Case?id=1"))
+    assert(byCanon("http://a.com/p?keep=1")._1 == 2L) // ids 6 and 8
     assert(got.length == 4)
+  }
+
+  test("x150b forced-oversized audit: windowed ⊆ exact, every block over cap") {
+    val r = DedupOps.x150bWindowRecall(spark, d).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nBlocks, maxBlock, nOver) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (nExact, nWindowed) = (row.getLong(3), row.getLong(4))
+    assert(nBlocks == 6 && maxBlock == 280 && nOver == nBlocks) // forced regime
+    assert(nWindowed <= nExact && nWindowed > 0)
+    val recall = row.getLong(5)
+    assert(recall == nWindowed * 1000000L / nExact)
+    assert(recall > 0 && recall < 1000000L) // the window measurably misses
+  }
+
+  test("block-regime guard: x150/x174 fixtures raise once a block outgrows the cap") {
+    import spark.implicits._
+    // 10 keys in one (prefix, length) block; a cap of 4 is exceeded →
+    // the guarded query path must RAISE, not silently switch regimes
+    val rows = (0 to 9).map(i => (i.toLong, f"aaaa$i%02d00")).toDF("id", "k")
+    val guardedOk = DedupOps.typoNearDupPairs(rows, "id", "k",
+        blockPrefix = 4, maxDist = 8)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        DedupOps.blockRegimeGuard(rows, "id", "k", 4, 16)))
+      .filter(org.apache.spark.sql.functions.col("regime_ok") === 1)
+    assert(guardedOk.count() == 45) // cap 16 ≥ 10: guard passes through
+    val guardedBad = DedupOps.typoNearDupPairs(rows, "id", "k",
+        blockPrefix = 4, maxDist = 8)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        DedupOps.blockRegimeGuard(rows, "id", "k", 4, 4)))
+      .filter(org.apache.spark.sql.functions.col("regime_ok") === 1)
+    val e = intercept[Exception](guardedBad.count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("all-pairs regime")))
   }
 }
