@@ -8347,4 +8347,378 @@ object TrainingData {
         col("raw_rate_micros"), col("iso_rate_micros"))
       .orderBy(col("bucket"))
   }
+
+  /** Mood's median test — the k-sample location screen that needs ONLY
+    * counts above/below the pooled median: per group, how many values
+    * sit above the corpus-wide (lower) median vs the group's expected
+    * share, χ² over the 2×k table. The blunter, assumption-lighter
+    * sibling of kruskalWallis (x179): rank-free, so a single wild
+    * outlier moves nothing — the first test to read when group value
+    * distributions are heavy-tailed (doc lengths, token counts).
+    *
+    * Exactness: the pooled lower median is the ⌈N/2⌉-th order statistic
+    * off the distinct-value cumulative relation (pure integers); per
+    * group both χ² cells share the squared numerator (o·N − n_g·A)² —
+    * algebra: the below-cell's (n_g−o)·N − n_g·(N−A) = −(o·N − n_g·A) —
+    * each cell truncated once to micros in DECIMAL(38,0). Degenerate
+    * margins (every value above or none above the median) → NULL χ².
+    *
+    * Scale shape: one distinct-value aggregation + single-partition
+    * cumulative window at VALUE cardinality (the aucExact caveat:
+    * bucket continuous measures first), one group-grain aggregation
+    * (map-side combined), scalars broadcast back. Output one row per
+    * group + the broadcast overall (median, chi2_micros, dof). */
+  def moodsMedianTest(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(valueCol, "moodsMedianTest").as("v"))
+    val byV = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // single-partition window over DISTINCT values only
+    val cum = byV.withColumn("cum", sum(col("c")).over(wCum))
+    val tot = cum.agg(coalesce(max(col("cum")), lit(0L)).as("nn"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(nn + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+      .localCheckpoint(true) // 1 row, feeds the group pass AND the output
+    val perG = base.crossJoin(broadcast(med))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") > col("med"), 1L).otherwise(0L)).as("o_above"))
+      // bounded (group grain), feeds the margins AND the output rows
+      .localCheckpoint(true)
+    val marg = perG.agg(sum(col("n")).as("nn"), sum(col("o_above")).as("aa"),
+      count(lit(1)).as("k"))
+    val terms = perG.crossJoin(broadcast(marg))
+      .select(col("grp"), col("n"), col("o_above"),
+        expr("CAST((1000000 * CAST(n AS DECIMAL(38,0)) * aa) div nn" +
+          " AS BIGINT)").as("e_above_micros"),
+        when(col("aa") === 0 || col("aa") === col("nn"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (CAST(o_above AS DECIMAL(38,0)) * nn" +
+              " - CAST(n AS DECIMAL(38,0)) * aa)" +
+              " * (CAST(o_above AS DECIMAL(38,0)) * nn" +
+              " - CAST(n AS DECIMAL(38,0)) * aa))" +
+              " div (CAST(nn AS DECIMAL(38,0)) * n * aa)" +
+              " + (1000000 * (CAST(o_above AS DECIMAL(38,0)) * nn" +
+              " - CAST(n AS DECIMAL(38,0)) * aa)" +
+              " * (CAST(o_above AS DECIMAL(38,0)) * nn" +
+              " - CAST(n AS DECIMAL(38,0)) * aa))" +
+              " div (CAST(nn AS DECIMAL(38,0)) * n * (nn - aa))" +
+              " AS BIGINT)")).as("chi2_term_micros"))
+      // bounded (group grain), feeds the overall reduce AND the output
+      .localCheckpoint(true)
+    val overall = terms.agg(sum(col("chi2_term_micros")).as("chi2_micros"),
+      (count(lit(1)) - 1).as("dof"))
+    terms.crossJoin(broadcast(overall)).crossJoin(broadcast(med))
+      .select(col("grp"), col("n"), col("o_above"), col("e_above_micros"),
+        col("chi2_term_micros"), col("med").as("pooled_median"),
+        col("chi2_micros"), col("dof"))
+      .orderBy(col("grp"))
+  }
+
+  /** Wald–Wolfowitz runs test over an ordered series — "is the
+    * sequence of above/below-median days RANDOM, or does it clump"
+    * (too few runs = regime persistence/drift, too many = oscillation;
+    * the sequencing read beside x131's autocorrelation and x132's
+    * CUSUM, which weigh magnitudes where this only reads the sign
+    * pattern). Values EQUAL to the pooled median are excluded, the
+    * classical dichotomization.
+    *
+    * Exactness: lower median off the distinct-value cumulative
+    * relation; runs counted by a lag comparison over the ordered
+    * series; E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1))
+    * each truncated once to micros in DECIMAL(38,0); z² =
+    * ⌊(10⁶R − E_micros)² / Var_micros⌋ — one more truncated division
+    * on already-quantized operands (documented composition). Either
+    * side empty or n < 2 → NULL.
+    *
+    * Scale shape: the series is expected at an AGGREGATED grain
+    * (days, buckets — bounded cardinality); the lag window and the
+    * cumulative median pass are single-partition over that bounded
+    * relation (documented), everything upstream map-side combines. */
+  def runsTest(series: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = series
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).as("x"),
+        integralLong(valueCol, "runsTest").as("v"))
+    val byV = base.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = byV.withColumn("cum", sum(col("c")).over(wCum))
+    val tot = cum.agg(coalesce(max(col("cum")), lit(0L)).as("nn0"))
+    val med = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= expr("(nn0 + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+    val signs = base.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("med")) // classical exclusion of ties
+      .select(col("x"), when(col("v") > col("med"), 1L).otherwise(0L).as("s"))
+      .withColumn("prev", lag(col("s"), 1).over(wOrd))
+    signs
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n_above"),
+        sum(lit(1L) - col("s")).as("n_below"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L))).as("runs"))
+      .select(col("n"), col("n_above"), col("n_below"), col("runs"),
+        when(col("n") < 2 || col("n_above") === 0 || col("n_below") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(1000000 + (2000000 * CAST(n_above AS DECIMAL(38,0))" +
+              " * n_below) div n AS BIGINT)")).as("e_runs_micros"),
+        when(col("n") < 2 || col("n_above") === 0 || col("n_below") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * 2 * CAST(n_above AS DECIMAL(38,0)) * n_below" +
+              " * (2 * CAST(n_above AS DECIMAL(38,0)) * n_below - n))" +
+              " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)"))
+          .as("var_runs_micros"))
+      .select(col("n"), col("n_above"), col("n_below"), col("runs"),
+        col("e_runs_micros"), col("var_runs_micros"),
+        when(col("var_runs_micros").isNull ||
+            col("var_runs_micros") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(((1000000 * runs - e_runs_micros)" +
+              " * CAST(1000000 * runs - e_runs_micros AS DECIMAL(38,0)))" +
+              " div var_runs_micros AS BIGINT)")).as("z_sq_micros"))
+  }
+
+  /** Pairwise 1-D earth mover's distance (Wasserstein-1) between every
+    * group pair's value distributions — EMD(a,b) = Σ_v |CDF_a(v) −
+    * CDF_b(v)|·gap(v), the drift measure that PRICES how far mass
+    * moved where KL/JSD (x63/x168) only price that it moved and KS
+    * (x90) only reads the single worst gap: two sources whose length
+    * distributions differ by 10 chars everywhere score small here and
+    * large under KS. Units: micro·(value units).
+    *
+    * Exactness: per-group CDFs evaluated on the GLOBAL distinct-value
+    * grid (groups × values via the margin cross, absent cells zero —
+    * the x77 full-grid discipline), each CDF truncated once to micros
+    * ⌊10⁶·cum_g/n_g⌋, gaps exact integers, the |diff|·gap sum exact.
+    *
+    * Scale shape: one (group, value) aggregation; the grid is
+    * |groups|·|distinct values| (the aucExact caveat: bucket
+    * continuous measures first); per-group cumulative windows
+    * partition by group; the pair join is an equi-join ON VALUE
+    * (never cartesian) and the final reduce is (pair)-grain. */
+  def emdPairs(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(valueCol, "emdPairs").as("v"))
+    val cell = base.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      // (group, value) grain — bounded; feeds groups, vals AND the grid
+      .localCheckpoint(true)
+    val groups = cell.groupBy(col("grp")).agg(sum(col("c")).as("ng"))
+      .localCheckpoint(true) // group grain; feeds grid + two rate joins
+    val vals = cell.groupBy(col("v")).agg(count(lit(1)).as("nv")).select(col("v"))
+    // full grid so a value a group never emits still advances its CDF
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wLead = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+    // renamed join key: vals feeds BOTH gaps and the grid, and
+    // localCheckpoint keeps attribute ids — a bare `v` here would be
+    // ambiguous against the self-joined grid's a.v/b.v
+    val gaps = vals
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(wLead) - col("v"),
+        lit(0L)))
+      .select(col("v").as("gv"), col("gap"))
+    val grid = vals.crossJoin(broadcast(groups)) // margin cross, BNLJ
+      .join(cell, Seq("grp", "v"), "left")
+      .select(col("grp"), col("v"), col("ng"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wG))
+      .select(col("grp"), col("v"),
+        expr("(1000000 * cum) div ng").as("cdf_micros"))
+      .localCheckpoint(true) // grid grain; BOTH sides of the pair join
+    grid.as("a")
+      .join(grid.as("b"),
+        col("a.v") === col("b.v") && col("a.grp") < col("b.grp"))
+      .join(gaps, col("a.v") === col("gv"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(sum(abs(col("a.cdf_micros") - col("b.cdf_micros")) * col("gap"))
+        .as("emd_micro_units"))
+      .join(groups.select(col("grp").as("grp_a"), col("ng").as("n_a")),
+        Seq("grp_a"))
+      .join(groups.select(col("grp").as("grp_b"), col("ng").as("n_b")),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("emd_micro_units"))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
+  /** Cliff's delta + common-language effect size for a two-sample
+    * comparison — δ = (#(a>b) − #(a<b))/(n_a·n_b) ∈ [−1, 1], the
+    * ORDINAL effect size that reports HOW OFTEN one group wins where
+    * mannWhitneyU (x159) reports whether it wins significantly: the
+    * number a curation dashboard quotes next to x159's z² ("en docs
+    * are longer than non-en in 61% of cross pairs", not just
+    * "p < .05"). CLES = (#(a>b) + ½ties)/(n_a·n_b) is the same read
+    * as a probability (≡ the AUC).
+    *
+    * Exactness: all three pair counts from the distinct-value
+    * cumulative relation in DECIMAL(38,0) — gt = Σ_v a(v)·cumB<(v),
+    * lt = Σ_v a(v)·(n_b − cumB≤(v)), ties = Σ_v a(v)·b(v) — and the
+    * two ratios sign-explicit truncated micros (Spark div truncates
+    * toward zero, DuckDB // floors; δ can be negative).
+    *
+    * Scale shape: identical to mannWhitneyU — one distinct-value
+    * aggregation, one single-partition cumulative window at value
+    * cardinality, one scalar reduce. */
+  def cliffsDelta(rows: DataFrame, isACol: String,
+      valueCol: String): DataFrame = {
+    val base = rows
+      .filter(col(isACol).isNotNull && col(valueCol).isNotNull)
+      .select(when(col(isACol).cast("boolean"), 1L).otherwise(0L).as("ia"),
+        integralLong(valueCol, "cliffsDelta").as("v"))
+    val byV = base.groupBy(col("v"))
+      .agg(sum(col("ia")).as("a"), sum(lit(1L) - col("ia")).as("b"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("cumb_lt", coalesce(sum(col("b")).over(wB), lit(0L)))
+    ranked
+      .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * cumb_lt")).as("gt"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * b")).as("ties"))
+      .select(col("n_a"), col("n_b"), col("gt"), col("ties"),
+        // lt = n_a·n_b − gt − ties (every cross pair is >, < or =)
+        expr("CAST(n_a AS DECIMAL(38,0)) * n_b - gt - ties").as("lt"))
+      .select(col("n_a"), col("n_b"),
+        col("gt").cast("long").as("n_gt"),
+        col("lt").cast("long").as("n_lt"),
+        col("ties").cast("long").as("n_tie"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(sign(gt - lt) * ((1000000 * abs(gt - lt))" +
+              " div (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)"))
+          .as("delta_micros"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (2 * gt + ties))" +
+              " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+          .as("cles_micros"))
+  }
+
+  /** One-way intraclass correlation ICC(1,1) — the RELIABILITY of a
+    * rating column at the item grain: what share of rating variance is
+    * BETWEEN items rather than rater noise within an item. The
+    * variance-decomposition read beside krippendorffAlpha/fleissKappa
+    * (categorical agreement) for NUMERIC scores — "are my quality
+    * scores measuring documents, or measuring scorers". Unbalanced
+    * one-way ANOVA: MSB = SSB/(k−1), MSW = SSW/(N−k), n₀ = (N −
+    * Σn_i²/N)/(k−1), ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW).
+    *
+    * Exactness: ratings quantized ONCE to integer MILLI units (so
+    * squares stay ≤ ~10¹⁵/row and sums hold exactly in DECIMAL(38,0);
+    * micros would overflow the square sums at corpus scale); each
+    * per-item S_i²/n_i truncated once; the final ratio sign-explicit
+    * truncated micros (MSB < MSW → negative ICC is a real, meaningful
+    * outcome). Fewer than 2 items, no within-replication (N = k), or
+    * a non-positive denominator → NULL.
+    *
+    * Scale shape: one item-grain aggregation (map-side combined), one
+    * scalar reduce — no windows, no joins. */
+  def iccOneWay(rows: DataFrame, itemCol: String,
+      ratingCol: String): DataFrame = {
+    val base = rows
+      .filter(col(itemCol).isNotNull && col(ratingCol).isNotNull)
+      .select(col(itemCol).cast("string").as("item"),
+        expr(s"CAST(round(CAST(`$ratingCol` AS DOUBLE) * 1000.0, 0)" +
+          " AS BIGINT)").as("x"))
+    val perItem = base.groupBy(col("item"))
+      .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sq"))
+    perItem
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(col("si")).as("s"), sum(col("sq")).as("sx2"),
+        sum(expr("(CAST(si AS DECIMAL(38,0)) * si) div ni")).as("sb_raw"),
+        sum(expr("CAST(ni AS DECIMAL(38,0)) * ni")).as("sn2"))
+      .select(col("k"), col("n"),
+        // per-item truncation can push the raw SSB a hair below zero on
+        // degenerate (all-equal) input; clamp so the following integral
+        // division never sees a negative (Spark div truncates, DuckDB
+        // // floors — they disagree exactly there)
+        expr("CASE WHEN sb_raw - (CAST(s AS DECIMAL(38,0)) * s) div n < 0" +
+          " THEN CAST(0 AS DECIMAL(38,0))" +
+          " ELSE sb_raw - (CAST(s AS DECIMAL(38,0)) * s) div n END")
+          .as("ssb"),
+        expr("sx2 - sb_raw").as("ssw"), col("sn2"))
+      .select(col("k"), col("n"),
+        expr("CASE WHEN k < 2 THEN NULL ELSE ssb div (k - 1) END")
+          .as("msb"),
+        expr("CASE WHEN n <= k THEN NULL ELSE ssw div (n - k) END")
+          .as("msw"),
+        expr("CASE WHEN k < 2 THEN NULL ELSE" +
+          " (1000000 * (n - sn2 div n)) div (k - 1) END").as("n0_micros"))
+      .select(col("k"), col("n"),
+        col("msb").cast("long").as("msb_milli2"),
+        col("msw").cast("long").as("msw_milli2"),
+        col("n0_micros").cast("long").as("n0_micros"),
+        // Spark div returns LONG even off DECIMAL operands, so msb/msw
+        // land as longs here — re-widen before the 10¹²-scaled ratio
+        // (1e6·msb alone wraps BIGINT at corpus scale)
+        when(col("msb").isNull || col("msw").isNull ||
+            expr("1000000 * CAST(msb AS DECIMAL(38,0))" +
+              " + (n0_micros - 1000000) * CAST(msw AS DECIMAL(38,0))") <= 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(sign(msb - msw)" +
+              " * ((1000000000000 * CAST(abs(msb - msw) AS DECIMAL(38,0)))" +
+              " div (1000000 * CAST(msb AS DECIMAL(38,0))" +
+              " + (n0_micros - 1000000) * CAST(msw AS DECIMAL(38,0))))" +
+              " AS BIGINT)")).as("icc_micros"))
+  }
+
+  /** Poisson dispersion (variance-to-mean) test over per-unit event
+    * counts — D = s²/c̄ with χ² = (N−1)·D = (N·Σc² − S²)/S: the
+    * burstiness screen at the UNIT grain ("are events per user
+    * Poisson-ish, or do a few users generate superlinear bursts"),
+    * the scalar companion to x80's per-term burstiness and the
+    * modeling gate before any Poisson-rate assumption (alerting
+    * thresholds, rate limits) — D ≫ 1 says negative-binomial world.
+    *
+    * Exactness: counts are integers, so N·Σc² − S² is EXACT in
+    * DECIMAL(38,0) (and provably ≥ 0 — Cauchy–Schwarz), each exported
+    * ratio truncated once to micros. S = 0 or N < 2 → NULL.
+    *
+    * Scale shape: one unit-grain count aggregation (map-side
+    * combined), one scalar reduce. */
+  def dispersionTest(rows: DataFrame, unitCol: String): DataFrame = {
+    val perUnit = rows
+      .filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol).cast("string").as("unit"))
+      .agg(count(lit(1)).as("c"))
+    perUnit
+      .agg(count(lit(1)).as("n_units"), sum(col("c")).as("total"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sc2"))
+      .select(col("n_units"), col("total"),
+        when(col("n_units") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * CAST(total AS DECIMAL(38,0)))" +
+            " div n_units AS BIGINT)")).as("mean_micros"),
+        when(col("total") === 0 || col("n_units") < 2,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (CAST(n_units AS DECIMAL(38,0)) * sc2" +
+              " - CAST(total AS DECIMAL(38,0)) * total))" +
+              " div (CAST(total AS DECIMAL(38,0)) * (n_units - 1))" +
+              " AS BIGINT)")).as("dispersion_micros"),
+        when(col("total") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (CAST(n_units AS DECIMAL(38,0)) * sc2" +
+              " - CAST(total AS DECIMAL(38,0)) * total))" +
+              " div total AS BIGINT)")).as("chi2_micros"),
+        (col("n_units") - 1).as("dof"))
+  }
 }

@@ -667,7 +667,80 @@ object SamplingOps {
       "doc_id", "n_chars", k = 100)
       .orderBy(col("key_micro"), col("doc_id"))
 
+  /** X184 — Mood's median test of per-source document length: does
+    * each source's share of above-median-length docs match its size —
+    * the rank-free location screen beside x179's Kruskal–Wallis on the
+    * SAME (source, n_chars) relation. Fixture binding of
+    * [[graft.api.TrainingData.moodsMedianTest]]. */
+  def x184MoodsMedian(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.moodsMedianTest(
+      t(s, d, "documents"), "source", "n_chars")
+
+  /** X185 — Wald–Wolfowitz runs test over the daily event-volume
+    * series: do above/below-median days CLUMP (drift, regime shifts)
+    * or alternate — the sign-pattern read beside x131's autocorrelation
+    * and x132's CUSUM on the same series. Days are min-anchored so the
+    * bucketing division never sees a negative operand. Fixture binding
+    * of [[graft.api.TrainingData.runsTest]]. */
+  def x185RunsTest(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull)
+      .select(tsMs(col("ts")).as("ms"))
+    val lo = ev.agg(min(col("ms")).as("lo"))
+    val daily = ev.crossJoin(broadcast(lo))
+      .select(expr("(ms - lo) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    graft.api.TrainingData.runsTest(daily, "day", "n_events")
+  }
+
+  /** X186 — pairwise 1-D earth mover's distance between every source
+    * pair's document-length distributions: the matrix that PRICES how
+    * far length mass moved between sources, next to x63's KL and x90's
+    * KS on the same axis. Fixture binding of
+    * [[graft.api.TrainingData.emdPairs]]. */
+  def x186EmdPairs(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.emdPairs(t(s, d, "documents"),
+      "source", "n_chars")
+
+  /** X187 — Cliff's delta + CLES for en-vs-rest document length: the
+    * ordinal effect size on exactly x159's two samples, so the z² and
+    * the "en wins p% of cross pairs" read come off one corpus. Fixture
+    * binding of [[graft.api.TrainingData.cliffsDelta]]. */
+  def x187CliffsDelta(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cliffsDelta(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("is_en"), col("n_chars")),
+      "is_en", "n_chars")
+
+  /** X188 — ICC(1,1) of event values at a synthetic item grain
+    * (user_id mod 97, the x31 id-arithmetic convention): what share of
+    * value variance is BETWEEN items vs noise within — the numeric
+    * reliability read beside x167's (categorical) Krippendorff α.
+    * Fixture binding of [[graft.api.TrainingData.iccOneWay]]. */
+  def x188IccOneway(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.iccOneWay(
+      t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select((col("user_id") % 97).as("item_key"), col("value")),
+      "item_key", "value")
+
+  /** X189 — Poisson dispersion test of per-user event counts: is the
+    * per-user volume Poisson-ish or bursty — the modeling gate before
+    * any rate assumption on this stream, beside x80's per-term
+    * burstiness. Fixture binding of
+    * [[graft.api.TrainingData.dispersionTest]]. */
+  def x189Dispersion(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.dispersionTest(
+      t(s, d, "events").filter(col("user_id").isNotNull), "user_id")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x184_moods_median" -> (x184MoodsMedian _),
+    "x185_runs_test" -> (x185RunsTest _),
+    "x186_emd_pairs" -> (x186EmdPairs _),
+    "x187_cliffs_delta" -> (x187CliffsDelta _),
+    "x188_icc_oneway" -> (x188IccOneway _),
+    "x189_dispersion" -> (x189Dispersion _),
     "x111_shuffle_quality" -> (x111ShuffleQuality _),
     "x112_shard_balance" -> (x112ShardBalance _),
     "x120_calibration" -> (x120Calibration _),
@@ -744,6 +817,216 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mood's-median replay: distinct-value cumulative lower median,
+    // per-group above counts, both χ² cells off the shared squared
+    // numerator, each truncated once in HUGEINT
+    "x184_moods_median" ->
+      """WITH b AS (SELECT CAST(source AS VARCHAR) AS grp, n_chars AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM byv),
+        |tt AS (SELECT coalesce(max(cum), 0) AS nn0 FROM cum),
+        |med AS (SELECT min(v) AS med FROM cum, tt
+        |  WHERE cum >= (nn0 + 1) // 2),
+        |pg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o_above
+        |  FROM b, med GROUP BY 1),
+        |mg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(o_above) AS BIGINT) AS aa FROM pg),
+        |tm AS (SELECT grp, n, o_above,
+        |    CAST((1000000 * CAST(n AS HUGEINT) * aa) // nn AS BIGINT)
+        |      AS e_above_micros,
+        |    CASE WHEN aa = 0 OR aa = nn THEN NULL ELSE
+        |      CAST((1000000 * (CAST(o_above AS HUGEINT) * nn
+        |          - CAST(n AS HUGEINT) * aa)
+        |        * (CAST(o_above AS HUGEINT) * nn
+        |          - CAST(n AS HUGEINT) * aa))
+        |        // (CAST(nn AS HUGEINT) * n * aa)
+        |      + (1000000 * (CAST(o_above AS HUGEINT) * nn
+        |          - CAST(n AS HUGEINT) * aa)
+        |        * (CAST(o_above AS HUGEINT) * nn
+        |          - CAST(n AS HUGEINT) * aa))
+        |        // (CAST(nn AS HUGEINT) * n * (nn - aa)) AS BIGINT)
+        |    END AS chi2_term_micros
+        |  FROM pg, mg),
+        |ov AS (SELECT CAST(sum(chi2_term_micros) AS BIGINT) AS chi2_micros,
+        |    CAST(count(*) - 1 AS BIGINT) AS dof FROM tm)
+        |SELECT grp, n, o_above, e_above_micros, chi2_term_micros,
+        |  med AS pooled_median, chi2_micros, dof
+        |FROM tm, ov, med ORDER BY grp""".stripMargin,
+    // runs-test replay: min-anchored day buckets, the same cumulative
+    // lower median, tie exclusion, lag-transition run count, E/Var/z²
+    // each truncated once
+    "x185_runs_test" ->
+      """WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |lo AS (SELECT min(ms) AS lo FROM e),
+        |daily AS (SELECT (ms - lo) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM e, lo GROUP BY 1),
+        |byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+        |  FROM daily GROUP BY 1),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM byv),
+        |tt AS (SELECT coalesce(max(cum), 0) AS nn0 FROM cum),
+        |med AS (SELECT min(v) AS med FROM cum, tt
+        |  WHERE cum >= (nn0 + 1) // 2),
+        |sg AS (SELECT day, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+        |  FROM daily, med WHERE v <> med),
+        |lg AS (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM sg),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - s) AS BIGINT) AS n_below,
+        |    CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0
+        |      END) AS BIGINT) AS runs
+        |  FROM lg),
+        |st AS (SELECT n, n_above, n_below, runs,
+        |    CASE WHEN n < 2 OR n_above = 0 OR n_below = 0 THEN NULL
+        |      ELSE CAST(1000000 + (2000000 * CAST(n_above AS HUGEINT)
+        |        * n_below) // n AS BIGINT) END AS e_runs_micros,
+        |    CASE WHEN n < 2 OR n_above = 0 OR n_below = 0 THEN NULL
+        |      ELSE CAST((1000000 * 2 * CAST(n_above AS HUGEINT) * n_below
+        |        * (2 * CAST(n_above AS HUGEINT) * n_below - n))
+        |        // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+        |    END AS var_runs_micros
+        |  FROM ag)
+        |SELECT n, n_above, n_below, runs, e_runs_micros, var_runs_micros,
+        |  CASE WHEN var_runs_micros IS NULL OR var_runs_micros <= 0
+        |    THEN NULL
+        |    ELSE CAST(((1000000 * runs - e_runs_micros)
+        |      * CAST(1000000 * runs - e_runs_micros AS HUGEINT))
+        |      // var_runs_micros AS BIGINT) END AS z_sq_micros
+        |FROM st""".stripMargin,
+    // EMD replay: the full group×value grid, per-group CDFs truncated
+    // once to micros, lead gaps, the |diff|·gap reduce per pair
+    "x186_emd_pairs" ->
+      """WITH b AS (SELECT CAST(source AS VARCHAR) AS grp, n_chars AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |cell AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ng
+        |  FROM cell GROUP BY 1),
+        |vals AS (SELECT DISTINCT v FROM cell),
+        |gaps AS (SELECT v, coalesce(lead(v) OVER (ORDER BY v) - v, 0)
+        |    AS gap FROM vals),
+        |grid0 AS (SELECT g.grp, va.v, g.ng FROM g CROSS JOIN vals va),
+        |grid AS (SELECT grid0.grp, grid0.v, grid0.ng,
+        |    coalesce(cell.c, 0) AS c
+        |  FROM grid0 LEFT JOIN cell
+        |    ON grid0.grp = cell.grp AND grid0.v = cell.v),
+        |cdf AS (SELECT grp, v,
+        |    CAST((1000000 * sum(c) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) // ng
+        |      AS BIGINT) AS cdf_micros
+        |  FROM grid),
+        |pair AS (SELECT a.grp AS grp_a, b2.grp AS grp_b,
+        |    CAST(sum(abs(a.cdf_micros - b2.cdf_micros) * gp.gap)
+        |      AS BIGINT) AS emd_micro_units
+        |  FROM cdf a JOIN cdf b2 ON a.v = b2.v AND a.grp < b2.grp
+        |  JOIN gaps gp ON a.v = gp.v
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, g1.ng AS n_a, g2.ng AS n_b, emd_micro_units
+        |FROM pair JOIN g g1 ON grp_a = g1.grp JOIN g g2 ON grp_b = g2.grp
+        |ORDER BY grp_a, grp_b""".stripMargin,
+    // Cliff's-delta replay: x159's distinct-value prefix machinery, the
+    // three pair counts in HUGEINT, sign-explicit truncated ratios
+    "x187_cliffs_delta" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |    n_chars AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |byv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS a,
+        |    CAST(sum(1 - ia) AS BIGINT) AS bb
+        |  FROM b GROUP BY 1),
+        |rk AS (SELECT v, a, bb,
+        |    coalesce(sum(bb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM byv),
+        |ag AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(bb) AS BIGINT) AS n_b,
+        |    sum(CAST(a AS HUGEINT) * cumb) AS gt,
+        |    sum(CAST(a AS HUGEINT) * bb) AS ties
+        |  FROM rk),
+        |st AS (SELECT n_a, n_b, gt, ties,
+        |    CAST(n_a AS HUGEINT) * n_b - gt - ties AS lt FROM ag)
+        |SELECT n_a, n_b, CAST(gt AS BIGINT) AS n_gt,
+        |  CAST(lt AS BIGINT) AS n_lt, CAST(ties AS BIGINT) AS n_tie,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST(sign(gt - lt) * ((1000000 * abs(gt - lt))
+        |      // (CAST(n_a AS HUGEINT) * n_b)) AS BIGINT)
+        |  END AS delta_micros,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    ELSE CAST((1000000 * (2 * gt + ties))
+        |      // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+        |  END AS cles_micros
+        |FROM st""".stripMargin,
+    // ICC replay: milli quantization, per-item S²/n truncated once in
+    // HUGEINT, the clamped SSB, unbalanced n₀, sign-explicit ratio
+    "x188_icc_oneway" ->
+      """WITH b AS (SELECT CAST(user_id % 97 AS VARCHAR) AS item,
+        |    CAST(round(CAST(value AS DOUBLE) * 1000.0, 0) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |pi AS (SELECT item, CAST(count(*) AS BIGINT) AS ni,
+        |    CAST(sum(x) AS BIGINT) AS si,
+        |    sum(CAST(x AS HUGEINT) * x) AS sq
+        |  FROM b GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ni) AS BIGINT) AS n, CAST(sum(si) AS BIGINT) AS s,
+        |    sum(sq) AS sx2,
+        |    sum((CAST(si AS HUGEINT) * si) // ni) AS sb_raw,
+        |    sum(CAST(ni AS HUGEINT) * ni) AS sn2
+        |  FROM pi),
+        |st AS (SELECT k, n,
+        |    CASE WHEN sb_raw - (CAST(s AS HUGEINT) * s) // n < 0
+        |      THEN CAST(0 AS HUGEINT)
+        |      ELSE sb_raw - (CAST(s AS HUGEINT) * s) // n END AS ssb,
+        |    sx2 - sb_raw AS ssw, sn2
+        |  FROM ag),
+        |ms AS (SELECT k, n,
+        |    CASE WHEN k < 2 THEN NULL ELSE ssb // (k - 1) END AS msb,
+        |    CASE WHEN n <= k THEN NULL ELSE ssw // (n - k) END AS msw,
+        |    CASE WHEN k < 2 THEN NULL
+        |      ELSE (1000000 * (n - sn2 // n)) // (k - 1) END AS n0_micros
+        |  FROM st)
+        |SELECT k, n, CAST(msb AS BIGINT) AS msb_milli2,
+        |  CAST(msw AS BIGINT) AS msw_milli2,
+        |  CAST(n0_micros AS BIGINT) AS n0_micros,
+        |  CASE WHEN msb IS NULL OR msw IS NULL
+        |      OR 1000000 * msb + (n0_micros - 1000000) * msw <= 0
+        |    THEN NULL
+        |    ELSE CAST(sign(msb - msw) * ((1000000000000
+        |      * abs(msb - msw)) // (1000000 * msb
+        |      + (n0_micros - 1000000) * msw)) AS BIGINT)
+        |  END AS icc_micros
+        |FROM ms""".stripMargin,
+    // dispersion replay: per-unit counts, the exact N·Σc² − S² form in
+    // HUGEINT, each exported ratio truncated once
+    "x189_dispersion" ->
+      """WITH pu AS (SELECT CAST(user_id AS VARCHAR) AS unit,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    sum(CAST(c AS HUGEINT) * c) AS sc2
+        |  FROM pu)
+        |SELECT n_units, total,
+        |  CASE WHEN n_units = 0 THEN NULL
+        |    ELSE CAST((1000000 * CAST(total AS HUGEINT)) // n_units
+        |      AS BIGINT) END AS mean_micros,
+        |  CASE WHEN total = 0 OR n_units < 2 THEN NULL
+        |    ELSE CAST((1000000 * (CAST(n_units AS HUGEINT) * sc2
+        |      - CAST(total AS HUGEINT) * total))
+        |      // (CAST(total AS HUGEINT) * (n_units - 1)) AS BIGINT)
+        |  END AS dispersion_micros,
+        |  CASE WHEN total = 0 THEN NULL
+        |    ELSE CAST((1000000 * (CAST(n_units AS HUGEINT) * sc2
+        |      - CAST(total AS HUGEINT) * total)) // total AS BIGINT)
+        |  END AS chi2_micros,
+        |  n_units - 1 AS dof
+        |FROM ag""".stripMargin,
     // Mann–Whitney replay: per-value counts, the 2·midrank identity
     // over distinct values, HUGEINT sums, the chained truncated z²
     // division in the same order

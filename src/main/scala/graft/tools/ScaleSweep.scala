@@ -92,7 +92,12 @@ object ScaleSweep {
     "x174_jw_neardup", "x175_cochran_q", "x178_cuped",
     // rank machinery at distinct-value grain, the value-pair-cell HL
     // median, and the full-tokenization BLEU clip joins
-    "x179_kruskal_wallis", "x180_hodges_lehmann", "x182_bleu_precision")
+    "x179_kruskal_wallis", "x180_hodges_lehmann", "x182_bleu_precision",
+    // round-15 additions: the distinct-value median/χ² passes, the
+    // group×value EMD grid with its pair equi-join, and the forced-
+    // oversized window-recall audit (fixed fixture — expect flat)
+    "x184_moods_median", "x186_emd_pairs", "x187_cliffs_delta",
+    "x150b_window_recall")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

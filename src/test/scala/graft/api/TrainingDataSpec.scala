@@ -4048,4 +4048,117 @@ class TrainingDataSpec extends SparkSpec {
     assert(s2.getLong(1) == 1L && s2.getLong(2) == 0L &&
       s2.getLong(3) == 0L && s2.getLong(8) == 0L)
   }
+
+  test("moodsMedianTest: hand-walked 2x2, degenerate margin NULL") {
+    // a = {1,2,3}, b = {4,5,6}: pooled lower median 3, above counts
+    // (0, 3) → the classic fully-separated table, χ² = 6 exactly
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val got = graft.api.TrainingData.moodsMedianTest(rows, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(1) == 3L && got("a").getLong(2) == 0L)
+    assert(got("b").getLong(2) == 3L)
+    assert(got("a").getLong(3) == 1500000L) // E[above] = 3·3/6
+    assert(got("a").getLong(4) == 3000000L) // both cells, shared numerator
+    assert(got("b").getLong(4) == 3000000L)
+    assert(got("a").getLong(5) == 3L)       // pooled median
+    assert(got("a").getLong(6) == 6000000L) // χ² = 6
+    assert(got("a").getLong(7) == 1L)       // dof = k − 1
+    // constant input: nothing above the median → χ² NULL
+    val flat = Seq(("a", 7L), ("b", 7L)).toDF("g", "v")
+    assert(graft.api.TrainingData.moodsMedianTest(flat, "g", "v")
+      .collect().forall(_.isNullAt(4)))
+  }
+
+  test("runsTest: hand-walked runs/E/Var/z², median ties excluded") {
+    // daily series 1,1,5,9,9,5 — median 5 excluded, signs 0,0,1,1 →
+    // R = 2, n₁ = n₂ = 2, E = 3, Var = 2/3
+    val rows = Seq((1L, 1L), (2L, 1L), (3L, 5L), (4L, 9L), (5L, 9L),
+      (6L, 5L)).toDF("day", "v")
+    val r = graft.api.TrainingData.runsTest(rows, "day", "v")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L)          // two runs
+    assert(r.getLong(4) == 3000000L)    // E[R]
+    assert(r.getLong(5) == 666666L)     // ⌊10⁶·32/48⌋
+    assert(r.getLong(6) == 1500001L)    // ⌊(10⁶)²/666666⌋
+    // one-sided series (everything above/below) → NULL moments
+    val oneSided = Seq((1L, 1L), (2L, 9L), (3L, 9L)).toDF("day", "v")
+    assert(graft.api.TrainingData.runsTest(oneSided, "day", "v")
+      .collect().head.isNullAt(4) ||
+      graft.api.TrainingData.runsTest(oneSided, "day", "v")
+        .collect().head.getLong(2) > 0)
+  }
+
+  test("emdPairs: hand-walked CDF gap sum") {
+    // a = {1,1,3}, b = {1,3,3}: CDFs at v=1 are 2/3 vs 1/3, gap to the
+    // next value is 2 → EMD = ⌊10⁶·2/3⌋−⌊10⁶/3⌋ times 2
+    val rows = Seq(("a", 1L), ("a", 1L), ("a", 3L),
+      ("b", 1L), ("b", 3L), ("b", 3L)).toDF("g", "v")
+    val r = graft.api.TrainingData.emdPairs(rows, "g", "v")
+      .collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "a" && r.head.getString(1) == "b")
+    assert(r.head.getLong(2) == 3L && r.head.getLong(3) == 3L)
+    assert(r.head.getLong(4) == (666666L - 333333L) * 2)
+    // identical distributions → zero distance
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    assert(graft.api.TrainingData.emdPairs(same, "g", "v")
+      .collect().head.getLong(4) == 0L)
+  }
+
+  test("cliffsDelta: hand-walked pair counts and both effect sizes") {
+    // a = {2,3}, b = {1,2}: cross pairs >,=,>,> → gt 3, tie 1, lt 0
+    val rows = Seq((true, 2L), (true, 3L), (false, 1L), (false, 2L))
+      .toDF("ia", "v")
+    val r = graft.api.TrainingData.cliffsDelta(rows, "ia", "v")
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 0L && r.getLong(4) == 1L)
+    assert(r.getLong(5) == 750000L) // δ = 3/4
+    assert(r.getLong(6) == 875000L) // CLES = 3.5/4
+    // mirrored samples → δ exactly −750000 (sign-explicit division)
+    val flipped = Seq((false, 2L), (false, 3L), (true, 1L), (true, 2L))
+      .toDF("ia", "v")
+    assert(graft.api.TrainingData.cliffsDelta(flipped, "ia", "v")
+      .collect().head.getLong(5) == -750000L)
+  }
+
+  test("iccOneWay: perfect separation ICC=1, pure noise ICC=-1 (k=n_i=2)") {
+    val sep = Seq(("i1", 1.0), ("i1", 1.0), ("i2", 5.0), ("i2", 5.0))
+      .toDF("item", "r")
+    val r1 = graft.api.TrainingData.iccOneWay(sep, "item", "r")
+      .collect().head
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 4L)
+    assert(r1.getLong(2) == 16000000L && r1.getLong(3) == 0L) // MSB, MSW
+    assert(r1.getLong(4) == 2000000L)  // n₀ = 2
+    assert(r1.getLong(5) == 1000000L)  // ICC = 1
+    // between-item variance zero → ICC = (0−MSW)/(0+MSW) = −1
+    val noise = Seq(("i1", 1.0), ("i1", 5.0), ("i2", 1.0), ("i2", 5.0))
+      .toDF("item", "r")
+    assert(graft.api.TrainingData.iccOneWay(noise, "item", "r")
+      .collect().head.getLong(5) == -1000000L)
+    // a single item → NULL everything derived
+    val one = Seq(("i1", 1.0), ("i1", 2.0)).toDF("item", "r")
+    assert(graft.api.TrainingData.iccOneWay(one, "item", "r")
+      .collect().head.isNullAt(5))
+  }
+
+  test("dispersionTest: hand-walked variance-to-mean and χ²") {
+    // unit counts {1,1,4}: mean 2, s² = 3, D = 1.5, χ² = 3
+    val rows = Seq("u1", "u2", "u3", "u3", "u3", "u3").toDF("unit")
+    val r = graft.api.TrainingData.dispersionTest(rows, "unit")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 2000000L)
+    assert(r.getLong(3) == 1500000L)
+    assert(r.getLong(4) == 3000000L)
+    assert(r.getLong(5) == 2L)
+    // equidispersed (all counts equal) → D = 0? no — D is var/mean, so
+    // identical counts give zero variance → D = 0 exactly
+    val flat = Seq("a", "b", "c").toDF("unit")
+    assert(graft.api.TrainingData.dispersionTest(flat, "unit")
+      .collect().head.getLong(3) == 0L)
+  }
 }
