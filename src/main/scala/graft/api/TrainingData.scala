@@ -7198,10 +7198,14 @@ object TrainingData {
     * Scale shape: one map-side-combined per-slice aggregation; ranking
     * and the step-up scan run on the SLICES relation (bounded by slice
     * cardinality, not rows), single-partition window documented. */
-  def bhFdr(rows: DataFrame, sliceCol: String, flagCol: String,
-      qMicros: Long, maxExactRows: Long = 100000000L): DataFrame = {
-    require(qMicros >= 1 && qMicros <= 1000000,
-      s"qMicros must be in [1, 1e6], got $qMicros")
+  /** Shared core of [[bhFdr]] and [[multipleTestingStepdown]]: per-slice
+    * exact z² surrogates against the pooled rate, the monotone Chernoff
+    * p̃ = exp(−z²/2) (one IEEE sequence, rounded once), and the
+    * deterministic ascending rank (ties by slice). Returns the
+    * checkpointed slice-grain relation
+    * (slice, n_s, k_s, m, z_sq_micros, p_tilde_micros, rank). */
+  private def pTildeRanked(rows: DataFrame, sliceCol: String,
+      flagCol: String, maxExactRows: Long, opName: String): DataFrame = {
     val base = rows
       .filter(col(sliceCol).isNotNull && col(flagCol).isNotNull)
       .select(col(sliceCol).cast("string").as("slice"),
@@ -7218,7 +7222,7 @@ object TrainingData {
     val scored = per.crossJoin(broadcast(tot))
       .select(col("slice"), col("n_s"), col("k_s"), col("m"),
         when(col("nn") > maxExactRows, expr(
-          "raise_error('bhFdr: exact-arithmetic bound exceeded" +
+          s"raise_error('$opName: exact-arithmetic bound exceeded" +
             " (N > maxExactRows); pre-aggregate slices')"))
           // a degenerate pooled rate (all-positive / all-negative) has
           // zero variance — no test, every slice reports NULL/rank only
@@ -7243,11 +7247,19 @@ object TrainingData {
     // surrogate p, ties broken by slice for a deterministic rank
     val wRank = org.apache.spark.sql.expressions.Window
       .orderBy(col("p_tilde_micros").asc_nulls_last, col("slice"))
-    val ranked = scored
+    scored
       .withColumn("rank", row_number().over(wRank))
+      .localCheckpoint(true)
+  }
+
+  def bhFdr(rows: DataFrame, sliceCol: String, flagCol: String,
+      qMicros: Long, maxExactRows: Long = 100000000L): DataFrame = {
+    require(qMicros >= 1 && qMicros <= 1000000,
+      s"qMicros must be in [1, 1e6], got $qMicros")
+    val ranked = pTildeRanked(rows, sliceCol, flagCol, maxExactRows,
+        "bhFdr")
       .withColumn("bh_threshold_micros",
         expr(s"(rank * ${qMicros}L) div m"))
-      .localCheckpoint(true)
     val kStar = ranked
       .agg(coalesce(max(when(
         col("p_tilde_micros") <= col("bh_threshold_micros"),
@@ -8720,5 +8732,256 @@ object TrainingData {
               " - CAST(total AS DECIMAL(38,0)) * total))" +
               " div total AS BIGINT)")).as("chi2_micros"),
         (col("n_units") - 1).as("dof"))
+  }
+  /** Mann–Kendall trend test over an aggregated series — S =
+    * Σ_{i<j} sign(y_j − y_i) with the tie-corrected variance
+    * Var[S] = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and the
+    * continuity-corrected z²: the DIRECTIONAL monotone-trend
+    * significance beside theilSenSlope (x160 reports HOW STEEP, this
+    * reports WHETHER) and runsTest (sign patterns vs ordered pairs).
+    * "Is daily intake genuinely declining" with no linearity or
+    * distribution assumption.
+    *
+    * Exactness: S is an exact integer pair sum; Var·18 exact in
+    * DECIMAL(38,0); τ_a and z² sign-explicit truncated micros (z² =
+    * ⌊18·10⁶·(|S|−1)²/Var18⌋, the (|S|−1) continuity correction, 0 at
+    * S = 0). Duplicate time points raise (aggregate the series first);
+    * > 4096 points raise (the kendallTauB guard — the pair join is
+    * points-squared, aggregate to a coarser grain).
+    *
+    * Scale shape: runs entirely on the AGGREGATED series (day grain —
+    * bounded); one broadcast pair join over ≤ 4096 rows, one value-tie
+    * aggregation, scalar reduces. */
+  def mannKendallTrend(series: DataFrame, xCol: String,
+      valueCol: String): DataFrame = {
+    val base = series
+      .filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(integralLong(xCol, "mannKendallTrend").as("x"),
+        integralLong(valueCol, "mannKendallTrend").as("y"))
+      .localCheckpoint(true) // bounded series grain, feeds 3 branches
+    val guard = base
+      .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("nx"))
+      .select(
+        when(col("n") =!= col("nx"), expr(
+          "raise_error('mannKendallTrend: duplicate time points —" +
+            " aggregate the series to one row per x first')")
+          .cast("long"))
+          .when(col("n") > 4096, expr(
+            "raise_error('mannKendallTrend: > 4096 points — aggregate" +
+              " to a coarser grain (the pair join is points-squared)')")
+            .cast("long"))
+          .otherwise(col("n")).as("n"))
+    val sRel = base.as("p")
+      .join(broadcast(base.as("q")), col("q.x") > col("p.x"))
+      .agg(coalesce(sum(expr("CAST(sign(q.y - p.y) AS BIGINT)")), lit(0L))
+        .as("s"))
+    val ties = base.groupBy(col("y")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr(
+        "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)")),
+        lit(0L).cast("decimal(38,0)")).as("tie_term"))
+    guard.crossJoin(broadcast(sRel)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s"),
+        expr("CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) - tie_term")
+          .as("var18"))
+      .select(col("n"), col("s"), col("var18").cast("long").as("var_s_x18"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(sign(s) * ((2000000 * abs(s))" +
+              " div (CAST(n AS DECIMAL(38,0)) * (n - 1))) AS BIGINT)"))
+          .as("tau_a_micros"),
+        when(col("var18") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CASE WHEN s = 0 THEN CAST(0 AS BIGINT)" +
+              " ELSE CAST((18000000 * (CAST(abs(s) AS DECIMAL(38,0)) - 1)" +
+              " * (CAST(abs(s) AS DECIMAL(38,0)) - 1)) div var18" +
+              " AS BIGINT) END")).as("z_sq_micros"))
+  }
+
+  /** Chapman capture–recapture estimate of a population you can only
+    * SAMPLE — here, of a pair relation too big to enumerate: run two
+    * cheap, differently-biased candidate passes (two sort orders, two
+    * blockings, two LSH salts), count each catch and the overlap, and
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 estimates the true pair count with the
+    * classic small-sample-corrected estimator (+ its variance). At
+    * 100 TB the all-pairs ground truth x150b measures is unaffordable —
+    * this is the estimator a curation dashboard quotes instead, with
+    * x150b as its small-scale calibration.
+    *
+    * Exactness: pure integer counts; estimate and variance each one
+    * truncated DECIMAL(38,0) division. Empty overlap is fine (m = 0 →
+    * the +1 smoothing keeps it finite).
+    *
+    * Scale shape: two distinct aggregations + one equi-join on the
+    * pair key; the estimator itself is three scalars. Independence of
+    * the two passes is the caller's design obligation (documented) —
+    * positively correlated passes bias N̂ low. */
+  def chapmanEstimate(capA: DataFrame, capB: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val a = capA.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true) // feeds its count AND the overlap join
+    val b = capB.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val n1 = a.agg(count(lit(1)).as("n1"))
+    val n2 = b.agg(count(lit(1)).as("n2"))
+    val m = a.join(b, keyCols).agg(count(lit(1)).as("m"))
+    n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+      .select(col("n1"), col("n2"), col("m"),
+        expr("CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1))" +
+          " div (m + 1) - 1 AS BIGINT)").as("chapman_est"),
+        expr("CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)" +
+          " * (n1 - m) * (n2 - m))" +
+          " div (CAST(m + 1 AS DECIMAL(38,0)) * (m + 1) * (m + 2))" +
+          " AS BIGINT)").as("var_est"))
+  }
+
+  /** Youden's J optimal threshold off the exact ROC — the single
+    * cutover that maximizes TPR − FPR, scanning every distinct score
+    * as a candidate: the actionable end of x121's AUC ("WHERE do I cut
+    * the quality score", not just "is it ranked well"), with the full
+    * confusion at the chosen point. Ties on J break to the SMALLEST
+    * threshold (keep more).
+    *
+    * Exactness: cumulative TP/FP from the descending distinct-score
+    * relation (classify positive at score ≥ t), TPR/FPR each truncated
+    * once to micros, J their exact difference; the argmax is a
+    * deterministic (J desc, threshold asc) rank. One-class input →
+    * NULL J (no trade-off exists).
+    *
+    * Scale shape: one distinct-score aggregation; two single-partition
+    * windows at SCORE cardinality (the aucExact caveat: bucket
+    * continuous scores first); output is one row. */
+  def youdenThreshold(rows: DataFrame, labelCol: String,
+      scoreCol: String): DataFrame = {
+    val base = rows
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+        .as("pos"), integralLong(scoreCol, "youdenThreshold").as("v"))
+    val byV = base.groupBy(col("v"))
+      .agg(sum(col("pos")).as("p"), count(lit(1)).as("c"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = byV.agg(sum(col("p")).as("pp"),
+      sum(col("c") - col("p")).as("nn"))
+    val scanned = byV
+      .withColumn("tp", sum(col("p")).over(wDesc))
+      .withColumn("fp", sum(col("c") - col("p")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("tp"), col("fp"), col("pp"), col("nn"),
+        when(col("pp") === 0 || col("nn") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * tp) div pp").cast("long"))
+          .as("tpr_micros"),
+        when(col("pp") === 0 || col("nn") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * fp) div nn").cast("long"))
+          .as("fpr_micros"))
+      .withColumn("j_micros", col("tpr_micros") - col("fpr_micros"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .orderBy(col("j_micros").desc_nulls_last, col("v"))
+    scanned.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("v").as("threshold"), col("tp"), col("fp"),
+        (col("pp") - col("tp")).as("fn"), (col("nn") - col("fp")).as("tn"),
+        col("tpr_micros"), col("fpr_micros"), col("j_micros"))
+  }
+
+  /** Rank-biased overlap (RBO@k, p = 0.9) between two top-k rankings —
+    * the TOP-WEIGHTED list-similarity retrieval teams quote when two
+    * rankers disagree: prefix overlap at every depth d, geometrically
+    * discounted, so swaps at rank 1 cost far more than swaps at rank
+    * k. The list-grain companion to nDCG (x143 scores one ranking
+    * against labels; this compares two rankings to each other —
+    * "did the index change my serving order where it matters").
+    *
+    * Exactness: per-depth term ⌊10⁶·9^(d−1)·|A_d ∩ B_d| / (10^d·d)⌋ —
+    * powers of 9/10 are integers exact in a double to k ≤ 12 (round()
+    * pins any libm residue), every division truncated once; RBO is
+    * the exact sum of the truncated terms. Items present in only one
+    * list contribute only through depths they share — the truncated
+    * (non-extrapolated) RBO@k form.
+    *
+    * Scale shape: both lists are top-k relations (≤ k rows — the
+    * caller produces them with TakeOrdered, never a global sort);
+    * everything here is broadcast work on ≤ k² cells. */
+  def rboOverlap(listA: DataFrame, listB: DataFrame, idCol: String,
+      rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 12,
+      s"k must be in [1, 12] (9^(k-1) must stay double-exact), got $k")
+    val a = listA.select(col(idCol).as("id"), col(rankCol).as("ra"))
+      .filter(col("ra") <= k)
+    val b = listB.select(col(idCol).as("id"), col(rankCol).as("rb"))
+      .filter(col("rb") <= k)
+    val joined = a.join(b, Seq("id"))
+      .select(greatest(col("ra"), col("rb")).as("first_common_depth"))
+      .localCheckpoint(true) // ≤ k rows, feeds every depth
+    val depths = listA.agg(count(lit(1)).as("_n"))
+      .select(explode(expr(s"sequence(1, $k)")).as("depth"))
+    val ovd = depths.crossJoin(broadcast(joined))
+      .filter(col("first_common_depth") <= col("depth"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("overlap"))
+    val terms = depths.join(ovd, Seq("depth"), "left")
+      // depth as BIGINT: the oracle's generate_series is BIGINT-typed
+      .select(col("depth").cast("long").as("depth"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .select(col("depth"), col("overlap"),
+        expr("CAST((1000000 * CAST(round(power(9.0, depth - 1), 0)" +
+          " AS DECIMAL(38,0)) * overlap)" +
+          " div (CAST(round(power(10.0, depth), 0) AS DECIMAL(38,0))" +
+          " * depth) AS BIGINT)").as("term_micros"))
+      .localCheckpoint(true) // k rows, feeds the sum AND the output
+    val total = terms.agg(sum(col("term_micros")).as("rbo_micros"))
+    terms.crossJoin(broadcast(total))
+      .select(col("depth"), col("overlap"), col("term_micros"),
+        col("rbo_micros"))
+      .orderBy(col("depth"))
+  }
+
+  /** Holm step-down (FWER) and Benjamini–Yekutieli (FDR under
+    * arbitrary dependence) verdicts over the SAME per-slice z²/p̃
+    * machinery as [[bhFdr]] — the three standard corrections side by
+    * side on one ranked relation: Holm never claims more than BH-style
+    * procedures but its rejections survive ANY dependence; BY is the
+    * BH step-up with the harmonic penalty H_m for when slices are
+    * correlated (they always are — shared corpus). A slice rejected by
+    * Holm is a finding to act on; rejected only by BH, a lead.
+    *
+    * Exactness: Holm threshold α/(m−i+1) one truncated division per
+    * rank; BY threshold i·α·10⁶/(m·H̃_m) with H̃_m = Σ⌊10⁶/i⌋ the
+    * truncated harmonic (documented — both engines replay it);
+    * step-down = reject ranks strictly before the FIRST failure,
+    * step-up = reject ranks at or before the LAST success. NULL p̃
+    * (degenerate pooled rate) fails both.
+    *
+    * Scale shape: identical to bhFdr — slice-grain throughout. */
+  def multipleTestingStepdown(rows: DataFrame, sliceCol: String,
+      flagCol: String, alphaMicros: Long,
+      maxExactRows: Long = 100000000L): DataFrame = {
+    require(alphaMicros >= 1 && alphaMicros <= 1000000,
+      s"alphaMicros must be in [1, 1e6], got $alphaMicros")
+    val ranked = pTildeRanked(rows, sliceCol, flagCol, maxExactRows,
+      "multipleTestingStepdown")
+    val hm = ranked.agg(sum(expr("1000000 div rank")).as("h_m_micros"))
+    val scored = ranked.crossJoin(broadcast(hm))
+      .withColumn("holm_threshold_micros",
+        expr(s"${alphaMicros}L div (m - rank + 1)"))
+      .withColumn("by_threshold_micros",
+        expr(s"(rank * ${alphaMicros}L * 1000000) div" +
+          " (CAST(m AS DECIMAL(38,0)) * h_m_micros)").cast("long"))
+      .localCheckpoint(true) // slice grain, feeds both scans + output
+    val firstFail = scored.agg(coalesce(
+      min(when(col("p_tilde_micros").isNull ||
+        col("p_tilde_micros") > col("holm_threshold_micros"),
+        col("rank"))), lit(Long.MaxValue)).as("first_fail"))
+    val kStarBy = scored.agg(coalesce(
+      max(when(col("p_tilde_micros") <= col("by_threshold_micros"),
+        col("rank"))), lit(0)).as("k_star_by"))
+    scored.crossJoin(broadcast(firstFail)).crossJoin(broadcast(kStarBy))
+      .select(col("slice"), col("n_s"), col("k_s"), col("z_sq_micros"),
+        col("p_tilde_micros"), col("rank"), col("holm_threshold_micros"),
+        (col("rank") < col("first_fail")).as("rejected_holm"),
+        col("by_threshold_micros"),
+        (col("rank") <= col("k_star_by")).as("rejected_by"))
+      .orderBy(col("rank"))
   }
 }

@@ -1161,8 +1161,11 @@ object DedupOps {
     * keys are 24 chars and the ground truth is ~235k DL matrix
     * evaluations — the audit's all-pairs half is the deliberate
     * quadratic, bounded by the FIXED fixture, never by corpus SF. */
-  def x150bWindowRecall(s: SparkSession, d: String): DataFrame = {
-    val variants = t(s, d, "documents")
+  /** The forced-oversized fixture shared by x150b and x191: 6 base
+    * documents × 280 digit-spliced variants, doc id baked into the
+    * block prefix → every block holds exactly its 280 variants. */
+  private def digitVariants(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
       .filter(col("doc_id").isNotNull && col("doc_id") < 6 &&
         col("text").isNotNull && length(col("text")) >= 40)
       .select(col("doc_id"), substring(col("text"), 1, 40).as("head"),
@@ -1173,6 +1176,9 @@ object DedupOps {
           lpad(col("k").cast("string"), 4, "0"),
           substring(col("head"), 13, 12)).as("key"))
       .localCheckpoint(true) // bounded (≤ 1680 rows), feeds 3 branches
+
+  def x150bWindowRecall(s: SparkSession, d: String): DataFrame = {
+    val variants = digitVariants(s, d)
     val exact = typoNearDupPairs(variants, "id", "key", blockPrefix = 8,
         maxDist = 2, maxBlockSize = 1 << 20)
       .agg(count(lit(1)).as("n_exact"))
@@ -1194,7 +1200,29 @@ object DedupOps {
           .as("recall_micro"))
   }
 
+  /** X191 — Chapman capture–recapture estimate of the near-dup pair
+    * population from TWO cheap windowed passes over the same
+    * forced-oversized fixture as x150b: capture A is the forward
+    * (prefix, length)-blocked sorted-neighborhood pass, capture B the
+    * REVERSED-key pass (Damerau–Levenshtein is reversal-invariant, so
+    * the population is identical while the within-block sort order —
+    * and hence the window's misses — differ). N̂ = (n₁+1)(n₂+1)/(m+1)−1
+    * estimates the all-pairs count x150b measures exactly — the
+    * estimator a 100 TB corpus quotes when the ground-truth quadratic
+    * is unaffordable, with x150b as its in-repo calibration. Fixture
+    * binding of [[graft.api.TrainingData.chapmanEstimate]]. */
+  def x191Chapman(s: SparkSession, d: String): DataFrame = {
+    val v = digitVariants(s, d)
+    val capA = typoNearDupPairs(v, "id", "key", blockPrefix = 8,
+      maxDist = 2).select(col("id1"), col("id2"))
+    val rev = v.select(col("id"), reverse(col("key")).as("key"))
+    val capB = typoNearDupPairs(rev, "id", "key", blockPrefix = 8,
+      maxDist = 2).select(col("id1"), col("id2"))
+    graft.api.TrainingData.chapmanEstimate(capA, capB, Seq("id1", "id2"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x191_chapman" -> (x191Chapman _),
     "x150b_window_recall" -> (x150bWindowRecall _),
     "x164_url_canon" -> (x164UrlCanon _),
     "x174_jw_neardup" -> (x174JwNeardup _),
@@ -1360,6 +1388,54 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Chapman replay: the shared digit fixture, BOTH windowed passes
+    // (forward lower(key), reversed lower(reverse(key)) — mirrored in
+    // that exact order, charwise lowering does not commute with
+    // reversal in general), the smoothed estimator in HUGEINT
+    "x191_chapman" ->
+      """WITH base AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS head
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 6
+        |    AND text IS NOT NULL AND length(text) >= 40),
+        |var AS (
+        |  SELECT doc_id * 1000 + k AS id,
+        |    concat('d', lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+        |      substring(head, 1, 4), lpad(CAST(k AS VARCHAR), 4, '0'),
+        |      substring(head, 13, 12)) AS key
+        |  FROM base, generate_series(0, 279) AS g(k)),
+        |f AS (SELECT id, lower(key) AS s FROM var),
+        |rv AS (SELECT id, lower(reverse(key)) AS s FROM var),
+        |rk1 AS (SELECT id, s,
+        |    concat(substring(s, 1, 8), '|', CAST(length(s) AS VARCHAR))
+        |      AS blk FROM f),
+        |rk1r AS (SELECT id, s, blk, row_number() OVER (
+        |    PARTITION BY blk ORDER BY s, id) AS rn FROM rk1),
+        |rk2 AS (SELECT id, s,
+        |    concat(substring(s, 1, 8), '|', CAST(length(s) AS VARCHAR))
+        |      AS blk FROM rv),
+        |rk2r AS (SELECT id, s, blk, row_number() OVER (
+        |    PARTITION BY blk ORDER BY s, id) AS rn FROM rk2),
+        |c1 AS (SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2
+        |  FROM rk1r a JOIN rk1r b ON a.blk = b.blk AND b.rn > a.rn
+        |    AND b.rn <= a.rn + 32
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2),
+        |c2 AS (SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2
+        |  FROM rk2r a JOIN rk2r b ON a.blk = b.blk AND b.rn > a.rn
+        |    AND b.rn <= a.rn + 32
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2),
+        |nn1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM c1),
+        |nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM c2),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m
+        |  FROM c1 JOIN c2 USING (id1, id2))
+        |SELECT n1, n2, m,
+        |  CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1)) // (m + 1) - 1
+        |    AS BIGINT) AS chapman_est,
+        |  CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m)
+        |    * (n2 - m)) // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2))
+        |    AS BIGINT) AS var_est
+        |FROM nn1, nn2, mm""".stripMargin,
     // windowed-recall replay: the same 8×300 digit-spliced fixture,
     // the all-pairs and rank-window (w = 32, order s,id) candidate
     // regimes side by side, counts + block occupancy in one row

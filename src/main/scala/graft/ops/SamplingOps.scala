@@ -682,16 +682,8 @@ object SamplingOps {
     * and x132's CUSUM on the same series. Days are min-anchored so the
     * bucketing division never sees a negative operand. Fixture binding
     * of [[graft.api.TrainingData.runsTest]]. */
-  def x185RunsTest(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-      .filter(col("ts").isNotNull)
-      .select(tsMs(col("ts")).as("ms"))
-    val lo = ev.agg(min(col("ms")).as("lo"))
-    val daily = ev.crossJoin(broadcast(lo))
-      .select(expr("(ms - lo) div 86400000").as("day"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
-    graft.api.TrainingData.runsTest(daily, "day", "n_events")
-  }
+  def x185RunsTest(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.runsTest(dailyCounts(s, d), "day", "n_events")
 
   /** X186 — pairwise 1-D earth mover's distance between every source
     * pair's document-length distributions: the matrix that PRICES how
@@ -734,7 +726,81 @@ object SamplingOps {
     graft.api.TrainingData.dispersionTest(
       t(s, d, "events").filter(col("user_id").isNotNull), "user_id")
 
+  /** Min-anchored daily event-count series — the shared fixture axis
+    * of x185 (runs test) and x190 (Mann–Kendall): one row per day,
+    * nonnegative bucketing operands by construction. */
+  private def dailyCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .filter(col("ts").isNotNull)
+      .select(tsMs(col("ts")).as("ms"))
+    val lo = ev.agg(min(col("ms")).as("lo"))
+    ev.crossJoin(broadcast(lo))
+      .select(expr("(ms - lo) div 86400000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+  }
+
+  /** X190 — Mann–Kendall trend test over the daily event-volume
+    * series: the directional monotone-trend significance beside x160's
+    * Theil–Sen slope and x185's runs test on the same axis. Fixture
+    * binding of [[graft.api.TrainingData.mannKendallTrend]]. */
+  def x190MannKendall(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.mannKendallTrend(
+      dailyCounts(s, d), "day", "n_events")
+
+  /** X192 — Youden-J optimal threshold of the en-vs-rest length
+    * classifier: WHERE to cut n_chars so TPR − FPR is maximal — the
+    * actionable end of x121's AUC on the same axis, with the full
+    * confusion at the cut. Fixture binding of
+    * [[graft.api.TrainingData.youdenThreshold]]. */
+  def x192YoudenJ(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.youdenThreshold(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("is_en"), col("n_chars")),
+      "is_en", "n_chars")
+
+  /** X193 — rank-biased overlap between the top-10-by-chars and
+    * top-10-by-tokens document rankings (p = 0.9): do the two length
+    * notions serve the same head, weighted toward rank 1 — the
+    * two-ranker agreement read beside x143's nDCG. Both lists are
+    * TakeOrdered top-k, never a global sort. Fixture binding of
+    * [[graft.api.TrainingData.rboOverlap]]. */
+  def x193Rbo(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("n_chars").isNotNull)
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val listA = docs.select(col("doc_id"), col("n_chars"))
+      .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(wA))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ntok").desc, col("doc_id"))
+    val listB = docs.select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t != ''))")
+          .cast("long").as("ntok"))
+      .orderBy(col("ntok").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(wB))
+    graft.api.TrainingData.rboOverlap(listA, listB, "doc_id", "rank", 10)
+  }
+
+  /** X194 — Holm (FWER) + Benjamini–Yekutieli (dependence-robust FDR)
+    * verdicts over the SAME per-source long-doc-rate slices as x161's
+    * BH, at α = 0.05: the three standard multiplicity corrections
+    * readable side by side on one corpus. Fixture binding of
+    * [[graft.api.TrainingData.multipleTestingStepdown]]. */
+  def x194HolmBy(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.multipleTestingStepdown(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), (col("n_chars") >= 200).as("long_doc")),
+      "source", "long_doc", alphaMicros = 50000L)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x190_mann_kendall" -> (x190MannKendall _),
+    "x192_youden_j" -> (x192YoudenJ _),
+    "x193_rbo" -> (x193Rbo _),
+    "x194_holm_by" -> (x194HolmBy _),
     "x184_moods_median" -> (x184MoodsMedian _),
     "x185_runs_test" -> (x185RunsTest _),
     "x186_emd_pairs" -> (x186EmdPairs _),
@@ -817,6 +883,143 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mann–Kendall replay: the shared daily CTE, the points-squared
+    // pair sum, tie-corrected Var·18, continuity-corrected z²
+    "x190_mann_kendall" ->
+      """WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |lo AS (SELECT min(ms) AS lo FROM e),
+        |daily AS (SELECT (ms - lo) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM e, lo GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |sp AS (SELECT coalesce(CAST(sum(sign(q.v - p.v)) AS BIGINT), 0)
+        |    AS s
+        |  FROM daily p JOIN daily q ON q.day > p.day),
+        |tie AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+        |      * (2 * t + 5)), 0) AS tie_term
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM daily GROUP BY v)),
+        |st AS (SELECT n, s,
+        |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie_term
+        |      AS var18
+        |  FROM nn, sp, tie)
+        |SELECT n, s, CAST(var18 AS BIGINT) AS var_s_x18,
+        |  CASE WHEN n < 2 THEN NULL
+        |    ELSE CAST(sign(s) * ((2000000 * abs(s))
+        |      // (CAST(n AS HUGEINT) * (n - 1))) AS BIGINT)
+        |  END AS tau_a_micros,
+        |  CASE WHEN var18 <= 0 THEN NULL
+        |    WHEN s = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST((18000000 * (CAST(abs(s) AS HUGEINT) - 1)
+        |      * (CAST(abs(s) AS HUGEINT) - 1)) // var18 AS BIGINT)
+        |  END AS z_sq_micros
+        |FROM st""".stripMargin,
+    // Youden replay: descending distinct-score cumulative confusion,
+    // truncated rates, deterministic (J desc, threshold asc) argmax
+    "x192_youden_j" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        |      AS pos, n_chars AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |byv AS (SELECT v, CAST(sum(pos) AS BIGINT) AS p,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(p) AS BIGINT) AS pp,
+        |    CAST(sum(c - p) AS BIGINT) AS nn FROM byv),
+        |sc AS (SELECT v,
+        |    CAST(sum(p) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(c - p) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+        |  FROM byv),
+        |j AS (SELECT v, tp, fp, pp, nn,
+        |    CASE WHEN pp = 0 OR nn = 0 THEN NULL
+        |      ELSE CAST((1000000 * tp) // pp AS BIGINT)
+        |    END AS tpr_micros,
+        |    CASE WHEN pp = 0 OR nn = 0 THEN NULL
+        |      ELSE CAST((1000000 * fp) // nn AS BIGINT)
+        |    END AS fpr_micros
+        |  FROM sc, tt),
+        |j2 AS (SELECT *, tpr_micros - fpr_micros AS j_micros FROM j)
+        |SELECT v AS threshold, tp, fp, pp - tp AS fn, nn - fp AS tn,
+        |  tpr_micros, fpr_micros, j_micros
+        |FROM j2 ORDER BY j_micros DESC NULLS LAST, v LIMIT 1""".stripMargin,
+    // RBO replay: both TakeOrdered rankings, first-common-depth per
+    // shared item, per-depth geometric terms truncated once
+    "x193_rbo" ->
+      """WITH la AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY n_chars DESC, doc_id) AS ra
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  QUALIFY ra <= 10),
+        |lb AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) DESC, doc_id) AS rb
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL
+        |  QUALIFY rb <= 10),
+        |j AS (SELECT greatest(ra, rb) AS fcd FROM la JOIN lb
+        |  USING (doc_id)),
+        |dep AS (SELECT d AS depth FROM generate_series(1, 10) AS g(d)),
+        |ov AS (SELECT depth, CAST(count(fcd) AS BIGINT) AS overlap
+        |  FROM dep LEFT JOIN j ON j.fcd <= dep.depth GROUP BY 1),
+        |tm AS (SELECT depth, overlap,
+        |    CAST((1000000 * CAST(round(power(9.0, depth - 1), 0)
+        |      AS HUGEINT) * overlap)
+        |      // (CAST(round(power(10.0, depth), 0) AS HUGEINT) * depth)
+        |      AS BIGINT) AS term_micros
+        |  FROM ov),
+        |tot AS (SELECT CAST(sum(term_micros) AS BIGINT) AS rbo_micros
+        |  FROM tm)
+        |SELECT depth, overlap, term_micros, rbo_micros
+        |FROM tm, tot ORDER BY depth""".stripMargin,
+    // Holm/BY replay: x161's z²/p̃/rank CTEs, the truncated-harmonic
+    // H̃_m, step-down first-failure and step-up last-success scans
+    "x194_holm_by" ->
+      """WITH b AS (
+        |  SELECT CAST(source AS VARCHAR) AS slice,
+        |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS f
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |per AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_s,
+        |    CAST(sum(f) AS BIGINT) AS k_s
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn,
+        |    CAST(sum(k_s) AS BIGINT) AS kk,
+        |    CAST(count(*) AS BIGINT) AS m FROM per),
+        |sc AS (
+        |  SELECT slice, n_s, k_s, m,
+        |    CASE WHEN kk = 0 OR kk = nn THEN NULL
+        |      ELSE CAST((1000000
+        |        * (CAST(k_s AS HUGEINT) * nn - CAST(n_s AS HUGEINT) * kk)
+        |        * (CAST(k_s AS HUGEINT) * nn - CAST(n_s AS HUGEINT) * kk))
+        |        // (CAST(n_s AS HUGEINT) * kk * (nn - kk)) AS BIGINT)
+        |    END AS z_sq_micros
+        |  FROM per, tt),
+        |sc2 AS (SELECT *, CASE WHEN z_sq_micros IS NULL THEN NULL
+        |    ELSE CAST(round(exp(-CAST(z_sq_micros AS DOUBLE) / 2e6)
+        |      * 1000000.0, 0) AS BIGINT) END AS p_tilde_micros
+        |  FROM sc),
+        |rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY p_tilde_micros ASC NULLS LAST, slice) AS rank
+        |  FROM sc2),
+        |hm AS (SELECT CAST(sum(1000000 // rank) AS BIGINT)
+        |    AS h_m_micros FROM rk),
+        |th AS (SELECT rk.*,
+        |    50000 // (m - rank + 1) AS holm_threshold_micros,
+        |    CAST((rank * 50000 * 1000000)
+        |      // (CAST(m AS HUGEINT) * h_m_micros) AS BIGINT)
+        |      AS by_threshold_micros
+        |  FROM rk, hm),
+        |ff AS (SELECT coalesce(min(CASE WHEN p_tilde_micros IS NULL
+        |      OR p_tilde_micros > holm_threshold_micros THEN rank END),
+        |    9223372036854775807) AS first_fail FROM th),
+        |ks AS (SELECT coalesce(max(CASE WHEN p_tilde_micros
+        |    <= by_threshold_micros THEN rank END), 0) AS k_star_by
+        |  FROM th)
+        |SELECT slice, n_s, k_s, z_sq_micros, p_tilde_micros, rank,
+        |  holm_threshold_micros, rank < first_fail AS rejected_holm,
+        |  by_threshold_micros, rank <= k_star_by AS rejected_by
+        |FROM th, ff, ks ORDER BY rank""".stripMargin,
     // Mood's-median replay: distinct-value cumulative lower median,
     // per-group above counts, both χ² cells off the shared squared
     // numerator, each truncated once in HUGEINT

@@ -97,7 +97,9 @@ object ScaleSweep {
     // group×value EMD grid with its pair equi-join, and the forced-
     // oversized window-recall audit (fixed fixture — expect flat)
     "x184_moods_median", "x186_emd_pairs", "x187_cliffs_delta",
-    "x150b_window_recall")
+    "x150b_window_recall",
+    // the distinct-score ROC scan and the slice-grain triple correction
+    "x192_youden_j", "x194_holm_by")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

@@ -4161,4 +4161,98 @@ class TrainingDataSpec extends SparkSpec {
     assert(graft.api.TrainingData.dispersionTest(flat, "unit")
       .collect().head.getLong(3) == 0L)
   }
+  test("mannKendallTrend: monotone series, tie-dead variance, duplicate x raises") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r = graft.api.TrainingData.mannKendallTrend(up, "x", "y")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)   // S = +3
+    assert(r.getLong(2) == 66L)                        // 3·2·11, no ties
+    assert(r.getLong(3) == 1000000L)                   // τ_a = 1
+    assert(r.getLong(4) == 1090909L)                   // ⌊18e6·4/66⌋
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(graft.api.TrainingData.mannKendallTrend(down, "x", "y")
+      .collect().head.getLong(3) == -1000000L)
+    // fully tied values → Var·18 = 0 → NULL z², S = 0
+    val flat = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val f = graft.api.TrainingData.mannKendallTrend(flat, "x", "y")
+      .collect().head
+    assert(f.getLong(1) == 0L && f.getLong(2) == 0L && f.isNullAt(4))
+    // duplicate time points must RAISE, not silently mis-count
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    val e = intercept[Exception](
+      graft.api.TrainingData.mannKendallTrend(dup, "x", "y").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate time points")))
+  }
+
+  test("chapmanEstimate: hand-walked smoothed estimate and variance") {
+    val a = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val b = Seq((1L, 2L), (5L, 6L), (7L, 8L)).toDF("id1", "id2")
+    val r = graft.api.TrainingData
+      .chapmanEstimate(a, b, Seq("id1", "id2")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 5L) // (3·4)//2 − 1
+    assert(r.getLong(4) == 2L) // (3·4·1·2)//(4·3)
+    // zero overlap stays finite via the +1 smoothing
+    val c = Seq((9L, 10L)).toDF("id1", "id2")
+    assert(graft.api.TrainingData.chapmanEstimate(a, c, Seq("id1", "id2"))
+      .collect().head.getLong(3) == 5L) // (3·2)//1 − 1
+  }
+
+  test("youdenThreshold: hand-walked argmax with full confusion") {
+    val rows = Seq((true, 10L), (true, 9L), (false, 8L), (true, 7L),
+      (false, 6L), (false, 5L)).toDF("lab", "v")
+    val r = graft.api.TrainingData.youdenThreshold(rows, "lab", "v")
+      .collect().head
+    assert(r.getLong(0) == 7L)                       // threshold
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L) // tp, fp
+    assert(r.getLong(3) == 0L && r.getLong(4) == 2L) // fn, tn
+    assert(r.getLong(5) == 1000000L && r.getLong(6) == 333333L)
+    assert(r.getLong(7) == 666667L)                  // J maximal here
+    // one-class input → NULL J
+    val oneClass = Seq((true, 1L), (true, 2L)).toDF("lab", "v")
+    assert(graft.api.TrainingData.youdenThreshold(oneClass, "lab", "v")
+      .collect().head.isNullAt(7))
+  }
+
+  test("rboOverlap: identical lists sum the truncated geometric series; disjoint = 0") {
+    val ids = (1L to 10L)
+    val listA = ids.map(i => (i, i)).toDF("id", "rank")
+    val r = graft.api.TrainingData
+      .rboOverlap(listA, listA, "id", "rank", 10).collect()
+    assert(r.length == 10)
+    assert(r.head.getLong(1) == 1L && r.last.getLong(1) == 10L)
+    // Σ_d ⌊10⁶·9^(d−1)/10^d⌋ = 651320 (the truncated (1−p)/p series)
+    assert(r.forall(_.getLong(3) == 651320L))
+    val listB = ids.map(i => (i + 100L, i)).toDF("id", "rank")
+    assert(graft.api.TrainingData
+      .rboOverlap(listA, listB, "id", "rank", 10)
+      .collect().forall(_.getLong(3) == 0L))
+  }
+
+  test("multipleTestingStepdown: hand-walked Holm/BY thresholds and verdicts") {
+    // slice a: all flagged (z² = 80), b/c: none (z² = 20 each) — p̃
+    // ranks (a, b, c) with p 0/45/45 micros; m = 3, H̃ = 1833333
+    val rows = (Seq.fill(40)(("a", true)) ++ Seq.fill(40)(("b", false)) ++
+      Seq.fill(40)(("c", false))).toDF("slice", "f")
+    val got = graft.api.TrainingData
+      .multipleTestingStepdown(rows, "slice", "f", 50000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getInt(5) == 1 && got("a").getLong(4) == 0L)
+    assert(got("b").getLong(4) == 45L && got("c").getLong(4) == 45L)
+    assert(got("a").getLong(6) == 16666L)  // 50000/3
+    assert(got("b").getLong(6) == 25000L)
+    assert(got("c").getLong(6) == 50000L)
+    assert(got("a").getLong(8) == 9090L)   // 1·5e10/5499999
+    assert(got("b").getLong(8) == 18181L)
+    assert(got("c").getLong(8) == 27272L)
+    assert(got.values.forall(r => r.getBoolean(7) && r.getBoolean(9)))
+    // flat input (no slice differs): p̃ NULL everywhere → nothing rejected
+    val flat = (Seq.fill(4)(("a", true)) ++ Seq.fill(4)(("b", true)))
+      .toDF("slice", "f")
+    assert(graft.api.TrainingData
+      .multipleTestingStepdown(flat, "slice", "f", 50000L)
+      .collect().forall(r => !r.getBoolean(7) && !r.getBoolean(9)))
+  }
 }
