@@ -3480,6 +3480,55 @@ object TrainingData {
       .select(col("id"), col("degree"), col("rank_micro"))
   }
 
+  /** Eigenvector centrality by max-normalized power iteration — the
+    * "connected to important nodes" read beside [[pageRankMicro]]'s
+    * damped random walk: PageRank dilutes a hub's vote by its degree,
+    * eigenvector centrality does NOT, so a document quoted by the
+    * corpus's dominant template family outranks one quoted by many
+    * isolated stragglers. On a dup graph the top scores trace the
+    * largest, densest duplicate component (power iteration converges
+    * to the dominant component's principal eigenvector; satellite
+    * components decay toward 0 under the shared max normalization).
+    *
+    * Exactness: each round is an exact integer neighbor sum followed
+    * by ONE truncated max-normalization ⌊10⁶·s/max(s)⌋ — the division
+    * happens once per (node, round), operands nonnegative, so both
+    * engines replay every round bit-for-bit; iteration count fixed.
+    *
+    * Scale shape: per round one equi-join on src + one aggregation —
+    * the x72 shape; `iterations` bounds total work; lineage truncated
+    * each round (localCheckpoint) so the loop never stacks plans. */
+  def eigenvectorCentrality(pairs: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    val e0 = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true) // feeds every round + the degree read
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    var score = deg.select(col("id"), lit(1000000L).as("e"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val sums = edges
+        .join(score.select(col("id").as("src"), col("e")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("e")).as("s"))
+      val mx = sums.agg(max(col("s")).as("mx"))
+      score = sums.crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("CAST((1000000 * CAST(s AS DECIMAL(38,0))) div mx" +
+            " AS BIGINT)").as("e"))
+        .localCheckpoint(true) // truncate lineage per round
+    }
+    deg.join(score, Seq("id"))
+      .select(col("id"), col("degree"), col("e").as("eigen_micro"))
+  }
+
   /** Hard-negative mining for contrastive / retrieval training →
     * (q_id, c_id, sim, rank): for each query, the k corpus rows MOST
     * similar while staying BELOW the positive threshold — the
@@ -8983,5 +9032,107 @@ object TrainingData {
         col("by_threshold_micros"),
         (col("rank") <= col("k_star_by")).as("rejected_by"))
       .orderBy(col("rank"))
+  }
+  /** Gini concentration + Lorenz curve over per-group mass — the
+    * inequality read beside x128's HHI: HHI answers "how few groups
+    * dominate", Gini prices the WHOLE distribution shape (a corpus of
+    * one giant crawl + a hundred slivers and a corpus of ten mid-sized
+    * crawls can share an HHI while their Gini differ sharply). Output:
+    * one row per group ascending by mass with its Lorenz coordinate
+    * (cumulative mass share), plus the broadcast Gini.
+    *
+    * Exactness: groups sort ascending by (mass, group) — the
+    * deterministic tie-break; Gini = (2Σi·xᵢ − (n+1)·S)/(n·S) is exact
+    * integer algebra on the ranked relation (numerator nonnegative for
+    * the ascending sort), one truncated division; Lorenz shares one
+    * truncated division each.
+    *
+    * Scale shape: one group-grain aggregation, a single-partition rank
+    * window at GROUP cardinality (bounded — sources, not rows), one
+    * scalar reduce broadcast back. */
+  def giniConcentration(rows: DataFrame, groupCol: String): DataFrame = {
+    val per = rows
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("mass"))
+      .localCheckpoint(true) // group grain; feeds rank, totals, output
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mass"), col("grp"))
+    val ranked = per.withColumn("rank", row_number().over(wRank))
+      .withColumn("cum_mass", sum(col("mass")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("mass"), col("grp"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .localCheckpoint(true)
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("mass")).as("s"),
+      sum(expr("CAST(rank AS DECIMAL(38,0)) * mass")).as("rx"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("grp"), col("mass"), col("rank"),
+        expr("CAST((1000000 * cum_mass) div s AS BIGINT)")
+          .as("lorenz_micros"),
+        when(col("s") === 0 || col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (2 * rx - (CAST(n AS DECIMAL(38,0)) + 1)" +
+              " * s)) div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)"))
+          .as("gini_micros"))
+      .orderBy(col("rank"))
+  }
+
+  /** Deterministic label-permutation test of a two-group sum — the
+    * assumption-free significance read beside the rank tests: is the
+    * observed group-A total extreme against B content-addressed
+    * re-labelings of the SAME rows (group sizes preserved)? No normal
+    * approximation, no distribution assumption, and because the
+    * permutations are sha-derived from (row id, permutation index) the
+    * p-value replays bit-for-bit in any engine — randomization
+    * inference an oracle can check.
+    *
+    * Exactness: permutation b assigns the n_a rows with the SMALLEST
+    * sha256(id:b) (ties by id) to pseudo-A; the two-sided extremeness
+    * comparison runs on |n·stat − n_a·S| (cross-multiplied — no
+    * division until the final p̃ = (1 + #extreme)/(B+1), truncated
+    * once). Add-one smoothing keeps p ≥ 1/(B+1), the classic
+    * permutation-test floor.
+    *
+    * Scale shape: rows×B explode (linear in B), one rank window per
+    * permutation (partitioned by b — parallel across permutations),
+    * two scalar reduces. B is the knob: 39 permutations resolve
+    * p = 0.025 steps; the fixture uses 40. */
+  def permutationTestSum(rows: DataFrame, idCol: String, isACol: String,
+      valueCol: String, b: Int): DataFrame = {
+    require(b >= 1 && b <= 1000, s"b must be in [1, 1000], got $b")
+    val base = rows
+      .filter(col(idCol).isNotNull && col(isACol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"),
+        when(col(isACol).cast("boolean"), 1L).otherwise(0L).as("ia"),
+        integralLong(valueCol, "permutationTestSum").as("v"))
+      .localCheckpoint(true) // feeds the observed stats AND the explode
+    val obs = base.agg(count(lit(1)).as("n"), sum(col("ia")).as("n_a"),
+      sum(col("v")).as("s"), sum(expr("ia * v")).as("obs_sum"))
+    val wPerm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pb"))
+      .orderBy(col("h"), col("id"))
+    val stats = base
+      .select(col("id"), col("v"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("pb"))
+      .withColumn("h", sha2(concat_ws(":", col("id"),
+        col("pb").cast("string")), 256))
+      .withColumn("rk", row_number().over(wPerm))
+      .crossJoin(broadcast(obs.select(col("n_a").as("na0"))))
+      .filter(col("rk") <= col("na0"))
+      .groupBy(col("pb")).agg(sum(col("v")).as("stat"))
+    val extreme = stats.crossJoin(broadcast(obs))
+      .agg(sum(when(
+        expr("abs(CAST(n AS DECIMAL(38,0)) * stat - CAST(n_a AS" +
+          " DECIMAL(38,0)) * s) >= abs(CAST(n AS DECIMAL(38,0))" +
+          " * obs_sum - CAST(n_a AS DECIMAL(38,0)) * s)"), 1L)
+        .otherwise(0L)).as("n_extreme"))
+    obs.crossJoin(broadcast(extreme))
+      .select(col("n"), col("n_a"), col("s").as("total_sum"),
+        col("obs_sum"), lit(b.toLong).as("n_perms"), col("n_extreme"),
+        expr(s"(1000000 * (1 + n_extreme)) div (${b}L + 1)")
+          .as("p_two_sided_micros"))
   }
 }

@@ -1221,7 +1221,20 @@ object DedupOps {
     graft.api.TrainingData.chapmanEstimate(capA, capB, Seq("id1", "id2"))
   }
 
+  /** X196 — eigenvector centrality of the near-dup graph (5 rounds of
+    * max-normalized power iteration on the SHARED x26 pair cache): the
+    * dominant-component importance read beside x72's PageRank —
+    * PageRank dilutes hubs by degree, this does not, so the densest
+    * duplicate family's members rank first while satellite components
+    * decay. Fixture binding of
+    * [[graft.api.TrainingData.eigenvectorCentrality]]. */
+  def x196EigenCentrality(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.eigenvectorCentrality(
+      persistPairs(s, d).select(col("d1"), col("d2")))
+      .orderBy(col("id"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x196_eigen_centrality" -> (x196EigenCentrality _),
     "x191_chapman" -> (x191Chapman _),
     "x150b_window_recall" -> (x150bWindowRecall _),
     "x164_url_canon" -> (x164UrlCanon _),
@@ -1377,6 +1390,18 @@ object DedupOps {
   // join + re-aggregation in pure BIGINT arithmetic (// is DuckDB floor
   // division — identical to Spark's `div` truncation on these
   // always-positive operands), so the replay is exact, not approximate
+  private def eigenRoundsSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS id, CAST(sum(p.e) AS BIGINT) AS s
+         |  FROM edges e JOIN r${i - 1} p ON p.id = e.src GROUP BY 1),
+         |m$i AS (SELECT max(s) AS mx FROM s$i),
+         |r$i AS (SELECT id, CAST((1000000 * CAST(s AS HUGEINT)) // mx
+         |    AS BIGINT) AS e FROM s$i, m$i)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
   private def pagerankRoundsSql(iterations: Int): String = {
     val rounds = (1 to iterations).map { i =>
       s"""r$i AS (
@@ -1388,6 +1413,20 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // eigenvector replay: the shared exact-pair CTE, 5 unrolled rounds
+    // of neighbor sum + one truncated max-normalization each
+    "x196_eigen_centrality" ->
+      s"""WITH $pairsOracleCtes,
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM pairs),
+         |edges AS (SELECT a AS src, b AS dst FROM e2
+         |  UNION ALL SELECT b, a FROM e2),
+         |deg AS (SELECT src AS id, count(*) AS degree
+         |  FROM edges GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS e FROM deg),
+         |${eigenRoundsSql(5)}
+         |SELECT d.id, d.degree, r5.e AS eigen_micro
+         |FROM deg d JOIN r5 ON r5.id = d.id
+         |ORDER BY d.id""".stripMargin,
     // Chapman replay: the shared digit fixture, BOTH windowed passes
     // (forward lower(key), reversed lower(reverse(key)) — mirrored in
     // that exact order, charwise lowering does not commute with

@@ -796,7 +796,30 @@ object SamplingOps {
         .select(col("source"), (col("n_chars") >= 200).as("long_doc")),
       "source", "long_doc", alphaMicros = 50000L)
 
+  /** X197 — Gini concentration + Lorenz curve of corpus mass across
+    * sources: the inequality shape beside x128's HHI scalar. Fixture
+    * binding of [[graft.api.TrainingData.giniConcentration]]. */
+  def x197Gini(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.giniConcentration(
+      t(s, d, "documents"), "source")
+
+  /** X198 — deterministic label-permutation test of the en-vs-rest
+    * n_chars total (B = 40 sha-derived relabelings): the
+    * assumption-free p beside x159's normal-approximation z² on the
+    * SAME comparison. Fixture binding of
+    * [[graft.api.TrainingData.permutationTestSum]]. */
+  def x198PermTest(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.permutationTestSum(
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+          col("n_chars")),
+      "doc_id", "is_en", "n_chars", b = 40)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x197_gini" -> (x197Gini _),
+    "x198_perm_test" -> (x198PermTest _),
     "x190_mann_kendall" -> (x190MannKendall _),
     "x192_youden_j" -> (x192YoudenJ _),
     "x193_rbo" -> (x193Rbo _),
@@ -883,6 +906,57 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Gini replay: ascending (mass, group) rank, exact rank-weighted
+    // numerator, truncated Lorenz shares
+    "x197_gini" ->
+      """WITH per AS (SELECT CAST(source AS VARCHAR) AS grp,
+        |    CAST(count(*) AS BIGINT) AS mass
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |rk AS (SELECT grp, mass,
+        |    row_number() OVER (ORDER BY mass, grp) AS rank,
+        |    CAST(sum(mass) OVER (ORDER BY mass, grp ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
+        |  FROM per),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(mass) AS BIGINT) AS s,
+        |    sum(CAST(rank AS HUGEINT) * mass) AS rx
+        |  FROM rk)
+        |SELECT grp, mass, rank,
+        |  CAST((1000000 * cum_mass) // s AS BIGINT) AS lorenz_micros,
+        |  CASE WHEN s = 0 OR n = 0 THEN NULL
+        |    ELSE CAST((1000000 * (2 * rx - (CAST(n AS HUGEINT) + 1) * s))
+        |      // (CAST(n AS HUGEINT) * s) AS BIGINT)
+        |  END AS gini_micros
+        |FROM rk, tt ORDER BY rank""".stripMargin,
+    // permutation replay: the same sha256(id:b) ranking per
+    // relabeling, cross-multiplied two-sided extremeness, add-one p̃
+    "x198_perm_test" ->
+      """WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |    n_chars AS v
+        |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ia) AS BIGINT) AS n_a, CAST(sum(v) AS BIGINT) AS s,
+        |    CAST(sum(ia * v) AS BIGINT) AS obs_sum
+        |  FROM b),
+        |ex AS (SELECT id, v, pb,
+        |    sha256(concat(id, ':', CAST(pb AS VARCHAR))) AS h
+        |  FROM b, generate_series(0, 39) AS g(pb)),
+        |rkd AS (SELECT pb, v, row_number() OVER (PARTITION BY pb
+        |    ORDER BY h, id) AS rk FROM ex),
+        |st AS (SELECT pb, CAST(sum(v) AS BIGINT) AS stat
+        |  FROM rkd, obs WHERE rk <= n_a GROUP BY 1),
+        |xt AS (SELECT CAST(sum(CASE WHEN
+        |      abs(CAST(n AS HUGEINT) * stat - CAST(n_a AS HUGEINT) * s)
+        |      >= abs(CAST(n AS HUGEINT) * obs_sum
+        |        - CAST(n_a AS HUGEINT) * s) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_extreme
+        |  FROM st, obs)
+        |SELECT n, n_a, s AS total_sum, obs_sum,
+        |  CAST(40 AS BIGINT) AS n_perms, n_extreme,
+        |  (1000000 * (1 + n_extreme)) // 41 AS p_two_sided_micros
+        |FROM obs, xt""".stripMargin,
     // Mann–Kendall replay: the shared daily CTE, the points-squared
     // pair sum, tie-corrected Var·18, continuity-corrected z²
     "x190_mann_kendall" ->

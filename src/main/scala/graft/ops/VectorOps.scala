@@ -1059,7 +1059,60 @@ object VectorOps {
       t(s, d, "embeddings"), "vec_id", "embedding", prefixDims = 32)
       .orderBy(col("vec_id"))
 
+  /** X195 — simplified (centroid-based) silhouette of the shared IVF
+    * index: per vector, cohesion a = cosine distance to OWN centroid
+    * and separation b = distance to the NEAREST OTHER centroid, s =
+    * (b − a)/max(a, b) ∈ [−1, 1]; per-cluster means + the corpus mean
+    * answer "are these clusters real structure or partition noise"
+    * before any clustering-dependent op (SemDeDup, x53 pruning, IVF
+    * recall targets) trusts the index. The centroid-based form is the
+    * one that SCALES — classic silhouette's all-pairs a/b is exactly
+    * the quadratic the index exists to avoid.
+    *
+    * Exactness: sims quantized once via the x40b two-step recipe
+    * (round 6 dp, then scale); a, b, s and the means are pure integer
+    * with sign-explicit truncated divisions (s and mean s are signed —
+    * Spark div truncates, DuckDB // floors). Zero vectors carry no
+    * direction → excluded (the cosineTopK convention). */
+  def x195Silhouette(s: SparkSession, d: String): DataFrame = {
+    val sims = persistIvfIndexed(s, d)
+      .crossJoin(broadcast(persistIvfCentroids(s, d)
+        .select(col("cid").as("ccid"), col("cemb"))))
+      .withColumn("sim_micro",
+        round(round(cosine(col("embedding"), col("cemb")), 6) * 1e6)
+          .cast("long"))
+      .filter(col("sim_micro").isNotNull)
+      .select(col("vec_id"), col("cid"), col("ccid"), col("sim_micro"))
+    val own = sims.filter(col("cid") === col("ccid"))
+      .select(col("vec_id"), col("cid"),
+        (lit(1000000L) - col("sim_micro")).as("a_micro"))
+    val other = sims.filter(col("cid") =!= col("ccid"))
+      .groupBy(col("vec_id"))
+      .agg((lit(1000000L) - max(col("sim_micro"))).as("b_micro"))
+    val si = own.join(other, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("a_micro"), col("b_micro"),
+        when(greatest(col("a_micro"), col("b_micro")) === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(sign(b_micro - a_micro) * ((1000000" +
+              " * abs(b_micro - a_micro))" +
+              " div greatest(a_micro, b_micro)) AS BIGINT)"))
+          .as("s_micro"))
+      .localCheckpoint(true) // vector grain; feeds per-cluster + corpus
+    val overall = si.agg(
+      expr("CAST(sign(sum(s_micro)) * (abs(sum(s_micro))" +
+        " div count(1)) AS BIGINT)").as("overall_s_micro"))
+    si.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(a_micro) div count(1)").as("mean_a_micro"),
+        expr("sum(b_micro) div count(1)").as("mean_b_micro"),
+        expr("CAST(sign(sum(s_micro)) * (abs(sum(s_micro))" +
+          " div count(1)) AS BIGINT)").as("mean_s_micro"))
+      .crossJoin(broadcast(overall))
+      .orderBy(col("cid"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x195_silhouette" -> (x195Silhouette _),
     "x130_matryoshka" -> (x130Matryoshka _),
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
     "x26f_embedding_neardup_lsh" -> (x26fEmbeddingNearDupLsh _),
@@ -1255,6 +1308,38 @@ object VectorOps {
   private lazy val ivfBuildCtes: String = ivfBuildCtesOn("embeddings")
 
   val oracles: Map[String, String] = Map(
+    // silhouette replay: the shared full index-build chain, the x40b
+    // two-step quantization, own/nearest-other split, sign-explicit
+    // truncated s and means
+    "x195_silhouette" ->
+      s"""WITH $ivfBuildCtes,
+         |sims AS (
+         |  SELECT a.vec_id, a.cid, c.cid AS ccid,
+         |    CAST(round(round(${cosSql("a.embedding", "c.cemb")}, 6)
+         |      * 1000000, 0) AS BIGINT) AS sim_micro
+         |  FROM asgf a, c2 c),
+         |f AS (SELECT * FROM sims WHERE sim_micro IS NOT NULL),
+         |own AS (SELECT vec_id, cid, 1000000 - sim_micro AS a_micro
+         |  FROM f WHERE cid = ccid),
+         |oth AS (SELECT vec_id, 1000000 - max(sim_micro) AS b_micro
+         |  FROM f WHERE cid <> ccid GROUP BY 1),
+         |si AS (SELECT o.vec_id, o.cid, o.a_micro, t.b_micro,
+         |    CASE WHEN greatest(o.a_micro, t.b_micro) = 0 THEN 0
+         |      ELSE CAST(sign(t.b_micro - o.a_micro)
+         |        * ((1000000 * abs(t.b_micro - o.a_micro))
+         |        // greatest(o.a_micro, t.b_micro)) AS BIGINT)
+         |    END AS s_micro
+         |  FROM own o JOIN oth t USING (vec_id)),
+         |ov AS (SELECT CAST(sign(sum(s_micro)) * (abs(sum(s_micro))
+         |    // count(*)) AS BIGINT) AS overall_s_micro FROM si)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(a_micro) // count(*) AS BIGINT) AS mean_a_micro,
+         |  CAST(sum(b_micro) // count(*) AS BIGINT) AS mean_b_micro,
+         |  CAST(sign(sum(s_micro)) * (abs(sum(s_micro)) // count(*))
+         |    AS BIGINT) AS mean_s_micro,
+         |  overall_s_micro
+         |FROM si, ov GROUP BY cid, overall_s_micro
+         |ORDER BY cid""".stripMargin,
     // full PQ replay: the codebook training (PqM subspaces × 16 codes ×
     // 2 Lloyd iterations), the code assignment, the per-query LUT
     // (partial dots quantized to integer micro-units so the 8-way ADC

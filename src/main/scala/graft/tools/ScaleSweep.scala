@@ -99,7 +99,10 @@ object ScaleSweep {
     "x184_moods_median", "x186_emd_pairs", "x187_cliffs_delta",
     "x150b_window_recall",
     // the distinct-score ROC scan and the slice-grain triple correction
-    "x192_youden_j", "x194_holm_by")
+    "x192_youden_j", "x194_holm_by",
+    // the 16×-explode silhouette scan, the 5-round power iteration on
+    // the pair cache, and the rows×40 permutation explode
+    "x195_silhouette", "x196_eigen_centrality", "x198_perm_test")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

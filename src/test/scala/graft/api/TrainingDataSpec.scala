@@ -4255,4 +4255,56 @@ class TrainingDataSpec extends SparkSpec {
       .multipleTestingStepdown(flat, "slice", "f", 50000L)
       .collect().forall(r => !r.getBoolean(7) && !r.getBoolean(9)))
   }
+  test("eigenvectorCentrality: path graph oscillation, clique uniformity") {
+    // path 1–2–3 is bipartite: power iteration alternates, odd rounds
+    // end at (½, 1, ½) — the exact integer states are pinned
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val got = graft.api.TrainingData.eigenvectorCentrality(path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (1L, 500000L))
+    assert(got(2L) == (2L, 1000000L))
+    assert(got(3L) == (1L, 500000L))
+    // a triangle is regular: every node stays at the max
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("d1", "d2")
+    assert(graft.api.TrainingData.eigenvectorCentrality(tri)
+      .collect().forall(_.getLong(2) == 1000000L))
+  }
+
+  test("giniConcentration: hand-walked Lorenz and Gini, uniform = 0") {
+    val rows = Seq("a", "b", "c", "c", "c", "c").toDF("g")
+    val got = graft.api.TrainingData.giniConcentration(rows, "g")
+      .collect()
+    assert(got.map(_.getInt(2)).toSeq == Seq(1, 2, 3)) // ranks
+    assert(got.map(_.getLong(3)).toSeq ==
+      Seq(166666L, 333333L, 1000000L)) // Lorenz
+    assert(got.forall(_.getLong(4) == 333333L)) // (30−24)/18
+    val flat = Seq("a", "b", "c").toDF("g")
+    assert(graft.api.TrainingData.giniConcentration(flat, "g")
+      .collect().forall(_.getLong(4) == 0L))
+  }
+
+  test("permutationTestSum: constant values p=1, separated values p small") {
+    // every relabeling of a constant column produces the same stat →
+    // all B permutations are exactly as extreme → p = (1+B)/(B+1) = 1
+    val const = (1L to 6L).map(i => (i, i % 2 == 0, 7L))
+      .toDF("id", "ia", "v")
+    val c = graft.api.TrainingData
+      .permutationTestSum(const, "id", "ia", "v", b = 39)
+      .collect().head
+    assert(c.getLong(0) == 6L && c.getLong(1) == 3L)
+    assert(c.getLong(6) == 1000000L)
+    // complete separation (A = 100s, B = 0s): only the 2-in-20
+    // all-or-nothing relabelings tie the observed extremeness — the
+    // sha-deterministic count stays far below half
+    val sep = Seq((1L, true, 100L), (2L, true, 100L), (3L, true, 100L),
+      (4L, false, 0L), (5L, false, 0L), (6L, false, 0L))
+      .toDF("id", "ia", "v")
+    val r = graft.api.TrainingData
+      .permutationTestSum(sep, "id", "ia", "v", b = 39)
+      .collect().head
+    assert(r.getLong(3) == 300L)           // observed A-sum
+    assert(r.getLong(6) < 500000L)         // deterministic, replayable
+    assert(r.getLong(6) >= 25000L)         // the 1/(B+1) floor
+  }
 }

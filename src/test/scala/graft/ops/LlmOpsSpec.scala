@@ -976,6 +976,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0 && recall < 1000000L) // the window measurably misses
   }
 
+  test("x195 silhouette: bounded scores, consistent means, positive structure") {
+    val rows = VectorOps.x195Silhouette(spark, d).collect()
+    assert(rows.length == 16) // one row per IVF cluster
+    val overall = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) == overall))
+    rows.foreach { r =>
+      val (a, b, sMean) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a >= 0 && b >= 0)
+      assert(sMean >= -1000000L && sMean <= 1000000L)
+      // separation beats cohesion on this fixture: real clusters
+      assert(b > a)
+    }
+    assert(overall > 0)
+    // n_vecs covers every clustered non-zero vector exactly once
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == graft.Tables.t(spark, d, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id").isNotNull).count())
+  }
+
   test("block-regime guard: x150/x174 fixtures raise once a block outgrows the cap") {
     import spark.implicits._
     // 10 keys in one (prefix, length) block; a cap of 4 is exceeded →
