@@ -9135,4 +9135,244 @@ object TrainingData {
         expr(s"(1000000 * (1 + n_extreme)) div (${b}L + 1)")
           .as("p_two_sided_micros"))
   }
+  /** Neyman-optimal stratified sample allocation — the survey-sampling
+    * answer to "given a labeling/eval budget of `budget` rows, how many
+    * from each stratum": n_h ∝ N_h·σ_h minimizes the variance of the
+    * stratified mean, so high-variance strata get MORE than their share
+    * and homogeneous strata less — the principled upgrade over
+    * proportional quota (x81) when a value column measures within-
+    * stratum spread. Integer seats via [[largestRemainder]] (x176), so
+    * the allocation sums to the budget exactly.
+    *
+    * Exactness: values quantized once to MILLI units (the iccOneWay
+    * bound — squares stay in DECIMAL(38,0)); per-stratum variance in
+    * the exact (N·Σx² − S²)/(N(N−1)) form; σ is the ONE IEEE sqrt —
+    * correctly rounded by IEEE 754, so bit-identical across engines —
+    * rounded once to milli; the seat arithmetic is [[largestRemainder]]
+    * verbatim. Singleton and zero-variance strata have σ = 0 and get
+    * no seats (Neyman gives them ~none; document at the call site).
+    *
+    * Scale shape: one stratum-grain aggregation, then the x176
+    * bounded-relation machinery. */
+  def neymanAllocation(rows: DataFrame, stratumCol: String,
+      valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val per = rows
+      .filter(col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        expr(s"CAST(round(CAST(`$valueCol` AS DOUBLE) * 1000.0, 0)" +
+          " AS BIGINT)").as("x"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
+      .select(col("stratum"), col("n_rows"),
+        when(col("n_rows") < 2, lit(0L))
+          .otherwise(expr(
+            "CAST(round(sqrt(CAST((CAST(n_rows AS DECIMAL(38,0)) * sx2" +
+              " - CAST(sx AS DECIMAL(38,0)) * sx)" +
+              " div (CAST(n_rows AS DECIMAL(38,0)) * (n_rows - 1))" +
+              " AS DOUBLE)), 0) AS BIGINT)")).as("sigma_milli"))
+      .withColumn("neyman_weight",
+        expr("CAST(n_rows AS DECIMAL(38,0)) * sigma_milli")
+          .cast("long"))
+      .localCheckpoint(true) // stratum grain; feeds seats AND output
+    largestRemainder(per, "stratum", "neyman_weight", budget)
+      .select(col("src").as("stratum"), col("w").as("neyman_weight"),
+        col("base"), col("remainder"), col("rem_rank"), col("alloc"))
+      .join(per.select(col("stratum"), col("n_rows"),
+        col("sigma_milli")), Seq("stratum"))
+      .select(col("stratum"), col("n_rows"), col("sigma_milli"),
+        col("neyman_weight"), col("base"), col("remainder"),
+        col("rem_rank"), col("alloc"))
+      .orderBy(col("stratum"))
+  }
+
+  /** Hill tail-index estimator over the top-k order statistics — HOW
+    * heavy-tailed a positive measure is: α̂⁻¹ = (1/k)Σᵢ₌₁..k ln x₍ᵢ₎ −
+    * ln x₍ₖ₊₁₎; α ≈ 1 says a few users/documents carry unbounded mass
+    * share (plan for skew-salting), α > 2 says variance exists and
+    * means stabilize. The tail-grain companion to x85's Zipf slope
+    * (rank-frequency over the WHOLE distribution; Hill reads only the
+    * extreme order statistics, where capacity planning lives).
+    *
+    * Exactness: top-(k+1) by (value desc, deterministic) TakeOrdered;
+    * each ln quantized ONCE to micro-nats (round(ln·10⁶) — the x28j
+    * libm convention), the mean one truncated division, α one more
+    * (⌊10¹²/α̂⁻¹⌋). Fewer than k+1 positive values, or a zero inverse
+    * (top values all equal) → NULL α.
+    *
+    * Scale shape: one filtered TakeOrderedAndProject (k+1 rows leave
+    * the scan), then scalar work on k+1 rows. */
+  def hillTailIndex(rows: DataFrame, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k must be in [1, 1e5], got $k")
+    val top = rows
+      .filter(col(valueCol).isNotNull)
+      .select(integralLong(valueCol, "hillTailIndex").as("v"))
+      .filter(col("v") > 0)
+      .orderBy(col("v").desc).limit(k + 1)
+      .withColumn("l", expr(
+        "CAST(round(log(CAST(v AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("v").desc)))
+      .localCheckpoint(true) // k+1 rows; feeds the tail ref + the sum
+    val ref = top.filter(col("rk") === k + 1)
+      .select(col("v").as("x_k1"), col("l").as("l_k1"))
+    top.filter(col("rk") <= k)
+      .agg(count(lit(1)).as("n_top"), sum(col("l")).as("lsum"))
+      .crossJoin(broadcast(ref))
+      .select(lit(k.toLong).as("k"), col("x_k1"),
+        when(col("n_top") < k, lit(null).cast("long"))
+          .otherwise(expr(s"(lsum - ${k}L * l_k1) div ${k}L"))
+          .as("hill_inv_micros"))
+      .withColumn("alpha_micros",
+        when(col("hill_inv_micros").isNull ||
+          col("hill_inv_micros") <= 0, lit(null).cast("long"))
+          .otherwise(expr("1000000000000L div hill_inv_micros")))
+  }
+
+  /** Cochran–Armitage trend test — does a binary rate TREND across
+    * ORDERED groups (length buckets, quality deciles, time buckets):
+    * T' = Σ s_g·(k_g·N − n_g·K) with integer scores s_g, z² =
+    * T'²·N(N−1) / (K(N−K)·(N·Σn s² − (Σn s)²)). The ordered-alternative
+    * sharpening of x77's omnibus χ² — a monotone drift in the rate
+    * spends all its evidence on one degree of freedom.
+    *
+    * Exactness: all sums exact in DECIMAL(38,0); z² as TWO chained
+    * truncated divisions (⌊⌊10⁶T'²/(K(N−K))⌋·N(N−1)/denom⌋ — the
+    * mannWhitneyU recipe, keeping every intermediate inside
+    * DECIMAL(38,0) to N ≈ 10⁷ at score ≤ 100; a raise_error guard
+    * names the bound). Degenerate margins (K = 0, K = N, single
+    * group, zero score variance) → NULL.
+    *
+    * Scale shape: one (score)-grain aggregation + one scalar reduce. */
+  def cochranArmitage(rows: DataFrame, scoreCol: String,
+      flagCol: String, maxExactRows: Long = 10000000L): DataFrame = {
+    val base = rows
+      .filter(col(scoreCol).isNotNull && col(flagCol).isNotNull)
+      .select(integralLong(scoreCol, "cochranArmitage").as("s"),
+        when(col(flagCol).cast("boolean"), 1L).otherwise(0L).as("f"))
+    val per = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_g"), sum(col("f")).as("k_g"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("n_g")).as("nn"), sum(col("k_g")).as("kk"),
+      count(lit(1)).as("n_groups"))
+    per.crossJoin(broadcast(tot))
+      .agg(first(col("nn")).as("n"), first(col("kk")).as("k_pos"),
+        first(col("n_groups")).as("n_groups"),
+        sum(expr("CAST(s AS DECIMAL(38,0))" +
+          " * (CAST(k_g AS DECIMAL(38,0)) * nn" +
+          " - CAST(n_g AS DECIMAL(38,0)) * kk)")).as("t_prime"),
+        sum(expr("CAST(n_g AS DECIMAL(38,0)) * s * s")).as("ns2"),
+        sum(expr("CAST(n_g AS DECIMAL(38,0)) * s")).as("ns"))
+      .select(col("n"), col("k_pos"), col("n_groups"),
+        col("t_prime").cast("long").as("t_prime"),
+        when(col("n") > maxExactRows, expr(
+          "raise_error('cochranArmitage: exact-arithmetic bound" +
+            " exceeded (N > maxExactRows); pre-bucket the score')"))
+          .when(col("k_pos") === 0 || col("k_pos") === col("n") ||
+            expr("CAST(n AS DECIMAL(38,0)) * ns2 - ns * ns") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(((1000000 * t_prime * CAST(t_prime AS DECIMAL(38,0)))" +
+              " div (CAST(k_pos AS DECIMAL(38,0)) * (n - k_pos))" +
+              " * (CAST(n AS DECIMAL(38,0)) * (n - 1)))" +
+              " div (CAST(n AS DECIMAL(38,0)) * ns2 - ns * ns)" +
+              " AS BIGINT)")).as("z_sq_micros"))
+  }
+
+  /** Durbin–Watson statistic over an ordered series — the first-lag
+    * autocorrelation read in its classic regression-diagnostic form:
+    * DW = Σ(Δx)²/Σ(x − x̄)² ≈ 2(1 − ρ₁); DW ≪ 2 says successive days
+    * move together (drift, regime persistence), DW ≈ 2 white noise,
+    * DW > 2 alternation. Beside x131's autocorrelation (same quantity,
+    * correlation form) and x185's runs test (sign form).
+    *
+    * Exactness: cross-multiplied to clear the rational mean — DW =
+    * n²·Σ(Δx)² / Σ(n·x − S)², exact integers in DECIMAL(38,0), one
+    * truncated division to micros. Zero variance → NULL.
+    *
+    * Scale shape: expects the AGGREGATED series (day grain); one lag
+    * window over the bounded series (single-partition, documented),
+    * one scalar reduce. */
+  def durbinWatson(series: DataFrame, xCol: String,
+      valueCol: String): DataFrame = {
+    val base = series
+      .filter(col(xCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(xCol).as("x"),
+        integralLong(valueCol, "durbinWatson").as("v"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+    base
+      .withColumn("dv", col("v") - lag(col("v"), 1).over(wOrd))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("sd2"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("sv2"))
+      .select(col("n"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * CAST(sv AS DECIMAL(38,0)))" +
+            " div n AS BIGINT)")).as("mean_micros"),
+        // Σ(n·x − S)² = n·(n·Σx² − S²)
+        when(expr("CAST(n AS DECIMAL(38,0)) * sv2" +
+            " - CAST(sv AS DECIMAL(38,0)) * sv") <= 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * CAST(n AS DECIMAL(38,0)) * coalesce(sd2, 0))" +
+              " div (CAST(n AS DECIMAL(38,0)) * sv2" +
+              " - CAST(sv AS DECIMAL(38,0)) * sv) AS BIGINT)"))
+          .as("dw_micros"))
+  }
+
+  /** G-test (log-likelihood-ratio χ²) of per-source categorical drift —
+    * G = 2ΣO·ln(O/E) against the corpus-wide distribution: the
+    * information-theoretic twin of x77's Pearson χ² (G IS 2N·KL(obs‖exp)
+    * in nats), better behaved when expected cell counts are small and
+    * additive across nested slicings. Zero cells contribute exactly 0
+    * (lim x·ln x = 0), so only OBSERVED cells are scanned — no grid.
+    *
+    * Exactness: per-cell log-ratio ln(O·N/(n_s·n_c)) evaluated as ONE
+    * written-out IEEE sequence (cast, multiply, divide, divide — the
+    * x28j convention) and quantized once to micro-nats; the per-source
+    * term 2·O·l and all sums are exact integers after that. Per-source
+    * terms are SIGNED (an everywhere-under-represented source sums
+    * negative); the corpus G ≥ 0 broadcasts onto every row.
+    *
+    * Scale shape: one (source, category) aggregation; margins
+    * broadcast; no window, no grid join. */
+  def gTestDrift(docs: DataFrame, srcCol: String,
+      catCol: String): DataFrame = {
+    val base = docs
+      .filter(col(srcCol).isNotNull && col(catCol).isNotNull)
+      .select(col(srcCol).cast("string").as("src"),
+        col(catCol).cast("string").as("cat"))
+    val cell = base.groupBy(col("src"), col("cat"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true) // cell grain; feeds margins AND the terms
+    val ns = cell.groupBy(col("src")).agg(sum(col("o")).as("n_s"))
+    val nc = cell.groupBy(col("cat")).agg(sum(col("o")).as("n_c"))
+    val tot = cell.agg(sum(col("o")).as("nn"),
+      count_distinct(col("src")).as("n_srcs"),
+      count_distinct(col("cat")).as("n_cats"))
+    val terms = cell
+      .join(broadcast(ns), Seq("src"))
+      .join(broadcast(nc), Seq("cat"))
+      .crossJoin(broadcast(tot))
+      .select(col("src"), col("n_s"), col("n_srcs"), col("n_cats"),
+        (lit(2L) * col("o") * expr(
+          "CAST(round(log(((CAST(o AS DOUBLE) * nn) / n_s) / n_c)" +
+            " * 1000000.0, 0) AS BIGINT)")).as("t"))
+    val perSrc = terms
+      .groupBy(col("src"))
+      .agg(first(col("n_s")).as("n_docs"),
+        (first(col("n_srcs")) - 1).as("dof_src"),
+        (first(col("n_cats")) - 1).as("dof_cat"),
+        sum(col("t")).as("g_term_micros"))
+      .localCheckpoint(true) // source grain; feeds corpus G + output
+    val overall = perSrc.agg(sum(col("g_term_micros")).as("g_micros"))
+    perSrc.crossJoin(broadcast(overall))
+      .select(col("src").as("source"), col("n_docs"),
+        (col("dof_src") * col("dof_cat")).as("dof"),
+        col("g_term_micros"), col("g_micros"))
+      .orderBy(col("source"))
+  }
 }

@@ -817,7 +817,61 @@ object SamplingOps {
           col("n_chars")),
       "doc_id", "is_en", "n_chars", b = 40)
 
+  /** X199 — Neyman-optimal allocation of a 1000-row labeling budget
+    * across sources, weighted by within-source n_chars spread: the
+    * variance-minimizing upgrade over x81's proportional quota,
+    * integer seats via the x176 largest-remainder machinery. Fixture
+    * binding of [[graft.api.TrainingData.neymanAllocation]]. */
+  def x199Neyman(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.neymanAllocation(
+      t(s, d, "documents"), "source", "n_chars", budget = 1000L)
+
+  /** X200 — Hill tail-index of per-user event counts (k = 50): how
+    * heavy the activity tail is — the extreme-order-statistics read
+    * beside x85's whole-distribution Zipf slope and x189's dispersion.
+    * Fixture binding of [[graft.api.TrainingData.hillTailIndex]]. */
+  def x200Hill(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.hillTailIndex(
+      t(s, d, "events").filter(col("user_id").isNotNull)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev")),
+      "n_ev", k = 50)
+
+  /** X201 — Cochran–Armitage trend of the en rate across ordered
+    * length buckets (least(9, n_chars div 100)): does English share
+    * TREND with length — the one-degree-of-freedom sharpening of
+    * x77's omnibus χ² on an ordered exposure. Fixture binding of
+    * [[graft.api.TrainingData.cochranArmitage]]. */
+  def x201CochranArmitage(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cochranArmitage(
+      t(s, d, "documents")
+        .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+        .select(expr("least(9L, n_chars div 100)").as("bucket"),
+          (col("lang") === "en").as("is_en")),
+      "bucket", "is_en")
+
+  /** X202 — Durbin–Watson statistic of the daily event-volume series:
+    * the classic ≈2(1−ρ₁) read beside x131's autocorrelation and
+    * x185's runs test on the same axis. Fixture binding of
+    * [[graft.api.TrainingData.durbinWatson]]. */
+  def x202DurbinWatson(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.durbinWatson(dailyCounts(s, d), "day",
+      "n_events")
+
+  /** X203 — G-test of per-source language drift vs the corpus-wide
+    * distribution: the log-likelihood twin of x77's Pearson χ² on the
+    * identical (source, lang) table — 2N·KL in micro-nats, zero cells
+    * free. Fixture binding of
+    * [[graft.api.TrainingData.gTestDrift]]. */
+  def x203GTest(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.gTestDrift(
+      t(s, d, "documents"), "source", "lang")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x199_neyman" -> (x199Neyman _),
+    "x200_hill" -> (x200Hill _),
+    "x201_cochran_armitage" -> (x201CochranArmitage _),
+    "x202_durbin_watson" -> (x202DurbinWatson _),
+    "x203_gtest" -> (x203GTest _),
     "x197_gini" -> (x197Gini _),
     "x198_perm_test" -> (x198PermTest _),
     "x190_mann_kendall" -> (x190MannKendall _),
@@ -906,6 +960,146 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Neyman replay: milli quantization, exact variance form, the ONE
+    // IEEE sqrt rounded once, then the x176 seat arithmetic verbatim
+    "x199_neyman" ->
+      """WITH q0 AS (SELECT CAST(source AS VARCHAR) AS stratum,
+        |    CAST(round(CAST(n_chars AS DOUBLE) * 1000.0, 0) AS BIGINT)
+        |      AS x
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS sx2
+        |  FROM q0 GROUP BY 1),
+        |sg AS (SELECT stratum, n_rows,
+        |    CASE WHEN n_rows < 2 THEN 0
+        |      ELSE CAST(round(sqrt(CAST((CAST(n_rows AS HUGEINT) * sx2
+        |        - CAST(sx AS HUGEINT) * sx)
+        |        // (CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS DOUBLE)),
+        |        0) AS BIGINT) END AS sigma_milli
+        |  FROM per),
+        |w AS (SELECT stratum, n_rows, sigma_milli,
+        |    CAST(CAST(n_rows AS HUGEINT) * sigma_milli AS BIGINT)
+        |      AS neyman_weight
+        |  FROM sg),
+        |pos AS (SELECT * FROM w WHERE neyman_weight > 0),
+        |tt AS (SELECT CAST(sum(neyman_weight) AS BIGINT) AS w_all
+        |  FROM pos),
+        |q AS (SELECT stratum, n_rows, sigma_milli, neyman_weight,
+        |    (1000 * neyman_weight) // w_all AS base,
+        |    (1000 * neyman_weight) % w_all AS remainder
+        |  FROM pos, tt),
+        |lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS r FROM q),
+        |rk AS (SELECT *, row_number() OVER (
+        |    ORDER BY remainder DESC, stratum) AS rem_rank FROM q)
+        |SELECT stratum, n_rows, sigma_milli, neyman_weight, base,
+        |  remainder, rem_rank,
+        |  base + CASE WHEN rem_rank <= r THEN 1 ELSE 0 END AS alloc
+        |FROM rk, lo ORDER BY stratum""".stripMargin,
+    // Hill replay: TakeOrdered top-(k+1), micro-nat ln per order stat,
+    // truncated mean and inverse
+    "x200_hill" ->
+      """WITH pu AS (SELECT CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |top0 AS (SELECT v FROM pu WHERE v > 0 ORDER BY v DESC LIMIT 51),
+        |top AS (SELECT v,
+        |    CAST(round(ln(CAST(v AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+        |      AS l,
+        |    row_number() OVER (ORDER BY v DESC) AS rk
+        |  FROM top0),
+        |ref AS (SELECT v AS x_k1, l AS l_k1 FROM top WHERE rk = 51),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_top,
+        |    CAST(sum(l) AS BIGINT) AS lsum FROM top WHERE rk <= 50),
+        |st AS (SELECT CAST(50 AS BIGINT) AS k, x_k1,
+        |    CASE WHEN n_top < 50 THEN NULL
+        |      ELSE (lsum - 50 * l_k1) // 50 END AS hill_inv_micros
+        |  FROM ag, ref)
+        |SELECT k, x_k1, hill_inv_micros,
+        |  CASE WHEN hill_inv_micros IS NULL OR hill_inv_micros <= 0
+        |    THEN NULL
+        |    ELSE 1000000000000 // hill_inv_micros END AS alpha_micros
+        |FROM st""".stripMargin,
+    // Cochran–Armitage replay: score-grain margins, the chained
+    // truncated divisions in HUGEINT
+    "x201_cochran_armitage" ->
+      """WITH b AS (SELECT least(9, n_chars // 100) AS s,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |per AS (SELECT s, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(f) AS BIGINT) AS k_g FROM b GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+        |    CAST(sum(k_g) AS BIGINT) AS kk,
+        |    CAST(count(*) AS BIGINT) AS n_groups FROM per),
+        |ag AS (SELECT sum(CAST(s AS HUGEINT)
+        |      * (CAST(k_g AS HUGEINT) * nn - CAST(n_g AS HUGEINT) * kk))
+        |      AS t_prime,
+        |    sum(CAST(n_g AS HUGEINT) * s * s) AS ns2,
+        |    sum(CAST(n_g AS HUGEINT) * s) AS ns
+        |  FROM per, tt)
+        |SELECT nn AS n, kk AS k_pos, n_groups,
+        |  CAST(t_prime AS BIGINT) AS t_prime,
+        |  CASE WHEN kk = 0 OR kk = nn
+        |      OR CAST(nn AS HUGEINT) * ns2 - ns * ns = 0 THEN NULL
+        |    ELSE CAST(((1000000 * t_prime * t_prime)
+        |      // (CAST(kk AS HUGEINT) * (nn - kk))
+        |      * (CAST(nn AS HUGEINT) * (nn - 1)))
+        |      // (CAST(nn AS HUGEINT) * ns2 - ns * ns) AS BIGINT)
+        |  END AS z_sq_micros
+        |FROM ag, tt""".stripMargin,
+    // Durbin–Watson replay: the shared daily CTE, lag deltas, the
+    // cross-multiplied exact form
+    "x202_durbin_watson" ->
+      """WITH e AS (SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE ts IS NOT NULL),
+        |lo AS (SELECT min(ms) AS lo FROM e),
+        |daily AS (SELECT (ms - lo) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM e, lo GROUP BY 1),
+        |lg AS (SELECT v, v - lag(v) OVER (ORDER BY day) AS dv
+        |  FROM daily),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv,
+        |    sum(CAST(dv AS HUGEINT) * dv) AS sd2,
+        |    sum(CAST(v AS HUGEINT) * v) AS sv2
+        |  FROM lg)
+        |SELECT n,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE CAST((1000000 * CAST(sv AS HUGEINT)) // n AS BIGINT)
+        |  END AS mean_micros,
+        |  CASE WHEN CAST(n AS HUGEINT) * sv2
+        |      - CAST(sv AS HUGEINT) * sv <= 0 THEN NULL
+        |    ELSE CAST((1000000 * CAST(n AS HUGEINT) * coalesce(sd2, 0))
+        |      // (CAST(n AS HUGEINT) * sv2 - CAST(sv AS HUGEINT) * sv)
+        |      AS BIGINT)
+        |  END AS dw_micros
+        |FROM ag""".stripMargin,
+    // G-test replay: observed cells only, the identical IEEE log-ratio
+    // sequence quantized once per cell, signed per-source terms
+    "x203_gtest" ->
+      """WITH b AS (SELECT CAST(source AS VARCHAR) AS src,
+        |    CAST(lang AS VARCHAR) AS cat
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |cell AS (SELECT src, cat, CAST(count(*) AS BIGINT) AS o
+        |  FROM b GROUP BY 1, 2),
+        |ns AS (SELECT src, CAST(sum(o) AS BIGINT) AS n_s
+        |  FROM cell GROUP BY 1),
+        |nc AS (SELECT cat, CAST(sum(o) AS BIGINT) AS n_c
+        |  FROM cell GROUP BY 1),
+        |tt AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+        |    CAST(count(DISTINCT cat) AS BIGINT) AS n_cats FROM cell),
+        |tm AS (SELECT src, n_s, n_srcs, n_cats,
+        |    2 * o * CAST(round(ln(((CAST(o AS DOUBLE) * nn) / n_s)
+        |      / n_c) * 1000000.0, 0) AS BIGINT) AS t
+        |  FROM cell JOIN ns USING (src) JOIN nc USING (cat), tt),
+        |ps AS (SELECT src AS source, any_value(n_s) AS n_docs,
+        |    (any_value(n_srcs) - 1) * (any_value(n_cats) - 1) AS dof,
+        |    CAST(sum(t) AS BIGINT) AS g_term_micros
+        |  FROM tm GROUP BY 1),
+        |ov AS (SELECT CAST(sum(g_term_micros) AS BIGINT) AS g_micros
+        |  FROM ps)
+        |SELECT source, n_docs, dof, g_term_micros, g_micros
+        |FROM ps, ov ORDER BY source""".stripMargin,
     // Gini replay: ascending (mass, group) rank, exact rank-weighted
     // numerator, truncated Lorenz shares
     "x197_gini" ->

@@ -102,7 +102,9 @@ object ScaleSweep {
     "x192_youden_j", "x194_holm_by",
     // the 16×-explode silhouette scan, the 5-round power iteration on
     // the pair cache, and the rows×40 permutation explode
-    "x195_silhouette", "x196_eigen_centrality", "x198_perm_test")
+    "x195_silhouette", "x196_eigen_centrality", "x198_perm_test",
+    // the stratum-variance pass and the observed-cell G scan
+    "x199_neyman", "x203_gtest")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

@@ -4307,4 +4307,75 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getLong(6) < 500000L)         // deterministic, replayable
     assert(r.getLong(6) >= 25000L)         // the 1/(B+1) floor
   }
+  test("neymanAllocation: spread-weighted seats, zero-variance strata excluded") {
+    // a: σ = round(√5e7) = 7071 (milli), c: σ = 14142, b: σ = 0 → out
+    val rows = Seq(("a", 0.0), ("a", 10.0), ("b", 5.0), ("b", 5.0),
+      ("c", 0.0), ("c", 20.0)).toDF("st", "v")
+    val got = graft.api.TrainingData
+      .neymanAllocation(rows, "st", "v", budget = 10L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "c"))
+    assert(got("a").getLong(2) == 7071L && got("c").getLong(2) == 14142L)
+    assert(got("a").getLong(3) == 14142L && got("c").getLong(3) == 28284L)
+    assert(got("a").getLong(7) == 3L && got("c").getLong(7) == 7L)
+    assert(got.values.map(_.getLong(7)).sum == 10L) // exact budget
+  }
+
+  test("hillTailIndex: hand-walked micro-nat mean, short input empty") {
+    val rows = Seq(100L, 10L, 10L, 1L).toDF("v")
+    val r = graft.api.TrainingData.hillTailIndex(rows, "v", k = 2)
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 10L) // k, x_(k+1)
+    assert(r.getLong(2) == 1151292L) // (4605170 − 2302585)/2
+    assert(r.getLong(3) == 1000000000000L / 1151292L)
+    // fewer than k+1 positive values → no tail to estimate
+    assert(graft.api.TrainingData
+      .hillTailIndex(Seq(5L).toDF("v"), "v", k = 2).collect().isEmpty)
+  }
+
+  test("cochranArmitage: perfect trend z²=20 exactly, flat trend 0") {
+    val rows = Seq((0L, false), (0L, false), (1L, false), (1L, true),
+      (2L, true), (2L, true)).toDF("s", "f")
+    val r = graft.api.TrainingData.cochranArmitage(rows, "s", "f")
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 12L)        // T′
+    assert(r.getLong(4) == 20000000L)  // z² = 20, exactly
+    val flat = Seq((0L, true), (0L, false), (1L, true), (1L, false))
+      .toDF("s", "f")
+    assert(graft.api.TrainingData.cochranArmitage(flat, "s", "f")
+      .collect().head.getLong(4) == 0L)
+    // degenerate margin (all flagged) → NULL
+    val allPos = Seq((0L, true), (1L, true)).toDF("s", "f")
+    assert(graft.api.TrainingData.cochranArmitage(allPos, "s", "f")
+      .collect().head.isNullAt(4))
+  }
+
+  test("durbinWatson: ramp 0.6, alternation 3.0, constant NULL") {
+    val ramp = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("x", "v")
+    val r = graft.api.TrainingData.durbinWatson(ramp, "x", "v")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2500000L)
+    assert(r.getLong(2) == 600000L)
+    val alt = Seq((1L, 1L), (2L, 3L), (3L, 1L), (4L, 3L)).toDF("x", "v")
+    assert(graft.api.TrainingData.durbinWatson(alt, "x", "v")
+      .collect().head.getLong(2) == 3000000L)
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "v")
+    assert(graft.api.TrainingData.durbinWatson(const, "x", "v")
+      .collect().head.isNullAt(2))
+  }
+
+  test("gTestDrift: complete separation 8·ln2, uniform 0") {
+    val sep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("src", "cat")
+    val got = graft.api.TrainingData.gTestDrift(sep, "src", "cat")
+      .collect()
+    assert(got.forall(_.getLong(2) == 1L))       // dof = 1×1
+    assert(got.forall(_.getLong(3) == 2772588L)) // 4·round(ln2·1e6)
+    assert(got.forall(_.getLong(4) == 5545176L)) // corpus G = 8·ln2
+    val uni = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("src", "cat")
+    assert(graft.api.TrainingData.gTestDrift(uni, "src", "cat")
+      .collect().forall(_.getLong(4) == 0L))
+  }
 }
