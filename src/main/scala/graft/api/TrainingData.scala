@@ -9375,4 +9375,120 @@ object TrainingData {
         col("g_term_micros"), col("g_micros"))
       .orderBy(col("source"))
   }
+  /** Dunn's post-hoc pairwise rank tests — WHICH group pairs differ,
+    * after kruskalWallis (x179) said SOME do: for every (g, h) pair,
+    * z² of the mean-rank difference against the pooled tie-corrected
+    * rank variance. The multiple-comparison companion: feed the z²
+    * column to bhFdr/multipleTestingStepdown for the corrected
+    * verdicts.
+    *
+    * Exactness: doubled midranks via the x121 identity over the pooled
+    * distinct-value relation (the x159/x179 machinery verbatim); the
+    * pair statistic cross-multiplied — num = r2_g·n_h − r2_h·n_g, z² =
+    * 3·10⁶·⌊num²/(n_g·n_h)⌋·(N−1) / ((n_g+n_h)·(N(N+1)(N−1) − T)) as
+    * two chained truncated divisions, every intermediate inside
+    * DECIMAL(38,0) to N ≈ 2·10⁶ (raise_error names the bound —
+    * pre-bucket past it). Zero pooled variance → NULL.
+    *
+    * Scale shape: per-value counts one aggregation; the cumulative
+    * pass at VALUE cardinality; groups reduce to (grp, n, r2) and the
+    * pair join is a broadcast over the GROUP-grain relation. */
+  def dunnPostHoc(rows: DataFrame, groupCol: String, valueCol: String,
+      maxExactRows: Long = 2000000L): DataFrame = {
+    val base = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(valueCol, "dunnPostHoc").as("v"))
+    val byGV = base.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // cell grain; feeds pooled AND rank sums
+    val pooled = byGV.groupBy(col("v")).agg(sum(col("c")).as("pc"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = pooled
+      .withColumn("cb", coalesce(sum(col("pc")).over(wOrd), lit(0L)))
+      .localCheckpoint(true) // value grain; feeds tie term AND ranks
+    val tie = cum.agg(
+      coalesce(sum(expr("CAST(pc AS DECIMAL(38,0)) * pc * pc - pc")),
+        lit(0L).cast("decimal(38,0)")).as("t"))
+    val per = byGV.join(cum.select(col("v"), col("pc"), col("cb")),
+        Seq("v"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * (2 * cb + pc + 1)"))
+          .as("r2"))
+      .localCheckpoint(true) // group grain; both sides of the pair join
+    val tot = per.agg(sum(col("n_g")).as("nn"))
+    per.as("a")
+      .join(broadcast(per.as("b")), col("a.grp") < col("b.grp"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(tie))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.n_g").as("n_a"), col("b.n_g").as("n_b"),
+        expr("CAST((1000000 * a.r2) div (2 * CAST(a.n_g AS" +
+          " DECIMAL(38,0))) AS BIGINT)").as("mean_rank_a_micros"),
+        expr("CAST((1000000 * b.r2) div (2 * CAST(b.n_g AS" +
+          " DECIMAL(38,0))) AS BIGINT)").as("mean_rank_b_micros"),
+        when(col("nn") > maxExactRows, expr(
+          "raise_error('dunnPostHoc: exact-arithmetic bound exceeded" +
+            " (N > maxExactRows); pre-bucket the measure')"))
+          .when(expr("CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1)" +
+            " - t") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((3000000 * ((a.r2 * b.n_g - b.r2 * a.n_g)" +
+              " * (a.r2 * b.n_g - b.r2 * a.n_g)" +
+              " div (CAST(a.n_g AS DECIMAL(38,0)) * b.n_g))" +
+              " * (nn - 1))" +
+              " div ((CAST(a.n_g AS DECIMAL(38,0)) + b.n_g)" +
+              " * (CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1) - t))" +
+              " AS BIGINT)")).as("z_sq_micros"))
+      .orderBy(col("grp_a"), col("grp_b"))
+  }
+
+  /** Empirical-Bernstein confidence bound per group — "how far can
+    * this slice's mean move at this sample size": with probability
+    * ≥ 1−δ, |x̄ − μ| ≤ √(2·v̂·ln(3/δ)/n) + 3·R·ln(3/δ)/n (Maurer &
+    * Pontil 2009) — the variance-ADAPTIVE bound that beats Hoeffding
+    * wherever the slice is calmer than its range, and the honest
+    * error bar a curation dashboard attaches to every per-source mean
+    * (x125's Wilson bounds are its proportion-valued sibling).
+    *
+    * Exactness: n, S, range and the variance numerator are exact
+    * integers; the bound is ONE written-out IEEE sequence (divide,
+    * multiply, sqrt, add — mirrored character-for-character, with
+    * ln(3/δ) shipped as a shortest-round-trip double literal, the
+    * bm25 constant convention) quantized once to micros. n < 2 →
+    * NULL bound.
+    *
+    * Scale shape: one group-grain aggregation; no windows, no joins. */
+  def empiricalBernstein(rows: DataFrame, groupCol: String,
+      valueCol: String, delta: Double = 0.05): DataFrame = {
+    require(delta > 0 && delta < 1, s"delta must be in (0,1), got $delta")
+    val lLit = java.lang.Double.toString(math.log(3.0 / delta))
+    rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(valueCol, "empiricalBernstein").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"),
+        (max(col("x")) - min(col("x"))).as("val_range"))
+      .select(col("grp"), col("n"), col("val_range"),
+        expr("CAST((1000000 * CAST(sx AS DECIMAL(38,0))) div n" +
+          " AS BIGINT)").as("mean_micros"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(round((sqrt((2.0 * (CAST(CAST(n AS DECIMAL(38,0))" +
+              s" * sx2 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)" +
+              s" / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))" +
+              s" * CAST($lLit AS DOUBLE)) / CAST(n AS DOUBLE))" +
+              s" + (3.0 * CAST(val_range AS DOUBLE)" +
+              s" * CAST($lLit AS DOUBLE)) / CAST(n AS DOUBLE))" +
+              s" * 1000000.0, 0) AS BIGINT)")).as("bound_micros"))
+      .select(col("grp"), col("n"), col("val_range"), col("mean_micros"),
+        col("bound_micros"),
+        (col("mean_micros") - col("bound_micros")).as("lo_micros"),
+        (col("mean_micros") + col("bound_micros")).as("hi_micros"))
+      .orderBy(col("grp"))
+  }
 }

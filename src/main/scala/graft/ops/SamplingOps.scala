@@ -866,7 +866,26 @@ object SamplingOps {
     graft.api.TrainingData.gTestDrift(
       t(s, d, "documents"), "source", "lang")
 
+  /** X204 — Dunn post-hoc pairwise rank tests over the x179 axis
+    * (source × n_chars): WHICH source pairs differ in length
+    * distribution after Kruskal–Wallis says some do; the z² column is
+    * bhFdr/x194 fodder. Fixture binding of
+    * [[graft.api.TrainingData.dunnPostHoc]]. */
+  def x204Dunn(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.dunnPostHoc(
+      t(s, d, "documents"), "source", "n_chars")
+
+  /** X205 — empirical-Bernstein bound on each source's mean n_chars at
+    * δ = 0.05: the variance-adaptive error bar beside x125's Wilson
+    * proportion bounds. Fixture binding of
+    * [[graft.api.TrainingData.empiricalBernstein]]. */
+  def x205Bernstein(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.empiricalBernstein(
+      t(s, d, "documents"), "source", "n_chars")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x204_dunn" -> (x204Dunn _),
+    "x205_bernstein" -> (x205Bernstein _),
     "x199_neyman" -> (x199Neyman _),
     "x200_hill" -> (x200Hill _),
     "x201_cochran_armitage" -> (x201CochranArmitage _),
@@ -960,6 +979,69 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Dunn replay: the x179 pooled-midrank CTEs, cross-multiplied pair
+    // statistic, two chained truncated divisions in HUGEINT
+    "x204_dunn" ->
+      """WITH b AS (SELECT CAST(source AS VARCHAR) AS grp, n_chars AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |gv AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |pool AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc
+        |  FROM gv GROUP BY 1),
+        |cum AS (SELECT v, pc,
+        |    coalesce(sum(pc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM pool),
+        |tie AS (SELECT coalesce(sum(CAST(pc AS HUGEINT) * pc * pc - pc),
+        |    0) AS t FROM cum),
+        |per AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |    sum(CAST(c AS HUGEINT) * (2 * cb + pc + 1)) AS r2
+        |  FROM gv JOIN cum USING (v) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn FROM per)
+        |SELECT a.grp AS grp_a, b2.grp AS grp_b,
+        |  a.n_g AS n_a, b2.n_g AS n_b,
+        |  CAST((1000000 * a.r2) // (2 * CAST(a.n_g AS HUGEINT))
+        |    AS BIGINT) AS mean_rank_a_micros,
+        |  CAST((1000000 * b2.r2) // (2 * CAST(b2.n_g AS HUGEINT))
+        |    AS BIGINT) AS mean_rank_b_micros,
+        |  CASE WHEN CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - t <= 0
+        |    THEN NULL
+        |    ELSE CAST((3000000 * ((a.r2 * b2.n_g - b2.r2 * a.n_g)
+        |      * (a.r2 * b2.n_g - b2.r2 * a.n_g)
+        |      // (CAST(a.n_g AS HUGEINT) * b2.n_g)) * (nn - 1))
+        |      // ((CAST(a.n_g AS HUGEINT) + b2.n_g)
+        |      * (CAST(nn AS HUGEINT) * (nn + 1) * (nn - 1) - t))
+        |      AS BIGINT)
+        |  END AS z_sq_micros
+        |FROM per a JOIN per b2 ON a.grp < b2.grp, tt, tie
+        |ORDER BY grp_a, grp_b""".stripMargin,
+    // Bernstein replay: exact margins, the identical written-out IEEE
+    // sequence with ln(3/δ) shipped as the same double literal
+    "x205_bernstein" ->
+      s"""WITH per AS (SELECT CAST(source AS VARCHAR) AS grp,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS sx,
+         |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sx2,
+         |    CAST(max(n_chars) - min(n_chars) AS BIGINT) AS val_range
+         |  FROM documents WHERE source IS NOT NULL
+         |    AND n_chars IS NOT NULL GROUP BY 1),
+         |st AS (SELECT grp, n, val_range,
+         |    CAST((1000000 * CAST(sx AS HUGEINT)) // n AS BIGINT)
+         |      AS mean_micros,
+         |    CASE WHEN n < 2 THEN NULL ELSE
+         |      CAST(round((sqrt((2.0 * (CAST(CAST(n AS HUGEINT) * sx2
+         |        - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         |        * CAST(4.0943445622221 AS DOUBLE)) / CAST(n AS DOUBLE))
+         |        + (3.0 * CAST(val_range AS DOUBLE)
+         |        * CAST(4.0943445622221 AS DOUBLE)) / CAST(n AS DOUBLE))
+         |        * 1000000.0, 0) AS BIGINT)
+         |    END AS bound_micros
+         |  FROM per)
+         |SELECT grp, n, val_range, mean_micros, bound_micros,
+         |  mean_micros - bound_micros AS lo_micros,
+         |  mean_micros + bound_micros AS hi_micros
+         |FROM st ORDER BY grp""".stripMargin,
     // Neyman replay: milli quantization, exact variance form, the ONE
     // IEEE sqrt rounded once, then the x176 seat arithmetic verbatim
     "x199_neyman" ->

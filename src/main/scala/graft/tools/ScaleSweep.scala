@@ -104,7 +104,9 @@ object ScaleSweep {
     // the pair cache, and the rows×40 permutation explode
     "x195_silhouette", "x196_eigen_centrality", "x198_perm_test",
     // the stratum-variance pass and the observed-cell G scan
-    "x199_neyman", "x203_gtest")
+    "x199_neyman", "x203_gtest",
+    // the pooled-midrank pair tests and the per-slice bound scan
+    "x204_dunn", "x205_bernstein")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

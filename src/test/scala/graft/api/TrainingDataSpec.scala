@@ -4378,4 +4378,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(graft.api.TrainingData.gTestDrift(uni, "src", "cat")
       .collect().forall(_.getLong(4) == 0L))
   }
+  test("dunnPostHoc: k=2 reproduces the Kruskal-Wallis z² constant") {
+    // the x159/x179 separated fixture: one pair, z² must be 3857142
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = graft.api.TrainingData.dunnPostHoc(rows, "g", "v")
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "a" && row.getString(1) == "b")
+    assert(row.getLong(4) == 2000000L && row.getLong(5) == 5000000L)
+    assert(row.getLong(6) == 3857142L)
+    // fully tied input → zero pooled rank variance → NULL
+    val tied = Seq(("a", 7L), ("b", 7L)).toDF("g", "v")
+    assert(graft.api.TrainingData.dunnPostHoc(tied, "g", "v")
+      .collect().head.isNullAt(6))
+  }
+
+  test("empiricalBernstein: replays the exact IEEE sequence, n=1 NULL") {
+    val rows = Seq(("a", 0L), ("a", 10L), ("b", 5L)).toDF("g", "v")
+    val got = graft.api.TrainingData.empiricalBernstein(rows, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val l = java.lang.Double.toString(math.log(3.0 / 0.05)).toDouble
+    // the identical operation order the column expression spells out
+    val expected = math.round((math.sqrt((2.0 * ((2.0 * 100.0 - 100.0)
+      / (2.0 * (2.0 - 1.0))) * l) / 2.0) + (3.0 * 10.0 * l) / 2.0)
+      * 1000000.0)
+    val a = got("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 10L)
+    assert(a.getLong(3) == 5000000L)
+    assert(a.getLong(4) == expected)
+    assert(a.getLong(5) == 5000000L - expected)
+    assert(a.getLong(6) == 5000000L + expected)
+    assert(got("b").isNullAt(4)) // singleton slice has no bound
+  }
 }
