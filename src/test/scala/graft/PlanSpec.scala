@@ -692,8 +692,14 @@ class PlanSpec extends SparkSpec {
   test("x150 typo dedup: block equi-join feeds the native DL — no all-pairs") {
     val p = plan("x150_typo_neardup")
     assert(p.contains("damerauLevenshtein") || p.contains("damerau"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // EXACTLY one BNLJ is allowed since r15: the broadcast 1-ROW
+    // block-regime guard (the raise_error tripwire from the r14
+    // ADVICE) crossJoins the output — constant work. The CANDIDATE
+    // join itself must stay an equi-join; a second BNLJ would mean an
+    // all-pairs fallback crept back in. Formatted explain prints each
+    // node twice (tree line + details section), so one node = 2 hits.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2, p)
     // the join key is the block — an equi-join (broadcast or SMJ), so
     // the O(|s|²) matrix only ever runs on blocked candidates
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
