@@ -890,8 +890,8 @@ object DedupOps {
           substring(col("head"), 11, 30)).as("head"))
     val all = docs.unionByName(twins)
     typoNearDupPairs(all, "doc_id", "head", blockPrefix = 8, maxDist = 2)
-      .crossJoin(broadcast(blockRegimeGuard(all, "doc_id", "head", 8, 256)))
-      .filter(col("regime_ok") === 1).drop("regime_ok")
+      .crossJoin(broadcast(oversizedBlockCount(all, "doc_id", "head",
+        8, 256)))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -1109,22 +1109,36 @@ object DedupOps {
     val all = docs.unionByName(twins)
     jwNearDupPairs(all, "doc_id", "head", blockPrefix = 8,
         minJwMicros = 900000L)
-      .crossJoin(broadcast(blockRegimeGuard(all, "doc_id", "head", 8, 256)))
-      .filter(col("regime_ok") === 1).drop("regime_ok")
+      .crossJoin(broadcast(oversizedBlockCount(all, "doc_id", "head",
+        8, 256)))
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Fixture-regime tripwire for the blocked string-metric oracles:
-    * the x150/x174 oracle SQL enumerates ALL within-block pairs, which
-    * is the engine's behavior only while every block stays at or under
-    * `maxBlockSize` — past the cap [[blockedCandidates]] silently
-    * switches to windowed sorted-neighborhood candidates and the gate
-    * would flip hash-red with no hint why. This 1-row relation RAISES
-    * the moment any (prefix, length) block outgrows the cap, so
-    * fixture growth fails loudly at the regime boundary instead
-    * (ADVICE r14). The guard column must survive into a filter — a
-    * dropped, never-referenced projection would be pruned and the
-    * raise_error with it. */
+  /** The regime a blocked string-metric oracle replays made VISIBLE
+    * (ADVICE r14): [[oversizedBlockCount]] is a 1-row relation counting
+    * (prefix, length) blocks past the cap — x150/x174 crossJoin it
+    * into their output, so the count is itself hash-compared (0 in the
+    * all-pairs regime the oracle enumerates; > 0 at sweep scale, where
+    * the windowed fallback engages and the CORRECTNESS fixtures never
+    * run). Fixture growth that would flip the pair rows hash-red now
+    * also flips this column — the cause ships with the symptom.
+    * [[blockRegimeGuard]] is the raise-style variant for compositions
+    * that must NEVER leave the all-pairs regime (the guard column must
+    * survive into a filter — a dropped projection would be pruned and
+    * the raise_error with it). */
+  private[graft] def oversizedBlockCount(rows: DataFrame, idCol: String,
+      keyCol: String, blockPrefix: Int, cap: Int): DataFrame =
+    rows
+      .filter(col(idCol).isNotNull && col(keyCol).isNotNull)
+      .select(lower(col(keyCol)).as("s"))
+      .withColumn("blk", concat_ws("|",
+        substring(col("s"), 1, blockPrefix),
+        length(col("s")).cast("string")))
+      .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .agg(coalesce(sum(when(col("bn") > cap, 1L).otherwise(0L)), lit(0L))
+        .as("n_oversized_blocks"))
+
+
   private[graft] def blockRegimeGuard(rows: DataFrame, idCol: String,
       keyCol: String, blockPrefix: Int, cap: Int): DataFrame =
     rows
@@ -1571,8 +1585,11 @@ object DedupOps {
         |  SELECT a.id AS id1, b.id AS id2,
         |    CAST(round(jaro_winkler_similarity(a.s, b.s) * 1000000.0, 0)
         |      AS BIGINT) AS jw_micros
-        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id)
-        |SELECT id1, id2, jw_micros FROM p
+        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id),
+        |ob AS (SELECT coalesce(CAST(sum(CASE WHEN bn > 256 THEN 1
+        |      ELSE 0 END) AS BIGINT), 0) AS n_oversized_blocks
+        |  FROM (SELECT blk, count(*) AS bn FROM r GROUP BY 1))
+        |SELECT id1, id2, jw_micros, n_oversized_blocks FROM p, ob
         |WHERE jw_micros >= 900000 ORDER BY id1, id2""".stripMargin,
     // degree histogram + HUGEINT Pearson assortativity over the shared
     // replayed pair relation (the x131 sign + floor(r²·1e6) convention)
@@ -1638,9 +1655,13 @@ object DedupOps {
         |  SELECT a.id AS id1, b.id AS id2,
         |    CAST(damerau_levenshtein(a.s, b.s) AS BIGINT) AS dl,
         |    CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev
-        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id)
-        |SELECT id1, id2, dl, lev, lev - dl AS transposition_gain
-        |FROM p WHERE dl <= 2 ORDER BY id1, id2""".stripMargin,
+        |  FROM r a JOIN r b ON a.blk = b.blk AND a.id < b.id),
+        |ob AS (SELECT coalesce(CAST(sum(CASE WHEN bn > 256 THEN 1
+        |      ELSE 0 END) AS BIGINT), 0) AS n_oversized_blocks
+        |  FROM (SELECT blk, count(*) AS bn FROM r GROUP BY 1))
+        |SELECT id1, id2, dl, lev, lev - dl AS transposition_gain,
+        |  n_oversized_blocks
+        |FROM p, ob WHERE dl <= 2 ORDER BY id1, id2""".stripMargin,
     // the SHARED banding fragment restricted to mixed-parity pairs and
     // oriented (delta → base), then the same exact-Jaccard verification
     // and per-newcomer admission verdict

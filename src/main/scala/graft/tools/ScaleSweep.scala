@@ -231,7 +231,10 @@ object ScaleSweep {
     // round-14: the full-tokenization JSD (token-grain full-outer
     // join) and the regex-chain URL dedup — both all-rows row-local
     // passes whose constants only show at 100×
-    "x168_js_divergence", "x164_url_canon")
+    "x168_js_divergence", "x164_url_canon",
+    // round-15: the blocked-JW join shares x150's oversized-block
+    // banding — its 100× point evidences the same r14 fix in-sweep
+    "x174_jw_neardup")
   private val Flag10x = 12.0
   private val Flag100x = 150.0
 
