@@ -9491,4 +9491,140 @@ object TrainingData {
         (col("mean_micros") + col("bound_micros")).as("hi_micros"))
       .orderBy(col("grp"))
   }
+  /** Borda-count rank fusion — the positional-voting alternative to
+    * [[reciprocalRankFusion]]: each list awards poolK+1−rank points,
+    * absent items score 0, fused order by total points (ties by
+    * c_id). RRF's 1/(k+rank) discounts depth harshly and is robust to
+    * one bad list; Borda weights all depths linearly and rewards broad
+    * consensus — running both and comparing (x193's RBO measures how
+    * much they disagree) is the standard fusion ablation.
+    *
+    * Exactness: pure integer points; no division anywhere. Input
+    * convention identical to RRF: (q_id, c_id, rank) per list.
+    *
+    * Scale shape: one union + one (q, c) aggregation + a per-query
+    * top-k window — identical to RRF's. */
+  def bordaFusion(rankings: Seq[DataFrame], poolK: Int,
+      topK: Int = 5): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(poolK >= 1 && topK >= 1,
+      s"need poolK/topK >= 1, got $poolK/$topK")
+    val contribs = rankings.map {
+      _.select(col("q_id"), col("c_id"),
+        (lit(poolK.toLong) + 1L - col("rank")).cast("long").as("points"))
+        .filter(col("points") > 0)
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("borda_score").desc, col("c_id"))
+    contribs
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("points")).as("borda_score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Kendall's W — coefficient of concordance across m integer quality
+    * signals ranking the SAME items: W = 1 means the signals induce
+    * one ordering (fusing them adds nothing), W ≈ 0 means they measure
+    * different things (fusion like x69's is earning its keep). The
+    * agreement read ACROSS SIGNALS, as Krippendorff/Fleiss read
+    * agreement across raters. Tie-corrected.
+    *
+    * Exactness: per-signal DOUBLED midranks via the x121 identity over
+    * each signal's distinct-value relation; with R2ᵢ = 2Rᵢ the
+    * statistic is W = 3·Σ(R2ᵢ − m(n+1))² / (m²(n³−n) − m·ΣT), exact in
+    * DECIMAL(38,0) and truncated once to micros; χ² = m(n−1)·W (the
+    * Friedman link) one more truncation. A raise_error guard bounds n
+    * (the deviation square sum is O(m²n³)). Fully-tied signals →
+    * zero denominator → NULL.
+    *
+    * Scale shape: per signal one distinct-value aggregation + one
+    * single-partition cumulative window at value cardinality; one
+    * (signal, value) join back to items; one item-grain rollup. */
+  def kendallW(rows: DataFrame, idCol: String,
+      valueCols: Seq[String], maxExactRows: Long = 1000000L): DataFrame = {
+    require(valueCols.size >= 2, "need at least two signals")
+    val m = valueCols.size
+    val melt = valueCols.zipWithIndex.map { case (c, j) =>
+      rows.filter(col(idCol).isNotNull && col(c).isNotNull)
+        .select(col(idCol).as("id"), lit(j).as("sig"),
+          integralLong(c, "kendallW").as("v"))
+    }.reduce(_ unionByName _)
+      .localCheckpoint(true) // feeds the value counts AND the rank join
+    val bySV = melt.groupBy(col("sig"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sig")).orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = bySV
+      .withColumn("cb", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .localCheckpoint(true) // feeds the tie term AND the rank join
+    val tie = ranked.agg(coalesce(
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")),
+      lit(0L).cast("decimal(38,0)")).as("t"))
+    val perItem = melt.join(ranked, Seq("sig", "v"))
+      .groupBy(col("id"))
+      .agg(sum(expr("2 * cb + c + 1")).as("r2"))
+    val tot = perItem.agg(count(lit(1)).as("n"))
+    perItem.crossJoin(broadcast(tot)).crossJoin(broadcast(tie))
+      .agg(first(col("n")).as("n"), first(col("t")).as("t"),
+        sum(expr(s"(CAST(r2 AS DECIMAL(38,0)) - ${m}L * (n + 1))" +
+          s" * (CAST(r2 AS DECIMAL(38,0)) - ${m}L * (n + 1))"))
+          .as("s4"))
+      .select(col("n"), lit(m.toLong).as("m"),
+        when(col("n") > maxExactRows, expr(
+          "raise_error('kendallW: exact-arithmetic bound exceeded" +
+            " (n > maxExactRows); pre-bucket the signals')"))
+          .when(expr(s"${m}L * ${m}L * (CAST(n AS DECIMAL(38,0)) * n * n" +
+            s" - n) - ${m}L * t") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST((3000000 * s4) div (${m}L * ${m}L" +
+              s" * (CAST(n AS DECIMAL(38,0)) * n * n - n) - ${m}L * t)" +
+              s" AS BIGINT)")).as("w_micros"))
+      .withColumn("chi2_micros",
+        when(col("w_micros").isNull, lit(null).cast("long"))
+          .otherwise(expr(s"(${m}L * (n - 1) * w_micros)")))
+  }
+
+  /** Quantile–quantile shift profile between two groups — WHERE in the
+    * distribution they differ: per decile p10..p90, each group's exact
+    * order statistic and the difference. A mean shift, a tail-only
+    * shift, and a variance change all move x159's z² — this shows
+    * WHICH; the two-sample face of [[winsorizedStats]]' one-sample
+    * order statistics and the distribution-grain read under x180's
+    * single Hodges–Lehmann shift number.
+    *
+    * Exactness: order statistics off [[groupOrderStats]]' distinct-
+    * value cumulative relation at rank ⌈p·n/100⌉ (the double rank
+    * arithmetic is exact while n·p < 2⁵³); the shift a plain integer
+    * difference.
+    *
+    * Scale shape: groupOrderStats verbatim — distinct-value cumulative
+    * pass per group, never a per-group sort of raw rows. */
+  def qqShift(rows: DataFrame, isACol: String,
+      valueCol: String): DataFrame = {
+    val base = rows
+      .filter(col(isACol).isNotNull && col(valueCol).isNotNull)
+      .select(when(col(isACol).cast("boolean"), "a").otherwise("b")
+        .as("side"), col(valueCol).as("v"))
+    val deciles: Seq[(String, Column => Column)] =
+      (1 to 9).map { d =>
+        val pct = d * 10
+        (pct.toString,
+          (n: Column) => floor((n * pct + 99L) / 100.0).cast("long"))
+      }
+    val os = groupOrderStats(base, "side", "v", deciles, "qqShift")
+    val a = os.filter(col("grp") === "a")
+      .select(col("stat"), col("n").as("n_a"), col("value").as("q_a"))
+    val b = os.filter(col("grp") === "b")
+      .select(col("stat"), col("n").as("n_b"), col("value").as("q_b"))
+    a.join(b, Seq("stat"))
+      .select(expr("CAST(stat AS BIGINT)").as("pct"), col("n_a"),
+        col("n_b"), col("q_a"), col("q_b"),
+        (col("q_a") - col("q_b")).as("shift"))
+      .orderBy(col("pct"))
+  }
 }

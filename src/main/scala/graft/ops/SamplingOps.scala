@@ -883,7 +883,39 @@ object SamplingOps {
     graft.api.TrainingData.empiricalBernstein(
       t(s, d, "documents"), "source", "n_chars")
 
+  /** X207 — Kendall's W across the three length/richness signals of
+    * x69's fusion trio (n_chars, token count, distinct-token count):
+    * do the quality signals even agree before they are fused — W near
+    * 1 says the fusion is redundant, near 0 says each signal carries
+    * its own information. Fixture binding of
+    * [[graft.api.TrainingData.kendallW]]. */
+  def x207KendallW(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.kendallW(
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          expr("size(filter(split(text, ' '), t -> t != ''))")
+            .cast("long").as("ntok"),
+          expr("size(array_distinct(filter(split(text, ' '),"
+            + " t -> t != '')))").cast("long").as("ndist")),
+      "doc_id", Seq("n_chars", "ntok", "ndist"))
+
+  /** X208 — Q–Q shift profile of en-vs-rest document length: per
+    * decile, each side's exact order statistic and the gap — WHERE in
+    * the distribution the en shift lives, under x159's z², x187's δ
+    * and x180's single shift number on the same comparison. Fixture
+    * binding of [[graft.api.TrainingData.qqShift]]. */
+  def x208QqShift(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.qqShift(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+        .select((col("lang") === "en").as("is_en"), col("n_chars")),
+      "is_en", "n_chars")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x207_kendall_w" -> (x207KendallW _),
+    "x208_qq_shift" -> (x208QqShift _),
     "x204_dunn" -> (x204Dunn _),
     "x205_bernstein" -> (x205Bernstein _),
     "x199_neyman" -> (x199Neyman _),
@@ -979,6 +1011,71 @@ object SamplingOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // Kendall-W replay: the three melted signals, per-signal doubled
+    // midranks, item rank sums, tie-corrected W and the Friedman-link χ²
+    "x207_kendall_w" ->
+      """WITH d0 AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) AS BIGINT) AS ntok,
+        |    CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |      t -> t <> ''))) AS BIGINT) AS ndist
+        |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |melt AS (SELECT doc_id AS id, 0 AS sig, n_chars AS v FROM d0
+        |  UNION ALL SELECT doc_id, 1, ntok FROM d0
+        |  UNION ALL SELECT doc_id, 2, ndist FROM d0),
+        |bysv AS (SELECT sig, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM melt GROUP BY 1, 2),
+        |rk AS (SELECT sig, v, c,
+        |    coalesce(sum(c) OVER (PARTITION BY sig ORDER BY v ROWS
+        |      BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM bysv),
+        |tie AS (SELECT coalesce(sum(CAST(c AS HUGEINT) * c * c - c), 0)
+        |    AS t FROM rk),
+        |pi AS (SELECT id, CAST(sum(2 * cb + c + 1) AS BIGINT) AS r2
+        |  FROM melt JOIN rk USING (sig, v) GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pi),
+        |ag AS (SELECT n, t,
+        |    sum((CAST(r2 AS HUGEINT) - 3 * (n + 1))
+        |      * (CAST(r2 AS HUGEINT) - 3 * (n + 1))) AS s4
+        |  FROM pi, tt, tie GROUP BY n, t)
+        |SELECT n, CAST(3 AS BIGINT) AS m,
+        |  CASE WHEN 9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * t <= 0
+        |    THEN NULL
+        |    ELSE CAST((3000000 * s4)
+        |      // (9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * t)
+        |      AS BIGINT) END AS w_micros,
+        |  CASE WHEN 9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * t <= 0
+        |    THEN NULL
+        |    ELSE 3 * (n - 1) * CAST((3000000 * s4)
+        |      // (9 * (CAST(n AS HUGEINT) * n * n - n) - 3 * t)
+        |      AS BIGINT) END AS chi2_micros
+        |FROM ag""".stripMargin,
+    // Q–Q replay: per-side cumulative distinct values, ⌈p·n/100⌉ order
+    // statistics on a decile series, side pivot
+    "x208_qq_shift" ->
+      """WITH b AS (SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END
+        |      AS side, n_chars AS v
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |gv AS (SELECT side, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |cum AS (SELECT side, v, CAST(sum(c) OVER (PARTITION BY side
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |  FROM gv),
+        |ns AS (SELECT side, CAST(sum(c) AS BIGINT) AS n
+        |  FROM gv GROUP BY 1),
+        |dec AS (SELECT d * 10 AS pct FROM generate_series(1, 9) AS g(d)),
+        |th AS (SELECT g.side, d.pct, g.n, min(c.v) AS value
+        |  FROM ns g CROSS JOIN dec d JOIN cum c ON c.side = g.side
+        |    AND c.cum >= (g.n * d.pct + 99) // 100
+        |  GROUP BY 1, 2, 3),
+        |aa AS (SELECT pct, n AS n_a, value AS q_a FROM th
+        |  WHERE side = 'a'),
+        |bb AS (SELECT pct, n AS n_b, value AS q_b FROM th
+        |  WHERE side = 'b')
+        |SELECT aa.pct, n_a, n_b, q_a, q_b, q_a - q_b AS shift
+        |FROM aa JOIN bb USING (pct) ORDER BY pct""".stripMargin,
     // Dunn replay: the x179 pooled-midrank CTEs, cross-multiplied pair
     // statistic, two chained truncated divisions in HUGEINT
     "x204_dunn" ->

@@ -1111,7 +1111,23 @@ object VectorOps {
       .orderBy(col("cid"))
   }
 
+  /** X206 — Borda-count fusion of the SAME two rankings as x97's RRF
+    * (cosine top-50 + L2 top-50, poolK = 50): the linear positional
+    * vote beside RRF's reciprocal discount — the standard fusion
+    * ablation pair. Fixture binding of
+    * [[graft.api.TrainingData.bordaFusion]]. */
+  def x206Borda(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    graft.api.TrainingData.bordaFusion(Seq(
+      graft.api.TrainingData.cosineTopK(e, q, "vec_id", "embedding", 50),
+      graft.api.TrainingData.l2TopK(e, q, "vec_id", "embedding", 50)),
+      poolK = 50, topK = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x206_borda" -> (x206Borda _),
     "x195_silhouette" -> (x195Silhouette _),
     "x130_matryoshka" -> (x130Matryoshka _),
     "x26d_embedding_neardup" -> (x26dEmbeddingNearDup _),
@@ -1308,6 +1324,37 @@ object VectorOps {
   private lazy val ivfBuildCtes: String = ivfBuildCtesOn("embeddings")
 
   val oracles: Map[String, String] = Map(
+    // Borda replay: the x97 ranking CTEs, linear 51−rank points,
+    // per-(q,c) point sum + list count, deterministic fused top-5
+    "x206_borda" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+         |sims AS (
+         |  SELECT q_id, c_id,
+         |   round(${dotSql("q_emb", "c_emb")} /
+         |     (sqrt(${dotSql("q_emb", "q_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})), 6) AS sim,
+         |   round(${dotSql("q_emb", "q_emb")} - 2 * ${dotSql("q_emb", "c_emb")}
+         |     + ${dotSql("c_emb", "c_emb")}, 6) AS dist2
+         |  FROM c CROSS JOIN q WHERE q_id <> c_id),
+         |ra AS (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM sims WHERE sim IS NOT NULL),
+         |rb AS (
+         |  SELECT q_id, c_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY dist2, c_id) AS rank
+         |  FROM sims WHERE dist2 IS NOT NULL),
+         |u AS (
+         |  SELECT q_id, c_id, 51 - rank AS points FROM ra WHERE rank <= 50
+         |  UNION ALL
+         |  SELECT q_id, c_id, 51 - rank FROM rb WHERE rank <= 50),
+         |f AS (SELECT q_id, c_id, CAST(sum(points) AS BIGINT) AS borda_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2),
+         |r AS (SELECT q_id, c_id, borda_score, n_lists,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY borda_score DESC, c_id) AS INTEGER) AS rank FROM f)
+         |SELECT q_id, c_id, borda_score, n_lists, rank FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     // silhouette replay: the shared full index-build chain, the x40b
     // two-step quantization, own/nearest-other split, sign-explicit
     // truncated s and means

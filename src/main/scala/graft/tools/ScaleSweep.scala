@@ -106,7 +106,9 @@ object ScaleSweep {
     // the stratum-variance pass and the observed-cell G scan
     "x199_neyman", "x203_gtest",
     // the pooled-midrank pair tests and the per-slice bound scan
-    "x204_dunn", "x205_bernstein")
+    "x204_dunn", "x205_bernstein",
+    // the double-ranking fusion and the three-signal melt
+    "x206_borda", "x207_kendall_w", "x208_qq_shift")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */

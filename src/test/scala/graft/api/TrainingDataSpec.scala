@@ -4412,4 +4412,43 @@ class TrainingDataSpec extends SparkSpec {
     assert(a.getLong(6) == 5000000L + expected)
     assert(got("b").isNullAt(4)) // singleton slice has no bound
   }
+  test("bordaFusion: hand-walked points, consensus wins, list count") {
+    val la = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q_id", "c_id", "rank")
+    val lb = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("q_id", "c_id", "rank")
+    val got = graft.api.TrainingData.bordaFusion(Seq(la, lb),
+      poolK = 2, topK = 3).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(got(20L) == (3L, 2L, 1)) // 1+2 points, both lists, fused #1
+    assert(got(10L) == (2L, 1L, 2))
+    assert(got(30L) == (1L, 1L, 3))
+  }
+
+  test("kendallW: perfect concordance 1, perfect discordance 0, tied NULL") {
+    val conc = Seq((1L, 1L, 1L, 1L), (2L, 2L, 2L, 2L), (3L, 3L, 3L, 3L))
+      .toDF("id", "a", "b", "c")
+    val r = graft.api.TrainingData.kendallW(conc, "id",
+      Seq("a", "b", "c")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 1000000L)
+    assert(r.getLong(3) == 6000000L) // χ² = m(n−1)W
+    val disc = Seq((1L, 1L, 3L), (2L, 2L, 2L), (3L, 3L, 1L))
+      .toDF("id", "a", "b")
+    assert(graft.api.TrainingData.kendallW(disc, "id", Seq("a", "b"))
+      .collect().head.getLong(2) == 0L)
+    val tied = Seq((1L, 7L, 7L), (2L, 7L, 7L)).toDF("id", "a", "b")
+    assert(graft.api.TrainingData.kendallW(tied, "id", Seq("a", "b"))
+      .collect().head.isNullAt(2))
+  }
+
+  test("qqShift: constant-offset samples shift every decile equally") {
+    val rows = ((1L to 10L).map(v => (true, v)) ++
+      (11L to 20L).map(v => (false, v))).toDF("ia", "v")
+    val got = graft.api.TrainingData.qqShift(rows, "ia", "v").collect()
+    assert(got.length == 9)
+    assert(got.forall(_.getLong(5) == -10L))
+    val p50 = got.find(_.getLong(0) == 50L).get
+    assert(p50.getLong(3) == 5L && p50.getLong(4) == 15L)
+    assert(got.map(_.getLong(0)).toSeq == (1 to 9).map(_ * 10L))
+  }
 }
