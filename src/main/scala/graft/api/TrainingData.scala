@@ -6189,15 +6189,36 @@ object TrainingData {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
       .orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // eager-checkpoint the cumulative relation and the group sizes:
+    // every requested rank below re-reads them, and without this the
+    // corpus scan + distinct aggregation + window re-execute once PER
+    // rank — 9x for qqShift's deciles (the r15 verdict's slowest-query
+    // finding, 4.65 s → the distinct pass runs once). Both are value/
+    // group cardinality, not rows — bounded and cheap to materialize;
+    // the (tiny) broadcast join itself stays outside so the per-branch
+    // plan shape (broadcast bounds) is unchanged.
     val cum = counts.withColumn("cum", sum(col("c")).over(w))
-    val ns = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // group sizes derive from the checkpointed value relation (n =
+    // Σc per group) — not from a second corpus scan
+    val ns = cum.groupBy(col("grp")).agg(sum(col("c")).as("n"))
     val withN = cum.join(broadcast(ns), Seq("grp"))
-    ranks.map { case (label, rankOf) =>
-      withN.filter(col("cum") >= rankOf(col("n")))
-        .groupBy(col("grp"), col("n"))
-        .agg(min(col("v")).as("value"))
-        .select(col("grp"), col("n"), lit(label).as("stat"), col("value"))
-    }.reduce(_ unionByName _)
+    // ALL ranks in one aggregation pass (min over the values at-or-
+    // above each rank's threshold), then stack back to the row-per-
+    // (group, rank) shape — 9 deciles used to be 9 filter+agg branches
+    // (9 jobs) over the relation; a rank nobody reaches yields NULL
+    // and is filtered, preserving the row-absence contract
+    // conformalThreshold's too-small-group LEFT join depends on
+    val aggCols = ranks.zipWithIndex.map { case ((_, rankOf), i) =>
+      min(when(col("cum") >= rankOf(col("n")), col("v"))).as(s"__v$i") }
+    val wide = withN.groupBy(col("grp"), col("n"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stackSql = ranks.zipWithIndex
+      .map { case ((label, _), i) => s"'$label', __v$i" }
+      .mkString(s"stack(${ranks.size}, ", ", ", ") AS (stat, value)")
+    wide.selectExpr("grp", "n", stackSql)
+      .filter(col("value").isNotNull)
+      .select(col("grp"), col("n"), col("stat"), col("value"))
   }
 
   /** Split-conformal calibration threshold per group: with `n`
@@ -8800,7 +8821,9 @@ object TrainingData {
     *
     * Scale shape: runs entirely on the AGGREGATED series (day grain —
     * bounded); one broadcast pair join over ≤ 4096 rows, one value-tie
-    * aggregation, scalar reduces. */
+    * aggregation, scalar reduces. The pair join consumes the series
+    * THROUGH the guard relation, so both raises fire before any
+    * points-squared work executes (not merely alongside it). */
   def mannKendallTrend(series: DataFrame, xCol: String,
       valueCol: String): DataFrame = {
     val base = series
@@ -8820,8 +8843,15 @@ object TrainingData {
               " to a coarser grain (the pair join is points-squared)')")
             .cast("long"))
           .otherwise(col("n")).as("n"))
-    val sRel = base.as("p")
-      .join(broadcast(base.as("q")), col("q.x") > col("p.x"))
+    // the pair join reads base THROUGH the guard (crossJoin + a filter
+    // that references the guarded column), so the points-squared
+    // explode cannot execute before the raise fires — a guard that
+    // merely reports post-hoc would let the quadratic it warns about
+    // run to completion first
+    val gBase = base.crossJoin(broadcast(guard))
+      .filter(col("n") >= 0).select(col("x"), col("y"))
+    val sRel = gBase.as("p")
+      .join(broadcast(gBase.as("q")), col("q.x") > col("p.x"))
       .agg(coalesce(sum(expr("CAST(sign(q.y - p.y) AS BIGINT)")), lit(0L))
         .as("s"))
     val ties = base.groupBy(col("y")).agg(count(lit(1)).as("t"))
@@ -9095,10 +9125,22 @@ object TrainingData {
     * once). Add-one smoothing keeps p ≥ 1/(B+1), the classic
     * permutation-test floor.
     *
-    * Scale shape: rows×B explode (linear in B), one rank window per
-    * permutation (partitioned by b — parallel across permutations),
-    * two scalar reduces. B is the knob: 39 permutations resolve
-    * p = 0.025 steps; the fixture uses 40. */
+    * Scale shape: rows×B explode (linear in B); the per-permutation
+    * selection is the x32 two-pass bucket-rank form, NOT a corpus-wide
+    * rank window — `Window.partitionBy(pb)` would put the ENTIRE
+    * corpus in each of B partitions (B single-task corpus sorts, the
+    * r15-verdict scale defect). Because sha256 hex is uniform and its
+    * lexicographic order IS its numeric order, the first 4 hex chars
+    * bucket rows into 256 equi-width ranges monotone in h with no
+    * quantile pass; per-(pb, bucket) counts (one map-side-combined
+    * aggregation, ≤ B·256 rows) turn into cumulative offsets via a
+    * bounded window, and then per permutation: buckets entirely below
+    * the n_a cut contribute their sums with NO sort, buckets entirely
+    * above are dropped before any sort, and only the ONE straddling
+    * bucket per permutation (~n/256 rows) pays a rank window —
+    * partitioned by (pb, bucket), so no task ever holds more than a
+    * bucket. B is the knob: 39 permutations resolve p = 0.025 steps;
+    * the fixture uses 40. */
   def permutationTestSum(rows: DataFrame, idCol: String, isACol: String,
       valueCol: String, b: Int): DataFrame = {
     require(b >= 1 && b <= 1000, s"b must be in [1, 1000], got $b")
@@ -9111,18 +9153,47 @@ object TrainingData {
       .localCheckpoint(true) // feeds the observed stats AND the explode
     val obs = base.agg(count(lit(1)).as("n"), sum(col("ia")).as("n_a"),
       sum(col("v")).as("s"), sum(expr("ia * v")).as("obs_sum"))
-    val wPerm = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pb"))
-      .orderBy(col("h"), col("id"))
-    val stats = base
+    // rows×B with the content-addressed permutation hash and its
+    // 256-way equi-width bucket (first 16 hash bits div 256): bucket id
+    // is monotone in h because fixed-length lowercase hex compares
+    // lexicographically exactly as the value it encodes
+    def exploded = base
       .select(col("id"), col("v"),
         explode(expr(s"sequence(0, ${b - 1})")).as("pb"))
       .withColumn("h", sha2(concat_ws(":", col("id"),
         col("pb").cast("string")), 256))
-      .withColumn("rk", row_number().over(wPerm))
+      .withColumn("bkt",
+        expr("CAST(conv(substring(h, 1, 4), 16, 10) AS INT) div 256"))
+    // pass 1 — (pb, bucket) occupancy → exclusive cumulative offsets;
+    // the window runs over the ≤ B·256-row count relation (≤ 256 rows
+    // per pb partition), and n_a rides along off the 1-row obs
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pb")).orderBy(col("bkt"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = exploded.groupBy(col("pb"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
       .crossJoin(broadcast(obs.select(col("n_a").as("na0"))))
-      .filter(col("rk") <= col("na0"))
-      .groupBy(col("pb")).agg(sum(col("v")).as("stat"))
+      .select(col("pb"), col("bkt"), col("off"), col("c"), col("na0"))
+    // pass 2 — fully-selected buckets (off + c ≤ n_a) sum with no sort;
+    // fully-unselected (off ≥ n_a) never reach a sort; the straddling
+    // bucket ranks only its own ~n/256 rows by (h, id), so global rank
+    // = off + in-bucket rank reproduces the exact smallest-n_a set
+    val wBkt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pb"), col("bkt"))
+      .orderBy(col("h"), col("id"))
+    val tagged = exploded.join(broadcast(offs), Seq("pb", "bkt"))
+      .filter(col("off") < col("na0"))
+    val full = tagged.filter(col("off") + col("c") <= col("na0"))
+      .groupBy(col("pb")).agg(sum(col("v")).as("stat_f"))
+    val straddle = tagged.filter(col("off") + col("c") > col("na0"))
+      .withColumn("rk", row_number().over(wBkt))
+      .filter(col("off") + col("rk") <= col("na0"))
+      .groupBy(col("pb")).agg(sum(col("v")).as("stat_s"))
+    val stats = full.join(straddle, Seq("pb"), "full_outer")
+      .select(col("pb"), (coalesce(col("stat_f"), lit(0L)) +
+        coalesce(col("stat_s"), lit(0L))).as("stat"))
     val extreme = stats.crossJoin(broadcast(obs))
       .agg(sum(when(
         expr("abs(CAST(n AS DECIMAL(38,0)) * stat - CAST(n_a AS" +
@@ -9241,10 +9312,12 @@ object TrainingData {
     *
     * Exactness: all sums exact in DECIMAL(38,0); z² as TWO chained
     * truncated divisions (⌊⌊10⁶T'²/(K(N−K))⌋·N(N−1)/denom⌋ — the
-    * mannWhitneyU recipe, keeping every intermediate inside
-    * DECIMAL(38,0) to N ≈ 10⁷ at score ≤ 100; a raise_error guard
-    * names the bound). Degenerate margins (K = 0, K = N, single
-    * group, zero score variance) → NULL.
+    * mannWhitneyU recipe). Spark's IntegralDivide emits LONG, so the
+    * first quotient is guarded EXACTLY (raise_error wherever
+    * 10⁶T'² > Long.Max·K(N−K) — extreme-trend data can get there well
+    * inside the N ≈ 10⁷ corpus guard) and re-widened to DECIMAL(38,0)
+    * before the N(N−1) multiply. Degenerate margins (K = 0, K = N,
+    * single group, zero score variance) → NULL.
     *
     * Scale shape: one (score)-grain aggregation + one scalar reduce. */
   def cochranArmitage(rows: DataFrame, scoreCol: String,
@@ -9271,12 +9344,27 @@ object TrainingData {
         when(col("n") > maxExactRows, expr(
           "raise_error('cochranArmitage: exact-arithmetic bound" +
             " exceeded (N > maxExactRows); pre-bucket the score')"))
+          // Spark's IntegralDivide always emits LONG: the first
+          // quotient 10⁶T'²/(K(N−K)) can reach ~10²⁴ on extreme-trend
+          // data well inside maxExactRows, so guard on the EXACT
+          // quantities rather than trusting the documented bound
+          .when(expr("1000000 * t_prime * CAST(t_prime AS" +
+            " DECIMAL(38,0))" +
+            " > CAST(9223372036854775807 AS DECIMAL(38,0))" +
+            " * (CAST(k_pos AS DECIMAL(38,0)) * (n - k_pos))"), expr(
+            "raise_error('cochranArmitage: LONG-safe intermediate" +
+              " bound exceeded (10^6*T_prime^2 div K(N-K) overflows" +
+              " BIGINT); coarsen the score buckets')"))
           .when(col("k_pos") === 0 || col("k_pos") === col("n") ||
             expr("CAST(n AS DECIMAL(38,0)) * ns2 - ns * ns") === 0,
             lit(null).cast("long"))
+          // re-widen the LONG quotient before the N(N−1) multiply —
+          // the iccOneWay recipe, keeping the chain in DECIMAL(38,0)
           .otherwise(expr(
-            "CAST(((1000000 * t_prime * CAST(t_prime AS DECIMAL(38,0)))" +
+            "CAST((CAST((1000000 * t_prime * CAST(t_prime AS" +
+              " DECIMAL(38,0)))" +
               " div (CAST(k_pos AS DECIMAL(38,0)) * (n - k_pos))" +
+              " AS DECIMAL(38,0))" +
               " * (CAST(n AS DECIMAL(38,0)) * (n - 1)))" +
               " div (CAST(n AS DECIMAL(38,0)) * ns2 - ns * ns)" +
               " AS BIGINT)")).as("z_sq_micros"))
@@ -9386,9 +9474,12 @@ object TrainingData {
     * distinct-value relation (the x159/x179 machinery verbatim); the
     * pair statistic cross-multiplied — num = r2_g·n_h − r2_h·n_g, z² =
     * 3·10⁶·⌊num²/(n_g·n_h)⌋·(N−1) / ((n_g+n_h)·(N(N+1)(N−1) − T)) as
-    * two chained truncated divisions, every intermediate inside
-    * DECIMAL(38,0) to N ≈ 2·10⁶ (raise_error names the bound —
-    * pre-bucket past it). Zero pooled variance → NULL.
+    * two chained truncated divisions; the first quotient is re-widened
+    * to DECIMAL(38,0) (Spark's IntegralDivide emits LONG) and an EXACT
+    * guard raises wherever num² > Long.Max·n_g·n_h — the quotient
+    * itself would overflow BIGINT there — so no intermediate can wrap
+    * silently anywhere below the documented N ≈ 2·10⁶ corpus bound.
+    * Zero pooled variance → NULL.
     *
     * Scale shape: per-value counts one aggregation; the cumulative
     * pass at VALUE cardinality; groups reduce to (grp, n, r2) and the
@@ -9432,12 +9523,27 @@ object TrainingData {
         when(col("nn") > maxExactRows, expr(
           "raise_error('dunnPostHoc: exact-arithmetic bound exceeded" +
             " (N > maxExactRows); pre-bucket the measure')"))
+          // Spark's IntegralDivide always emits LONG, so the num²/(n·n)
+          // quotient must itself fit BIGINT — provably true only to
+          // N ≈ 5·10⁴ in the adversarial case, so guard on the EXACT
+          // data at hand rather than overstating the documented bound
+          .when(expr("(a.r2 * b.n_g - b.r2 * a.n_g)" +
+            " * (a.r2 * b.n_g - b.r2 * a.n_g)" +
+            " > CAST(9223372036854775807 AS DECIMAL(38,0))" +
+            " * (CAST(a.n_g AS DECIMAL(38,0)) * b.n_g)"), expr(
+            "raise_error('dunnPostHoc: LONG-safe intermediate bound" +
+              " exceeded (num^2 div n_a*n_b overflows BIGINT);" +
+              " pre-bucket the measure')"))
           .when(expr("CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1)" +
             " - t") <= 0, lit(null).cast("long"))
+          // re-widen the LONG quotient to DECIMAL(38,0) before the
+          // 3000000·(N−1) multiply (the iccOneWay recipe) — left as
+          // LONG it wraps at N ≈ 10³, far below maxExactRows
           .otherwise(expr(
-            "CAST((3000000 * ((a.r2 * b.n_g - b.r2 * a.n_g)" +
+            "CAST((3000000 * CAST((a.r2 * b.n_g - b.r2 * a.n_g)" +
               " * (a.r2 * b.n_g - b.r2 * a.n_g)" +
-              " div (CAST(a.n_g AS DECIMAL(38,0)) * b.n_g))" +
+              " div (CAST(a.n_g AS DECIMAL(38,0)) * b.n_g)" +
+              " AS DECIMAL(38,0))" +
               " * (nn - 1))" +
               " div ((CAST(a.n_g AS DECIMAL(38,0)) + b.n_g)" +
               " * (CAST(nn AS DECIMAL(38,0)) * (nn + 1) * (nn - 1) - t))" +
@@ -9626,5 +9732,337 @@ object TrainingData {
         col("n_b"), col("q_a"), col("q_b"),
         (col("q_a") - col("q_b")).as("shift"))
       .orderBy(col("pct"))
+  }
+
+  /** Theil T inequality index with its within/between-group
+    * decomposition — the property Gini (x197) lacks: T_total =
+    * T_between + T_within ADDITIVELY, so "is corpus-mass inequality a
+    * between-source phenomenon (one crawl dwarfs the rest) or a
+    * within-source one (every crawl has its own whales)" gets a
+    * numeric answer, which decides whether rebalancing should happen
+    * at the mixer (x39) or inside each source (x31e caps).
+    *
+    * Exactness: both sums follow the x28j integer-quantization rule —
+    * each term is ONE written-out IEEE chain (c·v/S · ln(N·v/S),
+    * value grain; (S_g/S)·ln((S_g/S)·(N/N_g)), group grain) rounded
+    * to micros per term, then EXACT integer sums, so partitioning
+    * cannot move the result. T_within is exported via the
+    * decomposition identity (total − between) — exact in real
+    * arithmetic, within 1 micro·n_terms of the direct sum under
+    * per-term rounding (documented, not hidden). Zero/negative values
+    * are excluded (ln domain); S = 0 → NULL row.
+    *
+    * Scale shape: one (group, value)-grain aggregation feeding a
+    * value-grain and a group-grain reduce — no windows, no joins
+    * beyond 1-row broadcasts. */
+  def theilIndex(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val per = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(valueCol, "theilIndex").as("v"))
+      .filter(col("v") > 0)
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // cell grain; feeds 3 reduces
+    val tot = per.agg(sum(col("c")).as("n"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * v")).as("s"))
+    val totalT = per.groupBy(col("v"))
+      .agg(sum(col("c")).as("c"))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(sum(expr(
+        "CAST(round(1000000.0 * (CAST(c AS DOUBLE) * CAST(v AS DOUBLE)" +
+          " / CAST(s AS DOUBLE))" +
+          " * ln(CAST(n AS DOUBLE) * CAST(v AS DOUBLE)" +
+          " / CAST(s AS DOUBLE))) AS BIGINT)")), lit(0L))
+        .as("theil_total_micros"))
+    val betweenT = per.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * v")).as("s_g"))
+      .crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_groups"), coalesce(sum(expr(
+        "CAST(round(1000000.0 * (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))" +
+          " * ln((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))" +
+          " * (CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE)))) AS BIGINT)")),
+        lit(0L)).as("theil_between_micros"))
+    tot.crossJoin(broadcast(totalT)).crossJoin(broadcast(betweenT))
+      .select(col("n"), col("n_groups"),
+        when(col("s") <= 0, lit(null).cast("long"))
+          .otherwise(col("theil_total_micros")).as("theil_total_micros"),
+        when(col("s") <= 0, lit(null).cast("long"))
+          .otherwise(col("theil_between_micros"))
+          .as("theil_between_micros"),
+        when(col("s") <= 0, lit(null).cast("long"))
+          .otherwise(col("theil_total_micros") -
+            col("theil_between_micros")).as("theil_within_micros"))
+  }
+
+  /** Bowker's test of symmetry over a paired-label count matrix — the
+    * k×k generalization of McNemar (x162): χ²_B = Σ_{i<j}
+    * (n_ij − n_ji)²/(n_ij + n_ji), df = #{unordered pairs with
+    * n_ij + n_ji > 0}. On a transition matrix it asks "is traffic
+    * between states symmetric, or is there a net drift direction" —
+    * a one-number read the full matrix (x89) buries in k² cells.
+    *
+    * Exactness: pure integer counts; each pair term is one truncated
+    * division to micros ((10⁶·(n_ij−n_ji)²) div (n_ij+n_ji)), then an
+    * exact integer sum (per-pair truncation documented). Diagonal
+    * cells never contribute (i < j strict). No off-diagonal mass →
+    * NULL χ².
+    *
+    * Scale shape: expects the COUNT matrix (k² rows at most); the
+    * symmetry pairing is a broadcast self-join at matrix grain, then
+    * one scalar reduce. */
+  def bowkerSymmetry(counts: DataFrame, aCol: String, bCol: String,
+      nCol: String): DataFrame = {
+    val m = counts
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("i"),
+        col(bCol).cast("string").as("j"), col(nCol).cast("long").as("c"))
+      .localCheckpoint(true) // matrix grain; both sides of the pairing
+    val paired = m.as("x")
+      .join(broadcast(m.as("y")),
+        col("x.i") === col("y.j") && col("x.j") === col("y.i"),
+        "full_outer")
+      .select(coalesce(col("x.i"), col("y.j")).as("i"),
+        coalesce(col("x.j"), col("y.i")).as("j"),
+        coalesce(col("x.c"), lit(0L)).as("nij"),
+        coalesce(col("y.c"), lit(0L)).as("nji"))
+      .filter(col("i") < col("j"))
+    paired.agg(
+        coalesce(sum(col("nij") + col("nji")), lit(0L)).as("n_offdiag"),
+        count(lit(1)).as("df"),
+        sum(expr("(1000000 * CAST(nij - nji AS DECIMAL(38,0))" +
+          " * (nij - nji)) div (nij + nji)")).as("chi2"))
+      .select(col("n_offdiag"), col("df"),
+        when(col("df") === 0, lit(null).cast("long"))
+          .otherwise(col("chi2")).as("bowker_chi2_micros"))
+  }
+
+  /** Hill-number diversity profile of group mass — q = 0 (richness),
+    * q = 1 (exp Shannon, the "effective number of equally-sized
+    * sources"), q = 2 (inverse Simpson, dominance-weighted) plus
+    * Pielou evenness: the one profile that unifies x136's richness
+    * estimate, entropy, and x128's concentration into comparable
+    * units (all three are "effective source counts", increasingly
+    * dominated by the large sources as q grows; q1/q0 falling says
+    * the tail is thin, q2/q1 falling says one source dominates).
+    *
+    * Exactness: q0 and q2 are exact integer arithmetic (q2 =
+    * 10⁶·S²/ΣS_g², one truncated DECIMAL division); Shannon follows
+    * the x28j rule (per-group term rounded to micro-nats, exact sum);
+    * q1 and evenness spend one IEEE exp/ln each on the already-
+    * quantized integer (deterministic — the input is an integer, not
+    * a float sum). Single group → evenness NULL.
+    *
+    * Scale shape: one group-grain aggregation, two scalar reduces —
+    * no windows, no joins beyond 1-row broadcasts. */
+  def hillDiversity(rows: DataFrame, groupCol: String,
+      massCol: String): DataFrame = {
+    val per = rows
+      .filter(col(groupCol).isNotNull && col(massCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        integralLong(massCol, "hillDiversity").as("v"))
+      .filter(col("v") > 0)
+      .groupBy(col("grp"))
+      .agg(sum(expr("CAST(v AS DECIMAL(38,0))")).as("s_g"))
+      .localCheckpoint(true) // group grain; feeds both reduces
+    val tot = per.agg(count(lit(1)).as("k"), sum(col("s_g")).as("s"),
+      sum(expr("s_g * s_g")).as("s2"))
+    per.crossJoin(broadcast(tot))
+      .agg(first(col("k")).as("q0"), first(col("s")).as("s"),
+        first(col("s2")).as("s2"),
+        coalesce(sum(expr(
+          "CAST(round(1000000.0 * (CAST(s_g AS DOUBLE) / CAST(s AS" +
+            " DOUBLE)) * ln(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)))" +
+            " AS BIGINT)")), lit(0L)).as("neg_h"))
+      .select(col("q0"),
+        (-col("neg_h")).as("shannon_micros"),
+        expr("CAST(round(1000000.0 * exp(CAST(-neg_h AS DOUBLE)" +
+          " / 1000000.0)) AS BIGINT)").as("hill_q1_micros"),
+        when(col("s2") <= 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * s * s) div s2 AS BIGINT)"))
+          .as("hill_q2_micros"),
+        when(col("q0") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(round(1000000.0 * (CAST(-neg_h AS DOUBLE) / 1000000.0)" +
+              " / ln(CAST(q0 AS DOUBLE))) AS BIGINT)"))
+          .as("evenness_micros"))
+  }
+
+  /** Bland–Altman agreement between two integer-valued measurements
+    * of the same quantity — bias (mean difference), SD of differences,
+    * and the 95% limits of agreement (bias ± 1.96·SD), with the count
+    * of units outside them: the CONTINUOUS-measure agreement read that
+    * κ (x158/x99/x167) cannot give — two length/quality signals can
+    * correlate strongly (x122) yet disagree by a systematic offset or
+    * a huge spread, and this is the instrument that says which.
+    *
+    * Exactness: differences are exact integers; bias one truncated
+    * division to micros; SD the exact (N·Σd² − S²)/(N(N−1)) numerator
+    * in DECIMAL(38,0) with ONE IEEE sqrt floored to micros; the LoA
+    * bounds are integer micro arithmetic off those two (1.96 exact at
+    * this grain: round(1.96·sd_micros)); the outside-count compares
+    * 10⁶·d against the integer bounds. n < 2 → NULL spread columns.
+    *
+    * Scale shape: one scalar reduce + one broadcast-bounds re-scan
+    * for the outside count — no windows, no sorts. */
+  def blandAltman(rows: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val base = rows
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((integralLong(xCol, "blandAltman") -
+        integralLong(yCol, "blandAltman")).as("d"))
+      .localCheckpoint(true) // difference grain; stats AND outside count
+    val stats = base.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(d AS DECIMAL(38,0))")).as("sd_sum"),
+        sum(expr("CAST(d AS DECIMAL(38,0)) * d")).as("sq"))
+      .select(col("n"),
+        // sign-explicit truncation: d̄ can be negative, and Spark div
+        // truncates where DuckDB // floors — abs() makes both truncate
+        expr("CAST(sign(sd_sum) * ((1000000 * abs(sd_sum)) div n)" +
+          " AS BIGINT)").as("bias_micros"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(floor(1000000.0 * sqrt(CAST(CAST(n AS DECIMAL(38,0))" +
+              " * sq - sd_sum * sd_sum AS DOUBLE)" +
+              " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))" +
+              " AS BIGINT)")).as("sd_micros"))
+      .select(col("n"), col("bias_micros"), col("sd_micros"),
+        when(col("sd_micros").isNull, lit(null).cast("long"))
+          .otherwise(col("bias_micros") -
+            expr("CAST(round(1.96 * sd_micros) AS BIGINT)"))
+          .as("loa_lo_micros"),
+        when(col("sd_micros").isNull, lit(null).cast("long"))
+          .otherwise(col("bias_micros") +
+            expr("CAST(round(1.96 * sd_micros) AS BIGINT)"))
+          .as("loa_hi_micros"))
+    base.crossJoin(broadcast(stats))
+      .agg(first(col("n")).as("n"), first(col("bias_micros")).as("bias_micros"),
+        first(col("sd_micros")).as("sd_micros"),
+        first(col("loa_lo_micros")).as("loa_lo_micros"),
+        first(col("loa_hi_micros")).as("loa_hi_micros"),
+        sum(when(col("loa_lo_micros").isNotNull &&
+          expr("1000000 * d") < col("loa_lo_micros"), 1L).otherwise(0L))
+          .as("n_below"),
+        sum(when(col("loa_hi_micros").isNotNull &&
+          expr("1000000 * d") > col("loa_hi_micros"), 1L).otherwise(0L))
+          .as("n_above"))
+  }
+
+  /** Newcombe hybrid-score confidence interval for a DIFFERENCE of two
+    * proportions — the A/B-comparison companion to x125's per-group
+    * Wilson bounds: d = p₁ − p₂ with CI [d − √((p₁−l₁)² + (u₂−p₂)²),
+    * d + √((u₁−p₁)² + (p₂−l₂)²)] from the per-arm Wilson intervals
+    * (Newcombe 1998, method 10) — the standard "is the en-rate
+    * actually different between these two slices" answer with correct
+    * small-sample behavior, where a naive Wald interval collapses.
+    *
+    * Exactness: per-arm Wilson bounds replay x125's written-out IEEE
+    * chain, FLOORED to micros (both bounds — deterministic, one-sided
+    * conservative on the lower edge, documented); the Newcombe
+    * radicals are IEEE sqrt over exact integer micro deltas (< 2⁵³),
+    * floored once. Either arm empty → empty result (no row to price).
+    *
+    * Scale shape: one two-group aggregation, one scalar join of two
+    * 1-row relations. */
+  def newcombeDiff(rows: DataFrame, armACol: String,
+      labelCol: String): DataFrame = {
+    val per = rows
+      .filter(col(armACol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(armACol).cast("boolean").as("arm_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+      .withColumn("p_micros", expr("(1000000 * pos) div n"))
+      .withColumn("wl", expr(
+        "CAST(floor(1000000.0 * (((CAST(pos AS DOUBLE) + 1.96*1.96/2.0)" +
+          " / CAST(n AS DOUBLE) - (1.96 / CAST(n AS DOUBLE)) *" +
+          " sqrt(CAST(pos AS DOUBLE) * (CAST(n AS DOUBLE) -" +
+          " CAST(pos AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96*1.96/4.0))" +
+          " / (1.0 + 1.96*1.96 / CAST(n AS DOUBLE)))) AS BIGINT)"))
+      .withColumn("wu", expr(
+        "CAST(floor(1000000.0 * (((CAST(pos AS DOUBLE) + 1.96*1.96/2.0)" +
+          " / CAST(n AS DOUBLE) + (1.96 / CAST(n AS DOUBLE)) *" +
+          " sqrt(CAST(pos AS DOUBLE) * (CAST(n AS DOUBLE) -" +
+          " CAST(pos AS DOUBLE)) / CAST(n AS DOUBLE) + 1.96*1.96/4.0))" +
+          " / (1.0 + 1.96*1.96 / CAST(n AS DOUBLE)))) AS BIGINT)"))
+    val a = per.filter(col("arm_a"))
+      .select(col("n").as("n1"), col("pos").as("pos1"),
+        col("p_micros").as("p1"), col("wl").as("l1"), col("wu").as("u1"))
+    val b = per.filter(!col("arm_a"))
+      .select(col("n").as("n2"), col("pos").as("pos2"),
+        col("p_micros").as("p2"), col("wl").as("l2"), col("wu").as("u2"))
+    a.crossJoin(broadcast(b))
+      .select(col("n1"), col("pos1"), col("n2"), col("pos2"),
+        col("p1").as("p1_micros"), col("p2").as("p2_micros"),
+        (col("p1") - col("p2")).as("diff_micros"),
+        expr("p1 - p2 - CAST(floor(sqrt(CAST((p1 - l1) * (p1 - l1)" +
+          " + (u2 - p2) * (u2 - p2) AS DOUBLE))) AS BIGINT)")
+          .as("ci_lo_micros"),
+        expr("p1 - p2 + CAST(floor(sqrt(CAST((u1 - p1) * (u1 - p1)" +
+          " + (p2 - l2) * (p2 - l2) AS DOUBLE))) AS BIGINT)")
+          .as("ci_hi_micros"))
+  }
+
+  /** Per-group two-proportion sample-size requirement — "how many
+    * labeled rows per arm would an A/B test need to detect a
+    * `liftPerMille` relative change in this group's base rate at
+    * α = 0.05 (two-sided), power = 0.8": n = ⌈(z_{α/2}·√(2p̄q̄) +
+    * z_β·√(p₁q₁+p₂q₂))² / δ²⌉, the classic normal-approximation
+    * formula. The PLANNING op of the eval shelf: x125/x213 price an
+    * interval after the fact, this says what collecting one costs —
+    * per group, since the rare-rate slices are exactly where the
+    * budget explodes.
+    *
+    * Exactness: p̂ enters as exact truncated micros (never a float
+    * ratio of floats); the formula is ONE written-out IEEE chain per
+    * group with z literals shipped shortest-round-trip
+    * (1.959963984540054, 0.8416212335729143), ceiling once to a row
+    * count. Degenerate groups (p̂ = 0, or target rate ≥ 1) → NULL.
+    *
+    * Scale shape: one group-grain aggregation, row-local arithmetic
+    * after — no joins, no windows. */
+  def requiredSampleSize(rows: DataFrame, groupCol: String,
+      labelCol: String, liftPerMille: Int): DataFrame = {
+    require(liftPerMille >= 1 && liftPerMille <= 1000,
+      s"liftPerMille must be in [1, 1000], got $liftPerMille")
+    rows
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+      .select(col("grp"), col("n"), col("pos"),
+        expr("(1000000 * pos) div n").as("p_micros"),
+        expr(s"((1000 + $liftPerMille) * ((1000000 * pos) div n))" +
+          " div 1000").as("p2_micros"))
+      .withColumn("n_required_per_arm",
+        // p2 = p1 happens when the relative lift truncates to zero at
+        // micro grain (tiny base rates) — the δ² denominator would be
+        // zero and the IEEE chain would cast infinity
+        when(col("pos") === 0 || col("p2_micros") >= 1000000L ||
+          col("p2_micros") === col("p_micros"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(ceil((1.959963984540054 * sqrt(2.0 *" +
+              " ((CAST(p_micros AS DOUBLE) + CAST(p2_micros AS DOUBLE))" +
+              " / 2000000.0) * (1.0 - (CAST(p_micros AS DOUBLE)" +
+              " + CAST(p2_micros AS DOUBLE)) / 2000000.0))" +
+              " + 0.8416212335729143 * sqrt((CAST(p_micros AS DOUBLE)" +
+              " / 1000000.0) * (1.0 - CAST(p_micros AS DOUBLE)" +
+              " / 1000000.0) + (CAST(p2_micros AS DOUBLE) / 1000000.0)" +
+              " * (1.0 - CAST(p2_micros AS DOUBLE) / 1000000.0)))" +
+              " * (1.959963984540054 * sqrt(2.0 *" +
+              " ((CAST(p_micros AS DOUBLE) + CAST(p2_micros AS DOUBLE))" +
+              " / 2000000.0) * (1.0 - (CAST(p_micros AS DOUBLE)" +
+              " + CAST(p2_micros AS DOUBLE)) / 2000000.0))" +
+              " + 0.8416212335729143 * sqrt((CAST(p_micros AS DOUBLE)" +
+              " / 1000000.0) * (1.0 - CAST(p_micros AS DOUBLE)" +
+              " / 1000000.0) + (CAST(p2_micros AS DOUBLE) / 1000000.0)" +
+              " * (1.0 - CAST(p2_micros AS DOUBLE) / 1000000.0)))" +
+              " / ((CAST(p2_micros AS DOUBLE) - CAST(p_micros AS" +
+              " DOUBLE)) / 1000000.0" +
+              " * (CAST(p2_micros AS DOUBLE) - CAST(p_micros AS" +
+              " DOUBLE)) / 1000000.0)) AS BIGINT)")))
   }
 }

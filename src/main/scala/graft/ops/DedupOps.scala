@@ -878,7 +878,9 @@ object DedupOps {
     * native expression to DuckDB's own `damerau_levenshtein` on every
     * candidate pair — an exact cross-engine check of the
     * Lowrance–Wagner implementation itself. */
-  def x150TypoNeardup(s: SparkSession, d: String): DataFrame = {
+  /** The shared x150/x174 typo fixture: 40-char heads plus a
+    * transposed-character twin for every third document. */
+  private[graft] def typoFixture(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .filter(col("doc_id").isNotNull && col("text").isNotNull &&
         length(col("text")) >= 40)
@@ -888,7 +890,33 @@ object DedupOps {
         concat(substring(col("head"), 1, 8),
           substring(col("head"), 10, 1), substring(col("head"), 9, 1),
           substring(col("head"), 11, 30)).as("head"))
-    val all = docs.unionByName(twins)
+    docs.unionByName(twins)
+  }
+
+  /** Cap-bind profile of the x150/x174 blocking at a corpus dir —
+    * (n_blocks, n_capped, bind_fraction_micros): the share of
+    * (prefix, length) blocks past the 256 cap. The sweep emits this
+    * next to x150's scale ratio so the cap-transition region (blocks
+    * legitimately grow quadratically UNTIL the cap binds, then the
+    * windowed fallback flattens the curve) is machine-readable in the
+    * artifact instead of re-argued from the ratio alone each round. */
+  private[graft] def x150CapBindProfile(s: SparkSession,
+      d: String): DataFrame =
+    typoFixture(s, d)
+      .select(lower(col("head")).as("s"))
+      .withColumn("blk", concat_ws("|", substring(col("s"), 1, 8),
+        length(col("s")).cast("string")))
+      .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .agg(count(lit(1)).as("n_blocks"),
+        coalesce(sum(when(col("bn") > 256, 1L).otherwise(0L)), lit(0L))
+          .as("n_capped"))
+      .select(col("n_blocks"), col("n_capped"),
+        when(col("n_blocks") === 0, lit(0L))
+          .otherwise(expr("(n_capped * 1000000L) div n_blocks"))
+          .as("bind_fraction_micros"))
+
+  def x150TypoNeardup(s: SparkSession, d: String): DataFrame = {
+    val all = typoFixture(s, d)
     typoNearDupPairs(all, "doc_id", "head", blockPrefix = 8, maxDist = 2)
       .crossJoin(broadcast(oversizedBlockCount(all, "doc_id", "head",
         8, 256)))
@@ -1097,16 +1125,7 @@ object DedupOps {
     * rounding (the expression is bit-identical to the builtin; §5i-2).
     * Fixture binding of [[jwNearDupPairs]]. */
   def x174JwNeardup(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
-        length(col("text")) >= 40)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
-    val twins = docs.filter(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
-        concat(substring(col("head"), 1, 8),
-          substring(col("head"), 10, 1), substring(col("head"), 9, 1),
-          substring(col("head"), 11, 30)).as("head"))
-    val all = docs.unionByName(twins)
+    val all = typoFixture(s, d)
     jwNearDupPairs(all, "doc_id", "head", blockPrefix = 8,
         minJwMicros = 900000L)
       .crossJoin(broadcast(oversizedBlockCount(all, "doc_id", "head",
@@ -1157,24 +1176,6 @@ object DedupOps {
             " oracle')").cast("int"))
           .otherwise(lit(1)).as("regime_ok"))
 
-  /** X183 — windowed-fallback recall audit on a fixture FORCED over
-    * the block cap (the x137b/x107 audit pattern pointed at the
-    * oversized-block regime the x150/x174 fixtures never enter): 6
-    * base documents each fan out to 280 variants that differ only in
-    * a 4-digit counter spliced at chars 9–12, with the doc id baked
-    * into the block prefix so every block holds exactly its 280
-    * variants (> the 256 cap → the windowed sorted-neighborhood path
-    * runs). The SAME corpus through [[typoNearDupPairs]] twice — an
-    * uncapped all-pairs pass (ground truth) and the default capped
-    * pass — yields the measured miss rate of the w = 32 window:
-    * near-dup digit pairs ≤ 2 edits apart but > 32 ranks apart in the
-    * sort are exactly what the fallback trades for boundedness.
-    * Output: one row (n_blocks, max_block, n_oversized, n_exact,
-    * n_windowed, recall_micro); windowed candidates are a strict
-    * subset of all-pairs, so caught ≡ n_windowed. Sized for the gate:
-    * keys are 24 chars and the ground truth is ~235k DL matrix
-    * evaluations — the audit's all-pairs half is the deliberate
-    * quadratic, bounded by the FIXED fixture, never by corpus SF. */
   /** The forced-oversized fixture shared by x150b and x191: 6 base
     * documents × 280 digit-spliced variants, doc id baked into the
     * block prefix → every block holds exactly its 280 variants. */
@@ -1191,6 +1192,24 @@ object DedupOps {
           substring(col("head"), 13, 12)).as("key"))
       .localCheckpoint(true) // bounded (≤ 1680 rows), feeds 3 branches
 
+  /** X183 (registered as x150b_window_recall) — windowed-fallback
+    * recall audit on the [[digitVariants]] fixture FORCED over the
+    * block cap (the x137b/x107 audit pattern pointed at the
+    * oversized-block regime the x150/x174 fixtures never enter): the
+    * 4-digit counter spliced at chars 9–12 with the doc id baked into
+    * the block prefix puts 280 variants in every block (> the 256 cap
+    * → the windowed sorted-neighborhood path runs). The SAME corpus
+    * through [[typoNearDupPairs]] twice — an uncapped all-pairs pass
+    * (ground truth) and the default capped pass — yields the measured
+    * miss rate of the w = 32 window: near-dup digit pairs ≤ 2 edits
+    * apart but > 32 ranks apart in the sort are exactly what the
+    * fallback trades for boundedness. Output: one row (n_blocks,
+    * max_block, n_oversized, n_exact, n_windowed, recall_micro);
+    * windowed candidates are a strict subset of all-pairs, so caught
+    * ≡ n_windowed. Sized for the gate: keys are 24 chars and the
+    * ground truth is ~235k DL matrix evaluations — the audit's
+    * all-pairs half is the deliberate quadratic, bounded by the FIXED
+    * fixture, never by corpus SF. */
   def x150bWindowRecall(s: SparkSession, d: String): DataFrame = {
     val variants = digitVariants(s, d)
     val exact = typoNearDupPairs(variants, "id", "key", blockPrefix = 8,
@@ -1211,6 +1230,42 @@ object DedupOps {
         col("n_exact"), col("n_windowed"),
         when(col("n_exact") === 0, lit(null).cast("long"))
           .otherwise(expr("(n_windowed * 1000000L) div n_exact"))
+          .as("recall_micro"))
+  }
+
+  /** X209 (registered as x150c_twopass_recall) — the recall the
+    * windowed fallback RECOVERS with a second, differently-ordered
+    * pass: x150b measured the single-pass w = 32 window at 0.399
+    * recall on the forced-oversized fixture; this runs the SAME
+    * corpus through the forward pass AND x191's reversed-key pass
+    * (Damerau–Levenshtein is reversal-invariant, so the candidate
+    * population is identical while the within-block sort — and hence
+    * the window's misses — differ), unions the candidate sets, and
+    * prices the two-pass mode against the same uncapped all-pairs
+    * ground truth. The opt-in upgrade path for the oversized-block
+    * regime: 2× the windowed cost, recall measured here — published
+    * next to the single-pass figure, not asserted. Still bounded:
+    * both passes are rank-windowed (≤ 32·n candidates each), only the
+    * fixed fixture pays the exact quadratic. */
+  def x150cTwopassRecall(s: SparkSession, d: String): DataFrame = {
+    val v = digitVariants(s, d)
+    val exact = typoNearDupPairs(v, "id", "key", blockPrefix = 8,
+        maxDist = 2, maxBlockSize = 1 << 20)
+      .agg(count(lit(1)).as("n_exact"))
+    val capA = typoNearDupPairs(v, "id", "key", blockPrefix = 8,
+      maxDist = 2).select(col("id1"), col("id2"))
+    val rev = v.select(col("id"), reverse(col("key")).as("key"))
+    val capB = typoNearDupPairs(rev, "id", "key", blockPrefix = 8,
+      maxDist = 2).select(col("id1"), col("id2"))
+    val nA = capA.agg(count(lit(1)).as("n_fwd"))
+    val nB = capB.agg(count(lit(1)).as("n_rev"))
+    val nU = capA.unionByName(capB).distinct()
+      .agg(count(lit(1)).as("n_twopass"))
+    nA.crossJoin(broadcast(nB)).crossJoin(broadcast(nU))
+      .crossJoin(broadcast(exact))
+      .select(col("n_fwd"), col("n_rev"), col("n_twopass"), col("n_exact"),
+        when(col("n_exact") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_twopass * 1000000L) div n_exact"))
           .as("recall_micro"))
   }
 
@@ -1251,6 +1306,7 @@ object DedupOps {
     "x196_eigen_centrality" -> (x196EigenCentrality _),
     "x191_chapman" -> (x191Chapman _),
     "x150b_window_recall" -> (x150bWindowRecall _),
+    "x150c_twopass_recall" -> (x150cTwopassRecall _),
     "x164_url_canon" -> (x164UrlCanon _),
     "x174_jw_neardup" -> (x174JwNeardup _),
     "x150_typo_neardup" -> (x150TypoNeardup _),
@@ -1489,7 +1545,55 @@ object DedupOps {
         |    * (n2 - m)) // (CAST(m + 1 AS HUGEINT) * (m + 1) * (m + 2))
         |    AS BIGINT) AS var_est
         |FROM nn1, nn2, mm""".stripMargin,
-    // windowed-recall replay: the same 8×300 digit-spliced fixture,
+    // two-pass recall replay: x191's forward + reversed-key windowed
+    // CTEs verbatim, the candidate UNION priced against the same
+    // uncapped all-pairs ground truth
+    "x150c_twopass_recall" ->
+      """WITH base AS (
+        |  SELECT doc_id, substring(text, 1, 40) AS head
+        |  FROM documents WHERE doc_id IS NOT NULL AND doc_id < 6
+        |    AND text IS NOT NULL AND length(text) >= 40),
+        |var AS (
+        |  SELECT doc_id * 1000 + k AS id,
+        |    concat('d', lpad(CAST(doc_id AS VARCHAR), 3, '0'),
+        |      substring(head, 1, 4), lpad(CAST(k AS VARCHAR), 4, '0'),
+        |      substring(head, 13, 12)) AS key
+        |  FROM base, generate_series(0, 279) AS g(k)),
+        |f AS (SELECT id, lower(key) AS s FROM var),
+        |rv AS (SELECT id, lower(reverse(key)) AS s FROM var),
+        |rk1 AS (SELECT id, s,
+        |    concat(substring(s, 1, 8), '|', CAST(length(s) AS VARCHAR))
+        |      AS blk FROM f),
+        |rk1r AS (SELECT id, s, blk, row_number() OVER (
+        |    PARTITION BY blk ORDER BY s, id) AS rn FROM rk1),
+        |rk2 AS (SELECT id, s,
+        |    concat(substring(s, 1, 8), '|', CAST(length(s) AS VARCHAR))
+        |      AS blk FROM rv),
+        |rk2r AS (SELECT id, s, blk, row_number() OVER (
+        |    PARTITION BY blk ORDER BY s, id) AS rn FROM rk2),
+        |c1 AS (SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2
+        |  FROM rk1r a JOIN rk1r b ON a.blk = b.blk AND b.rn > a.rn
+        |    AND b.rn <= a.rn + 32
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2),
+        |c2 AS (SELECT DISTINCT least(a.id, b.id) AS id1,
+        |    greatest(a.id, b.id) AS id2
+        |  FROM rk2r a JOIN rk2r b ON a.blk = b.blk AND b.rn > a.rn
+        |    AND b.rn <= a.rn + 32
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2),
+        |nn1 AS (SELECT CAST(count(*) AS BIGINT) AS n_fwd FROM c1),
+        |nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n_rev FROM c2),
+        |uu AS (SELECT CAST(count(*) AS BIGINT) AS n_twopass
+        |  FROM (SELECT id1, id2 FROM c1
+        |        UNION SELECT id1, id2 FROM c2) AS u),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM rk1r a JOIN rk1r b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE damerau_levenshtein(a.s, b.s) <= 2)
+        |SELECT n_fwd, n_rev, n_twopass, n_exact,
+        |  CASE WHEN n_exact = 0 THEN NULL
+        |    ELSE (n_twopass * 1000000) // n_exact END AS recall_micro
+        |FROM nn1, nn2, uu, ex""".stripMargin,
+    // windowed-recall replay: the same 6×280 digit-spliced fixture,
     // the all-pairs and rank-window (w = 32, order s,id) candidate
     // regimes side by side, counts + block occupancy in one row
     "x150b_window_recall" ->

@@ -803,6 +803,76 @@ object SamplingOps {
     graft.api.TrainingData.giniConcentration(
       t(s, d, "documents"), "source")
 
+  /** X209 — Theil T inequality of character mass across documents with
+    * its within/between-SOURCE decomposition: is length inequality a
+    * between-crawl or a within-crawl phenomenon — the additive split
+    * x197's Gini cannot give. Fixture binding of
+    * [[graft.api.TrainingData.theilIndex]]. */
+  def x209Theil(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.theilIndex(
+      t(s, d, "documents"), "source", "n_chars")
+
+  /** X210 — Bowker symmetry test over the x89 event-transition matrix:
+    * is traffic between event types symmetric, or does the log carry a
+    * net drift direction — the k×k McNemar. Fixture binding of
+    * [[graft.api.TrainingData.bowkerSymmetry]] over
+    * [[graft.api.TrainingData.transitionMatrix]]. */
+  def x210Bowker(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.bowkerSymmetry(
+      graft.api.TrainingData.transitionMatrix(
+        t(s, d, "events"), "user_id", "event_type", "ts", "event_id"),
+      "from_type", "to_type", "n")
+
+  /** X211 — Hill-number diversity profile of corpus character mass
+    * across sources (q = 0/1/2 effective source counts + Pielou
+    * evenness): the unified read over x136's richness, entropy, and
+    * x128's concentration. Fixture binding of
+    * [[graft.api.TrainingData.hillDiversity]]. */
+  def x211Hill(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.hillDiversity(
+      t(s, d, "documents"), "source", "n_chars")
+
+  /** X212 — Bland–Altman agreement between the two length signals
+    * every quality gate mixes (character count vs 5·whitespace-token
+    * count): bias, spread, 95% limits of agreement, and how many
+    * documents fall outside them — systematic offset vs noise, which
+    * correlation (x122) cannot separate. Fixture binding of
+    * [[graft.api.TrainingData.blandAltman]]. */
+  def x212BlandAltman(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.blandAltman(
+      t(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("n_chars"),
+          (expr("size(filter(split(text, ' '), t -> t != ''))")
+            .cast("long") * 5L).as("tok5")),
+      "n_chars", "tok5")
+
+  /** X213 — Newcombe hybrid CI for the en-rate DIFFERENCE between the
+    * even and odd doc_id halves (the A/B-split shape): the two-arm
+    * companion to x125's per-group Wilson bounds. Fixture binding of
+    * [[graft.api.TrainingData.newcombeDiff]]. */
+  def x213Newcombe(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.newcombeDiff(
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select((col("doc_id") % 2 === 0).as("arm_a"),
+          (col("lang") === "en").as("is_en")),
+      "arm_a", "is_en")
+
+  /** X214 — per-source sample size an A/B test would need to detect a
+    * 10% relative change in the en-rate (α = 0.05, power 0.8): the
+    * planning op of the eval shelf — rare-rate slices are where the
+    * labeling budget explodes, per-source is the grain that shows it.
+    * Fixture binding of
+    * [[graft.api.TrainingData.requiredSampleSize]]. */
+  def x214Power(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.requiredSampleSize(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), (col("lang") === "en").as("is_en")),
+      "source", "is_en", liftPerMille = 100)
+      .orderBy(col("grp"))
+
   /** X198 — deterministic label-permutation test of the en-vs-rest
     * n_chars total (B = 40 sha-derived relabelings): the
     * assumption-free p beside x159's normal-approximation z² on the
@@ -925,6 +995,12 @@ object SamplingOps {
     "x203_gtest" -> (x203GTest _),
     "x197_gini" -> (x197Gini _),
     "x198_perm_test" -> (x198PermTest _),
+    "x209_theil" -> (x209Theil _),
+    "x210_bowker" -> (x210Bowker _),
+    "x211_hill_diversity" -> (x211Hill _),
+    "x212_bland_altman" -> (x212BlandAltman _),
+    "x213_newcombe" -> (x213Newcombe _),
+    "x214_power" -> (x214Power _),
     "x190_mann_kendall" -> (x190MannKendall _),
     "x192_youden_j" -> (x192YoudenJ _),
     "x193_rbo" -> (x193Rbo _),
@@ -1301,6 +1377,196 @@ object SamplingOps {
         |      // (CAST(n AS HUGEINT) * s) AS BIGINT)
         |  END AS gini_micros
         |FROM rk, tt ORDER BY rank""".stripMargin,
+    // Theil replay: cell-grain counts, per-term micro-rounded IEEE
+    // ln chains at value and group grain, exact integer sums, within
+    // by the decomposition identity
+    "x209_theil" ->
+      """WITH per AS (SELECT source AS grp, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * v) AS s FROM per),
+        |pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS c FROM per
+        |  GROUP BY 1),
+        |tt AS (SELECT coalesce(CAST(sum(CAST(round(1000000.0
+        |      * (CAST(c AS DOUBLE) * CAST(v AS DOUBLE)
+        |        / CAST(s AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) * CAST(v AS DOUBLE)
+        |        / CAST(s AS DOUBLE))) AS BIGINT)) AS BIGINT), 0)
+        |    AS t_total FROM pv, tot),
+        |pg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+        |    sum(CAST(c AS HUGEINT) * v) AS s_g FROM per GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    coalesce(CAST(sum(CAST(round(1000000.0
+        |      * (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+        |      * ln((CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) / CAST(n_g AS DOUBLE))))
+        |      AS BIGINT)) AS BIGINT), 0) AS t_between FROM pg, tot)
+        |SELECT n, n_groups,
+        |  CASE WHEN s <= 0 THEN NULL ELSE t_total END
+        |    AS theil_total_micros,
+        |  CASE WHEN s <= 0 THEN NULL ELSE t_between END
+        |    AS theil_between_micros,
+        |  CASE WHEN s <= 0 THEN NULL ELSE t_total - t_between END
+        |    AS theil_within_micros
+        |FROM tot, tt, bt""".stripMargin,
+    // Bowker replay: the x89 transition CTE, full-outer symmetric
+    // pairing of the count matrix, per-pair truncated micro terms
+    "x210_bowker" ->
+      """WITH seq AS (SELECT user_id, event_type AS ty,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT prev AS i, ty AS j, CAST(count(*) AS BIGINT) AS c
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT coalesce(x.i, y.j) AS i, coalesce(x.j, y.i) AS j,
+        |    coalesce(x.c, 0) AS nij, coalesce(y.c, 0) AS nji
+        |  FROM m x FULL OUTER JOIN m y ON x.i = y.j AND x.j = y.i),
+        |f AS (SELECT * FROM p WHERE i < j)
+        |SELECT coalesce(CAST(sum(nij + nji) AS BIGINT), 0)
+        |    AS n_offdiag,
+        |  CAST(count(*) AS BIGINT) AS df,
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE CAST(sum((1000000 * CAST(nij - nji AS HUGEINT)
+        |      * (nij - nji)) // (nij + nji)) AS BIGINT) END
+        |    AS bowker_chi2_micros
+        |FROM f""".stripMargin,
+    // Hill replay: group mass, exact q0/q2, micro-rounded Shannon
+    // terms summed exactly, one IEEE exp/ln each for q1/evenness
+    "x211_hill_diversity" ->
+      """WITH per AS (SELECT source AS grp,
+        |    sum(CAST(n_chars AS HUGEINT)) AS s_g
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND n_chars IS NOT NULL AND n_chars > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(s_g) AS s,
+        |    sum(s_g * s_g) AS s2 FROM per),
+        |h AS (SELECT coalesce(CAST(sum(CAST(round(1000000.0
+        |      * (CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE))
+        |      * ln(CAST(s_g AS DOUBLE) / CAST(s AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT), 0) AS neg_h FROM per, tot)
+        |SELECT k AS q0, -neg_h AS shannon_micros,
+        |  CAST(round(1000000.0 * exp(CAST(-neg_h AS DOUBLE)
+        |    / 1000000.0)) AS BIGINT) AS hill_q1_micros,
+        |  CASE WHEN s2 <= 0 THEN NULL
+        |    ELSE CAST((1000000 * s * s) // s2 AS BIGINT) END
+        |    AS hill_q2_micros,
+        |  CASE WHEN k < 2 THEN NULL
+        |    ELSE CAST(round(1000000.0 * (CAST(-neg_h AS DOUBLE)
+        |      / 1000000.0) / ln(CAST(k AS DOUBLE))) AS BIGINT) END
+        |    AS evenness_micros
+        |FROM tot, h""".stripMargin,
+    // Bland-Altman replay: integer differences, sign-explicit bias
+    // truncation, exact variance numerator + one IEEE sqrt, integer
+    // LoA bounds and the outside counts off the same difference CTE
+    "x212_bland_altman" ->
+      """WITH b AS (SELECT CAST(n_chars AS BIGINT)
+        |    - 5 * len(list_filter(string_split(text, ' '),
+        |        t -> t <> '')) AS d
+        |  FROM documents WHERE text IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(d AS HUGEINT)) AS sd_sum,
+        |    sum(CAST(d AS HUGEINT) * d) AS sq FROM b),
+        |s2 AS (SELECT n,
+        |    CAST(sign(sd_sum) * ((1000000 * abs(sd_sum)) // n)
+        |      AS BIGINT) AS bias_micros,
+        |    CASE WHEN n < 2 THEN NULL
+        |      ELSE CAST(floor(1000000.0 * sqrt(CAST(n * sq
+        |        - sd_sum * sd_sum AS DOUBLE) / (CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) - 1.0)))) AS BIGINT) END
+        |      AS sd_micros FROM st),
+        |s3 AS (SELECT n, bias_micros, sd_micros,
+        |    CASE WHEN sd_micros IS NULL THEN NULL
+        |      ELSE bias_micros - CAST(round(1.96 * sd_micros)
+        |        AS BIGINT) END AS loa_lo_micros,
+        |    CASE WHEN sd_micros IS NULL THEN NULL
+        |      ELSE bias_micros + CAST(round(1.96 * sd_micros)
+        |        AS BIGINT) END AS loa_hi_micros FROM s2)
+        |SELECT n, bias_micros, sd_micros, loa_lo_micros,
+        |  loa_hi_micros,
+        |  CAST(coalesce(sum(CASE WHEN loa_lo_micros IS NOT NULL
+        |    AND 1000000 * d < loa_lo_micros THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_below,
+        |  CAST(coalesce(sum(CASE WHEN loa_hi_micros IS NOT NULL
+        |    AND 1000000 * d > loa_hi_micros THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_above
+        |FROM b, s3 GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    // Newcombe replay: the x125 Wilson chain per arm (both bounds,
+    // floored), integer micro deltas under two floored IEEE sqrts
+    "x213_newcombe" ->
+      """WITH per AS (SELECT (doc_id % 2 = 0) AS arm_a,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |    AND lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT arm_a, n, pos, (1000000 * pos) // n AS p,
+        |    CAST(floor(1000000.0 * (((CAST(pos AS DOUBLE)
+        |      + 1.96*1.96/2.0) / CAST(n AS DOUBLE)
+        |      - (1.96 / CAST(n AS DOUBLE))
+        |      * sqrt(CAST(pos AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(pos AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        + 1.96*1.96/4.0)) / (1.0 + 1.96*1.96
+        |      / CAST(n AS DOUBLE)))) AS BIGINT) AS wl,
+        |    CAST(floor(1000000.0 * (((CAST(pos AS DOUBLE)
+        |      + 1.96*1.96/2.0) / CAST(n AS DOUBLE)
+        |      + (1.96 / CAST(n AS DOUBLE))
+        |      * sqrt(CAST(pos AS DOUBLE) * (CAST(n AS DOUBLE)
+        |        - CAST(pos AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        + 1.96*1.96/4.0)) / (1.0 + 1.96*1.96
+        |      / CAST(n AS DOUBLE)))) AS BIGINT) AS wu
+        |  FROM per),
+        |a AS (SELECT n AS n1, pos AS pos1, p AS p1, wl AS l1,
+        |    wu AS u1 FROM w WHERE arm_a),
+        |b AS (SELECT n AS n2, pos AS pos2, p AS p2, wl AS l2,
+        |    wu AS u2 FROM w WHERE NOT arm_a)
+        |SELECT n1, pos1, n2, pos2, p1 AS p1_micros, p2 AS p2_micros,
+        |  p1 - p2 AS diff_micros,
+        |  p1 - p2 - CAST(floor(sqrt(CAST((p1 - l1) * (p1 - l1)
+        |    + (u2 - p2) * (u2 - p2) AS DOUBLE))) AS BIGINT)
+        |    AS ci_lo_micros,
+        |  p1 - p2 + CAST(floor(sqrt(CAST((u1 - p1) * (u1 - p1)
+        |    + (p2 - l2) * (p2 - l2) AS DOUBLE))) AS BIGINT)
+        |    AS ci_hi_micros
+        |FROM a, b""".stripMargin,
+    // power replay: exact micro rates, the one written-out IEEE
+    // chain per source with shortest-round-trip z literals
+    "x214_power" ->
+      """WITH per AS (SELECT source AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents WHERE source IS NOT NULL
+        |    AND lang IS NOT NULL GROUP BY 1),
+        |r AS (SELECT grp, n, pos, (1000000 * pos) // n AS p_micros,
+        |    ((1000 + 100) * ((1000000 * pos) // n)) // 1000
+        |      AS p2_micros FROM per)
+        |SELECT grp, n, pos, p_micros, p2_micros,
+        |  CASE WHEN pos = 0 OR p2_micros >= 1000000
+        |      OR p2_micros = p_micros THEN NULL
+        |    ELSE CAST(ceil((1.959963984540054 * sqrt(2.0
+        |      * ((CAST(p_micros AS DOUBLE) + CAST(p2_micros AS DOUBLE))
+        |        / 2000000.0) * (1.0 - (CAST(p_micros AS DOUBLE)
+        |        + CAST(p2_micros AS DOUBLE)) / 2000000.0))
+        |      + 0.8416212335729143 * sqrt((CAST(p_micros AS DOUBLE)
+        |        / 1000000.0) * (1.0 - CAST(p_micros AS DOUBLE)
+        |        / 1000000.0) + (CAST(p2_micros AS DOUBLE) / 1000000.0)
+        |        * (1.0 - CAST(p2_micros AS DOUBLE) / 1000000.0)))
+        |      * (1.959963984540054 * sqrt(2.0
+        |      * ((CAST(p_micros AS DOUBLE) + CAST(p2_micros AS DOUBLE))
+        |        / 2000000.0) * (1.0 - (CAST(p_micros AS DOUBLE)
+        |        + CAST(p2_micros AS DOUBLE)) / 2000000.0))
+        |      + 0.8416212335729143 * sqrt((CAST(p_micros AS DOUBLE)
+        |        / 1000000.0) * (1.0 - CAST(p_micros AS DOUBLE)
+        |        / 1000000.0) + (CAST(p2_micros AS DOUBLE) / 1000000.0)
+        |        * (1.0 - CAST(p2_micros AS DOUBLE) / 1000000.0)))
+        |      / ((CAST(p2_micros AS DOUBLE) - CAST(p_micros AS DOUBLE))
+        |        / 1000000.0 * (CAST(p2_micros AS DOUBLE)
+        |        - CAST(p_micros AS DOUBLE)) / 1000000.0)) AS BIGINT)
+        |    END AS n_required_per_arm
+        |FROM r ORDER BY grp""".stripMargin,
     // permutation replay: the same sha256(id:b) ranking per
     // relabeling, cross-multiplied two-sided extremeness, add-one p̃
     "x198_perm_test" ->

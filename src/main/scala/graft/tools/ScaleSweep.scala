@@ -98,6 +98,9 @@ object ScaleSweep {
     // oversized window-recall audit (fixed fixture — expect flat)
     "x184_moods_median", "x186_emd_pairs", "x187_cliffs_delta",
     "x150b_window_recall",
+    // round-16: the two-pass recall audit (same fixed fixture — expect
+    // flat like x150b)
+    "x150c_twopass_recall",
     // the distinct-score ROC scan and the slice-grain triple correction
     "x192_youden_j", "x194_holm_by",
     // the 16×-explode silhouette scan, the 5-round power iteration on
@@ -337,6 +340,20 @@ object ScaleSweep {
       s""""x26f_fixed_bits_4":{"t1":${math.round(f1 * 1000) / 1000.0},"t10":${math.round(f10 * 1000) / 1000.0},"ratio":${math.round(f10 / f1 * 1000) / 1000.0}}"""
     graft.ops.PerAppCache.evictAll()
 
+    // cap-bind profile for the blocked string-metric family (x150/
+    // x174 share the fixture): the share of blocks past the 256 cap at
+    // each scale, so the x150 10x flag's cap-transition explanation
+    // ("blocks grow quadratically until the cap binds, then the
+    // windowed fallback flattens the curve") is adjudicable from the
+    // artifact — a high 100x bind fraction + sub-flag 100x ratio IS
+    // the explanation, machine-readable
+    val capBind = Seq(("1x", d1), ("10x", d10), ("100x", d100))
+      .map { case (label, dir) =>
+        val row = graft.ops.DedupOps.x150CapBindProfile(spark, dir)
+          .collect().head
+        s""""$label":{"n_blocks":${row.getLong(0)},"n_capped":${row.getLong(1)},"bind_fraction_micros":${row.getLong(2)}}"""
+      }.mkString("{", ",", "}")
+
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val qjson = full.map { case (n, c1, w1, c10, w10, ratio) =>
       s""""$n":{"t1":${r3(c1)},"t1_warm":${r3(w1)},"t10":${r3(c10)},"t10_warm":${r3(w10)},"ratio":${r3(ratio)}}"""
@@ -352,7 +369,7 @@ object ScaleSweep {
     val errsJson = (errs1 ++ errs10 ++ errs100)
       .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scaling_10x","base":"$base","replicas":10,"gen_seconds":${r3(genSec)},"n_queries":${full.size},"flagged_superlinear":${jarr(flagged)},"queries":$qjson,"queries_100x":$topJson,"flagged_superlinear_100x":${jarr(flagged100)},"errors":$errsJson,"config_variants":{$extrasJson}}"""
+      s"""{"metric":"scaling_10x","base":"$base","replicas":10,"gen_seconds":${r3(genSec)},"n_queries":${full.size},"flagged_superlinear":${jarr(flagged)},"queries":$qjson,"queries_100x":$topJson,"flagged_superlinear_100x":${jarr(flagged100)},"cap_bind_x150_x174":$capBind,"errors":$errsJson,"config_variants":{$extrasJson}}"""
     println(line)
     BenchSession.writeArtifact("scaling_out.json", line)
     spark.stop()

@@ -789,6 +789,65 @@ class PlanSpec extends SparkSpec {
     assert(failed == 0, s"PLANS.md carries $failed FAILED sections")
   }
 
+  test("x198 permutation ranks are bucket-partitioned — no corpus-sized window partition") {
+    val p = plan("x198_perm_test")
+    // the r15-verdict scale defect: Window.partitionBy(pb) put the
+    // ENTIRE corpus in each of B partitions (B single-task corpus
+    // sorts). The fix ranks only within (pb, bkt) hash-prefix buckets;
+    // any windowspec that orders the row-grain relation by the
+    // permutation hash h must therefore carry BOTH pb and bkt in its
+    // partition clause
+    val rowGrainSpecs = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && l.contains("h#"))
+      .toSeq
+    assert(rowGrainSpecs.nonEmpty, p.linesIterator.take(40).mkString("\n"))
+    rowGrainSpecs.foreach { l =>
+      assert(l.contains("bkt#"),
+        s"h-ordered window not bucket-partitioned:\n$l")
+    }
+    // and the only pb-only window runs over the (pb, bkt) COUNT
+    // relation (ordered by bkt, ≤ 256 rows per permutation), never by h
+    p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && !l.contains("bkt#"))
+      .foreach { l => assert(!l.contains("h#"), l) }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("audit: no registered query partitions a corpus-grain window by a permutation/replica index alone") {
+    // the x198-class shape: Window.partitionBy over a BOUNDED-
+    // cardinality replication key (permutation index, bootstrap
+    // replica) funnels the whole corpus through one task per replica —
+    // x198 was the only instance found in the r15 audit and is fixed;
+    // this pin turns that manual audit into CI by freezing the source:
+    // a single-key window over a replication-index column may not
+    // reappear anywhere in main sources
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    // replication-index spellings used anywhere in the repo (pb =
+    // permutation, rep/b_id = bootstrap replica, perm) — none of these
+    // may be the SOLE partition key of a row-grain window. The one
+    // legitimate pb-only window (x198's cumulative-offset pass) orders
+    // by bkt over the ≤ B·256-row count relation, so the ban for pb is
+    // its row-grain spelling (ordered by the permutation hash h)
+    val banned =
+      s"""partitionBy(col("pb")).orderBy(col("h")""" +:
+        Seq("rep", "perm", "b_id", "boot")
+          .map(k => s"""partitionBy(col("$k"))""")
+    val hits = for {
+      f <- files
+      text = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // collapse whitespace so multi-line builder chains match too
+      flat = text.replaceAll("\\s+", "")
+      b <- banned if flat.contains(b)
+    } yield s"$f: $b"
+    assert(hits.isEmpty,
+      "corpus-grain window partitioned by a replication index alone:\n" +
+        hits.mkString("\n"))
+  }
+
   test("q01 aggregation is whole-stage codegen'd hash aggregation") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("HashAggregate"))

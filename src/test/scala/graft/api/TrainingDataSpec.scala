@@ -4451,4 +4451,117 @@ class TrainingDataSpec extends SparkSpec {
     assert(p50.getLong(3) == 5L && p50.getLong(4) == 15L)
     assert(got.map(_.getLong(0)).toSeq == (1 to 9).map(_ * 10L))
   }
+
+  test("theilIndex: equal values zero, within-equal groups put everything between") {
+    val eq = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val e = graft.api.TrainingData.theilIndex(eq, "g", "v")
+      .collect().head
+    assert(e.getLong(0) == 4L && e.getLong(1) == 2L)
+    assert(e.getLong(2) == 0L && e.getLong(3) == 0L && e.getLong(4) == 0L)
+    // groups internally equal → T_within = 0 and total = between:
+    // A (share 1/4, half the per-doc mean) and B (share 3/4)
+    val two = Seq(("a", 1L), ("a", 1L), ("b", 3L), ("b", 3L))
+      .toDF("g", "v")
+    val t = graft.api.TrainingData.theilIndex(two, "g", "v")
+      .collect().head
+    val termA = math.round(1e6 * 0.25 * math.log(0.5))
+    val termB = math.round(1e6 * 0.75 * math.log(1.5))
+    assert(t.getLong(2) == termA + termB)
+    assert(t.getLong(3) == termA + termB)
+    assert(t.getLong(4) == 0L)
+  }
+
+  test("bowkerSymmetry: hand-walked pair terms, symmetric matrix zero, diagonal-only NULL") {
+    val m = Seq(("a", "b", 3L), ("b", "a", 1L), ("a", "c", 2L))
+      .toDF("i", "j", "n")
+    val r = graft.api.TrainingData.bowkerSymmetry(m, "i", "j", "n")
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 2L)
+    // (3−1)²/4 + (2−0)²/2 = 1 + 2
+    assert(r.getLong(2) == 3000000L)
+    val sym = Seq(("a", "b", 4L), ("b", "a", 4L)).toDF("i", "j", "n")
+    assert(graft.api.TrainingData.bowkerSymmetry(sym, "i", "j", "n")
+      .collect().head.getLong(2) == 0L)
+    val diag = Seq(("a", "a", 9L)).toDF("i", "j", "n")
+    assert(graft.api.TrainingData.bowkerSymmetry(diag, "i", "j", "n")
+      .collect().head.isNullAt(2))
+  }
+
+  test("hillDiversity: two equal sources read as 2 effective, dominance shrinks q2") {
+    val eq = Seq(("a", 4L), ("b", 4L)).toDF("g", "v")
+    val r = graft.api.TrainingData.hillDiversity(eq, "g", "v")
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert(math.abs(r.getLong(1) - 693147L) <= 2L) // ln 2 micro-nats
+    assert(math.abs(r.getLong(2) - 2000000L) <= 5L) // exp(H) ≈ 2
+    assert(r.getLong(3) == 2000000L) // q2 exact: 64/32
+    assert(math.abs(r.getLong(4) - 1000000L) <= 2L) // evenness ≈ 1
+    val dom = Seq(("a", 9L), ("b", 1L)).toDF("g", "v")
+    val d = graft.api.TrainingData.hillDiversity(dom, "g", "v")
+      .collect().head
+    assert(d.getLong(3) == 1219512L) // 100/82 exact
+    // single group: evenness undefined
+    val one = Seq(("a", 5L)).toDF("g", "v")
+    assert(graft.api.TrainingData.hillDiversity(one, "g", "v")
+      .collect().head.isNullAt(4))
+  }
+
+  test("blandAltman: constant offset collapses the limits, spread case hand-walked") {
+    val const = Seq((10L, 7L), (20L, 17L), (30L, 27L)).toDF("x", "y")
+    val c = graft.api.TrainingData.blandAltman(const, "x", "y")
+      .collect().head
+    assert(c.getLong(0) == 3L && c.getLong(1) == 3000000L)
+    assert(c.getLong(2) == 0L)
+    assert(c.getLong(3) == 3000000L && c.getLong(4) == 3000000L)
+    assert(c.getLong(5) == 0L && c.getLong(6) == 0L)
+    // d = 0, 2: bias 1, sd = √2, LoA = 1e6 ± round(1.96·1414213)
+    val two = Seq((5L, 5L), (7L, 5L)).toDF("x", "y")
+    val t = graft.api.TrainingData.blandAltman(two, "x", "y")
+      .collect().head
+    assert(t.getLong(1) == 1000000L && t.getLong(2) == 1414213L)
+    assert(t.getLong(3) == 1000000L - math.round(1.96 * 1414213L))
+    assert(t.getLong(4) == 1000000L + math.round(1.96 * 1414213L))
+    assert(t.getLong(5) == 0L && t.getLong(6) == 0L)
+    // negative bias truncates toward zero in BOTH engines (sign-split)
+    val neg = Seq((5L, 7L), (5L, 8L)).toDF("x", "y")
+    assert(graft.api.TrainingData.blandAltman(neg, "x", "y")
+      .collect().head.getLong(1) == -2500000L)
+  }
+
+  test("newcombeDiff: bounds bracket the difference, arms read correctly") {
+    val rows = (Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(5)((false, false)))
+      .toDF("arm", "y")
+    val r = graft.api.TrainingData.newcombeDiff(rows, "arm", "y")
+      .collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 8L)
+    assert(r.getLong(2) == 10L && r.getLong(3) == 5L)
+    assert(r.getLong(4) == 800000L && r.getLong(5) == 500000L)
+    assert(r.getLong(6) == 300000L)
+    assert(r.getLong(7) < r.getLong(6) && r.getLong(6) < r.getLong(8))
+    // Wilson-backed: the interval stays inside [−1, 1] micros
+    assert(r.getLong(7) >= -1000000L && r.getLong(8) <= 1000000L)
+  }
+
+  test("requiredSampleSize: p=0.5 at 10% lift replays the written-out chain, degenerates NULL") {
+    val rows = (Seq.fill(5)(("s", true)) ++ Seq.fill(5)(("s", false)) ++
+      Seq.fill(3)(("z", false))).toDF("g", "y")
+    val got = graft.api.TrainingData
+      .requiredSampleSize(rows, "g", "y", liftPerMille = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s = got("s")
+    assert(s.getLong(3) == 500000L && s.getLong(4) == 550000L)
+    // replay the written-out IEEE chain in the SAME operation order
+    val p1m = 500000.0; val p2m = 550000.0
+    val pb = (p1m + p2m) / 2000000.0
+    val z = 1.959963984540054 * math.sqrt(2.0 * pb * (1.0 - pb)) +
+      0.8416212335729143 *
+        math.sqrt(p1m / 1000000.0 * (1.0 - p1m / 1000000.0) +
+          p2m / 1000000.0 * (1.0 - p2m / 1000000.0))
+    val expect = math.ceil(
+      z * z / ((p2m - p1m) / 1000000.0 * (p2m - p1m) / 1000000.0)).toLong
+    assert(s.getLong(5) == expect)
+    assert(got("z").isNullAt(5)) // zero base rate → no detectable lift
+  }
 }
