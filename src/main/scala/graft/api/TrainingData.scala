@@ -8253,6 +8253,29 @@ object TrainingData {
     *
     * Scale shape: ONE map-side-combined aggregation over blocks —
     * no shuffle beyond the final reduce. */
+  /** Row-local doubled midranks over k wide columns v0..v{k-1} —
+    * 2·#{less} + #{tied incl. self} + 1 per treatment — plus the
+    * per-block tie term Σ_values (t³−t) = Σ_positions (t_i² − 1):
+    * the shared rank core of [[friedmanTest]] and [[pageTrend]]. */
+  private def blockMidranks(k: Int): (Seq[Column], Column) = {
+    val rankCols = (0 until k).map { j =>
+      val less = (0 until k).filter(_ != j)
+        .map(i => when(col(s"v$i") < col(s"v$j"), 2L).otherwise(0L))
+        .reduce(_ + _)
+      val ties = (0 until k).filter(_ != j)
+        .map(i => when(col(s"v$i") === col(s"v$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      (less + ties + 2L).as(s"r$j")
+    }
+    val tieTerm = (0 until k).map { i =>
+      val t = (0 until k)
+        .map(m => when(col(s"v$m") === col(s"v$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      t * t - lit(1L)
+    }.reduce(_ + _)
+    (rankCols, tieTerm)
+  }
+
   def friedmanTest(rows: DataFrame, treatmentCols: Seq[String]): DataFrame = {
     val k = treatmentCols.size
     require(k >= 2 && k <= 8,
@@ -8263,25 +8286,7 @@ object TrainingData {
       integralLong(c, "friedmanTest").as(s"v$i")
     }
     val base = filtered.select(vals: _*)
-    // doubled midrank of treatment j within its block:
-    // 2·#{less} + #{tied incl. self} + 1
-    val rankCols = (0 until k).map { j =>
-      val less = (0 until k).filter(_ != j)
-        .map(i => when(col(s"v$i") < col(s"v$j"), 2L).otherwise(0L))
-        .reduce(_ + _)
-      val ties = (0 until k).filter(_ != j)
-        .map(i => when(col(s"v$i") === col(s"v$j"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      (less + ties + 2L).as(s"r$j")
-    }
-    // per-block tie term Σ_values (t³−t) = Σ_positions (t_i² − 1) with
-    // t_i = multiplicity of position i's value within the block
-    val tieTerm = (0 until k).map { i =>
-      val t = (0 until k)
-        .map(m => when(col(s"v$m") === col(s"v$i"), 1L).otherwise(0L))
-        .reduce(_ + _)
-      t * t - lit(1L)
-    }.reduce(_ + _)
+    val (rankCols, tieTerm) = blockMidranks(k)
     val ranked = base.select(rankCols :+ tieTerm.as("tb"): _*)
     val sums = ranked.agg(count(lit(1)).as("n"),
       (Seq(sum(col("tb")).as("t")) ++
@@ -10064,5 +10069,275 @@ object TrainingData {
               " DOUBLE)) / 1000000.0" +
               " * (CAST(p2_micros AS DOUBLE) - CAST(p_micros AS" +
               " DOUBLE)) / 1000000.0)) AS BIGINT)")))
+  }
+
+  /** Jonckheere–Terpstra trend test — does a VALUE trend monotonically
+    * across ORDERED groups (hour buckets, quality deciles): J = Σ_{a<b}
+    * U_ab, the sum of pairwise Mann–Whitney counts over ordered group
+    * pairs. Completes the trend family: x201 (Cochran–Armitage) is the
+    * binary-outcome case, x190 (Mann–Kendall) the paired-series case,
+    * this the continuous-outcome k-group case — the ordered-alternative
+    * sharpening of x179's omnibus Kruskal–Wallis.
+    *
+    * Exactness: doubled statistic 2U (half-ties stay integer) computed
+    * from per-(group, value) counts on a zero-filled group×value GRID
+    * (every group gets a cumulative below-v count at every pooled
+    * value, so U_ab needs only a value-grain equi-join — never a row
+    * pair join); E[2U] = Σ n_a·n_b exact; the tie-corrected variance
+    * (Hollander–Wolfe three-term form) exact in DECIMAL(38,0) with one
+    * truncated micro division per term; z² = 10¹²·(2U−E)² / (4·Var)
+    * one final truncated division. N < 3, a single group, or Var ≤ 0
+    * → NULL. Guards raise UPSTREAM of the grid (a post-hoc guard would
+    * let the k·V explode run first — the x190 lesson), and the g2·t2
+    * tie product carries its own conservative DECIMAL(38,0)-width
+    * raise (adversarially tie-heavy data can leave the exact range
+    * well inside maxExactRows — the dunn/cochran r15-ADVICE class,
+    * guarded up front this time).
+    *
+    * Scale shape: counts one map-side-combined aggregation; the grid
+    * is groups × DISTINCT values (k·V, k ≤ 64 enforced); cumulative
+    * windows partition per group over value grain; the pair join is a
+    * value-grain equi-join (k² matches per value). Never row-pairs. */
+  def jonckheereTerpstra(rows: DataFrame, groupCol: String,
+      valueCol: String, maxExactRows: Long = 2000000L): DataFrame = {
+    val byGV = rows
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(integralLong(groupCol, "jonckheereTerpstra").as("g"),
+        integralLong(valueCol, "jonckheereTerpstra").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // cell grain; grid, ties, group sums
+    val groups = byGV.groupBy(col("g")).agg(sum(col("c")).as("n_g"))
+    val guard = groups
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("nn"))
+      .select(
+        when(col("k") > 64, expr(
+          "raise_error('jonckheereTerpstra: > 64 ordered groups —" +
+            " the group-value grid is k-fold; bucket the order first')")
+          .cast("long"))
+          .when(col("nn") > maxExactRows, expr(
+            "raise_error('jonckheereTerpstra: exact-arithmetic bound" +
+              " exceeded (N > maxExactRows); pre-aggregate')")
+            .cast("long"))
+          .otherwise(col("k")).as("k"))
+    // groups read THROUGH the guard so the raise precedes the grid
+    val gGroups = groups.crossJoin(broadcast(guard))
+      .filter(col("k") >= 0).select(col("g"), col("n_g"))
+      .localCheckpoint(true) // bounded (≤ 64 rows)
+    val grid = byGV.select(col("v")).distinct()
+      .crossJoin(broadcast(gGroups.select(col("g"))))
+      .join(byGV, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c0"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("lt", coalesce(sum(col("c0")).over(wG), lit(0L)))
+      .localCheckpoint(true) // k·V grain; both sides of the pair join
+    val u2 = cum.as("a")
+      .join(cum.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .agg(coalesce(sum(expr(
+        "CAST(b.c0 AS DECIMAL(38,0)) * (2 * a.lt + a.c0)")),
+        lit(0L).cast("decimal(38,0)")).as("u2"))
+    val e2 = gGroups.as("a")
+      .join(broadcast(gGroups.as("b")), col("a.g") < col("b.g"))
+      .agg(coalesce(sum(expr(
+        "CAST(a.n_g AS DECIMAL(38,0)) * b.n_g")),
+        lit(0L).cast("decimal(38,0)")).as("e2"))
+    val gSums = gGroups.agg(count(lit(1)).as("k"), sum(col("n_g")).as("nn"),
+      sum(expr("CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) * (2 * n_g + 5)"))
+        .as("g1"),
+      sum(expr("CAST(n_g AS DECIMAL(38,0)) * (n_g - 1) * (n_g - 2)"))
+        .as("g2"),
+      sum(expr("CAST(n_g AS DECIMAL(38,0)) * (n_g - 1)")).as("g3"))
+    val tSums = byGV.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .agg(
+        coalesce(sum(expr(
+          "CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)")),
+          lit(0L).cast("decimal(38,0)")).as("t1"),
+        coalesce(sum(expr(
+          "CAST(t AS DECIMAL(38,0)) * (t - 1) * (t - 2)")),
+          lit(0L).cast("decimal(38,0)")).as("t2"),
+        coalesce(sum(expr("CAST(t AS DECIMAL(38,0)) * (t - 1)")),
+          lit(0L).cast("decimal(38,0)")).as("t3"))
+    gSums.crossJoin(broadcast(tSums)).crossJoin(broadcast(u2))
+      .crossJoin(broadcast(e2))
+      .withColumn("var_micros",
+        when(col("nn") < 3 || col("k") < 2, lit(null).cast("long"))
+          // the g2·t2 tie product can leave DECIMAL(38,0) on
+          // adversarially tie-heavy data (k = 2, two values) well
+          // inside maxExactRows — a conservative deterministic raise
+          // (double estimate, raises slightly early near the exact
+          // boundary) beats a silent precision loss; realistic
+          // hour-bucket/length data sits ~5 orders below it
+          .when(expr("CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)" +
+            " * 1000000.0 > 0.9e38"), expr(
+            "raise_error('jonckheereTerpstra: tie-term product exceeds" +
+              " the DECIMAL(38,0) exact range; bucket the value" +
+              " column coarser')").cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * (CAST(nn AS DECIMAL(38,0)) * (nn - 1)" +
+              " * (2 * nn + 5) - g1 - t1)) div 72" +
+              " + (1000000 * g2 * t2) div (36 * CAST(nn AS DECIMAL(38,0))" +
+              " * (nn - 1) * (nn - 2))" +
+              " + (1000000 * g3 * t3) div (8 * CAST(nn AS DECIMAL(38,0))" +
+              " * (nn - 1)) AS BIGINT)")))
+      .select(col("nn").as("n"), col("k").as("n_groups"),
+        col("u2").cast("long").as("u2"), col("e2").cast("long").as("e2"),
+        col("var_micros"),
+        when(col("var_micros").isNull || col("var_micros") <= 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000000000 * ((u2 - e2) * (u2 - e2)))" +
+              " div (4 * CAST(var_micros AS DECIMAL(38,0)))" +
+              " AS BIGINT)")).as("z_sq_micros"))
+  }
+
+  /** Monroe–Colaresi–Quinn weighted log-odds with an informative
+    * Dirichlet prior — WHICH terms distinguish sub-corpus A from B,
+    * z-scored so rare-but-extreme terms don't dominate (the failure
+    * mode of raw log-odds and PMI): δ_w = ln-odds difference under a
+    * prior α_w proportional to the pooled corpus frequency, σ²_w ≈
+    * 1/(y_aw+α_w) + 1/(y_bw+α_w), reported top-k by |z|. The keyness
+    * instrument of the corpus-diff shelf: x63/x168 say THAT two
+    * sources diverge, x153 ranks features by information, this names
+    * the terms with calibrated confidence ("Fightin' Words", Monroe
+    * et al. 2008).
+    *
+    * Exactness: counts exact; δ and z are ONE written-out IEEE chain
+    * per term (prior, two ln-odds, the σ² sqrt) quantized to micros —
+    * never summed across rows, so no order dependence; ties in |z|
+    * break by term. α₀ ships as a shortest-round-trip double literal.
+    *
+    * Scale shape: one token-grain aggregation (map-side combined) to
+    * vocabulary grain, row-local chains, TakeOrderedAndProject top-k —
+    * no joins, no windows. */
+  def monroeLogOdds(rows: DataFrame, flagCol: String, textCol: String,
+      alpha0: Double, topK: Int): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be > 0, got $alpha0")
+    require(topK >= 1 && topK <= 1000, s"topK must be in [1,1000], got $topK")
+    val a0 = java.lang.Double.toString(alpha0)
+    val counts = rows
+      .filter(col(flagCol).isNotNull && col(textCol).isNotNull)
+      .select(col(flagCol).cast("boolean").as("fa"),
+        explode(graft.ops.DedupOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("fa"), 1L).otherwise(0L)).as("ya"),
+        sum(when(!col("fa"), 1L).otherwise(0L)).as("yb"))
+      .localCheckpoint(true) // vocab grain; totals AND the chains
+    val tot = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("aw", expr(
+        s"$a0 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE))" +
+          " / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))"))
+      .filter(expr(s"CAST(na AS DOUBLE) + $a0 - CAST(ya AS DOUBLE) - aw" +
+        s" > 0.0 AND CAST(nb AS DOUBLE) + $a0 - CAST(yb AS DOUBLE) - aw" +
+        " > 0.0"))
+      .select(col("w").as("term"), col("ya").as("y_a"), col("yb").as("y_b"),
+        expr(s"CAST(round(1000000.0 * (ln((CAST(ya AS DOUBLE) + aw)" +
+          s" / (CAST(na AS DOUBLE) + $a0 - CAST(ya AS DOUBLE) - aw))" +
+          s" - ln((CAST(yb AS DOUBLE) + aw)" +
+          s" / (CAST(nb AS DOUBLE) + $a0 - CAST(yb AS DOUBLE) - aw))))" +
+          " AS BIGINT)").as("delta_micros"),
+        expr(s"CAST(round(1000000.0 * (ln((CAST(ya AS DOUBLE) + aw)" +
+          s" / (CAST(na AS DOUBLE) + $a0 - CAST(ya AS DOUBLE) - aw))" +
+          s" - ln((CAST(yb AS DOUBLE) + aw)" +
+          s" / (CAST(nb AS DOUBLE) + $a0 - CAST(yb AS DOUBLE) - aw)))" +
+          " / sqrt(1.0 / (CAST(ya AS DOUBLE) + aw)" +
+          " + 1.0 / (CAST(yb AS DOUBLE) + aw))) AS BIGINT)")
+          .as("z_micros"))
+      .orderBy(abs(col("z_micros")).desc, col("term"))
+      .limit(topK)
+  }
+
+  /** Cohen's h per group vs the REST of the corpus — the arcsine-
+    * transformed effect size for a proportion difference: h =
+    * 2·asin(√p_g) − 2·asin(√p_rest), the magnitude read that a
+    * p-value (x77/x201) and a CI (x213) both lack, and the δ input
+    * x214's planning formula needs ("is this slice's en-rate
+    * DIFFERENT ENOUGH to matter, not just significantly different").
+    * |h| ≈ 0.2/0.5/0.8 small/medium/large by the classic convention.
+    *
+    * Exactness: per-group and complement rates exact truncated micros;
+    * h is ONE written-out IEEE chain (two sqrt-asin pairs) per group
+    * rounded once to micros. A group that IS the whole corpus → NULL
+    * (no rest to compare).
+    *
+    * Scale shape: one group-grain aggregation + a 1-row broadcast —
+    * row-local after. */
+  def cohensH(rows: DataFrame, groupCol: String,
+      labelCol: String): DataFrame = {
+    val per = rows
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("pos")).as("post"))
+    per.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("pos"),
+        expr("(1000000 * pos) div n").as("p_micros"),
+        when(col("nt") === col("n"), lit(null).cast("long"))
+          .otherwise(expr("(1000000 * (post - pos)) div (nt - n)"))
+          .as("p_rest_micros"))
+      .withColumn("cohens_h_micros",
+        when(col("p_rest_micros").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(round(1000000.0 * (2.0 * asin(sqrt(CAST(p_micros" +
+              " AS DOUBLE) / 1000000.0)) - 2.0 * asin(sqrt(" +
+              "CAST(p_rest_micros AS DOUBLE) / 1000000.0))))" +
+              " AS BIGINT)")))
+      .orderBy(col("grp"))
+  }
+
+  /** Page's L trend test — k ORDERED treatments measured on the same
+    * n blocks: L = Σ_j s_j·R_j over the within-block rank sums, the
+    * ordered-alternative sharpening of [[friedmanTest]]'s omnibus χ²
+    * exactly as x201 sharpens x77 ("activity doesn't just DIFFER
+    * across the three time buckets, it DECLINES"). Treatment order =
+    * column order; scores 1..k.
+    *
+    * Exactness: the [[blockMidranks]] doubled-midrank core verbatim
+    * (one row-local pass, ties → midranks), so 2L is an exact
+    * integer; E[2L] = n·k(k+1)²/2 exact (k(k+1)² is always even); z²
+    * = 36·10⁶·(2L−E)² / (n·k²(k+1)²(k−1)) one truncated division,
+    * with the CLASSIC no-tie variance (tie_sum is exported so a
+    * tie-heavy corpus is visible — fully-tied blocks contribute
+    * exactly E/n each, so they dilute, never bias). n = 0 → NULL.
+    *
+    * Scale shape: ONE map-side-combined aggregation over blocks — no
+    * shuffle beyond the final reduce (the friedman shape). */
+  def pageTrend(rows: DataFrame, treatmentCols: Seq[String]): DataFrame = {
+    val k = treatmentCols.size
+    require(k >= 3 && k <= 8,
+      s"pageTrend needs 3 <= k <= 8 ordered treatments, got $k")
+    val filtered = rows.filter(
+      treatmentCols.map(col(_).isNotNull).reduce(_ && _))
+    val vals = treatmentCols.zipWithIndex.map { case (c, i) =>
+      integralLong(c, "pageTrend").as(s"v$i")
+    }
+    val base = filtered.select(vals: _*)
+    val (rankCols, tieTerm) = blockMidranks(k)
+    val ranked = base.select(rankCols :+ tieTerm.as("tb"): _*)
+    val sums = ranked.agg(count(lit(1)).as("n"),
+      (Seq(sum(col("tb")).as("t")) ++
+        (0 until k).map(j => sum(col(s"r$j")).as(s"s$j"))): _*)
+    val l2 = (0 until k)
+      .map(j => s"${j + 1} * CAST(s$j AS DECIMAL(38,0))").mkString(" + ")
+    sums.select(col("n").as("n_blocks"), lit(k).cast("long").as("k"),
+      col("t").as("tie_sum"),
+      expr(s"CAST($l2 AS BIGINT)").as("l2"),
+      expr(s"CAST(CAST(n AS DECIMAL(38,0)) * ${k * (k + 1) * (k + 1) / 2}" +
+        " AS BIGINT)").as("e2"),
+      when(col("n") === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          s"CAST((36000000 * (($l2) - CAST(n AS DECIMAL(38,0))" +
+            s" * ${k * (k + 1) * (k + 1) / 2})" +
+            s" * (($l2) - CAST(n AS DECIMAL(38,0))" +
+            s" * ${k * (k + 1) * (k + 1) / 2}))" +
+            s" div (CAST(n AS DECIMAL(38,0))" +
+            s" * ${k * k * (k + 1) * (k + 1) * (k - 1)}) AS BIGINT)"))
+        .as("z_sq_micros"))
   }
 }

@@ -873,6 +873,66 @@ object SamplingOps {
       "source", "is_en", liftPerMille = 100)
       .orderBy(col("grp"))
 
+  /** X215 — Jonckheere–Terpstra trend of event payload size across
+    * the 24 hour-of-day buckets: does props length trend monotonically
+    * through the day — the continuous-outcome member of the trend
+    * family (x201 binary, x190 series). Hour buckets are tz-free
+    * integer arithmetic on epoch millis. Fixture binding of
+    * [[graft.api.TrainingData.jonckheereTerpstra]]. */
+  def x215Jonckheere(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.jonckheereTerpstra(
+      t(s, d, "events")
+        .filter(col("ts").isNotNull && col("props").isNotNull)
+        .select(expr("(unix_millis(CAST(ts AS TIMESTAMP)) div 3600000L)" +
+          " % 24").as("hour_bucket"),
+          length(col("props")).as("plen")),
+      "hour_bucket", "plen")
+
+  /** X216 — Monroe–Colaresi–Quinn weighted log-odds: the 25 terms
+    * most over/under-represented in the en sub-corpus vs the rest,
+    * z-scored under an informative Dirichlet prior (α₀ = 1000) so
+    * rare-but-extreme terms don't own the list. Fixture binding of
+    * [[graft.api.TrainingData.monroeLogOdds]]. */
+  def x216MonroeLogodds(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.monroeLogOdds(
+      t(s, d, "documents")
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select((col("lang") === "en").as("is_en"), col("text")),
+      "is_en", "text", alpha0 = 1000.0, topK = 25)
+
+  /** X217 — Cohen's h of each source's en-rate against the rest of
+    * the corpus: the EFFECT-SIZE read (small/medium/large at
+    * 0.2/0.5/0.8) that x77's χ² significance and x125's intervals
+    * both lack, and the δ input to x214's planning formula. Fixture
+    * binding of [[graft.api.TrainingData.cohensH]]. */
+  def x217CohensH(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.cohensH(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), (col("lang") === "en").as("is_en")),
+      "source", "is_en")
+
+  /** X218 — Page's L trend over per-user activity in the three thirds
+    * of the observation window (ordered treatments = time order):
+    * does per-user volume trend across the window, not just differ
+    * (x181's omnibus read on the same machinery). Fixture binding of
+    * [[graft.api.TrainingData.pageTrend]]. */
+  def x218PageTrend(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
+        expr("unix_millis(CAST(ts AS TIMESTAMP))").as("ms"))
+    val bounds = e.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+    val blk = e.crossJoin(broadcast(bounds))
+      .withColumn("b",
+        least(lit(2L), expr("((ms - lo) * 3) div (hi - lo + 1)")))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("b") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("b") === 2, 1L).otherwise(0L)).as("c2"))
+    graft.api.TrainingData.pageTrend(blk, Seq("c0", "c1", "c2"))
+  }
+
   /** X198 — deterministic label-permutation test of the en-vs-rest
     * n_chars total (B = 40 sha-derived relabelings): the
     * assumption-free p beside x159's normal-approximation z² on the
@@ -996,6 +1056,10 @@ object SamplingOps {
     "x197_gini" -> (x197Gini _),
     "x198_perm_test" -> (x198PermTest _),
     "x209_theil" -> (x209Theil _),
+    "x215_jonckheere" -> (x215Jonckheere _),
+    "x216_monroe_logodds" -> (x216MonroeLogodds _),
+    "x217_cohens_h" -> (x217CohensH _),
+    "x218_page_trend" -> (x218PageTrend _),
     "x210_bowker" -> (x210Bowker _),
     "x211_hill_diversity" -> (x211Hill _),
     "x212_bland_altman" -> (x212BlandAltman _),
@@ -1377,6 +1441,172 @@ object SamplingOps {
         |      // (CAST(n AS HUGEINT) * s) AS BIGINT)
         |  END AS gini_micros
         |FROM rk, tt ORDER BY rank""".stripMargin,
+    // JT replay: the zero-filled group×value grid, per-group
+    // cumulative below-v counts, value-grain pair join, the
+    // three-term tie-corrected variance in HUGEINT
+    "x215_jonckheere" ->
+      """WITH base AS (SELECT (epoch_ms(CAST(ts AS TIMESTAMP))
+        |      // 3600000) % 24 AS g, CAST(length(props) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND props IS NOT NULL),
+        |bygv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM bygv
+        |  GROUP BY 1),
+        |vals AS (SELECT DISTINCT v FROM bygv),
+        |grid AS (SELECT gg.g, vals.v, coalesce(b.c, 0) AS c0
+        |  FROM grp gg CROSS JOIN vals
+        |  LEFT JOIN bygv b ON b.g = gg.g AND b.v = vals.v),
+        |cum AS (SELECT g, v, c0, coalesce(sum(c0) OVER (
+        |    PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS lt FROM grid),
+        |uu AS (SELECT coalesce(sum(CAST(b.c0 AS HUGEINT)
+        |      * (2 * a.lt + a.c0)), 0) AS u2
+        |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g),
+        |ee AS (SELECT coalesce(sum(CAST(a.n_g AS HUGEINT) * b.n_g), 0)
+        |    AS e2 FROM grp a JOIN grp b ON a.g < b.g),
+        |gs AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n_g) AS BIGINT) AS nn,
+        |    coalesce(sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+        |      * (2 * n_g + 5)), 0) AS g1,
+        |    coalesce(sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+        |      * (n_g - 2)), 0) AS g2,
+        |    coalesce(sum(CAST(n_g AS HUGEINT) * (n_g - 1)), 0) AS g3
+        |  FROM grp),
+        |tsv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM bygv
+        |  GROUP BY 1),
+        |tsum AS (SELECT coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+        |      * (2 * t + 5)), 0) AS t1,
+        |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)), 0)
+        |      AS t2,
+        |    coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS t3
+        |  FROM tsv),
+        |vr AS (SELECT nn, k, CASE WHEN nn < 3 OR k < 2 THEN NULL
+        |    ELSE CAST((1000000 * (CAST(nn AS HUGEINT) * (nn - 1)
+        |      * (2 * nn + 5) - g1 - t1)) // 72
+        |      + (1000000 * g2 * t2) // (36 * CAST(nn AS HUGEINT)
+        |        * (nn - 1) * (nn - 2))
+        |      + (1000000 * g3 * t3) // (8 * CAST(nn AS HUGEINT)
+        |        * (nn - 1)) AS BIGINT) END AS var_micros
+        |  FROM gs, tsum)
+        |SELECT nn AS n, k AS n_groups, CAST(u2 AS BIGINT) AS u2,
+        |  CAST(e2 AS BIGINT) AS e2, var_micros,
+        |  CASE WHEN var_micros IS NULL OR var_micros <= 0 THEN NULL
+        |    ELSE CAST((1000000000000 * (CAST(u2 - e2 AS HUGEINT)
+        |      * (u2 - e2))) // (4 * CAST(var_micros AS HUGEINT))
+        |      AS BIGINT) END AS z_sq_micros
+        |FROM vr, uu, ee""".stripMargin,
+    // Monroe replay: vocabulary-grain counts, the identical per-term
+    // IEEE prior/ln-odds/sqrt chain, |z|-desc term-asc top-25
+    "x216_monroe_logodds" ->
+      """WITH tok AS (SELECT (lang = 'en') AS fa,
+        |    unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS w
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT w,
+        |    CAST(sum(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+        |    CAST(sum(CASE WHEN NOT fa THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS yb
+        |  FROM tok GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+        |    CAST(sum(yb) AS BIGINT) AS nb FROM c),
+        |z AS (SELECT w, ya, yb, na, nb,
+        |    1000.0 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) AS aw
+        |  FROM c, tt),
+        |f AS (SELECT * FROM z
+        |  WHERE CAST(na AS DOUBLE) + 1000.0 - CAST(ya AS DOUBLE) - aw
+        |      > 0.0
+        |    AND CAST(nb AS DOUBLE) + 1000.0 - CAST(yb AS DOUBLE) - aw
+        |      > 0.0)
+        |SELECT w AS term, ya AS y_a, yb AS y_b,
+        |  CAST(round(1000000.0 * (ln((CAST(ya AS DOUBLE) + aw)
+        |    / (CAST(na AS DOUBLE) + 1000.0 - CAST(ya AS DOUBLE) - aw))
+        |    - ln((CAST(yb AS DOUBLE) + aw)
+        |    / (CAST(nb AS DOUBLE) + 1000.0 - CAST(yb AS DOUBLE)
+        |      - aw)))) AS BIGINT) AS delta_micros,
+        |  CAST(round(1000000.0 * (ln((CAST(ya AS DOUBLE) + aw)
+        |    / (CAST(na AS DOUBLE) + 1000.0 - CAST(ya AS DOUBLE) - aw))
+        |    - ln((CAST(yb AS DOUBLE) + aw)
+        |    / (CAST(nb AS DOUBLE) + 1000.0 - CAST(yb AS DOUBLE) - aw)))
+        |    / sqrt(1.0 / (CAST(ya AS DOUBLE) + aw)
+        |      + 1.0 / (CAST(yb AS DOUBLE) + aw))) AS BIGINT)
+        |    AS z_micros
+        |FROM f ORDER BY abs(z_micros) DESC, term LIMIT 25""".stripMargin,
+    // Cohen's h replay: exact micro rates, one asin-sqrt IEEE chain
+    // per group against the complement
+    "x217_cohens_h" ->
+      """WITH per AS (SELECT source AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(pos) AS BIGINT) AS post FROM per)
+        |SELECT grp, n, pos, (1000000 * pos) // n AS p_micros,
+        |  CASE WHEN nt = n THEN NULL
+        |    ELSE (1000000 * (post - pos)) // (nt - n) END
+        |    AS p_rest_micros,
+        |  CASE WHEN nt = n THEN NULL
+        |    ELSE CAST(round(1000000.0 * (2.0 * asin(sqrt(
+        |      CAST((1000000 * pos) // n AS DOUBLE) / 1000000.0))
+        |      - 2.0 * asin(sqrt(CAST((1000000 * (post - pos))
+        |        // (nt - n) AS DOUBLE) / 1000000.0)))) AS BIGINT) END
+        |    AS cohens_h_micros
+        |FROM per, tot ORDER BY grp""".stripMargin,
+    // Page replay: the x178 min/max thirds split, the x181 doubled-
+    // midrank CTE verbatim at k = 3, exact L/E and one truncated z²
+    "x218_page_trend" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |bd AS (SELECT min(ms) AS lo, max(ms) AS hi FROM e),
+        |blk AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN least(2, ((ms - lo) * 3)
+        |      // (hi - lo + 1)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN least(2, ((ms - lo) * 3)
+        |      // (hi - lo + 1)) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN least(2, ((ms - lo) * 3)
+        |      // (hi - lo + 1)) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM e, bd GROUP BY 1),
+        |rk AS (SELECT
+        |    2 * ((CASE WHEN v1 < v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 < v0 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v1 = v0 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v0 THEN 1 ELSE 0 END) + 2 AS r0,
+        |    2 * ((CASE WHEN v0 < v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 < v1 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v2 = v1 THEN 1 ELSE 0 END) + 2 AS r1,
+        |    2 * ((CASE WHEN v0 < v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 < v2 THEN 1 ELSE 0 END))
+        |      + (CASE WHEN v0 = v2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN v1 = v2 THEN 1 ELSE 0 END) + 2 AS r2,
+        |    (CASE WHEN v0 = v1 THEN 1 ELSE 0 END
+        |      + CASE WHEN v0 = v2 THEN 1 ELSE 0 END
+        |      + CASE WHEN v1 = v2 THEN 1 ELSE 0 END) AS eqp
+        |  FROM blk),
+        |rk2 AS (SELECT r0, r1, r2,
+        |    CASE eqp WHEN 0 THEN 0 WHEN 1 THEN 6 ELSE 24 END AS tb
+        |  FROM rk),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(tb) AS BIGINT) AS t,
+        |    CAST(sum(r0) AS BIGINT) AS s0,
+        |    CAST(sum(r1) AS BIGINT) AS s1,
+        |    CAST(sum(r2) AS BIGINT) AS s2
+        |  FROM rk2)
+        |SELECT n AS n_blocks, CAST(3 AS BIGINT) AS k, t AS tie_sum,
+        |  CAST(1 * CAST(s0 AS HUGEINT) + 2 * s1 + 3 * s2 AS BIGINT)
+        |    AS l2,
+        |  CAST(CAST(n AS HUGEINT) * 24 AS BIGINT) AS e2,
+        |  CASE WHEN n = 0 THEN NULL
+        |    ELSE CAST((36000000 * ((1 * CAST(s0 AS HUGEINT) + 2 * s1
+        |      + 3 * s2 - CAST(n AS HUGEINT) * 24))
+        |      * ((1 * CAST(s0 AS HUGEINT) + 2 * s1 + 3 * s2
+        |      - CAST(n AS HUGEINT) * 24)))
+        |      // (CAST(n AS HUGEINT) * 288) AS BIGINT) END
+        |    AS z_sq_micros
+        |FROM sm""".stripMargin,
     // Theil replay: cell-grain counts, per-term micro-rounded IEEE
     // ln chains at value and group grain, exact integer sums, within
     // by the decomposition identity

@@ -99,8 +99,12 @@ object ScaleSweep {
     "x184_moods_median", "x186_emd_pairs", "x187_cliffs_delta",
     "x150b_window_recall",
     // round-16: the two-pass recall audit (same fixed fixture — expect
-    // flat like x150b)
-    "x150c_twopass_recall",
+    // flat like x150b), the per-user transition window feeding Bowker,
+    // and the two-scan broadcast-bounds agreement pass
+    "x150c_twopass_recall", "x210_bowker", "x212_bland_altman",
+    // the group×value JT grid, the vocabulary-grain keyness chain,
+    // and the per-user thirds pivot
+    "x215_jonckheere", "x216_monroe_logodds", "x218_page_trend",
     // the distinct-score ROC scan and the slice-grain triple correction
     "x192_youden_j", "x194_holm_by",
     // the 16×-explode silhouette scan, the 5-round power iteration on

@@ -4544,6 +4544,78 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getLong(7) >= -1000000L && r.getLong(8) <= 1000000L)
   }
 
+  test("jonckheereTerpstra: clean increasing trend hand-walked, reversal symmetric, one group NULL") {
+    val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L),
+      (3L, 6L)).toDF("g", "v")
+    val r = graft.api.TrainingData.jonckheereTerpstra(up, "g", "v")
+      .collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 24L && r.getLong(3) == 12L) // 2U, E[2U]
+    // no ties anywhere: Var = (6·5·17 − 3·2·1·9)/72 = 456/72
+    assert(r.getLong(4) == 1000000L * 456 / 72)
+    val expectZ = (BigInt(10).pow(12) * 144 / (4 * (1000000L * 456 / 72)))
+      .toLong
+    assert(r.getLong(5) == expectZ)
+    // two-sided: the reversed trend scores the same z²
+    val down = Seq((3L, 1L), (3L, 2L), (2L, 3L), (2L, 4L), (1L, 5L),
+      (1L, 6L)).toDF("g", "v")
+    val d = graft.api.TrainingData.jonckheereTerpstra(down, "g", "v")
+      .collect().head
+    assert(d.getLong(2) == 0L && d.getLong(5) == expectZ)
+    // a single group has no ordered pairs to trend over
+    val one = Seq((1L, 5L), (1L, 7L)).toDF("g", "v")
+    assert(graft.api.TrainingData.jonckheereTerpstra(one, "g", "v")
+      .collect().head.isNullAt(5))
+  }
+
+  test("monroeLogOdds: distinctive terms surface with opposite signs") {
+    val docs = (Seq.fill(6)((true, "alpha alpha shared")) ++
+      Seq.fill(6)((false, "beta beta shared"))).toDF("fa", "text")
+    val got = graft.api.TrainingData
+      .monroeLogOdds(docs, "fa", "text", alpha0 = 10.0, topK = 3)
+      .collect()
+    assert(got.length == 3)
+    val byTerm = got.map(r => r.getString(0) -> r).toMap
+    assert(byTerm("alpha").getLong(3) > 0L) // over-represented in A
+    assert(byTerm("beta").getLong(3) < 0L)
+    assert(math.abs(byTerm("shared").getLong(4)) <
+      math.abs(byTerm("alpha").getLong(4))) // shared term least extreme
+    // top-1 is one of the two distinctive terms, not the shared one
+    assert(got.head.getString(0) != "shared")
+  }
+
+  test("cohensH: complete separation gives ±π, balanced rest zero") {
+    val rows = (Seq.fill(4)(("a", true)) ++ Seq.fill(4)(("b", false)))
+      .toDF("g", "y")
+    val got = graft.api.TrainingData.cohensH(rows, "g", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val pi = math.round(1e6 *
+      (2.0 * math.asin(math.sqrt(1.0)) - 2.0 * math.asin(math.sqrt(0.0))))
+    assert(got("a").getLong(5) == pi)
+    assert(got("b").getLong(5) == -pi)
+    // identical rates → h = 0
+    val same = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(2)(("b", true)) ++ Seq.fill(2)(("b", false)))
+      .toDF("g", "y")
+    assert(graft.api.TrainingData.cohensH(same, "g", "y")
+      .collect().forall(_.getLong(5) == 0L))
+  }
+
+  test("pageTrend: perfect order z²=6 exactly, flat zero") {
+    val up = Seq((1L, 2L, 3L), (10L, 20L, 30L), (4L, 5L, 6L))
+      .toDF("c0", "c1", "c2")
+    val r = graft.api.TrainingData.pageTrend(up, Seq("c0", "c1", "c2"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 84L && r.getLong(4) == 72L) // 2L, E[2L]
+    assert(r.getLong(5) == 6000000L) // 36·144/(3·288) = 6 exactly
+    val flat = Seq((5L, 5L, 5L), (9L, 9L, 9L)).toDF("c0", "c1", "c2")
+    val f = graft.api.TrainingData.pageTrend(flat, Seq("c0", "c1", "c2"))
+      .collect().head
+    assert(f.getLong(3) == f.getLong(4) && f.getLong(5) == 0L)
+    assert(f.getLong(2) == 2L * 24L) // fully-tied blocks are visible
+  }
+
   test("requiredSampleSize: p=0.5 at 10% lift replays the written-out chain, degenerates NULL") {
     val rows = (Seq.fill(5)(("s", true)) ++ Seq.fill(5)(("s", false)) ++
       Seq.fill(3)(("z", false))).toDF("g", "y")
