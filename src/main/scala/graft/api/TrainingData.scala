@@ -10291,6 +10291,199 @@ object TrainingData {
       .orderBy(col("grp"))
   }
 
+  /** Delete-one-GROUP jackknife of a corpus proportion — for each
+    * group: the metric with that group REMOVED, its influence
+    * (θ_full − θ₍₋g₎, signed — which sources move the corpus en-rate
+    * and which way), and the delete-group jackknife standard error of
+    * the whole-corpus metric. The resampling answer x124's bootstrap
+    * can't give at group grain cheaply: because the metric is a ratio
+    * of sums, EVERY leave-one-out replicate is EXACT from the group
+    * aggregates (totals minus the group) — one pass, no resampling,
+    * and the influence column is the curation dashboard's "which
+    * source is propping up / dragging down this number".
+    *
+    * Exactness: θ replicates are exact truncated micros; the jackknife
+    * variance is cross-multiplied ((G−1)·Σ(G·θ_g − Σθ)² / G³, exact in
+    * DECIMAL(38,0)) with ONE IEEE sqrt floored to micros. A group that
+    * is the entire corpus → NULL replicate; G < 2 → NULL SE.
+    *
+    * Scale shape: one group-grain aggregation, scalar reduces over the
+    * G-row relation, broadcasts back — no windows, no row joins. */
+  def jackknifeRatio(rows: DataFrame, groupCol: String,
+      labelCol: String): DataFrame = {
+    val per = rows
+      .filter(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+      .localCheckpoint(true) // group grain; replicates AND the SE pass
+    val tot = per.agg(count(lit(1)).as("gg"), sum(col("n")).as("nt"),
+      sum(col("pos")).as("post"))
+    val reps = per.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n"), col("pos"), col("gg"), col("nt"),
+        col("post"),
+        expr("(1000000 * post) div nt").as("theta_full_micros"),
+        when(col("nt") === col("n"), lit(null).cast("long"))
+          .otherwise(expr("(1000000 * (post - pos)) div (nt - n)"))
+          .as("theta_loo_micros"))
+      .localCheckpoint(true) // group grain with replicates
+    val se = reps.filter(col("theta_loo_micros").isNotNull)
+      .agg(count(lit(1)).as("g2"),
+        sum(col("theta_loo_micros")).as("s"),
+        sum(expr("CAST(theta_loo_micros AS DECIMAL(38,0))" +
+          " * theta_loo_micros")).as("s2"))
+      .select(col("g2"),
+        when(col("g2") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            // (G−1)/G · Σ(θ−θ̄)² = (G−1)·(G·Σθ² − (Σθ)²)/G²
+            "CAST(floor(sqrt(CAST((CAST(g2 AS DECIMAL(38,0)) - 1)" +
+              " * (CAST(g2 AS DECIMAL(38,0)) * s2 - CAST(s AS" +
+              " DECIMAL(38,0)) * s) AS DOUBLE)" +
+              " / (CAST(g2 AS DOUBLE) * CAST(g2 AS DOUBLE))))" +
+              " AS BIGINT)")).as("jk_se_micros"))
+    reps.crossJoin(broadcast(se))
+      .select(col("grp"), col("n"), col("pos"), col("theta_full_micros"),
+        col("theta_loo_micros"),
+        when(col("theta_loo_micros").isNull, lit(null).cast("long"))
+          .otherwise(col("theta_full_micros") - col("theta_loo_micros"))
+          .as("influence_micros"),
+        col("jk_se_micros"))
+      .orderBy(col("grp"))
+  }
+
+  /** TOST equivalence test of two proportions — "are these two slices
+    * PRACTICALLY the same" with margin ±δ: two one-sided z tests
+    * (H₀: |p₁−p₂| ≥ δ), equivalence claimed at 90% when BOTH z's
+    * clear 1.645 — the inverse question of every significance test on
+    * the shelf (x77/x162/x201 ask "different?"; after a pipeline
+    * change you need "same ENOUGH to ship?", and absence of
+    * significance is not that). Margin in micro units.
+    *
+    * Exactness: rates exact truncated micros; the pooled-free Wald SE
+    * is ONE written-out IEEE chain (two variance terms, one sqrt)
+    * floored to micros; the two z's are integer micro ratios against
+    * it, truncated once each. Either arm empty → empty result; SE = 0
+    * (degenerate rates in both arms) → NULL z's.
+    *
+    * Scale shape: one two-group aggregation + a 1-row join —
+    * row-local after. */
+  def tostEquivalence(rows: DataFrame, armACol: String,
+      labelCol: String, marginMicros: Long): DataFrame = {
+    require(marginMicros > 0 && marginMicros <= 1000000L,
+      s"marginMicros must be in (0, 1000000], got $marginMicros")
+    val per = rows
+      .filter(col(armACol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(armACol).cast("boolean").as("arm_a"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+          .as("pos"))
+      .withColumn("p", expr("(1000000 * pos) div n"))
+    val a = per.filter(col("arm_a"))
+      .select(col("n").as("n1"), col("pos").as("pos1"), col("p").as("p1"))
+    val b = per.filter(!col("arm_a"))
+      .select(col("n").as("n2"), col("pos").as("pos2"), col("p").as("p2"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se_micros", expr(
+        "CAST(floor(1000000.0 * sqrt((CAST(p1 AS DOUBLE) / 1000000.0)" +
+          " * (1.0 - CAST(p1 AS DOUBLE) / 1000000.0)" +
+          " / CAST(n1 AS DOUBLE) + (CAST(p2 AS DOUBLE) / 1000000.0)" +
+          " * (1.0 - CAST(p2 AS DOUBLE) / 1000000.0)" +
+          " / CAST(n2 AS DOUBLE))) AS BIGINT)"))
+      .select(col("n1"), col("pos1"), col("n2"), col("pos2"),
+        col("p1").as("p1_micros"), col("p2").as("p2_micros"),
+        (col("p1") - col("p2")).as("diff_micros"), col("se_micros"),
+        // sign-explicit truncation: either z can be negative, and
+        // Spark div truncates where DuckDB // floors
+        when(col("se_micros") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(sign(p1 - p2 + ${marginMicros}L)" +
+              s" * ((1000000 * abs(p1 - p2 + ${marginMicros}L))" +
+              " div se_micros) AS BIGINT)")).as("z_lower_micros"),
+        when(col("se_micros") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST(sign(${marginMicros}L - (p1 - p2))" +
+              s" * ((1000000 * abs(${marginMicros}L - (p1 - p2)))" +
+              " div se_micros) AS BIGINT)")).as("z_upper_micros"))
+      .withColumn("equivalent_90",
+        when(col("z_lower_micros").isNull, lit(null).cast("boolean"))
+          .otherwise(col("z_lower_micros") > 1644854L &&
+            col("z_upper_micros") > 1644854L))
+  }
+
+  /** Chao–Shen coverage-adjusted Shannon entropy of the token
+    * distribution — the bias-corrected entropy estimate for a sampled
+    * vocabulary: plain MLE entropy is biased LOW exactly when the
+    * corpus has unseen mass (every singleton says more types are
+    * coming), so each seen probability is shrunk by the Good–Turing
+    * coverage Ĉ = 1 − f₁/n (the x100 quantity) and inverse-weighted by
+    * its inclusion probability 1 − (1−Ĉp̂)ⁿ (Horvitz–Thompson). Both
+    * estimates are reported — the GAP is the honesty column ("how much
+    * entropy the sample is hiding"), the diversity-shelf companion to
+    * x136's richness correction and x211's profile of SEEN mass.
+    *
+    * Exactness: counts exact; each per-type term is ONE written-out
+    * IEEE chain (coverage shrink, ln, the (1−Ĉp̂)ⁿ inclusion weight via
+    * power) rounded to micro-nats per term, then EXACT integer sums —
+    * the x28j rule, so partitioning cannot move either estimate.
+    * All-singletons (Ĉ = 0) → NULL Chao–Shen (coverage unestimable),
+    * MLE still reported.
+    *
+    * Scale shape: one token-grain aggregation (map-side combined) to
+    * vocabulary grain, row-local chains, two scalar reduces — no
+    * joins beyond a 1-row broadcast. */
+  def chaoShenEntropy(rows: DataFrame, textCol: String): DataFrame =
+    chaoShenCore(rows
+      .filter(col(textCol).isNotNull)
+      .select(explode(graft.ops.DedupOps.tokens(col(textCol))).as("w")))
+
+  /** [[chaoShenEntropy]] at 3-SHINGLE grain (all occurrences, not the
+    * dedup shelf's distinct sets): the closed unigram vocabulary of a
+    * synthetic corpus gives the correction nothing to do (Ĉ = 1 —
+    * published, not hidden), while shingle space has the singleton
+    * tail the estimator exists for — the grain a real vocabulary-
+    * sizing decision runs at anyway. */
+  def chaoShenEntropyShingles(rows: DataFrame, textCol: String): DataFrame =
+    chaoShenCore(rows
+      .filter(col(textCol).isNotNull)
+      .select(graft.ops.DedupOps.tokens(col(textCol)).as("tk"))
+      .select(explode(when(size(col("tk")) >= 3,
+        transform(sequence(lit(1), size(col("tk")) - 2),
+          i => array_join(slice(col("tk"), i, lit(3)), " ")))
+        .otherwise(array().cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))).as("w")))
+
+  private def chaoShenCore(tokens: DataFrame): DataFrame = {
+    val counts = tokens
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // vocab grain; totals AND the chains
+    val tot = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"))
+    counts.crossJoin(broadcast(tot))
+      .agg(first(col("n")).as("n_tokens"), first(col("v")).as("vocab"),
+        first(col("f1")).as("f1"),
+        coalesce(sum(expr(
+          "CAST(round(1000000.0 * (CAST(c AS DOUBLE) / CAST(n AS" +
+            " DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))" +
+            " AS BIGINT)")), lit(0L)).as("neg_h_ml"),
+        coalesce(sum(expr(
+          "CAST(round(1000000.0 * ((1.0 - CAST(f1 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)) * (CAST(c AS DOUBLE) / CAST(n AS" +
+            " DOUBLE))) * ln((1.0 - CAST(f1 AS DOUBLE) / CAST(n AS" +
+            " DOUBLE)) * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))" +
+            " / (1.0 - power(1.0 - (1.0 - CAST(f1 AS DOUBLE)" +
+            " / CAST(n AS DOUBLE)) * (CAST(c AS DOUBLE) / CAST(n AS" +
+            " DOUBLE)), CAST(n AS DOUBLE)))) AS BIGINT)")), lit(0L))
+          .as("neg_h_cs"))
+      .select(col("n_tokens"), col("vocab"), col("f1"),
+        expr("(1000000 * (n_tokens - f1)) div n_tokens")
+          .as("coverage_micros"),
+        (-col("neg_h_ml")).as("h_ml_micros"),
+        when(col("f1") === col("n_tokens"), lit(null).cast("long"))
+          .otherwise(-col("neg_h_cs")).as("h_cs_micros"))
+  }
+
   /** Page's L trend test — k ORDERED treatments measured on the same
     * n blocks: L = Σ_j s_j·R_j over the within-block rank sums, the
     * ordered-alternative sharpening of [[friedmanTest]]'s omnibus χ²

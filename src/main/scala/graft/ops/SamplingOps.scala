@@ -933,6 +933,51 @@ object SamplingOps {
     graft.api.TrainingData.pageTrend(blk, Seq("c0", "c1", "c2"))
   }
 
+  /** X221 — Chao–Shen coverage-adjusted corpus entropy vs the plain
+    * MLE estimate: how much token-distribution entropy the sample is
+    * hiding behind its unseen mass — the bias-corrected companion to
+    * x100's coverage, x136's richness and x211's seen-mass profile.
+    * Fixture binding of
+    * [[graft.api.TrainingData.chaoShenEntropy]]. */
+  def x221ChaoShen(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.chaoShenEntropy(
+      t(s, d, "documents"), "text")
+
+  /** X221b — the same estimator at 3-shingle grain, where the fixture
+    * actually HAS a singleton tail (the unigram vocabulary is closed —
+    * x221's Ĉ = 1 row publishes that honestly; this row shows the
+    * correction biting). Fixture binding of
+    * [[graft.api.TrainingData.chaoShenEntropyShingles]]. */
+  def x221bChaoShenShingles(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.chaoShenEntropyShingles(
+      t(s, d, "documents"), "text")
+
+  /** X219 — delete-one-SOURCE jackknife of the corpus en-rate: each
+    * source's leave-out replicate, its signed influence on the corpus
+    * metric, and the exact delete-group jackknife SE — one pass, no
+    * resampling (ratio-of-sums replicates are exact from group
+    * aggregates). Fixture binding of
+    * [[graft.api.TrainingData.jackknifeRatio]]. */
+  def x219Jackknife(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.jackknifeRatio(
+      t(s, d, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), (col("lang") === "en").as("is_en")),
+      "source", "is_en")
+
+  /** X220 — TOST equivalence of the en-rate between the even and odd
+    * doc_id halves at a ±2pp margin: the "same enough to ship"
+    * verdict the significance shelf can't give (absence of
+    * significance is not equivalence). Fixture binding of
+    * [[graft.api.TrainingData.tostEquivalence]]. */
+  def x220Tost(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.tostEquivalence(
+      t(s, d, "documents")
+        .filter(col("doc_id").isNotNull && col("lang").isNotNull)
+        .select((col("doc_id") % 2 === 0).as("arm_a"),
+          (col("lang") === "en").as("is_en")),
+      "arm_a", "is_en", marginMicros = 20000L)
+
   /** X198 — deterministic label-permutation test of the en-vs-rest
     * n_chars total (B = 40 sha-derived relabelings): the
     * assumption-free p beside x159's normal-approximation z² on the
@@ -1057,6 +1102,10 @@ object SamplingOps {
     "x198_perm_test" -> (x198PermTest _),
     "x209_theil" -> (x209Theil _),
     "x215_jonckheere" -> (x215Jonckheere _),
+    "x219_jackknife" -> (x219Jackknife _),
+    "x220_tost" -> (x220Tost _),
+    "x221_chao_shen" -> (x221ChaoShen _),
+    "x221b_chao_shen_shingles" -> (x221bChaoShenShingles _),
     "x216_monroe_logodds" -> (x216MonroeLogodds _),
     "x217_cohens_h" -> (x217CohensH _),
     "x218_page_trend" -> (x218PageTrend _),
@@ -1441,6 +1490,147 @@ object SamplingOps {
         |      // (CAST(n AS HUGEINT) * s) AS BIGINT)
         |  END AS gini_micros
         |FROM rk, tt ORDER BY rank""".stripMargin,
+    // Chao-Shen replay: vocabulary-grain counts, the identical
+    // coverage-shrink/ln/power chain per type, micro-rounded terms
+    // summed exactly
+    "x221_chao_shen" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(
+        |      lower(text), ' '), t -> t <> '')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1 FROM c),
+        |h AS (SELECT
+        |    coalesce(CAST(sum(CAST(round(1000000.0
+        |      * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT), 0) AS neg_h_ml,
+        |    coalesce(CAST(sum(CAST(round(1000000.0
+        |      * ((1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * ln((1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (1.0 - power(1.0 - (1.0 - CAST(f1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) * (CAST(c AS DOUBLE)
+        |        / CAST(n AS DOUBLE)), CAST(n AS DOUBLE))))
+        |      AS BIGINT)) AS BIGINT), 0) AS neg_h_cs
+        |  FROM c, tot)
+        |SELECT n AS n_tokens, v AS vocab, f1,
+        |  (1000000 * (n - f1)) // n AS coverage_micros,
+        |  -neg_h_ml AS h_ml_micros,
+        |  CASE WHEN f1 = n THEN NULL ELSE -neg_h_cs END
+        |    AS h_cs_micros
+        |FROM tot, h""".stripMargin,
+    // shingle-grain Chao-Shen replay: all 3-shingle occurrences (NOT
+    // the dedup shelf's distinct sets), then the identical chains
+    "x221b_chao_shen_shingles" ->
+      """WITH toks AS (SELECT list_filter(string_split(lower(text),
+        |      ' '), t -> t <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(tk) - 1, 1)),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS w
+        |  FROM toks),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1 FROM c),
+        |h AS (SELECT
+        |    coalesce(CAST(sum(CAST(round(1000000.0
+        |      * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      AS BIGINT)) AS BIGINT), 0) AS neg_h_ml,
+        |    coalesce(CAST(sum(CAST(round(1000000.0
+        |      * ((1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      * ln((1.0 - CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+        |      / (1.0 - power(1.0 - (1.0 - CAST(f1 AS DOUBLE)
+        |        / CAST(n AS DOUBLE)) * (CAST(c AS DOUBLE)
+        |        / CAST(n AS DOUBLE)), CAST(n AS DOUBLE))))
+        |      AS BIGINT)) AS BIGINT), 0) AS neg_h_cs
+        |  FROM c, tot)
+        |SELECT n AS n_tokens, v AS vocab, f1,
+        |  (1000000 * (n - f1)) // n AS coverage_micros,
+        |  -neg_h_ml AS h_ml_micros,
+        |  CASE WHEN f1 = n THEN NULL ELSE -neg_h_cs END
+        |    AS h_cs_micros
+        |FROM tot, h""".stripMargin,
+    // jackknife replay: exact leave-one-out replicates off group
+    // aggregates, cross-multiplied variance, one floored IEEE sqrt
+    "x219_jackknife" ->
+      """WITH per AS (SELECT source AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS gg,
+        |    CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(pos) AS BIGINT) AS post FROM per),
+        |reps AS (SELECT grp, n, pos,
+        |    (1000000 * post) // nt AS theta_full_micros,
+        |    CASE WHEN nt = n THEN NULL
+        |      ELSE (1000000 * (post - pos)) // (nt - n) END
+        |      AS theta_loo_micros
+        |  FROM per, tot),
+        |se AS (SELECT CAST(count(*) AS BIGINT) AS g2,
+        |    CAST(sum(theta_loo_micros) AS BIGINT) AS s,
+        |    sum(CAST(theta_loo_micros AS HUGEINT) * theta_loo_micros)
+        |      AS s2
+        |  FROM reps WHERE theta_loo_micros IS NOT NULL),
+        |sev AS (SELECT CASE WHEN g2 < 2 THEN NULL
+        |    ELSE CAST(floor(sqrt(CAST((CAST(g2 AS HUGEINT) - 1)
+        |      * (CAST(g2 AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s)
+        |      AS DOUBLE) / (CAST(g2 AS DOUBLE) * CAST(g2 AS DOUBLE))))
+        |      AS BIGINT) END AS jk_se_micros FROM se)
+        |SELECT grp, n, pos, theta_full_micros, theta_loo_micros,
+        |  CASE WHEN theta_loo_micros IS NULL THEN NULL
+        |    ELSE theta_full_micros - theta_loo_micros END
+        |    AS influence_micros,
+        |  jk_se_micros
+        |FROM reps, sev ORDER BY grp""".stripMargin,
+    // TOST replay: exact micro rates, one floored Wald-SE IEEE chain,
+    // sign-explicit z truncations, the 1.644854 micro threshold
+    "x220_tost" ->
+      """WITH per AS (SELECT (doc_id % 2 = 0) AS arm_a,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos
+        |  FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT arm_a, n, pos, (1000000 * pos) // n AS p FROM per),
+        |a AS (SELECT n AS n1, pos AS pos1, p AS p1 FROM w WHERE arm_a),
+        |b AS (SELECT n AS n2, pos AS pos2, p AS p2 FROM w
+        |  WHERE NOT arm_a),
+        |j AS (SELECT n1, pos1, n2, pos2, p1, p2,
+        |    CAST(floor(1000000.0 * sqrt((CAST(p1 AS DOUBLE)
+        |      / 1000000.0) * (1.0 - CAST(p1 AS DOUBLE) / 1000000.0)
+        |      / CAST(n1 AS DOUBLE) + (CAST(p2 AS DOUBLE) / 1000000.0)
+        |      * (1.0 - CAST(p2 AS DOUBLE) / 1000000.0)
+        |      / CAST(n2 AS DOUBLE))) AS BIGINT) AS se_micros
+        |  FROM a, b),
+        |z AS (SELECT n1, pos1, n2, pos2, p1, p2, se_micros,
+        |    CASE WHEN se_micros <= 0 THEN NULL
+        |      ELSE CAST(sign(p1 - p2 + 20000)
+        |        * ((1000000 * abs(p1 - p2 + 20000)) // se_micros)
+        |        AS BIGINT) END AS zl,
+        |    CASE WHEN se_micros <= 0 THEN NULL
+        |      ELSE CAST(sign(20000 - (p1 - p2))
+        |        * ((1000000 * abs(20000 - (p1 - p2))) // se_micros)
+        |        AS BIGINT) END AS zu
+        |  FROM j)
+        |SELECT n1, pos1, n2, pos2, p1 AS p1_micros, p2 AS p2_micros,
+        |  p1 - p2 AS diff_micros, se_micros,
+        |  zl AS z_lower_micros, zu AS z_upper_micros,
+        |  CASE WHEN zl IS NULL THEN NULL
+        |    ELSE zl > 1644854 AND zu > 1644854 END AS equivalent_90
+        |FROM z""".stripMargin,
     // JT replay: the zero-filled group×value grid, per-group
     // cumulative below-v counts, value-grain pair join, the
     // three-term tie-corrected variance in HUGEINT

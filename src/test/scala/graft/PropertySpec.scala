@@ -1142,4 +1142,47 @@ class PropertySpec extends SparkSpec {
     assert(distinct.getLong(0) == (1L << (2 * b))) // all distinct ⇒ bijection
     assert(distinct.getLong(2) == 0L && distinct.getLong(1) == (1L << (2 * b)) - 1)
   }
+
+  test("permutationTestSum bucket-rank selection equals the naive smallest-n_a model") {
+    // the r16 restructure claim: hash-prefix bucketing + cumulative
+    // offsets + straddling-bucket ranks select EXACTLY the n_a rows
+    // with the smallest (sha256(id:b), id) — the same set the r15
+    // corpus-wide window selected. Model it directly: full reference
+    // implementation in Scala (MessageDigest sha-256, string sort),
+    // compared field-for-field against the engine's output row.
+    import spark.implicits._
+    def shaHex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    }
+    val gen = for {
+      n <- Gen.choose(1, 28)
+      rows <- Gen.listOfN(n, for {
+        ia <- Gen.oneOf(true, false)
+        v <- Gen.choose(-50L, 50L)
+      } yield (ia, v))
+      b <- Gen.choose(1, 9)
+    } yield (rows.zipWithIndex.map { case ((ia, v), i) =>
+      (i.toLong, ia, v) }, b)
+    check(forAll(gen) { case (rows, b) =>
+      val df = rows.toDF("id", "ia", "v")
+      val got = graft.api.TrainingData
+        .permutationTestSum(df, "id", "ia", "v", b).collect().head
+      val n = rows.size.toLong
+      val nA = rows.count(_._2).toLong
+      val s = rows.map(_._3).sum
+      val obs = rows.filter(_._2).map(_._3).sum
+      val stats = (0 until b).map { pb =>
+        rows.map { case (id, _, v) =>
+          (shaHex(s"$id:$pb"), id.toString, v) }
+          .sortBy(t => (t._1, t._2)).take(nA.toInt).map(_._3).sum
+      }
+      val nExtreme = stats.count(st =>
+        (n * st - nA * s).abs >= (n * obs - nA * s).abs).toLong
+      got.getLong(0) == n && got.getLong(1) == nA &&
+        got.getLong(2) == s && got.getLong(3) == obs &&
+        got.getLong(5) == nExtreme &&
+        got.getLong(6) == 1000000L * (1 + nExtreme) / (b + 1)
+    }, n = 12)
+  }
 }

@@ -4544,6 +4544,94 @@ class TrainingDataSpec extends SparkSpec {
     assert(r.getLong(7) >= -1000000L && r.getLong(8) <= 1000000L)
   }
 
+  test("chaoShenEntropy: replayed chain on a singleton mix, closed-vocab HT weight, all-singletons NULL") {
+    val docs = Seq("a a b").toDF("text")
+    val r = graft.api.TrainingData.chaoShenEntropy(docs, "text")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 666666L)
+    // replay both chains in the same IEEE op order
+    def mlTerm(c: Long): Long = math.round(1e6 *
+      (c.toDouble / 3.0) * math.log(c.toDouble / 3.0))
+    def csTerm(c: Long): Long = {
+      val cp = (1.0 - 1.0 / 3.0) * (c.toDouble / 3.0)
+      math.round(1e6 * cp * math.log(cp) /
+        (1.0 - math.pow(1.0 - cp, 3.0)))
+    }
+    assert(r.getLong(4) == -(mlTerm(2) + mlTerm(1)))
+    assert(r.getLong(5) == -(csTerm(2) + csTerm(1)))
+    // corrected entropy exceeds MLE when unseen mass exists
+    assert(r.getLong(5) > r.getLong(4))
+    // closed vocabulary (no singletons): Ĉ = 1, but the finite-n
+    // Horvitz–Thompson weight still inflates the estimate — it only
+    // converges to MLE as (1−p)ⁿ → 0 (the sf0.01 unigram fixture,
+    // where the two agree to the micro)
+    val closed = Seq("x x y y").toDF("text")
+    val c = graft.api.TrainingData.chaoShenEntropy(closed, "text")
+      .collect().head
+    def csTerm4(c0: Long): Long = {
+      val cp = (1.0 - 0.0 / 4.0) * (c0.toDouble / 4.0)
+      math.round(1e6 * cp * math.log(cp) /
+        (1.0 - math.pow(1.0 - cp, 4.0)))
+    }
+    assert(c.getLong(2) == 0L)
+    assert(c.getLong(5) == -(csTerm4(2) + csTerm4(2)))
+    assert(c.getLong(5) >= c.getLong(4))
+    // every type a singleton: coverage unestimable → NULL, MLE stands
+    val all1 = Seq("p q r").toDF("text")
+    val a = graft.api.TrainingData.chaoShenEntropy(all1, "text")
+      .collect().head
+    assert(a.isNullAt(5) && a.getLong(4) > 0L)
+  }
+
+  test("jackknifeRatio: exact leave-out replicates, influence signs, hand-walked SE") {
+    // sources: a = 2/2 en, b = 0/2 en; full rate 1/2
+    val rows = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("b", false)))
+      .toDF("g", "y")
+    val got = graft.api.TrainingData.jackknifeRatio(rows, "g", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(3) == 500000L) // θ_full
+    assert(got("a").getLong(4) == 0L)      // drop a → 0/2
+    assert(got("b").getLong(4) == 1000000L) // drop b → 2/2
+    assert(got("a").getLong(5) == 500000L)  // a props the rate UP
+    assert(got("b").getLong(5) == -500000L) // b drags it DOWN
+    // SE: G=2, θ = {0, 1e6}: (1/2)·(2·1e12·... ) → √((1·(2·1e12−1e12))/4)
+    val expect = math.floor(math.sqrt(
+      (1.0 * (2.0 * 1e12 - 1e12)) / 4.0)).toLong
+    assert(got("a").getLong(6) == expect)
+    // single source: replicate undefined, SE undefined
+    val one = Seq(("a", true), ("a", false)).toDF("g", "y")
+    val o = graft.api.TrainingData.jackknifeRatio(one, "g", "y")
+      .collect().head
+    assert(o.isNullAt(4) && o.isNullAt(6))
+  }
+
+  test("tostEquivalence: identical arms equivalent, separated arms not") {
+    val same = (Seq.fill(50)((true, true)) ++ Seq.fill(50)((true, false)) ++
+      Seq.fill(50)((false, true)) ++ Seq.fill(50)((false, false)))
+      .toDF("arm", "y")
+    val s = graft.api.TrainingData
+      .tostEquivalence(same, "arm", "y", marginMicros = 200000L)
+      .collect().head
+    assert(s.getLong(6) == 0L)             // diff 0
+    assert(s.getBoolean(10))               // equivalent at ±20pp
+    // complete separation cannot be equivalent at a 20pp margin
+    val sep = (Seq.fill(100)((true, true)) ++ Seq.fill(100)((false, false)))
+      .toDF("arm", "y")
+    val p = graft.api.TrainingData
+      .tostEquivalence(sep, "arm", "y", marginMicros = 200000L)
+      .collect().head
+    // degenerate rates (p=1 vs p=0) → SE 0 → honest NULL, not a verdict
+    assert(p.isNullAt(8) && p.isNullAt(10))
+    val near = (Seq.fill(99)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(99)((false, false)))
+      .toDF("arm", "y")
+    val q = graft.api.TrainingData
+      .tostEquivalence(near, "arm", "y", marginMicros = 200000L)
+      .collect().head
+    assert(!q.getBoolean(10))              // 98pp apart: not equivalent
+  }
+
   test("jonckheereTerpstra: clean increasing trend hand-walked, reversal symmetric, one group NULL") {
     val up = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L),
       (3L, 6L)).toDF("g", "v")
