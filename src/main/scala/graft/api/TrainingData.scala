@@ -9156,8 +9156,13 @@ object TrainingData {
         when(col(isACol).cast("boolean"), 1L).otherwise(0L).as("ia"),
         integralLong(valueCol, "permutationTestSum").as("v"))
       .localCheckpoint(true) // feeds the observed stats AND the explode
-    val obs = base.agg(count(lit(1)).as("n"), sum(col("ia")).as("n_a"),
-      sum(col("v")).as("s"), sum(expr("ia * v")).as("obs_sum"))
+    // coalesce: an empty corpus (or no group-A rows) must yield the
+    // degenerate-but-defined test (every permutation stat 0 = obs), not
+    // NULL aggregates that poison every downstream field
+    val obs = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("ia")), lit(0L)).as("n_a"),
+      coalesce(sum(col("v")), lit(0L)).as("s"),
+      coalesce(sum(expr("ia * v")), lit(0L)).as("obs_sum"))
     // rows×B with the content-addressed permutation hash and its
     // 256-way equi-width bucket (first 16 hash bits div 256): bucket id
     // is monotone in h because fixed-length lowercase hex compares
@@ -9196,7 +9201,14 @@ object TrainingData {
       .withColumn("rk", row_number().over(wBkt))
       .filter(col("off") + col("rk") <= col("na0"))
       .groupBy(col("pb")).agg(sum(col("v")).as("stat_s"))
-    val stats = full.join(straddle, Seq("pb"), "full_outer")
+    // anchor on the FULL permutation list (1-row obs exploded to B):
+    // with n_a = 0 no row survives the off < n_a cut, so full/straddle
+    // are both empty and a bare full_outer would drop every permutation
+    // — each one's stat is a legal empty sum (0), not a missing row
+    val perms = obs.select(
+      explode(expr(s"sequence(0, ${b - 1})")).as("pb"))
+    val stats = perms
+      .join(full.join(straddle, Seq("pb"), "full_outer"), Seq("pb"), "left")
       .select(col("pb"), (coalesce(col("stat_f"), lit(0L)) +
         coalesce(col("stat_s"), lit(0L))).as("stat"))
     val extreme = stats.crossJoin(broadcast(obs))
