@@ -40,4 +40,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default — pinned so a future JDK can't silently switch it.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   "-XX:+UseG1GC",
-)
+  // Spark drivers churn weak/soft references (ContextCleaner tracks
+  // every RDD/broadcast/accumulator by WeakReference); G1 processes
+  // reference queues single-threaded inside the pause unless told not
+  // to — measured on this box as multi-second GC stalls billed to
+  // whichever query ran next (r16 LitterProbe: x167 warm 86s -> 1.6s
+  // once the backlog is cleared). Parallel ref processing attacks the
+  // root; the bench additionally scrubs between queries.
+  "-XX:+ParallelRefProcEnabled",
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" "))

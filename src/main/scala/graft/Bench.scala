@@ -84,22 +84,36 @@ object Bench {
     val qseq = SparkEntry.queries.toSeq
     val results = qseq.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 16 == 0) canary += ((i, canaryOnce()))
-      def once(): (Double, Boolean) = {
+      // (elapsed, ok, stolen): each run carries its own hypervisor-steal
+      // verdict — /proc/stat steal read around the timed region (r16:
+      // this box's host steals vCPUs for multi-second stretches; steal
+      // during a run > max(0.1 s, 15% of elapsed) marks the run as
+      // box-distorted, the DIRECT form of the canary's inference)
+      def once(): (Double, Boolean, Boolean) = {
+        val s0 = graft.tools.BenchSession.stealSeconds()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val el = (System.nanoTime() - t0) / 1e9
+        val st = graft.tools.BenchSession.stealSeconds() - s0
+        (el, ok, !st.isNaN && st > math.max(0.1, el * 0.15))
       }
       // min over SUCCESSFUL runs only — a fast-failing run must not be
       // reported as a query's steady-state latency. A query that fails
       // BOTH runs goes under "errors", NOT into the timing map: a
       // sign-encoded sentinel there silently reads as a huge speedup to
-      // any tool that sums or diffs the timings
-      graft.ops.PerAppCache.evictAll()
+      // any tool that sums or diffs the timings.
+      // scrub (evict + one GC pass) runs OUTSIDE the timed region so a
+      // query is billed for its own allocation, not its predecessors'
+      // collection (r16 LitterProbe: x167 warm 86 s unscrubbed vs 1.6 s)
+      graft.tools.BenchSession.scrub()
       val runs = Seq(once(), once()) // head = cold, last = warm
-      val good = runs.filter(_._2).map(_._1)
-      (name, good.minOption, runs)
+      val good = runs.filter(_._2).map(r => (r._1, r._3))
+      val minV = good.map(_._1).minOption
+      // the min run's steal verdict — the retime trigger
+      val minStolen = good.sortBy(_._1).headOption.exists(_._2)
+      (name, minV, runs, minStolen)
     }
     canary += ((qseq.size, canaryOnce()))
 
@@ -128,29 +142,49 @@ object Bench {
         segs.collect { case (a, b) if spikyPos(a) || spikyPos(b) =>
           (a until b) }.flatten.toSet
       }
+    // retime triggers: (a) the query ran in a canary-spiky segment, or
+    // (b) its min run carried direct steal (r16 — the steal counter
+    // catches bursts the 16-query canary grid straddles). Retimes get
+    // up to 2 attempts: a retime that is itself stolen proves nothing.
     val retimed = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results2 = results.zipWithIndex.map {
-      case ((name, Some(v), runs), i)
-          if suspectIdx(i) && v >= 0.2 && retimed.size < 48 =>
+      case ((name, Some(v), runs, minStolen), i)
+          if (suspectIdx(i) || minStolen) && v >= 0.2 && retimed.size < 96 =>
         val fn = qseq(i)._2
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val t = (System.nanoTime() - t0) / 1e9
-        if (ok) { retimed += name -> (v, t); (name, Some(math.min(v, t)), runs) }
-        else (name, Some(v), runs)
-      case other => other._1
+        def retimeOnce(): (Double, Boolean, Boolean) = {
+          val s0 = graft.tools.BenchSession.stealSeconds()
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val el = (System.nanoTime() - t0) / 1e9
+          val st = graft.tools.BenchSession.stealSeconds() - s0
+          (el, ok, !st.isNaN && st > math.max(0.1, el * 0.15))
+        }
+        val first = retimeOnce()
+        val attempts = if (first._2 && !first._3) Seq(first)
+          else Seq(first, retimeOnce())
+        val goodTs = attempts.filter(_._2).map(_._1)
+        if (goodTs.nonEmpty) {
+          val t = goodTs.min
+          retimed += name -> (v, t)
+          (name, Some(math.min(v, t)), runs)
+        } else (name, Some(v), runs)
+      case ((name, v, runs, _), _) => (name, v, runs)
     }
     val timed = results2.collect { case (k, Some(v), _) => k -> v }
     val failed = results2.collect { case (k, None, _) => k }.sorted
+    val nStealFlagged = results.count(_._4)
     val qs = timed.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // raw [cold, warm] pairs, success or not (failures also appear under
     // "errors"); the artifact the round notes attribute swings from —
     // a mover whose cold grew but warm held is cache-build cost, a mover
     // whose warm grew only near a canary spike is the box
-    val pairs = results.map { case (k, _, runs) =>
-      "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "]"
+    // per-run steal verdicts ride with the raw pairs (1 = the run was
+    // box-distorted): [cold, warm, cold_stolen, warm_stolen]
+    val pairs = results.map { case (k, _, runs, _) =>
+      "\"" + k + "\":[" + runs.map(r => fmt(r._1)).mkString(",") + "," +
+        runs.map(r => if (r._3) "1" else "0").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\":\"failed both runs\"")
       .mkString("{", ",", "}")
@@ -180,7 +214,7 @@ object Bench {
       "\"" + k + "\":[" + fmt(a) + "," + fmt(b) + "]" }
       .mkString("{", ",", "}")
     val summary =
-      s""""metric":"total","value":$total,"unit":"sec","run_id":"$runId","timing_mode":"cold_warm","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"canary":$canaryJson,"canary_median":${fmt(canaryMed)},"n_contended":${retimed.size},"retimed":$retimedJson,"errors":$errs,"sf":"$sfDir""""
+      s""""metric":"total","value":$total,"unit":"sec","run_id":"$runId","timing_mode":"cold_warm","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"canary":$canaryJson,"canary_median":${fmt(canaryMed)},"n_contended":${retimed.size},"n_steal_flagged":$nStealFlagged,"retimed":$retimedJson,"errors":$errs,"sf":"$sfDir""""
     println(s"""{"queries":$qs,$summary}""")
     // stderr carries the compact summary too (no query map): a second
     // capture channel that cannot be displaced by the map's bulk

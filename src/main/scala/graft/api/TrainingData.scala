@@ -3339,32 +3339,44 @@ object TrainingData {
     * unigram types), one broadcast scalar N, one join of doc-bigram
     * multiplicities against the type table — no per-token shuffle. */
   def interpolatedBigramLm(docs: DataFrame, idCol: String, textCol: String,
-      lambda: Double = 0.75): DataFrame = {
+      lambda: Double = 0.75): DataFrame =
+    interpolatedBigramLmFromCounts(
+      bigramCounts(docs, idCol, textCol),
+      tokenCounts(docs, idCol, textCol), lambda)
+
+  /** [[interpolatedBigramLm]] over pre-built (ideally persisted)
+    * [[bigramCounts]] / [[tokenCounts]] relations — the r16 rewrite: the
+    * direct form tokenized the corpus on THREE plan branches (doc-bigram,
+    * unigram, and the type-table's re-aggregation of doc-bigram); the
+    * fixture binding rides the shared tf/bg caches instead, so x70 pays
+    * zero tokenization passes of its own. Identical arithmetic: the
+    * doc-grain bigram multiplicities and corpus unigram counts are the
+    * same relations the direct form derived (bigram types key the join
+    * as the packed "w1 w2" string; w1/w2 re-split only at TYPE grain,
+    * where the per-row cost is bounded by vocabulary, not corpus). */
+  def interpolatedBigramLmFromCounts(bigramCounts: DataFrame,
+      tokenCounts: DataFrame, lambda: Double = 0.75): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
-    val base = docs
-      .select(col(idCol).as("doc_id"), DedupOps.tokens(col(textCol)).as("tk"))
-    val docBg = base.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .agg(count(lit(1)).as("dc"))
-    val uni = base.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val docBg = bigramCounts
+      .select(col("doc_id"), col("bigram"), col("bf").as("dc"))
+    val uni = tokenCounts.groupBy(col("tok").as("w"))
+      .agg(sum(col("tf")).as("cw"))
     val nTot = uni.agg(sum(col("cw")).as("nn"))
-    val ltab = docBg.groupBy(col("w1"), col("w2"))
+    // tokens cannot contain the separator (they come from a split on
+    // it), so the packed bigram string splits back losslessly
+    val ltab = docBg.groupBy(col("bigram"))
       .agg(sum(col("dc")).as("c12"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
       .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
       .crossJoin(broadcast(nTot))
-      .select(col("w1"), col("w2"),
+      .select(col("bigram"),
         round(-log(
           lit(lambda) * (col("c12").cast("double") / col("c1"))
             + lit(1.0 - lambda) * (col("c2").cast("double") / col("nn")))
           * 1e6).cast("long").as("L"))
-    docBg.join(ltab, Seq("w1", "w2"))
+    docBg.join(ltab, Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg(sum(col("dc")).as("n_bigrams"),
         sum(col("dc") * col("L")).as("s"))

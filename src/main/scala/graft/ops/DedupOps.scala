@@ -820,9 +820,17 @@ object DedupOps {
       .partitionBy(col("blk"))
     val wRnk = org.apache.spark.sql.expressions.Window
       .partitionBy(col("blk")).orderBy(col("s"), col("id"))
+    // materialized ONCE (r16): `sized` feeds four consumers (both sides
+    // of the small-block self-join, and both sides of the oversized
+    // banded join), and without the checkpoint each consumer re-executes
+    // the corpus scan + the two block windows — 4 corpus window-sorts
+    // where one suffices. The checkpointed row is (id, key, blk, bn, rn)
+    // ≈ key-width bytes/row, MEMORY_AND_DISK — the guide-§8 shape:
+    // enumerate the decision relation once, read it four times.
     val sized = base
       .withColumn("bn", count(lit(1)).over(wCnt))
       .withColumn("rn", row_number().over(wRnk))
+      .localCheckpoint(true)
     val small = sized.filter(col("bn") <= maxBlockSize)
     val exact = small.as("a").join(small.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
@@ -859,8 +867,19 @@ object DedupOps {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
     require(maxBlockSize >= 2 && window >= 1,
       s"need maxBlockSize >= 2 and window >= 1, got ($maxBlockSize, $window)")
-    blockedCandidates(rows, idCol, keyCol, blockPrefix, maxBlockSize,
-        window)
+    typoNearDupPairsFromCandidates(
+      blockedCandidates(rows, idCol, keyCol, blockPrefix, maxBlockSize,
+        window), maxDist)
+  }
+
+  /** The DL verification stage split off [[typoNearDupPairs]] (r16):
+    * x150 and x174 enumerate the IDENTICAL (prefix, length)-blocked
+    * candidate relation and differ only in the verifying metric, so the
+    * fixture bindings share one cached enumeration (the shingle/pair
+    * cache discipline) and feed it to each metric here. */
+  private[graft] def typoNearDupPairsFromCandidates(cand: DataFrame,
+      maxDist: Int): DataFrame =
+    cand
       .select(col("id1"), col("id2"),
         graft.functions.TextFunctions
           .damerau_levenshtein(col("s1"), col("s2")).cast("long").as("dl"),
@@ -868,7 +887,6 @@ object DedupOps {
       .filter(col("dl") <= maxDist)
       .select(col("id1"), col("id2"), col("dl"), col("lev"),
         (col("lev") - col("dl")).as("transposition_gain"))
-  }
 
   /** X150 — typo near-dup pairs over a transposition-perturbed corpus:
     * every third document gets a twin (id + 10⁷) whose 40-char
@@ -915,13 +933,27 @@ object DedupOps {
           .otherwise(expr("(n_capped * 1000000L) div n_blocks"))
           .as("bind_fraction_micros"))
 
-  def x150TypoNeardup(s: SparkSession, d: String): DataFrame = {
-    val all = typoFixture(s, d)
-    typoNearDupPairs(all, "doc_id", "head", blockPrefix = 8, maxDist = 2)
-      .crossJoin(broadcast(oversizedBlockCount(all, "doc_id", "head",
-        8, 256)))
+  // x150 and x174 verify DIFFERENT metrics over the IDENTICAL blocked
+  // candidate enumeration of the same fixture (and crossJoin the same
+  // 1-row regime count) — computed once per app per fixture, the
+  // shingle/pair-cache discipline (r16; the enumeration pays 2 corpus
+  // windows + the banded join, the dominant cost of both queries)
+  @transient private val typoCandCache = newCache
+  private def persistTypoCandidates(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(typoCandCache, s, d)(
+      blockedCandidates(typoFixture(s, d), "doc_id", "head",
+        blockPrefix = 8, maxBlockSize = 256, window = 32).persist())
+
+  @transient private val typoOversizedCache = newCache
+  private def persistTypoOversized(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(typoOversizedCache, s, d)(
+      oversizedBlockCount(typoFixture(s, d), "doc_id", "head", 8, 256)
+        .persist())
+
+  def x150TypoNeardup(s: SparkSession, d: String): DataFrame =
+    typoNearDupPairsFromCandidates(persistTypoCandidates(s, d), maxDist = 2)
+      .crossJoin(broadcast(persistTypoOversized(s, d)))
       .orderBy(col("id1"), col("id2"))
-  }
 
   /** X152 — degree distribution + degree assortativity of the near-dup
     * graph over the SHARED x26 pair cache: the STRUCTURAL read x71/x72
@@ -1026,8 +1058,17 @@ object DedupOps {
       s"minJwMicros must be in [0, 1e6], got $minJwMicros")
     require(maxBlockSize >= 2 && window >= 1,
       s"need maxBlockSize >= 2 and window >= 1, got ($maxBlockSize, $window)")
-    blockedCandidates(rows, idCol, keyCol, blockPrefix, maxBlockSize,
-        window)
+    jwNearDupPairsFromCandidates(
+      blockedCandidates(rows, idCol, keyCol, blockPrefix, maxBlockSize,
+        window), minJwMicros)
+  }
+
+  /** JW verification over a pre-enumerated candidate relation — the
+    * x174 half of the shared-candidates split (see
+    * [[typoNearDupPairsFromCandidates]]). */
+  private[graft] def jwNearDupPairsFromCandidates(cand: DataFrame,
+      minJwMicros: Long): DataFrame =
+    cand
       .select(col("id1"), col("id2"),
         // one shared ·10⁶ rounding of the bit-exact double (the
         // expression reproduces DuckDB's builtin bit-for-bit — §5i-2)
@@ -1037,7 +1078,6 @@ object DedupOps {
         expr("CAST(round(jw_raw * 1000000.0, 0) AS BIGINT)")
           .as("jw_micros"))
       .filter(col("jw_micros") >= minJwMicros)
-  }
 
   /** Canonical URL form for crawl dedup — the fixed normalization
     * chain every web-corpus pipeline runs before exact URL dedup:
@@ -1124,14 +1164,11 @@ object DedupOps {
     * on every candidate pair — value-exact after one shared ·10⁶
     * rounding (the expression is bit-identical to the builtin; §5i-2).
     * Fixture binding of [[jwNearDupPairs]]. */
-  def x174JwNeardup(s: SparkSession, d: String): DataFrame = {
-    val all = typoFixture(s, d)
-    jwNearDupPairs(all, "doc_id", "head", blockPrefix = 8,
+  def x174JwNeardup(s: SparkSession, d: String): DataFrame =
+    jwNearDupPairsFromCandidates(persistTypoCandidates(s, d),
         minJwMicros = 900000L)
-      .crossJoin(broadcast(oversizedBlockCount(all, "doc_id", "head",
-        8, 256)))
+      .crossJoin(broadcast(persistTypoOversized(s, d)))
       .orderBy(col("id1"), col("id2"))
-  }
 
   /** The regime a blocked string-metric oracle replays made VISIBLE
     * (ADVICE r14): [[oversizedBlockCount]] is a 1-row relation counting
@@ -1192,6 +1229,41 @@ object DedupOps {
           substring(col("head"), 13, 12)).as("key"))
       .localCheckpoint(true) // bounded (≤ 1680 rows), feeds 3 branches
 
+  // the three queries over the digit-variants fixture (x150b, x150c,
+  // x191) re-derive the same three pair relations: the forward capped
+  // pass (x150b's "windowed", x150c's capA, x191's capture A), the
+  // reversed-key capped pass (x150c capB, x191 capture B), and the
+  // uncapped all-pairs ground-truth count (x150b, x150c). Each is
+  // computed once per app per fixture (r16) — the ground truth is the
+  // family's deliberate quadratic (~235k DL matrix evaluations on the
+  // FIXED fixture) and was being paid twice.
+  @transient private val digitVariantsCache = newCache
+  private def persistDigitVariants(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(digitVariantsCache, s, d)(digitVariants(s, d))
+
+  @transient private val digitCapACache = newCache
+  private def persistDigitCapA(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(digitCapACache, s, d)(
+      typoNearDupPairs(persistDigitVariants(s, d), "id", "key",
+        blockPrefix = 8, maxDist = 2)
+        .select(col("id1"), col("id2")).persist())
+
+  @transient private val digitCapBCache = newCache
+  private def persistDigitCapB(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(digitCapBCache, s, d)(
+      typoNearDupPairs(
+        persistDigitVariants(s, d)
+          .select(col("id"), reverse(col("key")).as("key")),
+        "id", "key", blockPrefix = 8, maxDist = 2)
+        .select(col("id1"), col("id2")).persist())
+
+  @transient private val digitExactCache = newCache
+  private def persistDigitExactCount(s: SparkSession, d: String): DataFrame =
+    cachedPerApp(digitExactCache, s, d)(
+      typoNearDupPairs(persistDigitVariants(s, d), "id", "key",
+        blockPrefix = 8, maxDist = 2, maxBlockSize = 1 << 20)
+        .agg(count(lit(1)).as("n_exact")).persist())
+
   /** X183 (registered as x150b_window_recall) — windowed-fallback
     * recall audit on the [[digitVariants]] fixture FORCED over the
     * block cap (the x137b/x107 audit pattern pointed at the
@@ -1211,12 +1283,9 @@ object DedupOps {
     * all-pairs half is the deliberate quadratic, bounded by the FIXED
     * fixture, never by corpus SF. */
   def x150bWindowRecall(s: SparkSession, d: String): DataFrame = {
-    val variants = digitVariants(s, d)
-    val exact = typoNearDupPairs(variants, "id", "key", blockPrefix = 8,
-        maxDist = 2, maxBlockSize = 1 << 20)
-      .agg(count(lit(1)).as("n_exact"))
-    val windowed = typoNearDupPairs(variants, "id", "key",
-        blockPrefix = 8, maxDist = 2)
+    val variants = persistDigitVariants(s, d)
+    val exact = persistDigitExactCount(s, d)
+    val windowed = persistDigitCapA(s, d)
       .agg(count(lit(1)).as("n_windowed"))
     val blocks = variants
       .select(lower(col("key")).as("s"))
@@ -1248,15 +1317,9 @@ object DedupOps {
     * both passes are rank-windowed (≤ 32·n candidates each), only the
     * fixed fixture pays the exact quadratic. */
   def x150cTwopassRecall(s: SparkSession, d: String): DataFrame = {
-    val v = digitVariants(s, d)
-    val exact = typoNearDupPairs(v, "id", "key", blockPrefix = 8,
-        maxDist = 2, maxBlockSize = 1 << 20)
-      .agg(count(lit(1)).as("n_exact"))
-    val capA = typoNearDupPairs(v, "id", "key", blockPrefix = 8,
-      maxDist = 2).select(col("id1"), col("id2"))
-    val rev = v.select(col("id"), reverse(col("key")).as("key"))
-    val capB = typoNearDupPairs(rev, "id", "key", blockPrefix = 8,
-      maxDist = 2).select(col("id1"), col("id2"))
+    val exact = persistDigitExactCount(s, d)
+    val capA = persistDigitCapA(s, d)
+    val capB = persistDigitCapB(s, d)
     val nA = capA.agg(count(lit(1)).as("n_fwd"))
     val nB = capB.agg(count(lit(1)).as("n_rev"))
     val nU = capA.unionByName(capB).distinct()
@@ -1280,15 +1343,9 @@ object DedupOps {
     * estimator a 100 TB corpus quotes when the ground-truth quadratic
     * is unaffordable, with x150b as its in-repo calibration. Fixture
     * binding of [[graft.api.TrainingData.chapmanEstimate]]. */
-  def x191Chapman(s: SparkSession, d: String): DataFrame = {
-    val v = digitVariants(s, d)
-    val capA = typoNearDupPairs(v, "id", "key", blockPrefix = 8,
-      maxDist = 2).select(col("id1"), col("id2"))
-    val rev = v.select(col("id"), reverse(col("key")).as("key"))
-    val capB = typoNearDupPairs(rev, "id", "key", blockPrefix = 8,
-      maxDist = 2).select(col("id1"), col("id2"))
-    graft.api.TrainingData.chapmanEstimate(capA, capB, Seq("id1", "id2"))
-  }
+  def x191Chapman(s: SparkSession, d: String): DataFrame =
+    graft.api.TrainingData.chapmanEstimate(
+      persistDigitCapA(s, d), persistDigitCapB(s, d), Seq("id1", "id2"))
 
   /** X196 — eigenvector centrality of the near-dup graph (5 rounds of
     * max-normalized power iteration on the SHARED x26 pair cache): the

@@ -735,8 +735,10 @@ object TextOps {
     * bigram LM (x28n). Fixture binding of
     * [[graft.api.TrainingData.interpolatedBigramLm]]. */
   def x70InterpLm(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.interpolatedBigramLm(
-      t(s, d, "documents"), "doc_id", "text", lambda = 0.75)
+    // rides the SHARED cached bigram/token count relations (r16): the
+    // direct form re-tokenized the corpus on three plan branches
+    graft.api.TrainingData.interpolatedBigramLmFromCounts(
+      bgRel(s, d), tfRel(s, d), lambda = 0.75)
       .orderBy(col("doc_id"))
 
   /** X76 — BM25 retrieval top-k: the eval docs (doc_id < 50, the x33

@@ -56,4 +56,40 @@ private[graft] object BenchSession {
       java.nio.file.Paths.get(path), line + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] $path not written: ${e.getMessage}") }
+
+  /** Hypervisor steal time, in seconds, summed since boot — the r16
+    * measurement-accuracy instrument: /proc/stat on this box shows
+    * steal EXCEEDING user time (17.2k s stolen vs 10.6k s user at one
+    * reading), i.e. the host freezes the guest's vCPUs for multi-second
+    * stretches that land on whichever query is running (the r15 driver
+    * artifact's "11 queries at 10-50x committed warm" burst). Reading
+    * the counter around each timed run attributes a slow run to the
+    * box DIRECTLY, instead of inferring from bracketing canary samples.
+    * Returns NaN where /proc/stat is unavailable (non-Linux), which
+    * disables steal-based adjudication cleanly. */
+  def stealSeconds(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cpu = src.getLines().find(_.startsWith("cpu "))
+        cpu.map { l =>
+          val f = l.trim.split("\\s+")
+          // field 8 (1-based after the "cpu" tag) is steal; jiffies are
+          // USER_HZ = 100 on every mainstream Linux
+          if (f.length > 8) f(8).toDouble / 100.0 else Double.NaN
+        }.getOrElse(Double.NaN)
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => Double.NaN }
+
+  /** Inter-query scrub: evict the shared per-app caches, then give the
+    * collector one explicit pass. Measured (r16 LitterProbe): without
+    * the GC, garbage accumulated by earlier queries is collected DURING
+    * a later query's timed region and bills it for work it didn't do
+    * (x167 warm read 86-91 s in-sequence vs 1.6 s scrubbed — the same
+    * code, same data). The scrub runs OUTSIDE every timed region, so a
+    * query's own allocation cost still lands on that query. */
+  def scrub(): Unit = {
+    graft.ops.PerAppCache.evictAll()
+    System.gc()
+  }
 }

@@ -115,7 +115,13 @@ object ScaleSweep {
     // the pooled-midrank pair tests and the per-slice bound scan
     "x204_dunn", "x205_bernstein",
     // the double-ranking fusion and the three-signal melt
-    "x206_borda", "x207_kendall_w", "x208_qq_shift")
+    "x206_borda", "x207_kendall_w", "x208_qq_shift",
+    // round-16 closers: the group-grain Theil decomposition, the
+    // value-grain Hill diversity and Chao-Shen entropy scans, the
+    // group-vs-rest Cohen's h pass, the leave-one-group-out jackknife,
+    // and the two-group TOST aggregation
+    "x209_theil", "x211_hill_diversity", "x217_cohens_h",
+    "x219_jackknife", "x220_tost", "x221_chao_shen")
 
   /** Write the replicated fixture for `reps` replicas (1 = a re-encoded
     * copy of the base, the fair 1× baseline). */
