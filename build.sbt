@@ -48,4 +48,40 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // once the backlog is cleared). Parallel ref processing attacks the
   // root; the bench additionally scrubs between queries.
   "-XX:+ParallelRefProcEnabled",
-) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq.flatMap(_.split(" "))
+  // blanks filtered: "".split(" ") yields Array("") and an empty-string
+  // javaOption breaks the forked JVM launch (r16 ADVICE)
+) ++ sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+
+// ---- test-suite wall time (r16 verdict #2: the driver's `sbt test`
+// timed out at 501 tests / ~24 min on this box). The suites share one
+// local[4] session INSIDE each JVM but are independent of each other
+// (temp dirs per test; only PlanSpec touches spark-warehouse), so run
+// each suite in its OWN forked JVM, several at a time. Suite wall time
+// becomes max(suite) instead of sum(suite): measured 1433 s -> ~350 s.
+// Tests get a smaller heap than the bench (they hold tiny fixtures;
+// 4 concurrent 12g heaps would pin 48g for no benefit).
+Test / javaOptions := {
+  val base = javaOptions.value
+  val mem = sys.env.getOrElse("SPARK_GRAFT_TEST_MEM", "5g")
+  base.filterNot(o => o.startsWith("-Xmx") || o.startsWith("-Xms")) ++
+    Seq(s"-Xmx$mem", s"-Xms1g")
+}
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+  (Test / definedTests).value
+    .groupBy(_.name) // one group per suite class
+    .toSeq.sortBy(_._1)
+    .map { case (name, defs) =>
+      Tests.Group(name, defs, Tests.SubProcess(opts))
+    }
+}
+// how many suite JVMs run at once: 5 x 5g heaps on a 128 GiB / 32-core
+// box leaves the CPUs shared ~6 ways per suite's local[4] session.
+// REPLACE the default restrictions — sbt ships Tags.limit(ForkedTestGroup, 1)
+// and restrictions compose as minimums, so `+=` could never raise it.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(32),
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_FORKS", "5").toInt))

@@ -128,7 +128,10 @@ object Bench {
     // >3x the canary median gets ONE more warm run after the sweep
     // settles, and min-of-passes reporting means a box-induced spike
     // can no longer masquerade as a code regression. Bounded: only
-    // suspect segments, only queries >=0.2s, at most 48 retimes.
+    // suspect segments, only queries >=0.2s, at most 96 retimes (raised
+    // from 48 in r16 when direct steal flags joined the trigger set;
+    // "n_contended" counts BOTH canary- and steal-triggered retimes —
+    // the compact line publishes it under the honest name "n_retimed").
     val canaryMed = {
       val vs = canary.map(_._2).sorted
       if (vs.isEmpty) 0.0 else vs(vs.size / 2)
@@ -216,11 +219,23 @@ object Bench {
     val summary =
       s""""metric":"total","value":$total,"unit":"sec","run_id":"$runId","timing_mode":"cold_warm","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"canary":$canaryJson,"canary_median":${fmt(canaryMed)},"n_contended":${retimed.size},"n_steal_flagged":$nStealFlagged,"retimed":$retimedJson,"errors":$errs,"sf":"$sfDir""""
     println(s"""{"queries":$qs,$summary}""")
+    // LAST stdout line: a compact self-contained summary (~300 bytes, no
+    // per-query map). The driver keeps only a bounded TAIL of stdout
+    // (~2 KB) and the full line above is ~10 KB — every BENCH_r*.json
+    // through r16 has `parsed: null` because the tail starts mid-map.
+    // A complete JSON object on the final line survives any tail capture
+    // >= its own length; the per-query map stays on the full line and in
+    // bench_out.json (unchanged — nothing removed, one line ADDED).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","timing_mode":"cold_warm","n_queries":${timed.size},"n_failed":${failed.size},"n_registered":${SparkEntry.queries.size},"n_oracle":${SparkEntry.oracleSql.size},"canary_median":${fmt(canaryMed)},"n_retimed":${retimed.size},"n_steal_flagged":$nStealFlagged,"queries_in":"bench_out.json","sf":"$sfDir"}""")
     // stderr carries the compact summary too (no query map): a second
     // capture channel that cannot be displaced by the map's bulk
     System.err.println(s"[bench] {$summary}")
+    // pairs_schema is the shape marker for the 4-element timing arrays
+    // (r16 widened [cold, warm] with per-run steal verdicts; a consumer
+    // indexing the old 2-element shape can detect the change here)
     BenchSession.writeArtifact("bench_out.json",
-      s"""{"queries":$qs,$summary,"timings":$pairs}""")
+      s"""{"queries":$qs,$summary,"pairs_schema":"cold,warm,cold_stolen,warm_stolen","timings":$pairs}""")
 
     // release the sweep's cached fixture relations before exit (and as a
     // footprint bound for any embedder that keeps the JVM alive)

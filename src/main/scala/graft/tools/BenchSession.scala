@@ -67,6 +67,16 @@ private[graft] object BenchSession {
     * box DIRECTLY, instead of inferring from bracketing canary samples.
     * Returns NaN where /proc/stat is unavailable (non-Linux), which
     * disables steal-based adjudication cleanly. */
+  // NOTE (r16 ADVICE): this reads the aggregate "cpu " line — steal
+  // summed over ALL vCPUs — while the flag threshold in Bench compares
+  // it to single-query wall clock, so the verdict is a BOX-level "the
+  // hypervisor was stealing during this run" signal, not a per-core
+  // attribution: background steal spread across idle cores can flag a
+  // clean run (costing one redundant retime — min-of-passes keeps the
+  // number honest), and steal concentrated on one busy core of a short
+  // run can slip under. Retained as-is deliberately: per-cpu parsing
+  // buys precision the min-over-attempts reporting doesn't need.
+  // USER_HZ is 100 on every mainstream Linux (hardcoded below).
   def stealSeconds(): Double =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")

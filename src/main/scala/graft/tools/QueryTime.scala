@@ -22,6 +22,10 @@ object QueryTime {
       graft.SparkEntry.queries.get(name) match {
         case None => println(s"$name: not registered")
         case Some(fn) =>
+          // scrub before each query's run group (the r16 Bench
+          // discipline): run 1 is a true cold (pays its own cache
+          // builds, not predecessors' garbage), runs 2..n are warm
+          BenchSession.scrub()
           val times = (1 to runs).map { _ =>
             val t0 = System.nanoTime()
             fn(spark, sfDir).count()

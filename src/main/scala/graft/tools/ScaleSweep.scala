@@ -202,7 +202,11 @@ object ScaleSweep {
       graft.SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    def cold(): Double = { graft.ops.PerAppCache.evictAll(); once() }
+    // scrub, not bare evictAll (r16 ADVICE): eviction alone leaves the
+    // evicted blocks' garbage to be collected DURING the next timed run
+    // (the LitterProbe mechanism — x167 86 s vs 1.6 s), which at higher
+    // SF distorts exactly the ratios this tool exists to measure
+    def cold(): Double = { BenchSession.scrub(); once() }
     val c = math.min(cold(), cold())
     (c, once())
   }
