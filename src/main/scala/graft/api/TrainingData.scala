@@ -3359,8 +3359,12 @@ object TrainingData {
     require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
     val docBg = bigramCounts
       .select(col("doc_id"), col("bigram"), col("bf").as("dc"))
+    // vocabulary margins materialize once (r17): the token total and
+    // BOTH per-side joins read uni — the (possibly unpersisted) token
+    // count relation re-aggregated three times otherwise
     val uni = tokenCounts.groupBy(col("tok").as("w"))
       .agg(sum(col("tf")).as("cw"))
+      .localCheckpoint(true)
     val nTot = uni.agg(sum(col("cw")).as("nn"))
     // tokens cannot contain the separator (they come from a split on
     // it), so the packed bigram string splits back losslessly
@@ -3592,7 +3596,10 @@ object TrainingData {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val sh = shingles.select(col("doc_id"), col("shh"))
+    // per-doc sizes materialize once (r17): both orientation attaches
+    // read n, re-running the aggregation per side otherwise. Doc grain.
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      .localCheckpoint(true)
     DedupOps.coocPairs(sh, "shh")
       .join(n.select(col("doc_id").as("d1"), col("ns").as("n1")), Seq("d1"))
       .join(n.select(col("doc_id").as("d2"), col("ns").as("n2")), Seq("d2"))
@@ -3665,7 +3672,14 @@ object TrainingData {
     require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params: k1=$k1 b=$b")
     val ctf = postings.select(col("doc_id"), col("term"), col("tf"))
     val qdistinct = queryTerms.select(col("term")).distinct()
+    // doc lengths materialize once (r17): the scoring join AND the
+    // (N, avgdl) scalars read dl — deriving the scalars from dl
+    // replaces the third full-postings aggregation pass with a
+    // doc-grain reduce (N = |dl| since dl has one row per doc;
+    // avgdl = Σdl/N is the identical Σtf / count_distinct(doc) double
+    // division, so the scored constants are bit-unchanged)
     val dl = ctf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint(true)
     // df only for the query's own terms: the broadcast semi-join cuts
     // the postings BEFORE the aggregation, so the df shuffle is bounded
     // by query-term postings instead of the whole vocabulary (per-term
@@ -3673,13 +3687,8 @@ object TrainingData {
     // count). The same bound the scoring join already had.
     val df_ = ctf.join(broadcast(qdistinct), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // (N, avgdl) straight off the postings — Σdl = Σtf and |docs| is a
-    // distinct count, so the dl relation isn't aggregated twice (it
-    // used to feed both this and the scoring join, re-running the
-    // per-doc aggregation; the r11→r14 x76 warm creep)
-    val stats = ctf.agg(count_distinct(col("doc_id")).as("nn"),
-      (sum(col("tf")).cast("double")
-        / count_distinct(col("doc_id"))).as("avgdl"))
+    val stats = dl.agg(count(lit(1)).as("nn"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qt = queryTerms.select(col("q_id"), col("term"))
     // shortest-round-trip literals for the derived constants: both
     // engines parse them back to the identical double
@@ -3817,12 +3826,18 @@ object TrainingData {
   def pmiCollocationsFromCounts(bigramCounts: DataFrame,
       tokenCounts: DataFrame, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1, s"need minCount/k >= 1, got $minCount/$k")
+    // both type-grain relations materialize ONCE (eager localCheckpoint):
+    // bg feeds the bigram total AND the scored chain, uni feeds the
+    // token total AND both margin joins — without this the (possibly
+    // unpersisted) input count relations re-aggregate once per branch
     val bg = bigramCounts.groupBy(col("bigram")).agg(sum(col("bf")).as("c12"))
       // tokens are whitespace-split, so the joined bigram has exactly
       // one interior space — the split is lossless
       .select(substring_index(col("bigram"), " ", 1).as("w1"),
         substring_index(col("bigram"), " ", -1).as("w2"), col("c12"))
+      .localCheckpoint(true)
     val uni = tokenCounts.groupBy(col("tok")).agg(sum(col("tf")).as("cw"))
+      .localCheckpoint(true)
     val tot = bg.agg(sum(col("c12")).as("bb"))
       .crossJoin(uni.agg(sum(col("cw")).as("tt")))
     bg.filter(col("c12") >= minCount)
@@ -3916,11 +3931,19 @@ object TrainingData {
           val b = element_at(col("tk"), j.cast("int"))
           concat(least(a, b), lit(" "), greatest(a, b))
         })))
+    // the vocabulary margin relation materializes ONCE (eager
+    // localCheckpoint): uni feeds the token total AND both margin
+    // joins — three corpus tokenizations otherwise. The PAIR counts
+    // stay lazy deliberately: their two consumers share one identical
+    // shuffle subtree that runtime exchange reuse already dedupes, and
+    // an A/B showed eager materialization of the (much larger)
+    // pair-type relation costs more than the branch it saves.
     val pc = base.filter(size(col("tk")) >= 2)
       .select(explode(pairExpr).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n_cooc"))
     val uni = base.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true)
     val tot = pc.agg(sum(col("n_cooc")).as("pp"))
       .crossJoin(uni.agg(sum(col("cw")).as("tt")))
     pc.filter(col("n_cooc") >= minCount)
@@ -4381,15 +4404,24 @@ object TrainingData {
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
     val sh = shingles.select(col("doc_id"), col("shh")).localCheckpoint(true)
     val dfreq = sh.groupBy(col("shh")).agg(count(lit(1)).as("dfq"))
+    // sizes materializes once (r17): it feeds the prefix cut AND both
+    // final length attaches — three aggregation branches otherwise.
+    // Doc grain, strictly smaller than the shingle relation.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfq"), col("shh"))
+    // the prefix relation materializes once (r17): both sides of the
+    // candidate self-join read it, and without this the df join + the
+    // per-doc rarity window re-execute per side (the r16 PLANS.md
+    // two-Window signature). Prefix grain — a cut of the postings.
     val pref = sh.join(dfreq, Seq("shh"))
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <=
         col("m") - expr(s"(${tNum}L * m + ${tDen - 1}L) div ${tDen}L") + 1)
       .select(col("doc_id"), col("shh"), col("m"))
+      .localCheckpoint(true)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
           lit(tDen) * least(col("a.m"), col("b.m")) >=
@@ -4828,12 +4860,17 @@ object TrainingData {
     * |sources|². */
   def sourceJaccardMatrix(shingles: DataFrame, docs: DataFrame,
       idCol: String, srcCol: String): DataFrame = {
+    // the distinct (source, shingle) relation materializes ONCE (eager
+    // localCheckpoint): the per-source sizes and the co-occurrence pair
+    // build both read it, and without this the doc-join + distinct runs
+    // once per branch. Vocabulary × source grain, not corpus rows.
     val srcSh = shingles
       .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("__src")),
         Seq("doc_id"))
       .filter(col("__src").isNotNull)
       .select(col("__src").as("source"), col("shh"))
       .distinct()
+      .localCheckpoint(true)
     val sizes = srcSh.groupBy(col("source")).agg(count(lit(1)).as("ns"))
     val pairs = srcSh
       .groupBy(col("shh"))

@@ -942,7 +942,17 @@ object DedupOps {
   private def persistTypoCandidates(s: SparkSession, d: String): DataFrame =
     cachedPerApp(typoCandCache, s, d)(
       blockedCandidates(typoFixture(s, d), "doc_id", "head",
-        blockPrefix = 8, maxBlockSize = 256, window = 32).persist())
+        blockPrefix = 8, maxBlockSize = 256, window = 32)
+        // AQE coalesces the enumeration to ONE partition (candidate
+        // rows are narrow, so the byte-based advisory target packs all
+        // ~55k of them together) — but the consumer runs TWO O(|s|²)
+        // string-metric DPs per row, so byte-sized partitions serialize
+        // the expensive stage on one core (measured: the whole warm
+        // x150 run was 1.9 s single-threaded). Round-robin repartition
+        // by the session's parallelism before persisting: CPU-heavy
+        // verification scales with cores again (and with cluster size
+        // at 100 TB — the knob is the scheduler's, not a constant).
+        .repartition(s.sparkContext.defaultParallelism).persist())
 
   @transient private val typoOversizedCache = newCache
   private def persistTypoOversized(s: SparkSession, d: String): DataFrame =

@@ -66,12 +66,50 @@ object VectorOps {
     * combine, not a self-fusion. Fixture binding of
     * [[graft.api.TrainingData.reciprocalRankFusion]]. */
   def x97RrfFusion(s: SparkSession, d: String): DataFrame = {
+    // r17: both rankings from ONE corpus fan-out — the generic
+    // cosineTopK + l2TopK + reciprocalRankFusion composition paid the
+    // |C|·|Q| similarity crossJoin twice and shuffled three times
+    // (one rank window each + the fused aggregation); computing both
+    // measures on one pass and ranking with two same-partitioned
+    // windows keeps ONE exchange, and since each (q, c) appears exactly
+    // once the fused sum needs no aggregation at all. Rank semantics
+    // are the originals' verbatim: desc_nulls_last reproduces the
+    // "NULL sims never occupy ranks" filter (non-null rows keep
+    // identical rank numbers), contributions are the same exact
+    // integer micros, candidates are the same union of top-50 pools.
+    import graft.functions.VectorFunctions.{cosine_sim, dot_product}
     val e = t(s, d, "embeddings")
-    val q = e.filter(col("vec_id") < 20)
-    graft.api.TrainingData.reciprocalRankFusion(Seq(
-      graft.api.TrainingData.cosineTopK(e, q, "vec_id", "embedding", 50),
-      graft.api.TrainingData.l2TopK(e, q, "vec_id", "embedding", 50)),
-      kConst = 60L, topK = 5)
+    val qq = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc_nulls_last, col("c_id"))
+    val wL2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("dist2").asc_nulls_last, col("c_id"))
+    val wFused = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("c_id"))
+    fanOut(c).crossJoin(broadcast(qq))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(cosine_sim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("dist2", round(
+        dot_product(col("q_emb"), col("q_emb"))
+          - lit(2d) * dot_product(col("q_emb"), col("c_emb"))
+          + dot_product(col("c_emb"), col("c_emb")), 6))
+      .select(col("q_id"), col("c_id"), col("sim"), col("dist2"))
+      .withColumn("rank_cos", row_number().over(wCos))
+      .withColumn("rank_l2", row_number().over(wL2))
+      .select(col("q_id"), col("c_id"),
+        (when(col("sim").isNotNull && col("rank_cos") <= 50,
+          expr("1000000L div (60L + rank_cos)")).otherwise(0L) +
+          when(col("dist2").isNotNull && col("rank_l2") <= 50,
+            expr("1000000L div (60L + rank_l2)")).otherwise(0L))
+          .as("rrf_micro"))
+      .filter(col("rrf_micro") > 0)
+      .withColumn("rank", row_number().over(wFused).cast("int"))
+      .filter(col("rank") <= 5)
       .orderBy(col("q_id"), col("rank"))
   }
 
