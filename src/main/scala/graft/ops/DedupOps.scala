@@ -47,16 +47,16 @@ object DedupOps {
   // branches, and x26/x26b share it (~100k rows each at fixture SF)
   @transient private val shCache = newCache
   private def persistShingles(s: SparkSession, d: String): DataFrame =
-    cachedPerApp(shCache, s, d)(shingleHashRows(s, d).persist())
+    cachedPerApp(shCache, s, d)(
+      PerAppCache.persistSpread(s, shingleHashRows(s, d)))
 
   // the verified near-dup pair relation: feeds the pair query (x26) and
   // the cluster build, so the O(shared-shingle) self-join is paid once
   @transient private val pairCache = newCache
   private def persistPairs(s: SparkSession, d: String): DataFrame =
     cachedPerApp(pairCache, s, d)(
-      graft.api.TrainingData
-        .nearDupPairsFromShingles(persistShingles(s, d), 0.5)
-        .persist())
+      PerAppCache.persistSpread(s, graft.api.TrainingData
+        .nearDupPairsFromShingles(persistShingles(s, d), 0.5)))
 
   // cluster labels over the pairs: shared by x26e and x26g; the iterative
   // CC run is paid once, its result backed by a checkpointed RDD
@@ -135,14 +135,13 @@ object DedupOps {
   @transient private val sigCache = newCache
   private def persistShaSignatures(s: SparkSession, d: String): DataFrame =
     cachedPerApp(sigCache, s, d)(
-      t(s, d, "documents")
+      PerAppCache.persistSpread(s, t(s, d, "documents")
         .select(col("doc_id"),
           graft.functions.TextFunctions
             .sha32_minhash_sigs(col("text"), 3, NumHashes).as("sigs"))
         .filter(size(col("sigs")) > 0)
         .select(col("doc_id") +:
-          (0 until NumHashes).map(i => col("sigs").getItem(i).as(s"sig_$i")): _*)
-        .persist())
+          (0 until NumHashes).map(i => col("sigs").getItem(i).as(s"sig_$i")): _*)))
 
   /** The DuckDB spelling of [[sha32]] over SQL expression `expr`. */
   private def hex32Sql(expr: String): String = {
@@ -422,8 +421,8 @@ object DedupOps {
   @transient private val tfidfCache = newCache
   private def persistTfidfWeights(s: SparkSession, d: String): DataFrame =
     cachedPerApp(tfidfCache, s, d)(
-      graft.api.TrainingData.tfidfWeights(
-        t(s, d, "documents"), "doc_id", "text", 0.5).persist())
+      PerAppCache.persistSpread(s, graft.api.TrainingData.tfidfWeights(
+        t(s, d, "documents"), "doc_id", "text", 0.5)))
 
   /** X25 — incremental-ingest exact dedup: a simulated re-crawl (every
     * fifth corpus doc re-keyed as a new id) unioned with genuinely new
@@ -510,9 +509,9 @@ object DedupOps {
   @transient private val splitCache = newCache
   private def persistSplit(s: SparkSession, d: String): DataFrame =
     cachedPerApp(splitCache, s, d)(
-      graft.api.TrainingData.deterministicSplit(
+      PerAppCache.persistSpread(s, graft.api.TrainingData.deterministicSplit(
         t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id",
-        Seq(("train", 80), ("val", 10), ("test", 10))).persist())
+        Seq(("train", 80), ("val", 10), ("test", 10)))))
 
   /** X33 — NORMALIZED contamination (the GPT-3 appendix-C rule): both
     * sides pass through [[graft.api.TrainingData.normalizeForDecontam]]
@@ -552,9 +551,8 @@ object DedupOps {
   @transient private val probeShCache = newCache
   private def persistProbeShingles(s: SparkSession, d: String): DataFrame =
     cachedPerApp(probeShCache, s, d)(
-      graft.api.TrainingData.shingles(
-        t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")
-        .persist())
+      PerAppCache.persistSpread(s, graft.api.TrainingData.shingles(
+        t(s, d, "documents").filter(col("doc_id") < 50), "doc_id", "text")))
 
   /** X114 — shared-prefix boilerplate clusters at 64 chars: the
     * template-header detector between exact dedup (x25) and span dedup
@@ -658,8 +656,8 @@ object DedupOps {
   @transient private val simhashCache = PerAppCache.newCache
   private def persistSimhash(s: SparkSession, d: String): DataFrame =
     PerAppCache.cachedPerApp(simhashCache, s, d)(
-      simhashSignatures(t(s, d, "documents").select(col("doc_id"), col("text")))
-        .persist())
+      PerAppCache.persistSpread(s,
+        simhashSignatures(t(s, d, "documents").select(col("doc_id"), col("text")))))
 
   /** X86 — simhash Hamming-neighbor pairs at distance ≤ 3: the
     * Manku/Google near-dup detector as an EXACT banded join — the 32-bit
@@ -738,8 +736,9 @@ object DedupOps {
   @transient private val snmCache = newCache
   private def persistSnmPairs(s: SparkSession, d: String): DataFrame =
     cachedPerApp(snmCache, s, d)(
-      graft.api.TrainingData.sortedNeighborhoodPairs(
-        t(s, d, "documents"), "doc_id", "text", w = 3).persist())
+      PerAppCache.persistSpread(s, graft.api.TrainingData
+        .sortedNeighborhoodPairs(
+          t(s, d, "documents"), "doc_id", "text", w = 3)))
 
   def x137SortedNeighborhood(s: SparkSession, d: String): DataFrame =
     persistSnmPairs(s, d).orderBy(col("d1"), col("d2"))

@@ -52,6 +52,35 @@ private[graft] object PerAppCache {
     cache.getOrElseUpdate((appId, d), build)
   }
 
+  /** Persist + materialize, respreading ONLY when the materialized
+    * relation landed on fewer partitions than the session's parallelism.
+    *
+    * Why (r17, measured): AQE sizes post-shuffle partitions by BYTES, so
+    * a narrow count/signature relation ends up as ONE cached partition
+    * at fixture scale — and every consumer's map-side pass over the
+    * cache (tokenize-free, but hashing/metric/aggregation work) runs on
+    * one core (the x150 candidate cache ran its whole Damerau–
+    * Levenshtein verification single-threaded: 1.9 s → 0.8 s respread).
+    * The respread is CONDITIONAL on the observed partition count, so at
+    * production scale — where the same relation materializes onto many
+    * partitions — no extra shuffle ever happens; this is a small-data
+    * remedy that vanishes at 100 TB rather than a local[32] constant.
+    * The copy reads the HOT cache (one bounded pass), never the source
+    * lineage. */
+  def persistSpread(s: SparkSession, df: DataFrame): DataFrame = {
+    val p = df.persist()
+    p.count() // materialize so the partition count below is the real one
+    val want = s.sparkContext.defaultParallelism
+    if (p.rdd.getNumPartitions >= want) p
+    else {
+      val spread = p.repartition(want).persist()
+      spread.count() // copy out of the hot cache before dropping it
+      try p.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+      spread
+    }
+  }
+
   /** Unpersist and forget every cached relation in every module. Call
     * between phases of a long-lived multi-dir session; the next fixture
     * query rebuilds (and re-persists) what it needs. */

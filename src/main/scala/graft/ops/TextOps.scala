@@ -20,12 +20,12 @@ object TextOps {
   private val bgCache = newCache
   private def tfRel(s: SparkSession, d: String): DataFrame =
     cachedPerApp(tfCache, s, d)(
-      graft.api.TrainingData.tokenCounts(t(s, d, "documents"), "doc_id", "text")
-        .persist())
+      PerAppCache.persistSpread(s, graft.api.TrainingData
+        .tokenCounts(t(s, d, "documents"), "doc_id", "text")))
   private def bgRel(s: SparkSession, d: String): DataFrame =
     cachedPerApp(bgCache, s, d)(
-      graft.api.TrainingData.bigramCounts(t(s, d, "documents"), "doc_id", "text")
-        .persist())
+      PerAppCache.persistSpread(s, graft.api.TrainingData
+        .bigramCounts(t(s, d, "documents"), "doc_id", "text")))
   // the per-doc bigram-LM score relation, shared by x28n and x44: the
   // curriculum query references the scores on two plan branches (the
   // threshold aggregation and the bucket join), which re-ran the whole
@@ -33,9 +33,9 @@ object TextOps {
   private val nllCache = newCache
   private def nllRel(s: SparkSession, d: String): DataFrame =
     cachedPerApp(nllCache, s, d)(
-      graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
-        graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))
-        .persist())
+      PerAppCache.persistSpread(s,
+        graft.api.TrainingData.bigramLmScoresFromCounts(bgRel(s, d),
+          graft.api.TrainingData.vocabularyFromCounts(tfRel(s, d)))))
 
   /** X28 — token counting + basic stats per document (zero-token guard:
     * all-whitespace text → NULL avg, not ANSI DIVIDE_BY_ZERO; oracle
