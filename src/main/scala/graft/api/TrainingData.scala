@@ -4404,24 +4404,22 @@ object TrainingData {
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
     val sh = shingles.select(col("doc_id"), col("shh")).localCheckpoint(true)
     val dfreq = sh.groupBy(col("shh")).agg(count(lit(1)).as("dfq"))
-    // sizes materializes once (r17): it feeds the prefix cut AND both
-    // final length attaches — three aggregation branches otherwise.
-    // Doc grain, strictly smaller than the shingle relation.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
-      .localCheckpoint(true)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("dfq"), col("shh"))
-    // the prefix relation materializes once (r17): both sides of the
-    // candidate self-join read it, and without this the df join + the
-    // per-doc rarity window re-execute per side (the r16 PLANS.md
-    // two-Window signature). Prefix grain — a cut of the postings.
+    // pref/sizes stay LAZY deliberately (r17): pref's two consumers are
+    // the two sides of the candidate self-join — one identical shuffle
+    // subtree that runtime exchange reuse dedupes — and A/B runs showed
+    // eager checkpoints here neutral-to-negative (materialization cost
+    // with no duplicate work left to remove; the same lesson as x91's
+    // pair counts). Only `sh`, read by five genuinely different
+    // branches, earns its materialization.
     val pref = sh.join(dfreq, Seq("shh"))
       .withColumn("pos", row_number().over(wDoc))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <=
         col("m") - expr(s"(${tNum}L * m + ${tDen - 1}L) div ${tDen}L") + 1)
       .select(col("doc_id"), col("shh"), col("m"))
-      .localCheckpoint(true)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id") &&
           lit(tDen) * least(col("a.m"), col("b.m")) >=
