@@ -3199,6 +3199,11 @@ object TrainingData {
       groupCol: String): DataFrame = {
     val sh = shingles.toDF("doc_id", "k")
     val df = sh.groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+    // the per-group relation feeds the output AND the corpus-total
+    // broadcast — eager localCheckpoint materializes the whole
+    // occurrence-count + instance-join chain once at group grain (r17;
+    // runtime exchange reuse deduped the shuffles but re-ran both final
+    // aggregations over the instance-grain join output)
     val g = sh.join(df, Seq("k"))
       .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"))
         .filter(col("grp").isNotNull), Seq("doc_id"))
@@ -3207,6 +3212,7 @@ object TrainingData {
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .select(col("grp"), col("n_instances"), col("n_dup"),
         expr("(1000000 * n_dup) div n_instances").as("dup_micros"))
+      .localCheckpoint(true)
     g.crossJoin(broadcast(g.agg(
       expr("(1000000 * sum(n_dup)) div sum(n_instances)")
         .as("corpus_dup_micros"))))
@@ -3452,17 +3458,23 @@ object TrainingData {
     *
     * Scale shape: the edge relation (with the source's degree attached)
     * is built and materialized once; each iteration is ONE shuffle —
-    * join ranks to edges on src + re-aggregate by dst — and each
-    * iteration's result is `localCheckpoint(eager)`, truncating the
-    * logical plan to the materialized partitions (the
-    * [[graft.ops.DedupOps.connectedComponents]] idiom): without the
-    * truncation the plan tree GROWS per round and the driver re-analyzes
-    * a super-linearly expanding query — the classic Pregel/GraphX
-    * lineage discipline, expressed relationally. */
+    * join ranks to edges on src + re-aggregate by dst — and the rank
+    * lineage is truncated with `localCheckpoint(eager)` every
+    * `truncateEvery` rounds (the [[graft.ops.DedupOps.connectedComponents]]
+    * idiom): without periodic truncation the plan tree GROWS per round
+    * and the driver re-analyzes a super-linearly expanding query — the
+    * classic Pregel/GraphX lineage discipline, expressed relationally.
+    * Between truncation points the rounds stay LAZY (r17): the rank
+    * update is a linear chain (each round consumed exactly once by the
+    * next), so a k-round chunk is one k-shuffle job instead of k
+    * materialization jobs — the per-round barrier bought nothing but
+    * scheduler latency. */
   def pageRankMicro(pairs: DataFrame, iterations: Int = 5,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, truncateEvery: Int = 8): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    require(truncateEvery >= 1,
+      s"truncateEvery must be >= 1, got $truncateEvery")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0, 100], got $dampingPct")
     val e0 = pairs
@@ -3480,7 +3492,7 @@ object TrainingData {
     val baseMicro = (100L - dampingPct) * 10000L
     var ranks = deg.select(col("id"), lit(1000000L).as("rank_micro"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = adj
         .join(ranks.select(col("id").as("src"), col("rank_micro")), Seq("src"))
         .select(col("dst").as("id"),
@@ -3490,7 +3502,10 @@ object TrainingData {
         .select(col("id"),
           (lit(baseMicro) +
             expr(s"(${dampingPct}L * s) div 100L")).as("rank_micro"))
-        .localCheckpoint(true) // truncate lineage, release prior round to GC
+      // truncate lineage (and release prior chunks to GC) only at chunk
+      // boundaries — rounds in between compose lazily into one job
+      if (i % truncateEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
     }
     deg.join(ranks, Seq("id"))
       .select(col("id"), col("degree"), col("rank_micro"))
@@ -3513,11 +3528,23 @@ object TrainingData {
     *
     * Scale shape: per round one equi-join on src + one aggregation —
     * the x72 shape; `iterations` bounds total work; lineage truncated
-    * each round (localCheckpoint) so the loop never stacks plans. */
+    * every `truncateEvery` rounds (localCheckpoint) so the loop never
+    * stacks unbounded plans. UNLIKE the x72 shape, rounds here must NOT
+    * compose lazily: the max-normalization references its round's sums
+    * relation twice (the broadcast max and the normalized scores), so a
+    * lazy chunk's plan — and the executed work: the duplicated
+    * aggregate feeds a BROADCAST on one branch and a projection on the
+    * other, shapes runtime exchange reuse does not unify — DOUBLES per
+    * round. Measured (r17, sf0.1): truncateEvery=2 ⇒ 5.6–10 s warm vs
+    * 2.1 s at 1. The default stays 1 (per-round truncation); the only
+    * lazy round is the LAST, whose checkpoint nobody re-reads. */
   def eigenvectorCentrality(pairs: DataFrame,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5, truncateEvery: Int = 1): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    require(truncateEvery >= 1 && truncateEvery <= 4,
+      s"truncateEvery must be in [1, 4] (executed work doubles per " +
+        s"lazy round), got $truncateEvery")
     val e0 = pairs
       .select(least(col("d1"), col("d2")).as("a"),
         greatest(col("d1"), col("d2")).as("b"))
@@ -3530,7 +3557,7 @@ object TrainingData {
       .localCheckpoint(true)
     var score = deg.select(col("id"), lit(1000000L).as("e"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = edges
         .join(score.select(col("id").as("src"), col("e")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(sum(col("e")).as("s"))
@@ -3539,7 +3566,9 @@ object TrainingData {
         .select(col("id"),
           expr("CAST((1000000 * CAST(s AS DECIMAL(38,0))) div mx" +
             " AS BIGINT)").as("e"))
-        .localCheckpoint(true) // truncate lineage per round
+      // truncate lineage only at chunk boundaries (see docstring)
+      if (i % truncateEvery == 0 && i < iterations)
+        score = score.localCheckpoint(true)
     }
     deg.join(score, Seq("id"))
       .select(col("id"), col("degree"), col("e").as("eigen_micro"))
@@ -3916,10 +3945,36 @@ object TrainingData {
     * total as the joint mass). */
   def skipgramPmi(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, minCount: Long = 5L, k: Int = 50): DataFrame = {
-    require(window >= 1 && minCount >= 1 && k >= 1,
-      s"bad skip-gram params: window=$window minCount=$minCount k=$k")
     val base = docs
       .select(col(idCol).as("doc_id"), graft.ops.DedupOps.tokens(col(textCol)).as("tk"))
+    skipgramPmiCore(base,
+      base.select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw")),
+      window, minCount, k)
+  }
+
+  /** [[skipgramPmi]] with the unigram margins derived from a pre-built
+    * (ideally persisted) [[tokenCounts]] relation — the x70/x79
+    * FromCounts discipline: the margin side is a vocabulary-grain
+    * reduce of the shared counts cache instead of a second full corpus
+    * tokenization per evaluation (only the pair enumeration still needs
+    * the raw token ARRAYS — positions don't survive counting). The
+    * margins are identical by construction: tokenCounts groups the same
+    * exploded token stream by (doc, tok) first, and Σ_doc tf = cw. */
+  def skipgramPmiFromCounts(docs: DataFrame, idCol: String,
+      textCol: String, tokenCounts: DataFrame, window: Int = 4,
+      minCount: Long = 5L, k: Int = 50): DataFrame =
+    skipgramPmiCore(
+      docs.select(col(idCol).as("doc_id"),
+        graft.ops.DedupOps.tokens(col(textCol)).as("tk")),
+      tokenCounts.groupBy(col("tok")).agg(sum(col("tf")).as("cw"))
+        .select(col("tok").as("w"), col("cw")),
+      window, minCount, k)
+
+  private def skipgramPmiCore(base: DataFrame, uniLazy: DataFrame,
+      window: Int, minCount: Long, k: Int): DataFrame = {
+    require(window >= 1 && minCount >= 1 && k >= 1,
+      s"bad skip-gram params: window=$window minCount=$minCount k=$k")
     // per doc: all (i, j) with i < j <= i + window, emitted as the
     // lexicographically ordered "w1 w2" pair — row-local
     val pairExpr = flatten(transform(
@@ -3933,7 +3988,7 @@ object TrainingData {
         })))
     // the vocabulary margin relation materializes ONCE (eager
     // localCheckpoint): uni feeds the token total AND both margin
-    // joins — three corpus tokenizations otherwise. The PAIR counts
+    // joins — three margin evaluations otherwise. The PAIR counts
     // stay lazy deliberately: their two consumers share one identical
     // shuffle subtree that runtime exchange reuse already dedupes, and
     // an A/B showed eager materialization of the (much larger)
@@ -3941,9 +3996,7 @@ object TrainingData {
     val pc = base.filter(size(col("tk")) >= 2)
       .select(explode(pairExpr).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("n_cooc"))
-    val uni = base.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      .localCheckpoint(true)
+    val uni = uniLazy.localCheckpoint(true)
     val tot = pc.agg(sum(col("n_cooc")).as("pp"))
       .crossJoin(uni.agg(sum(col("cw")).as("tt")))
     pc.filter(col("n_cooc") >= minCount)
@@ -6742,9 +6795,16 @@ object TrainingData {
     val edges = pairs
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).as("u"), col(bCol).as("v"))
+    // the node-degree relation feeds FOUR branches (the histogram, both
+    // endpoint-degree attaches, and the totals row) — eager
+    // localCheckpoint (the fleissKappa discipline) materializes it once
+    // at node grain; unchecked, each branch re-derived it from the pair
+    // relation (the r17 before-plan printed 426 Exchange nodes from the
+    // four-way duplication of this subtree)
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val hist = deg.groupBy(col("deg").as("degree"))
       .agg(count(lit(1)).as("n_nodes"))
     val withDeg = edges

@@ -791,7 +791,11 @@ object TextOps {
     * phrases. Fixture binding of
     * [[graft.api.TrainingData.skipgramPmi]]. */
   def x91SkipgramPmi(s: SparkSession, d: String): DataFrame =
-    graft.api.TrainingData.skipgramPmi(t(s, d, "documents"), "doc_id", "text",
+    // margins ride the SHARED cached token-count relation (r17): the
+    // direct form re-tokenized the corpus for the unigram margins on
+    // top of the pair-enumeration pass (which alone needs raw arrays)
+    graft.api.TrainingData.skipgramPmiFromCounts(
+      t(s, d, "documents"), "doc_id", "text", tfRel(s, d),
       window = 4, minCount = 5L, k = 50)
 
   /** X95 — per-source n-gram saturation (n = 1..3): type-token ratios
